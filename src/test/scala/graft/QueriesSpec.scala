@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM, one context). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+class RegistrySpec extends AnyFunSuite {
+  import graft.ops.Registry
+
+  test("query names are unique and oracle keys all have queries") {
+    val names = Registry.all.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  private def run(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  private def pairs(name: String): Set[(Long, Long)] =
+    run(name).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exact-jaccard near-dup finds the 28 planted pairs") {
+    assert(pairs("q_dedup_near").size === 28)
+  }
+
+  test("minhash-LSH recovers exactly the exact-jaccard pair set") {
+    assert(pairs("q_dedup_minhash") === pairs("q_dedup_near"))
+  }
+
+  test("simhash pairs are a subset of the jaccard pair set") {
+    val sh = pairs("q_dedup_simhash")
+    assert(sh.nonEmpty && sh.subsetOf(pairs("q_dedup_near")))
+  }
+
+  test("exact dedup: every document hash is unique in this corpus") {
+    val dupGroups = run("q_dedup_exact").filter("n > 1").count()
+    assert(dupGroups === 0)
+    assert(run("q_dedup_exact").count() === 500)
+  }
+
+  test("brute-force top-k cosine is deterministic and ordered") {
+    val a = run("q_sim_cosine").collect()
+    val b = run("q_sim_cosine").collect()
+    assert(a.toSeq === b.toSeq)
+    val cos = a.map(_.getDouble(1)).toSeq
+    assert(cos === cos.sorted.reverse, "descending by cosine")
+    assert(a.length === 10)
+  }
+
+  test("IVF ANN returns 10 rows drawn from the corpus, deterministically") {
+    val a = run("q_sim_ann_ivf").collect()
+    assert(a.length === 10)
+    assert(a.map(_.getLong(0)).distinct.length === 10)
+    assert(a.toSeq === run("q_sim_ann_ivf").collect().toSeq)
+  }
+
+  test("language id predicts a language for every document") {
+    val d = run("q_lang_id")
+    assert(d.count() === 500)
+    assert(d.filter("predicted IS NULL").count() === 0)
+  }
+}
