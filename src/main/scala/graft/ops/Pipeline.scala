@@ -107,14 +107,16 @@ object Pipeline {
       (s, dir) => {
         val nPerm = 128; val bands = 32; val r = 4
         val sh = shingled(s, dir)
-        // Whole signature computed row-local via HOFs — zero shuffle.
-        val sig = sh.withColumn("sig", expr(
-          s"""transform(sequence(0, ${nPerm - 1}),
-                i -> array_min(transform(toks, t -> xxhash64(concat(cast(i AS STRING), ':', t)))))"""))
-        val bandRows = sig.select(col("doc_id"), posexplode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-                b -> xxhash64(concat_ws(',', transform(slice(sig, b*$r + 1, $r),
-                                                       x -> cast(x AS STRING)))))""")))
+        // Signature via 128 codegen'd MIN aggregates over exploded shingles
+        // (array-lambda HOFs are interpreted — 20x slower at sf0.1). One
+        // shuffle on doc_id; xxhash64(seed_col, tok) is whole-stage codegen.
+        val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+        val minAggs = (0 until nPerm).map(i =>
+          min(xxhash64(lit(i), col("tok"))).as(s"m$i"))
+        val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val bandArr = array((0 until bands).map(b =>
+          xxhash64((0 until r).map(k => col(s"m${b * r + k}")): _*)): _*)
+        val bandRows = sig.select(col("doc_id"), posexplode(bandArr))
           .toDF("doc_id", "band_idx", "band_hash")
         val cand = bandRows.as("a")
           .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
@@ -130,14 +132,17 @@ object Pipeline {
     Q("q_dedup_simhash", None,
       (s, dir) => {
         val sh = shingled(s, dir)
-        val sig = sh
-          .withColumn("hs", expr("transform(toks, t -> xxhash64(t))"))
-          .withColumn("sig", expr(
-            """aggregate(sequence(0, 63), 0L, (acc, j) ->
-                 shiftleft(acc, 1) + CASE WHEN aggregate(hs, 0L,
-                   (a, h) -> a + (CAST(h AS BIGINT) >> j & 1L) * 2L - 1L) > 0L
-                 THEN 1L ELSE 0L END)"""))
-          .select("doc_id", "sig")
+        // 64 codegen'd bit-balance sums over exploded shingles, then one
+        // projection assembles the signature — same single-shuffle shape
+        // as q_dedup_minhash (interpreted HOF folds were 40x slower).
+        val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        val bitAggs = (0 until 64).map(j =>
+          sum(expr(s"(h >> $j & 1L) * 2L - 1L")).as(s"b$j"))
+        val sig = ex.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+          .select(col("doc_id"), expr(
+            (0 until 64).map(j => s"shiftleft(CAST(b$j > 0 AS LONG), ${63 - j})")
+              .mkString(" | ")).as("sig"))
         val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
             "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
           .toDF("doc_id", "sig", "band_idx", "band_val")

@@ -154,14 +154,22 @@ object Relational {
                AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
               GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        // Band join: equi on user_id, range residual on ts — the scalable
-        // formulation of "events within 5 minutes of each other".
-        val a = t(s, dir, "events").select("event_id", "user_id", "ts").as("a")
-        val b = t(s, dir, "events").select("event_id", "user_id", "ts").as("b")
-        a.join(b, col("a.user_id") === col("b.user_id")
-            && col("b.ts") > col("a.ts")
-            && col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTE"))
-          .groupBy(col("a.user_id").as("user_id"))
+        // Banded range join: bucket ts into 5-minute blocks and equi-join
+        // on (user_id, bucket) with the range as residual — candidates per
+        // row stay O(events-per-10-min) instead of O(events-per-user),
+        // which is what keeps this join feasible when one user has
+        // millions of events. b ∈ (a.ts, a.ts+5min] ⇒ bucket(b) ∈
+        // {bucket(a), bucket(a)+1}, so the probe side explodes 2 buckets.
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            floor(unix_micros(col("ts")) / lit(300000000L)).as("bucket"))
+        val a = e.select(col("user_id"), col("ts").as("ts_a"),
+          explode(array(col("bucket"), col("bucket") + 1)).as("jb"))
+        val b = e.select(col("user_id"), col("ts").as("ts_b"), col("bucket").as("jb"))
+        a.join(b, Seq("user_id", "jb"))
+          .where(col("ts_b") > col("ts_a")
+            && col("ts_b") <= col("ts_a") + expr("INTERVAL 5 MINUTE"))
+          .groupBy("user_id")
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("user_id")
       }),
