@@ -1,0 +1,67 @@
+package graft.shelf
+
+import java.nio.file.Paths
+
+/** CLI mirroring the reference's command surface: snapshot / run / list /
+  * audit / db / export / new-table (/root/reference/src/shelf/__init__.py:27-180).
+  */
+object Cli {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: shelf <command> [args]
+        |  init
+        |  snapshot <path> <dataset_name> [--force]
+        |  run [regex] [--force] [--dry-run]
+        |  list [regex] [--paths]
+        |  audit [--fix]
+        |  db [query] [--csv] [--names short|full|both]
+        |  export <dest_dir>
+        |  new-table <dataset_name> [dep_uri...]""".stripMargin)
+    sys.exit(2)
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) usage()
+    val root = Paths.get(sys.env.getOrElse("SHELF_ROOT", "."))
+    lazy val shelf = new Shelf(root, () => Shelf.defaultSession())
+    val flags = args.tail.filter(_.startsWith("--")).toSet
+    val pos = args.tail.filterNot(_.startsWith("--")).toSeq
+
+    args.head match {
+      case "init" =>
+        Catalog.init(root)
+        println(s"initialized shelf in $root")
+      case "snapshot" =>
+        if (pos.size < 2) usage()
+        val uri = shelf.snapshot(Paths.get(pos(0)), pos(1), flags("--force"))
+        println(uri)
+      case "run" =>
+        val done = shelf.run(pos.headOption, flags("--force"), flags("--dry-run"))
+        done.foreach(println)
+      case "list" =>
+        shelf.list(pos.headOption, flags("--paths")).foreach(println)
+      case "audit" =>
+        val problems = shelf.audit(flags("--fix"))
+        problems.foreach(System.err.println)
+        if (problems.nonEmpty) sys.exit(1)
+      case "db" =>
+        val namesIdx = args.indexOf("--names")
+        val names = if (namesIdx >= 0 && namesIdx + 1 < args.length)
+          args(namesIdx + 1) else "both"
+        val query = pos.filterNot(p => p == names).headOption.getOrElse(usage())
+        val df = shelf.db(query, names)
+        if (flags("--csv")) println(Db.toCsv(df))
+        else Db.toJsonRecords(df).foreach(println)
+      case "export" =>
+        if (pos.isEmpty) usage()
+        shelf.export(Paths.get(pos.head))
+        println(s"exported to ${pos.head}")
+      case "new-table" =>
+        if (pos.isEmpty) usage()
+        val uri = shelf.newTable(pos.head, pos.tail.map(StepURI.parse))
+        println(uri)
+      case _ => usage()
+    }
+  }
+}

@@ -1,0 +1,172 @@
+package graft.shelf
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shelf engine: content-addressed data lake + Merkle incremental
+  * build DAG, with Spark as the execution engine for table steps.
+  *
+  * Reference: /root/reference/src/shelf/__init__.py (plan_and_run
+  * :243-270, snapshot_to_shelf :188-221, execute_query :364-400,
+  * export :285-312, audit :315-350, list :224-240).
+  */
+final class Shelf(val root: Path, sparkProvider: () => SparkSession,
+                  storeOverride: Option[Store] = None) {
+
+  var catalog: Catalog =
+    if (Files.exists(root.resolve("shelf.yaml"))) Catalog.load(root)
+    else Catalog.init(root)
+
+  lazy val store: Store = storeOverride.getOrElse(Store.forRoot(root))
+  private lazy val spark: SparkSession = sparkProvider()
+
+  // ---------------- snapshot (§3.3) ----------------
+
+  /** Ingest a file/directory; re-snapshot preserves prior provenance
+    * minus volatile fields (__init__.py:198-206).
+    */
+  def snapshot(source: Path, datasetName: String, force: Boolean = false,
+               today: java.time.LocalDate = java.time.LocalDate.now()): StepURI = {
+    val versioned = StepURI.maybeAddVersion(datasetName, today)
+    val uri = StepURI.snapshot(versioned)
+    val metaPath = Snapshots.metadataPath(root, uri)
+    val preserved: Map[String, Any] =
+      if (Files.exists(metaPath)) {
+        if (!force)
+          throw new IllegalStateException(
+            s"$uri already exists; use force to overwrite")
+        Yaml.load(metaPath) -- Seq("checksum", "manifest", "date_accessed",
+          "uri", "version", "snapshot_type", "extension")
+      } else Map.empty
+    Snapshots.create(root, source, uri, store, preserved)
+    catalog = catalog.addStep(uri)
+    catalog.save()
+    uri
+  }
+
+  // ---------------- run (§3.1) ----------------
+
+  def isCompleted(uri: StepURI): Boolean = uri.scheme match {
+    case "snapshot" =>
+      Files.exists(Snapshots.metadataPath(root, uri)) &&
+        Snapshots.load(root, uri).isFresh(root)
+    case "table" => Tables.isCompleted(root, uri)
+  }
+
+  /** Plan: resolve latest → regex prune (ancestors+descendants) →
+    * completed prune (unless force) → topo order.
+    */
+  def plan(regex: Option[String] = None, force: Boolean = false): Seq[StepURI] = {
+    var dag = Dag.resolveLatest(catalog.dag)
+    regex.foreach(r => dag = Dag.pruneWithRegex(dag, r))
+    if (!force) dag = Dag.pruneCompleted(dag, isCompleted)
+    Dag.topoSort(dag).filter(dag.contains)
+  }
+
+  /** Execute the planned steps sequentially; each table step is one Spark
+    * job graph (parallelism lives inside Spark — steps.py:67-94).
+    */
+  def run(regex: Option[String] = None, force: Boolean = false,
+          dryRun: Boolean = false): Seq[StepURI] = {
+    val resolved = Dag.resolveLatest(catalog.dag)
+    val steps = plan(regex, force)
+    if (!dryRun) steps.foreach { step =>
+      step.scheme match {
+        case "snapshot" =>
+          val snap = Snapshots.load(root, step)
+          if (!snap.isFresh(root)) snap.fetch(root, store)
+        case "table" =>
+          Tables.buildTable(spark, root, step, resolved.getOrElse(step, Seq.empty))
+      }
+    }
+    steps
+  }
+
+  // ---------------- list / audit ----------------
+
+  def list(regex: Option[String] = None, paths: Boolean = false): Seq[String] = {
+    val uris = catalog.steps.keys.toSeq.sorted
+    val filtered = regex match {
+      case Some(r) => val re = r.r; uris.filter(u => re.findFirstIn(u.toString).isDefined)
+      case None => uris
+    }
+    if (paths) filtered.map(u => Tables.dependencyPath(root, u).toString)
+    else filtered.map(_.toString)
+  }
+
+  def audit(fix: Boolean = false): Seq[String] =
+    catalog.steps.keys.toSeq.sorted
+      .filter(_.scheme == "snapshot")
+      .flatMap(uri => Snapshots.audit(root, uri, fix).left.toOption)
+
+  // ---------------- db (§3.2) ----------------
+
+  def tablePaths: Seq[String] =
+    catalog.steps.keys.toSeq.sorted.filter(_.scheme == "table").map(_.path)
+
+  /** Register a view per table (+ unique aliases) over its parquet, then
+    * run the query. Bare word ⇒ `SELECT * FROM word` (__init__.py:364-400).
+    */
+  def db(query: String, names: String = "both"): DataFrame =
+    Db.execute(spark, root, tablePaths, query, names)
+
+  /** Export every table as `<snake>.parquet` in destDir plus a manifest
+    * of checksums and aliases — the Spark-native container swap for the
+    * reference's single .duckdb file (__init__.py:285-312; SURVEY.md A18).
+    */
+  def export(destDir: Path): Unit = {
+    run()
+    Files.createDirectories(destDir)
+    val entries = tablePaths.map { p =>
+      val src = Tables.tablePath(root, StepURI.table(p))
+      val name = Naming.pathToSnake(p)
+      val dest = destDir.resolve(s"$name.parquet")
+      Files.copy(src, dest, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      name -> Checksums.checksumFile(dest)
+    }
+    val aliases = Naming.tableAliases(tablePaths)
+      .filter { case (a, n) => a != n }
+      .map { case (a, n) => a -> (n: Any) }.toMap
+    Yaml.save(destDir.resolve("manifest.yaml"), Map(
+      "tables" -> entries.toMap, "aliases" -> aliases))
+  }
+
+  /** Scaffold a new SQL table step (reference `shelf new-table`). */
+  def newTable(datasetName: String, deps: Seq[StepURI],
+               today: java.time.LocalDate = java.time.LocalDate.now()): StepURI = {
+    val versioned = StepURI.maybeAddVersion(datasetName, today)
+    val uri = StepURI.table(versioned)
+    val script = Tables.scriptDir(root).resolve(uri.path + ".sql")
+    if (!Files.exists(script)) {
+      Files.createDirectories(script.getParent)
+      val hints = Naming.simplifyDependencyNames(
+        deps.map(d => Tables.dependencyPath(root, d).toString)).keys.toSeq.sorted
+      val body = hints match {
+        case Seq() => "SELECT 1 AS dim_col1, 2 AS col2"
+        case names => names.map(n => s"SELECT * FROM {$n}").mkString("\n-- ")
+      }
+      Files.writeString(script, s"-- table step for $uri\n$body\n")
+    }
+    catalog = catalog.addStep(uri, deps)
+    catalog.save()
+    uri
+  }
+}
+
+object Shelf {
+  def apply(root: Path, spark: SparkSession): Shelf = new Shelf(root, () => spark)
+
+  def defaultSession(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("shelf")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,208 @@
+package graft.shelf
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table build step: dispatch (SQL / Scala step / subprocess escape
+  * hatch), single-parquet-file output with atomic rename, metadata
+  * processing, staleness checks.
+  *
+  * Reference: /root/reference/src/shelf/tables.py:51-181 (dispatch
+  * :119-129, SQL step :155-181, python step :142-152, staleness :21-48).
+  * The reference hands SQL to DuckDB; here dependencies become Spark temp
+  * views and the text runs through `spark.sql` — Catalyst provides the
+  * pushdown/pruning/join planning the reference delegates (SURVEY.md §4.2).
+  */
+object Tables {
+
+  def tablePath(root: Path, uri: StepURI): Path =
+    root.resolve("data/tables").resolve(uri.path + ".parquet")
+
+  def scriptDir(root: Path): Path = root.resolve("src/steps/tables")
+
+  /** Locate the step's executable: a file `src/steps/tables/<path>.*`, or
+    * a registered Scala step under the table path (version segment
+    * stripped candidates included, so one script can serve all versions).
+    */
+  def findScript(root: Path, uri: StepURI): Option[ScriptRef] = {
+    val candidates = Seq(uri.path, uri.stem)
+    val fromRegistry = candidates.flatMap(p =>
+      StepRegistry.get(p).map(s => ScalaScript(p, s.version))).headOption
+    def fromFiles: Option[ScriptRef] = candidates.flatMap { p =>
+      val base = scriptDir(root).resolve(p)
+      val dir = base.getParent
+      val name = base.getFileName.toString
+      if (dir != null && Files.isDirectory(dir))
+        Files.list(dir).iterator().asScala
+          .filter(f => {
+            val fn = f.getFileName.toString
+            fn.startsWith(name + ".") && !fn.endsWith(".meta.yaml")
+          })
+          .toSeq.sortBy(_.toString).headOption.map(FileScript.apply)
+      else None
+    }.headOption
+    fromRegistry.orElse(fromFiles)
+  }
+
+  /** Build one table (tables.py:51-57): prepare output, execute, write
+    * metadata; validation failure deletes the output (atomicity contract
+    * tables.py:60-66, 108-116).
+    */
+  def buildTable(spark: SparkSession, root: Path, uri: StepURI,
+                 deps: Seq[StepURI]): Unit = {
+    require(uri.scheme == "table", s"not a table step: $uri")
+    val dest = tablePath(root, uri)
+    Files.deleteIfExists(dest)
+    Option(dest.getParent).foreach(Files.createDirectories(_))
+
+    val script = findScript(root, uri).getOrElse(
+      throw new IllegalStateException(s"no script or registered step for $uri"))
+
+    val start = java.time.Instant.now()
+    var status = "failed"
+    var error: Option[String] = None
+    try {
+      script match {
+        case FileScript(p) if p.toString.endsWith(".sql") =>
+          execSql(spark, root, p, deps, dest)
+        case ScalaScript(name, _) =>
+          StepRegistry.get(name).get.fn(spark, deps.map(dependencyPath(root, _)), dest)
+        case FileScript(p) =>
+          execSubprocess(root, p, deps, dest)
+      }
+      require(Files.exists(dest), s"Table step $uri did not generate the expected $dest")
+      status = "success"
+    } catch {
+      case e: Throwable => error = Some(e.getMessage); throw e
+    } finally {
+      val end = java.time.Instant.now()
+      val runtime = Map[String, Any](
+        "start_time" -> start.toString,
+        "end_time" -> end.toString,
+        "duration_seconds" ->
+          math.round(java.time.Duration.between(start, end).toMillis / 10.0) / 100.0,
+        "status" -> status) ++ error.map("error" -> _)
+      if (status == "success")
+        try processMetadata(spark, root, uri, deps, script, dest, runtime)
+        catch { case e: Throwable => Files.deleteIfExists(dest); throw e }
+    }
+  }
+
+  /** SQL step: `{name}` placeholders bind dependencies to temp views with
+    * shortest-unique semantic names (tables.py:155-181 + 184-225); the
+    * SELECT result is written as one parquet file.
+    */
+  private def execSql(spark: SparkSession, root: Path, sqlFile: Path,
+                      deps: Seq[StepURI], dest: Path): Unit = {
+    val depPaths = deps.map(d => dependencyPath(root, d).toString)
+    val names = Naming.simplifyDependencyNames(depPaths)
+    var sql = Files.readString(sqlFile)
+    names.foreach { case (name, path) =>
+      val view = s"dep_$name"
+      readAny(spark, path).createOrReplaceTempView(view)
+      sql = sql.replace(s"{$name}", view)
+    }
+    sql = sql.replace("{output_file}", dest.toString)
+    writeSingleParquet(spark.sql(sql), dest)
+  }
+
+  /** Subprocess escape hatch, argv contract `[script, deps..., out]`
+    * (tables.py:119-129, 142-152) — existing shelf repos' Python steps
+    * run unmodified.
+    */
+  private def execSubprocess(root: Path, script: Path, deps: Seq[StepURI],
+                             dest: Path): Unit = {
+    val interpreter =
+      if (script.toString.endsWith(".py")) Seq("python3") else Seq.empty
+    val cmd = interpreter ++ Seq(script.toString) ++
+      deps.map(dependencyPath(root, _).toString) :+ dest.toString
+    val proc = new ProcessBuilder(cmd.asJava).inheritIO().start()
+    val code = proc.waitFor()
+    require(code == 0, s"step process exited with $code: ${cmd.mkString(" ")}")
+  }
+
+  def dependencyPath(root: Path, uri: StepURI): Path =
+    if (uri.scheme == "table") tablePath(root, uri)
+    else Snapshots.load(root, uri).dataPath(root)
+
+  /** Read a dependency by extension: parquet tables, csv/json/text
+    * snapshots.
+    */
+  def readAny(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".parquet")) spark.read.parquet(path)
+    else if (path.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (path.endsWith(".json")) spark.read.json(path)
+    else spark.read.text(path)
+
+  /** Spark writes a directory of part files; the shelf contract is ONE
+    * parquet file per table (tables.py:26). Write `coalesce(1)` to a
+    * temp dir, then atomically move the part file into place. At cluster
+    * scale you'd flip `singleFile=false` and store a directory + manifest
+    * (SURVEY.md §7.3(3)) — the sidecar checksum logic already handles
+    * both via the manifest fold.
+    */
+  def writeSingleParquet(df: DataFrame, dest: Path): Unit = {
+    val tmp = Files.createTempDirectory(dest.getParent, ".build_")
+    try {
+      df.coalesce(1).write.mode("overwrite")
+        .parquet(tmp.resolve("out").toString)
+      val part = Files.list(tmp.resolve("out")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.headOption.getOrElse(
+          throw new IllegalStateException("no parquet part file written"))
+      Files.move(part, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  /** Post-build metadata (table_metadata.py:180-204): inheritance →
+    * validation (fail ⇒ delete output) → sidecar with checksum, schema,
+    * input manifest, execution block.
+    */
+  private def processMetadata(spark: SparkSession, root: Path, uri: StepURI,
+                              deps: Seq[StepURI], script: ScriptRef,
+                              dest: Path, runtime: Map[String, Any]): Unit = {
+    val config = script.configPath.filter(Files.exists(_))
+      .map(Yaml.load).getOrElse(Map.empty[String, Any])
+    val inherited = Metadata.resolveInheritance(root, config, deps)
+    val df = spark.read.parquet(dest.toString)
+    val errors = Metadata.validate(df, config)
+    if (errors.nonEmpty)
+      throw new IllegalArgumentException(
+        s"Table validation failed for $uri:\n${errors.mkString("\n")}")
+
+    val overrides = config.get("override")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty[String, Any])
+    val schema = df.schema.fields
+      .map(f => f.name -> Metadata.sparkTypeName(f.dataType)).toMap
+    val doc = inherited ++ overrides ++ Map[String, Any](
+      "uri" -> uri.toString,
+      "version" -> 1,
+      "checksum" -> Checksums.checksumFile(dest),
+      "schema" -> schema,
+      "input_manifest" -> Metadata.inputManifest(root, script, deps),
+      "execution" -> runtime)
+    Yaml.save(Snapshots.metadataPath(root, uri), doc)
+  }
+
+  /** Table staleness (tables.py:21-48): output + sidecar exist, every
+    * input manifest entry re-hashes to its recorded value.
+    */
+  def isCompleted(root: Path, uri: StepURI): Boolean = {
+    val out = tablePath(root, uri)
+    val metaPath = Snapshots.metadataPath(root, uri)
+    if (!Files.exists(out) || !Files.exists(metaPath)) return false
+    val doc = Yaml.load(metaPath)
+    val manifest = doc.get("input_manifest") match {
+      case Some(m: Map[_, _]) =>
+        m.asInstanceOf[Map[String, Any]].map { case (k, v) => k -> v.toString }
+      case _ => return false
+    }
+    Metadata.manifestFresh(manifest)
+  }
+}

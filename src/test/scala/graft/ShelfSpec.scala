@@ -1,0 +1,363 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.shelf._
+
+/** Pure-function unit vectors pinned from the reference test-suite
+  * (tests/test_shelf.py:45-49, :110-124, :572-594).
+  */
+class ChecksumSpec extends AnyFunSuite {
+
+  test("golden sha256 vectors (tests/test_shelf.py:110-124)") {
+    val d = Files.createTempDirectory("cs")
+    Files.writeString(d.resolve("file1.txt"), "Hello, World!")
+    Files.writeString(d.resolve("file2.txt"), "Hello, Cosmos!")
+    assert(Checksums.checksumFile(d.resolve("file1.txt")) ===
+      "dffd6021bb2bd5b0af676290809ec3a53191dd81c7f70a4b28688a362182986f")
+    assert(Checksums.checksumFile(d.resolve("file2.txt")) ===
+      "40efcea9db03adb126f27a0f339c595d1828a0713a789ea49d1ae67159d101e0")
+  }
+
+  test("folder manifest ignores .DS_Store and folds deterministically") {
+    val d = Files.createTempDirectory("cs2")
+    Files.writeString(d.resolve("file1.txt"), "Hello, World!")
+    Files.writeString(d.resolve(".DS_Store"), "junk")
+    val m = Checksums.checksumFolder(d)
+    assert(m.keySet === Set("file1.txt"))
+    // fold = sha256(name || checksum) over sorted entries
+    val expected = Checksums.checksumString(
+      "file1.txt" + "dffd6021bb2bd5b0af676290809ec3a53191dd81c7f70a4b28688a362182986f")
+    assert(Checksums.checksumManifest(m) === expected)
+  }
+}
+
+class StepURISpec extends AnyFunSuite {
+  test("parse round-trip and ordering") {
+    val u = StepURI.parse("snapshot://a/b/2024-07-26")
+    assert(u.scheme === "snapshot" && u.path === "a/b/2024-07-26")
+    assert(u.toString === "snapshot://a/b/2024-07-26")
+    assert(u.version === "2024-07-26" && u.stem === "a/b")
+    intercept[IllegalArgumentException](StepURI.parse("bogus://x/y"))
+    // latest sorts after any ISO date
+    assert(StepURI.parse("table://a/latest") > StepURI.parse("table://a/2099-01-01"))
+  }
+
+  test("maybeAddVersion appends today when missing") {
+    val today = java.time.LocalDate.of(2026, 8, 12)
+    assert(StepURI.maybeAddVersion("a/b", today) === "a/b/2026-08-12")
+    assert(StepURI.maybeAddVersion("a/b/2024-07-26", today) === "a/b/2024-07-26")
+    assert(StepURI.maybeAddVersion("a/b/latest", today) === "a/b/latest")
+    intercept[IllegalArgumentException](StepURI.maybeAddVersion("2024-07-26", today))
+  }
+}
+
+class NamingSpec extends AnyFunSuite {
+  test("alias algebra unit vectors (tests/test_shelf.py:572-594)") {
+    assert(Naming.tableAliases(Seq.empty) === Seq.empty)
+    assert(Naming.tableAliases(Seq("a/b/c/2024-07-26")) ===
+      Seq(("c", "a_b_c_20240726")))
+    val two = Naming.tableAliases(Seq("a/b/c/2024-07-26", "a/d/c/latest")).toMap
+    assert(two === Map("b_c" -> "a_b_c_20240726", "d_c" -> "a_d_c_latest"))
+    val versions = Naming.tableAliases(
+      Seq("a/b/c/2024-07-26", "a/b/c/2024-10-03")).map(_.swap).toMap
+    assert(versions("a_b_c_20240726") === "c_20240726")
+    assert(versions("a_b_c_20241003") === "c_20241003")
+  }
+
+  test("dependency name simplification") {
+    assert(Naming.simplifyDependencyNames(Seq("data/tables/a/b/2024-01-01.parquet"))
+      .keySet === Set("b"))
+    val m = Naming.simplifyDependencyNames(Seq(
+      "data/tables/x/c/2024-01-01.parquet",
+      "data/tables/y/c/2024-01-01.parquet"))
+    assert(m.keySet === Set("c_c".replace("c_c", "x_c"), "y_c"))
+    // same dataset, two versions → version-suffixed names
+    val v = Naming.simplifyDependencyNames(Seq(
+      "data/tables/a/c/2024-01-01.parquet",
+      "data/tables/a/c/2024-02-02.parquet"))
+    assert(v.keySet.exists(_.endsWith("20240101.parquet".replace(".parquet", ""))) ||
+      v.keySet.exists(_.contains("2024")))
+  }
+}
+
+class DagSpec extends AnyFunSuite {
+  private def u(s: String) = StepURI.parse(s)
+
+  test("topo sort respects dependencies with deterministic ties") {
+    val dag: Dag.Deps = Map(
+      u("table://t1/latest") -> Seq(u("snapshot://s1/latest")),
+      u("table://t2/latest") -> Seq(u("table://t1/latest")),
+      u("snapshot://s1/latest") -> Seq.empty)
+    val order = Dag.topoSort(dag)
+    assert(order.indexOf(u("snapshot://s1/latest")) < order.indexOf(u("table://t1/latest")))
+    assert(order.indexOf(u("table://t1/latest")) < order.indexOf(u("table://t2/latest")))
+  }
+
+  test("cycle detection") {
+    val dag: Dag.Deps = Map(
+      u("table://a/latest") -> Seq(u("table://b/latest")),
+      u("table://b/latest") -> Seq(u("table://a/latest")))
+    intercept[IllegalStateException](Dag.topoSort(dag))
+  }
+
+  test("regex prune keeps ancestors and descendants") {
+    val dag: Dag.Deps = Map(
+      u("snapshot://s/latest") -> Seq.empty,
+      u("table://mid/latest") -> Seq(u("snapshot://s/latest")),
+      u("table://down/latest") -> Seq(u("table://mid/latest")),
+      u("table://other/latest") -> Seq.empty)
+    val pruned = Dag.pruneWithRegex(dag, "mid")
+    assert(pruned.keySet === Set(
+      u("snapshot://s/latest"), u("table://mid/latest"), u("table://down/latest")))
+  }
+
+  test("latest resolution picks max concrete version") {
+    val dag: Dag.Deps = Map(
+      u("snapshot://s/2024-01-01") -> Seq.empty,
+      u("snapshot://s/2024-06-01") -> Seq.empty,
+      u("table://t/latest") -> Seq(u("snapshot://s/latest")))
+    val r = Dag.resolveLatest(dag)
+    assert(r(u("table://t/latest")) === Seq(u("snapshot://s/2024-06-01")))
+  }
+
+  test("prune completed: dirty propagates to descendants") {
+    val dag: Dag.Deps = Map(
+      u("snapshot://s/latest") -> Seq.empty,
+      u("table://mid/latest") -> Seq(u("snapshot://s/latest")),
+      u("table://down/latest") -> Seq(u("table://mid/latest")))
+    val pruned = Dag.pruneCompleted(dag, uri => uri != u("snapshot://s/latest"))
+    assert(pruned.keySet === dag.keySet) // snapshot dirty ⇒ everything dirty
+    val nothing = Dag.pruneCompleted(dag, _ => true)
+    assert(nothing.isEmpty)
+  }
+}
+
+/** End-to-end behavior against a temp shelf root (mirrors
+  * tests/test_shelf.py + tests/test_tables.py structure).
+  */
+class ShelfEndToEndSpec extends AnyFunSuite {
+  private def freshShelf(): (Shelf, Path) = {
+    val root = Files.createTempDirectory("shelf")
+    val cache = Files.createTempDirectory("shelfcache")
+    // isolate the content-addressed cache per test run
+    val store = new Store(
+      root.resolve("data/store").toUri.toString.stripSuffix("/"), cache)
+    val shelf = new Shelf(root, () => SparkTestSession.spark, Some(store))
+    (shelf, root)
+  }
+  private val today = java.time.LocalDate.of(2026, 8, 12)
+
+  test("file snapshot: ingest, sidecar, delete, refetch (test_shelf.py:57-107)") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("snap", ".txt")
+    Files.writeString(src, "Hello, World!")
+    val uri = shelf.snapshot(src, "test_ns/test_ds", today = today)
+    assert(uri.toString === "snapshot://test_ns/test_ds/2026-08-12")
+
+    val snap = Snapshots.load(root, uri)
+    assert(snap.checksum ===
+      "dffd6021bb2bd5b0af676290809ec3a53191dd81c7f70a4b28688a362182986f")
+    val data = snap.dataPath(root)
+    assert(Files.exists(data) && data.toString.endsWith(".txt"))
+    assert(shelf.isCompleted(uri))
+
+    // delete data → stale → run refetches from store
+    Files.delete(data)
+    assert(!shelf.isCompleted(uri))
+    shelf.run()
+    assert(Files.readString(data) === "Hello, World!")
+    // duplicate ingest without force fails
+    intercept[IllegalStateException](shelf.snapshot(src, "test_ns/test_ds", today = today))
+  }
+
+  test("directory snapshot: manifest + restore deletes extraneous files (:127-173)") {
+    val (shelf, root) = freshShelf()
+    val srcDir = Files.createTempDirectory("snapdir")
+    Files.writeString(srcDir.resolve("file1.txt"), "Hello, World!")
+    Files.writeString(srcDir.resolve("file2.txt"), "Hello, Cosmos!")
+    val uri = shelf.snapshot(srcDir, "ns/dir_ds", today = today)
+    val snap = Snapshots.load(root, uri)
+    assert(snap.snapshotType === "directory")
+    assert(snap.manifest.get.keySet === Set("file1.txt", "file2.txt"))
+
+    val dataDir = snap.dataPath(root)
+    Files.writeString(dataDir.resolve("extraneous.txt"), "should be deleted")
+    assert(!shelf.isCompleted(uri))
+    shelf.run()
+    assert(!Files.exists(dataDir.resolve("extraneous.txt")))
+    assert(Files.readString(dataDir.resolve("file1.txt")) === "Hello, World!")
+    assert(shelf.isCompleted(uri))
+  }
+
+  test("SQL table step end-to-end with UNION ALL (test_tables.py:173-203)") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/demo/vals/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script,
+      "SELECT 1 AS dim_col1, 2 AS col2 UNION ALL SELECT 3 AS dim_col1, 4 AS col2")
+    val uri = StepURI.table("demo/vals/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+
+    val done1 = shelf.run()
+    assert(done1 === Seq(uri))
+    val out = Tables.tablePath(root, uri)
+    assert(Files.isRegularFile(out), "single parquet FILE, not a directory")
+    val df = SparkTestSession.spark.read.parquet(out.toString)
+    assert(df.orderBy("dim_col1").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      === Seq((1, 2), (3, 4)))
+
+    // sidecar: schema + input manifest + execution block
+    val meta = Yaml.load(Snapshots.metadataPath(root, uri))
+    assert(meta("checksum") === Checksums.checksumFile(out))
+    assert(meta("schema").asInstanceOf[Map[String, Any]]("dim_col1") === "int")
+    val exec = meta("execution").asInstanceOf[Map[String, Any]]
+    assert(exec("status") === "success")
+
+    // incremental: nothing to do on second run
+    assert(shelf.run() === Seq.empty)
+    // touching the script content dirties the step
+    Files.writeString(script, "SELECT 9 AS dim_col1, 9 AS col2")
+    assert(shelf.run() === Seq(uri))
+  }
+
+  test("SQL step with dependency placeholder + default metadata inheritance") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("raw", ".csv")
+    Files.writeString(src, "dim_k,v\n1,10\n2,20\n")
+    val snapUri = shelf.snapshot(src, "ns/raw", today = today)
+    // enrich the snapshot sidecar with provenance to inherit
+    val sp = Snapshots.metadataPath(root, snapUri)
+    Yaml.save(sp, Yaml.load(sp) ++ Map("license" -> "CC0", "source_name" -> "unit-test"))
+
+    val script = root.resolve("src/steps/tables/ns/derived/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT dim_k, v * 2 AS v2 FROM {raw} ORDER BY dim_k")
+    val uri = StepURI.table("ns/derived/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(snapUri)); shelf.catalog.save()
+    shelf.run()
+
+    val meta = Yaml.load(Snapshots.metadataPath(root, uri))
+    assert(meta("license") === "CC0", "inherited from single dependency")
+    assert(meta("source_name") === "unit-test")
+    val manifest = meta("input_manifest").asInstanceOf[Map[String, Any]]
+    assert(manifest.contains(sp.toString), "Merkle link to dep sidecar")
+
+    // changing the upstream snapshot dirties the downstream table
+    Files.writeString(src, "dim_k,v\n1,11\n")
+    shelf.snapshot(src, "ns/raw/2026-08-12", force = true, today = today)
+    assert(shelf.run().contains(uri))
+  }
+
+  test("declared schema validation failure deletes the output (tables.py:108-116)") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/bad/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT 'oops' AS dim_col1")
+    Files.writeString(script.resolveSibling("2026-08-12.meta.yaml"),
+      "schema:\n  dim_col1: integer\n")
+    val uri = StepURI.table("bad/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+    val e = intercept[IllegalArgumentException](shelf.run())
+    assert(e.getMessage.contains("Type mismatch"))
+    assert(!Files.exists(Tables.tablePath(root, uri)), "failed output removed")
+  }
+
+  test("scala step registry builds tables natively") {
+    val (shelf, root) = freshShelf()
+    StepRegistry.register("native/squares/2026-08-12", version = "v1") {
+      (spark, _, dest) =>
+        val df = spark.range(1, 6).selectExpr("id AS dim_n", "id * id AS sq")
+        Tables.writeSingleParquet(df, dest)
+    }
+    val uri = StepURI.table("native/squares/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+    shelf.run()
+    val df = SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, uri).toString)
+    assert(df.count() === 5)
+    assert(shelf.run() === Seq.empty, "registry step participates in staleness")
+    // bumping the registered version invalidates the step (Merkle tag)
+    StepRegistry.register("native/squares/2026-08-12", version = "v2") {
+      (spark, _, dest) => Tables.writeSingleParquet(spark.range(3).toDF("dim_n"), dest)
+    }
+    assert(shelf.run() === Seq(uri))
+  }
+
+  test("latest resolution end-to-end (test_shelf.py:547-569)") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("v", ".txt")
+    Files.writeString(src, "v1")
+    shelf.snapshot(src, "ns/data/2024-01-01", today = today)
+    Files.writeString(src, "v2")
+    shelf.snapshot(src, "ns/data/2024-06-01", today = today)
+
+    val script = root.resolve("src/steps/tables/ns/tab/latest.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT count(*) AS dim_n FROM {data}")
+    val uri = StepURI.table("ns/tab/latest")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(StepURI.snapshot("ns/data/latest")))
+    shelf.catalog.save()
+    shelf.run()
+    val meta = Yaml.load(Snapshots.metadataPath(root, uri))
+    val manifest = meta("input_manifest").asInstanceOf[Map[String, Any]]
+    assert(manifest.keys.exists(_.contains("2024-06-01")),
+      "latest resolved to max concrete version")
+  }
+
+  test("db: snake views + aliases, bare word, csv/json output (:361-400)") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/deep/ns/things/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script,
+      "SELECT 1 AS dim_id, 'x' AS name UNION ALL SELECT 2 AS dim_id, 'y' AS name")
+    val uri = StepURI.table("deep/ns/things/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+    shelf.run()
+
+    // full snake name and short alias both resolve
+    assert(shelf.db("SELECT count(*) AS n FROM deep_ns_things_20260812")
+      .collect()(0).getLong(0) === 2)
+    assert(shelf.db("things").count() === 2, "bare word + short alias")
+    val json = Db.toJsonRecords(shelf.db("SELECT * FROM things ORDER BY dim_id"))
+    assert(json.head.contains("\"dim_id\":1"))
+    val csv = Db.toCsv(shelf.db("SELECT * FROM things ORDER BY dim_id"))
+    assert(csv.startsWith("dim_id,name"))
+  }
+
+  test("audit detects and fixes a tampered directory snapshot (:315-350)") {
+    val (shelf, root) = freshShelf()
+    val srcDir = Files.createTempDirectory("aud")
+    Files.writeString(srcDir.resolve("f.txt"), "original")
+    val uri = shelf.snapshot(srcDir, "ns/audited", today = today)
+    assert(shelf.audit() === Seq.empty)
+    Files.writeString(Snapshots.load(root, uri).dataPath(root).resolve("f.txt"), "tampered")
+    val problems = shelf.audit()
+    assert(problems.size === 1 && problems.head.contains("mismatch"))
+    shelf.audit(fix = true)
+    assert(shelf.audit() === Seq.empty)
+  }
+
+  test("export writes snake-named parquets + manifest (:361-400 export)") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/exp/t/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT 42 AS dim_answer")
+    shelf.catalog = shelf.catalog.addStep(StepURI.table("exp/t/2026-08-12"))
+    shelf.catalog.save()
+    val dest = Files.createTempDirectory("export")
+    shelf.export(dest)
+    assert(Files.exists(dest.resolve("exp_t_20260812.parquet")))
+    val manifest = Yaml.load(dest.resolve("manifest.yaml"))
+    assert(manifest("tables").asInstanceOf[Map[String, Any]].contains("exp_t_20260812"))
+  }
+
+  test("gitignore gains the snapshot data path once") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
+    shelf.snapshot(src, "ns/g1", today = today)
+    shelf.snapshot(src, "ns/g2", today = today)
+    val lines = Files.readAllLines(root.resolve(".gitignore"))
+    assert(lines.stream().filter(_ == "data/snapshots").count() === 1)
+  }
+}
