@@ -1,0 +1,87 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column support: opaque `binary` payloads with typed
+  * metadata, processed in partition-sized batches.
+  *
+  * Real media decode libraries are not in this container, so the decode
+  * kernel is a clearly-marked deterministic STUB — but everything Spark
+  * cares about is real: the binary column plumbing, the typed Dataset
+  * schema, the mapPartitions batch shape (one decoder init per partition,
+  * streamed rows), and the partitioning story. Swapping `stubDecode` for
+  * an actual JNI/ffmpeg/pillow-server call changes no plan shape.
+  */
+object Multimodal {
+
+  /** Media metadata extracted (stub-)decoding a payload. */
+  final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** Resize/frame-sample output: metadata + a (stub) thumbnail payload. */
+  final case class Thumb(doc_id: Long, width: Int, height: Int,
+                         thumb: Array[Byte])
+
+  /** Attach a synthetic binary payload + media type to the documents
+    * table — a stand-in for a real corpus's image/audio bytes. Payload =
+    * UTF-8 bytes of the text (deterministic); media type derived from
+    * doc_id.
+    */
+  def withPayload(docs: DataFrame): DataFrame = docs
+    .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+    .withColumn("media_type",
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (col("doc_id") % 3 + 1).cast("int")))
+
+  /** STUB decoder: dimensions derived deterministically from the payload
+    * bytes. Replace with a real decoder behind the same signature.
+    */
+  private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
+    var h = 1125899906842597L // deterministic FNV-ish fold, no RNG
+    payload.foreach(b => h = h * 31 + b)
+    val w = 64 + math.floorMod(h, 1024).toInt
+    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
+    val frames = 1 + math.floorMod(h >> 20, 240).toInt
+    (w, ht, frames)
+  }
+
+  /** Decode metadata for every payload. mapPartitions so a real decoder
+    * would be initialised once per partition and fed a streamed batch of
+    * rows — the Scala twin of `mapInPandas` batch processing.
+    */
+  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("media_type"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // decoder init would happen HERE, once per partition
+        rows.map { case (id, mt, payload) =>
+          val (w, h, f) = stubDecode(payload)
+          MediaMeta(id, mt, payload.length.toLong, w, h,
+            if (mt.startsWith("video")) f else 1)
+        }
+      }
+  }
+
+  /** Resize/frame-sample stub: emits target dims + a byte-sliced
+    * "thumbnail" of the payload, preserving batch shape.
+    */
+  def resize(spark: SparkSession, docs: DataFrame,
+             maxDim: Int): Dataset[Thumb] = {
+    import spark.implicits._
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (w, h, _) = stubDecode(payload)
+          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+          val tw = math.max(1, (w * scale).toInt)
+          val th = math.max(1, (h * scale).toInt)
+          Thumb(id, tw, th, payload.take(math.min(64, payload.length)))
+        }
+      }
+  }
+}

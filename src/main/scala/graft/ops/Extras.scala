@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.ops.H._
+import graft.streaming.Streams
+import graft.multimodal.Multimodal
+
+/** Streaming twins + multimodal queries (SURVEY.md §2C north stars).
+  * Streaming results are produced by real Structured Streaming runs
+  * (readStream → watermark → windowed state → memory sink) replayed to
+  * completion, so they remain oracle-comparable batch tables.
+  */
+object Extras {
+
+  val qs: Seq[Q] = Seq(
+
+    Q("q_stream_tumble",
+      Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+               SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+                      time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+                      count(*) AS n, ${oSum("value")} AS sum_value
+               FROM e GROUP BY 1, 2 ORDER BY 1"""),
+      (s, dir) => Streams.tumblingCounts(s, dir)),
+
+    // Spark session_window semantics: a session closes when the next
+    // event is >= gap away (events < gap apart merge), matching the
+    // >= in the oracle's gap flag.
+    Q("q_stream_session",
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+                   g AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                                          OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                                        THEN 1 ELSE 0 END AS is_new
+                         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   s AS (SELECT *, SUM(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+                   sess AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY 1, 2)
+              SELECT user_id, count(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events
+              FROM sess GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Streams.sessionCounts(s, dir)),
+
+    Q("q_stream_stateful",
+      Some("""WITH e AS (SELECT user_id FROM events)
+              SELECT user_id, count(*) AS n_events FROM e GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Streams.statefulUserCounts(s, dir).select("user_id", "n_events")),
+
+    // Payload metadata is exact column algebra (byte length, content
+    // hash) → oracle-checked; the payload bytes are UTF-8 of `text`, so
+    // DuckDB's sha256(text) equals Spark's sha2(payload, 256).
+    Q("q_mm_meta",
+      Some("""SELECT doc_id,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                     sha256(text) AS content_hash,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                          WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) => Multimodal.withPayload(t(s, dir, "documents"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("content_hash"),
+          col("media_type"))
+        .orderBy("doc_id")),
+
+    Q("q_mm_decode", None,
+      (s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))
+        .toDF().orderBy("doc_id")),
+
+    Q("q_mm_resize", None,
+      (s, dir) => Multimodal.resize(s, t(s, dir, "documents"), maxDim = 128)
+        .toDF().orderBy("doc_id"))
+  )
+}
