@@ -61,15 +61,20 @@ object Pipeline {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        ORDER BY doc_a, doc_b"""
 
-  /** Embedding column cast to double (float math differs across engines). */
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  /** Embedding column cast to double (float math differs across engines);
+    * also registers the native codegen'd vector functions on the session.
+    */
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     t(s, dir, "embeddings").select(col("vec_id"), col("label"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+  }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column = sqrt(dot(a, a))
+  /** Fused single-pass cosine via the native Catalyst expression —
+    * bit-identical to the HOF fold it replaced (see VectorExpressions).
+    */
+  private def cos(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   val qs: Seq[Q] = Seq(
 
@@ -172,7 +177,7 @@ object Pipeline {
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
-          .withColumn("cos", dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))))
+          .withColumn("cos", cos("va", "vb"))
           .filter(col("cos") >= 0.2)
           .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
           .orderBy("id_a", "id_b")
@@ -193,7 +198,7 @@ object Pipeline {
         val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
         e.filter(col("vec_id") =!= 1)
           .crossJoin(broadcast(q))
-          .withColumn("cos_raw", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+          .withColumn("cos_raw", cos("v", "qv"))
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), round(col("cos_raw"), 4).as("cos"))
@@ -218,7 +223,7 @@ object Pipeline {
         val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
         e.crossJoin(broadcast(q))
           .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos_raw", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+          .withColumn("cos_raw", cos("v", "qv"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
@@ -238,20 +243,20 @@ object Pipeline {
           .select(col("vec_id").as("cent_id"), col("v").as("cv"))
         val wAssign = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cent_id"))
         val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("cd", dot(col("v"), col("cv")))
+          .withColumn("cd", dot("v", "cv"))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("cent_id"))
         val qv = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
         val probes = cents.crossJoin(broadcast(qv))
-          .withColumn("cd", dot(col("qv"), col("cv")))
+          .withColumn("cd", dot("qv", "cv"))
           .orderBy(col("cd").desc, col("cent_id"))
           .limit(4)
           .select(col("cent_id"))
         assigned.join(broadcast(probes), "cent_id")
           .filter(col("vec_id") =!= 1)
           .crossJoin(broadcast(qv))
-          .withColumn("cos_raw", dot(col("v"), col("qv")) / (norm(col("v")) * norm(col("qv"))))
+          .withColumn("cos_raw", cos("v", "qv"))
           .orderBy(col("cos_raw").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("cent_id"), round(col("cos_raw"), 4).as("cos"))
