@@ -53,6 +53,18 @@ object Cli {
         val df = shelf.db(query, names)
         if (flags("--csv")) println(Db.toCsv(df))
         else Db.toJsonRecords(df).foreach(println)
+      case "shell" =>
+        // Interactive SQL loop over the registered views (reference
+        // `shelf db` shell variant, __init__.py:403-431): read a query
+        // per line, print JSON records; blank/exit quits.
+        val stdin = scala.io.Source.stdin.getLines()
+        print("shelf> "); Console.flush()
+        stdin.takeWhile(l => l.trim.nonEmpty && l.trim != "exit" && l.trim != "quit")
+          .foreach { line =>
+            try Db.toJsonRecords(shelf.db(line)).foreach(println)
+            catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+            print("shelf> "); Console.flush()
+          }
       case "export" =>
         if (pos.isEmpty) usage()
         shelf.export(Paths.get(pos.head))

@@ -44,6 +44,11 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
     uri
   }
 
+  /** Reload shelf.yaml from disk (reference `shelf.refresh()` — picks up
+    * external edits before planning, __init__.py:250).
+    */
+  def refresh(): Unit = { catalog = Catalog.load(root) }
+
   // ---------------- run (§3.1) ----------------
 
   def isCompleted(uri: StepURI): Boolean = uri.scheme match {
@@ -68,6 +73,7 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
     */
   def run(regex: Option[String] = None, force: Boolean = false,
           dryRun: Boolean = false): Seq[StepURI] = {
+    refresh()
     val resolved = Dag.resolveLatest(catalog.dag)
     val steps = plan(regex, force)
     if (!dryRun) steps.foreach { step =>

@@ -1,0 +1,108 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.shelf._
+
+/** ScalaCheck properties for the pure dataflow functions (SURVEY.md §5
+  * port strategy: property tests for A2/A6/A9/A12/A15).
+  */
+object NamingProps extends Properties("Naming") {
+
+  private val seg = Gen.choose(1, 3)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val version = Gen.oneOf(
+    Gen.const("latest"),
+    for {
+      y <- Gen.choose(2020, 2026); m <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    } yield f"$y%04d-$m%02d-$d%02d")
+  private val path = for {
+    n <- Gen.choose(1, 3)
+    segs <- Gen.listOfN(n, seg)
+    v <- version
+  } yield (segs :+ v).mkString("/")
+  private val pathSet = Gen.choose(1, 6).flatMap(n =>
+    Gen.listOfN(n, path).map(_.distinct))
+
+  property("pathToSnake strips separators") = forAll(path) { p =>
+    val s = Naming.pathToSnake(p)
+    !s.contains("/") && !s.contains("-")
+  }
+
+  property("tableAliases: aliases unique, tables covered at most once") =
+    forAll(pathSet) { paths =>
+      val aliases = Naming.tableAliases(paths)
+      val names = aliases.map(_._1)
+      val tables = aliases.map(_._2)
+      names.distinct.size == names.size && tables.distinct.size == tables.size
+    }
+
+  property("simplifyDependencyNames is a bijection onto the input") =
+    forAll(pathSet) { paths =>
+      val deps = paths.map(p => s"data/tables/$p.parquet")
+      try {
+        val m = Naming.simplifyDependencyNames(deps)
+        m.values.toSet == deps.toSet && m.keys.size == deps.size
+      } catch {
+        // unresolvable collisions must fail loudly, not mis-map
+        case _: IllegalStateException => true
+      }
+    }
+}
+
+object ChecksumProps extends Properties("Checksums") {
+  private val entry = for {
+    k <- Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    v <- Gen.listOfN(64, Gen.hexChar).map(_.mkString.toLowerCase)
+  } yield k -> v
+
+  property("manifest fold is insertion-order invariant") =
+    forAll(Gen.nonEmptyListOf(entry)) { entries =>
+      val m = entries.toMap
+      val shuffled = scala.util.Random.shuffle(m.toSeq).toMap
+      Checksums.checksumManifest(m) == Checksums.checksumManifest(shuffled)
+    }
+
+  property("manifest fold is sensitive to any entry change") =
+    forAll(Gen.nonEmptyListOf(entry)) { entries =>
+      val m = entries.toMap
+      val k = m.keys.head
+      val tampered = m + (k -> ("0" * 64))
+      m(k) == "0" * 64 || Checksums.checksumManifest(m) != Checksums.checksumManifest(tampered)
+    }
+}
+
+object DagProps extends Properties("Dag") {
+
+  /** Random DAG: edges only from higher to lower index → acyclic. */
+  private val dagGen: Gen[Dag.Deps] = for {
+    n <- Gen.choose(1, 8)
+    edges <- Gen.listOfN(n * 2, for {
+      a <- Gen.choose(0, n - 1); b <- Gen.choose(0, n - 1)
+    } yield (math.max(a, b), math.min(a, b)))
+  } yield {
+    val nodes = (0 until n).map(i => StepURI.table(s"t$i/latest"))
+    val deps = edges.filter(e => e._1 != e._2)
+      .groupMap(_._1)(e => nodes(e._2))
+    nodes.zipWithIndex.map { case (u, i) =>
+      u -> deps.getOrElse(i, Seq.empty).distinct
+    }.toMap
+  }
+
+  property("topoSort emits every node exactly once, deps first") =
+    forAll(dagGen) { dag =>
+      val order = Dag.topoSort(dag)
+      val idx = order.zipWithIndex.toMap
+      order.toSet == dag.keySet &&
+        dag.forall { case (s, deps) => deps.forall(d => idx(d) < idx(s)) }
+    }
+
+  property("resolveLatest never leaves latest when concrete versions exist") =
+    forAll(Gen.choose(1, 5)) { n =>
+      val versions = (1 to n).map(i => StepURI.snapshot(f"s/2024-$i%02d-01"))
+      val dag: Dag.Deps = versions.map(_ -> Seq.empty[StepURI]).toMap +
+        (StepURI.table("t/latest") -> Seq(StepURI.snapshot("s/latest")))
+      val r = Dag.resolveLatest(dag)
+      r(StepURI.table("t/latest")) == Seq(versions.max)
+    }
+}
