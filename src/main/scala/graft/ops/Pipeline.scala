@@ -90,18 +90,26 @@ object Pipeline {
 
     Q("q_dedup_near", Some(nearDupOracle),
       (s, dir) => {
-        // Inverted-index candidate join: explode shingles, equi-join on the
-        // shingle, count shared shingles per pair, verify Jaccard.
-        // 4-gram shingles keep fan-out ~1 doc/shingle on this corpus; at
-        // 100 TB you'd swap this stage for q_dedup_minhash's LSH banding.
+        // Inverted-index join: explode shingles, equi-join on the shingle,
+        // COUNT shared shingles per pair — that count IS the intersection,
+        // so Jaccard needs only a broadcast join against per-doc set sizes
+        // (no token arrays carried through the shuffle). 4-gram shingles
+        // keep fan-out low on this corpus; at 100 TB you'd swap the
+        // candidate stage for q_dedup_minhash's LSH banding.
         val sh = shingled(s, dir)
         val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
         val pairs = ex.as("a").join(ex.as("b"), "tok")
           .where(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("inter0"))
-          .drop("inter0")
-        jaccardVerify(pairs, sh, 0.5)
+          .agg(count(lit(1)).cast("double").as("inter"))
+        val sz = sh.select(col("doc_id"), size(col("toks")).as("sz"))
+        pairs
+          .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+          .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .filter(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
       }),
 
     // MinHash + LSH banding: same output contract as q_dedup_near (the

@@ -53,7 +53,7 @@ object Tables {
                  deps: Seq[StepURI]): Unit = {
     require(uri.scheme == "table", s"not a table step: $uri")
     val dest = tablePath(root, uri)
-    Files.deleteIfExists(dest)
+    deleteRecursively(dest)
     Option(dest.getParent).foreach(Files.createDirectories(_))
 
     val script = findScript(root, uri).getOrElse(
@@ -64,8 +64,10 @@ object Tables {
     var error: Option[String] = None
     try {
       script match {
-        case FileScript(p) if p.toString.endsWith(".sql") =>
-          execSql(spark, root, p, deps, dest)
+        case fs @ FileScript(p) if p.toString.endsWith(".sql") =>
+          val config = fs.configPath.filter(Files.exists(_))
+            .map(Yaml.load).getOrElse(Map.empty[String, Any])
+          execSql(spark, root, p, deps, dest, writeConfig(config))
         case ScalaScript(name, _) =>
           StepRegistry.get(name).get.fn(spark, deps.map(dependencyPath(root, _)), dest)
         case FileScript(p) =>
@@ -85,7 +87,7 @@ object Tables {
         "status" -> status) ++ error.map("error" -> _)
       if (status == "success")
         try processMetadata(spark, root, uri, deps, script, dest, runtime)
-        catch { case e: Throwable => Files.deleteIfExists(dest); throw e }
+        catch { case e: Throwable => deleteRecursively(dest); throw e }
     }
   }
 
@@ -94,7 +96,8 @@ object Tables {
     * SELECT result is written as one parquet file.
     */
   private def execSql(spark: SparkSession, root: Path, sqlFile: Path,
-                      deps: Seq[StepURI], dest: Path): Unit = {
+                      deps: Seq[StepURI], dest: Path,
+                      write: WriteConfig): Unit = {
     val depPaths = deps.map(d => dependencyPath(root, d).toString)
     val names = Naming.simplifyDependencyNames(depPaths)
     var sql = Files.readString(sqlFile)
@@ -104,8 +107,33 @@ object Tables {
       sql = sql.replace(s"{$name}", view)
     }
     sql = sql.replace("{output_file}", dest.toString)
-    writeSingleParquet(spark.sql(sql), dest)
+    val df = spark.sql(sql)
+    if (write.singleFile) writeSingleParquet(df, dest)
+    else {
+      // Directory output for cluster-scale tables: optionally hive-style
+      // partitioned; sidecar checksum becomes a manifest fold (A2), so
+      // audit/staleness semantics are unchanged.
+      val w = df.write.mode("overwrite")
+      (if (write.partitionBy.nonEmpty) w.partitionBy(write.partitionBy: _*) else w)
+        .parquet(dest.toString)
+    }
   }
+
+  /** `write:` block of the step config: single_file (default true, the
+    * reference contract) and partition_by columns for directory outputs.
+    */
+  final case class WriteConfig(singleFile: Boolean, partitionBy: Seq[String])
+
+  def writeConfig(config: Map[String, Any]): WriteConfig =
+    config.get("write") match {
+      case Some(m: Map[_, _]) =>
+        val w = m.asInstanceOf[Map[String, Any]]
+        WriteConfig(
+          singleFile = w.get("single_file").forall(_ == true),
+          partitionBy = w.get("partition_by")
+            .collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Seq.empty))
+      case _ => WriteConfig(singleFile = true, Seq.empty)
+    }
 
   /** Subprocess escape hatch, argv contract `[script, deps..., out]`
     * (tables.py:119-129, 142-152) — existing shelf repos' Python steps
@@ -121,6 +149,14 @@ object Tables {
     val code = proc.waitFor()
     require(code == 0, s"step process exited with $code: ${cmd.mkString(" ")}")
   }
+
+  /** Delete a file or directory tree (partitioned outputs are dirs). */
+  def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      if (Files.isDirectory(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      else Files.delete(p)
+    }
 
   def dependencyPath(root: Path, uri: StepURI): Path =
     if (uri.scheme == "table") tablePath(root, uri)
@@ -183,7 +219,9 @@ object Tables {
     val doc = inherited ++ overrides ++ Map[String, Any](
       "uri" -> uri.toString,
       "version" -> 1,
-      "checksum" -> Checksums.checksumFile(dest),
+      "checksum" -> (if (Files.isDirectory(dest))
+        Checksums.checksumManifest(Checksums.checksumFolder(dest))
+      else Checksums.checksumFile(dest)),
       "schema" -> schema,
       "input_manifest" -> Metadata.inputManifest(root, script, deps),
       "execution" -> runtime)

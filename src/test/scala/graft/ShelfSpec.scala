@@ -352,6 +352,30 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(manifest("tables").asInstanceOf[Map[String, Any]].contains("exp_t_20260812"))
   }
 
+  test("partitioned directory output via write config (cluster-scale path)") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/part/t/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script,
+      """SELECT 'a' AS dim_k, 1 AS v UNION ALL SELECT 'b' AS dim_k, 2 AS v""")
+    Files.writeString(script.resolveSibling("2026-08-12.meta.yaml"),
+      "write:\n  single_file: false\n  partition_by: [dim_k]\n")
+    val uri = StepURI.table("part/t/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+    shelf.run()
+    val out = Tables.tablePath(root, uri)
+    assert(Files.isDirectory(out), "directory output")
+    assert(Files.exists(out.resolve("dim_k=a")) && Files.exists(out.resolve("dim_k=b")),
+      "hive-style partition dirs")
+    // sidecar checksum is a manifest fold over the directory
+    val meta = Yaml.load(Snapshots.metadataPath(root, uri))
+    assert(meta("checksum") ===
+      Checksums.checksumManifest(Checksums.checksumFolder(out)))
+    assert(shelf.run() === Seq.empty, "incremental works for dir outputs")
+    // reading back through Spark sees both partitions
+    assert(SparkTestSession.spark.read.parquet(out.toString).count() === 2)
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
