@@ -119,16 +119,16 @@ object Pipeline {
     Q("q_dedup_minhash", Some(nearDupOracle),
       (s, dir) => {
         val nPerm = 128; val bands = 32; val r = 4
+        graft.functions.MinHashAgg.register(s)
         val sh = shingled(s, dir)
-        // Signature via 128 codegen'd MIN aggregates over exploded shingles
-        // (array-lambda HOFs are interpreted — 20x slower at sf0.1). One
-        // shuffle on doc_id; xxhash64(seed_col, tok) is whole-stage codegen.
+        // One-pass native signature aggregate (TypedImperativeAggregate,
+        // primitive long[] buffer, map-side partial min-merge): one
+        // shuffle on doc_id carrying one 128-long array per doc.
         val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val minAggs = (0 until nPerm).map(i =>
-          min(xxhash64(lit(i), col("tok"))).as(s"m$i"))
-        val sig = ex.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
+        val sig = ex.groupBy("doc_id")
+          .agg(expr(s"minhash_sig(tok, $nPerm)").as("sig"))
         val bandArr = array((0 until bands).map(b =>
-          xxhash64((0 until r).map(k => col(s"m${b * r + k}")): _*)): _*)
+          xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)): _*)): _*)
         val bandRows = sig.select(col("doc_id"), posexplode(bandArr))
           .toDF("doc_id", "band_idx", "band_hash")
         val cand = bandRows.as("a")

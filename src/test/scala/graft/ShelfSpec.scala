@@ -376,6 +376,27 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(SparkTestSession.spark.read.parquet(out.toString).count() === 2)
   }
 
+  test("subprocess escape hatch honors the [script, deps..., out] argv contract") {
+    val (shelf, root) = freshShelf()
+    // upstream table to serve as the dependency
+    val upScript = root.resolve("src/steps/tables/sub/up/2026-08-12.sql")
+    Files.createDirectories(upScript.getParent)
+    Files.writeString(upScript, "SELECT 7 AS dim_x")
+    val up = StepURI.table("sub/up/2026-08-12")
+    // downstream step: an executable shell script that copies dep -> out
+    val dnScript = root.resolve("src/steps/tables/sub/down/2026-08-12.sh")
+    Files.createDirectories(dnScript.getParent)
+    Files.writeString(dnScript, "#!/bin/bash\nset -e\ncp \"$1\" \"${@: -1}\"\n")
+    dnScript.toFile.setExecutable(true)
+    val dn = StepURI.table("sub/down/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(up).addStep(dn, Seq(up))
+    shelf.catalog.save()
+    shelf.run()
+    val df = SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, dn).toString)
+    assert(df.collect()(0).getInt(0) === 7)
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
