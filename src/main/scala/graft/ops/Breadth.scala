@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.H._
+
+/** Second breadth batch: range frames, edit distance, null-safe
+  * comparison, explicit salted two-phase aggregation (skew pattern),
+  * grouping_id.
+  */
+object Breadth {
+
+  val qs: Seq[Q] = Seq(
+
+    // RANGE frame over a numeric day key (value-based window, vs the
+    // ROWS frame of q_win_frame): days with no orders do NOT count
+    // toward the 7-day trailing revenue.
+    Q("q_win_rangeframe",
+      Some("""WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+                                    SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+                             FROM orders GROUP BY 1)
+              SELECT d, CAST(ROUND(SUM(rev) OVER (
+                       ORDER BY date_diff('day', DATE '1970-01-01', d)
+                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+                     AS DOUBLE) AS mov7d
+              FROM daily ORDER BY d"""),
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+          .withColumn("day_num", datediff(col("d"), lit("1970-01-01").cast("date")))
+        val w = Window.orderBy("day_num").rangeBetween(-6, Window.currentRow)
+        daily.select(col("d"),
+            round(sum(col("rev")).over(w), 4).cast("double").as("mov7d"))
+          .orderBy("d")
+      }),
+
+    Q("q_str_edit",
+      Some("""SELECT p_partkey,
+                     CAST(levenshtein(p_name, 'small widget') AS BIGINT) AS dist
+              FROM part ORDER BY p_partkey"""),
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), lit("small widget")).cast("long").as("dist"))
+        .orderBy("p_partkey")),
+
+    Q("q_nullsafe_eq",
+      Some("""SELECT event_id,
+                     NULLIF(event_type, 'error') IS NOT DISTINCT FROM NULL AS is_err,
+                     NULLIF(event_type, 'error') IS DISTINCT FROM 'click' AS not_click
+              FROM events ORDER BY event_id"""),
+      (s, dir) => t(s, dir, "events")
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("error")) <=> lit(null).as("is_err"),
+          !(nullif(col("event_type"), lit("error")) <=> lit("click")).as("not_click"))
+        .toDF("event_id", "is_err", "not_click")
+        .orderBy("event_id")),
+
+    // Explicit salt + two-phase aggregation: the manual skew pattern for
+    // hot keys (events has very few distinct user_ids — a real hot-key
+    // shape). Phase 1 spreads each user over 8 salts; phase 2 merges.
+    // Decimal partials keep the result exactly equal to a direct group-by.
+    Q("q_agg_salted",
+      Some(s"""SELECT user_id, count(*) AS n, ${oSum("value")} AS sum_value
+               FROM events GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => t(s, dir, "events")
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("value").cast(D)).as("psum"))
+        .groupBy("user_id")
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("psum")).cast("double"), 4).as("sum_value"))
+        .orderBy("user_id")),
+
+    Q("q_grouping_id",
+      Some("""SELECT n_name, c_mktsegment,
+                     CAST(GROUPING_ID(n_name, c_mktsegment) AS BIGINT) AS gid,
+                     count(*) AS n
+              FROM customer JOIN nation ON n_nationkey = c_nationkey
+              GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+              ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST"""),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "nation").createOrReplaceTempView("nation")
+        s.sql("""SELECT n_name, c_mktsegment,
+                        CAST(grouping_id(n_name, c_mktsegment) AS BIGINT) AS gid,
+                        count(*) AS n
+                 FROM customer JOIN nation ON n_nationkey = c_nationkey
+                 GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+                 ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
+      })
+  )
+}

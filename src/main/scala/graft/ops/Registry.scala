@@ -5,7 +5,8 @@ package graft.ops
   * two maps can never drift apart.
   */
 object Registry {
-  val all: Seq[Q] = Relational.qs ++ Windows.qs ++ Funcs.qs ++ Pipeline.qs ++ Extras.qs
+  val all: Seq[Q] =
+    Relational.qs ++ Windows.qs ++ Funcs.qs ++ Pipeline.qs ++ Extras.qs ++ Breadth.qs
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)
