@@ -68,21 +68,45 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
     Dag.topoSort(dag).filter(dag.contains)
   }
 
-  /** Execute the planned steps sequentially; each table step is one Spark
-    * job graph (parallelism lives inside Spark — steps.py:67-94).
+  /** Execute the planned steps; each table step is one Spark job graph.
+    * The reference executes strictly sequentially (steps.py:67-94); with
+    * Spark, independent steps can share the cluster, so `parallelism > 1`
+    * runs each dependency wave concurrently (Spark schedules concurrent
+    * jobs from multiple threads). Default stays sequential for
+    * reference-parity of logs/failure order.
     */
   def run(regex: Option[String] = None, force: Boolean = false,
-          dryRun: Boolean = false): Seq[StepURI] = {
+          dryRun: Boolean = false, parallelism: Int = 1): Seq[StepURI] = {
     refresh()
     val resolved = Dag.resolveLatest(catalog.dag)
     val steps = plan(regex, force)
-    if (!dryRun) steps.foreach { step =>
-      step.scheme match {
-        case "snapshot" =>
-          val snap = Snapshots.load(root, step)
-          if (!snap.isFresh(root)) snap.fetch(root, store)
-        case "table" =>
-          Tables.buildTable(spark, root, step, resolved.getOrElse(step, Seq.empty))
+
+    def execute(step: StepURI): Unit = step.scheme match {
+      case "snapshot" =>
+        val snap = Snapshots.load(root, step)
+        if (!snap.isFresh(root)) snap.fetch(root, store)
+      case "table" =>
+        Tables.buildTable(spark, root, step, resolved.getOrElse(step, Seq.empty))
+    }
+
+    if (!dryRun) {
+      if (parallelism <= 1) steps.foreach(execute)
+      else {
+        // Waves = longest-path depth; steps within a wave are independent.
+        val stepSet = steps.toSet
+        val depth = scala.collection.mutable.Map[StepURI, Int]()
+        steps.foreach { s => // steps are already topo-ordered
+          val deps = resolved.getOrElse(s, Seq.empty).filter(stepSet)
+          depth(s) = if (deps.isEmpty) 0 else deps.map(depth).max + 1
+        }
+        import java.util.concurrent.Executors
+        import scala.concurrent._
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(parallelism)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try steps.groupBy(depth).toSeq.sortBy(_._1).foreach { case (_, wave) =>
+          Await.result(Future.sequence(wave.map(s => Future(execute(s)))), Duration.Inf)
+        } finally pool.shutdown()
       }
     }
     steps

@@ -397,6 +397,27 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(df.collect()(0).getInt(0) === 7)
   }
 
+  test("parallel run executes independent steps concurrently, waves in order") {
+    val (shelf, root) = freshShelf()
+    val dir = root.resolve("src/steps/tables/par")
+    Files.createDirectories(dir.resolve("a")); Files.createDirectories(dir.resolve("b"))
+    Files.createDirectories(dir.resolve("c"))
+    Files.writeString(dir.resolve("a/latest.sql"), "SELECT 1 AS dim_a")
+    Files.writeString(dir.resolve("b/latest.sql"), "SELECT 2 AS dim_b")
+    Files.writeString(dir.resolve("c/latest.sql"),
+      "SELECT dim_a, dim_b FROM {a} CROSS JOIN {b}")
+    val (a, b, c) = (StepURI.table("par/a/latest"),
+      StepURI.table("par/b/latest"), StepURI.table("par/c/latest"))
+    shelf.catalog = shelf.catalog.addStep(a).addStep(b).addStep(c, Seq(a, b))
+    shelf.catalog.save()
+    val done = shelf.run(parallelism = 4)
+    assert(done.toSet === Set(a, b, c))
+    val df = SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, c).toString)
+    assert(df.collect()(0).toSeq === Seq(1, 2))
+    assert(shelf.run(parallelism = 4) === Seq.empty)
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
