@@ -44,11 +44,18 @@ final case class MinHashAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String]
+      // Hash the token bytes ONCE, then derive the k permutations with a
+      // splitmix64 finalizer over (h0, i) — statistically equivalent to k
+      // independent hashes at ~1/k the hashing cost (standard MinHash
+      // practice; the mix is a bijective avalanche over 64 bits).
+      val h0 = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
       var i = 0
       while (i < numPerms) {
-        val h = XxHash64Function.hash(s, StringType, i.toLong)
-        if (h < buf(i)) buf(i) = h
+        var z = h0 + (i.toLong * 0x9E3779B97F4A7C15L)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        if (z < buf(i)) buf(i) = z
         i += 1
       }
     }

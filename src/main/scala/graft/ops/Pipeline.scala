@@ -98,7 +98,14 @@ object Pipeline {
         // candidate stage for q_dedup_minhash's LSH banding.
         val sh = shingled(s, dir)
         val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val pairs = ex.as("a").join(ex.as("b"), "tok")
+        // Singleton postings (df = 1) cannot form a pair — drop them
+        // before the self-join. On this corpus ~94% of shingles are
+        // singletons, so the join input shrinks by an order of magnitude;
+        // the same holds for real near-dup corpora with rare shingles.
+        val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2).select("tok")
+        val ex2 = ex.join(hot, Seq("tok"), "left_semi")
+        val pairs = ex2.as("a").join(ex2.as("b"), "tok")
           .where(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).cast("double").as("inter"))
@@ -144,18 +151,14 @@ object Pipeline {
     // recovery of the planted near-dup pairs is asserted in PipelineSpec.
     Q("q_dedup_simhash", None,
       (s, dir) => {
+        graft.functions.SimHashAgg.register(s)
         val sh = shingled(s, dir)
-        // 64 codegen'd bit-balance sums over exploded shingles, then one
-        // projection assembles the signature — same single-shuffle shape
-        // as q_dedup_minhash (interpreted HOF folds were 40x slower).
+        // One-pass native signature aggregate (64 bit-balance counters in
+        // a primitive buffer, map-side partial merge) — one shuffle on
+        // doc_id carrying a single long per doc.
         val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-          .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-        val bitAggs = (0 until 64).map(j =>
-          sum(expr(s"(h >> $j & 1L) * 2L - 1L")).as(s"b$j"))
-        val sig = ex.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-          .select(col("doc_id"), expr(
-            (0 until 64).map(j => s"shiftleft(CAST(b$j > 0 AS LONG), ${63 - j})")
-              .mkString(" | ")).as("sig"))
+        val sig = ex.groupBy("doc_id")
+          .agg(expr("simhash_sig(tok)").as("sig"))
         val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
             "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
           .toDF("doc_id", "sig", "band_idx", "band_val")
