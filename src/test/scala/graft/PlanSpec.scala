@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the scale properties we rely on
+  * (pushdown, pruning, broadcast joins) must survive refactors — a
+  * correct-but-full-scan plan is a silent 100x regression at 100 TB.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("projection prunes the parquet read schema") {
+    val p = plan("q_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      s"expected 3-column ReadSchema in:\n$p")
+  }
+
+  test("filters push down to the parquet scan") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters: [") && p.contains("GreaterThan(l_quantity,30.0)"),
+      s"expected pushed filters in:\n$p")
+  }
+
+  test("dimension joins broadcast (no fact-side shuffle)") {
+    assert(plan("q_join_inner").contains("BroadcastHashJoin"))
+    val star = plan("q_join_multiway")
+    assert("BroadcastHashJoin".r.findAllIn(star).size === 4,
+      "5-way star = 4 broadcast joins against the streamed fact table")
+    assert(!star.contains("SortMergeJoin"), "no SMJ in the star at test scale")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("q_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation is two-phase (partial before shuffle)") {
+    val p = plan("q_agg_group")
+    // partial_ prefix marks map-side combine in HashAggregate
+    assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
+  }
+}
