@@ -73,6 +73,38 @@ object Breadth {
           round(sum(col("psum")).cast("double"), 4).as("sum_value"))
         .orderBy("user_id")),
 
+    // As-of join by composition (brief §custom-operators, preference (a)):
+    // "for each error event, the most recent click by the same user at or
+    // before it". Union-tag + last_value(IGNORE NULLS) over a running
+    // frame — one shuffle on user_id, no per-row backward scan, and no
+    // custom SparkPlan needed.
+    Q("q_join_asof",
+      Some("""WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                         FROM events),
+                   m AS (SELECT *, CASE WHEN event_type = 'click' THEN ts END AS click_ts
+                         FROM e),
+                   f AS (SELECT user_id, event_id, ts, event_type,
+                                last_value(click_ts IGNORE NULLS) OVER (
+                                  PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS asof_click
+                         FROM m)
+              SELECT user_id, event_id, ts, asof_click
+              FROM f WHERE event_type = 'error'
+              ORDER BY user_id, ts, event_id"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val e = t(s, dir, "events")
+          .select("user_id", "event_id", "event_type", "ts")
+          .withColumn("click_ts",
+            when(col("event_type") === "click", col("ts")))
+        e.withColumn("asof_click", last(col("click_ts"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "error")
+          .select("user_id", "event_id", "ts", "asof_click")
+          .orderBy("user_id", "ts", "event_id")
+      }),
+
     Q("q_grouping_id",
       Some("""SELECT n_name, c_mktsegment,
                      CAST(GROUPING_ID(n_name, c_mktsegment) AS BIGINT) AS gid,

@@ -65,7 +65,9 @@ object Cli {
             catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
             print("shelf> "); Console.flush()
           }
-      case "export" =>
+      case "export" | "export-duckdb" =>
+        // reference command name kept as an alias; the container is a
+        // parquet directory + manifest instead of a .duckdb file (A18)
         if (pos.isEmpty) usage()
         shelf.export(Paths.get(pos.head))
         println(s"exported to ${pos.head}")
