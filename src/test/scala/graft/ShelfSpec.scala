@@ -418,6 +418,71 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(shelf.run(parallelism = 4) === Seq.empty)
   }
 
+  test("explicit inherit map + override block (table_metadata.py:56-94,130-156)") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("m", ".csv")
+    Files.writeString(src, "dim_k\n1\n")
+    val s1 = shelf.snapshot(src, "ns/first", today = today)
+    val s2 = shelf.snapshot(src, "ns/second", today = today)
+    Seq(s1, s2).foreach { u =>
+      val p = Snapshots.metadataPath(root, u)
+      Yaml.save(p, Yaml.load(p) ++ Map("license" -> s"L-${u.stem}", "name" -> u.stem))
+    }
+    val script = root.resolve("src/steps/tables/ns/multi/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT dim_k FROM {first}")
+    // two deps ⇒ no default inheritance; explicit inherit from s2 + override
+    Files.writeString(script.resolveSibling("2026-08-12.meta.yaml"),
+      s"""inherit:
+         |  "$s2":
+         |    fields: [license]
+         |override:
+         |  description: overridden here
+         |""".stripMargin)
+    val uri = StepURI.table("ns/multi/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(s1, s2)); shelf.catalog.save()
+    shelf.run()
+    val meta = Yaml.load(Snapshots.metadataPath(root, uri))
+    assert(meta("license") === "L-ns/second", "explicit inherit wins")
+    assert(meta("description") === "overridden here")
+    assert(!meta.contains("name"), "non-inherited fields absent with explicit map")
+  }
+
+  test("inheriting from a non-dependency fails (table_metadata.py:83-86)") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("m2", ".csv"); Files.writeString(src, "dim_k\n1\n")
+    val s1 = shelf.snapshot(src, "ns/dep", today = today)
+    val s2 = shelf.snapshot(src, "ns/notdep", today = today)
+    val script = root.resolve("src/steps/tables/ns/bad_inherit/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT dim_k FROM {dep}")
+    Files.writeString(script.resolveSibling("2026-08-12.meta.yaml"),
+      s"""inherit:
+         |  "$s2":
+         |    fields: [license]
+         |""".stripMargin)
+    val uri = StepURI.table("ns/bad_inherit/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(s1)); shelf.catalog.save()
+    val e = intercept[IllegalArgumentException](shelf.run())
+    assert(e.getMessage.contains("not a dependency"))
+  }
+
+  test("db name modes: short-only and full-only registration") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/nm/thing/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT 5 AS dim_v")
+    shelf.catalog = shelf.catalog.addStep(StepURI.table("nm/thing/2026-08-12"))
+    shelf.catalog.save(); shelf.run()
+    assert(shelf.db("thing", names = "short").count() === 1)
+    assert(shelf.db("nm_thing_20260812", names = "full").count() === 1)
+    intercept[Exception] {
+      // full name is not registered in short mode
+      SparkTestSession.spark.catalog.dropTempView("nm_thing_20260812")
+      shelf.db("nm_thing_20260812", names = "short").collect()
+    }
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
