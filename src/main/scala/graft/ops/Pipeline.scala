@@ -24,14 +24,27 @@ import graft.ops.H._
   */
 object Pipeline {
 
-  /** doc_id + distinct word-4-gram shingles ("w1 w2 w3 w4"). */
+  /** doc_id + distinct word-4-gram shingles ("w1 w2 w3 w4").
+    *
+    * Cached per (session, dir): shingle construction is an interpreted
+    * array-lambda over every posting and every dedup query branches over
+    * this frame 3-4 times (inverted index, df filter, set sizes, verify) —
+    * without the cache it is recomputed for each branch and dominates
+    * the dedup family's runtime.
+    */
+  private val shCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 4)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))"))
-        .as("toks"))
+    shCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 4)
+        .select(col("doc_id"), array_distinct(expr(
+          "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))"))
+          .as("toks"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
   private def jaccardVerify(pairs: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
