@@ -1,0 +1,140 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Public deduplication API over arbitrary corpora: exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash, embedding-cosine. Every operator takes
+  * a DataFrame + column names and returns a DataFrame — no coupling to
+  * any specific dataset.
+  *
+  * Scale contracts:
+  *  - candidate generation is inverted-index or LSH-banded — never an
+  *    all-pairs cross join over the corpus;
+  *  - signatures are computed by native one-pass aggregates
+  *    (graft.functions.MinHashAgg / SimHashAgg) — one shuffle on the id;
+  *  - id column should be a stable unique key (pairs are emitted with
+  *    id_a < id_b).
+  */
+object Dedup {
+
+  /** Content-hash groups: (hash, n) per distinct payload. */
+  def exactDuplicates(docs: DataFrame, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("h"))
+      .agg(count(lit(1)).as("n"))
+
+  /** doc → distinct word n-gram shingles, persisted (dedup pipelines
+    * branch over this frame repeatedly).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 4): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), array_distinct(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+        .as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Exact n-gram-Jaccard pairs ≥ threshold via inverted-index join.
+    * Singleton postings are dropped (df=1 cannot pair); the shared-
+    * shingle count is the intersection, so only set sizes join back.
+    */
+  def nearDuplicatePairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("tok")
+    val ex2 = ex.join(hot, Seq("tok"), "left_semi")
+    val pairs = ex2.as("a").join(ex2.as("b"), "tok")
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    val sz = sh.select(col("doc_id"), size(col("toks")).as("sz"))
+    pairs
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+      .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH banding: candidates from band-bucket collisions,
+    * verified with exact Jaccard (false positives removed; false-negative
+    * probability (1-t^r)^bands).
+    */
+  def minhashPairs(sh: DataFrame, threshold: Double, numPerms: Int = 128,
+                   bands: Int = 32): DataFrame = {
+    val spark = sh.sparkSession
+    graft.functions.MinHashAgg.register(spark)
+    val r = numPerms / bands
+    val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sig = ex.groupBy("doc_id")
+      .agg(expr(s"minhash_sig(tok, $numPerms)").as("sig"))
+    val bandArr = array((0 until bands).map(b =>
+      xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)): _*)): _*)
+    val bandRows = sig.select(col("doc_id"), posexplode(bandArr))
+      .toDF("doc_id", "band_idx", "band_hash")
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("jaccard",
+        col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, 4x16-bit band blocking,
+    * Hamming distance ≤ maxHamming.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = sh.sparkSession
+    graft.functions.SimHashAgg.register(spark)
+    val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sig = ex.groupBy("doc_id").agg(expr("simhash_sig(tok)").as("sig"))
+    val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
+      .toDF("doc_id", "sig", "band_idx", "band_val")
+    bandRows.as("a").join(bandRows.as("b"), Seq("band_idx", "band_val"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(expr("a.sig ^ b.sig")).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine pairs ≥ threshold among the given vectors
+    * (all-pairs — pre-block or sample the input for large corpora; see
+    * Similarity.ivfTopK for the probed path).
+    */
+  def embeddingPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val e = vectors.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val a = e.select(col("vid").as("id_a"), col("v").as("va"))
+    val b = e.select(col("vid").as("id_b"), col("v").as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Remove near-duplicates: keeps the smallest doc_id of every pair
+    * component (greedy per-pair loser drop).
+    */
+  def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.5, n: Int = 4): DataFrame = {
+    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n), threshold)
+    val losers = pairs.select(col("doc_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+}

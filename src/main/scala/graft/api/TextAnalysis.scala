@@ -1,0 +1,91 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis API: corpus statistics, token counting, quality
+  * scoring, fingerprinting, language identification. Whole-corpus
+  * single-scan operators built from codegen'd functions only.
+  */
+object TextAnalysis {
+
+  val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Per-document token statistics. Ratios round at 6dp (4dp can tie
+    * exactly for small-integer quotients).
+    */
+  def stats(docs: DataFrame, idCol: String, textCol: String,
+            nCharsCol: String): DataFrame =
+    docs.select(col(idCol), col(nCharsCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), col(nCharsCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_unique"),
+        round(col(nCharsCol).cast("double") / size(col("w")), 6).as("avg_tok_len"))
+
+  /** Corpus-wide top-k word counts. */
+  def topWords(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(k)
+
+  /** Whitespace + BPE-ish regex token counts. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                  pattern: String = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .cast("long").as("n_bpe_ish"),
+      size(split(col(textCol), " ")).cast("long").as("n_ws"))
+
+  /** Length / stopword-ratio / alpha-ratio quality gate. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   nCharsCol: String,
+                   stopwords: Seq[String] = DefaultStopwords,
+                   minTokens: Int = 20, maxTokens: Int = 90,
+                   minStopRatio: Double = 0.05): DataFrame = {
+    val stopList = array(stopwords.map(lit): _*)
+    docs.select(col(idCol), col(textCol), col(nCharsCol),
+        split(col(textCol), " ").as("w"))
+      .withColumn("stop_r",
+        size(filter(col("w"), x => array_contains(stopList, x))).cast("double")
+          / size(col("w")))
+      .withColumn("alpha_r",
+        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
+          / col(nCharsCol))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_tokens"),
+        round(col("stop_r"), 6).as("stopword_ratio"),
+        round(col("alpha_r"), 6).as("alpha_ratio"),
+        (size(col("w")).between(minTokens, maxTokens)
+          && col("stop_r") >= minStopRatio).as("keep"))
+  }
+
+  /** Polynomial rolling hash over the document bytes (mod 1e9+7). */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), expr(
+      s"""aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)),
+                    0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
+
+  /** Keyword-profile language id: score = |tokens ∩ profile| per
+    * language, argmax with the profile-order tie-break cascade.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val d0 = docs.select(col(idCol),
+      array_distinct(split(col(textCol), " ")).as("w"))
+    val scored = profiles.foldLeft(d0) { case (d, (lang, words)) =>
+      d.withColumn(s"s_$lang",
+        size(array_intersect(col("w"), array(words.map(lit): _*))))
+    }
+    val predicted = profiles.zipWithIndex.foldRight(
+      lit(profiles.last._1): Column) { case (((lang, _), i), rest) =>
+      val laterScores = profiles.drop(i + 1).map { case (l, _) => col(s"s_$l") }
+      laterScores match {
+        case Seq() => rest
+        case Seq(one) => when(col(s"s_$lang") >= one, lang).otherwise(rest)
+        case many => when(col(s"s_$lang") >= greatest(many: _*), lang).otherwise(rest)
+      }
+    }
+    scored.select(col(idCol), predicted.as("predicted"))
+  }
+}

@@ -1,63 +1,28 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.api.{Dedup, Similarity, TextAnalysis}
 import graft.ops.H._
 
-/** Training-data pipeline operators (SURVEY.md §2B q_dedup_*, q_text_*,
-  * q_sim_*; builder-prompt north stars): deduplication (exact / n-gram
-  * Jaccard / MinHash-LSH / SimHash / embedding-cosine), similarity search
-  * (brute-force + IVF), and text analysis (stats, top words, token count,
-  * quality score, fingerprint, language id).
-  *
-  * Scale design:
-  *  - shingle/minhash signatures are computed with array higher-order
-  *    functions INSIDE a row (no explode, no shuffle) — the only shuffles
-  *    are the candidate-pair joins, whose fan-out is bounded by LSH band
-  *    width rather than corpus size;
-  *  - candidate verification joins carry token arrays for only the
-  *    candidate pairs (≪ corpus), never for the full cross product;
-  *  - ratio outputs round at 6dp: quotients of ints ≤ 99 can tie exactly
-  *    at the 4th decimal (1/32 = .03125) where Spark (HALF_UP) and DuckDB
-  *    (half-even) disagree; no such quotient can tie at the 6th.
+/** Training-data pipeline inventory (SURVEY.md §2B q_dedup_*, q_text_*,
+  * q_sim_*): thin bindings of the public graft.api operators to the
+  * driver test tables, with the total orderings the hash-compare needs.
+  * The operators themselves (graft.api.Dedup / Similarity / TextAnalysis)
+  * take arbitrary DataFrames — that is the reusable library surface.
   */
 object Pipeline {
 
-  /** doc_id + distinct word-4-gram shingles ("w1 w2 w3 w4").
-    *
-    * Cached per (session, dir): shingle construction is an interpreted
-    * array-lambda over every posting and every dedup query branches over
-    * this frame 3-4 times (inverted index, df filter, set sizes, verify) —
-    * without the cache it is recomputed for each branch and dominates
-    * the dedup family's runtime.
+  /** Shingle frames cached per (session, dir): every dedup query
+    * branches over this frame 3-4 times and the shingle construction is
+    * the expensive part.
     */
   private val shCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-      t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 4)
-        .select(col("doc_id"), array_distinct(expr(
-          "transform(sequence(1, size(w)-3), i -> concat_ws(' ', slice(w, i, 4)))"))
-          .as("toks"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
-  private def jaccardVerify(pairs: DataFrame, sh: DataFrame, thresh: Double): DataFrame = {
-    val sa = sh.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    pairs.join(sa, "doc_a").join(sb, "doc_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
-      .withColumn("jaccard",
-        col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
-      .filter(col("jaccard") >= thresh)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+    shCache.getOrElseUpdate((System.identityHashCode(s), dir),
+      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4))
 
   private val nearDupOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -74,21 +39,6 @@ object Pipeline {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        ORDER BY doc_a, doc_b"""
 
-  /** Embedding column cast to double (float math differs across engines);
-    * also registers the native codegen'd vector functions on the session.
-    */
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    t(s, dir, "embeddings").select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
-  }
-
-  /** Fused single-pass cosine via the native Catalyst expression —
-    * bit-identical to the HOF fold it replaced (see VectorExpressions).
-    */
-  private def cos(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
-  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
-
   val qs: Seq[Q] = Seq(
 
     // ---------------- deduplication ----------------
@@ -96,98 +46,28 @@ object Pipeline {
     Q("q_dedup_exact",
       Some("""SELECT sha256(text) AS h, count(*) AS n FROM documents
               GROUP BY 1 ORDER BY h"""),
-      (s, dir) => t(s, dir, "documents")
-        .groupBy(sha2(col("text"), 256).as("h"))
-        .agg(count(lit(1)).as("n"))
+      (s, dir) => Dedup.exactDuplicates(t(s, dir, "documents"), "text")
         .orderBy("h")),
 
     Q("q_dedup_near", Some(nearDupOracle),
-      (s, dir) => {
-        // Inverted-index join: explode shingles, equi-join on the shingle,
-        // COUNT shared shingles per pair — that count IS the intersection,
-        // so Jaccard needs only a broadcast join against per-doc set sizes
-        // (no token arrays carried through the shuffle). 4-gram shingles
-        // keep fan-out low on this corpus; at 100 TB you'd swap the
-        // candidate stage for q_dedup_minhash's LSH banding.
-        val sh = shingled(s, dir)
-        val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-        // Singleton postings (df = 1) cannot form a pair — drop them
-        // before the self-join. On this corpus ~94% of shingles are
-        // singletons, so the join input shrinks by an order of magnitude;
-        // the same holds for real near-dup corpora with rare shingles.
-        val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2).select("tok")
-        val ex2 = ex.join(hot, Seq("tok"), "left_semi")
-        val pairs = ex2.as("a").join(ex2.as("b"), "tok")
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).cast("double").as("inter"))
-        val sz = sh.select(col("doc_id"), size(col("toks")).as("sz"))
-        pairs
-          .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
-          .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
-          .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-          .filter(col("jaccard") >= 0.5)
-          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) => Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
 
-    // MinHash + LSH banding: same output contract as q_dedup_near (the
-    // exact-Jaccard verify step filters LSH false positives; false-negative
-    // probability with 32 bands × 4 rows at j≥0.8 is (1-0.8^4)^32 ≈ 5e-8,
-    // so the exact oracle is still valid).
+    // LSH candidates + exact verify: false-negative probability with 32
+    // bands x 4 rows at j>=0.8 is (1-0.8^4)^32 ~ 5e-8, so the exact
+    // oracle remains valid (recall pinned by PipelineSpec).
     Q("q_dedup_minhash", Some(nearDupOracle),
-      (s, dir) => {
-        val nPerm = 128; val bands = 32; val r = 4
-        graft.functions.MinHashAgg.register(s)
-        val sh = shingled(s, dir)
-        // One-pass native signature aggregate (TypedImperativeAggregate,
-        // primitive long[] buffer, map-side partial min-merge): one
-        // shuffle on doc_id carrying one 128-long array per doc.
-        val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val sig = ex.groupBy("doc_id")
-          .agg(expr(s"minhash_sig(tok, $nPerm)").as("sig"))
-        val bandArr = array((0 until bands).map(b =>
-          xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)): _*)): _*)
-        val bandRows = sig.select(col("doc_id"), posexplode(bandArr))
-          .toDF("doc_id", "band_idx", "band_hash")
-        val cand = bandRows.as("a")
-          .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
-        jaccardVerify(cand, sh, 0.5)
-      }),
+      (s, dir) => Dedup.minhashPairs(shingled(s, dir), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
 
-    // SimHash over shingles: 64-bit signature, 4×16-bit band blocking,
-    // Hamming ≤ 3. Bit-level heuristic → no SQL oracle (rows-only check);
-    // recovery of the planted near-dup pairs is asserted in PipelineSpec.
+    // Bit-level heuristic → rows-only; subset property pinned in
+    // PipelineSpec.
     Q("q_dedup_simhash", None,
-      (s, dir) => {
-        graft.functions.SimHashAgg.register(s)
-        val sh = shingled(s, dir)
-        // One-pass native signature aggregate (64 bit-balance counters in
-        // a primitive buffer, map-side partial merge) — one shuffle on
-        // doc_id carrying a single long per doc.
-        val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
-        val sig = ex.groupBy("doc_id")
-          .agg(expr("simhash_sig(tok)").as("sig"))
-        val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
-            "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
-          .toDF("doc_id", "sig", "band_idx", "band_val")
-        bandRows.as("a").join(bandRows.as("b"), Seq("band_idx", "band_val"))
-          .where(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-            bit_count(expr("a.sig ^ b.sig")).cast("long").as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 3)
-          .orderBy("doc_a", "doc_b")
-      }),
+      (s, dir) => Dedup.simhashPairs(shingled(s, dir), maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
 
-    // Embedding-cosine near-dup over a deterministic 1% sample (vec_id %
-    // 100 = 0): the all-pairs verify stays O((n/100)²) at any SF. The
-    // production-scale path for the full corpus is LSH/IVF blocking as in
-    // q_sim_ann_ivf.
+    // Deterministic 1% sample keeps the all-pairs verify O((n/100)²) at
+    // any SF; the full-corpus path is LSH/IVF blocking.
     Q("q_dedup_embed",
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                          FROM embeddings WHERE vec_id % 100 = 0)
@@ -196,16 +76,10 @@ object Pipeline {
               FROM e a JOIN e b ON a.vec_id < b.vec_id
               WHERE list_cosine_similarity(a.v, b.v) >= 0.2
               ORDER BY id_a, id_b"""),
-      (s, dir) => {
-        val e = vecs(s, dir).filter(col("vec_id") % 100 === 0)
-        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
-        a.join(b, col("id_a") < col("id_b"))
-          .withColumn("cos", cos("va", "vb"))
-          .filter(col("cos") >= 0.2)
-          .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
-          .orderBy("id_a", "id_b")
-      }),
+      (s, dir) => Dedup.embeddingPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", threshold = 0.2)
+        .orderBy("id_a", "id_b")),
 
     // ---------------- similarity search ----------------
 
@@ -215,18 +89,8 @@ object Pipeline {
               SELECT b.vec_id AS vec_id, ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
               FROM e a JOIN e b ON a.vec_id = 1 AND b.vec_id <> 1
               ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id LIMIT 10"""),
-      (s, dir) => {
-        // Brute-force top-k: broadcast the single query vector, one linear
-        // scan, TakeOrdered(10) — O(n) with no shuffle of the corpus.
-        val e = vecs(s, dir)
-        val q = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
-        e.filter(col("vec_id") =!= 1)
-          .crossJoin(broadcast(q))
-          .withColumn("cos_raw", cos("v", "qv"))
-          .orderBy(col("cos_raw").desc, col("vec_id"))
-          .limit(10)
-          .select(col("vec_id"), round(col("cos_raw"), 4).as("cos"))
-      }),
+      (s, dir) => Similarity.topK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 1, k = 10)),
 
     Q("q_sim_knn_batch",
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -239,51 +103,20 @@ object Pipeline {
               SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, ROUND(cos_raw, 4) AS cos
               FROM sc WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
-        // Batch kNN join: broadcast the query set, per-query top-k via
-        // window over the (query × corpus) product — corpus scanned once.
-        val e = vecs(s, dir)
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
-        val w = Window.partitionBy("qid").orderBy(col("cos_raw").desc, col("vec_id"))
-        e.crossJoin(broadcast(q))
-          .filter(col("vec_id") =!= col("qid"))
-          .withColumn("cos_raw", cos("v", "qv"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos_raw"), 4).as("cos"))
+        val e = t(s, dir, "embeddings")
+        Similarity.knnJoin(e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 3)
           .orderBy("qid", "rnk")
       }),
 
-    // IVF-style ANN: "centroids" = the first 16 vectors (deterministic
-    // stand-in for k-means — the assignment/probe plumbing is the point),
-    // every vector assigned to its nearest centroid, query probes its 4
-    // nearest centroid partitions, exact top-10 within the probed subset.
-    // Approximate by construction → rows-only; PipelineSpec asserts the
-    // result is a subset of the brute-force ranking and deterministic.
+    // Approximate by construction → rows-only; subset/determinism pinned
+    // in PipelineSpec. Centroids = first 16 vectors (deterministic
+    // k-means stand-in; the assignment/probe plumbing is the point).
     Q("q_sim_ann_ivf", None,
       (s, dir) => {
-        val e = vecs(s, dir)
-        val cents = e.filter(col("vec_id") < 16)
-          .select(col("vec_id").as("cent_id"), col("v").as("cv"))
-        val wAssign = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cent_id"))
-        val assigned = e.crossJoin(broadcast(cents))
-          .withColumn("cd", dot("v", "cv"))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("v"), col("cent_id"))
-        val qv = e.filter(col("vec_id") === 1).select(col("v").as("qv"))
-        val probes = cents.crossJoin(broadcast(qv))
-          .withColumn("cd", dot("qv", "cv"))
-          .orderBy(col("cd").desc, col("cent_id"))
-          .limit(4)
-          .select(col("cent_id"))
-        assigned.join(broadcast(probes), "cent_id")
-          .filter(col("vec_id") =!= 1)
-          .crossJoin(broadcast(qv))
-          .withColumn("cos_raw", cos("v", "qv"))
-          .orderBy(col("cos_raw").desc, col("vec_id"))
-          .limit(10)
-          .select(col("vec_id"), col("cent_id"), round(col("cos_raw"), 4).as("cos"))
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
       }),
 
     // ---------------- text analysis ----------------
@@ -295,35 +128,22 @@ object Pipeline {
                      CAST(len(list_distinct(w)) AS BIGINT) AS n_unique,
                      ROUND(CAST(n_chars AS DOUBLE) / len(w), 6) AS avg_tok_len
               FROM d ORDER BY doc_id"""),
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), col("n_chars"),
-          size(col("w")).cast("long").as("n_tokens"),
-          size(array_distinct(col("w"))).cast("long").as("n_unique"),
-          round(col("n_chars").cast("double") / size(col("w")), 6).as("avg_tok_len"))
-        .orderBy("doc_id")),
+      (s, dir) => TextAnalysis.stats(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars").orderBy("doc_id")),
 
     Q("q_text_topwords",
       Some("""SELECT w AS word, count(*) AS n
               FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
               GROUP BY 1 ORDER BY n DESC, word LIMIT 20"""),
-      (s, dir) => t(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("word"))
-        .limit(20)),
+      (s, dir) => TextAnalysis.topWords(t(s, dir, "documents"), "text", k = 20)),
 
     Q("q_token_count",
       Some("""SELECT doc_id,
                      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_ish,
                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
               FROM documents ORDER BY doc_id"""),
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long").as("n_bpe_ish"),
-          size(split(col("text"), " ")).cast("long").as("n_ws"))
-        .orderBy("doc_id")),
+      (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
 
     Q("q_quality_score",
       Some("""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents),
@@ -339,24 +159,8 @@ object Pipeline {
                      ROUND(alpha_r, 6) AS alpha_ratio,
                      CAST(n_tokens BETWEEN 20 AND 90 AND stop_r >= 0.05 AS BOOLEAN) AS keep
               FROM f ORDER BY doc_id"""),
-      (s, dir) => {
-        val stopList = array(Seq("the", "a", "of", "and", "to", "in").map(lit): _*)
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), col("text"), col("n_chars"),
-            split(col("text"), " ").as("w"))
-          .withColumn("stop_r",
-            size(filter(col("w"), x => array_contains(stopList, x))).cast("double")
-              / size(col("w")))
-          .withColumn("alpha_r",
-            length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
-              / col("n_chars"))
-        d.select(col("doc_id"),
-            size(col("w")).cast("long").as("n_tokens"),
-            round(col("stop_r"), 6).as("stopword_ratio"),
-            round(col("alpha_r"), 6).as("alpha_ratio"),
-            (size(col("w")).between(20, 90) && col("stop_r") >= 0.05).as("keep"))
-          .orderBy("doc_id")
-      }),
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars").orderBy("doc_id")),
 
     Q("q_fingerprint",
       Some("""SELECT doc_id,
@@ -364,11 +168,8 @@ object Pipeline {
                        list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
                        (a, x) -> (a * 31 + x) % 1000000007) AS fp
               FROM documents ORDER BY doc_id"""),
-      (s, dir) => t(s, dir, "documents")
-        .select(col("doc_id"), expr(
-          """aggregate(transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
-                       0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
-        .orderBy("doc_id")),
+      (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
 
     Q("q_lang_id",
       Some("""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
@@ -388,25 +189,16 @@ object Pipeline {
                           ELSE 'zh' END AS predicted
               FROM sc ORDER BY doc_id"""),
       (s, dir) => {
-        // Keyword-profile language id (n-gram heuristic shape): score per
-        // language = |tokens ∩ profile|, argmax with a fixed tie-break
-        // cascade. Profiles are tiny broadcast literals; one corpus scan.
-        def prof(words: String*): Column =
-          array(words.map(lit): _*)
-        val d = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"),
-            array_distinct(split(col("text"), " ")).as("w"))
-          .withColumn("s_en", size(array_intersect(col("w"), prof("the", "a", "of", "and", "to"))))
-          .withColumn("s_de", size(array_intersect(col("w"), prof("der", "die", "das", "und", "ist"))))
-          .withColumn("s_es", size(array_intersect(col("w"), prof("el", "la", "los", "y", "es"))))
-          .withColumn("s_fr", size(array_intersect(col("w"), prof("le", "les", "et", "est", "une"))))
-          .withColumn("s_zh", size(array_intersect(col("w"), prof("shi", "de", "le_zh", "bu", "zai"))))
-        d.select(col("doc_id"), col("lang"),
-            when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
-              .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
-              .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
-              .when(col("s_fr") >= col("s_zh"), "fr")
-              .otherwise("zh").as("predicted"))
+        val profiles = Seq(
+          "en" -> Seq("the", "a", "of", "and", "to"),
+          "de" -> Seq("der", "die", "das", "und", "ist"),
+          "es" -> Seq("el", "la", "los", "y", "es"),
+          "fr" -> Seq("le", "les", "et", "est", "une"),
+          "zh" -> Seq("shi", "de", "le_zh", "bu", "zai"))
+        val docs = t(s, dir, "documents")
+        TextAnalysis.langId(docs, "doc_id", "text", profiles)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "predicted")
           .orderBy("doc_id")
       })
   )
