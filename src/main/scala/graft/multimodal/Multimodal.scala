@@ -23,6 +23,9 @@ object Multimodal {
   final case class Thumb(doc_id: Long, width: Int, height: Int,
                          thumb: Array[Byte])
 
+  /** One sampled video frame: index + (stub) frame bytes. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
   /** Attach a synthetic binary payload + media type to the documents
     * table — a stand-in for a real corpus's image/audio bytes. Payload =
     * UTF-8 bytes of the text (deterministic); media type derived from
@@ -61,6 +64,29 @@ object Multimodal {
           val (w, h, f) = stubDecode(payload)
           MediaMeta(id, mt, payload.length.toLong, w, h,
             if (mt.startsWith("video")) f else 1)
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: every k-th frame of the (stub-)
+    * decoded stream — a row-expanding mapPartitions (1 video → n frames),
+    * the batch shape a real ffmpeg-style sampler would use. Non-video
+    * rows are dropped.
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame,
+                  everyK: Int): Dataset[Frame] = {
+    import spark.implicits._
+    withPayload(docs)
+      .filter(col("media_type") === "video/mp4")
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val (_, _, frames) = stubDecode(payload)
+          (0 until frames by everyK).iterator.map { idx =>
+            val off = math.min(idx % math.max(1, payload.length), payload.length)
+            Frame(id, idx, payload.slice(off, math.min(off + 16, payload.length)))
+          }
         }
       }
   }

@@ -67,6 +67,10 @@ object Extras {
 
     Q("q_mm_resize", None,
       (s, dir) => Multimodal.resize(s, t(s, dir, "documents"), maxDim = 128)
-        .toDF().orderBy("doc_id"))
+        .toDF().orderBy("doc_id")),
+
+    Q("q_mm_frames", None,
+      (s, dir) => Multimodal.frameSample(s, t(s, dir, "documents"), everyK = 30)
+        .toDF().orderBy("doc_id", "frame_idx"))
   )
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{Dedup, Similarity, TextAnalysis}
+
+/** The public API surface over arbitrary DataFrames (not the test-table
+  * bindings): the contracts a library user depends on.
+  */
+class ApiSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("dropNearDuplicates removes exactly the pair losers") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val losers = Dedup.nearDuplicatePairs(sh, 0.5)
+      .select("doc_b").distinct().count()
+    val kept = Dedup.dropNearDuplicates(docs, "doc_id", "text", 0.5)
+    assert(kept.count() === docs.count() - losers)
+  }
+
+  test("minhash and exact pair sets agree through the API") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keys(Dedup.minhashPairs(sh, 0.5)) === keys(Dedup.nearDuplicatePairs(sh, 0.5)))
+  }
+
+  test("knnJoin returns k ordered neighbors per query") {
+    val out = Similarity.knnJoin(emb, emb.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5).collect()
+    assert(out.length === 15)
+    assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
+  }
+
+  test("quality + stats + fingerprint run on a renamed corpus") {
+    // prove there is no coupling to the test-table column names
+    val renamed = docs.select(col("doc_id").as("id"),
+      col("text").as("body"), col("n_chars").as("len"))
+    assert(TextAnalysis.stats(renamed, "id", "body", "len").count() === 500)
+    assert(TextAnalysis.qualityScore(renamed, "id", "body", "len")
+      .filter("keep").count() > 0)
+    assert(TextAnalysis.fingerprint(renamed, "id", "body")
+      .select("fp").distinct().count() > 400)
+  }
+
+  test("frame sampling expands only video payloads") {
+    val frames = graft.multimodal.Multimodal
+      .frameSample(spark, docs, everyK = 30)
+    val ids = frames.select("doc_id").distinct().count()
+    assert(ids > 0 && ids < 500, "only the video third of the corpus")
+    assert(frames.filter("frame_idx % 30 != 0").count() === 0)
+  }
+}
