@@ -36,6 +36,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("q_limit_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("partition-pruned scan over a hive-partitioned table output") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("pp").resolve("t.parquet")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .write.partitionBy("c_mktsegment").parquet(out.toString)
+    val plan = spark.read.parquet(out.toString)
+      .filter(org.apache.spark.sql.functions.col("c_mktsegment") === "BUILDING")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(c_mktsegment"),
+      s"expected partition filters in:\n$plan")
+  }
+
   test("aggregation is two-phase (partial before shuffle)") {
     val p = plan("q_agg_group")
     // partial_ prefix marks map-side combine in HashAggregate
