@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Streaming semantics pinned against their batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sfDir}
+
+  test("tumbling stream counts equal the batch window aggregation") {
+    val streamed = Streams.tumblingCounts(spark, sfDir)
+      .select("ws", "n").collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    val batch = SparkEntry.queries("q_window_tumble")(spark, sfDir)
+      .select("ws", "n").collect().map(r => (r.get(0).toString, r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+
+  test("session stream: session counts sum to per-user event counts") {
+    val sess = Streams.sessionCounts(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val events = graft.ops.H.t(spark, sfDir, "events")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess === events)
+  }
+
+  test("rate source smoke: unbounded synthetic stream plans and runs") {
+    // The rate source is wall-clock driven (nondeterministic values), so
+    // this is a plumbing smoke: one micro-batch through the same
+    // windowed-aggregation shape used by the file-replay queries.
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "500").load()
+      .withWatermark("timestamp", "1 second")
+      .groupBy(window(col("timestamp"), "1 second"))
+      .count()
+    val q = stream.writeStream.format("memory")
+      .queryName("rate_smoke").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(200))
+      .start()
+    try {
+      q.awaitTermination(4000)
+      assert(q.isActive, "stream stays up")
+    } finally q.stop()
+    assert(spark.table("rate_smoke").columns.toSeq === Seq("window", "count"))
+  }
+}
