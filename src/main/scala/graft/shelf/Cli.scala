@@ -37,7 +37,12 @@ object Cli {
         val uri = shelf.snapshot(Paths.get(pos(0)), pos(1), flags("--force"))
         println(uri)
       case "run" =>
-        val done = shelf.run(pos.headOption, flags("--force"), flags("--dry-run"))
+        val parIdx = args.indexOf("--parallel")
+        val par = if (parIdx >= 0 && parIdx + 1 < args.length)
+          args(parIdx + 1).toInt else 1
+        val done = shelf.run(pos.filterNot(p => parIdx >= 0 && p == par.toString)
+            .headOption,
+          flags("--force"), flags("--dry-run"), parallelism = par)
         done.foreach(println)
       case "list" =>
         shelf.list(pos.headOption, flags("--paths")).foreach(println)

@@ -107,7 +107,12 @@ object Tables {
       sql = sql.replace(s"{$name}", view)
     }
     sql = sql.replace("{output_file}", dest.toString)
-    val df = spark.sql(sql)
+    var df = spark.sql(sql)
+    // Sorted writes give parquet row-group min/max stats that downstream
+    // range/equality filters can skip on — cheap data-skipping without an
+    // index (config `write.sort_by`).
+    if (write.sortBy.nonEmpty)
+      df = df.sortWithinPartitions(write.sortBy.map(org.apache.spark.sql.functions.col): _*)
     if (write.singleFile) writeSingleParquet(df, dest)
     else {
       // Directory output for cluster-scale tables: optionally hive-style
@@ -122,17 +127,20 @@ object Tables {
   /** `write:` block of the step config: single_file (default true, the
     * reference contract) and partition_by columns for directory outputs.
     */
-  final case class WriteConfig(singleFile: Boolean, partitionBy: Seq[String])
+  final case class WriteConfig(singleFile: Boolean, partitionBy: Seq[String],
+                               sortBy: Seq[String])
 
   def writeConfig(config: Map[String, Any]): WriteConfig =
     config.get("write") match {
       case Some(m: Map[_, _]) =>
         val w = m.asInstanceOf[Map[String, Any]]
+        def cols(key: String): Seq[String] = w.get(key)
+          .collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Seq.empty)
         WriteConfig(
           singleFile = w.get("single_file").forall(_ == true),
-          partitionBy = w.get("partition_by")
-            .collect { case s: Seq[_] => s.map(_.toString) }.getOrElse(Seq.empty))
-      case _ => WriteConfig(singleFile = true, Seq.empty)
+          partitionBy = cols("partition_by"),
+          sortBy = cols("sort_by"))
+      case _ => WriteConfig(singleFile = true, Seq.empty, Seq.empty)
     }
 
   /** Subprocess escape hatch, argv contract `[script, deps..., out]`

@@ -483,6 +483,25 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     }
   }
 
+  test("sort_by write config produces row-group stats that skip") {
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/srt/t/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script,
+      "SELECT CAST(id AS BIGINT) AS dim_id, CAST(id % 100 AS BIGINT) AS bucket FROM range(0, 10000)")
+    Files.writeString(script.resolveSibling("2026-08-12.meta.yaml"),
+      "write:\n  sort_by: [dim_id]\n")
+    val uri = StepURI.table("srt/t/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri); shelf.catalog.save()
+    shelf.run()
+    val df = SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, uri).toString)
+    // sortedness → contiguous dim_id (min/max stats are tight)
+    val rows = df.filter("dim_id BETWEEN 100 AND 105").count()
+    assert(rows === 6)
+    assert(df.count() === 10000)
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
