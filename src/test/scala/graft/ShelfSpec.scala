@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.shelf._
 
@@ -500,6 +501,35 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     val rows = df.filter("dim_id BETWEEN 100 AND 105").count()
     assert(rows === 6)
     assert(df.count() === 10000)
+  }
+
+  test("catalog rejects snapshots with dependencies and unknown deps") {
+    val (shelf, _) = freshShelf()
+    intercept[IllegalArgumentException] {
+      shelf.catalog.addStep(StepURI.snapshot("bad/snap/2026-01-01"),
+        Seq(StepURI.snapshot("x/y/2026-01-01")))
+    }
+    intercept[IllegalArgumentException] {
+      shelf.catalog.addStep(StepURI.table("t/2026-01-01"),
+        Seq(StepURI.table("missing/2026-01-01")))
+    }
+  }
+
+  test("store round-trips content by checksum and survives cache wipe") {
+    val root = Files.createTempDirectory("st")
+    val cache = Files.createTempDirectory("stc")
+    val store = new Store(root.resolve("remote").toUri.toString.stripSuffix("/"), cache)
+    val f = Files.createTempFile("blob", ".bin")
+    Files.write(f, Array.tabulate[Byte](4096)(i => (i % 251).toByte))
+    val cs = Checksums.checksumFile(f)
+    store.put(f, cs)
+    // wipe the cache: fetch must fall back to the remote and re-seed
+    Files.walk(cache).iterator().asScala.toSeq.reverse
+      .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+    val out = Files.createTempFile("out", ".bin")
+    store.fetch(cs, out)
+    assert(Checksums.checksumFile(out) === cs)
+    assert(store.existsLocally(cs), "fetch re-seeds the cache")
   }
 
   test("gitignore gains the snapshot data path once") {
