@@ -105,6 +105,23 @@ object Breadth {
           .orderBy("user_id", "ts", "event_id")
       }),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (RewriteCorrelatedScalarSubquery), so the fact
+    // side is scanned once, not per outer row.
+    Q("q_subq_corr",
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE (SELECT MAX(o_totalprice) FROM orders
+                     WHERE o_custkey = c_custkey) > 400000
+              ORDER BY c_custkey"""),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, c_name FROM customer
+                 WHERE (SELECT MAX(o_totalprice) FROM orders
+                        WHERE o_custkey = c_custkey) > 400000
+                 ORDER BY c_custkey""")
+      }),
+
     Q("q_grouping_id",
       Some("""SELECT n_name, c_mktsegment,
                      CAST(GROUPING_ID(n_name, c_mktsegment) AS BIGINT) AS gid,
