@@ -532,6 +532,43 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(store.existsLocally(cs), "fetch re-seeds the cache")
   }
 
+  test("SQL template disambiguates same-named deps with parent prefixes") {
+    val (shelf, root) = freshShelf()
+    val f = Files.createTempFile("v", ".csv")
+    Files.writeString(f, "dim_k,v\n1,10\n")
+    val d1 = shelf.snapshot(f, "left/data", today = today)
+    Files.writeString(f, "dim_k,v\n1,20\n")
+    val d2 = shelf.snapshot(f, "right/data", today = today)
+    val script = root.resolve("src/steps/tables/amb/sum/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    // both deps are named "data" — placeholders must be {left_data}/{right_data}
+    Files.writeString(script,
+      """SELECT a.dim_k, a.v + b.v AS total
+        |FROM {left_data} a JOIN {right_data} b USING (dim_k)""".stripMargin)
+    val uri = StepURI.table("amb/sum/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(d1, d2)); shelf.catalog.save()
+    shelf.run()
+    val row = SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, uri).toString).collect()(0)
+    assert(row.getAs[Int]("total") === 30)
+  }
+
+  test("JSON snapshot dependency reads through the SQL step") {
+    val (shelf, root) = freshShelf()
+    val f = Files.createTempFile("j", ".json")
+    Files.writeString(f, """{"dim_k": 1, "v": 5}
+                           |{"dim_k": 2, "v": 6}""".stripMargin)
+    val snap = shelf.snapshot(f, "js/data", today = today)
+    val script = root.resolve("src/steps/tables/js/tot/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT CAST(SUM(v) AS BIGINT) AS dim_total FROM {data}")
+    val uri = StepURI.table("js/tot/2026-08-12")
+    shelf.catalog = shelf.catalog.addStep(uri, Seq(snap)); shelf.catalog.save()
+    shelf.run()
+    assert(SparkTestSession.spark.read
+      .parquet(Tables.tablePath(root, uri).toString).collect()(0).getLong(0) === 11L)
+  }
+
   test("gitignore gains the snapshot data path once") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("g", ".txt"); Files.writeString(src, "x")
