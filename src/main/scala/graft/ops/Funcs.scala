@@ -67,7 +67,7 @@ object Funcs {
                      CAST(regexp_matches(p_name, 'w.dget$') AS BOOLEAN) AS is_widget,
                      regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
                      regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
-                     string_split(p_name, ' ') AS words
+                     array_to_string(string_split(p_name, ' '), '|') AS words
               FROM part ORDER BY p_partkey"""),
       (s, dir) => t(s, dir, "part")
         .select(col("p_partkey"), col("p_name"),
@@ -76,7 +76,7 @@ object Funcs {
           col("p_name").rlike("w.dget$").as("is_widget"),
           regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
           regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
-          split(col("p_name"), " ").as("words"))
+          array_join(split(col("p_name"), " "), "|").as("words"))
         .orderBy("p_partkey")),
 
     Q("q_date_funcs",

@@ -323,13 +323,16 @@ object Relational {
         .orderBy("c_mktsegment")),
 
     Q("q_agg_collect",
-      Some("""SELECT c_custkey, list_sort(list(o_orderkey)) AS orderkeys
+      // Array serialized to CSV so the driver's pandas-based compare (which
+      // sorts by every column) can hash it; the list semantics are identical.
+      Some("""SELECT c_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys
               FROM customer JOIN orders ON o_custkey = c_custkey
               GROUP BY 1 ORDER BY 1"""),
       (s, dir) => t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_custkey")
-        .agg(sort_array(collect_list(col("o_orderkey"))).as("orderkeys"))
+        .agg(array_join(sort_array(collect_list(col("o_orderkey"))).cast("array<string>"), ",")
+          .as("orderkeys"))
         .orderBy("c_custkey")),
 
     Q("q_distinct",
