@@ -29,14 +29,28 @@ object Bench {
     // multiple threads — how a shared cluster actually runs a workload):
     // per-query numbers are each query's own latency under that load;
     // `value` is wall-clock for the whole suite.
-    val workers = math.min(4, cpus.toInt)
+    val workers = math.max(4, math.min(8, cpus.toInt / 4))
     import java.util.concurrent.Executors
     import scala.concurrent._
     import scala.concurrent.duration.Duration
     val pool = Executors.newFixedThreadPool(workers)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+
+    // Longest-processing-time-first scheduling: submit queries in
+    // descending duration from the previous run's full map (if present)
+    // so stragglers start early and the makespan shrinks. Unknown
+    // queries go first (conservatively assumed slow).
+    val prev: Map[String, Double] =
+      try {
+        val txt = new String(Files.readAllBytes(Paths.get("/root/repo/BENCH_FULL.json")))
+        """"(q_\w+)":([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+
     val wall0 = System.nanoTime()
-    val futures = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val futures = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => -prev.getOrElse(name, Double.MaxValue) }
+      .map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

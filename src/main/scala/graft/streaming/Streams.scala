@@ -43,14 +43,29 @@ object Streams {
 
   /** Run a streaming DF to completion into a memory sink; return the
     * resulting table as a batch DataFrame.
+    *
+    * State sizing: streaming state partition count follows
+    * `spark.sql.shuffle.partitions` at query start, and every state
+    * partition writes a checkpoint delta file per micro-batch. For the
+    * finite replay here 8 partitions ample; a session-local override
+    * (`newSession` shares the SparkContext but not the SQLConf) keeps the
+    * batch queries' 32-partition setting untouched. Checkpoints go to
+    * memory-backed storage when available — on a real cluster this must
+    * be durable storage instead, set via `checkpointLocation`.
     */
-  def runToMemory(spark: SparkSession, stream: DataFrame,
+  def runToMemory(spark0: SparkSession, mkStream: SparkSession => DataFrame,
                   outputMode: String): DataFrame = {
+    val spark = spark0.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = mkStream(spark)
     val name = "s_" + UUID.randomUUID().toString.replace("-", "")
+    val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ck"
+                 else sys.props("java.io.tmpdir") + "/graft-ck"
     val q = stream.writeStream
       .format("memory")
       .queryName(name)
       .outputMode(outputMode)
+      .option("checkpointLocation", s"$ckBase/$name")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -63,7 +78,7 @@ object Streams {
     * final windows open past the watermark).
     */
   def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    def agg(s: SparkSession) = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"))
       .agg(count(lit(1)).as("n"),
@@ -78,7 +93,7 @@ object Streams {
     * the streaming twin of q_session_gap (session count per user).
     */
   def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(spark, dir)
+    def agg(s: SparkSession) = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
@@ -93,11 +108,7 @@ object Streams {
     * subprocess steps could never express over unbounded input.
     */
   def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val events = eventsStream(spark, dir)
-      .select(col("user_id").as[Long], col("value").as[Double])
-      .as[(Long, Double)]
 
     def update(user: Long, rows: Iterator[(Long, Double)],
                state: GroupState[(Long, Double)]): Iterator[(Long, Long, Double)] = {
@@ -108,10 +119,16 @@ object Streams {
       Iterator((user, n, s))
     }
 
-    val out = events.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update(),
-        GroupStateTimeout.NoTimeout())(update)
-      .toDF("user_id", "n_events", "sum_value")
+    def out(s: SparkSession) = {
+      import s.implicits._
+      eventsStream(s, dir)
+        .select(col("user_id").as[Long], col("value").as[Double])
+        .as[(Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update(),
+          GroupStateTimeout.NoTimeout())(update)
+        .toDF("user_id", "n_events", "sum_value")
+    }
     runToMemory(spark, out, "update")
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
