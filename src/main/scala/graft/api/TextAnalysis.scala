@@ -66,6 +66,36 @@ object TextAnalysis {
       s"""aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)),
                     0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
+    * every char k-gram, slide a window of `w` hashes, keep each window's
+    * minimum. Guarantees any shared substring of length ≥ k+w-1 yields a
+    * shared fingerprint — the standard local-similarity sketch for
+    * plagiarism/near-dup detection. Pure codegen'd HOFs over one scan:
+    * no explode, no shuffle, so it streams at scan speed at any corpus
+    * size. Returns (id, n_fp distinct fingerprints, fp_min, fp_max).
+    */
+  def winnow(docs: DataFrame, idCol: String, textCol: String,
+             k: Int = 5, w: Int = 3): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= k + w - 1)
+      .select(col(idCol), expr(
+        s"""transform(sequence(1, length($textCol) - ${k - 1}),
+                      i -> substring($textCol, i, $k))""").as("grams"))
+      // per-gram polynomial hash, seeded at the first char code (matches
+      // DuckDB list_reduce, whose accumulator starts at element 1)
+      .select(col(idCol), expr(
+        s"""transform(grams, g -> aggregate(
+              transform(sequence(2, $k), j -> CAST(ascii(substring(g, j, 1)) AS BIGINT)),
+              CAST(ascii(substring(g, 1, 1)) AS BIGINT),
+              (acc, c) -> (acc * 31 + c) % 1000003))""").as("hs"))
+      .select(col(idCol), expr(
+        s"""transform(sequence(1, size(hs) - ${w - 1}),
+                      i -> array_min(slice(hs, i, $w)))""").as("fps"))
+      .select(col(idCol),
+        size(array_distinct(col("fps"))).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+
   /** Keyword-profile language id: score = |tokens ∩ profile| per
     * language, argmax with the profile-order tie-break cascade.
     */

@@ -44,6 +44,43 @@ object Extras {
               SELECT user_id, count(*) AS n_events FROM e GROUP BY 1 ORDER BY 1"""),
       (s, dir) => Streams.statefulUserCounts(s, dir).select("user_id", "n_events")),
 
+    // Streaming exact dedup (dropDuplicates + watermark, RocksDB state):
+    // output is the distinct key set, so the batch oracle is DISTINCT.
+    Q("q_stream_dedup",
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+              ORDER BY user_id, event_type"""),
+      (s, dir) => Streams.dedupKeys(s, dir)),
+
+    // Stream⋈static dimension enrichment: the static dim is broadcast
+    // once, never re-shuffled per micro-batch.
+    Q("q_stream_join",
+      Some(s"""SELECT c_mktsegment, count(*) AS n, ${oSum("value")} AS sum_value
+               FROM events JOIN customer ON user_id = c_custkey
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Streams.enrichedSegmentCounts(s, dir)),
+
+    // Bucketed co-located join: both fact sides pre-bucketed on the join
+    // key → zero-exchange SortMergeJoin (plan pinned by BucketingSpec);
+    // results identical to the plain join the oracle runs.
+    Q("q_join_bucketed",
+      Some(s"""SELECT c_mktsegment, count(*) AS n,
+                      ${oSum("o_totalprice")} AS revenue
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.Bucketing.colocatedOrdersCustomer(s, dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment")),
+
+    // Aggregation on the bucket key: scan already satisfies the required
+    // clustering → single-stage agg, no exchange.
+    Q("q_agg_bucketed",
+      Some(s"""SELECT o_custkey, count(*) AS n_orders,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.Bucketing.bucketedAgg(s, dir)
+        .orderBy("o_custkey")),
+
     // Payload metadata is exact column algebra (byte length, content
     // hash) → oracle-checked; the payload bytes are UTF-8 of `text`, so
     // DuckDB's sha256(text) equals Spark's sha2(payload, 256).

@@ -171,6 +171,23 @@ object Pipeline {
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
 
+    // Winnowing (SIGMOD'03) fingerprints: window-min over rolling k-gram
+    // hashes; single scan, no explode/shuffle on either engine.
+    Q("q_fingerprint_winnow",
+      Some("""WITH g AS (SELECT doc_id, [substr(text, i, 5) for i in range(1, len(text)-3)] AS grams
+                         FROM documents WHERE len(text) >= 7),
+                   h AS (SELECT doc_id, [list_reduce([ascii(substr(gr, j, 1)) for j in range(1, 6)],
+                                          (acc, c) -> (acc * 31 + c) % 1000003) for gr in grams] AS hs
+                         FROM g),
+                   w AS (SELECT doc_id, [list_min(hs[i:i+2]) for i in range(1, len(hs)-1)] AS fps
+                         FROM h)
+              SELECT doc_id, CAST(len(list_distinct(fps)) AS BIGINT) AS n_fp,
+                     CAST(list_min(fps) AS BIGINT) AS fp_min,
+                     CAST(list_max(fps) AS BIGINT) AS fp_max
+              FROM w ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"),
+        "doc_id", "text", k = 5, w = 3).orderBy("doc_id")),
+
     Q("q_lang_id",
       Some("""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
                          FROM documents),

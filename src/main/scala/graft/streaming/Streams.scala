@@ -54,9 +54,14 @@ object Streams {
     * be durable storage instead, set via `checkpointLocation`.
     */
   def runToMemory(spark0: SparkSession, mkStream: SparkSession => DataFrame,
-                  outputMode: String): DataFrame = {
+                  outputMode: String, rocksdb: Boolean = false): DataFrame = {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store: the scale path for state larger than executor
+    // heap (100 TB corpora → billions of dedup/session keys). Same query
+    // semantics, state spills to local disk with incremental checkpoints.
+    if (rocksdb) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val stream = mkStream(spark)
     val name = "s_" + UUID.randomUUID().toString.replace("-", "")
     val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ck"
@@ -129,10 +134,45 @@ object Streams {
           GroupStateTimeout.NoTimeout())(update)
         .toDF("user_id", "n_events", "sum_value")
     }
-    runToMemory(spark, out, "update")
+    runToMemory(spark, out, "update", rocksdb = true)
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
         round(max("sum_value"), 4).as("sum_value"))
       .orderBy("user_id")
+  }
+
+  /** Streaming exact dedup: `dropDuplicates` over the key columns with a
+    * watermark bounding state retention — the unbounded twin of
+    * Dedup.exactDuplicates for at-least-once sources. Output is the
+    * distinct key set (deterministic regardless of which duplicate
+    * arrived first), RocksDB-backed: at 100 TB the seen-keys state is
+    * billions of entries and must live off-heap.
+    */
+  def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
+    def out(s: SparkSession) = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToMemory(spark, out, "append", rocksdb = true)
+      .distinct() // replay across micro-batch boundaries is exact; keep the batch-side contract explicit
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Stream⋈static enrichment join: the streaming side never shuffles
+    * the static dim per batch — Spark broadcasts it once — so this is
+    * the scale pattern for dimension enrichment of an event firehose.
+    */
+  def enrichedSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
+    def out(s: SparkSession) = {
+      val dim = graft.ops.H.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      eventsStream(s, dir)
+        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
+    }
+    runToMemory(spark, out, "complete")
+      .orderBy("c_mktsegment")
   }
 }

@@ -53,4 +53,20 @@ class PlanSpec extends AnyFunSuite {
     // partial_ prefix marks map-side combine in HashAggregate
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
   }
+
+  test("bucketed join is a zero-exchange SortMergeJoin") {
+    val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected SMJ in:\n$p")
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"expected bucketed scan in:\n$p")
+  }
+
+  test("aggregation on the bucket key needs no exchange") {
+    val p = api.Bucketing.bucketedAgg(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"bucket-key agg must be single-stage:\n$p")
+  }
 }
