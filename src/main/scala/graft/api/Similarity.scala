@@ -78,4 +78,49 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("cent_id"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Sign-LSH (random hyperplane) bucket column: `bits` sign bits, each
+    * the sign of a dot product with a pseudo-random ±1 hyperplane
+    * derived from splitmix64(bit, dim) — deterministic, no stored
+    * projection matrix, and a pure codegen expression per row.
+    *
+    * P[bit collision] = 1 - θ/π (Charikar'02), so cosine-close vectors
+    * land in the same bucket with high probability. At corpus scale the
+    * bucket id is the shuffle/bucketing key: candidate search touches
+    * one bucket (+ optional multi-probe neighbors) instead of the
+    * corpus.
+    */
+  private def lshBucket(vecCol: String, bits: Int) = {
+    // ±1 component for (bit b, dim j): parity of xxhash64(b*1024 + j) —
+    // overflow-free under ANSI mode, deterministic across executors.
+    val bitExprs = (0 until bits).map { b =>
+      s"""(CASE WHEN aggregate(zip_with($vecCol,
+             transform(sequence(0, size($vecCol) - 1),
+               j -> CAST(IF((xxhash64(${b * 1024}L + CAST(j AS BIGINT)) & 1L) = 0L,
+                         1.0D, -1.0D) AS DOUBLE)),
+             (x, r) -> x * r), 0.0D, (acc, p) -> acc + p) >= 0
+          THEN ${1L << b}L ELSE 0L END)"""
+    }
+    expr(bitExprs.mkString("(", " + ", ")"))
+  }
+
+  /** LSH-bucketed approximate top-k for one stored vector: candidates =
+    * the query's bucket under `bits` sign bits (single-probe), exact
+    * cosine rank within. The scale path when no centroid index exists:
+    * bucketing is one narrow column write, and lookups are a bucket-key
+    * equi-join instead of a scan.
+    */
+  def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, bits: Int = 8): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucket("v", bits))
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("bucket"))
+    e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("cos", expr("cosine_sim(v, qv)"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cos"))
+  }
 }

@@ -100,9 +100,28 @@ object TextAnalysis {
     * language, argmax with the profile-order tie-break cascade.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String,
-             profiles: Seq[(String, Seq[String])]): DataFrame = {
-    val d0 = docs.select(col(idCol),
-      array_distinct(split(col(textCol), " ")).as("w"))
+             profiles: Seq[(String, Seq[String])]): DataFrame =
+    scoreProfiles(docs.select(col(idCol),
+      array_distinct(split(col(textCol), " ")).as("w")), idCol, profiles)
+
+  /** Character n-gram language id: score = |text n-grams ∩ profile
+    * n-grams| — the classic Cavnar–Trenkle-style signal, robust to
+    * unseen words (the keyword variant scores 0 on them). Pure HOF
+    * n-gram extraction: one scan, no explode.
+    */
+  def langIdNgram(docs: DataFrame, idCol: String, textCol: String,
+                  profiles: Seq[(String, Seq[String])],
+                  n: Int = 2): DataFrame =
+    scoreProfiles(docs.select(col(idCol), array_distinct(expr(
+      s"""transform(sequence(1, length($textCol) - ${n - 1}),
+                    i -> substring($textCol, i, $n))""")).as("w")),
+      idCol, profiles)
+
+  /** Argmax over per-language overlap scores with the profile-order
+    * tie-break cascade (earlier profile wins ties).
+    */
+  private def scoreProfiles(d0: DataFrame, idCol: String,
+                            profiles: Seq[(String, Seq[String])]): DataFrame = {
     val scored = profiles.foldLeft(d0) { case (d, (lang, words)) =>
       d.withColumn(s"s_$lang",
         size(array_intersect(col("w"), array(words.map(lit): _*))))

@@ -119,6 +119,13 @@ object Pipeline {
           "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
       }),
 
+    // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates
+    // from the query's bucket only. Approximate → rows-only; recall vs
+    // the exact top-k is pinned in PipelineSpec.
+    Q("q_sim_ann_lsh", None,
+      (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 1, k = 10, bits = 6)),
+
     // ---------------- text analysis ----------------
 
     Q("q_text_stats",
@@ -170,6 +177,40 @@ object Pipeline {
               FROM documents ORDER BY doc_id"""),
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
+
+    // Char-bigram profile lang-id (Cavnar–Trenkle-style): robust where
+    // the keyword variant scores zero. Same argmax cascade as q_lang_id.
+    Q("q_lang_id_ngram",
+      Some("""WITH d AS (SELECT doc_id, lang,
+                                list_distinct([substr(text, i, 2) for i in range(1, len(text))]) AS w
+                         FROM documents),
+                   sc AS (SELECT doc_id, lang,
+                                 len(list_intersect(w, ['th','he','er','an','on'])) AS s_en,
+                                 len(list_intersect(w, ['ch','ei','de','un','ge'])) AS s_de,
+                                 len(list_intersect(w, ['os','la','el','ar','es'])) AS s_es,
+                                 len(list_intersect(w, ['le','ou','es','en','re'])) AS s_fr,
+                                 len(list_intersect(w, ['sh','zh','ng','ia','uo'])) AS s_zh
+                          FROM d)
+              SELECT doc_id, lang,
+                     CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                          WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                          WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                          WHEN s_fr >= s_zh THEN 'fr'
+                          ELSE 'zh' END AS predicted
+              FROM sc ORDER BY doc_id"""),
+      (s, dir) => {
+        val profiles = Seq(
+          "en" -> Seq("th", "he", "er", "an", "on"),
+          "de" -> Seq("ch", "ei", "de", "un", "ge"),
+          "es" -> Seq("os", "la", "el", "ar", "es"),
+          "fr" -> Seq("le", "ou", "es", "en", "re"),
+          "zh" -> Seq("sh", "zh", "ng", "ia", "uo"))
+        val docs = t(s, dir, "documents")
+        TextAnalysis.langIdNgram(docs, "doc_id", "text", profiles)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "predicted")
+          .orderBy("doc_id")
+      }),
 
     // Winnowing (SIGMOD'03) fingerprints: window-min over rolling k-gram
     // hashes; single scan, no explode/shuffle on either engine.

@@ -6,7 +6,8 @@ package graft.ops
   */
 object Registry {
   val all: Seq[Q] =
-    Relational.qs ++ Windows.qs ++ Funcs.qs ++ Pipeline.qs ++ Extras.qs ++ Breadth.qs
+    Relational.qs ++ Windows.qs ++ Funcs.qs ++ Pipeline.qs ++ Extras.qs ++
+      Breadth.qs ++ Sources.qs
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

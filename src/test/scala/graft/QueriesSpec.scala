@@ -81,4 +81,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.count() === 500)
     assert(d.filter("predicted IS NULL").count() === 0)
   }
+
+  test("LSH ANN candidates carry exact cosines and share one bucket") {
+    val rows = run("q_sim_ann_lsh").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.map(r => r.getLong(1)).distinct.length === 1,
+      "single-probe: all candidates from the query's bucket")
+    // cosines must agree with the exact brute-force scores for the
+    // same ids (LSH prunes candidates, never alters scoring)
+    val exact = SparkEntry.queries("q_sim_knn_batch") // qid<10 incl. 1
+      .apply(SparkTestSession.spark, SparkTestSession.sfDir)
+      .filter("qid = 1").collect()
+      .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    rows.foreach { r =>
+      exact.get(r.getLong(0)).foreach(c => assert(c === r.getDouble(2)))
+    }
+    val cos = rows.map(_.getDouble(2)).toSeq
+    assert(cos === cos.sorted.reverse, "descending by cosine")
+  }
+
+  test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
+    import org.apache.spark.sql.functions._
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "xx the quick brown fox sleeps all day zz"),
+      (3L, "completely unrelated content 1234567890")).toDF("doc_id", "text")
+    val fps = graft.api.TextAnalysis.winnow(docs, "doc_id", "text", k = 5, w = 3)
+    assert(fps.count() === 3)
+    // recompute full fingerprint sets to check the overlap guarantee
+    val full = docs.select(col("doc_id"), expr(
+      """transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))""").as("grams"))
+      .select(col("doc_id"), expr(
+        """transform(grams, g -> aggregate(
+             transform(sequence(2, 5), j -> CAST(ascii(substring(g, j, 1)) AS BIGINT)),
+             CAST(ascii(substring(g, 1, 1)) AS BIGINT),
+             (acc, c) -> (acc * 31 + c) % 1000003))""").as("hs"))
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(1, size(hs) - 2),
+                         i -> array_min(slice(hs, i, 3))))""").as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((full(1L) intersect full(2L)).nonEmpty,
+      "docs sharing 'the quick brown fox' must share a fingerprint")
+    assert((full(1L) intersect full(3L)).isEmpty,
+      "unrelated docs should not collide at this size")
+  }
 }
