@@ -40,16 +40,21 @@ object Bucketing {
                      buckets: Int = 8): String = {
     val tag = math.abs(sfDir.hashCode).toString
     val tbl = s"graft_bk_${name}_$tag"
-    done.getOrElseUpdate((System.identityHashCode(s), sfDir, name), {
-      df.write
-        .format("parquet")
-        .bucketBy(buckets, key)
-        .sortBy(key)
-        .option("path", s"$base/$tbl")
-        .mode("overwrite")
-        .saveAsTable(tbl)
-      tbl
-    })
+    // synchronized: concurrent queries (q_join_bucketed ∥ q_agg_bucketed
+    // in Bench) must not race the same table write — TrieMap's
+    // getOrElseUpdate can evaluate the thunk twice under contention.
+    done.synchronized {
+      done.getOrElseUpdate((System.identityHashCode(s), sfDir, name), {
+        df.write
+          .format("parquet")
+          .bucketBy(buckets, key)
+          .sortBy(key)
+          .option("path", s"$base/$tbl")
+          .mode("overwrite")
+          .saveAsTable(tbl)
+        tbl
+      })
+    }
   }
 
   /** orders⋈customer on custkey with both sides bucketed on the join

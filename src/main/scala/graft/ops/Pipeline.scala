@@ -21,8 +21,12 @@ object Pipeline {
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    shCache.getOrElseUpdate((System.identityHashCode(s), dir),
-      Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4))
+    // synchronized: the three dedup queries race this key in Bench; a
+    // double-build would persist (and compute) the shingles twice.
+    shCache.synchronized {
+      shCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4))
+    }
 
   private val nearDupOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

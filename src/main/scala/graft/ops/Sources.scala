@@ -96,6 +96,80 @@ object Sources {
     // Exact interpolated percentiles: Spark `percentile` and DuckDB
     // `quantile_cont` share (1-f)*lo + f*hi semantics; 6dp rounding
     // absorbs the one-ulp fp differences of the interpolation.
+    // GK sketch quantiles with accuracy ≥ N: the sketch degenerates to
+    // exact order statistics, so it matches quantile_disc — and the
+    // SAME query at lower accuracy is the bounded-memory scale path (the
+    // accuracy parameter is the memory/exactness dial, 100% Spark-side
+    // mergeable across partitions).
+    Q("q_approx_quantile",
+      Some("""SELECT l_returnflag,
+                     quantile_disc(l_quantity, 0.25) AS q25,
+                     quantile_disc(l_quantity, 0.5)  AS q50,
+                     quantile_disc(l_quantity, 0.9)  AS q90
+              FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_quantity, 0.25, 1000000)").as("q25"),
+          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("q50"),
+          expr("approx_percentile(l_quantity, 0.9, 1000000)").as("q90"))
+        .orderBy("l_returnflag")),
+
+    // Time-series resample + forward fill: dense per-region day spine
+    // (sequence/generate_series), left join observed daily revenue,
+    // last-non-null carry-forward. The gap-fill pattern every
+    // time-series pipeline needs; spine generation is O(days×groups),
+    // never a driver-side loop.
+    Q("q_resample_ffill",
+      Some("""WITH daily AS (
+                SELECT r_name, CAST(o_orderdate AS DATE) AS d,
+                       SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS rev
+                FROM orders JOIN customer ON o_custkey = c_custkey
+                            JOIN nation ON c_nationkey = n_nationkey
+                            JOIN region ON n_regionkey = r_regionkey
+                GROUP BY 1, 2),
+              bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+              spine AS (
+                -- DuckDB 1.0's generate_series takes constants only: use a
+                -- constant numbers table + date arithmetic instead
+                SELECT r_name, CAST((SELECT lo FROM bounds) + i * INTERVAL 1 DAY AS DATE) AS d
+                FROM (SELECT DISTINCT r_name FROM region) r, range(5000) t(i)
+                WHERE (SELECT lo FROM bounds) + i * INTERVAL 1 DAY
+                        <= (SELECT hi FROM bounds)),
+              joined AS (
+                SELECT s.r_name, s.d, daily.rev,
+                       CAST(daily.rev IS NULL AS BOOLEAN) AS is_gap
+                FROM spine s LEFT JOIN daily USING (r_name, d))
+              SELECT r_name, d,
+                     CAST(ROUND(COALESCE(last_value(rev IGNORE NULLS) OVER (
+                       PARTITION BY r_name ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 4)
+                     AS DOUBLE) AS rev_ffill,
+                     is_gap
+              FROM joined ORDER BY r_name, d"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("o_orderdate").cast("date").as("d"))
+          .agg(sum(col("o_totalprice").cast(D)).as("rev"))
+        val bounds = daily.agg(min("d").as("lo"), max("d").as("hi"))
+        val spine = t(s, dir, "region").select("r_name").distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("r_name"), explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+        val w = Window.partitionBy("r_name").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(daily, Seq("r_name", "d"), "left")
+          .withColumn("is_gap", col("rev").isNull)
+          .select(col("r_name"), col("d"),
+            round(coalesce(last(col("rev"), ignoreNulls = true).over(w), lit(0)), 4)
+              .cast("double").as("rev_ffill"),
+            col("is_gap"))
+          .orderBy("r_name", "d")
+      }),
+
     Q("q_percentile",
       Some("""SELECT l_returnflag,
                      ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,
