@@ -128,6 +128,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Connected components over a duplicate-pair edge list: every doc in
+    * a pair gets the minimum doc_id of its transitive component as
+    * `cluster` — the step that turns pairwise near-dup detection into
+    * keep-one-per-cluster decisions.
+    *
+    * Iterative min-label propagation (the degenerate-but-robust form of
+    * large-star/small-star, Kiveris et al. 2014): each round every node
+    * takes the min of its own label and its neighbors' labels;
+    * converges in O(component diameter) rounds. Each round is one
+    * shuffle on node id; `localCheckpoint` truncates the growing plan
+    * lineage so round N doesn't replay rounds 1..N-1 (the classic
+    * iterative-DataFrame trap). Duplicate clusters are near-cliques, so
+    * diameters are tiny and `maxIter` = 20 is generous.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy("u").agg(min(col("v")).as("nbr"))
+      .select(col("u").as("node"),
+        least(col("u"), col("nbr")).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u").agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("node").as("doc_id"), col("cluster"))
+  }
+
   /** Remove near-duplicates: keeps the smallest doc_id of every pair
     * component (greedy per-pair loser drop).
     */

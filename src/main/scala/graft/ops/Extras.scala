@@ -59,6 +59,18 @@ object Extras {
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => Streams.enrichedSegmentCounts(s, dir)),
 
+    // Stream⋈stream interval join with two-sided watermarks (bounded
+    // join state): click→purchase attribution inside 30 minutes.
+    Q("q_stream_sjoin",
+      Some("""SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+              FROM events c JOIN events b
+                ON c.user_id = b.user_id
+               AND c.event_type = 'click' AND b.event_type = 'purchase'
+               AND CAST(b.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+               AND CAST(b.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+              ORDER BY c.user_id, click_id, buy_id"""),
+      (s, dir) => Streams.clickPurchaseAttribution(s, dir)),
+
     // Bucketed co-located join: both fact sides pre-bucketed on the join
     // key → zero-exchange SortMergeJoin (plan pinned by BucketingSpec);
     // results identical to the plain join the oracle runs.

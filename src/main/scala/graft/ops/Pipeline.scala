@@ -43,6 +43,29 @@ object Pipeline {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        ORDER BY doc_a, doc_b"""
 
+  /** The near-dup pair set as reusable CTEs + transitive-closure
+    * clustering (recursive CTE): the oracle for q_dedup_cluster.
+    */
+  private val clusterOracle =
+    """WITH RECURSIVE
+       d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                            for i in range(1, len(w)-2)]) AS toks
+              FROM d WHERE len(w) >= 4),
+       ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+       prs AS (SELECT doc_a, doc_b
+               FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       und AS (SELECT doc_a AS u, doc_b AS v FROM prs
+               UNION SELECT doc_b, doc_a FROM prs),
+       reach(u, v) AS (SELECT u, v FROM und
+                       UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+       SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+       FROM reach GROUP BY u ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
 
     // ---------------- deduplication ----------------
@@ -63,6 +86,13 @@ object Pipeline {
     Q("q_dedup_minhash", Some(nearDupOracle),
       (s, dir) => Dedup.minhashPairs(shingled(s, dir), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
+
+    // Pairs → components: iterative min-label propagation vs the
+    // oracle's recursive-CTE transitive closure (same fixpoint).
+    Q("q_dedup_cluster", Some(clusterOracle),
+      (s, dir) => Dedup.duplicateClusters(
+          Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5))
+        .orderBy("doc_id")),
 
     // Bit-level heuristic → rows-only; subset property pinned in
     // PipelineSpec.

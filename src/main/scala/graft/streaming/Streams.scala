@@ -158,6 +158,34 @@ object Streams {
       .orderBy("user_id", "event_type")
   }
 
+  /** Stream⋈stream interval join: click→purchase attribution within a
+    * 30-minute window, per user. Both sides carry watermarks so Spark
+    * can bound the join state (clicks older than watermark + interval
+    * are evicted) — the pattern that makes an unbounded self-join of an
+    * event firehose feasible: state is O(events in the interval), not
+    * O(stream).
+    */
+  def clickPurchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    def out(s: SparkSession) = {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("buy_ts", "1 hour")
+      clicks.join(buys, expr(
+        """cu = bu AND buy_ts >= click_ts
+           AND buy_ts <= click_ts + interval 30 minutes"""))
+    }
+    runToMemory(spark, out, "append")
+      .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
+      .orderBy("user_id", "click_id", "buy_id")
+  }
+
   /** Stream⋈static enrichment join: the streaming side never shuffles
     * the static dim per batch — Spark broadcasts it once — so this is
     * the scale pattern for dimension enrichment of an event firehose.

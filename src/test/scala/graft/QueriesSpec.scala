@@ -82,6 +82,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.filter("predicted IS NULL").count() === 0)
   }
 
+  test("duplicate clustering is a fixpoint labeling of the pair graph") {
+    val cl = run("q_dedup_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair's endpoints share a cluster label
+    pairs("q_dedup_near").foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"pair ($a,$b) split across clusters")
+    }
+    // each cluster's label is its minimum member id
+    cl.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min)
+    }
+  }
+
   test("LSH ANN candidates carry exact cosines and share one bucket") {
     val rows = run("q_sim_ann_lsh").collect()
     assert(rows.nonEmpty && rows.length <= 10)
