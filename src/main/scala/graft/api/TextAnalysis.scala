@@ -66,6 +66,20 @@ object TextAnalysis {
       s"""aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)),
                     0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
 
+  /** Per-document Shannon entropy over characters (nats, 6dp) — a core
+    * LLM-data quality signal (gibberish and boilerplate sit at the
+    * entropy extremes). Single scan, pure HOFs; the distinct-char list
+    * is sorted so the fold order (and thus fp summation order) is
+    * identical on every engine and partitioning.
+    */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), expr(
+      s"""round(aggregate(
+            transform(array_sort(array_distinct(split($textCol, ''))),
+              c -> CAST(size(filter(split($textCol, ''), x -> x = c)) AS DOUBLE)
+                     / length($textCol)),
+            0.0D, (acc, p) -> acc - p * ln(p)), 6)""").as("entropy"))
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash
     * every char k-gram, slide a window of `w` hashes, keep each window's
     * minimum. Guarantees any shared substring of length ≥ k+w-1 yields a

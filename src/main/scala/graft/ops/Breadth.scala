@@ -13,6 +13,24 @@ object Breadth {
 
   val qs: Seq[Q] = Seq(
 
+    // Deterministic hash-based sampling: Knuth multiplicative hash on
+    // the key, keep ~10%. Unlike `TABLESAMPLE`/`df.sample` (RNG- and
+    // partitioning-dependent), this is reproducible on ANY engine and
+    // cluster size, composes with incremental rebuilds, and pushes down
+    // to the scan as a plain predicate. The sampling rate is exact in
+    // expectation and the SAME ROWS are chosen everywhere.
+    Q("q_sample_det",
+      Some(s"""SELECT l_returnflag, count(*) AS n, ${oSum("l_quantity")} AS qty
+               FROM lineitem
+               WHERE (l_orderkey * 2654435761) % 4294967296 < 429496730
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L))
+          < lit(429496730L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")),
+
     // RANGE frame over a numeric day key (value-based window, vs the
     // ROWS frame of q_win_frame): days with no orders do NOT count
     // toward the 7-day trailing revenue.

@@ -212,6 +212,19 @@ object Pipeline {
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
 
+    // Shannon char entropy (quality signal): sorted distinct-char fold
+    // so the fp summation order matches across engines.
+    Q("q_text_entropy",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, '') AS cs, len(text) AS n
+                         FROM documents)
+              SELECT doc_id,
+                     ROUND(-list_sum([p * ln(p) for p in
+                       [CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / n
+                        for c in list_sort(list_distinct(cs))]]), 6) AS entropy
+              FROM d ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
     // Char-bigram profile lang-id (Cavnar–Trenkle-style): robust where
     // the keyword variant scores zero. Same argmax cascade as q_lang_id.
     Q("q_lang_id_ngram",
