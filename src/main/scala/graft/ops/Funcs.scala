@@ -215,6 +215,27 @@ object Funcs {
           get_json_object(col("props"), "$.k").cast("long").as("k_num"))
         .orderBy("event_id")),
 
+    // MapType construction/access (DuckDB map_extract returns a LIST →
+    // [1] unwraps; values serialized to scalars for the hash compare).
+    Q("q_map_ops",
+      Some("""WITH m AS (SELECT p_partkey,
+                               MAP {'brand': p_brand, 'type': p_type, 'name': p_name} AS props
+                        FROM part)
+              SELECT p_partkey,
+                     map_extract(props, 'brand')[1] AS brand_v,
+                     array_to_string(list_sort(map_keys(props)), ',') AS keys_csv,
+                     CAST(cardinality(props) AS BIGINT) AS n_keys
+              FROM m ORDER BY p_partkey"""),
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          map(lit("brand"), col("p_brand"), lit("type"), col("p_type"),
+            lit("name"), col("p_name")).as("props"))
+        .select(col("p_partkey"),
+          element_at(col("props"), "brand").as("brand_v"),
+          array_join(array_sort(map_keys(col("props"))), ",").as("keys_csv"),
+          size(col("props")).cast("long").as("n_keys"))
+        .orderBy("p_partkey")),
+
     Q("q_explode_pos",
       Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
                    n AS (SELECT CAST(i AS INT) AS i FROM range(1, 101) t(i))
