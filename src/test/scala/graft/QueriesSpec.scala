@@ -82,6 +82,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.filter("predicted IS NULL").count() === 0)
   }
 
+  test("connected components converge on a long chain (diameter >> 1)") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // chain 10-9-...-1 + isolated pair (20,21): worst-case diameter for
+    // min-label propagation, unlike the near-clique corpus clusters
+    val edges = ((1L to 9L).map(i => (i + 1, i)) :+ (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val cl = graft.api.Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(i => assert(cl(i) === 1L, s"node $i"))
+    assert(cl(20L) === 20L && cl(21L) === 20L)
+  }
+
   test("duplicate clustering is a fixpoint labeling of the pair graph") {
     val cl = run("q_dedup_cluster").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
