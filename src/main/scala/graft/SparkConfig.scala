@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The one place scale-relevant session settings live. Verify, Bench,
+  * the CLI, and the test session all build from here so a tuning change
+  * propagates everywhere.
+  *
+  * The settings and why they matter at 100 TB:
+  *  - `shuffle.partitions` = cores locally; on a real cluster size it so
+  *    a partition is 100-200 MB post-filter (AQE coalesces the rest).
+  *  - AQE on: runtime re-plan fixes stale size estimates at scale —
+  *    skew-join splitting, dynamic coalescing, broadcast demotion.
+  *  - `files.maxPartitionBytes` default 128 MB: a 100 TB scan fans out
+  *    to ~800k tasks; raise toward 512 MB if task startup dominates.
+  *  - UTC session timezone: timestamp determinism across engines.
+  *  - ANSI stays ON (Spark 4 default): silent overflow/cast corruption
+  *    at row 10^12 is how large pipelines rot.
+  */
+object SparkConfig {
+
+  def builder(appName: String, cpus: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  /** Cpu count from the driver contract env, default 4. */
+  def cpus: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}

@@ -54,6 +54,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), s"expected partial aggregation in:\n$p")
   }
 
+  test("AQE splits skewed join partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    // child session: aggressive skew thresholds, broadcast disabled so
+    // the join stays a (skew-splittable) SortMergeJoin
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val left = s.range(300000).select(
+      when(col("id") < 290000, 0L).otherwise(pmod(col("id"), lit(100))).as("k"),
+      col("id").as("payload"))
+    val right = s.range(100).select(col("id").as("k"), (col("id") * 2).as("v"))
+    val j = left.join(right, "k")
+    // collect() (not count()) so THIS DataFrame's adaptive plan is the
+    // one that executes and finalizes — count() builds a separate tree
+    assert(j.collect().length === 300000)
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"expected runtime skew-join splitting in:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
