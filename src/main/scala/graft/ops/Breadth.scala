@@ -13,6 +13,37 @@ object Breadth {
 
   val qs: Seq[Q] = Seq(
 
+    // Bitwise aggregates (flag-mask folds): associative + exact, so
+    // they map-side combine like sum/count.
+    Q("q_agg_bitwise",
+      Some("""SELECT l_returnflag,
+                     CAST(bit_and(l_linenumber) AS BIGINT) AS b_and,
+                     CAST(bit_or(l_linenumber)  AS BIGINT) AS b_or,
+                     CAST(bit_xor(l_linenumber) AS BIGINT) AS b_xor
+              FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("bit_and(l_linenumber)").cast("long").as("b_and"),
+          expr("bit_or(l_linenumber)").cast("long").as("b_or"),
+          expr("bit_xor(l_linenumber)").cast("long").as("b_xor"))
+        .orderBy("l_returnflag")),
+
+    // Correlation / covariance: both engines use streaming co-moment
+    // updates; 4dp (corr) / 2dp (covar) rounding absorbs the summation-
+    // order ulps (validated at sf0.001/0.01/0.1).
+    Q("q_agg_corr",
+      Some("""SELECT l_returnflag,
+                     ROUND(corr(l_quantity, l_extendedprice), 4) AS r,
+                     ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS cv,
+                     ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS cvp
+              FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("r"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cv"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("cvp"))
+        .orderBy("l_returnflag")),
+
     // Deterministic hash-based sampling: Knuth multiplicative hash on
     // the key, keep ~10%. Unlike `TABLESAMPLE`/`df.sample` (RNG- and
     // partitioning-dependent), this is reproducible on ANY engine and

@@ -57,6 +57,13 @@ object Streams {
                   outputMode: String, rocksdb: Boolean = false): DataFrame = {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // Finite replay: keep only the latest checkpoint batch and push the
+    // background state maintenance past the query's lifetime — both are
+    // pure per-batch IO overhead here. A long-lived production stream
+    // would keep the defaults (lineage for recovery, periodic snapshot
+    // compaction).
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "1")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
     // RocksDB state store: the scale path for state larger than executor
     // heap (100 TB corpora → billions of dedup/session keys). Same query
     // semantics, state spills to local disk with incremental checkpoints.
