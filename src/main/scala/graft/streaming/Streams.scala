@@ -81,6 +81,13 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // finite replay is done → checkpoint has no recovery value; drop it
+    // so repeated runs don't accumulate state in shm
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$ckBase/$name"))
     spark.table(name)
   }
 
