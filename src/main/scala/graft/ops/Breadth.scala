@@ -13,6 +13,67 @@ object Breadth {
 
   val qs: Seq[Q] = Seq(
 
+    // Schema-evolution-tolerant union: columns matched by NAME (missing
+    // ones null-filled) — how heterogenous snapshot generations combine
+    // without positional breakage.
+    Q("q_set_byname",
+      Some("""SELECT k, src, extra FROM (
+                SELECT c_custkey AS k, 'c' AS src, NULL AS extra FROM customer
+                UNION ALL BY NAME
+                SELECT 's' AS src, s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS extra
+                FROM supplier)
+              ORDER BY src, k"""),
+      (s, dir) => t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), lit("c").as("src"),
+          lit(null).cast("long").as("extra"))
+        .unionByName(
+          t(s, dir, "supplier")
+            .select(lit("s").as("src"), col("s_suppkey").as("k"),
+              col("s_nationkey").cast("long").as("extra")),
+          allowMissingColumns = true)
+        .orderBy("src", "k")),
+
+    // nth_value over a full frame (with the explicit frame both engines
+    // need for a deterministic answer).
+    Q("q_win_nth",
+      Some("""SELECT o_custkey, o_orderkey,
+                     nth_value(o_totalprice, 2) OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+              FROM orders ORDER BY o_custkey, o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // Typed Dataset aggregation: case-class rows, groupByKey, and a
+    // custom exact-decimal Aggregator as a TypedColumn — compile-time
+    // type safety with the same partitioning-independent results as the
+    // untyped dsum path (the oracle is identical SQL).
+    Q("q_typed_agg",
+      Some(s"""SELECT l_returnflag, ${oSum("l_quantity")} AS sum_qty,
+                      count(*) AS n
+               FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        import s.implicits._
+        val ds = t(s, dir, "lineitem")
+          .select(col("l_returnflag").as("flag"), col("l_quantity").as("qty"))
+          .as[(String, Double)]
+        val sumQty = new graft.functions.TypedAggs.ExactSum[(String, Double)](_._2)
+          .toColumn.name("sum_qty")
+        ds.groupByKey(_._1)
+          .agg(sumQty, org.apache.spark.sql.functions.count("*").as[Long])
+          .toDF("l_returnflag", "sum_qty", "n")
+          .select(col("l_returnflag"),
+            round(col("sum_qty"), 4).as("sum_qty"), col("n"))
+          .orderBy("l_returnflag")
+      }),
+
     // Bitwise aggregates (flag-mask folds): associative + exact, so
     // they map-side combine like sum/count.
     Q("q_agg_bitwise",
