@@ -54,3 +54,37 @@ class ApiSpec extends AnyFunSuite {
     assert(frames.filter("frame_idx % 30 != 0").count() === 0)
   }
 }
+
+/** graft.GraftExtensions installs the Catalyst functions at session
+  * build time (spark.sql.extensions) — no imperative registration.
+  */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("spark.sql.extensions=graft.GraftExtensions provides all functions") {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("ext-test")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      // getOrCreate may hand back another suite's shared session, where
+      // functions could be present via imperative register() — only the
+      // extension-built session proves the wiring, so require it
+      assume(s.conf.getOption("spark.sql.extensions")
+        .contains("graft.GraftExtensions"),
+        "shared session reused; extension path not exercised in this run")
+      val r = s.sql(
+        """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+                  cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""")
+        .collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getDouble(1) === 1.0)
+      val sig = s.sql(
+        """SELECT minhash_sig(t, 16) AS mh, simhash_sig(t) AS sh
+           FROM VALUES ('a'), ('b'), ('c') AS v(t)""").collect().head
+      assert(sig.getSeq[Long](0).length === 16)
+      assert(sig.get(1).isInstanceOf[Long])
+    } finally s.stop()
+  }
+}
