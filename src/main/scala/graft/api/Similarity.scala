@@ -79,6 +79,42 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Deterministic Lloyd's k-means over the embedding column — the
+    * index-construction half of IVF. Init = the k lowest-id vectors
+    * (deterministic; k-means++ would add an RNG the oracle story can't
+    * carry). Each iteration: assign every vector to its nearest centroid
+    * (broadcast centroids, one scan), then recompute means per
+    * (centroid, dimension) via posexplode + two-phase avg — one shuffle
+    * of k×dim cells, never a collect of the corpus. Iteration count is
+    * fixed (index build is offline at scale; convergence-checking adds a
+    * barrier per round for little value at small `iters`).
+    */
+  def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 3): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cents = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("cd").desc, col("cent_id"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("cd", expr("cosine_sim(v, cv)"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("v"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("v")))
+        .groupBy("cent_id", "pos").agg(avg("col").as("m"))
+        .groupBy("cent_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .getField("m").as("cv"))
+        .localCheckpoint() // cut the per-iteration lineage growth
+    }
+    e.unpersist()
+    cents
+  }
+
   /** Sign-LSH (random hyperplane) bucket column: `bits` sign bits, each
     * the sign of a dot product with a pseudo-random ±1 hyperplane
     * derived from splitmix64(bit, dim) — deterministic, no stored

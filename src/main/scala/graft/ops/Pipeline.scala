@@ -165,6 +165,19 @@ object Pipeline {
           "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
       }),
 
+    // IVF with k-means-built centroids (2 Lloyd iterations from a
+    // deterministic seed): the offline index-construction path.
+    // Approximate → rows-only; determinism pinned in PipelineSpec.
+    Q("q_sim_ann_kmeans", None,
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+          k = 16, iters = 2)
+          .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+        Similarity.ivfTopK(e, cents, "vec_id", "embedding",
+          queryId = 1, k = 10, nProbe = 4)
+      }),
+
     // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates
     // from the query's bucket only. Approximate → rows-only; recall vs
     // the exact top-k is pinned in PipelineSpec.

@@ -76,6 +76,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.toSeq === run("q_sim_ann_ivf").collect().toSeq)
   }
 
+  test("k-means IVF is deterministic and recalls >= 6/10 of the exact top-k") {
+    val a = run("q_sim_ann_kmeans").collect()
+    assert(a.length === 10)
+    assert(a.toSeq === run("q_sim_ann_kmeans").collect().toSeq,
+      "fixed-seed Lloyd iterations must be reproducible")
+    val exact = run("q_sim_cosine").collect().map(_.getLong(0)).toSet
+    val got = a.map(_.getLong(0)).toSet
+    assert((exact & got).size >= 6,
+      s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
+  }
+
   test("language id predicts a language for every document") {
     val d = run("q_lang_id")
     assert(d.count() === 500)
