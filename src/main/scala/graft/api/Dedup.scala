@@ -63,25 +63,31 @@ object Dedup {
     * verified with exact Jaccard (false positives removed; false-negative
     * probability (1-t^r)^bands).
     */
-  def minhashPairs(sh: DataFrame, threshold: Double, numPerms: Int = 128,
-                   bands: Int = 32): DataFrame = {
-    val spark = sh.sparkSession
-    graft.functions.MinHashAgg.register(spark)
+  /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:
+    * the unit both the batch pair search and the incremental index
+    * share. At scale this is what gets persisted bucketed by
+    * (band_idx, band_hash) so increments join against it shuffle-free.
+    */
+  def minhashBandRows(sh: DataFrame, numPerms: Int = 128,
+                      bands: Int = 32): DataFrame = {
+    graft.functions.MinHashAgg.register(sh.sparkSession)
     val r = numPerms / bands
     val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
     val sig = ex.groupBy("doc_id")
       .agg(expr(s"minhash_sig(tok, $numPerms)").as("sig"))
     val bandArr = array((0 until bands).map(b =>
       xxhash64((0 until r).map(k => element_at(col("sig"), b * r + k + 1)): _*)): _*)
-    val bandRows = sig.select(col("doc_id"), posexplode(bandArr))
+    sig.select(col("doc_id"), posexplode(bandArr))
       .toDF("doc_id", "band_idx", "band_hash")
-    val cand = bandRows.as("a")
-      .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+  }
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * shingle sets (false positives removed).
+    */
+  private def verifyPairs(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+                          threshold: Double): DataFrame = {
+    val sa = shA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val sb = shB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("inter",
         size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
@@ -89,6 +95,42 @@ object Dedup {
         col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def minhashPairs(sh: DataFrame, threshold: Double, numPerms: Int = 128,
+                   bands: Int = 32): DataFrame = {
+    val bandRows = minhashBandRows(sh, numPerms, bands)
+    val cand = bandRows.as("a")
+      .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sh, sh, threshold)
+  }
+
+  /** Incremental near-dup detection: NEW documents against an already-
+    * shingled corpus — the production shape at 100 TB, where the corpus
+    * side is a persisted band index (ideally bucketed on
+    * (band_idx, band_hash) via [[graft.api.Bucketing]]) and only the
+    * increment is signed per run. Cost scales with |increment| × band
+    * collision rate, never with |corpus|; the corpus is touched only on
+    * the band-key join and the verification of surviving candidates.
+    *
+    * Returns (doc_a = corpus id, doc_b = new id, jaccard ≥ threshold).
+    * Within-increment duplicates are a separate `minhashPairs(newSh)`
+    * call — they need no corpus access.
+    */
+  def incrementalMinhashPairs(corpusSh: DataFrame, newSh: DataFrame,
+                              threshold: Double, numPerms: Int = 128,
+                              bands: Int = 32): DataFrame = {
+    val bandC = minhashBandRows(corpusSh, numPerms, bands)
+    val bandN = minhashBandRows(newSh, numPerms, bands)
+    val cand = bandC.as("a")
+      .join(bandN.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, corpusSh, newSh, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signatures, 4x16-bit band blocking,

@@ -100,6 +100,37 @@ object Pipeline {
       (s, dir) => Dedup.minhashPairs(shingled(s, dir), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Incremental dedup: the 10% "increment" (doc_id % 10 = 0) against
+    // the other 90% as the indexed corpus — cost scales with the
+    // increment, not the corpus. Oracle = the exact pair set restricted
+    // to cross-partition pairs (LSH false-negative odds ~5e-8).
+    Q("q_dedup_incr",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+              sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                   for i in range(1, len(w)-2)]) AS toks
+                     FROM d WHERE len(w) >= 4),
+              ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                    FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+              sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+              prs AS (SELECT doc_a, doc_b,
+                             ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+                      FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+              SELECT doc_a, doc_b, jaccard FROM prs
+              WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+              ORDER BY doc_a, doc_b"""),
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        Dedup.incrementalMinhashPairs(
+            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
+            newSh = sh.filter(col("doc_id") % 10 === 0),
+            threshold = 0.5)
+          .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+            greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // Pairs → components: iterative min-label propagation vs the
     // oracle's recursive-CTE transitive closure (same fixpoint).
     Q("q_dedup_cluster", Some(clusterOracle),

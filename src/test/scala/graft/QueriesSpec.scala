@@ -106,6 +106,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(cl(20L) === 20L && cl(21L) === 20L)
   }
 
+  test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
+    val expected = pairs("q_dedup_near").filter { case (a, b) =>
+      (a % 10 == 0) != (b % 10 == 0)
+    }
+    assert(pairs("q_dedup_incr") === expected)
+  }
+
   test("duplicate clustering is a fixpoint labeling of the pair graph") {
     val cl = run("q_dedup_cluster").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
