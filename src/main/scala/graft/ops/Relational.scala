@@ -436,6 +436,35 @@ object Relational {
         .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // Multiset (ALL) set-op variants: duplicate counts preserved, so
+    // the result hash differs from the distinct forms above whenever a
+    // nationkey repeats on both sides.
+    Q("q_set_intersect_all",
+      Some("""SELECT c_nationkey AS nk FROM customer
+              INTERSECT ALL SELECT s_nationkey AS nk FROM supplier
+              ORDER BY nk"""),
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .intersectAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    Q("q_set_except_all",
+      Some("""SELECT c_nationkey AS nk FROM customer
+              EXCEPT ALL SELECT s_nationkey AS nk FROM supplier
+              ORDER BY nk"""),
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .exceptAll(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .orderBy("nk")),
+
+    // Keyset-free paging: total order + LIMIT/OFFSET (Spark plans the
+    // offset into the take, not a full materialization).
+    Q("q_limit_offset",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10"""),
+      (s, dir) => t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(10).limit(10)),
+
     Q("q_subq_scalar",
       Some("""SELECT o_orderkey, o_totalprice FROM orders
               WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
