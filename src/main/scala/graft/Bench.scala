@@ -52,7 +52,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = Await.result(Future.sequence(futures), Duration.Inf)
+    // Bounded wait: one hung query must not cost the round its bench
+    // line. On timeout, report what completed (missing queries simply
+    // have no entry; the wall still covers the whole attempt).
+    val results =
+      try Await.result(Future.sequence(futures), Duration(25, "min"))
+      catch { case _: java.util.concurrent.TimeoutException =>
+        futures.flatMap(_.value).collect { case scala.util.Success(r) => r }
+      }
     val wall = (System.nanoTime() - wall0) / 1e9
     pool.shutdown()
 

@@ -12,27 +12,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Concurrent submission (4 threads): queries are independent and
-    // each writes its own directory; Spark's scheduler interleaves the
-    // jobs. Cuts the sf0.01 wall roughly 3x vs sequential.
-    import java.util.concurrent.Executors
-    import scala.concurrent._
-    import scala.concurrent.duration.Duration
-    val pool = Executors.newFixedThreadPool(4)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val fs = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
-        Future {
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-        }
-      }
-    Await.result(Future.sequence(fs), Duration.Inf)
-    pool.shutdown()
+
+    // oracle_sql.json is written FIRST: a single hung/crashed query must
+    // not take the whole round's oracle map down with it.
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -48,6 +30,35 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Concurrent submission (4 threads): queries are independent and
+    // each writes its own directory; Spark's scheduler interleaves the
+    // jobs. Cuts the sf0.01 wall roughly 3x vs sequential.
+    import java.util.concurrent.Executors
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val fs = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
+        Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      }
+    // Bounded wait: one pathological query must not stall the gate for
+    // every other (already-written) result. 30 min >> the ~40 s the full
+    // sf0.01 dump takes; on timeout, exit cleanly with what completed.
+    try Await.result(Future.sequence(fs), 30.minutes)
+    catch { case _: TimeoutException =>
+      System.err.println("[verify] timed out; emitting completed results")
+      spark.stop(); System.exit(0)
+    }
+    pool.shutdown()
     spark.stop()
   }
 }
