@@ -436,6 +436,40 @@ object Relational {
         .except(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
         .orderBy("nk")),
 
+    // Correlated LATERAL subquery (top-1-per-group as the optimizer
+    // sees it): both engines decorrelate into a ranked join rather than
+    // a per-row re-execution.
+    Q("q_lateral",
+      Some("""SELECT c_custkey, o_orderkey, o_totalprice
+              FROM customer,
+                   LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_custkey = c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+              ORDER BY c_custkey"""),
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("customer")
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                 FROM customer,
+                      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                               WHERE o_custkey = c_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+                 ORDER BY c_custkey""")
+      }),
+
+    // GROUP BY ALL: group keys inferred from the non-aggregate output
+    // columns — identical inference rules in both engines.
+    Q("q_group_by_all",
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                      ${oSum("l_quantity")} AS qty
+               FROM lineitem GROUP BY ALL ORDER BY 1, 2"""),
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql(s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+                         ${oSum("l_quantity")} AS qty
+                  FROM lineitem GROUP BY ALL ORDER BY 1, 2""")
+      }),
+
     // Multiset (ALL) set-op variants: duplicate counts preserved, so
     // the result hash differs from the distinct forms above whenever a
     // nationkey repeats on both sides.

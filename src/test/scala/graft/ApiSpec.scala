@@ -12,6 +12,19 @@ class ApiSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("cluster-based dedup keeps exactly one representative per component") {
+    val sh = Dedup.shingles(docs, "doc_id", "text")
+    val clusters = Dedup.duplicateClusters(Dedup.nearDuplicatePairs(sh, 0.5))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster"))
+    val kept = docs.join(losers.select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(kept.count() === docs.count() - losers.count())
+    // each component keeps precisely its min-id member
+    val keptPerCluster = clusters
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("cluster").count()
+    assert(keptPerCluster.filter(col("count") =!= 1).count() === 0)
+  }
+
   test("dropNearDuplicates removes exactly the pair losers") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val losers = Dedup.nearDuplicatePairs(sh, 0.5)
