@@ -40,5 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(tok) - 64-bit SimHash signature of the group"),
       exprs => SimHashAgg(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
+      info("sorted_intersect_size",
+        "sorted_intersect_size(a, b) - |a intersect b| of two sorted distinct string arrays"),
+      exprs => graft.functions.SortedIntersectSize(exprs(0), exprs(1))))
   }
 }

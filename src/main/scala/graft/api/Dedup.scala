@@ -32,8 +32,10 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), array_distinct(expr(
-        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))"))
+      // sorted + distinct: the contract SortedIntersectSize relies on
+      // (set semantics are order-free, so oracles are unaffected)
+      .select(col("doc_id"), array_sort(array_distinct(expr(
+        s"transform(sequence(1, size(w)-${n - 1}), i -> concat_ws(' ', slice(w, i, $n)))")))
         .as("toks"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -59,10 +61,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** MinHash + LSH banding: candidates from band-bucket collisions,
-    * verified with exact Jaccard (false positives removed; false-negative
-    * probability (1-t^r)^bands).
-    */
   /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:
     * the unit both the batch pair search and the incremental index
     * share. At scale this is what gets persisted bucketed by
@@ -86,17 +84,23 @@ object Dedup {
     */
   private def verifyPairs(cand: DataFrame, shA: DataFrame, shB: DataFrame,
                           threshold: Double): DataFrame = {
+    graft.functions.SetFunctions.register(cand.sparkSession)
     val sa = shA.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val sb = shB.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
+      // fused codegen two-pointer merge; toks are sorted by contract
       .withColumn("inter",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+        expr("sorted_intersect_size(toks_a, toks_b)").cast("double"))
       .withColumn("jaccard",
         col("inter") / (size(col("toks_a")) + size(col("toks_b")) - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash + LSH banding: candidates from band-bucket collisions,
+    * verified with exact Jaccard (false positives removed; false-negative
+    * probability (1-t^r)^bands).
+    */
   def minhashPairs(sh: DataFrame, threshold: Double, numPerms: Int = 128,
                    bands: Int = 32): DataFrame = {
     val bandRows = minhashBandRows(sh, numPerms, bands)

@@ -12,6 +12,28 @@ class ApiSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("sorted_intersect_size agrees with size(array_intersect) on real shingles") {
+    graft.functions.SetFunctions.register(spark)
+    val edge = spark.sql(
+      """SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n1,
+                sorted_intersect_size(CAST(array() AS ARRAY<STRING>), array('x')) AS n2,
+                sorted_intersect_size(array('a'), array('b')) AS n3,
+                sorted_intersect_size(array('a','b'), array('a','b')) AS n4""")
+      .collect().head
+    assert((edge.getLong(0), edge.getLong(1), edge.getLong(2), edge.getLong(3))
+      === ((2L, 0L, 0L, 2L)))
+    // cross-check the fused merge against the builtin on all shingle pairs
+    // of the first 40 docs (sorted+distinct by the shingles contract)
+    val sh = Dedup.shingles(docs.filter(col("doc_id") < 40), "doc_id", "text")
+    val a = sh.select(col("doc_id").as("ida"), col("toks").as("ta"))
+    val b = sh.select(col("doc_id").as("idb"), col("toks").as("tb"))
+    val mismatches = a.crossJoin(b)
+      .withColumn("fused", expr("sorted_intersect_size(ta, tb)"))
+      .withColumn("builtin", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("fused") =!= col("builtin")).count()
+    assert(mismatches === 0)
+  }
+
   test("cluster-based dedup keeps exactly one representative per component") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val clusters = Dedup.duplicateClusters(Dedup.nearDuplicatePairs(sh, 0.5))
