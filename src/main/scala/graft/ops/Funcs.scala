@@ -215,6 +215,46 @@ object Funcs {
           get_json_object(col("props"), "$.k").cast("long").as("k_num"))
         .orderBy("event_id")),
 
+    // Error-safe casts: TRY_CAST yields NULL where ANSI CAST throws —
+    // the ingestion-time safety valve for dirty columns (ANSI stays ON
+    // for arithmetic; TRY_CAST scopes the leniency to the cast).
+    Q("q_try_cast",
+      Some("""SELECT p_partkey,
+                     TRY_CAST(p_brand AS BIGINT) AS brand_num,
+                     TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_digits,
+                     TRY_CAST(p_name AS DOUBLE) AS name_num,
+                     CAST(TRY_CAST(p_size AS VARCHAR) AS BIGINT) AS size_rt
+              FROM part ORDER BY p_partkey"""),
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          expr("try_cast(p_brand AS BIGINT)").as("brand_num"),
+          expr("try_cast(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)")
+            .as("brand_digits"),
+          expr("try_cast(p_name AS DOUBLE)").as("name_num"),
+          col("p_size").cast("string").cast("long").as("size_rt"))
+        .orderBy("p_partkey")),
+
+    // Equal-width histogram via arithmetic bucketing (shared formula on
+    // both engines; count per bucket) — the group-by is on a computed
+    // int key, so it map-side combines like any hash agg.
+    Q("q_histogram",
+      Some("""WITH b AS (SELECT (SELECT min(l_extendedprice) FROM lineitem) AS lo,
+                                (SELECT max(l_extendedprice) FROM lineitem) AS hi),
+                   h AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10)) AS BIGINT), 9) AS bucket
+                         FROM lineitem, b)
+              SELECT bucket, count(*) AS n FROM h GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val bounds = li.agg(min("l_extendedprice").as("lo"),
+          max("l_extendedprice").as("hi"))
+        li.crossJoin(broadcast(bounds))
+          .select(least(floor((col("l_extendedprice") - col("lo"))
+              / ((col("hi") - col("lo")) / 10)).cast("long"), lit(9L))
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      }),
+
     // MapType construction/access (DuckDB map_extract returns a LIST →
     // [1] unwraps; values serialized to scalars for the hash compare).
     Q("q_map_ops",
