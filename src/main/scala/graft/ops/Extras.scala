@@ -44,6 +44,19 @@ object Extras {
               SELECT user_id, count(*) AS n_events FROM e GROUP BY 1 ORDER BY 1"""),
       (s, dir) => Streams.statefulUserCounts(s, dir).select("user_id", "n_events")),
 
+    // The §2B-declared q_stream_rate: tumbling windows in APPEND mode —
+    // only watermark-closed windows emit (the unbounded-safe mode), so
+    // the finite replay equals the batch windows ending <= max(ts) - 1h.
+    Q("q_stream_rate",
+      Some(s"""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+                    m AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e)
+               SELECT time_bucket(INTERVAL '10 minutes', ts) AS ws,
+                      time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes' AS we,
+                      count(*) AS n, ${oSum("value")} AS sum_value
+               FROM e, m
+               GROUP BY 1, 2 HAVING we <= (SELECT wm FROM m) ORDER BY 1"""),
+      (s, dir) => Streams.tumblingCountsAppend(s, dir)),
+
     // Streaming exact dedup (dropDuplicates + watermark, RocksDB state):
     // output is the distinct key set, so the batch oracle is DISTINCT.
     Q("q_stream_dedup",

@@ -108,6 +108,28 @@ object Streams {
       .orderBy("ws")
   }
 
+  /** The declared q_stream_rate shape (SURVEY §2B last row): the
+    * q_window_tumble plan on a stream, APPEND mode — only windows the
+    * watermark has closed are emitted, which is the unbounded-safe
+    * output mode (complete mode re-emits all state every batch and
+    * cannot run forever). On the finite replay the emitted set is
+    * exactly the windows ending at or before max(ts) - delay —
+    * deterministic, so it oracle-checks against that batch predicate.
+    * Swap the file source for `readStream.format("rate")` (or kafka)
+    * for a live unbounded feed; the plan is unchanged.
+    */
+  def tumblingCountsAppend(spark: SparkSession, dir: String): DataFrame = {
+    def agg(s: SparkSession) = eventsStream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
+    runToMemory(spark, agg, "append")
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("n"), col("sum_value"))
+      .orderBy("ws")
+  }
+
   /** Per-user session counts via session_window with a 30-minute gap —
     * the streaming twin of q_session_gap (session count per user).
     */
