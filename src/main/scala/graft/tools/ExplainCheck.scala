@@ -10,8 +10,9 @@ object ExplainCheck {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq else Seq(
-      "q_scan_project", "q_filter_pred", "q_join_inner", "q_join_multiway",
-      "q_agg_group", "q_dedup_minhash", "q_sim_cosine")
+      "q_scan_project", "q_filter_pred", "q_join_multiway", "q_agg_group",
+      "q_join_bucketed", "q_agg_bucketed", "q_dedup_minhash", "q_dedup_incr",
+      "q_sim_cosine", "q_sample_det", "q_join_asof", "q_typed_agg")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
