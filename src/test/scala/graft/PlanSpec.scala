@@ -77,6 +77,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected runtime skew-join splitting in:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    import org.apache.spark.sql.functions._
+    // At 100 TB the defaults engage on their own (application-side scan
+    // threshold is 10 GB); the local fixture needs the thresholds
+    // lowered to demonstrate the same plan shape.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "500MB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+    val o = s.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT") // selective build side
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    j.collect() // finalize the adaptive plan on THIS DataFrame
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+      s"expected an injected runtime bloom filter in:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
