@@ -106,3 +106,30 @@ object DagProps extends Properties("Dag") {
       r(StepURI.table("t/latest")) == Seq(versions.max)
     }
 }
+
+/** Pure (no SparkSession) properties of the fused set expression: the
+  * two-pointer merge must agree with Scala Set intersection on every
+  * sorted-distinct input.
+  */
+object SetExpressionProperties extends Properties("SortedIntersectSize") {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def arr(xs: Seq[String]) = Literal(
+    new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any]),
+    ArrayType(StringType))
+
+  private val tokens = Gen.listOf(Gen.oneOf(
+    ('a' to 'z').map(_.toString) ++ Seq("aa", "ab", "ba", "zz", "")))
+
+  property("equals Set intersection size on sorted distinct arrays") =
+    forAll(tokens, tokens) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = graft.functions.SortedIntersectSize(arr(sa), arr(sb))
+        .eval(null).asInstanceOf[Long]
+      got == (sa.toSet & sb.toSet).size.toLong
+    }
+}
