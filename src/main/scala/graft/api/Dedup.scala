@@ -219,12 +219,29 @@ object Dedup {
   }
 
   /** Remove near-duplicates: keeps the smallest doc_id of every pair
-    * component (greedy per-pair loser drop).
+    * component (greedy per-pair loser drop). For sparse pair graphs this
+    * can keep more than one member of a transitive component (a node
+    * that never appears as doc_b survives) — use
+    * [[dropNearDuplicatesByCluster]] for exactly-one-per-component.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.5, n: Int = 4): DataFrame = {
     val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n), threshold)
     val losers = pairs.select(col("doc_b").as(idCol)).distinct()
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Remove near-duplicates transitively: connected components over the
+    * pair graph, keep exactly the minimum-id member of every component
+    * (ApiSpec pins the one-representative-per-component property).
+    */
+  def dropNearDuplicatesByCluster(docs: DataFrame, idCol: String,
+                                  textCol: String, threshold: Double = 0.5,
+                                  n: Int = 4): DataFrame = {
+    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n), threshold)
+    val losers = duplicateClusters(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
 }

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Synthetic 10x scale-up probe: replicates the sf0.1 corpus with
+  * shifted ids and measures the scale-sensitive operators, so growth
+  * factors (not absolute times) validate the complexity claims —
+  * near-dup candidate generation must grow ~linearly with the corpus
+  * (inverted index), NOT quadratically, and the big joins/aggs must
+  * stay shuffle-bound rather than exploding.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.api.Dedup
+
+    def tm[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    }
+
+    // documents x mult with distinct ids: same text => duplicate pairs
+    // grow mult^2 per original pair ONLY within replica groups if text
+    // is identical; shift text per replica to keep pair density flat.
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    val n0 = docs0.count()
+    val reps = spark.range(mult).select(col("id").as("rep"))
+    val docs = docs0.crossJoin(reps)
+      .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+        concat(col("text"), lit(" r"), col("rep")).as("text"))
+    println(s"docs: $n0 -> ${n0 * mult}")
+
+    val sh1 = Dedup.shingles(docs0.select("doc_id", "text"), "doc_id", "text")
+    val t1 = System.nanoTime()
+    val p1 = Dedup.nearDuplicatePairs(sh1, 0.5).count()
+    val d1 = (System.nanoTime() - t1) / 1e9
+    val shN = Dedup.shingles(docs, "doc_id", "text")
+    val tN = System.nanoTime()
+    val pN = Dedup.nearDuplicatePairs(shN, 0.5).count()
+    val dN = (System.nanoTime() - tN) / 1e9
+    println(f"near-dup pairs: 1x=$p1 (${d1}%.2f s)  ${mult}x=$pN (${dN}%.2f s)  time-growth=${dN / d1}%.1fx (corpus ${mult}x)")
+
+    // lineitem x mult joined to orders (broadcast-ineligible fact-fact)
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val li = li0.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * lit(100000000L))
+    val o0 = spark.read.parquet(s"$dir/orders.parquet")
+    val o = o0.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * lit(100000000L))
+    val tj = System.nanoTime()
+    val nj = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").count().count()
+    val dj = (System.nanoTime() - tj) / 1e9
+    println(f"fact-fact join+agg at ${mult}x lineitem (${li0.count() * mult} rows): ${dj}%.2f s ($nj groups)")
+    spark.stop()
+  }
+}

@@ -38,7 +38,7 @@ class ApiSpec extends AnyFunSuite {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val clusters = Dedup.duplicateClusters(Dedup.nearDuplicatePairs(sh, 0.5))
     val losers = clusters.filter(col("doc_id") =!= col("cluster"))
-    val kept = docs.join(losers.select("doc_id"), Seq("doc_id"), "left_anti")
+    val kept = Dedup.dropNearDuplicatesByCluster(docs, "doc_id", "text", 0.5)
     assert(kept.count() === docs.count() - losers.count())
     // each component keeps precisely its min-id member
     val keptPerCluster = clusters
