@@ -55,22 +55,42 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, idCol: String,
               vecCol: String, queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    ivfSearch(ivfIndex(vectors, centroids, idCol, vecCol), cents,
+      queryId, k, nProbe)
+  }
+
+  /** The offline half of IVF: assign every vector to its nearest
+    * centroid. At corpus scale this is written ONCE (ideally bucketed
+    * on cent_id via [[graft.api.Bucketing]]) and searched many times —
+    * the assignment scan must not be paid per query.
+    */
+  def ivfIndex(vectors: DataFrame, centroids: DataFrame, idCol: String,
+               vecCol: String): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
     val cents = prepared(centroids, idCol, vecCol)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("cd", expr("vec_dot(v, cv)"))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("v"), col("cent_id"))
-    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+  }
+
+  /** The online half: pick the query's nProbe nearest cells, exact-rank
+    * inside them. Touches ~nProbe/nCells of the index.
+    */
+  def ivfSearch(index: DataFrame, cents: DataFrame, queryId: Long,
+                k: Int, nProbe: Int): DataFrame = {
+    val qv = index.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(qv))
       .withColumn("cd", expr("vec_dot(qv, cv)"))
       .orderBy(col("cd").desc, col("cent_id"))
       .limit(nProbe)
       .select(col("cent_id"))
-    assigned.join(broadcast(probes), "cent_id")
+    index.join(broadcast(probes), "cent_id")
       .filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(qv))
       .withColumn("cos", expr("cosine_sim(v, qv)"))

@@ -66,6 +66,32 @@ object TextAnalysis {
       s"""aggregate(transform(split($textCol, ''), c -> CAST(ascii(c) AS BIGINT)),
                     0L, (a, x) -> (a * 31 + x) % 1000000007)""").as("fp"))
 
+  /** Top-k terms per document by tf-idf (ln idf, 6dp): keyword
+    * extraction over a corpus in three hash aggregations — tf per
+    * (doc, term), df per term, N — then a per-doc ranking window.
+    * Ranking uses the ROUNDED score (ties broken by term) so the
+    * ordering is identical on every engine and partitioning.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+  }
+
   /** Per-document Shannon entropy over characters (nats, 6dp) — a core
     * LLM-data quality signal (gibberish and boilerplate sit at the
     * entropy extremes). Single scan, pure HOFs; the distinct-char list

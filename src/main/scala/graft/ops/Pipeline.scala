@@ -268,6 +268,26 @@ object Pipeline {
       (s, dir) => TextAnalysis.fingerprint(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
 
+    // Top-3 tf-idf keywords per doc: three hash aggs + a ranking
+    // window; ranking on the ROUNDED score keeps orderings identical.
+    Q("q_text_tfidf",
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                           FROM documents),
+                   tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+                   df AS (SELECT term, count(*) AS df
+                          FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1),
+                   n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+                   sc AS (SELECT doc_id, term,
+                                 ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+                          FROM tf JOIN df USING (term), n),
+                   r AS (SELECT *, row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+                         FROM sc)
+              SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tfidf
+              FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3).orderBy("doc_id", "rnk")),
+
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
     Q("q_text_entropy",

@@ -60,6 +60,42 @@ object ScaleProbe {
       .groupBy("o_orderpriority").count().count()
     val dj = (System.nanoTime() - tj) / 1e9
     println(f"fact-fact join+agg at ${mult}x lineitem (${li0.count() * mult} rows): ${dj}%.2f s ($nj groups)")
+
+    // ANN at mult x vectors: brute-force scan vs IVF probe (same k)
+    import graft.api.Similarity
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    val emb = emb0.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(1000000))
+      .persist()
+    println(s"vectors: ${emb.count()}")
+    val tb = System.nanoTime()
+    Similarity.topK(emb, "vec_id", "embedding", queryId = 1, k = 10).count()
+    val db = (System.nanoTime() - tb) / 1e9
+    // index construction (centroids + assignment) is offline — a real
+    // deployment writes it bucketed once; only the probe is per-query
+    val cents0 = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 64, iters = 2)
+      .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    val index = Similarity.ivfIndex(emb, cents0, "vec_id", "embedding")
+      .persist()
+    index.count()
+    val cents = cents0.select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val ti = System.nanoTime()
+    Similarity.ivfSearch(index, cents, queryId = 1, k = 10, nProbe = 8).count()
+    val di = (System.nanoTime() - ti) / 1e9
+    // wall times converge at local scale (both overhead-bound); the
+    // scale argument is candidates scored per query
+    val total = index.count()
+    val probed = {
+      val qv = index.filter(col("vec_id") === 1).select(col("v").as("qv"))
+      val pr = cents.crossJoin(broadcast(qv))
+        .withColumn("cd", expr("vec_dot(qv, cv)"))
+        .orderBy(col("cd").desc, col("cent_id")).limit(8).select("cent_id")
+      index.join(broadcast(pr), "cent_id").count()
+    }
+    println(f"ANN at ${mult}x: brute=${db}%.2f s scoring $total vecs; " +
+      f"ivf probe=${di}%.2f s scoring $probed vecs (${100.0 * probed / total}%.1f%%)")
     spark.stop()
   }
 }
