@@ -47,6 +47,35 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("vec_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Zero-shuffle nearest-centroid assignment: the k centroids are
+    * folded into ONE array row (k×dim doubles — trivially broadcastable),
+    * attached to the corpus with a broadcast nested-loop join (no
+    * Exchange), and the argmax is a pure projection — an aggregate fold
+    * over the centroid array. No corpus×k row blowup, no window
+    * sort/shuffle: the assignment stage is a single narrow scan, which
+    * is what an offline index build must be at 100 TB. Ties break to the
+    * lowest cent_id (array_sort orders the fold by cent_id; the strict
+    * `>` keeps the first maximum), matching the old window tiebreak.
+    *
+    * Cosine is THE metric — same expression as probe selection and
+    * final ranking, so cell membership always agrees with query-time
+    * scoring (a dot-product assignment disagrees with cosine ranking
+    * whenever vector norms vary, silently costing recall).
+    */
+  private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents.agg(array_sort(collect_list(
+      struct(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))))
+      .as("cents"))
+    e.crossJoin(broadcast(centArr))
+      .withColumn("cent_id", expr(
+        """aggregate(
+             transform(cents, c -> named_struct(
+               'sc', cosine_sim(v, c.cv), 'cid', c.cent_id)),
+             named_struct('sc', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+             (acc, s) -> IF(s.sc > acc.sc, s, acc)).cid"""))
+      .drop("cents")
+  }
+
   /** IVF-style approximate top-k: assign vectors to their nearest
     * centroid, probe the query's nProbe nearest centroid partitions,
     * exact search within. Centroids come from the caller (k-means or any
@@ -71,12 +100,7 @@ object Similarity {
     val e = prepared(vectors, idCol, vecCol)
     val cents = prepared(centroids, idCol, vecCol)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cd").desc, col("cent_id"))
-    e.crossJoin(broadcast(cents))
-      .withColumn("cd", expr("vec_dot(v, cv)"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
+    assignNearest(e, cents).select(col("vec_id"), col("v"), col("cent_id"))
   }
 
   /** The online half: pick the query's nProbe nearest cells, exact-rank
@@ -86,7 +110,7 @@ object Similarity {
                 k: Int, nProbe: Int): DataFrame = {
     val qv = index.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(qv))
-      .withColumn("cd", expr("vec_dot(qv, cv)"))
+      .withColumn("cd", expr("cosine_sim(qv, cv)"))
       .orderBy(col("cd").desc, col("cent_id"))
       .limit(nProbe)
       .select(col("cent_id"))
@@ -107,7 +131,10 @@ object Similarity {
     * (centroid, dimension) via posexplode + two-phase avg — one shuffle
     * of k×dim cells, never a collect of the corpus. Iteration count is
     * fixed (index build is offline at scale; convergence-checking adds a
-    * barrier per round for little value at small `iters`).
+    * barrier per round for little value at small `iters`). Assignment is
+    * the zero-shuffle [[assignNearest]] projection: each round is one
+    * corpus scan + one k×dim-cell shuffle, nothing proportional to
+    * corpus×k.
     */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3): DataFrame = {
@@ -116,12 +143,7 @@ object Similarity {
     var cents = e.orderBy("vec_id").limit(k)
       .select(col("vec_id").as("cent_id"), col("v").as("cv"))
     for (_ <- 0 until iters) {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("cd").desc, col("cent_id"))
-      val assigned = e.crossJoin(broadcast(cents))
-        .withColumn("cd", expr("cosine_sim(v, cv)"))
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1)
+      val assigned = assignNearest(e, cents)
         .select(col("cent_id"), col("v"))
       cents = assigned
         .select(col("cent_id"), posexplode(col("v")))
@@ -137,7 +159,7 @@ object Similarity {
 
   /** Sign-LSH (random hyperplane) bucket column: `bits` sign bits, each
     * the sign of a dot product with a pseudo-random ±1 hyperplane
-    * derived from splitmix64(bit, dim) — deterministic, no stored
+    * derived from xxhash64(bit, dim) — deterministic, no stored
     * projection matrix, and a pure codegen expression per row.
     *
     * P[bit collision] = 1 - θ/π (Charikar'02), so cosine-close vectors
@@ -147,12 +169,16 @@ object Similarity {
     * corpus.
     */
   private def lshBucket(vecCol: String, bits: Int) = {
-    // ±1 component for (bit b, dim j): parity of xxhash64(b*1024 + j) —
-    // overflow-free under ANSI mode, deterministic across executors.
+    // ±1 component for (bit b, dim j): parity of the two-argument
+    // xxhash64(b, j) — the seed space is the full (b, j) pair, so no
+    // two (bit, dim) coordinates share a hyperplane component at ANY
+    // dimensionality (a b*K+j encoding aliases once dim >= K, which
+    // correlates LSH bits on e.g. 1536-dim embeddings). Overflow-free
+    // under ANSI mode, deterministic across executors.
     val bitExprs = (0 until bits).map { b =>
       s"""(CASE WHEN aggregate(zip_with($vecCol,
              transform(sequence(0, size($vecCol) - 1),
-               j -> CAST(IF((xxhash64(${b * 1024}L + CAST(j AS BIGINT)) & 1L) = 0L,
+               j -> CAST(IF((xxhash64(${b}L, CAST(j AS BIGINT)) & 1L) = 0L,
                          1.0D, -1.0D) AS DOUBLE)),
              (x, r) -> x * r), 0.0D, (acc, p) -> acc + p) >= 0
           THEN ${1L << b}L ELSE 0L END)"""

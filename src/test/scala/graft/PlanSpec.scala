@@ -97,6 +97,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected an injected runtime bloom filter in:\n$p")
   }
 
+  test("IVF centroid assignment is a zero-shuffle projection") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val idx = api.Similarity.ivfIndex(e, e.filter(col("vec_id") < 16),
+      "vec_id", "embedding")
+    val p = idx.queryExecution.executedPlan.toString
+    // centroids fold to one broadcast row; per-vector argmax is a pure
+    // projection — the old crossJoin+window shape shuffled corpus×k rows
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast attach in:\n$p")
+    assert(!p.contains("ShuffleExchange"),
+      s"assignment must not shuffle the corpus:\n$p")
+    assert(!p.contains("Window"), s"no window sort in assignment:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
