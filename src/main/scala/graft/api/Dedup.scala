@@ -40,13 +40,21 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Exact n-gram-Jaccard pairs ≥ threshold via inverted-index join.
-    * Singleton postings are dropped (df=1 cannot pair); the shared-
-    * shingle count is the intersection, so only set sizes join back.
+    * Singleton postings are dropped (df=1 cannot pair), and postings
+    * with document frequency above `maxDf` are dropped too: a
+    * boilerplate shingle shared by 10⁵ docs would emit 10¹⁰ candidate
+    * rows from this self-join — the classic inverted-index skew killer.
+    * Dropping a hot posting costs recall only for pairs whose ENTIRE
+    * overlap is boilerplate (a pair at Jaccard ≥ t almost surely shares
+    * rarer shingles that still collide), the same trade CCNet-style
+    * pipelines make by discarding high-df n-grams. Set
+    * `maxDf = Int.MaxValue` for the exact-at-any-cost behavior.
     */
-  def nearDuplicatePairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def nearDuplicatePairs(sh: DataFrame, threshold: Double,
+                         maxDf: Int = 10000): DataFrame = {
     val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
     val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("tok")
+      .filter(col("df") >= 2 && col("df") <= maxDf).select("tok")
     val ex2 = ex.join(hot, Seq("tok"), "left_semi")
     val pairs = ex2.as("a").join(ex2.as("b"), "tok")
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -186,7 +194,14 @@ object Dedup {
     * shuffle on node id; `localCheckpoint` truncates the growing plan
     * lineage so round N doesn't replay rounds 1..N-1 (the classic
     * iterative-DataFrame trap). Duplicate clusters are near-cliques, so
-    * diameters are tiny and `maxIter` = 20 is generous.
+    * diameters are tiny and `maxIter` = 20 is generous; if a component's
+    * diameter ever exceeds it, the loop THROWS rather than silently
+    * emitting a non-fixpoint labeling.
+    *
+    * Convergence detection is free-riding: the previous label is carried
+    * through the (eager) localCheckpoint, so counting changed rows is a
+    * scan over already-materialized blocks — no join-against-previous
+    * job per round.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
@@ -204,17 +219,19 @@ object Dedup {
         .groupBy("u").agg(min(col("cluster")).as("nbr_cluster"))
       val next = labels
         .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("cluster").as("prev"),
           least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
             .as("cluster"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("node"), col("cluster"))
       iter += 1
     }
     edges.unpersist()
+    if (changed > 0) throw new IllegalStateException(
+      s"duplicateClusters: still $changed label changes after $maxIter " +
+        "rounds — component diameter exceeds maxIter; raise maxIter " +
+        "(results would otherwise be a silently-wrong non-fixpoint labeling)")
     labels.select(col("node").as("doc_id"), col("cluster"))
   }
 

@@ -21,6 +21,19 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.api.Dedup
 
+    // running total of shuffle-write bytes across all completed stages:
+    // the probe reports per-block deltas so growth factors expose any
+    // hidden quadratic shuffle, not just wall-clock noise
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def shufSnap(): Long = { Thread.sleep(500); shuffleBytes.get } // listener lag
+
     def tm[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
@@ -47,6 +60,56 @@ object ScaleProbe {
     val pN = Dedup.nearDuplicatePairs(shN, 0.5).count()
     val dN = (System.nanoTime() - tN) / 1e9
     println(f"near-dup pairs: 1x=$p1 (${d1}%.2f s)  ${mult}x=$pN (${dN}%.2f s)  time-growth=${dN / d1}%.1fx (corpus ${mult}x)")
+
+    // hot-shingle skew: plant one boilerplate shingle into every 5th doc
+    // (df ~ corpus/5). Uncapped, that single posting contributes df²/2
+    // candidate rows; the default maxDf cap drops it. Report both walls —
+    // the capped run must not inherit the quadratic term.
+    val hotDocs = docs.withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(lit("follow us on social media today "), col("text")))
+        .otherwise(col("text")))
+    val shHot = Dedup.shingles(hotDocs, "doc_id", "text")
+    val hotDf = shHot.count() / 5
+    val tCap = System.nanoTime()
+    val pCap = Dedup.nearDuplicatePairs(shHot, 0.5).count()
+    val dCap = (System.nanoTime() - tCap) / 1e9
+    val tUnc = System.nanoTime()
+    val pUnc = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = Int.MaxValue).count()
+    val dUnc = (System.nanoTime() - tUnc) / 1e9
+    println(f"hot-shingle (df~$hotDf): capped=$pCap pairs ${dCap}%.2f s   " +
+      f"uncapped=$pUnc pairs ${dUnc}%.2f s  (uncapped candidate term ~ df²/2 = ${hotDf * hotDf / 2})")
+
+    // clustering + incremental dedup: the iterative and index-join paths
+    // whose growth factors matter most at 100 TB
+    val pr1 = Dedup.nearDuplicatePairs(sh1, 0.5).persist(); pr1.count()
+    val prN = Dedup.nearDuplicatePairs(shN, 0.5).persist(); prN.count()
+    val sb0 = shufSnap()
+    val tc1 = System.nanoTime()
+    val c1 = Dedup.duplicateClusters(pr1).count()
+    val dc1 = (System.nanoTime() - tc1) / 1e9
+    val sb1 = shufSnap()
+    val tcN = System.nanoTime()
+    val cN = Dedup.duplicateClusters(prN).count()
+    val dcN = (System.nanoTime() - tcN) / 1e9
+    val sb2 = shufSnap()
+    println(f"clusters: 1x=$c1 (${dc1}%.2f s, ${(sb1 - sb0) / 1e6}%.1f MB shuffled)  " +
+      f"${mult}x=$cN (${dcN}%.2f s, ${(sb2 - sb1) / 1e6}%.1f MB)  " +
+      f"time-growth=${dcN / dc1}%.1fx shuffle-growth=${(sb2 - sb1).toDouble / (sb1 - sb0)}%.1fx")
+    pr1.unpersist(); prN.unpersist()
+
+    val ti1 = System.nanoTime()
+    val i1 = Dedup.incrementalMinhashPairs(
+      sh1.filter(col("doc_id") % 10 =!= 0), sh1.filter(col("doc_id") % 10 === 0), 0.5).count()
+    val di1 = (System.nanoTime() - ti1) / 1e9
+    val si1 = shufSnap()
+    val tiN = System.nanoTime()
+    val iN = Dedup.incrementalMinhashPairs(
+      shN.filter(col("doc_id") % 10 =!= 0), shN.filter(col("doc_id") % 10 === 0), 0.5).count()
+    val diN = (System.nanoTime() - tiN) / 1e9
+    val siN = shufSnap()
+    println(f"incremental dedup: 1x=$i1 (${di1}%.2f s)  ${mult}x=$iN (${diN}%.2f s, " +
+      f"${(siN - si1) / 1e6}%.1f MB shuffled)  time-growth=${diN / di1}%.1fx")
 
     // lineitem x mult joined to orders (broadcast-ineligible fact-fact)
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
@@ -90,7 +153,7 @@ object ScaleProbe {
     val probed = {
       val qv = index.filter(col("vec_id") === 1).select(col("v").as("qv"))
       val pr = cents.crossJoin(broadcast(qv))
-        .withColumn("cd", expr("vec_dot(qv, cv)"))
+        .withColumn("cd", expr("cosine_sim(qv, cv)"))
         .orderBy(col("cd").desc, col("cent_id")).limit(8).select("cent_id")
       index.join(broadcast(pr), "cent_id").count()
     }

@@ -63,6 +63,30 @@ class ApiSpec extends AnyFunSuite {
     assert(keys(Dedup.minhashPairs(sh, 0.5)) === keys(Dedup.nearDuplicatePairs(sh, 0.5)))
   }
 
+  test("hot-shingle df cap bounds candidates without losing true pairs") {
+    val s = spark; import s.implicits._
+    // 200 docs sharing only a boilerplate prefix (df≈200 hot shingles,
+    // pairwise jaccard ~0.17) + one genuine near-dup pair whose overlap
+    // is rare shingles (jaccard 0.75)
+    val boiler = (1L to 200L).map(i =>
+      (i, s"click here to subscribe now tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e"))
+    val dups = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9002L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val sh = Dedup.shingles((boiler ++ dups).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap well below the hot df: the true pair must survive on its rare
+    // shingles, and nothing boilerplate-only may appear
+    assert(keys(Dedup.nearDuplicatePairs(sh, 0.5, maxDf = 50))
+      === Set((9001L, 9002L)))
+    // identical result uncapped: the cap traded zero recall here
+    assert(keys(Dedup.nearDuplicatePairs(sh, 0.5, maxDf = Int.MaxValue))
+      === Set((9001L, 9002L)))
+  }
+
   test("knnJoin returns k ordered neighbors per query") {
     val out = Similarity.knnJoin(emb, emb.filter(col("vec_id") < 3),
       "vec_id", "embedding", k = 5).collect()
