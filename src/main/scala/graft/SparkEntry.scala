@@ -19,5 +19,6 @@ object SparkEntry {
     * (driver falls back to a rows-only check).
     */
   def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(sql => q.name -> sql.trim)).toMap
+    Registry.all.flatMap(q => q.oracle.map(sql =>
+      q.name -> ops.Sources.resolveOracle(sql.trim))).toMap
 }

@@ -12,6 +12,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the per-SF scratch tag BEFORE the oracle dump so read_csv/
+    // read_json paths in the SQL point at this run's files
+    ops.Sources.oracleSfDir = sfDir
 
     // oracle_sql.json is written FIRST: a single hung/crashed query must
     // not take the whole round's oracle map down with it.

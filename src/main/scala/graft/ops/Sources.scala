@@ -19,11 +19,30 @@ import graft.ops.H._
   */
 object Sources {
 
-  /** Shared scratch root: Verify and the oracle compare always run
-    * back-to-back on the same sf-dir, so last-writer-wins is safe and
-    * keeps the oracle SQL (a static string) path-stable.
+  /** Per-SF scratch root: the scale-factor tag (sf-dir basename) is part
+    * of the path, so runs against different SFs never cross-read each
+    * other's files — two processes on sf0.01 and sf0.1 each get their
+    * own directory. The oracle SQL carries the same tag: the registered
+    * SQL embeds [[ioPlaceholder]], and SparkEntry.oracleSql resolves it
+    * against [[oracleSfDir]] (set by Verify from its sfDir argument
+    * before the oracle dump), so the DuckDB side always reads the files
+    * the matching Spark run wrote.
     */
-  private def ioDir(dir: String) = "/tmp/graft_io"
+  private[graft] def tagOf(dir: String): String =
+    new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  private def ioDir(dir: String) = s"/tmp/graft_io/${tagOf(dir)}"
+
+  /** The sf-dir the oracle SQL should point at; Verify overwrites this
+    * with its actual argument before dumping oracle_sql.json.
+    */
+  @volatile private[graft] var oracleSfDir: String = "/root/testdata/sf0.01"
+
+  private[graft] val ioPlaceholder = "__GRAFT_IO__"
+
+  /** Substitute the scratch-path placeholder for the current SF tag. */
+  private[graft] def resolveOracle(sql: String): String =
+    sql.replace(ioPlaceholder, s"/tmp/graft_io/${tagOf(oracleSfDir)}")
 
   private val written =
     scala.collection.concurrent.TrieMap[(Int, String, String), Unit]()
@@ -35,7 +54,7 @@ object Sources {
     out
   }
 
-  private def oraclePath(fmt: String) = s"/tmp/graft_io/$fmt"
+  private def oraclePath(fmt: String) = s"$ioPlaceholder/$fmt"
 
   val qs: Seq[Q] = Seq(
 
@@ -93,27 +112,33 @@ object Sources {
           .orderBy("n_regionkey")
       }),
 
-    // Exact interpolated percentiles: Spark `percentile` and DuckDB
-    // `quantile_cont` share (1-f)*lo + f*hi semantics; 6dp rounding
-    // absorbs the one-ulp fp differences of the interpolation.
-    // GK sketch quantiles with accuracy ≥ N: the sketch degenerates to
-    // exact order statistics, so it matches quantile_disc — and the
-    // SAME query at lower accuracy is the bounded-memory scale path (the
-    // accuracy parameter is the memory/exactness dial, 100% Spark-side
-    // mergeable across partitions).
+    // GK sketch quantiles with accuracy ≥ the largest group: the sketch
+    // degenerates to exact order statistics, so it matches quantile_disc
+    // — and the SAME query at lower accuracy is the bounded-memory scale
+    // path (the accuracy parameter is the memory/exactness dial, 100%
+    // Spark-side mergeable across partitions). The accuracy is DERIVED
+    // from the table's row count (a parquet-footer count, no data scan)
+    // rather than hardcoded: a fixed 1e6 silently goes approximate — and
+    // desyncs from the exact oracle — the moment a group exceeds it
+    // (sf≥1 lineitem). A production caller pins a fixed accuracy and
+    // accepts the ε·N rank error instead of scaling memory with N.
     Q("q_approx_quantile",
       Some("""SELECT l_returnflag,
                      quantile_disc(l_quantity, 0.25) AS q25,
                      quantile_disc(l_quantity, 0.5)  AS q50,
                      quantile_disc(l_quantity, 0.9)  AS q90
               FROM lineitem GROUP BY 1 ORDER BY 1"""),
-      (s, dir) => t(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("approx_percentile(l_quantity, 0.25, 1000000)").as("q25"),
-          expr("approx_percentile(l_quantity, 0.5, 1000000)").as("q50"),
-          expr("approx_percentile(l_quantity, 0.9, 1000000)").as("q90"))
-        .orderBy("l_returnflag")),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        // accuracy is an Int parameter in Spark's GK implementation
+        val acc = math.min(math.max(1000000L, li.count()), Int.MaxValue.toLong)
+        li.groupBy("l_returnflag")
+          .agg(
+            expr(s"approx_percentile(l_quantity, 0.25, $acc)").as("q25"),
+            expr(s"approx_percentile(l_quantity, 0.5, $acc)").as("q50"),
+            expr(s"approx_percentile(l_quantity, 0.9, $acc)").as("q90"))
+          .orderBy("l_returnflag")
+      }),
 
     // Time-series resample + forward fill: dense per-region day spine
     // (sequence/generate_series), left join observed daily revenue,
