@@ -53,8 +53,7 @@ object Streams {
     * memory-backed storage when available — on a real cluster this must
     * be durable storage instead, set via `checkpointLocation`.
     */
-  def runToMemory(spark0: SparkSession, mkStream: SparkSession => DataFrame,
-                  outputMode: String, rocksdb: Boolean = false): DataFrame = {
+  private def childSession(spark0: SparkSession, rocksdb: Boolean): SparkSession = {
     val spark = spark0.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // Finite replay: keep only the latest checkpoint batch and push the
@@ -69,18 +68,13 @@ object Streams {
     // semantics, state spills to local disk with incremental checkpoints.
     if (rocksdb) spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val stream = mkStream(spark)
-    val name = "s_" + UUID.randomUUID().toString.replace("-", "")
-    val ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ck"
-                 else sys.props("java.io.tmpdir") + "/graft-ck"
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation", s"$ckBase/$name")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    spark
+  }
+
+  private def ckBase = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-ck"
+                       else sys.props("java.io.tmpdir") + "/graft-ck"
+
+  private def rmCk(name: String): Unit = {
     // finite replay is done → checkpoint has no recovery value; drop it
     // so repeated runs don't accumulate state in shm
     def rm(f: java.io.File): Unit = {
@@ -88,25 +82,85 @@ object Streams {
       f.delete(): Unit
     }
     rm(new java.io.File(s"$ckBase/$name"))
+  }
+
+  /** Start a stream into a named memory sink; non-blocking. */
+  private def startToMemory(stream: DataFrame, outputMode: String) = {
+    val name = "s_" + UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation", s"$ckBase/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    (q, name)
+  }
+
+  def runToMemory(spark0: SparkSession, mkStream: SparkSession => DataFrame,
+                  outputMode: String, rocksdb: Boolean = false): DataFrame = {
+    val spark = childSession(spark0, rocksdb)
+    val (q, name) = startToMemory(mkStream(spark), outputMode)
+    q.awaitTermination()
+    rmCk(name)
     spark.table(name)
   }
+
+  /** The three windowed replays (tumble-complete / tumble-append /
+    * session), built ONCE per (session, dir) as three CONCURRENT
+    * streaming queries in one shared child session: they consume the
+    * same file source, so serializing them paid three rounds of source
+    * listing + micro-batch + checkpoint machinery for one file of
+    * input. Concurrent independent streaming queries are the normal
+    * production shape (one SparkSession hosts many streams); the
+    * combined wall is ~the slowest replay instead of the sum.
+    */
+  private val replayCache = scala.collection.concurrent
+    .TrieMap[(Int, String), Map[String, DataFrame]]()
+
+  private[graft] def clearReplays(spark0: SparkSession): Unit =
+    replayCache.synchronized {
+      replayCache.keys.filter(_._1 == System.identityHashCode(spark0))
+        .foreach(replayCache.remove)
+    }
+
+  private def windowedReplays(spark0: SparkSession,
+                              dir: String): Map[String, DataFrame] =
+    replayCache.synchronized {
+      replayCache.getOrElseUpdate((System.identityHashCode(spark0), dir), {
+        val spark = childSession(spark0, rocksdb = false)
+        def tumbleAgg = eventsStream(spark, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4)
+              .as("sum_value"))
+        val sessAgg = eventsStream(spark, dir)
+          .withWatermark("ts", "1 hour")
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+        val started = Seq(
+          "tumble_complete" -> startToMemory(tumbleAgg, "complete"),
+          "tumble_append" -> startToMemory(tumbleAgg, "append"),
+          "session_complete" -> startToMemory(sessAgg, "complete"))
+        started.map { case (key, (q, name)) =>
+          q.awaitTermination()
+          rmCk(name)
+          key -> spark.table(name)
+        }.toMap
+      })
+    }
 
   /** Tumbling 10-minute counts + exact-decimal sums with a 1-hour
     * watermark — the streaming twin of q_window_tumble. Complete output
     * mode so the finite replay emits every window (append would hold the
     * final windows open past the watermark).
     */
-  def tumblingCounts(spark: SparkSession, dir: String): DataFrame = {
-    def agg(s: SparkSession) = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "10 minutes"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
-    runToMemory(spark, agg, "complete")
+  def tumblingCounts(spark: SparkSession, dir: String): DataFrame =
+    windowedReplays(spark, dir)("tumble_complete")
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("n"), col("sum_value"))
       .orderBy("ws")
-  }
 
   /** The declared q_stream_rate shape (SURVEY §2B last row): the
     * q_window_tumble plan on a stream, APPEND mode — only windows the
@@ -118,31 +172,20 @@ object Streams {
     * Swap the file source for `readStream.format("rate")` (or kafka)
     * for a live unbounded feed; the plan is unchanged.
     */
-  def tumblingCountsAppend(spark: SparkSession, dir: String): DataFrame = {
-    def agg(s: SparkSession) = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "10 minutes"))
-      .agg(count(lit(1)).as("n"),
-        round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
-    runToMemory(spark, agg, "append")
+  def tumblingCountsAppend(spark: SparkSession, dir: String): DataFrame =
+    windowedReplays(spark, dir)("tumble_append")
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("n"), col("sum_value"))
       .orderBy("ws")
-  }
 
   /** Per-user session counts via session_window with a 30-minute gap —
     * the streaming twin of q_session_gap (session count per user).
     */
-  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
-    def agg(s: SparkSession) = eventsStream(s, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
-    runToMemory(spark, agg, "complete")
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame =
+    windowedReplays(spark, dir)("session_complete")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .orderBy("user_id")
-  }
 
   /** Arbitrary stateful processing demo: running per-user aggregates via
     * flatMapGroupsWithState — the extension point the reference's
@@ -177,20 +220,25 @@ object Streams {
       .orderBy("user_id")
   }
 
-  /** Streaming exact dedup: `dropDuplicates` over the key columns with a
-    * watermark bounding state retention — the unbounded twin of
-    * Dedup.exactDuplicates for at-least-once sources. Output is the
-    * distinct key set (deterministic regardless of which duplicate
-    * arrived first), RocksDB-backed: at 100 TB the seen-keys state is
-    * billions of entries and must live off-heap.
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` over the key
+    * columns — the unbounded twin of Dedup.exactDuplicates for
+    * at-least-once sources. The WithinWatermark variant is what actually
+    * bounds state: plain `dropDuplicates(keys)` without the event-time
+    * column in the keys NEVER evicts its seen-keys state (the watermark
+    * only evicts state whose key embeds event time), so it leaks without
+    * bound on a real stream. Here state for keys older than the
+    * watermark is dropped; a key recurring after expiry re-emits, which
+    * the downstream `.distinct()` collapses — the exact-duplicate
+    * contract at-least-once delivery needs anyway. RocksDB-backed: at
+    * 100 TB the in-flight key state is large and must live off-heap.
     */
   def dedupKeys(spark: SparkSession, dir: String): DataFrame = {
     def out(s: SparkSession) = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("user_id", "event_type")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
     runToMemory(spark, out, "append", rocksdb = true)
-      .distinct() // replay across micro-batch boundaries is exact; keep the batch-side contract explicit
+      .distinct() // keys recurring after watermark expiry re-emit; collapse them
       .orderBy("user_id", "event_type")
   }
 
