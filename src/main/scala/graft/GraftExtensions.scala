@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import graft.functions.{CosineSimilarity, MinHashAgg, SimHashAgg, VectorDot}
 
@@ -34,8 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tok, k) - k-permutation MinHash signature of the group"),
-      exprs => MinHashAgg(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int])))
+      exprs => MinHashAgg(exprs(0), MinHashAgg.extractK(exprs(1)))))
 
     ext.injectFunction((FunctionIdentifier("simhash_sig"),
       info("simhash_sig", "simhash_sig(tok) - 64-bit SimHash signature of the group"),

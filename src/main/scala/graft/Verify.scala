@@ -62,6 +62,18 @@ object Verify {
       spark.stop(); System.exit(0)
     }
     pool.shutdown()
+    // release every session-keyed cache; nothing may stay pinned after a
+    // run (the library must be embeddable in a long-lived server). The
+    // result frames' localCheckpoint RDDs are reaped asynchronously by
+    // the ContextCleaner once unreferenced — give it one GC cycle so the
+    // leak check counts only entries something actually still holds.
+    Graft.clear(spark)
+    System.gc()
+    Thread.sleep(2000)
+    val pinned = spark.sparkContext.getPersistentRDDs
+    if (pinned.nonEmpty)
+      System.err.println(s"[verify] WARNING: ${pinned.size} persisted RDDs still pinned after Graft.clear: " +
+        pinned.values.map(_.toString).mkString("; "))
     spark.stop()
   }
 }

@@ -32,6 +32,14 @@ object Bucketing {
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bucketed"
     else sys.props("java.io.tmpdir") + "/graft-bucketed"
 
+  /** Drop this session's bucketed tables and forget them (Graft.clear). */
+  private[graft] def clearTables(s: SparkSession): Unit = done.synchronized {
+    val id = System.identityHashCode(s)
+    done.keys.filter(_._1 == id).foreach { k =>
+      done.remove(k).foreach(tbl => s.sql(s"DROP TABLE IF EXISTS $tbl"))
+    }
+  }
+
   /** Write `df` as a bucketed+sorted external table; idempotent per
     * session. Returns the table name to read back.
     */

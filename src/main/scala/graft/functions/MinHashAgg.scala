@@ -93,11 +93,31 @@ final case class MinHashAgg(
 }
 
 object MinHashAgg {
+
+  /** Extract the permutation-count argument from the SQL call site: any
+    * integral literal works (`minhash_sig(tok, 128)` and
+    * `minhash_sig(tok, 128L)` alike — a bare asInstanceOf[Int] threw
+    * ClassCastException on BIGINT literals); anything non-literal or
+    * non-integral fails function resolution with a named error instead
+    * of an opaque cast failure at injection time.
+    */
+  private[graft] def extractK(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v match {
+      case i: Int => i
+      case l: Long if l.isValidInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"minhash_sig(tok, k): k must be an integral literal, got $other")
+    }
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig(tok, k): k must be a literal, got ${other.sql}")
+  }
+
   /** Register `minhash_sig(tok, k)` on the session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sig",
-      exprs => MinHashAgg(exprs(0),
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
+      exprs => MinHashAgg(exprs(0), extractK(exprs(1))),
       "scala_udf")
 }

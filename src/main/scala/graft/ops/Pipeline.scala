@@ -31,6 +31,19 @@ object Pipeline {
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
+  /** Unpersist and forget this session's cached frames (Graft.clear). */
+  private[graft] def clearCaches(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    shCache.synchronized {
+      shCache.keys.filter(_._1 == id)
+        .foreach(k => shCache.remove(k).foreach(_.unpersist()))
+    }
+    pairsCache.synchronized {
+      pairsCache.keys.filter(_._1 == id)
+        .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
+    }
+  }
+
   /** Near-dup pair set, persisted: q_dedup_near orders it, and
     * q_dedup_cluster iterates over it — without the cache the clustering
     * query would re-run the whole inverted-index pipeline first.

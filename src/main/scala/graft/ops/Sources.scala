@@ -47,6 +47,12 @@ object Sources {
   private val written =
     scala.collection.concurrent.TrieMap[(Int, String, String), Unit]()
 
+  /** Forget this session's written-file markers (Graft.clear). */
+  private[graft] def clearWritten(s: SparkSession): Unit = {
+    val id = System.identityHashCode(s)
+    written.keys.filter(_._1 == id).foreach(written.remove)
+  }
+
   private def ensure(s: SparkSession, dir: String, fmt: String)
                     (write: String => Unit): String = {
     val out = s"${ioDir(dir)}/$fmt"

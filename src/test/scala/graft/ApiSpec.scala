@@ -105,6 +105,23 @@ class ApiSpec extends AnyFunSuite {
       .select("fp").distinct().count() > 400)
   }
 
+  test("Graft.clear unpersists everything the library pinned for a session") {
+    // child session: caches are keyed by session identity, so this is
+    // order-independent w.r.t. other suites' cached frames
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val s2 = spark.newSession()
+    SparkEntry.queries("q_dedup_near")(s2, sfDir).collect()
+    val during = spark.sparkContext.getPersistentRDDs.keySet
+    assert((during -- before).nonEmpty, "dedup pipeline should pin frames")
+    graft.Graft.clear(s2)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      "clear must unpersist every frame the library pinned for the session")
+    // caches rebuild lazily: the query still runs after a clear
+    assert(SparkEntry.queries("q_dedup_near")(s2, sfDir).collect().nonEmpty)
+    graft.Graft.clear(s2)
+  }
+
   test("frame sampling expands only video payloads") {
     val frames = graft.multimodal.Multimodal
       .frameSample(spark, docs, everyK = 30)
@@ -144,6 +161,14 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
            FROM VALUES ('a'), ('b'), ('c') AS v(t)""").collect().head
       assert(sig.getSeq[Long](0).length === 16)
       assert(sig.get(1).isInstanceOf[Long])
+      // BIGINT literal k must resolve too (was a ClassCastException)
+      val sigL = s.sql(
+        """SELECT minhash_sig(t, 16L) AS mh
+           FROM VALUES ('a'), ('b') AS v(t)""").collect().head
+      assert(sigL.getSeq[Long](0).length === 16)
+      val err = intercept[Exception](s.sql(
+        "SELECT minhash_sig(t, 1.5) FROM VALUES ('a') AS v(t)").collect())
+      assert(err.getMessage.contains("integral literal"))
     } finally s.stop()
   }
 }
