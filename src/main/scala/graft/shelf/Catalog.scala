@@ -52,21 +52,43 @@ object Catalog {
     c
   }
 
+  /** Load + validate. Validation errors name the offending field, the
+    * behavioral twin of the reference's jsonschema.validate against
+    * shelf-v1.schema.json (core.py:27-35): a malformed catalog fails
+    * with `shelf.yaml: field '...'`-style messages, never an opaque
+    * cast/parse error.
+    */
   def load(root: Path): Catalog = {
     val doc = Yaml.load(root.resolve("shelf.yaml"))
     val version = doc.get("version") match {
       case Some(i: Int) => i
-      case Some(other)  => other.toString.toInt
-      case None => throw new IllegalArgumentException("shelf.yaml missing version")
+      case Some(other) =>
+        try other.toString.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"shelf.yaml: field 'version' must be an integer, got '$other'")
+        }
+      case None => throw new IllegalArgumentException(
+        "shelf.yaml: required field 'version' is missing")
     }
-    require(version == 1, s"unsupported shelf.yaml version: $version")
+    if (version != 1) throw new IllegalArgumentException(
+      s"shelf.yaml: field 'version' must be 1, got $version")
+    def parseUri(context: String, s: String): StepURI =
+      try StepURI.parse(s)
+      catch { case e: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"shelf.yaml: $context: ${e.getMessage}")
+      }
     val steps = doc.getOrElse("steps", Map.empty[String, Any]) match {
       case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].map {
-        case (k, v: Seq[_]) => StepURI.parse(k) -> v.map(x => StepURI.parse(x.toString))
-        case (k, null)      => StepURI.parse(k) -> Seq.empty[StepURI]
-        case (k, v) => throw new IllegalArgumentException(s"bad deps for $k: $v")
+        case (k, v: Seq[_]) => parseUri("field 'steps'", k) ->
+          v.map(x => parseUri(s"field 'steps', deps of '$k'", x.toString))
+        case (k, null)      => parseUri("field 'steps'", k) -> Seq.empty[StepURI]
+        case (k, v) => throw new IllegalArgumentException(
+          s"shelf.yaml: field 'steps', entry '$k': dependencies must be a list, got '$v'")
       }
-      case other => throw new IllegalArgumentException(s"bad steps: $other")
+      case other => throw new IllegalArgumentException(
+        s"shelf.yaml: field 'steps' must be a map of step URI to dependency list, got '$other'")
     }
     Catalog(root, version, steps).ensureValid()
   }

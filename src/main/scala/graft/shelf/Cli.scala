@@ -11,7 +11,7 @@ object Cli {
     System.err.println(
       """usage: shelf <command> [args]
         |  init
-        |  snapshot <path> <dataset_name> [--force]
+        |  snapshot <path> <dataset_name> [--force] [--edit]
         |  run [regex] [--force] [--dry-run]
         |  list [regex] [--paths]
         |  audit [--fix]
@@ -35,6 +35,9 @@ object Cli {
       case "snapshot" =>
         if (pos.size < 2) usage()
         val uri = shelf.snapshot(Paths.get(pos(0)), pos(1), flags("--force"))
+        // reference parity (__init__.py:215-216): drop into an editor on
+        // the fresh sidecar so provenance fields get filled immediately
+        if (flags("--edit")) editSidecar(root, uri)
         println(uri)
       case "run" =>
         val parIdx = args.indexOf("--parallel")
@@ -82,5 +85,17 @@ object Cli {
         println(uri)
       case _ => usage()
     }
+  }
+
+  /** Open a snapshot's metadata sidecar in the user's editor — the
+    * reference hardcodes vim (__init__.py:216); here $EDITOR wins when
+    * set. Returns the editor's exit code.
+    */
+  def editSidecar(root: java.nio.file.Path, uri: StepURI,
+                  editor: Option[String] = None): Int = {
+    val ed = editor.orElse(sys.env.get("EDITOR")).getOrElse("vim")
+    val cmd = (ed.split("\\s+").toSeq :+
+      Snapshots.metadataPath(root, uri).toString)
+    new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
   }
 }

@@ -13,9 +13,8 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * hdfs://) so the same code runs against local disk in tests and object
   * storage on a cluster — the Spark-native equivalent of the S3 client.
   */
-final class Store(remoteBase: String, cacheDir: Path) {
-
-  private val conf = new Configuration()
+final class Store(remoteBase: String, cacheDir: Path,
+                  conf: Configuration = new Configuration()) {
 
   private def key(checksum: String): String =
     s"${checksum.substring(0, 2)}/${checksum.substring(2, 4)}/$checksum"

@@ -8,6 +8,16 @@ import graft.shelf._
 /** Pure-function unit vectors pinned from the reference test-suite
   * (tests/test_shelf.py:45-49, :110-124, :572-594).
   */
+/** RawLocalFileSystem registered under a non-file scheme: a stand-in
+  * object store that exercises the same Hadoop FileSystem registry
+  * dispatch an s3a:// remote takes (the AWS jars aren't in this
+  * container; the Store code path is identical either way).
+  */
+class MockObjectFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "mockfs"
+  override def getUri: java.net.URI = java.net.URI.create("mockfs:///")
+}
+
 class ChecksumSpec extends AnyFunSuite {
 
   test("golden sha256 vectors (tests/test_shelf.py:110-124)") {
@@ -530,6 +540,66 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     store.fetch(cs, out)
     assert(Checksums.checksumFile(out) === cs)
     assert(store.existsLocally(cs), "fetch re-seeds the cache")
+  }
+
+  test("store round-trips through a non-file:// Hadoop FS scheme (MinIO e2e twin)") {
+    // mirrors the reference's S3+MinIO e2e (tests/test_shelf.py:25-30):
+    // the remote is addressed by a custom scheme resolved through the
+    // Hadoop FileSystem registry — the exact code path an s3a:// URI
+    // takes, minus the AWS jars this container doesn't ship
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.mockfs.impl", classOf[MockObjectFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val remoteDir = Files.createTempDirectory("mockremote")
+    val cache = Files.createTempDirectory("mockcache")
+    val store = new Store(s"mockfs:$remoteDir", cache, conf)
+    val f = Files.createTempFile("blob", ".bin")
+    Files.write(f, Array.tabulate[Byte](2048)(i => (i % 199).toByte))
+    val cs = Checksums.checksumFile(f)
+    store.put(f, cs)
+    // the object landed under the mock remote, not only in cache
+    assert(Files.walk(remoteDir).iterator().asScala
+      .exists(p => p.getFileName.toString == cs))
+    // wipe the cache: fetch must round-trip through the mock scheme
+    Files.walk(cache).iterator().asScala.toSeq.reverse
+      .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+    val out = Files.createTempFile("out", ".bin")
+    store.fetch(cs, out)
+    assert(Checksums.checksumFile(out) === cs)
+  }
+
+  test("snapshot --edit opens the sidecar in $EDITOR") {
+    val (shelf, root) = freshShelf()
+    val src = Files.createTempFile("ed", ".txt")
+    Files.writeString(src, "editable")
+    val uri = shelf.snapshot(src, "ed/ds", today = today)
+    // fake editor: appends a provenance field like a user would
+    val fake = Files.createTempFile("edit", ".sh")
+    Files.writeString(fake, "#!/bin/sh\necho 'source_name: unit-test' >> \"$1\"\n")
+    fake.toFile.setExecutable(true)
+    val code = Cli.editSidecar(root, uri, Some(fake.toString))
+    assert(code === 0)
+    val sidecar = Files.readString(Snapshots.metadataPath(root, uri))
+    assert(sidecar.contains("source_name: unit-test"))
+  }
+
+  test("malformed shelf.yaml fails with field-named errors") {
+    def catalogError(yaml: String): String = {
+      val root = Files.createTempDirectory("badcat")
+      Files.writeString(root.resolve("shelf.yaml"), yaml)
+      intercept[IllegalArgumentException](Catalog.load(root)).getMessage
+    }
+    assert(catalogError("steps: {}\n")
+      .contains("field 'version' is missing"))
+    assert(catalogError("version: banana\nsteps: {}\n")
+      .contains("field 'version' must be an integer"))
+    assert(catalogError("version: 2\nsteps: {}\n")
+      .contains("field 'version' must be 1"))
+    assert(catalogError("version: 1\nsteps: nope\n")
+      .contains("field 'steps' must be a map"))
+    assert(catalogError(
+      "version: 1\nsteps:\n  not-a-uri:\n    - also-bad\n")
+      .contains("field 'steps'"))
   }
 
   test("SQL template disambiguates same-named deps with parent prefixes") {
