@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_sig", "simhash_sig(tok) - 64-bit SimHash signature of the group"),
       exprs => SimHashAgg(exprs.head)))
 
+    ext.injectFunction((FunctionIdentifier("vec_sum_agg"),
+      info("vec_sum_agg", "vec_sum_agg(v) - elementwise sum of the group's double arrays"),
+      exprs => graft.functions.VectorSumAgg(exprs.head)))
+
     ext.injectFunction((FunctionIdentifier("sorted_intersect_size"),
       info("sorted_intersect_size",
         "sorted_intersect_size(a, b) - |a intersect b| of two sorted distinct string arrays"),

@@ -13,6 +13,7 @@ object Similarity {
 
   private def prepared(vectors: DataFrame, idCol: String, vecCol: String) = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
+    graft.functions.VectorSumAgg.register(vectors.sparkSession)
     vectors.select(col(idCol).as("vec_id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
   }
@@ -62,17 +63,25 @@ object Similarity {
     * scoring (a dot-product assignment disagrees with cosine ranking
     * whenever vector norms vary, silently costing recall).
     */
+  /** Fold an array<struct> of centroids to the argmax-by-cosine id.
+    * The array is sorted ascending by id and the fold keeps the FIRST
+    * maximum (strict `>`), so ties break to the lowest cent_id —
+    * matching the window-based assignment this replaced.
+    */
+  private def argmaxExpr(centsCol: String, idField: String,
+                         vecField: String): String =
+    s"""aggregate(
+          transform($centsCol, c -> named_struct(
+            'sc', cosine_sim(v, c.$vecField), 'cid', CAST(c.$idField AS BIGINT))),
+          named_struct('sc', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+          (acc, s) -> IF(s.sc > acc.sc, s, acc)).cid"""
+
   private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(array_sort(collect_list(
       struct(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))))
       .as("cents"))
     e.crossJoin(broadcast(centArr))
-      .withColumn("cent_id", expr(
-        """aggregate(
-             transform(cents, c -> named_struct(
-               'sc', cosine_sim(v, c.cv), 'cid', c.cent_id)),
-             named_struct('sc', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
-             (acc, s) -> IF(s.sc > acc.sc, s, acc)).cid"""))
+      .withColumn("cent_id", expr(argmaxExpr("cents", "cent_id", "cv")))
       .drop("cents")
   }
 
@@ -126,35 +135,41 @@ object Similarity {
   /** Deterministic Lloyd's k-means over the embedding column — the
     * index-construction half of IVF. Init = the k lowest-id vectors
     * (deterministic; k-means++ would add an RNG the oracle story can't
-    * carry). Each iteration: assign every vector to its nearest centroid
-    * (broadcast centroids, one scan), then recompute means per
+    * carry). Each iteration is ONE distributed job: assign every vector
+    * to its nearest centroid (the centroids ride along as a LITERAL
+    * array — k×dim doubles of driver metadata, the same thing MLlib's
+    * KMeans collects per round — so assignment is a pure projection with
+    * no join and no lineage growth), then recompute means per
     * (centroid, dimension) via posexplode + two-phase avg — one shuffle
-    * of k×dim cells, never a collect of the corpus. Iteration count is
-    * fixed (index build is offline at scale; convergence-checking adds a
-    * barrier per round for little value at small `iters`). Assignment is
-    * the zero-shuffle [[assignNearest]] projection: each round is one
-    * corpus scan + one k×dim-cell shuffle, nothing proportional to
-    * corpus×k.
+    * of k×dim cells after map-side combine, never a collect of the
+    * CORPUS. Iteration count is fixed (index build is offline at scale;
+    * convergence-checking adds a barrier per round for little value at
+    * small `iters`).
     */
   def kmeansCentroids(vectors: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 3): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
     val e = prepared(vectors, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cents = e.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    var cents: Seq[(Long, Seq[Double])] = e.orderBy("vec_id").limit(k)
+      .select(col("vec_id").cast("long"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 0 until iters) {
-      val assigned = assignNearest(e, cents)
-        .select(col("cent_id"), col("v"))
-      cents = assigned
-        .select(col("cent_id"), posexplode(col("v")))
-        .groupBy("cent_id", "pos").agg(avg("col").as("m"))
+      // one shuffle per round: the native vec_sum_agg sums vectors
+      // elementwise in a primitive buffer (k×dim partials after map-side
+      // combine) — no posexplode row blowup, no reassembly groupBy
+      cents = e
+        .withColumn("cents", typedlit(cents.sortBy(_._1)))
+        .withColumn("cent_id", expr(argmaxExpr("cents", "_1", "_2")))
         .groupBy("cent_id")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
-          .getField("m").as("cv"))
-        .localCheckpoint() // cut the per-iteration lineage growth
+        .agg(expr("vec_sum_agg(v)").as("sum_v"), count(lit(1)).as("n"))
+        .select(col("cent_id"),
+          expr("transform(sum_v, x -> x / CAST(n AS DOUBLE))").as("cv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     }
     e.unpersist()
-    cents
+    cents.sortBy(_._1).toDF("cent_id", "cv")
   }
 
   /** Sign-LSH (random hyperplane) bucket column: `bits` sign bits, each

@@ -20,7 +20,7 @@ object Pipeline {
   private val shCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
-  private def shingled(s: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
     // synchronized: the three dedup queries race this key in Bench; a
     // double-build would persist (and compute) the shingles twice.
     shCache.synchronized {
@@ -48,7 +48,7 @@ object Pipeline {
     * q_dedup_cluster iterates over it — without the cache the clustering
     * query would re-run the whole inverted-index pipeline first.
     */
-  private def nearPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nearPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.synchronized {
       pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
         Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5)

@@ -124,8 +124,8 @@ object Streams {
         .foreach(replayCache.remove)
     }
 
-  private def windowedReplays(spark0: SparkSession,
-                              dir: String): Map[String, DataFrame] =
+  private[graft] def windowedReplays(spark0: SparkSession,
+                                     dir: String): Map[String, DataFrame] =
     replayCache.synchronized {
       replayCache.getOrElseUpdate((System.identityHashCode(spark0), dir), {
         val spark = childSession(spark0, rocksdb = false)

@@ -105,6 +105,23 @@ class ApiSpec extends AnyFunSuite {
       .select("fp").distinct().count() > 400)
   }
 
+  test("vec_sum_agg equals the exploded per-dimension sum") {
+    graft.functions.VectorSumAgg.register(spark)
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"),
+      (col("vec_id") % 7).as("g"))
+    val fused = e.groupBy("g").agg(expr("vec_sum_agg(v)").as("s"))
+      .select(col("g"), expr("transform(s, x -> round(x, 6))").as("s"))
+    val exploded = e.select(col("g"), posexplode(col("v")))
+      .groupBy("g", "pos").agg(sum("col").as("m"))
+      .groupBy("g")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .getField("m").as("s"))
+      .select(col("g"), expr("transform(s, x -> round(x, 6))").as("s"))
+    assert(fused.orderBy("g").collect().toSeq
+      === exploded.orderBy("g").collect().toSeq)
+  }
+
   test("Graft.clear unpersists everything the library pinned for a session") {
     // child session: caches are keyed by session identity, so this is
     // order-independent w.r.t. other suites' cached frames
