@@ -61,24 +61,27 @@ object ScaleProbe {
     val dN = (System.nanoTime() - tN) / 1e9
     println(f"near-dup pairs: 1x=$p1 (${d1}%.2f s)  ${mult}x=$pN (${dN}%.2f s)  time-growth=${dN / d1}%.1fx (corpus ${mult}x)")
 
-    // hot-shingle skew: plant one boilerplate shingle into every 5th doc
-    // (df ~ corpus/5). Uncapped, that single posting contributes df²/2
-    // candidate rows; the default maxDf cap drops it. Report both walls —
-    // the capped run must not inherit the quadratic term.
+    // hot-shingle skew: plant a boilerplate prefix into every 5th doc
+    // (3 shingles of df ~ corpus/5 each). Uncapped, each hot posting
+    // contributes df²/2 candidate rows through the self-join; a cap
+    // below the planted df drops them. Report both walls and pair
+    // counts — the capped run must not inherit the quadratic term and
+    // must not lose real pairs (true near-dups share rarer shingles).
     val hotDocs = docs.withColumn("text",
       when(col("doc_id") % 5 === 0,
         concat(lit("follow us on social media today "), col("text")))
         .otherwise(col("text")))
     val shHot = Dedup.shingles(hotDocs, "doc_id", "text")
     val hotDf = shHot.count() / 5
+    val cap = (hotDf / 2).toInt
     val tCap = System.nanoTime()
-    val pCap = Dedup.nearDuplicatePairs(shHot, 0.5).count()
+    val pCap = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = cap).count()
     val dCap = (System.nanoTime() - tCap) / 1e9
     val tUnc = System.nanoTime()
     val pUnc = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = Int.MaxValue).count()
     val dUnc = (System.nanoTime() - tUnc) / 1e9
-    println(f"hot-shingle (df~$hotDf): capped=$pCap pairs ${dCap}%.2f s   " +
-      f"uncapped=$pUnc pairs ${dUnc}%.2f s  (uncapped candidate term ~ df²/2 = ${hotDf * hotDf / 2})")
+    println(f"hot-shingle (df~$hotDf, cap=$cap): capped=$pCap pairs ${dCap}%.2f s   " +
+      f"uncapped=$pUnc pairs ${dUnc}%.2f s  (uncapped hot-candidate term ~ 3·df²/2 = ${3 * hotDf * hotDf / 2})")
 
     // clustering + incremental dedup: the iterative and index-join paths
     // whose growth factors matter most at 100 TB

@@ -104,9 +104,13 @@ class PlanSpec extends AnyFunSuite {
       "vec_id", "embedding")
     val p = idx.queryExecution.executedPlan.toString
     // centroids fold to one broadcast row; per-vector argmax is a pure
-    // projection — the old crossJoin+window shape shuffled corpus×k rows
+    // projection — the old crossJoin+window shape shuffled corpus×k rows.
+    // The only allowed Exchange is the SinglePartition fold of the k
+    // centroid rows; a hash/range partitioning exchange would mean the
+    // CORPUS is being shuffled.
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected broadcast attach in:\n$p")
-    assert(!p.contains("ShuffleExchange"),
+    assert(!p.contains("Exchange hashpartitioning")
+        && !p.contains("Exchange rangepartitioning"),
       s"assignment must not shuffle the corpus:\n$p")
     assert(!p.contains("Window"), s"no window sort in assignment:\n$p")
   }
