@@ -38,6 +38,12 @@ object Bench {
           "orders", ops.H.t(spark, sfDir, "orders"), "o_custkey")),
         "bucketed_customer" -> (() => api.Bucketing.ensureBucketed(spark, sfDir,
           "customer", ops.H.t(spark, sfDir, "customer"), "c_custkey")),
+        "ivf_index" -> (() => {
+          val e = ops.H.t(spark, sfDir, "embeddings")
+          api.Similarity.ivfIndexBucketed(spark, sfDir, e,
+            e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
+            "vec_id", "embedding")
+        }),
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir))

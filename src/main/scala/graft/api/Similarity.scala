@@ -132,6 +132,54 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Materialize the IVF index as a bucketed+sorted external table on
+    * `cent_id` — the production deployment shape: the index is written
+    * ONCE, and every probe becomes a bucket-PRUNED scan (Spark's bucket
+    * pruning turns a `cent_id IN (...)` filter into
+    * `SelectedBucketsCount: nProbe of N` at the file-scan level), so
+    * per-query IO is physically nProbe/nCells of the index — no
+    * shuffle, no join, no full-index read. Idempotent per (session,
+    * sfTag).
+    */
+  def ivfIndexBucketed(s: org.apache.spark.sql.SparkSession, sfTag: String,
+                       vectors: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String,
+                       buckets: Int = 8): String =
+    Bucketing.ensureBucketed(s, sfTag, "ivf_index",
+      ivfIndex(vectors, centroids, idCol, vecCol), "cent_id", buckets)
+
+  /** Probe a bucketed index table. The nProbe winning cell ids are
+    * collected to the driver (nProbe longs — query-plan metadata, like
+    * the centroids themselves) so the cell filter is a LITERAL `IN`,
+    * which is what bucket pruning and parquet row-group stats can act
+    * on; a join-based probe would read every bucket.
+    */
+  def ivfSearchPruned(s: org.apache.spark.sql.SparkSession, indexTable: String,
+                      cents: DataFrame, queryId: Long, k: Int,
+                      nProbe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    // DisableUnnecessaryBucketedScan only weighs distribution/ordering
+    // needs, not bucket PRUNING — with it on, this filter-only probe
+    // plans a plain scan of every bucket ("disabled by query planner").
+    // Forcing bucketed scans keeps the IN-filter prunable down to
+    // SelectedBucketsCount = nProbe cells' buckets.
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val index = s.table(indexTable)
+    val qv = index.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probeIds = cents.crossJoin(broadcast(qv))
+      .withColumn("cd", expr("cosine_sim(cv, qv)"))
+      .orderBy(col("cd").desc, col("cent_id"))
+      .limit(nProbe)
+      .select("cent_id").collect().map(_.getLong(0)).toSeq
+    index.filter(col("cent_id").isin(probeIds: _*))
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("cosine_sim(v, qv)"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cent_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Deterministic Lloyd's k-means over the embedding column — the
     * index-construction half of IVF. Init = the k lowest-id vectors
     * (deterministic; k-means++ would add an RNG the oracle story can't

@@ -222,6 +222,39 @@ object Pipeline {
           queryId = 1, k = 10, nProbe = 4)
       }),
 
+    // IVF over a PERSISTED bucketed index (the production shape): the
+    // index is a bucketed+sorted table on cent_id, the probe is a
+    // bucket-PRUNED scan of nProbe cells (SelectedBucketsCount pinned in
+    // PlanSpec). Deterministic given the deterministic centroid pick, so
+    // — unlike the in-memory ANN variants — it carries a full DuckDB
+    // oracle: same assignment argmax (cosine, ties to lowest cell id),
+    // same probe choice, same in-cell exact ranking.
+    Q("q_sim_ivf_bucketed",
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+                   c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                   asg AS (SELECT e.vec_id, e.v, c.cid,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                           FROM e CROSS JOIN c),
+                   idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+                   probes AS (SELECT cid FROM c, q
+                              ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+                   cand AS (SELECT i.vec_id, i.cid, list_cosine_similarity(i.v, qv) AS cos_raw
+                            FROM idx i JOIN probes USING (cid), q WHERE i.vec_id <> 1)
+              SELECT vec_id, cid AS cent_id, ROUND(cos_raw, 4) AS cos
+              FROM cand ORDER BY cos_raw DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val tbl = Similarity.ivfIndexBucketed(s, dir, e,
+          e.filter(col("vec_id") < 16), "vec_id", "embedding")
+        val cents = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").cast("long").as("cent_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+        Similarity.ivfSearchPruned(s, tbl, cents, queryId = 1, k = 10, nProbe = 4)
+      }),
+
     // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates
     // from the query's bucket only. Approximate → rows-only; recall vs
     // the exact top-k is pinned in PipelineSpec.

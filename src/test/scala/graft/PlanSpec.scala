@@ -115,6 +115,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no window sort in assignment:\n$p")
   }
 
+  test("bucketed IVF probe prunes to the probed cells' buckets") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tbl = api.Similarity.ivfIndexBucketed(spark, sfDir, e,
+      e.filter(col("vec_id") < 16), "vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    val probe = api.Similarity.ivfSearchPruned(spark, tbl, cents,
+      queryId = 1, k = 10, nProbe = 4)
+    val p = probe.queryExecution.executedPlan.toString
+    // the literal IN over the bucket column must prune the scan: reading
+    // all buckets means per-query IO is the whole index
+    assert(p.contains("SelectedBucketsCount"),
+      s"expected a bucket-pruned scan in:\n$p")
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(p).get
+    assert(sel.group(1).toInt < sel.group(2).toInt,
+      s"probe must touch a strict subset of buckets:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
