@@ -39,6 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_sig", "simhash_sig(tok) - 64-bit SimHash signature of the group"),
       exprs => SimHashAgg(exprs.head)))
 
+    ext.injectFunction((FunctionIdentifier("nearest_centroid"),
+      info("nearest_centroid", "nearest_centroid(v, cents) - id of the cosine-nearest (id, vector) struct"),
+      exprs => graft.functions.NearestCentroid(exprs(0), exprs(1))))
+
     ext.injectFunction((FunctionIdentifier("vec_sum_agg"),
       info("vec_sum_agg", "vec_sum_agg(v) - elementwise sum of the group's double arrays"),
       exprs => graft.functions.VectorSumAgg(exprs.head)))

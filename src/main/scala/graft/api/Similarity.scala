@@ -63,25 +63,12 @@ object Similarity {
     * scoring (a dot-product assignment disagrees with cosine ranking
     * whenever vector norms vary, silently costing recall).
     */
-  /** Fold an array<struct> of centroids to the argmax-by-cosine id.
-    * The array is sorted ascending by id and the fold keeps the FIRST
-    * maximum (strict `>`), so ties break to the lowest cent_id —
-    * matching the window-based assignment this replaced.
-    */
-  private def argmaxExpr(centsCol: String, idField: String,
-                         vecField: String): String =
-    s"""aggregate(
-          transform($centsCol, c -> named_struct(
-            'sc', cosine_sim(v, c.$vecField), 'cid', CAST(c.$idField AS BIGINT))),
-          named_struct('sc', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
-          (acc, s) -> IF(s.sc > acc.sc, s, acc)).cid"""
-
   private def assignNearest(e: DataFrame, cents: DataFrame): DataFrame = {
     val centArr = cents.agg(array_sort(collect_list(
       struct(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))))
       .as("cents"))
     e.crossJoin(broadcast(centArr))
-      .withColumn("cent_id", expr(argmaxExpr("cents", "cent_id", "cv")))
+      .withColumn("cent_id", expr("nearest_centroid(v, cents)"))
       .drop("cents")
   }
 
@@ -209,7 +196,7 @@ object Similarity {
       // combine) — no posexplode row blowup, no reassembly groupBy
       cents = e
         .withColumn("cents", typedlit(cents.sortBy(_._1)))
-        .withColumn("cent_id", expr(argmaxExpr("cents", "_1", "_2")))
+        .withColumn("cent_id", expr("nearest_centroid(v, cents)"))
         .groupBy("cent_id")
         .agg(expr("vec_sum_agg(v)").as("sum_v"), count(lit(1)).as("n"))
         .select(col("cent_id"),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StructType}
 
 /** Native Catalyst vector expressions with whole-stage codegen.
   *
@@ -120,9 +120,110 @@ final case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `nearest_centroid(v, cents)`: id of the cosine-nearest centroid in
+  * `cents` (an array of (id: bigint, cv: array<double>) structs, sorted
+  * ascending by id). Ties keep the FIRST maximum — i.e. the lowest id —
+  * via the strict `>`, matching the fold/window assignments it
+  * replaced. Returns -1 for an empty centroid array.
+  *
+  * The HOF formulation (`aggregate(transform(cents, ...))`) evaluates
+  * its lambda interpreted, re-entering eval per centroid; this fuses
+  * the whole k×dim argmax into one codegen'd nested loop with no
+  * allocation — the difference between fine-at-k=16 and
+  * fine-at-k=4096 on a 100 TB assignment scan. Struct fields are read
+  * POSITIONALLY (id at 0, vector at 1), so both named structs and
+  * typedlit tuples work.
+  */
+final case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(StructType(Array(idF, cvF)), _))
+        if idF.dataType == LongType &&
+           (cvF.dataType match {
+             case ArrayType(DoubleType, _) => true; case _ => false
+           }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<struct<bigint, array<double>>>), " +
+        s"got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    var best = -1L
+    var bestSc = -2.0
+    var bi = 0
+    val k = cents.numElements()
+    while (bi < k) {
+      val c = cents.getStruct(bi, 2)
+      val cv = c.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getDouble(j); val y = cv.getDouble(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val sc = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sc > bestSc) { bestSc = sc; best = c.getLong(0) }
+      bi += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) => {
+      val bi = ctx.freshName("bi")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val sc = ctx.freshName("sc")
+      val best = ctx.freshName("best")
+      val bestSc = ctx.freshName("bestSc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |long $best = -1L;
+         |double $bestSc = -2.0;
+         |int $k = $cents.numElements();
+         |for (int $bi = 0; $bi < $k; $bi++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($bi, 2);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $xv = $v.getDouble($j);
+         |    double $yv = $cv.getDouble($j);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  double $sc = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if ($sc > $bestSc) { $bestSc = $sc; $best = $c.getLong(0); }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorFunctions {
-  /** Idempotently register `vec_dot` / `cosine_sim` as SQL functions on
-    * the session, usable from `expr(...)` and `spark.sql(...)`.
+  /** Idempotently register `vec_dot` / `cosine_sim` /
+    * `nearest_centroid` as SQL functions on the session, usable from
+    * `expr(...)` and `spark.sql(...)`.
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -130,5 +231,7 @@ object VectorFunctions {
       exprs => VectorDot(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("cosine_sim",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -105,6 +105,30 @@ class ApiSpec extends AnyFunSuite {
       .select("fp").distinct().count() > 400)
   }
 
+  test("nearest_centroid matches the interpreted HOF argmax on real embeddings") {
+    graft.functions.VectorFunctions.register(spark)
+    val e = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = e.filter(col("vec_id") < 16)
+      .agg(array_sort(collect_list(struct(col("vec_id").cast("long").as("cid"),
+        col("v").as("cv")))).as("cents"))
+    val both = e.crossJoin(broadcast(cents))
+      .withColumn("fused", expr("nearest_centroid(v, cents)"))
+      .withColumn("hof", expr(
+        """aggregate(
+             transform(cents, c -> named_struct(
+               'sc', cosine_sim(v, c.cv), 'cid', c.cid)),
+             named_struct('sc', CAST(-2.0 AS DOUBLE), 'cid', CAST(-1 AS BIGINT)),
+             (acc, s) -> IF(s.sc > acc.sc, s, acc)).cid"""))
+    assert(both.filter(col("fused") =!= col("hof")).count() === 0)
+    // empty centroid array → -1 sentinel
+    val emptyRes = spark.sql(
+      """SELECT nearest_centroid(array(1.0D),
+           CAST(array() AS ARRAY<STRUCT<id: BIGINT, cv: ARRAY<DOUBLE>>>)) AS c""")
+      .collect().head.getLong(0)
+    assert(emptyRes === -1L)
+  }
+
   test("vec_sum_agg equals the exploded per-dimension sum") {
     graft.functions.VectorSumAgg.register(spark)
     val e = emb.select(col("vec_id"),
