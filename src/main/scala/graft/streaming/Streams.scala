@@ -270,6 +270,31 @@ object Streams {
       .orderBy("user_id", "click_id", "buy_id")
   }
 
+  /** Exactly-once parquet sink via foreachBatch: every micro-batch
+    * overwrites its OWN `batch_id=N` partition, so redelivery of a
+    * batch (checkpoint replay after a failure, or a full re-run over a
+    * deterministic source) rewrites the same partition instead of
+    * appending duplicates — the idempotent-sink half of Structured
+    * Streaming's exactly-once contract (the checkpointed offset log is
+    * the source half). Returns the total rows landed. At scale the same
+    * shape targets any transactional/partition-overwrite sink.
+    */
+  def replayToParquet(spark0: SparkSession, dir: String,
+                      outDir: String): Long = {
+    val spark = childSession(spark0, rocksdb = false)
+    val name = "fb_" + UUID.randomUUID().toString.replace("-", "")
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) =>
+      batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    val q = eventsStream(spark, dir).writeStream
+      .foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$ckBase/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmCk(name)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Stream⋈static enrichment join: the streaming side never shuffles
     * the static dim per batch — Spark broadcasts it once — so this is
     * the scale pattern for dimension enrichment of an event firehose.

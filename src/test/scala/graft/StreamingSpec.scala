@@ -25,6 +25,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess === events)
   }
 
+  test("foreachBatch parquet sink is idempotent under batch redelivery") {
+    val out = java.nio.file.Files.createTempDirectory("fb").toString
+    val n1 = Streams.replayToParquet(spark, sfDir, out)
+    // fresh checkpoint, same deterministic source → the same batches
+    // are REDELIVERED; per-batch partition overwrite must not duplicate
+    val n2 = Streams.replayToParquet(spark, sfDir, out)
+    assert(n1 === n2)
+    assert(n1 === graft.ops.H.t(spark, sfDir, "events").count())
+  }
+
   test("rate source smoke: unbounded synthetic stream plans and runs") {
     // The rate source is wall-clock driven (nondeterministic values), so
     // this is a plumbing smoke: one micro-batch through the same
