@@ -182,6 +182,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** LSH-blocked embedding pairs — the scale path [[embeddingPairs]]'
+    * contract points at: vectors are bucketed by `bits` sign-LSH bits
+    * (Charikar'02 random hyperplanes), candidates are generated only
+    * WITHIN buckets (an equi-join on the bucket key — O(Σ bucket²),
+    * never corpus²), and survivors are verified with exact cosine.
+    * P[pair shares a bucket] = (1 − θ/π)^bits for a pair at angle θ, so
+    * near-duplicates (θ→0) are found w.h.p. while distant pairs rarely
+    * collide; lower `bits` for recall, raise it for pruning.
+    */
+  def embeddingPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, bits: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val e = vectors.select(col(idCol).as("vid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("bucket", Similarity.lshBucket("v", bits))
+    val a = e.select(col("vid").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("vid").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", expr("cosine_sim(va, vb)"))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+  }
+
   /** Connected components over a duplicate-pair edge list: every doc in
     * a pair gets the minimum doc_id of its transitive component as
     * `cluster` — the step that turns pairwise near-dup detection into

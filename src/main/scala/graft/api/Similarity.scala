@@ -218,7 +218,7 @@ object Similarity {
     * one bucket (+ optional multi-probe neighbors) instead of the
     * corpus.
     */
-  private def lshBucket(vecCol: String, bits: Int) = {
+  private[api] def lshBucket(vecCol: String, bits: Int) = {
     // ±1 component for (bit b, dim j): parity of the two-argument
     // xxhash64(b, j) — the seed space is the full (b, j) pair, so no
     // two (bit, dim) coordinates share a hyperplane component at ANY

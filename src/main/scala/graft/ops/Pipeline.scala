@@ -171,6 +171,17 @@ object Pipeline {
           "vec_id", "embedding", threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
+    // LSH-blocked embedding dedup on the SAME 1% sample as
+    // q_dedup_embed: candidate generation is within-bucket only, so the
+    // pair set is a subset of the all-pairs result (pinned in
+    // PipelineSpec) — rows-only (bucket ids hash engine-specific
+    // xxhash64 hyperplanes DuckDB can't mirror).
+    Q("q_dedup_embed_lsh", None,
+      (s, dir) => Dedup.embeddingPairsLsh(
+          t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", threshold = 0.2, bits = 4)
+        .orderBy("id_a", "id_b")),
+
     // ---------------- similarity search ----------------
 
     Q("q_sim_cosine",

@@ -87,6 +87,30 @@ class PipelineSpec extends AnyFunSuite {
       s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
   }
 
+  test("LSH-blocked embedding pairs are a subset of all-pairs, and find identical vectors") {
+    val s = SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sample = graft.ops.H.t(s, sfDir, "embeddings")
+      .filter(col("vec_id") % 100 === 0)
+    val blocked = keys(graft.api.Dedup.embeddingPairsLsh(
+      sample, "vec_id", "embedding", threshold = 0.2, bits = 4))
+    val all = keys(graft.api.Dedup.embeddingPairs(
+      sample, "vec_id", "embedding", threshold = 0.2))
+    assert(blocked.subsetOf(all), "blocking prunes candidates, never adds")
+    // identical vectors share every sign bit → always found
+    import s.implicits._
+    val planted = sample.limit(1)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+      .union(sample.limit(1).select(lit(900002L).as("vec_id"), col("embedding")))
+      .union(sample.select(col("vec_id").cast("long"), col("embedding")))
+    val found = keys(graft.api.Dedup.embeddingPairsLsh(
+      planted, "vec_id", "embedding", threshold = 0.99, bits = 8))
+    assert(found.contains((900001L, 900002L)))
+  }
+
   test("language id predicts a language for every document") {
     val d = run("q_lang_id")
     assert(d.count() === 500)
