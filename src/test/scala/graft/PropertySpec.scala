@@ -133,3 +133,49 @@ object SetExpressionProperties extends Properties("SortedIntersectSize") {
       got == (sa.toSet & sb.toSet).size.toLong
     }
 }
+
+/** NearestCentroid (interpreted eval) vs a plain-Scala reference argmax
+  * — random vectors and centroid sets, including short/ragged vectors
+  * and all-zero centroids (NaN cosine is skipped by both paths). The
+  * codegen path is pinned separately on real data in ApiSpec.
+  */
+object NearestCentroidProps extends Properties("NearestCentroid") {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types._
+
+  private val vec = Gen.choose(1, 8).flatMap(d =>
+    Gen.listOfN(d, Gen.choose(-10.0, 10.0)))
+  private val cents = Gen.choose(1, 6).flatMap(k =>
+    Gen.listOfN(k, vec)).map(_.zipWithIndex.map {
+      case (cv, i) => (i.toLong, cv)
+    })
+
+  private def ref(v: Seq[Double], cs: Seq[(Long, Seq[Double])]): Long = {
+    var best = -1L; var bs = -2.0
+    cs.foreach { case (id, cv) =>
+      val n = math.min(v.length, cv.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        dot += v(j) * cv(j); na += v(j) * v(j); nb += cv(j) * cv(j); j += 1
+      }
+      val sc = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sc > bs) { bs = sc; best = id }
+    }
+    best
+  }
+
+  private val centType = ArrayType(StructType(Seq(
+    StructField("id", LongType),
+    StructField("cv", ArrayType(DoubleType)))))
+
+  property("matches the reference argmax on random inputs") =
+    forAll(vec, cents) { (v, cs) =>
+      val got = graft.functions.NearestCentroid(
+          Literal.create(v, ArrayType(DoubleType)),
+          Literal.create(cs.map { case (id, cv) => Row(id, cv) }, centType))
+        .eval(null).asInstanceOf[Long]
+      got == ref(v, cs)
+    }
+}
