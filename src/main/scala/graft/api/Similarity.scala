@@ -255,4 +255,29 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Multi-probe sign-LSH (the Hamming-1 ring of Lv et al., VLDB'07):
+    * probe the query's own bucket PLUS the `bits` buckets differing in
+    * exactly one sign bit — the near-miss buckets a borderline
+    * hyperplane sends true neighbors to. A single sign flip is the
+    * dominant miss mode (P ≈ bits·(θ/π)·(1−θ/π)^(bits−1) for close
+    * pairs), so recall rises steeply for a (bits+1)× candidate cost —
+    * still O(corpus·(bits+1)/2^bits) per probe, and the probe stays a
+    * bucket-key equi-join (the ring is a broadcast of bits+1 longs).
+    */
+  def lshTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
+                        queryId: Long, k: Int, bits: Int = 8): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucket("v", bits))
+    val ring = array(col("bucket") +:
+      (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
+    val q = e.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), explode(ring).as("bucket"))
+    e.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= queryId)
+      .withColumn("cos", expr("cosine_sim(v, qv)"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cos"))
+  }
 }

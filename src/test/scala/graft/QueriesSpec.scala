@@ -168,6 +168,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(cos === cos.sorted.reverse, "descending by cosine")
   }
 
+  test("multi-probe LSH recalls at least as much as single-probe") {
+    val s = SparkTestSession.spark
+    val e = graft.ops.H.t(s, sfDir, "embeddings")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    val exact = ids(graft.api.Similarity.topK(e, "vec_id", "embedding",
+      queryId = 1, k = 10))
+    val single = ids(graft.api.Similarity.lshTopK(e, "vec_id", "embedding",
+      queryId = 1, k = 10, bits = 6))
+    val multi = ids(graft.api.Similarity.lshTopKMultiProbe(e, "vec_id",
+      "embedding", queryId = 1, k = 10, bits = 6))
+    assert((multi & exact).size >= (single & exact).size,
+      "the Hamming-1 ring may only add candidates")
+    assert(multi.nonEmpty && multi.size <= 10)
+  }
+
   test("winnowing: shared substrings of length >= k+w-1 share a fingerprint") {
     import org.apache.spark.sql.functions._
     val s = SparkTestSession.spark
