@@ -267,8 +267,10 @@ object Dedup {
     * [[dropNearDuplicatesByCluster]] for exactly-one-per-component.
     */
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                         threshold: Double = 0.5, n: Int = 4): DataFrame = {
-    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n), threshold)
+                         threshold: Double = 0.5, n: Int = 4,
+                         maxDf: Int = 10000): DataFrame = {
+    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n),
+      threshold, maxDf)
     val losers = pairs.select(col("doc_b").as(idCol)).distinct()
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -279,8 +281,9 @@ object Dedup {
     */
   def dropNearDuplicatesByCluster(docs: DataFrame, idCol: String,
                                   textCol: String, threshold: Double = 0.5,
-                                  n: Int = 4): DataFrame = {
-    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n), threshold)
+                                  n: Int = 4, maxDf: Int = 10000): DataFrame = {
+    val pairs = nearDuplicatePairs(shingles(docs, idCol, textCol, n),
+      threshold, maxDf)
     val losers = duplicateClusters(pairs)
       .filter(col("doc_id") =!= col("cluster"))
       .select(col("doc_id").as(idCol))

@@ -201,6 +201,62 @@ object Sources {
           .orderBy("r_name", "d")
       }),
 
+    // Hive-partitioned parquet round-trip: Spark writes orders
+    // partitioned by o_orderpriority, reads it back with a filter ON
+    // the partition column — the scan prunes to one directory
+    // (PartitionFilters, no data-file IO for the other 4/5ths) —
+    // and DuckDB reads the same layout via hive_partitioning.
+    Q("q_src_partitioned",
+      Some(s"""SELECT o_custkey % 10 AS bucket, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM read_parquet('${oraclePath("parq_part")}/*/*.parquet',
+                                 hive_partitioning = true)
+               WHERE o_orderpriority = '1-URGENT'
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val path = ensure(s, dir, "parq_part") { out =>
+          t(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+        }
+        s.read.parquet(path)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy((col("o_custkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("bucket")
+      }),
+
+    // Schema-evolution read: two parquet generations of the same table
+    // (the newer one grew a column), merged with mergeSchema on the
+    // Spark side and union_by_name on the DuckDB side — the
+    // source-level twin of q_set_byname, exercised through FILES
+    // rather than DataFrames.
+    Q("q_src_evolve",
+      Some(s"""SELECT n_regionkey, count(*) AS n,
+                      count(n_comment_len) AS n_with_len
+               FROM read_parquet(['${oraclePath("evolve")}/gen1/*.parquet',
+                                  '${oraclePath("evolve")}/gen2/*.parquet'],
+                                 union_by_name = true)
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val path = ensure(s, dir, "evolve") { out =>
+          val nat = t(s, dir, "nation")
+          nat.filter(col("n_nationkey") < 12)
+            .select("n_nationkey", "n_regionkey")
+            .write.mode("overwrite").parquet(s"$out/gen1")
+          nat.filter(col("n_nationkey") >= 12)
+            .select(col("n_nationkey"), col("n_regionkey"),
+              length(col("n_name")).cast("long").as("n_comment_len"))
+            .write.mode("overwrite").parquet(s"$out/gen2")
+        }
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$path/gen1", s"$path/gen2")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"),
+            count(col("n_comment_len")).as("n_with_len"))
+          .orderBy("n_regionkey")
+      }),
+
     Q("q_percentile",
       Some("""SELECT l_returnflag,
                      ROUND(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 6) AS p25,

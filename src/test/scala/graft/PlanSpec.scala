@@ -48,6 +48,12 @@ class PlanSpec extends AnyFunSuite {
       s"expected partition filters in:\n$plan")
   }
 
+  test("partitioned source query prunes partitions at the scan") {
+    val p = plan("q_src_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"expected partition pruning in:\n$p")
+  }
+
   test("aggregation is two-phase (partial before shuffle)") {
     val p = plan("q_agg_group")
     // partial_ prefix marks map-side combine in HashAggregate
