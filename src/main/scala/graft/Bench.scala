@@ -31,7 +31,9 @@ object Bench {
       import java.util.concurrent.Executors
       import scala.concurrent._
       import scala.concurrent.duration.Duration
-      val pool = Executors.newFixedThreadPool(4)
+      // one worker per build: they're IO/stage-bound and 32 cores hide
+      // the overlap; queueing them serializes the makespan instead
+      val pool = Executors.newFixedThreadPool(8)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val fs = Seq[(String, () => Any)](
         "bucketed_orders" -> (() => api.Bucketing.ensureBucketed(spark, sfDir,
@@ -44,6 +46,7 @@ object Bench {
             e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
             "vec_id", "embedding")
         }),
+        "src_writes" -> (() => ops.Sources.prewriteAll(spark, sfDir)),
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir))

@@ -62,6 +62,51 @@ object Sources {
 
   private def oraclePath(fmt: String) = s"$ioPlaceholder/$fmt"
 
+  // One-time source materializations, shared by the queries (lazily)
+  // and Bench's build phase (eagerly, so query timings measure the
+  // read+aggregate side of the round-trip, not the amortized write).
+
+  private def ensureCsv(s: SparkSession, dir: String): String =
+    ensure(s, dir, "csv") { out =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").option("header", "true").csv(out)
+    }
+
+  private def ensureJsonl(s: SparkSession, dir: String): String =
+    ensure(s, dir, "jsonl") { out =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"),
+          struct(length(col("n_name")).cast("long").as("name_len"),
+            upper(col("n_name")).as("upper")).as("meta"))
+        .write.mode("overwrite").json(out)
+    }
+
+  private def ensurePartitioned(s: SparkSession, dir: String): String =
+    ensure(s, dir, "parq_part") { out =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    }
+
+  private def ensureEvolve(s: SparkSession, dir: String): String =
+    ensure(s, dir, "evolve") { out =>
+      val nat = t(s, dir, "nation")
+      nat.filter(col("n_nationkey") < 12)
+        .select("n_nationkey", "n_regionkey")
+        .write.mode("overwrite").parquet(s"$out/gen1")
+      nat.filter(col("n_nationkey") >= 12)
+        .select(col("n_nationkey"), col("n_regionkey"),
+          length(col("n_name")).cast("long").as("n_comment_len"))
+        .write.mode("overwrite").parquet(s"$out/gen2")
+    }
+
+  /** Materialize every source-sink scratch file for (session, dir). */
+  private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
+    ensureCsv(s, dir); ensureJsonl(s, dir)
+    ensurePartitioned(s, dir); ensureEvolve(s, dir)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // CSV round-trip: Spark writes headered CSV partitions of a 4-column
@@ -76,11 +121,7 @@ object Sources {
                                'o_orderpriority': 'VARCHAR', 'o_totalprice': 'DOUBLE'})
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val path = ensure(s, dir, "csv") { out =>
-          t(s, dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
-            .write.mode("overwrite").option("header", "true").csv(out)
-        }
+        val path = ensureCsv(s, dir)
         val schema = StructType(Seq(
           StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
           StructField("o_orderpriority", StringType),
@@ -103,13 +144,7 @@ object Sources {
                                 'meta': 'STRUCT(name_len BIGINT, upper VARCHAR)'})
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val path = ensure(s, dir, "jsonl") { out =>
-          t(s, dir, "nation")
-            .select(col("n_nationkey"), col("n_regionkey"),
-              struct(length(col("n_name")).cast("long").as("name_len"),
-                upper(col("n_name")).as("upper")).as("meta"))
-            .write.mode("overwrite").json(out)
-        }
+        val path = ensureJsonl(s, dir)
         s.read.json(path)
           .groupBy("n_regionkey")
           .agg(count(lit(1)).as("n_nations"),
@@ -214,11 +249,7 @@ object Sources {
                WHERE o_orderpriority = '1-URGENT'
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val path = ensure(s, dir, "parq_part") { out =>
-          t(s, dir, "orders")
-            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
-            .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-        }
+        val path = ensurePartitioned(s, dir)
         s.read.parquet(path)
           .filter(col("o_orderpriority") === "1-URGENT")
           .groupBy((col("o_custkey") % 10).as("bucket"))
@@ -239,16 +270,7 @@ object Sources {
                                  union_by_name = true)
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
-        val path = ensure(s, dir, "evolve") { out =>
-          val nat = t(s, dir, "nation")
-          nat.filter(col("n_nationkey") < 12)
-            .select("n_nationkey", "n_regionkey")
-            .write.mode("overwrite").parquet(s"$out/gen1")
-          nat.filter(col("n_nationkey") >= 12)
-            .select(col("n_nationkey"), col("n_regionkey"),
-              length(col("n_name")).cast("long").as("n_comment_len"))
-            .write.mode("overwrite").parquet(s"$out/gen2")
-        }
+        val path = ensureEvolve(s, dir)
         s.read.option("mergeSchema", "true")
           .parquet(s"$path/gen1", s"$path/gen2")
           .groupBy("n_regionkey")
