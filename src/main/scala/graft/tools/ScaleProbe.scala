@@ -162,6 +162,22 @@ object ScaleProbe {
     }
     println(f"ANN at ${mult}x: brute=${db}%.2f s scoring $total vecs; " +
       f"ivf probe=${di}%.2f s scoring $probed vecs (${100.0 * probed / total}%.1f%%)")
+
+    // bucket-pruned IVF (the persisted production shape) + multi-probe
+    // LSH at the same scale: the pruned probe's IO is physically
+    // nProbe/nCells of the index, the ring probe trades (bits+1)x
+    // candidates for recall
+    val tbl = Similarity.ivfIndexBucketed(spark, s"probe${mult}x", emb,
+      cents0.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val tp = System.nanoTime()
+    Similarity.ivfSearchPruned(spark, tbl, cents, queryId = 1, k = 10,
+      nProbe = 8).count()
+    val dp = (System.nanoTime() - tp) / 1e9
+    val tl = System.nanoTime()
+    Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", queryId = 1,
+      k = 10, bits = 8).count()
+    val dl = (System.nanoTime() - tl) / 1e9
+    println(f"ANN at ${mult}x: bucket-pruned ivf=${dp}%.2f s; multi-probe lsh=${dl}%.2f s")
     spark.stop()
   }
 }
