@@ -210,6 +210,14 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val err = intercept[Exception](s.sql(
         "SELECT minhash_sig(t, 1.5) FROM VALUES ('a') AS v(t)").collect())
       assert(err.getMessage.contains("integral literal"))
+      val extra = s.sql(
+        """SELECT nearest_centroid(array(1.0D, 0.0D),
+                    array(named_struct('id', 7L, 'cv', array(0.0D, 1.0D)),
+                          named_struct('id', 9L, 'cv', array(1.0D, 0.0D)))) AS nc,
+                  (SELECT vec_sum_agg(v) FROM VALUES (array(1.0D, 2.0D)),
+                     (array(3.0D, 4.0D)) AS t(v)) AS vs""").collect().head
+      assert(extra.getLong(0) === 9L)
+      assert(extra.getSeq[Double](1) === Seq(4.0, 6.0))
     } finally s.stop()
   }
 }
