@@ -85,13 +85,21 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
 
+    // A failing query must be visible in the bench line, not just slow:
+    // Verify catches wrong ANSWERS, but a query that starts THROWING
+    // would otherwise hide inside an innocuous-looking timing entry.
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
     val wall0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => -prev.getOrElse(name, Double.MaxValue) }
       .map { case (name, fn) =>
       Future {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+          errors.incrementAndGet()
+          System.err.println(s"bench: $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          -1L
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
@@ -116,7 +124,7 @@ object Bench {
     val buildsFull = builds.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"builds":$buildsFull,"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"errors":${errors.get},"builds":$buildsFull,"queries":$full,"sf":"$sfDir"}""")
 
     // "value" covers the whole run (builds + queries) — comparable to
     // prior rounds where builds were folded into query numbers — while
@@ -125,7 +133,7 @@ object Bench {
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"n_queries":${results.size},"errors":${errors.get},"queries":$qs,"sf":"$sfDir"}"""
     }
     var kept = results.sortBy(-_._2) // keep the slowest: most informative
     while (line(kept).length > 1600 && kept.nonEmpty) kept = kept.dropRight(1)

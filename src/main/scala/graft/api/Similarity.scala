@@ -135,32 +135,54 @@ object Similarity {
     Bucketing.ensureBucketed(s, sfTag, "ivf_index",
       ivfIndex(vectors, centroids, idCol, vecCol), "cent_id", buckets)
 
-  /** Probe a bucketed index table. The nProbe winning cell ids are
-    * collected to the driver (nProbe longs — query-plan metadata, like
-    * the centroids themselves) so the cell filter is a LITERAL `IN`,
-    * which is what bucket pruning and parquet row-group stats can act
-    * on; a join-based probe would read every bucket.
+  /** Per-parent child sessions carrying the probe-scoped SQL conf, so a
+    * library call never mutates the caller's ambient session state. A
+    * child shares the SparkContext, external catalog, and cache with its
+    * parent; only the SQLConf (and temp views / function registry) are
+    * isolated — exactly the scope the probe flag needs.
+    */
+  private val probeSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+
+  private def probeSession(s: org.apache.spark.sql.SparkSession) =
+    probeSessions.computeIfAbsent(s, p => {
+      val c = p.newSession()
+      // DisableUnnecessaryBucketedScan only weighs distribution/ordering
+      // needs, not bucket PRUNING — left on, a filter-only probe plans a
+      // plain scan of every bucket ("disabled by query planner").
+      c.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      graft.functions.VectorFunctions.register(c)
+      c
+    })
+
+  /** Probe a bucketed index table. The query vector and the nProbe
+    * winning cell ids are collected to the driver (dim doubles + nProbe
+    * longs — query-plan metadata, like the centroids themselves) so the
+    * cell filter is a LITERAL `IN`, which is what bucket pruning and
+    * parquet row-group stats can act on; a join-based probe would read
+    * every bucket. The pruned scan itself plans in a child session where
+    * the autoBucketedScan flag is scoped — the returned DataFrame is
+    * lazy, so a set/restore around this method would lose the pruning by
+    * the time the query actually runs, and a bare `conf.set` would leak
+    * the flag into every later query in the caller's session.
     */
   def ivfSearchPruned(s: org.apache.spark.sql.SparkSession, indexTable: String,
                       cents: DataFrame, queryId: Long, k: Int,
                       nProbe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    // DisableUnnecessaryBucketedScan only weighs distribution/ordering
-    // needs, not bucket PRUNING — with it on, this filter-only probe
-    // plans a plain scan of every bucket ("disabled by query planner").
-    // Forcing bucketed scans keeps the IN-filter prunable down to
-    // SelectedBucketsCount = nProbe cells' buckets.
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    val index = s.table(indexTable)
-    val qv = index.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val probeIds = cents.crossJoin(broadcast(qv))
+    val qv: Seq[Double] = s.table(indexTable)
+      .filter(col("vec_id") === queryId)
+      .select(col("v")).head().getSeq[Double](0)
+    val probeIds = cents
+      .withColumn("qv", typedlit(qv))
       .withColumn("cd", expr("cosine_sim(cv, qv)"))
       .orderBy(col("cd").desc, col("cent_id"))
       .limit(nProbe)
       .select("cent_id").collect().map(_.getLong(0)).toSeq
-    index.filter(col("cent_id").isin(probeIds: _*))
+    probeSession(s).table(indexTable)
+      .filter(col("cent_id").isin(probeIds: _*))
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qv))
+      .withColumn("qv", typedlit(qv))
       .withColumn("cos", expr("cosine_sim(v, qv)"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

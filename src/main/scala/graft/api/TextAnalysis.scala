@@ -78,8 +78,9 @@ object TextAnalysis {
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.select("doc_id", "term").distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    // tf rows ARE the distinct (doc, term) pairs, so counting them per
+    // term is the document frequency — no second tokenize scan needed.
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",

@@ -57,22 +57,17 @@ object Cli {
         val namesIdx = args.indexOf("--names")
         val names = if (namesIdx >= 0 && namesIdx + 1 < args.length)
           args(namesIdx + 1) else "both"
-        val query = pos.filterNot(p => p == names).headOption.getOrElse(usage())
-        val df = shelf.db(query, names)
-        if (flags("--csv")) println(Db.toCsv(df))
-        else Db.toJsonRecords(df).foreach(println)
-      case "shell" =>
-        // Interactive SQL loop over the registered views (reference
-        // `shelf db` shell variant, __init__.py:403-431): read a query
-        // per line, print JSON records; blank/exit quits.
-        val stdin = scala.io.Source.stdin.getLines()
-        print("shelf> "); Console.flush()
-        stdin.takeWhile(l => l.trim.nonEmpty && l.trim != "exit" && l.trim != "quit")
-          .foreach { line =>
-            try Db.toJsonRecords(shelf.db(line)).foreach(println)
-            catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
-            print("shelf> "); Console.flush()
-          }
+        pos.filterNot(p => p == names).headOption match {
+          case Some(query) =>
+            val df = shelf.db(query, names)
+            if (flags("--csv")) println(Db.toCsv(df))
+            else Db.toJsonRecords(df).foreach(println)
+          case None =>
+            // reference parity (__init__.py:172-175): bare `shelf db`
+            // drops into the interactive shell
+            shell(shelf)
+        }
+      case "shell" => shell(shelf)
       case "export" | "export-duckdb" =>
         // reference command name kept as an alias; the container is a
         // parquet directory + manifest instead of a .duckdb file (A18)
@@ -85,6 +80,23 @@ object Cli {
         println(uri)
       case _ => usage()
     }
+  }
+
+  /** Interactive SQL loop over the registered views (reference `shelf db`
+    * with no query, __init__.py:172-175 → :403-431): read a query per
+    * line, print JSON records; blank/exit quits. Reachable both as bare
+    * `db` (reference behavior) and the explicit `shell` subcommand.
+    */
+  def shell(shelf: Shelf, in: scala.io.Source = scala.io.Source.stdin,
+            out: java.io.PrintStream = Console.out): Unit = {
+    val lines = in.getLines()
+    out.print("shelf> "); out.flush()
+    lines.takeWhile(l => l.trim.nonEmpty && l.trim != "exit" && l.trim != "quit")
+      .foreach { line =>
+        try Db.toJsonRecords(shelf.db(line)).foreach(out.println)
+        catch { case e: Exception => System.err.println(s"error: ${e.getMessage}") }
+        out.print("shelf> "); out.flush()
+      }
   }
 
   /** Open a snapshot's metadata sidecar in the user's editor — the

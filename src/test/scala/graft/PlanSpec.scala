@@ -142,6 +142,28 @@ class PlanSpec extends AnyFunSuite {
       s"probe must touch a strict subset of buckets:\n$p")
   }
 
+  test("ivfSearchPruned leaves the caller's session conf untouched") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val before = spark.conf.get(key)
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val tbl = api.Similarity.ivfIndexBucketed(spark, sfDir, e,
+      e.filter(col("vec_id") < 16), "vec_id", "embedding")
+    val cents = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long").as("cent_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
+    val probe = api.Similarity.ivfSearchPruned(spark, tbl, cents,
+      queryId = 1, k = 10, nProbe = 4)
+    assert(probe.count() > 0)
+    // the probe flag must be scoped to the child session: a leak here
+    // silently changes plan selection for every later bucketed query
+    assert(spark.conf.get(key) === before,
+      "ivfSearchPruned must not mutate the caller's session conf")
+    // and the pruning must still be in effect on the returned plan
+    assert(probe.queryExecution.executedPlan.toString
+      .contains("SelectedBucketsCount"))
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString

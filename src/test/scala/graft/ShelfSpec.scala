@@ -583,6 +583,30 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(sidecar.contains("source_name: unit-test"))
   }
 
+  test("shell: reads queries from stdin, prints JSON records, exits on blank") {
+    val (shelf, _) = freshShelf()
+    val in = scala.io.Source.fromString("SELECT 1 AS x\nexit\n")
+    val bout = new java.io.ByteArrayOutputStream()
+    Cli.shell(shelf, in, new java.io.PrintStream(bout, true, "UTF-8"))
+    val out = bout.toString("UTF-8")
+    assert(out.contains("shelf> "), s"expected a prompt in: $out")
+    assert(out.contains("""{"x":1}"""), s"expected the query result in: $out")
+  }
+
+  test("bare `db` drops into the interactive shell, not usage (__init__.py:172-175)") {
+    // dispatch-only check: `exit` quits before any catalog/session is
+    // touched; a regression back to usage() calls sys.exit(2) instead
+    val oldIn = System.in
+    try {
+      System.setIn(new java.io.ByteArrayInputStream("exit\n".getBytes("UTF-8")))
+      val bout = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+        Cli.main(Array("db"))
+      }
+      assert(bout.toString("UTF-8").contains("shelf> "))
+    } finally System.setIn(oldIn)
+  }
+
   test("malformed shelf.yaml fails with field-named errors") {
     def catalogError(yaml: String): String = {
       val root = Files.createTempDirectory("badcat")
