@@ -87,8 +87,11 @@ object Cli {
     * line, print JSON records; blank/exit quits. Reachable both as bare
     * `db` (reference behavior) and the explicit `shell` subcommand.
     */
-  def shell(shelf: Shelf, in: scala.io.Source = scala.io.Source.stdin,
+  def shell(shelf: => Shelf, in: scala.io.Source = scala.io.Source.stdin,
             out: java.io.PrintStream = Console.out): Unit = {
+    // `shelf` is by-name: the Shelf constructor auto-inits a catalog in
+    // root, and a bare `db`/`shell` that quits immediately must not
+    // scribble a shelf.yaml into an arbitrary cwd
     val lines = in.getLines()
     out.print("shelf> "); out.flush()
     lines.takeWhile(l => l.trim.nonEmpty && l.trim != "exit" && l.trim != "quit")
