@@ -207,57 +207,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14, Alg. 3): every node connects each
+    * strictly-LARGER neighbor to the node's local minimum (min of
+    * itself and all neighbors). Input and output are canonical
+    * (u < v) distinct edge sets; mn ≤ n < b keeps the emitted edge
+    * canonical and loop-free by construction.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val adj = e.select(col("u").as("n"), col("v").as("b"))
+      .union(e.select(col("v").as("n"), col("u").as("b")))
+    val mins = adj.groupBy("n").agg(min(col("b")).as("mb"))
+      .select(col("n"), least(col("n"), col("mb")).as("mn"))
+    adj.join(mins, "n")
+      .where(col("b") > col("n"))
+      .select(col("mn").as("u"), col("b").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round (Kiveris'14, Alg. 4): every node connects its
+    * smaller neighbors AND itself to the minimum of those neighbors.
+    * Canonical edges already point small→large, so keying by `v` gives
+    * exactly the smaller-neighbor lists; mb < b < n keeps the output
+    * canonical.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val adj = e.select(col("v").as("n"), col("u").as("b"))
+    val mins = adj.groupBy("n").agg(min(col("b")).as("mb"))
+    adj.join(mins, "n")
+      .where(col("b") =!= col("mb"))
+      .select(col("mb").as("u"), col("b").as("v"))
+      .union(mins.select(col("mb").as("u"), col("n").as("v")))
+      .distinct()
+  }
+
   /** Connected components over a duplicate-pair edge list: every doc in
     * a pair gets the minimum doc_id of its transitive component as
     * `cluster` — the step that turns pairwise near-dup detection into
     * keep-one-per-cluster decisions.
     *
-    * Iterative min-label propagation (the degenerate-but-robust form of
-    * large-star/small-star, Kiveris et al. 2014): each round every node
-    * takes the min of its own label and its neighbors' labels;
-    * converges in O(component diameter) rounds. Each round is one
-    * shuffle on node id; `localCheckpoint` truncates the growing plan
-    * lineage so round N doesn't replay rounds 1..N-1 (the classic
-    * iterative-DataFrame trap). Duplicate clusters are near-cliques, so
-    * diameters are tiny and `maxIter` = 20 is generous; if a component's
-    * diameter ever exceeds it, the loop THROWS rather than silently
-    * emitting a non-fixpoint labeling.
+    * Alternating large-star/small-star rounds (Kiveris'14): the edge set
+    * contracts toward a star forest whose centers are the component
+    * minima in O(log n) rounds REGARDLESS of component shape. Min-label
+    * propagation (the previous implementation here) needs O(diameter)
+    * rounds — fine for near-clique duplicate clusters, pathological on
+    * chain-shaped components (a 1000-node path is 1000 rounds; the star
+    * algorithm does it in a handful). Each half-round is a groupBy plus
+    * a join back on the grouping key over localCheckpoint'd edges, so
+    * round N never replays rounds 1..N-1 and every shuffle is on the
+    * node id.
     *
-    * Convergence detection is free-riding: the previous label is carried
-    * through the (eager) localCheckpoint, so counting changed rows is a
-    * scan over already-materialized blocks — no join-against-previous
-    * job per round.
+    * Convergence = the canonical edge set reaches a fixpoint, checked
+    * deterministically (equal count AND no edge outside the previous
+    * set ⇒ equal sets) — no hash fingerprints that could collide into a
+    * false early stop. Throws after `maxIter` rounds (components of
+    * ~2^maxIter nodes) rather than silently emitting a non-fixpoint
+    * labeling.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .union(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy("u").agg(min(col("v")).as("nbr"))
-      .select(col("u").as("node"),
-        least(col("u"), col("nbr")).as("cluster"))
+    var edges = pairs
+      .select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
       .localCheckpoint()
-    var changed = 1L
+    var n = edges.count()
+    var converged = n == 0L
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .groupBy("u").agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
-        .select(col("node"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("prev")).count()
-      labels = next.select(col("node"), col("cluster"))
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nNext = next.count()
+      converged = nNext == n &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = next
+      n = nNext
       iter += 1
     }
-    edges.unpersist()
-    if (changed > 0) throw new IllegalStateException(
-      s"duplicateClusters: still $changed label changes after $maxIter " +
-        "rounds — component diameter exceeds maxIter; raise maxIter " +
-        "(results would otherwise be a silently-wrong non-fixpoint labeling)")
-    labels.select(col("node").as("doc_id"), col("cluster"))
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters: no fixpoint after $maxIter star rounds — " +
+        "raise maxIter (results would otherwise be a silently-wrong " +
+        "non-fixpoint labeling)")
+    // at the fixpoint every component is a star centered at its minimum:
+    // members label from their center, centers label themselves
+    edges.select(col("v").as("doc_id"), col("u").as("cluster"))
+      .union(edges.select(col("u"), col("u")).distinct()
+        .toDF("doc_id", "cluster"))
   }
 
   /** Remove near-duplicates: keeps the smallest doc_id of every pair

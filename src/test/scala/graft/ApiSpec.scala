@@ -147,11 +147,18 @@ class ApiSpec extends AnyFunSuite {
   }
 
   test("Graft.clear unpersists everything the library pinned for a session") {
-    // child session: caches are keyed by session identity, so this is
-    // order-independent w.r.t. other suites' cached frames
+    // child session AND a private copy of the data: the CacheManager is
+    // shared across sessions and dedupes plan-identical persists, so a
+    // run over the common sfDir pins nothing new once any earlier suite
+    // has warmed the same shingle cache — a unique path makes the plan
+    // (and thus the pinned frames) unambiguously this test's own
+    val dir = java.nio.file.Files.createTempDirectory("clearspec")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sfDir, "documents.parquet"),
+      dir.resolve("documents.parquet"))
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val s2 = spark.newSession()
-    SparkEntry.queries("q_dedup_near")(s2, sfDir).collect()
+    SparkEntry.queries("q_dedup_near")(s2, dir.toString).collect()
     val during = spark.sparkContext.getPersistentRDDs.keySet
     assert((during -- before).nonEmpty, "dedup pipeline should pin frames")
     graft.Graft.clear(s2)
@@ -159,7 +166,7 @@ class ApiSpec extends AnyFunSuite {
     assert((after -- before).isEmpty,
       "clear must unpersist every frame the library pinned for the session")
     // caches rebuild lazily: the query still runs after a clear
-    assert(SparkEntry.queries("q_dedup_near")(s2, sfDir).collect().nonEmpty)
+    assert(SparkEntry.queries("q_dedup_near")(s2, dir.toString).collect().nonEmpty)
     graft.Graft.clear(s2)
   }
 

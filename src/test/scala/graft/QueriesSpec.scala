@@ -117,17 +117,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.filter("predicted IS NULL").count() === 0)
   }
 
-  test("connected components converge on a long chain (diameter >> 1)") {
+  test("connected components converge on a 1000-node path (diameter >> maxIter)") {
     val s = SparkTestSession.spark
     import s.implicits._
-    // chain 10-9-...-1 + isolated pair (20,21): worst-case diameter for
-    // min-label propagation, unlike the near-clique corpus clusters
-    val edges = ((1L to 9L).map(i => (i + 1, i)) :+ (21L, 20L))
+    // a 1000-node path + isolated pair: worst-case shape for min-label
+    // propagation (O(diameter) rounds would blow the 20-round budget by
+    // 50x); the alternating large-star/small-star rounds contract it to
+    // stars in O(log n), so the default maxIter must suffice
+    val edges = ((1L until 1000L).map(i => (i + 1, i)) :+ (2000L, 2001L))
       .toDF("doc_a", "doc_b")
     val cl = graft.api.Dedup.duplicateClusters(edges).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (1L to 10L).foreach(i => assert(cl(i) === 1L, s"node $i"))
-    assert(cl(20L) === 20L && cl(21L) === 20L)
+    assert(cl.size === 1002)
+    (1L to 1000L).foreach(i => assert(cl(i) === 1L, s"node $i"))
+    assert(cl(2000L) === 2000L && cl(2001L) === 2000L)
   }
 
   test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
