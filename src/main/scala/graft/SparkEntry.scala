@@ -20,5 +20,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(sql =>
-      q.name -> ops.Sources.resolveOracle(sql.trim))).toMap
+      q.name -> ops.Pipeline.resolveOracle(
+        ops.Sources.resolveOracle(sql.trim)))).toMap
 }

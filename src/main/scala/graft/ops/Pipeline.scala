@@ -42,7 +42,52 @@ object Pipeline {
       pairsCache.keys.filter(_._1 == id)
         .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
     }
+    kmeansCache.synchronized {
+      kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
+    }
   }
+
+  /** k-means centroids per (session, dir), computed ONCE and shared by
+    * the Spark query and the oracle-SQL resolver: the Lloyd means are
+    * floating-point sums whose exact low bits depend on summation order
+    * (engine- and run-specific), so the cross-engine contract is the
+    * centroid VALUES — both sides rank against literally identical
+    * doubles, exactly like the driver-literal centroids in
+    * q_sim_ivf_bucketed. k×dim doubles of driver metadata.
+    */
+  private val kmeansCache = scala.collection.concurrent
+    .TrieMap[(Int, String), Seq[(Long, Seq[Double])]]()
+
+  private[graft] def kmeansCents(s: SparkSession,
+                                 dir: String): Seq[(Long, Seq[Double])] =
+    kmeansCache.synchronized {
+      kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Similarity.kmeansCentroids(t(s, dir, "embeddings"),
+            "vec_id", "embedding", k = 16, iters = 2)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq)
+    }
+
+  private[graft] val kmeansPlaceholder = "__GRAFT_KMEANS_CENTS__"
+
+  /** Resolve [[kmeansPlaceholder]] into DuckDB VALUES rows of the
+    * centroids the Spark query will use — Double.toString is shortest-
+    * round-trip, so DuckDB parses back the identical doubles. Runs at
+    * oracle-dump time (Verify has an active session and has pinned
+    * Sources.oracleSfDir); with no active session the placeholder is
+    * left unresolved, which only arises in contexts that never execute
+    * the oracle.
+    */
+  private[graft] def resolveOracle(sql: String): String =
+    if (!sql.contains(kmeansPlaceholder)) sql
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => sql
+      case Some(s) =>
+        val rows = kmeansCents(s, Sources.oracleSfDir)
+          .map { case (cid, cv) =>
+            s"(CAST($cid AS BIGINT), [${cv.mkString(", ")}])" }
+          .mkString(", ")
+        sql.replace(kmeansPlaceholder, rows)
+    }
 
   /** Near-dup pair set, persisted: q_dedup_near orders it, and
     * q_dedup_cluster iterates over it — without the cache the clustering
@@ -221,16 +266,33 @@ object Pipeline {
       }),
 
     // IVF with k-means-built centroids (2 Lloyd iterations from a
-    // deterministic seed): the offline index-construction path.
-    // Approximate → rows-only; determinism pinned in PipelineSpec.
-    Q("q_sim_ann_kmeans", None,
+    // deterministic seed): the offline index-construction path. Fully
+    // oracle-checked: the centroids are computed once per (session, dir)
+    // and injected into the DuckDB SQL as literal VALUES (resolved at
+    // oracle-dump time), so both engines assign, probe, and rank against
+    // identical doubles — the same technique as q_sim_ivf_bucketed's
+    // driver-literal centroids.
+    Q("q_sim_ann_kmeans",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    c AS (SELECT cid, cv FROM (VALUES $kmeansPlaceholder) t(cid, cv)),
+                    asg AS (SELECT e.vec_id, e.v, c.cid,
+                                   row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                            FROM e CROSS JOIN c),
+                    idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+                    probes AS (SELECT cid FROM c, q
+                               ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+                    cand AS (SELECT i.vec_id, i.cid, list_cosine_similarity(i.v, qv) AS cos_raw
+                             FROM idx i JOIN probes USING (cid), q WHERE i.vec_id <> 1)
+               SELECT vec_id, cid AS cent_id, ROUND(cos_raw, 4) AS cos
+               FROM cand ORDER BY cos_raw DESC, vec_id LIMIT 10"""),
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-        val cents = Similarity.kmeansCentroids(e, "vec_id", "embedding",
-          k = 16, iters = 2)
-          .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
-        Similarity.ivfTopK(e, cents, "vec_id", "embedding",
-          queryId = 1, k = 10, nProbe = 4)
+        import s.implicits._
+        val cents = kmeansCents(s, dir).toDF("vec_id", "embedding")
+        Similarity.ivfTopK(t(s, dir, "embeddings"), cents,
+          "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
       }),
 
     // IVF over a PERSISTED bucketed index (the production shape): the
