@@ -40,26 +40,44 @@ object ScaleProbe {
       r
     }
 
-    // documents x mult with distinct ids: same text => duplicate pairs
-    // grow mult^2 per original pair ONLY within replica groups if text
-    // is identical; shift text per replica to keep pair density flat.
+    // documents x mult with distinct ids. Every WORD gets a per-replica
+    // suffix: the word set of each replica is a bijective renaming of
+    // the original, so the within-replica shingle/df/duplicate structure
+    // is EXACTLY the 1x corpus's, while every shingle of every replica
+    // carries its marker — replica groups are pairwise disjoint in
+    // shingle space and pair density is flat by construction. (Appending
+    // one tag token to the whole TEXT leaves >90% of a replica's
+    // shingles shared with its siblings — jaccard 0.93+ — planting a
+    // hidden mult² self-replica pair term and multiplying every df by
+    // mult: the probe would then measure its own replication artifact,
+    // not corpus growth.) The 1x baseline runs through the same
+    // transform so growth factors compare like for like.
     val docs0 = spark.read.parquet(s"$dir/documents.parquet")
     val n0 = docs0.count()
     val reps = spark.range(mult).select(col("id").as("rep"))
-    val docs = docs0.crossJoin(reps)
+    def docsFor(m: Int) = docs0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
       .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
-        concat(col("text"), lit(" r"), col("rep")).as("text"))
+        expr("array_join(transform(split(text, ' '), " +
+          "w -> concat(w, 'zz', CAST(rep AS STRING))), ' ')").as("text"))
+    val docs = docsFor(mult)
     println(s"docs: $n0 -> ${n0 * mult}")
 
-    val sh1 = Dedup.shingles(docs0.select("doc_id", "text"), "doc_id", "text")
+    val sh1 = Dedup.shingles(docsFor(1), "doc_id", "text")
+    val sn0 = shufSnap()
     val t1 = System.nanoTime()
     val p1 = Dedup.nearDuplicatePairs(sh1, 0.5).count()
     val d1 = (System.nanoTime() - t1) / 1e9
+    val sn1 = shufSnap()
     val shN = Dedup.shingles(docs, "doc_id", "text")
     val tN = System.nanoTime()
     val pN = Dedup.nearDuplicatePairs(shN, 0.5).count()
     val dN = (System.nanoTime() - tN) / 1e9
-    println(f"near-dup pairs: 1x=$p1 (${d1}%.2f s)  ${mult}x=$pN (${dN}%.2f s)  time-growth=${dN / d1}%.1fx (corpus ${mult}x)")
+    val sn2 = shufSnap()
+    println(f"near-dup pairs: 1x=$p1 (${d1}%.2f s, ${(sn1 - sn0) / 1e6}%.1f MB shuffled)  " +
+      f"${mult}x=$pN (${dN}%.2f s, ${(sn2 - sn1) / 1e6}%.1f MB)  " +
+      f"time-growth=${dN / d1}%.1fx pair-growth=${pN.toDouble / p1}%.1fx " +
+      f"shuffle-growth=${(sn2 - sn1).toDouble / (sn1 - sn0)}%.1fx (corpus ${mult}x)")
 
     // hot-shingle skew: plant a boilerplate prefix into every 5th doc
     // (3 shingles of df ~ corpus/5 each). Uncapped, each hot posting
@@ -77,11 +95,18 @@ object ScaleProbe {
     val tCap = System.nanoTime()
     val pCap = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = cap).count()
     val dCap = (System.nanoTime() - tCap) / 1e9
-    val tUnc = System.nanoTime()
-    val pUnc = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = Int.MaxValue).count()
-    val dUnc = (System.nanoTime() - tUnc) / 1e9
-    println(f"hot-shingle (df~$hotDf, cap=$cap): capped=$pCap pairs ${dCap}%.2f s   " +
-      f"uncapped=$pUnc pairs ${dUnc}%.2f s  (uncapped hot-candidate term ~ 3·df²/2 = ${3 * hotDf * hotDf / 2})")
+    // the uncapped run IS the quadratic term (df²/2 candidate rows per
+    // hot posting) — it exists to show what the cap saves, and only
+    // fits in a probe run at ≤10x (92 s at 10x ⇒ ~2.5 h at 100x)
+    if (mult <= 10) {
+      val tUnc = System.nanoTime()
+      val pUnc = Dedup.nearDuplicatePairs(shHot, 0.5, maxDf = Int.MaxValue).count()
+      val dUnc = (System.nanoTime() - tUnc) / 1e9
+      println(f"hot-shingle (df~$hotDf, cap=$cap): capped=$pCap pairs ${dCap}%.2f s   " +
+        f"uncapped=$pUnc pairs ${dUnc}%.2f s  (uncapped hot-candidate term ~ 3·df²/2 = ${3 * hotDf * hotDf / 2})")
+    } else
+      println(f"hot-shingle (df~$hotDf, cap=$cap): capped=$pCap pairs ${dCap}%.2f s   " +
+        f"uncapped SKIPPED at ${mult}x (hot-candidate term ~ 3·df²/2 = ${3 * hotDf * hotDf / 2} rows)")
 
     // clustering + incremental dedup: the iterative and index-join paths
     // whose growth factors matter most at 100 TB
@@ -169,15 +194,19 @@ object ScaleProbe {
     // candidates for recall
     val tbl = Similarity.ivfIndexBucketed(spark, s"probe${mult}x", emb,
       cents0.select(col("vec_id"), col("embedding")), "vec_id", "embedding")
+    val sp0 = shufSnap()
     val tp = System.nanoTime()
     Similarity.ivfSearchPruned(spark, tbl, cents, queryId = 1, k = 10,
       nProbe = 8).count()
     val dp = (System.nanoTime() - tp) / 1e9
+    val sp1 = shufSnap()
     val tl = System.nanoTime()
     Similarity.lshTopKMultiProbe(emb, "vec_id", "embedding", queryId = 1,
       k = 10, bits = 8).count()
     val dl = (System.nanoTime() - tl) / 1e9
-    println(f"ANN at ${mult}x: bucket-pruned ivf=${dp}%.2f s; multi-probe lsh=${dl}%.2f s")
+    println(f"ANN at ${mult}x: bucket-pruned ivf=${dp}%.2f s " +
+      f"(${(sp1 - sp0) / 1e6}%.1f MB shuffled — the probe is a pruned scan, " +
+      f"not a shuffle); multi-probe lsh=${dl}%.2f s")
     spark.stop()
   }
 }
