@@ -79,8 +79,19 @@ object TextAnalysis {
       explode(split(col(textCol), " ")).as("term"))
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     // tf rows ARE the distinct (doc, term) pairs, so counting them per
-    // term is the document frequency — no second tokenize scan needed.
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // term is the document frequency — no second tokenize scan. The
+    // throwaway sum(tf) keeps this branch's upstream aggregate
+    // byte-identical to the tf branch (column pruning would otherwise
+    // drop the count from it, and exchange reuse only fires on
+    // identical subtrees — the corpus would silently tokenize twice);
+    // the always-true filter consumes the sum so the pruner can't
+    // remove it. Pinned by the one-Generate PlanSpec test. A windowed
+    // count-per-term over tf would also avoid the rescan but piles
+    // every (doc, stopword-term) row into one task — a skew trap at
+    // corpus scale; the aggregate form map-side-combines instead.
+    val df = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("_w"))
+      .filter(col("_w") >= 1).drop("_w")
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf",

@@ -164,6 +164,21 @@ class PlanSpec extends AnyFunSuite {
       .contains("SelectedBucketsCount"))
   }
 
+  test("tf-idf tokenizes the corpus once (df derives from tf)") {
+    val df = graft.api.TextAnalysis.tfidfTopTerms(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
+    df.collect() // finalize the adaptive plan
+    // AQE's toString appends the pre-adaptive "Initial Plan" — count
+    // only the final plan's operators
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // one explode over the raw docs: the document-frequency branch must
+    // reuse the tf aggregate's exchange, not re-tokenize the corpus (a
+    // second Generate doubles the dominant scan at corpus scale)
+    val nGen = "Generate explode".r.findAllIn(p).length
+    assert(nGen == 1, s"expected exactly 1 Generate, got $nGen in:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
