@@ -255,10 +255,28 @@ object Pipeline {
           .orderBy("qid", "rnk")
       }),
 
-    // Approximate by construction → rows-only; subset/determinism pinned
-    // in PipelineSpec. Centroids = first 16 vectors (deterministic
-    // k-means stand-in; the assignment/probe plumbing is the point).
-    Q("q_sim_ann_ivf", None,
+    // Approximate relative to exact search, but DETERMINISTIC given the
+    // deterministic centroid pick (first 16 vectors), so it carries the
+    // same full DuckDB oracle as the bucketed variant: same cosine
+    // assignment argmax (ties to lowest cell id), same probe choice,
+    // same in-cell exact ranking. Subset/determinism also pinned in
+    // PipelineSpec.
+    Q("q_sim_ann_ivf",
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+                   c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                   asg AS (SELECT e.vec_id, e.v, c.cid,
+                                  row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                           FROM e CROSS JOIN c),
+                   idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                   q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+                   probes AS (SELECT cid FROM c, q
+                              ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+                   cand AS (SELECT i.vec_id, i.cid, list_cosine_similarity(i.v, qv) AS cos_raw
+                            FROM idx i JOIN probes USING (cid), q WHERE i.vec_id <> 1)
+              SELECT vec_id, cid AS cent_id, ROUND(cos_raw, 4) AS cos
+              FROM cand ORDER BY cos_raw DESC, vec_id LIMIT 10"""),
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         Similarity.ivfTopK(e, e.filter(col("vec_id") < 16),
