@@ -216,14 +216,18 @@ object Similarity {
       // one shuffle per round: the native vec_sum_agg sums vectors
       // elementwise in a primitive buffer (k×dim partials after map-side
       // combine) — no posexplode row blowup, no reassembly groupBy
-      cents = e
+      val updated = e
         .withColumn("cents", typedlit(cents.sortBy(_._1)))
         .withColumn("cent_id", expr("nearest_centroid(v, cents)"))
         .groupBy("cent_id")
         .agg(expr("vec_sum_agg(v)").as("sum_v"), count(lit(1)).as("n"))
         .select(col("cent_id"),
           expr("transform(sum_v, x -> x / CAST(n AS DOUBLE))").as("cv"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      // empty-cell retention (MLlib's behavior): a cell that captured no
+      // points this round keeps its previous centroid instead of
+      // silently vanishing from the groupBy — k stays k, deterministic
+      cents = cents.map { case (cid, cv) => (cid, updated.getOrElse(cid, cv)) }
     }
     e.unpersist()
     cents.sortBy(_._1).toDF("cent_id", "cv")

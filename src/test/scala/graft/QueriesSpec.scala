@@ -87,6 +87,23 @@ class PipelineSpec extends AnyFunSuite {
       s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
   }
 
+  test("k-means keeps empty cells alive (k stays k)") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // two IDENTICAL initial centroids (init = lowest-id vectors): every
+    // point ties and assigns to the lower cell id, so cell 1 captures
+    // nothing in round 1 — it must keep its previous centroid, not
+    // silently vanish from the result
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(0.9, 0.1)), (3L, Seq(0.8, 0.2))
+    ).toDF("vec_id", "embedding")
+    val cents = graft.api.Similarity.kmeansCentroids(
+      vecs, "vec_id", "embedding", k = 2, iters = 2).collect()
+    assert(cents.length === 2, "empty cell must not shrink k")
+    assert(cents.map(_.getLong(0)).toSet === Set(0L, 1L))
+  }
+
   test("LSH-blocked embedding pairs are a subset of all-pairs, and find identical vectors") {
     val s = SparkTestSession.spark
     import org.apache.spark.sql.functions._
