@@ -153,6 +153,35 @@ object Sources {
           .orderBy("n_regionkey")
       }),
 
+    // Same round-trip with an EXPLICIT schema — the scale path: schema
+    // inference is a full extra pass over the data before the real scan
+    // (at 100 TB that doubles the read), so production JSONL ingest
+    // declares its schema. The DuckDB oracle already declares columns,
+    // making this the closer mirror of the two.
+    Q("q_src_jsonl_schema",
+      Some(s"""SELECT n_regionkey, count(*) AS n_nations,
+                      min(meta.name_len) AS min_len, max(meta.name_len) AS max_len
+               FROM read_json('${oraclePath("jsonl")}/*.json',
+                              format = 'newline_delimited', columns = {
+                                'n_nationkey': 'BIGINT', 'n_regionkey': 'BIGINT',
+                                'meta': 'STRUCT(name_len BIGINT, upper VARCHAR)'})
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val path = ensureJsonl(s, dir)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_regionkey", LongType),
+          StructField("meta", StructType(Seq(
+            StructField("name_len", LongType),
+            StructField("upper", StringType))))))
+        s.read.schema(schema).json(path)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_nations"),
+            min(col("meta.name_len")).as("min_len"),
+            max(col("meta.name_len")).as("max_len"))
+          .orderBy("n_regionkey")
+      }),
+
     // GK sketch quantiles with accuracy ≥ the largest group: the sketch
     // degenerates to exact order statistics, so it matches quantile_disc
     // — and the SAME query at lower accuracy is the bounded-memory scale
