@@ -104,6 +104,28 @@ object TextAnalysis {
       .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, appendix A1):
+    * the fraction of all words taken by the single most frequent word,
+    * and the fraction of duplicated word bigrams. Boilerplate, spam,
+    * and degenerate generations sit high on both — these are the
+    * standard repetition cut-offs in LLM-data pipelines. Pure codegen'd
+    * HOFs over one scan: no explode, no shuffle, streams at scan speed.
+    * Docs under two words are dropped (no bigram exists). 6dp rounding.
+    */
+  def repetitionStats(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col(idCol),
+        expr("""round(CAST(array_max(transform(array_distinct(w),
+                    d -> size(filter(w, x -> x = d)))) AS DOUBLE)
+                  / CAST(size(w) AS DOUBLE), 6)""").as("top_word_frac"),
+        expr("""round(1.0D - CAST(size(array_distinct(
+                    transform(sequence(1, size(w) - 1),
+                      i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))))
+                    AS DOUBLE) / CAST(size(w) - 1 AS DOUBLE), 6)""")
+          .as("dup_bigram_frac"))
+
   /** Per-document Shannon entropy over characters (nats, 6dp) — a core
     * LLM-data quality signal (gibberish and boilerplate sit at the
     * entropy extremes). Single scan, pure HOFs; the distinct-char list

@@ -427,6 +427,22 @@ object Pipeline {
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
+    // Gopher repetition battery (top-word fraction + duplicate-bigram
+    // fraction): the standard degenerate-text cut-offs.
+    Q("q_text_repetition",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   f AS (SELECT doc_id, w FROM d WHERE len(w) >= 2)
+              SELECT doc_id,
+                     ROUND(CAST(list_max([len(list_filter(w, x -> x = t))
+                                          for t in list_distinct(w)]) AS DOUBLE)
+                           / CAST(len(w) AS DOUBLE), 6) AS top_word_frac,
+                     ROUND(1.0 - CAST(len(list_distinct([w[i] || ' ' || w[i+1]
+                                                         for i in range(1, len(w))])) AS DOUBLE)
+                           / CAST(len(w) - 1 AS DOUBLE), 6) AS dup_bigram_frac
+              FROM f ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.repetitionStats(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
     Q("q_text_entropy",
       Some("""WITH d AS (SELECT doc_id, string_split(text, '') AS cs, len(text) AS n
                          FROM documents)

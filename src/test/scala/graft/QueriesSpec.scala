@@ -87,6 +87,21 @@ class PipelineSpec extends AnyFunSuite {
       s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
   }
 
+  test("repetition stats match hand-computed fractions") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val d = Seq((1L, "a a a a b"), (2L, "x y z w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = graft.api.TextAnalysis.repetitionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // "a a a a b": top word 4/5; bigrams [a a, a a, a a, a b] -> 2 distinct of 4
+    assert(r(1L) === ((0.8, 0.5)))
+    // all-distinct text: no repetition on either axis
+    assert(r(2L) === ((0.25, 0.0)))
+    // single-word docs have no bigram and are dropped
+    assert(!r.contains(3L))
+  }
+
   test("k-means keeps empty cells alive (k stays k)") {
     val s = SparkTestSession.spark
     import s.implicits._
