@@ -427,6 +427,30 @@ object Pipeline {
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
+    // Deterministic source mixing: per-language keep rates via the
+    // Knuth hash against integer thresholds (computed driver-side so
+    // both engines compare the same literals — a runtime double->long
+    // cast rounds differently across engines). The mixture step of an
+    // LLM pipeline: upsample curated sources, downsample the crawl.
+    Q("q_mix_stratified", {
+      val (te, td, tf0, td0) = (graft.api.Mixing.threshold(0.8),
+        graft.api.Mixing.threshold(0.5), graft.api.Mixing.threshold(0.1),
+        graft.api.Mixing.threshold(0.25))
+      Some(s"""SELECT lang, count(*) AS n
+               FROM documents
+               WHERE (doc_id * 2654435761) % 4294967296 <
+                 CASE lang WHEN 'en' THEN $te WHEN 'de' THEN $td
+                           WHEN 'es' THEN $td0 WHEN 'fr' THEN $tf0
+                           ELSE 4294967296 END
+               GROUP BY 1 ORDER BY 1""")
+      },
+      (s, dir) => graft.api.Mixing.stratifiedSample(t(s, dir, "documents"),
+          "doc_id", "lang",
+          Map("en" -> 0.8, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.1),
+          defaultRate = 1.0)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang")),
+
     // Gopher repetition battery (top-word fraction + duplicate-bigram
     // fraction): the standard degenerate-text cut-offs.
     Q("q_text_repetition",

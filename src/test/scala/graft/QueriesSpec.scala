@@ -87,6 +87,23 @@ class PipelineSpec extends AnyFunSuite {
       s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
   }
 
+  test("stratified mixing: rate 1 keeps all, rate 0 keeps none, others in between") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val d = (1L to 1000L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "src")
+    val out = graft.api.Mixing.stratifiedSample(d, "doc_id", "src",
+      Map("keep" -> 1.0, "drop" -> 0.0))
+    assert(out.filter("src = 'keep'").count() === 500)
+    assert(out.filter("src = 'drop'").count() === 0)
+    val half = graft.api.Mixing.stratifiedSample(d, "doc_id", "src",
+      Map("keep" -> 0.5), defaultRate = 0.5).count()
+    assert(half > 350 && half < 650, s"~half expected, got $half")
+    // deterministic: the same rows every time
+    assert(out.collect().toSeq === graft.api.Mixing.stratifiedSample(
+      d, "doc_id", "src", Map("keep" -> 1.0, "drop" -> 0.0)).collect().toSeq)
+  }
+
   test("repetition stats match hand-computed fractions") {
     val s = SparkTestSession.spark
     import s.implicits._
