@@ -21,6 +21,7 @@ object Graft {
     ops.Pipeline.clearCaches(spark)
     ops.Sources.clearWritten(spark)
     api.Bucketing.clearTables(spark)
+    api.Similarity.clearProbeSession(spark)
     streaming.Streams.clearReplays(spark)
   }
 }

@@ -24,6 +24,20 @@ object Dedup {
     docs.groupBy(sha2(col(textCol), 256).as("h"))
       .agg(count(lit(1)).as("n"))
 
+  /** Remove exact duplicates: keep the lowest-id document of every
+    * identical-payload group — the first dedup stage of any corpus
+    * pipeline. One hash shuffle; the rank-1 window compiles to
+    * WindowGroupLimit (a per-group top-1 scan, not a full sort), so
+    * cost is linear in the corpus at any duplicate density.
+    */
+  def dropExactDuplicates(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** doc → distinct word n-gram shingles, persisted (dedup pipelines
     * branch over this frame repeatedly).
     */

@@ -144,6 +144,10 @@ object Similarity {
   private val probeSessions = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
 
+  /** Forget the probe child session cached for `s` (Graft.clear). */
+  private[graft] def clearProbeSession(s: org.apache.spark.sql.SparkSession): Unit =
+    probeSessions.remove(s)
+
   private def probeSession(s: org.apache.spark.sql.SparkSession) =
     probeSessions.computeIfAbsent(s, p => {
       val c = p.newSession()

@@ -427,6 +427,26 @@ object Pipeline {
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
+    // Keep-one exact dedup over a corpus with planted duplicates (the
+    // table unioned with an id-shifted copy of itself): every text
+    // appears twice, the lowest id survives. WindowGroupLimit makes the
+    // rank-1 window a per-group top-1 scan, not a full sort.
+    Q("q_dedup_exact_drop",
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+                   u AS (SELECT doc_id, text FROM d
+                         UNION ALL SELECT doc_id + 1000000, text FROM d),
+                   r AS (SELECT doc_id, row_number() OVER (
+                           PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+                         FROM u)
+              SELECT doc_id FROM r WHERE rn = 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select("doc_id", "text")
+        val dup = d.union(
+          d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.dropExactDuplicates(dup, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // Deterministic source mixing: per-language keep rates via the
     // Knuth hash against integer thresholds (computed driver-side so
     // both engines compare the same literals — a runtime double->long

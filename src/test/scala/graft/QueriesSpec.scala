@@ -87,6 +87,17 @@ class PipelineSpec extends AnyFunSuite {
       s"recall too low: ${(exact & got).size}/10 (4 of 16 cells probed)")
   }
 
+  test("dropExactDuplicates keeps the lowest id per payload and uses WindowGroupLimit") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val d = Seq((5L, "same"), (2L, "same"), (9L, "same"), (7L, "other"))
+      .toDF("doc_id", "text")
+    val out = graft.api.Dedup.dropExactDuplicates(d, "doc_id", "text")
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 7L))
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "rank-1 filter should compile to a per-group top-1, not a full sort")
+  }
+
   test("stratified mixing: rate 1 keeps all, rate 0 keeps none, others in between") {
     val s = SparkTestSession.spark
     import s.implicits._
