@@ -279,23 +279,63 @@ object Dedup {
     * labeling.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    var edges = pairs
+    val edges0 = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var n = edges.count()
-    var converged = n == 0L
+    if (edges0.isEmpty)
+      return edges0.select(col("u").as("doc_id"), col("v").as("cluster"))
+
+    // Phase 1: up to 3 min-label rounds (one shuffle each, convergence
+    // detection free-riding on the checkpointed prev label). Duplicate
+    // clusters are near-cliques in practice, and a near-clique's
+    // diameter-bounded fixpoint lands here in 1-2 rounds — the star
+    // rounds below cost ~3x the stages per round, which only pays off
+    // when the diameter is large.
+    val adj = edges0
+      .union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.groupBy("u").agg(min(col("v")).as("nbr"))
+      .select(col("u").as("node"), least(col("u"), col("nbr")).as("cluster"))
+      .localCheckpoint()
+    var changed = 1L
     var iter = 0
-    while (!converged && iter < maxIter) {
+    while (changed > 0 && iter < 3) {
+      val nbrMin = adj
+        .join(labels.withColumnRenamed("node", "v"), "v")
+        .groupBy("u").agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
+        .select(col("node"), col("cluster").as("prev"),
+          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      changed = next.filter(col("cluster") =!= col("prev")).count()
+      labels = next.select(col("node"), col("cluster"))
+      iter += 1
+    }
+    adj.unpersist()
+    if (changed == 0L)
+      return labels.select(col("node").as("doc_id"), col("cluster"))
+
+    // Phase 2: alternating large-star/small-star rounds (Kiveris'14) on
+    // the original edges — O(log n) rounds regardless of component
+    // shape, for the pathological diameters min-label can't finish
+    // (e.g. chain-shaped components from overlapping boilerplate).
+    var edges = edges0
+    var n = edges.count()
+    var converged = false
+    var starIter = 0
+    while (!converged && starIter < maxIter) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
       val nNext = next.count()
       converged = nNext == n &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
       edges = next
       n = nNext
-      iter += 1
+      starIter += 1
     }
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: no fixpoint after $maxIter star rounds — " +
