@@ -179,3 +179,22 @@ object NearestCentroidProps extends Properties("NearestCentroid") {
       got == ref(v, cs)
     }
 }
+
+/** The mixing selection is (id * A mod 2^32) < threshold(rate): the
+  * threshold function is the shared contract between the Spark
+  * predicate and any mirrored SQL, so its monotonicity IS the
+  * guarantee that raising a stratum's rate only ever ADDS documents
+  * (mixture re-weighting never churns the kept set).
+  */
+object MixingProps extends org.scalacheck.Properties("Mixing") {
+  import org.scalacheck.{Gen, Prop}
+  private val rate = Gen.choose(0.0, 1.0)
+  property("threshold is monotone, bounded, and exact at the endpoints") =
+    Prop.forAll(rate, rate) { (a, b) =>
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      val (tl, th) = (graft.api.Mixing.threshold(lo), graft.api.Mixing.threshold(hi))
+      tl <= th && 0L <= tl && th <= 4294967296L &&
+        graft.api.Mixing.threshold(0.0) == 0L &&
+        graft.api.Mixing.threshold(1.0) == 4294967296L
+    }
+}
