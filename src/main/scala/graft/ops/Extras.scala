@@ -84,6 +84,34 @@ object Extras {
               ORDER BY c.user_id, click_id, buy_id"""),
       (s, dir) => Streams.clickPurchaseAttribution(s, dir)),
 
+    // LEFT OUTER stream⋈stream: unmatched clicks emit null buy ids only
+    // after watermark-driven state eviction; the oracle restricts
+    // unmatched rows to those whose 30-min match window closed before
+    // the terminal GLOBAL watermark — which is the MIN of the two
+    // sides' watermarks (each side's max event time - 1 h; the
+    // multipleWatermarkPolicy default), not the table-wide max. Clicks
+    // newer than that are still in state when the replay ends,
+    // correctly unemitted.
+    Q("q_stream_sjoin_left",
+      Some("""WITH e AS (SELECT event_id, user_id, event_type,
+                                CAST(ts AS TIMESTAMP) AS ts FROM events),
+                   wm AS (SELECT least(
+                            (SELECT max(ts) FROM e WHERE event_type = 'click'),
+                            (SELECT max(ts) FROM e WHERE event_type = 'purchase'))
+                          - INTERVAL 1 HOUR AS w),
+                   c AS (SELECT user_id, event_id AS click_id, ts
+                         FROM e WHERE event_type = 'click'),
+                   b AS (SELECT user_id AS bu, event_id AS buy_id, ts AS bts
+                         FROM e WHERE event_type = 'purchase'),
+                   j AS (SELECT c.user_id, c.click_id, b.buy_id, c.ts
+                         FROM c LEFT JOIN b
+                           ON c.user_id = b.bu AND b.bts >= c.ts
+                          AND b.bts <= c.ts + INTERVAL 30 MINUTE)
+              SELECT user_id, click_id, buy_id FROM j, wm
+              WHERE buy_id IS NOT NULL OR ts + INTERVAL 30 MINUTE < wm.w
+              ORDER BY user_id, click_id, buy_id NULLS FIRST"""),
+      (s, dir) => Streams.clickPurchaseAttributionLeft(s, dir)),
+
     // Bucketed co-located join: both fact sides pre-bucketed on the join
     // key → zero-exchange SortMergeJoin (plan pinned by BucketingSpec);
     // results identical to the plain join the oracle runs.

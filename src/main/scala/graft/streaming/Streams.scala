@@ -270,6 +270,39 @@ object Streams {
       .orderBy("user_id", "click_id", "buy_id")
   }
 
+  /** Left-outer variant of the attribution join — the streaming form of
+    * "conversion funnel with drop-offs": clicks with NO purchase inside
+    * the 30-minute window emit with null buy columns once the watermark
+    * proves no match can still arrive (join-state eviction, surfaced by
+    * the terminal no-data micro-batch). Clicks whose match window is
+    * not yet closed by the final watermark stay in state and do NOT
+    * emit — that silence is the correct answer under the watermark
+    * contract, and the batch oracle mirrors it by restricting unmatched
+    * rows to those finalized before max(ts) - 1 h.
+    */
+  def clickPurchaseAttributionLeft(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    def out(s: SparkSession) = {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val buys = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("bu"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+        .withWatermark("buy_ts", "1 hour")
+      clicks.join(buys, expr(
+        """cu = bu AND buy_ts >= click_ts
+           AND buy_ts <= click_ts + interval 30 minutes"""), "left_outer")
+    }
+    runToMemory(spark, out, "append")
+      .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
+      .orderBy(col("user_id"), col("click_id"),
+        col("buy_id").asc_nulls_first)
+  }
+
   /** Exactly-once parquet sink via foreachBatch: every micro-batch
     * overwrites its OWN `batch_id=N` partition, so redelivery of a
     * batch (checkpoint replay after a failure, or a full re-run over a
