@@ -47,6 +47,7 @@ object Bench {
             "vec_id", "embedding")
         }),
         "src_writes" -> (() => ops.Sources.prewriteAll(spark, sfDir)),
+        "kmeans_cents" -> (() => ops.Pipeline.kmeansCents(spark, sfDir)),
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir))
