@@ -20,6 +20,13 @@ object Bench {
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
 
+    // A failing query OR build must be visible in the bench line, not
+    // just slow: Verify catches wrong ANSWERS, but something that starts
+    // THROWING would otherwise hide inside an innocuous timing entry (a
+    // failed build additionally shifts its cost into whichever dependent
+    // query rebuilds the cache during its timed run).
+    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
+
     // One-time builds, timed separately: bucketed-table writes, the
     // shingle/pair frames, and the stream replays are amortized
     // index-construction work — folding them into whichever query
@@ -54,7 +61,10 @@ object Bench {
       ).map { case (name, f) =>
         Future {
           val t0 = System.nanoTime()
-          try { f() } catch { case _: Throwable => }
+          try { f() } catch { case t: Throwable =>
+            errors.incrementAndGet()
+            System.err.println(s"bench: build $name FAILED: ${t.getClass.getName}: ${t.getMessage}")
+          }
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
@@ -86,10 +96,6 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
 
-    // A failing query must be visible in the bench line, not just slow:
-    // Verify catches wrong ANSWERS, but a query that starts THROWING
-    // would otherwise hide inside an innocuous-looking timing entry.
-    val errors = new java.util.concurrent.atomic.AtomicInteger(0)
     val wall0 = System.nanoTime()
     val futures = SparkEntry.queries.toSeq
       .sortBy { case (name, _) => -prev.getOrElse(name, Double.MaxValue) }

@@ -285,8 +285,18 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    // a doc whose only pair row is a self-pair has no canonical edge but
+    // is still "in pairs" — it labels itself (the contract is a cluster
+    // row for EVERY doc appearing in the input)
+    val selfOnly = pairs.filter(col("doc_a") === col("doc_b"))
+      .select(col("doc_a").as("doc_id"), col("doc_a").as("cluster"))
+      .distinct()
+    def withSelf(labels: DataFrame): DataFrame =
+      if (selfOnly.isEmpty) labels
+      else labels.union(selfOnly.join(labels, Seq("doc_id"), "left_anti"))
     if (edges0.isEmpty)
-      return edges0.select(col("u").as("doc_id"), col("v").as("cluster"))
+      return withSelf(
+        edges0.select(col("u").as("doc_id"), col("v").as("cluster")))
 
     // Phase 1: up to 3 min-label rounds (one shuffle each, convergence
     // detection free-riding on the checkpointed prev label). Duplicate
@@ -318,7 +328,7 @@ object Dedup {
     }
     adj.unpersist()
     if (changed == 0L)
-      return labels.select(col("node").as("doc_id"), col("cluster"))
+      return withSelf(labels.select(col("node").as("doc_id"), col("cluster")))
 
     // Phase 2: alternating large-star/small-star rounds (Kiveris'14) on
     // the original edges — O(log n) rounds regardless of component
@@ -343,9 +353,9 @@ object Dedup {
         "non-fixpoint labeling)")
     // at the fixpoint every component is a star centered at its minimum:
     // members label from their center, centers label themselves
-    edges.select(col("v").as("doc_id"), col("u").as("cluster"))
+    withSelf(edges.select(col("v").as("doc_id"), col("u").as("cluster"))
       .union(edges.select(col("u"), col("u")).distinct()
-        .toDF("doc_id", "cluster"))
+        .toDF("doc_id", "cluster")))
   }
 
   /** Remove near-duplicates: keeps the smallest doc_id of every pair

@@ -25,6 +25,25 @@ object Mixing {
   def threshold(rate: Double): Long =
     math.floor(rate * M).toLong.max(0L).min(M)
 
+  /** (id * A) mod 2^32 without 64-bit overflow: reduce id mod 2^32,
+    * split it into 16-bit halves, and combine the partial products mod
+    * 2^32 — every intermediate stays under ~2^49, so the expression is
+    * safe under ANSI mode (and in any mirrored SQL) for the full BIGINT
+    * id range. A plain `id * A` overflows Long once id ≥ ~3.5e9, which
+    * 64-bit snowflake-style ids reach routinely.
+    */
+  private[graft] def knuthHash(id: Column): Column = {
+    val x = pmod(id, lit(M))
+    val xh = shiftright(x, 16) // upper 16 bits (x < 2^32, nonnegative)
+    val xl = pmod(x, lit(65536L)) // lower 16 bits
+    pmod(pmod(xh * lit(A), lit(M)) * lit(65536L) + xl * lit(A), lit(M))
+  }
+
+  /** The same split-multiply hash as SQL text, for mirrored oracles. */
+  def knuthHashSql(idExpr: String): String =
+    s"((((($idExpr % $M) // 65536) * $A) % $M * 65536 + " +
+      s"(($idExpr % $M) % 65536) * $A) % $M)"
+
   /** Keep each row of stratum s with probability rates(s) (exact in
     * expectation; the SAME rows are chosen everywhere). Strata missing
     * from `rates` fall back to defaultRate.
@@ -36,6 +55,6 @@ object Mixing {
       .foldLeft(lit(threshold(defaultRate))) { case (acc, (k, r)) =>
         when(col(stratumCol) === k, lit(threshold(r))).otherwise(acc)
       }
-    df.filter(pmod(col(idCol) * lit(A), lit(M)) < thresh)
+    df.filter(knuthHash(col(idCol)) < thresh)
   }
 }

@@ -141,16 +141,19 @@ object Similarity {
     * parent; only the SQLConf (and temp views / function registry) are
     * isolated — exactly the scope the probe flag needs.
     */
+  // keyed by identity hash like every other session-keyed cache in the
+  // library — holding the parent session strongly would keep discarded
+  // sessions alive in a long-lived server that forgets Graft.clear
   private val probeSessions = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.SparkSession, org.apache.spark.sql.SparkSession]()
+    Int, org.apache.spark.sql.SparkSession]()
 
   /** Forget the probe child session cached for `s` (Graft.clear). */
   private[graft] def clearProbeSession(s: org.apache.spark.sql.SparkSession): Unit =
-    probeSessions.remove(s)
+    probeSessions.remove(System.identityHashCode(s))
 
   private def probeSession(s: org.apache.spark.sql.SparkSession) =
-    probeSessions.computeIfAbsent(s, p => {
-      val c = p.newSession()
+    probeSessions.computeIfAbsent(System.identityHashCode(s), _ => {
+      val c = s.newSession()
       // DisableUnnecessaryBucketedScan only weighs distribution/ordering
       // needs, not bucket PRUNING — left on, a filter-only probe plans a
       // plain scan of every bucket ("disabled by query planner").
@@ -174,9 +177,17 @@ object Similarity {
                       cents: DataFrame, queryId: Long, k: Int,
                       nProbe: Int): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    val qv: Seq[Double] = s.table(indexTable)
+    val qvRows = s.table(indexTable)
       .filter(col("vec_id") === queryId)
-      .select(col("v")).head().getSeq[Double](0)
+      .select(col("v")).head(1)
+    if (qvRows.isEmpty)
+      // unknown query id → empty result (the lazy crossJoin form this
+      // replaced flowed an absent id through to zero rows; keep that)
+      return s.table(indexTable)
+        .select(col("vec_id"), col("cent_id"),
+          round(lit(0.0), 4).as("cos"))
+        .limit(0)
+    val qv: Seq[Double] = qvRows.head.getSeq[Double](0)
     val probeIds = cents
       .withColumn("qv", typedlit(qv))
       .withColumn("cd", expr("cosine_sim(cv, qv)"))

@@ -95,9 +95,16 @@ object Extras {
     Q("q_stream_sjoin_left",
       Some("""WITH e AS (SELECT event_id, user_id, event_type,
                                 CAST(ts AS TIMESTAMP) AS ts FROM events),
+                   -- Spark's EventTimeStats floors event times to
+                   -- MILLISECONDS before tracking the max, so the
+                   -- watermark mirror must truncate the same way or a
+                   -- click whose window ends inside the sub-ms gap
+                   -- diverges
                    wm AS (SELECT least(
-                            (SELECT max(ts) FROM e WHERE event_type = 'click'),
-                            (SELECT max(ts) FROM e WHERE event_type = 'purchase'))
+                            (SELECT date_trunc('milliseconds', max(ts))
+                             FROM e WHERE event_type = 'click'),
+                            (SELECT date_trunc('milliseconds', max(ts))
+                             FROM e WHERE event_type = 'purchase'))
                           - INTERVAL 1 HOUR AS w),
                    c AS (SELECT user_id, event_id AS click_id, ts
                          FROM e WHERE event_type = 'click'),

@@ -82,9 +82,15 @@ object Pipeline {
     else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => sql
       case Some(s) =>
+        // CAST('<repr>' AS DOUBLE) forces DuckDB's string->double parse
+        // (exact for shortest-round-trip reprs); a bare decimal literal
+        // with 16-17 significant digits types as DECIMAL, whose
+        // int128-then-divide conversion to double can double-round a
+        // centroid component 1 ulp away from Spark's value
         val rows = kmeansCents(s, Sources.oracleSfDir)
           .map { case (cid, cv) =>
-            s"(CAST($cid AS BIGINT), [${cv.mkString(", ")}])" }
+            cv.map(d => s"CAST('$d' AS DOUBLE)")
+              .mkString(s"(CAST($cid AS BIGINT), [", ", ", "])") }
           .mkString(", ")
         sql.replace(kmeansPlaceholder, rows)
     }
@@ -458,7 +464,7 @@ object Pipeline {
         graft.api.Mixing.threshold(0.25))
       Some(s"""SELECT lang, count(*) AS n
                FROM documents
-               WHERE (doc_id * 2654435761) % 4294967296 <
+               WHERE ${graft.api.Mixing.knuthHashSql("doc_id")} <
                  CASE lang WHEN 'en' THEN $te WHEN 'de' THEN $td
                            WHEN 'es' THEN $td0 WHEN 'fr' THEN $tf0
                            ELSE 4294967296 END

@@ -57,7 +57,13 @@ object Cli {
         val namesIdx = args.indexOf("--names")
         val names = if (namesIdx >= 0 && namesIdx + 1 < args.length)
           args(namesIdx + 1) else "both"
-        pos.filterNot(p => p == names).headOption match {
+        // drop ONLY the token at the --names value position — filtering
+        // by VALUE would also swallow a query that happens to equal it
+        // (`shelf db both`) and silently fall into the shell
+        val posDb = args.zipWithIndex.drop(1)
+          .filterNot { case (a, i) => a.startsWith("--") || i == namesIdx + 1 }
+          .map(_._1)
+        posDb.headOption match {
           case Some(query) =>
             val df = shelf.db(query, names)
             if (flags("--csv")) println(Db.toCsv(df))

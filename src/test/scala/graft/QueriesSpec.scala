@@ -98,6 +98,23 @@ class PipelineSpec extends AnyFunSuite {
       "rank-1 filter should compile to a per-group top-1, not a full sort")
   }
 
+  test("self-pairs and snowflake-scale ids survive clustering and mixing") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // a doc whose only row is a self-pair still gets a cluster label
+    val cl = graft.api.Dedup.duplicateClusters(
+        Seq((1L, 2L), (7L, 7L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    // ids past 2^32 must not overflow the ANSI-mode Knuth hash
+    val big = Seq((4294967296L * 3 + 17, "a"), (Long.MaxValue - 5, "a"))
+      .toDF("doc_id", "src")
+    assert(graft.api.Mixing.stratifiedSample(big, "doc_id", "src",
+      Map("a" -> 1.0)).count() === 2)
+    assert(graft.api.Mixing.stratifiedSample(big, "doc_id", "src",
+      Map("a" -> 0.0)).count() === 0)
+  }
+
   test("stratified mixing: rate 1 keeps all, rate 0 keeps none, others in between") {
     val s = SparkTestSession.spark
     import s.implicits._
