@@ -114,10 +114,12 @@ object Breadth {
     Q("q_sample_det",
       Some(s"""SELECT l_returnflag, count(*) AS n, ${oSum("l_quantity")} AS qty
                FROM lineitem
-               WHERE (l_orderkey * 2654435761) % 4294967296 < 429496730
+               WHERE ${graft.api.Mixing.knuthHashSql("l_orderkey")} < 429496730
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => t(s, dir, "lineitem")
-        .filter(pmod(col("l_orderkey") * lit(2654435761L), lit(4294967296L))
+        // split-multiply form: identical selection for keys < 2^32, and
+        // no ANSI-mode Long overflow once orderkeys pass ~3.5e9 (sf>=500)
+        .filter(graft.api.Mixing.knuthHash(col("l_orderkey"))
           < lit(429496730L))
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
