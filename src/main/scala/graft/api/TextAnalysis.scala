@@ -170,6 +170,28 @@ object TextAnalysis {
         array_min(col("fps")).as("fp_min"),
         array_max(col("fps")).as("fp_max"))
 
+  /** Per-language top-k character n-gram profiles (Cavnar–Trenkle '94)
+    * — the TRAINING half of the language-id stack: [[langIdNgram]]
+    * consumes exactly these profiles. One explode + a hash agg + a
+    * ranked window; rank ties break by the gram so every engine and
+    * partitioning agrees. Docs shorter than n characters contribute
+    * nothing.
+    */
+  def ngramProfiles(docs: DataFrame, langCol: String, textCol: String,
+                    n: Int = 2, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .filter(length(col(textCol)) >= n)
+      .select(col(langCol).as("lang"), explode(expr(
+        s"""transform(sequence(1, length($textCol) - ${n - 1}),
+                      i -> substring($textCol, i, $n))""")).as("gram"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
+    grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("gram"), col("cnt"))
+  }
+
   /** Keyword-profile language id: score = |tokens ∩ profile| per
     * language, argmax with the profile-order tie-break cascade.
     */

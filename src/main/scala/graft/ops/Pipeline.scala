@@ -504,6 +504,22 @@ object Pipeline {
       (s, dir) => TextAnalysis.charEntropy(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
 
+    // Profile TRAINING for the lang-id stack: per-language top-5 char
+    // bigrams — what q_lang_id_ngram's hand-written profiles stand in
+    // for. Rank ties break by gram, so the ranking is engine-agnostic.
+    Q("q_text_ngram_profile",
+      Some("""WITH g AS (SELECT lang, unnest([substr(text, i, 2)
+                                              for i in range(1, len(text))]) AS gram
+                         FROM documents WHERE len(text) >= 2),
+                   c AS (SELECT lang, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+                   r AS (SELECT lang, gram, cnt, row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, gram) AS rnk
+                         FROM c)
+              SELECT lang, CAST(rnk AS BIGINT) AS rnk, gram, cnt
+              FROM r WHERE rnk <= 5 ORDER BY lang, rnk"""),
+      (s, dir) => TextAnalysis.ngramProfiles(t(s, dir, "documents"),
+        "lang", "text").orderBy("lang", "rnk")),
+
     // Char-bigram profile lang-id (Cavnar–Trenkle-style): robust where
     // the keyword variant scores zero. Same argmax cascade as q_lang_id.
     Q("q_lang_id_ngram",

@@ -98,6 +98,28 @@ class PipelineSpec extends AnyFunSuite {
       "rank-1 filter should compile to a per-group top-1, not a full sort")
   }
 
+  test("trained n-gram profiles close the loop with the classifier") {
+    // the synthetic corpus has no real per-language text signal (its
+    // top bigrams are near-identical across langs), so the full
+    // Cavnar-Trenkle train->classify loop is pinned on a planted
+    // corpus whose languages have disjoint vocabularies
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "xq", "xq zv xq zv qq"), (2L, "xq", "zv xq qq zv xq"),
+      (3L, "mo", "mo wu mo wu oo"), (4L, "mo", "wu mo oo wu mo")
+    ).toDF("doc_id", "lang", "text")
+    val prof = graft.api.TextAnalysis.ngramProfiles(docs, "lang", "text",
+        n = 2, k = 6).collect()
+      .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getString(2)).toSeq }
+    val pred = graft.api.TextAnalysis.langIdNgram(docs, "doc_id", "text", prof)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    assert(pred.filter("predicted = lang").count() === 4,
+      "trained profiles must classify their own disjoint-vocab corpus exactly")
+  }
+
   test("self-pairs and snowflake-scale ids survive clustering and mixing") {
     val s = SparkTestSession.spark
     import s.implicits._
