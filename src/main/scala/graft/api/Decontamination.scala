@@ -1,0 +1,60 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share exact
+  * word n-grams with an evaluation/benchmark set — the GPT-3/PaLM-style
+  * contamination check that must run before any eval claim. Unlike
+  * near-dup detection (an any-vs-any problem needing LSH), this is
+  * one-sided exact matching against a SMALL trusted set, so the scale
+  * shape is different and simpler:
+  *
+  *  - the eval side is benchmark-sized (10³–10⁶ shingles), so its
+  *    exploded posting list is BROADCAST — the 100 TB corpus streams
+  *    once through a map-side hash join with no corpus shuffle for
+  *    candidate generation;
+  *  - the only shuffle is the per-doc aggregation of hits, whose input
+  *    is already filtered to colliding (doc, gram) rows — at sane
+  *    contamination rates a vanishing fraction of the corpus.
+  *
+  * Inputs are shingle frames in [[Dedup.shingles]] format
+  * (doc_id, toks: array<string> — distinct n-grams per doc).
+  */
+object Decontamination {
+
+  /** Per contaminated corpus doc: how many of its distinct n-grams occur
+    * anywhere in the eval set (`n_gram_hits`), how many distinct eval
+    * docs it collides with (`n_eval_docs`), and the contaminated
+    * fraction of its shingle set (`hit_frac`, 6dp). Docs with zero hits
+    * are absent — the common case at scale, which keeps the aggregation
+    * input small.
+    */
+  def contaminationReport(corpusSh: DataFrame, evalSh: DataFrame): DataFrame = {
+    val exC = corpusSh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val exE = evalSh.select(col("doc_id").as("eval_id"),
+      explode(col("toks")).as("tok"))
+    val hits = exC.join(broadcast(exE), "tok")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok")).as("n_gram_hits"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+    // sizes come from the (large) corpus side; the aggregated hit set is
+    // small, so broadcast IT and let the size lookup stay map-side too
+    val sz = corpusSh.select(col("doc_id"), size(col("toks")).as("sz"))
+    sz.join(broadcast(hits), "doc_id")
+      .select(col("doc_id"), col("n_gram_hits"), col("n_eval_docs"),
+        round(col("n_gram_hits") / col("sz"), 6).as("hit_frac"))
+  }
+
+  /** Remove corpus docs whose contaminated shingle fraction exceeds
+    * `maxHitFrac` (default 0.0 = any shared n-gram drops the doc — the
+    * conservative eval-hygiene setting).
+    */
+  def dropContaminated(docs: DataFrame, idCol: String, corpusSh: DataFrame,
+                       evalSh: DataFrame, maxHitFrac: Double = 0.0): DataFrame = {
+    val flagged = contaminationReport(corpusSh, evalSh)
+      .filter(col("hit_frac") > maxHitFrac)
+      .select(col("doc_id").as(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+}

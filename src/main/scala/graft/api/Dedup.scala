@@ -161,11 +161,20 @@ object Dedup {
 
   /** SimHash near-dup pairs: 64-bit signatures, 4x16-bit band blocking,
     * Hamming distance ≤ maxHamming.
+    *
+    * `tokenHash` (optional) maps the token column to a caller-supplied
+    * BIGINT hash fed to the signature as-is, instead of the default
+    * internal xxhash64 — the auditable mode: with a content-stable hash
+    * (e.g. sha256-derived bits) the signatures, bands, and pair set are
+    * reproducible by ANY engine, at the cost of a slower per-token hash.
     */
-  def simhashPairs(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 3,
+                   tokenHash: Option[Column => Column] = None): DataFrame = {
     val spark = sh.sparkSession
     graft.functions.SimHashAgg.register(spark)
-    val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val ex0 = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val ex = tokenHash.fold(ex0)(f =>
+      ex0.select(col("doc_id"), f(col("tok")).cast("long").as("tok")))
     val sig = ex.groupBy("doc_id").agg(expr("simhash_sig(tok)").as("sig"))
     val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))

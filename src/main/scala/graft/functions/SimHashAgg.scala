@@ -15,6 +15,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * update hashes the token once and adds ±1 per bit; merge sums
   * counters; eval packs sign bits (bit 63 first — same layout as the
   * previous 64-column formulation).
+  *
+  * Input is either STRING (hashed internally with xxhash64 — the fast
+  * default) or BIGINT (a caller-supplied 64-bit token hash used as-is),
+  * which lets auditable pipelines plug a content-stable hash any engine
+  * can reproduce (e.g. sha256-derived) and have the whole signature be
+  * externally verifiable.
   */
 final case class SimHashAgg(
     child: Expression,
@@ -27,16 +33,21 @@ final case class SimHashAgg(
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    if (child.dataType == StringType || child.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"simhash_sig expects string input, got ${child.dataType.sql}")
+      s"simhash_sig expects string or bigint input, got ${child.dataType.sql}")
+
+  private lazy val preHashed = child.dataType == LongType
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](64)
 
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+      val h =
+        if (preHashed) v.asInstanceOf[Long]
+        else XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
       var j = 0
       while (j < 64) {
         buf(j) += ((h >>> j) & 1L) * 2L - 1L

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.{Dedup, Similarity, TextAnalysis}
+import graft.api.{Decontamination, Dedup, Packing, Similarity, TextAnalysis}
 import graft.ops.H._
 
 /** Training-data pipeline inventory (SURVEY.md §2B q_dedup_*, q_text_*,
@@ -78,6 +78,9 @@ object Pipeline {
     * the oracle.
     */
   private[graft] def resolveOracle(sql: String): String =
+    resolveLshPlanes(resolveKmeans(sql))
+
+  private def resolveKmeans(sql: String): String =
     if (!sql.contains(kmeansPlaceholder)) sql
     else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => sql
@@ -93,6 +96,50 @@ object Pipeline {
               .mkString(s"(CAST($cid AS BIGINT), [", ", ", "])") }
           .mkString(", ")
         sql.replace(kmeansPlaceholder, rows)
+    }
+
+  /** `__GRAFT_LSH_PLANES_<bits>__` → DuckDB VALUES rows (b, r) of the
+    * sign-LSH hyperplanes [[Similarity.lshBucket]] derives from
+    * xxhash64(bit, dim) parities. The components are exact ±1.0, so the
+    * oracle's bucket assignment uses literally the same planes as the
+    * Spark plan — the same driver-literal technique as the k-means
+    * centroids, which is what lets bucketed-ANN queries carry a full
+    * DuckDB oracle despite DuckDB having no compatible xxhash64.
+    */
+  private[graft] def lshPlaceholder(bits: Int): String =
+    s"__GRAFT_LSH_PLANES_${bits}__"
+
+  private val lshPlaneRe = """__GRAFT_LSH_PLANES_(\d+)__""".r
+  // planes depend only on (bits, dim) — data-independent, safe globally
+  private val planesCache =
+    scala.collection.concurrent.TrieMap[(Int, Int), String]()
+
+  private def lshPlanesValues(s: SparkSession, bits: Int, dim: Int): String =
+    planesCache.getOrElseUpdate((bits, dim), {
+      // evaluated BY SPARK with the same xxhash64(b, j) parity formula as
+      // lshBucket, so no reimplementation of the hash can drift
+      s.range(bits).select(col("id").as("b"), expr(
+          s"""transform(sequence(0, ${dim - 1}),
+              j -> IF((xxhash64(b, CAST(j AS BIGINT)) & 1L) = 0L, 1.0D, -1.0D))""")
+          .as("r"))
+        .collect()
+        .sortBy(_.getLong(0))
+        .map { row =>
+          val comps = row.getSeq[Double](1)
+            .map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+          s"(CAST(${row.getLong(0)} AS BIGINT), CAST([$comps] AS DOUBLE[]))"
+        }.mkString(", ")
+    })
+
+  private def resolveLshPlanes(sql: String): String =
+    if (!sql.contains("__GRAFT_LSH_PLANES_")) sql
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => sql
+      case Some(s) =>
+        val dim = t(s, Sources.oracleSfDir, "embeddings")
+          .select(size(col("embedding"))).head().getInt(0)
+        lshPlaneRe.replaceAllIn(sql,
+          m => lshPlanesValues(s, m.group(1).toInt, dim))
     }
 
   /** Near-dup pair set, persisted: q_dedup_near orders it, and
@@ -201,35 +248,139 @@ object Pipeline {
       (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
         .orderBy("doc_id")),
 
-    // Bit-level heuristic → rows-only; subset property pinned in
-    // PipelineSpec.
-    Q("q_dedup_simhash", None,
-      (s, dir) => Dedup.simhashPairs(shingled(s, dir), maxHamming = 3)
+    // SimHash in auditable mode: the per-token hash is the top 60 bits
+    // of sha256 (content-stable, computable by ANY engine) instead of
+    // the default internal xxhash64, so the full signature → band →
+    // Hamming pipeline carries a DuckDB oracle. Bits 60-63 of every
+    // token hash are zero → those signature bits are zero on both sides
+    // (an effectively-60-bit SimHash; the banding is unchanged).
+    Q("q_dedup_simhash",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                        for i in range(1, len(w)-2)]) AS toks
+                          FROM d WHERE len(w) >= 4),
+                   hs AS (SELECT doc_id, list_transform(toks, t ->
+                            list_sum([(strpos('0123456789abcdef',
+                                              substr(sha256(t), CAST(i AS INT), 1)) - 1)::BIGINT
+                                      << (4*(15-i)) for i in range(1, 16)])) AS hl
+                          FROM sh),
+                   sg AS (SELECT doc_id,
+                            CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                               THEN 1 ELSE -1 END
+                                                               for h in hl]) > 0
+                                           THEN (CAST(1 AS BIGINT) << b)
+                                           ELSE CAST(0 AS BIGINT) END
+                                           for b in range(0, 60)]) AS BIGINT) AS sig
+                          FROM hs),
+                   bands AS (SELECT doc_id, sig, b AS band_idx,
+                                    (sig >> (b*16)) & 65535 AS band_val
+                             FROM sg CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)),
+                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+                            FROM bands a JOIN bands b USING (band_idx, band_val)
+                            WHERE a.doc_id < b.doc_id)
+              SELECT doc_a, doc_b, hamming FROM cand
+              WHERE hamming <= 3 ORDER BY doc_a, doc_b"""),
+      (s, dir) => Dedup.simhashPairs(shingled(s, dir), maxHamming = 3,
+          tokenHash = Some(tok =>
+            conv(substring(sha2(tok, 256), 1, 15), 16, 10).cast("long")))
         .orderBy("doc_a", "doc_b")),
 
-    // Deterministic 1% sample keeps the all-pairs verify O((n/100)²) at
-    // any SF; the full-corpus path is LSH/IVF blocking.
+    // Benchmark decontamination: corpus docs sharing any 4-gram with the
+    // "eval set" (doc_id % 10 = 1 — disjoint from q_dedup_incr's
+    // increment). The eval posting list is BROADCAST: candidate
+    // generation is a map-side join the corpus streams through once.
+    Q("q_decontaminate",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                        for i in range(1, len(w)-2)]) AS toks
+                          FROM d WHERE len(w) >= 4),
+                   c AS (SELECT * FROM sh WHERE doc_id % 10 <> 1),
+                   ev AS (SELECT * FROM sh WHERE doc_id % 10 = 1),
+                   exc AS (SELECT doc_id, unnest(toks) AS tok FROM c),
+                   exe AS (SELECT doc_id AS eval_id, unnest(toks) AS tok FROM ev),
+                   hits AS (SELECT doc_id,
+                                   CAST(count(DISTINCT tok) AS BIGINT) AS n_gram_hits,
+                                   CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+                            FROM exc JOIN exe USING (tok) GROUP BY doc_id)
+              SELECT h.doc_id, n_gram_hits, n_eval_docs,
+                     ROUND(CAST(n_gram_hits AS DOUBLE) / len(c.toks), 6) AS hit_frac
+              FROM hits h JOIN c ON c.doc_id = h.doc_id
+              ORDER BY h.doc_id"""),
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        Decontamination.contaminationReport(
+            corpusSh = sh.filter(col("doc_id") % 10 =!= 1),
+            evalSh = sh.filter(col("doc_id") % 10 === 1))
+          .orderBy("doc_id")
+      }),
+
+    // Greedy in-order sequence packing into 200-token bins per language
+    // stratum — next-fit, deterministic, sequential within a stratum and
+    // parallel across strata (flatMapSortedGroups secondary sort). The
+    // oracle replays the same fold as a recursive CTE.
+    Q("q_pack_greedy",
+      Some("""WITH RECURSIVE
+                   r AS (SELECT lang AS stratum, doc_id,
+                                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                         FROM documents),
+                   pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
+                     SELECT stratum, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                     FROM r WHERE rn = 1
+                     UNION ALL
+                     SELECT r.stratum, r.rn, r.doc_id, r.n_tokens,
+                            CASE WHEN p.fill + r.n_tokens <= 200 THEN p.bin ELSE p.bin + 1 END,
+                            CASE WHEN p.fill + r.n_tokens <= 200 THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                     FROM pack p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin
+              FROM pack ORDER BY stratum, doc_id"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Packing.packGreedy(d, "doc_id", "lang", "n_tokens", budget = 200L)
+          .orderBy("stratum", "doc_id")
+      }),
+
+    // Deterministic 5% sample keeps the all-pairs verify O((n/20)²) at
+    // any SF while still containing planted near-dup pairs at the gate
+    // SF (a 1% sample hash-matched vacuously on 0 rows); the
+    // full-corpus path is LSH/IVF blocking.
     Q("q_dedup_embed",
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                         FROM embeddings WHERE vec_id % 100 = 0)
+                         FROM embeddings WHERE vec_id % 20 = 0)
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                      ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
               FROM e a JOIN e b ON a.vec_id < b.vec_id
               WHERE list_cosine_similarity(a.v, b.v) >= 0.2
               ORDER BY id_a, id_b"""),
       (s, dir) => Dedup.embeddingPairs(
-          t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+          t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
           "vec_id", "embedding", threshold = 0.2)
         .orderBy("id_a", "id_b")),
 
-    // LSH-blocked embedding dedup on the SAME 1% sample as
-    // q_dedup_embed: candidate generation is within-bucket only, so the
-    // pair set is a subset of the all-pairs result (pinned in
-    // PipelineSpec) — rows-only (bucket ids hash engine-specific
-    // xxhash64 hyperplanes DuckDB can't mirror).
-    Q("q_dedup_embed_lsh", None,
+    // LSH-blocked embedding dedup on the SAME 5% sample as
+    // q_dedup_embed: candidate generation is within-bucket only (subset
+    // of the all-pairs result also pinned in PipelineSpec). Fully
+    // oracle-checked: the sign-LSH hyperplanes are deterministic ±1
+    // vectors injected into the SQL as literals (resolved at oracle-dump
+    // time), so DuckDB buckets with literally the same planes.
+    Q("q_dedup_embed_lsh",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings WHERE vec_id % 20 = 0),
+                    pl AS (SELECT * FROM (VALUES ${lshPlaceholder(4)}) t(b, r)),
+                    bk AS (SELECT vec_id,
+                                  CAST(SUM(CASE WHEN list_dot_product(v, r) >= 0
+                                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+                           FROM e CROSS JOIN pl GROUP BY vec_id),
+                    eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))
+               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+               FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+               WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+               ORDER BY id_a, id_b"""),
       (s, dir) => Dedup.embeddingPairsLsh(
-          t(s, dir, "embeddings").filter(col("vec_id") % 100 === 0),
+          t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0),
           "vec_id", "embedding", threshold = 0.2, bits = 4)
         .orderBy("id_a", "id_b")),
 
@@ -353,9 +504,23 @@ object Pipeline {
       }),
 
     // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates
-    // from the query's bucket only. Approximate → rows-only; recall vs
-    // the exact top-k is pinned in PipelineSpec.
-    Q("q_sim_ann_lsh", None,
+    // from the query's bucket only. Approximate relative to exact search
+    // but fully DETERMINISTIC, and the hyperplanes are injectable
+    // literals — so like the other ANN variants it carries a full DuckDB
+    // oracle (recall vs the exact top-k stays pinned in PipelineSpec).
+    Q("q_sim_ann_lsh",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    pl AS (SELECT * FROM (VALUES ${lshPlaceholder(6)}) t(b, r)),
+                    bk AS (SELECT vec_id,
+                                  CAST(SUM(CASE WHEN list_dot_product(v, r) >= 0
+                                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+                           FROM e CROSS JOIN pl GROUP BY vec_id),
+                    eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+                    q AS (SELECT v AS qv, bucket AS qb FROM eb WHERE vec_id = 1)
+               SELECT vec_id, bucket, ROUND(list_cosine_similarity(v, qv), 4) AS cos
+               FROM eb, q WHERE bucket = qb AND vec_id <> 1
+               ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10"""),
       (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 1, k = 10, bits = 6)),
 

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.api.{Dedup, Similarity, TextAnalysis}
+import graft.api.{Decontamination, Dedup, Packing, Similarity, TextAnalysis}
 
 /** The public API surface over arbitrary DataFrames (not the test-table
   * bindings): the contracts a library user depends on.
@@ -85,6 +85,82 @@ class ApiSpec extends AnyFunSuite {
     // identical result uncapped: the cap traded zero recall here
     assert(keys(Dedup.nearDuplicatePairs(sh, 0.5, maxDf = Int.MaxValue))
       === Set((9001L, 9002L)))
+  }
+
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    // corpus doc 1 shares the 4-gram "w x y z" with eval doc 100; docs 2
+    // and 3 are clean; eval docs 100 and 101 both contain the gram, so
+    // doc 1 hits 2 eval docs through 1 distinct gram
+    val corpus = Seq(
+      (1L, "a b c w x y z d e"),
+      (2L, "p q r s t u v"),
+      (3L, "m n o k l i j")).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "w x y z q q q q"),
+      (101L, "h h w x y z h h")).toDF("doc_id", "text")
+    val rep = Decontamination.contaminationReport(
+        Dedup.shingles(corpus, "doc_id", "text"),
+        Dedup.shingles(eval, "doc_id", "text"))
+      .collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    assert(r.getLong(0) === 1L)         // doc_id
+    assert(r.getLong(1) === 1L)         // n_gram_hits: just "w x y z"
+    assert(r.getLong(2) === 2L)         // n_eval_docs: both eval docs
+    val kept = Decontamination.dropContaminated(corpus, "doc_id",
+      Dedup.shingles(corpus, "doc_id", "text"),
+      Dedup.shingles(eval, "doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(2L, 3L))
+  }
+
+  test("greedy packing seals bins at the budget and isolates oversize docs") {
+    import spark.implicits._
+    val d = Seq(
+      // stratum a: 60+60 fit in 150, +40 overflows? 120+40=160>150 → new bin
+      ("a", 1L, 60L), ("a", 2L, 60L), ("a", 3L, 40L), ("a", 4L, 100L),
+      // stratum b: oversize doc alone in its bin, then a fresh bin
+      ("b", 1L, 200L), ("b", 2L, 10L)).toDF("lang", "doc_id", "n")
+    val packed = Packing.packGreedy(d, "doc_id", "lang", "n", budget = 150L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(packed === Set(
+      ("a", 1L, 60L, 0L), ("a", 2L, 60L, 0L), ("a", 3L, 40L, 1L),
+      ("a", 4L, 100L, 1L),
+      ("b", 1L, 200L, 0L), ("b", 2L, 10L, 1L)))
+    // deterministic under any input partitioning (secondary sort owns order)
+    val repacked = Packing.packGreedy(d.repartition(7), "doc_id", "lang",
+        "n", budget = 150L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(repacked === packed)
+    val stats = Packing.binStats(
+        Packing.packGreedy(d, "doc_id", "lang", "n", budget = 150L), 150L)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(stats === Set(("a", 0L, 2L, 120L, 30L), ("a", 1L, 2L, 140L, 10L),
+      ("b", 0L, 1L, 200L, 0L), ("b", 1L, 1L, 10L, 140L)))
+  }
+
+  test("simhash auditable mode pairs identical docs at hamming 0") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different words about unrelated topics here now")
+    ).toDF("doc_id", "text")
+    val sh = Dedup.shingles(corpus, "doc_id", "text")
+    val shaHash: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      tok => conv(substring(sha2(tok, 256), 1, 15), 16, 10).cast("long")
+    val pairs = Dedup.simhashPairs(sh, maxHamming = 0,
+      tokenHash = Some(shaHash)).as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 0L)))
+    // sha-mode signatures stay within 60 bits (bits 60-63 identically 0)
+    graft.functions.SimHashAgg.register(spark)
+    val sigs = sh
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .select(col("doc_id"), shaHash(col("tok")).as("tok"))
+      .groupBy("doc_id").agg(expr("simhash_sig(tok)").as("sig"))
+      .select(max(col("sig")).as("mx"), min(col("sig")).as("mn"))
+      .collect().head
+    assert(sigs.getLong(0) < (1L << 60) && sigs.getLong(1) >= 0L)
   }
 
   test("knnJoin returns k ordered neighbors per query") {
