@@ -60,6 +60,37 @@ object TextAnalysis {
           && col("stop_r") >= minStopRatio).as("keep"))
   }
 
+  /** RE2-safe PII patterns (no backtracking constructs, no lookaround):
+    * simple enough that Java regex, RE2, and the DuckDB oracle agree
+    * byte-for-byte on every match. Dolma/C4-style masking targets.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** PII masking (the Dolma/C4 pre-training hygiene pass): replace
+    * email / IPv4 / phone-shaped spans with typed mask tokens and
+    * report per-doc match counts. Pure regexp_replace /
+    * regexp_extract_all — a single codegen'd scan, no UDF, no shuffle.
+    * Passes apply email → IPv4 → phone in a fixed order (emails and
+    * dotted quads contain digit runs a later phone pass may not see
+    * twice), so the output is deterministic on any engine.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+        col(textCol).as("t0"),
+        size(regexp_extract_all(col(textCol), lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"))
+      .withColumn("t1", regexp_replace(col("t0"), EmailRe, "<EMAIL>"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(col("t1"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("t2", regexp_replace(col("t1"), Ipv4Re, "<IP>"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("long"))
+      .select(col(idCol),
+        regexp_replace(col("t2"), PhoneRe, "<PHONE>").as("redacted"),
+        col("n_emails"), col("n_ips"), col("n_phones"))
+
   /** Polynomial rolling hash over the document bytes (mod 1e9+7). */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), expr(

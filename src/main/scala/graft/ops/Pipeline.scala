@@ -736,6 +736,92 @@ object Pipeline {
       (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"),
         "doc_id", "text", k = 5, w = 3).orderBy("doc_id")),
 
+    // PII masking pass (Dolma/C4 hygiene): email -> IPv4 -> phone in a
+    // fixed order, counts + redacted text both hash-checked. The
+    // patterns are RE2-safe character-class regexes shared verbatim
+    // between engines (TextAnalysis.EmailRe/Ipv4Re/PhoneRe).
+    Q("q_text_pii",
+      Some(s"""WITH s1 AS (SELECT doc_id, text,
+                       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+                       regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+                FROM documents),
+               s2 AS (SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+                       regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2
+                FROM s1)
+               SELECT doc_id,
+                      regexp_replace(t2, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted,
+                      n_emails, n_ips,
+                      CAST(len(regexp_extract_all(t2, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones
+               FROM s2 ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.redactPii(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // The composed corpus pipeline (quality gate -> exact dedup ->
+    // decontaminate -> pack): the operators are designed to chain, and
+    // this query pins the whole chain against one oracle — the recipe a
+    // real training-data run executes end-to-end.
+    Q("q_pipeline_e2e",
+      Some("""WITH RECURSIVE
+               d0 AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
+               q AS (SELECT doc_id FROM d0
+                     WHERE len(w) BETWEEN 20 AND 90
+                       AND CAST(len(list_filter(w, x -> list_contains(
+                             ['the','a','of','and','to','in'], x))) AS DOUBLE)
+                           / len(w) >= 0.05),
+               ded AS (SELECT doc_id, lang, w FROM (
+                         SELECT d0.doc_id, d0.lang, d0.w,
+                                row_number() OVER (PARTITION BY sha256(d0.text)
+                                  ORDER BY d0.doc_id) AS rn
+                         FROM d0 JOIN q USING (doc_id))
+                       WHERE rn = 1),
+               sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                    for i in range(1, len(w)-2)]) AS toks
+                      FROM ded WHERE len(w) >= 4),
+               exe AS (SELECT DISTINCT unnest(toks) AS tok FROM sh WHERE doc_id % 10 = 1),
+               flag AS (SELECT DISTINCT c.doc_id
+                        FROM (SELECT doc_id, unnest(toks) AS tok FROM sh
+                              WHERE doc_id % 10 <> 1) c
+                        JOIN exe USING (tok)),
+               clean AS (SELECT ded.lang AS stratum, ded.doc_id,
+                                CAST(len(ded.w) AS BIGINT) AS n_tokens
+                         FROM ded
+                         WHERE doc_id % 10 <> 1
+                           AND doc_id NOT IN (SELECT doc_id FROM flag)),
+               r AS (SELECT stratum, doc_id, n_tokens,
+                            row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
+                     FROM clean),
+               pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
+                 SELECT stratum, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.stratum, r.rn, r.doc_id, r.n_tokens,
+                        CASE WHEN p.fill + r.n_tokens <= 200 THEN p.bin ELSE p.bin + 1 END,
+                        CASE WHEN p.fill + r.n_tokens <= 200 THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                 FROM pack p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin
+              FROM pack ORDER BY stratum, doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val keep = TextAnalysis.qualityScore(docs, "doc_id", "text", "n_chars")
+          .filter(col("keep")).select("doc_id")
+        val deduped = Dedup.dropExactDuplicates(
+          docs.join(keep, "doc_id"), "doc_id", "text")
+        // survivor shingles come from the cached corpus-wide frame (a
+        // doc's shingle set is per-doc, so a semi-join restricts it)
+        val sh = shingled(s, dir)
+          .join(deduped.select("doc_id"), Seq("doc_id"), "left_semi")
+        val clean = Decontamination.dropContaminated(
+          deduped.filter(col("doc_id") % 10 =!= 1), "doc_id",
+          sh.filter(col("doc_id") % 10 =!= 1),
+          sh.filter(col("doc_id") % 10 === 1))
+        Packing.packGreedy(
+          clean.select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", budget = 200L)
+          .orderBy("stratum", "doc_id")
+      }),
+
     Q("q_lang_id",
       Some("""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
                          FROM documents),

@@ -139,6 +139,51 @@ object ScaleProbe {
     println(f"incremental dedup: 1x=$i1 (${di1}%.2f s)  ${mult}x=$iN (${diN}%.2f s, " +
       f"${(siN - si1) / 1e6}%.1f MB shuffled)  time-growth=${diN / di1}%.1fx")
 
+    // decontamination: the eval set stays FIXED (benchmarks don't grow
+    // with the corpus) while the corpus scales mult x. Cost must be one
+    // corpus pass against a broadcast posting list — and because every
+    // replica's words are suffixed, only the 1x slice can collide, so
+    // the flagged-doc count is INVARIANT under replication: any growth
+    // in output would be a replication artifact, not contamination.
+    import graft.api.Decontamination
+    val eval1 = Dedup.shingles(
+      docsFor(1).filter(col("doc_id") % 10 === 1), "doc_id", "text")
+    val td1 = System.nanoTime()
+    val dec1 = Decontamination.contaminationReport(
+      sh1.filter(col("doc_id") % 10 =!= 1), eval1).count()
+    val dd1 = (System.nanoTime() - td1) / 1e9
+    val sd1 = shufSnap()
+    val tdN = System.nanoTime()
+    val decN = Decontamination.contaminationReport(
+      shN.filter(col("doc_id") % 10 =!= 1), eval1).count()
+    val ddN = (System.nanoTime() - tdN) / 1e9
+    val sdN = shufSnap()
+    println(f"decontamination (fixed eval): 1x flagged=$dec1 (${dd1}%.2f s)  " +
+      f"${mult}x flagged=$decN (${ddN}%.2f s, ${(sdN - sd1) / 1e6}%.1f MB shuffled)  " +
+      f"time-growth=${ddN / dd1}%.1fx flagged-invariant=${dec1 == decN}")
+
+    // sequence packing: strata scale WITH the corpus (at 100 TB the
+    // stratum key is a shard id with thousands of values), so per-
+    // stratum work is constant and the fold parallelizes — wall growth
+    // must track corpus size, never stratum count
+    import graft.api.Packing
+    def packIn(m: Int) = docsFor(m)
+      .withColumn("stratum",
+        expr("concat((doc_id % 1000000) % 50, '-', doc_id div 1000000)"))
+      .select(col("stratum"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val tp1 = System.nanoTime()
+    val packed1 = Packing.packGreedy(packIn(1), "doc_id", "stratum",
+      "n_tokens", budget = 2048).count()
+    val dp1 = (System.nanoTime() - tp1) / 1e9
+    val tpN = System.nanoTime()
+    val packedN = Packing.packGreedy(packIn(mult), "doc_id", "stratum",
+      "n_tokens", budget = 2048).count()
+    val dpN = (System.nanoTime() - tpN) / 1e9
+    println(f"packing (${50}->${50 * mult} strata): 1x=$packed1 docs ${dp1}%.2f s  " +
+      f"${mult}x=$packedN docs ${dpN}%.2f s  time-growth=${dpN / dp1}%.1fx " +
+      f"(corpus ${mult}x, per-stratum size constant)")
+
     // lineitem x mult joined to orders (broadcast-ineligible fact-fact)
     val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
     val li = li0.crossJoin(reps)

@@ -139,6 +139,22 @@ class ApiSpec extends AnyFunSuite {
       ("b", 0L, 1L, 200L, 0L), ("b", 1L, 1L, 10L, 140L)))
   }
 
+  test("PII redaction masks planted emails, IPs, and phones in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write to alice.smith+spam@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "server at 192.168.10.255 and 10.0.0.1 responded"),
+      (3L, "no personal data in this one at all")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r(0)._2 === "write to <EMAIL> or call <PHONE> now")
+    assert((r(0)._3, r(0)._4, r(0)._5) === ((1L, 0L, 1L)))
+    assert(r(1)._2 === "server at <IP> and <IP> responded")
+    assert((r(1)._3, r(1)._4, r(1)._5) === ((0L, 2L, 0L)))
+    assert(r(2)._2 === "no personal data in this one at all")
+    assert((r(2)._3, r(2)._4, r(2)._5) === ((0L, 0L, 0L)))
+  }
+
   test("simhash auditable mode pairs identical docs at hamming 0") {
     import spark.implicits._
     val corpus = Seq(

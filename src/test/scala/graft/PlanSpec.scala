@@ -164,6 +164,35 @@ class PlanSpec extends AnyFunSuite {
       .contains("SelectedBucketsCount"))
   }
 
+  test("decontamination joins the eval side as a broadcast") {
+    // the candidate-generation join must be map-side (eval sets are
+    // benchmark-sized): a SortMergeJoin here would shuffle the whole
+    // exploded corpus on the shingle key at 100 TB
+    val df = SparkEntry.queries("q_decontaminate")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast eval join in:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side shuffle join in decontamination plan:\n$p")
+  }
+
+  test("greedy packing is one shuffle + secondary sort per stratum") {
+    // next-fit packing needs exactly one Exchange (group by stratum) and
+    // an in-partition sort on (stratum, doc_id); more exchanges would
+    // mean the fold re-shuffles, a global sort would serialize strata
+    val df = SparkEntry.queries("q_pack_greedy")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex === 1, s"expected 1 hash exchange, got $ex in:\n$p")
+    assert(!p.contains("Exchange rangepartitioning") ||
+      p.indexOf("Exchange rangepartitioning") < p.indexOf("MapGroups"),
+      s"global sort below the packing fold in:\n$p")
+  }
+
   test("tf-idf tokenizes the corpus once (df derives from tf)") {
     val df = graft.api.TextAnalysis.tfidfTopTerms(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
