@@ -25,10 +25,11 @@ object Decontamination {
 
   /** Per contaminated corpus doc: how many of its distinct n-grams occur
     * anywhere in the eval set (`n_gram_hits`), how many distinct eval
-    * docs it collides with (`n_eval_docs`), and the contaminated
-    * fraction of its shingle set (`hit_frac`, 6dp). Docs with zero hits
-    * are absent — the common case at scale, which keeps the aggregation
-    * input small.
+    * docs it collides with (`n_eval_docs`), the doc's shingle count
+    * (`n_grams`), and the contaminated fraction of its shingle set
+    * (`hit_frac`, 6dp — display only; thresholding uses the exact
+    * counts). Docs with zero hits are absent — the common case at
+    * scale, which keeps the aggregation input small.
     */
   def contaminationReport(corpusSh: DataFrame, evalSh: DataFrame): DataFrame = {
     val exC = corpusSh.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -43,17 +44,21 @@ object Decontamination {
     val sz = corpusSh.select(col("doc_id"), size(col("toks")).as("sz"))
     sz.join(broadcast(hits), "doc_id")
       .select(col("doc_id"), col("n_gram_hits"), col("n_eval_docs"),
+        col("sz").cast("long").as("n_grams"),
         round(col("n_gram_hits") / col("sz"), 6).as("hit_frac"))
   }
 
   /** Remove corpus docs whose contaminated shingle fraction exceeds
     * `maxHitFrac` (default 0.0 = any shared n-gram drops the doc — the
-    * conservative eval-hygiene setting).
+    * conservative eval-hygiene setting). The comparison is exact
+    * integer arithmetic (`n_gram_hits > maxHitFrac · n_grams`), not the
+    * report's 6dp display rounding — at 6dp a book-length doc with one
+    * genuine eval hit would round to 0.0 and leak through.
     */
   def dropContaminated(docs: DataFrame, idCol: String, corpusSh: DataFrame,
                        evalSh: DataFrame, maxHitFrac: Double = 0.0): DataFrame = {
     val flagged = contaminationReport(corpusSh, evalSh)
-      .filter(col("hit_frac") > maxHitFrac)
+      .filter(col("n_gram_hits") > lit(maxHitFrac) * col("n_grams"))
       .select(col("doc_id").as(idCol))
     docs.join(flagged, Seq(idCol), "left_anti")
   }

@@ -24,7 +24,10 @@ object Packing {
     * overflow `budget`, which seals the bin and opens the next — the
     * standard streaming next-fit discipline (deterministic, one pass,
     * no cross-doc reordering, so document order within a bin is stable
-    * provenance). A doc longer than `budget` gets a bin of its own.
+    * provenance). A doc longer than `budget` gets a bin of its own, and
+    * the stratum's first doc always lands in bin 0 — the same fold the
+    * q_pack_greedy recursive-CTE oracle replays, for every input
+    * including zero-token docs.
     *
     * Returns (stratum, doc_id, n_tokens, bin) — bin ids are dense longs
     * starting at 0 per stratum.
@@ -41,8 +44,10 @@ object Packing {
       .flatMapSortedGroups(col("doc_id")) { (stratum, it) =>
         var bin = 0L
         var fill = 0L
+        var first = true
         it.map { case (_, docId, nTokens) =>
-          if (fill > 0L && fill + nTokens > budget) { bin += 1; fill = nTokens }
+          if (first) { fill = nTokens; first = false }
+          else if (fill + nTokens > budget) { bin += 1; fill = nTokens }
           else fill += nTokens
           (stratum, docId, nTokens, bin)
         }

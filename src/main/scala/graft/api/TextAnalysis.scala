@@ -63,10 +63,20 @@ object TextAnalysis {
   /** RE2-safe PII patterns (no backtracking constructs, no lookaround):
     * simple enough that Java regex, RE2, and the DuckDB oracle agree
     * byte-for-byte on every match. Dolma/C4-style masking targets.
+    *
+    * Ipv4Re bounds every octet to 0-255 so arbitrary dotted digit runs
+    * (999.999.999.999) don't mask; in-range dotted quads mask whatever
+    * their semantic role — a version string like 1.2.3.4 is
+    * indistinguishable from an address and takes the standard
+    * over-redaction trade. PhoneRe requires 3-3-4 digit grouping (with
+    * optional +CC and (area)) rather than "any long digit run", so
+    * dates, scores, and numeric tables survive.
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val Ipv4Re = s"$Octet\\.$Octet\\.$Octet\\.$Octet"
+  val PhoneRe =
+    "(\\+[0-9]{1,3} )?(\\([0-9]{3}\\) |[0-9]{3}[\\- ])[0-9]{3}[\\- ][0-9]{4}"
 
   /** PII masking (the Dolma/C4 pre-training hygiene pass): replace
     * email / IPv4 / phone-shaped spans with typed mask tokens and

@@ -131,15 +131,27 @@ object Pipeline {
         }.mkString(", ")
     })
 
+  // embedding dim per sf dir, looked up once (it is only the planes
+  // cache key — re-running a Spark job per placeholder-bearing SQL
+  // would pay N jobs for one constant)
+  private val dimCache = scala.collection.concurrent.TrieMap[String, Int]()
+
   private def resolveLshPlanes(sql: String): String =
     if (!sql.contains("__GRAFT_LSH_PLANES_")) sql
     else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => sql
       case Some(s) =>
-        val dim = t(s, Sources.oracleSfDir, "embeddings")
-          .select(size(col("embedding"))).head().getInt(0)
-        lshPlaneRe.replaceAllIn(sql,
-          m => lshPlanesValues(s, m.group(1).toInt, dim))
+        // a missing/empty embeddings table must not abort the WHOLE
+        // oracle dump (it is written before the per-query try/catch):
+        // leave the placeholder unresolved — only the queries that need
+        // it will fail their individual compare
+        scala.util.Try {
+          dimCache.getOrElseUpdate(Sources.oracleSfDir,
+            t(s, Sources.oracleSfDir, "embeddings")
+              .select(size(col("embedding"))).head().getInt(0))
+        }.fold(_ => sql, dim =>
+          lshPlaneRe.replaceAllIn(sql,
+            m => lshPlanesValues(s, m.group(1).toInt, dim)))
     }
 
   /** Near-dup pair set, persisted: q_dedup_near orders it, and
@@ -304,6 +316,7 @@ object Pipeline {
                                    CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
                             FROM exc JOIN exe USING (tok) GROUP BY doc_id)
               SELECT h.doc_id, n_gram_hits, n_eval_docs,
+                     CAST(len(c.toks) AS BIGINT) AS n_grams,
                      ROUND(CAST(n_gram_hits AS DOUBLE) / len(c.toks), 6) AS hit_frac
               FROM hits h JOIN c ON c.doc_id = h.doc_id
               ORDER BY h.doc_id"""),

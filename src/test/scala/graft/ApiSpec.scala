@@ -132,6 +132,14 @@ class ApiSpec extends AnyFunSuite {
         "n", budget = 150L)
       .as[(String, Long, Long, Long)].collect().toSet
     assert(repacked === packed)
+    // zero-token docs follow the same fold as the recursive-CTE oracle:
+    // first doc pins bin 0 even at fill 0, an oversize doc still seals
+    val zeros = Seq(("z", 1L, 0L), ("z", 2L, 300L), ("z", 3L, 0L),
+        ("z", 4L, 10L)).toDF("lang", "doc_id", "n")
+    val zpacked = Packing.packGreedy(zeros, "doc_id", "lang", "n", 150L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(zpacked === Set(("z", 1L, 0L, 0L), ("z", 2L, 300L, 1L),
+      ("z", 3L, 0L, 2L), ("z", 4L, 10L, 2L)))
     val stats = Packing.binStats(
         Packing.packGreedy(d, "doc_id", "lang", "n", budget = 150L), 150L)
       .as[(String, Long, Long, Long, Long)].collect().toSet
