@@ -60,6 +60,25 @@ object TextAnalysis {
           && col("stop_r") >= minStopRatio).as("keep"))
   }
 
+  /** [[qualityScore]]'s keep-gate fused into a single filter scan: rows
+    * of `docs` that pass, with every original column. Pipelines that
+    * only need the survivors should use this instead of joining the
+    * score frame back on the id — that join is a corpus-sized SMJ (the
+    * kept set is a large fraction of the corpus, never broadcastable),
+    * while this is one scan with a codegen'd predicate and no shuffle.
+    */
+  def qualityFilter(docs: DataFrame, textCol: String,
+                    stopwords: Seq[String] = DefaultStopwords,
+                    minTokens: Int = 20, maxTokens: Int = 90,
+                    minStopRatio: Double = 0.05): DataFrame = {
+    val stopList = array(stopwords.map(lit): _*)
+    val w = split(col(textCol), " ")
+    docs.filter(
+      size(w).between(minTokens, maxTokens) &&
+        (size(filter(w, x => array_contains(stopList, x))).cast("double")
+          / size(w)) >= minStopRatio)
+  }
+
   /** RE2-safe PII patterns (no backtracking constructs, no lookaround):
     * simple enough that Java regex, RE2, and the DuckDB oracle agree
     * byte-for-byte on every match. Dolma/C4-style masking targets.

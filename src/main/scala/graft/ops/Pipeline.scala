@@ -816,10 +816,9 @@ object Pipeline {
               FROM pack ORDER BY stratum, doc_id"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val keep = TextAnalysis.qualityScore(docs, "doc_id", "text", "n_chars")
-          .filter(col("keep")).select("doc_id")
+        // fused single-scan quality gate (no score-frame self-join)
         val deduped = Dedup.dropExactDuplicates(
-          docs.join(keep, "doc_id"), "doc_id", "text")
+          TextAnalysis.qualityFilter(docs, "text"), "doc_id", "text")
         // survivor shingles come from the cached corpus-wide frame (a
         // doc's shingle set is per-doc, so a semi-join restricts it)
         val sh = shingled(s, dir)

@@ -147,6 +147,37 @@ class ApiSpec extends AnyFunSuite {
       ("b", 0L, 1L, 200L, 0L), ("b", 1L, 1L, 10L, 140L)))
   }
 
+  test("packGreedy matches a driver-side reference fold on random corpora") {
+    import spark.implicits._
+    // seeded random corpus: 7 strata, token counts spanning zero, normal,
+    // and oversize-vs-budget docs, ids shuffled across partitions
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      (s"s${rnd.nextInt(7)}", i.toLong, rnd.nextInt(401).toLong)
+    }
+    val budget = 150L
+    val packed = Packing.packGreedy(
+        rows.toDF("stratum", "doc_id", "n").repartition(11),
+        "doc_id", "stratum", "n", budget)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // reference: sequential next-fit per stratum in doc_id order
+    val expected = rows.groupBy(_._1).flatMap { case (st, ds) =>
+      var bin = 0L; var fill = 0L; var first = true
+      ds.sortBy(_._2).map { case (_, id, n) =>
+        if (first) { fill = n; first = false }
+        else if (fill + n > budget) { bin += 1; fill = n }
+        else fill += n
+        (st, id) -> bin
+      }
+    }
+    assert(packed === expected)
+    // invariant: a bin either fits the budget or holds exactly one doc
+    val byBin = rows.map { case (st, id, n) => (st, packed((st, id)), n) }
+      .groupBy(t => (t._1, t._2)).values
+    assert(byBin.forall(ds => ds.map(_._3).sum <= budget || ds.size == 1))
+  }
+
   test("PII redaction masks planted emails, IPs, and phones in order") {
     import spark.implicits._
     val d = Seq(
