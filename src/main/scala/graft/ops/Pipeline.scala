@@ -333,8 +333,11 @@ object Pipeline {
     // parallel across strata (flatMapSortedGroups secondary sort). The
     // oracle replays the same fold as a recursive CTE.
     Q("q_pack_greedy",
+      // `r` is MATERIALIZED: DuckDB inlines single-reference CTEs, so
+      // the recursive join would otherwise re-evaluate the whole
+      // upstream chain once per iteration (~15x slower at sf0.1)
       Some("""WITH RECURSIVE
-                   r AS (SELECT lang AS stratum, doc_id,
+                   r AS MATERIALIZED (SELECT lang AS stratum, doc_id,
                                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                                 row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
                          FROM documents),
@@ -801,7 +804,7 @@ object Pipeline {
                          FROM ded
                          WHERE doc_id % 10 <> 1
                            AND doc_id NOT IN (SELECT doc_id FROM flag)),
-               r AS (SELECT stratum, doc_id, n_tokens,
+               r AS MATERIALIZED (SELECT stratum, doc_id, n_tokens,
                             row_number() OVER (PARTITION BY stratum ORDER BY doc_id) AS rn
                      FROM clean),
                pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
