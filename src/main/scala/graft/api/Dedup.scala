@@ -148,10 +148,24 @@ object Dedup {
     */
   def incrementalMinhashPairs(corpusSh: DataFrame, newSh: DataFrame,
                               threshold: Double, numPerms: Int = 128,
-                              bands: Int = 32): DataFrame = {
-    val bandC = minhashBandRows(corpusSh, numPerms, bands)
+                              bands: Int = 32): DataFrame =
+    incrementalMinhashPairsIndexed(corpusSh,
+      minhashBandRows(corpusSh, numPerms, bands), newSh, threshold,
+      numPerms, bands)
+
+  /** [[incrementalMinhashPairs]] against an ALREADY-BUILT corpus band
+    * index (`minhashBandRows` of the corpus, persisted or bucketed
+    * once) — the continuous-ingestion shape: a long-lived pipeline
+    * signs the corpus exactly once and every increment call pays only
+    * its own signatures plus the band-key join. `corpusSh` is still
+    * needed for the exact-Jaccard verification of surviving candidates.
+    */
+  def incrementalMinhashPairsIndexed(corpusSh: DataFrame,
+                                     corpusBands: DataFrame, newSh: DataFrame,
+                                     threshold: Double, numPerms: Int = 128,
+                                     bands: Int = 32): DataFrame = {
     val bandN = minhashBandRows(newSh, numPerms, bands)
-    val cand = bandC.as("a")
+    val cand = corpusBands.as("a")
       .join(bandN.as("b"), Seq("band_idx", "band_hash"))
       .where(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

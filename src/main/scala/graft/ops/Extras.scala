@@ -119,6 +119,23 @@ object Extras {
               ORDER BY user_id, click_id, buy_id NULLS FIRST"""),
       (s, dir) => Streams.clickPurchaseAttributionLeft(s, dir)),
 
+    // Streaming incremental dedup: the 10% increment arrives as three
+    // files -> three micro-batches, each shingled+signed and joined
+    // against the ONCE-BUILT corpus band index (never re-signed), pairs
+    // landing exactly-once per batch partition. Same exact-pair oracle
+    // as the batch q_dedup_incr: batch boundaries cannot change the
+    // union (each doc is in one batch; pairs are corpus-vs-new only).
+    Q("q_stream_dedup_incr", Some(Pipeline.incrOracle),
+      (s, dir) => {
+        val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
+        val sh = Pipeline.shingled(s, dir)
+        Streams.incrementalDedupReplay(s, glob,
+            t(s, dir, "documents").schema, "doc_id", "text",
+            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
+            corpusBands = Pipeline.corpusBands(s, dir), threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // Bucketed co-located join: both fact sides pre-bucketed on the join
     // key → zero-exchange SortMergeJoin (plan pinned by BucketingSpec);
     // results identical to the plain join the oracle runs.

@@ -31,6 +31,22 @@ object Pipeline {
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
+  /** The 90%-corpus MinHash band index per (session, dir), built and
+    * persisted ONCE — shared by the batch incremental query and the
+    * streaming replay, which is the point: increments never re-sign
+    * the corpus.
+    */
+  private val bandsCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private[graft] def corpusBands(s: SparkSession, dir: String): DataFrame =
+    bandsCache.synchronized {
+      bandsCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        Dedup.minhashBandRows(
+            shingled(s, dir).filter(col("doc_id") % 10 =!= 0))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** Unpersist and forget this session's cached frames (Graft.clear). */
   private[graft] def clearCaches(s: SparkSession): Unit = {
     val id = System.identityHashCode(s)
@@ -41,6 +57,10 @@ object Pipeline {
     pairsCache.synchronized {
       pairsCache.keys.filter(_._1 == id)
         .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
+    }
+    bandsCache.synchronized {
+      bandsCache.keys.filter(_._1 == id)
+        .foreach(k => bandsCache.remove(k).foreach(_.unpersist()))
     }
     kmeansCache.synchronized {
       kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
@@ -165,6 +185,28 @@ object Pipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Exact cross-partition pair set (corpus vs the 10% increment) —
+    * the oracle of BOTH the batch incremental query and its streaming
+    * replay (q_stream_dedup_incr): batch boundaries cannot change the
+    * streamed union, so the two queries share one ground truth.
+    */
+  private[ops] val incrOracle =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                            for i in range(1, len(w)-2)]) AS toks
+              FROM d WHERE len(w) >= 4),
+       ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+       p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+             FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+       prs AS (SELECT doc_a, doc_b,
+                      ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+               FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
+       SELECT doc_a, doc_b, jaccard FROM prs
+       WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+       ORDER BY doc_a, doc_b"""
+
   private val nearDupOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
@@ -225,28 +267,16 @@ object Pipeline {
 
     // Incremental dedup: the 10% "increment" (doc_id % 10 = 0) against
     // the other 90% as the indexed corpus — cost scales with the
-    // increment, not the corpus. Oracle = the exact pair set restricted
-    // to cross-partition pairs (LSH false-negative odds ~5e-8).
-    Q("q_dedup_incr",
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-              sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
-                                                   for i in range(1, len(w)-2)]) AS toks
-                     FROM d WHERE len(w) >= 4),
-              ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
-              p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                    FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-              sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
-              prs AS (SELECT doc_a, doc_b,
-                             ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
-                      FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)
-              SELECT doc_a, doc_b, jaccard FROM prs
-              WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
-              ORDER BY doc_a, doc_b"""),
+    // increment, not the corpus (the corpus band index is built once
+    // per session via corpusBands and shared with the streaming
+    // replay). Oracle = the exact pair set restricted to
+    // cross-partition pairs (LSH false-negative odds ~5e-8).
+    Q("q_dedup_incr", Some(incrOracle),
       (s, dir) => {
         val sh = shingled(s, dir)
-        Dedup.incrementalMinhashPairs(
+        Dedup.incrementalMinhashPairsIndexed(
             corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
+            corpusBands = corpusBands(s, dir),
             newSh = sh.filter(col("doc_id") % 10 === 0),
             threshold = 0.5)
           .select(least(col("doc_a"), col("doc_b")).as("doc_a"),

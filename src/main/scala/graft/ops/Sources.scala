@@ -101,10 +101,26 @@ object Sources {
         .write.mode("overwrite").parquet(s"$out/gen2")
     }
 
+  /** Three deterministic slices of the 10% document increment
+    * (doc_id % 10 = 0, sliced by (doc_id div 10) % 3), one parquet file
+    * each — the arrival files q_stream_dedup_incr replays as three
+    * micro-batches. Slicing is by id arithmetic so the batch membership
+    * (and therefore the streamed pair set) is reproducible.
+    */
+  private[graft] def ensureStreamIncr(s: SparkSession, dir: String): String =
+    ensure(s, dir, "stream_incr") { out =>
+      val incr = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      (0 until 3).foreach { i =>
+        incr.filter(expr(s"(doc_id div 10) % 3 = $i"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
+      }
+    }
+
   /** Materialize every source-sink scratch file for (session, dir). */
   private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
     ensureCsv(s, dir); ensureJsonl(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
+    ensureStreamIncr(s, dir); ()
   }
 
   val qs: Seq[Q] = Seq(

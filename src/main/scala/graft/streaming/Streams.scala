@@ -303,6 +303,56 @@ object Streams {
         col("buy_id").asc_nulls_first)
   }
 
+  /** Streaming incremental near-dup detection — continuous corpus
+    * ingestion deduped per micro-batch against a STATIC corpus band
+    * index. Each arriving file of documents becomes one micro-batch
+    * (`maxFilesPerTrigger=1`); the batch is shingled and signed, its
+    * band rows join the pre-built corpus index
+    * ([[graft.api.Dedup.incrementalMinhashPairsIndexed]] — the corpus
+    * is never re-signed), and the surviving verified pairs land in the
+    * batch's own `batch_id=N` partition (the exactly-once
+    * partition-overwrite sink, as [[replayToParquet]]). Per-batch cost
+    * is O(batch signatures + band collisions) — the 100 TB shape for
+    * "dedup the crawl as it arrives" where re-running batch dedup per
+    * increment would re-pay the corpus every time.
+    *
+    * The union over batches equals the one-shot batch result because
+    * every new doc is in exactly one batch and pairs are only emitted
+    * against the corpus side (never within the increment), so batch
+    * boundaries cannot change the pair set — which is what lets the
+    * replayed stream carry the SAME exact-pair oracle as the batch
+    * incremental query.
+    */
+  def incrementalDedupReplay(spark0: SparkSession, filesGlob: String,
+                             docSchema: StructType, idCol: String,
+                             textCol: String, corpusSh: DataFrame,
+                             corpusBands: DataFrame,
+                             threshold: Double): DataFrame = {
+    val spark = childSession(spark0, rocksdb = false)
+    val name = "incr_" + UUID.randomUUID().toString.replace("-", "")
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft-incr/$name"
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sh = graft.api.Dedup.shingles(batch, idCol, textCol)
+      try graft.api.Dedup
+        .incrementalMinhashPairsIndexed(corpusSh, corpusBands, sh, threshold)
+        .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+          greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      finally { sh.unpersist(); () }
+    }
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(filesGlob)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$ckBase/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmCk(name)
+    spark.read.parquet(outDir).select("doc_a", "doc_b", "jaccard")
+  }
+
   /** Exactly-once parquet sink via foreachBatch: every micro-batch
     * overwrites its OWN `batch_id=N` partition, so redelivery of a
     * batch (checkpoint replay after a failure, or a full re-run over a

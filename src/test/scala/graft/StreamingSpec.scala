@@ -25,6 +25,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(sess === events)
   }
 
+  test("streamed incremental dedup equals the batch incremental pair set") {
+    import graft.ops.Pipeline
+    val glob = graft.ops.Sources.ensureStreamIncr(spark, sfDir) + "/s*"
+    val sh = Pipeline.shingled(spark, sfDir)
+    val docs = graft.ops.H.t(spark, sfDir, "documents")
+    val streamed = Streams.incrementalDedupReplay(spark, glob, docs.schema,
+        "doc_id", "text",
+        corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
+        corpusBands = Pipeline.corpusBands(spark, sfDir), threshold = 0.5)
+    // the replay really ran as MULTIPLE micro-batches (one per arrival
+    // file), not one big batch — the thing this operator exists to show
+    val nBatches = streamed.inputFiles
+      .map(_.replaceAll(".*batch_id=([0-9]+).*", "$1")).distinct.length
+    assert(nBatches >= 2, s"expected >=2 micro-batch partitions, got $nBatches")
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.api.Dedup.incrementalMinhashPairsIndexed(
+        sh.filter(col("doc_id") % 10 =!= 0),
+        Pipeline.corpusBands(spark, sfDir),
+        sh.filter(col("doc_id") % 10 === 0), threshold = 0.5)
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === batch)
+  }
+
   test("foreachBatch parquet sink is idempotent under batch redelivery") {
     val out = java.nio.file.Files.createTempDirectory("fb").toString
     val n1 = Streams.replayToParquet(spark, sfDir, out)
