@@ -39,13 +39,20 @@ object Multimodal {
 
   /** STUB decoder: dimensions derived deterministically from the payload
     * bytes. Replace with a real decoder behind the same signature.
+    *
+    * The fold is wrap-free (mod 1e9+7, the same family as
+    * `TextAnalysis.fingerprint`) so the stub's outputs are reproducible
+    * by ANY engine in plain arithmetic — which is what lets the three
+    * multimodal queries carry full DuckDB oracles pinning the batch
+    * plumbing (schema, row expansion, byte slicing) cross-engine
+    * instead of rows-only.
     */
   private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L // deterministic FNV-ish fold, no RNG
-    payload.foreach(b => h = h * 31 + b)
-    val w = 64 + math.floorMod(h, 1024).toInt
-    val ht = 64 + math.floorMod(h >> 10, 1024).toInt
-    val frames = 1 + math.floorMod(h >> 20, 240).toInt
+    var h = 1125899906842597L % 1000000007L
+    payload.foreach(b => h = (h * 31 + (b & 0xFF)) % 1000000007L)
+    val w = 64 + (h % 1024).toInt
+    val ht = 64 + ((h >> 10) % 1024).toInt
+    val frames = 1 + ((h >> 20) % 240).toInt
     (w, ht, frames)
   }
 

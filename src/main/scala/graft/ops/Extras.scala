@@ -12,6 +12,16 @@ import graft.multimodal.Multimodal
   */
 object Extras {
 
+  /** The stub decoder's payload fold in DuckDB terms: mod-1e9+7 rolling
+    * hash over the text bytes (ASCII ⇒ ascii(char) == byte), starting
+    * from the same seed residue as Multimodal.stubDecode. (Declared
+    * before `qs` — the query seq interpolates it at init.)
+    */
+  private val mmFoldSql =
+    """list_reduce(list_prepend(CAST(1125899906842597 % 1000000007 AS BIGINT),
+         list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         (a, x) -> (a * 31 + x) % 1000000007)"""
+
   val qs: Seq[Q] = Seq(
 
     Q("q_stream_tumble",
@@ -175,16 +185,70 @@ object Extras {
           col("media_type"))
         .orderBy("doc_id")),
 
-    Q("q_mm_decode", None,
+    // The three stub-decode queries carry FULL DuckDB oracles: the stub
+    // fold is wrap-free mod-1e9+7 arithmetic over the payload bytes
+    // (pure-ASCII text, so bytes == ascii(char)), and the oracle
+    // replays dims, thumbnails, and frame expansion in plain SQL —
+    // pinning the multimodal batch plumbing cross-engine. Int fields
+    // normalize to BIGINT on both sides.
+    Q("q_mm_decode",
+      Some(s"""WITH h AS (SELECT doc_id, $mmFoldSql AS hv,
+                                 CAST(length(text) AS BIGINT) AS n_bytes
+                          FROM documents)
+               SELECT doc_id,
+                      CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+                      n_bytes,
+                      CAST(64 + hv % 1024 AS BIGINT) AS width,
+                      CAST(64 + (hv >> 10) % 1024 AS BIGINT) AS height,
+                      CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + (hv >> 20) % 240
+                                ELSE 1 END AS BIGINT) AS n_frames
+               FROM h ORDER BY doc_id"""),
       (s, dir) => Multimodal.decodeMeta(s, t(s, dir, "documents"))
-        .toDF().orderBy("doc_id")),
+        .toDF()
+        .select(col("doc_id"), col("media_type"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")),
 
-    Q("q_mm_resize", None,
+    Q("q_mm_resize",
+      Some(s"""WITH h AS (SELECT doc_id, text, $mmFoldSql AS hv FROM documents),
+                    d AS (SELECT doc_id, text, 64 + hv % 1024 AS w,
+                                 64 + (hv >> 10) % 1024 AS ht FROM h),
+                    sc AS (SELECT doc_id, text, w, ht,
+                                  CASE WHEN greatest(w, ht) <= 128 THEN 1.0
+                                       ELSE 128.0 / greatest(w, ht) END AS scale
+                           FROM d)
+               SELECT doc_id,
+                      CAST(greatest(1, FLOOR(w * scale)) AS BIGINT) AS width,
+                      CAST(greatest(1, FLOOR(ht * scale)) AS BIGINT) AS height,
+                      encode(substr(text, 1, 64)) AS thumb
+               FROM sc ORDER BY doc_id"""),
       (s, dir) => Multimodal.resize(s, t(s, dir, "documents"), maxDim = 128)
-        .toDF().orderBy("doc_id")),
+        .toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("thumb"))
+        .orderBy("doc_id")),
 
-    Q("q_mm_frames", None,
+    // frame indices come from a STATIC range(0, 240) anti-aliased by
+    // i < frames (DuckDB 1.0 can't lateral-range over a column)
+    Q("q_mm_frames",
+      Some(s"""WITH h AS (SELECT doc_id, text, $mmFoldSql AS hv FROM documents
+                          WHERE doc_id % 3 = 2),
+                    v AS (SELECT doc_id, text, 1 + (hv >> 20) % 240 AS frames,
+                                 length(text) AS len FROM h)
+               SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                      encode(substr(text,
+                        CAST((i % greatest(1, len)) + 1 AS INT), 16)) AS frame
+               FROM v JOIN range(0, 240) t(i)
+                 ON i < frames AND i % 30 = 0
+               ORDER BY doc_id, frame_idx"""),
       (s, dir) => Multimodal.frameSample(s, t(s, dir, "documents"), everyK = 30)
-        .toDF().orderBy("doc_id", "frame_idx"))
+        .toDF()
+        .select(col("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"), col("frame"))
+        .orderBy("doc_id", "frame_idx"))
   )
 }
