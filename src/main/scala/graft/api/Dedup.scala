@@ -159,6 +159,12 @@ object Dedup {
     * signs the corpus exactly once and every increment call pays only
     * its own signatures plus the band-key join. `corpusSh` is still
     * needed for the exact-Jaccard verification of surviving candidates.
+    *
+    * CONTRACT: `numPerms`/`bands` MUST equal the values `corpusBands`
+    * was built with. A mismatch hashes different signature groups per
+    * band, so band hashes never collide and the result silently
+    * degenerates toward empty instead of erroring — persist the two
+    * ints next to the index like any other index metadata.
     */
   def incrementalMinhashPairsIndexed(corpusSh: DataFrame,
                                      corpusBands: DataFrame, newSh: DataFrame,

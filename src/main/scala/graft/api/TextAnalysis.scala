@@ -37,18 +37,30 @@ object TextAnalysis {
         .cast("long").as("n_bpe_ish"),
       size(split(col(textCol), " ")).cast("long").as("n_ws"))
 
+  /** Stopword ratio of a split-token column — the one definition both
+    * the score frame and the fused filter build their keep gate from,
+    * so the two can never silently diverge (q_pipeline_e2e's oracle
+    * depends on their equivalence).
+    */
+  private def stopRatio(w: Column, stopwords: Seq[String]): Column = {
+    val stopList = array(stopwords.map(lit): _*)
+    size(filter(w, x => array_contains(stopList, x))).cast("double") / size(w)
+  }
+
+  private def keepGate(w: Column, stopwords: Seq[String], minTokens: Int,
+                       maxTokens: Int, minStopRatio: Double): Column =
+    size(w).between(minTokens, maxTokens) &&
+      stopRatio(w, stopwords) >= minStopRatio
+
   /** Length / stopword-ratio / alpha-ratio quality gate. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    nCharsCol: String,
                    stopwords: Seq[String] = DefaultStopwords,
                    minTokens: Int = 20, maxTokens: Int = 90,
-                   minStopRatio: Double = 0.05): DataFrame = {
-    val stopList = array(stopwords.map(lit): _*)
+                   minStopRatio: Double = 0.05): DataFrame =
     docs.select(col(idCol), col(textCol), col(nCharsCol),
         split(col(textCol), " ").as("w"))
-      .withColumn("stop_r",
-        size(filter(col("w"), x => array_contains(stopList, x))).cast("double")
-          / size(col("w")))
+      .withColumn("stop_r", stopRatio(col("w"), stopwords))
       .withColumn("alpha_r",
         length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
           / col(nCharsCol))
@@ -56,9 +68,8 @@ object TextAnalysis {
         size(col("w")).cast("long").as("n_tokens"),
         round(col("stop_r"), 6).as("stopword_ratio"),
         round(col("alpha_r"), 6).as("alpha_ratio"),
-        (size(col("w")).between(minTokens, maxTokens)
-          && col("stop_r") >= minStopRatio).as("keep"))
-  }
+        keepGate(col("w"), stopwords, minTokens, maxTokens, minStopRatio)
+          .as("keep"))
 
   /** [[qualityScore]]'s keep-gate fused into a single filter scan: rows
     * of `docs` that pass, with every original column. Pipelines that
@@ -70,32 +81,31 @@ object TextAnalysis {
   def qualityFilter(docs: DataFrame, textCol: String,
                     stopwords: Seq[String] = DefaultStopwords,
                     minTokens: Int = 20, maxTokens: Int = 90,
-                    minStopRatio: Double = 0.05): DataFrame = {
-    val stopList = array(stopwords.map(lit): _*)
-    val w = split(col(textCol), " ")
-    docs.filter(
-      size(w).between(minTokens, maxTokens) &&
-        (size(filter(w, x => array_contains(stopList, x))).cast("double")
-          / size(w)) >= minStopRatio)
-  }
+                    minStopRatio: Double = 0.05): DataFrame =
+    docs.filter(keepGate(split(col(textCol), " "), stopwords,
+      minTokens, maxTokens, minStopRatio))
 
   /** RE2-safe PII patterns (no backtracking constructs, no lookaround):
     * simple enough that Java regex, RE2, and the DuckDB oracle agree
     * byte-for-byte on every match. Dolma/C4-style masking targets.
     *
-    * Ipv4Re bounds every octet to 0-255 so arbitrary dotted digit runs
-    * (999.999.999.999) don't mask; in-range dotted quads mask whatever
-    * their semantic role — a version string like 1.2.3.4 is
+    * Ipv4Re bounds every octet to 0-255 and anchors the quad with \b
+    * (an ASCII word boundary in BOTH RE2 and Java), so out-of-range
+    * runs like 256.1.1.1 or 1234.5.6.7 are left fully intact rather
+    * than partially mangled; an in-range quad masks whatever its
+    * semantic role — a version string like 1.2.3.4 is
     * indistinguishable from an address and takes the standard
-    * over-redaction trade. PhoneRe requires 3-3-4 digit grouping (with
-    * optional +CC and (area)) rather than "any long digit run", so
-    * dates, scores, and numeric tables survive.
+    * over-redaction trade. PhoneRe requires 3-3-4 digit grouping with
+    * optional +CC/(area) and optional [-. ] separators — covering
+    * (555)123-4567, 555.123.4567, and bare 5551234567 — while \b
+    * anchors keep longer digit runs and ISO dates unmasked (any
+    * 10-digit phone-shaped run does mask: the Dolma-style trade).
     */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-  val Ipv4Re = s"$Octet\\.$Octet\\.$Octet\\.$Octet"
+  val Ipv4Re = s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b"
   val PhoneRe =
-    "(\\+[0-9]{1,3} )?(\\([0-9]{3}\\) |[0-9]{3}[\\- ])[0-9]{3}[\\- ][0-9]{4}"
+    "(\\+[0-9]{1,2}[-. ]?)?\\(?\\b[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\\b"
 
   /** PII masking (the Dolma/C4 pre-training hygiene pass): replace
     * email / IPv4 / phone-shaped spans with typed mask tokens and

@@ -17,10 +17,14 @@ object Extras {
     * from the same seed residue as Multimodal.stubDecode. (Declared
     * before `qs` — the query seq interpolates it at init.)
     */
+  // empty text guard: DuckDB string_split('', '') is [''] (one element,
+  // ascii 0) while the byte fold does ZERO iterations — without the
+  // CASE an empty doc would diverge by one fold step
   private val mmFoldSql =
-    """list_reduce(list_prepend(CAST(1125899906842597 % 1000000007 AS BIGINT),
+    """CASE WHEN length(text) = 0 THEN CAST(1125899906842597 % 1000000007 AS BIGINT)
+       ELSE list_reduce(list_prepend(CAST(1125899906842597 % 1000000007 AS BIGINT),
          list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-         (a, x) -> (a * 31 + x) % 1000000007)"""
+         (a, x) -> (a * 31 + x) % 1000000007) END"""
 
   val qs: Seq[Q] = Seq(
 

@@ -330,7 +330,18 @@ object Streams {
                              threshold: Double): DataFrame = {
     val spark = childSession(spark0, rocksdb = false)
     val name = "incr_" + UUID.randomUUID().toString.replace("-", "")
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft-incr/$name"
+    // result dir is keyed by (session, source glob) and wiped before the
+    // run — repeated bench/verify invocations overwrite one directory
+    // instead of leaking a fresh UUID dir per call (the checkpoint gets
+    // the same treatment via rmCk), and a stale partition from an
+    // earlier run with more batches can't bleed into the read-back
+    val outDir = s"${sys.props("java.io.tmpdir")}/graft-incr/" +
+      s"${System.identityHashCode(spark0)}_${math.abs(filesGlob.hashCode)}"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(outDir))
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val sh = graft.api.Dedup.shingles(batch, idCol, textCol)
       try graft.api.Dedup

@@ -183,7 +183,12 @@ class ApiSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "write to alice.smith+spam@example.co.uk or call +1 (555) 123-4567 now"),
       (2L, "server at 192.168.10.255 and 10.0.0.1 responded"),
-      (3L, "no personal data in this one at all")).toDF("doc_id", "text")
+      (3L, "no personal data in this one at all"),
+      // compact phone formats must mask; dates / long digit runs /
+      // out-of-range quads must survive INTACT (not partially mangled)
+      (4L, "(555)123-4567 or 555.123.4567 or 5551234567"),
+      (5L, "released 2024-08-12 id 12345678901234 host 256.1.1.1 up")
+    ).toDF("doc_id", "text")
     val r = TextAnalysis.redactPii(d, "doc_id", "text")
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1)
     assert(r(0)._2 === "write to <EMAIL> or call <PHONE> now")
@@ -192,6 +197,10 @@ class ApiSpec extends AnyFunSuite {
     assert((r(1)._3, r(1)._4, r(1)._5) === ((0L, 2L, 0L)))
     assert(r(2)._2 === "no personal data in this one at all")
     assert((r(2)._3, r(2)._4, r(2)._5) === ((0L, 0L, 0L)))
+    assert(r(3)._2 === "<PHONE> or <PHONE> or <PHONE>")
+    assert(r(3)._5 === 3L)
+    assert(r(4)._2 === "released 2024-08-12 id 12345678901234 host 256.1.1.1 up")
+    assert((r(4)._3, r(4)._4, r(4)._5) === ((0L, 0L, 0L)))
   }
 
   test("simhash auditable mode pairs identical docs at hamming 0") {
