@@ -56,7 +56,7 @@ object Bench {
         "src_writes" -> (() => ops.Sources.prewriteAll(spark, sfDir)),
         "kmeans_cents" -> (() => ops.Pipeline.kmeansCents(spark, sfDir)),
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
-        "corpus_bands" -> (() => ops.Pipeline.corpusBands(spark, sfDir).count()),
+        "corpus_bands" -> (() => ops.Pipeline.corpusBands(spark, sfDir).rows.count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir))
       ).map { case (name, f) =>

@@ -146,32 +146,43 @@ object Dedup {
     * Within-increment duplicates are a separate `minhashPairs(newSh)`
     * call — they need no corpus access.
     */
+  /** A built MinHash band index: the band rows PLUS the signature
+    * parameters they were hashed with. Increments must be signed with
+    * the SAME (numPerms, bands) or band hashes never collide and the
+    * join silently degenerates toward empty — carrying the ints with
+    * the rows makes that mismatch unrepresentable instead of a
+    * documented footgun. Persisted deployments should store the two
+    * ints next to the table like any other index metadata and
+    * reconstruct the `BandIndex` on load.
+    */
+  final case class BandIndex(rows: DataFrame, numPerms: Int, bands: Int)
+
+  /** Build (and optionally persist downstream) the corpus band index
+    * for [[incrementalMinhashPairsIndexed]].
+    */
+  def buildBandIndex(corpusSh: DataFrame, numPerms: Int = 128,
+                     bands: Int = 32): BandIndex =
+    BandIndex(minhashBandRows(corpusSh, numPerms, bands), numPerms, bands)
+
   def incrementalMinhashPairs(corpusSh: DataFrame, newSh: DataFrame,
                               threshold: Double, numPerms: Int = 128,
                               bands: Int = 32): DataFrame =
     incrementalMinhashPairsIndexed(corpusSh,
-      minhashBandRows(corpusSh, numPerms, bands), newSh, threshold,
-      numPerms, bands)
+      buildBandIndex(corpusSh, numPerms, bands), newSh, threshold)
 
   /** [[incrementalMinhashPairs]] against an ALREADY-BUILT corpus band
-    * index (`minhashBandRows` of the corpus, persisted or bucketed
+    * index ([[buildBandIndex]] of the corpus, persisted or bucketed
     * once) — the continuous-ingestion shape: a long-lived pipeline
     * signs the corpus exactly once and every increment call pays only
-    * its own signatures plus the band-key join. `corpusSh` is still
-    * needed for the exact-Jaccard verification of surviving candidates.
-    *
-    * CONTRACT: `numPerms`/`bands` MUST equal the values `corpusBands`
-    * was built with. A mismatch hashes different signature groups per
-    * band, so band hashes never collide and the result silently
-    * degenerates toward empty instead of erroring — persist the two
-    * ints next to the index like any other index metadata.
+    * its own signatures (with the index's own parameters) plus the
+    * band-key join. `corpusSh` is still needed for the exact-Jaccard
+    * verification of surviving candidates.
     */
   def incrementalMinhashPairsIndexed(corpusSh: DataFrame,
-                                     corpusBands: DataFrame, newSh: DataFrame,
-                                     threshold: Double, numPerms: Int = 128,
-                                     bands: Int = 32): DataFrame = {
-    val bandN = minhashBandRows(newSh, numPerms, bands)
-    val cand = corpusBands.as("a")
+                                     index: BandIndex, newSh: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val bandN = minhashBandRows(newSh, index.numPerms, index.bands)
+    val cand = index.rows.as("a")
       .join(bandN.as("b"), Seq("band_idx", "band_hash"))
       .where(col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -37,14 +37,17 @@ object Pipeline {
     * the corpus.
     */
   private val bandsCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Dedup.BandIndex]()
 
-  private[graft] def corpusBands(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusBands(s: SparkSession, dir: String): Dedup.BandIndex =
     bandsCache.synchronized {
-      bandsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        Dedup.minhashBandRows(
-            shingled(s, dir).filter(col("doc_id") % 10 =!= 0))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        val idx = Dedup.buildBandIndex(
+          shingled(s, dir).filter(col("doc_id") % 10 =!= 0))
+        idx.rows
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        idx
+      })
     }
 
   /** Unpersist and forget this session's cached frames (Graft.clear). */
@@ -60,7 +63,7 @@ object Pipeline {
     }
     bandsCache.synchronized {
       bandsCache.keys.filter(_._1 == id)
-        .foreach(k => bandsCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => bandsCache.remove(k).foreach(_.rows.unpersist()))
     }
     kmeansCache.synchronized {
       kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
@@ -276,7 +279,7 @@ object Pipeline {
         val sh = shingled(s, dir)
         Dedup.incrementalMinhashPairsIndexed(
             corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
-            corpusBands = corpusBands(s, dir),
+            index = corpusBands(s, dir),
             newSh = sh.filter(col("doc_id") % 10 === 0),
             threshold = 0.5)
           .select(least(col("doc_a"), col("doc_b")).as("doc_a"),

@@ -326,7 +326,7 @@ object Streams {
   def incrementalDedupReplay(spark0: SparkSession, filesGlob: String,
                              docSchema: StructType, idCol: String,
                              textCol: String, corpusSh: DataFrame,
-                             corpusBands: DataFrame,
+                             corpusBands: graft.api.Dedup.BandIndex,
                              threshold: Double): DataFrame = {
     val spark = childSession(spark0, rocksdb = false)
     val name = "incr_" + UUID.randomUUID().toString.replace("-", "")
