@@ -11,7 +11,7 @@ import graft.shelf._
   */
 class IntegrationSpec extends AnyFunSuite {
 
-  test("documents corpus: snapshot -> quality filter -> near-dup dedup DAG") {
+  test("documents corpus: snapshot -> quality -> dedup -> decontaminate -> pack DAG") {
     val root = Files.createTempDirectory("intshelf")
     val cache = Files.createTempDirectory("intcache")
     val store = new Store(
@@ -48,13 +48,43 @@ class IntegrationSpec extends AnyFunSuite {
     }
     val dedup = StepURI.table("corpus/dedup/2026-08-12")
 
+    // 4. benchmark decontamination via the public API: the doc_id%97
+    //    slice plays the eval set, contaminated survivors are dropped
+    StepRegistry.register("corpus/decon/2026-08-12", version = "v1") {
+      (spark, deps, dest) =>
+        val docs = spark.read.parquet(deps.head.toString)
+        val sh = graft.api.Dedup.shingles(docs, "doc_id", "text")
+        try {
+          val kept = graft.api.Decontamination.dropContaminated(
+            docs.filter(col("doc_id") % 97 =!= 0), "doc_id",
+            sh.filter(col("doc_id") % 97 =!= 0),
+            sh.filter(col("doc_id") % 97 === 0))
+          Tables.writeSingleParquet(kept, dest)
+        } finally { sh.unpersist(); () }
+    }
+    val decon = StepURI.table("corpus/decon/2026-08-12")
+
+    // 5. sequence packing into 200-token bins per language stratum
+    StepRegistry.register("corpus/pack/2026-08-12", version = "v1") {
+      (spark, deps, dest) =>
+        val docs = spark.read.parquet(deps.head.toString)
+        Tables.writeSingleParquet(graft.api.Packing.packGreedy(
+          docs.select(col("lang"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", budget = 200L), dest)
+    }
+    val pack = StepURI.table("corpus/pack/2026-08-12")
+
     shelf.catalog = shelf.catalog
       .addStep(clean, Seq(snap))
       .addStep(dedup, Seq(clean))
+      .addStep(decon, Seq(dedup))
+      .addStep(pack, Seq(decon))
     shelf.catalog.save()
 
     val built = shelf.run()
-    assert(built.contains(clean) && built.contains(dedup))
+    assert(built.contains(clean) && built.contains(dedup)
+      && built.contains(decon) && built.contains(pack))
 
     val spark = SparkTestSession.spark
     val nRaw = spark.read.parquet(
@@ -66,11 +96,23 @@ class IntegrationSpec extends AnyFunSuite {
     assert(nRaw === 500)
     assert(nClean < nRaw, "quality gate dropped short/long docs")
     assert(nDedup < nClean, "near-dup pass removed pair losers")
+    val deconDf = spark.read.parquet(Tables.tablePath(root, decon).toString)
+    val nDecon = deconDf.count()
+    assert(nDecon < nDedup, "decontamination dropped the eval slice + hits")
+    val packed = spark.read.parquet(Tables.tablePath(root, pack).toString)
+    assert(packed.count() === nDecon, "packing preserves every survivor")
+    // every bin respects the budget unless it holds a single oversize doc
+    val badBins = packed.groupBy("stratum", "bin")
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("fill"),
+        org.apache.spark.sql.functions.count(col("doc_id")).as("n"))
+      .filter(col("fill") > 200 && col("n") > 1)
+      .count()
+    assert(badBins === 0)
 
     // Merkle incrementality across the whole pipeline
     assert(shelf.run() === Seq.empty)
-    // provenance flows: dedup table inherited via its single dep chain
-    val meta = Yaml.load(Snapshots.metadataPath(root, dedup))
+    // provenance flows: pack table inherited via its 4-step dep chain
+    val meta = Yaml.load(Snapshots.metadataPath(root, pack))
     assert(meta("execution").asInstanceOf[Map[String, Any]]("status") === "success")
   }
 }
