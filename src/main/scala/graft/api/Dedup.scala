@@ -134,18 +134,6 @@ object Dedup {
     verifyPairs(cand, sh, sh, threshold)
   }
 
-  /** Incremental near-dup detection: NEW documents against an already-
-    * shingled corpus — the production shape at 100 TB, where the corpus
-    * side is a persisted band index (ideally bucketed on
-    * (band_idx, band_hash) via [[graft.api.Bucketing]]) and only the
-    * increment is signed per run. Cost scales with |increment| × band
-    * collision rate, never with |corpus|; the corpus is touched only on
-    * the band-key join and the verification of surviving candidates.
-    *
-    * Returns (doc_a = corpus id, doc_b = new id, jaccard ≥ threshold).
-    * Within-increment duplicates are a separate `minhashPairs(newSh)`
-    * call — they need no corpus access.
-    */
   /** A built MinHash band index: the band rows PLUS the signature
     * parameters they were hashed with. Increments must be signed with
     * the SAME (numPerms, bands) or band hashes never collide and the
@@ -164,6 +152,18 @@ object Dedup {
                      bands: Int = 32): BandIndex =
     BandIndex(minhashBandRows(corpusSh, numPerms, bands), numPerms, bands)
 
+  /** Incremental near-dup detection: NEW documents against an already-
+    * shingled corpus — the production shape at 100 TB, where the corpus
+    * side is a persisted band index (ideally bucketed on
+    * (band_idx, band_hash) via [[graft.api.Bucketing]]) and only the
+    * increment is signed per run. Cost scales with |increment| × band
+    * collision rate, never with |corpus|; the corpus is touched only on
+    * the band-key join and the verification of surviving candidates.
+    *
+    * Returns (doc_a = corpus id, doc_b = new id, jaccard ≥ threshold).
+    * Within-increment duplicates are a separate `minhashPairs(newSh)`
+    * call — they need no corpus access.
+    */
   def incrementalMinhashPairs(corpusSh: DataFrame, newSh: DataFrame,
                               threshold: Double, numPerms: Int = 128,
                               bands: Int = 32): DataFrame =

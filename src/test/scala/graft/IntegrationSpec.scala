@@ -102,10 +102,8 @@ class IntegrationSpec extends AnyFunSuite {
     val packed = spark.read.parquet(Tables.tablePath(root, pack).toString)
     assert(packed.count() === nDecon, "packing preserves every survivor")
     // every bin respects the budget unless it holds a single oversize doc
-    val badBins = packed.groupBy("stratum", "bin")
-      .agg(org.apache.spark.sql.functions.sum(col("n_tokens")).as("fill"),
-        org.apache.spark.sql.functions.count(col("doc_id")).as("n"))
-      .filter(col("fill") > 200 && col("n") > 1)
+    val badBins = graft.api.Packing.binStats(packed, 200L)
+      .filter(col("fill") > 200 && col("n_docs") > 1)
       .count()
     assert(badBins === 0)
 
