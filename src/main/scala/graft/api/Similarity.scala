@@ -321,4 +321,60 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), col("bucket"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max|v|/127, q_i =
+    * floor(v_i/scale + 0.5) stored as TINYINT — a 4-8x cut of the index
+    * footprint (and of the scan bandwidth every query pays), which is
+    * the difference between an in-memory and a spilled ANN index at
+    * corpus scale. `floor(x + 0.5)` rather than `round` because the two
+    * engines' round() tie rules differ (HALF_UP vs banker's); the floor
+    * form is one IEEE op sequence, bit-identical everywhere. Quantized
+    * components are bounded in [-127, 127] by construction (x/scale
+    * can exceed 127 only by an ulp, which +0.5 then floor absorbs), so
+    * the TINYINT cast never overflows under ANSI. All-zero vectors get
+    * scale 0 and an all-zero q (the CASE guard — a bare division would
+    * be Infinity and the cast would throw).
+    *
+    * Returns (vec_id, q TINYINT[], scale DOUBLE). Cosine ranking needs
+    * no dequantization — the per-vector scales cancel — so
+    * [[quantizedTopK]] scores entirely in small exact integers.
+    */
+  def quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+    e.withColumn("scale",
+        expr("aggregate(v, 0.0D, (m, x) -> greatest(m, abs(x)))") / lit(127.0))
+      .select(col("vec_id"),
+        expr("""transform(v, x -> CAST(floor(
+                  CASE WHEN scale = 0.0D THEN 0.0D ELSE x / scale END
+                  + 0.5D) AS TINYINT))""").as("q"),
+        col("scale"))
+  }
+
+  /** Approximate top-k over the int8-quantized index: exact cosine of
+    * the quantized vectors. Dot products and squared norms are sums of
+    * integers bounded by 127²·dim — exact in double on any summation
+    * order, so the ranking is deterministic across partitionings and
+    * engines with no decimal machinery. Same shape as [[topK]]: the
+    * one-row query is broadcast, the index streams once, and the top-k
+    * is a TakeOrderedAndProject (per-partition heads merged on the
+    * driver), never a global sort.
+    */
+  def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int): DataFrame = {
+    val qz = quantize(vectors, idCol, vecCol)
+    val q = qz.filter(col("vec_id") === queryId).select(col("q").as("qq"))
+    qz.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(
+        """aggregate(zip_with(q, qq, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
+                     0.0D, (s, x) -> s + x)"""))
+      .withColumn("n2", expr(
+        "aggregate(q, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("nq2", expr(
+        "aggregate(qq, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+      .withColumn("qcos", col("dot") / (sqrt(col("n2")) * sqrt(col("nq2"))))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("qcos"), 4).as("qcos"))
+  }
 }

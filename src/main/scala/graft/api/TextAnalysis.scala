@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Public text-analysis API: corpus statistics, token counting, quality
   * scoring, fingerprinting, language identification. Whole-corpus
@@ -302,5 +303,76 @@ object TextAnalysis {
       }
     }
     scored.select(col(idCol), predicted.as("predicted"))
+  }
+
+  /** BM25 ranked retrieval (Robertson et al., TREC-3; the Lucene
+    * `ln(1 + (N - df + 0.5)/(df + 0.5))` idf variant, which never goes
+    * negative): score every document against a fixed term set and keep
+    * the top-k — the relevance-scoring half of retrieval-based data
+    * selection, where a query distilled from a target domain ranks a
+    * raw corpus.
+    *
+    * Built for the corpus-scale shape, not the textbook one:
+    *   - document lengths are a pure projection (`size(split(text))`) —
+    *     no tokenize-explode-aggregate pass just to count tokens, and
+    *     the same tiny aggregate over it yields N and avgdl;
+    *   - the query-term filter sits UNDER the tf aggregate, so the
+    *     exploded/aggregated volume is the query terms' posting lists
+    *     (Σ df), never the corpus token count;
+    *   - df derives from the filtered tf rows (they ARE the distinct
+    *     (doc, term) pairs — same exchange-reuse trick as
+    *     [[tfidfTopTerms]], with the throwaway `sum(tf)` keeping the
+    *     subtrees byte-identical so the corpus is tokenized once);
+    *   - df, N, avgdl are broadcast; the only data-sized shuffles are
+    *     the tf aggregation and the per-doc score sum, and the final
+    *     top-k is a TakeOrderedAndProject, not a global sort.
+    *
+    * Determinism: the per-(doc, term) score is rounded at 6dp and
+    * summed in exact decimal space, so the per-doc total is identical
+    * on any partitioning and engine. Returns
+    * (rnk, doc_id, score, n_hit = matched query terms).
+    */
+  def bm25TopDocs(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], k: Int = 20,
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queryTerms.nonEmpty, "bm25TopDocs needs at least one query term")
+    // pre-compute the scalar factors driver-side so an oracle can embed
+    // the exact same doubles as literals
+    val k1p1 = k1 + 1.0
+    val oneMinusB = 1.0 - b
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    // the explicit isNotNull mirrors the null filter the dl join pushes
+    // into the scored branch's scan — without it the df branch's subtree
+    // differs at the scan and the tf exchange is NOT reused (the corpus
+    // would tokenize twice; pinned by the one-Generate PlanSpec test)
+    val tfq = docs
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tfq.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("_w"))
+      .filter(col("_w") >= 1).drop("_w")
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val scored = tfq.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", round(idf * (col("tf") * lit(k1p1)) /
+        (col("tf") + lit(k1) *
+          (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl"))), 6))
+      .groupBy("doc_id")
+      .agg(round(sum(col("sc").cast(DecimalType(38, 6))), 6)
+          .cast("double").as("score"),
+        count(lit(1)).as("n_hit"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("doc_id"), col("score"), col("n_hit"))
   }
 }

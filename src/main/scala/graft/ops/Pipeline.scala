@@ -248,6 +248,68 @@ object Pipeline {
        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        FROM reach GROUP BY u ORDER BY doc_id"""
 
+  /** q_text_bm25 parameters, computed driver-side ONCE so the oracle
+    * embeds the exact same doubles the Spark plan multiplies by
+    * (Double.toString round-trips, so the interpolated literal parses
+    * back to the identical bit pattern in DuckDB).
+    */
+  private val Bm25Terms = Seq("dup", "vector", "merge", "scan")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val bm25Oracle = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val k1p1 = Bm25K1 + 1.0
+    val oneMinusB = 1.0 - Bm25B
+    s"""WITH dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                    FROM documents),
+        st AS (SELECT count(*) AS n_docs,
+                      CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        tfq AS (SELECT doc_id, term, count(*) AS tf FROM tok
+                WHERE term IN ($terms) GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tfq GROUP BY 1),
+        pt AS (SELECT doc_id,
+                      ROUND(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                              * (tf * $k1p1)
+                              / (tf + $Bm25K1 * ($oneMinusB + $Bm25B * dl / avgdl)),
+                            6) AS sc
+               FROM tfq JOIN df USING (term) JOIN dl USING (doc_id), st),
+        agg AS (SELECT doc_id,
+                       CAST(ROUND(SUM(CAST(sc AS DECIMAL(38,6))), 6) AS DOUBLE) AS score,
+                       count(*) AS n_hit
+                FROM pt GROUP BY 1),
+        top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk,
+               doc_id, score, n_hit
+        FROM top ORDER BY rnk"""
+  }
+
+  /** q_sim_quant oracle: replay the symmetric int8 quantization and the
+    * quantized cosine in DuckDB list ops. Quantized components are kept
+    * as DOUBLE lists on the oracle side (list_dot_product wants floats);
+    * the values are small exact integers either way, so dot products and
+    * norms are exact in double on any summation order.
+    */
+  private val quantOracle =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                  FROM embeddings),
+        m AS (SELECT vec_id, v,
+                     list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                                 (a, x) -> greatest(a, x)) / 127.0 AS scale
+              FROM e),
+        qz AS (SELECT vec_id,
+                      list_transform(v, x -> floor(
+                        CASE WHEN scale = 0.0 THEN 0.0 ELSE x / scale END + 0.5)) AS q
+               FROM m),
+        qq AS (SELECT q AS qv FROM qz WHERE vec_id = 1),
+        sc AS (SELECT z.vec_id,
+                      list_dot_product(z.q, qq.qv)
+                        / (sqrt(list_dot_product(z.q, z.q))
+                             * sqrt(list_dot_product(qq.qv, qq.qv))) AS qc
+               FROM qz z, qq WHERE z.vec_id <> 1)
+        SELECT vec_id, ROUND(qc, 4) AS qcos FROM sc
+        ORDER BY qc DESC, vec_id LIMIT 10"""
+
   val qs: Seq[Q] = Seq(
 
     // ---------------- deduplication ----------------
@@ -442,6 +504,13 @@ object Pipeline {
               FROM e a JOIN e b ON a.vec_id = 1 AND b.vec_id <> 1
               ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.vec_id LIMIT 10"""),
       (s, dir) => Similarity.topK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 1, k = 10)),
+
+    // Quantized (int8) cosine top-k: the 4-8x index-footprint scale
+    // path; scores are exact small-integer sums, so the ranking is
+    // deterministic with no decimal machinery.
+    Q("q_sim_quant", Some(quantOracle),
+      (s, dir) => Similarity.quantizedTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 1, k = 10)),
 
     Q("q_sim_knn_batch",
@@ -644,6 +713,12 @@ object Pipeline {
               FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       (s, dir) => TextAnalysis.tfidfTopTerms(t(s, dir, "documents"),
         "doc_id", "text", k = 3).orderBy("doc_id", "rnk")),
+
+    // BM25 ranked retrieval against a fixed query (one rare + three
+    // common terms): retrieval-based data selection's scoring half.
+    Q("q_text_bm25", Some(bm25Oracle),
+      (s, dir) => TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
+        "doc_id", "text", Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B)),
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.

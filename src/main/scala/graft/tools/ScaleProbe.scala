@@ -252,6 +252,40 @@ object ScaleProbe {
     println(f"ANN at ${mult}x: bucket-pruned ivf=${dp}%.2f s " +
       f"(${(sp1 - sp0) / 1e6}%.1f MB shuffled — the probe is a pruned scan, " +
       f"not a shuffle); multi-probe lsh=${dl}%.2f s")
+
+    // int8-quantized brute force at mult x vectors: same linear scan as
+    // the exact baseline but over 1-byte components — the scale win is
+    // index footprint/bandwidth (8x vs double), and the ranking must
+    // stay deterministic. Recall vs the exact scan is the honesty check.
+    val exTop = Similarity.topK(emb, "vec_id", "embedding", queryId = 1,
+      k = 10).collect().map(_.getLong(0)).toSet
+    val tq = System.nanoTime()
+    val qTopRows = Similarity.quantizedTopK(emb, "vec_id", "embedding",
+      queryId = 1, k = 10).collect()
+    val dq = (System.nanoTime() - tq) / 1e9
+    val qRecall = qTopRows.map(_.getLong(0)).count(exTop.contains)
+    println(f"quantized ANN at ${mult}x: int8 brute=${dq}%.2f s " +
+      f"(exact brute=${db}%.2f s), top-10 recall vs exact=$qRecall/10 " +
+      f"(index bytes ~1/8 of double)")
+
+    // BM25 at mult x corpus: the dl pass is a projection and the
+    // tokenized volume is the query terms' posting lists, so wall must
+    // track corpus size ~linearly (never posting-explode the full
+    // vocabulary). Replicated words are suffixed, so only the 1x slice
+    // matches the query terms — scoring volume is FIXED while the
+    // scanned corpus grows mult x.
+    import graft.api.TextAnalysis
+    val bmTerms = Seq("dup", "vector", "merge", "scan")
+    val tm1 = System.nanoTime()
+    val bm1 = TextAnalysis.bm25TopDocs(docsFor(1), "doc_id", "text",
+      bmTerms, k = 20).count()
+    val dm1 = (System.nanoTime() - tm1) / 1e9
+    val tmN = System.nanoTime()
+    val bmN = TextAnalysis.bm25TopDocs(docs, "doc_id", "text",
+      bmTerms, k = 20).count()
+    val dmN = (System.nanoTime() - tmN) / 1e9
+    println(f"bm25 (fixed query, ${mult}x corpus): 1x=$bm1 rows ${dm1}%.2f s  " +
+      f"${mult}x=$bmN rows ${dmN}%.2f s  time-growth=${dmN / dm1}%.1fx")
     spark.stop()
   }
 }

@@ -234,6 +234,57 @@ class ApiSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).distinct.sorted.toSeq === Seq(0L, 1L, 2L))
   }
 
+  test("int8 quantization bounds components and reconstructs within half a step") {
+    val qz = Similarity.quantize(emb, "vec_id", "embedding")
+    val bad = qz
+      .join(emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")), "vec_id")
+      .withColumn("err", expr(
+        """aggregate(zip_with(q, v, (a, b) ->
+             abs(CAST(a AS DOUBLE) * scale - b)), 0.0D, (m, x) -> greatest(m, x))"""))
+      .withColumn("qmax", expr(
+        "aggregate(q, 0, (m, x) -> greatest(m, abs(CAST(x AS INT))))"))
+      .filter(col("qmax") > 127 ||
+        col("err") > col("scale") / 2 + lit(1e-12))
+      .count()
+    assert(bad === 0)
+    // all-zero vectors quantize to all zeros instead of dividing by zero
+    val z = Similarity.quantize(
+      spark.sql("SELECT 1L AS vec_id, array(0.0F, 0.0F, 0.0F) AS embedding"),
+      "vec_id", "embedding").collect().head
+    assert(z.getAs[Seq[Byte]]("q") === Seq(0: Byte, 0: Byte, 0: Byte))
+    assert(z.getAs[Double]("scale") === 0.0)
+  }
+
+  test("quantized top-k preserves the exact cosine ranking on real embeddings") {
+    val exact = Similarity.topK(emb, "vec_id", "embedding", 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    val quant = Similarity.quantizedTopK(emb, "vec_id", "embedding", 1, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & quant).size >= 8,
+      s"int8 top-10 lost too much recall: exact=$exact quant=$quant")
+  }
+
+  test("bm25 ranks the rare term's doc first and scores match the formula") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "x a b"), (2L, "a b a b"), (3L, "a c c c"), (4L, "b b")
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopDocs(corpus, "doc_id", "text",
+      Seq("x", "a"), k = 10)
+    val rows = r.orderBy("rnk").collect()
+    // doc 4 has no query term: absent; doc 1 holds the rare term: first
+    assert(rows.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+    assert(rows.head.getLong(3) === 2L) // doc 1 matched both terms
+    // replay the formula driver-side for doc 2 (tf_a=2, dl=4, N=4,
+    // df_a=3, avgdl=13/4)
+    val idfA = math.log(1.0 + (4L - 3L + 0.5) / (3L + 0.5))
+    val exp = BigDecimal(idfA * (2L * (1.2 + 1.0)) /
+        (2L + 1.2 * ((1.0 - 0.75) + 0.75 * 4L / (13.0 / 4))))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getLong(1) == 2L).get.getDouble(2)
+    assert(math.abs(got - exp) < 1e-9, s"expected $exp, got $got")
+  }
+
   test("quality + stats + fingerprint run on a renamed corpus") {
     // prove there is no coupling to the test-table column names
     val renamed = docs.select(col("doc_id").as("id"),

@@ -208,6 +208,42 @@ class PlanSpec extends AnyFunSuite {
     assert(nGen == 1, s"expected exactly 1 Generate, got $nGen in:\n$p")
   }
 
+  test("bm25 tokenizes the corpus once and only the query terms' postings") {
+    val df = graft.api.TextAnalysis.bm25TopDocs(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+      Seq("dup", "vector", "merge", "scan"))
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // exactly one explode: the doc-length branch is a pure projection
+    // (no tokenize pass just to count tokens) and the df branch reuses
+    // the tf exchange instead of re-tokenizing
+    val nGen = "Generate explode".r.findAllIn(p).length
+    assert(nGen == 1, s"expected exactly 1 Generate, got $nGen in:\n$p")
+    // the query-term filter sits between the explode and the tf
+    // aggregate (plans print parents first, so the Filter line appears
+    // above the Generate line): the aggregated volume is the posting
+    // lists, not the corpus tokens
+    val fi = p.indexOf(" IN (dup")
+    assert(fi >= 0 && fi < p.indexOf("Generate explode"),
+      s"query-term filter must sit directly on the exploded tokens:\n$p")
+  }
+
+  test("quantized top-k is broadcast + TakeOrderedAndProject (no shuffle)") {
+    val df = graft.api.Similarity.quantizedTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", queryId = 1, k = 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"quantized scoring must stream the index once, no shuffle join:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
