@@ -377,4 +377,49 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("qcos"), 4).as("qcos"))
   }
+
+  /** Deterministic ±1 random projection (the database-friendly JL
+    * transform of Achlioptas '01): output component `b` is the dot
+    * product of the vector with sign row `b`, where sign(b, j) is the
+    * parity of xxhash64(b, j) — the SAME formula as [[lshBucket]]'s
+    * hyperplanes, so oracles inject the identical matrix through the
+    * existing `__GRAFT_LSH_PLANES_<dOut>__` literal machinery. Each
+    * component is a fixed-index-order fold of exact products
+    * (x · ±1.0), so the projected doubles are identical on any engine
+    * that sums a list sequentially.
+    *
+    * This is the bandwidth/footprint lever for ANN at corpus scale: a
+    * 768-dim float corpus shrinks 48× at dOut=16 in one map-side pass —
+    * no shuffle, no fitted model to ship.
+    */
+  def randomProject(vectors: DataFrame, idCol: String, vecCol: String,
+                    dOut: Int = 16): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+    val comps = (0 until dOut).map { b =>
+      s"""aggregate(zip_with(v,
+             transform(sequence(0, size(v) - 1),
+               j -> CAST(IF((xxhash64(${b}L, CAST(j AS BIGINT)) & 1L) = 0L,
+                         1.0D, -1.0D) AS DOUBLE)),
+             (x, r) -> x * r), 0.0D, (acc, p) -> acc + p)"""
+    }
+    e.select(col("vec_id"),
+      expr(comps.mkString("array(", ", ", ")")).as("rv"))
+  }
+
+  /** Approximate top-k in the `dOut`-dim projected space: same
+    * broadcast-query / streaming-corpus / TakeOrderedAndProject shape
+    * as [[topK]], but every distance costs dOut multiplies instead of
+    * dim. Recall vs exact top-k is pinned in ApiSpec.
+    */
+  def rpTopK(vectors: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, dOut: Int = 16): DataFrame = {
+    val p = randomProject(vectors, idCol, vecCol, dOut)
+    val q = p.filter(col("vec_id") === queryId).select(col("rv").as("qrv"))
+    p.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("rpcos", expr("cosine_sim(rv, qrv)"))
+      .orderBy(col("rpcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("rpcos"), 4).as("rpcos"))
+  }
 }

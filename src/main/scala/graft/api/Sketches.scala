@@ -1,0 +1,69 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch over a token stream (Cormode & Muthukrishnan '05):
+  * `depth` hash rows of `width` counters, point estimate = min over the
+  * rows of the bucket the term hashes to. The sketch itself is a tiny
+  * (depth × width)-row DataFrame, so at corpus scale it is the thing you
+  * persist/broadcast while the token stream is seen exactly once — the
+  * heavy-hitter / frequency-probe primitive that HLL (cardinality) and
+  * approx-quantile (rank) sketches don't cover.
+  *
+  * The reference delegates this family to DuckDB's approximate aggregates
+  * (/root/reference/src/shelf/tables.py:164-177, `approx_count_distinct`
+  * reachable through the SQL step). Here the sketch is first-class and,
+  * unlike an opaque binary sketch, AUDITABLE: the row hash is
+  * sha256-derived (top 32 bits of sha256("<seed>|<term>")), so any engine
+  * — and the DuckDB oracle — reproduces bucket assignment bit-for-bit,
+  * the same technique as [[Dedup.simhashPairs]]'s auditable token hash.
+  *
+  * Scale shape: tokens are aggregated to distinct-term frequencies FIRST
+  * (one shuffle of the token stream), and only the distinct terms are
+  * replicated `depth`× into the (seed, bucket) aggregation — the blow-up
+  * rides on |vocabulary|, not corpus tokens. Merging sketches from two
+  * corpora is `union → groupBy(seed, bucket) → sum(n)`.
+  */
+object Sketches {
+
+  /** Bucket of `term` under hash row `seed`: top 8 hex chars of
+    * sha256("<seed>|<term>") (an exact 32-bit value) mod `width`.
+    * Never negative, so `%` and `pmod` agree.
+    */
+  private[graft] def cmsBucket(seed: Column, term: Column, width: Int): Column =
+    conv(substring(sha2(concat_ws("|", seed.cast("string"), term), 256), 1, 8),
+      16, 10).cast("long") % width
+
+  /** Build the (seed, bucket, n) sketch of the whitespace tokens of
+    * `textCol`. Output is depth × width rows at most.
+    */
+  def cmsSketch(docs: DataFrame, textCol: String,
+                depth: Int = 4, width: Int = 256): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .select(col("term"), col("tf"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .groupBy(col("seed"),
+        cmsBucket(col("seed"), col("term"), width).as("bucket"))
+      .agg(sum(col("tf")).as("n"))
+
+  /** Point-estimate the frequency of each probe term against a sketch
+    * built with the same (depth, width). Estimates never underestimate;
+    * a term whose bucket row is absent (possible only when the bucket
+    * held no mass at all) estimates 0 via the left join.
+    */
+  def cmsEstimate(sketch: DataFrame, terms: Seq[String],
+                  depth: Int = 4, width: Int = 256): DataFrame = {
+    require(terms.nonEmpty, "cmsEstimate needs at least one probe term")
+    val s = sketch.sparkSession
+    val probes = s.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(col("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+      .withColumn("bucket", cmsBucket(col("seed"), col("term"), width))
+    probes.join(broadcast(sketch), Seq("seed", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+      .orderBy("term")
+  }
+}

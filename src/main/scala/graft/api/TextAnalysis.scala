@@ -375,4 +375,57 @@ object TextAnalysis {
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("rnk"), col("doc_id"), col("score"), col("n_hit"))
   }
+
+  /** CCNet-style LM quality score (Wenzek et al. '20): train an add-k
+    * smoothed word-bigram model on the corpus itself over a top-`vocabSize`
+    * vocabulary (everything else maps to `<unk>`), then score each doc by
+    * its mean negative log-likelihood — the filter that drops gibberish
+    * and boilerplate a stopword gate can't see. Returns
+    * (doc_id, n_bigrams, avg_nll); docs with fewer than two tokens have
+    * no bigrams and are omitted.
+    *
+    * Scale shape: ONE tokenize pass feeds both the vocabulary and the
+    * bigram stream (bigrams come from an index-shifted array zip, not a
+    * self-join); the vocabulary is a top-V TakeOrdered broadcast both
+    * OOV-mapping joins use; the bigram model is one hash aggregation
+    * shuffled on the bigram key and the scoring join reuses that key;
+    * the per-`m1` context totals are ≤ V+1 rows, broadcast. Per-bigram
+    * NLL rounds at 6dp and sums in decimal, so scores are identical
+    * across engines and partitionings. The smoothing denominator uses
+    * the FIXED vocabulary size (vocabSize + 1 for `<unk>`), not the
+    * observed distinct-term count, so no driver-side count is needed.
+    */
+  def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
+                      vocabSize: Int = 1000, addK: Double = 0.1): DataFrame = {
+    val kv = addK * (vocabSize + 1) // driver-side double, oracle-embeddable
+    val toks = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    val vocab = toks.select(explode(col("w")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
+      .select("term")
+    val bg = toks.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val mapped = bg
+      .join(broadcast(vocab.select(col("term").as("w1"), lit(1).as("iv1"))),
+        Seq("w1"), "left")
+      .join(broadcast(vocab.select(col("term").as("w2"), lit(1).as("iv2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        when(col("iv1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("m1"),
+        when(col("iv2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("m2"))
+    val model = mapped.groupBy("m1", "m2").agg(count(lit(1)).as("c12"))
+    val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
+    mapped.join(model, Seq("m1", "m2"))
+      .join(broadcast(ctx), Seq("m1"))
+      .withColumn("nll", round(-log((col("c12") + lit(addK)) /
+        (col("c1") + lit(kv))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("nll").cast(DecimalType(38, 6))).cast("double")
+          / count(lit(1)), 4).as("avg_nll"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.api.{Decontamination, Dedup, Packing, Similarity, TextAnalysis}
+import graft.api.{Decontamination, Dedup, Packing, Similarity, Sketches, TextAnalysis}
 import graft.ops.H._
 
 /** Training-data pipeline inventory (SURVEY.md §2B q_dedup_*, q_text_*,
@@ -256,6 +256,89 @@ object Pipeline {
   private val Bm25Terms = Seq("dup", "vector", "merge", "scan")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+  private val CmsTerms = Seq("merge", "scan", "table", "zzz_absent")
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** q_sketch_cms oracle: replay the sha256-derived bucket hash (top 8
+    * hex chars = exact 32 bits, mod width) with the same nibble fold the
+    * auditable-simhash oracle uses, then min-over-rows. The absent probe
+    * term exercises the empty-bucket → 0 left-join path.
+    */
+  private val cmsOracle = {
+    val terms = CmsTerms.map(t => s"'$t'").mkString(", ")
+    def bucket(seedCol: String, termCol: String) =
+      s"""list_sum([(strpos('0123456789abcdef',
+                           substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
+                                  CAST(i AS INT), 1)) - 1)::BIGINT
+                    << (4*(8-i)) for i in range(1, 9)]) % $CmsWidth"""
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+        tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
+        seeds AS (SELECT unnest(range($CmsDepth)) AS seed),
+        sk AS (SELECT seed, ${bucket("seed", "term")} AS bucket,
+                      CAST(sum(tf) AS BIGINT) AS n
+               FROM tf CROSS JOIN seeds GROUP BY 1, 2),
+        probes AS (SELECT unnest([$terms]) AS term),
+        pb AS (SELECT term, seed, ${bucket("seed", "term")} AS bucket
+               FROM probes CROSS JOIN seeds)
+        SELECT term, CAST(min(COALESCE(n, 0)) AS BIGINT) AS est
+        FROM pb LEFT JOIN sk USING (seed, bucket)
+        GROUP BY 1 ORDER BY 1"""
+  }
+
+  // 20 < the corpus's 31 distinct words, so the `<unk>` OOV path carries
+  // real mass at every SF
+  private val PplVocab = 20
+  private val PplK = 0.1
+
+  /** q_text_perplexity oracle: replay the bigram-LM scoring. Bigrams come
+    * from two positionally-aligned unnests; the vocabulary cut, the add-k
+    * smoothing scalars (embedded as the SAME driver-computed doubles the
+    * Spark plan uses, string-cast so DuckDB parses them as DOUBLE, not
+    * DECIMAL), the 6dp per-bigram rounding, and the decimal sum all
+    * mirror [[TextAnalysis.perplexityScore]].
+    */
+  private val pplOracle = {
+    val kv = PplK * (PplVocab + 1)
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        vocab AS (SELECT term FROM (SELECT unnest(w) AS term FROM tok)
+                  GROUP BY term ORDER BY count(*) DESC, term LIMIT $PplVocab),
+        bg AS (SELECT doc_id,
+                      unnest([w[i] for i in range(1, len(w))]) AS w1,
+                      unnest([w[i+1] for i in range(1, len(w))]) AS w2
+               FROM tok WHERE len(w) >= 2),
+        mp AS (SELECT doc_id,
+                      CASE WHEN w1 IN (SELECT term FROM vocab) THEN w1 ELSE '<unk>' END AS m1,
+                      CASE WHEN w2 IN (SELECT term FROM vocab) THEN w2 ELSE '<unk>' END AS m2
+               FROM bg),
+        md AS (SELECT m1, m2, count(*) AS c12 FROM mp GROUP BY 1, 2),
+        cx AS (SELECT m1, CAST(sum(c12) AS BIGINT) AS c1 FROM md GROUP BY 1),
+        sc AS (SELECT doc_id,
+                      ROUND(-ln((c12 + CAST('$PplK' AS DOUBLE))
+                                  / (c1 + CAST('$kv' AS DOUBLE))), 6) AS nll
+               FROM mp JOIN md USING (m1, m2) JOIN cx USING (m1))
+        SELECT doc_id, count(*) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_nll
+        FROM sc GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** q_sim_rp oracle: the ±1 projection matrix is the SAME
+    * `__GRAFT_LSH_PLANES_16__` literal rows the sign-LSH oracles inject
+    * (evaluated by Spark, so it can't drift); projected components are
+    * sequential-sum dot products of exact ±1 rows, identical doubles on
+    * both engines.
+    */
+  private val rpOracle =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        pl AS (SELECT * FROM (VALUES ${lshPlaceholder(16)}) t(b, r)),
+        pr AS (SELECT vec_id, list(list_dot_product(v, r) ORDER BY b) AS rv
+               FROM e CROSS JOIN pl GROUP BY vec_id),
+        q AS (SELECT rv AS qrv FROM pr WHERE vec_id = 1)
+        SELECT vec_id, ROUND(list_cosine_similarity(rv, qrv), 4) AS rpcos
+        FROM pr, q WHERE vec_id <> 1
+        ORDER BY list_cosine_similarity(rv, qrv) DESC, vec_id LIMIT 10"""
+
   private val bm25Oracle = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     val k1p1 = Bm25K1 + 1.0
@@ -513,6 +596,14 @@ object Pipeline {
       (s, dir) => Similarity.quantizedTopK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 1, k = 10)),
 
+    // Random-projection (JL) top-k: every distance costs dOut=16
+    // multiplies instead of dim — the map-side dimensionality lever.
+    // Projected components are exact sequential sums of ±v_i, so the
+    // full ranking carries a DuckDB oracle via the injected sign matrix.
+    Q("q_sim_rp", Some(rpOracle),
+      (s, dir) => Similarity.rpTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 1, k = 10, dOut = 16)),
+
     Q("q_sim_knn_batch",
       Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                          FROM embeddings),
@@ -719,6 +810,20 @@ object Pipeline {
     Q("q_text_bm25", Some(bm25Oracle),
       (s, dir) => TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
         "doc_id", "text", Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B)),
+
+    // CCNet-style bigram-LM perplexity score over a capped vocabulary:
+    // the gibberish/boilerplate filter of an LLM corpus pipeline.
+    Q("q_text_perplexity", Some(pplOracle),
+      (s, dir) => TextAnalysis.perplexityScore(t(s, dir, "documents"),
+        "doc_id", "text", vocabSize = PplVocab, addK = PplK)
+        .orderBy("doc_id")),
+
+    // Count-min sketch frequency probes (auditable sha256 bucket hash):
+    // the mergeable heavy-hitter sketch alongside HLL and quantiles.
+    Q("q_sketch_cms", Some(cmsOracle),
+      (s, dir) => Sketches.cmsEstimate(
+        Sketches.cmsSketch(t(s, dir, "documents"), "text", CmsDepth, CmsWidth),
+        CmsTerms, CmsDepth, CmsWidth)),
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.api.{Decontamination, Dedup, Packing, Similarity, TextAnalysis}
+import graft.api.{Decontamination, Dedup, Packing, Similarity, Sketches, TextAnalysis}
 
 /** The public API surface over arbitrary DataFrames (not the test-table
   * bindings): the contracts a library user depends on.
@@ -263,6 +263,59 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert((exact & quant).size >= 8,
       s"int8 top-10 lost too much recall: exact=$exact quant=$quant")
+  }
+
+  test("random projection is linear: a planted colinear vector ranks first") {
+    // recall@10 on the isotropic synthetic embeddings is noise-bound (all
+    // cosines concentrate), so the pin is the exact property instead:
+    // projection is linear, so rp-cosine of a positively-scaled copy is
+    // exactly 1.0 and it must outrank every true corpus vector.
+    val copy = emb.filter(col("vec_id") === 1)
+      .select(lit(9001L).as("vec_id"),
+        expr("transform(embedding, x -> x * CAST(0.5 AS FLOAT))").as("embedding"))
+    val planted = emb.select(col("vec_id"), col("embedding")).union(copy)
+    val top = Similarity.rpTopK(planted, "vec_id", "embedding",
+      queryId = 1, k = 3, dOut = 16).collect()
+    assert(top.head.getLong(0) === 9001L, top.mkString(";"))
+    assert(top.head.getDouble(1) === 1.0, top.mkString(";"))
+  }
+
+  test("cms estimates never underestimate and sketches merge by summation") {
+    val probes = Seq("merge", "scan", "table", "zzz_absent")
+    val sk = Sketches.cmsSketch(docs, "text")
+    val est = Sketches.cmsEstimate(sk, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = docs.select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(probes: _*))
+      .groupBy("t").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    probes.foreach { t =>
+      assert(est(t) >= truth.getOrElse(t, 0L),
+        s"cms underestimated '$t': ${est(t)} < ${truth.getOrElse(t, 0L)}")
+    }
+    // merging per-split sketches by (seed, bucket) summation must equal
+    // the whole-corpus sketch: identical probe estimates
+    val merged = Sketches.cmsSketch(docs.filter(col("doc_id") % 2 === 0), "text")
+      .union(Sketches.cmsSketch(docs.filter(col("doc_id") % 2 === 1), "text"))
+      .groupBy("seed", "bucket").agg(sum(col("n")).as("n"))
+    val estM = Sketches.cmsEstimate(merged, probes)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estM === est, s"merged sketch drifted: $estM vs $est")
+  }
+
+  test("bigram perplexity separates repeated structure from gibberish") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
+      (3L, "q z x w p m"), (4L, "a")
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.perplexityScore(corpus, "doc_id", "text",
+      vocabSize = 4, addK = 0.1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L)) // doc 4 has no bigram
+    assert(r(1L)._1 === 7L && r(3L)._1 === 5L)
+    assert(r(1L) === r(2L), "identical docs must score identically")
+    assert(r(1L)._2 < r(3L)._2,
+      s"high-frequency bigrams must score lower NLL: $r")
   }
 
   test("bm25 ranks the rare term's doc first and scores match the formula") {

@@ -244,6 +244,46 @@ class PlanSpec extends AnyFunSuite {
       s"quantized scoring must stream the index once, no shuffle join:\n$p")
   }
 
+  test("rp top-k is broadcast + TakeOrderedAndProject (no shuffle join)") {
+    val df = graft.api.Similarity.rpTopK(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"),
+      "vec_id", "embedding", queryId = 1, k = 10, dOut = 16)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the one-row query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"projected scoring must stream the corpus once, no shuffle join:\n$p")
+  }
+
+  test("cms probes join the sketch as a broadcast") {
+    val df = SparkEntry.queries("q_sketch_cms")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (depth x width)-row sketch must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"probing a tiny sketch must never shuffle-join:\n$p")
+  }
+
+  test("perplexity broadcasts the vocabulary and context sides") {
+    val df = SparkEntry.queries("q_text_perplexity")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // two OOV-mapping joins + the per-m1 context join: all broadcast —
+    // the only shuffles ride on the bigram model key and doc_id
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 3,
+      s"vocab x2 + context joins must broadcast (got $nBroadcast):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the top-V vocabulary cut must be TakeOrdered, not a global sort:\n$p")
+  }
+
   test("bucketed join is a zero-exchange SortMergeJoin") {
     val p = api.Bucketing.colocatedOrdersCustomer(spark, sfDir)
       .queryExecution.executedPlan.toString
