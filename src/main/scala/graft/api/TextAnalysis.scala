@@ -223,16 +223,20 @@ object TextAnalysis {
              k: Int = 5, w: Int = 3): DataFrame =
     docs
       .filter(length(col(textCol)) >= k + w - 1)
-      .select(col(idCol), expr(
-        s"""transform(sequence(1, length($textCol) - ${k - 1}),
-                      i -> substring($textCol, i, $k))""").as("grams"))
+      // split ONCE into a char array and index it: element_at is O(1),
+      // while substring(text, i, ...) re-seeks from the string head on
+      // every call (UTF8 chars are variable-width), which makes
+      // positional gram loops O(len²) on long docs
+      .select(col(idCol), split(col(textCol), "").as("c"))
       // per-gram polynomial hash, seeded at the first char code (matches
       // DuckDB list_reduce, whose accumulator starts at element 1)
       .select(col(idCol), expr(
-        s"""transform(grams, g -> aggregate(
-              transform(sequence(2, $k), j -> CAST(ascii(substring(g, j, 1)) AS BIGINT)),
-              CAST(ascii(substring(g, 1, 1)) AS BIGINT),
-              (acc, c) -> (acc * 31 + c) % 1000003))""").as("hs"))
+        s"""transform(sequence(1, size(c) - ${k - 1}),
+              i -> aggregate(
+                transform(sequence(1, ${k - 1}),
+                  j -> CAST(ascii(element_at(c, i + j)) AS BIGINT)),
+                CAST(ascii(element_at(c, i)) AS BIGINT),
+                (acc, ch) -> (acc * 31 + ch) % 1000003))""").as("hs"))
       .select(col(idCol), expr(
         s"""transform(sequence(1, size(hs) - ${w - 1}),
                       i -> array_min(slice(hs, i, $w)))""").as("fps"))
@@ -253,9 +257,13 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val grams = docs
       .filter(length(col(textCol)) >= n)
-      .select(col(langCol).as("lang"), explode(expr(
-        s"""transform(sequence(1, length($textCol) - ${n - 1}),
-                      i -> substring($textCol, i, $n))""")).as("gram"))
+      // char-array split + O(1) indexing, not O(i) positional substring
+      // (see winnow) — gram extraction stays linear in doc length
+      .select(col(langCol).as("lang"), split(col(textCol), "").as("c"))
+      .select(col("lang"), explode(expr(
+        s"""transform(sequence(1, size(c) - ${n - 1}),
+                      i -> ${(0 until n).map(j => s"element_at(c, i + $j)")
+                             .mkString("concat(", ", ", ")")})""")).as("gram"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
     grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -279,9 +287,12 @@ object TextAnalysis {
   def langIdNgram(docs: DataFrame, idCol: String, textCol: String,
                   profiles: Seq[(String, Seq[String])],
                   n: Int = 2): DataFrame =
-    scoreProfiles(docs.select(col(idCol), array_distinct(expr(
-      s"""transform(sequence(1, length($textCol) - ${n - 1}),
-                    i -> substring($textCol, i, $n))""")).as("w")),
+    scoreProfiles(docs
+      .select(col(idCol), split(col(textCol), "").as("c"))
+      .select(col(idCol), array_distinct(expr(
+        s"""transform(sequence(1, size(c) - ${n - 1}),
+                      i -> ${(0 until n).map(j => s"element_at(c, i + $j)")
+                             .mkString("concat(", ", ", ")")})""")).as("w")),
       idCol, profiles)
 
   /** Argmax over per-language overlap scores with the profile-order
@@ -417,15 +428,24 @@ object TextAnalysis {
       .select(col("doc_id"),
         when(col("iv1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("m1"),
         when(col("iv2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("m2"))
-    val model = mapped.groupBy("m1", "m2").agg(count(lit(1)).as("c12"))
+    // Pre-aggregate to per-doc bigram counts BEFORE the model join (the
+    // tf-idf lesson): the model and the scoring side both derive from
+    // this one aggregate — its exchange is computed once and reused —
+    // and the join input shrinks from the occurrence stream to distinct
+    // (doc, bigram) rows. cnt·nll is one fp product of an exact integer
+    // with a 6dp-rounded double: its ≤1-ulp error can't cross a decimal
+    // rounding boundary, so the weighted decimal sum equals the exact
+    // per-occurrence sum on every engine.
+    val pbc = mapped.groupBy("doc_id", "m1", "m2").agg(count(lit(1)).as("cnt"))
+    val model = pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
     val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
-    mapped.join(model, Seq("m1", "m2"))
+    pbc.join(model, Seq("m1", "m2"))
       .join(broadcast(ctx), Seq("m1"))
       .withColumn("nll", round(-log((col("c12") + lit(addK)) /
         (col("c1") + lit(kv))), 6))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("nll").cast(DecimalType(38, 6))).cast("double")
-          / count(lit(1)), 4).as("avg_nll"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        round(sum((col("cnt") * col("nll")).cast(DecimalType(38, 6)))
+          .cast("double") / sum(col("cnt")), 4).as("avg_nll"))
   }
 }

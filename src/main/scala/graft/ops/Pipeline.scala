@@ -311,14 +311,16 @@ object Pipeline {
                       CASE WHEN w1 IN (SELECT term FROM vocab) THEN w1 ELSE '<unk>' END AS m1,
                       CASE WHEN w2 IN (SELECT term FROM vocab) THEN w2 ELSE '<unk>' END AS m2
                FROM bg),
-        md AS (SELECT m1, m2, count(*) AS c12 FROM mp GROUP BY 1, 2),
+        pbc AS (SELECT doc_id, m1, m2, count(*) AS cnt FROM mp GROUP BY 1, 2, 3),
+        md AS (SELECT m1, m2, CAST(sum(cnt) AS BIGINT) AS c12 FROM pbc GROUP BY 1, 2),
         cx AS (SELECT m1, CAST(sum(c12) AS BIGINT) AS c1 FROM md GROUP BY 1),
-        sc AS (SELECT doc_id,
+        sc AS (SELECT doc_id, cnt,
                       ROUND(-ln((c12 + CAST('$PplK' AS DOUBLE))
                                   / (c1 + CAST('$kv' AS DOUBLE))), 6) AS nll
-               FROM mp JOIN md USING (m1, m2) JOIN cx USING (m1))
-        SELECT doc_id, count(*) AS n_bigrams,
-               ROUND(CAST(SUM(CAST(nll AS DECIMAL(38,6))) AS DOUBLE) / count(*), 4) AS avg_nll
+               FROM pbc JOIN md USING (m1, m2) JOIN cx USING (m1))
+        SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(CAST(cnt * nll AS DECIMAL(38,6))) AS DOUBLE)
+                       / sum(cnt), 4) AS avg_nll
         FROM sc GROUP BY 1 ORDER BY 1"""
   }
 

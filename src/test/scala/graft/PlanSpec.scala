@@ -282,6 +282,11 @@ class PlanSpec extends AnyFunSuite {
       s"vocab x2 + context joins must broadcast (got $nBroadcast):\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-V vocabulary cut must be TakeOrdered, not a global sort:\n$p")
+    // the model/scoring branches both hang off the per-doc bigram-count
+    // aggregate: its exchange must be computed once and REUSED, not
+    // re-tokenized per branch
+    assert(p.contains("ReusedExchange"),
+      s"pbc exchange must be shared between scoring and model branches:\n$p")
   }
 
   test("bucketed join is a zero-exchange SortMergeJoin") {
