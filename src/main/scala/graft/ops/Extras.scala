@@ -139,6 +139,22 @@ object Extras {
     // landing exactly-once per batch partition. Same exact-pair oracle
     // as the batch q_dedup_incr: batch boundaries cannot change the
     // union (each doc is in one batch; pairs are corpus-vs-new only).
+    // Count-min sketch as streaming state: the 10% increment streams in
+    // three micro-batches and the running (seed, bucket) aggregation IS
+    // the sketch — bounded at depth x width rows regardless of volume,
+    // the state-boundedness a streaming frequency sketch exists for.
+    // Final estimates equal the batch sketch over the same slice, so
+    // the same auditable DuckDB oracle applies.
+    Q("q_stream_cms", Some(Pipeline.cmsOracleFor("WHERE doc_id % 10 = 0")),
+      (s, dir) => {
+        val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
+        val sk = Streams.cmsSketchStream(s, glob,
+          t(s, dir, "documents").schema, "text",
+          Pipeline.CmsDepth, Pipeline.CmsWidth)
+        graft.api.Sketches.cmsEstimate(sk, Pipeline.CmsTerms,
+          Pipeline.CmsDepth, Pipeline.CmsWidth)
+      }),
+
     Q("q_stream_dedup_incr", Some(Pipeline.incrOracle),
       (s, dir) => {
         val glob = Sources.ensureStreamIncr(s, dir) + "/s*"

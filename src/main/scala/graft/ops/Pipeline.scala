@@ -256,23 +256,25 @@ object Pipeline {
   private val Bm25Terms = Seq("dup", "vector", "merge", "scan")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
-  private val CmsTerms = Seq("merge", "scan", "table", "zzz_absent")
-  private val CmsDepth = 4
-  private val CmsWidth = 256
+  private[graft] val CmsTerms = Seq("merge", "scan", "table", "zzz_absent")
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 256
 
-  /** q_sketch_cms oracle: replay the sha256-derived bucket hash (top 8
-    * hex chars = exact 32 bits, mod width) with the same nibble fold the
-    * auditable-simhash oracle uses, then min-over-rows. The absent probe
-    * term exercises the empty-bucket → 0 left-join path.
+  /** q_sketch_cms / q_stream_cms oracle: replay the sha256-derived
+    * bucket hash (top 8 hex chars = exact 32 bits, mod width) with the
+    * same nibble fold the auditable-simhash oracle uses, then
+    * min-over-rows. The absent probe term exercises the empty-bucket →
+    * 0 left-join path. `where` restricts the corpus slice (the
+    * streaming twin sketches only the 10% increment).
     */
-  private val cmsOracle = {
+  private[graft] def cmsOracleFor(where: String) = {
     val terms = CmsTerms.map(t => s"'$t'").mkString(", ")
     def bucket(seedCol: String, termCol: String) =
       s"""list_sum([(strpos('0123456789abcdef',
                            substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
                                   CAST(i AS INT), 1)) - 1)::BIGINT
                     << (4*(8-i)) for i in range(1, 9)]) % $CmsWidth"""
-    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents $where),
         tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
         seeds AS (SELECT unnest(range($CmsDepth)) AS seed),
         sk AS (SELECT seed, ${bucket("seed", "term")} AS bucket,
@@ -285,6 +287,8 @@ object Pipeline {
         FROM pb LEFT JOIN sk USING (seed, bucket)
         GROUP BY 1 ORDER BY 1"""
   }
+
+  private val cmsOracle = cmsOracleFor("")
 
   // 20 < the corpus's 31 distinct words, so the `<unk>` OOV path carries
   // real mass at every SF

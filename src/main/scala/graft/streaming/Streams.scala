@@ -364,6 +364,34 @@ object Streams {
     spark.read.parquet(outDir).select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Count-min sketch maintained AS streaming state: tokens stream in
+    * micro-batches and the running aggregation keys are (seed, bucket)
+    * — at most depth × width rows of state no matter how much corpus
+    * flows through, which is why a sketch (unlike the distinct-term
+    * counts it approximates) can run in complete mode forever. The
+    * batch path's distinct-term pre-aggregation is deliberately absent
+    * here: that intermediate grows with the vocabulary, which is
+    * exactly the unbounded state a streaming sketch exists to avoid.
+    * The final sketch is identical to [[graft.api.Sketches.cmsSketch]]
+    * over the same rows (counter addition commutes with batching).
+    */
+  def cmsSketchStream(spark0: SparkSession, filesGlob: String,
+                      docSchema: StructType, textCol: String,
+                      depth: Int, width: Int): DataFrame =
+    runToMemory(spark0, s => {
+      s.readStream.schema(docSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(filesGlob)
+        .select(explode(split(col(textCol), " ")).as("term"))
+        .select(col("term"),
+          explode(sequence(lit(0), lit(depth - 1))).as("seed"))
+        .groupBy(col("seed"),
+          graft.api.Sketches.cmsBucket(col("seed"), col("term"), width)
+            .as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }, "complete")
+
   /** Exactly-once parquet sink via foreachBatch: every micro-batch
     * overwrites its OWN `batch_id=N` partition, so redelivery of a
     * batch (checkpoint replay after a failure, or a full re-run over a

@@ -286,6 +286,42 @@ object ScaleProbe {
     val dmN = (System.nanoTime() - tmN) / 1e9
     println(f"bm25 (fixed query, ${mult}x corpus): 1x=$bm1 rows ${dm1}%.2f s  " +
       f"${mult}x=$bmN rows ${dmN}%.2f s  time-growth=${dmN / dm1}%.1fx")
+
+    // bigram-LM perplexity at mult x corpus: the word suffixing grows
+    // the raw vocabulary mult x, but the top-V cap bounds the broadcast
+    // and the smoothing denominator regardless — model size rides on
+    // min(V, vocab)², never corpus tokens, so wall + shuffle must grow
+    // ~linearly with the corpus
+    val sx0 = shufSnap()
+    val tx1 = System.nanoTime()
+    val px1 = TextAnalysis.perplexityScore(docsFor(1), "doc_id", "text",
+      vocabSize = 1000).count()
+    val dx1 = (System.nanoTime() - tx1) / 1e9
+    val sx1 = shufSnap()
+    val txN = System.nanoTime()
+    val pxN = TextAnalysis.perplexityScore(docs, "doc_id", "text",
+      vocabSize = 1000).count()
+    val dxN = (System.nanoTime() - txN) / 1e9
+    val sx2 = shufSnap()
+    println(f"perplexity (V=1000 cap, ${mult}x corpus): 1x=$px1 docs ${dx1}%.2f s " +
+      f"(${(sx1 - sx0) / 1e6}%.1f MB shuffled)  ${mult}x=$pxN docs ${dxN}%.2f s " +
+      f"(${(sx2 - sx1) / 1e6}%.1f MB)  time-growth=${dxN / dx1}%.1fx " +
+      f"shuffle-growth=${(sx2 - sx1).toDouble / (sx1 - sx0)}%.1fx")
+
+    // count-min sketch at mult x corpus: the sketch is depth x width
+    // rows NO MATTER the corpus size — the probe pins that invariant
+    // (the thing you persist/broadcast stays tiny) while the build wall
+    // tracks the token stream ~linearly
+    import graft.api.Sketches
+    val tcm1 = System.nanoTime()
+    val skRows1 = Sketches.cmsSketch(docsFor(1), "text").count()
+    val dcm1 = (System.nanoTime() - tcm1) / 1e9
+    val tcmN = System.nanoTime()
+    val skRowsN = Sketches.cmsSketch(docs, "text").count()
+    val dcmN = (System.nanoTime() - tcmN) / 1e9
+    println(f"cms sketch (4x256, ${mult}x corpus): 1x=$skRows1 rows ${dcm1}%.2f s  " +
+      f"${mult}x=$skRowsN rows ${dcmN}%.2f s  time-growth=${dcmN / dcm1}%.1fx " +
+      f"sketch-rows-invariant=${skRowsN <= 4 * 256}")
     spark.stop()
   }
 }

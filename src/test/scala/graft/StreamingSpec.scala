@@ -52,6 +52,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streamed cms sketch equals the batch sketch over the same slice") {
+    import graft.api.Sketches
+    import graft.ops.{Pipeline, Sources}
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val glob = Sources.ensureStreamIncr(spark, sfDir) + "/s*"
+    val streamed = Streams.cmsSketchStream(spark, glob, docs.schema, "text",
+        Pipeline.CmsDepth, Pipeline.CmsWidth)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = Sketches.cmsSketch(docs.filter(col("doc_id") % 10 === 0),
+        "text", Pipeline.CmsDepth, Pipeline.CmsWidth)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      "counter addition must commute with micro-batching")
+    assert(streamed.size <= Pipeline.CmsDepth * Pipeline.CmsWidth)
+  }
+
   test("foreachBatch parquet sink is idempotent under batch redelivery") {
     val out = java.nio.file.Files.createTempDirectory("fb").toString
     val n1 = Streams.replayToParquet(spark, sfDir, out)
