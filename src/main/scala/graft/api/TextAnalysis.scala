@@ -387,6 +387,32 @@ object TextAnalysis {
       .select(col("rnk"), col("doc_id"), col("score"), col("n_hit"))
   }
 
+  /** Sliding-window token chunking: split each doc into windows of
+    * `size` tokens advancing by `size - overlap` — the long-document
+    * segmentation step before packing/embedding (RAG and training
+    * pipelines both need it). Pure map-side array ops over one scan: no
+    * shuffle, no explode-then-regroup; a 100 TB corpus chunks at scan
+    * speed. Window starts are 1, 1+step, … while start ≤ n_tokens, so
+    * every token lands in ≥1 chunk, the final chunk may be short, and
+    * adjacent full chunks share exactly `overlap` tokens. Returns
+    * (id, chunk_idx 0-based, chunk_text, n_tokens).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  size: Int, overlap: Int = 0): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, (size(w) - 1) div $step),
+                      c -> slice(w, c * $step + 1, $size))""")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("col"))
+          .cast("long").as("n_tokens"))
+  }
+
   /** CCNet-style LM quality score (Wenzek et al. '20): train an add-k
     * smoothed word-bigram model on the corpus itself over a top-`vocabSize`
     * vocabulary (everything else maps to `<unk>`), then score each doc by

@@ -250,6 +250,26 @@ object Breadth {
                  FROM customer JOIN nation ON n_nationkey = c_nationkey
                  GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
                  ORDER BY gid, n_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""")
-      })
+      }),
+
+    // Z-order (Morton) values over (custkey, order-date-day): the
+    // two-dimensional layout key behind api.Layout.zorderWrite — file
+    // min/max stats stay narrow on BOTH columns, so either predicate
+    // prunes. The bit-interleave is pure integer shifts, identical on
+    // any engine; the locality property itself is pinned in ApiSpec.
+    Q("q_layout_zorder", {
+      val terms = (0 until 16).flatMap { b =>
+        Seq(s"((((o_custkey & 65535) >> $b) & 1) << ${2 * b})",
+          s"((((datediff('day', DATE '1992-01-01', o_orderdate) & 65535) >> $b) & 1) << ${2 * b + 1})")
+      }
+      Some(s"""SELECT o_orderkey, CAST(${terms.mkString(" + ")} AS BIGINT) AS zv
+               FROM orders ORDER BY zv, o_orderkey LIMIT 100""")
+    },
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01")).as("dkey"))
+        .select(col("o_orderkey"),
+          graft.api.Layout.zValue("o_custkey", "dkey", bits = 16).as("zv"))
+        .orderBy(col("zv"), col("o_orderkey")).limit(100))
   )
 }

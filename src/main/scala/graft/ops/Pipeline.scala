@@ -817,6 +817,24 @@ object Pipeline {
       (s, dir) => TextAnalysis.bm25TopDocs(t(s, dir, "documents"),
         "doc_id", "text", Bm25Terms, k = 20, k1 = Bm25K1, b = Bm25B)),
 
+    // Sliding-window token chunking (size 16, overlap 4): long-doc
+    // segmentation before packing/embedding. Map-side array slicing
+    // only — chunks at scan speed at any corpus size.
+    Q("q_text_chunk",
+      Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   ch AS (SELECT doc_id,
+                                 unnest([struct_pack(i := c,
+                                          t := array_to_string(w[c*12+1 : c*12+16], ' '),
+                                          n := len(w[c*12+1 : c*12+16]))
+                                         for c in range(0, (len(w)-1)//12 + 1)]) AS s
+                          FROM tok)
+              SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
+                     s.t AS chunk_text, CAST(s.n AS BIGINT) AS n_tokens
+              FROM ch ORDER BY doc_id, chunk_idx"""),
+      (s, dir) => TextAnalysis.chunkTokens(t(s, dir, "documents"),
+        "doc_id", "text", size = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
     // CCNet-style bigram-LM perplexity score over a capped vocabulary:
     // the gibberish/boilerplate filter of an LLM corpus pipeline.
     Q("q_text_perplexity", Some(pplOracle),

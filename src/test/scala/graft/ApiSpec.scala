@@ -265,6 +265,59 @@ class ApiSpec extends AnyFunSuite {
       s"int8 top-10 lost too much recall: exact=$exact quant=$quant")
   }
 
+  test("token chunking covers every token with exact overlaps") {
+    val corpus = spark.createDataFrame(Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"), (3L, "x")
+    )).toDF("doc_id", "text")
+    val ch = TextAnalysis.chunkTokens(corpus, "doc_id", "text",
+      size = 16, overlap = 4).orderBy("doc_id", "chunk_idx").collect()
+    val c1 = ch.filter(_.getLong(0) == 1L)
+    assert(c1.length === 4) // starts 1, 13, 25, 37 over 40 tokens
+    assert(c1.map(_.getLong(3)).toSeq === Seq(16L, 16L, 16L, 4L))
+    val first = c1(0).getString(2).split(" ")
+    val second = c1(1).getString(2).split(" ")
+    assert(first.takeRight(4).toSeq === second.take(4).toSeq,
+      "adjacent full chunks must share exactly `overlap` tokens")
+    val rebuilt = c1.zipWithIndex.flatMap { case (r, i) =>
+      val toks = r.getString(2).split(" ").toSeq
+      if (i == 0) toks else toks.drop(4)
+    }
+    assert(rebuilt.toSeq === (1 to 40).map(i => s"t$i"),
+      "dropping repeated overlaps must reconstruct the document")
+    assert(ch.filter(_.getLong(0) == 3L).map(_.getString(2)).toSeq === Seq("x"))
+  }
+
+  test("z-order layout keeps BOTH columns' per-file spread narrow") {
+    import graft.api.Layout
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01")).as("dkey"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.zorderWrite(orders, "o_custkey", "dkey", s"$base/z", nFiles = 16)
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(s"$base/s")
+    def spread(path: String, c: String): Double = {
+      val per = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(c)) - min(col(c))).cast("double").as("sp"))
+        .agg(avg("sp")).head().getDouble(0)
+      val full = spark.read.parquet(path)
+        .agg((max(col(c)) - min(col(c))).cast("double")).head().getDouble(0)
+      per / full
+    }
+    val (zC, zD) = (spread(s"$base/z", "o_custkey"), spread(s"$base/z", "dkey"))
+    val (sC, sD) = (spread(s"$base/s", "o_custkey"), spread(s"$base/s", "dkey"))
+    // the single-column sort keeps its own column tight but spans the
+    // FULL secondary range per file; z-order trades a little primary
+    // spread for fractional spread on both — that is the file-skipping
+    // win for secondary-column predicates
+    assert(sD > 0.9, f"custkey-sorted files should span ~full dkey range: $sD%.2f")
+    assert(zD < 0.6 * sD, f"z-order dkey spread $zD%.2f !< 0.6 x $sD%.2f")
+    assert(zC < 0.6, f"z-order custkey spread should stay fractional: $zC%.2f (sorted: $sC%.2f)")
+  }
+
   test("random projection is linear: a planted colinear vector ranks first") {
     // recall@10 on the isotropic synthetic embeddings is noise-bound (all
     // cosines concentrate), so the pin is the exact property instead:
