@@ -29,7 +29,8 @@ object Sketches {
 
   /** Bucket of `term` under hash row `seed`: top 8 hex chars of
     * sha256("<seed>|<term>") (an exact 32-bit value) mod `width`.
-    * Never negative, so `%` and `pmod` agree.
+    * Never negative, so `%` and `pmod` agree. Shared by the count-min
+    * rows and the Bloom bit positions — one auditable hash family.
     */
   private[graft] def cmsBucket(seed: Column, term: Column, width: Int): Column =
     conv(substring(sha2(concat_ws("|", seed.cast("string"), term), 256), 1, 8),
@@ -64,6 +65,43 @@ object Sketches {
     probes.join(broadcast(sketch), Seq("seed", "bucket"), "left")
       .groupBy("term")
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+      .orderBy("term")
+  }
+
+  /** Bloom filter of the distinct whitespace tokens of `textCol`:
+    * `hashes` bit positions per term in a `bits`-wide array, stored as
+    * the ≤ `bits`-row set of SET positions (a sparse bitmap any engine
+    * can audit; a dense long[] packing is a representation choice, not
+    * a semantic one). Membership has NO false negatives by
+    * construction; false-positive odds follow the standard
+    * (1-e^(-kn/m))^k. Merge of two corpora's filters = union+distinct.
+    * The classic pre-join pruning artifact: broadcast the filter and
+    * drop probe-side rows whose key can't be present before any
+    * shuffle reaches the big side.
+    */
+  def bloomSketch(docs: DataFrame, textCol: String,
+                  bits: Int = 4096, hashes: Int = 3): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term")).distinct()
+      .select(col("term"),
+        explode(sequence(lit(0), lit(hashes - 1))).as("seed"))
+      .select(cmsBucket(col("seed"), col("term"), bits).as("pos"))
+      .distinct()
+
+  /** Membership probe: `maybe` is true iff ALL `hashes` positions of
+    * the term are set (a repeated position still needs only itself
+    * set — each probe row matches the single stored bit).
+    */
+  def bloomContains(bloom: DataFrame, terms: Seq[String],
+                    bits: Int = 4096, hashes: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "bloomContains needs at least one probe term")
+    val s = bloom.sparkSession
+    val probes = s.createDataFrame(terms.map(Tuple1(_))).toDF("term")
+      .select(col("term"),
+        explode(sequence(lit(0), lit(hashes - 1))).as("seed"))
+      .select(col("term"), cmsBucket(col("seed"), col("term"), bits).as("pos"))
+    probes.join(broadcast(bloom.withColumn("hit", lit(1))), Seq("pos"), "left")
+      .groupBy("term")
+      .agg((count(col("hit")) === hashes).as("maybe"))
       .orderBy("term")
   }
 }

@@ -290,6 +290,33 @@ object Pipeline {
 
   private val cmsOracle = cmsOracleFor("")
 
+  private val BloomBits = 4096
+  private val BloomHashes = 3
+
+  /** q_sketch_bloom oracle: same sha256 bucket family as the count-min
+    * oracle (different width); the bit set is the DISTINCT positions of
+    * all corpus terms, membership = all `hashes` probe positions set.
+    */
+  private val bloomOracle = {
+    val terms = CmsTerms.map(t => s"'$t'").mkString(", ")
+    def bucket(seedCol: String, termCol: String) =
+      s"""list_sum([(strpos('0123456789abcdef',
+                           substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
+                                  CAST(i AS INT), 1)) - 1)::BIGINT
+                    << (4*(8-i)) for i in range(1, 9)]) % $BloomBits"""
+    s"""WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        seeds AS (SELECT unnest(range($BloomHashes)) AS seed),
+        bs AS (SELECT DISTINCT ${bucket("seed", "term")} AS pos, 1 AS hit
+               FROM tok CROSS JOIN seeds),
+        probes AS (SELECT unnest([$terms]) AS term),
+        pb AS (SELECT term, ${bucket("seed", "term")} AS pos
+               FROM probes CROSS JOIN seeds)
+        SELECT term, (count(hit) = $BloomHashes) AS maybe
+        FROM pb LEFT JOIN bs USING (pos)
+        GROUP BY 1 ORDER BY 1"""
+  }
+
   // 20 < the corpus's 31 distinct words, so the `<unk>` OOV path carries
   // real mass at every SF
   private val PplVocab = 20
@@ -848,6 +875,15 @@ object Pipeline {
       (s, dir) => Sketches.cmsEstimate(
         Sketches.cmsSketch(t(s, dir, "documents"), "text", CmsDepth, CmsWidth),
         CmsTerms, CmsDepth, CmsWidth)),
+
+    // Bloom membership over the corpus vocabulary (same auditable hash
+    // family): the broadcast pre-join pruning artifact — no false
+    // negatives, false positives at the standard (1-e^(-kn/m))^k.
+    Q("q_sketch_bloom", Some(bloomOracle),
+      (s, dir) => Sketches.bloomContains(
+        Sketches.bloomSketch(t(s, dir, "documents"), "text",
+          BloomBits, BloomHashes),
+        CmsTerms, BloomBits, BloomHashes)),
 
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.

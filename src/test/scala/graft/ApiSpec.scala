@@ -356,6 +356,56 @@ class ApiSpec extends AnyFunSuite {
     assert(estM === est, s"merged sketch drifted: $estM vs $est")
   }
 
+  test("sketches and chunking hold their contracts on seeded random corpora") {
+    for (seed <- Seq(7, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val words = Vector("ab", "cd", "ef", "gh", "ij", "kl", "mn", "op")
+      val corpus = spark.createDataFrame((1 to 50).map { i =>
+        (i.toLong, Seq.fill(rnd.nextInt(30) + 1)(words(rnd.nextInt(words.size)))
+          .mkString(" "))
+      }).toDF("doc_id", "text")
+      corpus.cache().count()
+      val truth = corpus.select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val probes = words.take(6) ++ Seq("absent1", "absent2")
+      // count-min never underestimates, on any corpus
+      val est = Sketches.cmsEstimate(
+        Sketches.cmsSketch(corpus, "text"), probes)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      probes.foreach { t =>
+        assert(est(t) >= truth.getOrElse(t, 0L), s"seed=$seed cms under on '$t'")
+      }
+      // bloom has no false negatives, on any corpus
+      val present = truth.keys.toSeq.sorted
+      val maybe = Sketches.bloomContains(
+        Sketches.bloomSketch(corpus, "text"), present)
+        .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      present.foreach { t =>
+        assert(maybe(t), s"seed=$seed bloom false negative on '$t'")
+      }
+      // chunking reconstructs every doc for random size/overlap combos
+      val (size, overlap) = (rnd.nextInt(8) + 2, rnd.nextInt(2))
+      val step = size - overlap
+      val chunks = TextAnalysis.chunkTokens(corpus, "doc_id", "text",
+          size, overlap)
+        .orderBy("doc_id", "chunk_idx").collect()
+        .groupBy(_.getLong(0))
+      corpus.collect().foreach { r =>
+        val toks = r.getString(1).split(" ").toSeq
+        val cs = chunks(r.getLong(0)).toSeq
+        assert(cs.forall(_.getLong(3) <= size))
+        assert(cs.length === (toks.length - 1) / step + 1)
+        val rebuilt = cs.zipWithIndex.flatMap { case (c, i) =>
+          val ct = c.getString(2).split(" ").toSeq
+          if (i == 0) ct else ct.drop(overlap)
+        }
+        assert(rebuilt === toks, s"seed=$seed doc=${r.getLong(0)}")
+      }
+      corpus.unpersist()
+    }
+  }
+
   test("bigram perplexity separates repeated structure from gibberish") {
     val corpus = spark.createDataFrame(Seq(
       (1L, "a b a b a b a b"), (2L, "a b a b a b a b"),
