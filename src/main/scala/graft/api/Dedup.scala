@@ -427,4 +427,30 @@ object Dedup {
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** Quality-aware dedup: keep the HIGHEST-`scoreCol` member of every
+    * duplicate component (ties break on the id, so the choice is total)
+    * instead of an arbitrary one — the production policy when
+    * duplicates differ in quality (keep the longest / cleanest copy,
+    * drop the truncated mirror). `clusters` is [[duplicateClusters]]
+    * output; docs in no component always survive. The winner pick is a
+    * rank-1 window per component — WindowGroupLimit, a per-group top-1
+    * scan — and components are tiny relative to the corpus, so the
+    * expensive side stays the two key joins.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String,
+                         clusters: DataFrame, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = clusters.join(
+      docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")), "doc_id")
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("__s").desc, col("doc_id"))
+    val winners = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("cluster"), col("doc_id").as("__keep"))
+    val losers = clusters.join(winners, "cluster")
+      .filter(col("doc_id") =!= col("__keep"))
+      .select(col("doc_id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

@@ -225,12 +225,11 @@ object Pipeline {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        ORDER BY doc_a, doc_b"""
 
-  /** The near-dup pair set as reusable CTEs + transitive-closure
-    * clustering (recursive CTE): the oracle for q_dedup_cluster.
+  /** The near-dup pair set as reusable CTEs + transitive closure —
+    * shared by the q_dedup_cluster and q_dedup_keep_best oracles.
     */
-  private val clusterOracle =
-    """WITH RECURSIVE
-       d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  private val clusterCtes =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
                                             for i in range(1, len(w)-2)]) AS toks
               FROM d WHERE len(w) >= 4),
@@ -244,9 +243,34 @@ object Pipeline {
        und AS (SELECT doc_a AS u, doc_b AS v FROM prs
                UNION SELECT doc_b, doc_a FROM prs),
        reach(u, v) AS (SELECT u, v FROM und
-                       UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)
+                       UNION SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u)"""
+
+  private val clusterOracle =
+    s"""WITH RECURSIVE
+       $clusterCtes
        SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
        FROM reach GROUP BY u ORDER BY doc_id"""
+
+  /** q_dedup_keep_best oracle: same closure, then keep the max-n_chars
+    * member per component (ties → min id); docs outside any component
+    * survive.
+    */
+  private val keepBestOracle =
+    s"""WITH RECURSIVE
+       $clusterCtes,
+       cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+              FROM reach GROUP BY u),
+       scq AS (SELECT cl.doc_id, cluster, n_chars
+               FROM cl JOIN documents USING (doc_id)),
+       win AS (SELECT cluster, doc_id AS keep_id FROM (
+                 SELECT cluster, doc_id, row_number() OVER (
+                   PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+                 FROM scq) WHERE rn = 1),
+       losers AS (SELECT scq.doc_id FROM scq JOIN win USING (cluster)
+                  WHERE scq.doc_id <> win.keep_id)
+       SELECT doc_id FROM documents
+       WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       ORDER BY doc_id"""
 
   /** q_text_bm25 parameters, computed driver-side ONCE so the oracle
     * embeds the exact same doubles the Spark plan multiplies by
@@ -467,6 +491,17 @@ object Pipeline {
 
     // Pairs → components: iterative min-label propagation vs the
     // oracle's recursive-CTE transitive closure (same fixpoint).
+    // Quality-aware dedup: keep the LONGEST member of each near-dup
+    // component (ties by id) — the production keep policy when
+    // duplicate copies differ in quality.
+    Q("q_dedup_keep_best", Some(keepBestOracle),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.keepBestPerCluster(docs, "doc_id",
+            Dedup.duplicateClusters(nearPairs(s, dir)), "n_chars")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     Q("q_dedup_cluster", Some(clusterOracle),
       (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
         .orderBy("doc_id")),

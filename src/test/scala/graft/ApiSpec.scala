@@ -47,6 +47,22 @@ class ApiSpec extends AnyFunSuite {
     assert(keptPerCluster.filter(col("count") =!= 1).count() === 0)
   }
 
+  test("keepBestPerCluster keeps exactly the max-score member per component") {
+    // planted components: {1,2,3} and {10,11}; 20 is a singleton outside
+    val docsDf = spark.createDataFrame(Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L), (20L, 1L)
+    )).toDF("doc_id", "quality")
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (10L, 11L)
+    )).toDF("doc_a", "doc_b")
+    val kept = Dedup.keepBestPerCluster(docsDf, "doc_id",
+        Dedup.duplicateClusters(pairs), "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // component {1,2,3}: doc 2 wins on quality; {10,11}: tie -> min id 10;
+    // 20 is untouched
+    assert(kept === Set(2L, 10L, 20L))
+  }
+
   test("dropNearDuplicates removes exactly the pair losers") {
     val sh = Dedup.shingles(docs, "doc_id", "text")
     val losers = Dedup.nearDuplicatePairs(sh, 0.5)
