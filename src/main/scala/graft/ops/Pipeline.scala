@@ -604,6 +604,45 @@ object Pipeline {
           .orderBy("stratum", "doc_id")
       }),
 
+    // Chunk -> pack composition: long docs split into 16-token windows
+    // (no overlap: packed chunks must not double-count tokens), then
+    // greedily packed into 64-token bins per language — the two newest
+    // operators chained under ONE oracle, the shape that turns a raw
+    // corpus into dense fixed-budget training sequences.
+    Q("q_pipeline_chunks",
+      Some("""WITH RECURSIVE
+                   tok AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+                   ch AS (SELECT doc_id, lang, c AS chunk_idx,
+                                 CAST(len(w[c*16+1 : c*16+16]) AS BIGINT) AS n_tokens
+                          FROM tok, unnest(range(0, (len(w)-1)//16 + 1)) AS t(c)),
+                   r AS MATERIALIZED (SELECT lang AS stratum,
+                                doc_id * 1000 + chunk_idx AS cid, n_tokens,
+                                row_number() OVER (PARTITION BY lang
+                                  ORDER BY doc_id, chunk_idx) AS rn
+                         FROM ch),
+                   pack(stratum, rn, cid, n_tokens, bin, fill) AS (
+                     SELECT stratum, rn, cid, n_tokens, CAST(0 AS BIGINT), n_tokens
+                     FROM r WHERE rn = 1
+                     UNION ALL
+                     SELECT r.stratum, r.rn, r.cid, r.n_tokens,
+                            CASE WHEN p.fill + r.n_tokens <= 64 THEN p.bin ELSE p.bin + 1 END,
+                            CASE WHEN p.fill + r.n_tokens <= 64 THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                     FROM pack p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, cid, n_tokens, CAST(bin AS BIGINT) AS bin
+              FROM pack ORDER BY stratum, cid"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ch = TextAnalysis.chunkTokens(docs, "doc_id", "text",
+            size = 16, overlap = 0)
+          .join(docs.select("doc_id", "lang"), "doc_id")
+          .select(col("lang"),
+            (col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+            col("n_tokens"))
+        Packing.packGreedy(ch, "cid", "lang", "n_tokens", budget = 64L)
+          .withColumnRenamed("doc_id", "cid") // packGreedy's typed output id
+          .orderBy("stratum", "cid")
+      }),
+
     // Deterministic 5% sample keeps the all-pairs verify O((n/20)²) at
     // any SF while still containing planted near-dup pairs at the gate
     // SF (a 1% sample hash-matched vacuously on 0 rows); the
