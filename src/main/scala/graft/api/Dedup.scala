@@ -433,10 +433,9 @@ object Dedup {
     * instead of an arbitrary one — the production policy when
     * duplicates differ in quality (keep the longest / cleanest copy,
     * drop the truncated mirror). `clusters` is [[duplicateClusters]]
-    * output; docs in no component always survive. The winner pick is a
-    * rank-1 window per component — WindowGroupLimit, a per-group top-1
-    * scan — and components are tiny relative to the corpus, so the
-    * expensive side stays the two key joins.
+    * output; docs in no component always survive. Losers are the
+    * rank>1 rows of one window over the cluster set — tiny relative to
+    * the corpus, so the expensive side stays the two key joins.
     */
   def keepBestPerCluster(docs: DataFrame, idCol: String,
                          clusters: DataFrame, scoreCol: String): DataFrame = {
@@ -445,11 +444,8 @@ object Dedup {
       docs.select(col(idCol).as("doc_id"), col(scoreCol).as("__s")), "doc_id")
     val w = Window.partitionBy("cluster")
       .orderBy(col("__s").desc, col("doc_id"))
-    val winners = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("cluster"), col("doc_id").as("__keep"))
-    val losers = clusters.join(winners, "cluster")
-      .filter(col("doc_id") =!= col("__keep"))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") =!= 1)
       .select(col("doc_id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -28,11 +28,15 @@ object Layout {
   def zValue(xCol: String, yCol: String, bits: Int = 16): Column = {
     require(bits > 0 && bits <= 31, s"need 0 < bits <= 31, got $bits")
     val mask = (1L << bits) - 1
+    // operands cast to BIGINT BEFORE the shifts: on an INT column,
+    // shiftleft past bit 31 wraps (shift amounts are mod 32) and bit 31
+    // itself lands on the sign — interleaved codes would silently go
+    // negative for the upper half of a 16-bit dimension
     val terms = (0 until bits).flatMap { b =>
-      Seq(s"shiftleft(shiftright($xCol & $mask, $b) & 1, ${2 * b})",
-        s"shiftleft(shiftright($yCol & $mask, $b) & 1, ${2 * b + 1})")
+      Seq(s"shiftleft(shiftright(CAST($xCol AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b})",
+        s"shiftleft(shiftright(CAST($yCol AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b + 1})")
     }
-    expr(terms.mkString("CAST(", " + ", " AS BIGINT)"))
+    expr(terms.mkString("(", " + ", ")"))
   }
 
   /** Write `df` range-partitioned and sorted on the z-value of
@@ -56,10 +60,23 @@ object Layout {
     val mm = df.agg(
       min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    if (mm.isNullAt(0)) { // empty input: nothing to lay out
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
     val m = (1L << bits) - 1
-    def norm(c: String, lo: Long, hi: Long) =
-      if (hi == lo) "CAST(0 AS BIGINT)"
-      else s"((($c - ${lo}L) * ${m}L) div ${hi - lo}L)"
+    // (c-lo)*m overflows Long once the range exceeds ~2^63/m (e.g. a
+    // microsecond-timestamp span); fall back to double arithmetic there
+    // — layout quality needs ~bits of precision, far under double's 53
+    def norm(c: String, lo: Long, hi: Long) = {
+      val range = BigInt(hi) - BigInt(lo) // hi - lo itself can overflow Long
+      if (range == 0) "CAST(0 AS BIGINT)"
+      else if (range <= Long.MaxValue / m)
+        s"(((CAST($c AS BIGINT) - ${lo}L) * ${m}L) div ${range}L)"
+      else
+        s"""CAST(least(${m}L, floor((CAST($c AS DOUBLE) - ${lo}.0D)
+             * ${m}.0D / ${range.toDouble}D)) AS BIGINT)"""
+    }
     df.withColumn("__zx", expr(norm(xCol, mm.getLong(0), mm.getLong(1))))
       .withColumn("__zy", expr(norm(yCol, mm.getLong(2), mm.getLong(3))))
       .withColumn("__zv", zValue("__zx", "__zy", bits))

@@ -287,12 +287,19 @@ object TextAnalysis {
   def langIdNgram(docs: DataFrame, idCol: String, textCol: String,
                   profiles: Seq[(String, Seq[String])],
                   n: Int = 2): DataFrame =
+    // docs shorter than n chars keep their row (score 0 on every
+    // profile -> tie-break cascade), with an explicit empty gram set:
+    // unguarded, sequence(1, size-n+1) DESCENDS below size=n (Spark
+    // sequences reverse when end < start) and element_at then throws on
+    // index 0 under ANSI
     scoreProfiles(docs
       .select(col(idCol), split(col(textCol), "").as("c"))
       .select(col(idCol), array_distinct(expr(
-        s"""transform(sequence(1, size(c) - ${n - 1}),
-                      i -> ${(0 until n).map(j => s"element_at(c, i + $j)")
-                             .mkString("concat(", ", ", ")")})""")).as("w")),
+        s"""IF(size(c) >= $n,
+               transform(sequence(1, size(c) - ${n - 1}),
+                         i -> ${(0 until n).map(j => s"element_at(c, i + $j)")
+                                .mkString("concat(", ", ", ")")}),
+               CAST(array() AS ARRAY<STRING>))""")).as("w")),
       idCol, profiles)
 
   /** Argmax over per-language overlap scores with the profile-order
@@ -392,9 +399,14 @@ object TextAnalysis {
     * segmentation step before packing/embedding (RAG and training
     * pipelines both need it). Pure map-side array ops over one scan: no
     * shuffle, no explode-then-regroup; a 100 TB corpus chunks at scan
-    * speed. Window starts are 1, 1+step, … while start ≤ n_tokens, so
-    * every token lands in ≥1 chunk, the final chunk may be short, and
-    * adjacent full chunks share exactly `overlap` tokens. Returns
+    * speed. Window starts advance by `step = size - overlap` and STOP
+    * once a window reaches the document end (the standard sliding-
+    * window convention): every token lands in ≥1 chunk, adjacent full
+    * chunks share exactly `overlap` tokens, the final chunk may be
+    * short but always carries ≥1 token no earlier chunk covers — a
+    * while-start-≤-n rule instead emits a trailing chunk that is a
+    * strict SUBSET of its predecessor whenever the tail is ≤ overlap
+    * tokens, double-counting content downstream. Returns
     * (id, chunk_idx 0-based, chunk_text, n_tokens).
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
@@ -405,7 +417,8 @@ object TextAnalysis {
     docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
       .select(col(idCol), posexplode(expr(
-        s"""transform(sequence(0, (size(w) - 1) div $step),
+        s"""transform(sequence(0, IF(size(w) <= $size, 0,
+                        (size(w) - $size + $step - 1) div $step)),
                       c -> slice(w, c * $step + 1, $size))""")))
       .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
         array_join(col("col"), " ").as("chunk_text"),

@@ -139,6 +139,17 @@ object Extras {
     // landing exactly-once per batch partition. Same exact-pair oracle
     // as the batch q_dedup_incr: batch boundaries cannot change the
     // union (each doc is in one batch; pairs are corpus-vs-new only).
+    Q("q_stream_dedup_incr", Some(Pipeline.incrOracle),
+      (s, dir) => {
+        val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
+        val sh = Pipeline.shingled(s, dir)
+        Streams.incrementalDedupReplay(s, glob,
+            t(s, dir, "documents").schema, "doc_id", "text",
+            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
+            corpusBands = Pipeline.corpusBands(s, dir), threshold = 0.5)
+          .orderBy("doc_a", "doc_b")
+      }),
+
     // Count-min sketch as streaming state: the 10% increment streams in
     // three micro-batches and the running (seed, bucket) aggregation IS
     // the sketch — bounded at depth x width rows regardless of volume,
@@ -153,17 +164,6 @@ object Extras {
           Pipeline.CmsDepth, Pipeline.CmsWidth)
         graft.api.Sketches.cmsEstimate(sk, Pipeline.CmsTerms,
           Pipeline.CmsDepth, Pipeline.CmsWidth)
-      }),
-
-    Q("q_stream_dedup_incr", Some(Pipeline.incrOracle),
-      (s, dir) => {
-        val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
-        val sh = Pipeline.shingled(s, dir)
-        Streams.incrementalDedupReplay(s, glob,
-            t(s, dir, "documents").schema, "doc_id", "text",
-            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
-            corpusBands = Pipeline.corpusBands(s, dir), threshold = 0.5)
-          .orderBy("doc_a", "doc_b")
       }),
 
     // Bucketed co-located join: both fact sides pre-bucketed on the join

@@ -616,7 +616,7 @@ object Pipeline {
                                  CAST(len(w[c*16+1 : c*16+16]) AS BIGINT) AS n_tokens
                           FROM tok, unnest(range(0, (len(w)-1)//16 + 1)) AS t(c)),
                    r AS MATERIALIZED (SELECT lang AS stratum,
-                                doc_id * 1000 + chunk_idx AS cid, n_tokens,
+                                doc_id * 1048576 + chunk_idx AS cid, n_tokens,
                                 row_number() OVER (PARTITION BY lang
                                   ORDER BY doc_id, chunk_idx) AS rn
                          FROM ch),
@@ -632,11 +632,13 @@ object Pipeline {
               FROM pack ORDER BY stratum, cid"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
+        // cid = doc_id·2^20 + chunk_idx: collision-free and order-
+        // preserving up to 2^20 chunks (16M tokens) per doc
         val ch = TextAnalysis.chunkTokens(docs, "doc_id", "text",
             size = 16, overlap = 0)
           .join(docs.select("doc_id", "lang"), "doc_id")
           .select(col("lang"),
-            (col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+            (col("doc_id") * 1048576 + col("chunk_idx")).as("cid"),
             col("n_tokens"))
         Packing.packGreedy(ch, "cid", "lang", "n_tokens", budget = 64L)
           .withColumnRenamed("doc_id", "cid") // packGreedy's typed output id
@@ -927,7 +929,8 @@ object Pipeline {
                                  unnest([struct_pack(i := c,
                                           t := array_to_string(w[c*12+1 : c*12+16], ' '),
                                           n := len(w[c*12+1 : c*12+16]))
-                                         for c in range(0, (len(w)-1)//12 + 1)]) AS s
+                                         for c in range(0, CASE WHEN len(w) <= 16 THEN 1
+                                                              ELSE (len(w)-16+11)//12 + 1 END)]) AS s
                           FROM tok)
               SELECT doc_id, CAST(s.i AS BIGINT) AS chunk_idx,
                      s.t AS chunk_text, CAST(s.n AS BIGINT) AS n_tokens

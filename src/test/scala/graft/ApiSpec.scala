@@ -289,8 +289,10 @@ class ApiSpec extends AnyFunSuite {
     val ch = TextAnalysis.chunkTokens(corpus, "doc_id", "text",
       size = 16, overlap = 4).orderBy("doc_id", "chunk_idx").collect()
     val c1 = ch.filter(_.getLong(0) == 1L)
-    assert(c1.length === 4) // starts 1, 13, 25, 37 over 40 tokens
-    assert(c1.map(_.getLong(3)).toSeq === Seq(16L, 16L, 16L, 4L))
+    // starts 1, 13, 25 over 40 tokens; a start at 37 would be a strict
+    // subset of the chunk at 25 (which already reaches token 40)
+    assert(c1.length === 3)
+    assert(c1.map(_.getLong(3)).toSeq === Seq(16L, 16L, 16L))
     val first = c1(0).getString(2).split(" ")
     val second = c1(1).getString(2).split(" ")
     assert(first.takeRight(4).toSeq === second.take(4).toSeq,
@@ -411,7 +413,9 @@ class ApiSpec extends AnyFunSuite {
         val toks = r.getString(1).split(" ").toSeq
         val cs = chunks(r.getLong(0)).toSeq
         assert(cs.forall(_.getLong(3) <= size))
-        assert(cs.length === (toks.length - 1) / step + 1)
+        val expected = if (toks.length <= size) 1
+          else 1 + (toks.length - size + step - 1) / step
+        assert(cs.length === expected)
         val rebuilt = cs.zipWithIndex.flatMap { case (c, i) =>
           val ct = c.getString(2).split(" ").toSeq
           if (i == 0) ct else ct.drop(overlap)
@@ -420,6 +424,17 @@ class ApiSpec extends AnyFunSuite {
       }
       corpus.unpersist()
     }
+  }
+
+  test("langIdNgram survives docs shorter than the gram width") {
+    // regression: the char-array rewrite made sequence(1, size-1)
+    // descend on short docs and element_at threw under ANSI
+    val corpus = spark.createDataFrame(Seq(
+      (1L, ""), (2L, "a"), (3L, "the quick brown fox")
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.langIdNgram(corpus, "doc_id", "text",
+      Seq("en" -> Seq("th", "he"), "de" -> Seq("ch", "ei")))
+    assert(r.count() === 3) // short docs keep their row, score 0
   }
 
   test("bigram perplexity separates repeated structure from gibberish") {
