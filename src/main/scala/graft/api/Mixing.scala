@@ -44,6 +44,26 @@ object Mixing {
     s"((((($idExpr % $M) // 65536) * $A) % $M * 65536 + " +
       s"(($idExpr % $M) % 65536) * $A) % $M)"
 
+  /** Temperature-scaled keep rates (the α-mix of LLM data recipes:
+    * target share of source s ∝ count_s^α): α = 1 reproduces the
+    * natural mixture (every rate 1), α = 0 equalizes sources, and
+    * 0 < α < 1 upsamples low-resource sources RELATIVE to the crawl.
+    * Rates are scaled so the binding source keeps everything (no
+    * needless data loss); computed driver-side from the per-source
+    * counts — bounded metadata, #sources values — so the thresholds
+    * are embeddable literals, same as [[threshold]].
+    */
+  def temperatureRates(counts: Map[String, Long],
+                       alpha: Double): Map[String, Double] = {
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "temperatureRates needs positive per-source counts")
+    val p = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
+    val z = p.values.sum
+    val perDoc = counts.map { case (s, n) => s -> p(s) / z / n }
+    val wMax = perDoc.values.max // divide directly: w/w == 1.0 exactly
+    perDoc.map { case (s, w) => s -> (w / wMax).min(1.0) }
+  }
+
   /** Keep each row of stratum s with probability rates(s) (exact in
     * expectation; the SAME rows are chosen everywhere). Strata missing
     * from `rates` fall back to defaultRate.

@@ -68,6 +68,9 @@ object Pipeline {
     kmeansCache.synchronized {
       kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
     }
+    tempCache.synchronized {
+      tempCache.keys.filter(_._1 == id).foreach(tempCache.remove)
+    }
   }
 
   /** k-means centroids per (session, dir), computed ONCE and shared by
@@ -101,7 +104,40 @@ object Pipeline {
     * the oracle.
     */
   private[graft] def resolveOracle(sql: String): String =
-    resolveLshPlanes(resolveKmeans(sql))
+    resolveTempThresholds(resolveLshPlanes(resolveKmeans(sql)))
+
+  private[graft] val TempAlpha = 0.5
+  private[graft] val tempPlaceholder = "__GRAFT_TEMP_CASE__"
+
+  /** Per-source temperature thresholds for q_mix_temperature, computed
+    * ONCE per (session, dir) from the observed source counts with the
+    * SAME Scala math the Spark query uses (math.pow differs from SQL
+    * pow() in last-ulp cases, and a 1-ulp rate difference can flip a
+    * floor'd threshold) — the driver-literal technique again.
+    */
+  private val tempCache =
+    scala.collection.concurrent.TrieMap[(Int, String), Map[String, Long]]()
+
+  private[graft] def tempThresholds(s: SparkSession,
+                                    dir: String): Map[String, Long] =
+    tempCache.synchronized {
+      tempCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        val counts = t(s, dir, "documents").groupBy("source").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        graft.api.Mixing.temperatureRates(counts, TempAlpha)
+          .map { case (k, r) => k -> graft.api.Mixing.threshold(r) }
+      })
+    }
+
+  private def resolveTempThresholds(sql: String): String =
+    if (!sql.contains(tempPlaceholder)) sql
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => sql
+      case Some(s) =>
+        val cases = tempThresholds(s, Sources.oracleSfDir).toSeq.sorted
+          .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
+        sql.replace(tempPlaceholder, cases)
+    }
 
   private def resolveKmeans(sql: String): String =
     if (!sql.contains(kmeansPlaceholder)) sql
@@ -982,6 +1018,28 @@ object Pipeline {
           d.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
         Dedup.dropExactDuplicates(dup, "doc_id", "text")
           .select("doc_id").orderBy("doc_id")
+      }),
+
+    // Temperature-scaled mixing (share_s ∝ count_s^0.5): the α-mix of
+    // LLM data recipes — low-resource sources upsampled relative to the
+    // crawl. Rates derive from the OBSERVED source counts driver-side
+    // (bounded metadata); the oracle receives the identical thresholds
+    // as dump-time literals.
+    Q("q_mix_temperature",
+      Some(s"""SELECT source, count(*) AS n
+               FROM documents
+               WHERE ${graft.api.Mixing.knuthHashSql("doc_id")} <
+                 CASE source $tempPlaceholder ELSE 0 END
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val rates = tempThresholds(s, dir) // thresholds, shared w/ oracle
+        val thresh = rates.toSeq.sortBy(_._1)
+          .foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (k, th)) =>
+            when(col("source") === k, lit(th)).otherwise(acc)
+          }
+        docs.filter(graft.api.Mixing.knuthHash(col("doc_id")) < thresh)
+          .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")
       }),
 
     // Deterministic source mixing: per-language keep rates via the

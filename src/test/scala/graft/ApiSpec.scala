@@ -426,6 +426,22 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature rates: natural at alpha=1, equalizing at alpha=0, monotone") {
+    import graft.api.Mixing
+    val counts = Map("crawl" -> 1000000L, "wiki" -> 10000L, "books" -> 1000L)
+    val natural = Mixing.temperatureRates(counts, alpha = 1.0)
+    assert(natural.values.forall(r => math.abs(r - 1.0) < 1e-12),
+      s"alpha=1 must keep the natural mixture: $natural")
+    val equal = Mixing.temperatureRates(counts, alpha = 0.0)
+    // equal target shares: rate_s proportional to 1/count_s, smallest source binds
+    assert(equal("books") === 1.0)
+    assert(math.abs(equal("crawl") - 1000.0 / 1000000) < 1e-12)
+    val mid = Mixing.temperatureRates(counts, alpha = 0.5)
+    assert(mid("books") >= mid("wiki") && mid("wiki") >= mid("crawl"),
+      s"smaller sources must keep at least the larger's rate: $mid")
+    assert(mid("books") === 1.0, "the binding source must lose nothing")
+  }
+
   test("langIdNgram survives docs shorter than the gram width") {
     // regression: the char-array rewrite made sequence(1, size-1)
     // descend on short docs and element_at threw under ANSI
