@@ -197,4 +197,28 @@ object MixingProps extends org.scalacheck.Properties("Mixing") {
         graft.api.Mixing.threshold(0.0) == 0L &&
         graft.api.Mixing.threshold(1.0) == 4294967296L
     }
+
+  private val countsGen = for {
+    n <- Gen.choose(1, 8)
+    ks <- Gen.listOfN(n, Gen.identifier.map(_.take(6))).map(_.distinct)
+    vs <- Gen.listOfN(ks.size, Gen.choose(1L, 1000000L))
+  } yield ks.zip(vs).toMap
+  private val alpha = Gen.choose(0.0, 1.0)
+
+  property("temperatureRates: in (0,1], binding source exactly 1, " +
+    "anti-monotone in counts") =
+    Prop.forAll(countsGen, alpha) { (counts, a) =>
+      val r = graft.api.Mixing.temperatureRates(counts, a)
+      val inRange = r.values.forall(v => v > 0.0 && v <= 1.0)
+      val bindingAtOne = r.values.max == 1.0
+      // a source with fewer docs never keeps a smaller fraction
+      val antiMono = counts.toSeq.combinations(2).forall {
+        case Seq((s1, n1), (s2, n2)) =>
+          if (n1 == n2) true
+          else if (n1 < n2) r(s1) >= r(s2) - 1e-12
+          else r(s2) >= r(s1) - 1e-12
+        case _ => true
+      }
+      inRange && bindingAtOne && antiMono
+    }
 }
