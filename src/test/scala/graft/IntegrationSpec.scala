@@ -11,7 +11,8 @@ import graft.shelf._
   */
 class IntegrationSpec extends AnyFunSuite {
 
-  test("documents corpus: snapshot -> quality -> dedup -> decontaminate -> pack DAG") {
+  test("documents corpus: snapshot -> quality -> dedup -> decontaminate" +
+      " -> perplexity -> pack DAG") {
     val root = Files.createTempDirectory("intshelf")
     val cache = Files.createTempDirectory("intcache")
     val store = new Store(
@@ -64,7 +65,23 @@ class IntegrationSpec extends AnyFunSuite {
     }
     val decon = StepURI.table("corpus/decon/2026-08-12")
 
-    // 5. sequence packing into 200-token bins per language stratum
+    // 5. LM-perplexity gate (round 5): drop the worst-NLL 5% tail —
+    //    the CCNet-style quality cut running as a DAG step
+    StepRegistry.register("corpus/ppl/2026-08-12", version = "v1") {
+      (spark, deps, dest) =>
+        val docs = spark.read.parquet(deps.head.toString)
+        val scores = graft.api.TextAnalysis.perplexityScore(
+          docs, "doc_id", "text", vocabSize = 20)
+        val cut = scores
+          .agg(expr("percentile_approx(avg_nll, 0.95, 10000)"))
+          .head().getDouble(0)
+        val kept = docs.join(
+          scores.filter(col("avg_nll") <= cut).select("doc_id"), "doc_id")
+        Tables.writeSingleParquet(kept, dest)
+    }
+    val ppl = StepURI.table("corpus/ppl/2026-08-12")
+
+    // 6. sequence packing into 200-token bins per language stratum
     StepRegistry.register("corpus/pack/2026-08-12", version = "v1") {
       (spark, deps, dest) =>
         val docs = spark.read.parquet(deps.head.toString)
@@ -79,12 +96,14 @@ class IntegrationSpec extends AnyFunSuite {
       .addStep(clean, Seq(snap))
       .addStep(dedup, Seq(clean))
       .addStep(decon, Seq(dedup))
-      .addStep(pack, Seq(decon))
+      .addStep(ppl, Seq(decon))
+      .addStep(pack, Seq(ppl))
     shelf.catalog.save()
 
     val built = shelf.run()
     assert(built.contains(clean) && built.contains(dedup)
-      && built.contains(decon) && built.contains(pack))
+      && built.contains(decon) && built.contains(ppl)
+      && built.contains(pack))
 
     val spark = SparkTestSession.spark
     val nRaw = spark.read.parquet(
@@ -99,8 +118,10 @@ class IntegrationSpec extends AnyFunSuite {
     val deconDf = spark.read.parquet(Tables.tablePath(root, decon).toString)
     val nDecon = deconDf.count()
     assert(nDecon < nDedup, "decontamination dropped the eval slice + hits")
+    val nPpl = spark.read.parquet(Tables.tablePath(root, ppl).toString).count()
+    assert(nPpl < nDecon, "perplexity gate dropped the worst-NLL tail")
     val packed = spark.read.parquet(Tables.tablePath(root, pack).toString)
-    assert(packed.count() === nDecon, "packing preserves every survivor")
+    assert(packed.count() === nPpl, "packing preserves every survivor")
     // every bin respects the budget unless it holds a single oversize doc
     val badBins = graft.api.Packing.binStats(packed, 200L)
       .filter(col("fill") > 200 && col("n_docs") > 1)
@@ -109,7 +130,7 @@ class IntegrationSpec extends AnyFunSuite {
 
     // Merkle incrementality across the whole pipeline
     assert(shelf.run() === Seq.empty)
-    // provenance flows: pack table inherited via its 4-step dep chain
+    // provenance flows: pack table inherited via its 5-step dep chain
     val meta = Yaml.load(Snapshots.metadataPath(root, pack))
     assert(meta("execution").asInstanceOf[Map[String, Any]]("status") === "success")
   }
