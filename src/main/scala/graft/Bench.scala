@@ -58,6 +58,7 @@ object Bench {
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
         "corpus_bands" -> (() => ops.Pipeline.corpusBands(spark, sfDir).rows.count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
+        "temp_rates" -> (() => ops.Pipeline.tempRates(spark, sfDir)),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir))
       ).map { case (name, f) =>
         Future {

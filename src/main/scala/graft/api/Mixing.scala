@@ -57,10 +57,16 @@ object Mixing {
                        alpha: Double): Map[String, Double] = {
     require(counts.nonEmpty && counts.values.forall(_ > 0),
       "temperatureRates needs positive per-source counts")
-    val p = counts.map { case (s, n) => s -> math.pow(n.toDouble, alpha) }
-    val z = p.values.sum
-    val perDoc = counts.map { case (s, n) => s -> p(s) / z / n }
-    val wMax = perDoc.values.max // divide directly: w/w == 1.0 exactly
+    require(alpha >= 0.0 && alpha <= 1.0, // also rejects NaN
+      s"alpha must be in [0, 1], got $alpha")
+    // the normalizing constant z cancels in w/wMax — dividing by it
+    // anyway adds per-source rounding that breaks the alpha=1 =>
+    // exactly-1.0 invariant (pow(n,1)=n and n/n=1 are IEEE-exact;
+    // n/z/n is not). Divide by wMax directly: w/w == 1.0 exactly.
+    val perDoc = counts.map { case (s, n) =>
+      s -> math.pow(n.toDouble, alpha) / n
+    }
+    val wMax = perDoc.values.max
     perDoc.map { case (s, w) => s -> (w / wMax).min(1.0) }
   }
 

@@ -116,16 +116,23 @@ object Pipeline {
     * floor'd threshold) — the driver-literal technique again.
     */
   private val tempCache =
-    scala.collection.concurrent.TrieMap[(Int, String), Map[String, Long]]()
+    scala.collection.concurrent.TrieMap[(Int, String), Map[String, Double]]()
 
-  private[graft] def tempThresholds(s: SparkSession,
-                                    dir: String): Map[String, Long] =
+  /** Keep RATES (not thresholds): the Spark side feeds them straight to
+    * [[graft.api.Mixing.stratifiedSample]] — the public operator the
+    * query exists to exercise — and the oracle derives its integer
+    * literals through the same deterministic `Mixing.threshold`, so the
+    * two can't diverge. Null sources are excluded (no stratum).
+    */
+  private[graft] def tempRates(s: SparkSession,
+                               dir: String): Map[String, Double] =
     tempCache.synchronized {
       tempCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val counts = t(s, dir, "documents").groupBy("source").count()
+        val counts = t(s, dir, "documents")
+          .filter(col("source").isNotNull)
+          .groupBy("source").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         graft.api.Mixing.temperatureRates(counts, TempAlpha)
-          .map { case (k, r) => k -> graft.api.Mixing.threshold(r) }
       })
     }
 
@@ -134,8 +141,11 @@ object Pipeline {
     else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => sql
       case Some(s) =>
-        val cases = tempThresholds(s, Sources.oracleSfDir).toSeq.sorted
-          .map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")
+        val cases = tempRates(s, Sources.oracleSfDir).toSeq.sorted
+          .map { case (k, r) =>
+            // data-derived keys: escape quotes for the SQL literal
+            s"WHEN '${k.replace("'", "''")}' THEN ${graft.api.Mixing.threshold(r)}"
+          }.mkString(" ")
         sql.replace(tempPlaceholder, cases)
     }
 
@@ -1033,12 +1043,8 @@ object Pipeline {
                GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val rates = tempThresholds(s, dir) // thresholds, shared w/ oracle
-        val thresh = rates.toSeq.sortBy(_._1)
-          .foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (k, th)) =>
-            when(col("source") === k, lit(th)).otherwise(acc)
-          }
-        docs.filter(graft.api.Mixing.knuthHash(col("doc_id")) < thresh)
+        graft.api.Mixing.stratifiedSample(docs, "doc_id", "source",
+            tempRates(s, dir)) // same rates the oracle's thresholds derive from
           .groupBy("source").agg(count(lit(1)).as("n")).orderBy("source")
       }),
 

@@ -430,8 +430,8 @@ class ApiSpec extends AnyFunSuite {
     import graft.api.Mixing
     val counts = Map("crawl" -> 1000000L, "wiki" -> 10000L, "books" -> 1000L)
     val natural = Mixing.temperatureRates(counts, alpha = 1.0)
-    assert(natural.values.forall(r => math.abs(r - 1.0) < 1e-12),
-      s"alpha=1 must keep the natural mixture: $natural")
+    assert(natural.values.forall(_ == 1.0), // EXACTLY 1: threshold(1-ulp)
+      s"alpha=1 must keep the natural mixture bit-exactly: $natural")
     val equal = Mixing.temperatureRates(counts, alpha = 0.0)
     // equal target shares: rate_s proportional to 1/count_s, smallest source binds
     assert(equal("books") === 1.0)
