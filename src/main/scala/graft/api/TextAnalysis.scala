@@ -426,6 +426,43 @@ object TextAnalysis {
           .cast("long").as("n_tokens"))
   }
 
+  /** Model-free text similarity: top-k docs most cosine-similar to a
+    * query doc under `dim`-bucket feature-hashed term frequencies
+    * (Weinberger et al. '09) — no embeddings, no fitted vocabulary, so
+    * it runs on day-one corpora and never shuffles a model. Everything
+    * stays SPARSE: per-doc (bucket, count) rows, the query's ≤ dim
+    * rows broadcast, dot products from the bucket join, norms from a
+    * per-doc aggregate — all sums of exact integers (and products of
+    * their roots), so the ranking is engine- and partition-
+    * deterministic with no decimal machinery. The bucket hash is the
+    * auditable sha256 family shared with the sketches.
+    */
+  def hashedTfTopK(docs: DataFrame, idCol: String, textCol: String,
+                   queryId: Long, k: Int, dim: Int = 256): DataFrame = {
+    val tfh = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"),
+        Sketches.cmsBucket(lit(0), col("term"), dim).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val norms = tfh.groupBy("doc_id")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+    val q = tfh.filter(col("doc_id") === queryId)
+      .select(col("bucket"), col("c").as("qc"))
+    val qn = norms.filter(col("doc_id") === queryId)
+      .select(col("nrm").as("qnrm"))
+    tfh.filter(col("doc_id") =!= queryId)
+      .join(broadcast(q), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("c") * col("qc")).cast("double").as("dot"))
+      .join(norms, "doc_id")
+      .crossJoin(broadcast(qn))
+      .withColumn("cos", col("dot") / (col("nrm") * col("qnrm")))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** CCNet-style LM quality score (Wenzek et al. '20): train an add-k
     * smoothed word-bigram model on the corpus itself over a top-`vocabSize`
     * vocabulary (everything else maps to `<unk>`), then score each doc by

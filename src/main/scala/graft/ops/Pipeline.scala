@@ -985,6 +985,33 @@ object Pipeline {
         "doc_id", "text", size = 16, overlap = 4)
         .orderBy("doc_id", "chunk_idx")),
 
+    // Feature-hashed TF cosine top-k (model-free text similarity): the
+    // day-one similarity operator — no embeddings, no vocabulary; all
+    // integer sums, so the full ranking carries an oracle.
+    Q("q_text_hashtf", {
+      val bucket =
+        s"""list_sum([(strpos('0123456789abcdef',
+                             substr(sha256('0|' || term), CAST(i AS INT), 1)) - 1)::BIGINT
+                      << (4*(8-i)) for i in range(1, 9)]) % 256"""
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                            FROM documents),
+                   tfh AS (SELECT doc_id, $bucket AS bucket, count(*) AS c
+                           FROM tok GROUP BY 1, 2),
+                   nm AS (SELECT doc_id, sqrt(CAST(sum(c*c) AS DOUBLE)) AS nrm
+                          FROM tfh GROUP BY 1),
+                   q AS (SELECT bucket, c AS qc FROM tfh WHERE doc_id = 1),
+                   qn AS (SELECT nrm AS qnrm FROM nm WHERE doc_id = 1),
+                   dots AS (SELECT doc_id, CAST(sum(c * qc) AS DOUBLE) AS dot
+                            FROM tfh JOIN q USING (bucket)
+                            WHERE doc_id <> 1 GROUP BY 1),
+                   sc AS (SELECT doc_id, dot / (nrm * qnrm) AS cos_raw
+                          FROM dots JOIN nm USING (doc_id), qn)
+              SELECT doc_id, ROUND(cos_raw, 4) AS cos FROM sc
+              ORDER BY cos_raw DESC, doc_id LIMIT 10""")
+    },
+      (s, dir) => TextAnalysis.hashedTfTopK(t(s, dir, "documents"),
+        "doc_id", "text", queryId = 1, k = 10, dim = 256)),
+
     // CCNet-style bigram-LM perplexity score over a capped vocabulary:
     // the gibberish/boilerplate filter of an LLM corpus pipeline.
     Q("q_text_perplexity", Some(pplOracle),

@@ -442,6 +442,16 @@ class ApiSpec extends AnyFunSuite {
     assert(mid("books") === 1.0, "the binding source must lose nothing")
   }
 
+  test("hashed-TF cosine ranks an identical doc first at exactly 1.0") {
+    val copy = docs.filter(col("doc_id") === 1)
+      .select(lit(9001L).as("doc_id"), col("text"))
+    val planted = docs.select(col("doc_id"), col("text")).union(copy)
+    val top = TextAnalysis.hashedTfTopK(planted, "doc_id", "text",
+      queryId = 1, k = 3).collect()
+    assert(top.head.getLong(0) === 9001L, top.mkString(";"))
+    assert(top.head.getDouble(1) === 1.0, top.mkString(";"))
+  }
+
   test("langIdNgram survives docs shorter than the gram width") {
     // regression: the char-array rewrite made sequence(1, size-1)
     // descend on short docs and element_at threw under ANSI
