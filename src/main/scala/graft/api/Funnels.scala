@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis over an event stream: how far did each user
+  * progress through `steps` (in order, first match wins), with the
+  * whole funnel constrained to `windowMicros` of its first step — the
+  * view→cart→purchase staple of product analytics (the reference's
+  * users would hand-write this in SQL against the DuckDB layer,
+  * /root/reference/src/shelf/tables.py:164-177; here it is one scan +
+  * one shuffle at any scale).
+  *
+  * Scale + determinism shape: events fold PER USER over a sorted
+  * per-user list (one hash shuffle on user_id; per-user event counts
+  * are bounded, the corpus is not), and both the sort key and the fold
+  * state are exact BIGINT encodings — event = ts_micros·4 + step_idx,
+  * state = stage·2^61 + first_step_ts — so every comparison is integer
+  * arithmetic any engine reproduces bit-for-bit (no timestamp, struct,
+  * or fp semantics in the hot path).
+  */
+object Funnels {
+
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowMicros: Long): DataFrame = {
+    // step index rides in the low 2 bits of the encoding; 2^61 state
+    // split leaves 61 bits for the first-step timestamp (micros until
+    // year ~75000)
+    require(steps.nonEmpty && steps.size <= 4,
+      s"funnelStages encodes the step index in 2 bits; got ${steps.size} steps")
+    require(windowMicros > 0, "windowMicros must be positive")
+    val idx: Column = steps.zipWithIndex
+      .foldLeft(lit(-1L): Column) { case (acc, (st, i)) =>
+        when(col(typeCol) === st, lit(i.toLong)).otherwise(acc)
+      }
+    val S = 1L << 61
+    events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("user_id"),
+        (unix_micros(col(tsCol)) * 4 + idx).as("enc"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("enc"))).as("evs"))
+      .select(col("user_id"), expr(
+        s"""aggregate(evs, CAST(0 AS BIGINT),
+              (s, x) -> IF(s div ${S}L < ${steps.size}L
+                           AND x % 4L = s div ${S}L
+                           AND (s div ${S}L = 0L
+                                OR x div 4L - s % ${S}L <= ${windowMicros}L),
+                        (s div ${S}L + 1L) * ${S}L
+                          + IF(s div ${S}L = 0L, x div 4L, s % ${S}L),
+                        s),
+              s -> s div ${S}L)""").as("stage"))
+  }
+
+  /** Per-stage user counts: how many users stalled at each depth. */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   typeCol: String, steps: Seq[String],
+                   windowMicros: Long): DataFrame =
+    funnelStages(events, userCol, tsCol, typeCol, steps, windowMicros)
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+}

@@ -151,6 +151,40 @@ object Windows {
           .agg(count(lit(1)).as("n_events"),
             min("ts").as("session_start"), max("ts").as("session_end"))
           .orderBy("user_id", "session_id")
-      })
+      }),
+
+    // Ordered funnel (view -> click -> purchase within 1 h of the first
+    // step): per-user stage depth + counts, via graft.api.Funnels' exact
+    // integer-encoded fold (event = ts_us*4 + step, state = stage*2^61
+    // + t0) — both engines replay identical BIGINT arithmetic.
+    Q("q_evt_funnel",
+      Some("""WITH e AS (SELECT user_id,
+                                epoch_us(CAST(ts AS TIMESTAMP)) * 4 +
+                                  CASE event_type WHEN 'view' THEN 0
+                                                  WHEN 'click' THEN 1
+                                                  WHEN 'purchase' THEN 2 END AS enc
+                         FROM events
+                         WHERE event_type IN ('view', 'click', 'purchase')),
+                   g AS (SELECT user_id, list_sort(list(enc)) AS evs
+                         FROM e GROUP BY 1),
+                   f AS (SELECT user_id,
+                                list_reduce(list_prepend(CAST(0 AS BIGINT), evs),
+                                  (s, x) -> CASE WHEN s // 2305843009213693952 < 3
+                                                  AND x % 4 = s // 2305843009213693952
+                                                  AND (s // 2305843009213693952 = 0
+                                                       OR x // 4 - s % 2305843009213693952 <= 3600000000)
+                                            THEN (s // 2305843009213693952 + 1) * 2305843009213693952
+                                                   + CASE WHEN s // 2305843009213693952 = 0
+                                                          THEN x // 4
+                                                          ELSE s % 2305843009213693952 END
+                                            ELSE s END) AS st
+                         FROM g)
+              SELECT CAST(st // 2305843009213693952 AS BIGINT) AS stage,
+                     count(*) AS n_users
+              FROM f GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.Funnels.funnelCounts(t(s, dir, "events"),
+        "user_id", "ts", "event_type",
+        steps = Seq("view", "click", "purchase"),
+        windowMicros = 3600000000L))
   )
 }

@@ -442,6 +442,26 @@ class ApiSpec extends AnyFunSuite {
     assert(mid("books") === 1.0, "the binding source must lose nothing")
   }
 
+  test("funnel stages: ordered within-window progress, first match wins") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = spark.createDataFrame(Seq(
+      // user 1: full funnel in order, inside the hour
+      (1L, ts(0), "view"), (1L, ts(10), "click"), (1L, ts(20), "purchase"),
+      // user 2: click BEFORE the first view never counts
+      (2L, ts(0), "click"), (2L, ts(10), "view"), (2L, ts(20), "purchase"),
+      // user 3: purchase lands outside the 30-min window of the view
+      (3L, ts(0), "view"), (3L, ts(5), "click"), (3L, ts(45), "purchase"),
+      // user 4: never enters the funnel
+      (4L, ts(0), "purchase")
+    )).toDF("user_id", "ts", "event_type")
+    val stages = graft.api.Funnels.funnelStages(events, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 30L * 60 * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stages === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L), stages)
+  }
+
   test("hashed-TF cosine ranks an identical doc first at exactly 1.0") {
     val copy = docs.filter(col("doc_id") === 1)
       .select(lit(9001L).as("doc_id"), col("text"))
