@@ -59,4 +59,25 @@ object Funnels {
     funnelStages(events, userCol, tsCol, typeCol, steps, windowMicros)
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
+
+  /** Cohort retention matrix: users cohorted by first-active epoch week
+    * (integer `unix_micros div week` — calendar-convention-free, so any
+    * engine buckets identically), counted per week offset since the
+    * cohort week. Two hash aggregations + a user-key join; the
+    * (user, week) distinct pass bounds everything downstream by active
+    * user-weeks, not raw events.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    val weekMicros = 7L * 86400 * 1000000
+    val uw = events.select(col(userCol).as("user_id"),
+        expr(s"unix_micros(${tsCol}) div ${weekMicros}L").as("week"))
+      .distinct()
+    val cohorts = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    uw.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users")) // uw is distinct (user, week)
+      .orderBy("cohort_week", "week_offset")
+  }
 }

@@ -185,6 +185,22 @@ object Windows {
       (s, dir) => graft.api.Funnels.funnelCounts(t(s, dir, "events"),
         "user_id", "ts", "event_type",
         steps = Seq("view", "click", "purchase"),
-        windowMicros = 3600000000L))
+        windowMicros = 3600000000L)),
+
+    // Cohort retention: first-active epoch week x week offset — the
+    // companion product-analytics staple. Epoch-week integer division
+    // (not date_trunc) keeps the bucketing calendar-convention-free.
+    Q("q_evt_retention",
+      Some("""WITH uw AS (SELECT DISTINCT user_id,
+                                 epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+                          FROM events),
+                   c AS (SELECT user_id, min(week) AS cohort_week
+                         FROM uw GROUP BY 1)
+              SELECT cohort_week, week - cohort_week AS week_offset,
+                     count(*) AS n_users
+              FROM uw JOIN c USING (user_id)
+              GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.api.Funnels.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts"))
   )
 }
