@@ -15,18 +15,21 @@ import org.apache.spark.sql.functions._
   * per-user list (one hash shuffle on user_id; per-user event counts
   * are bounded, the corpus is not), and both the sort key and the fold
   * state are exact BIGINT encodings — event = ts_micros·4 + step_idx,
-  * state = stage·2^61 + first_step_ts — so every comparison is integer
+  * state = stage·2^59 + first_step_ts — so every comparison is integer
   * arithmetic any engine reproduces bit-for-bit (no timestamp, struct,
-  * or fp semantics in the hot path).
+  * or fp semantics in the hot path). Timestamps must be ≥ the epoch:
+  * negative micros break both the `% 4` step extraction and the
+  * truncating `div 4` timestamp recovery.
   */
 object Funnels {
 
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
                    windowMicros: Long): DataFrame = {
-    // step index rides in the low 2 bits of the encoding; 2^61 state
-    // split leaves 61 bits for the first-step timestamp (micros until
-    // year ~75000)
+    // step index rides in the low 2 bits of the encoding; the 2^59
+    // state split leaves room for stage values up to 4 WITHOUT the
+    // final advance (4+1 would need it) overflowing 2^63 — 4·2^59 +
+    // t0 < 2^62 — while 59 bits still hold micros until year ~20000
     require(steps.nonEmpty && steps.size <= 4,
       s"funnelStages encodes the step index in 2 bits; got ${steps.size} steps")
     require(windowMicros > 0, "windowMicros must be positive")
@@ -34,7 +37,7 @@ object Funnels {
       .foldLeft(lit(-1L): Column) { case (acc, (st, i)) =>
         when(col(typeCol) === st, lit(i.toLong)).otherwise(acc)
       }
-    val S = 1L << 61
+    val S = 1L << 59
     events.filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("user_id"),
         (unix_micros(col(tsCol)) * 4 + idx).as("enc"))
@@ -71,7 +74,9 @@ object Funnels {
                        tsCol: String): DataFrame = {
     val weekMicros = 7L * 86400 * 1000000
     val uw = events.select(col(userCol).as("user_id"),
-        expr(s"unix_micros(${tsCol}) div ${weekMicros}L").as("week"))
+        unix_micros(col(tsCol)).as("__us")) // col(), not string interpolation
+      .select(col("user_id"),
+        expr(s"__us div ${weekMicros}L").as("week"))
       .distinct()
     val cohorts = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
     uw.join(cohorts, "user_id")

@@ -155,7 +155,7 @@ object Windows {
 
     // Ordered funnel (view -> click -> purchase within 1 h of the first
     // step): per-user stage depth + counts, via graft.api.Funnels' exact
-    // integer-encoded fold (event = ts_us*4 + step, state = stage*2^61
+    // integer-encoded fold (event = ts_us*4 + step, state = stage*2^59
     // + t0) — both engines replay identical BIGINT arithmetic.
     Q("q_evt_funnel",
       Some("""WITH e AS (SELECT user_id,
@@ -169,17 +169,17 @@ object Windows {
                          FROM e GROUP BY 1),
                    f AS (SELECT user_id,
                                 list_reduce(list_prepend(CAST(0 AS BIGINT), evs),
-                                  (s, x) -> CASE WHEN s // 2305843009213693952 < 3
-                                                  AND x % 4 = s // 2305843009213693952
-                                                  AND (s // 2305843009213693952 = 0
-                                                       OR x // 4 - s % 2305843009213693952 <= 3600000000)
-                                            THEN (s // 2305843009213693952 + 1) * 2305843009213693952
-                                                   + CASE WHEN s // 2305843009213693952 = 0
+                                  (s, x) -> CASE WHEN s // 576460752303423488 < 3
+                                                  AND x % 4 = s // 576460752303423488
+                                                  AND (s // 576460752303423488 = 0
+                                                       OR x // 4 - s % 576460752303423488 <= 3600000000)
+                                            THEN (s // 576460752303423488 + 1) * 576460752303423488
+                                                   + CASE WHEN s // 576460752303423488 = 0
                                                           THEN x // 4
-                                                          ELSE s % 2305843009213693952 END
+                                                          ELSE s % 576460752303423488 END
                                             ELSE s END) AS st
                          FROM g)
-              SELECT CAST(st // 2305843009213693952 AS BIGINT) AS stage,
+              SELECT CAST(st // 576460752303423488 AS BIGINT) AS stage,
                      count(*) AS n_users
               FROM f GROUP BY 1 ORDER BY 1"""),
       (s, dir) => graft.api.Funnels.funnelCounts(t(s, dir, "events"),

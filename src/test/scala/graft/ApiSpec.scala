@@ -460,6 +460,15 @@ class ApiSpec extends AnyFunSuite {
         windowMicros = 30L * 60 * 1000000)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stages === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L), stages)
+    // 4 steps is the documented maximum: completing all of them must
+    // report stage 4, not overflow the encoded state (2^59 split)
+    val four = spark.createDataFrame(Seq(
+      (9L, ts(0), "a"), (9L, ts(1), "b"), (9L, ts(2), "c"), (9L, ts(3), "d")
+    )).toDF("user_id", "ts", "event_type")
+    val s4 = graft.api.Funnels.funnelStages(four, "user_id", "ts",
+        "event_type", Seq("a", "b", "c", "d"), windowMicros = 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s4 === Map(9L -> 4L), s4)
   }
 
   test("hashed-TF cosine ranks an identical doc first at exactly 1.0") {
