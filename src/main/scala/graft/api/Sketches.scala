@@ -87,6 +87,28 @@ object Sketches {
       .select(cmsBucket(col("seed"), col("term"), bits).as("pos"))
       .distinct()
 
+  /** Auditable approximate distinct count via linear counting
+    * (Whang et al. '90): hash distinct terms into `bits` buckets, count
+    * occupied buckets V, estimate = m·ln(m/(m−V)). Unlike HLL (whose
+    * register layout is engine-internal — q_approx_distinct stays
+    * rows-only for that reason), every piece here is replayable by any
+    * engine: the sha256 bucket family, the integer occupancy count,
+    * and one ln rounded at 6dp before the exact integer multiply.
+    * Accurate while n ≲ m (choose m ≫ expected cardinality; at m = n
+    * the estimator saturates and the occupancy itself is the signal).
+    * Returns one row (m, occupied, est).
+    */
+  def linearCountDistinct(docs: DataFrame, textCol: String,
+                          bits: Int = 4096): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("term"))
+      .groupBy(cmsBucket(lit(0), col("term"), bits).as("pos")).agg(count(lit(1)))
+      .agg(count(lit(1)).as("occupied"))
+      .select(lit(bits.toLong).as("m"), col("occupied"),
+        when(col("occupied") < bits,
+          round(lit(bits.toDouble) *
+            round(log(lit(bits.toDouble) / (lit(bits) - col("occupied"))), 6), 4))
+          .otherwise(lit(null).cast("double")).as("est"))
+
   /** Membership probe: `maybe` is true iff ALL `hashes` positions of
     * the term are set (a repeated position still needs only itself
     * set — each probe row matches the single stored bit).

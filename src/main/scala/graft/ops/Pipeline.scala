@@ -1026,6 +1026,26 @@ object Pipeline {
         Sketches.cmsSketch(t(s, dir, "documents"), "text", CmsDepth, CmsWidth),
         CmsTerms, CmsDepth, CmsWidth)),
 
+    // Linear-counting distinct estimate: the ORACLE-CHECKED twin of
+    // q_approx_distinct — HLL's register layout is engine-internal
+    // (rows-only by design), but linear counting is sha-bucket
+    // occupancy + one rounded ln, replayable by any engine.
+    Q("q_sketch_lc", {
+      val bucket =
+        s"""list_sum([(strpos('0123456789abcdef',
+                             substr(sha256('0|' || term), CAST(i AS INT), 1)) - 1)::BIGINT
+                      << (4*(8-i)) for i in range(1, 9)]) % 4096"""
+      Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+                    occ AS (SELECT count(DISTINCT $bucket) AS occupied FROM tok)
+               SELECT CAST(4096 AS BIGINT) AS m, occupied,
+                      CASE WHEN occupied < 4096
+                           THEN ROUND(4096.0 * ROUND(ln(4096.0 / (4096 - occupied)), 6), 4)
+                           END AS est
+               FROM occ""")
+    },
+      (s, dir) => Sketches.linearCountDistinct(
+        t(s, dir, "documents"), "text", bits = 4096)),
+
     // Bloom membership over the corpus vocabulary (same auditable hash
     // family): the broadcast pre-join pruning artifact — no false
     // negatives, false positives at the standard (1-e^(-kn/m))^k.

@@ -351,6 +351,16 @@ class ApiSpec extends AnyFunSuite {
     assert(top.head.getDouble(1) === 1.0, top.mkString(";"))
   }
 
+  test("linear counting estimates distinct terms within a few percent") {
+    val truth = docs.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().count()
+    val r = Sketches.linearCountDistinct(docs, "text").head()
+    val est = r.getDouble(2)
+    assert(math.abs(est - truth) / truth < 0.05,
+      s"linear count est=$est vs true=$truth")
+    assert(r.getLong(1) <= truth, "occupancy can only collide downward")
+  }
+
   test("cms estimates never underestimate and sketches merge by summation") {
     val probes = Seq("merge", "scan", "table", "zzz_absent")
     val sk = Sketches.cmsSketch(docs, "text")
