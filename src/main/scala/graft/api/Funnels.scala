@@ -63,6 +63,29 @@ object Funnels {
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
 
+  /** Per-key exponentially-weighted moving average over time order,
+    * α = 1/2: s_t = (x_t + s_{t-1}) / 2 — the halving is an exact IEEE
+    * exponent decrement, so the only rounding is the addition, which
+    * every engine performs identically in the same fold order. The
+    * general-α EWMA multiplies by irrational weights whose cross-engine
+    * last-ulp drift compounds; α = 1/2 (and any 2^-k) is the
+    * determinism-safe smoothing an oracle-checked pipeline can carry.
+    * Same scale shape as [[funnelStages]]: one user_id shuffle, a
+    * bounded per-user sorted fold. Returns (user_id, n_events, ewma).
+    */
+  def ewmaHalf(events: DataFrame, userCol: String, tsCol: String,
+               valueCol: String): DataFrame =
+    events
+      .select(col(userCol).as("user_id"),
+        unix_micros(col(tsCol)).as("t"), col(valueCol).cast("double").as("v"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("evs"))
+      .select(col("user_id"),
+        org.apache.spark.sql.functions.size(col("evs")).cast("long")
+          .as("n_events"),
+        expr("""round(aggregate(slice(evs, 2, size(evs) - 1), evs[0].v,
+                   (s, e) -> (e.v + s) / 2.0D), 6)""").as("ewma"))
+
   /** Cohort retention matrix: users cohorted by first-active epoch week
     * (integer `unix_micros div week` — calendar-convention-free, so any
     * engine buckets identically), counted per week offset since the

@@ -201,6 +201,21 @@ object Windows {
               FROM uw JOIN c USING (user_id)
               GROUP BY 1, 2 ORDER BY 1, 2"""),
       (s, dir) => graft.api.Funnels.retentionCohorts(
-        t(s, dir, "events"), "user_id", "ts"))
+        t(s, dir, "events"), "user_id", "ts")),
+
+    // EWMA at alpha = 1/2 over per-user time order: halving is an exact
+    // exponent decrement, so the fold's only rounding (the add) is
+    // IEEE-identical on both engines — the determinism-safe smoothing.
+    Q("q_evt_ewma",
+      Some("""WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, value AS v
+                         FROM events),
+                   g AS (SELECT user_id, list_sort(list(struct_pack(t := t, v := v))) AS evs
+                         FROM e GROUP BY 1)
+              SELECT user_id, CAST(len(evs) AS BIGINT) AS n_events,
+                     ROUND(list_reduce(list_transform(evs, x -> x.v),
+                                       (s, x) -> (x + s) / 2.0), 6) AS ewma
+              FROM g ORDER BY user_id"""),
+      (s, dir) => graft.api.Funnels.ewmaHalf(t(s, dir, "events"),
+        "user_id", "ts", "value").orderBy("user_id"))
   )
 }

@@ -481,6 +481,20 @@ class ApiSpec extends AnyFunSuite {
     assert(s4 === Map(9L -> 4L), s4)
   }
 
+  test("ewmaHalf folds in time order with exact halving") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = spark.createDataFrame(Seq(
+      (1L, ts(2), 8.0), (1L, ts(0), 4.0), (1L, ts(1), 2.0), // out of order
+      (2L, ts(0), 7.5)
+    )).toDF("user_id", "ts", "value")
+    val r = graft.api.Funnels.ewmaHalf(events, "user_id", "ts", "value")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    // time order is 4, 2, 8: ((4+2)/2 + 8)/2 = 5.5
+    assert(r(1L) === ((3L, 5.5)), r)
+    assert(r(2L) === ((1L, 7.5)), "a single event is its own average")
+  }
+
   test("hashed-TF cosine ranks an identical doc first at exactly 1.0") {
     val copy = docs.filter(col("doc_id") === 1)
       .select(lit(9001L).as("doc_id"), col("text"))
