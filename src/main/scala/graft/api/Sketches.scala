@@ -101,8 +101,8 @@ object Sketches {
   def linearCountDistinct(docs: DataFrame, textCol: String,
                           bits: Int = 4096): DataFrame =
     docs.select(explode(split(col(textCol), " ")).as("term"))
-      .groupBy(cmsBucket(lit(0), col("term"), bits).as("pos")).agg(count(lit(1)))
-      .agg(count(lit(1)).as("occupied"))
+      .select(cmsBucket(lit(0), col("term"), bits).as("pos"))
+      .agg(count_distinct(col("pos")).as("occupied"))
       .select(lit(bits.toLong).as("m"), col("occupied"),
         when(col("occupied") < bits,
           round(lit(bits.toDouble) *

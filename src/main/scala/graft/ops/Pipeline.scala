@@ -337,13 +337,21 @@ object Pipeline {
     * 0 left-join path. `where` restricts the corpus slice (the
     * streaming twin sketches only the 10% increment).
     */
+  /** DuckDB replay of [[graft.api.Sketches.cmsBucket]] — top-8-hex
+    * nibble fold of sha256("<seed>|<term>") mod width. The ONE copy of
+    * the hash contract every sketch-family oracle (count-min, bloom,
+    * hashed-TF, linear counting) shares with the Spark expression.
+    */
+  private def shaBucketSql(seedCol: String, termCol: String, width: Int) =
+    s"""list_sum([(strpos('0123456789abcdef',
+                         substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
+                                CAST(i AS INT), 1)) - 1)::BIGINT
+                  << (4*(8-i)) for i in range(1, 9)]) % $width"""
+
   private[graft] def cmsOracleFor(where: String) = {
     val terms = CmsTerms.map(t => s"'$t'").mkString(", ")
     def bucket(seedCol: String, termCol: String) =
-      s"""list_sum([(strpos('0123456789abcdef',
-                           substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
-                                  CAST(i AS INT), 1)) - 1)::BIGINT
-                    << (4*(8-i)) for i in range(1, 9)]) % $CmsWidth"""
+      shaBucketSql(seedCol, termCol, CmsWidth)
     s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents $where),
         tf AS (SELECT term, count(*) AS tf FROM tok GROUP BY 1),
         seeds AS (SELECT unnest(range($CmsDepth)) AS seed),
@@ -370,10 +378,7 @@ object Pipeline {
   private val bloomOracle = {
     val terms = CmsTerms.map(t => s"'$t'").mkString(", ")
     def bucket(seedCol: String, termCol: String) =
-      s"""list_sum([(strpos('0123456789abcdef',
-                           substr(sha256(CAST($seedCol AS VARCHAR) || '|' || $termCol),
-                                  CAST(i AS INT), 1)) - 1)::BIGINT
-                    << (4*(8-i)) for i in range(1, 9)]) % $BloomBits"""
+      shaBucketSql(seedCol, termCol, BloomBits)
     s"""WITH tok AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
                      FROM documents),
         seeds AS (SELECT unnest(range($BloomHashes)) AS seed),
@@ -989,10 +994,7 @@ object Pipeline {
     // day-one similarity operator — no embeddings, no vocabulary; all
     // integer sums, so the full ranking carries an oracle.
     Q("q_text_hashtf", {
-      val bucket =
-        s"""list_sum([(strpos('0123456789abcdef',
-                             substr(sha256('0|' || term), CAST(i AS INT), 1)) - 1)::BIGINT
-                      << (4*(8-i)) for i in range(1, 9)]) % 256"""
+      val bucket = shaBucketSql("0", "term", 256)
       Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                             FROM documents),
                    tfh AS (SELECT doc_id, $bucket AS bucket, count(*) AS c
@@ -1031,10 +1033,7 @@ object Pipeline {
     // (rows-only by design), but linear counting is sha-bucket
     // occupancy + one rounded ln, replayable by any engine.
     Q("q_sketch_lc", {
-      val bucket =
-        s"""list_sum([(strpos('0123456789abcdef',
-                             substr(sha256('0|' || term), CAST(i AS INT), 1)) - 1)::BIGINT
-                      << (4*(8-i)) for i in range(1, 9)]) % 4096"""
+      val bucket = shaBucketSql("0", "term", 4096)
       Some(s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
                     occ AS (SELECT count(DISTINCT $bucket) AS occupied FROM tok)
                SELECT CAST(4096 AS BIGINT) AS m, occupied,
