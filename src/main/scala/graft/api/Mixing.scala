@@ -70,6 +70,40 @@ object Mixing {
     perDoc.map { case (s, w) => s -> (w / wMax).min(1.0) }
   }
 
+  /** Deterministic dataset split (train/val/test and friends): each row
+    * lands in the split whose cumulative-weight interval contains its
+    * Knuth hash — the same reproducibility contract as
+    * [[stratifiedSample]] (engine-, partitioning-, and rerun-stable; a
+    * doc's split never depends on the rest of the corpus, so
+    * incremental corpus growth never reshuffles existing assignments).
+    * Weights must sum to 1 (±1e-9); boundaries are the driver-computed
+    * integer thresholds of the cumulative sums, so any mirrored SQL
+    * compares the same literals.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "assignSplit needs positive split weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(threshold)
+    val h = knuthHash(col(idCol))
+    // fold from the LAST split backwards so earlier intervals win
+    val assign = splits.map(_._1).zip(bounds).init
+      .foldRight(lit(splits.last._1): Column) { case ((name, b), rest) =>
+        when(h < b, lit(name)).otherwise(rest)
+      }
+    df.withColumn("split", assign)
+  }
+
+  /** The split-boundary thresholds, for mirrored oracle SQL. */
+  def splitThresholds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(threshold)
+    splits.map(_._1).zip(bounds)
+  }
+
   /** Keep each row of stratum s with probability rates(s) (exact in
     * expectation; the SAME rows are chosen everywhere). Strata missing
     * from `rates` fall back to defaultRate.

@@ -1076,6 +1076,25 @@ object Pipeline {
           .select("doc_id").orderBy("doc_id")
       }),
 
+    // Deterministic 80/10/10 train/val/test split: every training
+    // pipeline's first branching step. Hash-interval assignment means a
+    // doc's split never changes as the corpus grows.
+    Q("q_mix_split", {
+      val th = graft.api.Mixing.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val Seq(t1, t2) = th.init.map(_._2)
+      Some(s"""SELECT lang,
+                      CASE WHEN ${graft.api.Mixing.knuthHashSql("doc_id")} < $t1 THEN 'train'
+                           WHEN ${graft.api.Mixing.knuthHashSql("doc_id")} < $t2 THEN 'val'
+                           ELSE 'test' END AS split,
+                      count(*) AS n
+               FROM documents GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+      (s, dir) => graft.api.Mixing.assignSplit(t(s, dir, "documents"),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
+
     // Temperature-scaled mixing (share_s ∝ count_s^0.5): the α-mix of
     // LLM data recipes — low-resource sources upsampled relative to the
     // crawl. Rates derive from the OBSERVED source counts driver-side

@@ -436,6 +436,23 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("dataset split partitions every row and is stable under growth") {
+    import graft.api.Mixing
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Mixing.assignSplit(docs, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size === 500) // every row assigned exactly once
+    val frac = full.values.groupBy(identity).view.mapValues(_.size / 500.0)
+    assert(math.abs(frac("train") - 0.8) < 0.06, frac.toMap)
+    // growth stability: the same doc gets the same split on ANY subset
+    val half = Mixing.assignSplit(docs.filter(col("doc_id") < 250),
+        "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    half.foreach { case (id, s) => assert(full(id) === s, s"doc $id moved") }
+  }
+
   test("temperature rates: natural at alpha=1, equalizing at alpha=0, monotone") {
     import graft.api.Mixing
     val counts = Map("crawl" -> 1000000L, "wiki" -> 10000L, "books" -> 1000L)
