@@ -19,6 +19,32 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Padding-waste diagnostics by power-of-two length bucket: if each
+    * doc were padded to its bucket's capacity (the fixed-shape batch a
+    * naive loader builds), how many pad tokens does each bucket burn?
+    * The numbers motivate [[packGreedy]] — packed bins waste
+    * budget−fill, padded batches waste cap−len per doc. Pure integer
+    * arithmetic over one scan + one tiny aggregate.
+    */
+  def lengthBuckets(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs.filter(col(idCol).isNotNull)
+      .select(size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      // bucket cap = smallest power of two >= n_tokens, picked from an
+      // integer candidate list — NOT ceil(log2(n)), whose fp log can
+      // land a hair above an exact power and bump the bucket on one
+      // engine but not the other. Docs beyond 2^20 tokens get NULL.
+      .withColumn("cap", expr(
+        """array_min(filter(transform(sequence(0, 20),
+             p -> shiftleft(CAST(1 AS BIGINT), p)), c -> c >= n_tokens))"""))
+      .groupBy("cap")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        (sum(col("cap")) - sum(col("n_tokens"))).as("pad_waste"))
+      .orderBy("cap")
+  }
+
   /** Greedy in-order packing: within each stratum, docs (ascending
     * `idCol`) accumulate into the current bin until the next doc would
     * overflow `budget`, which seals the bin and opens the next — the

@@ -1076,6 +1076,23 @@ object Pipeline {
           .select("doc_id").orderBy("doc_id")
       }),
 
+    // Padding-waste diagnostics by power-of-two length bucket: the
+    // numbers that motivate packing (padded batches burn cap-len per
+    // doc). Integer-only bucket pick, so the oracle is exact.
+    Q("q_pack_lenbuckets",
+      Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                         FROM documents),
+                   b AS (SELECT n_tokens,
+                                list_min(list_filter([1 << p for p in range(0, 21)],
+                                                     c -> c >= n_tokens)) AS cap
+                         FROM d)
+              SELECT CAST(cap AS BIGINT) AS cap, count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                     CAST(sum(cap) - sum(n_tokens) AS BIGINT) AS pad_waste
+              FROM b GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => Packing.lengthBuckets(t(s, dir, "documents"),
+        "doc_id", "text")),
+
     // Deterministic 80/10/10 train/val/test split: every training
     // pipeline's first branching step. Hash-interval assignment means a
     // doc's split never changes as the corpus grows.
