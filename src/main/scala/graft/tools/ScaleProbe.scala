@@ -308,6 +308,43 @@ object ScaleProbe {
       f"(${(sx2 - sx1) / 1e6}%.1f MB)  time-growth=${dxN / dx1}%.1fx " +
       f"shuffle-growth=${(sx2 - sx1).toDouble / (sx1 - sx0)}%.1fx")
 
+    // hashed-TF similarity at mult x corpus: the bucket join's output
+    // rides on per-bucket postings (bounded by dim buckets over the
+    // corpus), so wall must track corpus size ~linearly — never
+    // corpus x corpus
+    val th1 = System.nanoTime()
+    val ht1 = TextAnalysis.hashedTfTopK(docsFor(1), "doc_id", "text",
+      queryId = 1, k = 10).count()
+    val dh1 = (System.nanoTime() - th1) / 1e9
+    val thN = System.nanoTime()
+    val htN = TextAnalysis.hashedTfTopK(docs, "doc_id", "text",
+      queryId = 1, k = 10).count()
+    val dhN = (System.nanoTime() - thN) / 1e9
+    println(f"hashed-tf top-k (${mult}x corpus): 1x=$ht1 rows ${dh1}%.2f s  " +
+      f"${mult}x=$htN rows ${dhN}%.2f s  time-growth=${dhN / dh1}%.1fx")
+
+    // funnel at mult x events: one user_id shuffle + bounded per-user
+    // folds — linear in the event stream
+    import graft.api.Funnels
+    // events.parquet is nanosecond-precision: read nanos as long and
+    // truncate to micros, same as ops.H.t
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev0 = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def evFor(m: Int) = ev0.crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("user_id") + col("rep") * lit(10000000L)).as("user_id"),
+        col("ts"), col("event_type"))
+    val tf1 = System.nanoTime()
+    val fu1 = Funnels.funnelCounts(evFor(1), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600000000L).count()
+    val df1 = (System.nanoTime() - tf1) / 1e9
+    val tfN = System.nanoTime()
+    val fuN = Funnels.funnelCounts(evFor(mult), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600000000L).count()
+    val dfN = (System.nanoTime() - tfN) / 1e9
+    println(f"funnel (${mult}x events): 1x=$fu1 stages ${df1}%.2f s  " +
+      f"${mult}x=$fuN stages ${dfN}%.2f s  time-growth=${dfN / df1}%.1fx")
+
     // count-min sketch at mult x corpus: the sketch is depth x width
     // rows NO MATTER the corpus size — the probe pins that invariant
     // (the thing you persist/broadcast stays tiny) while the build wall
