@@ -243,13 +243,16 @@ object Extras {
                SELECT doc_id,
                       CAST(greatest(1, FLOOR(w * scale)) AS BIGINT) AS width,
                       CAST(greatest(1, FLOOR(ht * scale)) AS BIGINT) AS height,
-                      encode(substr(text, 1, 64)) AS thumb
+                      hex(encode(substr(text, 1, 64))) AS thumb
                FROM sc ORDER BY doc_id"""),
       (s, dir) => Multimodal.resize(s, t(s, dir, "documents"), maxDim = 128)
         .toDF()
         .select(col("doc_id"),
           col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"), col("thumb"))
+          col("height").cast("long").as("height"),
+          // hex-project the payload: byte content stays pinned, and the
+          // driver harness can sort+hash a string where raw binary cannot
+          hex(col("thumb")).as("thumb"))
         .orderBy("doc_id")),
 
     // frame indices come from a STATIC range(0, 240) anti-aliased by
@@ -260,15 +263,16 @@ object Extras {
                     v AS (SELECT doc_id, text, 1 + (hv >> 20) % 240 AS frames,
                                  length(text) AS len FROM h)
                SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
-                      encode(substr(text,
-                        CAST((i % greatest(1, len)) + 1 AS INT), 16)) AS frame
+                      hex(encode(substr(text,
+                        CAST((i % greatest(1, len)) + 1 AS INT), 16))) AS frame
                FROM v JOIN range(0, 240) t(i)
                  ON i < frames AND i % 30 = 0
                ORDER BY doc_id, frame_idx"""),
       (s, dir) => Multimodal.frameSample(s, t(s, dir, "documents"), everyK = 30)
         .toDF()
         .select(col("doc_id"),
-          col("frame_idx").cast("long").as("frame_idx"), col("frame"))
+          col("frame_idx").cast("long").as("frame_idx"),
+          hex(col("frame")).as("frame"))
         .orderBy("doc_id", "frame_idx"))
   )
 }
