@@ -11,48 +11,73 @@ import org.apache.spark.sql.functions._
   * /root/reference/src/shelf/tables.py:164-177; here it is one scan +
   * one shuffle at any scale).
   *
-  * Scale + determinism shape: events fold PER USER over a sorted
-  * per-user list (one hash shuffle on user_id; per-user event counts
-  * are bounded, the corpus is not), and both the sort key and the fold
-  * state are exact BIGINT encodings — event = ts_micros·4 + step_idx,
-  * state = stage·2^59 + first_step_ts — so every comparison is integer
-  * arithmetic any engine reproduces bit-for-bit (no timestamp, struct,
-  * or fp semantics in the hot path). Timestamps must be ≥ the epoch:
-  * negative micros break both the `% 4` step extraction and the
-  * truncating `div 4` timestamp recovery.
+  * Scale + determinism shape: events fold PER USER in sorted order via
+  * `flatMapSortedGroups` — Spark's sort-based secondary sort streams
+  * each user's events through the fold WITHOUT materializing them, so a
+  * power user (or bot) with 10⁷–10⁸ events costs sort spill, never task
+  * memory (the earlier `sort_array(collect_list(...))` formulation
+  * built the whole per-user array in one task). Both the sort key and
+  * the fold state are exact BIGINT encodings — event = ts_micros·4 +
+  * step_idx, state = (stage, first_step_ts) — so every comparison is
+  * integer arithmetic any engine reproduces bit-for-bit (no timestamp,
+  * struct, or fp semantics in the hot path). Timestamps must be ≥ the
+  * epoch: negative micros would break the `% 4` step extraction and the
+  * truncating `div 4` timestamp recovery, so the fold REJECTS them
+  * loudly (IllegalArgumentException) instead of reporting stage 0.
   */
 object Funnels {
+
+  /** Internal: group key is the user column cast to string (one stable
+    * typed encoder for any input key type); `restore` casts it back to
+    * the input column's exact DataType so the output schema is
+    * unchanged. Lossless for integral and string keys — the realistic
+    * domain of a user id (fp keys round-trip only when their string
+    * form does, which is also the only regime where grouping them makes
+    * sense at all).
+    */
+  private def userKey(events: DataFrame, userCol: String): Column =
+    col(userCol).cast("string").as("uk")
 
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
                    windowMicros: Long): DataFrame = {
-    // step index rides in the low 2 bits of the encoding; the 2^59
-    // state split leaves room for stage values up to 4 WITHOUT the
-    // final advance (4+1 would need it) overflowing 2^63 — 4·2^59 +
-    // t0 < 2^62 — while 59 bits still hold micros until year ~20000
+    // step index rides in the low 2 bits of the encoding; 2 bits bound
+    // the funnel at 4 steps, and 62 bits of non-negative micros·4 stay
+    // clear of the sign bit until year ~148000
     require(steps.nonEmpty && steps.size <= 4,
       s"funnelStages encodes the step index in 2 bits; got ${steps.size} steps")
     require(windowMicros > 0, "windowMicros must be positive")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val userType = events.schema(userCol).dataType
+    val nSteps = steps.size.toLong
     val idx: Column = steps.zipWithIndex
       .foldLeft(lit(-1L): Column) { case (acc, (st, i)) =>
         when(col(typeCol) === st, lit(i.toLong)).otherwise(acc)
       }
-    val S = 1L << 59
     events.filter(col(typeCol).isin(steps: _*))
-      .select(col(userCol).as("user_id"),
+      .select(userKey(events, userCol),
         (unix_micros(col(tsCol)) * 4 + idx).as("enc"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(col("enc"))).as("evs"))
-      .select(col("user_id"), expr(
-        s"""aggregate(evs, CAST(0 AS BIGINT),
-              (s, x) -> IF(s div ${S}L < ${steps.size}L
-                           AND x % 4L = s div ${S}L
-                           AND (s div ${S}L = 0L
-                                OR x div 4L - s % ${S}L <= ${windowMicros}L),
-                        (s div ${S}L + 1L) * ${S}L
-                          + IF(s div ${S}L = 0L, x div 4L, s % ${S}L),
-                        s),
-              s -> s div ${S}L)""").as("stage"))
+      .filter(col("uk").isNotNull && col("enc").isNotNull) // collect_list parity
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("enc")) { (uk, it) =>
+        var stage = 0L
+        var t0 = 0L
+        it.foreach { case (_, x) =>
+          if (x < 0L) throw new IllegalArgumentException(
+            s"funnelStages: pre-epoch timestamp for user $uk (enc=$x); " +
+              "the BIGINT step encoding requires ts >= 1970-01-01")
+          if (stage < nSteps && x % 4L == stage &&
+              (stage == 0L || x / 4L - t0 <= windowMicros)) {
+            if (stage == 0L) t0 = x / 4L
+            stage += 1L
+          }
+        }
+        Iterator((uk, stage))
+      }
+      .toDF("uk", "stage")
+      .select(col("uk").cast(userType).as("user_id"), col("stage"))
   }
 
   /** Per-stage user counts: how many users stalled at each depth. */
@@ -71,20 +96,35 @@ object Funnels {
     * last-ulp drift compounds; α = 1/2 (and any 2^-k) is the
     * determinism-safe smoothing an oracle-checked pipeline can carry.
     * Same scale shape as [[funnelStages]]: one user_id shuffle, a
-    * bounded per-user sorted fold. Returns (user_id, n_events, ewma).
+    * STREAMED per-user sorted fold (secondary sort — no per-user array,
+    * so event-count skew cannot OOM a task). Events are ordered by
+    * (t, v), matching the lexicographic struct sort the oracle replays.
+    * Returns (user_id, n_events, ewma).
     */
   def ewmaHalf(events: DataFrame, userCol: String, tsCol: String,
-               valueCol: String): DataFrame =
+               valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val userType = events.schema(userCol).dataType
     events
-      .select(col(userCol).as("user_id"),
+      .select(userKey(events, userCol),
         unix_micros(col(tsCol)).as("t"), col(valueCol).cast("double").as("v"))
-      .groupBy("user_id")
-      .agg(sort_array(collect_list(struct(col("t"), col("v")))).as("evs"))
-      .select(col("user_id"),
-        org.apache.spark.sql.functions.size(col("evs")).cast("long")
-          .as("n_events"),
-        expr("""round(aggregate(slice(evs, 2, size(evs) - 1), evs[0].v,
-                   (s, e) -> (e.v + s) / 2.0D), 6)""").as("ewma"))
+      .filter(col("uk").isNotNull && col("t").isNotNull && col("v").isNotNull)
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("t"), col("v")) { (uk, it) =>
+        var n = 0L
+        var s = 0.0
+        it.foreach { case (_, _, v) =>
+          s = if (n == 0L) v else (v + s) / 2.0
+          n += 1L
+        }
+        Iterator((uk, n, s))
+      }
+      .toDF("uk", "n_events", "ewma")
+      .select(col("uk").cast(userType).as("user_id"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"))
+  }
 
   /** Cohort retention matrix: users cohorted by first-active epoch week
     * (integer `unix_micros div week` — calendar-convention-free, so any

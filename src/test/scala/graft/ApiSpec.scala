@@ -498,6 +498,38 @@ class ApiSpec extends AnyFunSuite {
     assert(s4 === Map(9L -> 4L), s4)
   }
 
+  test("funnel + ewma stream a 10^6-event power user without a fat task") {
+    // one user owns a million events — the skew case that OOMs a
+    // collect_list formulation; the secondary-sort fold must stream it
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime
+    val ev = spark.range(1000000).selectExpr(
+      "CAST(7 AS BIGINT) AS user_id",
+      s"timestamp_millis(${base}L + id * 10) AS ts",
+      "element_at(array('view','click','purchase'), CAST(id % 3 + 1 AS INT)) AS event_type",
+      "CAST(id % 97 AS DOUBLE) AS value")
+    val st = graft.api.Funnels.funnelStages(ev, "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        windowMicros = 3600L * 1000000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === Map(7L -> 3L), st) // view@0ms, click@10ms, purchase@20ms
+    val ew = graft.api.Funnels.ewmaHalf(ev, "user_id", "ts", "value")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ew === Map(7L -> 1000000L), ew)
+  }
+
+  test("funnel rejects pre-epoch timestamps loudly") {
+    val events = spark.createDataFrame(Seq(
+      (1L, java.sql.Timestamp.valueOf("1969-12-31 00:00:00"), "view")
+    )).toDF("user_id", "ts", "event_type")
+    val ex = intercept[Exception] {
+      graft.api.Funnels.funnelStages(events, "user_id", "ts", "event_type",
+        Seq("view", "click"), windowMicros = 1000000L).collect()
+    }
+    val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("pre-epoch"), msgs)
+  }
+
   test("ewmaHalf folds in time order with exact halving") {
     import java.sql.Timestamp
     def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
