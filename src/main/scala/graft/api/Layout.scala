@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** SQL-identifier quoting for the expr-string fragments below: any
+    * column name (dots, spaces, hyphens, embedded backticks) survives
+    * interpolation instead of breaking the parse or splicing as code.
+    */
+  private def qi(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Morton code of the low `bits` of two non-negative integer columns:
     * bit b of x lands at position 2b, bit b of y at 2b+1.
     */
@@ -33,8 +40,8 @@ object Layout {
     // itself lands on the sign — interleaved codes would silently go
     // negative for the upper half of a 16-bit dimension
     val terms = (0 until bits).flatMap { b =>
-      Seq(s"shiftleft(shiftright(CAST($xCol AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b})",
-        s"shiftleft(shiftright(CAST($yCol AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b + 1})")
+      Seq(s"shiftleft(shiftright(CAST(${qi(xCol)} AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b})",
+        s"shiftleft(shiftright(CAST(${qi(yCol)} AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b + 1})")
     }
     expr(terms.mkString("(", " + ", ")"))
   }
@@ -56,10 +63,22 @@ object Layout {
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
                   path: String, nFiles: Int, bits: Int = 16): Unit = {
+    // integral-only precondition, enforced: on fractional or negative
+    // DOUBLE values the long cast truncates toward zero, (c - lo) can
+    // go negative, and the interleave mask would wrap it to a large
+    // positive code — silently scrambling layout quality. Bucket or
+    // floor fractional dimensions to integers BEFORE z-ordering.
+    for (c <- Seq(xCol, yCol)) {
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"zorderWrite needs integral dimension columns; `$c` is $dt " +
+          "(bucket or floor it to an integer first)")
+    }
     val cols = df.columns.map(col)
     val mm = df.agg(
-      min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
-      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+      min(col(qi(xCol))).cast("long"), max(col(qi(xCol))).cast("long"),
+      min(col(qi(yCol))).cast("long"), max(col(qi(yCol))).cast("long")).head()
     if (mm.isNullAt(0)) { // empty input: nothing to lay out
       df.write.mode("overwrite").parquet(path)
       return
@@ -72,9 +91,9 @@ object Layout {
       val range = BigInt(hi) - BigInt(lo) // hi - lo itself can overflow Long
       if (range == 0) "CAST(0 AS BIGINT)"
       else if (range <= Long.MaxValue / m)
-        s"(((CAST($c AS BIGINT) - ${lo}L) * ${m}L) div ${range}L)"
+        s"(((CAST(${qi(c)} AS BIGINT) - ${lo}L) * ${m}L) div ${range}L)"
       else
-        s"""CAST(least(${m}L, floor((CAST($c AS DOUBLE) - ${lo}.0D)
+        s"""CAST(least(${m}L, floor((CAST(${qi(c)} AS DOUBLE) - ${lo}.0D)
              * ${m}.0D / ${range.toDouble}D)) AS BIGINT)"""
     }
     df.withColumn("__zx", expr(norm(xCol, mm.getLong(0), mm.getLong(1))))

@@ -141,12 +141,19 @@ object Pipeline {
     else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
       case None => sql
       case Some(s) =>
-        val cases = tempRates(s, Sources.oracleSfDir).toSeq.sorted
-          .map { case (k, r) =>
-            // data-derived keys: escape quotes for the SQL literal
-            s"WHEN '${k.replace("'", "''")}' THEN ${graft.api.Mixing.threshold(r)}"
-          }.mkString(" ")
-        sql.replace(tempPlaceholder, cases)
+        // a missing/empty documents table must fail ONLY
+        // q_mix_temperature's own compare, not abort the whole oracle
+        // dump — same Try discipline as resolveLshPlanes
+        scala.util.Try(tempRates(s, Sources.oracleSfDir)) match {
+          case scala.util.Failure(_) => sql
+          case scala.util.Success(rates) =>
+            val cases = rates.toSeq.sorted
+              .map { case (k, r) =>
+                // data-derived keys: escape quotes for the SQL literal
+                s"WHEN '${k.replace("'", "''")}' THEN ${graft.api.Mixing.threshold(r)}"
+              }.mkString(" ")
+            sql.replace(tempPlaceholder, cases)
+        }
     }
 
   private def resolveKmeans(sql: String): String =
