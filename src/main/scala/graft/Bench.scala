@@ -123,6 +123,22 @@ object Bench {
     val wall = (System.nanoTime() - wall0) / 1e9
     pool.shutdown()
 
+    // One-shot UNLOADED re-runs of the slowest tail: the loaded numbers
+    // above conflate a query's own compute with scheduler queueing under
+    // ~150 concurrent jobs (and, for the streaming replays, with fixed
+    // AvailableNow/RocksDB startup). Re-running the slowest alone pins
+    // the actual compute so a regression can't hide under load noise.
+    val unloaded: Seq[(String, Double)] = results.sortBy(-_._2).take(5)
+      .map { case (name, _) =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case t: Throwable =>
+          errors.incrementAndGet()
+          System.err.println(s"bench: unloaded $name FAILED: ${t.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
     // The driver captures only the last 2000 bytes of stdout (round 1's
     // full-precision ~2.6 KB line got truncated → "parsed": null), so the
     // stdout line is budgeted: full-precision per-query numbers go to
@@ -132,8 +148,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val buildsFull = builds.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val unloadedFull = unloaded.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"errors":${errors.get},"builds":$buildsFull,"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"errors":${errors.get},"builds":$buildsFull,"unloaded":$unloadedFull,"queries":$full,"sf":"$sfDir"}""")
 
     // "value" covers the whole run (builds + queries) — comparable to
     // prior rounds where builds were folded into query numbers — while
