@@ -17,6 +17,7 @@ object Cli {
         |  audit [--fix]
         |  db [query] [--csv] [--names short|full|both]
         |  export <dest_dir>
+        |  export-duckdb <db_file> [--short]
         |  new-table <dataset_name> [dep_uri...]""".stripMargin)
     sys.exit(2)
   }
@@ -74,12 +75,22 @@ object Cli {
             shell(shelf)
         }
       case "shell" => shell(shelf)
-      case "export" | "export-duckdb" =>
-        // reference command name kept as an alias; the container is a
-        // parquet directory + manifest instead of a .duckdb file (A18)
+      case "export" =>
         if (pos.isEmpty) usage()
         shelf.export(Paths.get(pos.head))
         println(s"exported to ${pos.head}")
+      case "export-duckdb" =>
+        // with the `duckdb` CLI on PATH this produces a real .duckdb
+        // database (reference __init__.py:285-312, incl. --short alias
+        // renames); without it, the documented fallback container is
+        // the same parquet directory + manifest `export` writes (A18)
+        if (pos.isEmpty) usage()
+        if (shelf.exportDuckdb(Paths.get(pos.head), flags("--short")))
+          println(s"exported duckdb database to ${pos.head}")
+        else {
+          shelf.export(Paths.get(pos.head))
+          println(s"duckdb CLI not found; exported parquet container to ${pos.head}")
+        }
       case "new-table" =>
         if (pos.isEmpty) usage()
         val uri = shelf.newTable(pos.head, pos.tail.map(StepURI.parse))

@@ -161,6 +161,48 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
       "tables" -> entries.toMap, "aliases" -> aliases))
   }
 
+  /** Reference-parity `export-duckdb` (__init__.py:285-312): when the
+    * `duckdb` CLI is on PATH, materialize a real `.duckdb` database —
+    * one `CREATE OR REPLACE TABLE` per built table reading its parquet,
+    * then (with `short`, parity with the reference flag) rename each
+    * table to its best alias. Returns true when the `.duckdb` file was
+    * produced; false when no CLI is available, in which case the caller
+    * falls back to [[export]]'s parquet+manifest container (the
+    * documented container swap for CLI-less environments).
+    */
+  def exportDuckdb(dbFile: Path, short: Boolean = false): Boolean =
+    Shelf.duckdbCli() match {
+      case None => false
+      case Some(cli) =>
+        run()
+        def qid(n: String) = "\"" + n.replace("\"", "\"\"") + "\""
+        def qstr(s: String) = "'" + s.replace("'", "''") + "'"
+        val creates = tablePaths.map { p =>
+          val name = Naming.pathToSnake(p)
+          val src = Tables.tablePath(root, StepURI.table(p))
+          s"CREATE OR REPLACE TABLE ${qid(name)} AS " +
+            s"SELECT * FROM read_parquet(${qstr(src.toString)});"
+        }
+        val renames =
+          if (!short) Seq.empty
+          else Naming.tableAliases(tablePaths)
+            .filter { case (alias, name) => alias != name }
+            .flatMap { case (alias, name) => Seq(
+              s"DROP TABLE IF EXISTS ${qid(alias)};",
+              s"ALTER TABLE ${qid(name)} RENAME TO ${qid(alias)};") }
+        Files.deleteIfExists(dbFile)
+        if (dbFile.getParent != null) Files.createDirectories(dbFile.getParent)
+        val proc = new ProcessBuilder(cli, dbFile.toString)
+          .redirectErrorStream(true).start()
+        val w = new java.io.PrintWriter(proc.getOutputStream)
+        (creates ++ renames).foreach(w.println)
+        w.close()
+        val out = new String(proc.getInputStream.readAllBytes())
+        val code = proc.waitFor()
+        require(code == 0, s"duckdb CLI exited $code:\n$out")
+        true
+    }
+
   /** Scaffold a new SQL table step (reference `shelf new-table`). */
   def newTable(datasetName: String, deps: Seq[StepURI],
                today: java.time.LocalDate = java.time.LocalDate.now()): StepURI = {
@@ -185,6 +227,18 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
 
 object Shelf {
   def apply(root: Path, spark: SparkSession): Shelf = new Shelf(root, () => spark)
+
+  /** The `duckdb` CLI binary, if one is on PATH (none ships in this
+    * container — the fallback parquet container is the tested path
+    * there; environments with the CLI get a real `.duckdb` artifact).
+    */
+  private[graft] def duckdbCli(): Option[String] =
+    sys.env.getOrElse("PATH", "")
+      .split(java.io.File.pathSeparatorChar).iterator
+      .filter(_.nonEmpty)
+      .map(p => java.nio.file.Paths.get(p, "duckdb"))
+      .find(Files.isExecutable)
+      .map(_.toString)
 
   def defaultSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

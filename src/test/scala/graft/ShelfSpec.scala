@@ -363,6 +363,21 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(manifest("tables").asInstanceOf[Map[String, Any]].contains("exp_t_20260812"))
   }
 
+  test("export-duckdb builds a real .duckdb when the CLI is present") {
+    // environments without the duckdb binary (this container) exercise
+    // the documented parquet-container fallback instead — skip here
+    assume(graft.shelf.Shelf.duckdbCli().isDefined, "duckdb CLI not on PATH")
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/exp/db/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT 7 AS dim_n")
+    shelf.catalog = shelf.catalog.addStep(StepURI.table("exp/db/2026-08-12"))
+    shelf.catalog.save()
+    val db = Files.createTempDirectory("dd").resolve("out.duckdb")
+    assert(shelf.exportDuckdb(db, short = true))
+    assert(Files.exists(db) && Files.size(db) > 0)
+  }
+
   test("partitioned directory output via write config (cluster-scale path)") {
     val (shelf, root) = freshShelf()
     val script = root.resolve("src/steps/tables/part/t/2026-08-12.sql")
