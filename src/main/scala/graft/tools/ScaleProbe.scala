@@ -275,7 +275,9 @@ object ScaleProbe {
     // matches the query terms — scoring volume is FIXED while the
     // scanned corpus grows mult x.
     import graft.api.TextAnalysis
-    val bmTerms = Seq("dup", "vector", "merge", "scan")
+    // the zz0 suffix targets replica 0's vocabulary: real posting lists
+    // at every mult (plain words match NOTHING after the word renaming)
+    val bmTerms = Seq("dupzz0", "vectorzz0", "mergezz0", "scanzz0")
     val tm1 = System.nanoTime()
     val bm1 = TextAnalysis.bm25TopDocs(docsFor(1), "doc_id", "text",
       bmTerms, k = 20).count()
@@ -359,6 +361,84 @@ object ScaleProbe {
     println(f"cms sketch (4x256, ${mult}x corpus): 1x=$skRows1 rows ${dcm1}%.2f s  " +
       f"${mult}x=$skRowsN rows ${dcmN}%.2f s  time-growth=${dcmN / dcm1}%.1fx " +
       f"sketch-rows-invariant=${skRowsN <= 4 * 256}")
+
+    // keep-best dedup at mult x: pair gen is the inverted index probed
+    // above; clustering is flat; the keep-best window runs over the
+    // CLUSTER MEMBER set only (tiny vs corpus), so wall must track
+    // pairs, never corpus x corpus
+    val docsScored1 = docsFor(1).withColumn("score", length(col("text")))
+    val docsScoredN = docs.withColumn("score", length(col("text")))
+    val tkb1 = System.nanoTime()
+    val kb1 = Dedup.keepBestPerCluster(docsScored1, "doc_id",
+      Dedup.duplicateClusters(Dedup.nearDuplicatePairs(sh1, 0.5)),
+      "score").count()
+    val dkb1 = (System.nanoTime() - tkb1) / 1e9
+    val tkbN = System.nanoTime()
+    val kbN = Dedup.keepBestPerCluster(docsScoredN, "doc_id",
+      Dedup.duplicateClusters(Dedup.nearDuplicatePairs(shN, 0.5)),
+      "score").count()
+    val dkbN = (System.nanoTime() - tkbN) / 1e9
+    println(f"keep-best dedup (${mult}x corpus): 1x=$kb1 kept ${dkb1}%.2f s  " +
+      f"${mult}x=$kbN kept ${dkbN}%.2f s  time-growth=${dkbN / dkb1}%.1fx " +
+      f"survivor-growth=${kbN.toDouble / kb1}%.1fx")
+
+    // retention at mult x events: the (user, week) DISTINCT pass bounds
+    // everything downstream by active user-weeks — growth must track
+    // users, and the cohort matrix stays cohort-weeks x offsets small
+    val tr1 = System.nanoTime()
+    val rt1 = Funnels.retentionCohorts(evFor(1), "user_id", "ts").count()
+    val dr1 = (System.nanoTime() - tr1) / 1e9
+    val trN = System.nanoTime()
+    val rtN = Funnels.retentionCohorts(evFor(mult), "user_id", "ts").count()
+    val drN = (System.nanoTime() - trN) / 1e9
+    println(f"retention (${mult}x events): 1x=$rt1 cells ${dr1}%.2f s  " +
+      f"${mult}x=$rtN cells ${drN}%.2f s  time-growth=${drN / dr1}%.1fx")
+
+    // funnel POWER-USER skew: every replicated event lands on ONE user
+    // — the collect_list formulation this fold replaced would buffer the
+    // whole stream in a single task; the secondary-sort fold streams it
+    // (completes with flat task memory, wall ~linear in events)
+    val evSkew = ev0.crossJoin(spark.range(mult))
+      .select(lit(777L).as("user_id"), col("ts"), col("event_type"))
+    val tps = System.nanoTime()
+    val psRows = Funnels.funnelStages(evSkew, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600000000L).count()
+    val dps = (System.nanoTime() - tps) / 1e9
+    println(f"funnel power-user (${mult}x events, ONE user): " +
+      f"$psRows row ${dps}%.2f s (streamed fold, no per-user array)")
+
+    // deterministic split at mult x: knuth-hash predicate is pure
+    // map-side — the only shuffle is the 3-row split count
+    import graft.api.Mixing
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val ssp0 = shufSnap()
+    val tssp1 = System.nanoTime()
+    val spl1 = Mixing.assignSplit(docsFor(1), "doc_id", splits)
+      .groupBy("split").count().count()
+    val dssp1 = (System.nanoTime() - tssp1) / 1e9
+    val ssp1 = shufSnap()
+    val tspN = System.nanoTime()
+    val splN = Mixing.assignSplit(docs, "doc_id", splits)
+      .groupBy("split").count().count()
+    val dspN = (System.nanoTime() - tspN) / 1e9
+    val ssp2 = shufSnap()
+    println(f"split assign (${mult}x corpus): 1x=$spl1 splits ${dssp1}%.2f s " +
+      f"(${(ssp1 - ssp0) / 1e6}%.1f MB shuffled)  ${mult}x=$splN splits ${dspN}%.2f s " +
+      f"(${(ssp2 - ssp1) / 1e6}%.1f MB)  time-growth=${dspN / dssp1}%.1fx")
+
+    // perplexity with a 10x LARGER vocab cap: model rows scale with V
+    // (TakeOrdered broadcast), not the corpus — the wall should move
+    // modestly vs the V=1000 run above, and stay linear in the corpus
+    val tpv1 = System.nanoTime()
+    val pv1 = TextAnalysis.perplexityScore(docsFor(1), "doc_id", "text",
+      vocabSize = 10000).count()
+    val dpv1 = (System.nanoTime() - tpv1) / 1e9
+    val tpvN = System.nanoTime()
+    val pvN = TextAnalysis.perplexityScore(docs, "doc_id", "text",
+      vocabSize = 10000).count()
+    val dpvN = (System.nanoTime() - tpvN) / 1e9
+    println(f"perplexity (V=10000, ${mult}x corpus): 1x=$pv1 docs ${dpv1}%.2f s  " +
+      f"${mult}x=$pvN docs ${dpvN}%.2f s  time-growth=${dpvN / dpv1}%.1fx")
     spark.stop()
   }
 }
