@@ -193,6 +193,25 @@ class PlanSpec extends AnyFunSuite {
       s"global sort below the packing fold in:\n$p")
   }
 
+  test("funnel/ewma folds stream per-user (no collect_list array)") {
+    // the round-6 rewrite: per-user events must flow through a
+    // secondary-sort MapGroups fold — a collect_list aggregate would
+    // materialize a power user's whole stream in one task (OOM under
+    // event-count skew); exactly one hash exchange keys the fold
+    // q_evt_funnel = funnelCounts: fold exchange + the tiny per-stage
+    // count exchange; q_evt_ewma is the bare fold
+    for ((q, wantEx) <- Seq("q_evt_funnel" -> 2, "q_evt_ewma" -> 1)) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // finalize the adaptive plan
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!p.contains("collect_list"), s"$q buffers per-user arrays:\n$p")
+      assert(p.contains("MapGroups"), s"$q lost the streamed fold:\n$p")
+      val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(ex === wantEx, s"$q: expected $wantEx hash exchanges, got $ex in:\n$p")
+    }
+  }
+
   test("tf-idf tokenizes the corpus once (df derives from tf)") {
     val df = graft.api.TextAnalysis.tfidfTopTerms(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
