@@ -66,7 +66,16 @@ object Dedup {
     */
   def nearDuplicatePairs(sh: DataFrame, threshold: Double,
                          maxDf: Int = 10000): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // shingles travel as 8-byte xxhash64 keys, not ~30-byte strings:
+    // every downstream exchange (df count, semi-join, posting
+    // self-join) moves the whole exploded corpus, so key width IS the
+    // shuffle volume at 100 TB. Within a doc the shingle set is
+    // distinct, so `inter` stays an exact shared-shingle count unless
+    // two DIFFERENT shingles of a pair collide at 64 bits (~2⁻⁶⁴ per
+    // candidate) — the same practically-zero trade minhashPairs makes,
+    // here without even affecting candidate recall.
+    val ex = sh.select(col("doc_id"), explode(col("toks")).as("t0"))
+      .select(col("doc_id"), xxhash64(col("t0")).as("tok"))
     val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf).select("tok")
     val ex2 = ex.join(hot, Seq("tok"), "left_semi")
