@@ -30,6 +30,51 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
       .limit(k)
 
+  /** Top-k PMI-scored bigram collocations over the corpus — the phrase
+    * detection pass (Mikolov-style word2vec phrases) a tokenizer-vocab
+    * or phrase-mining pipeline runs before training:
+    * PMI(a,b) = ln(p(a,b) / (p(a)·p(b)))
+    *          = ln c_ab + 2·ln N − ln B − ln c_a − ln c_b,
+    * computed as 6dp-rounded ln TERMS combined exactly in decimal space
+    * (libm vs JVM `log` differ in the last ulp; rounding each term
+    * first makes the sum engine-identical, the H.dsum discipline).
+    *
+    * Scale shape: two hash aggregations over the token stream (bigram
+    * and unigram counts, both map-side partial), the `minCount` filter
+    * BEFORE the two vocabulary joins (prunes the long tail — at sane
+    * thresholds the joined side is orders smaller than the vocab), a
+    * single-row totals frame crossed in as a broadcast (no driver
+    * collect), and top-k as TakeOrderedAndProject under a total
+    * (pmi, w1, w2) order.
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String, minCount: Long = 5,
+                 k: Int = 100): DataFrame = {
+    val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    def lnd(c: Column): Column = round(log(c.cast("double")), 6).cast(D6)
+    val toks = docs.select(split(col(textCol), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+             i -> named_struct('w1', element_at(w, i),
+                               'w2', element_at(w, i + 1)))""")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+      .crossJoin(bi.agg(sum(col("c_ab")).as("n_bigrams")))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c_ab").cast("long").as("c_ab"),
+        (lnd(col("c_ab")) + lit(2).cast(D6) * lnd(col("n_tokens"))
+          - lnd(col("n_bigrams")) - lnd(col("c_a")) - lnd(col("c_b")))
+          .cast("double").as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   pattern: String = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"): DataFrame =

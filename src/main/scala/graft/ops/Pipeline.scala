@@ -918,6 +918,38 @@ object Pipeline {
               GROUP BY 1 ORDER BY n DESC, word LIMIT 20"""),
       (s, dir) => TextAnalysis.topWords(t(s, dir, "documents"), "text", k = 20)),
 
+    // PMI collocations (phrase mining): ln terms rounded at 6dp and
+    // combined in exact decimal — libm/JVM log differ in the last ulp,
+    // so per-term rounding is what keeps the SUM engine-identical
+    Q("q_text_pmi",
+      Some("""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+                   uc AS (SELECT t, count(*) AS c
+                          FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+                   bi AS (SELECT w1, w2, count(*) AS c_ab FROM (
+                            SELECT unnest([struct_pack(w1 := w[i], w2 := w[i + 1])
+                                           for i in range(1, len(w))], recursive := true)
+                            FROM d WHERE len(w) >= 2)
+                          GROUP BY w1, w2),
+                   tot AS (SELECT (SELECT sum(c) FROM uc) AS n_tokens,
+                                  (SELECT sum(c_ab) FROM bi) AS n_bigrams),
+                   j AS (SELECT f.w1, f.w2, f.c_ab, a.c AS c_a, b.c AS c_b,
+                                tot.n_tokens, tot.n_bigrams
+                         FROM bi f
+                         JOIN uc a ON a.t = f.w1
+                         JOIN uc b ON b.t = f.w2
+                         CROSS JOIN tot
+                         WHERE f.c_ab >= 5)
+              SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+                     CAST(CAST(round(ln(CAST(c_ab AS DOUBLE)), 6) AS DECIMAL(18,6))
+                          + 2 * CAST(round(ln(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln(CAST(n_bigrams AS DOUBLE)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln(CAST(c_a AS DOUBLE)), 6) AS DECIMAL(18,6))
+                          - CAST(round(ln(CAST(c_b AS DOUBLE)), 6) AS DECIMAL(18,6))
+                       AS DOUBLE) AS pmi
+              FROM j ORDER BY pmi DESC, w1, w2 LIMIT 100"""),
+      (s, dir) => TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
+        minCount = 5, k = 100)),
+
     Q("q_token_count",
       Some("""SELECT doc_id,
                      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_ish,

@@ -544,6 +544,20 @@ class ApiSpec extends AnyFunSuite {
     assert(r(2L) === ((1L, 7.5)), "a single event is its own average")
   }
 
+  test("pmiBigrams surfaces a planted collocation above independent pairs") {
+    // 'neural network' always co-occurs; 'the' pairs with everything —
+    // PMI must rank the planted phrase far above the promiscuous word
+    val rows = (1 to 40).map(i =>
+      (i.toLong, s"the neural network trains on the data shard$i"))
+    val docs = spark.createDataFrame(rows).toDF("doc_id", "text")
+    val pmi = TextAnalysis.pmiBigrams(docs, "text", minCount = 5, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(pmi.contains(("neural", "network")))
+    val planted = pmi(("neural", "network"))
+    for ((pair, v) <- pmi if pair._1 == "the" || pair._2 == "the")
+      assert(v < planted, s"$pair=$v should rank below neural network=$planted")
+  }
+
   test("hashed-TF cosine ranks an identical doc first at exactly 1.0") {
     val copy = docs.filter(col("doc_id") === 1)
       .select(lit(9001L).as("doc_id"), col("text"))
