@@ -426,6 +426,21 @@ object ScaleProbe {
       f"(${(ssp1 - ssp0) / 1e6}%.1f MB shuffled)  ${mult}x=$splN splits ${dspN}%.2f s " +
       f"(${(ssp2 - ssp1) / 1e6}%.1f MB)  time-growth=${dspN / dssp1}%.1fx")
 
+    // PMI collocations at mult x: two partial-agg token scans; the
+    // minCount filter keeps the joined candidate set bounded by true
+    // collocations (suffixed replicas multiply counts, not pair kinds),
+    // so wall must track the token stream ~linearly
+    val tpm1 = System.nanoTime()
+    val pm1 = TextAnalysis.pmiBigrams(docsFor(1), "text",
+      minCount = 5, k = 100).count()
+    val dpm1 = (System.nanoTime() - tpm1) / 1e9
+    val tpmN = System.nanoTime()
+    val pmN = TextAnalysis.pmiBigrams(docs, "text",
+      minCount = 5, k = 100).count()
+    val dpmN = (System.nanoTime() - tpmN) / 1e9
+    println(f"pmi collocations (${mult}x corpus): 1x=$pm1 rows ${dpm1}%.2f s  " +
+      f"${mult}x=$pmN rows ${dpmN}%.2f s  time-growth=${dpmN / dpm1}%.1fx")
+
     // perplexity with a 10x LARGER vocab cap: model rows scale with V
     // (TakeOrdered broadcast), not the corpus — the wall should move
     // modestly vs the V=1000 run above, and stay linear in the corpus

@@ -212,6 +212,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi top-k is TakeOrdered over broadcast totals (no global sort)") {
+    val df = SparkEntry.queries("q_text_pmi")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"pmi limit should be TakeOrdered, not a global sort:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"single-row totals should broadcast:\n$p")
+  }
+
   test("tf-idf tokenizes the corpus once (df derives from tf)") {
     val df = graft.api.TextAnalysis.tfidfTopTerms(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
