@@ -28,14 +28,15 @@ import org.apache.spark.sql.functions._
 object Funnels {
 
   /** Internal: group key is the user column cast to string (one stable
-    * typed encoder for any input key type); `restore` casts it back to
-    * the input column's exact DataType so the output schema is
-    * unchanged. Lossless for integral and string keys — the realistic
-    * domain of a user id (fp keys round-trip only when their string
-    * form does, which is also the only regime where grouping them makes
-    * sense at all).
+    * typed encoder for any input key type), cast back to the input
+    * column's exact DataType on output so the schema is unchanged.
+    * Lossless for integral and string keys — the realistic domain of a
+    * user id (fp keys round-trip only when their string form does,
+    * which is also the only regime where grouping them makes sense at
+    * all). A NULL user id stays a group of its own (String encoders and
+    * groupByKey are null-safe), matching GROUP BY semantics.
     */
-  private def userKey(events: DataFrame, userCol: String): Column =
+  private def userKey(userCol: String): Column =
     col(userCol).cast("string").as("uk")
 
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
@@ -56,9 +57,11 @@ object Funnels {
         when(col(typeCol) === st, lit(i.toLong)).otherwise(acc)
       }
     events.filter(col(typeCol).isin(steps: _*))
-      .select(userKey(events, userCol),
+      .select(userKey(userCol),
         (unix_micros(col(tsCol)) * 4 + idx).as("enc"))
-      .filter(col("uk").isNotNull && col("enc").isNotNull) // collect_list parity
+      // null-ELEMENT skip only (collect_list parity: a null-ts event
+      // contributes nothing, but the user's group row still exists)
+      .filter(col("enc").isNotNull)
       .as[(String, Long)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("enc")) { (uk, it) =>
@@ -107,9 +110,14 @@ object Funnels {
     import spark.implicits._
     val userType = events.schema(userCol).dataType
     events
-      .select(userKey(events, userCol),
+      .select(userKey(userCol),
         unix_micros(col(tsCol)).as("t"), col(valueCol).cast("double").as("v"))
-      .filter(col("uk").isNotNull && col("t").isNotNull && col("v").isNotNull)
+      // events with a null timestamp or value are EXCLUDED from the
+      // fold (documented semantic: the old array formulation would
+      // instead propagate null through the whole EWMA, which loses the
+      // user's entire smoothed value to one bad row). Null USERS keep
+      // their group.
+      .filter(col("t").isNotNull && col("v").isNotNull)
       .as[(String, Long, Double)]
       .groupByKey(_._1)
       .flatMapSortedGroups(col("t"), col("v")) { (uk, it) =>

@@ -183,10 +183,17 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
           s"CREATE OR REPLACE TABLE ${qid(name)} AS " +
             s"SELECT * FROM read_parquet(${qstr(src.toString)});"
         }
+        val tableNames = tablePaths.map(Naming.pathToSnake).toSet
         val renames =
           if (!short) Seq.empty
           else Naming.tableAliases(tablePaths)
             .filter { case (alias, name) => alias != name }
+            // an alias that IS another exported table's snake name must
+            // not be applied: the reference's DROP-then-RENAME would
+            // silently destroy that sibling table's data (a versioned
+            // best alias like `b_20260101` can collide with the real
+            // table built from `b/2026-01-01`)
+            .filter { case (alias, _) => !tableNames.contains(alias) }
             .flatMap { case (alias, name) => Seq(
               s"DROP TABLE IF EXISTS ${qid(alias)};",
               s"ALTER TABLE ${qid(name)} RENAME TO ${qid(alias)};") }
@@ -199,7 +206,12 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
         w.close()
         val out = new String(proc.getInputStream.readAllBytes())
         val code = proc.waitFor()
-        require(code == 0, s"duckdb CLI exited $code:\n$out")
+        if (code != 0) {
+          // never leave a half-written database masquerading as a
+          // successful export
+          Files.deleteIfExists(dbFile)
+          throw new IllegalStateException(s"duckdb CLI exited $code:\n$out")
+        }
         true
     }
 

@@ -426,10 +426,12 @@ object ScaleProbe {
       f"(${(ssp1 - ssp0) / 1e6}%.1f MB shuffled)  ${mult}x=$splN splits ${dspN}%.2f s " +
       f"(${(ssp2 - ssp1) / 1e6}%.1f MB)  time-growth=${dspN / dssp1}%.1fx")
 
-    // PMI collocations at mult x: two partial-agg token scans; the
-    // minCount filter keeps the joined candidate set bounded by true
-    // collocations (suffixed replicas multiply counts, not pair kinds),
-    // so wall must track the token stream ~linearly
+    // PMI collocations at mult x: two partial-agg token scans. The
+    // word renaming multiplies bigram KINDS by mult (each replica's
+    // (a,b) becomes a distinct (azzR, bzzR) keeping its 1x count), so
+    // the aggregated bigram table grows mult x while per-bigram counts
+    // stay flat — wall tracks the token stream plus the mult x-larger
+    // hash-agg keyspace, never corpus²
     val tpm1 = System.nanoTime()
     val pm1 = TextAnalysis.pmiBigrams(docsFor(1), "text",
       minCount = 5, k = 100).count()

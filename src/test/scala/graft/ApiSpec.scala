@@ -517,6 +517,20 @@ class ApiSpec extends AnyFunSuite {
     assert(ew === Map(7L -> 1000000L), ew)
   }
 
+  test("funnel keeps a NULL user id as its own group (GROUP BY parity)") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val events = spark.createDataFrame(Seq(
+      (java.lang.Long.valueOf(1L), ts(0), "view"),
+      (null.asInstanceOf[java.lang.Long], ts(0), "view"),
+      (null.asInstanceOf[java.lang.Long], ts(5), "click")
+    )).toDF("user_id", "ts", "event_type")
+    val rows = graft.api.Funnels.funnelStages(events, "user_id", "ts",
+        "event_type", Seq("view", "click"), windowMicros = 3600000000L)
+      .collect().map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(rows === Map(Some(1L) -> 1L, None -> 2L), rows)
+  }
+
   test("funnel rejects pre-epoch timestamps loudly") {
     val events = spark.createDataFrame(Seq(
       (1L, java.sql.Timestamp.valueOf("1969-12-31 00:00:00"), "view")
