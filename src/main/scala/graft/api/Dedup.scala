@@ -38,6 +38,28 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** Cross-source duplication matrix: how many duplicate pairs connect
+    * each (source, source) combination — the curation diagnostic that
+    * tells you WHERE the duplication lives ("crawl B is 40% mirrors of
+    * crawl A") before deciding what to drop. `pairs` is any pair frame
+    * ((doc_a, doc_b) — near-dup, minhash, simhash, embedding); rows are
+    * oriented (least, greatest) by source name so the matrix is
+    * upper-triangular. The pair set is orders of magnitude smaller than
+    * the corpus, so AQE turns both lookups into broadcast joins; the
+    * final aggregation is |sources|² at most.
+    */
+  def pairSourceMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       srcCol: String): DataFrame = {
+    val src = docs.select(col(idCol).as("__id"), col(srcCol).as("__src"))
+    pairs.select(col("doc_a"), col("doc_b"))
+      .join(src.select(col("__id").as("doc_a"), col("__src").as("sa")), "doc_a")
+      .join(src.select(col("__id").as("doc_b"), col("__src").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** doc → distinct word n-gram shingles, persisted (dedup pipelines
     * branch over this frame repeatedly).
     */

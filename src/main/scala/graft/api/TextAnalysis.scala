@@ -75,6 +75,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Top-`v` vocabulary with cumulative token coverage — the
+    * vocab-size-selection diagnostic a tokenizer build runs first
+    * ("how many token types cover 95% of the stream?"). `cum_ppm` is
+    * exact integer parts-per-million of the total token count, so the
+    * output is engine-reproducible with no fp division.
+    *
+    * Scale shape: one partial-agg count over the token stream, top-v as
+    * TakeOrderedAndProject under the total (n DESC, word) order, and
+    * the cumulative window runs over the v surviving rows only (a
+    * single bounded partition — v is a constant like 50k, not a corpus
+    * quantity), with the total crossed in as a broadcast single row.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val tot = wc.agg(sum(col("n")).as("t"))
+    val w = Window.orderBy(col("n").desc, col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wc.orderBy(col("n").desc, col("word")).limit(v)
+      .withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("word"), col("n").cast("long").as("n"),
+        expr("CAST(cum * 1000000 div t AS BIGINT)").as("cum_ppm"))
+      .orderBy(col("n").desc, col("word"))
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   pattern: String = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"): DataFrame =

@@ -950,6 +950,47 @@ object Pipeline {
       (s, dir) => TextAnalysis.pmiBigrams(t(s, dir, "documents"), "text",
         minCount = 5, k = 100)),
 
+    // top-V vocabulary coverage: exact integer ppm — no fp division
+    Q("q_text_vocab",
+      Some("""WITH wc AS (SELECT w, count(*) AS n
+                          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                                FROM documents) GROUP BY w),
+                   tot AS (SELECT sum(n) AS t FROM wc),
+                   top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 30),
+                   c AS (SELECT w, n,
+                                sum(n) OVER (ORDER BY n DESC, w
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                         FROM top)
+              SELECT w AS word, CAST(n AS BIGINT) AS n,
+                     CAST(cum * 1000000 // t AS BIGINT) AS cum_ppm
+              FROM c, tot ORDER BY n DESC, word"""),
+      (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"),
+        "text", v = 30)),
+
+    // cross-source duplication matrix over the near-dup pair set: the
+    // "where does the duplication live" curation diagnostic
+    Q("q_dedup_src_matrix",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+                   sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                        for i in range(1, len(w)-2)]) AS toks
+                          FROM d WHERE len(w) >= 4),
+                   ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+                   p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                         FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+                   sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+                   pr AS (SELECT doc_a, doc_b
+                          FROM p JOIN sz sa ON sa.doc_id = doc_a
+                                 JOIN sz sb ON sb.doc_id = doc_b
+                          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+                   m AS (SELECT least(da.source, db.source) AS source_a,
+                                greatest(da.source, db.source) AS source_b
+                         FROM pr JOIN documents da ON da.doc_id = doc_a
+                                 JOIN documents db ON db.doc_id = doc_b)
+              SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM m GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => graft.api.Dedup.pairSourceMatrix(nearPairs(s, dir),
+        t(s, dir, "documents"), "doc_id", "source")),
+
     Q("q_token_count",
       Some("""SELECT doc_id,
                      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_ish,

@@ -558,6 +558,29 @@ class ApiSpec extends AnyFunSuite {
     assert(r(2L) === ((1L, 7.5)), "a single event is its own average")
   }
 
+  test("vocabCoverage reaches exactly 1e6 ppm when v covers the vocab") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a a b b c"), (2L, "a b")
+    )).toDF("doc_id", "text")
+    val r = TextAnalysis.vocabCoverage(docs, "text", v = 10)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    // 8 tokens: a=4, b=3, c=1 → cum ppm 500000, 875000, 1000000
+    assert(r.toSeq === Seq(("a", 4L, 500000L), ("b", 3L, 875000L),
+      ("c", 1L, 1000000L)), r.toSeq)
+  }
+
+  test("pairSourceMatrix orients pairs and counts per source pair") {
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (1L, 3L), (2L, 3L)
+    )).toDF("doc_a", "doc_b")
+    val docs = spark.createDataFrame(Seq(
+      (1L, "web"), (2L, "books"), (3L, "web")
+    )).toDF("doc_id", "source")
+    val m = Dedup.pairSourceMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("books", "web") -> 2L, ("web", "web") -> 1L), m)
+  }
+
   test("pmiBigrams surfaces a planted collocation above independent pairs") {
     // 'neural network' always co-occurs; 'the' pairs with everything —
     // PMI must rank the planted phrase far above the promiscuous word
