@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Ordered-funnel analysis over an event stream: how far did each user
   * progress through `steps` (in order, first match wins), with the
@@ -17,70 +18,99 @@ import org.apache.spark.sql.functions._
   * power user (or bot) with 10⁷–10⁸ events costs sort spill, never task
   * memory (the earlier `sort_array(collect_list(...))` formulation
   * built the whole per-user array in one task). Both the sort key and
-  * the fold state are exact BIGINT encodings — event = ts_micros·4 +
+  * the fold state are exact BIGINT encodings — event = ts_micros·8 +
   * step_idx, state = (stage, first_step_ts) — so every comparison is
   * integer arithmetic any engine reproduces bit-for-bit (no timestamp,
   * struct, or fp semantics in the hot path). Timestamps must be ≥ the
-  * epoch: negative micros would break the `% 4` step extraction and the
-  * truncating `div 4` timestamp recovery, so the fold REJECTS them
+  * epoch: negative micros would break the `% 8` step extraction and the
+  * truncating `div 8` timestamp recovery, so the fold REJECTS them
   * loudly (IllegalArgumentException) instead of reporting stage 0.
+  *
+  * Group-key fast path: integral user ids (BYTE/SHORT/INT/BIGINT — the
+  * overwhelmingly common id shape) shuffle as raw 8-byte longs; string
+  * ids shuffle as strings. Any other key type (fp, binary, struct) is
+  * REJECTED up front — a cast-based group key would silently merge
+  * distinct keys (e.g. two byte strings with the same UTF-8 replacement
+  * rendering), which corrupts the grouping instead of failing it.
   */
 object Funnels {
 
-  /** Internal: group key is the user column cast to string (one stable
-    * typed encoder for any input key type), cast back to the input
-    * column's exact DataType on output so the schema is unchanged.
-    * Lossless for integral and string keys — the realistic domain of a
-    * user id (fp keys round-trip only when their string form does,
-    * which is also the only regime where grouping them makes sense at
-    * all). A NULL user id stays a group of its own (String encoders and
-    * groupByKey are null-safe), matching GROUP BY semantics.
+  /** Internal: pick the group-key path for a user column. Returns true
+    * for the integral fast path (key shuffles as a raw long), false for
+    * the string path. NULL user ids stay a group of their own on both
+    * paths (Option / String encoders and groupByKey are null-safe),
+    * matching GROUP BY semantics. Every other type fails loudly.
     */
-  private def userKey(userCol: String): Column =
-    col(userCol).cast("string").as("uk")
+  private def integralKey(fn: String, t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case StringType => false
+    case other => throw new IllegalArgumentException(
+      s"$fn: user column must be STRING or integral (BYTE/SHORT/INT/BIGINT); " +
+        s"got $other — a cast-based group key would silently merge distinct keys")
+  }
+
+  /** The per-user funnel fold, generic over the group-key type so the
+    * integral and string paths share one body. `None` encodings (a
+    * null timestamp) contribute nothing, but the user's group row still
+    * exists — exactly what the oracle's `list(enc)` + reduce replays
+    * (a NULL element no-ops every CASE arm), and what the old
+    * collect_list formulation produced.
+    */
+  private def stageFold[K](nSteps: Long, windowMicros: Long)(
+      uk: K, it: Iterator[(K, Option[Long])]): Iterator[(K, Long)] = {
+    var stage = 0L
+    var t0 = 0L
+    it.foreach { case (_, xo) =>
+      xo.foreach { x =>
+        if (x < 0L) throw new IllegalArgumentException(
+          s"funnelStages: pre-epoch timestamp for user $uk (enc=$x); " +
+            "the BIGINT step encoding requires ts >= 1970-01-01")
+        if (stage < nSteps && x % 8L == stage &&
+            (stage == 0L || x / 8L - t0 <= windowMicros)) {
+          if (stage == 0L) t0 = x / 8L
+          stage += 1L
+        }
+      }
+    }
+    Iterator((uk, stage))
+  }
 
   def funnelStages(events: DataFrame, userCol: String, tsCol: String,
                    typeCol: String, steps: Seq[String],
                    windowMicros: Long): DataFrame = {
-    // step index rides in the low 2 bits of the encoding; 2 bits bound
-    // the funnel at 4 steps, and 62 bits of non-negative micros·4 stay
-    // clear of the sign bit until year ~148000
-    require(steps.nonEmpty && steps.size <= 4,
-      s"funnelStages encodes the step index in 2 bits; got ${steps.size} steps")
+    // step index rides in the low 3 bits of the encoding; 3 bits bound
+    // the funnel at 8 steps, and 61 bits of non-negative micros·8 stay
+    // clear of the sign bit until year ~38000
+    require(steps.nonEmpty && steps.size <= 8,
+      s"funnelStages encodes the step index in 3 bits; got ${steps.size} steps")
     require(windowMicros > 0, "windowMicros must be positive")
     val spark = events.sparkSession
     import spark.implicits._
     val userType = events.schema(userCol).dataType
+    val intKey = integralKey("funnelStages", userType)
     val nSteps = steps.size.toLong
     val idx: Column = steps.zipWithIndex
       .foldLeft(lit(-1L): Column) { case (acc, (st, i)) =>
         when(col(typeCol) === st, lit(i.toLong)).otherwise(acc)
       }
-    events.filter(col(typeCol).isin(steps: _*))
-      .select(userKey(userCol),
-        (unix_micros(col(tsCol)) * 4 + idx).as("enc"))
-      // null-ELEMENT skip only (collect_list parity: a null-ts event
-      // contributes nothing, but the user's group row still exists)
-      .filter(col("enc").isNotNull)
-      .as[(String, Long)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups(col("enc")) { (uk, it) =>
-        var stage = 0L
-        var t0 = 0L
-        it.foreach { case (_, x) =>
-          if (x < 0L) throw new IllegalArgumentException(
-            s"funnelStages: pre-epoch timestamp for user $uk (enc=$x); " +
-              "the BIGINT step encoding requires ts >= 1970-01-01")
-          if (stage < nSteps && x % 4L == stage &&
-              (stage == 0L || x / 4L - t0 <= windowMicros)) {
-            if (stage == 0L) t0 = x / 4L
-            stage += 1L
-          }
-        }
-        Iterator((uk, stage))
-      }
-      .toDF("uk", "stage")
-      .select(col("uk").cast(userType).as("user_id"), col("stage"))
+    val base = events.filter(col(typeCol).isin(steps: _*))
+    val enc = (unix_micros(col(tsCol)) * 8 + idx).as("enc")
+    val folded =
+      if (intKey)
+        base.select(col(userCol).cast("long").as("uk"), enc)
+          .as[(Option[Long], Option[Long])]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("enc"))(
+            stageFold[Option[Long]](nSteps, windowMicros))
+          .toDF("uk", "stage")
+      else
+        base.select(col(userCol).as("uk"), enc)
+          .as[(String, Option[Long])]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("enc"))(
+            stageFold[String](nSteps, windowMicros))
+          .toDF("uk", "stage")
+    folded.select(col("uk").cast(userType).as("user_id"), col("stage"))
   }
 
   /** Per-stage user counts: how many users stalled at each depth. */
@@ -90,6 +120,18 @@ object Funnels {
     funnelStages(events, userCol, tsCol, typeCol, steps, windowMicros)
       .groupBy("stage").agg(count(lit(1)).as("n_users"))
       .orderBy("stage")
+
+  /** The per-user EWMA fold, generic over the group-key type. */
+  private def ewmaFold[K](uk: K,
+                          it: Iterator[(K, Long, Double)]): Iterator[(K, Long, Double)] = {
+    var n = 0L
+    var s = 0.0
+    it.foreach { case (_, _, v) =>
+      s = if (n == 0L) v else (v + s) / 2.0
+      n += 1L
+    }
+    Iterator((uk, n, s))
+  }
 
   /** Per-key exponentially-weighted moving average over time order,
     * α = 1/2: s_t = (x_t + s_{t-1}) / 2 — the halving is an exact IEEE
@@ -109,29 +151,31 @@ object Funnels {
     val spark = events.sparkSession
     import spark.implicits._
     val userType = events.schema(userCol).dataType
-    events
-      .select(userKey(userCol),
+    val intKey = integralKey("ewmaHalf", userType)
+    // events with a null timestamp or value are EXCLUDED from the
+    // fold (documented semantic: the old array formulation would
+    // instead propagate null through the whole EWMA, which loses the
+    // user's entire smoothed value to one bad row). Null USERS keep
+    // their group.
+    val base = events
+      .select(col(userCol).as("__u"),
         unix_micros(col(tsCol)).as("t"), col(valueCol).cast("double").as("v"))
-      // events with a null timestamp or value are EXCLUDED from the
-      // fold (documented semantic: the old array formulation would
-      // instead propagate null through the whole EWMA, which loses the
-      // user's entire smoothed value to one bad row). Null USERS keep
-      // their group.
       .filter(col("t").isNotNull && col("v").isNotNull)
-      .as[(String, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapSortedGroups(col("t"), col("v")) { (uk, it) =>
-        var n = 0L
-        var s = 0.0
-        it.foreach { case (_, _, v) =>
-          s = if (n == 0L) v else (v + s) / 2.0
-          n += 1L
-        }
-        Iterator((uk, n, s))
-      }
-      .toDF("uk", "n_events", "ewma")
-      .select(col("uk").cast(userType).as("user_id"), col("n_events"),
-        round(col("ewma"), 6).as("ewma"))
+    val folded =
+      if (intKey)
+        base.select(col("__u").cast("long").as("uk"), col("t"), col("v"))
+          .as[(Option[Long], Long, Double)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("t"), col("v"))(ewmaFold[Option[Long]])
+          .toDF("uk", "n_events", "ewma")
+      else
+        base.select(col("__u").as("uk"), col("t"), col("v"))
+          .as[(String, Long, Double)]
+          .groupByKey(_._1)
+          .flatMapSortedGroups(col("t"), col("v"))(ewmaFold[String])
+          .toDF("uk", "n_events", "ewma")
+    folded.select(col("uk").cast(userType).as("user_id"), col("n_events"),
+      round(col("ewma"), 6).as("ewma"))
   }
 
   /** Cohort retention matrix: users cohorted by first-active epoch week

@@ -86,6 +86,10 @@ object TextAnalysis {
     * the cumulative window runs over the v surviving rows only (a
     * single bounded partition — v is a constant like 50k, not a corpus
     * quantity), with the total crossed in as a broadcast single row.
+    * The ppm scaling runs in DECIMAL(38,0): `cum * 1000000` on BIGINT
+    * would silently wrap past ~9.2e12 total tokens (non-ANSI Spark),
+    * i.e. well inside a 100 TB corpus; DECIMAL keeps it exact to 1e31
+    * tokens and matches DuckDB's 128-bit HUGEINT sum bit-for-bit.
     */
   def vocabCoverage(docs: DataFrame, textCol: String, v: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -98,7 +102,8 @@ object TextAnalysis {
       .withColumn("cum", sum(col("n")).over(w))
       .crossJoin(broadcast(tot))
       .select(col("word"), col("n").cast("long").as("n"),
-        expr("CAST(cum * 1000000 div t AS BIGINT)").as("cum_ppm"))
+        expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)")
+          .as("cum_ppm"))
       .orderBy(col("n").desc, col("word"))
   }
 

@@ -155,11 +155,11 @@ object Windows {
 
     // Ordered funnel (view -> click -> purchase within 1 h of the first
     // step): per-user stage depth + counts, via graft.api.Funnels' exact
-    // integer-encoded fold (event = ts_us*4 + step, state = stage*2^59
+    // integer-encoded fold (event = ts_us*8 + step, state = stage*2^59
     // + t0) — both engines replay identical BIGINT arithmetic.
     Q("q_evt_funnel",
       Some("""WITH e AS (SELECT user_id,
-                                epoch_us(CAST(ts AS TIMESTAMP)) * 4 +
+                                epoch_us(CAST(ts AS TIMESTAMP)) * 8 +
                                   CASE event_type WHEN 'view' THEN 0
                                                   WHEN 'click' THEN 1
                                                   WHEN 'purchase' THEN 2 END AS enc
@@ -170,12 +170,12 @@ object Windows {
                    f AS (SELECT user_id,
                                 list_reduce(list_prepend(CAST(0 AS BIGINT), evs),
                                   (s, x) -> CASE WHEN s // 576460752303423488 < 3
-                                                  AND x % 4 = s // 576460752303423488
+                                                  AND x % 8 = s // 576460752303423488
                                                   AND (s // 576460752303423488 = 0
-                                                       OR x // 4 - s % 576460752303423488 <= 3600000000)
+                                                       OR x // 8 - s % 576460752303423488 <= 3600000000)
                                             THEN (s // 576460752303423488 + 1) * 576460752303423488
                                                    + CASE WHEN s // 576460752303423488 = 0
-                                                          THEN x // 4
+                                                          THEN x // 8
                                                           ELSE s % 576460752303423488 END
                                             ELSE s END) AS st
                          FROM g)

@@ -199,13 +199,23 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
               s"ALTER TABLE ${qid(name)} RENAME TO ${qid(alias)};") }
         Files.deleteIfExists(dbFile)
         if (dbFile.getParent != null) Files.createDirectories(dbFile.getParent)
-        val proc = new ProcessBuilder(cli, dbFile.toString)
-          .redirectErrorStream(true).start()
-        val w = new java.io.PrintWriter(proc.getOutputStream)
-        (creates ++ renames).foreach(w.println)
-        w.close()
-        val out = new String(proc.getInputStream.readAllBytes())
-        val code = proc.waitFor()
+        // the statements travel via a temp .sql script + `.read`, not
+        // the CLI's stdin: feeding a pipe while the CLI emits output
+        // can deadlock once either side fills its ~64 KB buffer, and a
+        // PrintWriter would swallow the broken-pipe error silently
+        val script = Files.createTempFile("graft-export", ".sql")
+        val (code, out) = try {
+          Files.writeString(script,
+            (creates ++ renames).mkString("", "\n", "\n"))
+          val proc = new ProcessBuilder(cli, dbFile.toString,
+              s".read $script")
+            .redirectErrorStream(true).start()
+          proc.getOutputStream.close()
+          // drain stdout to EOF BEFORE waitFor so a chatty CLI can
+          // never block on a full pipe
+          val o = new String(proc.getInputStream.readAllBytes())
+          (proc.waitFor(), o)
+        } finally Files.deleteIfExists(script)
         if (code != 0) {
           // never leave a half-written database masquerading as a
           // successful export

@@ -487,15 +487,71 @@ class ApiSpec extends AnyFunSuite {
         windowMicros = 30L * 60 * 1000000)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(stages === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L), stages)
-    // 4 steps is the documented maximum: completing all of them must
-    // report stage 4, not overflow the encoded state (2^59 split)
-    val four = spark.createDataFrame(Seq(
-      (9L, ts(0), "a"), (9L, ts(1), "b"), (9L, ts(2), "c"), (9L, ts(3), "d")
-    )).toDF("user_id", "ts", "event_type")
-    val s4 = graft.api.Funnels.funnelStages(four, "user_id", "ts",
-        "event_type", Seq("a", "b", "c", "d"), windowMicros = 3600000000L)
+    // 8 steps is the documented maximum (3-bit step field): completing
+    // all of them must report stage 8, not overflow the encoded state
+    // (2^59 split holds: 8·2^59 + t0 < 2^63)
+    val names = Seq("a", "b", "c", "d", "e", "f", "g", "h")
+    val eight = spark.createDataFrame(
+      names.zipWithIndex.map { case (n, i) => (9L, ts(i), n) }
+    ).toDF("user_id", "ts", "event_type")
+    val s8 = graft.api.Funnels.funnelStages(eight, "user_id", "ts",
+        "event_type", names, windowMicros = 3600000000L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(s4 === Map(9L -> 4L), s4)
+    assert(s8 === Map(9L -> 8L), s8)
+    intercept[IllegalArgumentException] {
+      graft.api.Funnels.funnelStages(eight, "user_id", "ts", "event_type",
+        names :+ "i", windowMicros = 3600000000L)
+    }
+  }
+
+  test("funnel: 5-step planted sequence with a mid-funnel stall") {
+    import java.sql.Timestamp
+    def ts(min: Int) = Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val steps = Seq("s1", "s2", "s3", "s4", "s5")
+    val events = spark.createDataFrame(Seq(
+      // user 1 walks all five steps inside the window
+      (1L, ts(0), "s1"), (1L, ts(2), "s2"), (1L, ts(4), "s3"),
+      (1L, ts(6), "s4"), (1L, ts(8), "s5"),
+      // user 2 stalls after s3 (s4 never arrives; s5 alone can't count)
+      (2L, ts(0), "s1"), (2L, ts(2), "s2"), (2L, ts(4), "s3"),
+      (2L, ts(6), "s5")
+    )).toDF("user_id", "ts", "event_type")
+    val st = graft.api.Funnels.funnelStages(events, "user_id", "ts",
+        "event_type", steps, windowMicros = 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === Map(1L -> 5L, 2L -> 3L), st)
+  }
+
+  test("funnel keeps an all-null-timestamp user as a stage-0 row") {
+    // collect_list parity: a null-ts event contributes nothing, but the
+    // user's group row must still exist (the oracle's list(enc) keeps
+    // NULL elements, which no-op every reduce arm)
+    val events = spark.createDataFrame(Seq(
+      (1L, Option(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")), "view"),
+      (2L, Option.empty[java.sql.Timestamp], "view"),
+      (2L, Option.empty[java.sql.Timestamp], "click")
+    )).toDF("user_id", "ts", "event_type")
+    val st = graft.api.Funnels.funnelStages(events, "user_id", "ts",
+        "event_type", Seq("view", "click"), windowMicros = 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(st === Map(1L -> 1L, 2L -> 0L), st)
+  }
+
+  test("funnel/ewma reject non-string, non-integral user keys loudly") {
+    // a DOUBLE (or BINARY) key under the old string-cast group key
+    // could silently merge distinct users; now it must throw up front
+    val events = spark.createDataFrame(Seq(
+      (1.5, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "view", 1.0)
+    )).toDF("user_id", "ts", "event_type", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.api.Funnels.funnelStages(events, "user_id", "ts", "event_type",
+        Seq("view"), windowMicros = 1000000L)
+    }
+    assert(e1.getMessage.contains("STRING or integral"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.Funnels.ewmaHalf(events, "user_id", "ts", "value")
+    }
+    assert(e2.getMessage.contains("STRING or integral"), e2.getMessage)
   }
 
   test("funnel + ewma stream a 10^6-event power user without a fat task") {
