@@ -19,6 +19,7 @@ object Graft {
     */
   def clear(spark: SparkSession): Unit = {
     ops.Pipeline.clearCaches(spark)
+    api.Dedup.clearPins(spark)
     ops.Sources.clearWritten(spark)
     api.Bucketing.clearTables(spark)
     api.Similarity.clearProbeSession(spark)

@@ -19,6 +19,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  // Frames persisted INSIDE an operator (never handed to the caller, so
+  // the caller cannot unpersist them) register here per session;
+  // [[graft.Graft.clear]] drains them. Entries cost storage only until
+  // the LRU evicts or clear() runs — same hygiene contract as the
+  // Pipeline-level memoized caches.
+  private val pinned =
+    scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
+  private def pin(df: DataFrame): DataFrame = pinned.synchronized {
+    pinned += ((System.identityHashCode(df.sparkSession), df)); df
+  }
+  private[graft] def clearPins(s: org.apache.spark.sql.SparkSession): Unit =
+    pinned.synchronized {
+      val id = System.identityHashCode(s)
+      val (mine, rest) = pinned.partition(_._1 == id)
+      mine.foreach(_._2.unpersist())
+      pinned.clear(); pinned ++= rest
+    }
+
   /** Content-hash groups: (hash, n) per distinct payload. */
   def exactDuplicates(docs: DataFrame, textCol: String): DataFrame =
     docs.groupBy(sha2(col(textCol), 256).as("h"))
@@ -96,8 +114,27 @@ object Dedup {
     // two DIFFERENT shingles of a pair collide at 64 bits (~2⁻⁶⁴ per
     // candidate) — the same practically-zero trade minhashPairs makes,
     // here without even affecting candidate recall.
-    val ex = sh.select(col("doc_id"), explode(col("toks")).as("t0"))
+    // ONE explicit hash-exchange of the raw posting frame, MATERIALIZED
+    // (persist) so every downstream step inherits it: the df count, the
+    // hot semi-join, and the posting self-join all want
+    // HashPartitioning(tok), so the pipeline's total shuffle is exactly
+    // one pass over the (doc_id, tok) rows — fixed bytes per posting,
+    // FLAT per corpus row at any scale. Without this, the df count
+    // shuffles its own partial-aggregate rows, whose map-side combine
+    // decays toward 1:1 as distinct-shingle cardinality outgrows the
+    // partial hash table (the measured ~2.3x shuffle bytes per corpus
+    // row at 100x), and each self-join side re-explodes and
+    // re-exchanges the postings again (exchange reuse does not fire
+    // across the cached-shingle AQE subplans). The persist matters as
+    // much as the repartition: cached partitioning is stable (AQE
+    // leaves cached-plan output partitioning alone by default), so the
+    // downstream zero-exchange property holds by construction instead
+    // of by optimizer luck; the cache itself is the same
+    // corpus-order-bytes trade [[shingles]] already makes.
+    val ex = pin(sh.select(col("doc_id"), explode(col("toks")).as("t0"))
       .select(col("doc_id"), xxhash64(col("t0")).as("tok"))
+      .repartition(col("tok"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf).select("tok")
     val ex2 = ex.join(hot, Seq("tok"), "left_semi")

@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Focused near-dup scale probe: pairs / wall / shuffle bytes at 1x and
+  * Nx under the same bijective word-renaming replication as ScaleProbe,
+  * plus a content checksum over the pair set so any plan change can
+  * prove byte-identical output, not just equal counts.
+  * Usage: NearDupProbe [sfDir] [mult]
+  */
+object NearDupProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.api.Dedup
+
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val b = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+          shuffleBytes.addAndGet(b)
+          if (b > 2000000 && sys.env.contains("NDP_STAGES"))
+            println(f"    stage ${sc.stageInfo.stageId}%4d " +
+              f"${b / 1e6}%8.1f MB  ${sc.stageInfo.name.take(90)}")
+        }
+      })
+    def shufSnap(): Long = { Thread.sleep(500); shuffleBytes.get }
+
+    val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+    def docsFor(m: Int) = docs0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+        expr("array_join(transform(split(text, ' '), " +
+          "w -> concat(w, 'zz', CAST(rep AS STRING))), ' ')").as("text"))
+
+    // order-free content checksum: XOR of per-row hashes
+    def checksum(p: org.apache.spark.sql.DataFrame): Long =
+      p.agg(expr("bit_xor(xxhash64(doc_a, doc_b, CAST(jaccard AS STRING)))"))
+        .collect()(0).getLong(0)
+
+    if (sys.env.contains("NDP_EXPLAIN")) {
+      val sh = Dedup.shingles(docsFor(1), "doc_id", "text")
+      Dedup.nearDuplicatePairs(sh, 0.5).explain("formatted")
+      spark.stop(); return
+    }
+
+    for ((m, label) <- Seq(1 -> "1x", mult -> s"${mult}x")) {
+      val sh = Dedup.shingles(docsFor(m), "doc_id", "text")
+      val s0 = shufSnap()
+      val t0 = System.nanoTime()
+      val pr = Dedup.nearDuplicatePairs(sh, 0.5)
+      val n = pr.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val s1 = shufSnap()
+      val ck = checksum(pr)
+      println(f"near-dup $label%-5s pairs=$n%-8d wall=$wall%7.2f s  " +
+        f"shuffle=${(s1 - s0) / 1e6}%9.1f MB  checksum=$ck")
+      sh.unpersist()
+    }
+    spark.stop()
+  }
+}
