@@ -20,6 +20,7 @@ object Graft {
   def clear(spark: SparkSession): Unit = {
     ops.Pipeline.clearCaches(spark)
     api.Dedup.clearPins(spark)
+    api.Dedup.clearIndexTables(spark)
     ops.Sources.clearWritten(spark)
     api.Bucketing.clearTables(spark)
     api.Similarity.clearProbeSession(spark)

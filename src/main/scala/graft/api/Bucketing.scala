@@ -28,6 +28,9 @@ object Bucketing {
   private val done =
     scala.collection.concurrent.TrieMap[(Int, String, String), String]()
 
+  /** Scratch root shared by every persisted-index artifact. */
+  private[graft] def scratchBase: String = base
+
   private def base: String =
     if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bucketed"
     else sys.props("java.io.tmpdir") + "/graft-bucketed"

@@ -220,6 +220,139 @@ object Dedup {
                      bands: Int = 32): BandIndex =
     BandIndex(minhashBandRows(corpusSh, numPerms, bands), numPerms, bands)
 
+  // ---- persisted band index -------------------------------------------
+
+  /** Bump when the on-disk band-index layout or the shingle/signature
+    * algorithm changes: a stale index must fail the load check, not
+    * silently serve wrong candidates.
+    */
+  private val IndexFormatVersion = 1
+
+  // external tables attached/written by save/loadBandIndex, per session,
+  // dropped (catalog entry only — the files ARE the index) by Graft.clear
+  private val indexTables =
+    scala.collection.mutable.Buffer.empty[(Int, String)]
+  private[graft] def clearIndexTables(s: org.apache.spark.sql.SparkSession): Unit =
+    indexTables.synchronized {
+      val id = System.identityHashCode(s)
+      val (mine, rest) = indexTables.partition(_._1 == id)
+      mine.foreach { case (_, t) => s.sql(s"DROP TABLE IF EXISTS $t") }
+      indexTables.clear(); indexTables ++= rest
+    }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Content fingerprint of source files (any Hadoop FS scheme):
+    * sha256 over the sorted (path, length, mtime) listing. Cheap — a
+    * metadata listing, no data read — and exactly what invalidates a
+    * persisted index when the corpus it was signed from changes.
+    */
+  def sourceFingerprint(spark: org.apache.spark.sql.SparkSession,
+                        paths: String*): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    paths.flatMap { p =>
+      val fs = hadoopFs(spark, p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Seq(s"$p:absent")
+      else {
+        val it = fs.listFiles(hp, true)
+        val b = scala.collection.mutable.Buffer.empty[String]
+        while (it.hasNext) {
+          val st = it.next()
+          b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+        b.sorted
+      }
+    }.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def indexMetaPath(path: String) = s"$path/meta.json"
+  private def tableTag(path: String) = math.abs(path.hashCode).toString
+
+  /** Persist a band index AND its corpus shingle frame under `path` as
+    * bucketed external tables — bands on (band_idx, band_hash) so every
+    * increment's band join needs no corpus-side exchange, shingles on
+    * doc_id so candidate verification joins the corpus co-partitioned.
+    * A meta.json sidecar records the signature parameters, the format
+    * version, and the caller's corpus `fingerprint`
+    * ([[sourceFingerprint]]); [[loadBandIndex]] refuses anything that
+    * does not match, so a regenerated corpus or changed algorithm can
+    * never serve a stale index. Returns the table-backed (index,
+    * corpusSh) pair — the session-independent deployment shape: sign
+    * the corpus ONCE, then every later session (cold process included)
+    * attaches the files instead of re-shingling 100 TB.
+    */
+  def saveBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    index: BandIndex, corpusSh: DataFrame,
+                    fingerprint: String,
+                    buckets: Int = 8): (BandIndex, DataFrame) = {
+    val tag = tableTag(path)
+    val tBands = s"graft_bands_$tag"
+    val tSh = s"graft_bandsh_$tag"
+    Seq(tBands, tSh).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    index.rows.write.format("parquet")
+      .bucketBy(buckets, "band_idx", "band_hash")
+      .sortBy("band_idx", "band_hash")
+      .option("path", s"$path/bands").mode("overwrite").saveAsTable(tBands)
+    corpusSh.write.format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$path/shingles").mode("overwrite").saveAsTable(tSh)
+    val meta = s"""{"version":$IndexFormatVersion,"num_perms":${index.numPerms},""" +
+      s""""bands":${index.bands},"buckets":$buckets,"fingerprint":"$fingerprint"}"""
+    val fs = hadoopFs(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(indexMetaPath(path)), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+    indexTables.synchronized {
+      val id = System.identityHashCode(spark)
+      indexTables += ((id, tBands)); indexTables += ((id, tSh))
+    }
+    (BandIndex(spark.table(tBands), index.numPerms, index.bands),
+      spark.table(tSh))
+  }
+
+  /** Load a [[saveBandIndex]]-persisted index if present AND its
+    * recorded fingerprint/version match — None otherwise (callers then
+    * rebuild+save). In a process whose catalog has not seen the tables
+    * yet, they are attached via CREATE TABLE ... CLUSTERED BY DDL over
+    * the existing files: no data is read, rewritten, or re-shingled.
+    */
+  def loadBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    fingerprint: String): Option[(BandIndex, DataFrame)] = {
+    val fs = hadoopFs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(indexMetaPath(path))
+    if (!fs.exists(mp)) return None
+    val meta = {
+      val in = fs.open(mp)
+      val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+      """"(\w+)":\s*("?)([^",}]*)\2""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(3)).toMap
+    }
+    if (meta.get("version").map(_.toInt) != Some(IndexFormatVersion) ||
+        meta.get("fingerprint") != Some(fingerprint)) return None
+    val (numPerms, bands, buckets) = (meta("num_perms").toInt,
+      meta("bands").toInt, meta("buckets").toInt)
+    val tag = tableTag(path)
+    def attach(tbl: String, sub: String, keys: Seq[String]): DataFrame = {
+      if (!spark.catalog.tableExists(tbl)) {
+        val schema = spark.read.parquet(s"$path/$sub").schema.toDDL
+        val ks = keys.mkString(", ")
+        spark.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
+          s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+          s"LOCATION '$path/$sub'")
+        indexTables.synchronized {
+          indexTables += ((System.identityHashCode(spark), tbl)); ()
+        }
+      }
+      spark.table(tbl)
+    }
+    Some((BandIndex(attach(s"graft_bands_$tag", "bands",
+        Seq("band_idx", "band_hash")), numPerms, bands),
+      attach(s"graft_bandsh_$tag", "shingles", Seq("doc_id"))))
+  }
+
   /** Incremental near-dup detection: NEW documents against an already-
     * shingled corpus — the production shape at 100 TB, where the corpus
     * side is a persisted band index (ideally bucketed on

@@ -142,11 +142,11 @@ object Extras {
     Q("q_stream_dedup_incr", Some(Pipeline.incrOracle),
       (s, dir) => {
         val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
-        val sh = Pipeline.shingled(s, dir)
+        val (index, corpusSh) = Pipeline.corpusBandsSh(s, dir)
         Streams.incrementalDedupReplay(s, glob,
             t(s, dir, "documents").schema, "doc_id", "text",
-            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
-            corpusBands = Pipeline.corpusBands(s, dir), threshold = 0.5)
+            corpusSh = corpusSh,
+            corpusBands = index, threshold = 0.5)
           .orderBy("doc_a", "doc_b")
       }),
 

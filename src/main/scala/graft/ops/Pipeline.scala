@@ -31,23 +31,45 @@ object Pipeline {
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
-  /** The 90%-corpus MinHash band index per (session, dir), built and
-    * persisted ONCE — shared by the batch incremental query and the
-    * streaming replay, which is the point: increments never re-sign
-    * the corpus.
+  /** The 90%-corpus MinHash band index per (session, dir) — persisted
+    * as bucketed external tables under the scratch dir (band rows on
+    * (band_idx, band_hash), corpus shingles on doc_id) and guarded by a
+    * corpus-file fingerprint, so a COLD session attaches the files
+    * instead of re-shingling and re-signing the corpus: the
+    * sign-once / increment-forever shape the 100 TB deployment needs.
+    * Shared by the batch incremental query and the streaming replay.
     */
-  private val bandsCache =
-    scala.collection.concurrent.TrieMap[(Int, String), Dedup.BandIndex]()
+  private val bandsCache = scala.collection.concurrent
+    .TrieMap[(Int, String), (Dedup.BandIndex, DataFrame)]()
 
   private[graft] def corpusBands(s: SparkSession, dir: String): Dedup.BandIndex =
+    corpusBandsSh(s, dir)._1
+
+  private[graft] def corpusBandsSh(s: SparkSession,
+                                   dir: String): (Dedup.BandIndex, DataFrame) =
     bandsCache.synchronized {
       bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val idx = Dedup.buildBandIndex(
-          shingled(s, dir).filter(col("doc_id") % 10 =!= 0))
-        idx.rows
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        idx
+        val path = s"${graft.api.Bucketing.scratchBase}/bands_" +
+          math.abs(dir.hashCode).toString
+        val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+        Dedup.loadBandIndex(s, path, fp).getOrElse {
+          val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)
+          Dedup.saveBandIndex(s, path, Dedup.buildBandIndex(corpusSh),
+            corpusSh, fp)
+        }
       })
+    }
+
+  /** Shingles of ONLY the 10% increment slice, filtered BEFORE the
+    * shingle transform so a cold session pays 10% of the corpus — the
+    * full-corpus [[shingled]] cache would materialize everything even
+    * under a post-hoc doc_id filter.
+    */
+  private[graft] def incrShingled(s: SparkSession, dir: String): DataFrame =
+    shCache.synchronized {
+      shCache.getOrElseUpdate((System.identityHashCode(s), dir + "#incr"),
+        Dedup.shingles(t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4))
     }
 
   /** Unpersist and forget this session's cached frames (Graft.clear). */
@@ -62,8 +84,9 @@ object Pipeline {
         .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
     }
     bandsCache.synchronized {
-      bandsCache.keys.filter(_._1 == id)
-        .foreach(k => bandsCache.remove(k).foreach(_.rows.unpersist()))
+      // table-backed since round 7: entries hold no persisted RDDs, the
+      // catalog entries are dropped by Dedup.clearIndexTables
+      bandsCache.keys.filter(_._1 == id).foreach(bandsCache.remove)
     }
     kmeansCache.synchronized {
       kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
@@ -536,11 +559,11 @@ object Pipeline {
     // cross-partition pairs (LSH false-negative odds ~5e-8).
     Q("q_dedup_incr", Some(incrOracle),
       (s, dir) => {
-        val sh = shingled(s, dir)
+        val (index, corpusSh) = corpusBandsSh(s, dir)
         Dedup.incrementalMinhashPairsIndexed(
-            corpusSh = sh.filter(col("doc_id") % 10 =!= 0),
-            index = corpusBands(s, dir),
-            newSh = sh.filter(col("doc_id") % 10 === 0),
+            corpusSh = corpusSh,
+            index = index,
+            newSh = incrShingled(s, dir),
             threshold = 0.5)
           .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
             greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))

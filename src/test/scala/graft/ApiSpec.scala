@@ -537,6 +537,43 @@ class ApiSpec extends AnyFunSuite {
     assert(st === Map(1L -> 1L, 2L -> 0L), st)
   }
 
+  test("band index save/load round-trips; stale fingerprints refuse") {
+    import graft.api.Dedup
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six seven"),
+      (10L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "unrelated words entirely different here now")
+    )).toDF("doc_id", "text")
+    val corpusSh = Dedup.shingles(docs.filter(col("doc_id") < 10L),
+      "doc_id", "text", n = 4)
+    val newSh = Dedup.shingles(docs.filter(col("doc_id") >= 10L),
+      "doc_id", "text", n = 4)
+    val direct = Dedup.incrementalMinhashPairsIndexed(corpusSh,
+        Dedup.buildBandIndex(corpusSh), newSh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val path = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val (savedIdx, savedSh) = Dedup.saveBandIndex(spark, path,
+      Dedup.buildBandIndex(corpusSh), corpusSh, fingerprint = "fp-v1")
+    val viaSaved = Dedup.incrementalMinhashPairsIndexed(savedSh, savedIdx,
+        newSh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSaved === direct)
+    val loaded = Dedup.loadBandIndex(spark, path, "fp-v1")
+    assert(loaded.isDefined, "matching fingerprint must load")
+    val (loadedIdx, loadedSh) = loaded.get
+    assert(loadedIdx.numPerms === 128 && loadedIdx.bands === 32)
+    val viaLoaded = Dedup.incrementalMinhashPairsIndexed(loadedSh, loadedIdx,
+        newSh, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoaded === direct)
+    // a changed corpus fingerprint (or missing index) must refuse, so a
+    // stale index can never silently serve wrong candidates
+    assert(Dedup.loadBandIndex(spark, path, "fp-v2").isEmpty)
+    assert(Dedup.loadBandIndex(spark, path + "/absent", "fp-v1").isEmpty)
+  }
+
   test("funnel/ewma reject non-string, non-integral user keys loudly") {
     // a DOUBLE (or BINARY) key under the old string-cast group key
     // could silently merge distinct users; now it must throw up front
