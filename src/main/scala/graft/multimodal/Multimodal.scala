@@ -10,10 +10,59 @@ import org.apache.spark.sql.functions._
   * kernel is a clearly-marked deterministic STUB — but everything Spark
   * cares about is real: the binary column plumbing, the typed Dataset
   * schema, the mapPartitions batch shape (one decoder init per partition,
-  * streamed rows), and the partitioning story. Swapping `stubDecode` for
-  * an actual JNI/ffmpeg/pillow-server call changes no plan shape.
+  * streamed rows), and the partitioning story. The kernel is pluggable:
+  * every operator takes a [[PayloadDecoder]] (default [[StubDecoder]]),
+  * so a real JNI/ffmpeg/pillow-server decoder drops in without touching
+  * query code or plan shape.
   */
 object Multimodal {
+
+  /** The decode kernel contract. Implementations must be Serializable —
+    * the decoder object ships to executors, and [[PayloadDecoder.init]]
+    * runs ONCE PER PARTITION before any row is decoded (open the codec,
+    * map the model, start the sidecar process); the per-row calls then
+    * stream through it. Keeping the kernel behind this trait is what
+    * makes the stub honest: swapping in a real decoder changes no
+    * operator, no schema, and no partitioning.
+    */
+  trait PayloadDecoder extends Serializable {
+    /** One-time per-partition initialisation; default no-op. */
+    def init(): Unit = ()
+    /** payload → (width, height, n_frames). */
+    def dims(payload: Array[Byte]): (Int, Int, Int)
+    /** Bytes of sampled frame `idx` of a video payload. */
+    def frame(payload: Array[Byte], idx: Int): Array[Byte]
+    /** Thumbnail bytes for a payload resized to (w, h). */
+    def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB decoder: dimensions derived deterministically from the payload
+    * bytes; frame/thumb bytes are deterministic slices. Replace with a
+    * real decoder behind the same trait.
+    *
+    * The fold is wrap-free (mod 1e9+7, the same family as
+    * `TextAnalysis.fingerprint`) so the stub's outputs are reproducible
+    * by ANY engine in plain arithmetic — which is what lets the three
+    * multimodal queries carry full DuckDB oracles pinning the batch
+    * plumbing (schema, row expansion, byte slicing) cross-engine
+    * instead of rows-only.
+    */
+  object StubDecoder extends PayloadDecoder {
+    def dims(payload: Array[Byte]): (Int, Int, Int) = {
+      var h = 1125899906842597L % 1000000007L
+      payload.foreach(b => h = (h * 31 + (b & 0xFF)) % 1000000007L)
+      val w = 64 + (h % 1024).toInt
+      val ht = 64 + ((h >> 10) % 1024).toInt
+      val frames = 1 + ((h >> 20) % 240).toInt
+      (w, ht, frames)
+    }
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] = {
+      val off = math.min(idx % math.max(1, payload.length), payload.length)
+      payload.slice(off, math.min(off + 16, payload.length))
+    }
+    def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      payload.take(math.min(64, payload.length))
+  }
 
   /** Media metadata extracted (stub-)decoding a payload. */
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
@@ -37,38 +86,20 @@ object Multimodal {
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (col("doc_id") % 3 + 1).cast("int")))
 
-  /** STUB decoder: dimensions derived deterministically from the payload
-    * bytes. Replace with a real decoder behind the same signature.
-    *
-    * The fold is wrap-free (mod 1e9+7, the same family as
-    * `TextAnalysis.fingerprint`) so the stub's outputs are reproducible
-    * by ANY engine in plain arithmetic — which is what lets the three
-    * multimodal queries carry full DuckDB oracles pinning the batch
-    * plumbing (schema, row expansion, byte slicing) cross-engine
-    * instead of rows-only.
+  /** Decode metadata for every payload. mapPartitions so the decoder is
+    * initialised once per partition and fed a streamed batch of rows —
+    * the Scala twin of `mapInPandas` batch processing.
     */
-  private def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L % 1000000007L
-    payload.foreach(b => h = (h * 31 + (b & 0xFF)) % 1000000007L)
-    val w = 64 + (h % 1024).toInt
-    val ht = 64 + ((h >> 10) % 1024).toInt
-    val frames = 1 + ((h >> 20) % 240).toInt
-    (w, ht, frames)
-  }
-
-  /** Decode metadata for every payload. mapPartitions so a real decoder
-    * would be initialised once per partition and fed a streamed batch of
-    * rows — the Scala twin of `mapInPandas` batch processing.
-    */
-  def decodeMeta(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] = {
+  def decodeMeta(spark: SparkSession, docs: DataFrame,
+                 decoder: PayloadDecoder = StubDecoder): Dataset[MediaMeta] = {
     import spark.implicits._
     withPayload(docs)
       .select(col("doc_id"), col("media_type"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // decoder init would happen HERE, once per partition
+        decoder.init() // once per partition, before any row
         rows.map { case (id, mt, payload) =>
-          val (w, h, f) = stubDecode(payload)
+          val (w, h, f) = decoder.dims(payload)
           MediaMeta(id, mt, payload.length.toLong, w, h,
             if (mt.startsWith("video")) f else 1)
         }
@@ -80,19 +111,19 @@ object Multimodal {
     * the batch shape a real ffmpeg-style sampler would use. Non-video
     * rows are dropped.
     */
-  def frameSample(spark: SparkSession, docs: DataFrame,
-                  everyK: Int): Dataset[Frame] = {
+  def frameSample(spark: SparkSession, docs: DataFrame, everyK: Int,
+                  decoder: PayloadDecoder = StubDecoder): Dataset[Frame] = {
     import spark.implicits._
     withPayload(docs)
       .filter(col("media_type") === "video/mp4")
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        decoder.init()
         rows.flatMap { case (id, payload) =>
-          val (_, _, frames) = stubDecode(payload)
+          val (_, _, frames) = decoder.dims(payload)
           (0 until frames by everyK).iterator.map { idx =>
-            val off = math.min(idx % math.max(1, payload.length), payload.length)
-            Frame(id, idx, payload.slice(off, math.min(off + 16, payload.length)))
+            Frame(id, idx, decoder.frame(payload, idx))
           }
         }
       }
@@ -101,19 +132,20 @@ object Multimodal {
   /** Resize/frame-sample stub: emits target dims + a byte-sliced
     * "thumbnail" of the payload, preserving batch shape.
     */
-  def resize(spark: SparkSession, docs: DataFrame,
-             maxDim: Int): Dataset[Thumb] = {
+  def resize(spark: SparkSession, docs: DataFrame, maxDim: Int,
+             decoder: PayloadDecoder = StubDecoder): Dataset[Thumb] = {
     import spark.implicits._
     withPayload(docs)
       .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
+        decoder.init()
         rows.map { case (id, payload) =>
-          val (w, h, _) = stubDecode(payload)
+          val (w, h, _) = decoder.dims(payload)
           val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
           val tw = math.max(1, (w * scale).toInt)
           val th = math.max(1, (h * scale).toInt)
-          Thumb(id, tw, th, payload.take(math.min(64, payload.length)))
+          Thumb(id, tw, th, decoder.thumb(payload, tw, th))
         }
       }
   }

@@ -537,6 +537,32 @@ class ApiSpec extends AnyFunSuite {
     assert(st === Map(1L -> 1L, 2L -> 0L), st)
   }
 
+  test("a second decoder drops into the multimodal operators unchanged") {
+    import graft.multimodal.Multimodal
+    // toy decoder: fixed 8x8, 4 frames, constant-byte kernels — proves
+    // the operators run ANY PayloadDecoder through the same plumbing
+    object Toy extends Multimodal.PayloadDecoder {
+      @transient var inited = false
+      override def init(): Unit = inited = true
+      def dims(p: Array[Byte]) = (8, 8, 4)
+      def frame(p: Array[Byte], idx: Int) = Array(idx.toByte)
+      def thumb(p: Array[Byte], w: Int, h: Int) = Array(w.toByte, h.toByte)
+    }
+    val docs = spark.createDataFrame(Seq(
+      (2L, "a video doc"), (3L, "an image doc")
+    )).toDF("doc_id", "text") // doc_id % 3: 2 -> video/mp4, 0 -> image/png
+    val meta = Multimodal.decodeMeta(spark, docs, Toy).collect()
+      .map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(meta === Map(2L -> ((8, 8, 4)), 3L -> ((8, 8, 1))))
+    val frames = Multimodal.frameSample(spark, docs, everyK = 2, Toy)
+      .collect().map(f => (f.doc_id, f.frame_idx, f.frame.toSeq)).toSet
+    assert(frames === Set((2L, 0, Seq(0.toByte)), (2L, 2, Seq(2.toByte))))
+    val thumbs = Multimodal.resize(spark, docs, maxDim = 4, Toy).collect()
+      .map(t => (t.doc_id, t.width, t.height, t.thumb.toSeq)).toSet
+    assert(thumbs === Set((2L, 4, 4, Seq(4.toByte, 4.toByte)),
+      (3L, 4, 4, Seq(4.toByte, 4.toByte))))
+  }
+
   test("band index save/load round-trips; stale fingerprints refuse") {
     import graft.api.Dedup
     val docs = spark.createDataFrame(Seq(
