@@ -583,6 +583,44 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(Checksums.checksumFile(out) === cs)
   }
 
+  test("store round-trips against an S3-compatible endpoint (GRAFT_S3_ENDPOINT)") {
+    // reference parity: tests/test_shelf.py:25-30 runs the same
+    // round-trip against MinIO. Here the remote is a real s3a:// URI;
+    // the test self-skips (like the duckdb-CLI export e2e) unless the
+    // environment provides an endpoint AND the hadoop-aws jars:
+    //   GRAFT_S3_ENDPOINT=http://localhost:9000     //   GRAFT_S3_ACCESS_KEY=... GRAFT_S3_SECRET_KEY=...     //   GRAFT_S3_BUCKET=graft-test sbt test
+    val ep = sys.env.get("GRAFT_S3_ENDPOINT")
+    assume(ep.isDefined, "GRAFT_S3_ENDPOINT not set")
+    assume(
+      try { Class.forName("org.apache.hadoop.fs.s3a.S3AFileSystem"); true }
+      catch { case _: ClassNotFoundException => false },
+      "hadoop-aws not on the classpath")
+    val bucket = sys.env.getOrElse("GRAFT_S3_BUCKET", "graft-test")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set("fs.s3a.endpoint", ep.get)
+    conf.set("fs.s3a.access.key",
+      sys.env.getOrElse("GRAFT_S3_ACCESS_KEY", "minioadmin"))
+    conf.set("fs.s3a.secret.key",
+      sys.env.getOrElse("GRAFT_S3_SECRET_KEY", "minioadmin"))
+    conf.set("fs.s3a.path.style.access", "true") // MinIO-style addressing
+    conf.set("fs.s3a.connection.ssl.enabled",
+      if (ep.get.startsWith("https")) "true" else "false")
+    val cache = Files.createTempDirectory("s3cache")
+    val store = new Store(
+      s"s3a://$bucket/graft-e2e-${System.nanoTime}", cache, conf)
+    val f = Files.createTempFile("blob", ".bin")
+    Files.write(f, Array.tabulate[Byte](4096)(i => (i % 241).toByte))
+    val cs = Checksums.checksumFile(f)
+    store.put(f, cs)
+    // wipe the cache: fetch must round-trip through the object store
+    Files.walk(cache).iterator().asScala.toSeq.reverse
+      .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+    val out = Files.createTempFile("out", ".bin")
+    store.fetch(cs, out)
+    assert(Checksums.checksumFile(out) === cs)
+    assert(store.existsLocally(cs), "fetch re-seeds the cache")
+  }
+
   test("snapshot --edit opens the sidecar in $EDITOR") {
     val (shelf, root) = freshShelf()
     val src = Files.createTempFile("ed", ".txt")
