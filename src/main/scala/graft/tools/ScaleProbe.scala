@@ -347,6 +347,28 @@ object ScaleProbe {
     println(f"funnel (${mult}x events): 1x=$fu1 stages ${df1}%.2f s  " +
       f"${mult}x=$fuN stages ${dfN}%.2f s  time-growth=${dfN / df1}%.1fx")
 
+    // integral-key fast path (round 7): BIGINT user ids shuffle as raw
+    // 8-byte longs through the fold; the same events with a STRING cast
+    // user id take the string path — the shuffle-byte delta is the cost
+    // a stringly-keyed pipeline pays at scale
+    val sfk0 = shufSnap()
+    val tfi = System.nanoTime()
+    Funnels.funnelCounts(evFor(mult), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600000000L).count()
+    val dfi = (System.nanoTime() - tfi) / 1e9
+    val sfk1 = shufSnap()
+    val tfs = System.nanoTime()
+    Funnels.funnelCounts(
+      evFor(mult).withColumn("user_id", col("user_id").cast("string")),
+      "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), 3600000000L).count()
+    val dfs = (System.nanoTime() - tfs) / 1e9
+    val sfk2 = shufSnap()
+    println(f"funnel key path (${mult}x): BIGINT ${dfi}%.2f s " +
+      f"${(sfk1 - sfk0) / 1e6}%.1f MB shuffled  vs STRING ${dfs}%.2f s " +
+      f"${(sfk2 - sfk1) / 1e6}%.1f MB  " +
+      f"(string/long shuffle ratio ${(sfk2 - sfk1).toDouble / (sfk1 - sfk0)}%.2fx)")
+
     // count-min sketch at mult x corpus: the sketch is depth x width
     // rows NO MATTER the corpus size — the probe pins that invariant
     // (the thing you persist/broadcast stays tiny) while the build wall
