@@ -151,6 +151,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Cross-document shared-segment coverage (the diagnostic behind
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better": exact substring duplication across documents is
+    * what models memorize): for every document, the ppm of its word
+    * `k`-gram positions whose k-gram also occurs in at least one OTHER
+    * document. A doc near 10⁶ ppm is wholly assembled from shared
+    * text (mirrors, templates, quotes); near-dup pair detection misses
+    * this when each PAIR's overlap stays under its Jaccard threshold.
+    *
+    * Scale shape: explode k-gram positions (grams travel as xxhash64
+    * keys), distinct (doc, gram), gram→distinct-doc-count, df≥2
+    * semi-join back, one per-doc count — inverted-index volume, never
+    * doc². Output ppm is exact integer arithmetic (positions·10⁶ div
+    * n_grams).
+    */
+  def sharedSegmentCoverage(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), (size(col("w")) - (k - 1)).cast("long").as("n_grams"),
+        explode(expr(
+          s"""transform(sequence(1, size(w) - ${k - 1}),
+                i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
+                  .mkString(", ")}))""")).as("g"))
+    val shared = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    pos.join(shared, Seq("g"), "left_semi")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared_pos"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared_pos"),
+        expr("n_shared_pos * 1000000L div n_grams").as("shared_ppm"))
+  }
+
   /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:
     * the unit both the batch pair search and the incremental index
     * share. At scale this is what gets persisted bucketed by
@@ -193,7 +228,15 @@ object Dedup {
     */
   def minhashPairs(sh: DataFrame, threshold: Double, numPerms: Int = 128,
                    bands: Int = 32): DataFrame = {
-    val bandRows = minhashBandRows(sh, numPerms, bands)
+    // materialized + pre-partitioned on the join key for the same
+    // reason as [[nearDuplicatePairs]]'s posting frame: the self-join
+    // would otherwise compute the FULL minhash signature aggregation
+    // once per side (exchange reuse does not fire across the cached-
+    // shingle AQE subplans) and re-exchange both copies. One signature
+    // pass, one exchange, both sides read the cache.
+    val bandRows = pin(minhashBandRows(sh, numPerms, bands)
+      .repartition(col("band_idx"), col("band_hash"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val cand = bandRows.as("a")
       .join(bandRows.as("b"), Seq("band_idx", "band_hash"))
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -408,9 +451,13 @@ object Dedup {
     val ex = tokenHash.fold(ex0)(f =>
       ex0.select(col("doc_id"), f(col("tok")).cast("long").as("tok")))
     val sig = ex.groupBy("doc_id").agg(expr("simhash_sig(tok)").as("sig"))
-    val bandRows = sig.select(col("doc_id"), col("sig"), posexplode(expr(
+    // same single-materialization treatment as [[minhashPairs]]: the
+    // self-join must not recompute the signature aggregation per side
+    val bandRows = pin(sig.select(col("doc_id"), col("sig"), posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
       .toDF("doc_id", "sig", "band_idx", "band_val")
+      .repartition(col("band_idx"), col("band_val"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     bandRows.as("a").join(bandRows.as("b"), Seq("band_idx", "band_val"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -107,6 +107,48 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("word"))
   }
 
+  /** Gopher-style within-document repetition metrics (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — the repetition family of
+    * quality filters): per document, the duplicate-word share and the
+    * token share of the single most frequent word 2-gram / 3-gram.
+    * Boilerplate, keyword-stuffed, and degenerate-generation text score
+    * high; a filter drops documents above a ppm threshold.
+    *
+    * All three metrics are EXACT integer ppm (count·10⁶ div n_words) —
+    * no fp division, so any engine reproduces them bit-for-bit.
+    *
+    * Scale shape: the duplicate-word share is a pure per-row map
+    * (size(array_distinct)); the n-gram maxima are explode → two hash
+    * aggregations ((doc, gram) count, then per-doc max) — both
+    * partial-agg friendly, no window, no self-join. Grams travel as
+    * xxhash64 keys (8 bytes, same ~2⁻⁶⁴ trade as the dedup postings):
+    * only COUNTS survive the aggregation, so a collision could only
+    * merge two gram counts of one document.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val w = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n_words"))
+    val base = w.select(col("doc_id"), col("n_words"),
+      size(array_distinct(col("w"))).as("n_distinct"))
+    def topGram(n: Int, alias: String) = w
+      .filter(col("n_words") >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(w) - ${n - 1}),
+              i -> xxhash64(${(0 until n).map(j => s"element_at(w, i + $j)")
+                .mkString(", ")}))""")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as(alias))
+    base
+      .join(topGram(2, "t2"), Seq("doc_id"), "left")
+      .join(topGram(3, "t3"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        expr("(n_words - n_distinct) * 1000000L div n_words")
+          .as("dup_word_ppm"),
+        coalesce(expr("t2 * 2000000L div n_words"), lit(0L)).as("top2_ppm"),
+        coalesce(expr("t3 * 3000000L div n_words"), lit(0L)).as("top3_ppm"))
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   pattern: String = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"): DataFrame =

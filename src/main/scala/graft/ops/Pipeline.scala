@@ -990,6 +990,66 @@ object Pipeline {
       (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"),
         "text", v = 30)),
 
+    // The exact-integer half of the Gopher repetition battery
+    // (q_text_repetition carries the fp top-word/dup-bigram fractions):
+    // duplicate-word share + top 2/3-gram token share, integer ppm
+    Q("q_text_rep_ngram",
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   base AS (SELECT doc_id, len(w) AS n_words,
+                                   len(list_distinct(w)) AS n_distinct
+                            FROM w),
+                   g2 AS (SELECT doc_id, max(c) AS t2 FROM (
+                            SELECT doc_id, g, count(*) AS c FROM (
+                              SELECT doc_id,
+                                     unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i + 1])) AS g
+                              FROM w WHERE len(w) >= 2)
+                            GROUP BY doc_id, g) GROUP BY doc_id),
+                   g3 AS (SELECT doc_id, max(c) AS t3 FROM (
+                            SELECT doc_id, g, count(*) AS c FROM (
+                              SELECT doc_id,
+                                     unnest(list_transform(range(1, len(w) - 1),
+                                       i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+                              FROM w WHERE len(w) >= 3)
+                            GROUP BY doc_id, g) GROUP BY doc_id)
+              SELECT b.doc_id, CAST(n_words AS BIGINT) AS n_words,
+                     CAST((n_words - n_distinct) * 1000000 // n_words
+                          AS BIGINT) AS dup_word_ppm,
+                     CAST(COALESCE(t2 * 2000000 // n_words, 0)
+                          AS BIGINT) AS top2_ppm,
+                     CAST(COALESCE(t3 * 3000000 // n_words, 0)
+                          AS BIGINT) AS top3_ppm
+              FROM base b
+              LEFT JOIN g2 USING (doc_id) LEFT JOIN g3 USING (doc_id)
+              ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.repetitionMetrics(t(s, dir, "documents"),
+        "doc_id", "text").orderBy("doc_id")),
+
+    // cross-document shared-segment coverage (Lee et al. 2022): ppm of
+    // each doc's word 8-gram positions whose 8-gram occurs in >= 2 docs
+    Q("q_dedup_segments",
+      Some("""WITH p AS (SELECT doc_id, len(w) - 7 AS n_grams,
+                                unnest(list_transform(range(1, len(w) - 6),
+                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    || ' ' || w[i+3] || ' ' || w[i+4]
+                                    || ' ' || w[i+5] || ' ' || w[i+6]
+                                    || ' ' || w[i+7])) AS g
+                         FROM (SELECT doc_id, string_split(text, ' ') AS w
+                               FROM documents)
+                         WHERE len(w) >= 8),
+                   df AS (SELECT g FROM (
+                            SELECT g, count(DISTINCT doc_id) AS df
+                            FROM p GROUP BY g) WHERE df >= 2)
+              SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+                     count(*) AS n_shared_pos,
+                     CAST(count(*) * 1000000 // n_grams AS BIGINT)
+                       AS shared_ppm
+              FROM p WHERE g IN (SELECT g FROM df)
+              GROUP BY doc_id, n_grams ORDER BY doc_id"""),
+      (s, dir) => Dedup.sharedSegmentCoverage(t(s, dir, "documents"),
+        "doc_id", "text", k = 8).orderBy("doc_id")),
+
     // cross-source duplication matrix over the near-dup pair set: the
     // "where does the duplication live" curation diagnostic
     Q("q_dedup_src_matrix",

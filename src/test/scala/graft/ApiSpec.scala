@@ -563,6 +563,36 @@ class ApiSpec extends AnyFunSuite {
       (3L, 4, 4, Seq(4.toByte, 4.toByte))))
   }
 
+  test("repetition metrics: planted duplicate words and n-grams") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a a a b"),          // dup 2/4; top2 "a a" x2; top3 x1
+      (2L, "x y z w"),          // no repetition
+      (3L, "go go go go go go") // fully degenerate
+    )).toDF("doc_id", "text")
+    val m = graft.api.TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(m(1L) === ((4L, 500000L, 1000000L, 750000L)), m(1L))
+    assert(m(2L) === ((4L, 0L, 500000L, 750000L)), m(2L)) // every gram unique: max c=1
+    assert(m(3L) === ((6L, 833333L, 1666666L, 2000000L)), m(3L))
+  }
+
+  test("shared-segment coverage flags only cross-document k-grams") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over"),  // shares "the quick brown" w/ 2
+      (2L, "the quick brown cat sits here"),
+      (3L, "entirely unrelated words in this doc")
+    )).toDF("doc_id", "text")
+    val c = graft.api.Dedup.sharedSegmentCoverage(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1+2 share exactly the "the quick brown" 3-gram (1 of 4
+    // positions each -> 250000 ppm); doc 3 shares nothing -> NO row
+    assert(c === Map(1L -> ((4L, 1L)), 2L -> ((4L, 1L))), c)
+    val ppm = graft.api.Dedup.sharedSegmentCoverage(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ppm === Map(1L -> 250000L, 2L -> 250000L), ppm)
+  }
+
   test("band index save/load round-trips; stale fingerprints refuse") {
     import graft.api.Dedup
     val docs = spark.createDataFrame(Seq(
