@@ -170,8 +170,9 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
     * falls back to [[export]]'s parquet+manifest container (the
     * documented container swap for CLI-less environments).
     */
-  def exportDuckdb(dbFile: Path, short: Boolean = false): Boolean =
-    Shelf.duckdbCli() match {
+  def exportDuckdb(dbFile: Path, short: Boolean = false,
+                   cli: Option[String] = None): Boolean =
+    cli.orElse(Shelf.duckdbCli()) match {
       case None => false
       case Some(cli) =>
         run()

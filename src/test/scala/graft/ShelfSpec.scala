@@ -378,6 +378,51 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(Files.exists(db) && Files.size(db) > 0)
   }
 
+  test("export-duckdb invocation: temp .sql script, chatty CLI, failure cleanup") {
+    // a MOCK cli pins the new no-stdin invocation shape (the statements
+    // travel via `.read <tempfile>`): a real CLI emitting more than a
+    // pipe buffer of output used to deadlock against the stdin feed
+    val (shelf, root) = freshShelf()
+    val script = root.resolve("src/steps/tables/exp/mock/2026-08-12.sql")
+    Files.createDirectories(script.getParent)
+    Files.writeString(script, "SELECT 7 AS dim_n")
+    shelf.catalog = shelf.catalog.addStep(StepURI.table("exp/mock/2026-08-12"))
+    shelf.catalog.save()
+
+    def mockCli(body: String): String = {
+      val f = Files.createTempFile("mockduck", ".sh")
+      Files.writeString(f, "#!/bin/sh" + "\n" + body)
+      f.toFile.setExecutable(true)
+      f.toString
+    }
+    // success: arg2 must be a .read command; "execute" it by copying the
+    // statements into the db file, then flood stdout well past any pipe
+    // buffer — the export must still complete (drained before waitFor)
+    val ok = mockCli(
+      """db="$1"; cmd="$2"
+        |case "$cmd" in ".read "*) ;; *) echo "bad arg: $cmd"; exit 9;; esac
+        |sql="${cmd#.read }"
+        |cp "$sql" "$db"
+        |i=0; while [ $i -lt 20000 ]; do echo "chatty line $i"; i=$((i+1)); done
+        |exit 0""".stripMargin)
+    val db = Files.createTempDirectory("dd").resolve("out.duckdb")
+    assert(shelf.exportDuckdb(db, short = true, cli = Some(ok)))
+    val written = Files.readString(db)
+    assert(written.contains("CREATE OR REPLACE TABLE " + "\"exp_mock_20260812\""),
+      written.take(200))
+    assert(written.contains("read_parquet"), written.take(200))
+
+    // failure: nonzero exit must raise AND remove the half-written file
+    val bad = mockCli("""echo "boom: something broke"; exit 3""")
+    val db2 = Files.createTempDirectory("dd2").resolve("out.duckdb")
+    val ex = intercept[IllegalStateException] {
+      shelf.exportDuckdb(db2, cli = Some(bad))
+    }
+    assert(ex.getMessage.contains("exited 3") && ex.getMessage.contains("boom"),
+      ex.getMessage)
+    assert(!Files.exists(db2), "failed export must not leave a db file")
+  }
+
   test("partitioned directory output via write config (cluster-scale path)") {
     val (shelf, root) = freshShelf()
     val script = root.resolve("src/steps/tables/part/t/2026-08-12.sql")
