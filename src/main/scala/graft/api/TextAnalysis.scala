@@ -149,6 +149,39 @@ object TextAnalysis {
         coalesce(expr("t3 * 3000000L div n_words"), lit(0L)).as("top3_ppm"))
   }
 
+  /** Exact per-group p50/p90/p99 of a numeric column — the length
+    * dashboard a curation run reads per source before choosing cut-offs
+    * (truncation/packing budgets, outlier trims). Discrete (lower)
+    * percentiles at EXACT integer rank indices (idx = (p·n + 99) div
+    * 100 — no fp multiply, so every engine picks the identical element;
+    * approx_percentile's sketch would be neither exact nor
+    * cross-engine stable).
+    *
+    * Scale shape: one shuffle on the group key; the rank window sorts
+    * within each group partition and the percentile picks collapse
+    * into the same hash aggregation. Group count is small (sources,
+    * languages), group size is unbounded — which is exactly the window
+    * sort's spill-friendly case.
+    */
+  def lengthPercentiles(docs: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = docs.select(col(groupCol).as("__g"),
+      col(valueCol).cast("long").as("v"))
+    val ranked = r
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("__g").orderBy("v")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("__g")))
+    def pick(p: Int, alias: String) =
+      min(when(expr(s"rn >= ($p * n + 99) div 100"), col("v"))).as(alias)
+    ranked.groupBy(col("__g"))
+      .agg(max(col("n")).as("n_docs"),
+        pick(50, "p50"), pick(90, "p90"), pick(99, "p99"))
+      .select(col("__g").as(groupCol), col("n_docs"),
+        col("p50"), col("p90"), col("p99"))
+      .orderBy(groupCol)
+  }
+
   /** Whitespace + BPE-ish regex token counts. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
                   pattern: String = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"): DataFrame =

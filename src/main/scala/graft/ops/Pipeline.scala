@@ -1050,6 +1050,24 @@ object Pipeline {
       (s, dir) => Dedup.sharedSegmentCoverage(t(s, dir, "documents"),
         "doc_id", "text", k = 8).orderBy("doc_id")),
 
+    // per-source length percentiles: exact integer-rank p50/p90/p99
+    Q("q_stats_length_pct",
+      Some("""WITH r AS (SELECT source, n_chars AS v,
+                                row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars) AS rn,
+                                count(*) OVER (PARTITION BY source) AS n
+                         FROM documents)
+              SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                     CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN v END)
+                          AS BIGINT) AS p50,
+                     CAST(min(CASE WHEN rn >= (90 * n + 99) // 100 THEN v END)
+                          AS BIGINT) AS p90,
+                     CAST(min(CASE WHEN rn >= (99 * n + 99) // 100 THEN v END)
+                          AS BIGINT) AS p99
+              FROM r GROUP BY source ORDER BY source"""),
+      (s, dir) => TextAnalysis.lengthPercentiles(t(s, dir, "documents"),
+        "source", "n_chars")),
+
     // cross-source duplication matrix over the near-dup pair set: the
     // "where does the duplication live" curation diagnostic
     Q("q_dedup_src_matrix",

@@ -593,6 +593,18 @@ class ApiSpec extends AnyFunSuite {
     assert(ppm === Map(1L -> 250000L, 2L -> 250000L), ppm)
   }
 
+  test("length percentiles pick exact integer-rank elements") {
+    val docs = spark.createDataFrame(
+      (1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ ((99L, "b", 7L))
+    ).toDF("doc_id", "source", "n_chars")
+    val p = graft.api.TextAnalysis.lengthPercentiles(docs, "source", "n_chars")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // idx = (p*n + 99) div 100 over n=10 sorted 1..10: p50->5, p90->9, p99->10
+    assert(p("a") === ((10L, 5L, 9L, 10L)), p("a"))
+    assert(p("b") === ((1L, 7L, 7L, 7L)), p("b"))
+  }
+
   test("band index save/load round-trips; stale fingerprints refuse") {
     import graft.api.Dedup
     val docs = spark.createDataFrame(Seq(
