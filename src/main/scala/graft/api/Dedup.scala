@@ -497,9 +497,14 @@ object Dedup {
                         threshold: Double, bits: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val e = vectors.select(col(idCol).as("vid"),
+    // bucketed frame materialized once (same rationale as the minhash
+    // band rows): the self-join would otherwise scan the vectors and
+    // recompute the bits x dim hyperplane dot products per side
+    val e = pin(vectors.select(col(idCol).as("vid"),
         transform(col(vecCol), x => x.cast("double")).as("v"))
       .withColumn("bucket", Similarity.lshBucket("v", bits))
+      .repartition(col("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val a = e.select(col("vid").as("id_a"), col("v").as("va"), col("bucket"))
     val b = e.select(col("vid").as("id_b"), col("v").as("vb"), col("bucket"))
     a.join(b, Seq("bucket"))

@@ -16,7 +16,8 @@ object ExplainCheck {
       "q_sim_ann_ivf", "q_decontaminate", "q_pack_greedy", "q_pipeline_e2e",
       "q_text_bm25", "q_sim_quant", "q_sim_rp", "q_text_perplexity",
       "q_sketch_cms", "q_pipeline_chunks", "q_mix_temperature",
-      "q_dedup_keep_best", "q_text_hashtf", "q_evt_funnel")
+      "q_dedup_keep_best", "q_text_hashtf", "q_evt_funnel",
+      "q_text_rep_ngram", "q_dedup_segments", "q_stats_length_pct")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -465,6 +465,54 @@ object ScaleProbe {
     println(f"pmi collocations (${mult}x corpus): 1x=$pm1 rows ${dpm1}%.2f s  " +
       f"${mult}x=$pmN rows ${dpmN}%.2f s  time-growth=${dpmN / dpm1}%.1fx")
 
+    // round-7 curation operators. repetition metrics: two hash aggs
+    // over the exploded gram stream — linear; shared segments:
+    // inverted-index volume (replica grams are disjoint, so the df>=2
+    // set and per-doc coverage replicate the 1x structure exactly);
+    // length percentiles: replication leaves each source's value
+    // DISTRIBUTION intact, so p50/p90/p99 must be invariant
+    // ppm-sum rather than count(): a bare count lets Catalyst ELIMINATE
+    // the unique-key left joins (and the whole n-gram aggregation)
+    def forceRep(d: org.apache.spark.sql.DataFrame): Long = TextAnalysis
+      .repetitionMetrics(d, "doc_id", "text")
+      .agg(sum(col("dup_word_ppm") + col("top2_ppm") + col("top3_ppm"))
+        .cast("long")).collect()(0).getLong(0)
+    val trm1 = System.nanoTime()
+    val rm1 = forceRep(docsFor(1))
+    val drm1 = (System.nanoTime() - trm1) / 1e9
+    val trmN = System.nanoTime()
+    val rmN = forceRep(docs)
+    val drmN = (System.nanoTime() - trmN) / 1e9
+    println(f"repetition metrics (${mult}x corpus): 1x ppm-sum=$rm1 ${drm1}%.2f s  " +
+      f"${mult}x ppm-sum=$rmN ${drmN}%.2f s  time-growth=${drmN / drm1}%.1fx  " +
+      f"ppm-sum-growth=${rmN.toDouble / rm1}%.1fx")
+
+    val tsg1 = System.nanoTime()
+    val sg1 = Dedup.sharedSegmentCoverage(docsFor(1), "doc_id", "text").count()
+    val dsg1 = (System.nanoTime() - tsg1) / 1e9
+    val tsgN = System.nanoTime()
+    val sgN = Dedup.sharedSegmentCoverage(docs, "doc_id", "text").count()
+    val dsgN = (System.nanoTime() - tsgN) / 1e9
+    println(f"shared segments (${mult}x corpus): 1x=$sg1 docs ${dsg1}%.2f s  " +
+      f"${mult}x=$sgN docs ${dsgN}%.2f s  time-growth=${dsgN / dsg1}%.1fx " +
+      f"covered-doc-growth=${sgN.toDouble / sg1}%.1fx")
+
+    def docsFullFor(m: Int) = docs0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+        col("source"), col("n_chars"))
+    val tlp1 = System.nanoTime()
+    val lp1 = TextAnalysis.lengthPercentiles(docsFullFor(1), "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dlp1 = (System.nanoTime() - tlp1) / 1e9
+    val tlpN = System.nanoTime()
+    val lpN = TextAnalysis.lengthPercentiles(docsFullFor(mult), "source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val dlpN = (System.nanoTime() - tlpN) / 1e9
+    println(f"length percentiles (${mult}x corpus): 1x ${dlp1}%.2f s  " +
+      f"${mult}x ${dlpN}%.2f s  time-growth=${dlpN / dlp1}%.1fx  " +
+      f"percentiles-invariant=${lp1.toSeq == lpN.toSeq}")
+
     // perplexity with a 10x LARGER vocab cap: model rows scale with V
     // (TakeOrdered broadcast), not the corpus — the wall should move
     // modestly vs the V=1000 run above, and stay linear in the corpus
