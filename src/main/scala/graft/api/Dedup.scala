@@ -168,7 +168,11 @@ object Dedup {
     */
   def sharedSegmentCoverage(docs: DataFrame, idCol: String, textCol: String,
                             k: Int = 8): DataFrame = {
-    val pos = docs
+    // materialized once, co-partitioned on the gram key: the frame
+    // feeds both the df count and the semi-join probe side, and without
+    // the persist each consumer re-explodes and re-hashes the corpus
+    // (the same exchange-reuse failure as the near-dup postings)
+    val pos = pin(docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= k)
       .select(col("doc_id"), (size(col("w")) - (k - 1)).cast("long").as("n_grams"),
@@ -176,6 +180,8 @@ object Dedup {
           s"""transform(sequence(1, size(w) - ${k - 1}),
                 i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
                   .mkString(", ")}))""")).as("g"))
+      .repartition(col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val shared = pos.select(col("doc_id"), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
