@@ -117,4 +117,35 @@ object Mixing {
       }
     df.filter(knuthHash(col(idCol)) < thresh)
   }
+
+  /** Deterministic per-source downsampling to a TOKEN budget — the
+    * mixture op actual recipes specify ("200B tokens of crawl, 30B of
+    * code, all of wiki") where rate-based sampling can only approximate
+    * it. Documents stream per source in Knuth-hash order (an unbiased
+    * but fully deterministic shuffle of each source — the same fairness
+    * argument as [[stratifiedSample]], id-ties broken by id) and are
+    * kept while the running token sum stays ≤ the source's budget; the
+    * first over-budget document is the cut. Sources absent from
+    * `budgets` keep everything.
+    *
+    * Scale shape: one shuffle on the source key; the running sum is a
+    * window over each source's hash order (sort within partition —
+    * spill-friendly, never driver-side). Exact integer arithmetic all
+    * the way: every engine keeps the identical document set.
+    */
+  def tokenBudgetSample(df: DataFrame, idCol: String, srcCol: String,
+                        tokenCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(knuthHash(col(idCol)), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget: Column = budgets.toSeq.sortBy(_._1)
+      .foldLeft(lit(Long.MaxValue)) { case (acc, (k, b)) =>
+        when(col(srcCol) === k, lit(b)).otherwise(acc)
+      }
+    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
 }

@@ -1335,6 +1335,31 @@ object Pipeline {
         .groupBy("lang").agg(count(lit(1)).as("n"))
         .orderBy("lang")),
 
+    // Token-budget mixture: per-source deterministic downsample to a
+    // token budget in Knuth-hash order — the "N tokens of source X"
+    // recipe shape; exact integer window, identical doc set any engine
+    Q("q_mix_token_budget",
+      Some(s"""WITH r AS (SELECT source, n_chars,
+                                 sum(n_chars) OVER (PARTITION BY source
+                                   ORDER BY ${graft.api.Mixing.knuthHashSql("doc_id")},
+                                            doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+                          FROM documents)
+               SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_tokens
+               FROM r
+               WHERE cum <= CASE source WHEN 'src0' THEN 50000
+                                        WHEN 'src1' THEN 20000
+                                        WHEN 'src2' THEN 100000
+                                        ELSE 9223372036854775807 END
+               GROUP BY source ORDER BY source"""),
+      (s, dir) => graft.api.Mixing.tokenBudgetSample(t(s, dir, "documents"),
+          "doc_id", "source", "n_chars",
+          Map("src0" -> 50000L, "src1" -> 20000L, "src2" -> 100000L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_tokens"))
+        .orderBy("source")),
+
     // Gopher repetition battery (top-word fraction + duplicate-bigram
     // fraction): the standard degenerate-text cut-offs.
     Q("q_text_repetition",

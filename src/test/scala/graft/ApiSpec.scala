@@ -605,6 +605,22 @@ class ApiSpec extends AnyFunSuite {
     assert(p("b") === ((1L, 7L, 7L, 7L)), p("b"))
   }
 
+  test("token-budget sample cuts each source at its budget in hash order") {
+    // knuth hash order of ids 1,2,3: h(2)=1013904226 < h(1)=2654435761
+    // < h(3)=3668339987 — so the stream order is 2, 1, 3
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a", 10L), (2L, "a", 10L), (3L, "a", 10L),
+      (7L, "b", 99L)
+    )).toDF("doc_id", "source", "n_tok")
+    def kept(budgets: Map[String, Long]): Set[Long] =
+      graft.api.Mixing.tokenBudgetSample(docs, "doc_id", "source", "n_tok",
+        budgets).collect().map(_.getLong(0)).toSet
+    assert(kept(Map("a" -> 15L)) === Set(2L, 7L))        // b unbudgeted
+    assert(kept(Map("a" -> 25L)) === Set(2L, 1L, 7L))
+    assert(kept(Map("a" -> 30L, "b" -> 0L)) === Set(1L, 2L, 3L))
+    assert(kept(Map.empty) === Set(1L, 2L, 3L, 7L))
+  }
+
   test("band index save/load round-trips; stale fingerprints refuse") {
     import graft.api.Dedup
     val docs = spark.createDataFrame(Seq(
