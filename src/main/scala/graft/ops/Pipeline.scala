@@ -587,6 +587,24 @@ object Pipeline {
       (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
         .orderBy("doc_id")),
 
+    // Duplicate-cluster SIZE histogram: how the duplicated mass
+    // distributes (many pairs vs a few mirror farms) — the diagnostic
+    // that decides keep-one vs drop-cluster policies. Two tiny
+    // aggregations over the cluster labels.
+    Q("q_dedup_cluster_sizes",
+      Some(s"""WITH RECURSIVE
+               $clusterCtes,
+               cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+                      FROM reach GROUP BY u),
+               cs AS (SELECT cluster, count(*) AS cluster_size
+                      FROM cl GROUP BY cluster)
+               SELECT cluster_size, count(*) AS n_clusters
+               FROM cs GROUP BY cluster_size ORDER BY cluster_size"""),
+      (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
     // SimHash in auditable mode: the per-token hash is the top 60 bits
     // of sha256 (content-stable, computable by ANY engine) instead of
     // the default internal xxhash64, so the full signature → band →
