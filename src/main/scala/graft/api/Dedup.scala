@@ -19,23 +19,9 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
-  // Frames persisted INSIDE an operator (never handed to the caller, so
-  // the caller cannot unpersist them) register here per session;
-  // [[graft.Graft.clear]] drains them. Entries cost storage only until
-  // the LRU evicts or clear() runs — same hygiene contract as the
-  // Pipeline-level memoized caches.
-  private val pinned =
-    scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
-  private def pin(df: DataFrame): DataFrame = pinned.synchronized {
-    pinned += ((System.identityHashCode(df.sparkSession), df)); df
-  }
+  private def pin(df: DataFrame): DataFrame = Pins.pin(df)
   private[graft] def clearPins(s: org.apache.spark.sql.SparkSession): Unit =
-    pinned.synchronized {
-      val id = System.identityHashCode(s)
-      val (mine, rest) = pinned.partition(_._1 == id)
-      mine.foreach(_._2.unpersist())
-      pinned.clear(); pinned ++= rest
-    }
+    Pins.clear(s)
 
   /** Content-hash groups: (hash, n) per distinct payload. */
   def exactDuplicates(docs: DataFrame, textCol: String): DataFrame =
@@ -319,7 +305,13 @@ object Dedup {
   }
 
   private def indexMetaPath(path: String) = s"$path/meta.json"
-  private def tableTag(path: String) = math.abs(path.hashCode).toString
+  // sha256-derived, not String.hashCode: 32-bit hash collisions between
+  // two index paths would alias their catalog table names, and attach()
+  // would silently serve one index for the other (save would DROP it)
+  private def tableTag(path: String) =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(path.getBytes("UTF-8")).take(8)
+      .map("%02x".format(_)).mkString
 
   /** Persist a band index AND its corpus shingle frame under `path` as
     * bucketed external tables — bands on (band_idx, band_hash) so every
@@ -381,6 +373,11 @@ object Dedup {
     }
     if (meta.get("version").map(_.toInt) != Some(IndexFormatVersion) ||
         meta.get("fingerprint") != Some(fingerprint)) return None
+    // a crash or partial scratch cleanup can leave meta.json without the
+    // data directories — that is a rebuild, not an AnalysisException
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/bands")) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/shingles")))
+      return None
     val (numPerms, bands, buckets) = (meta("num_perms").toInt,
       meta("bands").toInt, meta("buckets").toInt)
     val tag = tableTag(path)

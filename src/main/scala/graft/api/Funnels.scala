@@ -43,10 +43,15 @@ object Funnels {
     */
   private def integralKey(fn: String, t: DataType): Boolean = t match {
     case ByteType | ShortType | IntegerType | LongType => true
+    // DECIMAL(p, 0) with p <= 18 is an exact integer domain inside
+    // Long range — the standard JDBC NUMBER id shape — and casts
+    // losslessly to the integral fast path
+    case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
     case StringType => false
     case other => throw new IllegalArgumentException(
-      s"$fn: user column must be STRING or integral (BYTE/SHORT/INT/BIGINT); " +
-        s"got $other — a cast-based group key would silently merge distinct keys")
+      s"$fn: user column must be STRING, integral (BYTE/SHORT/INT/BIGINT), " +
+        s"or DECIMAL(<=18, 0); got $other — a cast-based group key would " +
+        "silently merge distinct keys")
   }
 
   /** The per-user funnel fold, generic over the group-key type so the

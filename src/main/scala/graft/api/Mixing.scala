@@ -137,6 +137,8 @@ object Mixing {
                         tokenCol: String,
                         budgets: Map[String, Long]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("__cum"),
+      "tokenBudgetSample uses '__cum' internally; rename that input column")
     val w = Window.partitionBy(col(srcCol))
       .orderBy(knuthHash(col(idCol)), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

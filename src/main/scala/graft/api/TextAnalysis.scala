@@ -127,8 +127,13 @@ object TextAnalysis {
     */
   def repetitionMetrics(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val w = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    // split once, serve three consumers (the base metrics and both
+    // n-gram branches) — without the persist each branch re-scans the
+    // corpus and re-splits the text
+    val w = Pins.pin(docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n_words"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val base = w.select(col("doc_id"), col("n_words"),
       size(array_distinct(col("w"))).as("n_distinct"))
     def topGram(n: Int, alias: String) = w
@@ -166,8 +171,13 @@ object TextAnalysis {
   def lengthPercentiles(docs: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL values are EXCLUDED up front: engines disagree on where
+    // nulls sort (Spark first, DuckDB last), so a null row would shift
+    // every rank index differently per engine — silent divergence
+    // instead of a well-defined percentile
     val r = docs.select(col(groupCol).as("__g"),
       col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val ranked = r
       .withColumn("rn", row_number().over(
         Window.partitionBy("__g").orderBy("v")))

@@ -1074,7 +1074,7 @@ object Pipeline {
                                 row_number() OVER (PARTITION BY source
                                   ORDER BY n_chars) AS rn,
                                 count(*) OVER (PARTITION BY source) AS n
-                         FROM documents)
+                         FROM documents WHERE n_chars IS NOT NULL)
               SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
                      CAST(min(CASE WHEN rn >= (50 * n + 99) // 100 THEN v END)
                           AS BIGINT) AS p50,

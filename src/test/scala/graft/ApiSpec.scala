@@ -668,11 +668,19 @@ class ApiSpec extends AnyFunSuite {
       graft.api.Funnels.funnelStages(events, "user_id", "ts", "event_type",
         Seq("view"), windowMicros = 1000000L)
     }
-    assert(e1.getMessage.contains("STRING or integral"), e1.getMessage)
+    assert(e1.getMessage.contains("STRING, integral"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException] {
       graft.api.Funnels.ewmaHalf(events, "user_id", "ts", "value")
     }
-    assert(e2.getMessage.contains("STRING or integral"), e2.getMessage)
+    assert(e2.getMessage.contains("STRING, integral"), e2.getMessage)
+    // DECIMAL(p<=18, 0) is an exact integer domain — it must take the
+    // integral fast path, not throw
+    val dec = events.withColumn("user_id",
+      lit(5).cast("decimal(18,0)"))
+    val st = graft.api.Funnels.funnelStages(dec, "user_id", "ts",
+        "event_type", Seq("view"), windowMicros = 1000000L)
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(st === Map("5" -> 1L), st)
   }
 
   test("funnel + ewma stream a 10^6-event power user without a fat task") {
