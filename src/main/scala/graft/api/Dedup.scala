@@ -89,9 +89,14 @@ object Dedup {
     * rarer shingles that still collide), the same trade CCNet-style
     * pipelines make by discarding high-df n-grams. Set
     * `maxDf = Int.MaxValue` for the exact-at-any-cost behavior.
+    * Surviving toks with df above `hotDf` are salted in the self-join
+    * (see inline note) so no single join group exceeds ~hotDf·maxDf
+    * rows — skew headroom for the df-just-under-the-cap boilerplate
+    * token that would otherwise put df² rows in one task.
     */
   def nearDuplicatePairs(sh: DataFrame, threshold: Double,
-                         maxDf: Int = 10000): DataFrame = {
+                         maxDf: Int = 10000, hotDf: Int = 1000): DataFrame = {
+    require(hotDf >= 1, s"hotDf must be >= 1, got $hotDf")
     // shingles travel as 8-byte xxhash64 keys, not ~30-byte strings:
     // every downstream exchange (df count, semi-join, posting
     // self-join) moves the whole exploded corpus, so key width IS the
@@ -121,17 +126,64 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("t0")).as("tok"))
       .repartition(col("tok"))
       .persist(StorageLevel.MEMORY_AND_DISK))
-    val hot = ex.groupBy("tok").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf).select("tok")
-    val ex2 = ex.join(hot, Seq("tok"), "left_semi")
-    val pairs = ex2.as("a").join(ex2.as("b"), "tok")
+    // Skew headroom: a tok at df=maxDf would emit df² candidate rows in
+    // ONE task's join group (10⁸ at the default cap — a straggler that
+    // owns the stage wall). Postings therefore split by df: COLD toks
+    // (df ≤ hotDf) self-join on tok exactly as before — zero-exchange,
+    // inheriting the materialized tok partitioning, group output
+    // bounded by hotDf². HOT toks (hotDf < df ≤ maxDf — a tiny slice,
+    // |toks| bounded and each ≤ maxDf postings) go through a salted
+    // join: the left occurrence picks ONE of ceil(df/hotDf) salt
+    // buckets by doc-id hash, the right occurrence replicates into all
+    // of them, so every ordered pair still meets exactly once but a
+    // join group holds ≤ hotDf·df rows instead of df² — bounded
+    // straggler, replication cost paid only on the hot slice. Identical
+    // pair set and inter counts by construction; set hotDf = maxDf to
+    // disable the salted path.
+    val dfs = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+    val exCold = ex.join(dfs.filter(col("df") <= hotDf).select("tok"),
+      Seq("tok"), "left_semi")
+    val coldPairs = exCold.as("a").join(exCold.as("b"), "tok")
       .where(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Explicit fixed-count repartition on (tok, salt), NOT a plain join
+    // exchange: the hot slice is tiny by INPUT bytes (≤ maxDf postings
+    // per tok), so AQE's size-based coalescing would merge every salt
+    // group back into one post-shuffle partition — blind to the df²
+    // join OUTPUT about to erupt — and reconstruct exactly the one-task
+    // straggler the salt exists to break. A user-specified partition
+    // count is exempt from coalescing, and both sides sharing
+    // HashPartitioning(tok, salt, P) means the join itself adds no
+    // further exchange; each salt group then joins in its own task.
+    val nPart = sh.sparkSession.sessionState.conf.numShufflePartitions
+    val exHot = ex.join(dfs.filter(col("df") > hotDf), Seq("tok"))
+      .withColumn("s", expr(s"(df + ${hotDf - 1}) div $hotDf"))
+    val hotPairs = exHot
+      .select(col("tok"), col("doc_id").as("doc_a"),
+        pmod(xxhash64(col("doc_id")), col("s")).as("salt"))
+      .repartition(nPart, col("tok"), col("salt"))
+      .join(exHot.select(col("tok"), col("doc_id").as("doc_b"),
+          explode(expr("sequence(0L, s - 1)")).as("salt"))
+        .repartition(nPart, col("tok"), col("salt")),
+        Seq("tok", "salt"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val pairs = coldPairs.unionAll(hotPairs)
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).cast("double").as("inter"))
+    // NO broadcast hint on the size frame: it is CORPUS-sized (one row
+    // per document), and a forced broadcast of 10⁹ (doc_id, sz) rows is
+    // a ~16 GB+ build side — over Spark's 8 GB broadcast-table limit
+    // and a driver/executor OOM long before. The surviving pair set is
+    // ≪ the postings, so a shuffle join on doc_id is the right default
+    // plan; AQE still promotes the join to broadcast at small SFs where
+    // the frame genuinely fits, which is the sizing decision the
+    // optimizer owns, not a hint.
     val sz = sh.select(col("doc_id"), size(col("toks")).as("sz"))
     pairs
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))), "doc_a")
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))), "doc_b")
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
       .withColumn("jaccard", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))

@@ -126,28 +126,84 @@ object Mixing {
     * argument as [[stratifiedSample]], id-ties broken by id) and are
     * kept while the running token sum stays ≤ the source's budget; the
     * first over-budget document is the cut. Sources absent from
-    * `budgets` keep everything.
+    * `budgets` keep everything. NULL token counts are treated as 0
+    * (the doc is kept and costs nothing) — coalesced UP FRONT, so a
+    * null-token doc's membership never depends on where it lands in
+    * hash order (a raw windowed sum would emit a NULL running sum until
+    * the first non-null doc and silently drop whatever streamed first).
     *
-    * Scale shape: one shuffle on the source key; the running sum is a
-    * window over each source's hash order (sort within partition —
-    * spill-friendly, never driver-side). Exact integer arithmetic all
-    * the way: every engine keeps the identical document set.
+    * Scale shape: TWO-PHASE running sum, parallel within each source.
+    * A source's rows are cut into `slices` contiguous spans of the
+    * Knuth-hash order by FIXED hash thresholds (slice = h·S div 2³² —
+    * deterministic, no sampled range boundaries, stable under
+    * recomputation). Phase 1 hash-aggregates per-(source, slice) token
+    * totals — bounded driver metadata, |sources|·S rows, the same
+    * collect-bounded-metadata pattern as [[temperatureRates]] — and an
+    * exclusive prefix over slice order gives each slice its starting
+    * offset. Phase 2 windows ONLY within (source, slice), adds the
+    * slice offset, and filters: identical running sums, but the sort
+    * task is 1/S of a source, never the whole source — the
+    * single-task-per-source window this replaces owned ALL of a
+    * "200B tokens of crawl" source in one task. Unbudgeted sources
+    * bypass the machinery entirely (kept verbatim, zero shuffle).
+    * Exact integer arithmetic all the way: every engine keeps the
+    * identical document set.
     */
   def tokenBudgetSample(df: DataFrame, idCol: String, srcCol: String,
                         tokenCol: String,
-                        budgets: Map[String, Long]): DataFrame = {
+                        budgets: Map[String, Long],
+                        slices: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(!df.columns.contains("__cum"),
-      "tokenBudgetSample uses '__cum' internally; rename that input column")
-    val w = Window.partitionBy(col(srcCol))
-      .orderBy(knuthHash(col(idCol)), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    Seq("__cum", "__h", "__tok", "__slice", "__off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"tokenBudgetSample uses '$c' internally; rename that input column"))
+    if (budgets.isEmpty) return df
+    val spark = df.sparkSession
+    val keep = df.columns.map(col).toSeq
+
+    val budgeted = df
+      .filter(col(srcCol).isin(budgets.keys.toSeq: _*))
+      .withColumn("__h", knuthHash(col(idCol)))
+      .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .withColumn("__slice", expr(s"(__h * $slices) div $M"))
+    // phase 1: per-(source, slice) token totals — |sources|·S rows of
+    // driver metadata — then an exclusive prefix over slice order
+    val offsets = budgeted
+      .groupBy(col(srcCol).cast("string").as("__s"), col("__slice"))
+      .agg(sum(col("__tok")).as("t"))
+      .collect()
+      .groupBy(_.getString(0))
+      .toSeq
+      .flatMap { case (src, rows) =>
+        rows.sortBy(_.getLong(1))
+          .scanLeft((src, -1L, 0L, 0L)) { case ((_, _, acc, t0), r) =>
+            (src, r.getLong(1), acc + t0, r.getLong(2))
+          }
+          .tail.map { case (s, sl, off, _) => (s, sl, off) }
+      }
+    import spark.implicits._
+    val offDf = offsets.toDF("__s", "__slice", "__off")
     val budget: Column = budgets.toSeq.sortBy(_._1)
       .foldLeft(lit(Long.MaxValue)) { case (acc, (k, b)) =>
         when(col(srcCol) === k, lit(b)).otherwise(acc)
       }
-    df.withColumn("__cum", sum(col(tokenCol).cast("long")).over(w))
+    // phase 2: running sum within (source, slice) only — a task owns at
+    // most ~1/S of a source — plus the driver-computed slice offset
+    val w = Window.partitionBy(col(srcCol), col("__slice"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sampled = budgeted
+      .join(broadcast(offDf), // bounded: |sources|·S rows
+        col(srcCol).cast("string") === col("__s") &&
+          budgeted("__slice") === offDf("__slice"), "inner")
+      .drop(offDf("__slice")).drop("__s")
+      .withColumn("__cum", col("__off") + sum(col("__tok")).over(w))
       .filter(col("__cum") <= budget)
-      .drop("__cum")
+      .select(keep: _*)
+    df.filter(!col(srcCol).isin(budgets.keys.toSeq: _*) ||
+        col(srcCol).isNull)
+      .select(keep: _*)
+      .unionAll(sampled)
   }
 }

@@ -162,11 +162,18 @@ object TextAnalysis {
     * approx_percentile's sketch would be neither exact nor
     * cross-engine stable).
     *
-    * Scale shape: one shuffle on the group key; the rank window sorts
-    * within each group partition and the percentile picks collapse
-    * into the same hash aggregation. Group count is small (sources,
-    * languages), group size is unbounded — which is exactly the window
-    * sort's spill-friendly case.
+    * Scale shape: the corpus first collapses to an exact per-(group,
+    * value) HISTOGRAM — a hash aggregation with map-side combine, fully
+    * parallel — and only the histogram rows flow into the per-group
+    * cumulative window. The one per-group task is therefore bounded by
+    * the VALUE-DOMAIN cardinality (distinct lengths — ~max document
+    * length, independent of corpus size), not by group row count: a
+    * 10⁹-doc source ranks through at most ~10⁶ histogram rows where the
+    * previous row_number window sorted all 10⁹ rows in a single task.
+    * (For a genuinely unbounded-cardinality value domain — raw doubles,
+    * say — pre-bucket the value or use a range-partitioned two-phase
+    * rank selection; for lengths the histogram IS the scale-safe exact
+    * form.)
     */
   def lengthPercentiles(docs: DataFrame, groupCol: String,
                         valueCol: String): DataFrame = {
@@ -175,16 +182,21 @@ object TextAnalysis {
     // nulls sort (Spark first, DuckDB last), so a null row would shift
     // every rank index differently per engine — silent divergence
     // instead of a well-defined percentile
-    val r = docs.select(col(groupCol).as("__g"),
+    val hist = docs.select(col(groupCol).as("__g"),
       col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
-    val ranked = r
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("__g").orderBy("v")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("__g")))
+      .groupBy("__g", "v").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(
+        Window.partitionBy("__g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("__g")))
+    // the value at rank idx (idx = (p·n + 99) div 100, same exact
+    // integer rank as a row-level row_number) is the smallest distinct
+    // value whose cumulative count reaches idx
     def pick(p: Int, alias: String) =
-      min(when(expr(s"rn >= ($p * n + 99) div 100"), col("v"))).as(alias)
-    ranked.groupBy(col("__g"))
+      min(when(expr(s"hi >= ($p * n + 99) div 100"), col("v"))).as(alias)
+    cum.groupBy(col("__g"))
       .agg(max(col("n")).as("n_docs"),
         pick(50, "p50"), pick(90, "p90"), pick(99, "p99"))
       .select(col("__g").as(groupCol), col("n_docs"),

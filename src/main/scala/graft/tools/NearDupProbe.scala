@@ -52,6 +52,52 @@ object NearDupProbe {
       spark.stop(); return
     }
 
+    // `hot` mode: plant a boilerplate 4-gram with df just under maxDf
+    // (the worst legal skew) and compare the salted hot-tok join
+    // (default hotDf) against the unsalted shape (hotDf = maxDf): the
+    // straggler bound is the max-task / median-task ratio of the
+    // heaviest stage. The planted gram adds NO output pairs (its docs
+    // share only boilerplate, jaccard ≪ threshold) — it exists purely
+    // to blow up one join group.
+    if (args.contains("hot")) {
+      val taskTimes = scala.collection.concurrent
+        .TrieMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            taskTimes.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer.empty[Long])
+              .synchronized { taskTimes(te.stageId) += te.taskInfo.duration }
+        })
+      val planted = docsFor(mult).withColumn("text",
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(col("text"), lit(" hotw0 hotw1 hotw2 hotw3")))
+          .otherwise(col("text")))
+      val nHot = planted.filter(col("text").contains(" hotw0")).count()
+      for ((hd, label) <- Seq(1000 -> "salted(hotDf=1000)",
+                              10000 -> "unsalted(hotDf=maxDf)")) {
+        taskTimes.clear()
+        val sh = Dedup.shingles(planted, "doc_id", "text")
+        val t0 = System.nanoTime()
+        val pr = Dedup.nearDuplicatePairs(sh, 0.5, maxDf = 10000, hotDf = hd)
+        val n = pr.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val ck = checksum(pr)
+        Thread.sleep(500)
+        // straggler metric: the stage whose max task is globally worst
+        val (sid, ds) = taskTimes.toSeq.filter(_._2.nonEmpty)
+          .maxBy(_._2.max)
+        val sorted = ds.sorted
+        val med = math.max(1L, sorted(sorted.size / 2))
+        println(f"hot-tok $label%-22s df=$nHot pairs=$n wall=$wall%7.2f s  " +
+          f"ck=$ck  worst-stage=$sid max-task=${sorted.last / 1e3}%.1f s " +
+          f"median-task=${med / 1e3}%.3f s ratio=${sorted.last.toDouble / med}%.1fx")
+        sh.unpersist()
+      }
+      spark.stop(); return
+    }
+
     for ((m, label) <- Seq(1 -> "1x", mult -> s"${mult}x")) {
       val sh = Dedup.shingles(docsFor(m), "doc_id", "text")
       val s0 = shufSnap()

@@ -513,6 +513,43 @@ object ScaleProbe {
       f"${mult}x ${dlpN}%.2f s  time-growth=${dlpN / dlp1}%.1fx  " +
       f"percentiles-invariant=${lp1.toSeq == lpN.toSeq}")
 
+    // token-budget sampling: the two-phase prefix (slice windows +
+    // driver offsets) must keep the IDENTICAL document set as the
+    // single-window-per-source shape it replaces, while engaging many
+    // hash slices per source (= that many parallel sort tasks where the
+    // old window owned the whole source in one)
+    {
+      import org.apache.spark.sql.expressions.Window
+      import graft.api.Mixing
+      val tbDocs = docsFullFor(mult)
+      val tbBudgets = Map("src0" -> 200000L, "src1" -> 80000L)
+      def keptCk(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = d.agg(count(lit(1)), expr("bit_xor(xxhash64(doc_id))")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      val ttb = System.nanoTime()
+      val (tbN, tbCk) = keptCk(Mixing.tokenBudgetSample(
+        tbDocs, "doc_id", "source", "n_chars", tbBudgets))
+      val dtb = (System.nanoTime() - ttb) / 1e9
+      val refBudget = when(col("source") === "src0", 200000L)
+        .when(col("source") === "src1", 80000L).otherwise(Long.MaxValue)
+      val ref = tbDocs.withColumn("__cum",
+          sum(col("n_chars").cast("long")).over(
+            Window.partitionBy("source")
+              .orderBy(Mixing.knuthHash(col("doc_id")), col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("__cum") <= refBudget).drop("__cum")
+      val (refN, refCk) = keptCk(ref)
+      // slice = h div 2^26 (64 slices over the 2^32 hash domain), the
+      // same fixed thresholds tokenBudgetSample cuts on
+      val nSl = tbDocs.filter(col("source") === "src0")
+        .select(shiftright(Mixing.knuthHash(col("doc_id")), 26).as("sl"))
+        .distinct().count()
+      println(f"token budget (${mult}x corpus): kept=$tbN ${dtb}%.2f s  " +
+        f"slices-engaged=$nSl  " +
+        f"identical-to-single-window=${(tbN, tbCk) == (refN, refCk)}")
+    }
+
     // perplexity with a 10x LARGER vocab cap: model rows scale with V
     // (TakeOrdered broadcast), not the corpus — the wall should move
     // modestly vs the V=1000 run above, and stay linear in the corpus

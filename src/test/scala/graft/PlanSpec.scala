@@ -334,4 +334,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"),
       s"bucket-key agg must be single-stage:\n$p")
   }
+
+  test("near-dup pair pipeline forces no broadcast of a corpus-sized frame") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val sh = api.Dedup.shingles(docs, "doc_id", "text")
+    try {
+      val pr = api.Dedup.nearDuplicatePairs(sh, 0.5)
+      // the per-document size frame must reach the optimizer UNHINTED:
+      // a forced broadcast() of a frame with one row per corpus document
+      // caps the operator at Spark's 8 GB broadcast-table limit (driver
+      // OOM at 10⁹ docs). Whether the size join broadcasts at a given SF
+      // is AQE's sizing decision — the logical plan must carry no hint.
+      val lp = pr.queryExecution.analyzed.toString
+      assert(!lp.contains("ResolvedHint") && !lp.contains("UnresolvedHint"),
+        s"no broadcast hints allowed in the near-dup pair pipeline:\n$lp")
+    } finally sh.unpersist()
+  }
+
+  test("token-budget running sum never windows a whole source in one task") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = api.Mixing.tokenBudgetSample(docs, "doc_id", "source",
+      "n_chars", Map("src0" -> 50000L, "src1" -> 20000L))
+    val p = out.queryExecution.executedPlan.toString
+    // the window spec must partition by (source, slice), not source
+    // alone: partitionBy(source) sorts the ENTIRE source through a
+    // single task — the 100-TB straggler this operator's two-phase
+    // prefix design exists to avoid
+    val winSpecs = "windowspecdefinition\\(([^)]*)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"expected a window in:\n$p")
+    winSpecs.foreach(spec =>
+      assert(spec.contains("__slice"),
+        s"running-sum window must include the hash slice key, got ($spec) in:\n$p"))
+  }
+
+  test("length percentiles rank the histogram, not the raw rows") {
+    val p = SparkEntry.queries("q_stats_length_pct")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the per-group window may only see (group, value, count) histogram
+    // rows — a partial_count under the first exchange proves the corpus
+    // collapsed in a map-side hash aggregation BEFORE any window ran,
+    // so the one-task-per-group sort is bounded by |distinct values|,
+    // not corpus rows
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("partial_count")
+    assert(winIdx >= 0 && aggIdx >= 0,
+      s"expected both a window and a partial aggregation in:\n$p")
+    // executedPlan prints top-down: the aggregation must sit BELOW
+    // (after, in print order) the window that consumes it
+    assert(aggIdx > winIdx,
+      s"histogram aggregation must feed the window, not follow it:\n$p")
+  }
 }
