@@ -130,9 +130,13 @@ object Bench {
     // identical code. Re-running alone pins actual compute so the judge
     // can diff compute, not scheduling: every query whose loaded time
     // exceeded 2 s re-runs (capped at 24), plus the 5 slowest always.
-    // Unloaded failures are tracked SEPARATELY (`unloaded_errors`, entry
-    // recorded as -1): all loaded queries passing is what `errors`
-    // gates, and a double-failure must not double-count.
+    // Unloaded failures are attributed SEPARATELY (`unloaded_errors`,
+    // entry recorded as -1) but FOLDED into the top-level `errors`
+    // field: tooling that keys only on `errors` must not read a
+    // loaded-pass/unloaded-fail run as clean. `loaded_errors` keeps the
+    // loaded-only count; a query failing both phases counts once in
+    // each attribution field and twice in the fold — the gate condition
+    // is simply errors == 0 either way.
     val unloadedErrors = new java.util.concurrent.atomic.AtomicInteger(0)
     val byDesc = results.sortBy(-_._2)
     val unloadedSel = (byDesc.filter(_._2 > 2.0) ++ byDesc.take(5))
@@ -161,7 +165,7 @@ object Bench {
     val unloadedFull = unloaded.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
-      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"builds":$buildsFull,"unloaded":$unloadedFull,"queries":$full,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"builds":$buildsFull,"unloaded":$unloadedFull,"queries":$full,"sf":"$sfDir"}""")
 
     // "value" covers the whole run (builds + queries) — comparable to
     // prior rounds where builds were folded into query numbers — while
@@ -170,7 +174,7 @@ object Bench {
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"n_queries":${results.size},"errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"n_queries":${results.size},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"queries":$qs,"sf":"$sfDir"}"""
     }
     var kept = results.sortBy(-_._2) // keep the slowest: most informative
     while (line(kept).length > 1600 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -359,8 +359,11 @@ object Dedup {
   private def indexMetaPath(path: String) = s"$path/meta.json"
   // sha256-derived, not String.hashCode: 32-bit hash collisions between
   // two index paths would alias their catalog table names, and attach()
-  // would silently serve one index for the other (save would DROP it)
-  private def tableTag(path: String) =
+  // would silently serve one index for the other (save would DROP it).
+  // private[graft] so path-deriving callers (Pipeline's scratch-dir
+  // keying) use the same collision-safe tag instead of reinventing a
+  // hashCode-based one.
+  private[graft] def tableTag(path: String) =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(path.getBytes("UTF-8")).take(8)
       .map("%02x".format(_)).mkString
@@ -382,28 +385,46 @@ object Dedup {
                     index: BandIndex, corpusSh: DataFrame,
                     fingerprint: String,
                     buckets: Int = 8): (BandIndex, DataFrame) = {
+    import org.apache.hadoop.fs.Path
     val tag = tableTag(path)
-    val tBands = s"graft_bands_$tag"
-    val tSh = s"graft_bandsh_$tag"
-    Seq(tBands, tSh).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // ATOMIC PUBLISH: the whole index (both bucketed tables + meta.json)
+    // is staged under a temp sibling and RENAMED into place. An
+    // in-place mode("overwrite") would delete and rewrite the parquet
+    // files under a concurrent reader whose catalog tables already
+    // point at `path` — meta.json-last ordering protects against
+    // crashes, not against a reader racing the rewrite. With the
+    // rename, a reader sees either the complete old index or the
+    // complete new one, never a half-written mix (the rename itself is
+    // atomic on HDFS and posix; the delete-then-rename leaves only a
+    // brief "absent → rebuild" window, which is safe).
+    val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    val stage = Seq(s"graft_bands_${tag}_stage", s"graft_bandsh_${tag}_stage")
+    (stage ++ Seq(s"graft_bands_$tag", s"graft_bandsh_$tag"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     index.rows.write.format("parquet")
       .bucketBy(buckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
-      .option("path", s"$path/bands").mode("overwrite").saveAsTable(tBands)
+      .option("path", s"$tmp/bands").mode("overwrite").saveAsTable(stage(0))
     corpusSh.write.format("parquet")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
-      .option("path", s"$path/shingles").mode("overwrite").saveAsTable(tSh)
+      .option("path", s"$tmp/shingles").mode("overwrite").saveAsTable(stage(1))
+    // external tables: dropping the staging catalog entries keeps files
+    stage.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val meta = s"""{"version":$IndexFormatVersion,"num_perms":${index.numPerms},""" +
       s""""bands":${index.bands},"buckets":$buckets,"fingerprint":"$fingerprint"}"""
     val fs = hadoopFs(spark, path)
-    val out = fs.create(new org.apache.hadoop.fs.Path(indexMetaPath(path)), true)
+    val out = fs.create(new Path(indexMetaPath(tmp)), true)
     out.write(meta.getBytes("UTF-8")); out.close()
-    indexTables.synchronized {
-      val id = System.identityHashCode(spark)
-      indexTables += ((id, tBands)); indexTables += ((id, tSh))
-    }
-    (BandIndex(spark.table(tBands), index.numPerms, index.bands),
-      spark.table(tSh))
+    val dst = new Path(path)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    require(fs.rename(new Path(tmp), dst),
+      s"atomic publish failed: rename $tmp -> $path")
+    // attach the published files through the same fingerprint-checked
+    // load path a cold session uses — one DDL code path, and the save
+    // is verified readable before anything consumes it
+    loadBandIndex(spark, path, fingerprint).getOrElse(
+      throw new IllegalStateException(
+        s"band index at $path unreadable immediately after publish"))
   }
 
   /** Load a [[saveBandIndex]]-persisted index if present AND its

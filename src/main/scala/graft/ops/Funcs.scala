@@ -348,13 +348,28 @@ object Funcs {
           col("n"), col("sum_value"))
         .orderBy("ws")),
 
-    // HLL sketch — approximate by design, so no hash-exact oracle; the
-    // driver records a rows-only check (SURVEY.md §2B note).
-    Q("q_approx_distinct", None,
+    // HLL sketch — the raw ESTIMATE is engine-internal (register
+    // layouts and hash functions differ per engine), so the
+    // cross-engine contract is the exact cardinality PLUS a tolerance
+    // predicate: each engine asserts that ITS OWN HLL estimate lands
+    // within 5% of the exact count. Both engines sit well inside that
+    // bound (Spark runs at rsd=0.01; DuckDB's default HLL measured
+    // ≤1.1% on this data), so rows+schema+hash all match — a full
+    // driver-checkable oracle for the approximate-distinct capability,
+    // with q_sketch_lc as the hash-exact sketch twin.
+    Q("q_approx_distinct",
+      Some("""SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                     abs(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                         - count(DISTINCT user_id))
+                       / count(DISTINCT user_id) <= 0.05 AS est_ok
+              FROM events GROUP BY event_type ORDER BY event_type"""),
       (s, dir) => t(s, dir, "events")
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          (abs(approx_count_distinct(col("user_id"), 0.01).cast("double") -
+            countDistinct(col("user_id"))) /
+            countDistinct(col("user_id")) <= lit(0.05)).as("est_ok"))
         .orderBy("event_type"))
   )
 }

@@ -49,8 +49,13 @@ object Pipeline {
                                    dir: String): (Dedup.BandIndex, DataFrame) =
     bandsCache.synchronized {
       bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        // sha256-tagged (same scheme as Dedup.tableTag), NOT
+        // dir.hashCode: a 32-bit hashCode collision would alias two
+        // corpus dirs onto one on-disk index, and each session's
+        // fingerprint check would clobber the other's index every run
+        // (and math.abs(Int.MinValue) is still negative)
         val path = s"${graft.api.Bucketing.scratchBase}/bands_" +
-          math.abs(dir.hashCode).toString
+          graft.api.Dedup.tableTag(dir)
         val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
         Dedup.loadBandIndex(s, path, fp).getOrElse {
           val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)

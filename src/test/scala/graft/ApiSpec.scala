@@ -563,6 +563,46 @@ class ApiSpec extends AnyFunSuite {
       (3L, 4, 4, Seq(4.toByte, 4.toByte))))
   }
 
+  test("ImageIODecoder decodes real PNG bytes through the same operators") {
+    import graft.multimodal.Multimodal
+    def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    // a frame that already carries payload+media_type passes through
+    // withPayload untouched — REAL image bytes reach the decoder
+    val docs = spark.createDataFrame(Seq(
+      (1L, pngBytes(6, 4, 0xff0000), "image/png"),
+      (2L, pngBytes(3, 5, 0x00ff00), "image/png")
+    )).toDF("doc_id", "payload", "media_type")
+    val meta = Multimodal.decodeMeta(spark, docs, Multimodal.ImageIODecoder)
+      .collect().map(m => m.doc_id -> ((m.width, m.height, m.n_frames))).toMap
+    assert(meta === Map(1L -> ((6, 4, 1)), 2L -> ((3, 5, 1))),
+      s"true header dims expected, got $meta")
+    // true downscale: 6x4 at maxDim=2 -> 2x1, 3x5 -> 1x2 (floor, min 1);
+    // the thumb is a genuine PNG whose decoded dims match, and a
+    // uniform-color source downcales to the same color regardless of
+    // which pixels nearest-neighbor picked
+    val thumbs = Multimodal.resize(spark, docs, maxDim = 2,
+      Multimodal.ImageIODecoder).collect()
+    val byId = thumbs.map(t => t.doc_id -> t).toMap
+    assert(byId(1L).width === 2 && byId(1L).height === 1)
+    assert(byId(2L).width === 1 && byId(2L).height === 2)
+    for ((id, rgb) <- Seq(1L -> 0xff0000, 2L -> 0x00ff00)) {
+      val t = byId(id)
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(t.thumb))
+      assert(dec.getWidth === t.width && dec.getHeight === t.height,
+        "thumb bytes must re-decode to the reported dims")
+      assert((dec.getRGB(0, 0) & 0xffffff) === rgb,
+        f"uniform source must stay uniform, got ${dec.getRGB(0, 0)}%06x")
+    }
+  }
+
   test("repetition metrics: planted duplicate words and n-grams") {
     val docs = spark.createDataFrame(Seq(
       (1L, "a a a b"),          // dup 2/4; top2 "a a" x2; top3 x1
