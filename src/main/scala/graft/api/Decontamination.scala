@@ -40,9 +40,13 @@ object Decontamination {
       .agg(countDistinct(col("tok")).as("n_gram_hits"),
         countDistinct(col("eval_id")).as("n_eval_docs"))
     // sizes come from the (large) corpus side; the aggregated hit set is
-    // small, so broadcast IT and let the size lookup stay map-side too
+    // small at sane contamination rates — but it is NOT bounded by
+    // construction (a leaked benchmark mirrored across the crawl makes
+    // it corpus-shaped), so no hint: AQE broadcasts it when it is small
+    // and shuffle-joins when contamination is pathological, instead of
+    // the hint turning a dirty corpus into a driver OOM
     val sz = corpusSh.select(col("doc_id"), size(col("toks")).as("sz"))
-    sz.join(broadcast(hits), "doc_id")
+    sz.join(hits, "doc_id")
       .select(col("doc_id"), col("n_gram_hits"), col("n_eval_docs"),
         col("sz").cast("long").as("n_grams"),
         round(col("n_gram_hits") / col("sz"), 6).as("hit_frac"))

@@ -24,7 +24,7 @@ object Similarity {
     val e = prepared(vectors, idCol, vecCol)
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(q)) // bounded: 1 query row
       .withColumn("cos", expr("cosine_sim(v, qv)"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)
@@ -40,7 +40,7 @@ object Similarity {
     val q = prepared(queries, idCol, vecCol)
       .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    e.crossJoin(broadcast(q)) // bounded: the caller's query batch
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", expr("cosine_sim(v, qv)"))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -67,7 +67,7 @@ object Similarity {
     val centArr = cents.agg(array_sort(collect_list(
       struct(col("cent_id").cast("long").as("cent_id"), col("cv").as("cv"))))
       .as("cents"))
-    e.crossJoin(broadcast(centArr))
+    e.crossJoin(broadcast(centArr)) // bounded: 1 row of k centroids
       .withColumn("cent_id", expr("nearest_centroid(v, cents)"))
       .drop("cents")
   }
@@ -105,14 +105,14 @@ object Similarity {
   def ivfSearch(index: DataFrame, cents: DataFrame, queryId: Long,
                 k: Int, nProbe: Int): DataFrame = {
     val qv = index.filter(col("vec_id") === queryId).select(col("v").as("qv"))
-    val probes = cents.crossJoin(broadcast(qv))
+    val probes = cents.crossJoin(broadcast(qv)) // bounded: 1 query row
       .withColumn("cd", expr("cosine_sim(qv, cv)"))
       .orderBy(col("cd").desc, col("cent_id"))
       .limit(nProbe)
       .select(col("cent_id"))
-    index.join(broadcast(probes), "cent_id")
+    index.join(broadcast(probes), "cent_id") // bounded: nProbe cell ids
       .filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(qv))
+      .crossJoin(broadcast(qv)) // bounded: 1 query row
       .withColumn("cos", expr("cosine_sim(v, qv)"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(k)

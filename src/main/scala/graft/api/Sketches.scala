@@ -62,7 +62,7 @@ object Sketches {
       .select(col("term"),
         explode(sequence(lit(0), lit(depth - 1))).as("seed"))
       .withColumn("bucket", cmsBucket(col("seed"), col("term"), width))
-    probes.join(broadcast(sketch), Seq("seed", "bucket"), "left")
+    probes.join(broadcast(sketch), Seq("seed", "bucket"), "left") // bounded: depth x width rows
       .groupBy("term")
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
       .orderBy("term")
@@ -121,7 +121,7 @@ object Sketches {
       .select(col("term"),
         explode(sequence(lit(0), lit(hashes - 1))).as("seed"))
       .select(col("term"), cmsBucket(col("seed"), col("term"), bits).as("pos"))
-    probes.join(broadcast(bloom.withColumn("hit", lit(1))), Seq("pos"), "left")
+    probes.join(broadcast(bloom.withColumn("hit", lit(1))), Seq("pos"), "left") // bounded: <= bits rows
       .groupBy("term")
       .agg((count(col("hit")) === hashes).as("maybe"))
       .orderBy("term")

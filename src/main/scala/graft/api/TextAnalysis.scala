@@ -66,7 +66,7 @@ object TextAnalysis {
     bi.filter(col("c_ab") >= minCount)
       .join(uni.select(col("t").as("w1"), col("c").as("c_a")), "w1")
       .join(uni.select(col("t").as("w2"), col("c").as("c_b")), "w2")
-      .crossJoin(broadcast(totals))
+      .crossJoin(broadcast(totals)) // bounded: 1-row corpus totals
       .select(col("w1"), col("w2"), col("c_ab").cast("long").as("c_ab"),
         (lnd(col("c_ab")) + lit(2).cast(D6) * lnd(col("n_tokens"))
           - lnd(col("n_bigrams")) - lnd(col("c_a")) - lnd(col("c_b")))
@@ -100,7 +100,7 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wc.orderBy(col("n").desc, col("word")).limit(v)
       .withColumn("cum", sum(col("n")).over(w))
-      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(tot)) // bounded: 1-row token total
       .select(col("word"), col("n").cast("long").as("n"),
         expr("CAST(CAST(cum AS DECIMAL(38,0)) * 1000000 div t AS BIGINT)")
           .as("cum_ppm"))
@@ -338,7 +338,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("_w"))
       .filter(col("_w") >= 1).drop("_w")
     val n = docs.select(countDistinct(col(idCol)).as("n_docs"))
-    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n)) // bounded: 1-row doc count
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = Window.partitionBy("doc_id")
@@ -552,9 +552,9 @@ object TextAnalysis {
       .filter(col("_w") >= 1).drop("_w")
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val scored = tfq.join(broadcast(df), "term")
+    val scored = tfq.join(broadcast(df), "term") // bounded: query-term dfs
       .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(stats)) // bounded: 1-row corpus stats
       .withColumn("sc", round(idf * (col("tf") * lit(k1p1)) /
         (col("tf") + lit(k1) *
           (lit(oneMinusB) + lit(b) * col("dl") / col("avgdl"))), 6))
@@ -626,11 +626,11 @@ object TextAnalysis {
     val qn = norms.filter(col("doc_id") === queryId)
       .select(col("nrm").as("qnrm"))
     tfh.filter(col("doc_id") =!= queryId)
-      .join(broadcast(q), "bucket")
+      .join(broadcast(q), "bucket") // bounded: <= numBuckets query rows
       .groupBy("doc_id")
       .agg(sum(col("c") * col("qc")).cast("double").as("dot"))
       .join(norms, "doc_id")
-      .crossJoin(broadcast(qn))
+      .crossJoin(broadcast(qn)) // bounded: 1-row query norm
       .withColumn("cos", col("dot") / (col("nrm") * col("qnrm")))
       .orderBy(col("cos").desc, col("doc_id"))
       .limit(k)
@@ -671,6 +671,7 @@ object TextAnalysis {
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val mapped = bg
+      // bounded: top-V vocabulary (V rows) x2
       .join(broadcast(vocab.select(col("term").as("w1"), lit(1).as("iv1"))),
         Seq("w1"), "left")
       .join(broadcast(vocab.select(col("term").as("w2"), lit(1).as("iv2"))),
@@ -690,7 +691,7 @@ object TextAnalysis {
     val model = pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
     val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
     pbc.join(model, Seq("m1", "m2"))
-      .join(broadcast(ctx), Seq("m1"))
+      .join(broadcast(ctx), Seq("m1")) // bounded: <= V+1 context rows
       .withColumn("nll", round(-log((col("c12") + lit(addK)) /
         (col("c1") + lit(kv))), 6))
       .groupBy("doc_id")

@@ -247,7 +247,7 @@ object Funcs {
         val li = t(s, dir, "lineitem")
         val bounds = li.agg(min("l_extendedprice").as("lo"),
           max("l_extendedprice").as("hi"))
-        li.crossJoin(broadcast(bounds))
+        li.crossJoin(broadcast(bounds)) // bounded: 1-row min/max aggregate
           .select(least(floor((col("l_extendedprice") - col("lo"))
               / ((col("hi") - col("lo")) / 10)).cast("long"), lit(9L))
             .as("bucket"))

@@ -8,8 +8,11 @@ import graft.ops.H._
   * subqueries, sort/limit/top-k (SURVEY.md §2B rows q_scan_* .. q_cte).
   *
   * Scale notes (100 TB thinking):
-  *  - dimension joins (region/nation/customer at TPC-H shape) are
-  *    explicitly `broadcast()` so no shuffle of the fact side ever happens;
+  *  - FIXED-cardinality dimensions (region=5, nation=25) are explicitly
+  *    `broadcast()` so no shuffle of the fact side ever happens;
+  *    SF-scaling dims (customer) stay unhinted — AQE broadcasts them
+  *    while they fit and falls back to a shuffle join past the 8 GB
+  *    broadcast limit, instead of a forced hint capping the query;
   *  - fact-fact self joins are equi-joins on the natural key with the range
   *    predicate as a residual filter (SMJ/shuffled-hash, never NL);
   *  - final `orderBy` exists only for the deterministic hash-compare; at
@@ -51,8 +54,13 @@ object Relational {
               ORDER BY o_orderkey"""),
       (s, dir) => {
         val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
-        // customer is ~1/10 the size of orders: broadcast the dim side.
-        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // customer is the smaller side but SCALES WITH THE CORPUS
+        // (SF-proportional), so it gets no broadcast hint: AQE
+        // broadcasts it while it fits and falls back to a shuffle join
+        // beyond the 8 GB broadcast limit — a forced hint would cap the
+        // query. (Fixed-cardinality dims like nation/region keep
+        // explicit hints elsewhere; see q_join_multiway.)
+        o.join(c, o("o_custkey") === c("c_custkey"))
           .select("o_orderkey", "c_name", "o_totalprice")
           .orderBy("o_orderkey")
       }),
@@ -187,6 +195,7 @@ object Relational {
       (s, dir) => {
         // 5-way star: tiny dims broadcast; the only shuffles are the two
         // fact-side equi-joins + final partial-aggregated rollup.
+        // bounded: region/nation are FIXED cardinality (5/25 rows)
         val r = broadcast(t(s, dir, "region"))
         val n = broadcast(t(s, dir, "nation"))
         val c = t(s, dir, "customer")
@@ -508,7 +517,7 @@ object Relational {
         // Scalar subquery as a broadcast single-row cross join: the fact
         // side streams once, no driver round-trip, no shuffle.
         val avgP = o.agg(avg(col("o_totalprice")).as("avg_price"))
-        o.crossJoin(broadcast(avgP))
+        o.crossJoin(broadcast(avgP)) // bounded: 1-row aggregate
           .filter(col("o_totalprice") > col("avg_price"))
           .select("o_orderkey", "o_totalprice")
           .orderBy("o_orderkey")
@@ -522,6 +531,7 @@ object Relational {
               ORDER BY c_custkey"""),
       (s, dir) => {
         val asiaNations = t(s, dir, "nation")
+          // bounded: region/nation are FIXED cardinality (5/25 rows)
           .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
             col("n_regionkey") === col("r_regionkey"), "left_semi")
         t(s, dir, "customer")

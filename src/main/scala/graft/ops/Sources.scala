@@ -262,13 +262,14 @@ object Sources {
         import org.apache.spark.sql.expressions.Window
         val daily = t(s, dir, "orders")
           .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          // bounded: nation/region are FIXED cardinality (25/5 rows)
           .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("o_orderdate").cast("date").as("d"))
           .agg(sum(col("o_totalprice").cast(D)).as("rev"))
         val bounds = daily.agg(min("d").as("lo"), max("d").as("hi"))
         val spine = t(s, dir, "region").select("r_name").distinct()
-          .crossJoin(broadcast(bounds))
+          .crossJoin(broadcast(bounds)) // bounded: 1-row min/max aggregate
           .select(col("r_name"), explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
         val w = Window.partitionBy("r_name").orderBy("d")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -125,9 +125,15 @@ final class Shelf(val root: Path, sparkProvider: () => SparkSession,
   }
 
   def audit(fix: Boolean = false): Seq[String] =
-    catalog.steps.keys.toSeq.sorted
-      .filter(_.scheme == "snapshot")
-      .flatMap(uri => Snapshots.audit(root, uri, fix).left.toOption)
+    catalog.steps.keys.toSeq.sorted.flatMap { uri =>
+      // reference semantics: directory snapshots re-fold their manifest
+      // (__init__.py:324-350, tables skipped). Directory TABLES are this
+      // engine's cluster-scale extension (write.single_file: false), so
+      // they get the symmetric manifest-fold audit; single-file tables
+      // stay exempt, exactly like the reference.
+      if (uri.scheme == "snapshot") Snapshots.audit(root, uri, fix).left.toOption
+      else Tables.audit(root, uri, fix).left.toOption
+    }
 
   // ---------------- db (§3.2) ----------------
 

@@ -236,6 +236,34 @@ object Tables {
     Yaml.save(Snapshots.metadataPath(root, uri), doc)
   }
 
+  /** Audit for cluster-scale DIRECTORY table outputs: recompute the
+    * folder manifest fold and compare against the sidecar checksum —
+    * the table twin of [[Snapshots.audit]]. The reference audits only
+    * directory snapshots (tables have no directory form there), so
+    * single-file tables are skipped to preserve its semantics; a
+    * directory table only exists via the `write.single_file: false`
+    * extension and gets the same bit-rot detection its multi-file
+    * snapshots enjoy.
+    */
+  def audit(root: Path, uri: StepURI, fix: Boolean): Either[String, Unit] = {
+    if (uri.scheme != "table") return Right(())
+    val out = tablePath(root, uri)
+    val metaPath = Snapshots.metadataPath(root, uri)
+    if (!Files.isDirectory(out) || !Files.exists(metaPath)) Right(())
+    else {
+      val doc = Yaml.load(metaPath)
+      val recorded = doc.get("checksum").map(_.toString).getOrElse("")
+      val fold = Checksums.checksumManifest(Checksums.checksumFolder(out))
+      if (fold == recorded) Right(())
+      else if (!fix)
+        Left(s"$uri: checksum mismatch (recorded $recorded, actual $fold)")
+      else {
+        Yaml.save(metaPath, doc ++ Map[String, Any]("checksum" -> fold))
+        Right(())
+      }
+    }
+  }
+
   /** Table staleness (tables.py:21-48): output + sidecar exist, every
     * input manifest entry re-hashes to its recorded value.
     */

@@ -418,15 +418,19 @@ object Streams {
   }
 
   /** Stream⋈static enrichment join: the streaming side never shuffles
-    * the static dim per batch — Spark broadcasts it once — so this is
-    * the scale pattern for dimension enrichment of an event firehose.
+    * the static dim per batch — Spark broadcasts it while it fits — so
+    * this is the scale pattern for dimension enrichment of an event
+    * firehose. The dim is UNHINTED: customer scales with the corpus,
+    * and a forced broadcast would cap the stream at the 8 GB broadcast
+    * limit; AQE picks broadcast at any realistic dim size and degrades
+    * to a shuffled stream-static join instead of failing beyond it.
     */
   def enrichedSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
     def out(s: SparkSession) = {
       val dim = graft.ops.H.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
       eventsStream(s, dir)
-        .join(broadcast(dim), col("user_id") === col("c_custkey"))
+        .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))

@@ -445,6 +445,19 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(shelf.run() === Seq.empty, "incremental works for dir outputs")
     // reading back through Spark sees both partitions
     assert(SparkTestSession.spark.read.parquet(out.toString).count() === 2)
+    // genuinely multi-file: one part file per partition dir
+    val partFiles = Files.walk(out).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(partFiles.size > 1, s"expected >1 data file, got $partFiles")
+    // audit round-trip: clean now, flags bit-rot, --fix re-folds
+    assert(shelf.audit() === Seq.empty, "fresh dir table audits clean")
+    Files.writeString(partFiles.head, "corrupted")
+    val problems = shelf.audit()
+    assert(problems.size === 1 && problems.head.contains("checksum mismatch"),
+      problems)
+    assert(shelf.audit(fix = true) === Seq.empty)
+    assert(shelf.audit() === Seq.empty, "fixed sidecar matches the new fold")
   }
 
   test("subprocess escape hatch honors the [script, deps..., out] argv contract") {
