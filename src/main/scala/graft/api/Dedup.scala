@@ -415,10 +415,22 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     val out = fs.create(new Path(indexMetaPath(tmp)), true)
     out.write(meta.getBytes("UTF-8")); out.close()
+    // Swap via a retired sibling, never delete-first: if the tmp->dst
+    // rename fails (object stores, cross-FS tmp), the old index is
+    // restored — a failed publish leaves complete-old on disk, not
+    // nothing. `path` is owned exclusively by the index (bands/,
+    // shingles/, meta.json); the swap replaces the whole directory.
     val dst = new Path(path)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    require(fs.rename(new Path(tmp), dst),
-      s"atomic publish failed: rename $tmp -> $path")
+    val retired = new Path(s"$path.retired-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(dst)
+    if (hadOld) require(fs.rename(dst, retired),
+      s"atomic publish failed: could not retire old index at $path")
+    if (!fs.rename(new Path(tmp), dst)) {
+      if (hadOld) fs.rename(retired, dst) // restore the old index
+      throw new IllegalStateException(
+        s"atomic publish failed: rename $tmp -> $path (old index restored: $hadOld)")
+    }
+    if (hadOld) fs.delete(retired, true)
     // attach the published files through the same fingerprint-checked
     // load path a cold session uses — one DDL code path, and the save
     // is verified readable before anything consumes it

@@ -34,6 +34,22 @@ object Multimodal {
     def frame(payload: Array[Byte], idx: Int): Array[Byte]
     /** Thumbnail bytes for a payload resized to (w, h). */
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Bounded resize: target dims + thumbnail bytes for a maxDim
+      * bound, in ONE call. The default composes [[dims]] + [[thumb]];
+      * decoders where each call is a full media decode override this
+      * to decode the payload exactly once.
+      */
+    def scaled(payload: Array[Byte], maxDim: Int): (Int, Int, Array[Byte]) = {
+      val (w, h, _) = dims(payload)
+      val (tw, th) = fitWithin(w, h, maxDim)
+      (tw, th, thumb(payload, tw, th))
+    }
+  }
+
+  /** Scale (w, h) to fit within maxDim, preserving aspect, min 1px. */
+  private def fitWithin(w: Int, h: Int, maxDim: Int): (Int, Int) = {
+    val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
   }
 
   /** STUB decoder: dimensions derived deterministically from the payload
@@ -65,21 +81,22 @@ object Multimodal {
   }
 
   /** REAL image decoder over the JDK's built-in `javax.imageio` codecs
-    * (PNG, BMP, GIF, JPEG — no external dependency): `dims` decodes the
-    * actual image header, `thumb` renders a true nearest-neighbor
-    * downscale and re-encodes it as PNG, and `frame` returns the
-    * (single) decoded frame's PNG bytes. Still images report
-    * n_frames = 1. Proves the [[PayloadDecoder]] plumbing end-to-end on
-    * genuine bytes — same operators, same schema, same mapPartitions
-    * batch shape as the stub; only the kernel differs. ImageIO's reader
-    * registry lookup is not free, so [[init]] warms the static registry
-    * once per partition. Nearest-neighbor (not bilinear) scaling keeps
-    * the thumbnail bytes deterministic across JVMs: it is pure pixel
-    * selection, no fp resampling.
+    * (PNG, BMP, GIF, JPEG — no external dependency): `dims` reads ONLY
+    * the image header (reader.getWidth/getHeight — no pixel decode),
+    * `thumb` renders a true nearest-neighbor downscale and re-encodes
+    * it as PNG, and `frame` returns the (single) decoded frame's PNG
+    * bytes. `scaled` decodes the pixels exactly once per payload.
+    * Still images report n_frames = 1. Proves the [[PayloadDecoder]]
+    * plumbing end-to-end on genuine bytes — same operators, same
+    * schema, same mapPartitions batch shape as the stub; only the
+    * kernel differs. `init` is a no-op: the IIORegistry is populated at
+    * class load, and scanForPlugins() from concurrent task threads
+    * would mutate the shared static registry under readers.
+    * Nearest-neighbor (not bilinear) scaling keeps the thumbnail bytes
+    * deterministic across JVMs: it is pure pixel selection, no fp
+    * resampling.
     */
   object ImageIODecoder extends PayloadDecoder {
-    override def init(): Unit =
-      javax.imageio.ImageIO.scanForPlugins() // warm the codec registry
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
@@ -91,13 +108,8 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
     }
-    def dims(payload: Array[Byte]): (Int, Int, Int) = {
-      val img = read(payload)
-      (img.getWidth, img.getHeight, 1)
-    }
-    def frame(payload: Array[Byte], idx: Int): Array[Byte] = png(read(payload))
-    def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val src = read(payload)
+    private def scaleTo(src: java.awt.image.BufferedImage,
+                        w: Int, h: Int): java.awt.image.BufferedImage = {
       val dst = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val g = dst.createGraphics()
@@ -107,7 +119,31 @@ object Multimodal {
           java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
         g.drawImage(src, 0, 0, w, h, null); ()
       } finally g.dispose()
-      png(dst)
+      dst
+    }
+    // Header-only: find the format reader and ask it for dimensions —
+    // no pixel data is decoded (orders of magnitude cheaper than a
+    // full ImageIO.read for metadata-only passes).
+    def dims(payload: Array[Byte]): (Int, Int, Int) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "payload is not a decodable image")
+        val r = readers.next()
+        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0), 1) }
+        finally r.dispose()
+      } finally iis.close()
+    }
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] = png(read(payload))
+    def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
+      png(scaleTo(read(payload), w, h))
+    // One full decode per payload: dims from the decoded pixels, scale
+    // from the same BufferedImage.
+    override def scaled(payload: Array[Byte], maxDim: Int): (Int, Int, Array[Byte]) = {
+      val src = read(payload)
+      val (tw, th) = fitWithin(src.getWidth, src.getHeight, maxDim)
+      (tw, th, png(scaleTo(src, tw, th)))
     }
   }
 
@@ -130,14 +166,23 @@ object Multimodal {
     * same operators run over genuine image bytes — see
     * [[ImageIODecoder]].
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    if (docs.columns.contains("payload") && docs.columns.contains("media_type"))
-      docs
+  def withPayload(docs: DataFrame): DataFrame = {
+    val hasPayload = docs.columns.contains("payload")
+    val hasType = docs.columns.contains("media_type")
+    // Half-shaped input fails LOUDLY: silently synthesizing over a
+    // frame that already carries real payload bytes (but e.g. names its
+    // type column mime_type) would clobber genuine media with text
+    // bytes and produce garbage dims downstream with no error.
+    require(hasPayload == hasType,
+      s"media frame must carry BOTH payload and media_type or neither; " +
+        s"found payload=$hasPayload media_type=$hasType")
+    if (hasPayload) docs
     else docs
       .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
       .withColumn("media_type",
         element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
           (col("doc_id") % 3 + 1).cast("int")))
+  }
 
   /** Decode metadata for every payload. mapPartitions so the decoder is
     * initialised once per partition and fed a streamed batch of rows —
@@ -194,11 +239,9 @@ object Multimodal {
       .mapPartitions { rows =>
         decoder.init()
         rows.map { case (id, payload) =>
-          val (w, h, _) = decoder.dims(payload)
-          val scale = math.min(1.0, maxDim.toDouble / math.max(w, h))
-          val tw = math.max(1, (w * scale).toInt)
-          val th = math.max(1, (h * scale).toInt)
-          Thumb(id, tw, th, decoder.thumb(payload, tw, th))
+          // scaled() = one decode per payload for real decoders
+          val (tw, th, bytes) = decoder.scaled(payload, maxDim)
+          Thumb(id, tw, th, bytes)
         }
       }
   }

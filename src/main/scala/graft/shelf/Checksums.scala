@@ -40,12 +40,24 @@ object Checksums {
     * (utils.py:26-39). Throws when the directory holds no files.
     */
   def checksumFolder(dir: Path): SortedMap[String, String] = {
+    val entries = folderManifest(dir)
+    require(entries.nonEmpty, s"""No files found in "$dir" to checksum""")
+    entries
+  }
+
+  /** Audit-safe manifest walk: an EMPTY directory (data files rotted
+    * away but the dir remains — exactly what audit exists to report)
+    * yields an empty manifest whose fold can never equal a recorded
+    * checksum, so the auditor reports a mismatch instead of crashing
+    * the whole run. Ingest-time [[checksumFolder]] keeps the non-empty
+    * guard for reference parity.
+    */
+  def folderManifest(dir: Path): SortedMap[String, String] = {
     val entries = Files.walk(dir).iterator().asScala
       .filter(Files.isRegularFile(_))
       .filterNot(p => IgnoreFiles.contains(p.getFileName.toString))
       .map(p => dir.relativize(p).toString -> checksumFile(p))
       .toSeq
-    require(entries.nonEmpty, s"""No files found in "$dir" to checksum""")
     SortedMap(entries: _*)
   }
 

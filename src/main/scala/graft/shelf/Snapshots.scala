@@ -143,7 +143,9 @@ object Snapshots {
       val dir = snap.dataPath(root)
       if (!Files.exists(dir)) Right(()) // nothing local to audit
       else {
-        val actual = Checksums.checksumFolder(dir)
+        // folderManifest (not checksumFolder): an emptied-out snapshot
+        // dir must REPORT as a mismatch, not crash the audit run
+        val actual = Checksums.folderManifest(dir)
         val fold = Checksums.checksumManifest(actual)
         if (fold == snap.checksum) Right(())
         else if (!fix) Left(s"$uri: checksum mismatch (recorded ${snap.checksum}, actual $fold)")

@@ -253,7 +253,9 @@ object Tables {
     else {
       val doc = Yaml.load(metaPath)
       val recorded = doc.get("checksum").map(_.toString).getOrElse("")
-      val fold = Checksums.checksumManifest(Checksums.checksumFolder(out))
+      // folderManifest (not checksumFolder): an emptied-out table dir
+      // must REPORT as a mismatch, not crash the audit run
+      val fold = Checksums.checksumManifest(Checksums.folderManifest(out))
       if (fold == recorded) Right(())
       else if (!fix)
         Left(s"$uri: checksum mismatch (recorded $recorded, actual $fold)")

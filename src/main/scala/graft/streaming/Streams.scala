@@ -31,6 +31,23 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Broadcast cap for stream-static dimension joins: dims whose
+    * on-disk parquet footprint measures under this are hinted
+    * broadcast (decompressed in-memory size stays far under the 8 GB
+    * broadcast limit at typical 2-5x parquet expansion); larger dims
+    * take the shuffled stream-static join. Needed because AQE does not
+    * plan streaming micro-batches, so without a hint anything over
+    * autoBroadcastJoinThreshold (10 MB) re-shuffles every batch.
+    */
+  val StreamDimBroadcastCap: Long = 512L * 1024 * 1024
+
+  /** On-disk byte size of a parquet file/directory via the Hadoop FS. */
+  def parquetBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+  }
+
   /** File-source stream over the events table. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -418,17 +435,25 @@ object Streams {
   }
 
   /** Stream⋈static enrichment join: the streaming side never shuffles
-    * the static dim per batch — Spark broadcasts it while it fits — so
-    * this is the scale pattern for dimension enrichment of an event
-    * firehose. The dim is UNHINTED: customer scales with the corpus,
-    * and a forced broadcast would cap the stream at the 8 GB broadcast
-    * limit; AQE picks broadcast at any realistic dim size and degrades
-    * to a shuffled stream-static join instead of failing beyond it.
+    * the static dim per batch while the dim broadcasts — the scale
+    * pattern for dimension enrichment of an event firehose. AQE does
+    * NOT plan streaming micro-batches (IncrementalExecution), so an
+    * unhinted join falls back to static size estimation: any dim over
+    * autoBroadcastJoinThreshold (10 MB default) would sort-merge-join
+    * EVERY micro-batch. Instead the dim is hinted from an explicit
+    * on-disk size probe — broadcast while the parquet footprint is
+    * under [[StreamDimBroadcastCap]] (far below the 8 GB broadcast
+    * limit even after decompression), shuffled stream-static join
+    * beyond it. Bounded by measurement, not assumption.
     */
   def enrichedSegmentCounts(spark: SparkSession, dir: String): DataFrame = {
     def out(s: SparkSession) = {
-      val dim = graft.ops.H.t(s, dir, "customer")
+      val dim0 = graft.ops.H.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
+      val dim =
+        if (parquetBytes(s, s"$dir/customer.parquet") <= StreamDimBroadcastCap)
+          broadcast(dim0) // bounded: measured on-disk size <= cap
+        else dim0
       eventsStream(s, dir)
         .join(dim, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))

@@ -70,17 +70,29 @@ object NearDupProbe {
               scala.collection.mutable.ArrayBuffer.empty[Long])
               .synchronized { taskTimes(te.stageId) += te.taskInfo.duration }
         })
+      // Derive the plant rate from the df cap, not a fixed fraction of
+      // the corpus: a fixed modulus makes df scale with `mult`, so
+      // outside one narrow corpus-size band the planted gram would be
+      // silently df-capped away (or land cold) in BOTH runs and the
+      // probe would print a "validated" ratio while exercising no skew.
+      val maxDfCap = 10000
+      val total = docsFor(mult).count()
+      val modK = math.max(1L, total / (maxDfCap * 9L / 10)) // df ~= 0.9*maxDf
       val planted = docsFor(mult).withColumn("text",
-        when(pmod(col("doc_id"), lit(6)) === 0,
+        when(pmod(col("doc_id"), lit(modK)) === 0,
           concat(col("text"), lit(" hotw0 hotw1 hotw2 hotw3")))
           .otherwise(col("text")))
       val nHot = planted.filter(col("text").contains(" hotw0")).count()
+      require(nHot > 1000 && nHot <= maxDfCap,
+        s"hot probe invalid: planted df=$nHot outside (hotDf=1000, " +
+          s"maxDf=$maxDfCap] — corpus too small/large for a hot plant; " +
+          s"nothing skewed would be measured")
       for ((hd, label) <- Seq(1000 -> "salted(hotDf=1000)",
-                              10000 -> "unsalted(hotDf=maxDf)")) {
+                              maxDfCap -> "unsalted(hotDf=maxDf)")) {
         taskTimes.clear()
         val sh = Dedup.shingles(planted, "doc_id", "text")
         val t0 = System.nanoTime()
-        val pr = Dedup.nearDuplicatePairs(sh, 0.5, maxDf = 10000, hotDf = hd)
+        val pr = Dedup.nearDuplicatePairs(sh, 0.5, maxDf = maxDfCap, hotDf = hd)
         val n = pr.count()
         val wall = (System.nanoTime() - t0) / 1e9
         val ck = checksum(pr)
