@@ -601,6 +601,27 @@ class ApiSpec extends AnyFunSuite {
       assert((dec.getRGB(0, 0) & 0xffffff) === rgb,
         f"uniform source must stay uniform, got ${dec.getRGB(0, 0)}%06x")
     }
+    // header-only dims and the single-decode scaled path agree with
+    // the two-call dims+thumb form
+    val p = pngBytes(6, 4, 0xff0000)
+    assert(Multimodal.ImageIODecoder.dims(p) === ((6, 4, 1)))
+    val (tw, th, tb) = Multimodal.ImageIODecoder.scaled(p, 2)
+    assert((tw, th) === ((2, 1)))
+    assert(tb.toSeq === Multimodal.ImageIODecoder.thumb(p, 2, 1).toSeq,
+      "scaled must produce the same PNG bytes as dims+thumb")
+  }
+
+  test("withPayload rejects a half-shaped media frame instead of clobbering it") {
+    import graft.multimodal.Multimodal
+    // payload present but the type column is named differently: the old
+    // fallback would silently overwrite real bytes with text bytes
+    val half = spark.createDataFrame(Seq((1L, Array[Byte](1, 2, 3), "txt")))
+      .toDF("doc_id", "payload", "text")
+    val e = intercept[IllegalArgumentException](Multimodal.withPayload(half))
+    assert(e.getMessage.contains("media_type"))
+    val other = spark.createDataFrame(Seq((1L, "image/png", "txt")))
+      .toDF("doc_id", "media_type", "text")
+    intercept[IllegalArgumentException](Multimodal.withPayload(other))
   }
 
   test("repetition metrics: planted duplicate words and n-grams") {

@@ -458,6 +458,12 @@ class ShelfEndToEndSpec extends AnyFunSuite {
       problems)
     assert(shelf.audit(fix = true) === Seq.empty)
     assert(shelf.audit() === Seq.empty, "fixed sidecar matches the new fold")
+    // the worst bit-rot case — EVERY data file gone, directory remains —
+    // must be REPORTED as a mismatch, not crash the audit run
+    Files.walk(out).iterator().asScala
+      .filter(Files.isRegularFile(_)).toSeq.foreach(Files.delete)
+    val gone = shelf.audit()
+    assert(gone.size === 1 && gone.head.contains("checksum mismatch"), gone)
   }
 
   test("subprocess escape hatch honors the [script, deps..., out] argv contract") {
