@@ -140,8 +140,15 @@ object Dedup {
     // straggler, replication cost paid only on the hot slice. Identical
     // pair set and inter counts by construction; set hotDf = maxDf to
     // disable the salted path.
-    val dfs = ex.groupBy("tok").agg(count(lit(1)).as("df"))
+    // PERSISTED: four plan subtrees consume this aggregate (both sides
+    // of the cold self-join's semi-joins, both sides of the hot join),
+    // and exchange reuse does not fire across the cached-ex subplans —
+    // unpersisted, the full tok-frequency aggregation over the posting
+    // cache would re-execute once per consumer. The frame itself is
+    // small: one (tok, df) row per surviving distinct shingle.
+    val dfs = pin(ex.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK))
     val exCold = ex.join(dfs.filter(col("df") <= hotDf).select("tok"),
       Seq("tok"), "left_semi")
     val coldPairs = exCold.as("a").join(exCold.as("b"), "tok")
@@ -426,9 +433,15 @@ object Dedup {
     if (hadOld) require(fs.rename(dst, retired),
       s"atomic publish failed: could not retire old index at $path")
     if (!fs.rename(new Path(tmp), dst)) {
-      if (hadOld) fs.rename(retired, dst) // restore the old index
+      // the restore can itself fail (object-store flakes, permissions
+      // yanked mid-publish) — report what ACTUALLY happened, and where
+      // the stranded copy lives, instead of claiming success
+      val restored = hadOld && fs.rename(retired, dst)
       throw new IllegalStateException(
-        s"atomic publish failed: rename $tmp -> $path (old index restored: $hadOld)")
+        s"atomic publish failed: rename $tmp -> $path" + (
+          if (restored) " (old index restored)"
+          else if (hadOld) s" (RESTORE ALSO FAILED: old index stranded at $retired)"
+          else " (no prior index existed)"))
     }
     if (hadOld) fs.delete(retired, true)
     // attach the published files through the same fingerprint-checked

@@ -162,11 +162,20 @@ object Mixing {
     val spark = df.sparkSession
     val keep = df.columns.map(col).toSeq
 
-    val budgeted = df
+    // PERSISTED, and eagerly so: phase 1 collects from this frame at
+    // construction time (an eager job — callers building the frame
+    // speculatively pay that scan), and phase 2 windows over the SAME
+    // materialization. Without the persist the two phases would
+    // evaluate the input independently, and any non-determinism in it
+    // (a re-resolved view, rand()-derived tokens) would give phase-2
+    // running sums that no longer match the phase-1 offsets — silently
+    // wrong membership instead of a well-defined sample.
+    val budgeted = Pins.pin(df
       .filter(col(srcCol).isin(budgets.keys.toSeq: _*))
       .withColumn("__h", knuthHash(col(idCol)))
       .withColumn("__tok", coalesce(col(tokenCol).cast("long"), lit(0L)))
       .withColumn("__slice", expr(s"(__h * $slices) div $M"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // phase 1: per-(source, slice) token totals — |sources|·S rows of
     // driver metadata — then an exclusive prefix over slice order
     val offsets = budgeted

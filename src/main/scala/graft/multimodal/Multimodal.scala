@@ -84,9 +84,10 @@ object Multimodal {
     * (PNG, BMP, GIF, JPEG — no external dependency): `dims` reads ONLY
     * the image header (reader.getWidth/getHeight — no pixel decode),
     * `thumb` renders a true nearest-neighbor downscale and re-encodes
-    * it as PNG, and `frame` returns the (single) decoded frame's PNG
-    * bytes. `scaled` decodes the pixels exactly once per payload.
-    * Still images report n_frames = 1. Proves the [[PayloadDecoder]]
+    * it as PNG, and `frame(idx)` decodes exactly frame `idx` (animated
+    * GIFs really have many). `scaled` decodes the pixels exactly once
+    * per payload. n_frames is the reader's true image count — 1 for
+    * stills, the frame count for animations. Proves the [[PayloadDecoder]]
     * plumbing end-to-end on genuine bytes — same operators, same
     * schema, same mapPartitions batch shape as the stub; only the
     * kernel differs. `init` is a no-op: the IIORegistry is populated at
@@ -121,21 +122,35 @@ object Multimodal {
       } finally g.dispose()
       dst
     }
-    // Header-only: find the format reader and ask it for dimensions —
-    // no pixel data is decoded (orders of magnitude cheaper than a
-    // full ImageIO.read for metadata-only passes).
-    def dims(payload: Array[Byte]): (Int, Int, Int) = {
+    private def withReader[A](payload: Array[Byte])(
+        f: javax.imageio.ImageReader => A): A = {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         require(readers.hasNext, "payload is not a decodable image")
         val r = readers.next()
-        try { r.setInput(iis); (r.getWidth(0), r.getHeight(0), 1) }
-        finally r.dispose()
+        try { r.setInput(iis); f(r) } finally r.dispose()
       } finally iis.close()
     }
-    def frame(payload: Array[Byte], idx: Int): Array[Byte] = png(read(payload))
+    // Header-structure only: dimensions come from the format header and
+    // the frame count from the reader's block scan (getNumImages(true))
+    // — no pixel data is decoded (orders of magnitude cheaper than a
+    // full ImageIO.read for metadata-only passes). Stills answer 1;
+    // animated GIFs answer their real frame count.
+    def dims(payload: Array[Byte]): (Int, Int, Int) =
+      withReader(payload)(r =>
+        (r.getWidth(0), r.getHeight(0), r.getNumImages(true)))
+    // Decodes frame `idx` specifically — the PayloadDecoder contract —
+    // not frame 0 regardless (an animated GIF sampled every-k must
+    // yield DIFFERENT frames, or the sampler silently collapses every
+    // animation to its first frame).
+    def frame(payload: Array[Byte], idx: Int): Array[Byte] =
+      withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        require(idx >= 0 && idx < n, s"frame index $idx out of range [0, $n)")
+        png(r.read(idx))
+      }
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       png(scaleTo(read(payload), w, h))
     // One full decode per payload: dims from the decoded pixels, scale

@@ -611,6 +611,48 @@ class ApiSpec extends AnyFunSuite {
       "scaled must produce the same PNG bytes as dims+thumb")
   }
 
+  test("ImageIODecoder reports real frame counts and decodes the frame asked for") {
+    import graft.multimodal.Multimodal
+    // 3-frame animated GIF, each frame a distinct uniform color —
+    // written via the JDK's own GIF sequence writer
+    def gifBytes(colors: Seq[Int]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        w.setOutput(ios)
+        w.prepareWriteSequence(null)
+        colors.foreach { rgb =>
+          val img = new java.awt.image.BufferedImage(
+            4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, rgb)
+          w.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        }
+        w.endWriteSequence()
+      } finally { w.dispose(); ios.close() }
+      out.toByteArray
+    }
+    val gif = gifBytes(Seq(0xff0000, 0x00ff00, 0x0000ff))
+    val (gw, gh, nf) = Multimodal.ImageIODecoder.dims(gif)
+    assert((gw, gh, nf) === ((4, 4, 3)),
+      s"animated GIF must report its true frame count, got ($gw, $gh, $nf)")
+    // frame(idx) decodes frame idx, not frame 0 regardless
+    for ((rgb, idx) <- Seq(0xff0000, 0x00ff00, 0x0000ff).zipWithIndex) {
+      val dec = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.ImageIODecoder.frame(gif, idx)))
+      assert((dec.getRGB(1, 1) & 0xffffff) === rgb,
+        f"frame $idx must be its own color, got ${dec.getRGB(1, 1)}%06x")
+    }
+    intercept[IllegalArgumentException](Multimodal.ImageIODecoder.frame(gif, 3))
+    // frameSample walks the decoder-reported count: every-2 over 3
+    // frames yields indices 0 and 2
+    val docs = spark.createDataFrame(Seq((7L, gif, "video/mp4")))
+      .toDF("doc_id", "payload", "media_type")
+    val sampled = Multimodal.frameSample(spark, docs, everyK = 2,
+      Multimodal.ImageIODecoder).collect().map(_.frame_idx).sorted
+    assert(sampled.toSeq === Seq(0, 2))
+  }
+
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
     import graft.multimodal.Multimodal
     // payload present but the type column is named differently: the old
