@@ -615,6 +615,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication at corpus scale — cluster the embeddings into cells
+    * (k-means centroids from the caller), then WITHIN each cell drop
+    * every vector that has a lower-id neighbor at cosine ≥ `threshold`.
+    * Returns the surviving (vec_id, cent_id) rows. The keep rule is
+    * min-id dominance: a vector is dropped iff ANY lower-id vector in
+    * its cell is within threshold, whether or not that dominator itself
+    * survives — one deterministic pass, no iteration, the
+    * keep-one-representative policy of the paper up to dominance
+    * chains. Near-duplicate pairs that straddle a cell boundary are NOT
+    * seen — exactly the recall trade SemDeDup makes to avoid the
+    * corpus² comparison (raise k for pruning, lower it for recall).
+    *
+    * Scale shape: centroid assignment is a single narrow scan (the
+    * broadcast-fold argmax of [[Similarity.ivfIndex]] — no corpus×k
+    * blowup); the assigned frame materializes ONCE, partitioned by
+    * cell, and both sides of the within-cell self-join inherit that
+    * exchange; candidate work is O(Σ cell²), bounded by the k-means
+    * balance, never corpus². The survivors anti-join is on the same
+    * materialized frame.
+    */
+  def semanticDedup(vectors: DataFrame, centroids: DataFrame,
+                    idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val idx = pin(Similarity.ivfIndex(vectors, centroids, idCol, vecCol)
+      .repartition(col("cent_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val a = idx.select(col("cent_id"), col("vec_id").as("id_a"), col("v").as("va"))
+    val b = idx.select(col("cent_id"), col("vec_id").as("id_b"), col("v").as("vb"))
+    val dominated = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b"))
+      .where(expr("cosine_sim(va, vb)") >= threshold)
+      .select(col("id_b").as("vec_id")).distinct()
+    idx.join(dominated, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14, Alg. 3): every node connects each
     * strictly-LARGER neighbor to the node's local minimum (min of

@@ -791,6 +791,38 @@ object Pipeline {
           "vec_id", "embedding", threshold = 0.2, bits = 4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup (Abbas et al. '23): k-means cells + within-cell min-id
+    // cosine dominance — the clustered scale path for embedding dedup
+    // (candidates O(Σ cell²), never corpus²). Fully oracle-checked via
+    // the driver-literal centroid technique of q_sim_ann_kmeans: both
+    // engines assign with the same argmax over the same double
+    // literals, prune with the same cosine threshold, and keep the same
+    // survivor set.
+    Q("q_dedup_semantic",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    c AS (SELECT cid, cv FROM (VALUES $kmeansPlaceholder) t(cid, cv)),
+                    asg AS (SELECT e.vec_id, e.v, c.cid,
+                                   row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                            FROM e CROSS JOIN c),
+                    idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                    dom AS (SELECT DISTINCT b.vec_id
+                            FROM idx a JOIN idx b
+                              ON a.cid = b.cid AND a.vec_id < b.vec_id
+                            WHERE list_cosine_similarity(a.v, b.v) >= 0.2)
+               SELECT i.vec_id, CAST(i.cid AS BIGINT) AS cent_id
+               FROM idx i
+               WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.vec_id = i.vec_id)
+               ORDER BY vec_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val cents = kmeansCents(s, dir).toDF("vec_id", "embedding")
+        Dedup.semanticDedup(t(s, dir, "embeddings"), cents,
+            "vec_id", "embedding", threshold = 0.2)
+          .orderBy("vec_id")
+      }),
+
     // ---------------- similarity search ----------------
 
     Q("q_sim_cosine",

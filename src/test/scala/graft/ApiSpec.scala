@@ -611,6 +611,25 @@ class ApiSpec extends AnyFunSuite {
       "scaled must produce the same PNG bytes as dims+thumb")
   }
 
+  test("semantic dedup keeps one representative per within-cell duplicate group") {
+    import graft.api.Dedup
+    // two well-separated cells; ids 1-3 are near-identical in cell 100
+    // (min-id 1 survives), 4 and 5 share cell 200 but sit ~64 degrees
+    // apart (both survive — dominance needs cosine >= threshold)
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0, 0.01)), (2L, Seq(0.99, 0.012)), (3L, Seq(0.98, 0.02)),
+      (4L, Seq(0.01, 1.0)), (5L, Seq(-1.0, 0.5))
+    )).toDF("vec_id", "embedding")
+    val cents = spark.createDataFrame(Seq(
+      (100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0))
+    )).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(vecs, cents, "vec_id", "embedding",
+        threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept.keySet === Set(1L, 4L, 5L), s"min-id survivors expected, got $kept")
+    assert(kept(1L) === 100L && kept(4L) === 200L && kept(5L) === 200L)
+  }
+
   test("ImageIODecoder reports real frame counts and decodes the frame asked for") {
     import graft.multimodal.Multimodal
     // 3-frame animated GIF, each frame a distinct uniform color —
