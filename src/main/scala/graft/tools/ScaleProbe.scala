@@ -268,6 +268,50 @@ object ScaleProbe {
       f"(exact brute=${db}%.2f s), top-10 recall vs exact=$qRecall/10 " +
       f"(index bytes ~1/8 of double)")
 
+    // Semantic dedup (SemDeDup) at mult x: replicas are EXACT vector
+    // copies under new (strictly larger) ids, so every replica lands in
+    // its original's cell and is dominated by it (cos = 1) while no
+    // replica can dominate an original — the survivor set must be
+    // IDENTICAL to 1x given the same centroids. That is the exactness
+    // invariant; the work growth with FIXED k is the documented mult²
+    // within-cell term (cells grow with the corpus), so the probe also
+    // runs k scaled ∝ corpus — the deployment rule — where per-cell
+    // size, and with it candidate work per vector, stays flat.
+    val semCents = Similarity.kmeansCentroids(emb0, "vec_id", "embedding",
+        k = 16, iters = 2)
+      .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    def semSig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).cast("long"), coalesce(sum(col("vec_id")), lit(0L)))
+        .collect()(0)
+    val ss0 = shufSnap()
+    val ts1 = System.nanoTime()
+    val sem1 = semSig(Dedup.semanticDedup(emb0, semCents,
+      "vec_id", "embedding", 0.2))
+    val ds1 = (System.nanoTime() - ts1) / 1e9
+    val ss1 = shufSnap()
+    val tsN = System.nanoTime()
+    val semN = semSig(Dedup.semanticDedup(emb, semCents,
+      "vec_id", "embedding", 0.2))
+    val dsN = (System.nanoTime() - tsN) / 1e9
+    val ss2 = shufSnap()
+    require(sem1 == semN,
+      s"semantic-dedup survivors must be invariant under exact-copy " +
+        s"replication: 1x=$sem1 ${mult}x=$semN")
+    val semCentsN = Similarity.kmeansCentroids(emb, "vec_id", "embedding",
+        k = 16 * mult, iters = 2)
+      .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    val tsK = System.nanoTime()
+    val semK = Dedup.semanticDedup(emb, semCentsN,
+      "vec_id", "embedding", 0.2).count()
+    val dsK = (System.nanoTime() - tsK) / 1e9
+    println(f"semantic dedup: 1x survivors=${sem1.getLong(0)} (${ds1}%.2f s, " +
+      f"${(ss1 - ss0) / 1e6}%.1f MB shuffled)  ${mult}x same-centroids " +
+      f"survivors IDENTICAL (${dsN}%.2f s, ${(ss2 - ss1) / 1e6}%.1f MB — " +
+      f"fixed k: within-cell term grows ${mult}²)  ${mult}x with k∝corpus: " +
+      f"$semK survivors ${dsK}%.2f s (per-cell work flat)")
+
     // BM25 at mult x corpus: the dl pass is a projection and the
     // tokenized volume is the query terms' posting lists, so wall must
     // track corpus size ~linearly (never posting-explode the full

@@ -352,6 +352,35 @@ class PlanSpec extends AnyFunSuite {
     } finally sh.unpersist()
   }
 
+  test("semantic dedup assigns once, cell-partitions once, and hints only the centroid fold") {
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = e.filter(col("vec_id") < 4)
+    val out = api.Dedup.semanticDedup(e, cents, "vec_id", "embedding", 0.9)
+    // the ONLY broadcast hint allowed is the 1-row folded centroid
+    // array inside the assignment (it prints once per pre-cache subtree
+    // reference) — a hint on the corpus-sized assigned frame would cap
+    // the operator at the 8 GB broadcast limit. Every hint node must
+    // therefore sit directly on the collect_list centroid fold.
+    val lpLines = out.queryExecution.analyzed.toString.linesIterator.toSeq
+    lpLines.zipWithIndex.filter(_._1.contains("ResolvedHint")).foreach {
+      case (_, i) =>
+        val next = lpLines.drop(i + 1).headOption.getOrElse("")
+        assert(next.contains("Aggregate") && next.contains("collect_list"),
+          s"broadcast hint on something other than the centroid fold:\n" +
+            lpLines.mkString("\n"))
+    }
+    val p = out.queryExecution.executedPlan.toString
+    // assignment is the zero-shuffle broadcast-fold argmax (the IVF
+    // property), and the assigned frame materializes ONCE — every
+    // consumer (both pair-join sides, the survivor side) reads the
+    // cache instead of re-assigning the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must be the broadcast-fold projection:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"assigned frame must be read from its one materialization:\n$p")
+  }
+
   test("token-budget running sum never windows a whole source in one task") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
