@@ -654,6 +654,43 @@ object Dedup {
       .select(col("vec_id"), col("cent_id"))
   }
 
+  /** Incremental SemDeDup: which of the `incoming` vectors survive
+    * against an ESTABLISHED corpus? A newcomer is dropped iff its cell
+    * holds EITHER any corpus vector within `threshold` (the corpus is
+    * settled — its internal duplicates are its own concern, the same
+    * convention as [[incrementalMinhashPairsIndexed]]) OR a lower-id
+    * fellow newcomer within threshold (one representative per batch of
+    * mutual duplicates). `corpusIndex` is the [[Similarity.ivfIndex]]
+    * frame (vec_id, v, cent_id) — at deployment scale a
+    * cent_id-bucketed table ([[Similarity.ivfIndexBucketed]]) written
+    * once, so the corpus never re-shuffles: per-run cost ∝ increment.
+    *
+    * Scale shape: the increment assigns through the broadcast-fold
+    * argmax (no shuffle) and materializes once partitioned by cell;
+    * the corpus join is cell-keyed (bucket-layout-aligned when the
+    * index is bucketed); the peer join is the within-cell self-join of
+    * the increment ONLY. Nothing is ever corpus × corpus.
+    */
+  def semanticDedupIncrement(corpusIndex: DataFrame, centroids: DataFrame,
+                             incoming: DataFrame, idCol: String,
+                             vecCol: String, threshold: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    graft.functions.VectorFunctions.register(spark)
+    val inc = pin(Similarity.ivfIndex(incoming, centroids, idCol, vecCol)
+      .repartition(col("cent_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val byCorpus = inc.as("n")
+      .join(corpusIndex.as("c"), Seq("cent_id"))
+      .where(expr("cosine_sim(n.v, c.v)") >= threshold)
+      .select(col("n.vec_id").as("vec_id"))
+    val byPeer = inc.as("a").join(inc.as("b"), Seq("cent_id"))
+      .where(col("a.vec_id") < col("b.vec_id"))
+      .where(expr("cosine_sim(a.v, b.v)") >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+    inc.join(byCorpus.unionAll(byPeer).distinct(), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cent_id"))
+  }
+
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14, Alg. 3): every node connects each
     * strictly-LARGER neighbor to the node's local minimum (min of

@@ -823,6 +823,46 @@ object Pipeline {
           .orderBy("vec_id")
       }),
 
+    // Incremental SemDeDup: the 5% increment (vec_id % 20 = 0) admits
+    // only newcomers with no within-threshold cell-mate in the settled
+    // 95% corpus and no lower-id within-threshold fellow newcomer —
+    // per-run cost ∝ increment against the (bucketable) corpus cell
+    // index, the embedding twin of q_dedup_incr's band-index story.
+    Q("q_dedup_semantic_incr",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    c AS (SELECT cid, cv FROM (VALUES $kmeansPlaceholder) t(cid, cv)),
+                    asg AS (SELECT e.vec_id, e.v, c.cid,
+                                   row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                            FROM e CROSS JOIN c),
+                    idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                    corp AS (SELECT * FROM idx WHERE vec_id % 20 <> 0),
+                    inc AS (SELECT * FROM idx WHERE vec_id % 20 = 0),
+                    dom AS (SELECT n.vec_id
+                            FROM inc n JOIN corp cx ON n.cid = cx.cid
+                            WHERE list_cosine_similarity(n.v, cx.v) >= 0.35
+                            UNION
+                            SELECT b.vec_id
+                            FROM inc a JOIN inc b
+                              ON a.cid = b.cid AND a.vec_id < b.vec_id
+                            WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+               SELECT i.vec_id, CAST(i.cid AS BIGINT) AS cent_id
+               FROM inc i
+               WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.vec_id = i.vec_id)
+               ORDER BY vec_id"""),
+      (s, dir) => {
+        import s.implicits._
+        val cents = kmeansCents(s, dir).toDF("vec_id", "embedding")
+        val emb = t(s, dir, "embeddings")
+        Dedup.semanticDedupIncrement(
+            Similarity.ivfIndex(emb.filter(col("vec_id") % 20 =!= 0),
+              cents, "vec_id", "embedding"),
+            cents, emb.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", threshold = 0.35)
+          .orderBy("vec_id")
+      }),
+
     // ---------------- similarity search ----------------
 
     Q("q_sim_cosine",

@@ -630,6 +630,29 @@ class ApiSpec extends AnyFunSuite {
     assert(kept(1L) === 100L && kept(4L) === 200L && kept(5L) === 200L)
   }
 
+  test("incremental semantic dedup admits only corpus-novel, peer-novel newcomers") {
+    import graft.api.{Dedup, Similarity}
+    val cents = spark.createDataFrame(Seq(
+      (100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0))
+    )).toDF("vec_id", "embedding")
+    // settled corpus: one vector in cell 100
+    val corpus = spark.createDataFrame(Seq((10L, Seq(1.0, 0.0))))
+      .toDF("vec_id", "embedding")
+    val corpusIdx = Similarity.ivfIndex(corpus, cents, "vec_id", "embedding")
+    // newcomers: 1 duplicates the corpus (dropped); 2 is novel in cell
+    // 200 (kept); 3 duplicates its lower-id peer 2 (dropped); 4 shares
+    // cell 200 but sits far from 2 (kept)
+    val incoming = spark.createDataFrame(Seq(
+      (1L, Seq(0.999, 0.01)), (2L, Seq(0.01, 1.0)),
+      (3L, Seq(0.012, 0.999)), (4L, Seq(-1.0, 0.5))
+    )).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupIncrement(corpusIdx, cents, incoming,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(2L -> 200L, 4L -> 200L),
+      s"corpus-dominated and peer-dominated newcomers must drop, got $kept")
+  }
+
   test("ImageIODecoder reports real frame counts and decodes the frame asked for") {
     import graft.multimodal.Multimodal
     // 3-frame animated GIF, each frame a distinct uniform color —
