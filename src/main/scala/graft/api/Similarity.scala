@@ -341,41 +341,109 @@ object Similarity {
     */
   def quantize(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
-    e.withColumn("scale",
-        expr("aggregate(v, 0.0D, (m, x) -> greatest(m, abs(x)))") / lit(127.0))
+    // codegen'd kernels (vec_maxabs / quantize_i8): the quantization
+    // pass IS a full-corpus scan at index-build time, and the HOF
+    // formulation's interpreted lambdas dominated it on the 100x probe
+    e.withColumn("scale", expr("vec_maxabs(v)") / lit(127.0))
       .select(col("vec_id"),
-        expr("""transform(v, x -> CAST(floor(
-                  CASE WHEN scale = 0.0D THEN 0.0D ELSE x / scale END
-                  + 0.5D) AS TINYINT))""").as("q"),
+        expr("quantize_i8(v, scale)").as("q"),
         col("scale"))
   }
 
-  /** Approximate top-k over the int8-quantized index: exact cosine of
-    * the quantized vectors. Dot products and squared norms are sums of
-    * integers bounded by 127²·dim — exact in double on any summation
-    * order, so the ranking is deterministic across partitionings and
-    * engines with no decimal machinery. Same shape as [[topK]]: the
-    * one-row query is broadcast, the index streams once, and the top-k
-    * is a TakeOrderedAndProject (per-partition heads merged on the
-    * driver), never a global sort.
+  /** Search a PREBUILT quantized index (the output of [[quantize]],
+    * possibly persisted): the offline/online split at corpus scale —
+    * the quantize scan is paid once at build, every query pays only
+    * the 1-byte-wide streaming scan + the codegen'd integer kernel.
     */
-  def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
-                    queryId: Long, k: Int): DataFrame = {
-    val qz = quantize(vectors, idCol, vecCol)
-    val q = qz.filter(col("vec_id") === queryId).select(col("q").as("qq"))
-    qz.filter(col("vec_id") =!= queryId)
-      .crossJoin(broadcast(q))
-      .withColumn("dot", expr(
-        """aggregate(zip_with(q, qq, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),
-                     0.0D, (s, x) -> s + x)"""))
-      .withColumn("n2", expr(
-        "aggregate(q, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-      .withColumn("nq2", expr(
-        "aggregate(qq, 0.0D, (s, x) -> s + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
-      .withColumn("qcos", col("dot") / (sqrt(col("n2")) * sqrt(col("nq2"))))
+  def quantizedSearch(index: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(index.sparkSession)
+    val q = index.filter(col("vec_id") === queryId).select(col("q").as("qq"))
+    index.filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q)) // bounded: 1 query row
+      .withColumn("qcos", expr("cosine_sim_i8(q, qq)"))
       .orderBy(col("qcos").desc, col("vec_id"))
       .limit(k)
       .select(col("vec_id"), round(col("qcos"), 4).as("qcos"))
+  }
+
+  /** Approximate top-k over the int8-quantized index: exact cosine of
+    * the quantized vectors, scored by the codegen'd `cosine_sim_i8`
+    * expression (one fused pass, no per-row array allocation — the HOF
+    * formulation it replaces made this "cheap" scan 8× slower than the
+    * exact one at the 100× probe). Dot products and squared norms are
+    * sums of integers bounded by 127²·dim — exact in double on any
+    * summation order, so the ranking is deterministic across
+    * partitionings and engines with no decimal machinery. Same shape as
+    * [[topK]]: the one-row query is broadcast, the index streams once,
+    * and the top-k is a TakeOrderedAndProject (per-partition heads
+    * merged on the driver), never a global sort.
+    */
+  def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int): DataFrame =
+    quantizedSearch(quantize(vectors, idCol, vecCol), queryId, k)
+
+  /** IVF-SQ8, the offline half: ONE scan assigns every vector to its
+    * nearest centroid (the zero-shuffle broadcast-fold argmax of
+    * [[ivfIndex]]) AND int8-quantizes it ([[quantize]]'s symmetric
+    * scheme) — the production ANN index shape at corpus scale, where the
+    * two levers compose: probing reads nProbe/nCells of the index and
+    * every byte read is 1/8 the width of a double. Assignment ranks the
+    * FULL-precision vector against the centroids (quantization error
+    * never moves a vector across a cell boundary), and the quantized
+    * ranking inside a cell is exact small-integer math, so the whole
+    * operator carries a DuckDB oracle. Returns (vec_id, cent_id,
+    * q TINYINT[], scale) — bucketable on cent_id via
+    * [[graft.api.Bucketing]] exactly like the full-precision index.
+    */
+  def ivfQuantizedIndex(vectors: DataFrame, centroids: DataFrame,
+                        idCol: String, vecCol: String): DataFrame = {
+    val e = prepared(vectors, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    assignNearest(e, cents)
+      .withColumn("scale", expr("vec_maxabs(v)") / lit(127.0))
+      .select(col("vec_id"), col("cent_id"),
+        expr("quantize_i8(v, scale)").as("q"),
+        col("scale"))
+  }
+
+  /** IVF-SQ8, the online half: pick the query's nProbe nearest cells by
+    * cosine of the quantized query against the full-precision centroids
+    * (per-vector scales cancel in cosine, so casting q to double IS the
+    * dequantized direction), then rank inside the probed cells with the
+    * codegen'd `cosine_sim_i8` integer kernel. Same plan shape as
+    * [[ivfSearch]]: broadcast probes + broadcast 1-row query, the index
+    * streams once, TakeOrderedAndProject — no shuffle anywhere.
+    */
+  def ivfQuantizedSearch(index: DataFrame, cents: DataFrame, queryId: Long,
+                         k: Int, nProbe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(index.sparkSession)
+    val q = index.filter(col("vec_id") === queryId)
+    val qd = q.select(expr("transform(q, x -> CAST(x AS DOUBLE))").as("qdv"))
+    val probes = cents.crossJoin(broadcast(qd)) // bounded: 1 query row
+      .withColumn("cd", expr("cosine_sim(qdv, cv)"))
+      .orderBy(col("cd").desc, col("cent_id"))
+      .limit(nProbe)
+      .select(col("cent_id"))
+    index.join(broadcast(probes), "cent_id") // bounded: nProbe cell ids
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q.select(col("q").as("qq")))) // bounded: 1 query row
+      .withColumn("qcos", expr("cosine_sim_i8(q, qq)"))
+      .orderBy(col("qcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cent_id"), round(col("qcos"), 4).as("qcos"))
+  }
+
+  /** Build-and-search convenience over [[ivfQuantizedIndex]] /
+    * [[ivfQuantizedSearch]], mirroring [[ivfTopK]].
+    */
+  def ivfQuantizedTopK(vectors: DataFrame, centroids: DataFrame,
+                       idCol: String, vecCol: String, queryId: Long,
+                       k: Int, nProbe: Int): DataFrame = {
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    ivfQuantizedSearch(ivfQuantizedIndex(vectors, centroids, idCol, vecCol),
+      cents, queryId, k, nProbe)
   }
 
   /** Deterministic ±1 random projection (the database-friendly JL

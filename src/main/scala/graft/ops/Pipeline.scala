@@ -934,6 +934,46 @@ object Pipeline {
           "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
       }),
 
+    // IVF-SQ8: cell pruning composed with int8 quantization — the
+    // production ANN shape at corpus scale (probe reads nProbe/nCells
+    // of an index whose bytes are 1/8 of double). Assignment ranks the
+    // FULL-precision vector (quantization never moves cell membership);
+    // in-cell ranking is exact small-integer cosine; probe choice uses
+    // the quantized query against the full-precision centroids (scales
+    // cancel in cosine). Deterministic end to end → full DuckDB oracle.
+    Q("q_sim_ivf_quant",
+      Some("""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                         FROM embeddings),
+                   m AS (SELECT vec_id, v,
+                                list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+                                            (a, x) -> greatest(a, x)) / 127.0 AS scale
+                         FROM e),
+                   qz AS (SELECT vec_id, v,
+                                 list_transform(v, x -> floor(
+                                   CASE WHEN scale = 0.0 THEN 0.0 ELSE x / scale END + 0.5)) AS q
+                          FROM m),
+                   c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                   asg AS (SELECT z.vec_id, z.q, c.cid,
+                                  row_number() OVER (PARTITION BY z.vec_id
+                                    ORDER BY list_cosine_similarity(z.v, c.cv) DESC, c.cid) AS rn
+                           FROM qz z CROSS JOIN c),
+                   idx AS (SELECT vec_id, q, cid FROM asg WHERE rn = 1),
+                   qq AS (SELECT q AS qv FROM qz WHERE vec_id = 1),
+                   probes AS (SELECT cid FROM c, qq
+                              ORDER BY list_cosine_similarity(qv, cv) DESC, cid LIMIT 4),
+                   cand AS (SELECT i.vec_id, i.cid,
+                                   list_dot_product(i.q, qv)
+                                     / (sqrt(list_dot_product(i.q, i.q))
+                                          * sqrt(list_dot_product(qv, qv))) AS qc
+                            FROM idx i JOIN probes USING (cid), qq WHERE i.vec_id <> 1)
+              SELECT vec_id, cid AS cent_id, ROUND(qc, 4) AS qcos
+              FROM cand ORDER BY qc DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        Similarity.ivfQuantizedTopK(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
+      }),
+
     // IVF with k-means-built centroids (2 Lloyd iterations from a
     // deterministic seed): the offline index-construction path. Fully
     // oracle-checked: the centroids are computed once per (session, dir)

@@ -259,14 +259,21 @@ object ScaleProbe {
     // stay deterministic. Recall vs the exact scan is the honesty check.
     val exTop = Similarity.topK(emb, "vec_id", "embedding", queryId = 1,
       k = 10).collect().map(_.getLong(0)).toSet
+    // offline/online split: the quantize pass is paid ONCE at index
+    // build (localCheckpoint stands in for the persisted index); every
+    // query pays only the 1-byte scan + the codegen'd integer kernel
+    val tqb = System.nanoTime()
+    val qzIdx = Similarity.quantize(emb, "vec_id", "embedding")
+      .localCheckpoint()
+    val dqb = (System.nanoTime() - tqb) / 1e9
     val tq = System.nanoTime()
-    val qTopRows = Similarity.quantizedTopK(emb, "vec_id", "embedding",
-      queryId = 1, k = 10).collect()
+    val qTopRows = Similarity.quantizedSearch(qzIdx, queryId = 1, k = 10)
+      .collect()
     val dq = (System.nanoTime() - tq) / 1e9
     val qRecall = qTopRows.map(_.getLong(0)).count(exTop.contains)
-    println(f"quantized ANN at ${mult}x: int8 brute=${dq}%.2f s " +
-      f"(exact brute=${db}%.2f s), top-10 recall vs exact=$qRecall/10 " +
-      f"(index bytes ~1/8 of double)")
+    println(f"quantized ANN at ${mult}x: int8 build=${dqb}%.2f s " +
+      f"scan=${dq}%.2f s (exact brute=${db}%.2f s), " +
+      f"top-10 recall vs exact=$qRecall/10 (index bytes ~1/8 of double)")
 
     // Semantic dedup (SemDeDup) at mult x: replicas are EXACT vector
     // copies under new (strictly larger) ids, so every replica lands in

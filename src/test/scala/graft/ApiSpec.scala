@@ -281,6 +281,21 @@ class ApiSpec extends AnyFunSuite {
       s"int8 top-10 lost too much recall: exact=$exact quant=$quant")
   }
 
+  test("quantized IVF probes the same cells and keeps recall vs exact IVF") {
+    val cents = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.ivfTopK(emb, cents, "vec_id", "embedding",
+      queryId = 1, k = 10, nProbe = 4).collect()
+    val quant = Similarity.ivfQuantizedTopK(emb, cents, "vec_id", "embedding",
+      queryId = 1, k = 10, nProbe = 4).collect()
+    // candidates must come only from probed cells (≤ nProbe distinct
+    // cell ids in the result), and the full k must be found
+    assert(quant.length == 10)
+    assert(quant.map(_.getLong(1)).toSet.size <= 4,
+      "quantized IVF returned rows from more cells than it probes")
+    assert((exact.map(_.getLong(0)).toSet & quant.map(_.getLong(0)).toSet).size >= 8,
+      s"int8 IVF top-10 lost too much recall vs exact IVF")
+  }
+
   test("token chunking covers every token with exact overlaps") {
     val corpus = spark.createDataFrame(Seq(
       (1L, (1 to 40).map(i => s"t$i").mkString(" ")),
