@@ -30,6 +30,17 @@ object Multimodal {
     def init(): Unit = ()
     /** payload → (width, height, n_frames). */
     def dims(payload: Array[Byte]): (Int, Int, Int)
+    /** payload → (width, height) only — no frame counting. The default
+      * derives from [[dims]]; decoders where the frame count costs a
+      * full stream scan (ImageIO's getNumImages(true) walks every block
+      * of a large animation) override this so still images pay header
+      * cost only. Callers that will discard the count (metadata passes
+      * over non-video media) should call this, not [[dims]].
+      */
+    def dimsOnly(payload: Array[Byte]): (Int, Int) = {
+      val (w, h, _) = dims(payload)
+      (w, h)
+    }
     /** Bytes of sampled frame `idx` of a video payload. */
     def frame(payload: Array[Byte], idx: Int): Array[Byte]
     /** Thumbnail bytes for a payload resized to (w, h). */
@@ -133,24 +144,126 @@ object Multimodal {
         try { r.setInput(iis); f(r) } finally r.dispose()
       } finally iis.close()
     }
-    // Header-structure only: dimensions come from the format header and
-    // the frame count from the reader's block scan (getNumImages(true))
-    // — no pixel data is decoded (orders of magnitude cheaper than a
-    // full ImageIO.read for metadata-only passes). Stills answer 1;
-    // animated GIFs answer their real frame count.
+    // Dimensions come from the format header (no pixel decode); the
+    // frame count from the reader's block scan (getNumImages(true)),
+    // which walks every data block of the stream — cheap for stills,
+    // linear in payload size for long animations. Metadata passes that
+    // will discard the count (still images) call dimsOnly instead.
     def dims(payload: Array[Byte]): (Int, Int, Int) =
       withReader(payload)(r =>
         (r.getWidth(0), r.getHeight(0), r.getNumImages(true)))
+    // Header-only: getWidth/getHeight(0) parse just the first image
+    // header — no block scan, no pixel decode. This is the path still
+    // images take through decodeMeta, so a 100 MB single-frame payload
+    // pays header cost, not a full-stream walk for a count it discards.
+    override def dimsOnly(payload: Array[Byte]): (Int, Int) =
+      withReader(payload)(r => (r.getWidth(0), r.getHeight(0)))
     // Decodes frame `idx` specifically — the PayloadDecoder contract —
     // not frame 0 regardless (an animated GIF sampled every-k must
     // yield DIFFERENT frames, or the sampler silently collapses every
-    // animation to its first frame).
+    // animation to its first frame). GIF frames are COMPOSITED: a
+    // frame-optimized animation stores each frame as a partial rect at
+    // an offset plus a disposal method, so the raw stored image is not
+    // the frame a viewer shows. We replay frames 0..idx onto a
+    // logical-screen canvas (offsets + disposal per the GIF89a spec via
+    // the reader's per-frame metadata), so every sampled frame has the
+    // logical screen's dims and full visible content. Non-GIF
+    // multi-image formats store self-contained frames — raw read.
     def frame(payload: Array[Byte], idx: Int): Array[Byte] =
       withReader(payload) { r =>
         val n = r.getNumImages(true)
         require(idx >= 0 && idx < n, s"frame index $idx out of range [0, $n)")
-        png(r.read(idx))
+        if (r.getFormatName.equalsIgnoreCase("gif")) png(compositeGif(r, idx))
+        else png(r.read(idx))
       }
+
+    private val GifImageFmt = "javax_imageio_gif_image_1.0"
+    private val GifStreamFmt = "javax_imageio_gif_stream_1.0"
+
+    private def childElem(tree: org.w3c.dom.Node,
+                          name: String): Option[org.w3c.dom.Element] = {
+      val kids = tree.getChildNodes
+      (0 until kids.getLength).iterator.map(kids.item).collectFirst {
+        case e: org.w3c.dom.Element if e.getNodeName == name => e
+      }
+    }
+
+    /** (left, top, disposalMethod) for GIF frame i, from the reader's
+      * standard per-image metadata tree (ImageDescriptor +
+      * GraphicControlExtension nodes).
+      */
+    private def gifFrameMeta(r: javax.imageio.ImageReader,
+                             i: Int): (Int, Int, String) = {
+      val tree = r.getImageMetadata(i).getAsTree(GifImageFmt)
+      val desc = childElem(tree, "ImageDescriptor")
+      def attr(e: org.w3c.dom.Element, a: String): Int = {
+        val v = e.getAttribute(a); if (v.isEmpty) 0 else v.toInt
+      }
+      val left = desc.map(attr(_, "imageLeftPosition")).getOrElse(0)
+      val top = desc.map(attr(_, "imageTopPosition")).getOrElse(0)
+      val disposal = childElem(tree, "GraphicControlExtension")
+        .map(_.getAttribute("disposalMethod")).filter(_.nonEmpty)
+        .getOrElse("none")
+      (left, top, disposal)
+    }
+
+    /** Logical screen size from the GIF stream metadata, falling back
+      * to the frame-0 extent when the descriptor is absent.
+      */
+    private def gifScreen(r: javax.imageio.ImageReader): (Int, Int) = {
+      val fromStream =
+        for {
+          sm <- Option(r.getStreamMetadata)
+          lsd <- childElem(sm.getAsTree(GifStreamFmt), "LogicalScreenDescriptor")
+          w = lsd.getAttribute("logicalScreenWidth")
+          h = lsd.getAttribute("logicalScreenHeight")
+          if w.nonEmpty && h.nonEmpty
+        } yield (w.toInt, h.toInt)
+      fromStream.getOrElse {
+        val (l, t, _) = gifFrameMeta(r, 0)
+        (l + r.getWidth(0), t + r.getHeight(0))
+      }
+    }
+
+    /** Replay GIF frames 0..idx onto an ARGB canvas: draw each stored
+      * rect at its (left, top) offset, then apply the frame's disposal
+      * before the next — restoreToBackgroundColor clears the rect to
+      * transparent (the modern-viewer reading of "background"),
+      * restoreToPrevious restores the canvas as it was before the
+      * frame drew, none/doNotDispose leaves the pixels. The result for
+      * every idx has the logical screen's dimensions.
+      */
+    private def compositeGif(r: javax.imageio.ImageReader,
+                             idx: Int): java.awt.image.BufferedImage = {
+      val (sw, sh) = gifScreen(r)
+      val canvas = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      val g = canvas.createGraphics()
+      try {
+        for (i <- 0 to idx) {
+          val (left, top, disposal) = gifFrameMeta(r, i)
+          val img = r.read(i)
+          val saved =
+            if (i < idx && disposal == "restoreToPrevious")
+              canvas.getRGB(0, 0, sw, sh, null, 0, sw)
+            else null
+          g.drawImage(img, left, top, null)
+          if (i < idx) disposal match {
+            case "restoreToBackgroundColor" =>
+              // clear ONLY the frame's rect; java.awt.AlphaComposite
+              // Clear writes transparent pixels regardless of source
+              val prev = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(left, top, img.getWidth, img.getHeight)
+              g.setComposite(prev)
+            case "restoreToPrevious" =>
+              canvas.setRGB(0, 0, sw, sh, saved, 0, sw)
+            case _ => () // none / doNotDispose: pixels persist
+          }
+        }
+      } finally g.dispose()
+      canvas
+    }
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       png(scaleTo(read(payload), w, h))
     // One full decode per payload: dims from the decoded pixels, scale
@@ -212,9 +325,17 @@ object Multimodal {
       .mapPartitions { rows =>
         decoder.init() // once per partition, before any row
         rows.map { case (id, mt, payload) =>
-          val (w, h, f) = decoder.dims(payload)
-          MediaMeta(id, mt, payload.length.toLong, w, h,
-            if (mt.startsWith("video")) f else 1)
+          // Non-video media forces n_frames=1, so counting frames would
+          // be pure waste — dimsOnly skips it (for ImageIODecoder that
+          // is the difference between a header read and a full-stream
+          // block scan per still image).
+          if (mt.startsWith("video")) {
+            val (w, h, f) = decoder.dims(payload)
+            MediaMeta(id, mt, payload.length.toLong, w, h, f)
+          } else {
+            val (w, h) = decoder.dimsOnly(payload)
+            MediaMeta(id, mt, payload.length.toLong, w, h, 1)
+          }
         }
       }
   }

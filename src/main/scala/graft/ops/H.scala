@@ -22,17 +22,38 @@ object H {
 
   /** Load one driver test table (see /root/repo/TESTDATA.md).
     *
-    * `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects outright; read it as raw nanos (LongType) and truncate
-    * to microseconds — the same floor DuckDB applies in
-    * `CAST(ts AS TIMESTAMP)`, so oracle comparisons line up.
+    * `events.ts` has shifted physical type across driver testdata
+    * generations — nanosecond INT64 in earlier rounds (which Spark's
+    * vectorized reader rejects unless read as raw Long), microsecond
+    * TIMESTAMP_NTZ in the current one — so the load normalizes whatever
+    * arrives instead of assuming a generation: see [[normalizeEventsTs]].
     */
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      normalizeEventsTs(s.read.parquet(s"$dir/$name.parquet"))
     } else s.read.parquet(s"$dir/$name.parquet")
+
+  /** Normalize `events.ts` to a session-zone TIMESTAMP regardless of the
+    * physical type the testdata generation used:
+    *
+    *  - raw nanos Long (via `nanosAsLong=true` on nano-precision files):
+    *    truncate to micros — the same floor DuckDB applies in
+    *    `CAST(ts AS TIMESTAMP)`;
+    *  - TIMESTAMP_NTZ (micro-precision files): reinterpret the wall-clock
+    *    value in the session zone (UTC everywhere in this project), which
+    *    is exactly how DuckDB reads the same file;
+    *  - already TIMESTAMP: pass through.
+    *
+    * Every downstream consumer and every oracle therefore sees ONE type
+    * (TIMESTAMP, micro precision, UTC) for `ts` across generations.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
 
   /** Exact decimal type used to make double aggregation order-independent:
     * fp addition is not associative, so a plain SUM(double) differs between

@@ -379,11 +379,9 @@ object ScaleProbe {
     // funnel at mult x events: one user_id shuffle + bounded per-user
     // folds — linear in the event stream
     import graft.api.Funnels
-    // events.parquet is nanosecond-precision: read nanos as long and
-    // truncate to micros, same as ops.H.t
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev0 = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // events.ts physical type varies by testdata generation — load
+    // through the same normalizing shim as every other consumer
+    val ev0 = graft.ops.H.t(spark, dir, "events")
     def evFor(m: Int) = ev0.crossJoin(spark.range(m).select(col("id").as("rep")))
       .select((col("user_id") + col("rep") * lit(10000000L)).as("user_id"),
         col("ts"), col("event_type"))

@@ -710,6 +710,71 @@ class ApiSpec extends AnyFunSuite {
     assert(sampled.toSeq === Seq(0, 2))
   }
 
+  test("ImageIODecoder composites partial-rect GIF frames onto the logical screen") {
+    import graft.multimodal.Multimodal
+    // The JDK GIF writer emits full-frame animations only, so this
+    // frame-optimized GIF is assembled byte-by-byte per the GIF89a
+    // spec: frame 1 is a 2x1 green rect at offset (2,1); frame 2 a 1x1
+    // blue rect at (0,0). Frame 1 carries disposal=restoreToBackground,
+    // so its rect must be cleared before frame 2 draws. LZW payload
+    // uses fixed-width codes (a clear code after every pixel keeps the
+    // dictionary empty so the code width never grows).
+    def le16(v: Int): Seq[Byte] = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def lzw(pixels: Seq[Int], minCode: Int): Seq[Byte] = {
+      val clear = 1 << minCode; val eoi = clear + 1; val width = minCode + 1
+      val out = scala.collection.mutable.ArrayBuffer[Byte]()
+      var acc = 0; var nbits = 0
+      def emit(code: Int): Unit = {
+        acc |= code << nbits; nbits += width
+        while (nbits >= 8) { out += (acc & 0xff).toByte; acc >>>= 8; nbits -= 8 }
+      }
+      emit(clear); pixels.foreach { p => emit(p); emit(clear) }; emit(eoi)
+      if (nbits > 0) out += (acc & 0xff).toByte
+      out.toSeq
+    }
+    def subBlocks(data: Seq[Byte]): Seq[Byte] =
+      data.grouped(255).flatMap(b => (b.length.toByte +: b)).toSeq :+ 0.toByte
+    // disposal: 1=doNotDispose, 2=restoreToBackground (GCE packed bits 2-4)
+    def gce(disposal: Int): Seq[Byte] =
+      Seq(0x21, 0xF9, 0x04, disposal << 2, 0, 0, 0, 0x00).map(_.toByte)
+    def imageDesc(left: Int, top: Int, w: Int, h: Int): Seq[Byte] =
+      0x2C.toByte +: (le16(left) ++ le16(top) ++ le16(w) ++ le16(h) :+ 0.toByte)
+    val header = "GIF89a".getBytes("US-ASCII").toSeq
+    // 4x4 screen, global color table of 4: red, green, blue, white
+    val lsd = le16(4) ++ le16(4) ++ Seq(0x91.toByte, 0.toByte, 0.toByte)
+    val gct = Seq(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255).map(_.toByte)
+    val frame0 = gce(1) ++ imageDesc(0, 0, 4, 4) ++
+      (2.toByte +: subBlocks(lzw(Seq.fill(16)(0), 2)))          // full red
+    val frame1 = gce(2) ++ imageDesc(2, 1, 2, 1) ++
+      (2.toByte +: subBlocks(lzw(Seq(1, 1), 2)))                // green rect
+    val frame2 = gce(1) ++ imageDesc(0, 0, 1, 1) ++
+      (2.toByte +: subBlocks(lzw(Seq(2), 2)))                   // blue pixel
+    val gif = (header ++ lsd ++ gct ++ frame0 ++ frame1 ++ frame2 :+ 0x3B.toByte)
+      .toArray
+    assert(Multimodal.ImageIODecoder.dims(gif) === ((4, 4, 3)))
+    def decode(idx: Int) = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.ImageIODecoder.frame(gif, idx)))
+    // every composited frame has the LOGICAL SCREEN's dims, not the
+    // stored rect's — the raw stored frame 1 is only 2x1
+    val f1 = decode(1)
+    assert((f1.getWidth, f1.getHeight) === ((4, 4)),
+      "composited frame must have logical-screen dims")
+    assert((f1.getRGB(2, 1) & 0xffffff) === 0x00ff00,
+      "frame 1 must show the green rect at its (2,1) offset")
+    assert((f1.getRGB(0, 0) & 0xffffff) === 0xff0000,
+      "frame 1 must keep frame 0's red outside the rect (doNotDispose)")
+    // frame 2: green rect cleared by restoreToBackground, blue drawn at
+    // (0,0), red persists elsewhere
+    val f2 = decode(2)
+    assert((f2.getRGB(0, 0) & 0xffffff) === 0x0000ff)
+    assert((f2.getRGB(2, 1) >>> 24) === 0,
+      "restoreToBackground must clear the disposed rect to transparent")
+    assert((f2.getRGB(3, 3) & 0xffffff) === 0xff0000,
+      "pixels outside disposed rects persist")
+    // header-only dims agree with the full-scan dims on width/height
+    assert(Multimodal.ImageIODecoder.dimsOnly(gif) === ((4, 4)))
+  }
+
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
     import graft.multimodal.Multimodal
     // payload present but the type column is named differently: the old
