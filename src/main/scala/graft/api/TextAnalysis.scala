@@ -371,6 +371,32 @@ object TextAnalysis {
                     AS DOUBLE) / CAST(size(w) - 1 AS DOUBLE), 6)""")
           .as("dup_bigram_frac"))
 
+  /** Shared-prefix boilerplate detection: documents opening with the
+    * SAME first-k tokens usually share a crawl template (navigation
+    * headers, license banners, scraper artifacts) — the corpus-level
+    * complement of per-document repetition stats, and the cheap first
+    * pass before segment-level dedup ([[graft.api.Dedup]]). Emits one
+    * row per affected document: (id, prefix, n_docs sharing it) for
+    * prefixes held by ≥ `minDocs` documents.
+    *
+    * Scale shape: one groupBy(prefix) with map-side partial aggregation
+    * (prefix strings are k tokens, not documents), filtered to the hot
+    * set BEFORE re-joining the per-document prefix frame — templates
+    * are few, so the join side AQE sees is broadcast-sized even when
+    * the corpus is 100 TB. No window over the full corpus, no
+    * corpus-sized shuffle beyond the one hash aggregation.
+    */
+  def prefixBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, minDocs: Long): DataFrame = {
+    val pref = docs.select(col(idCol),
+      array_join(slice(split(col(textCol), " "), 1, k), " ").as("prefix"))
+    val hot = pref.groupBy("prefix")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    pref.join(hot, "prefix")
+      .select(col(idCol), col("prefix"), col("n_docs"))
+  }
+
   /** Per-document Shannon entropy over characters (nats, 6dp) — a core
     * LLM-data quality signal (gibberish and boilerplate sit at the
     * entropy extremes). Single scan, pure HOFs; the distinct-char list

@@ -275,6 +275,206 @@ object Multimodal {
     }
   }
 
+  /** REAL audio header/PCM parsing over RIFF/WAVE payloads — the audio
+    * twin of [[ImageIODecoder]]: zero external dependencies (the RIFF
+    * container walk and little-endian PCM16 reads are ~30 lines of
+    * plain byte arithmetic), genuine bytes in tests (ApiSpec plants
+    * WAVs written by the JDK's own javax.sound.sampled encoder), and
+    * the same mapPartitions batch shape as every other multimodal
+    * operator. The stub remains the oracle default for the synthetic
+    * corpus, whose payloads are UTF-8 text bytes, not media.
+    */
+  object WavCodec {
+
+    /** (sample_rate, channels, bits_per_sample, n_frames) from the
+      * RIFF/WAVE `fmt `/`data` chunk headers — no sample decode, so
+      * metadata over a multi-GB payload costs a header walk. n_frames
+      * counts inter-channel sample frames (dataBytes / blockAlign).
+      */
+    def header(payload: Array[Byte]): (Int, Int, Int, Long) = {
+      require(payload.length >= 12 &&
+        payload(0) == 'R' && payload(1) == 'I' &&
+        payload(2) == 'F' && payload(3) == 'F' &&
+        new String(payload, 8, 4, "US-ASCII") == "WAVE",
+        "payload is not RIFF/WAVE")
+      def le16(i: Int): Int =
+        (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8)
+      def le32(i: Int): Int =
+        (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+      var off = 12
+      var rate = -1; var ch = -1; var bits = -1
+      var blockAlign = -1; var dataLen = -1L
+      while (off + 8 <= payload.length && (rate < 0 || dataLen < 0)) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val sz = le32(off + 4)
+        require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
+        if (id == "fmt " && sz >= 16) {
+          ch = le16(off + 10); rate = le32(off + 12)
+          blockAlign = le16(off + 20); bits = le16(off + 22)
+        } else if (id == "data") {
+          dataLen = sz.toLong & 0xffffffffL
+        }
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      require(rate > 0 && dataLen >= 0, "missing fmt /data chunk")
+      (rate, ch, bits, dataLen / math.max(1, blockAlign))
+    }
+
+    /** Byte offset and length of the PCM `data` chunk. */
+    private[multimodal] def dataChunk(payload: Array[Byte]): (Int, Int) = {
+      def le32(i: Int): Int =
+        (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+        ((payload(i + 2) & 0xff) << 16) | ((payload(i + 3) & 0xff) << 24)
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val id = new String(payload, off, 4, "US-ASCII")
+        val sz = le32(off + 4)
+        require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
+        if (id == "data")
+          return (off + 8, math.min(sz, payload.length - off - 8))
+        off += 8 + sz + (sz & 1)
+      }
+      throw new IllegalArgumentException("missing data chunk")
+    }
+
+    /** Per-window energy features over PCM16 samples, channel 0:
+      * (sum of squares, peak magnitude, n samples) per fixed-size
+      * window — all EXACT integers (sum_sq ≤ 2³⁰ per sample, no fp),
+      * so results are bit-identical on any engine and any partitioning.
+      * The loudness/silence primitive audio curation filters build on.
+      */
+    def energyWindows(payload: Array[Byte],
+                      windowFrames: Int): Seq[(Int, Long, Int, Int)] = {
+      require(windowFrames > 0, "windowFrames must be positive")
+      val (_, ch, bits, _) = header(payload)
+      require(bits == 16, s"PCM16 expected, got $bits-bit")
+      val (dOff, dLen) = dataChunk(payload)
+      val step = 2 * ch // bytes per frame; channel 0 read per frame
+      val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Int)]()
+      var win = 0
+      var i = dOff
+      val end = dOff + dLen - 1
+      while (i + 1 <= end) {
+        var sumSq = 0L; var peak = 0; var n = 0
+        while (n < windowFrames && i + 1 <= end) {
+          val s = ((payload(i) & 0xff) | (payload(i + 1) << 8)).toShort.toInt
+          sumSq += s.toLong * s
+          val m = math.abs(s)
+          if (m > peak) peak = m
+          n += 1; i += step
+        }
+        out += ((win, sumSq, peak, n))
+        win += 1
+      }
+      out.toSeq
+    }
+  }
+
+  /** Build a minimal canonical RIFF/WAVE container (44-byte header +
+    * PCM data). Input is truncated to whole sample frames. Used to give
+    * the synthetic corpus REAL parseable audio payloads: the text bytes
+    * become the PCM stream, so an independent engine can recompute any
+    * sample-level result from the text alone while Spark goes through
+    * genuine container construction + [[WavCodec]] parsing.
+    */
+  private[graft] def buildWav(pcm0: Array[Byte], rate: Int, channels: Int,
+                              bits: Int): Array[Byte] = {
+    val blockAlign = channels * bits / 8
+    val pcm = pcm0.take(pcm0.length - (pcm0.length % blockAlign))
+    val out = java.nio.ByteBuffer.allocate(44 + pcm.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + pcm.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(pcm.length)
+      .put(pcm)
+    out.array()
+  }
+
+  /** Windowed PCM16 energy over a WAV whose samples ARE the document's
+    * UTF-8 bytes (consecutive byte pairs, little-endian): each doc's
+    * text becomes a real RIFF/WAVE payload ([[buildWav]]) and is parsed
+    * back through the real [[WavCodec]] — container walk, fmt/data
+    * chunks, sample decode — not a stub. Because the byte→sample map is
+    * plain arithmetic, a relational engine can replay the exact
+    * integers from the text column, giving the audio path a full
+    * cross-engine oracle (the image twin of this technique is the
+    * mod-1e9+7 stub; here the REAL parser is in the checked loop).
+    */
+  def audioEnergyFromText(spark: SparkSession, docs: DataFrame,
+                          idCol: String, textCol: String,
+                          windowFrames: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          if (bytes.length < 2) Iterator.empty
+          else {
+            val wav = buildWav(bytes, rate = 8000, channels = 1, bits = 16)
+            WavCodec.energyWindows(wav, windowFrames).iterator.map {
+              case (w, sumSq, peak, n) => AudioWindow(id, w, sumSq, peak, n)
+            }
+          }
+        }
+      }
+  }
+
+  /** Audio metadata parsed from a RIFF/WAVE payload header. */
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                             channels: Int, bits_per_sample: Int,
+                             n_frames: Long, duration_ms: Long)
+
+  /** One fixed-size energy window of an audio payload (exact integers). */
+  final case class AudioWindow(doc_id: Long, win_idx: Int, sum_sq: Long,
+                               peak: Int, n_samples: Int)
+
+  /** Header-only audio metadata for every audio-typed payload — the
+    * [[decodeMeta]] shape specialized to sound: mapPartitions batches,
+    * no sample decode, duration derived exactly from frames and rate.
+    */
+  def audioMeta(spark: SparkSession, docs: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    withPayload(docs)
+      .filter(col("media_type").startsWith("audio"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val (rate, ch, bits, frames) = WavCodec.header(payload)
+          AudioMeta(id, payload.length.toLong, rate, ch, bits, frames,
+            frames * 1000L / rate)
+        }
+      }
+  }
+
+  /** Windowed PCM energy features for every audio-typed payload — the
+    * row-expanding feature-extraction pass (1 clip → n windows), the
+    * batch shape an FFT/embedding extractor would use. Exact integer
+    * outputs (see [[WavCodec.energyWindows]]).
+    */
+  def audioEnergy(spark: SparkSession, docs: DataFrame,
+                  windowFrames: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    withPayload(docs)
+      .filter(col("media_type").startsWith("audio"))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          WavCodec.energyWindows(payload, windowFrames).iterator.map {
+            case (w, sumSq, peak, n) => AudioWindow(id, w, sumSq, peak, n)
+          }
+        }
+      }
+  }
+
   /** Media metadata extracted (stub-)decoding a payload. */
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                              width: Int, height: Int, n_frames: Int)

@@ -280,6 +280,34 @@ object Extras {
         .select(col("doc_id"),
           col("frame_idx").cast("long").as("frame_idx"),
           hex(col("frame")).as("frame"))
-        .orderBy("doc_id", "frame_idx"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // REAL audio path with a full oracle: each doc's UTF-8 bytes become
+    // the PCM16 stream of a genuine RIFF/WAVE payload, which Spark
+    // parses back through WavCodec (container walk + sample decode);
+    // the oracle replays the same little-endian byte-pair arithmetic
+    // from the text column (corpus is ASCII, so ascii(char) == byte).
+    // All-integer outputs — engine- and partitioning-exact.
+    Q("q_mm_audio_energy",
+      Some("""WITH d AS (SELECT doc_id, text,
+                                length(text) // 2 AS ns
+                         FROM documents),
+                   i AS (SELECT doc_id, text, unnest(range(0, ns)) AS k FROM d),
+                   sm AS (SELECT doc_id, k,
+                                 ascii(substr(text, CAST(2 * k + 1 AS INT), 1))
+                                 + 256 * ascii(substr(text, CAST(2 * k + 2 AS INT), 1)) AS v
+                          FROM i),
+                   sg AS (SELECT doc_id, k,
+                                 CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+                          FROM sm)
+              SELECT doc_id, CAST(k // 256 AS INT) AS win_idx,
+                     CAST(SUM(s * s) AS BIGINT) AS sum_sq,
+                     CAST(MAX(abs(s)) AS INT) AS peak,
+                     CAST(count(*) AS INT) AS n_samples
+              FROM sg GROUP BY 1, 2 ORDER BY doc_id, win_idx"""),
+      (s, dir) => Multimodal.audioEnergyFromText(s, t(s, dir, "documents"),
+        "doc_id", "text", windowFrames = 256)
+        .toDF()
+        .orderBy("doc_id", "win_idx"))
   )
 }

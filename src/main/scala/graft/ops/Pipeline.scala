@@ -1370,6 +1370,22 @@ object Pipeline {
           BloomBits, BloomHashes),
         CmsTerms, BloomBits, BloomHashes)),
 
+    // Shared-prefix boilerplate: documents opening with the same first-4
+    // tokens share a crawl template — corpus-level complement of the
+    // per-doc repetition stats (hot-prefix set filtered small BEFORE the
+    // doc-assignment join, so the join is broadcast-sized at any corpus)
+    Q("q_text_prefix_boiler",
+      Some("""WITH p AS (SELECT doc_id,
+                     array_to_string(list_slice(string_split(text, ' '), 1, 4), ' ') AS prefix
+                         FROM documents),
+                   hot AS (SELECT prefix, count(*) AS n_docs
+                           FROM p GROUP BY 1 HAVING count(*) >= 2)
+              SELECT doc_id, p.prefix, n_docs
+              FROM p JOIN hot USING (prefix) ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.prefixBoilerplate(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, minDocs = 2)
+        .orderBy("doc_id")),
+
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
     // Keep-one exact dedup over a corpus with planted duplicates (the

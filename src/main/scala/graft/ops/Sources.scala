@@ -53,10 +53,33 @@ object Sources {
     written.keys.filter(_._1 == id).foreach(written.remove)
   }
 
+  private val ensureLocks = scala.collection.concurrent
+    .TrieMap[(Int, String, String), Object]()
+
   private def ensure(s: SparkSession, dir: String, fmt: String)
                     (write: String => Unit): String = {
     val out = s"${ioDir(dir)}/$fmt"
-    written.getOrElseUpdate((System.identityHashCode(s), dir, fmt), write(out))
+    val key = (System.identityHashCode(s), dir, fmt)
+    // Per-key lock: TrieMap.getOrElseUpdate can evaluate the thunk twice
+    // under contention, and two concurrent writers of one scratch path
+    // destroy each other's _temporary staging — concrete since the
+    // bench's build phase forces stream_incr from three tasks at once
+    // (src_writes + the two pre-built incremental stream replays). A
+    // single global lock would instead serialize ALL scratch writes
+    // behind whichever Spark job holds it; per-key locks keep distinct
+    // formats parallel. putIfAbsent is atomic, so exactly one lock
+    // object ever exists per key (getOrElseUpdate could mint two, and
+    // two threads would then lock different objects).
+    val lock = {
+      val fresh = new Object
+      ensureLocks.putIfAbsent(key, fresh).getOrElse(fresh)
+    }
+    lock.synchronized {
+      if (!written.contains(key)) {
+        write(out)
+        written.put(key, ())
+      }
+    }
     out
   }
 

@@ -775,6 +775,79 @@ class ApiSpec extends AnyFunSuite {
     assert(Multimodal.ImageIODecoder.dimsOnly(gif) === ((4, 4)))
   }
 
+  test("prefix boilerplate flags only documents sharing a k-token opening") {
+    import graft.api.TextAnalysis
+    val docs = spark.createDataFrame(Seq(
+      (1L, "terms of use apply to this site"),
+      (2L, "terms of use apply here"),
+      (3L, "a unique opening with no template"),
+      (4L, "terms of use apply again"),
+      (5L, "terms of use differ after three") // shares only 3 tokens
+    )).toDF("doc_id", "text")
+    val got = TextAnalysis.prefixBoilerplate(docs, "doc_id", "text",
+        k = 4, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val p = "terms of use apply"
+    assert(got === Set((1L, p, 3L), (2L, p, 3L), (4L, p, 3L)),
+      s"only the 3 docs sharing all 4 opening tokens flag, got $got")
+  }
+
+  test("WavCodec parses real RIFF/WAVE bytes: header, exact energy windows") {
+    import graft.multimodal.Multimodal
+    // genuine WAV bytes from the JDK's own encoder (javax.sound.sampled)
+    def wavBytes(samples: Array[Short], rate: Float, channels: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels,
+        true, false) // signed PCM16, little-endian
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt,
+        samples.length / channels)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    // mono: 6 known samples, window=4 -> windows of 4 and 2 samples
+    val mono = wavBytes(Array[Short](100, -200, 300, -400, 500, -600), 8000f, 1)
+    assert(Multimodal.WavCodec.header(mono) === ((8000, 1, 16, 6L)))
+    val w = Multimodal.WavCodec.energyWindows(mono, 4)
+    assert(w === Seq(
+      (0, 100L * 100 + 200L * 200 + 300L * 300 + 400L * 400, 400, 4),
+      (1, 500L * 500 + 600L * 600, 600, 2)))
+    // stereo: channel 0 is read, channel 1 (big values) must be ignored
+    val stereo = wavBytes(
+      Array[Short](10, 30000, 20, 30000, 30, 30000), 16000f, 2)
+    assert(Multimodal.WavCodec.header(stereo) === ((16000, 2, 16, 3L)))
+    assert(Multimodal.WavCodec.energyWindows(stereo, 8) ===
+      Seq((0, 10L * 10 + 20L * 20 + 30L * 30, 30, 3)))
+    // the Spark operators: audioMeta (header-only) + audioEnergy
+    // (row-expanding) over a frame with REAL audio payloads; the
+    // image/png row must be filtered out, not parsed as WAV
+    val docs = spark.createDataFrame(Seq(
+      (1L, mono, "audio/wav"), (2L, stereo, "audio/wav"),
+      (3L, Array[Byte](1, 2, 3), "image/png")
+    )).toDF("doc_id", "payload", "media_type")
+    val meta = Multimodal.audioMeta(spark, docs).collect()
+      .map(m => m.doc_id -> ((m.sample_rate, m.channels, m.n_frames,
+        m.duration_ms))).toMap
+    assert(meta === Map(
+      1L -> ((8000, 1, 6L, 0L)),   // 6 frames / 8 kHz -> 0 ms (exact int)
+      2L -> ((16000, 2, 3L, 0L))))
+    val energy = Multimodal.audioEnergy(spark, docs, windowFrames = 4)
+      .collect().map(e => (e.doc_id, e.win_idx, e.sum_sq, e.peak, e.n_samples))
+      .toSet
+    assert(energy === Set(
+      (1L, 0, 300000L, 400, 4), (1L, 1, 610000L, 600, 2),
+      (2L, 0, 1400L, 30, 3)))
+    // non-WAV bytes fail loudly, not as garbage metadata
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.header(Array[Byte](1, 2, 3, 4)))
+  }
+
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
     import graft.multimodal.Multimodal
     // payload present but the type column is named differently: the old
