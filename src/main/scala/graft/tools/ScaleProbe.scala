@@ -376,6 +376,36 @@ object ScaleProbe {
     println(f"hashed-tf top-k (${mult}x corpus): 1x=$ht1 rows ${dh1}%.2f s  " +
       f"${mult}x=$htN rows ${dhN}%.2f s  time-growth=${dhN / dh1}%.1fx")
 
+    // prefix boilerplate at mult x corpus: replica word-renaming keeps
+    // each replica's prefix structure identical and disjoint, so the
+    // flagged set must be EXACTLY mult x the 1x set (hot groups never
+    // merge across replicas) and the wall ~linear — the hot-set join
+    // side stays broadcast-sized no matter the corpus
+    val tpb1 = System.nanoTime()
+    val pb1 = TextAnalysis.prefixBoilerplate(docsFor(1), "doc_id", "text",
+      k = 4, minDocs = 2).count()
+    val dpb1 = (System.nanoTime() - tpb1) / 1e9
+    val tpbN = System.nanoTime()
+    val pbN = TextAnalysis.prefixBoilerplate(docs, "doc_id", "text",
+      k = 4, minDocs = 2).count()
+    val dpbN = (System.nanoTime() - tpbN) / 1e9
+    println(f"prefix-boiler (${mult}x corpus): 1x=$pb1 flagged ${dpb1}%.2f s  " +
+      f"${mult}x=$pbN flagged ${dpbN}%.2f s  time-growth=${dpbN / dpb1}%.1fx  " +
+      f"flag-growth=${pbN.toDouble / pb1}%.1fx (expect exactly ${mult}x)")
+
+    // audio energy windows at mult x corpus: pure mapPartitions over
+    // the payload bytes — zero shuffle, window count exactly mult x
+    val tae1 = System.nanoTime()
+    val ae1 = graft.multimodal.Multimodal.audioEnergyFromText(spark,
+      docsFor(1), "doc_id", "text", windowFrames = 256).count()
+    val dae1 = (System.nanoTime() - tae1) / 1e9
+    val taeN = System.nanoTime()
+    val aeN = graft.multimodal.Multimodal.audioEnergyFromText(spark,
+      docs, "doc_id", "text", windowFrames = 256).count()
+    val daeN = (System.nanoTime() - taeN) / 1e9
+    println(f"audio-energy (${mult}x corpus): 1x=$ae1 windows ${dae1}%.2f s  " +
+      f"${mult}x=$aeN windows ${daeN}%.2f s  time-growth=${daeN / dae1}%.1fx")
+
     // funnel at mult x events: one user_id shuffle + bounded per-user
     // folds — linear in the event stream
     import graft.api.Funnels

@@ -413,6 +413,20 @@ class PlanSpec extends AnyFunSuite {
         s"running-sum window must include the hash slice key, got ($spec) in:\n$p"))
   }
 
+  test("prefix boilerplate joins the small hot set, never windows the corpus") {
+    val p = plan("q_text_prefix_boiler")
+    // the prefix counts must collapse map-side (partial agg) before any
+    // exchange, and the doc-assignment join must be a broadcast of the
+    // filtered hot-prefix set — templates are few even when documents
+    // are not. A Window or SortMergeJoin here would mean the corpus is
+    // being sorted/shuffled against itself.
+    assert(p.contains("partial_count"),
+      s"prefix counting must combine map-side in:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-prefix assignment must broadcast the filtered set in:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window expected in:\n$p")
+  }
+
   test("length percentiles rank the histogram, not the raw rows") {
     val p = SparkEntry.queries("q_stats_length_pct")(spark, sfDir)
       .queryExecution.executedPlan.toString
