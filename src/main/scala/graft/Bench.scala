@@ -12,6 +12,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = SparkConfig.cpus.toString
+    // Scheduler mode stays FIFO: a FAIR experiment (round-robining task
+    // slots across the ~150 concurrent jobs) measured 80.7 s vs FIFO's
+    // 52.1 s on identical code — fine-grained slot sharing thrashes the
+    // whole-stage-codegen and shuffle-buffer locality that back-to-back
+    // stages of one job reuse, without finishing anything sooner.
     val spark = SparkConfig.builder("graft-bench", SparkConfig.cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
