@@ -18,6 +18,28 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("v"))
   }
 
+  /** Per-group embedding centroids — the corpus-audit / mixing
+    * diagnostic ("how far apart do my sources or classes sit, and is a
+    * class drifting between snapshots"): one row per (group, dimension)
+    * with the vector count and the mean component. Determinism: each
+    * component is rounded at 6dp and summed in EXACT decimal (fp row
+    * order never matters — the same per-term-round technique as the PMI
+    * oracle), then one double divide. Scale shape: posexplode fans each
+    * vector into dim rows, a single hash aggregation with map-side
+    * combine collapses them to |groups|·dim rows — no window, no join,
+    * one shuffle whose width is the OUTPUT size, not the corpus.
+    */
+  def groupCentroids(vectors: DataFrame, groupCol: String,
+                     vecCol: String): DataFrame =
+    vectors
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("s"))
+      .select(col(groupCol), col("pos"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("c"))
+
   /** Exact top-k neighbors for one stored vector id. */
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
            queryId: Long, k: Int): DataFrame = {

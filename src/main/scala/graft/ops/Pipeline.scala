@@ -874,6 +874,23 @@ object Pipeline {
       (s, dir) => Similarity.topK(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 1, k = 10)),
 
+    // Per-label embedding centroids (corpus audit / mixing diagnostic):
+    // one hash agg collapsing dim-fanned rows to |labels| x dim output;
+    // components 6dp-rounded then summed in exact decimal so fp row
+    // order never matters (the PMI per-term-round technique)
+    Q("q_embed_centroids",
+      Some("""WITH f AS (SELECT label,
+                                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                                unnest(embedding) AS x
+                         FROM embeddings)
+              SELECT label, pos, count(*) AS n,
+                     ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS c
+              FROM f GROUP BY 1, 2 ORDER BY 1, 2"""),
+      (s, dir) => Similarity.groupCentroids(t(s, dir, "embeddings"),
+        "label", "embedding")
+        .orderBy("label", "pos")),
+
     // Quantized (int8) cosine top-k: the 4-8x index-footprint scale
     // path; scores are exact small-integer sums, so the ranking is
     // deterministic with no decimal machinery.

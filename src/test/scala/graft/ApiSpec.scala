@@ -775,6 +775,20 @@ class ApiSpec extends AnyFunSuite {
     assert(Multimodal.ImageIODecoder.dimsOnly(gif) === ((4, 4)))
   }
 
+  test("group centroids average each dimension exactly per label") {
+    import graft.api.Similarity
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 6.0f), 7),
+      (3L, Seq(10.0f, 0.0f), 8)
+    )).toDF("vec_id", "embedding", "label")
+    val got = Similarity.groupCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === Set(
+      (7, 0, 2L, 2.0), (7, 1, 2L, 4.0),   // means of (1,3) and (2,6)
+      (8, 0, 1L, 10.0), (8, 1, 1L, 0.0)))
+  }
+
   test("prefix boilerplate flags only documents sharing a k-token opening") {
     import graft.api.TextAnalysis
     val docs = spark.createDataFrame(Seq(
