@@ -40,6 +40,34 @@ object Similarity {
       .select(col(groupCol), col("pos"), col("n"),
         round(col("s").cast("double") / col("n"), 6).as("c"))
 
+  /** Pairwise cosine between group centroids — the actionable half of
+    * the centroid audit: which classes/sources overlap (candidates for
+    * merging or dedup across them) and which sit far apart (mixing
+    * weights actually diversify). Output is |groups|² rows over a
+    * |groups|·dim input — both sides of the self-join are
+    * centroid-sized, so the whole plan is broadcast territory at any
+    * corpus scale; the corpus itself was already reduced by
+    * [[groupCentroids]]' single aggregation. Deterministic: centroid
+    * components are 6dp-exact, vectors are reassembled in dimension
+    * order, and the dot/norm folds run left-to-right over that order on
+    * every engine (cosine rounded at 4dp).
+    */
+  def groupCentroidDistances(vectors: DataFrame, groupCol: String,
+                             vecCol: String): DataFrame = {
+    val cents = groupCentroids(vectors, groupCol, vecCol)
+      .select(col(groupCol), col("pos"), col("c"))
+      .groupBy(groupCol)
+      .agg(array_sort(collect_list(struct(col("pos"), col("c"))))
+        .as("pc"))
+      .select(col(groupCol), expr("transform(pc, e -> e.c)").as("v"))
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val a = cents.select(col(groupCol).as("g_a"), col("v").as("va"))
+    val b = cents.select(col(groupCol).as("g_b"), col("v").as("vb"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+  }
+
   /** Exact top-k neighbors for one stored vector id. */
   def topK(vectors: DataFrame, idCol: String, vecCol: String,
            queryId: Long, k: Int): DataFrame = {

@@ -891,6 +891,27 @@ object Pipeline {
         "label", "embedding")
         .orderBy("label", "pos")),
 
+    // Pairwise centroid cosine (which classes overlap / diversify):
+    // both join sides are centroid-sized — broadcast territory at any
+    // corpus scale; the corpus reduced in the single centroid agg
+    Q("q_embed_group_dist",
+      Some("""WITH f AS (SELECT label,
+                                CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+                                unnest(embedding) AS x
+                         FROM embeddings),
+                   cent AS (SELECT label, pos,
+                                   ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
+                                     AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS c
+                            FROM f GROUP BY 1, 2),
+                   v AS (SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY 1)
+              SELECT a.label AS g_a, b.label AS g_b,
+                     ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
+              FROM v a JOIN v b ON a.label < b.label
+              ORDER BY g_a, g_b"""),
+      (s, dir) => Similarity.groupCentroidDistances(t(s, dir, "embeddings"),
+        "label", "embedding")
+        .orderBy("g_a", "g_b")),
+
     // Quantized (int8) cosine top-k: the 4-8x index-footprint scale
     // path; scores are exact small-integer sums, so the ranking is
     // deterministic with no decimal machinery.

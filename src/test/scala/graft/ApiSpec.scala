@@ -789,6 +789,19 @@ class ApiSpec extends AnyFunSuite {
       (8, 0, 1L, 10.0), (8, 1, 1L, 0.0)))
   }
 
+  test("group centroid distances use the dimension-ordered centroid vectors") {
+    import graft.api.Similarity
+    val vecs = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 2.0f), 7), (2L, Seq(3.0f, 6.0f), 7),
+      (3L, Seq(10.0f, 0.0f), 8)
+    )).toDF("vec_id", "embedding", "label")
+    val got = Similarity.groupCentroidDistances(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    // centroids: label 7 -> (2,4), label 8 -> (10,0);
+    // cos = 20 / (sqrt(20) * 10) = 0.4472
+    assert(got === Seq((7, 8, 0.4472)))
+  }
+
   test("prefix boilerplate flags only documents sharing a k-token opening") {
     import graft.api.TextAnalysis
     val docs = spark.createDataFrame(Seq(
