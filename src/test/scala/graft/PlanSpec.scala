@@ -427,6 +427,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no corpus-wide window expected in:\n$p")
   }
 
+  test("embedding centroids collapse map-side; pair distances broadcast") {
+    val cp = plan("q_embed_centroids")
+    // the dim-fanned rows must combine in a partial hash aggregation
+    // before the exchange: the shuffle then carries |labels|*dim partial
+    // sums per mapper, never corpus*dim rows
+    assert(cp.contains("partial_count") || cp.contains("partial_sum"),
+      s"centroid aggregation must combine map-side in:\n$cp")
+    assert(!cp.contains("Window") && !cp.contains("SortMergeJoin"),
+      s"no window or corpus join expected in:\n$cp")
+    // the pairwise-distance self-join runs over centroid-sized sides
+    val dp = plan("q_embed_group_dist")
+    assert(dp.contains("BroadcastNestedLoopJoin") || dp.contains("BroadcastHashJoin"),
+      s"centroid pair join must broadcast in:\n$dp")
+    assert(!dp.contains("SortMergeJoin"),
+      s"no shuffle join between centroid frames in:\n$dp")
+  }
+
   test("length percentiles rank the histogram, not the raw rows") {
     val p = SparkEntry.queries("q_stats_length_pct")(spark, sfDir)
       .queryExecution.executedPlan.toString
