@@ -222,3 +222,38 @@ object MixingProps extends org.scalacheck.Properties("Mixing") {
       inRange && bindingAtOne && antiMono
     }
 }
+
+/** WavCodec round-trip: any PCM16 stream wrapped in a buildWav container
+  * must parse back to exactly the header fields and window energies that
+  * direct arithmetic over the samples gives — the container walk adds
+  * nothing and loses nothing.
+  */
+object WavCodecProps extends Properties("WavCodec") {
+  import org.scalacheck.Prop
+  import graft.multimodal.Multimodal.{WavCodec, buildWav}
+
+  private val samplesGen = Gen.choose(0, 400).flatMap(n =>
+    Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt)))
+  private val windowGen = Gen.choose(1, 64)
+  private val channelsGen = Gen.choose(1, 2)
+
+  property("header + energy windows reproduce direct sample arithmetic") =
+    Prop.forAll(samplesGen, windowGen, channelsGen) { (samples, win, ch) =>
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val wav = buildWav(pcm, rate = 8000, channels = ch, bits = 16)
+      val frames = samples.length / ch // buildWav truncates to frames
+      val (r, c, b, n) = WavCodec.header(wav)
+      val headerOk = r == 8000 && c == ch && b == 16 && n == frames.toLong
+      // channel 0 of each frame, windows of `win` frames
+      val ch0 = (0 until frames).map(f => samples(f * ch))
+      val expect = ch0.grouped(win).zipWithIndex.map { case (g, i) =>
+        (i, g.map(s => s.toLong * s).sum, g.map(math.abs).maxOption.getOrElse(0), g.size)
+      }.toSeq
+      val got = WavCodec.energyWindows(wav, win)
+      headerOk && got == expect
+    }
+}

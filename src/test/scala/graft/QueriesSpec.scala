@@ -31,6 +31,25 @@ class RegistrySpec extends AnyFunSuite {
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(SparkTestSession.spark).count() > 0)
   }
+
+  test("every driver table loads through H.t and events.ts normalizes") {
+    // The driver regenerated /root/testdata mid-project once already
+    // (round 9: events.ts nano INT64 -> micro TIMESTAMP_NTZ), silently
+    // breaking 15 queries until Verify ran. This spec moves that class
+    // of break into `sbt test`: every table must load, and events.ts
+    // must come out a session-zone TIMESTAMP whatever the file carries.
+    import graft.ops.H
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { name =>
+      val df = H.t(SparkTestSession.spark, SparkTestSession.sfDir, name)
+      assert(df.limit(1).count() === 1, s"$name must load and be non-empty")
+    }
+    val ev = H.t(SparkTestSession.spark, SparkTestSession.sfDir, "events")
+    assert(ev.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType,
+      "events.ts must normalize to TIMESTAMP across testdata generations")
+  }
 }
 
 class PipelineSpec extends AnyFunSuite {
