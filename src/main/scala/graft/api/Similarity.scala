@@ -37,8 +37,18 @@ object Similarity {
       .agg(count(lit(1)).as("n"),
         sum(round(col("x").cast("double"), 6)
           .cast(org.apache.spark.sql.types.DecimalType(38, 6))).as("s"))
+      // The mean is rounded to 6dp in EXACT INTEGER arithmetic: S =
+      // micro-units of the exact decimal sum, then half-away-from-zero
+      // division by n via (2|S| + n) div (2n). Rounding a double
+      // quotient instead (ROUND(S/n, 6)) hit a real tie at sf0.1 —
+      // one component of one centroid sat exactly on a 6dp half
+      // boundary and Spark/DuckDB rounded it apart. Integer div has no
+      // ties; the final /1e6 is one exact-input fp op on both engines.
+      .withColumn("S", (col("s") * lit(1000000)).cast("long"))
       .select(col(groupCol), col("pos"), col("n"),
-        round(col("s").cast("double") / col("n"), 6).as("c"))
+        expr("""CAST(CASE WHEN S < 0 THEN -((2 * (-S) + n) DIV (2 * n))
+                          ELSE (2 * S + n) DIV (2 * n) END AS DOUBLE)
+                / 1e6""").as("c"))
 
   /** Pairwise cosine between group centroids — the actionable half of
     * the centroid audit: which classes/sources overlap (candidates for

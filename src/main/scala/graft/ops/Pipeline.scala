@@ -883,10 +883,15 @@ object Pipeline {
                                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                                 unnest(embedding) AS x
                          FROM embeddings)
-              SELECT label, pos, count(*) AS n,
-                     ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
-                       AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS c
-              FROM f GROUP BY 1, 2 ORDER BY 1, 2"""),
+              , agg AS (SELECT label, pos, count(*) AS n,
+                               CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
+                                 AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS S
+                        FROM f GROUP BY 1, 2)
+              SELECT label, pos, n,
+                     CAST(CASE WHEN S < 0 THEN -((2 * (-S) + n) // (2 * n))
+                               ELSE (2 * S + n) // (2 * n) END AS DOUBLE)
+                     / 1e6 AS c
+              FROM agg ORDER BY 1, 2"""),
       (s, dir) => Similarity.groupCentroids(t(s, dir, "embeddings"),
         "label", "embedding")
         .orderBy("label", "pos")),
@@ -899,10 +904,15 @@ object Pipeline {
                                 CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
                                 unnest(embedding) AS x
                          FROM embeddings),
+                   agg AS (SELECT label, pos, count(*) AS n,
+                                  CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
+                                    AS DECIMAL(38,6))) * 1000000 AS BIGINT) AS S
+                           FROM f GROUP BY 1, 2),
                    cent AS (SELECT label, pos,
-                                   ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6)
-                                     AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS c
-                            FROM f GROUP BY 1, 2),
+                                   CAST(CASE WHEN S < 0 THEN -((2 * (-S) + n) // (2 * n))
+                                             ELSE (2 * S + n) // (2 * n) END AS DOUBLE)
+                                   / 1e6 AS c
+                            FROM agg),
                    v AS (SELECT label, list(c ORDER BY pos) AS v FROM cent GROUP BY 1)
               SELECT a.label AS g_a, b.label AS g_b,
                      ROUND(list_cosine_similarity(a.v, b.v), 4) AS cos
