@@ -43,6 +43,15 @@ object Multimodal {
     }
     /** Bytes of sampled frame `idx` of a video payload. */
     def frame(payload: Array[Byte], idx: Int): Array[Byte]
+    /** Bytes of every sampled frame in `idxs` (ascending), in order.
+      * The default maps [[frame]]; decoders where each frame call
+      * re-opens and re-walks the stream (ImageIO's GIF path must
+      * recomposite frames 0..idx per call — O(F²/k) for every-k
+      * sampling) override this to decode the stream ONCE. Samplers
+      * should call this, not [[frame]] in a loop.
+      */
+    def frames(payload: Array[Byte], idxs: Seq[Int]): Seq[Array[Byte]] =
+      idxs.map(frame(payload, _))
     /** Thumbnail bytes for a payload resized to (w, h). */
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     /** Bounded resize: target dims + thumbnail bytes for a maxDim
@@ -173,8 +182,27 @@ object Multimodal {
       withReader(payload) { r =>
         val n = r.getNumImages(true)
         require(idx >= 0 && idx < n, s"frame index $idx out of range [0, $n)")
-        if (r.getFormatName.equalsIgnoreCase("gif")) png(compositeGif(r, idx))
+        if (r.getFormatName.equalsIgnoreCase("gif"))
+          compositeWalk(r, Seq(idx))(idx)
         else png(r.read(idx))
+      }
+
+    /** Batch sampling decodes the stream ONCE: one reader session, one
+      * canvas walk 0..max(idxs) with a PNG snapshot at each sampled
+      * index — linear in frames where per-idx [[frame]] calls are
+      * quadratic (each re-scans the stream and recomposites from 0).
+      */
+    override def frames(payload: Array[Byte],
+                        idxs: Seq[Int]): Seq[Array[Byte]] =
+      if (idxs.isEmpty) Seq.empty
+      else withReader(payload) { r =>
+        val n = r.getNumImages(true)
+        idxs.foreach(i =>
+          require(i >= 0 && i < n, s"frame index $i out of range [0, $n)"))
+        if (r.getFormatName.equalsIgnoreCase("gif")) {
+          val snaps = compositeWalk(r, idxs)
+          idxs.map(snaps)
+        } else idxs.map(i => png(r.read(i)))
       }
 
     private val GifImageFmt = "javax_imageio_gif_image_1.0"
@@ -225,30 +253,37 @@ object Multimodal {
       }
     }
 
-    /** Replay GIF frames 0..idx onto an ARGB canvas: draw each stored
-      * rect at its (left, top) offset, then apply the frame's disposal
-      * before the next — restoreToBackgroundColor clears the rect to
+    /** Replay GIF frames 0..max(idxs) onto an ARGB canvas — draw each
+      * stored rect at its (left, top) offset, snapshot the canvas as
+      * PNG at every index in `idxs`, then apply the frame's disposal
+      * before the next: restoreToBackgroundColor clears the rect to
       * transparent (the modern-viewer reading of "background"),
       * restoreToPrevious restores the canvas as it was before the
-      * frame drew, none/doNotDispose leaves the pixels. The result for
-      * every idx has the logical screen's dimensions.
+      * frame drew, none/doNotDispose leaves the pixels. Every snapshot
+      * has the logical screen's dimensions; one walk serves any number
+      * of sampled indices (the snapshot lands BEFORE the frame's own
+      * disposal runs, exactly what a viewer shows at that frame).
       */
-    private def compositeGif(r: javax.imageio.ImageReader,
-                             idx: Int): java.awt.image.BufferedImage = {
+    private def compositeWalk(r: javax.imageio.ImageReader,
+                              idxs: Seq[Int]): Map[Int, Array[Byte]] = {
+      val want = idxs.toSet
+      val maxIdx = idxs.max
       val (sw, sh) = gifScreen(r)
       val canvas = new java.awt.image.BufferedImage(
         sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
       val g = canvas.createGraphics()
+      val out = scala.collection.mutable.Map[Int, Array[Byte]]()
       try {
-        for (i <- 0 to idx) {
+        for (i <- 0 to maxIdx) {
           val (left, top, disposal) = gifFrameMeta(r, i)
           val img = r.read(i)
           val saved =
-            if (i < idx && disposal == "restoreToPrevious")
+            if (i < maxIdx && disposal == "restoreToPrevious")
               canvas.getRGB(0, 0, sw, sh, null, 0, sw)
             else null
           g.drawImage(img, left, top, null)
-          if (i < idx) disposal match {
+          if (want(i)) out(i) = png(canvas)
+          if (i < maxIdx) disposal match {
             case "restoreToBackgroundColor" =>
               // clear ONLY the frame's rect; java.awt.AlphaComposite
               // Clear writes transparent pixels regardless of source
@@ -262,7 +297,7 @@ object Multimodal {
           }
         }
       } finally g.dispose()
-      canvas
+      out.toMap
     }
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       png(scaleTo(read(payload), w, h))
@@ -310,14 +345,22 @@ object Multimodal {
         val sz = le32(off + 4)
         require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
         if (id == "fmt " && sz >= 16) {
+          require(off + 24 <= payload.length, "truncated fmt chunk")
           ch = le16(off + 10); rate = le32(off + 12)
           blockAlign = le16(off + 20); bits = le16(off + 22)
         } else if (id == "data") {
-          dataLen = sz.toLong & 0xffffffffL
+          // clamp to the bytes actually present (truncated uploads lie
+          // in their headers) — keeps n_frames consistent with what
+          // energyWindows will actually read via dataChunk's clamp
+          dataLen = math.min(sz.toLong, (payload.length - off - 8).toLong)
         }
-        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        // advance in Long: a huge declared size must end the walk, not
+        // wrap Int-negative and re-enter the loop at a bogus offset
+        val next = off.toLong + 8L + sz.toLong + (sz & 1)
+        off = if (next > payload.length) payload.length else next.toInt
       }
       require(rate > 0 && dataLen >= 0, "missing fmt /data chunk")
+      require(ch >= 1, s"corrupt channel count $ch")
       (rate, ch, bits, dataLen / math.max(1, blockAlign))
     }
 
@@ -333,7 +376,8 @@ object Multimodal {
         require(sz >= 0, s"corrupt RIFF chunk size at offset $off")
         if (id == "data")
           return (off + 8, math.min(sz, payload.length - off - 8))
-        off += 8 + sz + (sz & 1)
+        val next = off.toLong + 8L + sz.toLong + (sz & 1)
+        off = if (next > payload.length) payload.length else next.toInt
       }
       throw new IllegalArgumentException("missing data chunk")
     }
@@ -555,9 +599,11 @@ object Multimodal {
       .mapPartitions { rows =>
         decoder.init()
         rows.flatMap { case (id, payload) =>
-          val (_, _, frames) = decoder.dims(payload)
-          (0 until frames by everyK).iterator.map { idx =>
-            Frame(id, idx, decoder.frame(payload, idx))
+          val (_, _, nFrames) = decoder.dims(payload)
+          val idxs = 0 until nFrames by everyK
+          // batch path: one stream decode per payload, not one per frame
+          decoder.frames(payload, idxs).iterator.zip(idxs.iterator).map {
+            case (bytes, idx) => Frame(id, idx, bytes)
           }
         }
       }

@@ -146,21 +146,48 @@ object Streams {
     */
   private val opCache = scala.collection.concurrent
     .TrieMap[(Int, String, String), DataFrame]()
+  private val opLocks = scala.collection.concurrent
+    .TrieMap[(Int, String, String), Object]()
+  private val opClearEpoch = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Per-key lock (putIfAbsent mints exactly one lock object per key):
+    * a global monitor here would serialize the bench's seven concurrent
+    * build-phase replays behind each other — the very defect
+    * Sources.ensure was cured of this round. Distinct ops replay in
+    * parallel; a second caller of the SAME op blocks until the first
+    * finishes, then reads the cache. The epoch check keeps a clear
+    * honest: a replay in flight when clearReplays runs must not publish
+    * into the post-clear cache (it still returns its result to its own
+    * caller).
+    */
   private[graft] def cachedOp(spark: SparkSession, dir: String, op: String)(
-      body: => DataFrame): DataFrame =
-    opCache.synchronized {
-      opCache.getOrElseUpdate(
-        (System.identityHashCode(spark), dir, op), body)
+      body: => DataFrame): DataFrame = {
+    val key = (System.identityHashCode(spark), dir, op)
+    val lock = {
+      val fresh = new Object
+      opLocks.putIfAbsent(key, fresh).getOrElse(fresh)
     }
+    lock.synchronized {
+      opCache.get(key) match {
+        case Some(df) => df
+        case None =>
+          val epoch = opClearEpoch.get()
+          val df = body
+          if (opClearEpoch.get() == epoch) opCache.put(key, df)
+          df
+      }
+    }
+  }
 
-  private[graft] def clearReplays(spark0: SparkSession): Unit =
+  private[graft] def clearReplays(spark0: SparkSession): Unit = {
+    opClearEpoch.incrementAndGet()
     replayCache.synchronized {
       replayCache.keys.filter(_._1 == System.identityHashCode(spark0))
         .foreach(replayCache.remove)
-      opCache.keys.filter(_._1 == System.identityHashCode(spark0))
-        .foreach(opCache.remove)
     }
+    opCache.keys.filter(_._1 == System.identityHashCode(spark0))
+      .foreach(opCache.remove)
+  }
 
   private[graft] def windowedReplays(spark0: SparkSession,
                                      dir: String): Map[String, DataFrame] =

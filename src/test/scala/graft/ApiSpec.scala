@@ -773,6 +773,15 @@ class ApiSpec extends AnyFunSuite {
       "pixels outside disposed rects persist")
     // header-only dims agree with the full-scan dims on width/height
     assert(Multimodal.ImageIODecoder.dimsOnly(gif) === ((4, 4)))
+    // the batch path (one stream walk, snapshots at sampled indices)
+    // must yield byte-identical frames to per-index composition
+    val batch = Multimodal.ImageIODecoder.frames(gif, Seq(0, 1, 2))
+    for ((b, i) <- batch.zipWithIndex)
+      assert(b.toSeq === Multimodal.ImageIODecoder.frame(gif, i).toSeq,
+        s"batch frame $i must equal the per-index composite")
+    assert(Multimodal.ImageIODecoder.frames(gif, Seq.empty).isEmpty)
+    intercept[IllegalArgumentException](
+      Multimodal.ImageIODecoder.frames(gif, Seq(0, 3)))
   }
 
   test("group centroids average each dimension exactly per label") {
@@ -873,6 +882,34 @@ class ApiSpec extends AnyFunSuite {
     // non-WAV bytes fail loudly, not as garbage metadata
     intercept[IllegalArgumentException](
       Multimodal.WavCodec.header(Array[Byte](1, 2, 3, 4)))
+    // corrupt containers fail with the parser's contract exception, not
+    // a raw bounds error / infinite loop: (a) channels=0 in fmt,
+    // (b) fmt chunk header present but body truncated, (c) huge declared
+    // chunk size that would wrap Int arithmetic
+    def patched(src: Array[Byte])(f: Array[Byte] => Unit): Array[Byte] = {
+      val b = src.clone(); f(b); b
+    }
+    val chZero = patched(mono)(b => { b(22) = 0; b(23) = 0 })
+    intercept[IllegalArgumentException](Multimodal.WavCodec.header(chZero))
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.energyWindows(chZero, 4))
+    val truncated = mono.take(20) // RIFF/WAVE + "fmt " header, body cut
+    intercept[IllegalArgumentException](Multimodal.WavCodec.header(truncated))
+    val hugeSz = patched(mono) { b =>
+      b(16) = 0xf0.toByte; b(17) = 0xff.toByte // fmt size -> ~0x7ffffff0
+      b(18) = 0xff.toByte; b(19) = 0x7f.toByte
+    }
+    intercept[IllegalArgumentException](Multimodal.WavCodec.header(hugeSz))
+    // a data chunk whose declared size exceeds the actual bytes clamps:
+    // header n_frames must agree with what energyWindows actually reads
+    val lying = patched(mono) { b =>
+      // data size field sits 8 bytes before the PCM (offset 40 in the
+      // canonical 44-byte header the JDK writer emits)
+      b(40) = 0xff.toByte; b(41) = 0xff.toByte; b(42) = 0; b(43) = 0
+    }
+    val (_, _, _, nClamped) = Multimodal.WavCodec.header(lying)
+    assert(nClamped === 6L, "declared-size lie must clamp to real bytes")
+    assert(Multimodal.WavCodec.energyWindows(lying, 4).map(_._4).sum === 6)
   }
 
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
