@@ -260,6 +260,53 @@ object TextAnalysis {
     docs.filter(keepGate(split(col(textCol), " "), stopwords,
       minTokens, maxTokens, minStopRatio))
 
+  /** Per-source ADAPTIVE quality thresholding — fixed global cutoffs
+    * ([[qualityFilter]]) misfit heterogeneous corpora: a threshold
+    * tuned for web crawl drops half of a code source. This computes
+    * each source's own `pct`-th percentile of an integer quality score
+    * (stopword ppm = (n_stopwords·10⁶) div n_tokens — EXACT integer
+    * arithmetic, no fp rounding anywhere) and reports, per source, the
+    * threshold and how many documents clear it (score ≥ threshold, the
+    * drop-bottom-decile shape at pct=10).
+    *
+    * Scale shape is the [[lengthPercentiles]] histogram-rank design:
+    * the corpus collapses to per-(source, score) counts in one map-side
+    * combined aggregation BEFORE any window, so the per-source window
+    * task is bounded by the ppm value domain (≤ 10⁶+1 rows), never
+    * corpus rows; the kept-count join then matches scored docs against
+    * a |sources|-row threshold frame (broadcast territory).
+    */
+  def adaptiveQualityThresholds(docs: DataFrame, sourceCol: String,
+                                textCol: String,
+                                stopwords: Seq[String] = DefaultStopwords,
+                                pct: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stopList = array(stopwords.map(lit): _*)
+    val scored = docs
+      .filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("__s"), split(col(textCol), " ").as("w"))
+      .select(col("__s"), expr(
+        s"CAST(size(filter(w, x -> array_contains(" +
+          s"array(${stopwords.map(s => s"'$s'").mkString(",")}), x))) " +
+          "AS BIGINT) * 1000000 DIV size(w)").as("ppm"))
+    val hist = scored.groupBy("__s", "ppm").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("hi", sum(col("c")).over(
+        Window.partitionBy("__s").orderBy("ppm")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("__s")))
+    val thr = cum.groupBy(col("__s"))
+      .agg(max(col("n")).as("n_docs"),
+        min(when(expr(s"hi >= ($pct * n + 99) div 100"), col("ppm")))
+          .as("thr_ppm"))
+    val kept = scored.join(thr.select(col("__s"), col("thr_ppm")), "__s")
+      .filter(col("ppm") >= col("thr_ppm"))
+      .groupBy("__s").agg(count(lit(1)).as("n_kept"))
+    thr.join(kept, "__s")
+      .select(col("__s").as(sourceCol), col("n_docs"), col("thr_ppm"),
+        col("n_kept"))
+  }
+
   /** RE2-safe PII patterns (no backtracking constructs, no lookaround):
     * simple enough that Java regex, RE2, and the DuckDB oracle agree
     * byte-for-byte on every match. Dolma/C4-style masking targets.

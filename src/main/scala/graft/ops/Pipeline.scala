@@ -1300,6 +1300,35 @@ object Pipeline {
       (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy("doc_id")),
 
+    // Per-source adaptive quality threshold: each source's own p10 of
+    // the exact-integer stopword-ppm score (histogram-rank pattern —
+    // the window sees (source, ppm) counts, never corpus rows)
+    Q("q_quality_adaptive",
+      Some("""WITH sc AS (SELECT source,
+                     (len(list_filter(string_split(text, ' '), x -> list_contains(
+                       ['the','a','of','and','to','in'], x))) * 1000000)
+                       // len(string_split(text, ' ')) AS ppm
+                          FROM documents WHERE source IS NOT NULL),
+                   h AS (SELECT source, ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+                   cum AS (SELECT source, ppm, c,
+                                  SUM(c) OVER (PARTITION BY source ORDER BY ppm
+                                    ROWS UNBOUNDED PRECEDING) AS hi,
+                                  SUM(c) OVER (PARTITION BY source) AS n
+                           FROM h),
+                   thr AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                                  min(CASE WHEN hi >= (10 * n + 99) // 100
+                                           THEN ppm END) AS thr_ppm
+                           FROM cum GROUP BY 1),
+                   kept AS (SELECT sc.source, count(*) AS n_kept
+                            FROM sc JOIN thr ON sc.source = thr.source
+                                            AND sc.ppm >= thr.thr_ppm
+                            GROUP BY 1)
+              SELECT thr.source, n_docs, thr_ppm, n_kept
+              FROM thr JOIN kept USING (source) ORDER BY source"""),
+      (s, dir) => TextAnalysis.adaptiveQualityThresholds(
+        t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     Q("q_fingerprint",
       Some("""SELECT doc_id,
                      list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -784,6 +784,23 @@ class ApiSpec extends AnyFunSuite {
       Multimodal.ImageIODecoder.frames(gif, Seq(0, 3)))
   }
 
+  test("adaptive quality drops each source's own bottom decile") {
+    import graft.api.TextAnalysis
+    // source A: 1 stopword-free doc (ppm 0) + 19 half-stopword docs
+    // (ppm 500000); p10 rank over n=20 is 2, so the threshold is
+    // 500000 and exactly the one bad doc drops. source B is all
+    // stopwords (ppm 1000000): its own threshold keeps all 5.
+    val docs = spark.createDataFrame(
+      (Seq((0L, "x y", "A")) ++
+        (1L to 19L).map(i => (i, "the x", "A")) ++
+        (20L to 24L).map(i => (i, "the the the", "B")))
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.adaptiveQualityThresholds(docs, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === Set(("A", 20L, 500000L, 19L), ("B", 5L, 1000000L, 5L)))
+  }
+
   test("group centroids average each dimension exactly per label") {
     import graft.api.Similarity
     val vecs = spark.createDataFrame(Seq(

@@ -444,6 +444,19 @@ class PlanSpec extends AnyFunSuite {
       s"no shuffle join between centroid frames in:\n$dp")
   }
 
+  test("adaptive quality windows the score histogram, not the corpus") {
+    val p = plan("q_quality_adaptive")
+    // same contract as length percentiles: the per-source window may
+    // only see (source, ppm, count) histogram rows — partial_count
+    // below the window proves the corpus collapsed map-side first
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("partial_count")
+    assert(winIdx >= 0 && aggIdx >= 0,
+      s"expected both a window and a partial aggregation in:\n$p")
+    assert(aggIdx > winIdx,
+      s"histogram aggregation must feed the window, not follow it:\n$p")
+  }
+
   test("length percentiles rank the histogram, not the raw rows") {
     val p = SparkEntry.queries("q_stats_length_pct")(spark, sfDir)
       .queryExecution.executedPlan.toString
