@@ -281,28 +281,35 @@ object TextAnalysis {
                                 stopwords: Seq[String] = DefaultStopwords,
                                 pct: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // stopwords enter through the Column API (array of literals), never
+    // spliced into a SQL string — a stopword containing a quote must be
+    // data, not parsed syntax
     val stopList = array(stopwords.map(lit): _*)
+    // NULL source or text excluded up front (the lengthPercentiles
+    // rule): engines disagree on where nulls sort, and a null text has
+    // no score — n_docs counts scored documents only
     val scored = docs
-      .filter(col(sourceCol).isNotNull)
+      .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sourceCol).as("__s"), split(col(textCol), " ").as("w"))
-      .select(col("__s"), expr(
-        s"CAST(size(filter(w, x -> array_contains(" +
-          s"array(${stopwords.map(s => s"'$s'").mkString(",")}), x))) " +
-          "AS BIGINT) * 1000000 DIV size(w)").as("ppm"))
+      .select(col("__s"),
+        size(filter(col("w"), x => array_contains(stopList, x)))
+          .cast("long").as("ns"),
+        size(col("w")).cast("long").as("nt"))
+      .select(col("__s"), expr("ns * 1000000 DIV nt").as("ppm"))
     val hist = scored.groupBy("__s", "ppm").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("hi", sum(col("c")).over(
         Window.partitionBy("__s").orderBy("ppm")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(Window.partitionBy("__s")))
-    val thr = cum.groupBy(col("__s"))
+    // n_kept falls straight out of the cumulative histogram — the docs
+    // clearing the threshold are exactly the rows at or past the rank —
+    // so no second corpus scan and no join is needed at all
+    cum.withColumn("rank_ok", expr(s"hi >= ($pct * n + 99) div 100"))
+      .groupBy(col("__s"))
       .agg(max(col("n")).as("n_docs"),
-        min(when(expr(s"hi >= ($pct * n + 99) div 100"), col("ppm")))
-          .as("thr_ppm"))
-    val kept = scored.join(thr.select(col("__s"), col("thr_ppm")), "__s")
-      .filter(col("ppm") >= col("thr_ppm"))
-      .groupBy("__s").agg(count(lit(1)).as("n_kept"))
-    thr.join(kept, "__s")
+        min(when(col("rank_ok"), col("ppm"))).as("thr_ppm"),
+        sum(when(col("rank_ok"), col("c"))).as("n_kept"))
       .select(col("__s").as(sourceCol), col("n_docs"), col("thr_ppm"),
         col("n_kept"))
   }

@@ -43,15 +43,17 @@ object Multimodal {
     }
     /** Bytes of sampled frame `idx` of a video payload. */
     def frame(payload: Array[Byte], idx: Int): Array[Byte]
-    /** Bytes of every sampled frame in `idxs` (ascending), in order.
-      * The default maps [[frame]]; decoders where each frame call
-      * re-opens and re-walks the stream (ImageIO's GIF path must
-      * recomposite frames 0..idx per call — O(F²/k) for every-k
-      * sampling) override this to decode the stream ONCE. Samplers
-      * should call this, not [[frame]] in a loop.
+    /** Bytes of every sampled frame in `idxs` (STRICTLY ascending),
+      * LAZILY, in order. The default maps [[frame]]; decoders where
+      * each frame call re-opens and re-walks the stream (ImageIO's GIF
+      * path must recomposite frames 0..idx per call — O(F²/k) for
+      * every-k sampling) override this to decode the stream ONCE,
+      * yielding each frame as it is reached so a long animation never
+      * has all its sampled frames in memory at once. Samplers should
+      * call this, not [[frame]] in a loop.
       */
-    def frames(payload: Array[Byte], idxs: Seq[Int]): Seq[Array[Byte]] =
-      idxs.map(frame(payload, _))
+    def frames(payload: Array[Byte], idxs: Seq[Int]): Iterator[Array[Byte]] =
+      idxs.iterator.map(frame(payload, _))
     /** Thumbnail bytes for a payload resized to (w, h). */
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte]
     /** Bounded resize: target dims + thumbnail bytes for a maxDim
@@ -179,31 +181,104 @@ object Multimodal {
     // logical screen's dims and full visible content. Non-GIF
     // multi-image formats store self-contained frames — raw read.
     def frame(payload: Array[Byte], idx: Int): Array[Byte] =
-      withReader(payload) { r =>
-        val n = r.getNumImages(true)
-        require(idx >= 0 && idx < n, s"frame index $idx out of range [0, $n)")
-        if (r.getFormatName.equalsIgnoreCase("gif"))
-          compositeWalk(r, Seq(idx))(idx)
-        else png(r.read(idx))
-      }
+      frames(payload, Seq(idx)).next() // full consumption closes resources
 
-    /** Batch sampling decodes the stream ONCE: one reader session, one
-      * canvas walk 0..max(idxs) with a PNG snapshot at each sampled
-      * index — linear in frames where per-idx [[frame]] calls are
-      * quadratic (each re-scans the stream and recomposites from 0).
+    /** Batch sampling decodes the stream ONCE and yields LAZILY: one
+      * reader session, one canvas walk 0..max(idxs) emitting a PNG
+      * snapshot as each sampled index is reached — linear in frames
+      * where per-idx [[frame]] calls are quadratic, and O(one canvas)
+      * memory where an eager batch would hold every sampled PNG of a
+      * long animation at once. Resources are byte-array-backed (no OS
+      * handles), released on exhaustion; an abandoned iterator leaves
+      * only heap for the GC.
       */
     override def frames(payload: Array[Byte],
-                        idxs: Seq[Int]): Seq[Array[Byte]] =
-      if (idxs.isEmpty) Seq.empty
-      else withReader(payload) { r =>
-        val n = r.getNumImages(true)
-        idxs.foreach(i =>
-          require(i >= 0 && i < n, s"frame index $i out of range [0, $n)"))
-        if (r.getFormatName.equalsIgnoreCase("gif")) {
-          val snaps = compositeWalk(r, idxs)
-          idxs.map(snaps)
-        } else idxs.map(i => png(r.read(i)))
+                        idxs: Seq[Int]): Iterator[Array[Byte]] =
+      if (idxs.isEmpty) Iterator.empty
+      else {
+        require(idxs.lazyZip(idxs.tail).forall(_ < _),
+          "frame indices must be strictly ascending")
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) {
+          iis.close()
+          throw new IllegalArgumentException("payload is not a decodable image")
+        }
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          val n = r.getNumImages(true)
+          idxs.foreach(i =>
+            require(i >= 0 && i < n, s"frame index $i out of range [0, $n)"))
+          if (r.getFormatName.equalsIgnoreCase("gif")) new GifFrames(r, iis, idxs)
+          else new Iterator[Array[Byte]] {
+            private var k = 0
+            def hasNext: Boolean = k < idxs.length
+            def next(): Array[Byte] = {
+              val b = png(r.read(idxs(k)))
+              k += 1
+              if (!hasNext) { r.dispose(); iis.close() }
+              b
+            }
+          }
+        } catch { case t: Throwable => r.dispose(); iis.close(); throw t }
       }
+
+    /** Lazy GIF walk: replay frames 0..max(idxs) onto an ARGB canvas —
+      * draw each stored rect at its (left, top) offset, snapshot the
+      * canvas as PNG when a sampled index is reached, then apply the
+      * frame's disposal before the next: restoreToBackgroundColor
+      * clears the rect to transparent (the modern-viewer reading of
+      * "background"), restoreToPrevious restores the canvas as it was
+      * before the frame drew, none/doNotDispose leaves the pixels.
+      * Every snapshot has the logical screen's dimensions and lands
+      * BEFORE its own frame's disposal runs — exactly what a viewer
+      * shows at that frame.
+      */
+    private final class GifFrames(r: javax.imageio.ImageReader,
+                                  iis: javax.imageio.stream.ImageInputStream,
+                                  idxs: Seq[Int])
+        extends Iterator[Array[Byte]] {
+      private val maxIdx = idxs.last // strictly ascending by contract
+      private val (sw, sh) = gifScreen(r)
+      private val canvas = new java.awt.image.BufferedImage(
+        sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      private val g = canvas.createGraphics()
+      private var i = 0 // next stream frame to draw
+      private var k = 0 // next sampled position
+      def hasNext: Boolean = k < idxs.length
+      def next(): Array[Byte] = {
+        val target = idxs(k)
+        var snap: Array[Byte] = null
+        while (i <= target) {
+          val (left, top, disposal) = gifFrameMeta(r, i)
+          val img = r.read(i)
+          val saved =
+            if (i < maxIdx && disposal == "restoreToPrevious")
+              canvas.getRGB(0, 0, sw, sh, null, 0, sw)
+            else null
+          g.drawImage(img, left, top, null)
+          if (i == target) snap = png(canvas)
+          if (i < maxIdx) disposal match {
+            case "restoreToBackgroundColor" =>
+              // clear ONLY the frame's rect; java.awt.AlphaComposite
+              // Clear writes transparent pixels regardless of source
+              val prev = g.getComposite
+              g.setComposite(java.awt.AlphaComposite.Clear)
+              g.fillRect(left, top, img.getWidth, img.getHeight)
+              g.setComposite(prev)
+            case "restoreToPrevious" =>
+              canvas.setRGB(0, 0, sw, sh, saved, 0, sw)
+            case _ => () // none / doNotDispose: pixels persist
+          }
+          i += 1
+        }
+        k += 1
+        if (!hasNext) { g.dispose(); r.dispose(); iis.close() }
+        snap
+      }
+    }
 
     private val GifImageFmt = "javax_imageio_gif_image_1.0"
     private val GifStreamFmt = "javax_imageio_gif_stream_1.0"
@@ -253,52 +328,6 @@ object Multimodal {
       }
     }
 
-    /** Replay GIF frames 0..max(idxs) onto an ARGB canvas — draw each
-      * stored rect at its (left, top) offset, snapshot the canvas as
-      * PNG at every index in `idxs`, then apply the frame's disposal
-      * before the next: restoreToBackgroundColor clears the rect to
-      * transparent (the modern-viewer reading of "background"),
-      * restoreToPrevious restores the canvas as it was before the
-      * frame drew, none/doNotDispose leaves the pixels. Every snapshot
-      * has the logical screen's dimensions; one walk serves any number
-      * of sampled indices (the snapshot lands BEFORE the frame's own
-      * disposal runs, exactly what a viewer shows at that frame).
-      */
-    private def compositeWalk(r: javax.imageio.ImageReader,
-                              idxs: Seq[Int]): Map[Int, Array[Byte]] = {
-      val want = idxs.toSet
-      val maxIdx = idxs.max
-      val (sw, sh) = gifScreen(r)
-      val canvas = new java.awt.image.BufferedImage(
-        sw, sh, java.awt.image.BufferedImage.TYPE_INT_ARGB)
-      val g = canvas.createGraphics()
-      val out = scala.collection.mutable.Map[Int, Array[Byte]]()
-      try {
-        for (i <- 0 to maxIdx) {
-          val (left, top, disposal) = gifFrameMeta(r, i)
-          val img = r.read(i)
-          val saved =
-            if (i < maxIdx && disposal == "restoreToPrevious")
-              canvas.getRGB(0, 0, sw, sh, null, 0, sw)
-            else null
-          g.drawImage(img, left, top, null)
-          if (want(i)) out(i) = png(canvas)
-          if (i < maxIdx) disposal match {
-            case "restoreToBackgroundColor" =>
-              // clear ONLY the frame's rect; java.awt.AlphaComposite
-              // Clear writes transparent pixels regardless of source
-              val prev = g.getComposite
-              g.setComposite(java.awt.AlphaComposite.Clear)
-              g.fillRect(left, top, img.getWidth, img.getHeight)
-              g.setComposite(prev)
-            case "restoreToPrevious" =>
-              canvas.setRGB(0, 0, sw, sh, saved, 0, sw)
-            case _ => () // none / doNotDispose: pixels persist
-          }
-        }
-      } finally g.dispose()
-      out.toMap
-    }
     def thumb(payload: Array[Byte], w: Int, h: Int): Array[Byte] =
       png(scaleTo(read(payload), w, h))
     // One full decode per payload: dims from the decoded pixels, scale

@@ -1308,23 +1308,20 @@ object Pipeline {
                      (len(list_filter(string_split(text, ' '), x -> list_contains(
                        ['the','a','of','and','to','in'], x))) * 1000000)
                        // len(string_split(text, ' ')) AS ppm
-                          FROM documents WHERE source IS NOT NULL),
+                          FROM documents
+                          WHERE source IS NOT NULL AND text IS NOT NULL),
                    h AS (SELECT source, ppm, count(*) AS c FROM sc GROUP BY 1, 2),
                    cum AS (SELECT source, ppm, c,
                                   SUM(c) OVER (PARTITION BY source ORDER BY ppm
                                     ROWS UNBOUNDED PRECEDING) AS hi,
                                   SUM(c) OVER (PARTITION BY source) AS n
-                           FROM h),
-                   thr AS (SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
-                                  min(CASE WHEN hi >= (10 * n + 99) // 100
-                                           THEN ppm END) AS thr_ppm
-                           FROM cum GROUP BY 1),
-                   kept AS (SELECT sc.source, count(*) AS n_kept
-                            FROM sc JOIN thr ON sc.source = thr.source
-                                            AND sc.ppm >= thr.thr_ppm
-                            GROUP BY 1)
-              SELECT thr.source, n_docs, thr_ppm, n_kept
-              FROM thr JOIN kept USING (source) ORDER BY source"""),
+                           FROM h)
+              SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                     min(CASE WHEN hi >= (10 * n + 99) // 100
+                              THEN ppm END) AS thr_ppm,
+                     CAST(SUM(CASE WHEN hi >= (10 * n + 99) // 100
+                              THEN c END) AS BIGINT) AS n_kept
+              FROM cum GROUP BY 1 ORDER BY source"""),
       (s, dir) => TextAnalysis.adaptiveQualityThresholds(
         t(s, dir, "documents"), "source", "text")
         .orderBy("source")),

@@ -173,20 +173,37 @@ object Streams {
         case None =>
           val epoch = opClearEpoch.get()
           val df = body
-          if (opClearEpoch.get() == epoch) opCache.put(key, df)
+          // epoch re-check and put are ATOMIC w.r.t. a clear (both
+          // sides hold opCache's monitor): a clear that completes while
+          // the replay ran flips the epoch first, so this publish is
+          // skipped; a publish that wins the monitor first is swept by
+          // the clear right after. Either way the post-clear cache
+          // never serves a pre-clear replay.
+          opCache.synchronized {
+            if (opClearEpoch.get() == epoch) opCache.put(key, df)
+          }
           df
       }
     }
   }
 
   private[graft] def clearReplays(spark0: SparkSession): Unit = {
-    opClearEpoch.incrementAndGet()
     replayCache.synchronized {
       replayCache.keys.filter(_._1 == System.identityHashCode(spark0))
         .foreach(replayCache.remove)
     }
-    opCache.keys.filter(_._1 == System.identityHashCode(spark0))
-      .foreach(opCache.remove)
+    opCache.synchronized {
+      opClearEpoch.incrementAndGet()
+      opCache.keys.filter(_._1 == System.identityHashCode(spark0))
+        .foreach(opCache.remove)
+    }
+    // locks are per-session too: sweep them or a long-lived process
+    // that cycles sessions accumulates one Object per (session, dir,
+    // op) forever. A thread still blocked on a swept lock at worst
+    // re-runs the (deterministic) replay against a fresh lock — a
+    // benign duplicate, not corruption.
+    opLocks.keys.filter(_._1 == System.identityHashCode(spark0))
+      .foreach(opLocks.remove)
   }
 
   private[graft] def windowedReplays(spark0: SparkSession,

@@ -393,6 +393,28 @@ object ScaleProbe {
       f"${mult}x=$pbN flagged ${dpbN}%.2f s  time-growth=${dpbN / dpb1}%.1fx  " +
       f"flag-growth=${pbN.toDouble / pb1}%.1fx (expect exactly ${mult}x)")
 
+    // adaptive quality at mult x corpus: the histogram-rank window sees
+    // (source, ppm) counts only, so thresholds are INVARIANT under
+    // replication (each replica adds the same score distribution) and
+    // kept counts exactly mult x. Plain replication here — the
+    // word-suffix transform would rename the stopwords themselves; this
+    // op has no cross-replica pairing to poison, so ids+source suffice.
+    def docsForSrc(m: Int) = docs0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+        col("text"), col("source"))
+    val taq1 = System.nanoTime()
+    val aq1 = TextAnalysis.adaptiveQualityThresholds(docsForSrc(1), "source",
+      "text").agg(sum("n_kept")).collect()(0).getLong(0)
+    val daq1 = (System.nanoTime() - taq1) / 1e9
+    val taqN = System.nanoTime()
+    val aqN = TextAnalysis.adaptiveQualityThresholds(docsForSrc(mult), "source",
+      "text").agg(sum("n_kept")).collect()(0).getLong(0)
+    val daqN = (System.nanoTime() - taqN) / 1e9
+    println(f"adaptive-quality (${mult}x corpus): 1x=$aq1 kept ${daq1}%.2f s  " +
+      f"${mult}x=$aqN kept ${daqN}%.2f s  time-growth=${daqN / daq1}%.1fx  " +
+      f"kept-growth=${aqN.toDouble / aq1}%.1fx (expect exactly ${mult}x)")
+
     // audio energy windows at mult x corpus: pure mapPartitions over
     // the payload bytes — zero shuffle, window count exactly mult x
     val tae1 = System.nanoTime()
