@@ -273,8 +273,10 @@ object TextAnalysis {
     * the corpus collapses to per-(source, score) counts in one map-side
     * combined aggregation BEFORE any window, so the per-source window
     * task is bounded by the ppm value domain (≤ 10⁶+1 rows), never
-    * corpus rows; the kept-count join then matches scored docs against
-    * a |sources|-row threshold frame (broadcast territory).
+    * corpus rows; the kept count falls straight
+    * out of the cumulative histogram (docs clearing the threshold are
+    * exactly the rows at or past the rank), so there is no second
+    * corpus scan and no join at all.
     */
   def adaptiveQualityThresholds(docs: DataFrame, sourceCol: String,
                                 textCol: String,

@@ -198,7 +198,12 @@ object Multimodal {
       else {
         require(idxs.lazyZip(idxs.tail).forall(_ < _),
           "frame indices must be strictly ascending")
-        val iis = javax.imageio.ImageIO.createImageInputStream(
+        // MemoryCacheImageInputStream EXPLICITLY: the ImageIO factory
+        // defaults to a FileCacheImageInputStream (temp file + open fd)
+        // when useCache is on, and a lazy iterator cannot guarantee its
+        // close runs (abandonment, early limit()). Memory-backed means
+        // an abandoned iterator truly leaves only heap for the GC.
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
           new java.io.ByteArrayInputStream(payload))
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         if (!readers.hasNext) {
@@ -216,7 +221,13 @@ object Multimodal {
             private var k = 0
             def hasNext: Boolean = k < idxs.length
             def next(): Array[Byte] = {
-              val b = png(r.read(idxs(k)))
+              if (!hasNext) throw new NoSuchElementException("frames exhausted")
+              // a decode failure must release the reader, not strand it
+              val b =
+                try png(r.read(idxs(k)))
+                catch { case t: Throwable =>
+                  r.dispose(); iis.close(); throw t
+                }
               k += 1
               if (!hasNext) { r.dispose(); iis.close() }
               b
@@ -249,9 +260,10 @@ object Multimodal {
       private var k = 0 // next sampled position
       def hasNext: Boolean = k < idxs.length
       def next(): Array[Byte] = {
+        if (!hasNext) throw new NoSuchElementException("frames exhausted")
         val target = idxs(k)
         var snap: Array[Byte] = null
-        while (i <= target) {
+        try while (i <= target) {
           val (left, top, disposal) = gifFrameMeta(r, i)
           val img = r.read(i)
           val saved =
@@ -273,6 +285,9 @@ object Multimodal {
             case _ => () // none / doNotDispose: pixels persist
           }
           i += 1
+        } catch { case t: Throwable =>
+          // a decode/metadata failure mid-walk must release resources
+          g.dispose(); r.dispose(); iis.close(); throw t
         }
         k += 1
         if (!hasNext) { g.dispose(); r.dispose(); iis.close() }
@@ -631,7 +646,7 @@ object Multimodal {
           val (_, _, nFrames) = decoder.dims(payload)
           val idxs = 0 until nFrames by everyK
           // batch path: one stream decode per payload, not one per frame
-          decoder.frames(payload, idxs).iterator.zip(idxs.iterator).map {
+          decoder.frames(payload, idxs).zip(idxs.iterator).map {
             case (bytes, idx) => Frame(id, idx, bytes)
           }
         }
