@@ -146,7 +146,11 @@ object Multimodal {
     }
     private def withReader[A](payload: Array[Byte])(
         f: javax.imageio.ImageReader => A): A = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // memory-backed explicitly: the ImageIO factory default is a
+      // FileCacheImageInputStream (temp-file create/write/delete PER
+      // CALL when useCache is on) — pure waste over an in-heap byte
+      // array, and dims/dimsOnly run once per corpus row
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -213,6 +217,10 @@ object Multimodal {
         val r = readers.next()
         try {
           r.setInput(iis)
+          // the count scan here is a SECOND block walk when the caller
+          // already paid dims() for the same payload (frameSample) —
+          // an accepted ≤2x constant on the scan portion, buying eager
+          // index validation (errors at call time, not mid-iteration)
           val n = r.getNumImages(true)
           idxs.foreach(i =>
             require(i >= 0 && i < n, s"frame index $i out of range [0, $n)"))
@@ -222,11 +230,14 @@ object Multimodal {
             def hasNext: Boolean = k < idxs.length
             def next(): Array[Byte] = {
               if (!hasNext) throw new NoSuchElementException("frames exhausted")
-              // a decode failure must release the reader, not strand it
+              // a decode failure must release the reader AND leave the
+              // iterator terminally exhausted — a caller catching the
+              // error and continuing must see "exhausted", not a
+              // disposed reader
               val b =
                 try png(r.read(idxs(k)))
                 catch { case t: Throwable =>
-                  r.dispose(); iis.close(); throw t
+                  k = idxs.length; r.dispose(); iis.close(); throw t
                 }
               k += 1
               if (!hasNext) { r.dispose(); iis.close() }
@@ -287,6 +298,9 @@ object Multimodal {
           i += 1
         } catch { case t: Throwable =>
           // a decode/metadata failure mid-walk must release resources
+          // and leave the iterator terminally exhausted (see the
+          // non-GIF twin): k jumps past the end so hasNext is false
+          k = idxs.length
           g.dispose(); r.dispose(); iis.close(); throw t
         }
         k += 1
