@@ -53,8 +53,9 @@ object Similarity {
   /** Pairwise cosine between group centroids — the actionable half of
     * the centroid audit: which classes/sources overlap (candidates for
     * merging or dedup across them) and which sit far apart (mixing
-    * weights actually diversify). Output is |groups|² rows over a
-    * |groups|·dim input — both sides of the self-join are
+    * weights actually diversify). Output is one row per UNORDERED pair
+    * (g_a < g_b) — the strict upper triangle, ~|groups|²/2 rows, no
+    * diagonal — over a |groups|·dim input; both sides of the self-join are
     * centroid-sized, so the whole plan is broadcast territory at any
     * corpus scale; the corpus itself was already reduced by
     * [[groupCentroids]]' single aggregation. Deterministic: centroid

@@ -385,6 +385,18 @@ object Multimodal {
       * counts inter-channel sample frames (dataBytes / blockAlign).
       */
     def header(payload: Array[Byte]): (Int, Int, Int, Long) = {
+      val (rate, ch, bits, blockAlign, dataLen) = fmtAndData(payload)
+      (rate, ch, bits, dataLen / math.max(1, blockAlign))
+    }
+
+    /** Full fmt-chunk view: (rate, channels, bits, blockAlign, dataLen).
+      * blockAlign is the container's declared per-frame stride — legal
+      * WAVs may pad it past channels*bits/8, so every sample walk must
+      * stride by THIS, not by a recomputed 2*channels (keeps
+      * [[energyWindows]] consistent with [[header]]'s frame count).
+      */
+    private[multimodal] def fmtAndData(
+        payload: Array[Byte]): (Int, Int, Int, Int, Long) = {
       require(payload.length >= 12 &&
         payload(0) == 'R' && payload(1) == 'I' &&
         payload(2) == 'F' && payload(3) == 'F' &&
@@ -419,7 +431,7 @@ object Multimodal {
       }
       require(rate > 0 && dataLen >= 0, "missing fmt /data chunk")
       require(ch >= 1, s"corrupt channel count $ch")
-      (rate, ch, bits, dataLen / math.max(1, blockAlign))
+      (rate, ch, bits, blockAlign, dataLen)
     }
 
     /** Byte offset and length of the PCM `data` chunk. */
@@ -449,10 +461,14 @@ object Multimodal {
     def energyWindows(payload: Array[Byte],
                       windowFrames: Int): Seq[(Int, Long, Int, Int)] = {
       require(windowFrames > 0, "windowFrames must be positive")
-      val (_, ch, bits, _) = header(payload)
+      val (_, ch, bits, blockAlign, _) = fmtAndData(payload)
       require(bits == 16, s"PCM16 expected, got $bits-bit")
+      require(blockAlign >= 2 * ch,
+        s"blockAlign $blockAlign smaller than frame size ${2 * ch}")
       val (dOff, dLen) = dataChunk(payload)
-      val step = 2 * ch // bytes per frame; channel 0 read per frame
+      // stride by the container's declared blockAlign (may exceed
+      // 2*channels for padded alignments); channel 0 read per frame
+      val step = blockAlign
       val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Int, Int)]()
       var win = 0
       var i = dOff
@@ -517,6 +533,14 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { case (id, text) =>
           val bytes = text.getBytes("UTF-8")
+          // the cross-engine oracle replays these bytes via per-CHAR
+          // ascii() arithmetic, which is only byte-faithful for pure
+          // ASCII (char count == UTF-8 byte count). A non-ASCII doc in a
+          // future testdata generation must fail loudly here, not
+          // silently diverge from the oracle.
+          require(bytes.length == text.length,
+            s"doc $id: non-ASCII text (${text.length} chars, " +
+              s"${bytes.length} UTF-8 bytes) breaks the byte-replay oracle")
           if (bytes.length < 2) Iterator.empty
           else {
             val wav = buildWav(bytes, rate = 8000, channels = 1, bits = 16)

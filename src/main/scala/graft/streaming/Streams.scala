@@ -160,6 +160,7 @@ object Streams {
     * into the post-clear cache (it still returns its result to its own
     * caller).
     */
+  @annotation.tailrec
   private[graft] def cachedOp(spark: SparkSession, dir: String, op: String)(
       body: => DataFrame): DataFrame = {
     val key = (System.identityHashCode(spark), dir, op)
@@ -167,9 +168,15 @@ object Streams {
       val fresh = new Object
       opLocks.putIfAbsent(key, fresh).getOrElse(fresh)
     }
-    lock.synchronized {
-      opCache.get(key) match {
-        case Some(df) => df
+    val ran: Option[DataFrame] = lock.synchronized {
+      // the lock we hold may have been swept by a concurrent
+      // clearReplays between mint and acquire; a sweep removes a lock
+      // only while HOLDING it (see clearReplays), so if the map still
+      // points at our lock here, no fresh lock for this key can run a
+      // duplicate replay until we release. Stale lock → retry fresh.
+      if (!opLocks.get(key).contains(lock)) None
+      else opCache.get(key) match {
+        case Some(df) => Some(df)
         case None =>
           val epoch = opClearEpoch.get()
           val df = body
@@ -182,8 +189,12 @@ object Streams {
           opCache.synchronized {
             if (opClearEpoch.get() == epoch) opCache.put(key, df)
           }
-          df
+          Some(df)
       }
+    }
+    ran match {
+      case Some(df) => df
+      case None     => cachedOp(spark, dir, op)(body)
     }
   }
 
@@ -199,11 +210,19 @@ object Streams {
     }
     // locks are per-session too: sweep them or a long-lived process
     // that cycles sessions accumulates one Object per (session, dir,
-    // op) forever. A thread still blocked on a swept lock at worst
-    // re-runs the (deterministic) replay against a fresh lock — a
-    // benign duplicate, not corruption.
+    // op) forever. Each lock is removed only while HELD, and removal is
+    // conditional on it still being the mapped lock — paired with
+    // cachedOp's held-lock re-check this makes a concurrent duplicate
+    // replay impossible (no reliance on runToMemory's unique sink
+    // names): any thread that acquired a lock before the sweep either
+    // finishes under it (the sweep waits here) or sees it unmapped and
+    // retries on the fresh lock.
     opLocks.keys.filter(_._1 == System.identityHashCode(spark0))
-      .foreach(opLocks.remove)
+      .foreach { key =>
+        opLocks.get(key).foreach { lock =>
+          lock.synchronized { opLocks.remove(key, lock) }
+        }
+      }
   }
 
   private[graft] def windowedReplays(spark0: SparkSession,

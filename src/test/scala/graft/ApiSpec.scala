@@ -927,6 +927,37 @@ class ApiSpec extends AnyFunSuite {
     val (_, _, _, nClamped) = Multimodal.WavCodec.header(lying)
     assert(nClamped === 6L, "declared-size lie must clamp to real bytes")
     assert(Multimodal.WavCodec.energyWindows(lying, 4).map(_._4).sum === 6)
+    // padded block alignment: a legal WAV may declare blockAlign LARGER
+    // than channels*bits/8 (pad bytes per frame). The sample walk must
+    // stride by the container's declared blockAlign — striding by a
+    // recomputed 2*channels would decode the 0x7777 pad bytes as
+    // samples AND disagree with header's frame count.
+    def rawWav(data: Array[Byte], rate: Int, ch: Int, bits: Int,
+               blockAlign: Int): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(ch.toShort).putInt(rate)
+        .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      out.array()
+    }
+    val paddedPcm = Array[Byte](
+      10, 0, 0x77, 0x77, // frame 0: sample 10 + 2 pad bytes
+      20, 0, 0x77, 0x77, // frame 1: sample 20
+      30, 0, 0x77, 0x77) // frame 2: sample 30
+    val padded = rawWav(paddedPcm, 8000, 1, 16, blockAlign = 4)
+    assert(Multimodal.WavCodec.header(padded) === ((8000, 1, 16, 3L)))
+    assert(Multimodal.WavCodec.energyWindows(padded, 2) === Seq(
+      (0, 100L + 400L, 20, 2), (1, 900L, 30, 1)))
+    // blockAlign smaller than the frame size is a contract violation,
+    // not a silent mis-stride
+    val tooSmall = rawWav(paddedPcm, 8000, 1, 16, blockAlign = 1)
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.energyWindows(tooSmall, 2))
   }
 
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
