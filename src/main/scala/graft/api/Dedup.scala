@@ -237,6 +237,85 @@ object Dedup {
         expr("n_shared_pos * 1000000L div n_grams").as("shared_ppm"))
   }
 
+  /** Span-level exact-substring dedup REMOVAL (Lee et al. 2022, the
+    * `deduplicate-text-datasets` operator): where [[sharedSegmentCoverage]]
+    * only MEASURES cross-document duplicated k-gram mass, this CUTS it —
+    * every maximal run of ≥ `minLen` consecutive shared k-gram positions
+    * is removed from all its occurrences except the first (min (doc_id,
+    * start)), and the surviving tokens are stitched back into text. Docs
+    * are kept (possibly shortened), never dropped — the production dedup
+    * mode for template-heavy corpora where doc-level drops over-delete.
+    *
+    * Output: (doc_id, text_clean, n_removed) — one row per input doc.
+    *
+    * Scale shape:
+    *  - grams travel as 8-byte xxhash64 keys with their position; ONE
+    *    materialized gram exchange feeds the df count and the semi-join
+    *    (the [[sharedSegmentCoverage]] discipline);
+    *  - runs come from a per-doc gaps-and-islands window — each
+    *    partition's rows are bounded by that doc's length, never the
+    *    corpus;
+    *  - span identity is the hash of the run's ordered gram-hash
+    *    sequence (overlapping k-gram chains determine the substring), so
+    *    no re-join against the corpus text is needed to match
+    *    occurrences across docs;
+    *  - the keeper of each span is a min-struct AGGREGATION, not a
+    *    window: a span duplicated 10⁶ times costs a map-side partial
+    *    min, never a single-task sort;
+    *  - the final stitch joins the corpus once against the (small) cut
+    *    set on doc_id — AQE broadcasts the cut side when it fits.
+    */
+  def removeSharedSegments(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minLen: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val pos = pin(toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${k - 1}),
+              i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
+                .mkString(", ")}))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      .repartition(col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val shared = pos.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    // maximal runs of consecutive shared positions (gaps-and-islands)
+    val wn = Window.partitionBy("doc_id").orderBy("i")
+    val runs = pos.join(shared, Seq("g"), "left_semi")
+      .withColumn("isl", col("i") - row_number().over(wn))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("glen"),
+        array_sort(collect_list(struct(col("i"), col("g")))).as("seq"))
+      .filter(col("glen") >= minLen)
+      .select(col("doc_id"), col("start"),
+        (col("start") + col("glen") + lit(k - 2)).as("end_tok"),
+        xxhash64(expr("transform(seq, s -> s.g)")).as("fp"))
+    val keeper = runs.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("start"))).as("kp"))
+    val cuts = runs.join(keeper, "fp")
+      .filter(!(col("doc_id") === col("kp.doc_id") &&
+        col("start") === col("kp.start")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("end_tok"))).as("spans"))
+    // stitch: drop every token index covered by a cut span (spans of
+    // adjacent runs may overlap by up to k-2 tokens — the index filter
+    // handles that without double-counting)
+    toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(expr(
+          """transform(
+               filter(transform(w, (t, p) -> struct(t AS t, p + 1 AS j)),
+                      s -> NOT exists(spans,
+                             c -> s.j >= c.start AND s.j <= c.end_tok)),
+               s -> s.t)""")))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text_clean"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
   /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:
     * the unit both the batch pair search and the incremental index
     * share. At scale this is what gets persisted bucketed by

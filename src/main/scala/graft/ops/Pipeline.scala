@@ -1233,6 +1233,62 @@ object Pipeline {
       (s, dir) => Dedup.sharedSegmentCoverage(t(s, dir, "documents"),
         "doc_id", "text", k = 8).orderBy("doc_id")),
 
+    // span-level exact-substring dedup REMOVAL (Lee et al. 2022): every
+    // maximal run of >= 3 consecutive shared 8-gram positions is cut
+    // from all occurrences but the first (min doc_id, start) and the
+    // surviving tokens re-stitched — docs shortened, never dropped. The
+    // oracle replays the identical runs/keeper/stitch arithmetic on
+    // gram STRINGS where Spark uses xxhash64 keys (same equivalence
+    // classes, the q_dedup_segments trade).
+    Q("q_dedup_span_removal",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   p AS (SELECT doc_id,
+                                unnest(range(1, len(w) - 6)) AS i,
+                                unnest(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(w[i:i+7], ' '))) AS g
+                         FROM d WHERE len(w) >= 8),
+                   sh AS (SELECT g FROM (
+                            SELECT g, count(DISTINCT doc_id) AS df
+                            FROM p GROUP BY g) WHERE df >= 2),
+                   sp AS (SELECT doc_id, i FROM p
+                          WHERE g IN (SELECT g FROM sh)),
+                   runs AS (SELECT doc_id, min(i) AS s, count(*) AS glen
+                            FROM (SELECT doc_id, i,
+                                         i - row_number() OVER (
+                                           PARTITION BY doc_id ORDER BY i)
+                                           AS isl
+                                  FROM sp)
+                            GROUP BY doc_id, isl HAVING count(*) >= 3),
+                   occ AS (SELECT r.doc_id, r.s, r.s + r.glen + 6 AS e,
+                                  array_to_string(
+                                    d.w[r.s : r.s + r.glen + 6], ' ') AS span
+                           FROM runs r JOIN d ON d.doc_id = r.doc_id),
+                   cuts AS (SELECT doc_id, s, e FROM (
+                              SELECT occ.*, row_number() OVER (
+                                PARTITION BY span ORDER BY doc_id, s) AS rn
+                              FROM occ) WHERE rn > 1),
+                   rm AS (SELECT DISTINCT doc_id, j FROM (
+                            SELECT doc_id, unnest(range(s, e + 1)) AS j
+                            FROM cuts)),
+                   tok AS (SELECT doc_id, unnest(w) AS tk,
+                                  unnest(range(1, len(w) + 1)) AS j FROM d),
+                   kept AS (SELECT t.doc_id, t.tk, t.j
+                            FROM tok t LEFT JOIN rm
+                              ON rm.doc_id = t.doc_id AND rm.j = t.j
+                            WHERE rm.j IS NULL),
+                   agg AS (SELECT doc_id,
+                                  string_agg(tk, ' ' ORDER BY j) AS txt,
+                                  count(*) AS nk
+                           FROM kept GROUP BY doc_id)
+              SELECT d.doc_id, COALESCE(a.txt, '') AS text_clean,
+                     CAST(len(d.w) - COALESCE(a.nk, 0) AS BIGINT)
+                       AS n_removed
+              FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+              ORDER BY d.doc_id"""),
+      (s, dir) => Dedup.removeSharedSegments(t(s, dir, "documents"),
+        "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
+
     // per-source length percentiles: exact integer-rank p50/p90/p99
     Q("q_stats_length_pct",
       Some("""WITH r AS (SELECT source, n_chars AS v,
@@ -1760,6 +1816,92 @@ object Pipeline {
         Packing.packGreedy(
           clean.select(col("lang"), col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", budget = 200L)
+          .orderBy("stratum", "doc_id")
+      }),
+
+    // The span-first pipeline variant: cut duplicated spans BEFORE
+    // doc-level dedup (production order — doc drops over-delete
+    // template-heavy corpora), then exact-dedup the stitched remainder
+    // and pack. One oracle pins the whole chain.
+    Q("q_pipeline_e2e_span",
+      Some("""WITH RECURSIVE
+               d AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+               p AS (SELECT doc_id,
+                            unnest(range(1, len(w) - 6)) AS i,
+                            unnest(list_transform(range(1, len(w) - 6),
+                              i -> array_to_string(w[i:i+7], ' '))) AS g
+                     FROM d WHERE len(w) >= 8),
+               shg AS (SELECT g FROM (
+                         SELECT g, count(DISTINCT doc_id) AS df
+                         FROM p GROUP BY g) WHERE df >= 2),
+               sp AS (SELECT doc_id, i FROM p WHERE g IN (SELECT g FROM shg)),
+               runs AS (SELECT doc_id, min(i) AS s, count(*) AS glen
+                        FROM (SELECT doc_id, i,
+                                     i - row_number() OVER (
+                                       PARTITION BY doc_id ORDER BY i) AS isl
+                              FROM sp)
+                        GROUP BY doc_id, isl HAVING count(*) >= 3),
+               occ AS (SELECT r.doc_id, r.s, r.s + r.glen + 6 AS e,
+                              array_to_string(
+                                d.w[r.s : r.s + r.glen + 6], ' ') AS span
+                       FROM runs r JOIN d ON d.doc_id = r.doc_id),
+               cuts AS (SELECT doc_id, s, e FROM (
+                          SELECT occ.*, row_number() OVER (
+                            PARTITION BY span ORDER BY doc_id, s) AS rn
+                          FROM occ) WHERE rn > 1),
+               rm AS (SELECT DISTINCT doc_id, j FROM (
+                        SELECT doc_id, unnest(range(s, e + 1)) AS j
+                        FROM cuts)),
+               tok AS (SELECT doc_id, unnest(w) AS tk,
+                              unnest(range(1, len(w) + 1)) AS j FROM d),
+               kept AS (SELECT t.doc_id, t.tk, t.j
+                        FROM tok t LEFT JOIN rm
+                          ON rm.doc_id = t.doc_id AND rm.j = t.j
+                        WHERE rm.j IS NULL),
+               agg AS (SELECT doc_id, string_agg(tk, ' ' ORDER BY j) AS txt
+                       FROM kept GROUP BY doc_id),
+               cl AS (SELECT d.doc_id, COALESCE(a.txt, '') AS text_clean
+                      FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id),
+               ded AS (SELECT doc_id FROM (
+                         SELECT cl.doc_id, row_number() OVER (
+                           PARTITION BY sha256(cl.text_clean)
+                           ORDER BY cl.doc_id) AS rn
+                         FROM cl) WHERE rn = 1),
+               clean AS (SELECT doc.lang AS stratum, cl.doc_id,
+                                CAST(len(string_split(cl.text_clean, ' '))
+                                  AS BIGINT) AS n_tokens
+                         FROM cl JOIN ded USING (doc_id)
+                         JOIN documents doc ON doc.doc_id = cl.doc_id),
+               r AS MATERIALIZED (SELECT stratum, doc_id, n_tokens,
+                            row_number() OVER (PARTITION BY stratum
+                              ORDER BY doc_id) AS rn
+                     FROM clean),
+               pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
+                 SELECT stratum, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+                        n_tokens
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.stratum, r.rn, r.doc_id, r.n_tokens,
+                        CASE WHEN p.fill + r.n_tokens <= 200 THEN p.bin
+                             ELSE p.bin + 1 END,
+                        CASE WHEN p.fill + r.n_tokens <= 200
+                             THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                 FROM pack p
+                 JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin
+              FROM pack ORDER BY stratum, doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cut = Dedup.removeSharedSegments(docs, "doc_id", "text",
+          k = 8, minLen = 3)
+        val ded = Dedup.dropExactDuplicates(
+          cut.join(docs.select("doc_id", "lang"), "doc_id"),
+          "doc_id", "text_clean")
+        Packing.packGreedy(
+          ded.select(col("lang"), col("doc_id"),
+            size(split(col("text_clean"), " ")).cast("long").as("n_tokens")),
           "doc_id", "lang", "n_tokens", budget = 200L)
           .orderBy("stratum", "doc_id")
       }),

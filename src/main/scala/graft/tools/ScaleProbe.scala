@@ -393,6 +393,23 @@ object ScaleProbe {
       f"${mult}x=$pbN flagged ${dpbN}%.2f s  time-growth=${dpbN / dpb1}%.1fx  " +
       f"flag-growth=${pbN.toDouble / pb1}%.1fx (expect exactly ${mult}x)")
 
+    // span removal at mult x corpus: replica word-renaming keeps each
+    // replica's gram space disjoint, so every replica reproduces the 1x
+    // run/keeper structure independently — removed token mass must be
+    // EXACTLY mult x, and the wall ~linear (gram exchange + per-doc
+    // islands + one corpus-vs-cuts join; no cross-replica pairing)
+    val tsr1 = System.nanoTime()
+    val sr1 = Dedup.removeSharedSegments(docsFor(1), "doc_id", "text",
+      k = 8, minLen = 3).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dsr1 = (System.nanoTime() - tsr1) / 1e9
+    val tsrN = System.nanoTime()
+    val srN = Dedup.removeSharedSegments(docs, "doc_id", "text",
+      k = 8, minLen = 3).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dsrN = (System.nanoTime() - tsrN) / 1e9
+    println(f"span-removal (${mult}x corpus): 1x=$sr1 tokens cut ${dsr1}%.2f s  " +
+      f"${mult}x=$srN tokens cut ${dsrN}%.2f s  time-growth=${dsrN / dsr1}%.1fx  " +
+      f"cut-growth=${srN.toDouble / sr1}%.1fx (expect exactly ${mult}x)")
+
     // adaptive quality at mult x corpus: the histogram-rank window sees
     // (source, ppm) counts only, so thresholds are INVARIANT under
     // replication (each replica adds the same score distribution) and

@@ -1003,6 +1003,42 @@ class ApiSpec extends AnyFunSuite {
     assert(ppm === Map(1L -> 250000L, 2L -> 250000L), ppm)
   }
 
+  test("span removal cuts a planted template from all but the first doc") {
+    // a 200-token block shared verbatim by docs 1 and 2, with distinct
+    // prefix/suffix context; doc 3 is unrelated. The min-doc-id
+    // occurrence keeps the block; the other loses EXACTLY that block.
+    val block = (1 to 200).map(i => s"t$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"alpha beta $block gamma delta"),
+      (2L, s"one two three $block four five six"),
+      (3L, "entirely unrelated words in this doc here today")
+    )).toDF("doc_id", "text")
+    val out = graft.api.Dedup
+      .removeSharedSegments(docs, "doc_id", "text", k = 8, minLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((s"alpha beta $block gamma delta", 0L)), out(1L))
+    assert(out(2L) === (("one two three four five six", 200L)), out(2L))
+    assert(out(3L)._2 === 0L)
+    // doc shorter than k passes through untouched
+    val tiny = spark.createDataFrame(Seq((9L, "too short")))
+      .toDF("doc_id", "text")
+    val t9 = graft.api.Dedup
+      .removeSharedSegments(tiny, "doc_id", "text", k = 8, minLen = 3)
+      .collect().head
+    assert(t9.getString(1) === "too short" && t9.getLong(2) === 0L)
+    // two occurrences in the SAME doc still keep the first (min start)
+    val selfDup = spark.createDataFrame(Seq(
+      (1L, s"$block middle words here $block"),
+      (2L, s"start $block end")
+    )).toDF("doc_id", "text")
+    val sd = graft.api.Dedup
+      .removeSharedSegments(selfDup, "doc_id", "text", k = 8, minLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // doc 1: first occurrence kept, second cut; doc 2's occurrence cut
+    assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
+  }
+
   test("length percentiles pick exact integer-rank elements") {
     val docs = spark.createDataFrame(
       (1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ ((99L, "b", 7L))
