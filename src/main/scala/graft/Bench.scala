@@ -88,6 +88,7 @@ object Bench {
         "corpus_bands" -> (() => ops.Pipeline.corpusBands(spark, sfDir).rows.count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
         "temp_rates" -> (() => ops.Pipeline.tempRates(spark, sfDir)),
+        "bpe_merges" -> (() => ops.Pipeline.bpeMerges(spark, sfDir)),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir)),
         // The remaining stream replays are memoized per (session, dir)
         // (Streams.cachedOp): force each once here, in the build phase,

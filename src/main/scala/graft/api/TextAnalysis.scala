@@ -212,6 +212,31 @@ object TextAnalysis {
         .cast("long").as("n_bpe_ish"),
       size(split(col(textCol), " ")).cast("long").as("n_ws"))
 
+  /** Per-doc token counts under a deterministic byte-level BPE
+    * ([[Bpe]]) with a fixed merges table. The encode loop runs once per
+    * DISTINCT word — V-bounded work, distributed over the vocab frame —
+    * and joins back to the exploded corpus on the word key. The join is
+    * deliberately UNHINTED: at test scale AQE broadcasts the vocab
+    * side; at crawl scale (vocab long tail of urls/hashes can reach
+    * 10⁸ rows) it degrades to a co-partitioned hash join instead of a
+    * driver OOM — the round-7/8 no-data-dependent-broadcast rule.
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = Bpe.ranksOf(merges)
+    val wordToks = docs
+      .select(explode(split(col(textCol), " ")).as("word")).distinct()
+      .as[String]
+      .map(w => (w, Bpe.countTokens(w, ranks).toLong))
+      .toDF("word", "n_toks")
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(wordToks, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_bpe_tokens"))
+  }
+
   /** Stopword ratio of a split-token column — the one definition both
     * the score frame and the fused filter build their keep gate from,
     * so the two can never silently diverge (q_pipeline_e2e's oracle

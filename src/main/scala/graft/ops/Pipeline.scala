@@ -132,7 +132,95 @@ object Pipeline {
     * the oracle.
     */
   private[graft] def resolveOracle(sql: String): String =
-    resolveTempThresholds(resolveLshPlanes(resolveKmeans(sql)))
+    resolveBpeMerges(resolveTempThresholds(resolveLshPlanes(resolveKmeans(sql))))
+
+  /** BPE merges learned once per (session, dir) from the corpus's
+    * DISTINCT (word, count) table — V-bounded driver work, the same
+    * collapsed-table discipline as the k-means centroids. Sorted input
+    * for stability; the trainer itself is deterministic (max count,
+    * lexicographic tiebreak).
+    */
+  private val bpeCache = scala.collection.concurrent
+    .TrieMap[(Int, String), Seq[(String, String)]]()
+  private[graft] val BpeNumMerges = 200
+
+  private[graft] def bpeMerges(s: SparkSession,
+                               dir: String): Seq[(String, String)] =
+    bpeCache.synchronized {
+      bpeCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        val wc = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1))
+          .toSeq.sortBy(_._1)
+        graft.api.Bpe.train(wc, BpeNumMerges)
+      })
+    }
+
+  private[graft] val bpePlaceholder = "__GRAFT_BPE_MERGES__"
+
+  /** Shared oracle CTE block: per-word greedy BPE encode (recursive,
+    * merge-all per round via a left-to-right string fold over chr(30)
+    * joints — "a a a" under (a,a) folds to [aa, a] exactly like
+    * [[graft.api.Bpe.mergeAll]]) over the DISTINCT word table, then
+    * per-doc word join + sum. `dtok` = (doc_id, n_words, n_bpe_tokens).
+    */
+  private val bpeCountCtes: String = s"""
+       mt AS (SELECT $bpePlaceholder AS M),
+       bd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       wrd AS (SELECT DISTINCT unnest(ws) AS word FROM bd),
+       enc(word, toks) AS (
+         SELECT word, [substr(word, i, 1) for i in range(1, len(word) + 1)]
+         FROM wrd
+         UNION ALL
+         SELECT word,
+           string_split(
+             list_reduce(toks, (acc, x) -> CASE
+               WHEN list_last(string_split(acc, chr(30)))
+                      = string_split(bp, ' ')[1]
+                    AND x = string_split(bp, ' ')[2]
+               THEN left(acc,
+                      len(acc) - len(list_last(string_split(acc, chr(30)))))
+                    || string_split(bp, ' ')[1] || string_split(bp, ' ')[2]
+               ELSE acc || chr(30) || x END),
+             chr(30))
+         FROM (
+           SELECT word, toks,
+             M[list_min(list_filter(
+               list_transform(range(1, len(toks)),
+                 i -> list_position(M, toks[i] || ' ' || toks[i + 1])),
+               r -> r IS NOT NULL AND r > 0))] AS bp
+           FROM enc, mt) WHERE bp IS NOT NULL),
+       cnt AS (SELECT word, len(toks) AS n_toks FROM enc, mt
+               WHERE len(list_filter(
+                       list_transform(range(1, len(toks)),
+                         i -> list_position(M, toks[i] || ' ' || toks[i + 1])),
+                       r -> r IS NOT NULL AND r > 0)) = 0),
+       dtok AS (SELECT doc_id, count(*) AS n_words,
+                       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+                FROM (SELECT doc_id, unnest(ws) AS word FROM bd) e
+                JOIN cnt USING (word) GROUP BY doc_id)"""
+
+  /** `__GRAFT_BPE_MERGES__` → a DuckDB list literal `['a b', ...]` of
+    * the trained merge pairs in rank order (components space-joined —
+    * words are whitespace pre-tokens, so the separator is unambiguous),
+    * quotes escaped. The oracle replays the greedy merge loop itself
+    * (recursive CTE), so only the TABLE is shipped, not any encoding.
+    */
+  private def resolveBpeMerges(sql: String): String =
+    if (!sql.contains(bpePlaceholder)) sql
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => sql
+      case Some(s) =>
+        scala.util.Try(bpeMerges(s, Sources.oracleSfDir)) match {
+          case scala.util.Failure(_) => sql
+          case scala.util.Success(merges) =>
+            val lit = merges
+              .map { case (a, b) => s"'${(a + " " + b).replace("'", "''")}'" }
+              .mkString("[", ", ", "]")
+            sql.replace(bpePlaceholder, lit)
+        }
+    }
 
   private[graft] val TempAlpha = 0.5
   private[graft] val tempPlaceholder = "__GRAFT_TEMP_CASE__"
@@ -1338,6 +1426,55 @@ object Pipeline {
               FROM documents ORDER BY doc_id"""),
       (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents"),
         "doc_id", "text").orderBy("doc_id")),
+
+    // Real subword tokenization: deterministic byte-level BPE with a
+    // corpus-trained merges table (api.Bpe — trained once on the
+    // V-bounded (word, count) table, the k-means driver-literal
+    // discipline). The oracle receives only the MERGES TABLE as a
+    // literal and replays the greedy merge loop itself in a recursive
+    // CTE (merge-all per round via a left-to-right fold), so the
+    // per-word encoding is independently recomputed, not trusted.
+    Q("q_token_count_bpe",
+      Some(s"""WITH RECURSIVE $bpeCountCtes
+              SELECT doc_id, n_words, n_bpe_tokens
+              FROM dtok ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
+        "doc_id", "text", bpeMerges(s, dir)).orderBy("doc_id")),
+
+    // Token-budget mixture denominated in BPE tokens — how training
+    // recipes actually specify budgets ("N tokens of source X" means
+    // TOKENIZER tokens, not chars): same exact-integer Knuth-hash
+    // window as q_mix_token_budget, counting n_bpe_tokens.
+    Q("q_mix_token_budget_bpe",
+      Some(s"""WITH RECURSIVE $bpeCountCtes,
+                   r AS (SELECT d.source, dtok.n_bpe_tokens,
+                                sum(dtok.n_bpe_tokens) OVER (
+                                  PARTITION BY d.source
+                                  ORDER BY ${graft.api.Mixing.knuthHashSql("dtok.doc_id")},
+                                           dtok.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+                         FROM dtok JOIN documents d ON d.doc_id = dtok.doc_id)
+               SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_bpe_tokens) AS BIGINT) AS n_tokens
+               FROM r
+               WHERE cum <= CASE source WHEN 'src0' THEN 800
+                                        WHEN 'src1' THEN 500
+                                        WHEN 'src2' THEN 1000
+                                        ELSE 9223372036854775807 END
+               GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+          bpeMerges(s, dir))
+        graft.api.Mixing.tokenBudgetSample(
+            counts.join(docs.select("doc_id", "source"), "doc_id"),
+            "doc_id", "source", "n_bpe_tokens",
+            Map("src0" -> 800L, "src1" -> 500L, "src2" -> 1000L))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_bpe_tokens")).as("n_tokens"))
+          .orderBy("source")
+      }),
 
     Q("q_quality_score",
       Some("""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents),

@@ -432,6 +432,30 @@ object ScaleProbe {
       f"${mult}x=$aqN kept ${daqN}%.2f s  time-growth=${daqN / daq1}%.1fx  " +
       f"kept-growth=${aqN.toDouble / aq1}%.1fx (expect exactly ${mult}x)")
 
+    // BPE token counts at mult x corpus: the merges table is FIXED
+    // (trained once on the 1x vocab — plain replication keeps the word
+    // set identical) and encoding is per-distinct-word, so the total
+    // must be EXACTLY mult x and invariant to input partitioning
+    val wc1 = docsForSrc(1)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val bpeM = graft.api.Bpe.train(wc1, 200)
+    def bpeSum(df: org.apache.spark.sql.DataFrame): Long =
+      TextAnalysis.bpeTokenCounts(df, "doc_id", "text", bpeM)
+        .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val tbp1 = System.nanoTime()
+    val bp1tok = bpeSum(docsForSrc(1))
+    val dbp1 = (System.nanoTime() - tbp1) / 1e9
+    val tbpN = System.nanoTime()
+    val bpNtok = bpeSum(docsForSrc(mult))
+    val dbpN = (System.nanoTime() - tbpN) / 1e9
+    val bpRep = bpeSum(docsForSrc(mult).repartition(7))
+    println(f"bpe-tokens (${mult}x corpus): 1x=$bp1tok ${dbp1}%.2f s  " +
+      f"${mult}x=$bpNtok ${dbpN}%.2f s  time-growth=${dbpN / dbp1}%.1fx  " +
+      f"token-growth=${bpNtok.toDouble / bp1tok}%.1fx (expect exactly ${mult}x)  " +
+      f"repartition-invariant=${bpRep == bpNtok}")
+
     // audio energy windows at mult x corpus: pure mapPartitions over
     // the payload bytes — zero shuffle, window count exactly mult x
     val tae1 = System.nanoTime()

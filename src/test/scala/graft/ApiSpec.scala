@@ -1039,6 +1039,48 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("BPE: greedy merge order, merge-all rounds, deterministic trainer") {
+    import graft.api.Bpe
+    val ranks = Bpe.ranksOf(Seq(("l", "l"), ("h", "e"), ("he", "ll"),
+      ("hell", "o"), ("a", "a")))
+    assert(Bpe.encode("hello", ranks) === List("hello"))
+    assert(Bpe.encode("hell", ranks) === List("hell"))
+    // merge-all per round is left-to-right NON-overlapping
+    assert(Bpe.encode("aaa", ranks) === List("aa", "a"))
+    assert(Bpe.encode("aaaa", ranks) === List("aa", "aa"))
+    assert(Bpe.encode("x", ranks) === List("x"))
+    assert(Bpe.encode("", ranks) === Nil)
+    // rank order decides which merge fires first: (b,c) outranks (a,b),
+    // and the resulting "bc" then feeds (a,bc)
+    val r2 = Bpe.ranksOf(Seq(("b", "c"), ("a", "bc"), ("a", "b")))
+    assert(Bpe.encode("abc", r2) === List("abc"))
+    // trainer: max corpus count wins, ties break lexicographically —
+    // (e,s) and (s,t) both count 9 here, (e,s) sorts first
+    val merges = Bpe.train(Seq(("low", 5L), ("lower", 2L),
+      ("newest", 6L), ("widest", 3L)), 4)
+    assert(merges.head === (("e", "s")), merges)
+    val rt = Bpe.ranksOf(merges)
+    Seq("low", "lower", "newest", "widest", "lowest").foreach { w =>
+      assert(Bpe.encode(w, rt).mkString === w)
+    }
+    // the Spark operator: counts are per-word encode sums; vocab-side
+    // encode + unhinted join must reproduce a direct per-doc compute
+    val docs = spark.createDataFrame(Seq(
+      (1L, "newest widest"), (2L, "low low lower"), (3L, "zq")
+    )).toDF("doc_id", "text")
+    val out = graft.api.TextAnalysis
+      .bpeTokenCounts(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val expect = Map(
+      1L -> ((2L, Seq("newest", "widest")
+        .map(w => Bpe.countTokens(w, rt).toLong).sum)),
+      2L -> ((3L, Seq("low", "low", "lower")
+        .map(w => Bpe.countTokens(w, rt).toLong).sum)),
+      3L -> ((1L, Bpe.countTokens("zq", rt).toLong)))
+    assert(out === expect, out)
+  }
+
   test("length percentiles pick exact integer-rank elements") {
     val docs = spark.createDataFrame(
       (1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ ((99L, "b", 7L))

@@ -223,6 +223,76 @@ object MixingProps extends org.scalacheck.Properties("Mixing") {
     }
 }
 
+/** BPE encode checked against an INDEPENDENT reference implementation:
+  * the reference walks the merges table in rank order and applies the
+  * first applicable rule with an index loop (find-first semantics),
+  * where production collects candidates and takes minBy rank with a
+  * pattern-match fold — structurally different code paths that must
+  * agree on every (word, table), plus the lossless-ness invariant.
+  */
+object BpeProps extends Properties("Bpe") {
+  import org.scalacheck.Prop
+  import graft.api.Bpe
+
+  private def refEncode(word: String,
+                        merges: Seq[(String, String)]): List[String] = {
+    var toks = word.map(_.toString).toVector
+    var cont = toks.length >= 2
+    while (cont) {
+      merges.find { case (a, b) =>
+        toks.indices.init.exists(i => toks(i) == a && toks(i + 1) == b)
+      } match {
+        case None => cont = false
+        case Some((a, b)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+          cont = toks.length >= 2
+      }
+    }
+    toks.toList
+  }
+
+  private val wordGen = Gen.choose(0, 14)
+    .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+  // a REALISTIC table comes from training (later merges build on
+  // earlier merged tokens) — train on a random word set
+  private val tableGen = for {
+    n <- Gen.choose(1, 12)
+    ws <- Gen.listOfN(n, wordGen)
+    m <- Gen.choose(0, 20)
+  } yield Bpe.train(ws.map(_ -> 1L), m, minCount = 1L)
+  // plus arbitrary single-char pair tables (need not be reachable by
+  // training; encode must still be well-defined and agree)
+  private val rawTableGen = Gen.choose(0, 8).flatMap(n =>
+    Gen.listOfN(n, Gen.zip(
+      Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c")))
+      .map(_.distinct))
+
+  property("production encode == rank-order reference encode") =
+    Prop.forAll(wordGen, tableGen) { (w, merges) =>
+      Bpe.encode(w, Bpe.ranksOf(merges)) == refEncode(w, merges)
+    }
+
+  property("encode is lossless and agrees on raw pair tables") =
+    Prop.forAll(wordGen, rawTableGen) { (w, merges) =>
+      val got = Bpe.encode(w, Bpe.ranksOf(merges))
+      got.mkString == w && got == refEncode(w, merges)
+    }
+
+  property("trained table re-encodes every training word losslessly") =
+    Prop.forAll(Gen.listOf(wordGen), Gen.choose(0, 30)) { (ws, m) =>
+      val merges = Bpe.train(ws.map(_ -> 1L), m, minCount = 1L)
+      val ranks = Bpe.ranksOf(merges)
+      ws.forall(w => Bpe.encode(w, ranks).mkString == w)
+    }
+}
+
 /** WavCodec round-trip: any PCM16 stream wrapped in a buildWav container
   * must parse back to exactly the header fields and window energies that
   * direct arithmetic over the samples gives — the container walk adds
