@@ -489,6 +489,191 @@ object Multimodal {
     }
   }
 
+  /** REAL video container metadata over MP4/ISO-BMFF payloads — the
+    * video twin of [[WavCodec]]: a header-only box walk (ISO/IEC
+    * 14496-12, public spec) pulling dims, duration, and frame count
+    * from `moov/trak/tkhd`, `mdia/mdhd`, and `stbl/stsz` without
+    * touching a single `mdat` byte, so metadata over a multi-GB clip
+    * costs a few hundred header bytes. Same corrupt-input discipline as
+    * the audio walk: Long-advanced offsets (a lying 32-bit size must
+    * end the walk, not wrap Int), 64-bit largesize and size==0
+    * (to-end-of-file) boxes handled, child boxes clamped to their
+    * parent's extent.
+    */
+  object Mp4Codec {
+
+    private def be32(p: Array[Byte], i: Int): Long =
+      ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) |
+        ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+
+    private def be64(p: Array[Byte], i: Int): Long =
+      (be32(p, i) << 32) | be32(p, i + 4)
+
+    /** (width_px, height_px, n_frames, media_timescale, media_duration)
+      * from the moov header boxes. Width/height are tkhd's 16.16
+      * fixed-point values truncated to pixels; timescale/duration come
+      * from the media header (mdhd), v0 and v1 layouts both supported.
+      * The FIRST trak carrying a non-zero tkhd width wins (the video
+      * track; audio traks declare 0x0).
+      */
+    def videoMeta(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      var width = -1; var height = -1
+      var frames = -1L; var ts = -1L; var dur = -1L
+      var inVideoTrak = false
+      def walk(start: Long, end: Long): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = be32(payload, off.toInt)
+          val typ = new String(payload, off.toInt + 4, 4, "US-ASCII")
+          var hdr = 8L
+          val size: Long =
+            if (size32 == 1L) {
+              require(off + 16 <= end, "truncated largesize box")
+              hdr = 16L
+              be64(payload, off.toInt + 8)
+            } else if (size32 == 0L) end - off // box extends to end
+            else size32
+          require(size >= hdr, s"corrupt box size $size at offset $off")
+          // clamp to the bytes actually present: truncated uploads lie
+          val boxEnd = math.min(off + size, end)
+          val po = (off + hdr).toInt
+          typ match {
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              walk(off + hdr, boxEnd)
+            case "trak" =>
+              val was = inVideoTrak
+              walk(off + hdr, boxEnd)
+              inVideoTrak = was
+            case "tkhd" if width < 0 =>
+              val v = payload(po) & 0xff
+              val wOff = po + (if (v == 1) 88 else 76)
+              require(wOff + 8 <= boxEnd, "truncated tkhd box")
+              val w = (be32(payload, wOff) >> 16).toInt
+              val h = (be32(payload, wOff + 4) >> 16).toInt
+              if (w > 0) { width = w; height = h; inVideoTrak = true }
+            case "mdhd" if inVideoTrak && ts < 0 =>
+              val v = payload(po) & 0xff
+              val tOff = po + (if (v == 1) 20 else 12)
+              require(tOff + (if (v == 1) 12 else 8) <= boxEnd,
+                "truncated mdhd box")
+              ts = be32(payload, tOff)
+              dur = if (v == 1) be64(payload, tOff + 4)
+                    else be32(payload, tOff + 4)
+            case "stsz" if inVideoTrak && frames < 0 =>
+              require(po + 12 <= boxEnd, "truncated stsz box")
+              frames = be32(payload, po + 8)
+            case _ => ()
+          }
+          // advance in Long: a huge declared size ends the walk cleanly
+          off = if (off + size <= off) end else math.min(off + size, end)
+        }
+      }
+      require(payload.length >= 8, "payload too short for ISO-BMFF")
+      walk(0L, payload.length.toLong)
+      require(width >= 0 && frames >= 0 && ts > 0,
+        "missing moov/tkhd/mdhd/stsz metadata")
+      (width, height, frames, ts, dur)
+    }
+  }
+
+  /** Build a minimal ISO-BMFF container with real ftyp/moov/mdat boxes:
+    * mvhd + one video trak (tkhd with 16.16 dims, mdhd v0 with
+    * timescale/duration, stbl/stsz with the frame count). Gives the
+    * synthetic corpus REAL parseable video payloads the same way
+    * [[buildWav]] does for audio: the parameters are derived from
+    * relational columns, so an independent engine recomputes the
+    * expected metadata from the table while Spark goes through genuine
+    * container construction + [[Mp4Codec]] parsing.
+    */
+  private[graft] def buildMp4(width: Int, height: Int, nFrames: Long,
+                              timescale: Long, duration: Long,
+                              audioTrakFirst: Boolean = false): Array[Byte] = {
+    def box(typ: String, content: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + content.length)
+      out.putInt(8 + content.length).put(typ.getBytes("US-ASCII"))
+        .put(content)
+      out.array()
+    }
+    def full(typ: String, body: java.nio.ByteBuffer => Unit,
+             size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(size + 4)
+      b.putInt(0) // version 0 + flags
+      body(b)
+      box(typ, b.array())
+    }
+    def trakBox(w: Int, h: Int, frames: Long, ts: Long,
+                dur: Long): Array[Byte] = {
+      val tkhd = full("tkhd", b => {
+        b.putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur.toInt)
+          .putInt(0).putInt(0)
+          .putShort(0).putShort(0).putShort(0).putShort(0)
+        Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+        b.putInt(w << 16).putInt(h << 16)
+      }, 80)
+      val mdhd = full("mdhd", b => {
+        b.putInt(0).putInt(0).putInt(ts.toInt).putInt(dur.toInt)
+          .putShort(0x55c4.toShort).putShort(0) // language "und"
+      }, 20)
+      val stsz = full("stsz", b => {
+        b.putInt(0).putInt(frames.toInt) // sample_size=0, sample_count
+      }, 8)
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stsz))))
+    }
+    val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
+      .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
+    val mvhd = full("mvhd", b => {
+      b.putInt(0).putInt(0) // creation, modification
+        .putInt(timescale.toInt).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putInt(0).putInt(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(b.putInt)
+      (1 to 6).foreach(_ => b.putInt(0))
+      b.putInt(3) // next track id
+    }, 96)
+    // an audio trak declares 0x0 dims and its OWN timescale/duration —
+    // a correct walk must skip past it to the video trak's metadata
+    val audio =
+      if (audioTrakFirst) trakBox(0, 0, 777L, 44100L, 999999L)
+      else Array.emptyByteArray
+    val video = trakBox(width, height, nFrames, timescale, duration)
+    val moov = box("moov", mvhd ++ audio ++ video)
+    val mdat = box("mdat", Array.emptyByteArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** One video payload's header metadata (exact integers). */
+  final case class VideoMeta(doc_id: Long, width: Long, height: Long,
+                             n_frames: Long, duration_ms: Long)
+
+  /** Header-only video metadata computed by round-tripping REAL
+    * ISO-BMFF containers: each doc's relational columns parameterize
+    * [[buildMp4]], and Spark parses the bytes back through the real
+    * [[Mp4Codec]] box walk — so a relational oracle can recompute the
+    * expected output from the columns alone while the genuine parser
+    * sits in the checked loop (the [[audioEnergyFromText]] technique).
+    */
+  def videoMetaFromCols(spark: SparkSession, docs: DataFrame,
+                        idCol: String, nCharsCol: String): Dataset[VideoMeta] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      // a future testdata regen with NULL n_chars must drop the row on
+      // both engines, not zero-fill it through the tuple encoder
+      .filter(col(idCol).isNotNull && col(nCharsCol).isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val width = (16 + (id % 240) * 8).toInt
+          val height = (16 + (nChars % 135) * 8).toInt
+          val frames = 1 + (nChars % 240)
+          val timescale = 600L
+          val duration = frames * 25L
+          val mp4 = buildMp4(width, height, frames, timescale, duration)
+          val (w, h, f, ts, dur) = Mp4Codec.videoMeta(mp4)
+          VideoMeta(id, w.toLong, h.toLong, f, dur * 1000L / ts)
+        }
+      }
+  }
+
   /** Build a minimal canonical RIFF/WAVE container (44-byte header +
     * PCM data). Input is truncated to whole sample frames. Used to give
     * the synthetic corpus REAL parseable audio payloads: the text bytes

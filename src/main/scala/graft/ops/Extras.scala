@@ -212,6 +212,27 @@ object Extras {
           col("media_type"))
         .orderBy("doc_id")),
 
+    // REAL video container path with a full oracle: each doc's columns
+    // parameterize a genuine ISO-BMFF build (ftyp/moov/trak/mdhd/stsz
+    // boxes), which Spark parses back through the real Mp4Codec
+    // header-only box walk — the video twin of q_mm_audio_energy. The
+    // oracle recomputes the expected metadata from the same columns;
+    // any parse defect breaks the hash.
+    Q("q_mm_video_meta",
+      Some("""SELECT doc_id,
+                     CAST(16 + (doc_id % 240) * 8 AS BIGINT) AS width,
+                     CAST(16 + (n_chars % 135) * 8 AS BIGINT) AS height,
+                     CAST(1 + (n_chars % 240) AS BIGINT) AS n_frames,
+                     CAST((1 + (n_chars % 240)) * 25 * 1000 // 600
+                       AS BIGINT) AS duration_ms
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+              ORDER BY doc_id"""),
+      (s, dir) => Multimodal.videoMetaFromCols(s, t(s, dir, "documents"),
+        "doc_id", "n_chars")
+        .toDF()
+        .orderBy("doc_id")),
+
     // The three stub-decode queries carry FULL DuckDB oracles: the stub
     // fold is wrap-free mod-1e9+7 arithmetic over the payload bytes
     // (pure-ASCII text, so bytes == ascii(char)), and the oracle

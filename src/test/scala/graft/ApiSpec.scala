@@ -960,6 +960,41 @@ class ApiSpec extends AnyFunSuite {
       Multimodal.WavCodec.energyWindows(tooSmall, 2))
   }
 
+  test("Mp4Codec header-only box walk: real containers + corrupt guards") {
+    import graft.multimodal.Multimodal
+    val mp4 = Multimodal.buildMp4(640, 360, 240L, 600L, 6000L)
+    assert(Multimodal.Mp4Codec.videoMeta(mp4) ===
+      ((640, 360, 240L, 600L, 6000L)))
+    // an audio trak (0x0 dims, its own mdhd/stsz) BEFORE the video trak
+    // must not supply any field
+    val multi = Multimodal.buildMp4(320, 240, 48L, 600L, 1200L,
+      audioTrakFirst = true)
+    assert(Multimodal.Mp4Codec.videoMeta(multi) ===
+      ((320, 240, 48L, 600L, 1200L)))
+    // a size==0 trailing box (extends to EOF) parses cleanly
+    val trailing = mp4 ++ Array[Byte](0, 0, 0, 0) ++
+      "free".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.Mp4Codec.videoMeta(trailing) ===
+      ((640, 360, 240L, 600L, 6000L)))
+    // a 64-bit largesize box before the content is walked correctly
+    val pre = java.nio.ByteBuffer.allocate(16)
+      .putInt(1).put("free".getBytes("US-ASCII")).putLong(16L).array()
+    assert(Multimodal.Mp4Codec.videoMeta(pre ++ mp4) ===
+      ((640, 360, 240L, 600L, 6000L)))
+    // truncated mid-moov: contract exception, not a bounds error
+    intercept[IllegalArgumentException](
+      Multimodal.Mp4Codec.videoMeta(mp4.take(60)))
+    // a lying huge 32-bit size must end the walk cleanly (clamped),
+    // leaving moov unreached -> missing-metadata contract error
+    val lying = mp4.clone()
+    lying(0) = 0x7f.toByte; lying(1) = 0xff.toByte
+    lying(2) = 0xff.toByte; lying(3) = 0xff.toByte
+    intercept[IllegalArgumentException](Multimodal.Mp4Codec.videoMeta(lying))
+    // not a box stream at all
+    intercept[IllegalArgumentException](
+      Multimodal.Mp4Codec.videoMeta(Array[Byte](1, 2, 3)))
+  }
+
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
     import graft.multimodal.Multimodal
     // payload present but the type column is named differently: the old
