@@ -551,4 +551,160 @@ object Similarity {
       .limit(k)
       .select(col("vec_id"), round(col("rpcos"), 4).as("rpcos"))
   }
+
+  // ---------------- IVF-PQ (Jégou et al. 2011) ----------------
+
+  /** Product-quantization codebooks over RESIDUALS (IVFADC, Jégou et
+    * al. 2011 §IV): each vector's residual against its coarse cell
+    * centroid splits into `m` subspaces of dim/m dims, and each
+    * subspace gets its own `ksub`-way deterministic Lloyd codebook
+    * trained on the corpus's residual slices. Residual — not raw —
+    * encoding is load-bearing: in a clustered corpus the raw subvectors
+    * of co-located points collapse onto ONE code each (the probe
+    * measured recall 0.03), while their residuals spread the
+    * within-cell variation across the codebook. Codes are re-keyed
+    * 0..ksub-1 in centroid-id order, so a code IS a positional index
+    * into its codebook. m × ksub × dim/m doubles of driver metadata —
+    * the k-means driver-literal discipline.
+    *
+    * This is the FAISS footprint lever: m small codes per vector
+    * (ksub ≤ 256) instead of dim × 8 bytes — here 64 dims × 8 B = 512 B
+    * shrink to 8 codes, the difference between an in-memory and a
+    * spilled billion-vector index.
+    */
+  def pqCodebooks(vectors: DataFrame, centroids: DataFrame, idCol: String,
+                  vecCol: String, m: Int = 8, ksub: Int = 16,
+                  iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] = {
+    val e = prepared(vectors, idCol, vecCol)
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
+    val dsub = dim / m
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    val res = assignNearest(e, cents)
+      .join(broadcast(cents), "cent_id") // bounded: k coarse rows
+      .select(col("vec_id"), expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    val books = (0 until m).map { j =>
+      val sub = res.select(col("vec_id"),
+        expr(s"slice(v, ${j * dsub + 1}, $dsub)").as("v"))
+      kmeansCentroids(sub, "vec_id", "v", ksub, iters)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.sortBy(_._1)
+        .zipWithIndex.map { case ((_, cv), code) => (code.toLong, cv) }
+    }
+    res.unpersist()
+    books
+  }
+
+  /** The codebooks as ONE literal column (array of per-subspace arrays
+    * of (code, centroid) structs) — bounded driver metadata riding the
+    * plan exactly like [[assignNearest]]'s centroid fold.
+    */
+  private def booksCol(books: Seq[Seq[(Long, Seq[Double])]]) =
+    typedlit(books.map(_.map { case (code, cv) => (code, cv) }))
+
+  /** IVF-PQ, the offline half: ONE scan assigns every vector to its
+    * coarse cell (cosine — query-time probing must agree with ranking)
+    * AND product-encodes its RESIDUAL against that cell's centroid: per
+    * subspace, the EUCLIDEAN-nearest codebook entry (the codegen'd
+    * `nearest_centroid_l2` — L2 because codes exist to minimize
+    * reconstruction error). Returns (vec_id, cent_id,
+    * codes array<bigint>) — m small ints per vector, bucketable on
+    * cent_id like every other index here. No shuffle: centroids and
+    * codebooks are broadcast literals, encoding is a projection.
+    */
+  def pqIndex(vectors: DataFrame, centroids: DataFrame, idCol: String,
+              vecCol: String, books: Seq[Seq[(Long, Seq[Double])]]): DataFrame = {
+    graft.functions.VectorFunctions.register(vectors.sparkSession)
+    val m = books.size
+    val dsub = books.head.head._2.size
+    val e = prepared(vectors, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    assignNearest(e, cents)
+      .join(broadcast(cents), "cent_id") // bounded: k coarse rows
+      .withColumn("r", expr("zip_with(v, cv, (a, b) -> a - b)"))
+      .withColumn("books", booksCol(books))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${m - 1}),
+              j -> nearest_centroid_l2(
+                slice(r, CAST(j * $dsub + 1 AS INT), $dsub),
+                element_at(books, CAST(j + 1 AS INT))))"""))
+      .select(col("vec_id"), col("cent_id"), col("codes"))
+  }
+
+  /** IVF-PQ, the online half (IVFADC): coarse-probe the query's nProbe
+    * nearest cells (exact query vector vs full-precision centroids),
+    * then rank candidates by cosine of the query against each
+    * candidate's RECONSTRUCTION — cell centroid + the codebook entries
+    * its codes name, concatenated in subspace order. Numerically this
+    * is the asymmetric distance computation: the query stays exact, the
+    * per-subspace dot is the ADC lookup-table term. Same shape as
+    * [[ivfSearch]]: broadcast probes + broadcast 1-row query + the
+    * k-row centroid and m×ksub codebook literals, index streams once,
+    * TakeOrderedAndProject, zero shuffle.
+    */
+  def pqSearch(index: DataFrame, vectors: DataFrame, centroids: DataFrame,
+               idCol: String, vecCol: String,
+               books: Seq[Seq[(Long, Seq[Double])]],
+               queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.VectorFunctions.register(index.sparkSession)
+    val m = books.size
+    val e = prepared(vectors, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol)
+      .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
+    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val probes = cents.crossJoin(broadcast(qv)) // bounded: 1 query row
+      .withColumn("cd", expr("cosine_sim(cv, qv)"))
+      .orderBy(col("cd").desc, col("cent_id"))
+      .limit(nProbe)
+      .select(col("cent_id"))
+    index.join(broadcast(probes), "cent_id") // bounded: nProbe cell ids
+      .join(broadcast(cents), "cent_id") // bounded: k coarse rows
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(qv)) // bounded: 1 query row
+      .withColumn("books", booksCol(books))
+      .withColumn("rhat", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}),
+              j -> element_at(element_at(books, CAST(j + 1 AS INT)),
+                     CAST(element_at(codes, CAST(j + 1 AS INT)) AS INT) + 1)._2))"""))
+      .withColumn("vhat", expr("zip_with(cv, rhat, (a, b) -> a + b)"))
+      .withColumn("pqcos", expr("cosine_sim(vhat, qv)"))
+      .orderBy(col("pqcos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("cent_id"), round(col("pqcos"), 4).as("pqcos"))
+  }
+
+  /** PQ-pruned exact re-rank (the FAISS refine stage): take the top
+    * `rerank` candidates by ADC score, then rank exactly those ids
+    * against the raw vectors. The corpus-wide scan stays code-width;
+    * full-precision reads are confined to `rerank` rows fetched by id —
+    * the standard lever when ADC granularity caps recall.
+    */
+  def pqTopKRerank(index: DataFrame, vectors: DataFrame,
+                   centroids: DataFrame, idCol: String, vecCol: String,
+                   books: Seq[Seq[(Long, Seq[Double])]], queryId: Long,
+                   k: Int, nProbe: Int, rerank: Int = 100): DataFrame = {
+    val cand = pqSearch(index, vectors, centroids, idCol, vecCol, books,
+      queryId, k = rerank, nProbe = nProbe).select(col("vec_id"))
+    val e = prepared(vectors, idCol, vecCol)
+    val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.join(broadcast(cand), "vec_id") // bounded: rerank ids
+      .crossJoin(broadcast(qv))
+      .withColumn("cos", expr("cosine_sim(v, qv)"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+  }
+
+  /** Build-and-search convenience mirroring [[ivfQuantizedTopK]]. */
+  def pqTopK(vectors: DataFrame, centroids: DataFrame, idCol: String,
+             vecCol: String, queryId: Long, k: Int, nProbe: Int,
+             m: Int = 8, ksub: Int = 16): DataFrame = {
+    val books = pqCodebooks(vectors, centroids, idCol, vecCol, m, ksub)
+    pqSearch(pqIndex(vectors, centroids, idCol, vecCol, books),
+      vectors, centroids, idCol, vecCol, books, queryId, k, nProbe)
+  }
 }

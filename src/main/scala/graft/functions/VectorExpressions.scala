@@ -395,6 +395,96 @@ final case class NearestCentroid(left: Expression, right: Expression)
   override def prettyName: String = "nearest_centroid"
 }
 
+/** `nearest_centroid_l2(v, cents)`: id of the EUCLIDEAN-nearest
+  * centroid — the assignment metric of product-quantization codebooks,
+  * where the goal is reconstruction error, not angular similarity
+  * (cosine assignment ignores subvector magnitude and reconstructs the
+  * wrong norm). Same contract as [[NearestCentroid]]: `cents` sorted
+  * ascending by id, ties keep the first (lowest-id) minimum via the
+  * strict `<`, squared distance summed in index order (sequential adds
+  * — the same fold a relational oracle's list_reduce replays
+  * bit-identically), -1 for an empty array, codegen'd single fused
+  * loop.
+  */
+final case class NearestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _),
+          ArrayType(StructType(Array(idF, cvF)), _))
+        if idF.dataType == LongType &&
+           (cvF.dataType match {
+             case ArrayType(DoubleType, _) => true; case _ => false
+           }) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<double>, array<struct<bigint, array<double>>>), " +
+        s"got ${l.sql}, ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    var best = -1L
+    var bestD = Double.PositiveInfinity
+    var bi = 0
+    val k = cents.numElements()
+    while (bi < k) {
+      val c = cents.getStruct(bi, 2)
+      val cv = c.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val diff = v.getDouble(j) - cv.getDouble(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c.getLong(0) }
+      bi += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cents) => {
+      val bi = ctx.freshName("bi")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      s"""
+         |long $best = -1L;
+         |double $bestD = Double.POSITIVE_INFINITY;
+         |int $k = $cents.numElements();
+         |for (int $bi = 0; $bi < $k; $bi++) {
+         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($bi, 2);
+         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
+         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    double $diff = $v.getDouble($j) - $cv.getDouble($j);
+         |    $d += $diff * $diff;
+         |  }
+         |  if ($d < $bestD) { $bestD = $d; $best = $c.getLong(0); }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidL2 =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "nearest_centroid_l2"
+}
+
 object VectorFunctions {
   /** Idempotently register `vec_dot` / `cosine_sim` /
     * `nearest_centroid` as SQL functions on the session, usable from
@@ -414,5 +504,7 @@ object VectorFunctions {
       exprs => QuantizeI8(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nearest_centroid_l2",
+      exprs => NearestCentroidL2(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -132,7 +132,52 @@ object Pipeline {
     * the oracle.
     */
   private[graft] def resolveOracle(sql: String): String =
-    resolveBpeMerges(resolveTempThresholds(resolveLshPlanes(resolveKmeans(sql))))
+    resolvePqBooks(resolveBpeMerges(
+      resolveTempThresholds(resolveLshPlanes(resolveKmeans(sql)))))
+
+  /** PQ codebooks per (session, dir): m × ksub × dsub doubles of driver
+    * metadata (the k-means discipline), shared by the index build, the
+    * search, and the oracle literal.
+    */
+  private val pqCache = scala.collection.concurrent
+    .TrieMap[(Int, String), Seq[Seq[(Long, Seq[Double])]]]()
+  private[graft] val PqM = 8
+  private[graft] val PqKsub = 16
+
+  private[graft] def pqBooks(s: SparkSession,
+                             dir: String): Seq[Seq[(Long, Seq[Double])]] =
+    pqCache.synchronized {
+      pqCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        val e = t(s, dir, "embeddings")
+        Similarity.pqCodebooks(e, e.filter(col("vec_id") < 16),
+          "vec_id", "embedding", m = PqM, ksub = PqKsub, iters = 2)
+      })
+    }
+
+  private[graft] val pqPlaceholder = "__GRAFT_PQ_BOOKS__"
+
+  /** `__GRAFT_PQ_BOOKS__` → DuckDB VALUES rows (j, code, bv) of the
+    * trained PQ codebooks — CAST('<repr>' AS DOUBLE) components for the
+    * same shortest-round-trip reasons as the k-means literal.
+    */
+  private def resolvePqBooks(sql: String): String =
+    if (!sql.contains(pqPlaceholder)) sql
+    else SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case None => sql
+      case Some(s) =>
+        scala.util.Try(pqBooks(s, Sources.oracleSfDir)) match {
+          case scala.util.Failure(_) => sql
+          case scala.util.Success(books) =>
+            val rows = books.zipWithIndex.flatMap { case (cb, j) =>
+              cb.map { case (code, cv) =>
+                cv.map(d => s"CAST('$d' AS DOUBLE)")
+                  .mkString(s"(CAST($j AS BIGINT), CAST($code AS BIGINT), [",
+                    ", ", "])")
+              }
+            }.mkString(", ")
+            sql.replace(pqPlaceholder, rows)
+        }
+    }
 
   /** BPE merges learned once per (session, dir) from the corpus's
     * DISTINCT (word, count) table — V-bounded driver work, the same
@@ -1171,6 +1216,65 @@ object Pipeline {
           .select(col("vec_id").cast("long").as("cent_id"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))
         Similarity.ivfSearchPruned(s, tbl, cents, queryId = 1, k = 10, nProbe = 4)
+      }),
+
+    // IVF-PQ (Jégou'11): coarse cells prune IO, product codes shrink
+    // the index 64x (8 codes vs 64 doubles). Deterministic end-to-end —
+    // L2 code assignment with sequential folds and lowest-code ties,
+    // cosine-vs-reconstruction ranking — so it carries a full DuckDB
+    // oracle via the codebook literal (the k-means driver-literal
+    // technique, extended to m subspace codebooks as VERDICT r9
+    // prescribed).
+    Q("q_sim_ivf_pq",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+                    asg AS (SELECT e.vec_id, e.v, c.cid,
+                                   row_number() OVER (PARTITION BY e.vec_id
+                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                            FROM e CROSS JOIN c),
+                    cell AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+                    cellv AS (SELECT cell.vec_id, cell.v, cell.cid, c.cv
+                              FROM cell JOIN c ON c.cid = cell.cid),
+                    bk AS (SELECT * FROM (VALUES $pqPlaceholder) t(j, code, bv)),
+                    dist AS (SELECT cellv.vec_id, bk.j, bk.code, bk.bv,
+                                    list_reduce(list_transform(range(1, 9),
+                                      i -> (cellv.v[bk.j * 8 + i]
+                                              - cellv.cv[bk.j * 8 + i]
+                                              - bk.bv[i])
+                                         * (cellv.v[bk.j * 8 + i]
+                                              - cellv.cv[bk.j * 8 + i]
+                                              - bk.bv[i])),
+                                      (a, b) -> a + b) AS sqd
+                             FROM cellv CROSS JOIN bk),
+                    enc AS (SELECT vec_id, j, bv FROM (
+                              SELECT dist.*, row_number() OVER (
+                                PARTITION BY vec_id, j
+                                ORDER BY sqd ASC, code ASC) AS rn
+                              FROM dist) WHERE rn = 1),
+                    vh AS (SELECT vec_id, flatten(list(bv ORDER BY j)) AS rhat
+                           FROM enc GROUP BY vec_id),
+                    vrec AS (SELECT cellv.vec_id, cellv.cid,
+                                    list_transform(range(1, len(cellv.cv) + 1),
+                                      i -> cellv.cv[i] + vh.rhat[i]) AS vhat
+                             FROM cellv JOIN vh USING (vec_id)),
+                    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+                    probes AS (SELECT cid FROM c, q
+                               ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+                    cand AS (SELECT vrec.vec_id, vrec.cid,
+                                    list_cosine_similarity(vrec.vhat, qv) AS pq_raw
+                             FROM vrec JOIN probes ON probes.cid = vrec.cid, q
+                             WHERE vrec.vec_id <> 1)
+               SELECT vec_id, cid AS cent_id, ROUND(pq_raw, 4) AS pqcos
+               FROM cand ORDER BY pq_raw DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val coarse = e.filter(col("vec_id") < 16)
+        val books = pqBooks(s, dir)
+        Similarity.pqSearch(
+          Similarity.pqIndex(e, coarse, "vec_id", "embedding", books),
+          e, coarse, "vec_id", "embedding", books,
+          queryId = 1, k = 10, nProbe = 4)
       }),
 
     // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates

@@ -79,6 +79,35 @@ object AnnRecallProbe {
         println(f"  ivf nProbe=$nProbe%-2d            recall=${r}%5.3f  " +
           f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
       }
+      // IVF-PQ (residual/IVFADC): same coarse cells, candidates ranked
+      // on cell-centroid + m-subspace residual reconstructions
+      // (dim/8-code rows) instead of raw vectors; plus the FAISS-style
+      // exact re-rank of the ADC top-100
+      val pqB = Similarity.pqCodebooks(vecs, cents, "vec_id", "embedding",
+        m = dim / 8, ksub = 16, iters = 2)
+      val pqIdx = Similarity.pqIndex(vecs, cents, "vec_id", "embedding", pqB)
+        .persist()
+      pqIdx.count()
+      for (nProbe <- Seq(4, 8)) {
+        val t0 = System.nanoTime()
+        val r = queries.map { q =>
+          recallOf(Similarity.pqSearch(pqIdx, vecs, cents,
+            "vec_id", "embedding", pqB, q, k, nProbe), exact(q))
+        }.sum.toDouble / (nQueries * k)
+        println(f"  ivf-pq m=${dim / 8} nProbe=$nProbe%-2d     recall=${r}%5.3f  " +
+          f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
+      }
+      locally {
+        val t0 = System.nanoTime()
+        val r = queries.map { q =>
+          recallOf(Similarity.pqTopKRerank(pqIdx, vecs, cents,
+            "vec_id", "embedding", pqB, q, k, nProbe = 8, rerank = 100),
+            exact(q))
+        }.sum.toDouble / (nQueries * k)
+        println(f"  ivf-pq rerank@100 nProbe=8 recall=${r}%5.3f  " +
+          f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
+      }
+      pqIdx.unpersist()
       for (bits <- Seq(6, 8, 10)) {
         val t0 = System.nanoTime()
         val r = queries.map { q =>

@@ -1116,6 +1116,43 @@ class ApiSpec extends AnyFunSuite {
     assert(out === expect, out)
   }
 
+  test("IVF-PQ: L2 code assignment ties to lowest code, full-coverage " +
+    "rerank recovers the exact top-k") {
+    import graft.api.Similarity
+    graft.functions.VectorFunctions.register(spark)
+    // strict-min with lowest-id tie: entries 0 and 1 are equidistant
+    assert(spark.sql(
+      """SELECT nearest_centroid_l2(array(1.0D, 0.0D),
+           array(struct(0L, array(1.0D, 0.0D)),
+                 struct(1L, array(1.0D, 0.0D)),
+                 struct(2L, array(0.0D, 9.0D))))""").head().getLong(0) === 0L)
+    assert(spark.sql(
+      """SELECT nearest_centroid_l2(array(0.0D, 8.0D),
+           array(struct(0L, array(1.0D, 0.0D)),
+                 struct(2L, array(0.0D, 9.0D))))""").head().getLong(0) === 2L)
+    // deterministic synthetic vectors; coarse cells = first 4 ids
+    val vecs = spark.range(60).selectExpr("id AS vec_id",
+      """transform(sequence(0, 15), d ->
+           CAST(pmod(xxhash64(id % 5, d), 100) AS DOUBLE) / 50.0
+           + CAST(pmod(xxhash64(id, d), 7) AS DOUBLE) / 40.0) AS embedding""")
+    val cents = vecs.filter(col("vec_id") < 4)
+    val books = Similarity.pqCodebooks(vecs, cents, "vec_id", "embedding",
+      m = 4, ksub = 8, iters = 2)
+    assert(books.size === 4 && books.forall(_.size === 8))
+    // codes are positional indexes into their codebook
+    val idx = Similarity.pqIndex(vecs, cents, "vec_id", "embedding", books)
+    val codes = idx.selectExpr("explode(codes) AS c").collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= 0 && c < 8))
+    // nProbe = all cells + rerank >= corpus makes the PQ path a pure
+    // pruning layer: the reranked result must equal the exact top-k
+    val exact = Similarity.topK(vecs, "vec_id", "embedding", queryId = 1, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val rr = Similarity.pqTopKRerank(idx, vecs, cents, "vec_id", "embedding",
+      books, queryId = 1, k = 5, nProbe = 4, rerank = 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(rr === exact, s"rerank=$rr exact=$exact")
+  }
+
   test("length percentiles pick exact integer-rank elements") {
     val docs = spark.createDataFrame(
       (1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ ((99L, "b", 7L))

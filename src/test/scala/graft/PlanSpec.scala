@@ -288,6 +288,20 @@ class PlanSpec extends AnyFunSuite {
       s"the probed-cell and query joins must broadcast, never shuffle:\n$p")
   }
 
+  test("IVF-PQ search is broadcast-only (no shuffle join, no global sort)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.api.Similarity.pqTopK(
+      e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
+      "vec_id", "embedding", queryId = 1, k = 10, nProbe = 4)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the probed-cell and query joins must broadcast, never shuffle:\n$p")
+  }
+
   test("rp top-k is broadcast + TakeOrderedAndProject (no shuffle join)") {
     val df = graft.api.Similarity.rpTopK(
       spark.read.parquet(s"$sfDir/embeddings.parquet"),
