@@ -460,21 +460,27 @@ object TextAnalysis {
     * row per affected document: (id, prefix, n_docs sharing it) for
     * prefixes held by ≥ `minDocs` documents.
     *
-    * Scale shape: one groupBy(prefix) with map-side partial aggregation
-    * (prefix strings are k tokens, not documents), filtered to the hot
-    * set BEFORE re-joining the per-document prefix frame — templates
-    * are few, so the join side AQE sees is broadcast-sized even when
-    * the corpus is 100 TB. No window over the full corpus, no
-    * corpus-sized shuffle beyond the one hash aggregation.
+    * Scale shape: the aggregation keys on xxhash64(prefix) with
+    * map-side partials, filtered to the hot set BEFORE re-joining the
+    * per-document frame — templates are few, so the join side AQE sees
+    * is broadcast-sized even when the corpus is 100 TB. The
+    * corpus-sized join probe carries only (id, 8-byte hash) — the
+    * round-6 postings trick: the prefix STRING survives only on the
+    * hot side (its aggregation exchange is per-distinct-prefix, not
+    * per-doc), a ~4-8× cut of the probe exchange at crawl scale. No
+    * window over the full corpus. Two distinct prefixes colliding at 64
+    * bits would merge (~2⁻⁶⁴ per pair — the near-dup postings trade).
     */
   def prefixBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, minDocs: Long): DataFrame = {
     val pref = docs.select(col(idCol),
-      array_join(slice(split(col(textCol), " "), 1, k), " ").as("prefix"))
-    val hot = pref.groupBy("prefix")
-      .agg(count(lit(1)).as("n_docs"))
+        array_join(slice(split(col(textCol), " "), 1, k), " ").as("prefix"))
+      .withColumn("ph", xxhash64(col("prefix")))
+    val hot = pref.groupBy("ph")
+      // one string per distinct hash (identical prefixes mod collision)
+      .agg(min(col("prefix")).as("prefix"), count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
-    pref.join(hot, "prefix")
+    pref.select(col(idCol), col("ph")).join(hot, "ph")
       .select(col(idCol), col("prefix"), col("n_docs"))
   }
 

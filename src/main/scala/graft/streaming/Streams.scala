@@ -467,6 +467,63 @@ object Streams {
     spark.read.parquet(outDir).select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Streaming incremental SEMANTIC dedup — the cell-indexed twin of
+    * [[incrementalDedupReplay]]: vectors arrive in micro-batches
+    * (`maxFilesPerTrigger=1`), each batch runs
+    * [[graft.api.Dedup.semanticDedupIncrement]] against the STATIC
+    * corpus IVF index plus every previously-processed newcomer, and the
+    * batch's survivors land exactly-once in their own `batch_id=N`
+    * partition. The processed-newcomer fold (`_seen`, also
+    * partition-overwritten per batch, so checkpoint redelivery is
+    * idempotent end-to-end) is ALL of each batch's assigned rows, not
+    * just survivors — the batch operator's min-id dominance drops a
+    * newcomer on ANY lower-id peer, surviving or not, so provided
+    * newcomer ids ascend with batch order the union over batches equals
+    * the one-shot incremental result exactly (the parity ScaleProbe
+    * asserts). Per-batch cost ∝ batch + probed corpus cells — the
+    * corpus is never re-assigned.
+    */
+  def semanticDedupReplay(spark0: SparkSession, filesGlob: String,
+                          vecSchema: StructType, idCol: String,
+                          vecCol: String, corpusIndex: DataFrame,
+                          centroids: DataFrame,
+                          threshold: Double): DataFrame = {
+    val spark = childSession(spark0, rocksdb = false)
+    val name = "semincr_" + UUID.randomUUID().toString.replace("-", "")
+    val base = s"${sys.props("java.io.tmpdir")}/graft-semincr/" +
+      s"${System.identityHashCode(spark0)}_${math.abs(filesGlob.hashCode)}"
+    val outDir = s"$base/survivors"
+    val seenDir = s"$base/seen"
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      f.delete(): Unit
+    }
+    rmTree(new java.io.File(base))
+    val corpus = corpusIndex.select(col("vec_id"), col("v"), col("cent_id"))
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val prior = scala.util.Try(spark.read.parquet(seenDir)
+        .select(col("vec_id"), col("v"), col("cent_id"))).toOption
+      val ref = prior.map(corpus.unionByName(_)).getOrElse(corpus)
+      graft.api.Dedup
+        .semanticDedupIncrement(ref, centroids, batch, idCol, vecCol,
+          threshold)
+        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      graft.api.Similarity.ivfIndex(batch, centroids, idCol, vecCol)
+        .write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+    }
+    val q = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(filesGlob)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$ckBase/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmCk(name)
+    spark.read.parquet(outDir).select("vec_id", "cent_id")
+  }
+
   /** Count-min sketch maintained AS streaming state: tokens stream in
     * micro-batches and the running aggregation keys are (seed, bucket)
     * — at most depth × width rows of state no matter how much corpus

@@ -319,6 +319,64 @@ object ScaleProbe {
       f"fixed k: within-cell term grows ${mult}²)  ${mult}x with k∝corpus: " +
       f"$semK survivors ${dsK}%.2f s (per-cell work flat)")
 
+    // streaming semantic incremental parity at mult x corpus: a fixed
+    // 3-file increment (ids ascending with batch order) replays through
+    // the exactly-once foreachBatch sink against the STATIC corpus IVF
+    // index; the union of per-batch survivors must EQUAL the one-shot
+    // semanticDedupIncrement result (batch-boundary parity via the
+    // processed-newcomer fold), and the survivor set must be invariant
+    // to corpus replication (replicas are exact copies). The corpus is
+    // assigned once per scale — per-run cost is increment + probed
+    // cells, never a corpus re-shuffle.
+    locally {
+      val incBase = 50000000L
+      val nEmb = emb0.count()
+      val incVecs = emb0.select(
+        (col("vec_id") + lit(incBase)).as("vec_id"),
+        expr("IF(vec_id % 2 = 0, embedding, reverse(embedding))")
+          .as("embedding"))
+      val incDir = s"${sys.props("java.io.tmpdir")}/graft-probe-semincr"
+      (0 until 3).foreach { i =>
+        val lo = incBase + i * nEmb / 3
+        val hi = if (i == 2) Long.MaxValue else incBase + (i + 1) * nEmb / 3
+        incVecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$incDir/s$i")
+      }
+      val glob = s"$incDir/s*"
+      val vecSchema = spark.read.parquet(s"$incDir/s0").schema
+      val incAll = spark.read.parquet(glob)
+      def survivors(corpus: org.apache.spark.sql.DataFrame): (Set[Long], Set[Long], Double, Double) = {
+        val t0 = System.nanoTime()
+        val st = graft.streaming.Streams.semanticDedupReplay(spark, glob,
+            vecSchema, "vec_id", "embedding", corpus, semCents, 0.2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        val d0 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val ba = Dedup.semanticDedupIncrement(corpus, semCents, incAll,
+            "vec_id", "embedding", 0.2)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (st, ba, d0, (System.nanoTime() - t1) / 1e9)
+      }
+      val idx1 = Similarity.ivfIndex(emb0, semCents, "vec_id", "embedding")
+        .persist()
+      idx1.count()
+      val (st1, ba1, dst1, dba1) = survivors(idx1)
+      require(st1 == ba1, s"stream/batch semantic-incr parity broke at 1x: " +
+        s"stream=${st1.size} batch=${ba1.size}")
+      val idxN = Similarity.ivfIndex(emb, semCents, "vec_id", "embedding")
+        .persist()
+      idxN.count()
+      val (stN, baN, dstN, dbaN) = survivors(idxN)
+      require(stN == baN, s"stream/batch semantic-incr parity broke at ${mult}x")
+      require(stN == st1, s"survivors must be invariant under exact-copy " +
+        s"corpus replication: 1x=${st1.size} ${mult}x=${stN.size}")
+      idx1.unpersist(); idxN.unpersist()
+      println(f"stream semantic-incr (${mult}x corpus): survivors=${st1.size} " +
+        f"(stream==one-shot batch at BOTH scales, invariant under replication)  " +
+        f"1x stream ${dst1}%.2f s / batch ${dba1}%.2f s  " +
+        f"${mult}x stream ${dstN}%.2f s / batch ${dbaN}%.2f s")
+    }
+
     // BM25 at mult x corpus: the dl pass is a projection and the
     // tokenized volume is the query terms' posting lists, so wall must
     // track corpus size ~linearly (never posting-explode the full
