@@ -52,6 +52,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === batch)
   }
 
+  test("streamed semantic incremental dedup equals the one-shot increment") {
+    import graft.api.{Dedup, Similarity}
+    val emb = graft.ops.H.t(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = Similarity.ivfIndex(emb, cents, "vec_id", "embedding")
+    // 3 arrival files with ids ASCENDING by batch order (the parity
+    // precondition): half exact copies (corpus-dominated), half
+    // reversed vectors
+    val base = 90000L
+    val n = emb.count()
+    val inc = emb.select((col("vec_id") + lit(base)).as("vec_id"),
+      expr("IF(vec_id % 2 = 0, embedding, reverse(embedding))")
+        .as("embedding"))
+    val incDir = s"${sys.props("java.io.tmpdir")}/graft-test-semincr"
+    (0 until 3).foreach { i =>
+      val lo = base + i * n / 3
+      val hi = if (i == 2) Long.MaxValue else base + (i + 1) * n / 3
+      inc.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$incDir/s$i")
+    }
+    val glob = s"$incDir/s*"
+    val streamed = Streams.semanticDedupReplay(spark, glob,
+      spark.read.parquet(s"$incDir/s0").schema, "vec_id", "embedding",
+      corpus, cents, threshold = 0.2)
+    val nBatches = streamed.inputFiles
+      .map(_.replaceAll(".*batch_id=([0-9]+).*", "$1")).distinct.length
+    assert(nBatches >= 2, s"expected >=2 micro-batch partitions, got $nBatches")
+    val got = streamed.select("vec_id").collect().map(_.getLong(0)).toSet
+    val oneShot = Dedup.semanticDedupIncrement(corpus, cents,
+        spark.read.parquet(glob), "vec_id", "embedding", threshold = 0.2)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got === oneShot)
+    // exact copies of corpus vectors must all be dominated away
+    assert(got.forall(_ % 2 === 1), s"an exact copy survived: $got")
+  }
+
   test("streamed cms sketch equals the batch sketch over the same slice") {
     import graft.api.Sketches
     import graft.ops.{Pipeline, Sources}
