@@ -35,7 +35,7 @@ object Bench {
       .groupBy("r_name").count().count()
 
     // Host-speed calibration: one fixed synthetic reference task (hash +
-    // 32-way shuffled aggregation over 5e7 longs) timed after warmup.
+    // 32-way shuffled aggregation over 2e7 longs) timed after warmup.
     // Emitted as host_ref_sec (raw) and host_factor (vs the idle-host
     // nominal above) so the judge can tell host drift from regression.
     val calT0 = System.nanoTime()

@@ -246,6 +246,20 @@ object Dedup {
     * are kept (possibly shortened), never dropped — the production dedup
     * mode for template-heavy corpora where doc-level drops over-delete.
     *
+    * Recall caveat (vs the suffix-array reference implementation):
+    * occurrences are matched by WHOLE-maximal-run identity. When the
+    * maximal shared-run extents of the same block differ across docs —
+    * doc A's run extends past the block because a third doc shares its
+    * boundary-straddling grams while doc B's run is the block alone —
+    * the two runs carry different fingerprints, each becomes its own
+    * keeper, and neither copy is cut (under-removal, never
+    * over-removal: only exact whole-run matches beyond the first are
+    * removed). The suffix-array operator cuts at substring granularity
+    * and would catch these; here that precision is traded for the
+    * gram-exchange + islands plan, which needs no corpus-wide suffix
+    * structure. The DuckDB oracle replays the same rule, so the trade
+    * is pinned, not hidden.
+    *
     * Output: (doc_id, text_clean, n_removed) — one row per input doc.
     *
     * Scale shape:
@@ -752,10 +766,23 @@ object Dedup {
     */
   def semanticDedupIncrement(corpusIndex: DataFrame, centroids: DataFrame,
                              incoming: DataFrame, idCol: String,
-                             vecCol: String, threshold: Double): DataFrame = {
-    val spark = incoming.sparkSession
+                             vecCol: String, threshold: Double): DataFrame =
+    semanticDedupIncrementAssigned(corpusIndex,
+      Similarity.ivfIndex(incoming, centroids, idCol, vecCol), threshold)
+
+  /** [[semanticDedupIncrement]] over an ALREADY-ASSIGNED increment
+    * (the [[Similarity.ivfIndex]] frame (vec_id, v, cent_id)) — the
+    * entry point for callers that computed the assignment for their own
+    * purposes (the streaming replay folds it into its `_seen` set) and
+    * must not pay the centroid argmax scan twice per batch.
+    */
+  def semanticDedupIncrementAssigned(corpusIndex: DataFrame,
+                                     incomingAssigned: DataFrame,
+                                     threshold: Double): DataFrame = {
+    val spark = incomingAssigned.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val inc = pin(Similarity.ivfIndex(incoming, centroids, idCol, vecCol)
+    val inc = pin(incomingAssigned
+      .select(col("vec_id"), col("v"), col("cent_id"))
       .repartition(col("cent_id"))
       .persist(StorageLevel.MEMORY_AND_DISK))
     val byCorpus = inc.as("n")

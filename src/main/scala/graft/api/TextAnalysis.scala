@@ -226,13 +226,18 @@ object TextAnalysis {
     val spark = docs.sparkSession
     import spark.implicits._
     val ranks = Bpe.ranksOf(merges)
-    val wordToks = docs
-      .select(explode(split(col(textCol), " ")).as("word")).distinct()
+    // tokenize ONCE: the materialized (id, word) frame feeds both the
+    // distinct-vocab encode and the join probe — without it each
+    // consumer re-runs the corpus split/explode scan (the shingles /
+    // shared-segment exchange-reuse discipline)
+    val ex = Pins.pin(docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wordToks = ex.select(col("word")).distinct()
       .as[String]
       .map(w => (w, Bpe.countTokens(w, ranks).toLong))
       .toDF("word", "n_toks")
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
-      .join(wordToks, "word")
+    ex.join(wordToks, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_bpe_tokens"))
   }

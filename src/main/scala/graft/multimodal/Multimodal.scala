@@ -545,6 +545,10 @@ object Multimodal {
               walk(off + hdr, boxEnd)
               inVideoTrak = was
             case "tkhd" if width < 0 =>
+              // version byte read needs its own guard: a bare 8-byte
+              // box header at EOF passes the loop's off+8 check with an
+              // EMPTY body — contract exception, not a bounds error
+              require(po < boxEnd, "truncated tkhd box")
               val v = payload(po) & 0xff
               val wOff = po + (if (v == 1) 88 else 76)
               require(wOff + 8 <= boxEnd, "truncated tkhd box")
@@ -552,6 +556,7 @@ object Multimodal {
               val h = (be32(payload, wOff + 4) >> 16).toInt
               if (w > 0) { width = w; height = h; inVideoTrak = true }
             case "mdhd" if inVideoTrak && ts < 0 =>
+              require(po < boxEnd, "truncated mdhd box")
               val v = payload(po) & 0xff
               val tOff = po + (if (v == 1) 20 else 12)
               require(tOff + (if (v == 1) 12 else 8) <= boxEnd,

@@ -198,6 +198,15 @@ object Pipeline {
           .groupBy("word").count()
           .collect().map(r => r.getString(0) -> r.getLong(1))
           .toSeq.sortBy(_._1)
+        // the oracle's merge-replay fold joints tokens with chr(30); a
+        // corpus word containing that byte would corrupt the DuckDB
+        // replay while Spark encodes fine — fail loudly instead of
+        // silently diverging (the audioEnergyFromText ASCII-guard rule)
+        wc.find(_._1.indexOf('\u001e') >= 0).foreach { case (w, _) =>
+          throw new IllegalArgumentException(
+            s"corpus word ${w.take(40)} contains chr(30), the BPE " +
+              "oracle's fold separator — oracle replay would diverge")
+        }
         graft.api.Bpe.train(wc, BpeNumMerges)
       })
     }

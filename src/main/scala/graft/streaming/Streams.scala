@@ -406,6 +406,21 @@ object Streams {
         col("buy_id").asc_nulls_first)
   }
 
+  /** Per-(session, source-glob) scratch dir under java.io.tmpdir —
+    * repeated invocations overwrite one directory instead of leaking a
+    * fresh UUID dir per call. hashCode is widened to Long before abs:
+    * math.abs(Int.MinValue) is still negative.
+    */
+  private def scratchDir(spark0: SparkSession, ns: String,
+                         key: String): String =
+    s"${sys.props("java.io.tmpdir")}/$ns/" +
+      s"${System.identityHashCode(spark0)}_${math.abs(key.hashCode.toLong)}"
+
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete(): Unit
+  }
+
   /** Streaming incremental near-dup detection — continuous corpus
     * ingestion deduped per micro-batch against a STATIC corpus band
     * index. Each arriving file of documents becomes one micro-batch
@@ -438,12 +453,7 @@ object Streams {
     // instead of leaking a fresh UUID dir per call (the checkpoint gets
     // the same treatment via rmCk), and a stale partition from an
     // earlier run with more batches can't bleed into the read-back
-    val outDir = s"${sys.props("java.io.tmpdir")}/graft-incr/" +
-      s"${System.identityHashCode(spark0)}_${math.abs(filesGlob.hashCode)}"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
+    val outDir = scratchDir(spark0, "graft-incr", filesGlob)
     rmTree(new java.io.File(outDir))
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
       val sh = graft.api.Dedup.shingles(batch, idCol, textCol)
@@ -490,26 +500,34 @@ object Streams {
                           threshold: Double): DataFrame = {
     val spark = childSession(spark0, rocksdb = false)
     val name = "semincr_" + UUID.randomUUID().toString.replace("-", "")
-    val base = s"${sys.props("java.io.tmpdir")}/graft-semincr/" +
-      s"${System.identityHashCode(spark0)}_${math.abs(filesGlob.hashCode)}"
+    val base = scratchDir(spark0, "graft-semincr", filesGlob)
     val outDir = s"$base/survivors"
     val seenDir = s"$base/seen"
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
-      f.delete(): Unit
-    }
     rmTree(new java.io.File(base))
     val corpus = corpusIndex.select(col("vec_id"), col("v"), col("cent_id"))
     val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      // the prior read MUST exclude this batch's own partition: on
+      // checkpoint redelivery (crash between the _seen write and the
+      // commit log) the re-run would otherwise see its own vectors in
+      // the reference set and self-dominate every newcomer, silently
+      // overwriting the batch's survivors with an empty set
       val prior = scala.util.Try(spark.read.parquet(seenDir)
+        .filter(col("batch_id") < batchId)
         .select(col("vec_id"), col("v"), col("cent_id"))).toOption
       val ref = prior.map(corpus.unionByName(_)).getOrElse(corpus)
-      graft.api.Dedup
-        .semanticDedupIncrement(ref, centroids, batch, idCol, vecCol,
-          threshold)
-        .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-      graft.api.Similarity.ivfIndex(batch, centroids, idCol, vecCol)
-        .write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+      // assign ONCE per batch: the same frame feeds the increment
+      // check and the _seen fold (re-running ivfIndex per consumer
+      // would double the per-batch assignment scans)
+      val assigned = graft.api.Similarity
+        .ivfIndex(batch, centroids, idCol, vecCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.api.Dedup
+          .semanticDedupIncrementAssigned(ref, assigned, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        assigned
+          .write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+      } finally { assigned.unpersist(); () }
     }
     val q = spark.readStream.schema(vecSchema)
       .option("maxFilesPerTrigger", "1")

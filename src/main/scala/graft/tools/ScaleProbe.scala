@@ -348,12 +348,12 @@ object ScaleProbe {
       def survivors(corpus: org.apache.spark.sql.DataFrame): (Set[Long], Set[Long], Double, Double) = {
         val t0 = System.nanoTime()
         val st = graft.streaming.Streams.semanticDedupReplay(spark, glob,
-            vecSchema, "vec_id", "embedding", corpus, semCents, 0.2)
+            vecSchema, "vec_id", "embedding", corpus, semCents, 0.9)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         val d0 = (System.nanoTime() - t0) / 1e9
         val t1 = System.nanoTime()
         val ba = Dedup.semanticDedupIncrement(corpus, semCents, incAll,
-            "vec_id", "embedding", 0.2)
+            "vec_id", "embedding", 0.9)
           .select("vec_id").collect().map(_.getLong(0)).toSet
         (st, ba, d0, (System.nanoTime() - t1) / 1e9)
       }

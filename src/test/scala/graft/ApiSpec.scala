@@ -993,6 +993,14 @@ class ApiSpec extends AnyFunSuite {
     // not a box stream at all
     intercept[IllegalArgumentException](
       Multimodal.Mp4Codec.videoMeta(Array[Byte](1, 2, 3)))
+    // a bare 8-byte tkhd header (empty body) at EOF passes the loop's
+    // off+8 admission — the version-byte read must raise the CONTRACT
+    // exception, not ArrayIndexOutOfBounds
+    val bare = java.nio.ByteBuffer.allocate(24)
+      .putInt(24).put("moov".getBytes("US-ASCII"))
+      .putInt(16).put("trak".getBytes("US-ASCII"))
+      .putInt(8).put("tkhd".getBytes("US-ASCII")).array()
+    intercept[IllegalArgumentException](Multimodal.Mp4Codec.videoMeta(bare))
   }
 
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
