@@ -64,6 +64,89 @@ object NewOpsProbe {
     println(f"length percentiles (${mult}x corpus): 1x ${dlp1}%.2f s  " +
       f"${mult}x ${dlpN}%.2f s  time-growth=${dlpN / dlp1}%.1fx  " +
       f"percentiles-invariant=${lp1 == lpN}")
+
+    // ---- round-10 operators ----
+
+    // span removal: disjoint-gram replication => removed mass exactly mult x
+    val (sr1, dsr1) = tm(Dedup.removeSharedSegments(docsFor(1),
+      "doc_id", "text", 8, 3).agg(sum("n_removed")).collect()(0).getLong(0))
+    val (srN, dsrN) = tm(Dedup.removeSharedSegments(docsFor(mult),
+      "doc_id", "text", 8, 3).agg(sum("n_removed")).collect()(0).getLong(0))
+    println(f"span-removal (${mult}x corpus): 1x=$sr1 cut ${dsr1}%.2f s  " +
+      f"${mult}x=$srN cut ${dsrN}%.2f s  time-growth=${dsrN / dsr1}%.1fx  " +
+      f"cut-growth=${srN.toDouble / sr1}%.1fx")
+
+    // BPE token counts: fixed merges (trained on the 1x vocab, plain
+    // replication keeps the word set), totals exactly mult x
+    def docsSrcFor(m: Int) = docs0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+        col("text"))
+    val wc = docsSrcFor(1)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    val bpeM = graft.api.Bpe.train(wc, 200)
+    def bpeSum(m: Int): Long = TextAnalysis
+      .bpeTokenCounts(docsSrcFor(m), "doc_id", "text", bpeM)
+      .agg(sum("n_bpe_tokens")).collect()(0).getLong(0)
+    val (bp1, dbp1) = tm(bpeSum(1))
+    val (bpN, dbpN) = tm(bpeSum(mult))
+    println(f"bpe-tokens (${mult}x corpus): 1x=$bp1 ${dbp1}%.2f s  " +
+      f"${mult}x=$bpN ${dbpN}%.2f s  time-growth=${dbpN / dbp1}%.1fx  " +
+      f"token-growth=${bpN.toDouble / bp1}%.1fx")
+
+    // streaming semantic incremental: fixed 3-file increment against a
+    // mult x corpus index — stream union == one-shot batch, invariant
+    // to corpus replication, per-run cost never a corpus re-shuffle
+    import graft.api.Similarity
+    val emb0 = spark.read.parquet(s"$dir/embeddings.parquet")
+    def embFor(m: Int) = emb0
+      .crossJoin(spark.range(m).select(col("id").as("rep")))
+      .select((col("vec_id") + col("rep") * lit(1000000)).as("vec_id"),
+        col("embedding"))
+    val semCents = Similarity.kmeansCentroids(emb0, "vec_id", "embedding",
+        k = 16, iters = 2)
+      .select(col("cent_id").as("vec_id"), col("cv").as("embedding"))
+      .localCheckpoint()
+    val incBase = 50000000L
+    val nEmb = emb0.count()
+    val incVecs = emb0.select((col("vec_id") + lit(incBase)).as("vec_id"),
+      expr("IF(vec_id % 2 = 0, embedding, reverse(embedding))")
+        .as("embedding"))
+    val incDir = s"${sys.props("java.io.tmpdir")}/graft-newops-semincr"
+    (0 until 3).foreach { i =>
+      val lo = incBase + i * nEmb / 3
+      val hi = if (i == 2) Long.MaxValue else incBase + (i + 1) * nEmb / 3
+      incVecs.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(s"$incDir/s$i")
+    }
+    val vecSchema = spark.read.parquet(s"$incDir/s0").schema
+    val incAll = spark.read.parquet(s"$incDir/s*")
+    def semRun(m: Int): (Set[Long], Set[Long], Double, Double) = {
+      val idx = Similarity.ivfIndex(embFor(m), semCents,
+        "vec_id", "embedding").persist()
+      idx.count()
+      val t0 = System.nanoTime()
+      val st = graft.streaming.Streams.semanticDedupReplay(spark,
+          s"$incDir/s*", vecSchema, "vec_id", "embedding", idx, semCents, 0.9)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val d0 = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val ba = graft.api.Dedup.semanticDedupIncrement(idx, semCents, incAll,
+          "vec_id", "embedding", 0.9)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val d1 = (System.nanoTime() - t1) / 1e9
+      idx.unpersist()
+      (st, ba, d0, d1)
+    }
+    val (st1, ba1, dst1, dba1) = semRun(1)
+    val (stN, baN, dstN, dbaN) = semRun(mult)
+    println(f"stream semantic-incr (${mult}x corpus): " +
+      f"1x survivors=${st1.size} parity=${st1 == ba1} " +
+      f"stream ${dst1}%.2f s / batch ${dba1}%.2f s  " +
+      f"${mult}x survivors=${stN.size} parity=${stN == baN} " +
+      f"invariant=${st1 == stN} stream ${dstN}%.2f s / batch ${dbaN}%.2f s")
     spark.stop()
   }
 }
