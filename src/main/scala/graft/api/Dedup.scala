@@ -258,7 +258,10 @@ object Dedup {
     * and would catch these; here that precision is traded for the
     * gram-exchange + islands plan, which needs no corpus-wide suffix
     * structure. The DuckDB oracle replays the same rule, so the trade
-    * is pinned, not hidden.
+    * is pinned, not hidden. [[removeSharedSegmentsByGram]] is the
+    * aggressive counterpart (per-gram keepers — catches differing-extent
+    * blocks, may over-cut mosaics); the two bracket the suffix-array
+    * result from below and above.
     *
     * Output: (doc_id, text_clean, n_removed) — one row per input doc.
     *
@@ -318,6 +321,76 @@ object Dedup {
     // stitch: drop every token index covered by a cut span (spans of
     // adjacent runs may overlap by up to k-2 tokens — the index filter
     // handles that without double-counting)
+    toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(expr(
+          """transform(
+               filter(transform(w, (t, p) -> struct(t AS t, p + 1 AS j)),
+                      s -> NOT exists(spans,
+                             c -> s.j >= c.start AND s.j <= c.end_tok)),
+               s -> s.t)""")))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text_clean"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+  }
+
+  /** Span removal under the PER-GRAM keeper rule — the aggressive
+    * counterpart of [[removeSharedSegments]]: each shared k-gram's
+    * keeper is its min (doc_id, position) occurrence corpus-wide, a
+    * position is removable iff it is not its gram's keeper, and maximal
+    * runs of ≥ `minLen` removable positions are cut. Where the
+    * whole-run variant UNDER-deletes (a duplicated block whose maximal
+    * run extents differ across docs is cut from neither — extents never
+    * fingerprint-match), this rule catches every such block but can
+    * OVER-delete "mosaic" spans whose grams are each duplicated
+    * somewhere without any single doc containing the span contiguously
+    * (raise `minLen` to suppress: a cut needs minLen+k-1 consecutive
+    * tokens of wall-to-wall duplicated grams). The two operators
+    * bracket the suffix-array reference (Lee et al. 2022) from the two
+    * sides; both guarantee every shared gram survives at its keeper
+    * position, so no content is ever fully lost.
+    *
+    * Scale shape: strictly simpler than the whole-run variant — the
+    * keeper is a per-gram min-struct aggregation on the SAME
+    * materialized gram exchange the removability join then reuses
+    * (both keyed on g, exchange-aligned), then the per-doc islands
+    * window and the one corpus-vs-cuts stitch join.
+    */
+  def removeSharedSegmentsByGram(docs: DataFrame, idCol: String,
+                                 textCol: String, k: Int = 8,
+                                 minLen: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val pos = pin(toks.filter(size(col("w")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, size(w) - ${k - 1}),
+              i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
+                .mkString(", ")}))""")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
+      .repartition(col("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    // per-gram keeper (min (doc_id, i)) and document frequency in one
+    // aggregation over the materialized exchange; df >= 2 distinct docs
+    // defines "shared" exactly as sharedSegmentCoverage does
+    val keeper = pos.groupBy("g")
+      .agg(min(struct(col("doc_id"), col("i"))).as("kp"),
+        countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"), col("kp"))
+    val removable = pos.join(keeper, Seq("g"))
+      .filter(!(col("doc_id") === col("kp.doc_id") && col("i") === col("kp.i")))
+      .select(col("doc_id"), col("i"))
+    val wn = Window.partitionBy("doc_id").orderBy("i")
+    val cuts = removable
+      .withColumn("isl", col("i") - row_number().over(wn))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("start"), count(lit(1)).as("glen"))
+      .filter(col("glen") >= minLen)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"),
+        (col("start") + col("glen") + lit(k - 2)).as("end_tok"))).as("spans"))
     toks.join(cuts, Seq("doc_id"), "left")
       .withColumn("kept",
         when(col("spans").isNull, col("w")).otherwise(expr(

@@ -1490,6 +1490,59 @@ object Pipeline {
       (s, dir) => Dedup.removeSharedSegments(t(s, dir, "documents"),
         "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
 
+    // the PER-GRAM-keeper span removal (aggressive variant): every
+    // shared gram's min (doc_id, pos) occurrence is the keeper, runs of
+    // non-keeper positions are cut — catches duplicated blocks whose
+    // maximal-run extents differ across docs (which the whole-run
+    // variant keeps). The two queries bracket the suffix-array
+    // reference from below and above.
+    Q("q_dedup_span_gram",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   p AS (SELECT doc_id,
+                                unnest(range(1, len(w) - 6)) AS i,
+                                unnest(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(w[i:i+7], ' '))) AS g
+                         FROM d WHERE len(w) >= 8),
+                   sh AS (SELECT g FROM (
+                            SELECT g, count(DISTINCT doc_id) AS df
+                            FROM p GROUP BY g) WHERE df >= 2),
+                   kp AS (SELECT g, doc_id AS kd, i AS ki FROM (
+                            SELECT p.*, row_number() OVER (
+                              PARTITION BY g ORDER BY doc_id, i) AS rn
+                            FROM p WHERE g IN (SELECT g FROM sh))
+                          WHERE rn = 1),
+                   rmv AS (SELECT p.doc_id, p.i
+                           FROM p JOIN kp USING (g)
+                           WHERE NOT (p.doc_id = kp.kd AND p.i = kp.ki)),
+                   runs AS (SELECT doc_id, min(i) AS s, count(*) AS glen
+                            FROM (SELECT doc_id, i,
+                                         i - row_number() OVER (
+                                           PARTITION BY doc_id ORDER BY i)
+                                           AS isl
+                                  FROM rmv)
+                            GROUP BY doc_id, isl HAVING count(*) >= 3),
+                   rm AS (SELECT DISTINCT doc_id, j FROM (
+                            SELECT doc_id, unnest(range(s, s + glen + 7)) AS j
+                            FROM runs)),
+                   tok AS (SELECT doc_id, unnest(w) AS tk,
+                                  unnest(range(1, len(w) + 1)) AS j FROM d),
+                   kept AS (SELECT t.doc_id, t.tk, t.j
+                            FROM tok t LEFT JOIN rm
+                              ON rm.doc_id = t.doc_id AND rm.j = t.j
+                            WHERE rm.j IS NULL),
+                   agg AS (SELECT doc_id,
+                                  string_agg(tk, ' ' ORDER BY j) AS txt,
+                                  count(*) AS nk
+                           FROM kept GROUP BY doc_id)
+              SELECT d.doc_id, COALESCE(a.txt, '') AS text_clean,
+                     CAST(len(d.w) - COALESCE(a.nk, 0) AS BIGINT)
+                       AS n_removed
+              FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+              ORDER BY d.doc_id"""),
+      (s, dir) => Dedup.removeSharedSegmentsByGram(t(s, dir, "documents"),
+        "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
+
     // per-source length percentiles: exact integer-rank p50/p90/p99
     Q("q_stats_length_pct",
       Some("""WITH r AS (SELECT source, n_chars AS v,

@@ -1082,6 +1082,40 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("span removal variants bracket the suffix-array semantics") {
+    // X duplicated in all three docs, but docs 1 and 3 ALSO share their
+    // prefix and a trailing Y — their maximal shared runs extend past X
+    // while doc 2's run is X alone. Whole-run matching sees different
+    // extents (different fingerprints) and cuts doc 2's X from NOWHERE;
+    // per-gram keepers cut it exactly.
+    val x = (1 to 20).map(i => s"x$i").mkString(" ")
+    val y = (1 to 20).map(i => s"y$i").mkString(" ")
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"a1 a2 $x $y b1 b2"),
+      (2L, s"d1 d2 $x e1 e2"),
+      (3L, s"a1 a2 $x $y c1 c2")
+    )).toDF("doc_id", "text")
+    val conservative = graft.api.Dedup
+      .removeSharedSegments(docs, "doc_id", "text", k = 8, minLen = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val aggressive = graft.api.Dedup
+      .removeSharedSegmentsByGram(docs, "doc_id", "text", k = 8, minLen = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    // conservative: doc 3 loses its whole-run match with doc 1; doc 2's
+    // differing-extent X survives (the documented under-removal)
+    assert(conservative(2L) === 0L, conservative)
+    assert(conservative(3L) === 42L, conservative)
+    // aggressive: doc 1 holds every keeper; doc 2 loses exactly X
+    // (20 tokens); doc 3 loses the whole 42-token shared region
+    assert(aggressive(1L)._2 === 0L, aggressive)
+    assert(aggressive(2L) === (("d1 d2 e1 e2", 20L)), aggressive)
+    assert(aggressive(3L)._2 === 42L, aggressive)
+    // invariant both variants share: every shared gram survives at its
+    // keeper position — no content is fully lost (doc 1 untouched)
+    assert(conservative(1L) === 0L)
+  }
+
   test("BPE: greedy merge order, merge-all rounds, deterministic trainer") {
     import graft.api.Bpe
     val ranks = Bpe.ranksOf(Seq(("l", "l"), ("h", "e"), ("he", "ll"),
