@@ -242,6 +242,48 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("n_toks").as("n_bpe_tokens"))
   }
 
+  /** Full BPE tokenization to VOCABULARY IDS — the artifact a training
+    * pipeline actually writes. The vocabulary is fully determined by
+    * the merges table: byte tokens own ids 0-255 (ASCII corpus, so a
+    * single-char token's id IS its code point) and each distinct merged
+    * string takes 256 + its first-appearance rank. Output one row per
+    * (doc, word_idx, tok_idx, token_id), 0-based indexes — totally
+    * ordered, so a relational oracle can hash the exact id stream.
+    * Same scale shape as [[bpeTokenCounts]]: one corpus tokenize, the
+    * encode work rides the DISTINCT vocab, ids join back on the word.
+    */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = Bpe.ranksOf(merges)
+    val vocabIds: Map[String, Int] = merges.map { case (a, b) => a + b }
+      .distinct.zipWithIndex.map { case (s, i) => s -> (256 + i) }.toMap
+    val ex = Pins.pin(docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("word_idx", "word")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val wordIds = ex.select(col("word")).distinct()
+      .as[String]
+      .map { w =>
+        val ids = Bpe.encode(w, ranks).map { t =>
+          if (t.length == 1) {
+            val c = t.charAt(0).toInt
+            require(c < 128,
+              s"non-ASCII char $c in corpus word — byte-token ids assume ASCII")
+            c
+          } else vocabIds(t)
+        }
+        (w, ids)
+      }.toDF("word", "ids")
+    ex.join(wordIds, "word")
+      .select(col("doc_id"), col("word_idx").cast("long").as("word_idx"),
+        posexplode(col("ids")))
+      .select(col("doc_id"), col("word_idx"),
+        col("pos").cast("long").as("tok_idx"),
+        col("col").cast("long").as("token_id"))
+  }
+
   /** Stopword ratio of a split-token column — the one definition both
     * the score frame and the fused filter build their keep gate from,
     * so the two can never silently diverge (q_pipeline_e2e's oracle

@@ -245,11 +245,12 @@ object Pipeline {
                  i -> list_position(M, toks[i] || ' ' || toks[i + 1])),
                r -> r IS NOT NULL AND r > 0))] AS bp
            FROM enc, mt) WHERE bp IS NOT NULL),
-       cnt AS (SELECT word, len(toks) AS n_toks FROM enc, mt
-               WHERE len(list_filter(
-                       list_transform(range(1, len(toks)),
-                         i -> list_position(M, toks[i] || ' ' || toks[i + 1])),
-                       r -> r IS NOT NULL AND r > 0)) = 0),
+       encf AS (SELECT word, toks FROM enc, mt
+                WHERE len(list_filter(
+                        list_transform(range(1, len(toks)),
+                          i -> list_position(M, toks[i] || ' ' || toks[i + 1])),
+                        r -> r IS NOT NULL AND r > 0)) = 0),
+       cnt AS (SELECT word, len(toks) AS n_toks FROM encf),
        dtok AS (SELECT doc_id, count(*) AS n_words,
                        CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
                 FROM (SELECT doc_id, unnest(ws) AS word FROM bd) e
@@ -1606,6 +1607,37 @@ object Pipeline {
               FROM dtok ORDER BY doc_id"""),
       (s, dir) => TextAnalysis.bpeTokenCounts(t(s, dir, "documents"),
         "doc_id", "text", bpeMerges(s, dir)).orderBy("doc_id")),
+
+    // Full BPE tokenization to vocabulary ids (byte tokens 0-255 +
+    // merged tokens 256+first-appearance-rank): the id stream a
+    // training pipeline writes. The oracle derives the identical
+    // vocabulary from the same merges literal (order-preserving dedupe
+    // of the merged strings) and hash-checks every (doc, word, token)
+    // id — encoding AND id assignment both independently replayed.
+    Q("q_bpe_encode",
+      Some(s"""WITH RECURSIVE $bpeCountCtes,
+                   md AS (SELECT list_filter(ms0,
+                                   (s, i) -> list_position(ms0, s) = i) AS ms
+                          FROM (SELECT list_transform(M,
+                                  m -> replace(m, ' ', '')) AS ms0
+                                FROM mt)),
+                   wx AS (SELECT doc_id, unnest(ws) AS word,
+                                 unnest(range(1, len(ws) + 1)) - 1 AS word_idx
+                          FROM bd),
+                   encx AS (SELECT word, unnest(toks) AS tok,
+                                   unnest(range(1, len(toks) + 1)) - 1 AS ti
+                            FROM encf)
+              SELECT wx.doc_id,
+                     CAST(wx.word_idx AS BIGINT) AS word_idx,
+                     CAST(encx.ti AS BIGINT) AS tok_idx,
+                     CAST(CASE WHEN len(encx.tok) = 1 THEN ascii(encx.tok)
+                               ELSE 255 + list_position(md.ms, encx.tok)
+                          END AS BIGINT) AS token_id
+              FROM wx JOIN encx USING (word), md
+              ORDER BY doc_id, word_idx, tok_idx"""),
+      (s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"),
+        "doc_id", "text", bpeMerges(s, dir))
+        .orderBy("doc_id", "word_idx", "tok_idx")),
 
     // Token-budget mixture denominated in BPE tokens — how training
     // recipes actually specify budgets ("N tokens of source X" means

@@ -1156,6 +1156,22 @@ class ApiSpec extends AnyFunSuite {
         .map(w => Bpe.countTokens(w, rt).toLong).sum)),
       3L -> ((1L, Bpe.countTokens("zq", rt).toLong)))
     assert(out === expect, out)
+    // encode-to-ids: byte tokens carry their code point, merged tokens
+    // 256 + first-appearance rank; the id stream follows word order
+    val encDocs = spark.createDataFrame(Seq((7L, "newest zq")))
+      .toDF("doc_id", "text")
+    val enc = graft.api.TextAnalysis
+      .bpeEncode(encDocs, "doc_id", "text", merges)
+      .orderBy("word_idx", "tok_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val vocab = merges.map { case (a, b) => a + b }.distinct
+    val expIds = Bpe.encode("newest", rt).map { t =>
+      if (t.length == 1) t.charAt(0).toLong else 256L + vocab.indexOf(t)
+    }
+    assert(enc.takeWhile(_._1 == 0L).map(_._3).toSeq === expIds, enc.toSeq)
+    // "zq": no merge touches it -> two byte tokens with their codes
+    assert(enc.dropWhile(_._1 == 0L).map(_._3).toSeq ===
+      Seq('z'.toLong, 'q'.toLong), enc.toSeq)
   }
 
   test("IVF-PQ: L2 code assignment ties to lowest code, full-coverage " +
