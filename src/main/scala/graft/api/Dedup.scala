@@ -848,16 +848,23 @@ object Dedup {
     * entry point for callers that computed the assignment for their own
     * purposes (the streaming replay folds it into its `_seen` set) and
     * must not pay the centroid argmax scan twice per batch.
+    * `pinIncrement = false` skips the internal persist: the streaming
+    * replay already holds its batch persisted and runs on a child
+    * session whose pins Graft.clear never reaches — pinning there would
+    * leak one cached frame per micro-batch for the session's lifetime.
     */
   def semanticDedupIncrementAssigned(corpusIndex: DataFrame,
                                      incomingAssigned: DataFrame,
-                                     threshold: Double): DataFrame = {
+                                     threshold: Double,
+                                     pinIncrement: Boolean = true): DataFrame = {
     val spark = incomingAssigned.sparkSession
     graft.functions.VectorFunctions.register(spark)
-    val inc = pin(incomingAssigned
+    val base = incomingAssigned
       .select(col("vec_id"), col("v"), col("cent_id"))
       .repartition(col("cent_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val inc =
+      if (pinIncrement) pin(base.persist(StorageLevel.MEMORY_AND_DISK))
+      else base
     val byCorpus = inc.as("n")
       .join(corpusIndex.as("c"), Seq("cent_id"))
       .where(expr("cosine_sim(n.v, c.v)") >= threshold)

@@ -155,6 +155,29 @@ object Extras {
         }.orderBy("doc_a", "doc_b")
       }),
 
+    // Streaming incremental SEMANTIC dedup: the 5% embedding increment
+    // arrives as three ascending-id files -> three micro-batches, each
+    // run through semanticDedupIncrement against the ONCE-BUILT corpus
+    // cell index plus the previously-processed newcomers (exactly-once
+    // partitions for survivors AND the _seen fold). Same oracle as the
+    // batch q_dedup_semantic_incr — ascending-id arrival makes the
+    // batch-union equal the one-shot result by construction.
+    Q("q_stream_sem_incr", Some(Pipeline.semIncrOracle),
+      (s, dir) => {
+        Streams.cachedOp(s, dir, "sem_incr_t035") {
+          val glob = Sources.ensureStreamSemIncr(s, dir) + "/s*"
+          import s.implicits._
+          val cents = Pipeline.kmeansCents(s, dir).toDF("vec_id", "embedding")
+          val emb = t(s, dir, "embeddings")
+          val corpusIdx = graft.api.Similarity.ivfIndex(
+            emb.filter(col("vec_id") % 20 =!= 0), cents,
+            "vec_id", "embedding")
+          Streams.semanticDedupReplay(s, glob,
+            s.read.parquet(glob).schema, "vec_id", "embedding",
+            corpusIdx, cents, threshold = 0.35)
+        }.orderBy("vec_id")
+      }),
+
     // Count-min sketch as streaming state: the 10% increment streams in
     // three micro-batches and the running (seed, bucket) aggregation IS
     // the sketch — bounded at depth x width rows regardless of volume,

@@ -412,6 +412,38 @@ object Pipeline {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
+  /** Incremental SemDeDup survivors (5% embedding increment vs the
+    * settled 95% corpus) — the oracle of BOTH the batch incremental
+    * query and its streaming replay (q_stream_sem_incr): the replay's
+    * processed-newcomer fold plus ascending-id arrival files make the
+    * micro-batch union equal this one-shot result, so the two queries
+    * share one ground truth (the q_dedup_incr/q_stream_dedup_incr
+    * pattern, on the cell-indexed path).
+    */
+  private[ops] val semIncrOracle: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+             c AS (SELECT cid, cv FROM (VALUES $kmeansPlaceholder) t(cid, cv)),
+             asg AS (SELECT e.vec_id, e.v, c.cid,
+                            row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                     FROM e CROSS JOIN c),
+             idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+             corp AS (SELECT * FROM idx WHERE vec_id % 20 <> 0),
+             inc AS (SELECT * FROM idx WHERE vec_id % 20 = 0),
+             dom AS (SELECT n.vec_id
+                     FROM inc n JOIN corp cx ON n.cid = cx.cid
+                     WHERE list_cosine_similarity(n.v, cx.v) >= 0.35
+                     UNION
+                     SELECT b.vec_id
+                     FROM inc a JOIN inc b
+                       ON a.cid = b.cid AND a.vec_id < b.vec_id
+                     WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        SELECT i.vec_id, CAST(i.cid AS BIGINT) AS cent_id
+        FROM inc i
+        WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.vec_id = i.vec_id)
+        ORDER BY vec_id"""
+
   /** Exact cross-partition pair set (corpus vs the 10% increment) —
     * the oracle of BOTH the batch incremental query and its streaming
     * replay (q_stream_dedup_incr): batch boundaries cannot change the
@@ -971,29 +1003,11 @@ object Pipeline {
     // 95% corpus and no lower-id within-threshold fellow newcomer —
     // per-run cost ∝ increment against the (bucketable) corpus cell
     // index, the embedding twin of q_dedup_incr's band-index story.
+    // The SAME oracle also checks the STREAMING replay below: the
+    // micro-batch union equals this one-shot result by construction
+    // (ascending-id arrival files + the processed-newcomer fold).
     Q("q_dedup_semantic_incr",
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                          FROM embeddings),
-                    c AS (SELECT cid, cv FROM (VALUES $kmeansPlaceholder) t(cid, cv)),
-                    asg AS (SELECT e.vec_id, e.v, c.cid,
-                                   row_number() OVER (PARTITION BY e.vec_id
-                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-                            FROM e CROSS JOIN c),
-                    idx AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
-                    corp AS (SELECT * FROM idx WHERE vec_id % 20 <> 0),
-                    inc AS (SELECT * FROM idx WHERE vec_id % 20 = 0),
-                    dom AS (SELECT n.vec_id
-                            FROM inc n JOIN corp cx ON n.cid = cx.cid
-                            WHERE list_cosine_similarity(n.v, cx.v) >= 0.35
-                            UNION
-                            SELECT b.vec_id
-                            FROM inc a JOIN inc b
-                              ON a.cid = b.cid AND a.vec_id < b.vec_id
-                            WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
-               SELECT i.vec_id, CAST(i.cid AS BIGINT) AS cent_id
-               FROM inc i
-               WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.vec_id = i.vec_id)
-               ORDER BY vec_id"""),
+      Some(semIncrOracle),
       (s, dir) => {
         import s.implicits._
         val cents = kmeansCents(s, dir).toDF("vec_id", "embedding")

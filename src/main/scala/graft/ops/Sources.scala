@@ -139,11 +139,30 @@ object Sources {
       }
     }
 
+  /** The 5% embedding increment (vec_id % 20 = 0) as three arrival
+    * files with ids ASCENDING by file order — the parity precondition
+    * of [[graft.streaming.Streams.semanticDedupReplay]] (its union over
+    * micro-batches equals the one-shot incremental result only when
+    * newcomer ids ascend with batch order).
+    */
+  private[graft] def ensureStreamSemIncr(s: SparkSession, dir: String): String =
+    ensure(s, dir, "stream_sem_incr") { out =>
+      val inc = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
+        .select("vec_id", "embedding")
+      val mx = inc.agg(max("vec_id")).head().getLong(0)
+      (0 until 3).foreach { i =>
+        val lo = i * (mx + 1) / 3
+        val hi = if (i == 2) Long.MaxValue else (i + 1) * (mx + 1) / 3
+        inc.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
+      }
+    }
+
   /** Materialize every source-sink scratch file for (session, dir). */
   private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
     ensureCsv(s, dir); ensureJsonl(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
-    ensureStreamIncr(s, dir); ()
+    ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir); ()
   }
 
   val qs: Seq[Q] = Seq(

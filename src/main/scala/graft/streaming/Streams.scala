@@ -523,7 +523,8 @@ object Streams {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         graft.api.Dedup
-          .semanticDedupIncrementAssigned(ref, assigned, threshold)
+          .semanticDedupIncrementAssigned(ref, assigned, threshold,
+            pinIncrement = false)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         assigned
           .write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
