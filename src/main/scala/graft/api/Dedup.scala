@@ -282,14 +282,13 @@ object Dedup {
     *  - the final stitch joins the corpus once against the (small) cut
     *    set on doc_id — AQE broadcasts the cut side when it fits.
     */
-  def removeSharedSegments(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 8, minLen: Int = 2): DataFrame = {
-    require(k >= 2, s"k must be >= 2, got $k")
-    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("w"))
-    val pos = pin(toks.filter(size(col("w")) >= k)
+  /** Materialized, g-co-partitioned (doc_id, i, g) gram-position frame
+    * shared by the two span-removal variants: 1-based positions, 8-byte
+    * xxhash64 gram keys, ONE exchange feeding every downstream consumer
+    * (df/keeper aggregation and the removability/semi joins).
+    */
+  private def gramPositions(toks: DataFrame, k: Int): DataFrame =
+    pin(toks.filter(size(col("w")) >= k)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(1, size(w) - ${k - 1}),
               i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
@@ -297,6 +296,32 @@ object Dedup {
       .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
       .repartition(col("g"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Shared stitch tail: drop every token index covered by a cut span
+    * ((start, end_tok) structs in `cuts.spans`; adjacent runs may
+    * overlap by up to k-2 tokens — the index filter handles that
+    * without double-counting) and re-join the survivors.
+    */
+  private def stitchCuts(toks: DataFrame, cuts: DataFrame): DataFrame =
+    toks.join(cuts, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("spans").isNull, col("w")).otherwise(expr(
+          """transform(
+               filter(transform(w, (t, p) -> struct(t AS t, p + 1 AS j)),
+                      s -> NOT exists(spans,
+                             c -> s.j >= c.start AND s.j <= c.end_tok)),
+               s -> s.t)""")))
+      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text_clean"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+
+  def removeSharedSegments(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, minLen: Int = 2): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(minLen >= 1, s"minLen must be >= 1, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val pos = gramPositions(toks, k)
     val shared = pos.select(col("doc_id"), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
@@ -318,19 +343,7 @@ object Dedup {
         col("start") === col("kp.start")))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start"), col("end_tok"))).as("spans"))
-    // stitch: drop every token index covered by a cut span (spans of
-    // adjacent runs may overlap by up to k-2 tokens — the index filter
-    // handles that without double-counting)
-    toks.join(cuts, Seq("doc_id"), "left")
-      .withColumn("kept",
-        when(col("spans").isNull, col("w")).otherwise(expr(
-          """transform(
-               filter(transform(w, (t, p) -> struct(t AS t, p + 1 AS j)),
-                      s -> NOT exists(spans,
-                             c -> s.j >= c.start AND s.j <= c.end_tok)),
-               s -> s.t)""")))
-      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text_clean"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+    stitchCuts(toks, cuts)
   }
 
   /** Span removal under the PER-GRAM keeper rule — the aggressive
@@ -346,8 +359,13 @@ object Dedup {
     * (raise `minLen` to suppress: a cut needs minLen+k-1 consecutive
     * tokens of wall-to-wall duplicated grams). The two operators
     * bracket the suffix-array reference (Lee et al. 2022) from the two
-    * sides; both guarantee every shared gram survives at its keeper
-    * position, so no content is ever fully lost.
+    * sides. Retention differs: the whole-run variant only ever cuts
+    * exact copies of text its keeper retains, so cut content always
+    * survives verbatim somewhere; HERE keeper positions are never
+    * removable, but a cut run's k-1 token expansion can clip tokens of
+    * keeper grams adjacent to the run boundary — boundary context may
+    * not survive verbatim in any doc. Treat this variant as an
+    * aggressive filter, not a retention-guaranteed dedup.
     *
     * Scale shape: strictly simpler than the whole-run variant — the
     * keeper is a per-gram min-struct aggregation on the SAME
@@ -363,14 +381,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("w"))
-    val pos = pin(toks.filter(size(col("w")) >= k)
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(1, size(w) - ${k - 1}),
-              i -> xxhash64(${(0 until k).map(j => s"element_at(w, i + $j)")
-                .mkString(", ")}))""")))
-      .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("g"))
-      .repartition(col("g"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    val pos = gramPositions(toks, k)
     // per-gram keeper (min (doc_id, i)) and document frequency in one
     // aggregation over the materialized exchange; df >= 2 distinct docs
     // defines "shared" exactly as sharedSegmentCoverage does
@@ -391,16 +402,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start"),
         (col("start") + col("glen") + lit(k - 2)).as("end_tok"))).as("spans"))
-    toks.join(cuts, Seq("doc_id"), "left")
-      .withColumn("kept",
-        when(col("spans").isNull, col("w")).otherwise(expr(
-          """transform(
-               filter(transform(w, (t, p) -> struct(t AS t, p + 1 AS j)),
-                      s -> NOT exists(spans,
-                             c -> s.j >= c.start AND s.j <= c.end_tok)),
-               s -> s.t)""")))
-      .select(col("doc_id"), concat_ws(" ", col("kept")).as("text_clean"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"))
+    stitchCuts(toks, cuts)
   }
 
   /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:

@@ -173,7 +173,7 @@ object Extras {
             emb.filter(col("vec_id") % 20 =!= 0), cents,
             "vec_id", "embedding")
           Streams.semanticDedupReplay(s, glob,
-            s.read.parquet(glob).schema, "vec_id", "embedding",
+            emb.select("vec_id", "embedding").schema, "vec_id", "embedding",
             corpusIdx, cents, threshold = 0.35)
         }.orderBy("vec_id")
       }),

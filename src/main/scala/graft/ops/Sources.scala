@@ -149,7 +149,11 @@ object Sources {
     ensure(s, dir, "stream_sem_incr") { out =>
       val inc = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
         .select("vec_id", "embedding")
-      val mx = inc.agg(max("vec_id")).head().getLong(0)
+      // an EMPTY increment must still write three (empty) files — the
+      // sibling ensureStreamIncr's behavior — not NPE on a null max and
+      // abort all of prewriteAll
+      val mx = Option(inc.agg(max("vec_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
       (0 until 3).foreach { i =>
         val lo = i * (mx + 1) / 3
         val hi = if (i == 2) Long.MaxValue else (i + 1) * (mx + 1) / 3

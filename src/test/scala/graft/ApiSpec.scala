@@ -1111,8 +1111,9 @@ class ApiSpec extends AnyFunSuite {
     assert(aggressive(1L)._2 === 0L, aggressive)
     assert(aggressive(2L) === (("d1 d2 e1 e2", 20L)), aggressive)
     assert(aggressive(3L)._2 === 42L, aggressive)
-    // invariant both variants share: every shared gram survives at its
-    // keeper position — no content is fully lost (doc 1 untouched)
+    // the keeper-holding doc is untouched under both variants here (no
+    // cut run abuts doc 1's keeper grams; in general the gram variant's
+    // k-1 run expansion CAN clip boundary keeper grams — see docstring)
     assert(conservative(1L) === 0L)
   }
 
