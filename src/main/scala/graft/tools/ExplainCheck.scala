@@ -17,7 +17,10 @@ object ExplainCheck {
       "q_text_bm25", "q_sim_quant", "q_sim_rp", "q_text_perplexity",
       "q_sketch_cms", "q_pipeline_chunks", "q_mix_temperature",
       "q_dedup_keep_best", "q_text_hashtf", "q_evt_funnel",
-      "q_text_rep_ngram", "q_dedup_segments", "q_stats_length_pct")
+      "q_text_rep_ngram", "q_dedup_segments", "q_stats_length_pct",
+      "q_dedup_span_removal", "q_dedup_span_gram", "q_token_count_bpe",
+      "q_bpe_encode", "q_sim_ivf_pq", "q_mm_video_meta",
+      "q_text_prefix_boiler")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

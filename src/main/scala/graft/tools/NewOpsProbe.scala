@@ -76,6 +76,17 @@ object NewOpsProbe {
       f"${mult}x=$srN cut ${dsrN}%.2f s  time-growth=${dsrN / dsr1}%.1fx  " +
       f"cut-growth=${srN.toDouble / sr1}%.1fx")
 
+    // per-gram span removal: same disjoint-gram argument — each
+    // replica reproduces the 1x keeper/run structure, cut mass exactly
+    // mult x
+    val (sg1c, dsg1c) = tm(Dedup.removeSharedSegmentsByGram(docsFor(1),
+      "doc_id", "text", 8, 3).agg(sum("n_removed")).collect()(0).getLong(0))
+    val (sgNc, dsgNc) = tm(Dedup.removeSharedSegmentsByGram(docsFor(mult),
+      "doc_id", "text", 8, 3).agg(sum("n_removed")).collect()(0).getLong(0))
+    println(f"span-removal-gram (${mult}x corpus): 1x=$sg1c cut ${dsg1c}%.2f s  " +
+      f"${mult}x=$sgNc cut ${dsgNc}%.2f s  time-growth=${dsgNc / dsg1c}%.1fx  " +
+      f"cut-growth=${sgNc.toDouble / sg1c}%.1fx")
+
     // BPE token counts: fixed merges (trained on the 1x vocab, plain
     // replication keeps the word set), totals exactly mult x
     def docsSrcFor(m: Int) = docs0
@@ -95,6 +106,16 @@ object NewOpsProbe {
     println(f"bpe-tokens (${mult}x corpus): 1x=$bp1 ${dbp1}%.2f s  " +
       f"${mult}x=$bpN ${dbpN}%.2f s  time-growth=${dbpN / dbp1}%.1fx  " +
       f"token-growth=${bpN.toDouble / bp1}%.1fx")
+
+    // BPE encode-to-ids: row count == token count, ids invariant per
+    // word, so the exploded id stream is exactly mult x rows
+    def encCount(m: Int): Long = TextAnalysis
+      .bpeEncode(docsSrcFor(m), "doc_id", "text", bpeM).count()
+    val (en1, den1) = tm(encCount(1))
+    val (enN, denN) = tm(encCount(mult))
+    println(f"bpe-encode (${mult}x corpus): 1x=$en1 ids ${den1}%.2f s  " +
+      f"${mult}x=$enN ids ${denN}%.2f s  time-growth=${denN / den1}%.1fx  " +
+      f"id-growth=${enN.toDouble / en1}%.1fx")
 
     // streaming semantic incremental: fixed 3-file increment against a
     // mult x corpus index — stream union == one-shot batch, invariant
