@@ -531,6 +531,41 @@ object TextAnalysis {
       .select(col(idCol), col("prefix"), col("n_docs"))
   }
 
+  /** Boilerplate-prefix REMOVAL — the cut half of
+    * [[prefixBoilerplate]], completing the detect→remove parity the
+    * span-removal family set: documents whose first-k tokens form a
+    * template shared by ≥ `minDocs` docs lose that prefix (from EVERY
+    * member — crawl headers are stripped corpus-wide, unlike dedup
+    * where one occurrence is kept as the canonical copy); everything
+    * else passes through unchanged. Output (id, text_clean, n_removed)
+    * for every input doc.
+    *
+    * Same scale shape as the detector: the corpus-sized join probe
+    * carries only (id, 8-byte prefix hash); the hot set collapses
+    * map-side and stays broadcast-sized.
+    */
+  def trimBoilerplatePrefix(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int, minDocs: Long): DataFrame = {
+    val pref = docs.select(col(idCol), col(textCol),
+        split(col(textCol), " ").as("w"))
+      .withColumn("ph", xxhash64(array_join(slice(col("w"), 1, k), " ")))
+      // sub-k docs have no complete prefix to share: never trimmed, and
+      // never counted toward a template (their short prefix string
+      // would otherwise alias a longer doc's truncation)
+      .withColumn("full", size(col("w")) >= k)
+    val hot = pref.filter(col("full"))
+      .groupBy("ph").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("ph"), lit(true).as("hit"))
+    pref.join(hot, Seq("ph"), "left")
+      .select(col(idCol),
+        when(col("hit").isNotNull && col("full"),
+            concat_ws(" ", expr(s"slice(w, ${k + 1}, size(w) - $k)")))
+          .otherwise(col(textCol)).as("text_clean"),
+        when(col("hit").isNotNull && col("full"), lit(k.toLong))
+          .otherwise(lit(0L)).as("n_removed"))
+  }
+
   /** Per-document Shannon entropy over characters (nats, 6dp) — a core
     * LLM-data quality signal (gibberish and boilerplate sit at the
     * entropy extremes). Single scan, pure HOFs; the distinct-char list

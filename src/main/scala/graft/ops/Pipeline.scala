@@ -1865,6 +1865,30 @@ object Pipeline {
         "doc_id", "text", k = 4, minDocs = 2)
         .orderBy("doc_id")),
 
+    // Boilerplate-prefix REMOVAL — the cut half of the detector above
+    // (the detect->remove parity the span family set): every member of
+    // a >=2-doc template loses the 4-token prefix; sub-4-token docs
+    // neither form nor join a template.
+    Q("q_text_prefix_trim",
+      Some("""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w
+                         FROM documents),
+                   p AS (SELECT doc_id, text, w, len(w) >= 4 AS fl,
+                                array_to_string(w[1:4], ' ') AS pfx
+                         FROM d),
+                   hot AS (SELECT pfx FROM (
+                             SELECT pfx, count(*) AS n FROM p
+                             WHERE fl GROUP BY pfx) WHERE n >= 2)
+              SELECT doc_id,
+                     CASE WHEN fl AND pfx IN (SELECT pfx FROM hot)
+                          THEN array_to_string(w[5:len(w)], ' ')
+                          ELSE text END AS text_clean,
+                     CAST(CASE WHEN fl AND pfx IN (SELECT pfx FROM hot)
+                               THEN 4 ELSE 0 END AS BIGINT) AS n_removed
+              FROM p ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.trimBoilerplatePrefix(t(s, dir, "documents"),
+        "doc_id", "text", k = 4, minDocs = 2)
+        .orderBy("doc_id")),
+
     // Shannon char entropy (quality signal): sorted distinct-char fold
     // so the fp summation order matches across engines.
     // Keep-one exact dedup over a corpus with planted duplicates (the

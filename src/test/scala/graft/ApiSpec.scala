@@ -1082,6 +1082,25 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("prefix trim strips the template from every member, sub-k docs exempt") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "follow us on social alpha beta"),
+      (2L, "follow us on social gamma"),
+      (3L, "entirely different opening words here"),
+      (4L, "follow us on"), // sub-k: matches no template, never trimmed
+      (5L, "follow us on social") // exactly k: trimmed to empty
+    )).toDF("doc_id", "text")
+    val out = graft.api.TextAnalysis
+      .trimBoilerplatePrefix(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === (("alpha beta", 4L)), out)
+    assert(out(2L) === (("gamma", 4L)), out)
+    assert(out(3L) === (("entirely different opening words here", 0L)))
+    assert(out(4L) === (("follow us on", 0L)), out)
+    assert(out(5L) === (("", 4L)), out)
+  }
+
   test("span removal variants bracket the suffix-array semantics") {
     // X duplicated in all three docs, but docs 1 and 3 ALSO share their
     // prefix and a trailing Y — their maximal shared runs extend past X
