@@ -86,15 +86,53 @@ object Mixing {
       "assignSplit needs positive split weights")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    df.withColumn("split",
+      splitAssignExpr(knuthHash(col(idCol)), splits))
+  }
+
+  /** Polynomial rolling hash of a string column (base 31 mod 2³²) — an
+    * engine-replayable group key: a fold of exact small integers in
+    * character order, identical in any SQL dialect's list_reduce. The
+    * zero seed is equivalent to seeding with the first char code
+    * (0·31 + c = c), which is what a seedless fold does — so both
+    * conventions agree.
+    */
+  private[graft] def polyHash(c: Column): Column =
+    aggregate(split(c, ""), lit(0L),
+      (acc, ch) => pmod(acc * lit(31L) + ascii(ch), lit(M)))
+
+  /** SQL mirror of [[polyHash]] for oracles. */
+  def polyHashSql(strExpr: String): String =
+    s"list_reduce(list_transform(string_split($strExpr, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % $M)"
+
+  /** Leakage-safe dataset split: every row of a GROUP (domain,
+    * source, near-dup cluster id) lands in the SAME split, because the
+    * interval test hashes the group key, not the row id — the standard
+    * guard against train/test contamination through near-duplicates or
+    * same-site pages that row-level [[assignSplit]] cannot give.
+    * Deterministic and incremental-safe like its sibling: a group's
+    * split never depends on the rest of the corpus.
+    */
+  def groupAwareSplit(df: DataFrame, groupCol: String,
+                      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "groupAwareSplit needs positive split weights")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    df.withColumn("split",
+      splitAssignExpr(knuthHash(polyHash(col(groupCol))), splits))
+  }
+
+  /** Shared interval fold: earlier splits win; the last is the else. */
+  private def splitAssignExpr(h: Column,
+                              splits: Seq[(String, Double)]): Column = {
     val bounds = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
       .tail.map(threshold)
-    val h = knuthHash(col(idCol))
-    // fold from the LAST split backwards so earlier intervals win
-    val assign = splits.map(_._1).zip(bounds).init
+    splits.map(_._1).zip(bounds).init
       .foldRight(lit(splits.last._1): Column) { case ((name, b), rest) =>
         when(h < b, lit(name)).otherwise(rest)
       }
-    df.withColumn("split", assign)
   }
 
   /** The split-boundary thresholds, for mirrored oracle SQL. */

@@ -531,6 +531,44 @@ object TextAnalysis {
       .select(col(idCol), col("prefix"), col("n_docs"))
   }
 
+  /** Fixed-weight LINEAR quality score — the classifier-filter stage
+    * shape of fasttext/logreg quality models, with fully replayable
+    * arithmetic: three exact-integer ppm features (stopword ppm of
+    * tokens, lowercase-alpha ppm of chars, length ppm against a token
+    * cap) combine under integer weights into one BIGINT score;
+    * keep = score ≥ cut. No transcendentals, no doubles — the score is
+    * bit-identical on any engine and partitioning, so the whole gate
+    * carries an oracle. Swap LEARNED weights in (they arrive as plain
+    * numbers) without touching the plan — the plumbing is the operator,
+    * the default weights are a placeholder model.
+    */
+  def qualityScoreLinear(docs: DataFrame, idCol: String, textCol: String,
+                         nCharsCol: String,
+                         stopwords: Seq[String] = DefaultStopwords,
+                         wStop: Long = 3, wAlpha: Long = 1, wLen: Long = 2,
+                         lenCap: Int = 100,
+                         cut: Long = 1100000L): DataFrame = {
+    val stopList = array(stopwords.map(lit): _*)
+    docs
+      .filter(col(textCol).isNotNull && col(nCharsCol).isNotNull)
+      .select(col(idCol), col(textCol), col(nCharsCol),
+        split(col(textCol), " ").as("w"))
+      // stopwords ride as Column literals, never spliced into SQL text
+      .withColumn("n_stop",
+        size(filter(col("w"), x => array_contains(stopList, x))).cast("long"))
+      .withColumn("stop_ppm", expr("n_stop * 1000000L div size(w)"))
+      .withColumn("alpha_ppm",
+        expr(s"length(regexp_replace($textCol, '[^a-z]', '')) * 1000000L " +
+          s"div $nCharsCol"))
+      .withColumn("len_ppm",
+        expr(s"least(size(w), $lenCap) * 1000000L div $lenCap"))
+      .select(col(idCol),
+        (col("stop_ppm") * lit(wStop) + col("alpha_ppm") * lit(wAlpha) +
+          col("len_ppm") * lit(wLen)).as("score"),
+        col("stop_ppm"), col("alpha_ppm"), col("len_ppm"))
+      .withColumn("keep", col("score") >= lit(cut))
+  }
+
   /** Boilerplate-prefix REMOVAL — the cut half of
     * [[prefixBoilerplate]], completing the detect→remove parity the
     * span-removal family set: documents whose first-k tokens form a

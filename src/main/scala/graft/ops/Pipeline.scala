@@ -1705,6 +1705,35 @@ object Pipeline {
       (s, dir) => TextAnalysis.qualityScore(t(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy("doc_id")),
 
+    // Fixed-weight linear quality score (the fasttext/logreg filter
+    // stage shape): three exact-integer ppm features under integer
+    // weights -> one BIGINT score, keep = score >= cut. No doubles
+    // anywhere, so the whole model output hash-matches.
+    Q("q_quality_linear",
+      Some("""WITH d AS (SELECT doc_id, text, n_chars,
+                                string_split(text, ' ') AS w
+                         FROM documents
+                         WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+                   f AS (SELECT doc_id,
+                                len(list_filter(w, x -> list_contains(
+                                  ['the','a','of','and','to','in'], x)))
+                                  * 1000000 // len(w) AS stop_ppm,
+                                length(regexp_replace(text, '[^a-z]', '', 'g'))
+                                  * 1000000 // n_chars AS alpha_ppm,
+                                least(len(w), 100) * 1000000 // 100 AS len_ppm
+                         FROM d)
+              SELECT doc_id,
+                     CAST(stop_ppm * 3 + alpha_ppm * 1 + len_ppm * 2
+                       AS BIGINT) AS score,
+                     CAST(stop_ppm AS BIGINT) AS stop_ppm,
+                     CAST(alpha_ppm AS BIGINT) AS alpha_ppm,
+                     CAST(len_ppm AS BIGINT) AS len_ppm,
+                     CAST(stop_ppm * 3 + alpha_ppm * 1 + len_ppm * 2
+                          >= 1100000 AS BOOLEAN) AS keep
+              FROM f ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.qualityScoreLinear(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars").orderBy("doc_id")),
+
     // Per-source adaptive quality threshold: each source's own p10 of
     // the exact-integer stopword-ppm score (histogram-rank pattern —
     // the window sees (source, ppm) counts, never corpus rows)
@@ -1946,6 +1975,33 @@ object Pipeline {
           "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
+
+    // Leakage-safe GROUP-aware split: every doc of a source lands in
+    // the same split (the near-dup/domain contamination guard row-level
+    // splitting cannot give). The group key is an engine-replayable
+    // polynomial char hash, so the oracle replays assignment exactly;
+    // n_groups per (split, group) proves group atomicity.
+    Q("q_mix_split_group", {
+      val th = graft.api.Mixing.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val Seq(t1, t2) = th.init.map(_._2)
+      val h = graft.api.Mixing.knuthHashSql(
+        graft.api.Mixing.polyHashSql("source"))
+      Some(s"""SELECT split, count(*) AS n_docs,
+                      count(DISTINCT source) AS n_groups
+               FROM (SELECT source,
+                            CASE WHEN $h < $t1 THEN 'train'
+                                 WHEN $h < $t2 THEN 'val'
+                                 ELSE 'test' END AS split
+                     FROM documents)
+               GROUP BY 1 ORDER BY 1""")
+    },
+      (s, dir) => graft.api.Mixing.groupAwareSplit(t(s, dir, "documents"),
+          "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_groups"))
+        .orderBy("split")),
 
     // Temperature-scaled mixing (share_s ∝ count_s^0.5): the α-mix of
     // LLM data recipes — low-resource sources upsampled relative to the

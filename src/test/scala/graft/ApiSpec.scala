@@ -1082,6 +1082,29 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("group-aware split is group-atomic and row-count independent") {
+    val docs = spark.createDataFrame(
+      (1 to 60).map(i => (i.toLong, s"dom${i % 7}"))
+    ).toDF("doc_id", "domain")
+    val sp = graft.api.Mixing.groupAwareSplit(docs, "domain",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("domain", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    // atomic: one split per group, regardless of member count
+    assert(sp.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1), sp)
+    // a group's split is independent of the rest of the corpus: the
+    // same domains through a disjoint corpus land identically
+    val docs2 = spark.createDataFrame(
+      (500 to 520).map(i => (i.toLong, s"dom${i % 7}"))
+    ).toDF("doc_id", "domain")
+    val sp2 = graft.api.Mixing.groupAwareSplit(docs2, "domain",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("domain", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val sp1 = sp.toMap
+    assert(sp2.keySet.forall(d => sp1(d) == sp2(d)), (sp1, sp2))
+  }
+
   test("prefix trim strips the template from every member, sub-k docs exempt") {
     val docs = spark.createDataFrame(Seq(
       (1L, "follow us on social alpha beta"),
