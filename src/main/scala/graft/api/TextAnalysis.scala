@@ -294,6 +294,23 @@ object TextAnalysis {
     size(filter(w, x => array_contains(stopList, x))).cast("double") / size(w)
   }
 
+  /** Exact-integer stopword ppm of a split-token column — the ONE
+    * definition [[adaptiveQualityThresholds]] and [[qualityScoreLinear]]
+    * both gate on (the stopRatio rule: shared so the two can never
+    * silently diverge). size(w) ≥ 1 always (split of "" is [""]), so
+    * the integer div cannot throw.
+    */
+  private def stopPpm(w: Column, stopwords: Seq[String]): Column = {
+    val stopList = array(stopwords.map(lit): _*)
+    val a = size(filter(w, x => array_contains(stopList, x))).cast("long") *
+      lit(1000000L)
+    val b = size(w).cast("long")
+    // exact integer div in pure Column API: a - pmod(a,b) is an exact
+    // multiple of b, and dividing exact representables below 2^53 with
+    // an integral quotient is IEEE-exact — identical to SQL DIV
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
   private def keepGate(w: Column, stopwords: Seq[String], minTokens: Int,
                        maxTokens: Int, minStopRatio: Double): Column =
     size(w).between(minTokens, maxTokens) &&
@@ -365,11 +382,7 @@ object TextAnalysis {
     val scored = docs
       .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sourceCol).as("__s"), split(col(textCol), " ").as("w"))
-      .select(col("__s"),
-        size(filter(col("w"), x => array_contains(stopList, x)))
-          .cast("long").as("ns"),
-        size(col("w")).cast("long").as("nt"))
-      .select(col("__s"), expr("ns * 1000000 DIV nt").as("ppm"))
+      .select(col("__s"), stopPpm(col("w"), stopwords).as("ppm"))
     val hist = scored.groupBy("__s", "ppm").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("hi", sum(col("c")).over(
@@ -548,15 +561,16 @@ object TextAnalysis {
                          wStop: Long = 3, wAlpha: Long = 1, wLen: Long = 2,
                          lenCap: Int = 100,
                          cut: Long = 1100000L): DataFrame = {
-    val stopList = array(stopwords.map(lit): _*)
     docs
-      .filter(col(textCol).isNotNull && col(nCharsCol).isNotNull)
+      // n_chars = 0 (empty crawl artifacts) must be excluded, not
+      // divide-by-zero the whole job under ANSI mode; NULLs likewise
+      .filter(col(textCol).isNotNull && col(nCharsCol).isNotNull &&
+        col(nCharsCol) > 0)
       .select(col(idCol), col(textCol), col(nCharsCol),
         split(col(textCol), " ").as("w"))
-      // stopwords ride as Column literals, never spliced into SQL text
-      .withColumn("n_stop",
-        size(filter(col("w"), x => array_contains(stopList, x))).cast("long"))
-      .withColumn("stop_ppm", expr("n_stop * 1000000L div size(w)"))
+      // the ONE shared stop-ppm definition (see stopPpm) — the linear
+      // gate and the adaptive thresholds can never silently diverge
+      .withColumn("stop_ppm", stopPpm(col("w"), stopwords))
       .withColumn("alpha_ppm",
         expr(s"length(regexp_replace($textCol, '[^a-z]', '')) * 1000000L " +
           s"div $nCharsCol"))
@@ -578,19 +592,24 @@ object TextAnalysis {
     * else passes through unchanged. Output (id, text_clean, n_removed)
     * for every input doc.
     *
-    * Same scale shape as the detector: the corpus-sized join probe
-    * carries only (id, 8-byte prefix hash); the hot set collapses
-    * map-side and stays broadcast-sized.
+    * Semantics note vs [[prefixBoilerplate]]: sub-k docs are EXEMPT
+    * here — they have no complete k-token prefix, so they neither form
+    * nor join a template (their short prefix string would alias a
+    * longer doc's truncation) — while the detector hashes whatever
+    * prefix exists and can report a template of sub-k docs. A template
+    * the detector reports among sub-k docs is deliberately never cut.
+    *
+    * Scale shape: the hot set collapses map-side on the 8-byte prefix
+    * hash and stays broadcast-sized; the corpus-sized probe carries
+    * (id, text, hash) — the text must travel (it IS the output), but
+    * no token array and no prefix string ride along.
     */
   def trimBoilerplatePrefix(docs: DataFrame, idCol: String, textCol: String,
                             k: Int, minDocs: Long): DataFrame = {
-    val pref = docs.select(col(idCol), col(textCol),
-        split(col(textCol), " ").as("w"))
-      .withColumn("ph", xxhash64(array_join(slice(col("w"), 1, k), " ")))
-      // sub-k docs have no complete prefix to share: never trimmed, and
-      // never counted toward a template (their short prefix string
-      // would otherwise alias a longer doc's truncation)
-      .withColumn("full", size(col("w")) >= k)
+    def w = split(col(textCol), " ")
+    val pref = docs.select(col(idCol), col(textCol))
+      .withColumn("ph", xxhash64(array_join(slice(w, 1, k), " ")))
+      .withColumn("full", size(w) >= k)
     val hot = pref.filter(col("full"))
       .groupBy("ph").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
@@ -598,7 +617,9 @@ object TextAnalysis {
     pref.join(hot, Seq("ph"), "left")
       .select(col(idCol),
         when(col("hit").isNotNull && col("full"),
-            concat_ws(" ", expr(s"slice(w, ${k + 1}, size(w) - $k)")))
+            concat_ws(" ",
+              expr(s"slice(split($textCol, ' '), ${k + 1}, " +
+                s"size(split($textCol, ' ')) - $k)")))
           .otherwise(col(textCol)).as("text_clean"),
         when(col("hit").isNotNull && col("full"), lit(k.toLong))
           .otherwise(lit(0L)).as("n_removed"))

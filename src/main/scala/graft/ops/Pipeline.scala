@@ -1713,7 +1713,8 @@ object Pipeline {
       Some("""WITH d AS (SELECT doc_id, text, n_chars,
                                 string_split(text, ' ') AS w
                          FROM documents
-                         WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+                         WHERE text IS NOT NULL AND n_chars IS NOT NULL
+                           AND n_chars > 0),
                    f AS (SELECT doc_id,
                                 len(list_filter(w, x -> list_contains(
                                   ['the','a','of','and','to','in'], x)))
