@@ -90,4 +90,82 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("fill"))
       .withColumn("waste",
         greatest(lit(budget) - col("fill"), lit(0L)).cast("long"))
+
+  /** Packed TOKEN-STREAM construction — the final artifact of a
+    * training-data pipeline: the corpus's BPE id stream (docs in id
+    * order, each doc's ids in word/token order) chunked into
+    * fixed-`seqLen` training sequences, exactly the .bin-shard layout a
+    * trainer memory-maps. Documents concatenate back-to-back (a
+    * sequence may span docs and a doc may span sequences — the standard
+    * pretraining packing; `n_docs` per sequence records the boundary
+    * count an attention-separator pass would consume). Output is a
+    * per-sequence digest rather than the raw stream: token count, doc
+    * count, first/last ids, and an ORDER-SENSITIVE integer checksum
+    * (Σ (pos+1)·token_id — any reordering or substitution inside a
+    * sequence changes it), so an oracle pins the entire stream at
+    * |stream|/seqLen rows.
+    *
+    * Scale shape: the global token offset of each doc is a TWO-PHASE
+    * prefix (the [[Mixing.tokenBudgetSample]] discipline) — docs bucket
+    * into `slices` contiguous id ranges, phase 1 collects the S
+    * per-slice totals (bounded driver metadata) into exclusive slice
+    * offsets, phase 2 windows only WITHIN a slice, so no task ever owns
+    * the corpus-wide running sum. Per-doc token indexes come from a
+    * per-doc window (bounded by doc length). The id stream itself is
+    * produced once ([[TextAnalysis.bpeEncode]]'s vocab-side encode) and
+    * joined to the offsets on the id key.
+    */
+  def packTokenStream(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)], seqLen: Int,
+                      slices: Int = 64): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = graft.api.TextAnalysis.bpeEncode(docs, idCol, textCol, merges)
+    val encIdx = Pins.pin(enc
+      .withColumn("in_doc", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("word_idx"),
+            col("tok_idx")))
+        .cast("long") - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val mxRow = docs.agg(max(col(idCol).cast("long"))).head()
+    if (mxRow.isNullAt(0))
+      return encIdx.select(col(idCol).as("seq_id"), lit(0L).as("n_tokens"),
+        lit(0L).as("n_docs"), lit(0L).as("first_id"), lit(0L).as("last_id"),
+        lit(0L).as("checksum")).limit(0)
+    // contiguous id-range slices via fixed width (overflow-free for the
+    // full BIGINT id range, unlike id·slices)
+    val w = mxRow.getLong(0) / slices + 1
+    val counts = encIdx.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__slice", expr(s"CAST($idCol AS BIGINT) div $w"))
+    // phase 1: per-slice totals -> exclusive slice offsets (S rows)
+    val sliceOff = counts.groupBy("__slice").agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((-1L, 0L, 0L)) { case ((_, acc, t0), (sl, t)) =>
+        (sl, acc + t0, t)
+      }
+      .tail.map { case (sl, off, _) => (sl, off) }
+      .toSeq.toDF("__slice", "__soff")
+    // phase 2: exclusive prefix WITHIN a slice only
+    val wd = Window.partitionBy("__slice").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val docOff = counts.join(broadcast(sliceOff), "__slice")
+      .withColumn("doc_off",
+        col("__soff") + coalesce(sum(col("n")).over(wd), lit(0L)))
+      .select(col(idCol), col("doc_off"))
+    encIdx.join(docOff, idCol)
+      .withColumn("gpos", col("doc_off") + col("in_doc"))
+      .withColumn("seq_id", expr(s"gpos div $seqLen"))
+      .withColumn("pos", expr(s"gpos % $seqLen"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        min_by(col("token_id"), col("pos")).as("first_id"),
+        max_by(col("token_id"), col("pos")).as("last_id"),
+        sum((col("pos") + lit(1L)) * col("token_id")).as("checksum"))
+  }
 }

@@ -256,6 +256,30 @@ object Pipeline {
                 FROM (SELECT doc_id, unnest(ws) AS word FROM bd) e
                 JOIN cnt USING (word) GROUP BY doc_id)"""
 
+  /** [[bpeCountCtes]] extended with the full id STREAM: `strm` =
+    * (doc_id, word_idx, ti, token_id) — byte tokens carry their code
+    * point, merged strings 256 + first-appearance rank (`md` is the
+    * order-preserving dedupe of the merge results). Shared by
+    * q_bpe_encode and q_pack_token_stream.
+    */
+  private val bpeStreamCtes: String = s"""$bpeCountCtes,
+       md AS (SELECT list_filter(ms0,
+                       (s, i) -> list_position(ms0, s) = i) AS ms
+              FROM (SELECT list_transform(M,
+                      m -> replace(m, ' ', '')) AS ms0
+                    FROM mt)),
+       wx AS (SELECT doc_id, unnest(ws) AS word,
+                     unnest(range(1, len(ws) + 1)) - 1 AS word_idx
+              FROM bd),
+       encx AS (SELECT word, unnest(toks) AS tok,
+                       unnest(range(1, len(toks) + 1)) - 1 AS ti
+                FROM encf),
+       strm AS (SELECT wx.doc_id, wx.word_idx, encx.ti,
+                       CAST(CASE WHEN len(encx.tok) = 1 THEN ascii(encx.tok)
+                                 ELSE 255 + list_position(md.ms, encx.tok)
+                            END AS BIGINT) AS token_id
+                FROM wx JOIN encx USING (word), md)"""
+
   /** `__GRAFT_BPE_MERGES__` → a DuckDB list literal `['a b', ...]` of
     * the trained merge pairs in rank order (components space-joined —
     * words are whitespace pre-tokens, so the separator is unambiguous),
@@ -1629,29 +1653,52 @@ object Pipeline {
     // of the merged strings) and hash-checks every (doc, word, token)
     // id — encoding AND id assignment both independently replayed.
     Q("q_bpe_encode",
-      Some(s"""WITH RECURSIVE $bpeCountCtes,
-                   md AS (SELECT list_filter(ms0,
-                                   (s, i) -> list_position(ms0, s) = i) AS ms
-                          FROM (SELECT list_transform(M,
-                                  m -> replace(m, ' ', '')) AS ms0
-                                FROM mt)),
-                   wx AS (SELECT doc_id, unnest(ws) AS word,
-                                 unnest(range(1, len(ws) + 1)) - 1 AS word_idx
-                          FROM bd),
-                   encx AS (SELECT word, unnest(toks) AS tok,
-                                   unnest(range(1, len(toks) + 1)) - 1 AS ti
-                            FROM encf)
-              SELECT wx.doc_id,
-                     CAST(wx.word_idx AS BIGINT) AS word_idx,
-                     CAST(encx.ti AS BIGINT) AS tok_idx,
-                     CAST(CASE WHEN len(encx.tok) = 1 THEN ascii(encx.tok)
-                               ELSE 255 + list_position(md.ms, encx.tok)
-                          END AS BIGINT) AS token_id
-              FROM wx JOIN encx USING (word), md
+      Some(s"""WITH RECURSIVE $bpeStreamCtes
+              SELECT doc_id,
+                     CAST(word_idx AS BIGINT) AS word_idx,
+                     CAST(ti AS BIGINT) AS tok_idx,
+                     token_id
+              FROM strm
               ORDER BY doc_id, word_idx, tok_idx"""),
       (s, dir) => TextAnalysis.bpeEncode(t(s, dir, "documents"),
         "doc_id", "text", bpeMerges(s, dir))
         .orderBy("doc_id", "word_idx", "tok_idx")),
+
+    // Packed token-stream construction: the corpus's BPE id stream
+    // chunked into fixed-length training sequences (the .bin-shard
+    // layout) — docs concatenate back-to-back in id order, sequences
+    // span docs. The per-sequence digest (count, doc count, first/last
+    // ids, order-sensitive checksum) pins the ENTIRE stream: any
+    // reorder, substitution, or offset error changes a checksum.
+    Q("q_pack_token_stream",
+      Some(s"""WITH RECURSIVE $bpeStreamCtes,
+                   idx AS (SELECT doc_id, token_id,
+                                  row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY word_idx, ti) - 1 AS in_doc
+                           FROM strm),
+                   cnts AS (SELECT doc_id, count(*) AS n FROM idx
+                            GROUP BY doc_id),
+                   offs AS (SELECT doc_id,
+                                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS doc_off
+                            FROM cnts),
+                   g AS (SELECT idx.doc_id, idx.token_id,
+                                offs.doc_off + idx.in_doc AS gpos
+                         FROM idx JOIN offs USING (doc_id)),
+                   sq AS (SELECT gpos // 128 AS seq_id, gpos % 128 AS pos,
+                                 token_id, doc_id
+                          FROM g)
+              SELECT CAST(seq_id AS BIGINT) AS seq_id,
+                     count(*) AS n_tokens,
+                     count(DISTINCT doc_id) AS n_docs,
+                     arg_min(token_id, pos) AS first_id,
+                     arg_max(token_id, pos) AS last_id,
+                     CAST(SUM((pos + 1) * token_id) AS BIGINT) AS checksum
+              FROM sq GROUP BY seq_id ORDER BY seq_id"""),
+      (s, dir) => graft.api.Packing.packTokenStream(t(s, dir, "documents"),
+        "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
+        .orderBy("seq_id")),
 
     // Token-budget mixture denominated in BPE tokens — how training
     // recipes actually specify budgets ("N tokens of source X" means

@@ -1082,6 +1082,24 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("token-stream packing: global order, doc spanning, exact digest") {
+    // empty merges => every token is one byte with id = its code point,
+    // so the digest arithmetic is fully hand-checkable
+    val docs = spark.createDataFrame(Seq((1L, "ab c"), (2L, "de f")))
+      .toDF("doc_id", "text")
+    val out = graft.api.Packing
+      .packTokenStream(docs, "doc_id", "text", Seq.empty, seqLen = 4)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // stream = 97,98,99 (doc 1) ++ 100,101,102 (doc 2)
+    // seq 0 = [97,98,99,100] spans both docs; checksum = 1*97+2*98+3*99+4*100
+    // seq 1 = [101,102];                     checksum = 1*101+2*102
+    assert(out === Array(
+      (0L, 4L, 2L, 97L, 100L, 990L),
+      (1L, 2L, 1L, 101L, 102L, 305L)), out.toSeq)
+  }
+
   test("group-aware split is group-atomic and row-count independent") {
     val docs = spark.createDataFrame(
       (1 to 60).map(i => (i.toLong, s"dom${i % 7}"))
