@@ -117,6 +117,29 @@ object NewOpsProbe {
       f"${mult}x=$enN ids ${denN}%.2f s  time-growth=${denN / den1}%.1fx  " +
       f"id-growth=${enN.toDouble / en1}%.1fx")
 
+    // packed token stream: a GLOBAL-order construct — the digest set
+    // must be invariant to input partitioning (the two-phase offset
+    // prefix cannot depend on physical layout), and totals exactly
+    // mult x under replication
+    def streamSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum("n_tokens"), sum("checksum")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    def packed(m: Int, parts: Int) = graft.api.Packing.packTokenStream(
+      if (parts > 0) docsSrcFor(m).repartition(parts) else docsSrcFor(m),
+      "doc_id", "text", bpeM, seqLen = 128)
+    val tps1 = System.nanoTime()
+    val (pt1, pc1) = streamSig(packed(1, 0))
+    val dps1 = (System.nanoTime() - tps1) / 1e9
+    val tpsN = System.nanoTime()
+    val (ptN, pcN) = streamSig(packed(mult, 0))
+    val dpsN = (System.nanoTime() - tpsN) / 1e9
+    val (ptR, pcR) = streamSig(packed(mult, 7))
+    println(f"pack-token-stream (${mult}x corpus): 1x=$pt1 toks ${dps1}%.2f s  " +
+      f"${mult}x=$ptN toks ${dpsN}%.2f s  time-growth=${dpsN / dps1}%.1fx  " +
+      f"tok-growth=${ptN.toDouble / pt1}%.1fx  " +
+      f"repartition-invariant=${(ptR, pcR) == ((ptN, pcN))}")
+
     // streaming semantic incremental: fixed 3-file increment against a
     // mult x corpus index — stream union == one-shot batch, invariant
     // to corpus replication, per-run cost never a corpus re-shuffle
