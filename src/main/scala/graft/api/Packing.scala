@@ -123,24 +123,35 @@ object Packing {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
+    // bpeEncode normalizes the id column name to doc_id — every
+    // downstream reference uses THAT, so any caller idCol works
     val enc = graft.api.TextAnalysis.bpeEncode(docs, idCol, textCol, merges)
     val encIdx = Pins.pin(enc
       .withColumn("in_doc", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("word_idx"),
+          Window.partitionBy(col("doc_id")).orderBy(col("word_idx"),
             col("tok_idx")))
         .cast("long") - 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val mxRow = docs.agg(max(col(idCol).cast("long"))).head()
-    if (mxRow.isNullAt(0))
-      return encIdx.select(col(idCol).as("seq_id"), lit(0L).as("n_tokens"),
-        lit(0L).as("n_docs"), lit(0L).as("first_id"), lit(0L).as("last_id"),
-        lit(0L).as("checksum")).limit(0)
-    // contiguous id-range slices via fixed width (overflow-free for the
-    // full BIGINT id range, unlike id·slices)
-    val w = mxRow.getLong(0) / slices + 1
-    val counts = encIdx.groupBy(col(idCol))
+    val stats = docs.agg(max(col(idCol).cast("long")),
+      min(col(idCol).cast("long")), count(lit(1))).head()
+    if (stats.getLong(2) == 0L)
+      return spark.range(0).select(col("id").as("seq_id"),
+        col("id").as("n_tokens"), col("id").as("n_docs"),
+        col("id").as("first_id"), col("id").as("last_id"),
+        col("id").as("checksum"))
+    // a nonempty corpus whose ids all cast to NULL must fail loudly,
+    // not silently produce an empty shard set
+    require(!stats.isNullAt(0),
+      s"packTokenStream: no $idCol value casts to BIGINT")
+    require(stats.getLong(1) >= 0L,
+      s"packTokenStream needs nonnegative ids, got min ${stats.getLong(1)}")
+    // contiguous id-range slices via fixed width (width from max id —
+    // no id·slices product to overflow; nonnegative ids guarantee a
+    // positive width and ascending slice order)
+    val w = stats.getLong(0) / slices + 1
+    val counts = encIdx.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("__slice", expr(s"CAST($idCol AS BIGINT) div $w"))
+      .withColumn("__slice", expr(s"CAST(doc_id AS BIGINT) div $w"))
     // phase 1: per-slice totals -> exclusive slice offsets (S rows)
     val sliceOff = counts.groupBy("__slice").agg(sum(col("n")).as("t"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -151,19 +162,19 @@ object Packing {
       .tail.map { case (sl, off, _) => (sl, off) }
       .toSeq.toDF("__slice", "__soff")
     // phase 2: exclusive prefix WITHIN a slice only
-    val wd = Window.partitionBy("__slice").orderBy(col(idCol))
+    val wd = Window.partitionBy("__slice").orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val docOff = counts.join(broadcast(sliceOff), "__slice")
       .withColumn("doc_off",
         col("__soff") + coalesce(sum(col("n")).over(wd), lit(0L)))
-      .select(col(idCol), col("doc_off"))
-    encIdx.join(docOff, idCol)
+      .select(col("doc_id"), col("doc_off"))
+    encIdx.join(docOff, "doc_id")
       .withColumn("gpos", col("doc_off") + col("in_doc"))
       .withColumn("seq_id", expr(s"gpos div $seqLen"))
       .withColumn("pos", expr(s"gpos % $seqLen"))
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_tokens"),
-        countDistinct(col(idCol)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_docs"),
         min_by(col("token_id"), col("pos")).as("first_id"),
         max_by(col("token_id"), col("pos")).as("last_id"),
         sum((col("pos") + lit(1L)) * col("token_id")).as("checksum"))

@@ -121,24 +121,30 @@ object NewOpsProbe {
     // must be invariant to input partitioning (the two-phase offset
     // prefix cannot depend on physical layout), and totals exactly
     // mult x under replication
-    def streamSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
-      val r = df.agg(sum("n_tokens"), sum("checksum")).collect()(0)
-      (r.getLong(0), r.getLong(1))
+    // the invariance check compares the FULL per-sequence digest row
+    // set, not corpus-wide sums — a partitioning bug that permutes
+    // tokens between sequences while preserving global totals must
+    // fail this, not slip through an aggregate
+    def streamDigest(df: org.apache.spark.sql.DataFrame)
+        : (Long, Set[(Long, Long, Long, Long, Long, Long)]) = {
+      val rows = df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      (rows.toSeq.map(_._2).sum, rows)
     }
     def packed(m: Int, parts: Int) = graft.api.Packing.packTokenStream(
       if (parts > 0) docsSrcFor(m).repartition(parts) else docsSrcFor(m),
       "doc_id", "text", bpeM, seqLen = 128)
     val tps1 = System.nanoTime()
-    val (pt1, pc1) = streamSig(packed(1, 0))
+    val (pt1, _) = streamDigest(packed(1, 0))
     val dps1 = (System.nanoTime() - tps1) / 1e9
     val tpsN = System.nanoTime()
-    val (ptN, pcN) = streamSig(packed(mult, 0))
+    val (ptN, pdN) = streamDigest(packed(mult, 0))
     val dpsN = (System.nanoTime() - tpsN) / 1e9
-    val (ptR, pcR) = streamSig(packed(mult, 7))
+    val (_, pdR) = streamDigest(packed(mult, 7))
     println(f"pack-token-stream (${mult}x corpus): 1x=$pt1 toks ${dps1}%.2f s  " +
       f"${mult}x=$ptN toks ${dpsN}%.2f s  time-growth=${dpsN / dps1}%.1fx  " +
       f"tok-growth=${ptN.toDouble / pt1}%.1fx  " +
-      f"repartition-invariant=${(ptR, pcR) == ((ptN, pcN))}")
+      f"repartition-invariant=${pdR == pdN}")
 
     // streaming semantic incremental: fixed 3-file increment against a
     // mult x corpus index — stream union == one-shot batch, invariant
