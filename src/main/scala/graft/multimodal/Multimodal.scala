@@ -742,6 +742,32 @@ object Multimodal {
       }
   }
 
+  /** Header-only audio metadata through the same text-as-PCM oracle
+    * loop as [[audioEnergyFromText]]: each doc's UTF-8 bytes become the
+    * PCM stream of a real RIFF/WAVE container, and the REAL
+    * [[WavCodec.header]] walk parses it back — every emitted field is
+    * plain arithmetic over the text length, so a relational engine
+    * replays it exactly while Spark exercises genuine container
+    * construction + parsing.
+    */
+  def audioMetaFromText(spark: SparkSession, docs: DataFrame,
+                        idCol: String, textCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          require(bytes.length == text.length,
+            s"doc $id: non-ASCII text breaks the byte-replay oracle")
+          val wav = buildWav(bytes, rate = 8000, channels = 1, bits = 16)
+          val (rate, ch, bits, frames) = WavCodec.header(wav)
+          AudioMeta(id, wav.length.toLong, rate, ch, bits, frames,
+            frames * 1000L / rate)
+        }
+      }
+  }
+
   /** Audio metadata parsed from a RIFF/WAVE payload header. */
   final case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
                              channels: Int, bits_per_sample: Int,

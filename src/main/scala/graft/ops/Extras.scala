@@ -332,6 +332,27 @@ object Extras {
     // the oracle replays the same little-endian byte-pair arithmetic
     // from the text column (corpus is ASCII, so ascii(char) == byte).
     // All-integer outputs — engine- and partitioning-exact.
+    // REAL audio header walk with a full oracle: the text bytes become
+    // a genuine mono 8 kHz PCM16 WAV (blockAlign 2, pcm truncated to
+    // whole frames), WavCodec.header parses it back, and every field is
+    // exact arithmetic over length(text) — ASCII corpus, chars==bytes.
+    Q("q_mm_audio_meta",
+      Some("""WITH d AS (SELECT doc_id,
+                                length(text) - length(text) % 2 AS pcm
+                         FROM documents)
+              SELECT doc_id,
+                     CAST(44 + pcm AS BIGINT) AS n_bytes,
+                     CAST(8000 AS INT) AS sample_rate,
+                     CAST(1 AS INT) AS channels,
+                     CAST(16 AS INT) AS bits_per_sample,
+                     CAST(pcm // 2 AS BIGINT) AS n_frames,
+                     CAST((pcm // 2) * 1000 // 8000 AS BIGINT) AS duration_ms
+              FROM d ORDER BY doc_id"""),
+      (s, dir) => Multimodal.audioMetaFromText(s, t(s, dir, "documents"),
+        "doc_id", "text")
+        .toDF()
+        .orderBy("doc_id")),
+
     Q("q_mm_audio_energy",
       Some("""WITH d AS (SELECT doc_id, text,
                                 length(text) // 2 AS ns
