@@ -156,6 +156,53 @@ object Pipeline {
 
   private[graft] val pqPlaceholder = "__GRAFT_PQ_BOOKS__"
 
+  /** Shared IVF-PQ oracle CTE block (coarse assignment, residual
+    * encoding vs the codebook literal, reconstruction, probing):
+    * `cand` = (vec_id, cid, pq_raw) over the probed cells, `e` the
+    * full-precision vectors, `q` the query. Used by q_sim_ivf_pq and
+    * its exact-rerank twin.
+    */
+  private val pqCandCtes: String =
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        asg AS (SELECT e.vec_id, e.v, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c),
+        cell AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
+        cellv AS (SELECT cell.vec_id, cell.v, cell.cid, c.cv
+                  FROM cell JOIN c ON c.cid = cell.cid),
+        bk AS (SELECT * FROM (VALUES $pqPlaceholder) t(j, code, bv)),
+        dist AS (SELECT cellv.vec_id, bk.j, bk.code, bk.bv,
+                        list_reduce(list_transform(range(1, 9),
+                          i -> (cellv.v[bk.j * 8 + i]
+                                  - cellv.cv[bk.j * 8 + i]
+                                  - bk.bv[i])
+                             * (cellv.v[bk.j * 8 + i]
+                                  - cellv.cv[bk.j * 8 + i]
+                                  - bk.bv[i])),
+                          (a, b) -> a + b) AS sqd
+                 FROM cellv CROSS JOIN bk),
+        enc AS (SELECT vec_id, j, bv FROM (
+                  SELECT dist.*, row_number() OVER (
+                    PARTITION BY vec_id, j
+                    ORDER BY sqd ASC, code ASC) AS rn
+                  FROM dist) WHERE rn = 1),
+        vh AS (SELECT vec_id, flatten(list(bv ORDER BY j)) AS rhat
+               FROM enc GROUP BY vec_id),
+        vrec AS (SELECT cellv.vec_id, cellv.cid,
+                        list_transform(range(1, len(cellv.cv) + 1),
+                          i -> cellv.cv[i] + vh.rhat[i]) AS vhat
+                 FROM cellv JOIN vh USING (vec_id)),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
+        probes AS (SELECT cid FROM c, q
+                   ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
+        cand AS (SELECT vrec.vec_id, vrec.cid,
+                        list_cosine_similarity(vrec.vhat, qv) AS pq_raw
+                 FROM vrec JOIN probes ON probes.cid = vrec.cid, q
+                 WHERE vrec.vec_id <> 1)"""
+
   /** `__GRAFT_PQ_BOOKS__` → DuckDB VALUES rows (j, code, bv) of the
     * trained PQ codebooks — CAST('<repr>' AS DOUBLE) components for the
     * same shortest-round-trip reasons as the k-means literal.
@@ -907,6 +954,37 @@ object Pipeline {
           .orderBy("stratum", "doc_id")
       }),
 
+    // Bin-level packing audit (Packing.binStats): docs per bin, fill,
+    // and padding waste against the budget — the metric packing exists
+    // to minimize, composed on the same recursive next-fit oracle.
+    Q("q_pack_bins",
+      Some("""WITH RECURSIVE
+                   r AS MATERIALIZED (SELECT lang AS stratum, doc_id,
+                                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                                row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                         FROM documents),
+                   pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
+                     SELECT stratum, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+                     FROM r WHERE rn = 1
+                     UNION ALL
+                     SELECT r.stratum, r.rn, r.doc_id, r.n_tokens,
+                            CASE WHEN p.fill + r.n_tokens <= 200 THEN p.bin ELSE p.bin + 1 END,
+                            CASE WHEN p.fill + r.n_tokens <= 200 THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                     FROM pack p JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, CAST(bin AS BIGINT) AS bin,
+                     count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS fill,
+                     CAST(greatest(200 - sum(n_tokens), 0) AS BIGINT) AS waste
+              FROM pack GROUP BY stratum, bin ORDER BY stratum, bin"""),
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("lang"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        Packing.binStats(
+            Packing.packGreedy(d, "doc_id", "lang", "n_tokens", budget = 200L),
+            budget = 200L)
+          .orderBy("stratum", "bin")
+      }),
+
     // Chunk -> pack composition: long docs split into 16-token windows
     // (no overlap: packed chunks must not double-count tokens), then
     // greedily packed into 64-token bins per language — the two newest
@@ -1274,45 +1352,7 @@ object Pipeline {
     // technique, extended to m subspace codebooks as VERDICT r9
     // prescribed).
     Q("q_sim_ivf_pq",
-      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                          FROM embeddings),
-                    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-                    asg AS (SELECT e.vec_id, e.v, c.cid,
-                                   row_number() OVER (PARTITION BY e.vec_id
-                                     ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
-                            FROM e CROSS JOIN c),
-                    cell AS (SELECT vec_id, v, cid FROM asg WHERE rn = 1),
-                    cellv AS (SELECT cell.vec_id, cell.v, cell.cid, c.cv
-                              FROM cell JOIN c ON c.cid = cell.cid),
-                    bk AS (SELECT * FROM (VALUES $pqPlaceholder) t(j, code, bv)),
-                    dist AS (SELECT cellv.vec_id, bk.j, bk.code, bk.bv,
-                                    list_reduce(list_transform(range(1, 9),
-                                      i -> (cellv.v[bk.j * 8 + i]
-                                              - cellv.cv[bk.j * 8 + i]
-                                              - bk.bv[i])
-                                         * (cellv.v[bk.j * 8 + i]
-                                              - cellv.cv[bk.j * 8 + i]
-                                              - bk.bv[i])),
-                                      (a, b) -> a + b) AS sqd
-                             FROM cellv CROSS JOIN bk),
-                    enc AS (SELECT vec_id, j, bv FROM (
-                              SELECT dist.*, row_number() OVER (
-                                PARTITION BY vec_id, j
-                                ORDER BY sqd ASC, code ASC) AS rn
-                              FROM dist) WHERE rn = 1),
-                    vh AS (SELECT vec_id, flatten(list(bv ORDER BY j)) AS rhat
-                           FROM enc GROUP BY vec_id),
-                    vrec AS (SELECT cellv.vec_id, cellv.cid,
-                                    list_transform(range(1, len(cellv.cv) + 1),
-                                      i -> cellv.cv[i] + vh.rhat[i]) AS vhat
-                             FROM cellv JOIN vh USING (vec_id)),
-                    q AS (SELECT v AS qv FROM e WHERE vec_id = 1),
-                    probes AS (SELECT cid FROM c, q
-                               ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT 4),
-                    cand AS (SELECT vrec.vec_id, vrec.cid,
-                                    list_cosine_similarity(vrec.vhat, qv) AS pq_raw
-                             FROM vrec JOIN probes ON probes.cid = vrec.cid, q
-                             WHERE vrec.vec_id <> 1)
+      Some(s"""WITH $pqCandCtes
                SELECT vec_id, cid AS cent_id, ROUND(pq_raw, 4) AS pqcos
                FROM cand ORDER BY pq_raw DESC, vec_id LIMIT 10"""),
       (s, dir) => {
@@ -1323,6 +1363,29 @@ object Pipeline {
           Similarity.pqIndex(e, coarse, "vec_id", "embedding", books),
           e, coarse, "vec_id", "embedding", books,
           queryId = 1, k = 10, nProbe = 4)
+      }),
+
+    // The FAISS refine stage on the same candidates: exact re-rank of
+    // the ADC top-100 against the raw vectors (full-precision reads
+    // confined to 100 rows) — the lever that took probe recall from
+    // 0.30 to 0.89-0.91.
+    Q("q_sim_ivf_pq_rerank",
+      Some(s"""WITH $pqCandCtes,
+                    rr AS (SELECT vec_id FROM cand
+                           ORDER BY pq_raw DESC, vec_id LIMIT 100),
+                    ex AS (SELECT e.vec_id,
+                                  list_cosine_similarity(e.v, qv) AS cos_raw
+                           FROM e JOIN rr USING (vec_id), q)
+               SELECT vec_id, ROUND(cos_raw, 4) AS cos
+               FROM ex ORDER BY cos_raw DESC, vec_id LIMIT 10"""),
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        val coarse = e.filter(col("vec_id") < 16)
+        val books = pqBooks(s, dir)
+        Similarity.pqTopKRerank(
+          Similarity.pqIndex(e, coarse, "vec_id", "embedding", books),
+          e, coarse, "vec_id", "embedding", books,
+          queryId = 1, k = 10, nProbe = 4, rerank = 100)
       }),
 
     // Sign-LSH bucketed ANN (Charikar'02 random hyperplanes): candidates
@@ -1344,6 +1407,32 @@ object Pipeline {
                FROM eb, q WHERE bucket = qb AND vec_id <> 1
                ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10"""),
       (s, dir) => Similarity.lshTopK(t(s, dir, "embeddings"),
+        "vec_id", "embedding", queryId = 1, k = 10, bits = 6)),
+
+    // Multi-probe sign-LSH (Lv et al. VLDB'07 Hamming-1 ring): the
+    // query's bucket PLUS every bucket differing in one sign bit —
+    // the near-miss recovery the recall probe showed roughly doubles
+    // recall. Deterministic via the injected hyperplane literals, so
+    // it carries the same full oracle as the single-probe variant.
+    Q("q_sim_lsh_mp",
+      Some(s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                          FROM embeddings),
+                    pl AS (SELECT * FROM (VALUES ${lshPlaceholder(6)}) t(b, r)),
+                    bk AS (SELECT vec_id,
+                                  CAST(SUM(CASE WHEN list_dot_product(v, r) >= 0
+                                           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+                           FROM e CROSS JOIN pl GROUP BY vec_id),
+                    eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+                    q AS (SELECT v AS qv, bucket AS qb FROM eb WHERE vec_id = 1),
+                    ring AS (SELECT qb AS rb FROM q
+                             UNION ALL
+                             SELECT xor(qb, CAST(1 AS BIGINT) << i) AS rb
+                             FROM q, range(0, 6) t(i))
+               SELECT vec_id, bucket, ROUND(list_cosine_similarity(v, qv), 4) AS cos
+               FROM eb, q
+               WHERE eb.bucket IN (SELECT rb FROM ring) AND vec_id <> 1
+               ORDER BY list_cosine_similarity(v, qv) DESC, vec_id LIMIT 10"""),
+      (s, dir) => Similarity.lshTopKMultiProbe(t(s, dir, "embeddings"),
         "vec_id", "embedding", queryId = 1, k = 10, bits = 6)),
 
     // ---------------- text analysis ----------------
