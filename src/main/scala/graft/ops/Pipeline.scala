@@ -838,6 +838,28 @@ object Pipeline {
       (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
         .orderBy("doc_id")),
 
+    // Near-dup REMOVAL, transitive: exactly one representative (the
+    // min id) of every pair component survives — the
+    // dropNearDuplicatesByCluster policy over the shared pair cache,
+    // closing the find->remove loop for the near-dup family the same
+    // way the span/prefix pairs do.
+    Q("q_dedup_near_drop",
+      Some(s"""WITH RECURSIVE
+               $clusterCtes,
+               cl AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster
+                      FROM reach GROUP BY u),
+               losers AS (SELECT doc_id FROM cl WHERE doc_id <> cluster)
+               SELECT d.doc_id FROM documents d
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+               ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val losers = Dedup.duplicateClusters(nearPairs(s, dir))
+          .filter(col("doc_id") =!= col("cluster"))
+          .select(col("doc_id"))
+        t(s, dir, "documents").join(losers, Seq("doc_id"), "left_anti")
+          .select(col("doc_id")).orderBy("doc_id")
+      }),
+
     // Duplicate-cluster SIZE histogram: how the duplicated mass
     // distributes (many pairs vs a few mirror farms) — the diagnostic
     // that decides keep-one vs drop-cluster policies. Two tiny
