@@ -1022,6 +1022,68 @@ object Dedup {
     * that never appears as doc_b survives) — use
     * [[dropNearDuplicatesByCluster]] for exactly-one-per-component.
     */
+  /** CCNet-style paragraph-level exact dedup (Wenzek et al. 2020): cut
+    * every repeated paragraph from all occurrences but the first and
+    * keep the shortened document — the crawl-pipeline pass that strips
+    * boilerplate navigation/footer blocks repeated across a site
+    * without dropping whole pages. Corpora without explicit paragraph
+    * breaks (this project's single-line synthetic docs included)
+    * segment deterministically into fixed `segTokens`-token blocks
+    * (last block may be short), which keeps the rule engine-replayable;
+    * a corpus with real newlines would pass its own segmentation in.
+    *
+    * Keeper = the min (doc_id, seg_idx) occurrence of each DISTINCT
+    * segment content corpus-wide — the same total keeper rule as
+    * [[removeSharedSegments]], covering within-doc repeats too.
+    * Segments are keyed by xxhash64 of their text (8-byte exchange, the
+    * postings trick); a hash collision would merge two distinct
+    * paragraphs — the same accepted trade as the gram keys in
+    * [[sharedSegmentCoverage]].
+    *
+    * Scale shape: ONE materialized segment exchange hash-partitioned on
+    * the key feeds both the keeper aggregation (map-side partial min —
+    * a paragraph repeated 10⁶ times costs a combine, never a window)
+    * and the keeper-equality join (exchange-aligned, zero extra
+    * shuffle); the stitch is a per-doc aggregation of the kept rows.
+    * No corpus-sized window, no broadcast of anything corpus-sized.
+    */
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              segTokens: Int = 15): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    // (doc_id, seg_idx, h, seg): deterministic fixed-width segmentation;
+    // size(w) >= 1 always (split of "" is [""]), so every doc has >= 1
+    // segment and the sequence bound is well-formed
+    val segs = pin(toks
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
+              i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))""")))
+      .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
+        xxhash64(col("col")).as("h"), col("col").as("seg"))
+      .repartition(col("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK))
+    val keeper = segs.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("kp"))
+    val kept = segs.join(keeper, Seq("h"))
+      .filter(col("doc_id") === col("kp.doc_id") &&
+        col("seg_idx") === col("kp.seg_idx"))
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"))
+        .as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    toks.select(col("doc_id"),
+      (((size(col("w")) + lit(segTokens - 1)).cast("long")) / segTokens)
+        .cast("long").as("n_segs"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                          threshold: Double = 0.5, n: Int = 4,
                          maxDf: Int = 10000): DataFrame = {

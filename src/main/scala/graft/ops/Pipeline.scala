@@ -1693,6 +1693,40 @@ object Pipeline {
       (s, dir) => Dedup.removeSharedSegmentsByGram(t(s, dir, "documents"),
         "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
 
+    // CCNet-style paragraph-level exact dedup (Wenzek et al. 2020):
+    // deterministic 15-token segmentation, every repeated segment cut
+    // from all occurrences but its min (doc_id, seg_idx) keeper, docs
+    // shortened never dropped. The oracle replays segmentation, keeper
+    // choice and stitch on segment STRINGS where Spark keys by xxhash64
+    // (same equivalence classes, the q_dedup_segments trade).
+    Q("q_dedup_paragraph",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   s AS (SELECT doc_id,
+                                unnest(range(0, (len(w) + 14) // 15)) AS seg_idx,
+                                unnest(list_transform(range(0, (len(w) + 14) // 15),
+                                  i -> array_to_string(w[i*15+1 : i*15+15], ' ')))
+                                  AS seg
+                         FROM d),
+                   kp AS (SELECT doc_id, seg_idx, seg,
+                                 row_number() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, seg_idx) AS rn
+                          FROM s),
+                   agg AS (SELECT doc_id,
+                                  string_agg(seg, ' ' ORDER BY seg_idx) AS txt,
+                                  count(*) AS n_kept
+                           FROM kp WHERE rn = 1 GROUP BY doc_id),
+                   tot AS (SELECT doc_id, count(*) AS n_segs
+                           FROM s GROUP BY doc_id)
+              SELECT t.doc_id, COALESCE(a.txt, '') AS text_clean,
+                     CAST(t.n_segs AS BIGINT) AS n_segs,
+                     CAST(t.n_segs - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+              FROM tot t LEFT JOIN agg a USING (doc_id)
+              ORDER BY t.doc_id"""),
+      (s, dir) => Dedup.dropDuplicateParagraphs(t(s, dir, "documents"),
+        "doc_id", "text", segTokens = 15).orderBy("doc_id")),
+
     // per-source length percentiles: exact integer-rank p50/p90/p99
     Q("q_stats_length_pct",
       Some("""WITH r AS (SELECT source, n_chars AS v,

@@ -1082,6 +1082,34 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("paragraph dedup drops repeated segments, keeps min occurrence") {
+    // segTokens=3: doc 1 = [A][u1], doc 2 = [x][A][u2], doc 3 repeats A
+    // twice internally. Keeper of A = (doc 1, seg 0); every other
+    // occurrence is cut; unique segments always survive.
+    val A = "dup dup dup"
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"$A only one here"),
+      (2L, s"pre pre pre $A post post post"),
+      (3L, s"$A $A tail tail tail")
+    )).toDF("doc_id", "text")
+    val out = graft.api.Dedup
+      .dropDuplicateParagraphs(docs, "doc_id", "text", segTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) === ((s"$A only one here", 2L, 0L)), out(1L))
+    assert(out(2L) === (("pre pre pre post post post", 3L, 1L)), out(2L))
+    assert(out(3L) === (("tail tail tail", 3L, 2L)), out(3L))
+    // a doc whose every segment duplicates earlier content empties out
+    // rather than disappearing — docs shortened, never dropped
+    val all = spark.createDataFrame(Seq((1L, A), (2L, A)))
+      .toDF("doc_id", "text")
+    val e = graft.api.Dedup
+      .dropDuplicateParagraphs(all, "doc_id", "text", segTokens = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e === Map(1L -> A, 2L -> ""), e)
+  }
+
   test("token-stream packing: global order, doc spanning, exact digest") {
     // empty merges => every token is one byte with id = its code point,
     // so the digest arithmetic is fully hand-checkable
