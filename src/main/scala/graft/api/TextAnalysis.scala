@@ -583,6 +583,57 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= lit(cut))
   }
 
+  /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1):
+    * the word-count / mean-word-length / alphabetic-ratio / stopword
+    * heuristics production crawl filters apply before any learned
+    * gate, one boolean per rule plus the conjunction, so downstream
+    * can both filter on `keep` and audit WHICH rule rejected a doc
+    * (the per-rule rejection histogram is the standard curation
+    * diagnostic). All features are exact integers (ppm) — fully
+    * engine-replayable, no float thresholds.
+    *
+    * Rules: minWords ≤ n_words ≤ maxWords; mean word length within
+    * [minMeanWlenPpm, maxMeanWlenPpm] (Gopher: 3–10 chars);
+    * ≥ minAlphaPpm of words contain an alphabetic character (Gopher:
+    * 80%); ≥ minStopHits DISTINCT stopwords present (Gopher: 2).
+    *
+    * Scale shape: pure per-row map work — zero shuffle, zero joins;
+    * whole-stage codegen end to end.
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         stopwords: Seq[String] = DefaultStopwords,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWlenPpm: Long = 3000000L,
+                         maxMeanWlenPpm: Long = 10000000L,
+                         minAlphaPpm: Long = 800000L,
+                         minStopHits: Int = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords, got ($minWords, $maxWords)")
+    val stopList = array(stopwords.map(lit): _*)
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      // size(w) >= 1 always (split of "" is [""]) — the ppm divisions
+      // cannot hit zero even on empty crawl artifacts
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("mean_wlen_ppm", expr(
+        "aggregate(transform(w, x -> cast(length(x) as bigint)), 0L, " +
+          "(a, x) -> a + x) * 1000000L div n_words"))
+      .withColumn("alpha_w",
+        size(filter(col("w"), x => x.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("alpha_ppm", expr("alpha_w * 1000000L div n_words"))
+      .withColumn("stop_hits",
+        size(filter(stopList, sw => array_contains(col("w"), sw)))
+          .cast("long"))
+      .withColumn("f_nwords", col("n_words").between(minWords, maxWords))
+      .withColumn("f_wlen",
+        col("mean_wlen_ppm").between(minMeanWlenPpm, maxMeanWlenPpm))
+      .withColumn("f_alpha", col("alpha_ppm") >= minAlphaPpm)
+      .withColumn("f_stop", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("f_nwords") && col("f_wlen") && col("f_alpha") && col("f_stop"))
+      .drop("w", "alpha_w")
+  }
+
   /** Boilerplate-prefix REMOVAL — the cut half of
     * [[prefixBoilerplate]], completing the detect→remove parity the
     * span-removal family set: documents whose first-k tokens form a

@@ -1927,6 +1927,47 @@ object Pipeline {
       (s, dir) => TextAnalysis.qualityScoreLinear(t(s, dir, "documents"),
         "doc_id", "text", "n_chars").orderBy("doc_id")),
 
+    // Gopher rule-based quality flags (Rae et al. 2021 §A1.1): one
+    // boolean per heuristic plus the conjunction, exact-integer ppm
+    // features throughout. Bounds tuned so every rule splits this
+    // corpus (word counts 10-99, mean word lengths ~3.7-5.1 chars) —
+    // pass-through thresholds would not exercise the flags.
+    Q("q_quality_gopher",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   m AS (SELECT doc_id,
+                                CAST(len(w) AS BIGINT) AS n_words,
+                                list_reduce(list_transform(w,
+                                  x -> CAST(len(x) AS BIGINT)),
+                                  (a, b) -> a + b) AS wchars,
+                                CAST(len(list_filter(w, x ->
+                                  regexp_matches(x, '[A-Za-z]')))
+                                  AS BIGINT) AS alphaw,
+                                CAST(len(list_filter(
+                                  ['the','a','of','and','to','in'],
+                                  s -> list_contains(w, s))) AS BIGINT)
+                                  AS stop_hits
+                         FROM d)
+              SELECT doc_id, n_words,
+                     wchars * 1000000 // n_words AS mean_wlen_ppm,
+                     alphaw * 1000000 // n_words AS alpha_ppm,
+                     stop_hits,
+                     n_words BETWEEN 30 AND 90 AS f_nwords,
+                     wchars * 1000000 // n_words
+                       BETWEEN 4000000 AND 4750000 AS f_wlen,
+                     alphaw * 1000000 // n_words >= 800000 AS f_alpha,
+                     stop_hits >= 2 AS f_stop,
+                     (n_words BETWEEN 30 AND 90)
+                       AND (wchars * 1000000 // n_words
+                            BETWEEN 4000000 AND 4750000)
+                       AND (alphaw * 1000000 // n_words >= 800000)
+                       AND (stop_hits >= 2) AS keep
+              FROM m ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.gopherQualityFlags(t(s, dir, "documents"),
+        "doc_id", "text", minWords = 30, maxWords = 90,
+        minMeanWlenPpm = 4000000L, maxMeanWlenPpm = 4750000L,
+        minAlphaPpm = 800000L, minStopHits = 2).orderBy("doc_id")),
+
     // Per-source adaptive quality threshold: each source's own p10 of
     // the exact-integer stopword-ppm score (histogram-rank pattern —
     // the window sees (source, ppm) counts, never corpus rows)

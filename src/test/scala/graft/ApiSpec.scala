@@ -1082,6 +1082,28 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("gopher quality flags reject on exactly the violated rule") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the cat and dog sat on the mat today fine"), // all rules pass
+      (2L, "tiny doc"),                                  // too few words
+      (3L, "cat dog sat mat rug fox hen cow pig bat"),   // no stopwords
+      (4L, "111 222 333 444 555 the a"),                 // non-alpha words
+      (5L, "extraordinarily incomprehensible characteristically the a magnificently")
+    )).toDF("doc_id", "text")                            // mean wlen > 10
+    val out = TextAnalysis.gopherQualityFlags(docs, "doc_id", "text",
+      minWords = 5, maxWords = 100, minMeanWlenPpm = 3000000L,
+      maxMeanWlenPpm = 10000000L, minAlphaPpm = 800000L, minStopHits = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7),
+          r.getBoolean(8), r.getBoolean(9)))).toMap
+    // (f_nwords, f_wlen, f_alpha, f_stop, keep)
+    assert(out(1L) === ((true, true, true, true, true)), out(1L))
+    assert(out(2L) === ((false, true, true, false, false)), out(2L))
+    assert(out(3L) === ((true, true, true, false, false)), out(3L))
+    assert(out(4L) === ((true, false, false, true, false)), out(4L))
+    assert(out(5L) === ((true, false, true, true, false)), out(5L))
+  }
+
   test("paragraph dedup drops repeated segments, keeps min occurrence") {
     // segTokens=3: doc 1 = [A][u1], doc 2 = [x][A][u2], doc 3 repeats A
     // twice internally. Keeper of A = (doc 1, seg 0); every other
