@@ -115,6 +115,60 @@ object Packing {
     * produced once ([[TextAnalysis.bpeEncode]]'s vocab-side encode) and
     * joined to the offsets on the id key.
     */
+  /** Deterministic seeded shuffle order over packed training sequences
+    * (or any keyed frame): `shuffle_pos` = the rank of each row under
+    * (hash(seed:id), id) — the epoch-reproducible permutation a trainer
+    * applies to .bin-shard sequences so adjacent corpus text does not
+    * land in adjacent batches. The hash is the engine-replayable base-31
+    * polynomial fold composed with the Knuth multiplicative mix
+    * ([[Mixing.polyHashSql]] / [[Mixing.knuthHashSql]] mirror both
+    * stages), so an oracle replays the FULL permutation, and re-running
+    * with the same seed reproduces it bit-for-bit; a new seed is a new
+    * epoch order.
+    *
+    * Scale shape: a global contiguous rank is inherently a total order,
+    * so it uses the two-phase prefix discipline ([[packTokenStream]]'s
+    * slice trick) on the HASH space: rows bucket into `slices`
+    * contiguous hash ranges (the hash is uniform, so slices balance),
+    * phase 1 collects S per-slice counts into exclusive offsets
+    * (bounded driver metadata), phase 2 ranks only WITHIN a slice — no
+    * task ever owns a corpus-wide sort.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
+                   slices: Int = 64): DataFrame = {
+    require(slices >= 1, s"slices must be >= 1, got $slices")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    // 2^32 = the polyHash modulus — slice width is known a priori, no
+    // stats pass over the data
+    val w = 4294967296L / slices + 1
+    // polyHash alone is order-preserving on short strings (it never
+    // wraps 2^32 below ~7 chars) — compose with the Knuth multiplicative
+    // mix so nearby ids scatter; both stages have exact SQL mirrors
+    val s0 = Pins.pin(df
+      .withColumn("__h", graft.api.Mixing.knuthHash(
+        graft.api.Mixing.polyHash(
+          concat(lit(s"$seed:"), col(idCol).cast("string")))))
+      .withColumn("__slice", expr(s"__h div $w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sliceOff = s0.groupBy("__slice").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+      .scanLeft((-1L, 0L, 0L)) { case ((_, acc, n0), (sl, n)) =>
+        (sl, acc + n0, n)
+      }
+      .tail.map { case (sl, off, _) => (sl, off) }
+      .toSeq.toDF("__slice", "__soff")
+    val wd = Window.partitionBy("__slice")
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    s0.join(broadcast(sliceOff), "__slice")
+      .withColumn("shuffle_pos",
+        col("__soff") + coalesce(sum(lit(1L)).over(wd), lit(0L)))
+      .drop("__h", "__slice", "__soff")
+  }
+
   def packTokenStream(docs: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(String, String)], seqLen: Int,
                       slices: Int = 64): DataFrame = {

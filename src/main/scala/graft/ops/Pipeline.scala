@@ -1845,6 +1845,46 @@ object Pipeline {
         "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
         .orderBy("seq_id")),
 
+    // Deterministic seeded shuffle of the packed sequences: the
+    // epoch-reproducible training-order permutation (rank under
+    // (polyhash(seed:seq_id), seq_id)). The oracle replays the FULL
+    // permutation — both engines rank the identical hash fold.
+    Q("q_pack_shuffle",
+      Some(s"""WITH RECURSIVE $bpeStreamCtes,
+                   idx AS (SELECT doc_id, token_id,
+                                  row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY word_idx, ti) - 1 AS in_doc
+                           FROM strm),
+                   cnts AS (SELECT doc_id, count(*) AS n FROM idx
+                            GROUP BY doc_id),
+                   offs AS (SELECT doc_id,
+                                   COALESCE(SUM(n) OVER (ORDER BY doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS doc_off
+                            FROM cnts),
+                   g AS (SELECT idx.doc_id, idx.token_id,
+                                offs.doc_off + idx.in_doc AS gpos
+                         FROM idx JOIN offs USING (doc_id)),
+                   pk AS (SELECT gpos // 128 AS seq_id,
+                                 CAST(SUM((gpos % 128 + 1) * token_id)
+                                   AS BIGINT) AS checksum
+                          FROM g GROUP BY 1)
+              SELECT CAST(seq_id AS BIGINT) AS seq_id, checksum,
+                     row_number() OVER (ORDER BY
+                       ${graft.api.Mixing.knuthHashSql(
+                         "(" + graft.api.Mixing.polyHashSql(
+                           "'7:' || CAST(seq_id AS VARCHAR)") + ")")},
+                       seq_id) - 1
+                       AS shuffle_pos
+              FROM pk ORDER BY seq_id"""),
+      (s, dir) => graft.api.Packing.shuffleOrder(
+        graft.api.Packing.packTokenStream(t(s, dir, "documents"),
+          "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
+          .select("seq_id", "checksum"),
+        "seq_id", seed = 7L)
+        .select("seq_id", "checksum", "shuffle_pos")
+        .orderBy("seq_id")),
+
     // Token-budget mixture denominated in BPE tokens — how training
     // recipes actually specify budgets ("N tokens of source X" means
     // TOKENIZER tokens, not chars): same exact-integer Knuth-hash

@@ -1082,6 +1082,23 @@ class ApiSpec extends AnyFunSuite {
     assert(sd === Map(1L -> 200L, 2L -> 200L), sd)
   }
 
+  test("shuffle order is a seed-reproducible permutation") {
+    val df = spark.range(0, 500).toDF("seq_id")
+    def posMap(seed: Long, part: Int) = Packing
+      .shuffleOrder(df.repartition(part), "seq_id", seed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = posMap(7L, 4)
+    // a true permutation: positions are exactly 0..n-1
+    assert(a.values.toSeq.sorted === (0L until 500L))
+    // reproducible under the same seed, invariant to partitioning
+    assert(a === posMap(7L, 13))
+    // a different seed is a different epoch order (not identity-stable)
+    val b = posMap(8L, 4)
+    assert(a !== b)
+    // and not the input order: the permutation actually shuffles
+    assert(a.count { case (id, p) => id == p } < 50)
+  }
+
   test("gopher quality flags reject on exactly the violated rule") {
     val docs = spark.createDataFrame(Seq(
       (1L, "the cat and dog sat on the mat today fine"), // all rules pass
