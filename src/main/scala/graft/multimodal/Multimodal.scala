@@ -517,8 +517,27 @@ object Multimodal {
       * track; audio traks declare 0x0).
       */
     def videoMeta(payload: Array[Byte]): (Int, Int, Long, Long, Long) = {
+      val (w, h, f, ts, dur, _) = scan(payload)
+      (w, h, f, ts, dur)
+    }
+
+    /** [[videoMeta]] plus the video trak's sample-entry codec fourcc
+      * (stbl/stsd first entry: avc1/hev1/mp4v/av01...). Containers
+      * without an stsd box fail the contract require — callers that
+      * tolerate codec-less headers use [[videoMeta]].
+      */
+    def videoMetaCodec(payload: Array[Byte]): (Int, Int, Long, Long, Long,
+        String) = {
+      val m = scan(payload)
+      require(m._6 != null, "missing stsd sample-entry codec")
+      m
+    }
+
+    private def scan(payload: Array[Byte]): (Int, Int, Long, Long, Long,
+        String) = {
       var width = -1; var height = -1
       var frames = -1L; var ts = -1L; var dur = -1L
+      var codec: String = null
       var inVideoTrak = false
       def walk(start: Long, end: Long): Unit = {
         var off = start
@@ -567,6 +586,11 @@ object Multimodal {
             case "stsz" if inVideoTrak && frames < 0 =>
               require(po + 12 <= boxEnd, "truncated stsz box")
               frames = be32(payload, po + 8)
+            case "stsd" if inVideoTrak && codec == null =>
+              // body: version/flags(4) entry_count(4) then the first
+              // sample entry: size(4) format-fourcc(4)
+              require(po + 16 <= boxEnd, "truncated stsd box")
+              codec = new String(payload, po + 12, 4, "US-ASCII")
             case _ => ()
           }
           // advance in Long: a huge declared size ends the walk cleanly
@@ -577,7 +601,7 @@ object Multimodal {
       walk(0L, payload.length.toLong)
       require(width >= 0 && frames >= 0 && ts > 0,
         "missing moov/tkhd/mdhd/stsz metadata")
-      (width, height, frames, ts, dur)
+      (width, height, frames, ts, dur, codec)
     }
   }
 
@@ -592,7 +616,10 @@ object Multimodal {
     */
   private[graft] def buildMp4(width: Int, height: Int, nFrames: Long,
                               timescale: Long, duration: Long,
-                              audioTrakFirst: Boolean = false): Array[Byte] = {
+                              audioTrakFirst: Boolean = false,
+                              codec: String = ""): Array[Byte] = {
+    require(codec.isEmpty || codec.length == 4,
+      s"codec fourcc must be 4 chars, got '$codec'")
     def box(typ: String, content: Array[Byte]): Array[Byte] = {
       val out = java.nio.ByteBuffer.allocate(8 + content.length)
       out.putInt(8 + content.length).put(typ.getBytes("US-ASCII"))
@@ -607,7 +634,7 @@ object Multimodal {
       box(typ, b.array())
     }
     def trakBox(w: Int, h: Int, frames: Long, ts: Long,
-                dur: Long): Array[Byte] = {
+                dur: Long, fourcc: String): Array[Byte] = {
       val tkhd = full("tkhd", b => {
         b.putInt(0).putInt(0).putInt(1).putInt(0).putInt(dur.toInt)
           .putInt(0).putInt(0)
@@ -622,7 +649,17 @@ object Multimodal {
       val stsz = full("stsz", b => {
         b.putInt(0).putInt(frames.toInt) // sample_size=0, sample_count
       }, 8)
-      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf", box("stbl", stsz))))
+      // stsd with one minimal 16-byte sample entry (size + fourcc +
+      // 6 reserved bytes + data_reference_index) when a codec is set
+      val stsd =
+        if (fourcc.isEmpty) Array.emptyByteArray
+        else full("stsd", b => {
+          b.putInt(1) // entry_count
+          b.putInt(16).put(fourcc.getBytes("US-ASCII"))
+          b.putInt(0).putShort(0).putShort(1) // reserved + dref index
+        }, 20)
+      box("trak", tkhd ++ box("mdia", mdhd ++ box("minf",
+        box("stbl", stsd ++ stsz))))
     }
     val ftyp = box("ftyp", java.nio.ByteBuffer.allocate(8)
       .put("isom".getBytes("US-ASCII")).putInt(0x200).array())
@@ -637,10 +674,14 @@ object Multimodal {
     }, 96)
     // an audio trak declares 0x0 dims and its OWN timescale/duration —
     // a correct walk must skip past it to the video trak's metadata
+    // the audio trak carries its own stsd ("mp4a") — a correct codec
+    // walk must skip it along with the rest of the audio metadata
     val audio =
-      if (audioTrakFirst) trakBox(0, 0, 777L, 44100L, 999999L)
+      if (audioTrakFirst)
+        trakBox(0, 0, 777L, 44100L, 999999L,
+          if (codec.isEmpty) "" else "mp4a")
       else Array.emptyByteArray
-    val video = trakBox(width, height, nFrames, timescale, duration)
+    val video = trakBox(width, height, nFrames, timescale, duration, codec)
     val moov = box("moov", mvhd ++ audio ++ video)
     val mdat = box("mdat", Array.emptyByteArray)
     ftyp ++ moov ++ mdat
@@ -675,6 +716,39 @@ object Multimodal {
           val mp4 = buildMp4(width, height, frames, timescale, duration)
           val (w, h, f, ts, dur) = Mp4Codec.videoMeta(mp4)
           VideoMeta(id, w.toLong, h.toLong, f, dur * 1000L / ts)
+        }
+      }
+  }
+
+  /** One video payload's codec + dims (exact integers + fourcc). */
+  final case class VideoCodec(doc_id: Long, codec: String, width: Long,
+                              height: Long)
+
+  /** Codec identification through the real stsd walk: containers built
+    * with a per-row fourcc (avc1/hev1/mp4v/av01 by id mod 4) AND a
+    * leading audio trak carrying its own "mp4a" stsd that the walk must
+    * skip — the codec-demux pass a video curation pipeline runs before
+    * routing clips to format-specific decoders. Oracle recomputes the
+    * fourcc from the id arithmetic alone ([[videoMetaFromCols]]'s
+    * technique).
+    */
+  def videoCodecFromCols(spark: SparkSession, docs: DataFrame,
+                         idCol: String,
+                         nCharsCol: String): Dataset[VideoCodec] = {
+    import spark.implicits._
+    val fourccs = Array("avc1", "hev1", "mp4v", "av01")
+    docs.select(col(idCol).cast("long"), col(nCharsCol).cast("long"))
+      .filter(col(idCol).isNotNull && col(nCharsCol).isNotNull)
+      .as[(Long, Long)]
+      .mapPartitions { rows =>
+        rows.map { case (id, nChars) =>
+          val width = (16 + (id % 240) * 8).toInt
+          val height = (16 + (nChars % 135) * 8).toInt
+          val frames = 1 + (nChars % 240)
+          val mp4 = buildMp4(width, height, frames, 600L, frames * 25L,
+            audioTrakFirst = true, codec = fourccs((id % 4).toInt))
+          val (w, h, _, _, _, cc) = Mp4Codec.videoMetaCodec(mp4)
+          VideoCodec(id, cc, w.toLong, h.toLong)
         }
       }
   }

@@ -256,6 +256,25 @@ object Extras {
         .toDF()
         .orderBy("doc_id")),
 
+    // Codec identification through the real stsd box walk: per-row
+    // fourcc (id mod 4) round-tripped through genuine container
+    // construction + parse, with a leading "mp4a" audio trak the walk
+    // must skip. Oracle recomputes the fourcc from the id arithmetic.
+    Q("q_mm_video_codec",
+      Some("""SELECT doc_id,
+                     CASE doc_id % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+                                     WHEN 2 THEN 'mp4v' ELSE 'av01'
+                     END AS codec,
+                     CAST(16 + (doc_id % 240) * 8 AS BIGINT) AS width,
+                     CAST(16 + (n_chars % 135) * 8 AS BIGINT) AS height
+              FROM documents
+              WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+              ORDER BY doc_id"""),
+      (s, dir) => Multimodal.videoCodecFromCols(s, t(s, dir, "documents"),
+        "doc_id", "n_chars")
+        .toDF()
+        .orderBy("doc_id")),
+
     // The three stub-decode queries carry FULL DuckDB oracles: the stub
     // fold is wrap-free mod-1e9+7 arithmetic over the payload bytes
     // (pure-ASCII text, so bytes == ascii(char)), and the oracle

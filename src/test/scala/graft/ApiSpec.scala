@@ -1003,6 +1003,34 @@ class ApiSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Multimodal.Mp4Codec.videoMeta(bare))
   }
 
+  test("Mp4Codec stsd codec walk skips the audio trak's mp4a entry") {
+    import graft.multimodal.Multimodal
+    // video codec read through a leading audio trak carrying "mp4a"
+    val m = Multimodal.buildMp4(320, 240, 48L, 600L, 1200L,
+      audioTrakFirst = true, codec = "hev1")
+    assert(Multimodal.Mp4Codec.videoMetaCodec(m) ===
+      ((320, 240, 48L, 600L, 1200L, "hev1")))
+    // codec-less container: videoMeta tolerates, videoMetaCodec raises
+    val plain = Multimodal.buildMp4(640, 360, 240L, 600L, 6000L)
+    assert(Multimodal.Mp4Codec.videoMeta(plain) ===
+      ((640, 360, 240L, 600L, 6000L)))
+    intercept[IllegalArgumentException](
+      Multimodal.Mp4Codec.videoMetaCodec(plain))
+    // a truncated stsd (entry_count present, entry bytes outside the
+    // box's declared extent) raises the stsd contract exception, not a
+    // bounds error: shrink the stsd box's size field in place
+    val full = Multimodal.buildMp4(320, 240, 48L, 600L, 1200L,
+      codec = "avc1")
+    val idx = full.indexOfSlice("stsd".getBytes("US-ASCII")) - 4
+    assert(idx >= 0)
+    val trunc = full.clone()
+    trunc(idx) = 0; trunc(idx + 1) = 0; trunc(idx + 2) = 0
+    trunc(idx + 3) = 16 // header + version/flags + entry_count only
+    val ex = intercept[IllegalArgumentException](
+      Multimodal.Mp4Codec.videoMetaCodec(trunc))
+    assert(ex.getMessage.contains("truncated stsd"), ex.getMessage)
+  }
+
   test("withPayload rejects a half-shaped media frame instead of clobbering it") {
     import graft.multimodal.Multimodal
     // payload present but the type column is named differently: the old
