@@ -79,6 +79,34 @@ object Funcs {
           array_join(split(col("p_name"), " "), "|").as("words"))
         .orderBy("p_partkey")),
 
+    // URL normalization — the crawl-curation pass that turns a page URL
+    // into (host, registrable domain, path, query param) for per-domain
+    // stats and blocklist joins. Spark goes through the REAL parse_url
+    // on a URL constructed from relational columns; the oracle
+    // recomputes the expected parts from the columns alone (the
+    // round-trip technique of q_mm_video_meta). The registrable domain
+    // is the last two host labels (public-suffix handling is a data
+    // problem, out of scope for a fixed-suffix corpus).
+    Q("q_str_url",
+      Some("""SELECT doc_id,
+                     source || '.example.com' AS host,
+                     'example.com' AS domain,
+                     '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+                     lang AS lang_param
+              FROM documents ORDER BY doc_id"""),
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("url",
+          concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+            col("doc_id").cast("string"), lit("?lang="), col("lang"),
+            lit("#frag")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          array_join(slice(split(parse_url(col("url"), lit("HOST")),
+            "\\."), -2, 2), ".").as("domain"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("lang")).as("lang_param"))
+        .orderBy("doc_id")),
+
     Q("q_date_funcs",
       Some("""SELECT o_orderkey,
                      CAST(o_orderdate AS DATE) AS d,
