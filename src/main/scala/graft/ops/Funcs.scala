@@ -93,8 +93,15 @@ object Funcs {
                      'example.com' AS domain,
                      '/docs/' || CAST(doc_id AS VARCHAR) AS path,
                      lang AS lang_param
-              FROM documents ORDER BY doc_id"""),
+              FROM documents
+              WHERE source IS NOT NULL AND lang IS NOT NULL
+              ORDER BY doc_id"""),
       (s, dir) => t(s, dir, "documents")
+        // NULL source/lang would null the whole constructed URL on this
+        // side while the oracle still emits its literal fields — filter
+        // identically on both engines so a testdata regen with NULLs
+        // cannot silently diverge the comparison
+        .filter(col("source").isNotNull && col("lang").isNotNull)
         .withColumn("url",
           concat(lit("https://"), col("source"), lit(".example.com/docs/"),
             col("doc_id").cast("string"), lit("?lang="), col("lang"),

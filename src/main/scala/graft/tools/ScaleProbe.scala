@@ -763,6 +763,43 @@ object ScaleProbe {
     val dpvN = (System.nanoTime() - tpvN) / 1e9
     println(f"perplexity (V=10000, ${mult}x corpus): 1x=$pv1 docs ${dpv1}%.2f s  " +
       f"${mult}x=$pvN docs ${dpvN}%.2f s  time-growth=${dpvN / dpv1}%.1fx")
+
+    // paragraph dedup at mult x corpus: replica word-renaming keeps each
+    // replica's segment space disjoint, so removed-segment mass must be
+    // EXACTLY mult x the 1x mass (keepers never cross replicas) and the
+    // wall ~linear — one segment-hash exchange with map-side partial
+    // min, no corpus window
+    val tpd1 = System.nanoTime()
+    val pd1 = Dedup.dropDuplicateParagraphs(docsFor(1), "doc_id", "text",
+      segTokens = 15).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dpd1 = (System.nanoTime() - tpd1) / 1e9
+    val tpdN = System.nanoTime()
+    val pdN = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text",
+      segTokens = 15).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dpdN = (System.nanoTime() - tpdN) / 1e9
+    println(f"paragraph-dedup (${mult}x corpus): 1x=$pd1 segs cut ${dpd1}%.2f s  " +
+      f"${mult}x=$pdN segs cut ${dpdN}%.2f s  time-growth=${dpdN / dpd1}%.1fx  " +
+      f"cut-growth=${pdN.toDouble / pd1}%.1fx (expect exactly ${mult}x)")
+
+    // seeded shuffle order at mult x ids: the two-phase hash-slice rank
+    // must yield a TRUE permutation (n distinct positions, max = n-1)
+    // at every scale, with slices balanced (the hash is uniform) — the
+    // property a corpus-wide total order must prove without any task
+    // owning the global sort
+    {
+      import graft.api.Packing
+      val n = n0 * mult
+      val tso = System.nanoTime()
+      val so = Packing.shuffleOrder(
+        spark.range(n).select(col("id").as("seq_id")), "seq_id", seed = 7L)
+      val r = so.agg(count(lit(1)), countDistinct(col("shuffle_pos")),
+        max(col("shuffle_pos"))).collect()(0)
+      val dso = (System.nanoTime() - tso) / 1e9
+      println(f"shuffle-order (${mult}x ids): n=${r.getLong(0)} " +
+        f"distinct-pos=${r.getLong(1)} max-pos=${r.getLong(2)} ${dso}%.2f s  " +
+        f"permutation=${r.getLong(0) == r.getLong(1) &&
+          r.getLong(2) == r.getLong(0) - 1}")
+    }
     spark.stop()
   }
 }
