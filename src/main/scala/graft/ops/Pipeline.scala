@@ -1936,6 +1936,37 @@ object Pipeline {
           .orderBy("source")
       }),
 
+    // Tokenizer efficiency per source: chars-per-BPE-token (exact ppm)
+    // — the compression-ratio metric tokenizer/corpus pairings are
+    // compared on ("bytes per token" in tokenizer papers; ASCII corpus
+    // so chars == bytes). One vocab-side encode, one broadcast-sized
+    // join, one hash agg on |sources| groups.
+    Q("q_bpe_compression",
+      Some(s"""WITH RECURSIVE $bpeCountCtes
+              SELECT d.source, count(*) AS n_docs,
+                     CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+                     CAST(sum(dtok.n_bpe_tokens) AS BIGINT) AS n_tokens,
+                     CAST(sum(d.n_chars) * 1000000
+                          // sum(dtok.n_bpe_tokens) AS BIGINT)
+                       AS chars_per_tok_ppm
+              FROM dtok JOIN documents d ON d.doc_id = dtok.doc_id
+              WHERE d.source IS NOT NULL AND d.n_chars IS NOT NULL
+              GROUP BY d.source ORDER BY d.source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs.filter(col("source").isNotNull && col("n_chars").isNotNull)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .join(TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+            bpeMerges(s, dir)), "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars"),
+            sum(col("n_bpe_tokens")).cast("long").as("n_tokens"))
+          .withColumn("chars_per_tok_ppm",
+            expr("n_chars * 1000000L div n_tokens"))
+          .orderBy("source")
+      }),
+
     Q("q_quality_score",
       Some("""WITH d AS (SELECT doc_id, text, n_chars, string_split(text, ' ') AS w FROM documents),
                    f AS (SELECT doc_id, n_chars,
