@@ -1074,9 +1074,10 @@ object Dedup {
         "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"))
         .as("text_clean"),
         count(lit(1)).as("n_kept"))
-    toks.select(col("doc_id"),
-      (((size(col("w")) + lit(segTokens - 1)).cast("long")) / segTokens)
-        .cast("long").as("n_segs"))
+    // per-doc totals come off the pinned segment frame (an agg over the
+    // existing exchange), not a second corpus scan; every doc has >= 1
+    // segment, so no doc can drop out of the left side
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
       .join(kept, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),

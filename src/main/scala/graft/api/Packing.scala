@@ -136,6 +136,9 @@ object Packing {
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
                    slices: Int = 64): DataFrame = {
+    // idCol must be unique: it is the tiebreak that makes the rank a
+    // total order — duplicate ids would make positions among the
+    // duplicates partition-dependent
     require(slices >= 1, s"slices must be >= 1, got $slices")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
