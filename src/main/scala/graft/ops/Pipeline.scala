@@ -2656,6 +2656,98 @@ object Pipeline {
           .orderBy("stratum", "doc_id")
       }),
 
+    // The composed pipeline through THIS round's curation surfaces:
+    // paragraph-level cut -> Gopher rule gate on the CUT text -> exact
+    // dedup of gate survivors -> per-lang greedy pack. One oracle
+    // replays all four stages.
+    Q("q_pipeline_e2e_par",
+      Some("""WITH RECURSIVE
+               d AS (SELECT doc_id, string_split(text, ' ') AS w
+                     FROM documents),
+               sg AS (SELECT doc_id,
+                             unnest(range(0, (len(w) + 14) // 15)) AS seg_idx,
+                             unnest(list_transform(range(0, (len(w) + 14) // 15),
+                               i -> array_to_string(w[i*15+1 : i*15+15], ' ')))
+                               AS seg
+                      FROM d),
+               kp AS (SELECT doc_id, seg_idx, seg,
+                             row_number() OVER (PARTITION BY seg
+                               ORDER BY doc_id, seg_idx) AS rn
+                      FROM sg),
+               agg AS (SELECT doc_id,
+                              string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+                       FROM kp WHERE rn = 1 GROUP BY doc_id),
+               cl AS (SELECT d.doc_id, COALESCE(a.txt, '') AS text_clean
+                      FROM d LEFT JOIN agg a USING (doc_id)),
+               gw AS (SELECT doc_id, text_clean,
+                             string_split(text_clean, ' ') AS w2 FROM cl),
+               gm AS (SELECT doc_id, text_clean,
+                             CAST(len(w2) AS BIGINT) AS n_words,
+                             list_reduce(list_transform(w2,
+                               x -> CAST(len(x) AS BIGINT)),
+                               (a, b) -> a + b) AS wchars,
+                             CAST(len(list_filter(w2, x ->
+                               regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                               AS alphaw,
+                             CAST(len(list_filter(
+                               ['the','a','of','and','to','in'],
+                               st -> list_contains(w2, st))) AS BIGINT) AS sh
+                      FROM gw),
+               gk AS (SELECT doc_id, text_clean FROM gm
+                      WHERE n_words BETWEEN 30 AND 90
+                        AND wchars * 1000000 // n_words
+                            BETWEEN 4000000 AND 4750000
+                        AND alphaw * 1000000 // n_words >= 800000
+                        AND sh >= 2),
+               ded AS (SELECT doc_id FROM (
+                         SELECT doc_id, row_number() OVER (
+                           PARTITION BY sha256(text_clean)
+                           ORDER BY doc_id) AS rn
+                         FROM gk) WHERE rn = 1),
+               clean AS (SELECT doc.lang AS stratum, gk.doc_id,
+                                CAST(len(string_split(gk.text_clean, ' '))
+                                  AS BIGINT) AS n_tokens
+                         FROM gk JOIN ded USING (doc_id)
+                         JOIN documents doc ON doc.doc_id = gk.doc_id),
+               r AS MATERIALIZED (SELECT stratum, doc_id, n_tokens,
+                            row_number() OVER (PARTITION BY stratum
+                              ORDER BY doc_id) AS rn
+                     FROM clean),
+               pack(stratum, rn, doc_id, n_tokens, bin, fill) AS (
+                 SELECT stratum, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+                        n_tokens
+                 FROM r WHERE rn = 1
+                 UNION ALL
+                 SELECT r.stratum, r.rn, r.doc_id, r.n_tokens,
+                        CASE WHEN p.fill + r.n_tokens <= 200 THEN p.bin
+                             ELSE p.bin + 1 END,
+                        CASE WHEN p.fill + r.n_tokens <= 200
+                             THEN p.fill + r.n_tokens ELSE r.n_tokens END
+                 FROM pack p
+                 JOIN r ON r.stratum = p.stratum AND r.rn = p.rn + 1)
+              SELECT stratum, doc_id, n_tokens, CAST(bin AS BIGINT) AS bin
+              FROM pack ORDER BY stratum, doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cut = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text",
+          segTokens = 15)
+        val gated = TextAnalysis.gopherQualityFlags(
+          cut.select(col("doc_id"), col("text_clean")), "doc_id",
+          "text_clean", minWords = 30, maxWords = 90,
+          minMeanWlenPpm = 4000000L, maxMeanWlenPpm = 4750000L,
+          minAlphaPpm = 800000L, minStopHits = 2)
+          .filter(col("keep")).select("doc_id")
+        val ded = Dedup.dropExactDuplicates(
+          cut.join(gated, "doc_id")
+            .join(docs.select("doc_id", "lang"), "doc_id"),
+          "doc_id", "text_clean")
+        Packing.packGreedy(
+          ded.select(col("lang"), col("doc_id"),
+            size(split(col("text_clean"), " ")).cast("long").as("n_tokens")),
+          "doc_id", "lang", "n_tokens", budget = 200L)
+          .orderBy("stratum", "doc_id")
+      }),
+
     Q("q_lang_id",
       Some("""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS w
                          FROM documents),
