@@ -1047,16 +1047,16 @@ object Dedup {
     * shuffle); the stitch is a per-doc aggregation of the kept rows.
     * No corpus-sized window, no broadcast of anything corpus-sized.
     */
-  def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
-                              textCol: String,
-                              segTokens: Int = 15): DataFrame = {
-    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val toks = docs.select(col(idCol).as("doc_id"),
-      split(col(textCol), " ").as("w"))
-    // (doc_id, seg_idx, h, seg): deterministic fixed-width segmentation;
-    // size(w) >= 1 always (split of "" is [""]), so every doc has >= 1
-    // segment and the sequence bound is well-formed
-    val segs = pin(toks
+  /** Materialized, h-co-partitioned (doc_id, seg_idx, h, seg) segment
+    * frame: deterministic fixed-width segmentation, xxhash64 keys.
+    * size(w) >= 1 always (split of "" is [""]), so every doc has >= 1
+    * segment and the sequence bound is well-formed. ONE exchange feeds
+    * keeper aggregation, keeper-equality join, and per-doc totals.
+    */
+  private def segmentFrame(docs: DataFrame, idCol: String, textCol: String,
+                           segTokens: Int): DataFrame =
+    pin(docs.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
               i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))""")))
@@ -1064,25 +1064,70 @@ object Dedup {
         xxhash64(col("col")).as("h"), col("col").as("seg"))
       .repartition(col("h"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+
+  /** Shared stitch tail for the paragraph family: kept rows → per-doc
+    * stitched text + counts, with totals off the segment exchange (an
+    * agg, not a second corpus scan); docs whose every segment was cut
+    * come back with empty text — shortened, never dropped.
+    */
+  private def stitchSegments(segs: DataFrame, kept: DataFrame): DataFrame = {
+    val stitched = kept.groupBy("doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"))
+        .as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
+      .join(stitched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  def dropDuplicateParagraphs(docs: DataFrame, idCol: String,
+                              textCol: String,
+                              segTokens: Int = 15): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val segs = segmentFrame(docs, idCol, textCol, segTokens)
     val keeper = segs.groupBy("h")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("kp"))
     val kept = segs.join(keeper, Seq("h"))
       .filter(col("doc_id") === col("kp.doc_id") &&
         col("seg_idx") === col("kp.seg_idx"))
-      .groupBy("doc_id")
-      .agg(concat_ws(" ", expr(
-        "transform(array_sort(collect_list(struct(seg_idx, seg))), s -> s.seg)"))
-        .as("text_clean"),
-        count(lit(1)).as("n_kept"))
-    // per-doc totals come off the pinned segment frame (an agg over the
-    // existing exchange), not a second corpus scan; every doc has >= 1
-    // segment, so no doc can drop out of the left side
-    segs.groupBy("doc_id").agg(count(lit(1)).as("n_segs"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        col("n_segs"),
-        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    stitchSegments(segs, kept)
+  }
+
+  /** Incremental paragraph dedup: cut from INCREMENT docs every segment
+    * that already exists in the (immutable, published) corpus, plus
+    * within-increment repeats beyond their min (doc_id, seg_idx)
+    * occurrence — the arriving-crawl shape where yesterday's corpus is
+    * frozen and today's batch defers to it. Corpus-priority semantics:
+    * an increment occurrence NEVER displaces a corpus segment, even
+    * with a smaller doc id (unlike the batch keeper rule, which is
+    * id-total across the union). Output covers increment docs only.
+    *
+    * Scale shape: the corpus collapses to its DISTINCT segment-hash set
+    * (8 bytes per distinct segment — the persisted-index shape: a 100 TB
+    * deployment writes it bucketed on h once and attaches, the
+    * [[buildBandIndex]] discipline) and the increment pays one
+    * co-partitioned anti-join against it; keeper selection and stitch
+    * touch increment rows only, so per-run cost ∝ increment, never
+    * corpus.
+    */
+  def incrementalParagraphDedup(corpus: DataFrame, incr: DataFrame,
+                                idCol: String, textCol: String,
+                                segTokens: Int = 15): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    val cseg = segmentFrame(corpus, idCol, textCol, segTokens)
+      .select("h").distinct()
+    val nseg = segmentFrame(incr, idCol, textCol, segTokens)
+    val keeper = nseg.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("kp"))
+    val kept = nseg.join(keeper, Seq("h"))
+      .filter(col("doc_id") === col("kp.doc_id") &&
+        col("seg_idx") === col("kp.seg_idx"))
+      .join(cseg, Seq("h"), "left_anti")
+    stitchSegments(nseg, kept)
   }
 
   def dropNearDuplicates(docs: DataFrame, idCol: String, textCol: String,

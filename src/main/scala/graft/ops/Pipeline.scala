@@ -1747,6 +1747,49 @@ object Pipeline {
       (s, dir) => Dedup.dropDuplicateParagraphs(t(s, dir, "documents"),
         "doc_id", "text", segTokens = 15).orderBy("doc_id")),
 
+    // Incremental paragraph dedup: the 10% increment (doc_id % 10 = 0,
+    // the q_dedup_incr convention) against the frozen 90% corpus —
+    // corpus-priority semantics: an increment segment is cut if the
+    // corpus has it AT ALL, plus within-increment repeats beyond the
+    // min occurrence. Output covers increment docs only.
+    Q("q_dedup_paragraph_incr",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   s AS (SELECT doc_id,
+                                unnest(range(0, (len(w) + 14) // 15)) AS seg_idx,
+                                unnest(list_transform(range(0, (len(w) + 14) // 15),
+                                  i -> array_to_string(w[i*15+1 : i*15+15], ' ')))
+                                  AS seg
+                         FROM d),
+                   cs AS (SELECT DISTINCT seg FROM s WHERE doc_id % 10 <> 0),
+                   ns AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+                   kp AS (SELECT doc_id, seg_idx, seg,
+                                 row_number() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, seg_idx) AS rn
+                          FROM ns),
+                   kept AS (SELECT doc_id, seg_idx, seg FROM kp
+                            WHERE rn = 1
+                              AND seg NOT IN (SELECT seg FROM cs)),
+                   agg AS (SELECT doc_id,
+                                  string_agg(seg, ' ' ORDER BY seg_idx) AS txt,
+                                  count(*) AS n_kept
+                           FROM kept GROUP BY doc_id),
+                   tot AS (SELECT doc_id, count(*) AS n_segs
+                           FROM ns GROUP BY doc_id)
+              SELECT t.doc_id, COALESCE(a.txt, '') AS text_clean,
+                     CAST(t.n_segs AS BIGINT) AS n_segs,
+                     CAST(t.n_segs - COALESCE(a.n_kept, 0) AS BIGINT)
+                       AS n_removed
+              FROM tot t LEFT JOIN agg a USING (doc_id)
+              ORDER BY t.doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        Dedup.incrementalParagraphDedup(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", segTokens = 15).orderBy("doc_id")
+      }),
+
     // per-source length percentiles: exact integer-rank p50/p90/p99
     Q("q_stats_length_pct",
       Some("""WITH r AS (SELECT source, n_chars AS v,

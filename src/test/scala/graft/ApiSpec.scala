@@ -1177,6 +1177,31 @@ class ApiSpec extends AnyFunSuite {
     assert(e === Map(1L -> A, 2L -> ""), e)
   }
 
+  test("incremental paragraph dedup defers to the corpus index") {
+    val A = "dup dup dup"
+    val B = "bis bis bis"
+    // corpus holds A under a LARGE doc id; increment doc 1 (smaller id)
+    // must still lose A — corpus priority, unlike the batch keeper rule
+    val corpus = spark.createDataFrame(Seq((900L, s"$A core core core")))
+      .toDF("doc_id", "text")
+    val incr = spark.createDataFrame(Seq(
+      (1L, s"$A new new new"),
+      (2L, s"$B $B tail tail tail"),
+      (3L, B)
+    )).toDF("doc_id", "text")
+    val out = graft.api.Dedup
+      .incrementalParagraphDedup(corpus, incr, "doc_id", "text",
+        segTokens = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    // increment-only output; corpus doc never appears
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L) === (("new new new", 1L)), out(1L))
+    // within-increment repeats keep the min (doc_id, seg_idx) occurrence
+    assert(out(2L) === ((s"$B tail tail tail", 1L)), out(2L))
+    assert(out(3L) === (("", 1L)), out(3L))
+  }
+
   test("token-stream packing: global order, doc spanning, exact digest") {
     // empty merges => every token is one byte with id = its code point,
     // so the digest arithmetic is fully hand-checkable
