@@ -583,6 +583,30 @@ object TextAnalysis {
       .withColumn("keep", col("score") >= lit(cut))
   }
 
+  /** Within-doc duplicate-paragraph fraction (Gopher repetition rule,
+    * Rae et al. 2021 table A1: "duplicate paragraph fraction"): the
+    * share of a doc's fixed-width segments that repeat an EARLIER
+    * segment of the same doc, exact ppm. Complements
+    * [[Dedup.dropDuplicateParagraphs]] (corpus-wide removal) with the
+    * per-doc diagnostic a repetition gate thresholds on. Pure map-side
+    * — segmentation, dedupe, and the ppm all happen inside one row.
+    */
+  def duplicateSegmentStats(docs: DataFrame, idCol: String,
+                            textCol: String,
+                            segTokens: Int = 15): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    docs
+      .select(col(idCol), split(col(textCol), " ").as("w"))
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
+              i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))"""))
+      .select(col(idCol),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(array_distinct(col("segs"))))
+          .cast("long").as("n_dup_segs"))
+      .withColumn("dup_ppm", expr("n_dup_segs * 1000000L div n_segs"))
+  }
+
   /** Gopher-style rule-based quality flags (Rae et al. 2021 §A1.1):
     * the word-count / mean-word-length / alphabetic-ratio / stopword
     * heuristics production crawl filters apply before any learned

@@ -2098,6 +2098,27 @@ object Pipeline {
         minMeanWlenPpm = 4000000L, maxMeanWlenPpm = 4750000L,
         minAlphaPpm = 800000L, minStopHits = 2).orderBy("doc_id")),
 
+    // Within-doc duplicate-paragraph fraction (the Gopher repetition
+    // rule): share of 15-token segments repeating an earlier segment of
+    // the same doc, exact ppm, pure map-side.
+    Q("q_rep_paragraph",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   m AS (SELECT doc_id,
+                                list_transform(range(0, (len(w) + 14) // 15),
+                                  i -> array_to_string(w[i*15+1 : i*15+15], ' '))
+                                  AS segs
+                         FROM d)
+              SELECT doc_id,
+                     CAST(len(segs) AS BIGINT) AS n_segs,
+                     CAST(len(segs) - len(list_distinct(segs)) AS BIGINT)
+                       AS n_dup_segs,
+                     (len(segs) - len(list_distinct(segs))) * 1000000
+                       // len(segs) AS dup_ppm
+              FROM m ORDER BY doc_id"""),
+      (s, dir) => TextAnalysis.duplicateSegmentStats(t(s, dir, "documents"),
+        "doc_id", "text", segTokens = 15).orderBy("doc_id")),
+
     // Per-source adaptive quality threshold: each source's own p10 of
     // the exact-integer stopword-ppm score (histogram-rank pattern —
     // the window sees (source, ppm) counts, never corpus rows)
