@@ -107,6 +107,7 @@ object Bench {
         "stream_stateful" -> (() => SparkEntry.queries("q_stream_stateful")(spark, sfDir).count()),
         "stream_dedup_incr" -> (() => SparkEntry.queries("q_stream_dedup_incr")(spark, sfDir).count()),
         "stream_sem_incr" -> (() => SparkEntry.queries("q_stream_sem_incr")(spark, sfDir).count()),
+        "stream_par_incr" -> (() => SparkEntry.queries("q_stream_par_incr")(spark, sfDir).count()),
         "stream_cms" -> (() => SparkEntry.queries("q_stream_cms")(spark, sfDir).count())
       ).map { case (name, f) =>
         // (the q_stream_* queries forced above are memoized — recorded
@@ -229,7 +230,7 @@ object Bench {
     // against pre-memoization artifacts aren't misread as speedups.
     val memoized = Seq("q_stream_dedup", "q_stream_join", "q_stream_sjoin",
         "q_stream_sjoin_left", "q_stream_stateful", "q_stream_dedup_incr",
-        "q_stream_sem_incr", "q_stream_cms", "q_stream_tumble",
+        "q_stream_sem_incr", "q_stream_par_incr", "q_stream_cms", "q_stream_tumble",
         "q_stream_rate", "q_stream_session")
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),

@@ -1053,9 +1053,10 @@ object Dedup {
     * segment and the sequence bound is well-formed. ONE exchange feeds
     * keeper aggregation, keeper-equality join, and per-doc totals.
     */
-  private def segmentFrame(docs: DataFrame, idCol: String, textCol: String,
-                           segTokens: Int): DataFrame =
-    pin(docs.select(col(idCol).as("doc_id"),
+  private[graft] def segmentFrame(docs: DataFrame, idCol: String,
+                                  textCol: String, segTokens: Int,
+                                  pinFrame: Boolean = true): DataFrame = {
+    val f = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
@@ -1063,7 +1064,12 @@ object Dedup {
       .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
         xxhash64(col("col")).as("h"), col("col").as("seg"))
       .repartition(col("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK))
+    // pinFrame=false: the streaming replay owns the lifecycle (persist +
+    // unpersist per micro-batch in a CHILD session Graft.clear never
+    // sees — a session-registry pin there would leak, the sem-replay
+    // pinIncrement lesson)
+    if (pinFrame) pin(f.persist(StorageLevel.MEMORY_AND_DISK)) else f
+  }
 
   /** Shared stitch tail for the paragraph family: kept rows → per-doc
     * stitched text + counts, with totals off the segment exchange (an
@@ -1116,17 +1122,47 @@ object Dedup {
     */
   def incrementalParagraphDedup(corpus: DataFrame, incr: DataFrame,
                                 idCol: String, textCol: String,
-                                segTokens: Int = 15): DataFrame = {
+                                segTokens: Int = 15): DataFrame =
+    incrementalParagraphDedupByHash(
+      segmentHashes(corpus, idCol, textCol, segTokens),
+      incr, idCol, textCol, segTokens)
+
+  /** The distinct segment-hash set of a corpus — the persisted-index
+    * unit [[incrementalParagraphDedupByHash]] consumes (8 bytes per
+    * distinct segment; a deployment writes it bucketed on h once).
+    */
+  private[graft] def segmentHashes(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   segTokens: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    val cseg = segmentFrame(corpus, idCol, textCol, segTokens)
-      .select("h").distinct()
-    val nseg = segmentFrame(incr, idCol, textCol, segTokens)
+    segmentFrame(docs, idCol, textCol, segTokens).select("h").distinct()
+  }
+
+  /** [[incrementalParagraphDedup]] against a pre-built distinct
+    * segment-hash frame (one `h` column) — the entry point the
+    * streaming replay folds its seen-set through without re-segmenting
+    * the corpus every micro-batch.
+    */
+  private[graft] def incrementalParagraphDedupByHash(
+      corpusHashes: DataFrame, incr: DataFrame, idCol: String,
+      textCol: String, segTokens: Int): DataFrame = {
+    require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
+    incrementalParagraphSegments(corpusHashes,
+      segmentFrame(incr, idCol, textCol, segTokens))
+  }
+
+  /** The keeper/anti-join/stitch tail over a pre-built increment
+    * segment frame — lets the streaming replay segment each micro-batch
+    * ONCE and feed both the dedup and its `_seen` hash fold.
+    */
+  private[graft] def incrementalParagraphSegments(
+      corpusHashes: DataFrame, nseg: DataFrame): DataFrame = {
     val keeper = nseg.groupBy("h")
       .agg(min(struct(col("doc_id"), col("seg_idx"))).as("kp"))
     val kept = nseg.join(keeper, Seq("h"))
       .filter(col("doc_id") === col("kp.doc_id") &&
         col("seg_idx") === col("kp.seg_idx"))
-      .join(cseg, Seq("h"), "left_anti")
+      .join(corpusHashes.select("h"), Seq("h"), "left_anti")
     stitchSegments(nseg, kept)
   }
 

@@ -178,6 +178,24 @@ object Extras {
         }.orderBy("vec_id")
       }),
 
+    // Streaming incremental paragraph dedup: three ascending-id arrival
+    // files cut per micro-batch against the frozen corpus segment-hash
+    // index plus all earlier batches' hashes (the _seen fold), outputs
+    // exactly-once per batch — the union equals the one-shot batch
+    // result, so q_dedup_paragraph_incr's oracle applies VERBATIM.
+    Q("q_stream_par_incr", Some(Pipeline.parIncrOracle),
+      (s, dir) => {
+        Streams.cachedOp(s, dir, "par_incr_seg15") {
+          val glob = Sources.ensureStreamParIncr(s, dir) + "/s*"
+          val docs = t(s, dir, "documents")
+          val corpusHashes = graft.api.Dedup.segmentHashes(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15)
+          Streams.segmentDedupReplay(s, glob,
+            docs.select("doc_id", "text").schema, "doc_id", "text",
+            corpusHashes, segTokens = 15)
+        }.orderBy("doc_id")
+      }),
+
     // Count-min sketch as streaming state: the 10% increment streams in
     // three micro-batches and the running (seed, bucket) aggregation IS
     // the sketch — bounded at depth x width rows regardless of volume,

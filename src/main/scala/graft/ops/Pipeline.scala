@@ -540,6 +540,41 @@ object Pipeline {
     * replay (q_stream_dedup_incr): batch boundaries cannot change the
     * streamed union, so the two queries share one ground truth.
     */
+  /** Shared by q_dedup_paragraph_incr (batch) and q_stream_par_incr
+    * (the streamed replay whose union over ascending micro-batches
+    * equals the one-shot result) — one oracle, two execution modes.
+    */
+  private[ops] val parIncrOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+            s AS (SELECT doc_id,
+                         unnest(range(0, (len(w) + 14) // 15)) AS seg_idx,
+                         unnest(list_transform(range(0, (len(w) + 14) // 15),
+                           i -> array_to_string(w[i*15+1 : i*15+15], ' ')))
+                           AS seg
+                  FROM d),
+            cs AS (SELECT DISTINCT seg FROM s WHERE doc_id % 10 <> 0),
+            ns AS (SELECT * FROM s WHERE doc_id % 10 = 0),
+            kp AS (SELECT doc_id, seg_idx, seg,
+                          row_number() OVER (PARTITION BY seg
+                            ORDER BY doc_id, seg_idx) AS rn
+                   FROM ns),
+            kept AS (SELECT doc_id, seg_idx, seg FROM kp
+                     WHERE rn = 1
+                       AND seg NOT IN (SELECT seg FROM cs)),
+            agg AS (SELECT doc_id,
+                           string_agg(seg, ' ' ORDER BY seg_idx) AS txt,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_segs
+                    FROM ns GROUP BY doc_id)
+       SELECT t.doc_id, COALESCE(a.txt, '') AS text_clean,
+              CAST(t.n_segs AS BIGINT) AS n_segs,
+              CAST(t.n_segs - COALESCE(a.n_kept, 0) AS BIGINT)
+                AS n_removed
+       FROM tot t LEFT JOIN agg a USING (doc_id)
+       ORDER BY t.doc_id"""
+
   private[ops] val incrOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
@@ -1753,35 +1788,7 @@ object Pipeline {
     // corpus has it AT ALL, plus within-increment repeats beyond the
     // min occurrence. Output covers increment docs only.
     Q("q_dedup_paragraph_incr",
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-                         FROM documents),
-                   s AS (SELECT doc_id,
-                                unnest(range(0, (len(w) + 14) // 15)) AS seg_idx,
-                                unnest(list_transform(range(0, (len(w) + 14) // 15),
-                                  i -> array_to_string(w[i*15+1 : i*15+15], ' ')))
-                                  AS seg
-                         FROM d),
-                   cs AS (SELECT DISTINCT seg FROM s WHERE doc_id % 10 <> 0),
-                   ns AS (SELECT * FROM s WHERE doc_id % 10 = 0),
-                   kp AS (SELECT doc_id, seg_idx, seg,
-                                 row_number() OVER (PARTITION BY seg
-                                   ORDER BY doc_id, seg_idx) AS rn
-                          FROM ns),
-                   kept AS (SELECT doc_id, seg_idx, seg FROM kp
-                            WHERE rn = 1
-                              AND seg NOT IN (SELECT seg FROM cs)),
-                   agg AS (SELECT doc_id,
-                                  string_agg(seg, ' ' ORDER BY seg_idx) AS txt,
-                                  count(*) AS n_kept
-                           FROM kept GROUP BY doc_id),
-                   tot AS (SELECT doc_id, count(*) AS n_segs
-                           FROM ns GROUP BY doc_id)
-              SELECT t.doc_id, COALESCE(a.txt, '') AS text_clean,
-                     CAST(t.n_segs AS BIGINT) AS n_segs,
-                     CAST(t.n_segs - COALESCE(a.n_kept, 0) AS BIGINT)
-                       AS n_removed
-              FROM tot t LEFT JOIN agg a USING (doc_id)
-              ORDER BY t.doc_id"""),
+      Some(parIncrOracle),
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dedup.incrementalParagraphDedup(

@@ -162,11 +162,33 @@ object Sources {
       }
     }
 
+  /** The 10% document increment (doc_id % 10 = 0) as three arrival
+    * files with ids ASCENDING by file order — the parity precondition
+    * of [[graft.streaming.Streams.segmentDedupReplay]] (its union over
+    * micro-batches equals the one-shot incremental paragraph dedup only
+    * when newcomer ids ascend with batch order; the interleaved
+    * [[ensureStreamIncr]] split would violate the min-keeper rule).
+    */
+  private[graft] def ensureStreamParIncr(s: SparkSession, dir: String): String =
+    ensure(s, dir, "stream_par_incr") { out =>
+      val inc = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select("doc_id", "text")
+      val mx = Option(inc.agg(max("doc_id")).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(-1L)
+      (0 until 3).foreach { i =>
+        val lo = i * (mx + 1) / 3
+        val hi = if (i == 2) Long.MaxValue else (i + 1) * (mx + 1) / 3
+        inc.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
+      }
+    }
+
   /** Materialize every source-sink scratch file for (session, dir). */
   private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
     ensureCsv(s, dir); ensureJsonl(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
-    ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir); ()
+    ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir)
+    ensureStreamParIncr(s, dir); ()
   }
 
   val qs: Seq[Q] = Seq(

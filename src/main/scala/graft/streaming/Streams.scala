@@ -543,6 +543,64 @@ object Streams {
     spark.read.parquet(outDir).select("vec_id", "cent_id")
   }
 
+  /** Streaming incremental PARAGRAPH dedup — the segment-level sibling
+    * of [[semanticDedupReplay]]: each arriving file of documents is one
+    * micro-batch, cut against the STATIC corpus segment-hash index plus
+    * the distinct segment hashes of ALL earlier batches (the `_seen`
+    * fold — every hash seen, kept or cut, because a later duplicate
+    * defers to any earlier occurrence). Batch outputs are
+    * partition-overwritten per batch_id, so checkpoint redelivery is
+    * idempotent; the prior read excludes `batch_id >= current` for the
+    * same self-domination reason as the semantic replay. Under
+    * ascending-id arrival the union over batches EQUALS the one-shot
+    * [[graft.api.Dedup.incrementalParagraphDedup]] — the batch query's
+    * oracle applies verbatim.
+    */
+  def segmentDedupReplay(spark0: SparkSession, filesGlob: String,
+                         docSchema: StructType, idCol: String,
+                         textCol: String, corpusHashes: DataFrame,
+                         segTokens: Int): DataFrame = {
+    val spark = childSession(spark0, rocksdb = false)
+    val name = "parincr_" + UUID.randomUUID().toString.replace("-", "")
+    val base = scratchDir(spark0, "graft-parincr", filesGlob)
+    val outDir = s"$base/cleaned"
+    val seenDir = s"$base/seen"
+    rmTree(new java.io.File(base))
+    val corpus = corpusHashes.select(col("h"))
+    val writeBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val prior = scala.util.Try(spark.read.parquet(seenDir)
+        .filter(col("batch_id") < batchId)
+        .select(col("h"))).toOption
+      val ref = prior.map(corpus.unionByName(_)).getOrElse(corpus)
+      // segment ONCE per batch: the same frame feeds the dedup and the
+      // _seen hash fold (the semantic replay's assign-once discipline);
+      // lifecycle owned here — a Pins registration in this CHILD
+      // session would outlive the batch and leak past Graft.clear
+      val nseg = graft.api.Dedup.segmentFrame(
+          batch.select(col(idCol).as("doc_id"), col(textCol)),
+          "doc_id", textCol, segTokens, pinFrame = false)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        graft.api.Dedup.incrementalParagraphSegments(ref, nseg)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        nseg.select("h").distinct()
+          .write.mode("overwrite").parquet(s"$seenDir/batch_id=$batchId")
+      } finally { nseg.unpersist(); () }
+    }
+    val q = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(filesGlob)
+      .writeStream.foreachBatch(writeBatch)
+      .option("checkpointLocation", s"$ckBase/$name")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    rmCk(name)
+    spark.read.parquet(outDir)
+      .select("doc_id", "text_clean", "n_segs", "n_removed")
+  }
+
   /** Count-min sketch maintained AS streaming state: tokens stream in
     * micro-batches and the running aggregation keys are (seed, bucket)
     * — at most depth × width rows of state no matter how much corpus

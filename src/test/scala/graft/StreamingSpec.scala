@@ -89,6 +89,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(_ % 2 === 1), s"an exact copy survived: $got")
   }
 
+  test("streamed paragraph incremental dedup equals the one-shot increment") {
+    import graft.api.Dedup
+    val docs = graft.ops.H.t(spark, sfDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val glob = graft.ops.Sources.ensureStreamParIncr(spark, sfDir) + "/s*"
+    val streamed = Streams.segmentDedupReplay(spark, glob,
+      docs.select("doc_id", "text").schema, "doc_id", "text",
+      Dedup.segmentHashes(corpus, "doc_id", "text", 15), segTokens = 15)
+    val nBatches = streamed.inputFiles
+      .map(_.replaceAll(".*batch_id=([0-9]+).*", "$1")).distinct.length
+    assert(nBatches >= 2, s"expected >=2 micro-batch partitions, got $nBatches")
+    val got = streamed.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    val oneShot = Dedup.incrementalParagraphDedup(corpus,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 15)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).toSet
+    assert(got === oneShot)
+  }
+
   test("streamed cms sketch equals the batch sketch over the same slice") {
     import graft.api.Sketches
     import graft.ops.{Pipeline, Sources}
