@@ -441,6 +441,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"no corpus-wide window expected in:\n$p")
   }
 
+  test("paragraph dedup: partial-min keeper, no corpus window") {
+    // the keeper must be a map-side-combined min aggregation (a segment
+    // repeated 10^6 times costs a combine) and NOTHING may window the
+    // corpus; same contract for the incremental variant, whose corpus
+    // side must enter as a LeftAnti join
+    val p = plan("q_dedup_paragraph")
+    assert(p.contains("partial_min"),
+      s"keeper selection must combine map-side in:\n$p")
+    assert(!p.contains("Window"), s"no corpus-wide window expected in:\n$p")
+    val ip = plan("q_dedup_paragraph_incr")
+    assert(ip.contains("partial_min"),
+      s"incremental keeper must combine map-side in:\n$ip")
+    assert(ip.contains("LeftAnti"),
+      s"corpus index must join anti in:\n$ip")
+    assert(!ip.contains("Window"), s"no corpus-wide window expected in:\n$ip")
+  }
+
+  test("shuffle order broadcasts slice offsets and windows per slice") {
+    import org.apache.spark.sql.functions.col
+    val p = api.Packing.shuffleOrder(
+      spark.range(0, 5000).select(col("id").as("seq_id")), "seq_id", 7L)
+      .queryExecution.executedPlan.toString
+    // the 64-row offset table must broadcast; the rank window must be
+    // keyed by the slice (a corpus-global window would put the whole
+    // frame in one task)
+    assert(p.contains("BroadcastHashJoin"),
+      s"slice offsets must broadcast in:\n$p")
+    assert(p.contains("windowspecdefinition(__slice"),
+      s"rank window must partition by slice in:\n$p")
+  }
+
+  test("gopher quality flags are a zero-exchange map") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val p = api.TextAnalysis.gopherQualityFlags(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"rule flags must be pure map work, no shuffle in:\n$p")
+  }
+
   test("embedding centroids collapse map-side; pair distances broadcast") {
     val cp = plan("q_embed_centroids")
     // the dim-fanned rows must combine in a partial hash aggregation
