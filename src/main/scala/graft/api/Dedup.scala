@@ -42,6 +42,30 @@ object Dedup {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** The canonical form behind [[dropExactDuplicatesNormalized]]:
+    * casefold, non-alphanumerics to spaces, whitespace runs collapsed,
+    * trimmed. ASCII-safe and identical under Java and RE2 regex
+    * semantics, so an oracle replays it verbatim.
+    */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup under canonicalization — the production "exact" pass:
+    * case, punctuation, and whitespace variants of the same content
+    * (the dominant trivial-duplicate classes in crawl data) hash
+    * together, and the min-id member of each class survives with its
+    * ORIGINAL text. Same scale shape as [[dropExactDuplicates]]: a
+    * content-hash window whose partitions are duplicate classes (tiny),
+    * never a corpus-wide sort.
+    */
+  def dropExactDuplicatesNormalized(docs: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(normText(col(textCol)), 256)).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Cross-source duplication matrix: how many duplicate pairs connect
     * each (source, source) combination — the curation diagnostic that
     * tells you WHERE the duplication lives ("crawl B is 40% mirrors of

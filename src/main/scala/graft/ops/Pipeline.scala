@@ -1782,6 +1782,34 @@ object Pipeline {
       (s, dir) => Dedup.dropDuplicateParagraphs(t(s, dir, "documents"),
         "doc_id", "text", segTokens = 15).orderBy("doc_id")),
 
+    // Normalization-tolerant exact dedup: case/punctuation/whitespace
+    // variants hash together (the dominant trivial-duplicate classes in
+    // crawl data). The query PLANTS the variants — a mutated twin of
+    // every doc (uppercased + trailing punctuation, id + 1e6) — and the
+    // normalized pass must collapse each twin onto its original.
+    Q("q_dedup_exact_norm",
+      Some("""WITH u AS (SELECT doc_id, text FROM documents
+                         UNION ALL
+                         SELECT doc_id + 1000000, upper(text) || ' !!'
+                         FROM documents),
+                   n AS (SELECT doc_id,
+                                trim(regexp_replace(regexp_replace(
+                                  lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                  ' +', ' ', 'g')) AS nt
+                         FROM u),
+                   k AS (SELECT doc_id, row_number() OVER (
+                           PARTITION BY nt ORDER BY doc_id) AS rn
+                         FROM n)
+              SELECT doc_id FROM k WHERE rn = 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            concat(upper(col("text")), lit(" !!")).as("text")))
+        Dedup.dropExactDuplicatesNormalized(planted, "doc_id", "text")
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // Incremental paragraph dedup: the 10% increment (doc_id % 10 = 0,
     // the q_dedup_incr convention) against the frozen 90% corpus —
     // corpus-priority semantics: an increment segment is cut if the
