@@ -52,6 +52,44 @@ object Decontamination {
         round(col("n_gram_hits") / col("sz"), 6).as("hit_frac"))
   }
 
+  /** FUZZY decontamination: flag corpus docs whose shingle-set Jaccard
+    * against any eval doc reaches `threshold` — the near-duplicate
+    * contamination an exact n-gram report misses (a paraphrased or
+    * lightly-edited benchmark copy shares most shingles but few long
+    * exact runs). Per flagged doc: how many eval docs it matches and
+    * the best Jaccard. Exact arithmetic (inverted-index candidates +
+    * true Jaccard verification — candidate recall is total for any
+    * threshold > 0), so an oracle replays it in plain SQL.
+    *
+    * Scale shape: candidates come ONLY from cross (corpus × eval)
+    * postings joined on the token key — never corpus × corpus; the
+    * eval side is benchmark-sized, so the posting join is broadcast by
+    * AQE and the verification aggregation carries candidate pairs
+    * (bounded by eval postings), not the corpus.
+    */
+  def fuzzyContamination(corpusSh: DataFrame, evalSh: DataFrame,
+                         threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val exC = corpusSh.select(col("doc_id").as("c_id"),
+      explode(col("toks")).as("tok"))
+    val exE = evalSh.select(col("doc_id").as("e_id"),
+      explode(col("toks")).as("tok"))
+    val inter = exC.join(exE, "tok")
+      .groupBy("c_id", "e_id").agg(count(lit(1)).as("inter"))
+    val szC = corpusSh.select(col("doc_id").as("c_id"),
+      size(col("toks")).as("sa"))
+    val szE = evalSh.select(col("doc_id").as("e_id"),
+      size(col("toks")).as("sb"))
+    inter.join(szC, "c_id").join(szE, "e_id")
+      .withColumn("jaccard",
+        col("inter") / (col("sa") + col("sb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("c_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"),
+        round(max(col("jaccard")), 4).as("max_jaccard"))
+  }
+
   /** Remove corpus docs whose contaminated shingle fraction exceeds
     * `maxHitFrac` (default 0.0 = any shared n-gram drops the doc — the
     * conservative eval-hygiene setting). The comparison is exact

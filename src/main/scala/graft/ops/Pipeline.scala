@@ -1001,6 +1001,47 @@ object Pipeline {
           .orderBy("doc_id")
       }),
 
+    // FUZZY decontamination: corpus docs whose shingle-set Jaccard
+    // against any eval doc (doc_id % 10 = 1) reaches 0.5 — the
+    // paraphrased-benchmark leak the exact n-gram report misses.
+    // Inverted-index candidates + true-Jaccard verification (recall is
+    // total for threshold > 0), replayed exactly by the oracle.
+    Q("q_decontam_fuzzy",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   sh AS (SELECT doc_id,
+                                 list_distinct([array_to_string(w[i:i+3], ' ')
+                                                for i in range(1, len(w)-2)])
+                                   AS toks
+                          FROM d WHERE len(w) >= 4),
+                   c AS (SELECT * FROM sh WHERE doc_id % 10 <> 1),
+                   e AS (SELECT * FROM sh WHERE doc_id % 10 = 1),
+                   exc AS (SELECT doc_id AS c_id, unnest(toks) AS tok FROM c),
+                   exe AS (SELECT doc_id AS e_id, unnest(toks) AS tok FROM e),
+                   p AS (SELECT c_id, e_id, count(*) AS inter
+                         FROM exc JOIN exe USING (tok) GROUP BY 1, 2),
+                   j AS (SELECT c_id,
+                                CAST(inter AS DOUBLE)
+                                  / (sa.sz + sb.sz - inter) AS jac
+                         FROM p
+                         JOIN (SELECT doc_id, len(toks) AS sz FROM c) sa
+                           ON sa.doc_id = c_id
+                         JOIN (SELECT doc_id, len(toks) AS sz FROM e) sb
+                           ON sb.doc_id = e_id
+                         WHERE CAST(inter AS DOUBLE)
+                               / (sa.sz + sb.sz - inter) >= 0.5)
+              SELECT c_id AS doc_id, count(*) AS n_eval_matches,
+                     ROUND(max(jac), 4) AS max_jaccard
+              FROM j GROUP BY c_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val sh = shingled(s, dir)
+        Decontamination.fuzzyContamination(
+            corpusSh = sh.filter(col("doc_id") % 10 =!= 1),
+            evalSh = sh.filter(col("doc_id") % 10 === 1),
+            threshold = 0.5)
+          .orderBy("doc_id")
+      }),
+
     // Greedy in-order sequence packing into 200-token bins per language
     // stratum — next-fit, deterministic, sequential within a stratum and
     // parallel across strata (flatMapSortedGroups secondary sort). The
