@@ -106,6 +106,38 @@ object Mixing {
     s"list_reduce(list_transform(string_split($strExpr, ''), " +
       s"c -> CAST(ascii(c) AS BIGINT)), (a, b) -> (a * 31 + b) % $M)"
 
+  /** Deterministic fractional upsampling — materialize a "N epochs of
+    * source X" recipe: every doc of a source with rate r repeats
+    * floor(r) times, plus once more for the Knuth-hash-selected
+    * fraction frac(r) of its ids (rate < 1 therefore downsamples:
+    * base 0 + probabilistic keep). Output rows carry `rep` (0-based
+    * repeat index) so the expanded corpus keeps a unique (id, rep)
+    * key for downstream shuffling/packing. Pure map-side: the repeat
+    * count is a per-row expression, the expansion an explode —
+    * zero shuffle, deterministic, incremental-safe (a doc's repeats
+    * never depend on the rest of the corpus).
+    */
+  def upsample(df: DataFrame, idCol: String, srcCol: String,
+               rates: Map[String, Double]): DataFrame = {
+    require(rates.nonEmpty && rates.values.forall(r => r >= 0 && !r.isNaN),
+      "upsample needs nonnegative rates")
+    val base = rates.foldLeft(lit(1L)) { case (acc, (s, r)) =>
+      when(col(srcCol) === s, lit(math.floor(r).toLong)).otherwise(acc)
+    }
+    // per-source fractional threshold as an exact integer literal
+    // (driver-side, the [[threshold]] rule) so any mirrored SQL
+    // compares against the same number
+    val thr = rates.foldLeft(lit(0L)) { case (acc, (s, r)) =>
+      when(col(srcCol) === s,
+        lit(threshold(r - math.floor(r)))).otherwise(acc)
+    }
+    df.withColumn("__n",
+        base + when(knuthHash(col(idCol)) < thr, 1L).otherwise(0L))
+      .filter(col("__n") > 0)
+      .withColumn("rep", explode(expr("sequence(0L, __n - 1)")))
+      .drop("__n")
+  }
+
   /** Leakage-safe dataset split: every row of a GROUP (domain,
     * source, near-dup cluster id) lands in the SAME split, because the
     * interval test hashes the group key, not the row id — the standard

@@ -2055,6 +2055,33 @@ object Pipeline {
           .orderBy("source")
       }),
 
+    // Deterministic fractional upsampling — "2.5 epochs of src0, a
+    // quarter of src1, everything else once": floor(rate) repeats plus
+    // a Knuth-hash-selected extra for the fractional part, exact
+    // integer thresholds on both engines. rep keeps (id, rep) unique.
+    Q("q_mix_upsample",
+      Some(s"""WITH r AS (SELECT doc_id, source,
+                     CASE source WHEN 'src0' THEN 2
+                                 WHEN 'src1' THEN 0 ELSE 1 END AS base,
+                     CASE source
+                       WHEN 'src0' THEN ${graft.api.Mixing.threshold(0.5)}
+                       WHEN 'src1' THEN ${graft.api.Mixing.threshold(0.25)}
+                       ELSE 0 END AS thr
+                    FROM documents),
+                   n AS (SELECT doc_id, source,
+                                base + CASE WHEN
+                                  ${graft.api.Mixing.knuthHashSql("doc_id")}
+                                  < thr THEN 1 ELSE 0 END AS n
+                         FROM r)
+              SELECT doc_id, source,
+                     CAST(unnest(range(0, n)) AS BIGINT) AS rep
+              FROM n WHERE n > 0 ORDER BY doc_id, rep"""),
+      (s, dir) => graft.api.Mixing.upsample(
+          t(s, dir, "documents").select("doc_id", "source"),
+          "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.25))
+        .select(col("doc_id"), col("source"), col("rep").cast("long"))
+        .orderBy("doc_id", "rep")),
+
     // Tokenizer efficiency per source: chars-per-BPE-token (exact ppm)
     // — the compression-ratio metric tokenizer/corpus pairings are
     // compared on ("bytes per token" in tokenizer papers; ASCII corpus

@@ -1177,6 +1177,32 @@ class ApiSpec extends AnyFunSuite {
     assert(e === Map(1L -> A, 2L -> ""), e)
   }
 
+  test("upsample repeats floor(rate) times plus the hashed fraction") {
+    import graft.api.Mixing
+    val df = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 500, "a").otherwise("b"))
+    val out = Mixing.upsample(df, "doc_id", "source",
+      Map("a" -> 3.0, "b" -> 0.5)).cache()
+    // integral rate: every 'a' doc exactly 3 times, rep = 0,1,2
+    val a = out.filter(col("source") === "a")
+    assert(a.count() === 1500)
+    assert(a.groupBy("doc_id").count().filter(col("count") =!= 3)
+      .count() === 0)
+    // fractional-only rate: 'b' docs kept 0-or-1 times, ~half kept
+    val b = out.filter(col("source") === "b")
+    assert(b.groupBy("doc_id").count().filter(col("count") =!= 1)
+      .count() === 0)
+    val kept = b.count()
+    assert(kept > 175 && kept < 325, s"expected ~250 of 500 b-docs, got $kept")
+    // deterministic: a second run is identical
+    val again = Mixing.upsample(df, "doc_id", "source",
+      Map("a" -> 3.0, "b" -> 0.5))
+    assert(out.exceptAll(again).count() === 0 &&
+      again.exceptAll(out).count() === 0)
+    out.unpersist()
+  }
+
   test("incremental paragraph dedup defers to the corpus index") {
     val A = "dup dup dup"
     val B = "bis bis bis"
