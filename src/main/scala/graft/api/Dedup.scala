@@ -689,6 +689,94 @@ object Dedup {
       attach(s"graft_bandsh_$tag", "shingles", Seq("doc_id"))))
   }
 
+  /** Persist the distinct segment-hash index of a corpus (the
+    * [[incrementalParagraphDedupByHash]] reference side) as ONE
+    * bucketed-on-h external table + meta.json — the
+    * segment-once / attach-forever shape: a cold session attaches the
+    * files by DDL, re-segmenting nothing. Same discipline as
+    * [[saveBandIndex]]: fingerprint + segTokens guard (a regenerated
+    * corpus OR a different segmentation invalidates), atomic publish
+    * via staged-rename with a retired sibling (a failed publish leaves
+    * the complete old index, never a half-written mix).
+    */
+  def saveSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, hashes: DataFrame,
+                       fingerprint: String, segTokens: Int,
+                       buckets: Int = 8): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val tag = tableTag(path)
+    val stage = s"graft_segs_${tag}_stage"
+    val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+    Seq(stage, s"graft_segs_$tag")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    hashes.select(col("h")).write.format("parquet")
+      .bucketBy(buckets, "h").sortBy("h")
+      .option("path", s"$tmp/segments").mode("overwrite").saveAsTable(stage)
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    val meta = s"""{"version":$IndexFormatVersion,"kind":"segments",""" +
+      s""""seg_tokens":$segTokens,"buckets":$buckets,""" +
+      s""""fingerprint":"$fingerprint"}"""
+    val fs = hadoopFs(spark, path)
+    val out = fs.create(new Path(indexMetaPath(tmp)), true)
+    out.write(meta.getBytes("UTF-8")); out.close()
+    val dst = new Path(path)
+    val retired = new Path(
+      s"$path.retired-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(dst)
+    if (hadOld) require(fs.rename(dst, retired),
+      s"atomic publish failed: could not retire old index at $path")
+    if (!fs.rename(new Path(tmp), dst)) {
+      val restored = hadOld && fs.rename(retired, dst)
+      throw new IllegalStateException(
+        s"atomic publish failed: rename $tmp -> $path" + (
+          if (restored) " (old index restored)"
+          else if (hadOld) s" (RESTORE ALSO FAILED: old index stranded at $retired)"
+          else " (no prior index existed)"))
+    }
+    if (hadOld) fs.delete(retired, true)
+    loadSegmentIndex(spark, path, fingerprint, segTokens).getOrElse(
+      throw new IllegalStateException(
+        s"segment index at $path unreadable immediately after publish"))
+  }
+
+  /** Load a [[saveSegmentIndex]]-persisted index if present AND its
+    * fingerprint/segTokens/version match — None otherwise (callers then
+    * rebuild+save). Attaches by DDL over the existing bucketed files;
+    * no data is read or re-segmented.
+    */
+  def loadSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, fingerprint: String,
+                       segTokens: Int): Option[DataFrame] = {
+    val fs = hadoopFs(spark, path)
+    val mp = new org.apache.hadoop.fs.Path(indexMetaPath(path))
+    if (!fs.exists(mp)) return None
+    val meta = {
+      val in = fs.open(mp)
+      val txt = new String(in.readAllBytes(), "UTF-8"); in.close()
+      """"(\w+)":\s*("?)([^",}]*)\2""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(3)).toMap
+    }
+    if (meta.get("version").map(_.toInt) != Some(IndexFormatVersion) ||
+        meta.get("kind") != Some("segments") ||
+        meta.get("seg_tokens").map(_.toInt) != Some(segTokens) ||
+        meta.get("fingerprint") != Some(fingerprint)) return None
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/segments")))
+      return None
+    val buckets = meta("buckets").toInt
+    val tag = tableTag(path)
+    val tbl = s"graft_segs_$tag"
+    if (!spark.catalog.tableExists(tbl)) {
+      val schema = spark.read.parquet(s"$path/segments").schema.toDDL
+      spark.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
+        s"CLUSTERED BY (h) SORTED BY (h) INTO $buckets BUCKETS " +
+        s"LOCATION '$path/segments'")
+      indexTables.synchronized {
+        indexTables += ((System.identityHashCode(spark), tbl)); ()
+      }
+    }
+    Some(spark.table(tbl))
+  }
+
   /** Incremental near-dup detection: NEW documents against an already-
     * shingled corpus — the production shape at 100 TB, where the corpus
     * side is a persisted band index (ideally bucketed on

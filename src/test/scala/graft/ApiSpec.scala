@@ -1483,6 +1483,38 @@ class ApiSpec extends AnyFunSuite {
     assert(Dedup.loadBandIndex(spark, path + "/absent", "fp-v1").isEmpty)
   }
 
+  test("segment index round-trips with fingerprint + segTokens guard") {
+    import graft.api.Dedup
+    val A = "dup dup dup"
+    val corpus = spark.createDataFrame(Seq((900L, s"$A core core core")))
+      .toDF("doc_id", "text")
+    val incr = spark.createDataFrame(Seq(
+      (1L, s"$A new new new"), (2L, "bis bis bis tail tail tail")
+    )).toDF("doc_id", "text")
+    def result(hashes: org.apache.spark.sql.DataFrame) = Dedup
+      .incrementalParagraphDedupByHash(hashes, incr, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fresh = Dedup.segmentHashes(corpus, "doc_id", "text", 3)
+    val direct = result(fresh)
+    val path = java.nio.file.Files.createTempDirectory("segidx").toString + "/idx"
+    val saved = Dedup.saveSegmentIndex(spark, path, fresh,
+      fingerprint = "fp-v1", segTokens = 3)
+    assert(result(saved) === direct)
+    val loaded = Dedup.loadSegmentIndex(spark, path, "fp-v1", segTokens = 3)
+    assert(loaded.isDefined, "matching fingerprint + segTokens must load")
+    assert(result(loaded.get) === direct)
+    // stale fingerprint, different segmentation, or absence must refuse
+    assert(Dedup.loadSegmentIndex(spark, path, "fp-v2", 3).isEmpty)
+    assert(Dedup.loadSegmentIndex(spark, path, "fp-v1", 5).isEmpty)
+    assert(Dedup.loadSegmentIndex(spark, path + "absent", "fp-v1", 3).isEmpty)
+    // republish over the existing index (the retired-sibling swap path)
+    val saved2 = Dedup.saveSegmentIndex(spark, path, fresh,
+      fingerprint = "fp-v2", segTokens = 3)
+    assert(result(saved2) === direct)
+    assert(Dedup.loadSegmentIndex(spark, path, "fp-v1", 3).isEmpty,
+      "old fingerprint must refuse after republish")
+  }
+
   test("funnel/ewma reject non-string, non-integral user keys loudly") {
     // a DOUBLE (or BINARY) key under the old string-cast group key
     // could silently merge distinct users; now it must throw up front
