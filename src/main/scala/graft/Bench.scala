@@ -90,6 +90,7 @@ object Bench {
         "temp_rates" -> (() => ops.Pipeline.tempRates(spark, sfDir)),
         "bpe_merges" -> (() => ops.Pipeline.bpeMerges(spark, sfDir)),
         "packed_stream" -> (() => ops.Pipeline.packedStream(spark, sfDir).count()),
+        "segment_index" -> (() => ops.Pipeline.corpusSegIndex(spark, sfDir).count()),
         "pq_books" -> (() => ops.Pipeline.pqBooks(spark, sfDir)),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir)),
         // The remaining stream replays are memoized per (session, dir)

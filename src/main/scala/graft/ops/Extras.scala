@@ -188,11 +188,12 @@ object Extras {
         Streams.cachedOp(s, dir, "par_incr_seg15") {
           val glob = Sources.ensureStreamParIncr(s, dir) + "/s*"
           val docs = t(s, dir, "documents")
-          val corpusHashes = graft.api.Dedup.segmentHashes(
-            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15)
+          // the replay folds its _seen set over the PERSISTED corpus
+          // index — the same attach-don't-rebuild side the batch
+          // incremental query uses
           Streams.segmentDedupReplay(s, glob,
             docs.select("doc_id", "text").schema, "doc_id", "text",
-            corpusHashes, segTokens = 15)
+            Pipeline.corpusSegIndex(s, dir), segTokens = 15)
         }.orderBy("doc_id")
       }),
 

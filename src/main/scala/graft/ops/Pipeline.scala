@@ -85,6 +85,30 @@ object Pipeline {
       })
     }
 
+  /** The persisted corpus segment-hash index per (session, dir) —
+    * load-or-build-and-save under the scratch dir, fingerprint-guarded
+    * (the [[corpusBandsSh]] discipline): a cold session ATTACHES the
+    * bucketed files instead of re-segmenting the 90% corpus. Shared by
+    * the batch incremental paragraph query and its streaming replay.
+    */
+  private val segIdxCache = scala.collection.concurrent
+    .TrieMap[(Int, String), DataFrame]()
+
+  private[graft] def corpusSegIndex(s: SparkSession, dir: String): DataFrame =
+    segIdxCache.synchronized {
+      segIdxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+        val path = s"${graft.api.Bucketing.scratchBase}/segs_" +
+          graft.api.Dedup.tableTag(dir)
+        val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+        Dedup.loadSegmentIndex(s, path, fp, segTokens = 15).getOrElse {
+          Dedup.saveSegmentIndex(s, path,
+            Dedup.segmentHashes(t(s, dir, "documents")
+              .filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15),
+            fp, segTokens = 15)
+        }
+      })
+    }
+
   /** Shingles of ONLY the 10% increment slice, filtered BEFORE the
     * shingle transform so a cold session pays 10% of the corpus — the
     * full-corpus [[shingled]] cache would materialize everything even
@@ -112,6 +136,11 @@ object Pipeline {
       // table-backed since round 7: entries hold no persisted RDDs, the
       // catalog entries are dropped by Dedup.clearIndexTables
       bandsCache.keys.filter(_._1 == id).foreach(bandsCache.remove)
+    }
+    segIdxCache.synchronized {
+      // table-backed like bandsCache — catalog entries dropped by
+      // Dedup.clearIndexTables
+      segIdxCache.keys.filter(_._1 == id).foreach(segIdxCache.remove)
     }
     kmeansCache.synchronized {
       kmeansCache.keys.filter(_._1 == id).foreach(kmeansCache.remove)
@@ -1859,10 +1888,11 @@ object Pipeline {
     Q("q_dedup_paragraph_incr",
       Some(parIncrOracle),
       (s, dir) => {
-        val docs = t(s, dir, "documents")
-        Dedup.incrementalParagraphDedup(
-          docs.filter(col("doc_id") % 10 =!= 0),
-          docs.filter(col("doc_id") % 10 === 0),
+        // the corpus side attaches the PERSISTED segment index (cold
+        // sessions re-segment nothing) — the production path, same
+        // result as segmenting the corpus inline
+        Dedup.incrementalParagraphDedupByHash(corpusSegIndex(s, dir),
+          t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
           "doc_id", "text", segTokens = 15).orderBy("doc_id")
       }),
 
