@@ -20,7 +20,9 @@ object ExplainCheck {
       "q_text_rep_ngram", "q_dedup_segments", "q_stats_length_pct",
       "q_dedup_span_removal", "q_dedup_span_gram", "q_token_count_bpe",
       "q_bpe_encode", "q_sim_ivf_pq", "q_mm_video_meta",
-      "q_text_prefix_boiler")
+      "q_text_prefix_boiler", "q_dedup_paragraph", "q_dedup_paragraph_incr",
+      "q_pack_shuffle", "q_quality_gopher", "q_decontam_fuzzy",
+      "q_mix_upsample", "q_dedup_exact_norm")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -781,6 +781,32 @@ object ScaleProbe {
       f"${mult}x=$pdN segs cut ${dpdN}%.2f s  time-growth=${dpdN / dpd1}%.1fx  " +
       f"cut-growth=${pdN.toDouble / pd1}%.1fx (expect exactly ${mult}x)")
 
+    // incremental paragraph dedup at mult x: the corpus collapses to
+    // its distinct segment-hash set and the increment pays one
+    // co-partitioned anti-join — removed mass exactly mult x (disjoint
+    // replicas), wall rides the index build + increment, never a
+    // corpus-window (production attaches the PERSISTED index instead
+    // of re-hashing — the build term here is the save-side cost)
+    {
+      def halves(m: Int) = {
+        val d = docsFor(m)
+        (d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0))
+      }
+      val (c1, i1) = halves(1)
+      val tpi1 = System.nanoTime()
+      val pi1 = Dedup.incrementalParagraphDedup(c1, i1, "doc_id", "text", 15)
+        .agg(sum("n_removed")).collect()(0).getLong(0)
+      val dpi1 = (System.nanoTime() - tpi1) / 1e9
+      val (cN, iN) = halves(mult)
+      val tpiN = System.nanoTime()
+      val piN = Dedup.incrementalParagraphDedup(cN, iN, "doc_id", "text", 15)
+        .agg(sum("n_removed")).collect()(0).getLong(0)
+      val dpiN = (System.nanoTime() - tpiN) / 1e9
+      println(f"paragraph-incr (${mult}x corpus): 1x=$pi1 segs cut ${dpi1}%.2f s  " +
+        f"${mult}x=$piN cut ${dpiN}%.2f s  time-growth=${dpiN / dpi1}%.1fx  " +
+        f"cut-growth=${piN.toDouble / pi1}%.1fx (expect exactly ${mult}x)")
+    }
+
     // seeded shuffle order at mult x ids: the two-phase hash-slice rank
     // must yield a TRUE permutation (n distinct positions, max = n-1)
     // at every scale, with slices balanced (the hash is uniform) — the
