@@ -1203,6 +1203,23 @@ class ApiSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("paragraph dedup is idempotent: a second pass removes nothing") {
+    // after keep-first, every surviving segment is globally unique, and
+    // because every kept segment except a doc's last is exactly
+    // segTokens wide, re-segmenting the stitched text reproduces the
+    // kept segments verbatim — so a second pass must remove 0 segments
+    // (the only exception: docs emptied to "" collide on the ""
+    // segment, which the filter below excludes)
+    val once = graft.api.Dedup.dropDuplicateParagraphs(
+      docs, "doc_id", "text", segTokens = 15)
+    val again = graft.api.Dedup.dropDuplicateParagraphs(
+      once.filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text")),
+      "doc_id", "text", segTokens = 15)
+    val extra = again.filter(col("n_removed") > 0).count()
+    assert(extra === 0, s"second pass removed segments from $extra docs")
+  }
+
   test("incremental paragraph dedup defers to the corpus index") {
     val A = "dup dup dup"
     val B = "bis bis bis"
