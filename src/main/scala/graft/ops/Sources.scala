@@ -96,6 +96,13 @@ object Sources {
         .write.mode("overwrite").option("header", "true").csv(out)
     }
 
+  private def ensureOrc(s: SparkSession, dir: String): String =
+    ensure(s, dir, "orc") { out =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+        .write.mode("overwrite").orc(out)
+    }
+
   private def ensureJsonl(s: SparkSession, dir: String): String =
     ensure(s, dir, "jsonl") { out =>
       t(s, dir, "nation")
@@ -185,7 +192,7 @@ object Sources {
 
   /** Materialize every source-sink scratch file for (session, dir). */
   private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
-    ensureCsv(s, dir); ensureJsonl(s, dir)
+    ensureCsv(s, dir); ensureJsonl(s, dir); ensureOrc(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
     ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir)
     ensureStreamParIncr(s, dir); ()
@@ -211,6 +218,23 @@ object Sources {
           StructField("o_orderpriority", StringType),
           StructField("o_totalprice", DoubleType)))
         s.read.option("header", "true").schema(schema).csv(path)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+      }),
+
+    // ORC round-trip: Spark writes and reads ORC natively (the second
+    // columnar format large lakes actually hold). DuckDB cannot read
+    // ORC, so the oracle is the ROUND-TRIP IDENTITY: the same aggregate
+    // over the parquet original — any write/read corruption or type
+    // drift in the ORC path breaks the hash match.
+    Q("q_src_orc",
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val path = ensureOrc(s, dir)
+        s.read.orc(path)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
           .orderBy("o_orderpriority")
