@@ -2231,6 +2231,36 @@ object Pipeline {
         minMeanWlenPpm = 4000000L, maxMeanWlenPpm = 4750000L,
         minAlphaPpm = 800000L, minStopHits = 2).orderBy("doc_id")),
 
+    // Table profiling — per-column nulls / exact distinct / min / max
+    // as strings, ONE fused aggregation pass over the table (at 100 TB
+    // the scan dominates; five single-column passes would cost 5x).
+    Q("q_profile_docs",
+      Some("""SELECT * FROM (
+                SELECT 'doc_id' AS "column",
+                       count(*) - count(doc_id) AS n_nulls,
+                       count(DISTINCT doc_id) AS n_distinct,
+                       CAST(min(doc_id) AS VARCHAR) AS min_str,
+                       CAST(max(doc_id) AS VARCHAR) AS max_str
+                FROM documents
+                UNION ALL
+                SELECT 'lang', count(*) - count(lang),
+                       count(DISTINCT lang),
+                       CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'source', count(*) - count(source),
+                       count(DISTINCT source),
+                       CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', count(*) - count(n_chars),
+                       count(DISTINCT n_chars),
+                       CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+                FROM documents)
+              ORDER BY "column""""),
+      (s, dir) => graft.api.Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars")).orderBy("column")),
+
     // Within-doc duplicate-paragraph fraction (the Gopher repetition
     // rule): share of 15-token segments repeating an earlier segment of
     // the same doc, exact ppm, pure map-side.
