@@ -91,6 +91,7 @@ object Bench {
         "bpe_merges" -> (() => ops.Pipeline.bpeMerges(spark, sfDir)),
         "packed_stream" -> (() => ops.Pipeline.packedStream(spark, sfDir).count()),
         "segment_index" -> (() => ops.Pipeline.corpusSegIndex(spark, sfDir).count()),
+        "span_cut" -> (() => ops.Pipeline.spanCut(spark, sfDir).count()),
         "pq_books" -> (() => ops.Pipeline.pqBooks(spark, sfDir)),
         "stream_replays" -> (() => streaming.Streams.windowedReplays(spark, sfDir)),
         // The remaining stream replays are memoized per (session, dir)

@@ -48,6 +48,23 @@ object Pipeline {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
+  /** The span-cut corpus (removeSharedSegments k=8, minLen=3) per
+    * (session, dir): q_dedup_span_removal and the composed
+    * q_pipeline_e2e_span both consume it — sharing saves the gram
+    * exchange + islands pass the second consumer would repeat.
+    */
+  private val spanCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  private[graft] def spanCut(s: SparkSession, dir: String): DataFrame =
+    spanCache.synchronized {
+      spanCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        graft.api.Pins.pin(
+          Dedup.removeSharedSegments(t(s, dir, "documents"),
+            "doc_id", "text", k = 8, minLen = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+    }
+
   private val pairsCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
@@ -131,6 +148,10 @@ object Pipeline {
     pairsCache.synchronized {
       pairsCache.keys.filter(_._1 == id)
         .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
+    }
+    spanCache.synchronized {
+      spanCache.keys.filter(_._1 == id)
+        .foreach(k => spanCache.remove(k).foreach(_.unpersist()))
     }
     bandsCache.synchronized {
       // table-backed since round 7: entries hold no persisted RDDs, the
@@ -1762,8 +1783,7 @@ object Pipeline {
                        AS n_removed
               FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
               ORDER BY d.doc_id"""),
-      (s, dir) => Dedup.removeSharedSegments(t(s, dir, "documents"),
-        "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
+      (s, dir) => spanCut(s, dir).orderBy("doc_id")),
 
     // the PER-GRAM-keeper span removal (aggressive variant): every
     // shared gram's min (doc_id, pos) occurrence is the keeper, runs of
@@ -2871,10 +2891,8 @@ object Pipeline {
               FROM pack ORDER BY stratum, doc_id"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val cut = Dedup.removeSharedSegments(docs, "doc_id", "text",
-          k = 8, minLen = 3)
         val ded = Dedup.dropExactDuplicates(
-          cut.join(docs.select("doc_id", "lang"), "doc_id"),
+          spanCut(s, dir).join(docs.select("doc_id", "lang"), "doc_id"),
           "doc_id", "text_clean")
         Packing.packGreedy(
           ded.select(col("lang"), col("doc_id"),
