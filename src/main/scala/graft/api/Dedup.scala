@@ -1165,14 +1165,22 @@ object Dedup {
     * segment and the sequence bound is well-formed. ONE exchange feeds
     * keeper aggregation, keeper-equality join, and per-doc totals.
     */
+  /** The fixed-width segment-list expression over a split-token column
+    * `w` — ONE definition shared by [[segmentFrame]] and
+    * TextAnalysis.duplicateSegmentStats, so the per-doc repetition
+    * diagnostic and the corpus dedup can never silently diverge on
+    * segmentation (boundary, separator, last-block handling).
+    */
+  private[graft] def segmentListSql(segTokens: Int): String =
+    s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
+          i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))"""
+
   private[graft] def segmentFrame(docs: DataFrame, idCol: String,
                                   textCol: String, segTokens: Int,
                                   pinFrame: Boolean = true): DataFrame = {
     val f = docs.select(col(idCol).as("doc_id"),
         split(col(textCol), " ").as("w"))
-      .select(col("doc_id"), posexplode(expr(
-        s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
-              i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))""")))
+      .select(col("doc_id"), posexplode(expr(segmentListSql(segTokens))))
       .select(col("doc_id"), col("pos").cast("long").as("seg_idx"),
         xxhash64(col("col")).as("h"), col("col").as("seg"))
       .repartition(col("h"))
@@ -1247,7 +1255,10 @@ object Dedup {
                                    textCol: String,
                                    segTokens: Int): DataFrame = {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
-    segmentFrame(docs, idCol, textCol, segTokens).select("h").distinct()
+    // single traversal — persisting the corpus-sized frame here would
+    // hold 4 columns of the whole corpus for no second consumer
+    segmentFrame(docs, idCol, textCol, segTokens, pinFrame = false)
+      .select("h").distinct()
   }
 
   /** [[incrementalParagraphDedup]] against a pre-built distinct

@@ -597,9 +597,10 @@ object TextAnalysis {
     require(segTokens >= 1, s"segTokens must be >= 1, got $segTokens")
     docs
       .select(col(idCol), split(col(textCol), " ").as("w"))
-      .withColumn("segs", expr(
-        s"""transform(sequence(0, ((size(w) + ${segTokens - 1}) div $segTokens) - 1),
-              i -> concat_ws(' ', slice(w, i * $segTokens + 1, $segTokens)))"""))
+      // the ONE segmentation definition, shared with the corpus-wide
+      // paragraph dedup (Dedup.segmentListSql) — the diagnostic and
+      // the removal pass can never diverge
+      .withColumn("segs", expr(Dedup.segmentListSql(segTokens)))
       .select(col(idCol),
         size(col("segs")).cast("long").as("n_segs"),
         (size(col("segs")) - size(array_distinct(col("segs"))))

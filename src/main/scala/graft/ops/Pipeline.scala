@@ -40,12 +40,15 @@ object Pipeline {
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private[graft] def packedStream(s: SparkSession, dir: String): DataFrame =
+    // persist WITHOUT a Pins registration (the shCache discipline):
+    // pin-capped eviction could unpersist the shared frame mid-session
+    // while this cache still hands it out — clearCaches owns the
+    // lifecycle instead
     packCache.synchronized {
       packCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        graft.api.Pins.pin(
-          graft.api.Packing.packTokenStream(t(s, dir, "documents"),
+        graft.api.Packing.packTokenStream(t(s, dir, "documents"),
             "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   /** The span-cut corpus (removeSharedSegments k=8, minLen=3) per
@@ -57,12 +60,12 @@ object Pipeline {
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private[graft] def spanCut(s: SparkSession, dir: String): DataFrame =
+    // persist without a Pins registration — see packedStream
     spanCache.synchronized {
       spanCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        graft.api.Pins.pin(
-          Dedup.removeSharedSegments(t(s, dir, "documents"),
+        Dedup.removeSharedSegments(t(s, dir, "documents"),
             "doc_id", "text", k = 8, minLen = 3)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   private val pairsCache =
@@ -152,6 +155,10 @@ object Pipeline {
     spanCache.synchronized {
       spanCache.keys.filter(_._1 == id)
         .foreach(k => spanCache.remove(k).foreach(_.unpersist()))
+    }
+    packCache.synchronized {
+      packCache.keys.filter(_._1 == id)
+        .foreach(k => packCache.remove(k).foreach(_.unpersist()))
     }
     bandsCache.synchronized {
       // table-backed since round 7: entries hold no persisted RDDs, the
@@ -585,11 +592,6 @@ object Pipeline {
         WHERE NOT EXISTS (SELECT 1 FROM dom d WHERE d.vec_id = i.vec_id)
         ORDER BY vec_id"""
 
-  /** Exact cross-partition pair set (corpus vs the 10% increment) —
-    * the oracle of BOTH the batch incremental query and its streaming
-    * replay (q_stream_dedup_incr): batch boundaries cannot change the
-    * streamed union, so the two queries share one ground truth.
-    */
   /** Shared by q_dedup_paragraph_incr (batch) and q_stream_par_incr
     * (the streamed replay whose union over ascending micro-batches
     * equals the one-shot result) — one oracle, two execution modes.
@@ -625,6 +627,11 @@ object Pipeline {
        FROM tot t LEFT JOIN agg a USING (doc_id)
        ORDER BY t.doc_id"""
 
+  /** Exact cross-partition pair set (corpus vs the 10% increment) —
+    * the oracle of BOTH the batch incremental query and its streaming
+    * replay (q_stream_dedup_incr): batch boundaries cannot change the
+    * streamed union, so the two queries share one ground truth.
+    */
   private[ops] val incrOracle =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
