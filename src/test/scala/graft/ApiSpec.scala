@@ -1203,6 +1203,18 @@ class ApiSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("Graft.clear resets the shared pipeline caches rebuildably") {
+    // the review-found bug class: a cleared cache must REBUILD (fresh
+    // persist) on next use, never hand out a stale unpersisted frame
+    val packed = graft.ops.Pipeline.packedStream(spark, sfDir).count()
+    val cut = graft.ops.Pipeline.spanCut(spark, sfDir)
+      .agg(sum("n_removed")).collect()(0).getLong(0)
+    Graft.clear(spark)
+    assert(graft.ops.Pipeline.packedStream(spark, sfDir).count() === packed)
+    assert(graft.ops.Pipeline.spanCut(spark, sfDir)
+      .agg(sum("n_removed")).collect()(0).getLong(0) === cut)
+  }
+
   test("paragraph dedup is idempotent: a second pass removes nothing") {
     // after keep-first, every surviving segment is globally unique, and
     // because every kept segment except a doc's last is exactly
