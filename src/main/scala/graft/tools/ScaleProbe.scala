@@ -162,6 +162,23 @@ object ScaleProbe {
       f"${mult}x flagged=$decN (${ddN}%.2f s, ${(sdN - sd1) / 1e6}%.1f MB shuffled)  " +
       f"time-growth=${ddN / dd1}%.1fx flagged-invariant=${dec1 == decN}")
 
+    // FUZZY decontamination under the same fixed eval set: candidates
+    // come only from cross corpus x eval postings, so the flagged set
+    // is likewise INVARIANT under replication (suffixed replicas never
+    // collide with the 1x eval vocabulary) and the wall rides the one
+    // corpus posting pass
+    val tfz1 = System.nanoTime()
+    val fz1 = Decontamination.fuzzyContamination(
+      sh1.filter(col("doc_id") % 10 =!= 1), eval1, threshold = 0.5).count()
+    val dfz1 = (System.nanoTime() - tfz1) / 1e9
+    val tfzN = System.nanoTime()
+    val fzN = Decontamination.fuzzyContamination(
+      shN.filter(col("doc_id") % 10 =!= 1), eval1, threshold = 0.5).count()
+    val dfzN = (System.nanoTime() - tfzN) / 1e9
+    println(f"fuzzy-decontam (fixed eval): 1x flagged=$fz1 (${dfz1}%.2f s)  " +
+      f"${mult}x flagged=$fzN (${dfzN}%.2f s)  " +
+      f"time-growth=${dfzN / dfz1}%.1fx flagged-invariant=${fz1 == fzN}")
+
     // sequence packing: strata scale WITH the corpus (at 100 TB the
     // stratum key is a shard id with thousands of values), so per-
     // stratum work is constant and the fold parallelizes — wall growth
