@@ -18,6 +18,17 @@ object Bench {
     */
   val HostRefNominalSec = 2.5
 
+  /** Queries whose stream replays are forced (memoized) in the build
+    * phase — their loaded numbers time the cached batch projection, and
+    * they are excluded from the unloaded singles (which run after a
+    * cache clear, where re-timing them would measure replay restart).
+    */
+  val memoizedQueries: Set[String] = Set(
+    "q_stream_dedup", "q_stream_join", "q_stream_sjoin",
+    "q_stream_sjoin_left", "q_stream_stateful", "q_stream_dedup_incr",
+    "q_stream_sem_incr", "q_stream_par_incr", "q_stream_cms",
+    "q_stream_tumble", "q_stream_rate", "q_stream_session")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = SparkConfig.cpus.toString
@@ -73,14 +84,17 @@ object Bench {
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val fs = Seq[(String, () => Any)](
         "bucketed_orders" -> (() => api.Bucketing.ensureBucketed(spark, sfDir,
-          "orders", ops.H.t(spark, sfDir, "orders"), "o_custkey")),
+          "orders", ops.H.t(spark, sfDir, "orders"), "o_custkey",
+          srcPaths = Seq(s"$sfDir/orders.parquet"))),
         "bucketed_customer" -> (() => api.Bucketing.ensureBucketed(spark, sfDir,
-          "customer", ops.H.t(spark, sfDir, "customer"), "c_custkey")),
+          "customer", ops.H.t(spark, sfDir, "customer"), "c_custkey",
+          srcPaths = Seq(s"$sfDir/customer.parquet"))),
         "ivf_index" -> (() => {
           val e = ops.H.t(spark, sfDir, "embeddings")
           api.Similarity.ivfIndexBucketed(spark, sfDir, e,
             e.filter(org.apache.spark.sql.functions.col("vec_id") < 16),
-            "vec_id", "embedding")
+            "vec_id", "embedding",
+            srcPaths = Seq(s"$sfDir/embeddings.parquet"))
         }),
         "src_writes" -> (() => ops.Sources.prewriteAll(spark, sfDir)),
         "kmeans_cents" -> (() => ops.Pipeline.kmeansCents(spark, sfDir)),
@@ -200,9 +214,25 @@ object Bench {
     // and the unloaded column would read clean next to loaded_errors>0
     // (exactly how the round-9 events-schema break almost hid).
     import scala.jdk.CollectionConverters._
+    // The memoized stream replays are EXCLUDED: after the cache clear
+    // below their "unloaded" number would time replay re-construction
+    // (RocksDB startup + AvailableNow restart — build work), not the
+    // query projection the loaded column already measured.
     val unloadedSel = (failed.asScala.toSeq.sorted ++
         (byDesc.filter(_._2 > 2.0) ++ byDesc.take(5)).map(_._1))
-      .distinct.take(24)
+      .distinct.filterNot(memoizedQueries.contains).take(24)
+    // Measure COMPUTE, not session pressure: by this point the session
+    // carries dozens of MEMORY_AND_DISK frames (Pins' slots, the shared
+    // pipeline caches, replay sinks) and the round-10 unloaded column
+    // was degraded up to ~20x by GC/memory pressure, not by the plans
+    // (q_text_perplexity 61 s here vs ~3 s in a fresh JVM). Graft.clear
+    // unpersists everything contract-safely; the persisted band/segment
+    // indexes and scratch files re-ATTACH from disk via their
+    // fingerprint-guarded load paths, so the singles below pay compute
+    // plus at most a metadata check — the fresh-JVM shape.
+    Graft.clear(spark)
+    spark.catalog.clearCache()
+    System.gc()
     val unloaded: Seq[(String, Double)] = unloadedSel.map { name =>
       val t0 = System.nanoTime()
       try {
@@ -227,13 +257,10 @@ object Bench {
     val unloadedFull = unloaded.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // q_stream_* replays are forced (memoized) in the build phase, so
-    // their loaded/unloaded entries time only the cached batch
-    // projection — listed here so cross-round per-query comparisons
-    // against pre-memoization artifacts aren't misread as speedups.
-    val memoized = Seq("q_stream_dedup", "q_stream_join", "q_stream_sjoin",
-        "q_stream_sjoin_left", "q_stream_stateful", "q_stream_dedup_incr",
-        "q_stream_sem_incr", "q_stream_par_incr", "q_stream_cms", "q_stream_tumble",
-        "q_stream_rate", "q_stream_session")
+    // their loaded entries time only the cached batch projection —
+    // listed here so cross-round per-query comparisons against
+    // pre-memoization artifacts aren't misread as speedups.
+    val memoized = memoizedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
       s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"builds":$buildsFull,"unloaded":$unloadedFull,"queries":$full,"sf":"$sfDir"}""")

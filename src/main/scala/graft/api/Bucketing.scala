@@ -45,10 +45,22 @@ object Bucketing {
 
   /** Write `df` as a bucketed+sorted external table; idempotent per
     * session. Returns the table name to read back.
+    *
+    * When `srcPaths` names the source files `df` is a deterministic
+    * function of, the write is ALSO idempotent across processes: a
+    * `_GRAFT_FP` marker records the source fingerprint (sorted
+    * path:len:mtime listing — metadata only) and a later process whose
+    * sources are unchanged ATTACHES the existing files via
+    * CREATE TABLE ... CLUSTERED BY DDL (the [[graft.api.Dedup]] band-
+    * index discipline) instead of re-shuffling and rewriting the table —
+    * at 100 TB the difference between a metadata check and a full
+    * re-bucketing pass. `df` is by-name, so the skip path never even
+    * plans it. With `srcPaths` empty (or a source absent) the old
+    * always-rewrite behavior is kept.
     */
   def ensureBucketed(s: SparkSession, sfDir: String, name: String,
                      df: => DataFrame, key: String,
-                     buckets: Int = 8): String = {
+                     buckets: Int = 8, srcPaths: Seq[String] = Nil): String = {
     val tag = math.abs(sfDir.hashCode).toString
     val tbl = s"graft_bk_${name}_$tag"
     // synchronized: concurrent queries (q_join_bucketed ∥ q_agg_bucketed
@@ -56,13 +68,38 @@ object Bucketing {
     // getOrElseUpdate can evaluate the thunk twice under contention.
     done.synchronized {
       done.getOrElseUpdate((System.identityHashCode(s), sfDir, name), {
-        df.write
-          .format("parquet")
-          .bucketBy(buckets, key)
-          .sortBy(key)
-          .option("path", s"$base/$tbl")
-          .mode("overwrite")
-          .saveAsTable(tbl)
+        val loc = s"$base/$tbl"
+        // ":absent" in the listing means a source is missing — never
+        // trust (or write) a marker signed from nothing
+        val fp = if (srcPaths.isEmpty) ":absent"
+          else s"v1:$buckets:$key:" + Dedup.sourceFingerprint(s, srcPaths: _*)
+        val marker = java.nio.file.Paths.get(loc, "_GRAFT_FP")
+        val canAttach = !fp.contains(":absent") && (
+          try java.nio.file.Files.isRegularFile(marker) &&
+            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+          catch { case _: Exception => false })
+        // a marker surviving a partial scratch cleanup (files gone) must
+        // mean rebuild, not an AnalysisException — loadBandIndex's rule
+        val attached = canAttach && scala.util.Try {
+          if (!s.catalog.tableExists(tbl)) {
+            // `_`-prefixed marker is invisible to the schema read
+            val schema = s.read.parquet(loc).schema.toDDL
+            s.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
+              s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+              s"LOCATION '$loc'")
+          }
+        }.isSuccess
+        if (!attached) {
+          df.write
+            .format("parquet")
+            .bucketBy(buckets, key)
+            .sortBy(key)
+            .option("path", loc)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+          if (!fp.contains(":absent"))
+            java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        }
         tbl
       })
     }
@@ -75,9 +112,11 @@ object Bucketing {
   def colocatedOrdersCustomer(s: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.H.t
     val ot = ensureBucketed(s, sfDir, "orders",
-      t(s, sfDir, "orders"), "o_custkey")
+      t(s, sfDir, "orders"), "o_custkey",
+      srcPaths = Seq(s"$sfDir/orders.parquet"))
     val ct = ensureBucketed(s, sfDir, "customer",
-      t(s, sfDir, "customer"), "c_custkey")
+      t(s, sfDir, "customer"), "c_custkey",
+      srcPaths = Seq(s"$sfDir/customer.parquet"))
     // `merge` hint pins SortMergeJoin so the bucket layout (not a
     // broadcast of the small test-SF dim) is what's exercised.
     s.table(ot).hint("merge")
@@ -91,7 +130,8 @@ object Bucketing {
   def bucketedAgg(s: SparkSession, sfDir: String): DataFrame = {
     import graft.ops.H.{t, dsum}
     val ot = ensureBucketed(s, sfDir, "orders",
-      t(s, sfDir, "orders"), "o_custkey")
+      t(s, sfDir, "orders"), "o_custkey",
+      srcPaths = Seq(s"$sfDir/orders.parquet"))
     s.table(ot)
       .groupBy("o_custkey")
       .agg(count(lit(1)).as("n_orders"),

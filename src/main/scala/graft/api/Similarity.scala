@@ -192,9 +192,11 @@ object Similarity {
   def ivfIndexBucketed(s: org.apache.spark.sql.SparkSession, sfTag: String,
                        vectors: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String,
-                       buckets: Int = 8): String =
+                       buckets: Int = 8,
+                       srcPaths: Seq[String] = Nil): String =
     Bucketing.ensureBucketed(s, sfTag, "ivf_index",
-      ivfIndex(vectors, centroids, idCol, vecCol), "cent_id", buckets)
+      ivfIndex(vectors, centroids, idCol, vecCol), "cent_id", buckets,
+      srcPaths)
 
   /** Per-parent child sessions carrying the probe-scoped SQL conf, so a
     * library call never mutates the caller's ambient session state. A
@@ -581,21 +583,60 @@ object Similarity {
     val dsub = dim / m
     val cents = prepared(centroids, idCol, vecCol)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
-    val res = assignNearest(e, cents)
+    // ONE exploded training frame for ALL m subspaces: (vec_id, j, sv) —
+    // each residual fans into its m slices in place (a narrow transform,
+    // same total bytes as the residual frame, no shuffle). Training all
+    // subspaces against this frame turns m independent k-means runs
+    // (m × (init + iters) sequential jobs, each re-scanning the
+    // residuals) into ONE job per phase — the 100-TB build pays
+    // 2 + iters corpus scans total instead of m × (1 + iters).
+    val sub = assignNearest(e, cents)
       .join(broadcast(cents), "cent_id") // bounded: k coarse rows
-      .select(col("vec_id"), expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${m - 1}),
+                j -> slice(zip_with(v, cv, (a, b) -> a - b),
+                           j * $dsub + 1, $dsub))""")).as(Seq("j", "sv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    res.count()
-    val books = (0 until m).map { j =>
-      val sub = res.select(col("vec_id"),
-        expr(s"slice(v, ${j * dsub + 1}, $dsub)").as("v"))
-      kmeansCentroids(sub, "vec_id", "v", ksub, iters)
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq.sortBy(_._1)
-        .zipWithIndex.map { case ((_, cv), code) => (code.toLong, cv) }
+    sub.count()
+    // init = per subspace, the slices of the ksub lowest-id vectors
+    // (cent_id = vec_id) — exactly kmeansCentroids' deterministic init
+    // applied to each slice, fetched for all m subspaces in one job
+    // (ids are per-vector, so the ksub·m lowest (vec_id, j) rows ARE
+    // the ksub lowest vectors' slices).
+    val initRows = sub.orderBy(col("vec_id"), col("j")).limit(ksub * m)
+      .select(col("vec_id").cast("long"), col("j"), col("sv"))
+      .collect()
+    var books: IndexedSeq[Seq[(Long, Seq[Double])]] = (0 until m).map { j =>
+      initRows.filter(_.getInt(1) == j)
+        .map(r => (r.getLong(0), r.getSeq[Double](2))).toSeq.sortBy(_._1)
     }
-    res.unpersist()
-    books
+    for (_ <- 0 until iters) {
+      // one job per Lloyd round across ALL subspaces: the m codebooks
+      // ride as a single nested literal (m × ksub × dsub doubles of
+      // driver metadata), each row assigns against ITS subspace's book
+      // via element_at, and the vec_sum_agg fold is keyed by
+      // (j, cent_id) — m × ksub cells after map-side combine, never a
+      // collect of the corpus. Per-subspace math is identical to the
+      // sequential runs (same rows, same fold order per key).
+      val updated = sub
+        .withColumn("allc", typedlit(books.map(_.sortBy(_._1)).toSeq))
+        .withColumn("cent_id",
+          expr("nearest_centroid(sv, element_at(allc, j + 1))"))
+        .groupBy("j", "cent_id")
+        .agg(expr("vec_sum_agg(sv)").as("sum_v"), count(lit(1)).as("n"))
+        .select(col("j"), col("cent_id"),
+          expr("transform(sum_v, x -> x / CAST(n AS DOUBLE))").as("cv"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getSeq[Double](2))).toMap
+      // empty-cell retention per subspace (kmeansCentroids' contract)
+      books = books.zipWithIndex.map { case (cb, j) =>
+        cb.map { case (cid, cv) => (cid, updated.getOrElse((j, cid), cv)) }
+      }
+    }
+    sub.unpersist()
+    books.map(_.sortBy(_._1)
+      .zipWithIndex.map { case ((_, cv), code) => (code.toLong, cv) })
   }
 
   /** The codebooks as ONE literal column (array of per-subspace arrays

@@ -1017,7 +1017,13 @@ object TextAnalysis {
     // with a 6dp-rounded double: its ≤1-ulp error can't cross a decimal
     // rounding boundary, so the weighted decimal sum equals the exact
     // per-occurrence sum on every engine.
-    val pbc = mapped.groupBy("doc_id", "m1", "m2").agg(count(lit(1)).as("cnt"))
+    // pbc feeds THREE consumers (model, ctx via model, and the scoring
+    // join) — pinned so the tokenize → bigram-explode → double-
+    // broadcast-join subtree executes once instead of up to 3× (a 3×
+    // corpus-scan multiplier at 100 TB without it)
+    val pbc = Pins.pin(mapped
+      .groupBy("doc_id", "m1", "m2").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val model = pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
     val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
     pbc.join(model, Seq("m1", "m2"))

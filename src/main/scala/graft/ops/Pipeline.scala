@@ -304,14 +304,23 @@ object Pipeline {
     }
 
   /** BPE merges learned once per (session, dir) from the corpus's
-    * DISTINCT (word, count) table — V-bounded driver work, the same
-    * collapsed-table discipline as the k-means centroids. Sorted input
-    * for stability; the trainer itself is deterministic (max count,
-    * lexicographic tiebreak).
+    * (word, count) table, CAPPED to the [[BpeVocabCap]] most frequent
+    * words before the driver collect — the perplexityScore vocabulary
+    * discipline. The uncapped distinct-word table is NOT driver-bounded
+    * (100 TB of crawl text has billions of long-tail tokens); the
+    * orderBy(count desc, word).limit(V) runs distributed (TakeOrdered
+    * after a map-side-combined count), so driver rows are ≤ V by
+    * construction. Truncating the frequency tail is the standard BPE
+    * trainer behavior (merge counts over rare words are noise at any
+    * realistic V); at test SFs the full vocabulary (31 words) sits far
+    * under the cap, so outputs are byte-identical to uncapped training.
+    * Sorted input for stability; the trainer itself is deterministic
+    * (max count, lexicographic tiebreak).
     */
   private val bpeCache = scala.collection.concurrent
     .TrieMap[(Int, String), Seq[(String, String)]]()
   private[graft] val BpeNumMerges = 200
+  private[graft] val BpeVocabCap = 65536
 
   private[graft] def bpeMerges(s: SparkSession,
                                dir: String): Seq[(String, String)] =
@@ -320,6 +329,8 @@ object Pipeline {
         val wc = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy("word").count()
+          .orderBy(col("count").desc, col("word"))
+          .limit(BpeVocabCap)
           .collect().map(r => r.getString(0) -> r.getLong(1))
           .toSeq.sortBy(_._1)
         // the oracle's merge-replay fold joints tokens with chr(30); a
@@ -1512,7 +1523,8 @@ object Pipeline {
       (s, dir) => {
         val e = t(s, dir, "embeddings")
         val tbl = Similarity.ivfIndexBucketed(s, dir, e,
-          e.filter(col("vec_id") < 16), "vec_id", "embedding")
+          e.filter(col("vec_id") < 16), "vec_id", "embedding",
+          srcPaths = Seq(s"$dir/embeddings.parquet"))
         val cents = e.filter(col("vec_id") < 16)
           .select(col("vec_id").cast("long").as("cent_id"),
             expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cv"))

@@ -56,7 +56,13 @@ object Sources {
   private val ensureLocks = scala.collection.concurrent
     .TrieMap[(Int, String, String), Object]()
 
-  private def ensure(s: SparkSession, dir: String, fmt: String)
+  /** Bump when any ensure* write recipe changes shape — stale markers
+    * from an older recipe must not satisfy the skip check.
+    */
+  private val ScratchFormatVersion = 1
+
+  private def ensure(s: SparkSession, dir: String, fmt: String,
+                     srcTables: Seq[String])
                     (write: String => Unit): String = {
     val out = s"${ioDir(dir)}/$fmt"
     val key = (System.identityHashCode(s), dir, fmt)
@@ -76,7 +82,27 @@ object Sources {
     }
     lock.synchronized {
       if (!written.contains(key)) {
-        write(out)
+        // Cross-PROCESS write-once: the scratch writes are deterministic
+        // functions of their source tables, so a `_GRAFT_OK` marker
+        // recording the source fingerprint (sorted path:len:mtime
+        // listing — metadata only, no data read) + recipe version lets a
+        // later run skip the rewrite entirely. The bench's 94.7 s
+        // src_writes build line drops to a metadata check on every run
+        // after the first against an unchanged sf dir; a regenerated
+        // testdata dir changes mtimes → fingerprint mismatch → rewrite.
+        // The `_`-prefixed marker is invisible to both Spark reads and
+        // the oracle's extension globs.
+        val fp = s"v$ScratchFormatVersion:" + graft.api.Dedup
+          .sourceFingerprint(s, srcTables.map(n => s"$dir/$n.parquet"): _*)
+        val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
+        val fresh =
+          try java.nio.file.Files.isRegularFile(marker) &&
+            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+          catch { case _: Exception => false }
+        if (!fresh) {
+          write(out)
+          java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+        }
         written.put(key, ())
       }
     }
@@ -85,26 +111,43 @@ object Sources {
 
   private def oraclePath(fmt: String) = s"$ioPlaceholder/$fmt"
 
+  /** Stamp every file under arrival dirs `s0 < s1 < s2` with strictly
+    * ASCENDING mtimes (one minute apart, anchored shortly in the past).
+    * The incremental-replay parity contracts (segment/semantic min-id
+    * dominance) require micro-batches to arrive in ascending-id file
+    * order, and Spark's FileStreamSource orders by modification time —
+    * three writes landing inside one clock tick could otherwise reorder
+    * batches and flip min-keeper results against the oracle.
+    */
+  private def stampArrivalOrder(out: String): Unit = {
+    val t0 = System.currentTimeMillis() - 600000L
+    (0 until 3).foreach { i =>
+      val d = new java.io.File(s"$out/s$i")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(_.setLastModified(t0 + i * 60000L))
+    }
+  }
+
   // One-time source materializations, shared by the queries (lazily)
   // and Bench's build phase (eagerly, so query timings measure the
   // read+aggregate side of the round-trip, not the amortized write).
 
   private def ensureCsv(s: SparkSession, dir: String): String =
-    ensure(s, dir, "csv") { out =>
+    ensure(s, dir, "csv", Seq("orders")) { out =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
         .write.mode("overwrite").option("header", "true").csv(out)
     }
 
   private def ensureOrc(s: SparkSession, dir: String): String =
-    ensure(s, dir, "orc") { out =>
+    ensure(s, dir, "orc", Seq("orders")) { out =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
         .write.mode("overwrite").orc(out)
     }
 
   private def ensureJsonl(s: SparkSession, dir: String): String =
-    ensure(s, dir, "jsonl") { out =>
+    ensure(s, dir, "jsonl", Seq("nation")) { out =>
       t(s, dir, "nation")
         .select(col("n_nationkey"), col("n_regionkey"),
           struct(length(col("n_name")).cast("long").as("name_len"),
@@ -113,14 +156,14 @@ object Sources {
     }
 
   private def ensurePartitioned(s: SparkSession, dir: String): String =
-    ensure(s, dir, "parq_part") { out =>
+    ensure(s, dir, "parq_part", Seq("orders")) { out =>
       t(s, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
         .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     }
 
   private def ensureEvolve(s: SparkSession, dir: String): String =
-    ensure(s, dir, "evolve") { out =>
+    ensure(s, dir, "evolve", Seq("nation")) { out =>
       val nat = t(s, dir, "nation")
       nat.filter(col("n_nationkey") < 12)
         .select("n_nationkey", "n_regionkey")
@@ -138,12 +181,13 @@ object Sources {
     * (and therefore the streamed pair set) is reproducible.
     */
   private[graft] def ensureStreamIncr(s: SparkSession, dir: String): String =
-    ensure(s, dir, "stream_incr") { out =>
+    ensure(s, dir, "stream_incr", Seq("documents")) { out =>
       val incr = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       (0 until 3).foreach { i =>
         incr.filter(expr(s"(doc_id div 10) % 3 = $i"))
           .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
       }
+      stampArrivalOrder(out)
     }
 
   /** The 5% embedding increment (vec_id % 20 = 0) as three arrival
@@ -153,7 +197,7 @@ object Sources {
     * newcomer ids ascend with batch order).
     */
   private[graft] def ensureStreamSemIncr(s: SparkSession, dir: String): String =
-    ensure(s, dir, "stream_sem_incr") { out =>
+    ensure(s, dir, "stream_sem_incr", Seq("embeddings")) { out =>
       val inc = t(s, dir, "embeddings").filter(col("vec_id") % 20 === 0)
         .select("vec_id", "embedding")
       // an EMPTY increment must still write three (empty) files — the
@@ -167,6 +211,7 @@ object Sources {
         inc.filter(col("vec_id") >= lo && col("vec_id") < hi)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
       }
+      stampArrivalOrder(out)
     }
 
   /** The 10% document increment (doc_id % 10 = 0) as three arrival
@@ -177,7 +222,7 @@ object Sources {
     * [[ensureStreamIncr]] split would violate the min-keeper rule).
     */
   private[graft] def ensureStreamParIncr(s: SparkSession, dir: String): String =
-    ensure(s, dir, "stream_par_incr") { out =>
+    ensure(s, dir, "stream_par_incr", Seq("documents")) { out =>
       val inc = t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
         .select("doc_id", "text")
       val mx = Option(inc.agg(max("doc_id")).head().get(0))
@@ -188,6 +233,7 @@ object Sources {
         inc.filter(col("doc_id") >= lo && col("doc_id") < hi)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/s$i")
       }
+      stampArrivalOrder(out)
     }
 
   /** Materialize every source-sink scratch file for (session, dir). */
