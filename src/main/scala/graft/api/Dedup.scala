@@ -555,6 +555,17 @@ object Dedup {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Fingerprints are embedded into hand-built meta.json and parsed
+    * back with a regex — a quote/comma/brace in one would corrupt the
+    * sidecar or silently mis-parse (invalidating the index). Restrict
+    * to a JSON-inert charset up front; [[sourceFingerprint]]'s sha256
+    * hex always passes, and version-prefixed forms (`v1:...`) do too.
+    */
+  private def requireSafeFingerprint(fingerprint: String): Unit =
+    require(fingerprint.nonEmpty && fingerprint.matches("[A-Za-z0-9._:-]+"),
+      "fingerprint must match [A-Za-z0-9._:-]+ (it is embedded in " +
+        s"meta.json and regex-parsed back): got '${fingerprint.take(40)}'")
+
   private def indexMetaPath(path: String) = s"$path/meta.json"
   // sha256-derived, not String.hashCode: 32-bit hash collisions between
   // two index paths would alias their catalog table names, and attach()
@@ -579,12 +590,23 @@ object Dedup {
     * corpusSh) pair — the session-independent deployment shape: sign
     * the corpus ONCE, then every later session (cold process included)
     * attaches the files instead of re-shingling 100 TB.
+    *
+    * CONCURRENCY SCOPE (applies to [[saveSegmentIndex]] too): the
+    * staged-rename publish is atomic against concurrent READERS (they
+    * see complete-old or complete-new), and the in-process caches
+    * serialize same-JVM writers — but two PROCESSES publishing to one
+    * path concurrently can retire each other's freshly published index
+    * or strand a retired sibling. Multi-process deployments must
+    * serialize publishes externally (a lock file, or a scheduler that
+    * owns index refresh); concurrent multi-process ATTACH via the load
+    * path is safe.
     */
   def saveBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     index: BandIndex, corpusSh: DataFrame,
                     fingerprint: String,
                     buckets: Int = 8): (BandIndex, DataFrame) = {
     import org.apache.hadoop.fs.Path
+    requireSafeFingerprint(fingerprint)
     val tag = tableTag(path)
     // ATOMIC PUBLISH: the whole index (both bucketed tables + meta.json)
     // is staged under a temp sibling and RENAMED into place. An
@@ -704,6 +726,7 @@ object Dedup {
                        fingerprint: String, segTokens: Int,
                        buckets: Int = 8): DataFrame = {
     import org.apache.hadoop.fs.Path
+    requireSafeFingerprint(fingerprint)
     val tag = tableTag(path)
     val stage = s"graft_segs_${tag}_stage"
     val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"

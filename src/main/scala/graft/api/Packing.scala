@@ -135,10 +135,17 @@ object Packing {
     * task ever owns a corpus-wide sort.
     */
   def shuffleOrder(df: DataFrame, idCol: String, seed: Long,
-                   slices: Int = 64): DataFrame = {
-    // idCol must be unique: it is the tiebreak that makes the rank a
-    // total order — duplicate ids would make positions among the
-    // duplicates partition-dependent
+                   slices: Int = 64,
+                   validateUnique: Boolean = false): DataFrame = {
+    // CONTRACT: idCol must be unique — it is the tiebreak that makes
+    // the rank a total order. With duplicate ids the positions among
+    // the duplicates become partition-dependent, silently breaking the
+    // epoch-reproducibility promise. `validateUnique = true` enforces
+    // it with one extra aggregation over the already-persisted hash
+    // frame (count == count_distinct — cheap relative to the two-phase
+    // rank itself); it is opt-in because at 100 TB callers feeding ids
+    // from a primary key should not pay a corpus-wide distinct per
+    // epoch.
     require(slices >= 1, s"slices must be >= 1, got $slices")
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
@@ -155,6 +162,13 @@ object Packing {
           concat(lit(s"$seed:"), col(idCol).cast("string")))))
       .withColumn("__slice", expr(s"__h div $w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    if (validateUnique) {
+      val r = s0.agg(count(lit(1)).as("n"),
+        countDistinct(col(idCol)).as("d")).head()
+      require(r.getLong(0) == r.getLong(1),
+        s"shuffleOrder requires unique $idCol values: " +
+          s"${r.getLong(0)} rows but only ${r.getLong(1)} distinct ids")
+    }
     val sliceOff = s0.groupBy("__slice").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)

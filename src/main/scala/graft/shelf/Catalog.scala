@@ -6,8 +6,9 @@ import java.nio.file.{Files, Path}
   *
   * Reference: /root/reference/src/shelf/core.py:10-61 and
   * schemas/shelf-v1.schema.json (snapshot steps must have zero deps).
-  * Structural validation is implemented in code rather than via a
-  * JSON-schema engine (none ships with Spark).
+  * Structural validation runs the embedded shelf-v1 schema through
+  * [[Schemas]] (load and save, like the reference), then code checks
+  * for the rules the schema cannot express.
   */
 final case class Catalog(root: Path, version: Int,
                          steps: Map[StepURI, Seq[StepURI]]) {
@@ -21,6 +22,8 @@ final case class Catalog(root: Path, version: Int,
       "steps" -> steps.toSeq.sortBy(_._1).map { case (k, v) =>
         k.toString -> v.sorted.map(_.toString)
       }.toMap)
+    // validate-before-save, the reference's core.py:60 discipline
+    Schemas.ensure(doc, Schemas.ShelfV1, "shelf.yaml")
     Yaml.save(configPath, doc)
   }
 
@@ -52,14 +55,17 @@ object Catalog {
     c
   }
 
-  /** Load + validate. Validation errors name the offending field, the
-    * behavioral twin of the reference's jsonschema.validate against
-    * shelf-v1.schema.json (core.py:27-35): a malformed catalog fails
-    * with `shelf.yaml: field '...'`-style messages, never an opaque
+  /** Load + validate. The document is first validated against the
+    * embedded shelf-v1 schema ([[Schemas.ShelfV1]] — the reference's
+    * jsonschema.validate at core.py:27-35), yielding schema-keyed
+    * errors; the code checks below then cover what the schema cannot
+    * express (version == 1, URI parse, unknown-dependency), with
+    * `shelf.yaml: field '...'`-style messages — never an opaque
     * cast/parse error.
     */
   def load(root: Path): Catalog = {
     val doc = Yaml.load(root.resolve("shelf.yaml"))
+    Schemas.ensure(doc, Schemas.ShelfV1, "shelf.yaml")
     val version = doc.get("version") match {
       case Some(i: Int) => i
       case Some(other) =>

@@ -35,8 +35,11 @@ final case class Snapshot(uri: StepURI,
       "checksum" -> checksum,
       "snapshot_type" -> snapshotType)
     val typed = snapshotType match {
-      case "file"      => Map("extension" -> extension.getOrElse(""))
-      case "directory" => Map("manifest" -> manifest.getOrElse(Map.empty))
+      // an extensionless file OMITS the key rather than writing "" —
+      // the empty string violates snapshot-v1's `^\.[a-z0-9]+$` pattern
+      case "file"      => extension.map(e => Map[String, Any]("extension" -> e))
+        .getOrElse(Map.empty[String, Any])
+      case "directory" => Map[String, Any]("manifest" -> manifest.getOrElse(Map.empty))
     }
     core ++ typed ++ extra
   }
@@ -107,13 +110,23 @@ object Snapshots {
       store.put(dest, checksum)
       snap
     }
+    // validate-before-save with nulls pruned (snapshots.py:134 +
+    // schemas.py validate_snapshot)
+    Schemas.ensure(Schemas.pruneNulls(snap.sidecarDoc), Schemas.SnapshotV1,
+      snap.metadataPath(root).toString)
     Yaml.save(snap.metadataPath(root), snap.sidecarDoc)
     Checksums.addToGitignore(root, "data/snapshots")
     snap
   }
 
+  /** Load + schema-validate the sidecar (snapshots.py:65-72): a
+    * hand-edited document fails with schema-keyed errors before any
+    * field is interpreted.
+    */
   def load(root: Path, uri: StepURI): Snapshot = {
     val doc = Yaml.load(metadataPath(root, uri))
+    Schemas.ensure(Schemas.pruneNulls(doc), Schemas.SnapshotV1,
+      metadataPath(root, uri).toString)
     fromDoc(doc)
   }
 

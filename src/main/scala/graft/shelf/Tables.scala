@@ -45,6 +45,22 @@ object Tables {
     fromRegistry.orElse(fromFiles)
   }
 
+  /** Load + schema-validate a step's `.meta.yaml` config against the
+    * embedded table-config-v1 schema (table_metadata.py:40-48, same
+    * "Invalid table configuration" wrapping). The repo's `write:` block
+    * (single_file / partition_by / sort_by — the cluster-scale output
+    * extension) passes untouched: table-config-v1 has no
+    * additionalProperties:false, exactly like the reference.
+    */
+  private def loadConfig(script: ScriptRef): Map[String, Any] = {
+    val config = script.configPath.filter(Files.exists(_))
+      .map(Yaml.load).getOrElse(Map.empty[String, Any])
+    val errs = Schemas.validate(config, Schemas.TableConfigV1)
+    if (errs.nonEmpty) throw new IllegalArgumentException(
+      s"Invalid table configuration:\n${errs.mkString("\n")}")
+    config
+  }
+
   /** Build one table (tables.py:51-57): prepare output, execute, write
     * metadata; validation failure deletes the output (atomicity contract
     * tables.py:60-66, 108-116).
@@ -65,9 +81,7 @@ object Tables {
     try {
       script match {
         case fs @ FileScript(p) if p.toString.endsWith(".sql") =>
-          val config = fs.configPath.filter(Files.exists(_))
-            .map(Yaml.load).getOrElse(Map.empty[String, Any])
-          execSql(spark, root, p, deps, dest, writeConfig(config))
+          execSql(spark, root, p, deps, dest, writeConfig(loadConfig(fs)))
         case ScalaScript(name, _) =>
           StepRegistry.get(name).get.fn(spark, deps.map(dependencyPath(root, _)), dest)
         case FileScript(p) =>
@@ -210,8 +224,7 @@ object Tables {
   private def processMetadata(spark: SparkSession, root: Path, uri: StepURI,
                               deps: Seq[StepURI], script: ScriptRef,
                               dest: Path, runtime: Map[String, Any]): Unit = {
-    val config = script.configPath.filter(Files.exists(_))
-      .map(Yaml.load).getOrElse(Map.empty[String, Any])
+    val config = loadConfig(script)
     val inherited = Metadata.resolveInheritance(root, config, deps)
     val df = spark.read.parquet(dest.toString)
     val errors = Metadata.validate(df, config)
@@ -233,6 +246,14 @@ object Tables {
       "schema" -> schema,
       "input_manifest" -> Metadata.inputManifest(root, script, deps),
       "execution" -> runtime)
+    // validate-before-save (tables.py:253). Two documented repo
+    // extensions ride beyond table-v1's additionalProperties:false:
+    // `execution` (the A21 runtime block) and `description` (the
+    // reference's own inherit/override surface carries description, but
+    // its table-v1 schema omits the property — we keep the field).
+    Schemas.ensure(Schemas.pruneNulls(doc), Schemas.TableV1,
+      Snapshots.metadataPath(root, uri).toString,
+      allowExtra = Set("execution", "description"))
     Yaml.save(Snapshots.metadataPath(root, uri), doc)
   }
 

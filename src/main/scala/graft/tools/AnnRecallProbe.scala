@@ -16,15 +16,41 @@ import org.apache.spark.sql.functions._
   * Determinism: every "random" quantity (cluster centers, Box-Muller
   * noise, hyperplanes) derives from xxhash64 — reruns reproduce the
   * table bit-for-bit.
+  *
+  * Recall FLOORS are pinned per geometry for the three methods a user
+  * would actually deploy (IVF nProbe=8, IVF-PQ + exact rerank@100,
+  * Hamming-1 multi-probe LSH bits=8), a few points under the measured
+  * values (round-11 run: ivf 1.000/1.000/0.996, rerank
+  * 0.696/0.754/0.492, mp-lsh 0.888/0.467/0.213). A regression below a
+  * floor makes the probe EXIT NONZERO — recall changes are loud, not
+  * informational.
   * Usage: AnnRecallProbe [nVectors] [dim] [nClusters]
   */
 object AnnRecallProbe {
+
+  /** (geometry label, method) -> minimum acceptable recall@10 at the
+    * default 50k×32×64 shape. Only asserted at that default shape —
+    * custom CLI shapes print the table without floors.
+    */
+  val RecallFloors: Map[(String, String), Double] = Map(
+    ("clustered(sigma=0.15)", "ivf_nprobe8")    -> 0.99,
+    ("clustered(sigma=0.15)", "pq_rerank100")   -> 0.64,
+    ("clustered(sigma=0.15)", "mp_lsh_bits8")   -> 0.80,
+    ("overlapping(sigma=0.5)", "ivf_nprobe8")   -> 0.99,
+    ("overlapping(sigma=0.5)", "pq_rerank100")  -> 0.70,
+    ("overlapping(sigma=0.5)", "mp_lsh_bits8")  -> 0.40,
+    ("isotropic(sigma=10)", "ivf_nprobe8")      -> 0.97,
+    ("isotropic(sigma=10)", "pq_rerank100")     -> 0.45,
+    ("isotropic(sigma=10)", "mp_lsh_bits8")     -> 0.15)
+
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toInt).getOrElse(50000)
     val dim = args.lift(1).map(_.toInt).getOrElse(32)
     val nClusters = args.lift(2).map(_.toInt).getOrElse(64)
     val k = 10
     val nQueries = 24
+    val defaultShape = n == 50000 && dim == 32 && nClusters == 64
+    val measured = scala.collection.mutable.Buffer.empty[(String, String, Double)]
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -76,6 +102,7 @@ object AnnRecallProbe {
           recallOf(Similarity.ivfSearch(index, centsPrep, q, k, nProbe),
             exact(q))
         }.sum.toDouble / (nQueries * k)
+        if (nProbe == 8) measured += ((label, "ivf_nprobe8", r))
         println(f"  ivf nProbe=$nProbe%-2d            recall=${r}%5.3f  " +
           f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
       }
@@ -104,6 +131,7 @@ object AnnRecallProbe {
             "vec_id", "embedding", pqB, q, k, nProbe = 8, rerank = 100),
             exact(q))
         }.sum.toDouble / (nQueries * k)
+        measured += ((label, "pq_rerank100", r))
         println(f"  ivf-pq rerank@100 nProbe=8 recall=${r}%5.3f  " +
           f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
       }
@@ -123,11 +151,23 @@ object AnnRecallProbe {
           recallOf(Similarity.lshTopKMultiProbe(vecs, "vec_id", "embedding",
             q, k, bits), exact(q))
         }.sum.toDouble / (nQueries * k)
+        if (bits == 8) measured += ((label, "mp_lsh_bits8", r))
         println(f"  multi-probe lsh bits=$bits%-2d  recall=${r}%5.3f  " +
           f"(${(System.nanoTime() - t0) / 1e9 / nQueries}%5.2f s/query)")
       }
       index.unpersist(); vecs.unpersist()
     }
     spark.stop()
+    if (defaultShape) {
+      val breaches = measured.flatMap { case (geom, method, r) =>
+        RecallFloors.get((geom, method)).filter(r < _)
+          .map(floor => f"$geom/$method: recall $r%5.3f < floor $floor%5.3f")
+      }
+      if (breaches.nonEmpty) {
+        breaches.foreach(b => System.err.println(s"RECALL FLOOR BREACH: $b"))
+        sys.exit(1)
+      }
+      println(s"all ${measured.size} pinned recalls at or above their floors")
+    }
   }
 }

@@ -531,6 +531,28 @@ object ScaleProbe {
       f"token-growth=${bpNtok.toDouble / bp1tok}%.1fx (expect exactly ${mult}x)  " +
       f"repartition-invariant=${bpRep == bpNtok}")
 
+    // BPE trainer driver cap: the collect feeding Bpe.train is bounded
+    // by a top-V TakeOrdered even as the corpus vocabulary grows mult x
+    // (each replica renames every word, so distinct words here are
+    // exactly mult x the 1x vocab). Probe with a cap SMALLER than the
+    // mult x vocabulary so the bound visibly binds — the shape of
+    // ops/Pipeline.bpeMerges' capped collect, whose BpeVocabCap plays
+    // the role of capProbe.
+    locally {
+      val vocabN = docsForSrc(mult)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy("word").count()
+      val vTotal = vocabN.count()
+      val capProbe = 50
+      val collected = vocabN.orderBy(col("count").desc, col("word"))
+        .limit(capProbe).collect()
+      println(f"bpe-trainer cap (${mult}x corpus): distinct words=$vTotal " +
+        f"(1x vocab x $mult), driver rows=${collected.length} " +
+        f"(cap=$capProbe) bounded=${collected.length <= capProbe}")
+      require(vTotal > capProbe && collected.length <= capProbe,
+        "bpe trainer cap failed to bound the driver collect")
+    }
+
     // audio energy windows at mult x corpus: pure mapPartitions over
     // the payload bytes — zero shuffle, window count exactly mult x
     val tae1 = System.nanoTime()
