@@ -39,16 +39,47 @@ object Pipeline {
   private val packCache =
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
+  /** Load-or-build-and-save a deterministic corpus-derived frame as
+    * plain parquet under the scratch root, guarded by a source
+    * fingerprint + recipe version (the segment-index discipline,
+    * without bucketing — these frames are consumed by scans, not key
+    * joins). A COLD PROCESS whose sources are unchanged reads the
+    * files instead of recomputing the build — the pack-once /
+    * span-cut-once deployment shape; a regenerated corpus (mtime
+    * change) or a bumped `ver` rebuilds. Single-writer per path
+    * assumed across processes (the saveBandIndex concurrency scope).
+    */
+  private def cachedParquet(s: SparkSession, dir: String, kind: String,
+                            ver: Int, srcTable: String)
+                           (build: => DataFrame): DataFrame = {
+    val path = s"${graft.api.Bucketing.scratchBase}/${kind}_" +
+      graft.api.Dedup.tableTag(dir)
+    val fp = s"v$ver:" +
+      Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
+    val marker = java.nio.file.Paths.get(path, "_GRAFT_FP")
+    val fresh =
+      try java.nio.file.Files.isRegularFile(marker) &&
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+      catch { case _: Exception => false }
+    if (!fresh) {
+      build.write.mode("overwrite").parquet(path)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+    }
+    s.read.parquet(path)
+  }
+
   private[graft] def packedStream(s: SparkSession, dir: String): DataFrame =
     // persist WITHOUT a Pins registration (the shCache discipline):
     // pin-capped eviction could unpersist the shared frame mid-session
     // while this cache still hands it out — clearCaches owns the
-    // lifecycle instead
+    // lifecycle instead. ver ties to the pack recipe: BpeNumMerges,
+    // BpeVocabCap, seqLen — bump on change.
     packCache.synchronized {
       packCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        graft.api.Packing.packTokenStream(t(s, dir, "documents"),
+        cachedParquet(s, dir, "pack", 1, "documents") {
+          graft.api.Packing.packTokenStream(t(s, dir, "documents"),
             "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   /** The span-cut corpus (removeSharedSegments k=8, minLen=3) per
@@ -60,12 +91,14 @@ object Pipeline {
     scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
 
   private[graft] def spanCut(s: SparkSession, dir: String): DataFrame =
-    // persist without a Pins registration — see packedStream
+    // persist without a Pins registration — see packedStream. ver ties
+    // to the span recipe (k=8, minLen=3) — bump on change.
     spanCache.synchronized {
       spanCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        Dedup.removeSharedSegments(t(s, dir, "documents"),
+        cachedParquet(s, dir, "spancut", 1, "documents") {
+          Dedup.removeSharedSegments(t(s, dir, "documents"),
             "doc_id", "text", k = 8, minLen = 3)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
 
   private val pairsCache =

@@ -539,7 +539,9 @@ object ScaleProbe {
     // ops/Pipeline.bpeMerges' capped collect, whose BpeVocabCap plays
     // the role of capProbe.
     locally {
-      val vocabN = docsForSrc(mult)
+      // docsFor (NOT docsForSrc): the per-replica word renaming is what
+      // grows the distinct vocabulary mult x past the probe cap
+      val vocabN = docsFor(mult)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy("word").count()
       val vTotal = vocabN.count()

@@ -341,10 +341,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"the top-V vocabulary cut must be TakeOrdered, not a global sort:\n$p")
     // the model/scoring branches both hang off the per-doc bigram-count
-    // aggregate: its exchange must be computed once and REUSED, not
-    // re-tokenized per branch
-    assert(p.contains("ReusedExchange"),
-      s"pbc exchange must be shared between scoring and model branches:\n$p")
+    // aggregate (pbc), which is PERSISTED (Pins) since round 11: every
+    // consumer (model, ctx via model, the scoring join) must read the
+    // cached frame — the tokenize -> bigram-explode ->
+    // double-broadcast-join subtree appears ONCE in the dag, not 3x
+    // (a 3x corpus-scan multiplier at 100 TB without it). The logical
+    // plan shows one InMemoryRelation per consumer; the raw
+    // tokenize-side parquet scan of `documents` must appear ONLY under
+    // cache-population, i.e. not at all in the outer optimized plan.
+    val lp = df.queryExecution.optimizedPlan.toString
+    val nCached = "InMemoryRelation".r.findAllIn(lp).size
+    assert(nCached >= 2,
+      s"pbc must be served from cache to both model and scoring " +
+        s"branches (got $nCached InMemoryRelation):\n$lp")
+    assert(p.contains("InMemoryTableScan"),
+      s"executed plan must read pbc from cache:\n$p")
   }
 
   test("bucketed join is a zero-exchange SortMergeJoin") {

@@ -647,6 +647,43 @@ class ShelfEndToEndSpec extends AnyFunSuite {
     assert(Checksums.checksumFile(out) === cs)
   }
 
+  test("snapshot -> fetch -> audit round-trips through a non-file:// store") {
+    // the full shelf lifecycle (ingest, wipe local data + cache,
+    // refetch via run, audit) with the STORE remote behind the mockfs
+    // scheme — the same Hadoop FileSystem registry dispatch an s3a://
+    // remote takes; only the AWS jars differ
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.setClass("fs.mockfs.impl", classOf[MockObjectFs],
+      classOf[org.apache.hadoop.fs.FileSystem])
+    val root = Files.createTempDirectory("shelfmock")
+    val cache = Files.createTempDirectory("shelfmockcache")
+    val remote = Files.createTempDirectory("shelfmockremote")
+    val store = new Store(s"mockfs:$remote", cache, conf)
+    val shelf = new Shelf(root, () => SparkTestSession.spark, Some(store))
+    val srcDir = Files.createTempDirectory("snapdirm")
+    Files.writeString(srcDir.resolve("a.txt"), "alpha")
+    Files.writeString(srcDir.resolve("b.txt"), "beta")
+    val uri = shelf.snapshot(srcDir, "mock/ds", today = today)
+    val snap = Snapshots.load(root, uri)
+    // wipe BOTH the local data and the content cache: restore must
+    // round-trip through the mock scheme, not the cache fast path
+    val dataDir = snap.dataPath(root)
+    Files.walk(dataDir).iterator().asScala.toSeq.reverse.foreach(Files.delete(_))
+    Files.walk(cache).iterator().asScala
+      .filter(Files.isRegularFile(_)).foreach(Files.delete(_))
+    assert(!shelf.isCompleted(uri))
+    shelf.run()
+    assert(Files.readString(dataDir.resolve("a.txt")) === "alpha")
+    assert(Files.readString(dataDir.resolve("b.txt")) === "beta")
+    // audit is clean after the remote restore; a corrupted file is
+    // reported, then --fix re-signs it
+    assert(shelf.audit() === Seq.empty)
+    Files.writeString(dataDir.resolve("a.txt"), "tampered")
+    assert(shelf.audit().exists(_.contains("checksum mismatch")))
+    assert(shelf.audit(fix = true) === Seq.empty)
+    assert(shelf.audit() === Seq.empty)
+  }
+
   test("store round-trips against an S3-compatible endpoint (GRAFT_S3_ENDPOINT)") {
     // reference parity: tests/test_shelf.py:25-30 runs the same
     // round-trip against MinIO. Here the remote is a real s3a:// URI;
