@@ -1215,6 +1215,35 @@ class ApiSpec extends AnyFunSuite {
       .agg(sum("n_removed")).collect()(0).getLong(0) === cut)
   }
 
+  test("cross-process literal cache: exact disk round-trip + source-change invalidation") {
+    import java.nio.file.Files
+    // a private corpus copy, so mtime bumps never touch shared testdata
+    val dir = Files.createTempDirectory("litcache")
+    for (t <- Seq("embeddings", "documents"))
+      Files.copy(java.nio.file.Paths.get(s"$sfDir/$t.parquet"),
+        dir.resolve(s"$t.parquet"))
+    val d = dir.toString
+    val a = graft.ops.Pipeline.kmeansCents(spark, d)
+    Graft.clear(spark)
+    // in-process cache cleared: the values now come from the scratch
+    // TSV — exact Double equality proves the shortest-round-trip
+    // serialization serves the SAME literals a cold process would use
+    val b = graft.ops.Pipeline.kmeansCents(spark, d)
+    assert(a === b, "disk round-trip must reproduce exact doubles")
+    val marker = java.nio.file.Paths.get(
+      s"${graft.api.Bucketing.scratchBase}/kmcents_" +
+        graft.api.Dedup.tableTag(d), "_GRAFT_FP")
+    val fpBefore = Files.readString(marker)
+    // a source mtime bump invalidates: recompute + re-sign, same ids
+    val f = dir.resolve("embeddings.parquet").toFile
+    assert(f.setLastModified(f.lastModified() + 2000))
+    Graft.clear(spark)
+    val c = graft.ops.Pipeline.kmeansCents(spark, d)
+    assert(c.map(_._1) === a.map(_._1))
+    assert(Files.readString(marker) !== fpBefore,
+      "marker must record the new source fingerprint")
+  }
+
   test("paragraph dedup is idempotent: a second pass removes nothing") {
     // after keep-first, every surviving segment is globally unique, and
     // because every kept segment except a doc's last is exactly
