@@ -60,7 +60,8 @@ object Bucketing {
     */
   def ensureBucketed(s: SparkSession, sfDir: String, name: String,
                      df: => DataFrame, key: String,
-                     buckets: Int = 8, srcPaths: Seq[String] = Nil): String = {
+                     buckets: Int = 8, srcPaths: Seq[String] = Nil,
+                     ver: Int = 1): String = {
     val tag = math.abs(sfDir.hashCode).toString
     val tbl = s"graft_bk_${name}_$tag"
     // synchronized: concurrent queries (q_join_bucketed ∥ q_agg_bucketed
@@ -69,12 +70,18 @@ object Bucketing {
     done.synchronized {
       done.getOrElseUpdate((System.identityHashCode(s), sfDir, name), {
         val loc = s"$base/$tbl"
-        // ":absent" in the listing means a source is missing — never
-        // trust (or write) a marker signed from nothing
-        val fp = if (srcPaths.isEmpty) ":absent"
-          else s"v1:$buckets:$key:" + Dedup.sourceFingerprint(s, srcPaths: _*)
+        // an ABSENT source must mean "never trust (or write) a marker"
+        // — checked directly, because sourceFingerprint hashes absence
+        // into a stable digest that a contains() check can never see
+        // (a marker signed from absence would survive a later corpus
+        // regeneration and serve a stale table forever). `ver` is the
+        // caller's recipe version: bump it when the derivation of `df`
+        // changes without the source files changing.
+        val signable = srcPaths.nonEmpty && Dedup.sourcesPresent(s, srcPaths: _*)
+        val fp = if (!signable) ""
+          else s"v$ver:$buckets:$key:" + Dedup.sourceFingerprint(s, srcPaths: _*)
         val marker = java.nio.file.Paths.get(loc, "_GRAFT_FP")
-        val canAttach = !fp.contains(":absent") && (
+        val canAttach = signable && (
           try java.nio.file.Files.isRegularFile(marker) &&
             new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
           catch { case _: Exception => false })
@@ -97,7 +104,7 @@ object Bucketing {
             .option("path", loc)
             .mode("overwrite")
             .saveAsTable(tbl)
-          if (!fp.contains(":absent"))
+          if (signable)
             java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
         }
         tbl

@@ -530,6 +530,16 @@ object Dedup {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** True iff every path exists on its Hadoop FS — the guard callers
+    * need BEFORE trusting a [[sourceFingerprint]]-keyed marker: the
+    * fingerprint hashes an absent path into a stable digest, so
+    * absence alone can never be detected from the fingerprint string.
+    */
+  def sourcesPresent(spark: org.apache.spark.sql.SparkSession,
+                     paths: String*): Boolean =
+    paths.nonEmpty && paths.forall(p =>
+      hadoopFs(spark, p).exists(new org.apache.hadoop.fs.Path(p)))
+
   /** Content fingerprint of source files (any Hadoop FS scheme):
     * sha256 over the sorted (path, length, mtime) listing. Cheap — a
     * metadata listing, no data read — and exactly what invalidates a

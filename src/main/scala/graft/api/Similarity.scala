@@ -189,6 +189,11 @@ object Similarity {
     * shuffle, no join, no full-index read. Idempotent per (session,
     * sfTag).
     */
+  /** Bump when the ivfIndex derivation changes shape — the cross-
+    * process marker must not serve an index built under an old recipe.
+    */
+  private val IvfIndexRecipeVersion = 1
+
   def ivfIndexBucketed(s: org.apache.spark.sql.SparkSession, sfTag: String,
                        vectors: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String,
@@ -196,7 +201,7 @@ object Similarity {
                        srcPaths: Seq[String] = Nil): String =
     Bucketing.ensureBucketed(s, sfTag, "ivf_index",
       ivfIndex(vectors, centroids, idCol, vecCol), "cent_id", buckets,
-      srcPaths)
+      srcPaths, ver = IvfIndexRecipeVersion)
 
   /** Per-parent child sessions carrying the probe-scoped SQL conf, so a
     * library call never mutates the caller's ambient session state. A

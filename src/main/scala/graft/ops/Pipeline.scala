@@ -57,9 +57,17 @@ object Pipeline {
     val fp = s"v$ver:" +
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
     val marker = java.nio.file.Paths.get(path, "_GRAFT_FP")
+    // a marker surviving a partial scratch cleanup (data files gone)
+    // must mean rebuild, not an AnalysisException — the loadBandIndex
+    // rule; `_`-prefixed entries (the marker, _SUCCESS) are not data
     val fresh =
       try java.nio.file.Files.isRegularFile(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
+        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp && {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(java.nio.file.Paths.get(path))
+            .iterator().asScala
+            .exists(!_.getFileName.toString.startsWith("_"))
+        }
       catch { case _: Exception => false }
     if (!fresh) {
       build.write.mode("overwrite").parquet(path)

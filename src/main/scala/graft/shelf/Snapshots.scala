@@ -91,11 +91,7 @@ object Snapshots {
     val snap = if (Files.isDirectory(source)) {
       val manifest = Checksums.checksumFolder(source)
       val checksum = Checksums.checksumManifest(manifest)
-      val snap = Snapshot(uri, "directory", checksum, None, Some(manifest), preserved)
-      val dest = snap.dataPath(root)
-      copyTree(source, dest)
-      manifest.foreach { case (name, cs) => store.put(dest.resolve(name), cs) }
-      snap
+      Snapshot(uri, "directory", checksum, None, Some(manifest), preserved)
     } else {
       val checksum = Checksums.checksumFile(source)
       val name = source.getFileName.toString
@@ -103,17 +99,26 @@ object Snapshots {
         case -1 => None
         case i  => Some(name.substring(i))
       }
-      val snap = Snapshot(uri, "file", checksum, ext, None, preserved)
-      val dest = snap.dataPath(root)
-      Files.createDirectories(dest.getParent)
-      Files.copy(source, dest, StandardCopyOption.REPLACE_EXISTING)
-      store.put(dest, checksum)
-      snap
+      Snapshot(uri, "file", checksum, ext, None, preserved)
     }
-    // validate-before-save with nulls pruned (snapshots.py:134 +
-    // schemas.py validate_snapshot)
+    // validate BEFORE any side effect (snapshots.py:134 + schemas.py
+    // validate_snapshot, nulls pruned): a metadata violation — e.g. an
+    // uppercase extension against `^\.[a-z0-9]+$` — must abort the
+    // ingest cleanly, not after the data copy and store upload have
+    // already happened (which would strand an orphaned blob with no
+    // sidecar — the atomicity discipline tables already follow)
     Schemas.ensure(Schemas.pruneNulls(snap.sidecarDoc), Schemas.SnapshotV1,
       snap.metadataPath(root).toString)
+    val dest = snap.dataPath(root)
+    if (snap.snapshotType == "directory") {
+      copyTree(source, dest)
+      snap.manifest.getOrElse(Map.empty)
+        .foreach { case (name, cs) => store.put(dest.resolve(name), cs) }
+    } else {
+      Files.createDirectories(dest.getParent)
+      Files.copy(source, dest, StandardCopyOption.REPLACE_EXISTING)
+      store.put(dest, snap.checksum)
+    }
     Yaml.save(snap.metadataPath(root), snap.sidecarDoc)
     Checksums.addToGitignore(root, "data/snapshots")
     snap
@@ -121,11 +126,16 @@ object Snapshots {
 
   /** Load + schema-validate the sidecar (snapshots.py:65-72): a
     * hand-edited document fails with schema-keyed errors before any
-    * field is interpreted.
+    * field is interpreted. MIGRATION: sidecars written before round 11
+    * recorded `extension: ''` for extensionless files (the writer now
+    * omits the key); the empty string is dropped before validation so
+    * a previously valid shelf stays loadable — fromDoc already treats
+    * '' and absent identically.
     */
   def load(root: Path, uri: StepURI): Snapshot = {
     val doc = Yaml.load(metadataPath(root, uri))
-    Schemas.ensure(Schemas.pruneNulls(doc), Schemas.SnapshotV1,
+    val compat = doc.filterNot { case (k, v) => k == "extension" && v == "" }
+    Schemas.ensure(Schemas.pruneNulls(compat), Schemas.SnapshotV1,
       metadataPath(root, uri).toString)
     fromDoc(doc)
   }

@@ -551,8 +551,14 @@ object ScaleProbe {
       println(f"bpe-trainer cap (${mult}x corpus): distinct words=$vTotal " +
         f"(1x vocab x $mult), driver rows=${collected.length} " +
         f"(cap=$capProbe) bounded=${collected.length <= capProbe}")
-      require(vTotal > capProbe && collected.length <= capProbe,
+      require(collected.length <= capProbe,
         "bpe trainer cap failed to bound the driver collect")
+      // the vocab-exceeds-cap half of the claim only holds once
+      // replication actually multiplies the word set (mult=1 is a
+      // valid smoke-test shape for every probe section)
+      require(mult == 1 || vTotal > capProbe,
+        s"probe corpus vocabulary ($vTotal) never exceeded the cap — " +
+          "the bound was not actually exercised")
     }
 
     // audio energy windows at mult x corpus: pure mapPartitions over

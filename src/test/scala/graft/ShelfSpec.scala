@@ -959,6 +959,37 @@ class SchemasSpec extends AnyFunSuite {
     assert(bad.exists(s => s.contains("$.source_url") && s.contains("(pattern)")))
   }
 
+  test("legacy sidecar with extension:'' still loads (pre-r11 writer compat)") {
+    val root = Files.createTempDirectory("legacyext")
+    val uri = StepURI.parse("snapshot://legacy/doc")
+    val p = Snapshots.metadataPath(root, uri)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p,
+      s"version: 1\nuri: snapshot://legacy/doc\nchecksum: ${"a" * 64}\n" +
+        "snapshot_type: file\nextension: ''\n")
+    val snap = Snapshots.load(root, uri)
+    assert(snap.extension === None)
+  }
+
+  test("snapshot ingest validates BEFORE any copy or store upload") {
+    val root = Files.createTempDirectory("atomicsnap")
+    val cache = Files.createTempDirectory("atomicsnapcache")
+    val remote = Files.createTempDirectory("atomicsnapremote")
+    val store = new Store(remote.toUri.toString.stripSuffix("/"), cache)
+    // uppercase extension violates snapshot-v1's ^\.[a-z0-9]+$ pattern
+    val src = Files.createTempFile("bad", ".CSV")
+    Files.writeString(src, "x\n1\n")
+    val uri = StepURI.parse("snapshot://bad/upper/2026-08-14")
+    val e = intercept[IllegalArgumentException](
+      Snapshots.create(root, src, uri, store))
+    assert(e.getMessage.contains("(pattern)"))
+    // the failed ingest left NOTHING behind: no data copy, no store
+    // blob, no sidecar — the abort is clean, not half-done
+    assert(!Files.exists(root.resolve("data/snapshots")))
+    assert(Files.walk(remote).iterator().asScala
+      .forall(!Files.isRegularFile(_)), "no orphaned store object")
+  }
+
   test("hand-edited sidecar on disk fails at load with schema-keyed errors") {
     val root = Files.createTempDirectory("schemaload")
     val uri = StepURI.parse("snapshot://bad/doc")
