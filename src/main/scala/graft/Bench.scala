@@ -101,6 +101,7 @@ object Bench {
         "shingles" -> (() => ops.Pipeline.shingled(spark, sfDir).count()),
         "corpus_bands" -> (() => ops.Pipeline.corpusBands(spark, sfDir).rows.count()),
         "near_pairs" -> (() => ops.Pipeline.nearPairs(spark, sfDir).count()),
+        "dup_clusters" -> (() => ops.Pipeline.corpusClusters(spark, sfDir).count()),
         "temp_rates" -> (() => ops.Pipeline.tempRates(spark, sfDir)),
         "bpe_merges" -> (() => ops.Pipeline.bpeMerges(spark, sfDir)),
         "packed_stream" -> (() => ops.Pipeline.packedStream(spark, sfDir).count()),

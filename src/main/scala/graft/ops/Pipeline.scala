@@ -193,6 +193,10 @@ object Pipeline {
       pairsCache.keys.filter(_._1 == id)
         .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
     }
+    clustersCache.synchronized {
+      clustersCache.keys.filter(_._1 == id)
+        .foreach(k => clustersCache.remove(k).foreach(_.unpersist()))
+    }
     spanCache.synchronized {
       spanCache.keys.filter(_._1 == id)
         .foreach(k => spanCache.remove(k).foreach(_.unpersist()))
@@ -656,6 +660,23 @@ object Pipeline {
     * q_dedup_cluster iterates over it — without the cache the clustering
     * query would re-run the whole inverted-index pipeline first.
     */
+  private val clustersCache =
+    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+
+  /** The duplicate-component assignment over [[nearPairs]] — four
+    * queries consume it (keep-best, cluster list, cluster-drop,
+    * cluster-sizes); without sharing, each re-runs the iterative
+    * min-label/star rounds. Deterministic given the pair set, so it
+    * parquet-caches across processes like the pair set itself.
+    */
+  private[graft] def corpusClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.synchronized {
+      clustersCache.getOrElseUpdate((System.identityHashCode(s), dir),
+        cachedParquet(s, dir, "dupclusters", 1, "documents") {
+          Dedup.duplicateClusters(nearPairs(s, dir))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   private[graft] def nearPairs(s: SparkSession, dir: String): DataFrame =
     // parquet-backed across processes (the packedStream discipline):
     // exact per-pair jaccard is deterministic, so a cold process with
@@ -1051,12 +1072,12 @@ object Pipeline {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         Dedup.keepBestPerCluster(docs, "doc_id",
-            Dedup.duplicateClusters(nearPairs(s, dir)), "n_chars")
+            corpusClusters(s, dir), "n_chars")
           .select("doc_id").orderBy("doc_id")
       }),
 
     Q("q_dedup_cluster", Some(clusterOracle),
-      (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
+      (s, dir) => corpusClusters(s, dir)
         .orderBy("doc_id")),
 
     // Near-dup REMOVAL, transitive: exactly one representative (the
@@ -1074,7 +1095,7 @@ object Pipeline {
                WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
                ORDER BY d.doc_id"""),
       (s, dir) => {
-        val losers = Dedup.duplicateClusters(nearPairs(s, dir))
+        val losers = corpusClusters(s, dir)
           .filter(col("doc_id") =!= col("cluster"))
           .select(col("doc_id"))
         t(s, dir, "documents").join(losers, Seq("doc_id"), "left_anti")
@@ -1094,7 +1115,7 @@ object Pipeline {
                       FROM cl GROUP BY cluster)
                SELECT cluster_size, count(*) AS n_clusters
                FROM cs GROUP BY cluster_size ORDER BY cluster_size"""),
-      (s, dir) => Dedup.duplicateClusters(nearPairs(s, dir))
+      (s, dir) => corpusClusters(s, dir)
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
         .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
         .orderBy("cluster_size")),
