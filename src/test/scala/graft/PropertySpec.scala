@@ -327,3 +327,67 @@ object WavCodecProps extends Properties("WavCodec") {
       headerOk && got == expect
     }
 }
+
+
+/** The schema walker is TOTAL: whatever document shape a hand-edited
+  * YAML parses into, validation returns violation strings — it never
+  * throws — and validating a document against each embedded reference
+  * schema is deterministic. A validator that crashes on adversarial
+  * input would turn a malformed sidecar into an opaque stack trace
+  * instead of the schema-keyed errors the shelf surfaces promise.
+  */
+object SchemasProps extends Properties("Schemas") {
+  import org.scalacheck.Arbitrary
+
+  private val scalarGen: Gen[Any] = Gen.oneOf(
+    Gen.alphaNumStr.map(identity[Any]),
+    Arbitrary.arbitrary[Int].map(identity[Any]),
+    Arbitrary.arbitrary[Long].map(identity[Any]),
+    Arbitrary.arbitrary[Double].map(identity[Any]),
+    Arbitrary.arbitrary[Boolean].map(identity[Any]),
+    Gen.const(null: Any),
+    // adversarial strings: schema-significant characters + non-ASCII
+    Gen.oneOf("\"", "\\", "{", "}", "[", "]", ":", ",", "\n", " ",
+      "snapshot://", "a" * 64, ".csv", "", "l\u00e4\u00dft-\u00f6")
+      .map(identity[Any]))
+
+  private def docGen(depth: Int): Gen[Any] =
+    if (depth <= 0) scalarGen
+    else Gen.frequency(
+      4 -> scalarGen,
+      2 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, docGen(depth - 1)).map(identity[Any])),
+      3 -> Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(Gen.alphaNumStr, docGen(depth - 1)))
+          .map(_.toMap: Any)))
+
+  private val schemas = Seq(Schemas.ShelfV1, Schemas.SnapshotV1,
+    Schemas.TableV1, Schemas.TableConfigV1)
+
+  property("validate is total and deterministic on arbitrary documents") =
+    forAll(docGen(3)) { doc =>
+      schemas.forall { sc =>
+        val a = Schemas.validate(doc, sc)
+        val b = Schemas.validate(doc, sc)
+        a == b // and neither call threw
+      }
+    }
+
+  property("a valid-by-construction snapshot sidecar yields zero violations") =
+    forAll(Gen.zip(
+        Gen.listOfN(64, Gen.oneOf(('a' to 'f') ++ ('0' to '9'))).map(_.mkString),
+        Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(8)))) {
+      case (cs, ns) =>
+        val doc = Map[String, Any](
+          "version" -> 1, "uri" -> s"snapshot://$ns/$ns",
+          "checksum" -> cs, "snapshot_type" -> "file",
+          "extension" -> ".csv")
+        Schemas.validate(doc, Schemas.SnapshotV1).isEmpty
+    }
+
+  property("ecmaToJava is identity outside character classes") =
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('^', '$', '.',
+        '+', '*', '?', '(', ')', '|', '/'))).map(_.mkString)) { p =>
+      Schemas.ecmaToJava(p) == p
+    }
+}
