@@ -1244,6 +1244,29 @@ class ApiSpec extends AnyFunSuite {
       "marker must record the new source fingerprint")
   }
 
+  test("shuffleOrder validateUnique rejects duplicate ids eagerly") {
+    val dup = spark.range(10).select((col("id") % 5).as("doc_id"))
+    val e = intercept[IllegalArgumentException](
+      Packing.shuffleOrder(dup, "doc_id", seed = 7, validateUnique = true))
+    assert(e.getMessage.contains("unique"))
+    // unique ids pass the same validation and yield a full permutation
+    val ok = Packing.shuffleOrder(
+      spark.range(10).select(col("id").as("doc_id")), "doc_id", seed = 7,
+      validateUnique = true)
+    assert(ok.select("shuffle_pos").distinct().count() === 10)
+  }
+
+  test("index save rejects fingerprints that could corrupt meta.json") {
+    val dir = java.nio.file.Files.createTempDirectory("badfp").toString
+    val sh = Dedup.shingles(docs.limit(5), "doc_id", "text")
+    val idx = Dedup.buildBandIndex(sh)
+    for (bad <- Seq("a\"b", "x,y{", "", "fp with spaces")) {
+      val e = intercept[IllegalArgumentException](
+        Dedup.saveBandIndex(spark, s"$dir/i", idx, sh, bad))
+      assert(e.getMessage.contains("fingerprint"))
+    }
+  }
+
   test("paragraph dedup is idempotent: a second pass removes nothing") {
     // after keep-first, every surviving segment is globally unique, and
     // because every kept segment except a doc's last is exactly
