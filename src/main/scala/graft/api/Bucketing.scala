@@ -81,10 +81,10 @@ object Bucketing {
         val fp = if (!signable) ""
           else s"v$ver:$buckets:$key:" + Dedup.sourceFingerprint(s, srcPaths: _*)
         val marker = java.nio.file.Paths.get(loc, "_GRAFT_FP")
-        val canAttach = signable && (
-          try java.nio.file.Files.isRegularFile(marker) &&
-            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
-          catch { case _: Exception => false })
+        // data-present clause = true: the attach below Try-reads the
+        // parquet schema, which already degrades cleanly to rebuild
+        // when the files are gone
+        val canAttach = signable && Dedup.markerFresh(marker, fp)(true)
         // a marker surviving a partial scratch cleanup (files gone) must
         // mean rebuild, not an AnalysisException — loadBandIndex's rule
         val attached = canAttach && scala.util.Try {
@@ -104,8 +104,7 @@ object Bucketing {
             .option("path", loc)
             .mode("overwrite")
             .saveAsTable(tbl)
-          if (signable)
-            java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+          if (signable) Dedup.writeMarker(marker, fp)
         }
         tbl
       })

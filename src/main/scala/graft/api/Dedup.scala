@@ -540,6 +540,36 @@ object Dedup {
     paths.nonEmpty && paths.forall(p =>
       hadoopFs(spark, p).exists(new org.apache.hadoop.fs.Path(p)))
 
+  /** The marker-file freshness protocol every cross-process cache
+    * shares (scratch source writes, bucketed-table attach, the
+    * parquet/TSV pipeline caches): fresh ⇔ the marker file exists,
+    * records exactly `fp`, AND `dataPresent` holds — so a marker
+    * surviving a partial scratch cleanup (data gone) means rebuild,
+    * never a downstream read failure. Centralized so the data-present
+    * clause cannot drift out of individual copies again.
+    */
+  private[graft] def markerFresh(marker: java.nio.file.Path, fp: String)
+                                (dataPresent: => Boolean): Boolean =
+    try java.nio.file.Files.isRegularFile(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
+      dataPresent
+    catch { case _: Exception => false }
+
+  private[graft] def writeMarker(marker: java.nio.file.Path,
+                                 fp: String): Unit = {
+    java.nio.file.Files.write(marker, fp.getBytes("UTF-8")); ()
+  }
+
+  /** True iff `dir` holds at least one non-`_`-prefixed entry — the
+    * "data actually exists" clause for markers guarding a directory of
+    * written files (the marker itself and _SUCCESS are not data).
+    */
+  private[graft] def hasDataFiles(dir: String): Boolean = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.exists(!_.getFileName.toString.startsWith("_"))
+  }
+
   /** Content fingerprint of source files (any Hadoop FS scheme):
     * sha256 over the sorted (path, length, mtime) listing. Cheap — a
     * metadata listing, no data read — and exactly what invalidates a

@@ -180,6 +180,11 @@ object Similarity {
       .select(col("vec_id"), col("cent_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** Bump when the ivfIndex derivation changes shape — the cross-
+    * process marker must not serve an index built under an old recipe.
+    */
+  private val IvfIndexRecipeVersion = 1
+
   /** Materialize the IVF index as a bucketed+sorted external table on
     * `cent_id` — the production deployment shape: the index is written
     * ONCE, and every probe becomes a bucket-PRUNED scan (Spark's bucket
@@ -189,11 +194,6 @@ object Similarity {
     * shuffle, no join, no full-index read. Idempotent per (session,
     * sfTag).
     */
-  /** Bump when the ivfIndex derivation changes shape — the cross-
-    * process marker must not serve an index built under an old recipe.
-    */
-  private val IvfIndexRecipeVersion = 1
-
   def ivfIndexBucketed(s: org.apache.spark.sql.SparkSession, sfTag: String,
                        vectors: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String,

@@ -57,21 +57,9 @@ object Pipeline {
     val fp = s"v$ver:" +
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
     val marker = java.nio.file.Paths.get(path, "_GRAFT_FP")
-    // a marker surviving a partial scratch cleanup (data files gone)
-    // must mean rebuild, not an AnalysisException — the loadBandIndex
-    // rule; `_`-prefixed entries (the marker, _SUCCESS) are not data
-    val fresh =
-      try java.nio.file.Files.isRegularFile(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp && {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.list(java.nio.file.Paths.get(path))
-            .iterator().asScala
-            .exists(!_.getFileName.toString.startsWith("_"))
-        }
-      catch { case _: Exception => false }
-    if (!fresh) {
+    if (!Dedup.markerFresh(marker, fp)(Dedup.hasDataFiles(path))) {
       build.write.mode("overwrite").parquet(path)
-      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      Dedup.writeMarker(marker, fp)
     }
     s.read.parquet(path)
   }
@@ -254,19 +242,14 @@ object Pipeline {
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
     val marker = path.resolve("_GRAFT_FP")
     val data = path.resolve("data.tsv")
-    val fresh =
-      try java.nio.file.Files.isRegularFile(marker) &&
-        new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp &&
-        java.nio.file.Files.isRegularFile(data)
-      catch { case _: Exception => false }
-    if (fresh)
+    if (Dedup.markerFresh(marker, fp)(java.nio.file.Files.isRegularFile(data)))
       new String(java.nio.file.Files.readAllBytes(data), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
     else {
       val lines = compute
       java.nio.file.Files.createDirectories(path)
       java.nio.file.Files.write(data, lines.mkString("\n").getBytes("UTF-8"))
-      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+      Dedup.writeMarker(marker, fp)
       lines
     }
   }

@@ -95,20 +95,10 @@ object Sources {
         val fp = s"v$ScratchFormatVersion:" + graft.api.Dedup
           .sourceFingerprint(s, srcTables.map(n => s"$dir/$n.parquet"): _*)
         val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
-        // a marker surviving a partial scratch cleanup (data gone) must
-        // mean rewrite, not downstream read failures
-        val fresh =
-          try java.nio.file.Files.isRegularFile(marker) &&
-            new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp && {
-              import scala.jdk.CollectionConverters._
-              java.nio.file.Files.list(java.nio.file.Paths.get(out))
-                .iterator().asScala
-                .exists(!_.getFileName.toString.startsWith("_"))
-            }
-          catch { case _: Exception => false }
-        if (!fresh) {
+        if (!graft.api.Dedup.markerFresh(marker, fp)(
+            graft.api.Dedup.hasDataFiles(out))) {
           write(out)
-          java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
+          graft.api.Dedup.writeMarker(marker, fp)
         }
         written.put(key, ())
       }
