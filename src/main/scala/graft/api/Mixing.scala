@@ -156,6 +156,31 @@ object Mixing {
       splitAssignExpr(knuthHash(polyHash(col(groupCol))), splits))
   }
 
+  /** Train/test contamination audit: near-duplicate pairs whose
+    * members landed in DIFFERENT splits — the leakage row-level
+    * splitting invites and [[groupAwareSplit]] exists to prevent.
+    * `pairs` is any near-dup pair frame (doc_a, doc_b); `assigned` any
+    * (id, split) assignment (e.g. [[assignSplit]] output). Returns one
+    * row per unordered split pair with the crossing-pair count — the
+    * decision table for "re-split group-aware or dedup before
+    * splitting". Scale shape: two id-key joins of the pair set against
+    * the assignment; at corpus scale the pair side is the near-dup
+    * OUTPUT (orders of magnitude smaller than the corpus, AQE
+    * broadcasts it), so the corpus pays one assignment scan and no
+    * extra shuffle.
+    */
+  def splitLeakage(pairs: DataFrame, assigned: DataFrame, idCol: String,
+                   splitCol: String = "split"): DataFrame = {
+    val a = assigned.select(col(idCol).as("doc_a"), col(splitCol).as("__sa"))
+    val b = assigned.select(col(idCol).as("doc_b"), col(splitCol).as("__sb"))
+    pairs.select("doc_a", "doc_b")
+      .join(a, "doc_a").join(b, "doc_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_leaked"))
+  }
+
   /** Shared interval fold: earlier splits win; the last is the else. */
   private def splitAssignExpr(h: Column,
                               splits: Seq[(String, Double)]): Column = {

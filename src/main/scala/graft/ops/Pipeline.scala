@@ -2665,6 +2665,43 @@ object Pipeline {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // Train/test LEAKAGE audit: near-dup pairs whose members landed in
+    // different splits under the row-level assignment — the
+    // contamination q_mix_split_group's group-aware split exists to
+    // prevent, quantified per split pair. Composes the shared pair set
+    // with the replayable Knuth-hash assignment, so the oracle mirrors
+    // both sides exactly.
+    Q("q_split_leakage", {
+      val th = graft.api.Mixing.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val Seq(t1, t2) = th.init.map(_._2)
+      def splitCase(c: String) =
+        s"""CASE WHEN ${graft.api.Mixing.knuthHashSql(c)} < $t1 THEN 'train'
+                 WHEN ${graft.api.Mixing.knuthHashSql(c)} < $t2 THEN 'val'
+                 ELSE 'test' END"""
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                for i in range(1, len(w)-2)]) AS toks
+                  FROM d WHERE len(w) >= 4),
+           ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+           prs AS (SELECT doc_a, doc_b
+                   FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+           spl AS (SELECT ${splitCase("doc_a")} AS sa,
+                          ${splitCase("doc_b")} AS sb
+                   FROM prs)
+           SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+                  count(*) AS n_leaked
+           FROM spl WHERE sa <> sb GROUP BY 1, 2 ORDER BY 1, 2""")
+    },
+      (s, dir) => graft.api.Mixing.splitLeakage(nearPairs(s, dir),
+          graft.api.Mixing.assignSplit(t(s, dir, "documents"), "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)), "doc_id")
+        .orderBy("split_a", "split_b")),
+
     // Leakage-safe GROUP-aware split: every doc of a source lands in
     // the same split (the near-dup/domain contamination guard row-level
     // splitting cannot give). The group key is an engine-replayable

@@ -1267,6 +1267,36 @@ class ApiSpec extends AnyFunSuite {
     }
   }
 
+  test("splitLeakage counts cross-split pairs; group-aware split zeroes them") {
+    import graft.api.Mixing
+    val ids = spark.range(200).select(col("id").as("doc_id"))
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val assigned = Mixing.assignSplit(ids, "doc_id", splits)
+    // construct pairs with KNOWN crossing structure from the assignment
+    val byS = assigned.collect().map(r => r.getLong(0) -> r.getString(1))
+    val train = byS.filter(_._2 == "train").map(_._1)
+    val test = byS.filter(_._2 == "test").map(_._1)
+    assert(train.size >= 2 && test.nonEmpty, "split coverage at n=200")
+    import spark.implicits._
+    val pairs = Seq(
+      (train(0), test(0)),  // crossing
+      (train(0), train(1))  // same-split
+    ).toDF("doc_a", "doc_b")
+    val leaked = Mixing.splitLeakage(pairs, assigned, "doc_id").collect()
+    assert(leaked.length === 1)
+    assert(leaked(0).getString(0) === "test" && leaked(0).getString(1) === "train")
+    assert(leaked(0).getLong(2) === 1L)
+    // group-aware split keyed by the pair's cluster id: both members of
+    // every pair share the group, so leakage is ZERO by construction —
+    // the guarantee the audit exists to check
+    val clustered = ids.withColumn("grp",
+      when(col("doc_id").isin(train(0), test(0), train(1)), lit("c1"))
+        .otherwise(col("doc_id").cast("string")))
+    val grouped = Mixing.groupAwareSplit(clustered, "grp", splits)
+      .select(col("doc_id"), col("split"))
+    assert(Mixing.splitLeakage(pairs, grouped, "doc_id").count() === 0L)
+  }
+
   test("paragraph dedup is idempotent: a second pass removes nothing") {
     // after keep-first, every surviving segment is globally unique, and
     // because every kept segment except a doc's last is exactly
