@@ -2665,6 +2665,58 @@ object Pipeline {
         .groupBy("lang", "split").agg(count(lit(1)).as("n"))
         .orderBy("lang", "split")),
 
+    // Per-source corpus report — the "dataset card" audit every
+    // curation round starts from: docs, whitespace tokens, char mass,
+    // language spread, and how many of the source's docs sit in the
+    // near-dup pair set. One corpus aggregation + a broadcast-sized
+    // join against the distinct dup-doc ids (near-dup OUTPUT, not the
+    // corpus); all-integer columns, so the hash match needs no decimal
+    // machinery.
+    Q("q_corpus_report",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
+                                                for i in range(1, len(w)-2)]) AS toks
+                  FROM d WHERE len(w) >= 4),
+           ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                 FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+           sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
+           prs AS (SELECT doc_a, doc_b
+                   FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+           dup AS (SELECT DISTINCT doc_id FROM
+                     (SELECT doc_a AS doc_id FROM prs
+                      UNION ALL SELECT doc_b FROM prs)),
+           base AS (SELECT source, count(*) AS n_docs,
+                           CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens,
+                           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                           count(DISTINCT lang) AS n_langs
+                    FROM documents GROUP BY 1),
+           dups AS (SELECT source AS dsource, count(*) AS n_dup_docs
+                    FROM documents JOIN dup USING (doc_id) GROUP BY 1)
+           SELECT base.source AS source, n_docs, n_tokens, sum_chars, n_langs,
+                  COALESCE(n_dup_docs, 0) AS n_dup_docs
+           FROM base LEFT JOIN dups ON dups.dsource = base.source
+           ORDER BY base.source"""),
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pr = nearPairs(s, dir)
+        val dup = pr.select(col("doc_a").as("doc_id"))
+          .union(pr.select(col("doc_b").as("doc_id"))).distinct()
+        val base = docs.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        val dups = docs.join(dup, "doc_id").groupBy("source")
+          .agg(count(lit(1)).as("n_dup_docs"))
+        base.join(dups, Seq("source"), "left")
+          .na.fill(0L, Seq("n_dup_docs"))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("sum_chars"), col("n_langs"), col("n_dup_docs"))
+          .orderBy("source")
+      }),
+
     // Train/test LEAKAGE audit: near-dup pairs whose members landed in
     // different splits under the row-level assignment — the
     // contamination q_mix_split_group's group-aware split exists to
