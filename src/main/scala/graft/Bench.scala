@@ -80,7 +80,12 @@ object Bench {
       import scala.concurrent.duration.Duration
       // one worker per build: they're IO/stage-bound and 32 cores hide
       // the overlap; queueing them serializes the makespan instead
-      val pool = Executors.newFixedThreadPool(8)
+      // 12-wide: with every non-stream build amortized behind markers,
+      // the phase is ~12 stream replays whose cost is query-lifecycle
+      // LATENCY (micro-batch planning, state-store startup), not CPU —
+      // one slot each lets all replays overlap instead of queueing in
+      // waves behind an 8-slot pool
+      val pool = Executors.newFixedThreadPool(12)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       val fs = Seq[(String, () => Any)](
         "bucketed_orders" -> (() => api.Bucketing.ensureBucketed(spark, sfDir,
