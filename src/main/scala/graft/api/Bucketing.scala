@@ -62,7 +62,13 @@ object Bucketing {
                      df: => DataFrame, key: String,
                      buckets: Int = 8, srcPaths: Seq[String] = Nil,
                      ver: Int = 1): String = {
-    val tag = math.abs(sfDir.hashCode).toString
+    // sha256-derived tag (Dedup.tableTag), NOT sfDir.hashCode: a 32-bit
+    // hashCode collision between two sf dirs would alias their catalog
+    // table names — the same failure mode the band-index tables already
+    // guard against. (The fingerprint markers would still force a
+    // rewrite on mismatch, but the in-catalog aliasing alone could
+    // serve one dir's table for the other within a session.)
+    val tag = Dedup.tableTag(sfDir)
     val tbl = s"graft_bk_${name}_$tag"
     // synchronized: concurrent queries (q_join_bucketed ∥ q_agg_bucketed
     // in Bench) must not race the same table write — TrieMap's
