@@ -408,13 +408,14 @@ object Streams {
 
   /** Per-(session, source-glob) scratch dir under java.io.tmpdir —
     * repeated invocations overwrite one directory instead of leaking a
-    * fresh UUID dir per call. hashCode is widened to Long before abs:
-    * math.abs(Int.MinValue) is still negative.
+    * fresh UUID dir per call. The key tag is sha256-derived
+    * (Dedup.tableTag): a 32-bit hashCode collision between two glob
+    * strings in one session would cross-contaminate their replay sinks.
     */
   private def scratchDir(spark0: SparkSession, ns: String,
                          key: String): String =
     s"${sys.props("java.io.tmpdir")}/$ns/" +
-      s"${System.identityHashCode(spark0)}_${math.abs(key.hashCode.toLong)}"
+      s"${System.identityHashCode(spark0)}_${graft.api.Dedup.tableTag(key)}"
 
   private def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
