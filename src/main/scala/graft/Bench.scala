@@ -78,8 +78,6 @@ object Bench {
       import java.util.concurrent.Executors
       import scala.concurrent._
       import scala.concurrent.duration.Duration
-      // one worker per build: they're IO/stage-bound and 32 cores hide
-      // the overlap; queueing them serializes the makespan instead
       // 12-wide: with every non-stream build amortized behind markers,
       // the phase is ~12 stream replays whose cost is query-lifecycle
       // LATENCY (micro-batch planning, state-store startup), not CPU —

@@ -163,18 +163,24 @@ object Mixing {
     * (id, split) assignment (e.g. [[assignSplit]] output). Returns one
     * row per unordered split pair with the crossing-pair count — the
     * decision table for "re-split group-aware or dedup before
-    * splitting". Scale shape: two id-key joins of the pair set against
-    * the assignment; at corpus scale the pair side is the near-dup
-    * OUTPUT (orders of magnitude smaller than the corpus, AQE
-    * broadcasts it), so the corpus pays one assignment scan and no
-    * extra shuffle.
+    * splitting". A pair member MISSING from the assignment surfaces as
+    * the reserved split name "unassigned" instead of silently dropping
+    * the pair — an audit must never report zero leakage because the
+    * caller passed a filtered assignment (inner joins here were the
+    * false-negative mode). Scale shape: two id-key joins of the pair
+    * set against the assignment (cache `assigned` if scanning it twice
+    * matters); the pair side is the near-dup OUTPUT — orders of
+    * magnitude smaller than the corpus, AQE broadcasts it — so no
+    * corpus-side shuffle.
     */
   def splitLeakage(pairs: DataFrame, assigned: DataFrame, idCol: String,
                    splitCol: String = "split"): DataFrame = {
     val a = assigned.select(col(idCol).as("doc_a"), col(splitCol).as("__sa"))
     val b = assigned.select(col(idCol).as("doc_b"), col(splitCol).as("__sb"))
     pairs.select("doc_a", "doc_b")
-      .join(a, "doc_a").join(b, "doc_b")
+      .join(a, Seq("doc_a"), "left").join(b, Seq("doc_b"), "left")
+      .select(coalesce(col("__sa"), lit("unassigned")).as("__sa"),
+        coalesce(col("__sb"), lit("unassigned")).as("__sb"))
       .filter(col("__sa") =!= col("__sb"))
       .select(least(col("__sa"), col("__sb")).as("split_a"),
         greatest(col("__sa"), col("__sb")).as("split_b"))

@@ -114,17 +114,22 @@ object Pipeline {
   private[graft] def corpusBands(s: SparkSession, dir: String): Dedup.BandIndex =
     corpusBandsSh(s, dir)._1
 
+  /** THE bands-index scratch path for a corpus dir — sha256-tagged
+    * (Dedup.tableTag), never dir.hashCode (a 32-bit collision would
+    * alias two corpus dirs onto one on-disk index). Single definition
+    * shared with tools/BandIndexProbe: the probe's build-mode wipe must
+    * hit exactly the path the pipeline uses, and a second copy of this
+    * derivation is how that silently stopped being true once already.
+    */
+  private[graft] def bandsPath(dir: String): String =
+    s"${graft.api.Bucketing.scratchBase}/bands_" +
+      graft.api.Dedup.tableTag(dir)
+
   private[graft] def corpusBandsSh(s: SparkSession,
                                    dir: String): (Dedup.BandIndex, DataFrame) =
     bandsCache.synchronized {
       bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        // sha256-tagged (same scheme as Dedup.tableTag), NOT
-        // dir.hashCode: a 32-bit hashCode collision would alias two
-        // corpus dirs onto one on-disk index, and each session's
-        // fingerprint check would clobber the other's index every run
-        // (and math.abs(Int.MinValue) is still negative)
-        val path = s"${graft.api.Bucketing.scratchBase}/bands_" +
-          graft.api.Dedup.tableTag(dir)
+        val path = bandsPath(dir)
         val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
         Dedup.loadBandIndex(s, path, fp).getOrElse {
           val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)
@@ -777,10 +782,15 @@ object Pipeline {
        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
        ORDER BY doc_a, doc_b"""
 
-  /** The near-dup pair set as reusable CTEs + transitive closure —
-    * shared by the q_dedup_cluster and q_dedup_keep_best oracles.
+  /** SQL mirror of the shared near-dup pair set — 4-gram shingles,
+    * exact Jaccard >= 0.5, ending at `prs(doc_a, doc_b)` (the oracle
+    * twin of Dedup.nearDuplicatePairs over shingles(n=4)). ONE copy:
+    * every oracle that consumes the pair set splices this constant, so
+    * a recipe change (n, threshold) lands everywhere at once instead of
+    * silently diverging one hand-edited copy (the knuthHashSql
+    * discipline applied to the pair CTEs).
     */
-  private val clusterCtes =
+  private[ops] val nearPairCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
                                             for i in range(1, len(w)-2)]) AS toks
@@ -791,7 +801,13 @@ object Pipeline {
        sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
        prs AS (SELECT doc_a, doc_b
                FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+               WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)"""
+
+  /** [[nearPairCtes]] + transitive closure — shared by the
+    * q_dedup_cluster and q_dedup_keep_best oracles.
+    */
+  private val clusterCtes =
+    s"""$nearPairCtes,
        und AS (SELECT doc_a AS u, doc_b AS v FROM prs
                UNION SELECT doc_b, doc_a FROM prs),
        reach(u, v) AS (SELECT u, v FROM und
@@ -2673,17 +2689,7 @@ object Pipeline {
     // corpus); all-integer columns, so the hash match needs no decimal
     // machinery.
     Q("q_corpus_report",
-      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
-                                                for i in range(1, len(w)-2)]) AS toks
-                  FROM d WHERE len(w) >= 4),
-           ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
-           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-           sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
-           prs AS (SELECT doc_a, doc_b
-                   FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      Some(s"""WITH $nearPairCtes,
            dup AS (SELECT DISTINCT doc_id FROM
                      (SELECT doc_a AS doc_id FROM prs
                       UNION ALL SELECT doc_b FROM prs)),
@@ -2731,17 +2737,7 @@ object Pipeline {
         s"""CASE WHEN ${graft.api.Mixing.knuthHashSql(c)} < $t1 THEN 'train'
                  WHEN ${graft.api.Mixing.knuthHashSql(c)} < $t2 THEN 'val'
                  ELSE 'test' END"""
-      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           sh AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+3], ' ')
-                                                for i in range(1, len(w)-2)]) AS toks
-                  FROM d WHERE len(w) >= 4),
-           ex AS (SELECT doc_id, unnest(toks) AS tok FROM sh),
-           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-                 FROM ex a JOIN ex b USING (tok) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-           sz AS (SELECT doc_id, len(toks) AS sz FROM sh),
-           prs AS (SELECT doc_a, doc_b
-                   FROM p JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
-                   WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+      Some(s"""WITH $nearPairCtes,
            spl AS (SELECT ${splitCase("doc_a")} AS sa,
                           ${splitCase("doc_b")} AS sb
                    FROM prs)

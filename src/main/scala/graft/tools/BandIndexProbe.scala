@@ -20,12 +20,10 @@ object BandIndexProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // MUST match Pipeline.corpusBandsSh's path derivation (sha256
-    // tableTag) — with the old hashCode tag the build-mode wipe removed
-    // a path the pipeline never used, so "build" silently measured an
-    // attach of the surviving index instead of a rebuild
-    val path = s"${graft.api.Bucketing.scratchBase}/bands_" +
-      graft.api.Dedup.tableTag(dir)
+    // the ONE path definition the pipeline itself uses — a second copy
+    // of the derivation is how the build-mode wipe silently stopped
+    // hitting the real index once already
+    val path = graft.ops.Pipeline.bandsPath(dir)
     if (mode == "build") {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -1295,6 +1295,13 @@ class ApiSpec extends AnyFunSuite {
     val grouped = Mixing.groupAwareSplit(clustered, "grp", splits)
       .select(col("doc_id"), col("split"))
     assert(Mixing.splitLeakage(pairs, grouped, "doc_id").count() === 0L)
+    // a pair member MISSING from the assignment must SURFACE as the
+    // "unassigned" bucket, never silently drop the pair (the audit's
+    // false-negative mode): here the filtered assignment lacks test(0)
+    val partial = assigned.filter(col("doc_id") =!= test(0))
+    val un = Mixing.splitLeakage(pairs, partial, "doc_id").collect()
+    assert(un.exists(r => r.getString(1) === "unassigned" && r.getLong(2) === 1L),
+      s"missing assignment must surface, got ${un.mkString(";")}")
   }
 
   test("paragraph dedup is idempotent: a second pass removes nothing") {
