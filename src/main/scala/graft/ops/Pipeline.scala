@@ -214,6 +214,16 @@ object Pipeline {
     tempCache.synchronized {
       tempCache.keys.filter(_._1 == id).foreach(tempCache.remove)
     }
+    // driver-literal memos (bounded metadata, no persisted RDDs) —
+    // dropped anyway so a long-lived server iterating many dirs never
+    // accumulates per-dir entries. pqBooks re-loads from its disk TSV;
+    // bpeMerges retrains (one small capped job) on next use.
+    bpeCache.synchronized {
+      bpeCache.keys.filter(_._1 == id).foreach(bpeCache.remove)
+    }
+    pqCache.synchronized {
+      pqCache.keys.filter(_._1 == id).foreach(pqCache.remove)
+    }
   }
 
   /** k-means centroids per (session, dir), computed ONCE and shared by
