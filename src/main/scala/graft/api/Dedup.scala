@@ -606,6 +606,76 @@ object Dedup {
       "fingerprint must match [A-Za-z0-9._:-]+ (it is embedded in " +
         s"meta.json and regex-parsed back): got '${fingerprint.take(40)}'")
 
+  /** A publish lock older than this is presumed crashed and stolen. */
+  private[graft] val PublishLockStaleMs = 600000L
+  /** How long an acquirer waits before failing loudly (no deadlock). */
+  private[graft] val PublishLockWaitMs = 120000L
+
+  /** Cross-PROCESS publish lock on an index path: an atomic
+    * create-if-absent of `$path.lock` serializes concurrent publishers
+    * (create(overwrite=false) is atomic on posix and HDFS), a lock
+    * older than [[PublishLockStaleMs]] is presumed crashed and stolen,
+    * and acquisition times out loudly after [[PublishLockWaitMs]]
+    * rather than deadlocking. Object stores WITHOUT atomic
+    * create-if-absent fall back to the external-serialization
+    * requirement the scaladoc documents.
+    */
+  private def withPublishLock[T](fs: org.apache.hadoop.fs.FileSystem,
+                                 path: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
+    val deadline = System.currentTimeMillis() + PublishLockWaitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false) // atomic create-if-absent
+        out.write((s"${java.lang.ProcessHandle.current().pid()}@" +
+          s"${System.currentTimeMillis()}").getBytes("UTF-8"))
+        out.close()
+        acquired = true
+      } catch { case _: java.io.IOException =>
+        val stale = try {
+          System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime > PublishLockStaleMs
+        } catch { case _: Exception => false } // vanished: retry create
+        if (stale) { fs.delete(lock, false); () }
+        else if (System.currentTimeMillis() > deadline)
+          throw new IllegalStateException(
+            s"could not acquire publish lock $lock within " +
+              s"${PublishLockWaitMs / 1000}s — another publisher holds it " +
+              "(or crashed less than the stale threshold ago)")
+        else Thread.sleep(500)
+      }
+    }
+    try body finally { fs.delete(lock, false); () }
+  }
+
+  /** The retire→rename→cleanup swap both index publishers share: a
+    * reader sees complete-old or complete-new, never a mix; a failed
+    * rename restores (or loudly names the stranded copy).
+    */
+  private def atomicSwapPublish(fs: org.apache.hadoop.fs.FileSystem,
+                                tmp: String, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val retired = new Path(
+      s"$path.retired-${java.util.UUID.randomUUID().toString.take(8)}")
+    val hadOld = fs.exists(dst)
+    if (hadOld) require(fs.rename(dst, retired),
+      s"atomic publish failed: could not retire old index at $path")
+    if (!fs.rename(new Path(tmp), dst)) {
+      // the restore can itself fail (object-store flakes, permissions
+      // yanked mid-publish) — report what ACTUALLY happened, and where
+      // the stranded copy lives, instead of claiming success
+      val restored = hadOld && fs.rename(retired, dst)
+      throw new IllegalStateException(
+        s"atomic publish failed: rename $tmp -> $path" + (
+          if (restored) " (old index restored)"
+          else if (hadOld) s" (RESTORE ALSO FAILED: old index stranded at $retired)"
+          else " (no prior index existed)"))
+    }
+    if (hadOld) fs.delete(retired, true)
+  }
+
   private def indexMetaPath(path: String) = s"$path/meta.json"
   // sha256-derived, not String.hashCode: 32-bit hash collisions between
   // two index paths would alias their catalog table names, and attach()
@@ -633,13 +703,14 @@ object Dedup {
     *
     * CONCURRENCY SCOPE (applies to [[saveSegmentIndex]] too): the
     * staged-rename publish is atomic against concurrent READERS (they
-    * see complete-old or complete-new), and the in-process caches
-    * serialize same-JVM writers — but two PROCESSES publishing to one
-    * path concurrently can retire each other's freshly published index
-    * or strand a retired sibling. Multi-process deployments must
-    * serialize publishes externally (a lock file, or a scheduler that
-    * owns index refresh); concurrent multi-process ATTACH via the load
-    * path is safe.
+    * see complete-old or complete-new), and concurrent PUBLISHERS —
+    * same-JVM or cross-process — serialize on a `$path.lock` file
+    * (atomic create-if-absent; stale locks from crashed publishers are
+    * stolen after [[PublishLockStaleMs]]): staged copies are
+    * publisher-unique, only the swap is locked, and each publisher
+    * lands a complete index, last-writer-wins. Caveat: object stores
+    * WITHOUT atomic create-if-absent still need external publish
+    * serialization. Concurrent ATTACH via the load path needs no lock.
     */
   def saveBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     index: BandIndex, corpusSh: DataFrame,
@@ -658,10 +729,13 @@ object Dedup {
     // complete new one, never a half-written mix (the rename itself is
     // atomic on HDFS and posix; the delete-then-rename leaves only a
     // brief "absent → rebuild" window, which is safe).
-    val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-    val stage = Seq(s"graft_bands_${tag}_stage", s"graft_bandsh_${tag}_stage")
-    (stage ++ Seq(s"graft_bands_$tag", s"graft_bandsh_$tag"))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // staging table names are publisher-UNIQUE (like the tmp dir): two
+    // concurrent publishers sharing one catalog must not race a shared
+    // `_stage` name — the test-found same-JVM flavor of the publish race
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val tmp = s"$path.tmp-$nonce"
+    val stage = Seq(s"graft_bands_${tag}_stage_$nonce",
+      s"graft_bandsh_${tag}_stage_$nonce")
     index.rows.write.format("parquet")
       .bucketBy(buckets, "band_idx", "band_hash")
       .sortBy("band_idx", "band_hash")
@@ -676,34 +750,27 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     val out = fs.create(new Path(indexMetaPath(tmp)), true)
     out.write(meta.getBytes("UTF-8")); out.close()
-    // Swap via a retired sibling, never delete-first: if the tmp->dst
-    // rename fails (object stores, cross-FS tmp), the old index is
-    // restored — a failed publish leaves complete-old on disk, not
-    // nothing. `path` is owned exclusively by the index (bands/,
-    // shingles/, meta.json); the swap replaces the whole directory.
-    val dst = new Path(path)
-    val retired = new Path(s"$path.retired-${java.util.UUID.randomUUID().toString.take(8)}")
-    val hadOld = fs.exists(dst)
-    if (hadOld) require(fs.rename(dst, retired),
-      s"atomic publish failed: could not retire old index at $path")
-    if (!fs.rename(new Path(tmp), dst)) {
-      // the restore can itself fail (object-store flakes, permissions
-      // yanked mid-publish) — report what ACTUALLY happened, and where
-      // the stranded copy lives, instead of claiming success
-      val restored = hadOld && fs.rename(retired, dst)
-      throw new IllegalStateException(
-        s"atomic publish failed: rename $tmp -> $path" + (
-          if (restored) " (old index restored)"
-          else if (hadOld) s" (RESTORE ALSO FAILED: old index stranded at $retired)"
-          else " (no prior index existed)"))
+    // Swap via a retired sibling, never delete-first (see
+    // atomicSwapPublish), under the cross-process publish lock: staged
+    // copies are publisher-unique (tmp-UUID), so only the swap — plus
+    // the final-table drop, which must pair with the swap so the
+    // attach below re-creates tables over the NEW files — needs
+    // serializing. Two concurrent publishers each land a COMPLETE
+    // index, last-writer-wins, with no retired sibling stranded.
+    withPublishLock(fs, path) {
+      Seq(s"graft_bands_$tag", s"graft_bandsh_$tag")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      atomicSwapPublish(fs, tmp, path)
+      // attach the published files through the same fingerprint-checked
+      // load path a cold session uses — one DDL code path, and the save
+      // is verified readable before anything consumes it. INSIDE the
+      // lock: a concurrent publisher's retire/rename window must not
+      // make OUR just-published index read as absent (the returned
+      // frames are still last-writer-wins once the lock releases).
+      loadBandIndex(spark, path, fingerprint).getOrElse(
+        throw new IllegalStateException(
+          s"band index at $path unreadable immediately after publish"))
     }
-    if (hadOld) fs.delete(retired, true)
-    // attach the published files through the same fingerprint-checked
-    // load path a cold session uses — one DDL code path, and the save
-    // is verified readable before anything consumes it
-    loadBandIndex(spark, path, fingerprint).getOrElse(
-      throw new IllegalStateException(
-        s"band index at $path unreadable immediately after publish"))
   }
 
   /** Load a [[saveBandIndex]]-persisted index if present AND its
@@ -733,22 +800,38 @@ object Dedup {
     val (numPerms, bands, buckets) = (meta("num_perms").toInt,
       meta("bands").toInt, meta("buckets").toInt)
     val tag = tableTag(path)
-    def attach(tbl: String, sub: String, keys: Seq[String]): DataFrame = {
+    Some((BandIndex(attachBucketed(spark, s"graft_bands_$tag",
+        s"$path/bands", Seq("band_idx", "band_hash"), buckets),
+      numPerms, bands),
+      attachBucketed(spark, s"graft_bandsh_$tag", s"$path/shingles",
+        Seq("doc_id"), buckets)))
+  }
+
+  /** Attach an on-disk bucketed directory as a catalog table —
+    * IDEMPOTENT and race-tolerant: CREATE TABLE IF NOT EXISTS (two
+    * concurrent attachers of the same publish issue identical DDL; the
+    * old tableExists-then-CREATE was a TOCTOU that threw
+    * TableAlreadyExists under the concurrent-publisher test), with one
+    * retry in case a concurrent publisher's locked DROP+swap lands
+    * between our create and read.
+    */
+  private def attachBucketed(spark: org.apache.spark.sql.SparkSession,
+                             tbl: String, loc: String, keys: Seq[String],
+                             buckets: Int): DataFrame = {
+    def tryOnce(): DataFrame = {
       if (!spark.catalog.tableExists(tbl)) {
-        val schema = spark.read.parquet(s"$path/$sub").schema.toDDL
+        val schema = spark.read.parquet(loc).schema.toDDL
         val ks = keys.mkString(", ")
-        spark.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($schema) USING PARQUET " +
           s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
-          s"LOCATION '$path/$sub'")
+          s"LOCATION '$loc'")
         indexTables.synchronized {
           indexTables += ((System.identityHashCode(spark), tbl)); ()
         }
       }
       spark.table(tbl)
     }
-    Some((BandIndex(attach(s"graft_bands_$tag", "bands",
-        Seq("band_idx", "band_hash")), numPerms, bands),
-      attach(s"graft_bandsh_$tag", "shingles", Seq("doc_id"))))
+    try tryOnce() catch { case _: Exception => tryOnce() }
   }
 
   /** Persist the distinct segment-hash index of a corpus (the
@@ -768,10 +851,10 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     requireSafeFingerprint(fingerprint)
     val tag = tableTag(path)
-    val stage = s"graft_segs_${tag}_stage"
-    val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-    Seq(stage, s"graft_segs_$tag")
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // publisher-unique staging name + tmp dir (the saveBandIndex rule)
+    val nonce = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val stage = s"graft_segs_${tag}_stage_$nonce"
+    val tmp = s"$path.tmp-$nonce"
     hashes.select(col("h")).write.format("parquet")
       .bucketBy(buckets, "h").sortBy("h")
       .option("path", s"$tmp/segments").mode("overwrite").saveAsTable(stage)
@@ -782,24 +865,14 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     val out = fs.create(new Path(indexMetaPath(tmp)), true)
     out.write(meta.getBytes("UTF-8")); out.close()
-    val dst = new Path(path)
-    val retired = new Path(
-      s"$path.retired-${java.util.UUID.randomUUID().toString.take(8)}")
-    val hadOld = fs.exists(dst)
-    if (hadOld) require(fs.rename(dst, retired),
-      s"atomic publish failed: could not retire old index at $path")
-    if (!fs.rename(new Path(tmp), dst)) {
-      val restored = hadOld && fs.rename(retired, dst)
-      throw new IllegalStateException(
-        s"atomic publish failed: rename $tmp -> $path" + (
-          if (restored) " (old index restored)"
-          else if (hadOld) s" (RESTORE ALSO FAILED: old index stranded at $retired)"
-          else " (no prior index existed)"))
+    withPublishLock(fs, path) {
+      spark.sql(s"DROP TABLE IF EXISTS graft_segs_$tag")
+      atomicSwapPublish(fs, tmp, path)
+      // verify-load inside the lock — the saveBandIndex rule
+      loadSegmentIndex(spark, path, fingerprint, segTokens).getOrElse(
+        throw new IllegalStateException(
+          s"segment index at $path unreadable immediately after publish"))
     }
-    if (hadOld) fs.delete(retired, true)
-    loadSegmentIndex(spark, path, fingerprint, segTokens).getOrElse(
-      throw new IllegalStateException(
-        s"segment index at $path unreadable immediately after publish"))
   }
 
   /** Load a [[saveSegmentIndex]]-persisted index if present AND its
@@ -827,17 +900,8 @@ object Dedup {
       return None
     val buckets = meta("buckets").toInt
     val tag = tableTag(path)
-    val tbl = s"graft_segs_$tag"
-    if (!spark.catalog.tableExists(tbl)) {
-      val schema = spark.read.parquet(s"$path/segments").schema.toDDL
-      spark.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
-        s"CLUSTERED BY (h) SORTED BY (h) INTO $buckets BUCKETS " +
-        s"LOCATION '$path/segments'")
-      indexTables.synchronized {
-        indexTables += ((System.identityHashCode(spark), tbl)); ()
-      }
-    }
-    Some(spark.table(tbl))
+    Some(attachBucketed(spark, s"graft_segs_$tag", s"$path/segments",
+      Seq("h"), buckets))
   }
 
   /** Incremental near-dup detection: NEW documents against an already-

@@ -1256,6 +1256,36 @@ class ApiSpec extends AnyFunSuite {
     assert(ok.select("shuffle_pos").distinct().count() === 10)
   }
 
+  test("concurrent publishers to one index path serialize on the lock") {
+    val dir = java.nio.file.Files.createTempDirectory("pubrace").toString
+    val sh = Dedup.shingles(docs.limit(20), "doc_id", "text")
+      .persist()
+    sh.count()
+    val idx = Dedup.buildBandIndex(sh)
+    import java.util.concurrent.Executors
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // two publishers, same path, same content: without the lock one
+    // could retire the other's fresh publish or strand a retired
+    // sibling; with it both complete and the survivor loads cleanly
+    val fp = "a" * 64
+    val fs = Seq.fill(2)(Future(
+      scala.util.Try(Dedup.saveBandIndex(spark, s"$dir/idx", idx, sh, fp))))
+    val results = Await.result(Future.sequence(fs), 4.minutes)
+    pool.shutdown()
+    sh.unpersist()
+    assert(results.forall(_.isSuccess),
+      s"both publishers must complete: ${results.map(_.failed.toOption)}")
+    // the survivor is a complete, fingerprint-matching index
+    assert(Dedup.loadBandIndex(spark, s"$dir/idx", fp).isDefined)
+    // no lock or retired sibling left behind
+    val leftovers = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(n => n.contains(".lock") || n.contains(".retired"))
+    assert(leftovers.isEmpty, s"stranded: ${leftovers.mkString(",")}")
+  }
+
   test("index save rejects fingerprints that could corrupt meta.json") {
     val dir = java.nio.file.Files.createTempDirectory("badfp").toString
     val sh = Dedup.shingles(docs.limit(5), "doc_id", "text")
