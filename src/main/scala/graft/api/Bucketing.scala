@@ -57,6 +57,12 @@ object Bucketing {
     * re-bucketing pass. `df` is by-name, so the skip path never even
     * plans it. With `srcPaths` empty (or a source absent) the old
     * always-rewrite behavior is kept.
+    *
+    * Marker IO is java.nio by design: [[scratchBase]] is local by
+    * construction (/dev/shm or java.io.tmpdir). If scratch ever moves
+    * to a non-local FS, the cross-process skip silently never applies
+    * (markerFresh reads nothing, every process rewrites) — route the
+    * marker through the Hadoop FS at that point.
     */
   def ensureBucketed(s: SparkSession, sfDir: String, name: String,
                      df: => DataFrame, key: String,
@@ -73,7 +79,13 @@ object Bucketing {
     // synchronized: concurrent queries (q_join_bucketed ∥ q_agg_bucketed
     // in Bench) must not race the same table write — TrieMap's
     // getOrElseUpdate can evaluate the thunk twice under contention.
+    val waitT0 = System.nanoTime()
     done.synchronized {
+      // lock-wait telemetry — the Sources.ensure rule (name long waits)
+      val waitedMs = (System.nanoTime() - waitT0) / 1000000L
+      if (waitedMs > Dedup.LockWarnAfterMs)
+        System.err.println(
+          s"graft: waited $waitedMs ms for bucketed-table lock on $tbl")
       done.getOrElseUpdate((System.identityHashCode(s), sfDir, name), {
         val loc = s"$base/$tbl"
         // an ABSENT source must mean "never trust (or write) a marker"
@@ -92,15 +104,21 @@ object Bucketing {
         // when the files are gone
         val canAttach = signable && Dedup.markerFresh(marker, fp)(true)
         // a marker surviving a partial scratch cleanup (files gone) must
-        // mean rebuild, not an AnalysisException — loadBandIndex's rule
+        // mean rebuild, not an AnalysisException — loadBandIndex's rule.
+        // CREATE TABLE IF NOT EXISTS + one retry (the Dedup.attachBucketed
+        // discipline), NOT tableExists-then-CREATE: two sessions sharing
+        // one catalog racing that TOCTOU made the loser's Try fail and
+        // silently fall through to a full re-shuffle rewrite instead of
+        // a metadata attach.
+        def attachOnce(): Unit = if (!s.catalog.tableExists(tbl)) {
+          // `_`-prefixed marker is invisible to the schema read
+          val schema = s.read.parquet(loc).schema.toDDL
+          s.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($schema) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
+            s"LOCATION '$loc'")
+        }
         val attached = canAttach && scala.util.Try {
-          if (!s.catalog.tableExists(tbl)) {
-            // `_`-prefixed marker is invisible to the schema read
-            val schema = s.read.parquet(loc).schema.toDDL
-            s.sql(s"CREATE TABLE $tbl ($schema) USING PARQUET " +
-              s"CLUSTERED BY ($key) SORTED BY ($key) INTO $buckets BUCKETS " +
-              s"LOCATION '$loc'")
-          }
+          try attachOnce() catch { case _: Exception => attachOnce() }
         }.isSuccess
         if (!attached) {
           df.write

@@ -560,20 +560,53 @@ object Dedup {
     java.nio.file.Files.write(marker, fp.getBytes("UTF-8")); ()
   }
 
-  /** True iff `dir` holds at least one non-`_`-prefixed entry — the
+  /** True iff `dir` holds at least one non-`_`-prefixed entry AND every
+    * non-`_` DIRECTORY entry recursively holds data of its own — the
     * "data actually exists" clause for markers guarding a directory of
-    * written files (the marker itself and _SUCCESS are not data).
+    * written files (the marker itself and _SUCCESS are not data). The
+    * recursion matters for directory-of-directories layouts (the
+    * stream-arrival s0/s1/s2 splits, partitioned and evolve outputs): a
+    * partial cleanup that empties the subdirectories but leaves them in
+    * place used to pass the exists-one-entry check, so the rewrite was
+    * skipped and the replay queries silently streamed zero rows —
+    * exactly the failure markerFresh's contract exists to prevent.
+    * Every subdirectory must hold data (not just one): each sN is a
+    * required micro-batch and each partition directory a required
+    * slice, so one emptied leg means rebuild. Depth-capped as a
+    * symlink-cycle guard; java.nio IO (these scratch dirs are local by
+    * construction — /dev/shm or java.io.tmpdir).
     */
   private[graft] def hasDataFiles(dir: String): Boolean = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.exists(!_.getFileName.toString.startsWith("_"))
+    def ok(d: java.nio.file.Path, depth: Int): Boolean = {
+      val entries = {
+        val s = java.nio.file.Files.list(d)
+        try s.iterator().asScala
+          .filter(!_.getFileName.toString.startsWith("_")).toList
+        finally s.close()
+      }
+      entries.nonEmpty && entries.forall(p =>
+        !java.nio.file.Files.isDirectory(p) || (depth < 4 && ok(p, depth + 1)))
+    }
+    try ok(java.nio.file.Paths.get(dir), 0)
+    catch { case _: Exception => false }
   }
 
+  /** Bytes of content evidence hashed from each end of every file. */
+  private[graft] val FingerprintEdgeBytes = 65536
+
   /** Content fingerprint of source files (any Hadoop FS scheme):
-    * sha256 over the sorted (path, length, mtime) listing. Cheap — a
-    * metadata listing, no data read — and exactly what invalidates a
-    * persisted index when the corpus it was signed from changes.
+    * sha256 over the sorted (path, length, mtime, edge-content) listing,
+    * where edge-content is a sha256 of each file's first and last
+    * [[FingerprintEdgeBytes]] bytes. Metadata alone (`path:len:mtime`)
+    * is spoofable: a regenerated corpus restored with preserved
+    * timestamps (tar/rsync with mtime preservation, or a rewrite inside
+    * mtime granularity) would silently serve stale cross-process caches
+    * — a wrong-answer class, not a perf bug. The edge hash is O(1) I/O
+    * per file (≤128 KiB read regardless of file size) and catches any
+    * such regen in practice: parquet writers put row-group offsets and
+    * statistics in the footer, so even a semantically-equal rewrite
+    * changes the tail bytes.
     */
   def sourceFingerprint(spark: org.apache.spark.sql.SparkSession,
                         paths: String*): String = {
@@ -587,13 +620,42 @@ object Dedup {
         val b = scala.collection.mutable.Buffer.empty[String]
         while (it.hasNext) {
           val st = it.next()
-          b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+          val edge = fileEdgeDigest(fs, st.getPath, st.getLen)
+          b += s"${st.getPath}:${st.getLen}:${st.getModificationTime}:$edge"
         }
         b.sorted
       }
     }.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
+
+  /** sha256 (hex) of a file's first and last [[FingerprintEdgeBytes]]
+    * bytes — the content-evidence half of [[sourceFingerprint]]. A file
+    * smaller than twice the edge window is hashed in full (the two
+    * windows overlap; determinism, not exclusivity, is what matters).
+    * An unreadable file hashes to a constant distinct from every real
+    * digest, so transient read failures force a rebuild instead of
+    * serving a cache signed from unknown bytes.
+    */
+  private def fileEdgeDigest(fs: org.apache.hadoop.fs.FileSystem,
+                             p: org.apache.hadoop.fs.Path,
+                             len: Long): String =
+    try {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val in = fs.open(p)
+      try {
+        val head = new Array[Byte](math.min(len, FingerprintEdgeBytes.toLong).toInt)
+        in.readFully(0L, head, 0, head.length)
+        md.update(head)
+        if (len > FingerprintEdgeBytes) {
+          val tailStart = math.max(FingerprintEdgeBytes.toLong, len - FingerprintEdgeBytes)
+          val tail = new Array[Byte]((len - tailStart).toInt)
+          in.readFully(tailStart, tail, 0, tail.length)
+          md.update(tail)
+        }
+      } finally in.close()
+      md.digest().map("%02x".format(_)).mkString
+    } catch { case _: Exception => "unreadable" }
 
   /** Fingerprints are embedded into hand-built meta.json and parsed
     * back with a regex — a quote/comma/brace in one would corrupt the
@@ -608,22 +670,42 @@ object Dedup {
 
   /** A publish lock older than this is presumed crashed and stolen. */
   private[graft] val PublishLockStaleMs = 600000L
-  /** How long an acquirer waits before failing loudly (no deadlock). */
-  private[graft] val PublishLockWaitMs = 120000L
+  /** Extra wait past the stale threshold before failing loudly: by then
+    * any legitimate holder has either released or crossed staleness and
+    * been stolen, so only a pathological FS justifies giving up.
+    */
+  private[graft] val PublishLockGraceMs = 120000L
+  /** Wait beyond this emits the first telemetry WARN (then periodic). */
+  private[graft] val LockWarnAfterMs = 5000L
 
   /** Cross-PROCESS publish lock on an index path: an atomic
     * create-if-absent of `$path.lock` serializes concurrent publishers
-    * (create(overwrite=false) is atomic on posix and HDFS), a lock
-    * older than [[PublishLockStaleMs]] is presumed crashed and stolen,
-    * and acquisition times out loudly after [[PublishLockWaitMs]]
-    * rather than deadlocking. Object stores WITHOUT atomic
-    * create-if-absent fall back to the external-serialization
-    * requirement the scaladoc documents.
+    * (create(overwrite=false) is atomic on posix and HDFS — on Hadoop's
+    * Local/ChecksumFileSystem the create is check-then-create, leaving
+    * a microscopic local-FS acquisition race; the staged publishes are
+    * publisher-unique, so the worst case there is a double swap, not a
+    * mixed index). A lock older than [[PublishLockStaleMs]] is presumed
+    * crashed and STOLEN BY ATOMIC RENAME to a stealer-unique name —
+    * only the successful renamer retires it and retries the create, so
+    * two waiters can never both judge-stale and one delete the OTHER's
+    * freshly-created lock (the judge-then-delete TOCTOU).
+    *
+    * A waiter never fails while a live holder exists: it keeps waiting
+    * — WARNing after [[LockWarnAfterMs]] and every 15 s after, so a
+    * degraded-host bench log names the contention instead of hiding it
+    * — until the holder releases or crosses the stale threshold. Only
+    * [[PublishLockStaleMs]]+[[PublishLockGraceMs]] of total wait (an FS
+    * that can neither acquire nor steal) fails loudly; a fixed short
+    * timeout here turned slow-host contention into correctness-path
+    * failures. Object stores WITHOUT atomic create-if-absent fall back
+    * to the external-serialization requirement the scaladoc documents.
     */
   private def withPublishLock[T](fs: org.apache.hadoop.fs.FileSystem,
                                  path: String)(body: => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$path.lock")
-    val deadline = System.currentTimeMillis() + PublishLockWaitMs
+    val t0 = System.currentTimeMillis()
+    val deadline = t0 + PublishLockStaleMs + PublishLockGraceMs
+    var nextWarn = t0 + LockWarnAfterMs
     var acquired = false
     while (!acquired) {
       try {
@@ -637,15 +719,38 @@ object Dedup {
           System.currentTimeMillis() -
             fs.getFileStatus(lock).getModificationTime > PublishLockStaleMs
         } catch { case _: Exception => false } // vanished: retry create
-        if (stale) { fs.delete(lock, false); () }
-        else if (System.currentTimeMillis() > deadline)
-          throw new IllegalStateException(
-            s"could not acquire publish lock $lock within " +
-              s"${PublishLockWaitMs / 1000}s — another publisher holds it " +
-              "(or crashed less than the stale threshold ago)")
-        else Thread.sleep(500)
+        if (stale) {
+          // Atomic-rename steal: the rename succeeds for exactly one
+          // stealer; a rename target that already exists or a lock that
+          // vanished/was replaced mid-judgment just fails the rename and
+          // the loop re-evaluates. Never fs.delete(lock) directly — the
+          // lock under that name may no longer be the stale one judged.
+          val retired = new org.apache.hadoop.fs.Path(
+            s"$path.lock.stale-${java.util.UUID.randomUUID().toString.take(8)}")
+          if (scala.util.Try(fs.rename(lock, retired)).getOrElse(false)) {
+            System.err.println(s"graft: publish lock $lock was stale " +
+              s"(>${PublishLockStaleMs / 1000}s) — stolen")
+            fs.delete(retired, false); ()
+          }
+        } else {
+          val now = System.currentTimeMillis()
+          if (now > deadline)
+            throw new IllegalStateException(
+              s"could not acquire publish lock $lock within " +
+                s"${(deadline - t0) / 1000}s — past the stale threshold " +
+                "plus grace, the filesystem can neither acquire nor steal")
+          if (now >= nextWarn) {
+            System.err.println(s"graft: waiting ${now - t0} ms for publish " +
+              s"lock $lock (held by a concurrent publisher)")
+            nextWarn = now + 15000L
+          }
+          Thread.sleep(500)
+        }
       }
     }
+    val waited = System.currentTimeMillis() - t0
+    if (waited > LockWarnAfterMs)
+      System.err.println(s"graft: publish lock $lock acquired after $waited ms")
     try body finally { fs.delete(lock, false); () }
   }
 
@@ -708,9 +813,15 @@ object Dedup {
     * (atomic create-if-absent; stale locks from crashed publishers are
     * stolen after [[PublishLockStaleMs]]): staged copies are
     * publisher-unique, only the swap is locked, and each publisher
-    * lands a complete index, last-writer-wins. Caveat: object stores
-    * WITHOUT atomic create-if-absent still need external publish
-    * serialization. Concurrent ATTACH via the load path needs no lock.
+    * lands a complete index — the index ON DISK is last-writer-wins.
+    * The FRAMES a losing publisher gets back are re-pointed at the
+    * winner's files by a post-lock catalog refresh (file listings
+    * re-resolve at execution), but a publisher that swaps AFTER that
+    * refresh can still invalidate them — a caller holding frames
+    * across further concurrent publishes should re-load via
+    * [[loadBandIndex]] instead. Caveat: object stores WITHOUT atomic
+    * create-if-absent still need external publish serialization.
+    * Concurrent ATTACH via the load path needs no lock.
     */
   def saveBandIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                     index: BandIndex, corpusSh: DataFrame,
@@ -757,7 +868,7 @@ object Dedup {
     // attach below re-creates tables over the NEW files — needs
     // serializing. Two concurrent publishers each land a COMPLETE
     // index, last-writer-wins, with no retired sibling stranded.
-    withPublishLock(fs, path) {
+    val published = withPublishLock(fs, path) {
       Seq(s"graft_bands_$tag", s"graft_bandsh_$tag")
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       atomicSwapPublish(fs, tmp, path)
@@ -765,12 +876,21 @@ object Dedup {
       // load path a cold session uses — one DDL code path, and the save
       // is verified readable before anything consumes it. INSIDE the
       // lock: a concurrent publisher's retire/rename window must not
-      // make OUR just-published index read as absent (the returned
-      // frames are still last-writer-wins once the lock releases).
+      // make OUR just-published index read as absent.
       loadBandIndex(spark, path, fingerprint).getOrElse(
         throw new IllegalStateException(
           s"band index at $path unreadable immediately after publish"))
     }
+    // Post-lock refresh: if another publisher wins the race right after
+    // our release, our frames were analyzed against a file listing that
+    // retire-and-delete just invalidated — refresh so execution
+    // re-lists whatever is current instead of throwing
+    // FileNotFoundException on retired files. See CONCURRENCY SCOPE for
+    // the residual (a swap landing after THIS refresh still invalidates;
+    // such callers re-load).
+    Seq(s"graft_bands_$tag", s"graft_bandsh_$tag")
+      .foreach(t => scala.util.Try(spark.catalog.refreshTable(t)))
+    published
   }
 
   /** Load a [[saveBandIndex]]-persisted index if present AND its
@@ -865,7 +985,7 @@ object Dedup {
     val fs = hadoopFs(spark, path)
     val out = fs.create(new Path(indexMetaPath(tmp)), true)
     out.write(meta.getBytes("UTF-8")); out.close()
-    withPublishLock(fs, path) {
+    val published = withPublishLock(fs, path) {
       spark.sql(s"DROP TABLE IF EXISTS graft_segs_$tag")
       atomicSwapPublish(fs, tmp, path)
       // verify-load inside the lock — the saveBandIndex rule
@@ -873,6 +993,9 @@ object Dedup {
         throw new IllegalStateException(
           s"segment index at $path unreadable immediately after publish"))
     }
+    // post-lock refresh — the saveBandIndex rule (see its comment)
+    scala.util.Try(spark.catalog.refreshTable(s"graft_segs_$tag"))
+    published
   }
 
   /** Load a [[saveSegmentIndex]]-persisted index if present AND its

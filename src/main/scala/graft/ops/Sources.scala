@@ -80,7 +80,17 @@ object Sources {
       val fresh = new Object
       ensureLocks.putIfAbsent(key, fresh).getOrElse(fresh)
     }
+    // Telemetry: a long wait here means another task is mid-write on
+    // this scratch path — name it in the log (with wait-ms) instead of
+    // letting the stall surface only as an unattributable slow query
+    // (the round-11 bench anomaly took four artifacts to diagnose; one
+    // such line would have named or cleared the lock hypothesis).
+    val waitT0 = System.nanoTime()
     lock.synchronized {
+      val waitedMs = (System.nanoTime() - waitT0) / 1000000L
+      if (waitedMs > graft.api.Dedup.LockWarnAfterMs)
+        System.err.println(
+          s"graft: waited $waitedMs ms for scratch-write lock on $out")
       if (!written.contains(key)) {
         // Cross-PROCESS write-once: the scratch writes are deterministic
         // functions of their source tables, so a `_GRAFT_OK` marker

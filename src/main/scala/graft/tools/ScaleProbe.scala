@@ -873,6 +873,111 @@ object ScaleProbe {
         f"permutation=${r.getLong(0) == r.getLong(1) &&
           r.getLong(2) == r.getLong(0) - 1}")
     }
+    // split-leakage audit at mult x corpus: pairs replicate disjointly
+    // (word-renamed replicas never pair across replicas) and the split
+    // assignment keys on the ORIGINAL id (invariant under the id
+    // offset), so each replica reproduces the 1x crossing structure
+    // exactly — leaked pairs EXACTLY mult x, with the audit itself two
+    // broadcast-sized id joins (pair set vs assignment), never a
+    // corpus-side shuffle. A CLUSTER-group-aware split (each doc keyed
+    // by its duplicate-cluster representative) must audit to exactly
+    // ZERO at every scale — the guarantee the group-aware splitter
+    // exists to give.
+    {
+      import graft.api.Mixing
+      val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+      def leakFor(m: Int): (Long, Long, Double) = {
+        val d = docsFor(m)
+        val pairs = Dedup.nearDuplicatePairs(
+          Dedup.shingles(d, "doc_id", "text"), 0.5).persist()
+        pairs.count()
+        val t0 = System.nanoTime()
+        val assigned = Mixing.assignSplit(
+            d.withColumn("orig_id", col("doc_id") % 1000000L), "orig_id",
+            splits)
+          .select(col("doc_id"), col("split"))
+        val leaked = Option(Mixing.splitLeakage(pairs, assigned, "doc_id")
+          .agg(sum("n_leaked")).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // group = duplicate-cluster representative (docs outside any
+        // cluster are their own group): pair members always share a
+        // group, so the group-aware assignment cannot leak
+        val clusters = Dedup.duplicateClusters(pairs)
+        val grouped = d.join(clusters.select(col("doc_id"), col("cluster")),
+            Seq("doc_id"), "left")
+          .withColumn("grp",
+            coalesce(col("cluster"), col("doc_id")).cast("string"))
+        val gAssigned = Mixing.groupAwareSplit(grouped, "grp", splits)
+          .select(col("doc_id"), col("split"))
+        val gLeaked = Option(Mixing.splitLeakage(pairs, gAssigned, "doc_id")
+          .agg(sum("n_leaked")).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val dt = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist()
+        require(gLeaked == 0L,
+          s"cluster-group-aware split leaked $gLeaked pairs at ${m}x")
+        (leaked, gLeaked, dt)
+      }
+      val (l1, _, dl1) = leakFor(1)
+      val (lN, _, dlN) = leakFor(mult)
+      require(lN == l1 * mult,
+        s"row-split leakage must be exactly ${mult}x under disjoint " +
+          s"replication: 1x=$l1 ${mult}x=$lN")
+      println(f"split-leakage (${mult}x corpus): row-split 1x=$l1 " +
+        f"${mult}x=$lN leaked (exactly ${mult}x)  cluster-group-aware=0 " +
+        f"at both scales  1x ${dl1}%.2f s  ${mult}x ${dlN}%.2f s  " +
+        f"time-growth=${dlN / dl1}%.1fx")
+    }
+
+    // corpus report at mult x corpus: replication preserves source/lang
+    // (word-suffixed text keeps replicas pair-disjoint), so the report
+    // must hold one row PER SOURCE no matter the corpus size — driver
+    // rows invariant — with every mass column (docs, tokens, chars,
+    // dup-docs) EXACTLY mult x and n_langs invariant. One corpus
+    // aggregation + a broadcast-sized join against the dup-id set.
+    {
+      def reportFor(m: Int) = {
+        val d = docs0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select((col("doc_id") + col("rep") * lit(1000000)).as("doc_id"),
+            expr("array_join(transform(split(text, ' '), " +
+              "w -> concat(w, 'zz', CAST(rep AS STRING))), ' ')").as("text"),
+            col("source"), col("lang"), col("n_chars"))
+        val t0 = System.nanoTime()
+        val pr = Dedup.nearDuplicatePairs(
+          Dedup.shingles(d, "doc_id", "text"), 0.5)
+        val dup = pr.select(col("doc_a").as("doc_id"))
+          .union(pr.select(col("doc_b").as("doc_id"))).distinct()
+        val base = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        val dups = d.join(dup, "doc_id").groupBy("source")
+          .agg(count(lit(1)).as("n_dup_docs"))
+        val rows = base.join(dups, Seq("source"), "left")
+          .na.fill(0L, Seq("n_dup_docs")).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4), r.getLong(5)))
+          .toMap
+        (rows, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r1, dr1) = reportFor(1)
+      val (rN, drN) = reportFor(mult)
+      require(rN.keySet == r1.keySet,
+        s"report rows must stay one-per-source: 1x=${r1.size} ${mult}x=${rN.size}")
+      for ((src, (nd, nt, sc, nl, ndup)) <- r1) {
+        val (ndN, ntN, scN, nlN, ndupN) = rN(src)
+        require(ndN == nd * mult && ntN == nt * mult && scN == sc * mult &&
+            ndupN == ndup * mult && nlN == nl,
+          s"per-source masses must scale exactly ${mult}x " +
+            s"(langs invariant) for $src")
+      }
+      println(f"corpus-report (${mult}x corpus): ${r1.size} source rows at " +
+        f"both scales (driver rows invariant); docs/tokens/chars/dup-docs " +
+        f"all exactly ${mult}x, n_langs invariant  1x ${dr1}%.2f s  " +
+        f"${mult}x ${drN}%.2f s  time-growth=${drN / dr1}%.1fx")
+    }
+
     spark.stop()
   }
 }

@@ -1286,6 +1286,104 @@ class ApiSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"stranded: ${leftovers.mkString(",")}")
   }
 
+  test("sourceFingerprint carries content evidence, not just metadata") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("fpcontent")
+    val f = dir.resolve("data.bin")
+    Files.write(f, Array.fill(1000)('a'.toByte))
+    val mtime = f.toFile.lastModified()
+    val fp1 = Dedup.sourceFingerprint(spark, f.toString)
+    // the wrong-answer hazard: a regen that preserves BOTH length and
+    // mtime (tar/rsync with timestamp preservation, sub-granularity
+    // rewrites) must still invalidate — metadata-only fingerprints
+    // silently serve stale cross-process caches in exactly this case
+    Files.write(f, Array.fill(1000)('b'.toByte))
+    assert(f.toFile.setLastModified(mtime))
+    val fp2 = Dedup.sourceFingerprint(spark, f.toString)
+    assert(fp1 !== fp2,
+      "same len+mtime, different bytes must change the fingerprint")
+    // and through the marker protocol: the old marker no longer matches
+    val marker = dir.resolve("_FP")
+    Dedup.writeMarker(marker, fp1)
+    assert(!Dedup.markerFresh(marker, fp2)(true),
+      "a stale-content marker must read as not-fresh")
+    // a large file differing only in its tail also invalidates (the
+    // edge windows cover both ends; parquet rewrites always move the
+    // footer, which lives in the tail window)
+    val big = dir.resolve("big.bin")
+    val payload = Array.fill(3 * Dedup.FingerprintEdgeBytes)('x'.toByte)
+    Files.write(big, payload)
+    val bmt = big.toFile.lastModified()
+    val bfp1 = Dedup.sourceFingerprint(spark, big.toString)
+    payload(payload.length - 1) = 'y'.toByte
+    Files.write(big, payload)
+    assert(big.toFile.setLastModified(bmt))
+    assert(Dedup.sourceFingerprint(spark, big.toString) !== bfp1)
+  }
+
+  test("hasDataFiles requires every subdirectory leg to hold data") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("dataleg")
+    // flat layout with one data file: present
+    Files.write(dir.resolve("part-0.parquet"), Array[Byte](1))
+    assert(Dedup.hasDataFiles(dir.toString))
+    // marker-only: absent (the marker is not data)
+    val markerOnly = Files.createTempDirectory("dataleg2")
+    Files.write(markerOnly.resolve("_GRAFT_OK"), Array[Byte](1))
+    assert(!Dedup.hasDataFiles(markerOnly.toString))
+    // stream layout s0/s1/s2 with every leg populated: present
+    val nested = Files.createTempDirectory("dataleg3")
+    (0 until 3).foreach { i =>
+      val d = nested.resolve(s"s$i"); Files.createDirectory(d)
+      Files.write(d.resolve("part-0.parquet"), Array[Byte](1))
+    }
+    assert(Dedup.hasDataFiles(nested.toString))
+    // one leg emptied by a partial cleanup: the whole output is gone —
+    // the replay would otherwise silently stream zero rows for s1
+    Files.delete(nested.resolve("s1/part-0.parquet"))
+    assert(!Dedup.hasDataFiles(nested.toString),
+      "an emptied subdirectory leg must mean rebuild")
+  }
+
+  test("publish waiter outlasts a held lock; a stale lock is stolen") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("lockwait").toString
+    val sh = Dedup.shingles(docs.limit(10), "doc_id", "text").persist()
+    sh.count()
+    val idx = Dedup.buildBandIndex(sh)
+    val fp = "b" * 64
+    // a FRESH lock held by a (simulated) live publisher: the waiter must
+    // keep waiting — not fail on a fixed short timeout, the round-11
+    // failure mode where slow-host contention became a hard error —
+    // and proceed once the holder releases (~6 s in)
+    val lock = Paths.get(s"$dir/idx.lock")
+    Files.write(lock, "held@test".getBytes)
+    val releaser = new Thread(() => {
+      Thread.sleep(6000); Files.deleteIfExists(lock); ()
+    })
+    releaser.start()
+    val t0 = System.nanoTime()
+    Dedup.saveBandIndex(spark, s"$dir/idx", idx, sh, fp)
+    val waitedSec = (System.nanoTime() - t0) / 1e9
+    releaser.join()
+    assert(waitedSec >= 5.0,
+      s"publisher must have waited for the held lock (waited $waitedSec s)")
+    assert(Dedup.loadBandIndex(spark, s"$dir/idx", fp).isDefined)
+    // a STALE lock (crashed publisher, mtime past the threshold) is
+    // stolen by atomic rename — no judge-then-delete of a fresh lock —
+    // and the publish proceeds promptly
+    Files.write(lock, "crashed@test".getBytes)
+    assert(lock.toFile.setLastModified(
+      System.currentTimeMillis() - Dedup.PublishLockStaleMs - 60000))
+    val t1 = System.nanoTime()
+    Dedup.saveBandIndex(spark, s"$dir/idx", idx, sh, "c" * 64)
+    sh.unpersist()
+    assert((System.nanoTime() - t1) / 1e9 < 60.0,
+      "a stale lock must be stolen, not waited out")
+    assert(Dedup.loadBandIndex(spark, s"$dir/idx", "c" * 64).isDefined)
+    assert(!Files.exists(lock), "the lock must be released after publish")
+  }
+
   test("index save rejects fingerprints that could corrupt meta.json") {
     val dir = java.nio.file.Files.createTempDirectory("badfp").toString
     val sh = Dedup.shingles(docs.limit(5), "doc_id", "text")
