@@ -71,6 +71,15 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Overridable for off-nominal scales (the sf~1 shakeout runs 10x
+    // the data: builds and the full-map artifact need their own budget
+    // and must not clobber the round's sf0.1 artifact).
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    val buildTimeoutMin = sys.env.getOrElse("SPARK_GRAFT_BUILD_TIMEOUT_MIN",
+      "10").toInt
+    val queryTimeoutMin = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_MIN",
+      "25").toInt
     val cpus = SparkConfig.cpus.toString
     // Scheduler mode stays FIFO: a FAIR experiment (round-robining task
     // slots across the ~150 concurrent jobs) measured 80.7 s vs FIFO's
@@ -198,7 +207,7 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
         }
       }
-      val r = Await.result(Future.sequence(fs), Duration(10, "min"))
+      val r = Await.result(Future.sequence(fs), Duration(buildTimeoutMin, "min"))
       pool.shutdown()
       r
     }
@@ -247,7 +256,7 @@ object Bench {
     // line. On timeout, report what completed (missing queries simply
     // have no entry; the wall still covers the whole attempt).
     val results =
-      try Await.result(Future.sequence(futures), Duration(25, "min"))
+      try Await.result(Future.sequence(futures), Duration(queryTimeoutMin, "min"))
       catch { case _: java.util.concurrent.TimeoutException =>
         futures.flatMap(_.value).collect { case scala.util.Success(r) => r }
       }
@@ -345,7 +354,7 @@ object Bench {
     // pre-memoization artifacts aren't misread as speedups.
     val memoized = memoizedQueries.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"),
+    Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"contended":$contended,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
 
     // "value" covers the whole run (builds + queries) — comparable to
