@@ -49,7 +49,8 @@ object Bucketing {
     * When `srcPaths` names the source files `df` is a deterministic
     * function of, the write is ALSO idempotent across processes: a
     * `_GRAFT_FP` marker records the source fingerprint (sorted
-    * path:len:mtime listing — metadata only) and a later process whose
+    * path:len:mtime:edge-content listing; 128 KiB read per file) and a
+    * later process whose
     * sources are unchanged ATTACHES the existing files via
     * CREATE TABLE ... CLUSTERED BY DDL (the [[graft.api.Dedup]] band-
     * index discipline) instead of re-shuffling and rewriting the table —

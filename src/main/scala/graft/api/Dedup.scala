@@ -429,6 +429,65 @@ object Dedup {
     stitchCuts(toks, cuts)
   }
 
+  /** EXACT-substring duplicate-extent removal — the Lee et al. 2022
+    * reference-tool semantics ("deduplicate exact substrings": delete
+    * every occurrence of every duplicated substring of length ≥ k; the
+    * reference implementation builds a corpus suffix array to find
+    * them), computed EXACTLY with the gram exchange, no suffix array
+    * and no approximation. The equivalence the keeper-based variants'
+    * bracket caveats don't get to use:
+    *
+    *   a token position is covered by some duplicated substring of
+    *   length ≥ k  ⟺  it is covered by a duplicated k-token window —
+    *   (⇒) every k-window inside a duplicated substring occurs
+    *   everywhere the substring does, so at ≥ 2 positions, and the
+    *   windows of a length-≥k substring cover all of it; (⇐) a
+    *   duplicated k-window IS a duplicated substring of length k.
+    *
+    * Under DELETE-ALL semantics coverage is the whole answer, so the
+    * duplicated-start islands below reproduce the suffix-array tool's
+    * cut set token-for-token. (The suffix array is only genuinely
+    * needed for KEEPER-based retention — choosing one surviving
+    * occurrence per maximal repeat — which is where
+    * [[removeSharedSegments]] / [[removeSharedSegmentsByGram]] bracket
+    * from the two sides.) Duplication counts OCCURRENCES, not distinct
+    * docs: a substring repeated within one document is duplicated, as
+    * in the reference tool's self-dedup.
+    *
+    * Scale shape: identical to the siblings — one materialized gram
+    * exchange, an occurrence-count aggregation on it (map-side
+    * partial), the per-doc islands window (never a corpus window), and
+    * the one corpus-vs-cuts stitch join. Nothing rides on corpus² and
+    * no suffix-array construction (log n global sort rounds) is paid.
+    */
+  def removeDuplicatedExtents(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("w"))
+    val pos = gramPositions(toks, k)
+    val dup = pos.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val starts = pos.join(dup, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("i"))
+    // islands of duplicated starts whose k-windows touch or overlap
+    // (gap ≤ k-1): the union of their [i, i+k-1] coverage is one
+    // contiguous extent; a gap ≥ k leaves clean tokens between extents
+    val wn = Window.partitionBy("doc_id").orderBy("i")
+    val cuts = starts
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(wn) <= k - 1, lit(0))
+          .otherwise(lit(1)))
+      .withColumn("grp", sum(col("brk")).over(wn))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("i")).as("start"),
+        (max(col("i")) + lit(k - 1)).as("end_tok"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("end_tok"))).as("spans"))
+    stitchCuts(toks, cuts)
+  }
+
   /** (doc_id, band_idx, band_hash) LSH band rows of a shingled corpus:
     * the unit both the batch pair search and the incremental index
     * share. At scale this is what gets persisted bucketed by

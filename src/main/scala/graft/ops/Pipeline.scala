@@ -1985,6 +1985,59 @@ object Pipeline {
       (s, dir) => Dedup.removeSharedSegmentsByGram(t(s, dir, "documents"),
         "doc_id", "text", k = 8, minLen = 3).orderBy("doc_id")),
 
+    // EXACT-substring duplicate-extent removal (Lee et al. 2022
+    // delete-all semantics): every occurrence of every duplicated
+    // substring of length >= 8 tokens is cut. Coverage by duplicated
+    // substrings of length >= k IS coverage by duplicated k-grams
+    // (each window of such a substring is itself duplicated), so the
+    // gram plan computes the suffix-array reference tool's answer
+    // exactly — no bracket caveat. Occurrence counts (not distinct
+    // docs): within-doc repeats are duplicated too. The oracle replays
+    // grams as strings (the q_dedup_segments hash-vs-string trade),
+    // the gap<=k-1 island merge, and the stitch.
+    Q("q_dedup_span_exact",
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+                         FROM documents),
+                   p AS (SELECT doc_id,
+                                unnest(range(1, len(w) - 6)) AS i,
+                                unnest(list_transform(range(1, len(w) - 6),
+                                  i -> array_to_string(w[i:i+7], ' '))) AS g
+                         FROM d WHERE len(w) >= 8),
+                   dup AS (SELECT g FROM (
+                             SELECT g, count(*) AS c
+                             FROM p GROUP BY g) WHERE c >= 2),
+                   ds AS (SELECT doc_id, i FROM p
+                          WHERE g IN (SELECT g FROM dup)),
+                   isl AS (SELECT doc_id, i, sum(brk) OVER (
+                             PARTITION BY doc_id ORDER BY i) AS grp
+                           FROM (SELECT doc_id, i,
+                                   CASE WHEN i - lag(i) OVER (
+                                     PARTITION BY doc_id ORDER BY i) <= 7
+                                     THEN 0 ELSE 1 END AS brk
+                                 FROM ds)),
+                   runs AS (SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+                            FROM isl GROUP BY doc_id, grp),
+                   rm AS (SELECT DISTINCT doc_id, j FROM (
+                            SELECT doc_id, unnest(range(s, e + 1)) AS j
+                            FROM runs)),
+                   tok AS (SELECT doc_id, unnest(w) AS tk,
+                                  unnest(range(1, len(w) + 1)) AS j FROM d),
+                   kept AS (SELECT t.doc_id, t.tk, t.j
+                            FROM tok t LEFT JOIN rm
+                              ON rm.doc_id = t.doc_id AND rm.j = t.j
+                            WHERE rm.j IS NULL),
+                   agg AS (SELECT doc_id,
+                                  string_agg(tk, ' ' ORDER BY j) AS txt,
+                                  count(*) AS nk
+                           FROM kept GROUP BY doc_id)
+              SELECT d.doc_id, COALESCE(a.txt, '') AS text_clean,
+                     CAST(len(d.w) - COALESCE(a.nk, 0) AS BIGINT)
+                       AS n_removed
+              FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+              ORDER BY d.doc_id"""),
+      (s, dir) => Dedup.removeDuplicatedExtents(t(s, dir, "documents"),
+        "doc_id", "text", k = 8).orderBy("doc_id")),
+
     // CCNet-style paragraph-level exact dedup (Wenzek et al. 2020):
     // deterministic 15-token segmentation, every repeated segment cut
     // from all occurrences but its min (doc_id, seg_idx) keeper, docs

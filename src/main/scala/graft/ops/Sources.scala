@@ -94,8 +94,9 @@ object Sources {
       if (!written.contains(key)) {
         // Cross-PROCESS write-once: the scratch writes are deterministic
         // functions of their source tables, so a `_GRAFT_OK` marker
-        // recording the source fingerprint (sorted path:len:mtime
-        // listing — metadata only, no data read) + recipe version lets a
+        // recording the source fingerprint (sorted path:len:mtime:edge
+        // listing with 128 KiB of content evidence per file — O(1) I/O
+        // each) + recipe version lets a
         // later run skip the rewrite entirely. The bench's 94.7 s
         // src_writes build line drops to a metadata check on every run
         // after the first against an unchanged sf dir; a regenerated

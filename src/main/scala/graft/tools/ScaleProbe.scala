@@ -485,6 +485,26 @@ object ScaleProbe {
       f"${mult}x=$srN tokens cut ${dsrN}%.2f s  time-growth=${dsrN / dsr1}%.1fx  " +
       f"cut-growth=${srN.toDouble / sr1}%.1fx (expect exactly ${mult}x)")
 
+    // exact duplicate-extent removal (delete-all, occurrence-counted) at
+    // mult x: replica word-renaming keeps per-replica duplication
+    // structure identical and cross-replica grams disjoint, so the cut
+    // mass must be EXACTLY mult x and the wall ~linear (same gram
+    // exchange + count agg + per-doc islands as the keeper variants —
+    // no suffix-array construction, nothing corpus²)
+    val tsex1 = System.nanoTime()
+    val sex1 = Dedup.removeDuplicatedExtents(docsFor(1), "doc_id", "text",
+      k = 8).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dsex1 = (System.nanoTime() - tsex1) / 1e9
+    val tsexN = System.nanoTime()
+    val sexN = Dedup.removeDuplicatedExtents(docs, "doc_id", "text",
+      k = 8).agg(sum("n_removed")).collect()(0).getLong(0)
+    val dsexN = (System.nanoTime() - tsexN) / 1e9
+    require(sexN == sex1 * mult,
+      s"exact-extent cut mass must be exactly ${mult}x: 1x=$sex1 ${mult}x=$sexN")
+    println(f"span-exact (${mult}x corpus): 1x=$sex1 tokens cut ${dsex1}%.2f s  " +
+      f"${mult}x=$sexN tokens cut ${dsexN}%.2f s  time-growth=${dsexN / dsex1}%.1fx  " +
+      f"cut-growth=${sexN.toDouble / sex1}%.1fx (exactly ${mult}x required)")
+
     // adaptive quality at mult x corpus: the histogram-rank window sees
     // (source, ppm) counts only, so thresholds are INVARIANT under
     // replication (each replica adds the same score distribution) and

@@ -1286,6 +1286,56 @@ class ApiSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"stranded: ${leftovers.mkString(",")}")
   }
 
+  test("removeDuplicatedExtents matches brute-force duplicated-substring coverage") {
+    // The operator claims EXACT Lee-et-al delete-all semantics via the
+    // gram-coverage equivalence. Validate against an INDEPENDENT brute
+    // force that enumerates every duplicated substring of length >= k
+    // (all lengths, all positions, occurrence-counted) and takes the
+    // coverage union — if the equivalence argument were wrong, these
+    // would differ on the planted mosaic/overlap cases below.
+    val k = 4
+    def w(s: String) = s.split(" ")
+    val corpus = Seq(
+      // cross-doc duplicate run (9 tokens) at different offsets
+      1L -> "u1 u2 r1 r2 r3 r4 r5 r6 r7 r8 r9 u3 u4",
+      2L -> "v1 r1 r2 r3 r4 r5 r6 r7 r8 r9 v2 v3 v4",
+      // partial overlap: only the first 5 tokens of the run
+      3L -> "x1 x2 x3 r1 r2 r3 r4 r5 x4 x5 x6 x7",
+      // within-doc repeat (self-dedup)
+      4L -> "m1 m2 m3 m4 n1 n2 n3 m1 m2 m3 m4 n4",
+      // mosaic: d1's prefix + d2's tail pieces, combination unique
+      5L -> "u1 u2 r1 r2 q9 r6 r7 r8 r9 v2 q8 q7",
+      // fully unique
+      6L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z0 za zb")
+    // brute force: every (doc, start, len>=k) substring occurring >= 2
+    // times corpus-wide (counting all occurrences incl. overlaps) marks
+    // its token range covered
+    val toks = corpus.map { case (id, s) => id -> w(s) }
+    def occurrences(sub: Seq[String]): Int = toks.map { case (_, a) =>
+      a.indices.count(p => p + sub.length <= a.length &&
+        a.slice(p, p + sub.length).sameElements(sub))
+    }.sum
+    val expected = toks.map { case (id, a) =>
+      val covered = Array.fill(a.length)(false)
+      for (s <- a.indices; len <- k to (a.length - s)) {
+        val sub = a.slice(s, s + len).toSeq
+        if (occurrences(sub) >= 2) (s until s + len).foreach(covered(_) = true)
+      }
+      id -> covered.count(identity)
+    }.toMap
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicatedExtents(df, "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === expected,
+      s"operator coverage must equal brute-force duplicated-substring coverage")
+    // sanity on the planted shapes: both cross-doc occurrences cut
+    // (delete-all, no keeper), the within-doc repeat cut twice, the
+    // unique doc untouched
+    assert(got(1L) >= 9 && got(2L) >= 9, "both occurrences must be cut")
+    assert(got(4L) >= 8, "within-doc repeats are duplicated too")
+    assert(got(6L) === 0L, "unique text must be untouched")
+  }
+
   test("sourceFingerprint carries content evidence, not just metadata") {
     import java.nio.file.{Files, Paths}
     val dir = Files.createTempDirectory("fpcontent")
