@@ -117,6 +117,13 @@ object Bench {
       }
       (System.nanoTime() - calT0) / 1e9
     }
+    // One untimed calibration first: the region-groupBy warmup above is
+    // 5 rows and does not JIT the range/xxhash64/shuffle path the
+    // calibration task exercises — without this, a fresh JVM's start
+    // calibration reads 1.5-2x hot-path speed (measured 3.25 start vs
+    // 1.54 end on an IDLE host) and the contended flag false-fires on
+    // JIT warmup instead of real host contention.
+    calibrate()
     val hostRefSec = calibrate()
     val hostFactor = hostRefSec / HostRefNominalSec
 
@@ -328,10 +335,17 @@ object Bench {
     // reads cpu_sec (stable) instead of wall (inflated) for such runs.
     val hostRefSecEnd = calibrate()
     val hostFactorEnd = hostRefSecEnd / HostRefNominalSec
+    // Thresholds are measured, not guessed: on an idle host start/end
+    // drift is 1.1-1.2x (three clean runs), while an injected 3x CPU
+    // oversubscription covering one calibration reads 1.8x+ — 1.5 sits
+    // between the populations. A slow-but-STABLE host (both factors
+    // high, small drift) is NOT contended — host_factor itself carries
+    // "slow"; the flag means "the two calibrations disagree, or the
+    // host is so far off nominal that wall times are untrustworthy".
     val contended =
       math.max(hostFactor, hostFactorEnd) /
-        math.min(hostFactor, hostFactorEnd) > 2.0 ||
-        math.max(hostFactor, hostFactorEnd) > 4.0
+        math.min(hostFactor, hostFactorEnd) > 1.5 ||
+        math.max(hostFactor, hostFactorEnd) > 3.0
 
     // The driver captures only the last 2000 bytes of stdout (round 1's
     // full-precision ~2.6 KB line got truncated → "parsed": null), so the
