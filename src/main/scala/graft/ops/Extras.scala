@@ -145,7 +145,8 @@ object Extras {
         // (stream-incr glob, corpus band index, threshold 0.5): the
         // finite replay is deterministic, so one (session, dir) run
         // serves the loaded pass, the unloaded re-run, and Verify alike
-        Streams.cachedOp(s, dir, "dedup_incr_t05") {
+        Streams.persistedOp(s, dir, "dedup_incr_t05", 1,
+            Seq(Sources.ensureStreamIncr(s, dir), s"$dir/documents.parquet")) {
           val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
           val (index, corpusSh) = Pipeline.corpusBandsSh(s, dir)
           Streams.incrementalDedupReplay(s, glob,
@@ -164,7 +165,9 @@ object Extras {
     // batch-union equal the one-shot result by construction.
     Q("q_stream_sem_incr", Some(Pipeline.semIncrOracle),
       (s, dir) => {
-        Streams.cachedOp(s, dir, "sem_incr_t035") {
+        Streams.persistedOp(s, dir, "sem_incr_t035", 1,
+            Seq(Sources.ensureStreamSemIncr(s, dir),
+              s"$dir/embeddings.parquet")) {
           val glob = Sources.ensureStreamSemIncr(s, dir) + "/s*"
           import s.implicits._
           val cents = Pipeline.kmeansCents(s, dir).toDF("vec_id", "embedding")
@@ -185,7 +188,9 @@ object Extras {
     // result, so q_dedup_paragraph_incr's oracle applies VERBATIM.
     Q("q_stream_par_incr", Some(Pipeline.parIncrOracle),
       (s, dir) => {
-        Streams.cachedOp(s, dir, "par_incr_seg15") {
+        Streams.persistedOp(s, dir, "par_incr_seg15", 1,
+            Seq(Sources.ensureStreamParIncr(s, dir),
+              s"$dir/documents.parquet")) {
           val glob = Sources.ensureStreamParIncr(s, dir) + "/s*"
           val docs = t(s, dir, "documents")
           // the replay folds its _seen set over the PERSISTED corpus
@@ -205,7 +210,8 @@ object Extras {
     // the same auditable DuckDB oracle applies.
     Q("q_stream_cms", Some(Pipeline.cmsOracleFor("WHERE doc_id % 10 = 0")),
       (s, dir) => {
-        val sk = Streams.cachedOp(s, dir, "cms_incr_default") {
+        val sk = Streams.persistedOp(s, dir, "cms_incr_default", 1,
+            Seq(Sources.ensureStreamIncr(s, dir))) {
           val glob = Sources.ensureStreamIncr(s, dir) + "/s*"
           Streams.cmsSketchStream(s, glob,
             t(s, dir, "documents").schema, "text",

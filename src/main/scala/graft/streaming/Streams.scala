@@ -198,6 +198,66 @@ object Streams {
     }
   }
 
+  /** Which persisted replays this process served from disk vs actually
+    * replayed — surfaced in BENCH_FULL.json (`replays_warm` /
+    * `replays_cold`) so a warm run's near-zero build_sec is
+    * self-explaining instead of looking like streams that never ran.
+    */
+  private val replayWarm = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val replayCold = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[graft] def replayDiskStats: (List[String], List[String]) = {
+    import scala.jdk.CollectionConverters._
+    (replayWarm.asScala.toList.sorted, replayCold.asScala.toList.sorted)
+  }
+
+  private def replayStore(dir: String, op: String): String =
+    s"${graft.api.Bucketing.scratchBase}/replay_${op}_" +
+      graft.api.Dedup.tableTag(dir)
+
+  /** CROSS-PROCESS memo for finished finite replays, layered under
+    * [[cachedOp]]: the replay's result parquet is kept under the
+    * scratch root behind a `_GRAFT_FP` marker recording the
+    * content-evidence fingerprint of `srcPaths` (the
+    * [[graft.ops.Pipeline]] cachedParquet discipline — sha256 of each
+    * source file's edges, so even a timestamp-preserving regen
+    * rebuilds). A cold process whose sources are unchanged reads the
+    * finished replay instead of re-paying source listing + micro-batch
+    * + checkpoint + state machinery for bytes that cannot change —
+    * the restart-from-checkpoint deployment shape, which on unchanged
+    * input processes zero new files and serves the sink (the
+    * StreamingSpec resume test pins exactly that contract on a live
+    * checkpoint). Fingerprint gating is deliberately STRICTER than
+    * resuming the real checkpoint here: a file source keys processed
+    * files by path, so an in-place rewrite (same path, new bytes)
+    * would NOT be reprocessed by a resumed stream — the fingerprint
+    * catches it and forces a full honest re-replay. `ver` pins the
+    * replay recipe; bump it when the plan or parameters change.
+    * Single-writer per store path across processes (the cachedParquet
+    * concurrency scope); `srcPaths` is by-name because staging
+    * (`Sources.ensureStream*`) must run before fingerprinting.
+    */
+  private[graft] def persistedOp(spark: SparkSession, dir: String, op: String,
+                                 ver: Int, srcPaths: => Seq[String])(
+      body: => DataFrame): DataFrame =
+    cachedOp(spark, dir, op) {
+      val store = replayStore(dir, op)
+      val data = s"$store/data"
+      val fp = s"v$ver:" +
+        graft.api.Dedup.sourceFingerprint(spark, srcPaths: _*)
+      val marker = java.nio.file.Paths.get(store, "_GRAFT_FP")
+      if (graft.api.Dedup.markerFresh(marker, fp)(
+          graft.api.Dedup.hasDataFiles(data))) {
+        replayWarm.add(op)
+        spark.read.parquet(data)
+      } else {
+        val df = body
+        df.write.mode("overwrite").parquet(data)
+        graft.api.Dedup.writeMarker(marker, fp)
+        replayCold.add(op)
+        spark.read.parquet(data)
+      }
+    }
+
   private[graft] def clearReplays(spark0: SparkSession): Unit = {
     replayCache.synchronized {
       replayCache.keys.filter(_._1 == System.identityHashCode(spark0))
@@ -229,26 +289,49 @@ object Streams {
                                      dir: String): Map[String, DataFrame] =
     replayCache.synchronized {
       replayCache.getOrElseUpdate((System.identityHashCode(spark0), dir), {
-        val spark = childSession(spark0, rocksdb = false)
-        def tumbleAgg = eventsStream(spark, dir)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "10 minutes"))
-          .agg(count(lit(1)).as("n"),
-            round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4)
-              .as("sum_value"))
-        val sessAgg = eventsStream(spark, dir)
-          .withWatermark("ts", "1 hour")
-          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-          .agg(count(lit(1)).as("n_events"))
-        val started = Seq(
-          "tumble_complete" -> startToMemory(tumbleAgg, "complete"),
-          "tumble_append" -> startToMemory(tumbleAgg, "append"),
-          "session_complete" -> startToMemory(sessAgg, "complete"))
-        started.map { case (key, (q, name)) =>
-          q.awaitTermination()
-          rmCk(name)
-          key -> spark.table(name)
-        }.toMap
+        // cross-process layer (the persistedOp discipline, over all
+        // three sinks at once since they replay concurrently): all
+        // three fresh → read the finished replays; any stale → re-run
+        // the whole trio and republish
+        val keys = Seq("tumble_complete", "tumble_append", "session_complete")
+        val fp = "v1:" + graft.api.Dedup
+          .sourceFingerprint(spark0, s"$dir/events.parquet")
+        def store(k: String) = replayStore(dir, s"win_$k")
+        val allFresh = keys.forall { k =>
+          graft.api.Dedup.markerFresh(
+            java.nio.file.Paths.get(store(k), "_GRAFT_FP"), fp)(
+            graft.api.Dedup.hasDataFiles(s"${store(k)}/data"))
+        }
+        if (allFresh) {
+          replayWarm.add("windowed")
+          keys.map(k => k -> spark0.read.parquet(s"${store(k)}/data")).toMap
+        } else {
+          val spark = childSession(spark0, rocksdb = false)
+          def tumbleAgg = eventsStream(spark, dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4)
+                .as("sum_value"))
+          val sessAgg = eventsStream(spark, dir)
+            .withWatermark("ts", "1 hour")
+            .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+            .agg(count(lit(1)).as("n_events"))
+          val started = Seq(
+            "tumble_complete" -> startToMemory(tumbleAgg, "complete"),
+            "tumble_append" -> startToMemory(tumbleAgg, "append"),
+            "session_complete" -> startToMemory(sessAgg, "complete"))
+          replayCold.add("windowed")
+          started.map { case (key, (q, name)) =>
+            q.awaitTermination()
+            rmCk(name)
+            val data = s"${store(key)}/data"
+            spark.table(name).write.mode("overwrite").parquet(data)
+            graft.api.Dedup.writeMarker(
+              java.nio.file.Paths.get(store(key), "_GRAFT_FP"), fp)
+            key -> spark.read.parquet(data)
+          }.toMap
+        }
       })
     }
 
@@ -314,7 +397,8 @@ object Streams {
           GroupStateTimeout.NoTimeout())(update)
         .toDF("user_id", "n_events", "sum_value")
     }
-    cachedOp(spark, dir, "stateful_update")(
+    persistedOp(spark, dir, "stateful_update", 1,
+        Seq(s"$dir/events.parquet"))(
         runToMemory(spark, out, "update", rocksdb = true))
       .groupBy("user_id")
       .agg(max("n_events").as("n_events"),
@@ -339,7 +423,8 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    cachedOp(spark, dir, "dedup_keys")(
+    persistedOp(spark, dir, "dedup_keys", 1,
+        Seq(s"$dir/events.parquet"))(
         runToMemory(spark, out, "append", rocksdb = true))
       .distinct() // keys recurring after watermark expiry re-emit; collapse them
       .orderBy("user_id", "event_type")
@@ -368,7 +453,8 @@ object Streams {
         """cu = bu AND buy_ts >= click_ts
            AND buy_ts <= click_ts + interval 30 minutes"""))
     }
-    cachedOp(spark, dir, "sjoin_inner")(runToMemory(spark, out, "append"))
+    persistedOp(spark, dir, "sjoin_inner", 1,
+        Seq(s"$dir/events.parquet"))(runToMemory(spark, out, "append"))
       .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
       .orderBy("user_id", "click_id", "buy_id")
   }
@@ -400,7 +486,8 @@ object Streams {
         """cu = bu AND buy_ts >= click_ts
            AND buy_ts <= click_ts + interval 30 minutes"""), "left_outer")
     }
-    cachedOp(spark, dir, "sjoin_left")(runToMemory(spark, out, "append"))
+    persistedOp(spark, dir, "sjoin_left", 1,
+        Seq(s"$dir/events.parquet"))(runToMemory(spark, out, "append"))
       .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
       .orderBy(col("user_id"), col("click_id"),
         col("buy_id").asc_nulls_first)
@@ -681,7 +768,8 @@ object Streams {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
     }
-    cachedOp(spark, dir, "enrich_segment")(
+    persistedOp(spark, dir, "enrich_segment", 1,
+        Seq(s"$dir/events.parquet", s"$dir/customer.parquet"))(
         runToMemory(spark, out, "complete"))
       .orderBy("c_mktsegment")
   }

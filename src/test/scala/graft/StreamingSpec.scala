@@ -134,6 +134,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(n1 === graft.ops.H.t(spark, sfDir, "events").count())
   }
 
+  test("checkpoint resume: restart processes only new files, union is exact") {
+    // The restart-from-checkpoint contract the replay-result cache is
+    // modeled on: an AvailableNow re-run against a LIVE checkpoint
+    // processes zero rows on unchanged sources and exactly the new
+    // file's rows after one arrives — never a full re-replay.
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("ckresume").toString
+    val src = s"$base/src"; val out = s"$base/out"; val ck = s"$base/ck"
+    import spark.implicits._
+    def stage(i: Int, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$src/s$i")
+    stage(0, Seq((1L, "click"), (2L, "view")))
+    stage(1, Seq((3L, "click")))
+    val sch = spark.read.parquet(s"$src/s0").schema
+    def run(): Long = {
+      val processed = new java.util.concurrent.atomic.AtomicLong
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/s*")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          processed.addAndGet(b.count())
+          b.write.mode("overwrite").parquet(s"$out/batch_id=$id")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      processed.get
+    }
+    assert(run() === 3L, "cold run processes every staged row")
+    assert(run() === 0L, "resume over unchanged sources processes nothing")
+    stage(2, Seq((4L, "purchase"), (5L, "click")))
+    assert(run() === 2L, "resume after arrival processes ONLY the new file")
+    val got = spark.read.parquet(out)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === Set((1L, "click"), (2L, "view"), (3L, "click"),
+      (4L, "purchase"), (5L, "click")))
+  }
+
+  test("persisted replay: cold writes the store, warm serves it, regen rebuilds") {
+    import graft.api.{Bucketing, Dedup}
+    // own source dir — the shared sfDir store may already be warm from
+    // an earlier process, which would make cold/warm observations racy
+    val dir = java.nio.file.Files.createTempDirectory("preplay").toString
+    import spark.implicits._
+    def write(rows: Seq[(Long, Long, String, Double)]): Unit = {
+      // a single FILE named events.parquet, like the real testdata —
+      // eventsStream's pathGlobFilter matches leaf file names
+      val tmp = s"$dir/_stage"
+      rows.toDF("event_id", "user_id", "event_type", "value")
+        .withColumn("ts", expr(
+          "timestamp_micros(cast(1700000000000000 + event_id * 60000000 as long))"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+    write(Seq((1L, 10L, "click", 1.0), (2L, 10L, "click", 2.0),
+      (3L, 11L, "view", 3.0)))
+    def dataFiles(store: String): Map[String, Long] = {
+      val d = new java.io.File(s"$store/data")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val store = s"${Bucketing.scratchBase}/replay_dedup_keys_" +
+      Dedup.tableTag(dir)
+    val first = Streams.dedupKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(first === Set((10L, "click"), (11L, "view")))
+    val files1 = dataFiles(store)
+    assert(files1.nonEmpty, "cold call published the replay store")
+    Streams.clearReplays(spark) // drop the in-session memo → next call
+    Thread.sleep(1100)          // must go through the disk layer
+    val second = Streams.dedupKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(second === first)
+    assert(dataFiles(store) === files1,
+      "unchanged sources: served from the store, no re-replay rewrite")
+    write(Seq((1L, 20L, "buy", 1.0))) // regen: content change
+    Streams.clearReplays(spark)
+    val third = Streams.dedupKeys(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(third === Set((20L, "buy")),
+      "regenerated source invalidates the store and re-replays")
+  }
+
   test("rate source smoke: unbounded synthetic stream plans and runs") {
     // The rate source is wall-clock driven (nondeterministic values), so
     // this is a plumbing smoke: one micro-batch through the same
