@@ -248,7 +248,14 @@ object Bench {
     val prev: Map[String, Double] =
       try {
         val txt = new String(Files.readAllBytes(Paths.get("/root/repo/BENCH_FULL.json")))
-        """"(q_\w+)":([0-9.]+)""".r.findAllMatchIn(txt)
+        // scope the scrape to the loaded-WALL map: the artifact also
+        // carries "queries_cpu" (executor CPU), and a whole-file regex
+        // would let its entries overwrite the wall times in toMap —
+        // ranking a latency-bound phase by CPU, the exact inversion
+        // LPT submit order exists to prevent
+        val queriesObj = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"(q_\w+)":([0-9.]+)""".r.findAllMatchIn(queriesObj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
 

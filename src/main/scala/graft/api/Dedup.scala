@@ -619,6 +619,27 @@ object Dedup {
     java.nio.file.Files.write(marker, fp.getBytes("UTF-8")); ()
   }
 
+  /** The load-or-build-and-publish protocol every parquet-backed
+    * cross-process cache composes from [[markerFresh]]/[[writeMarker]]
+    * — centralized for the same reason markerFresh was: three
+    * hand-rolled copies of the check/write/reread sequence is how the
+    * data-present clause drifted out of individual copies before.
+    * Returns (frame, servedFromDisk). Single-writer per dataPath
+    * across processes (the saveBandIndex concurrency scope); `build`
+    * is only evaluated on a miss.
+    */
+  private[graft] def loadOrBuildParquet(
+      spark: org.apache.spark.sql.SparkSession, dataPath: String,
+      marker: java.nio.file.Path, fp: String)(
+      build: => DataFrame): (DataFrame, Boolean) =
+    if (markerFresh(marker, fp)(hasDataFiles(dataPath)))
+      (spark.read.parquet(dataPath), true)
+    else {
+      build.write.mode("overwrite").parquet(dataPath)
+      writeMarker(marker, fp)
+      (spark.read.parquet(dataPath), false)
+    }
+
   /** True iff `dir` holds at least one non-`_`-prefixed entry AND every
     * non-`_` DIRECTORY entry recursively holds data of its own — the
     * "data actually exists" clause for markers guarding a directory of
@@ -692,9 +713,11 @@ object Dedup {
     * bytes — the content-evidence half of [[sourceFingerprint]]. A file
     * smaller than twice the edge window is hashed in full (the two
     * windows overlap; determinism, not exclusivity, is what matters).
-    * An unreadable file hashes to a constant distinct from every real
-    * digest, so transient read failures force a rebuild instead of
-    * serving a cache signed from unknown bytes.
+    * An unreadable file hashes to a per-call-unique nonce (never a
+    * constant — a constant would compare EQUAL across a
+    * persistently-unreadable file's marker-write and marker-check,
+    * serving a cache signed from bytes never observed), so any read
+    * failure forces a rebuild.
     */
   private def fileEdgeDigest(fs: org.apache.hadoop.fs.FileSystem,
                              p: org.apache.hadoop.fs.Path,
@@ -714,7 +737,15 @@ object Dedup {
         }
       } finally in.close()
       md.digest().map("%02x".format(_)).mkString
-    } catch { case _: Exception => "unreadable" }
+    } catch { case _: Exception =>
+      // per-CALL unique, not a constant: a file unreadable both when a
+      // marker was written AND at a later freshness check would
+      // otherwise produce EQUAL fingerprints and serve a cache signed
+      // from bytes never observed — the exact inversion of the
+      // documented guarantee. A nonce makes any failed read compare
+      // unequal to everything, so unreadability always means rebuild.
+      "unreadable-" + java.util.UUID.randomUUID().toString.take(8)
+    }
 
   /** Fingerprints are embedded into hand-built meta.json and parsed
     * back with a regex — a quote/comma/brace in one would corrupt the

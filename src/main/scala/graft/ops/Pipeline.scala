@@ -56,12 +56,8 @@ object Pipeline {
       graft.api.Dedup.tableTag(dir)
     val fp = s"v$ver:" +
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
-    val marker = java.nio.file.Paths.get(path, "_GRAFT_FP")
-    if (!Dedup.markerFresh(marker, fp)(Dedup.hasDataFiles(path))) {
-      build.write.mode("overwrite").parquet(path)
-      Dedup.writeMarker(marker, fp)
-    }
-    s.read.parquet(path)
+    Dedup.loadOrBuildParquet(s, path,
+      java.nio.file.Paths.get(path, "_GRAFT_FP"), fp)(build)._1
   }
 
   private[graft] def packedStream(s: SparkSession, dir: String): DataFrame =

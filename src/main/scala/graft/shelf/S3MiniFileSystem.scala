@@ -107,22 +107,44 @@ final class S3MiniFileSystem extends FileSystem {
 
   private def objectUrl(key: String): String = s"$endpoint/$bucket/${enc(key)}"
 
-  /** ListObjectsV2 under a prefix; returns (keys with sizes, common prefixes). */
+  /** ListObjectsV2 under a prefix; returns (keys with sizes, common
+    * prefixes). Pages on NextContinuationToken until IsTruncated is
+    * false — without the loop any listing past the server's page limit
+    * (1000 keys) would be SILENTLY truncated: listStatus reporting a
+    * partial directory, recursive delete removing only the first page
+    * yet returning true.
+    */
   private def list(prefix: String,
                    delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
-    val q = s"$endpoint/$bucket?list-type=2&prefix=" +
-      URLEncoder.encode(prefix, "UTF-8") +
-      (if (delimited) "&delimiter=%2F" else "")
-    val (code, body, _) = request("GET", q, null)
-    if (code != 200) throw new IOException(s"list $prefix: HTTP $code")
-    val xml = new String(body, "UTF-8")
-    val keys = """<Key>([^<]*)</Key>""".r.findAllMatchIn(xml)
-      .map(_.group(1)).toSeq
-    val sizes = """<Size>(\d+)</Size>""".r.findAllMatchIn(xml)
-      .map(_.group(1).toLong).toSeq
-    val prefixes = """<Prefix>([^<]*)</Prefix>""".r.findAllMatchIn(xml)
-      .map(_.group(1)).toSeq.filterNot(_ == prefix) // the echo of our own
-    (keys.zipAll(sizes, "", 0L).filter(_._1.nonEmpty), prefixes)
+    val keys = Seq.newBuilder[(String, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val q = s"$endpoint/$bucket?list-type=2&prefix=" +
+        URLEncoder.encode(prefix, "UTF-8") +
+        (if (delimited) "&delimiter=%2F" else "") +
+        token.map(t => "&continuation-token=" +
+          URLEncoder.encode(t, "UTF-8")).getOrElse("")
+      val (code, body, _) = request("GET", q, null)
+      if (code != 200) throw new IOException(s"list $prefix: HTTP $code")
+      val xml = new String(body, "UTF-8")
+      val pageKeys = """<Key>([^<]*)</Key>""".r.findAllMatchIn(xml)
+        .map(_.group(1)).toSeq
+      val sizes = """<Size>(\d+)</Size>""".r.findAllMatchIn(xml)
+        .map(_.group(1).toLong).toSeq
+      keys ++= pageKeys.zipAll(sizes, "", 0L).filter(_._1.nonEmpty)
+      prefixes ++= """<Prefix>([^<]*)</Prefix>""".r.findAllMatchIn(xml)
+        .map(_.group(1)).toSeq.filterNot(_ == prefix) // the echo of our own
+      val truncated = xml.contains("<IsTruncated>true</IsTruncated>")
+      token = """<NextContinuationToken>([^<]*)</NextContinuationToken>""".r
+        .findFirstMatchIn(xml).map(_.group(1))
+      more = truncated && token.isDefined
+      if (truncated && token.isEmpty)
+        throw new IOException(
+          s"list $prefix: truncated response without a continuation token")
+    }
+    (keys.result(), prefixes.result().distinct)
   }
 
   // ---- FileSystem surface ----------------------------------------------
@@ -184,16 +206,28 @@ final class S3MiniFileSystem extends FileSystem {
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
+    // S3 answers 204 to DELETE of a MISSING key, but the Hadoop
+    // FileSystem contract requires returning false when the path does
+    // not exist — so existence is checked first (HEAD for the object,
+    // list for a prefix). A concurrent delete between the HEAD and the
+    // DELETE still reads as true; without conditional requests that
+    // race is inherent to the protocol.
     val key = keyOf(f)
-    val (code, _, _) = request("DELETE", objectUrl(key), null)
-    if (code == 204 || code == 200) return true
-    val (keys, _) = list(s"$key/", delimited = false)
-    if (keys.isEmpty) false
-    else if (!recursive)
-      throw new IOException(s"$f is a non-empty prefix; recursive=false")
-    else {
-      keys.foreach { case (k, _) => request("DELETE", objectUrl(k), null) }
+    val (hc, _, _) = request("HEAD", objectUrl(key), null)
+    if (hc == 200) {
+      val (code, _, _) = request("DELETE", objectUrl(key), null)
+      if (code != 204 && code != 200)
+        throw new IOException(s"delete $f: HTTP $code")
       true
+    } else {
+      val (keys, _) = list(s"$key/", delimited = false)
+      if (keys.isEmpty) false
+      else if (!recursive)
+        throw new IOException(s"$f is a non-empty prefix; recursive=false")
+      else {
+        keys.foreach { case (k, _) => request("DELETE", objectUrl(k), null) }
+        true
+      }
     }
   }
 

@@ -47,12 +47,34 @@ object Streams {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    graft.ops.H.normalizeEventsTs(
-      spark.readStream
-        .schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+    // The events table may be a single FILE named events.parquet (the
+    // generated testdata) or a DIRECTORY of part files (MakeSf1, any
+    // Spark-written table). pathGlobFilter matches LEAF FILE names
+    // only, so filtering the parent dir for "events.parquet" silently
+    // matches ZERO files in the directory layout — the sf1 shakeout's
+    // event-stream replays ran on empty streams exactly that way.
+    // Streaming from inside the directory (filter *.parquet) handles
+    // that layout; the single-file layout keeps the original shape.
+    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory ||
+      hadoopDir(spark, s"$dir/events.parquet")
+    val src =
+      if (isDir)
+        spark.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "*.parquet")
+          .parquet(s"$dir/events.parquet")
+      else
+        spark.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(dir)
+    graft.ops.H.normalizeEventsTs(src)
   }
+
+  private def hadoopDir(spark: SparkSession, path: String): Boolean =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(p).isDirectory
+    } catch { case _: Exception => false }
 
   /** Run a streaming DF to completion into a memory sink; return the
     * resulting table as a batch DataFrame.
@@ -241,21 +263,12 @@ object Streams {
       body: => DataFrame): DataFrame =
     cachedOp(spark, dir, op) {
       val store = replayStore(dir, op)
-      val data = s"$store/data"
       val fp = s"v$ver:" +
         graft.api.Dedup.sourceFingerprint(spark, srcPaths: _*)
-      val marker = java.nio.file.Paths.get(store, "_GRAFT_FP")
-      if (graft.api.Dedup.markerFresh(marker, fp)(
-          graft.api.Dedup.hasDataFiles(data))) {
-        replayWarm.add(op)
-        spark.read.parquet(data)
-      } else {
-        val df = body
-        df.write.mode("overwrite").parquet(data)
-        graft.api.Dedup.writeMarker(marker, fp)
-        replayCold.add(op)
-        spark.read.parquet(data)
-      }
+      val (df, warm) = graft.api.Dedup.loadOrBuildParquet(spark,
+        s"$store/data", java.nio.file.Paths.get(store, "_GRAFT_FP"), fp)(body)
+      (if (warm) replayWarm else replayCold).add(op)
+      df
     }
 
   private[graft] def clearReplays(spark0: SparkSession): Unit = {
@@ -294,7 +307,7 @@ object Streams {
         // three fresh → read the finished replays; any stale → re-run
         // the whole trio and republish
         val keys = Seq("tumble_complete", "tumble_append", "session_complete")
-        val fp = "v1:" + graft.api.Dedup
+        val fp = "v2:" + graft.api.Dedup
           .sourceFingerprint(spark0, s"$dir/events.parquet")
         def store(k: String) = replayStore(dir, s"win_$k")
         val allFresh = keys.forall { k =>
@@ -325,11 +338,10 @@ object Streams {
           started.map { case (key, (q, name)) =>
             q.awaitTermination()
             rmCk(name)
-            val data = s"${store(key)}/data"
-            spark.table(name).write.mode("overwrite").parquet(data)
-            graft.api.Dedup.writeMarker(
-              java.nio.file.Paths.get(store(key), "_GRAFT_FP"), fp)
-            key -> spark.read.parquet(data)
+            key -> graft.api.Dedup.loadOrBuildParquet(spark,
+              s"${store(key)}/data",
+              java.nio.file.Paths.get(store(key), "_GRAFT_FP"), fp)(
+              spark.table(name))._1
           }.toMap
         }
       })
@@ -397,7 +409,7 @@ object Streams {
           GroupStateTimeout.NoTimeout())(update)
         .toDF("user_id", "n_events", "sum_value")
     }
-    persistedOp(spark, dir, "stateful_update", 1,
+    persistedOp(spark, dir, "stateful_update", 2,
         Seq(s"$dir/events.parquet"))(
         runToMemory(spark, out, "update", rocksdb = true))
       .groupBy("user_id")
@@ -423,7 +435,7 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    persistedOp(spark, dir, "dedup_keys", 1,
+    persistedOp(spark, dir, "dedup_keys", 2,
         Seq(s"$dir/events.parquet"))(
         runToMemory(spark, out, "append", rocksdb = true))
       .distinct() // keys recurring after watermark expiry re-emit; collapse them
@@ -453,7 +465,7 @@ object Streams {
         """cu = bu AND buy_ts >= click_ts
            AND buy_ts <= click_ts + interval 30 minutes"""))
     }
-    persistedOp(spark, dir, "sjoin_inner", 1,
+    persistedOp(spark, dir, "sjoin_inner", 2,
         Seq(s"$dir/events.parquet"))(runToMemory(spark, out, "append"))
       .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
       .orderBy("user_id", "click_id", "buy_id")
@@ -486,7 +498,7 @@ object Streams {
         """cu = bu AND buy_ts >= click_ts
            AND buy_ts <= click_ts + interval 30 minutes"""), "left_outer")
     }
-    persistedOp(spark, dir, "sjoin_left", 1,
+    persistedOp(spark, dir, "sjoin_left", 2,
         Seq(s"$dir/events.parquet"))(runToMemory(spark, out, "append"))
       .select(col("cu").as("user_id"), col("click_id"), col("buy_id"))
       .orderBy(col("user_id"), col("click_id"),
@@ -768,7 +780,7 @@ object Streams {
         .agg(count(lit(1)).as("n"),
           round(sum(col("value").cast(graft.ops.H.D)).cast("double"), 4).as("sum_value"))
     }
-    persistedOp(spark, dir, "enrich_segment", 1,
+    persistedOp(spark, dir, "enrich_segment", 2,
         Seq(s"$dir/events.parquet", s"$dir/customer.parquet"))(
         runToMemory(spark, out, "complete"))
       .orderBy("c_mktsegment")

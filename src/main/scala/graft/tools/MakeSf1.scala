@@ -60,12 +60,18 @@ object MakeSf1 {
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", replicate(t("events"), Seq("user_id")))
 
-    // documents: id offset + per-replica word renaming (see scaladoc)
+    // documents: id offset + per-replica word renaming (see scaladoc);
+    // n_chars is RECOMPUTED from the transformed text — the suffix
+    // lengthens every token, so carrying the source column through
+    // would leave every replica's n_chars silently inconsistent with
+    // its text (quality thresholds, chars-per-token ratios, corpus
+    // report masses would all compute on stale values)
     write("documents", t("documents").crossJoin(reps(mult))
       .select((col("doc_id") + col("rep") * OFF).as("doc_id"),
         expr("array_join(transform(split(text, ' '), " +
           "w -> concat(w, 'zz', CAST(rep AS STRING))), ' ')").as("text"),
-        col("lang"), col("source"), col("n_chars")))
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
 
     // embeddings: id offset; vectors replicate as-is (ANN/quantization
     // scans are linear in vector count either way)
