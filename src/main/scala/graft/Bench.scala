@@ -383,15 +383,14 @@ object Bench {
     // their loaded entries time only the cached batch projection —
     // listed here so cross-round per-query comparisons against
     // pre-memoization artifacts aren't misread as speedups.
-    val memoized = memoizedQueries.toSeq.sorted
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    def strList(xs: Seq[String]) =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val memoized = strList(memoizedQueries.toSeq.sorted)
     // Which finite replays were served from the cross-process result
     // cache (Streams.persistedOp, fingerprint-gated) vs actually
     // replayed this process — a warm run's near-zero stream build wall
     // must say so itself, not read like streams that never existed.
     val (replaysWarm, replaysCold) = streaming.Streams.replayDiskStats
-    def strList(xs: List[String]) =
-      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     Files.writeString(Paths.get(fullOut),
       s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"contended":$contended,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"replays_warm":${strList(replaysWarm)},"replays_cold":${strList(replaysCold)},"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
 

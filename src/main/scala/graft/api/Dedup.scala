@@ -585,7 +585,7 @@ object Dedup {
       indexTables.clear(); indexTables ++= rest
     }
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
+  private[graft] def hadoopFs(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -33,7 +33,7 @@ object Streams {
   /** On-disk byte size of a parquet file/directory via the Hadoop FS. */
   def parquetBytes(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = graft.api.Dedup.hadoopFs(spark, path)
     if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
@@ -55,8 +55,7 @@ object Streams {
     // event-stream replays ran on empty streams exactly that way.
     // Streaming from inside the directory (filter *.parquet) handles
     // that layout; the single-file layout keeps the original shape.
-    val isDir = new java.io.File(s"$dir/events.parquet").isDirectory ||
-      hadoopDir(spark, s"$dir/events.parquet")
+    val isDir = hadoopDir(spark, s"$dir/events.parquet")
     val src =
       if (isDir)
         spark.readStream.schema(fileSchema)
@@ -70,11 +69,9 @@ object Streams {
   }
 
   private def hadoopDir(spark: SparkSession, path: String): Boolean =
-    try {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(p).isDirectory
-    } catch { case _: Exception => false }
+    try graft.api.Dedup.hadoopFs(spark, path)
+      .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
+    catch { case _: Exception => false }
 
   /** Run a streaming DF to completion into a memory sink; return the
     * resulting table as a batch DataFrame.
