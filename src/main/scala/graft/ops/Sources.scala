@@ -249,7 +249,7 @@ object Sources {
     ensureCsv(s, dir); ensureJsonl(s, dir); ensureOrc(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
     ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir)
-    ensureStreamParIncr(s, dir); ()
+    ensureStreamParIncr(s, dir); ensureTx(s, dir); ()
   }
 
   val qs: Seq[Q] = Seq(
@@ -483,6 +483,58 @@ object Sources {
           round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
           round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // Transactional table, TIME TRAVEL read: version 1 of the demo
+    // TxTable (graft.api.TxTable — commit-log-over-parquet, see
+    // scaladoc) holds the 90% corpus; two later commits appended the
+    // rest and compacted. Reading v1 AFTER those commits must still see
+    // exactly the v1 rows — the oracle recomputes them from the source
+    // predicate, so any history rewrite breaks the hash.
+    Q("q_tx_timetravel",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id % 10 <> 0
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readVersion(s, ensureTx(s, dir), 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
+    // Transactional table, CURRENT read after overwrite -> append ->
+    // compact -> vacuum: the latest snapshot must equal the FULL source
+    // corpus exactly (append landed atomically, compaction preserved
+    // content, vacuum touched nothing referenced) — verified against
+    // the source-table oracle, not against the table's own files.
+    Q("q_tx_acid",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTx(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source"))
   )
+
+  /** Build the demo TxTable once per (session, sf dir), cross-process
+    * cached behind the scratch marker: v1 overwrite = 90% of documents,
+    * v2 append = the rest, v3 compact, then vacuum. The version
+    * numbering is part of the queries' contract (q_tx_timetravel reads
+    * v1), so a rebuild WIPES any stale table first — committing on top
+    * of an old log would renumber history.
+    */
+  private def ensureTx(s: SparkSession, dir: String): String = {
+    val out = ensure(s, dir, "txtable", Seq("documents")) { base =>
+      val table = s"$base/t"
+      graft.api.Dedup.hadoopFs(s, table)
+        .delete(new org.apache.hadoop.fs.Path(table), true)
+      val docs = t(s, dir, "documents")
+      graft.api.TxTable.overwrite(s, table, docs.filter(col("doc_id") % 10 =!= 0))
+      graft.api.TxTable.append(s, table, docs.filter(col("doc_id") % 10 === 0))
+      graft.api.TxTable.compact(s, table, numFiles = 4)
+      graft.api.TxTable.vacuum(s, table)
+      ()
+    }
+    s"$out/t"
+  }
 }

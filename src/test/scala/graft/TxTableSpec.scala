@@ -1,0 +1,121 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.TxTable
+
+/** The transactional-table contracts: atomic visibility, optimistic
+  * concurrency, snapshot isolation / time travel, checkpoint-based
+  * resolution, content-preserving compaction, reference-safe vacuum.
+  */
+class TxTableSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("txtable").toString + "/t"
+
+  private def rows(path: String): Set[(Long, String)] =
+    TxTable.read(spark, path).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("create, append, time travel: each version is exactly its fold") {
+    val t = fresh()
+    val v1 = TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v2 = TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    assert((v1, v2) === (1L, 2L))
+    assert(rows(t) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(TxTable.readVersion(spark, t, 1).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L),
+      "version 1 is unchanged by the later append")
+    val v3 = TxTable.overwrite(spark, t, Seq((9L, "z")).toDF("id", "v"))
+    assert(v3 === 3L && rows(t) === Set((9L, "z")))
+    assert(TxTable.readVersion(spark, t, 2).count() === 3L,
+      "overwrite does not rewrite history")
+    assert(TxTable.history(spark, t).map(c => c.version -> c.action) ===
+      Seq(1L -> "overwrite", 2L -> "append", 3L -> "overwrite"))
+  }
+
+  test("snapshot isolation: a resolved reader survives a concurrent overwrite") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "old")).toDF("id", "v"))
+    val snapshot = TxTable.read(spark, t) // resolves v1's file list NOW
+    TxTable.overwrite(spark, t, Seq((2L, "new")).toDF("id", "v"))
+    assert(snapshot.select("v").collect().map(_.getString(0)).toSeq ===
+      Seq("old"), "immutable data files isolate the reader from the writer")
+    assert(rows(t) === Set((2L, "new")))
+  }
+
+  test("optimistic concurrency: racing appends all land, none lost") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((0L, "base")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fs = (1 to 8).map { i =>
+      scala.concurrent.Future {
+        (0 until 3).map { j =>
+          TxTable.append(spark, t,
+            Seq((i * 100L + j, s"w$i-$j")).toDF("id", "v"))
+        }
+      }
+    }
+    val versions = scala.concurrent.Await
+      .result(scala.concurrent.Future.sequence(fs),
+        scala.concurrent.duration.Duration(120, "s")).flatten
+    pool.shutdown()
+    assert(versions.distinct.size === 24, "every commit claimed a unique version")
+    assert(versions.toSet === (2L to 25L).toSet)
+    assert(TxTable.read(spark, t).count() === 25L, "no append lost")
+  }
+
+  test("checkpoint: the latest snapshot resolves without the early log") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((0L, "v1")).toDF("id", "v"))
+    (1 to 11).foreach(i =>
+      TxTable.append(spark, t, Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    val ck = new java.io.File(s"$t/_txlog")
+      .listFiles().map(_.getName).filter(_.endsWith(".checkpoint.json"))
+    assert(ck.nonEmpty, s"a checkpoint landed at v${TxTable.CheckpointEvery}")
+    // delete every commit record BELOW the checkpoint: resolution of the
+    // current snapshot must come from checkpoint + tail, not a full replay
+    (1 to TxTable.CheckpointEvery - 1).foreach { v =>
+      val f = new java.io.File(f"$t/_txlog/$v%020d.json")
+      assert(f.delete(), s"test setup: removed commit $v")
+    }
+    assert(TxTable.read(spark, t).count() === 12L,
+      "checkpoint-based resolution never replays the deleted prefix")
+  }
+
+  test("compact: content-identical, fewer files, history intact") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, spark.range(100).select(col("id"),
+      concat(lit("r"), col("id")).as("v")))
+    (0 until 4).foreach(i => TxTable.append(spark, t,
+      spark.range(100 + i * 10, 110 + i * 10).select(col("id"),
+        concat(lit("r"), col("id")).as("v"))))
+    val before = rows(t)
+    val filesBefore = TxTable.read(spark, t).inputFiles.length
+    TxTable.compact(spark, t, numFiles = 1)
+    assert(rows(t) === before, "compaction preserves content exactly")
+    assert(TxTable.read(spark, t).inputFiles.length === 1)
+    assert(TxTable.read(spark, t).inputFiles.length < filesBefore)
+    assert(TxTable.readVersion(spark, t, 5).count() === 140L,
+      "pre-compaction versions stay readable")
+  }
+
+  test("vacuum removes only unreferenced stagings; history stays readable") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"))
+    // a crashed staging: data written, commit never landed
+    Seq((99L, "orphan")).toDF("id", "v")
+      .write.parquet(s"$t/data-deadbeef0000")
+    assert(TxTable.vacuum(spark, t) === 1, "exactly the orphan is removed")
+    assert(!new java.io.File(s"$t/data-deadbeef0000").exists())
+    assert(rows(t) === Set((1L, "a"), (2L, "b")))
+    assert(TxTable.readVersion(spark, t, 1).count() === 1L,
+      "vacuum never touches log-reachable files")
+    assert(TxTable.vacuum(spark, t) === 0)
+  }
+}
