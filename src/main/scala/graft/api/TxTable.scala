@@ -65,7 +65,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxTable {
 
   final case class Commit(version: Long, action: String,
-                          files: Seq[String], ts: Long)
+                          files: Seq[String], ts: Long,
+                          txn: Option[String] = None)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -86,6 +87,7 @@ object TxTable {
   private def render(c: Commit): String =
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""files":[${c.files.map("\"" + _ + "\"").mkString(",")}],""" +
+      c.txn.map(t => s""""txn":"$t",""").getOrElse("") +
       s""""ts":${c.ts},"writer":"${java.lang.ProcessHandle.current().pid()}"}"""
 
   private val VersionRe = """"version":(\d+)""".r
@@ -93,6 +95,7 @@ object TxTable {
   private val FilesRe = """"files":\[([^\]]*)\]""".r
   private val FileRe = """"([^"]+)"""".r
   private val TsRe = """"ts":(\d+)""".r
+  private val TxnRe = """"txn":"([^"]+)"""".r
 
   private def parse(txt: String): Commit = Commit(
     VersionRe.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -101,7 +104,8 @@ object TxTable {
     FilesRe.findFirstMatchIn(txt).map(m =>
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty),
-    TsRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L))
+    TsRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L),
+    TxnRe.findFirstMatchIn(txt).map(_.group(1)))
 
   private def readSmall(hfs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): String = {
@@ -202,15 +206,30 @@ object TxTable {
     staged
   }
 
-  /** Claim the next version optimistically; retries on lost races. */
+  /** Claim the next version optimistically; retries on lost races.
+    * With `txn` set, the commit is IDEMPOTENT: if any logged commit
+    * already carries the same txn id, that version is returned and
+    * nothing new lands — the mechanism behind exactly-once streaming
+    * ingest (redelivered micro-batches re-present their txn id).
+    * Idempotence holds for SERIAL redelivery (a checkpoint replay);
+    * two concurrent writers sharing a txn id can still both land —
+    * streaming redelivery is never concurrent with itself.
+    */
   private def commit(spark: SparkSession, path: String, action: String,
-                     files: Seq[String]): Long = {
+                     files: Seq[String], txn: Option[String] = None): Long = {
+    txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
+      s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     val hfs = fs(spark, path)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
+      txn.foreach { t =>
+        history(spark, path).find(_.txn.contains(t)).foreach { prior =>
+          return prior.version // already landed: redelivery is a no-op
+        }
+      }
       val v = latestVersion(spark, path) + 1
-      val rec = Commit(v, action, files, System.currentTimeMillis())
+      val rec = Commit(v, action, files, System.currentTimeMillis(), txn)
       try {
         writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
           render(rec))
@@ -229,15 +248,60 @@ object TxTable {
       s"could not commit to $path after $MaxCommitRetries attempts")
   }
 
+  /** Appends must match the table's schema by (name → type) — the
+    * enforcement half of schema-on-write: a drifted producer fails
+    * loudly at commit time instead of landing rows a later reader
+    * unions into nulls. Field ORDER is not significant (parquet reads
+    * resolve by name); nullability is not compared (it is advisory in
+    * Spark schemas).
+    */
+  private def requireSchemaMatch(spark: SparkSession, path: String,
+                                 df: DataFrame): Unit = {
+    val v = latestVersion(spark, path)
+    if (v == 0) return // first commit defines the schema
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    val table = shape(readVersion(spark, path, v).schema)
+    val staged = shape(df.schema)
+    require(staged == table,
+      s"append schema mismatch for $path: table has $table, append has $staged")
+  }
+
   /** Replace the table content (also the create form — v1 overwrite). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
     commit(spark, path, "overwrite", stage(spark, path, df))
 
   /** Transactionally add rows; concurrent appends all land (commuting
-    * retries), each as its own version.
+    * retries), each as its own version. Schema-enforced against the
+    * current head. `txn` makes the append idempotent (see [[commit]]).
     */
-  def append(spark: SparkSession, path: String, df: DataFrame): Long =
-    commit(spark, path, "append", stage(spark, path, df))
+  def append(spark: SparkSession, path: String, df: DataFrame,
+             txn: Option[String] = None): Long = {
+    requireSchemaMatch(spark, path, df)
+    // redelivery fast path: a txn that already landed skips even the
+    // staging write (commit re-checks inside its retry loop regardless)
+    txn.flatMap(t => history(spark, path).find(_.txn.contains(t))) match {
+      case Some(prior) => prior.version
+      case None => commit(spark, path, "append", stage(spark, path, df), txn)
+    }
+  }
+
+  /** An exactly-once `foreachBatch` sink: each micro-batch appends
+    * under txn id `appId:batchId`, so checkpoint redelivery of a batch
+    * re-presents the same txn and lands nothing twice — the idempotent
+    * sink half of Structured Streaming's exactly-once contract, with
+    * the TxTable log as the transaction marker instead of a
+    * partition-overwrite convention.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(TxTable.streamAppend(spark, path, "ingest"))
+    *   .option("checkpointLocation", ck).start()
+    * }}}
+    */
+  def streamAppend(spark: SparkSession, path: String, appId: String)
+      : (DataFrame, Long) => Unit =
+    (batch, batchId) => { append(spark, path, batch,
+      txn = Some(s"$appId:$batchId")); () }
 
   /** The current snapshot. */
   def read(spark: SparkSession, path: String): DataFrame =

@@ -998,6 +998,44 @@ object ScaleProbe {
         f"${mult}x ${drN}%.2f s  time-growth=${drN / dr1}%.1fx")
     }
 
+    // TxTable at mult x corpus: the LOG shape is data-size-invariant —
+    // the same overwrite/append/compact sequence produces the same
+    // commit count and versions no matter the corpus size (metadata
+    // scales with COMMITS, never rows), while the snapshot row count
+    // scales exactly mult x. Head resolution stays checkpoint+tail by
+    // construction (TxTableSpec pins it by deleting the pre-checkpoint
+    // log); here the probe pins that log records stay O(commits) bytes:
+    // per-commit record size is flat across scales.
+    {
+      import graft.api.TxTable
+      def txFor(m: Int): (Long, Long, Long, Double) = {
+        val d = docsFor(m)
+        val base = java.nio.file.Files
+          .createTempDirectory(s"txprobe$m").toString + "/t"
+        val t0 = System.nanoTime()
+        TxTable.overwrite(spark, base, d.filter(col("doc_id") % 2 === 0))
+        TxTable.append(spark, base, d.filter(col("doc_id") % 2 =!= 0))
+        TxTable.compact(spark, base, numFiles = 4)
+        val rows = TxTable.read(spark, base).count()
+        val commits = TxTable.history(spark, base)
+        val recBytes = new java.io.File(s"$base/_txlog").listFiles()
+          .filter(_.getName.endsWith(".json")).map(_.length()).max
+        (rows, commits.size.toLong, recBytes,
+          (System.nanoTime() - t0) / 1e9)
+      }
+      val (rows1, c1, b1, t1) = txFor(1)
+      val (rowsN, cN, bN, tN) = txFor(mult)
+      require(rowsN == rows1 * mult,
+        s"tx snapshot rows must scale exactly ${mult}x: $rows1 -> $rowsN")
+      require(cN == c1, s"commit count must be data-size-invariant: $c1 vs $cN")
+      require(bN <= b1 * 4, // flat modulo a few extra part-file names
+        s"per-commit record bytes must stay O(files), not O(rows): $b1 -> $bN")
+      println(f"tx-table (${mult}x corpus): rows exactly ${mult}x " +
+        f"($rows1 -> $rowsN), $c1 commits at both scales (log is " +
+        f"data-size-invariant), max record $b1 -> $bN bytes  " +
+        f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
+    }
+
     spark.stop()
   }
 }

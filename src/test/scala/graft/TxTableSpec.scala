@@ -104,6 +104,64 @@ class TxTableSpec extends AnyFunSuite {
       "pre-compaction versions stay readable")
   }
 
+  test("append enforces the head schema by name and type, order-blind") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    // same fields, different order: accepted (parquet resolves by name)
+    TxTable.append(spark, t, Seq(("b", 2L)).toDF("v", "id"))
+    assert(rows(t) === Set((1L, "a"), (2L, "b")))
+    val wrongType = intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((3, "c")).toDF("id", "v")) // id: Int
+    }
+    assert(wrongType.getMessage.contains("schema mismatch"))
+    val wrongName = intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "other"))
+    }
+    assert(wrongName.getMessage.contains("schema mismatch"))
+    assert(rows(t) === Set((1L, "a"), (2L, "b")), "rejected appends land nothing")
+  }
+
+  test("txn append is idempotent: redelivery lands nothing twice") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    val v1 = TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"),
+      txn = Some("ingest:7"))
+    val v2 = TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"),
+      txn = Some("ingest:7")) // the redelivery
+    assert(v1 === v2, "the redelivered txn returns the landed version")
+    assert(TxTable.read(spark, t).count() === 2L, "no duplicate rows")
+    assert(TxTable.latestVersion(spark, t) === 2L, "no extra version")
+  }
+
+  test("streamAppend: exactly-once ingest across a full checkpoint redelivery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txstream").toString
+    val t = s"$base/table"
+    (0 until 3).foreach(i =>
+      spark.range(i * 10, i * 10 + 10).select(col("id"),
+          concat(lit("r"), col("id")).as("v"))
+        .coalesce(1).write.parquet(s"$base/src/s$i"))
+    val sch = spark.read.parquet(s"$base/src/s0").schema
+    def run(ck: String): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src/s*")
+        .writeStream
+        .foreachBatch(TxTable.streamAppend(spark, t, "ingest"))
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(s"$base/ck1")
+    assert(TxTable.read(spark, t).count() === 30L)
+    // a FRESH checkpoint redelivers every batch with the same batch ids:
+    // the txn markers in the log must absorb all of them
+    run(s"$base/ck2")
+    assert(TxTable.read(spark, t).count() === 30L,
+      "full redelivery landed zero duplicate rows")
+    assert(TxTable.history(spark, t).count(_.action == "append") === 3,
+      "three batches, three append commits, despite six deliveries")
+  }
+
   test("vacuum removes only unreferenced stagings; history stays readable") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
