@@ -25,11 +25,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Guarantees, and how each is achieved:
   *  - **Atomic visibility**: writers stage parquet into a
-  *    commit-unique `data-<uuid>/` dir FIRST, then publish it with a
-  *    single create-if-absent of the next `_txlog/<v>.json`. A reader
-  *    never sees a partial commit: either the log file exists (and its
-  *    files are fully written — the log write is last) or the staged
-  *    dir is invisible garbage for [[vacuum]].
+  *    commit-unique `data-<uuid>/` dir FIRST, then publish it by
+  *    claiming the next `_txlog/<v>.json` — the record is fully
+  *    written to a `.tmp-` sibling and atomically hard-linked (local)
+  *    or renamed (HDFS) onto the claimable name, so a reader can
+  *    never observe a torn or empty record and a writer crash strands
+  *    at most an ignored `.tmp-` file. Either the complete log record
+  *    exists or the staged dir is invisible garbage for [[vacuum]].
   *  - **Optimistic concurrency**: the version is claimed by the
   *    create-if-absent — a loser gets FileAlreadyExists, re-reads the
   *    log, and retries at the next version. Append/append conflicts
@@ -107,30 +109,57 @@ object TxTable {
     TsRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L),
     TxnRe.findFirstMatchIn(txt).map(_.group(1)))
 
+  private val TxnsRe = """"txns":\[([^\]]*)\]""".r
+  private def parseTxns(txt: String): Seq[String] =
+    TxnsRe.findFirstMatchIn(txt).map(m =>
+      FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
   private def readSmall(hfs: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path): String = {
     val in = hfs.open(p)
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
 
+  /** Publish a fully-written record under `p`, failing if `p` exists —
+    * the version claim. The record is ALWAYS written complete to a
+    * `.tmp-` sibling first and linked/renamed into place, so no reader
+    * can ever observe a torn or empty record under a claimable name
+    * (a create-then-write protocol leaves a permanently-empty
+    * `<v>.json` after a crash between the two, bricking the log).
+    *
+    *  - local FS: hard-link the temp onto the final name —
+    *    link(2) is atomic and fails with EEXIST if the name is taken,
+    *    so the claim and the content arrive together;
+    *  - HDFS: rename(tmp, final) — atomic, fails if dst exists;
+    *  - object stores without atomic rename keep the documented
+    *    external-serialization caveat.
+    *
+    * Throws FileAlreadyExistsException/IOException on a lost race —
+    * the signal the retry loop keys on. The temp is removed on every
+    * path; a crash can only ever strand a `.tmp-` file, which readers
+    * ignore by name shape.
+    */
   private def writeNew(hfs: org.apache.hadoop.fs.FileSystem,
                        p: org.apache.hadoop.fs.Path, txt: String): Unit =
     if (hfs.getScheme == "file") {
-      // Hadoop's local ChecksumFS create(overwrite=false) is
-      // check-then-create; java.nio CREATE_NEW is a real O_EXCL, so
-      // local commit claims are genuinely atomic (two same-host
-      // writers cannot both claim a version). Throws
-      // FileAlreadyExistsException (an IOException) on a lost race —
-      // the same signal the retry loop keys on.
       val local = java.nio.file.Paths.get(p.toUri.getPath)
       java.nio.file.Files.createDirectories(local.getParent)
-      java.nio.file.Files.write(local, txt.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE_NEW,
-        java.nio.file.StandardOpenOption.WRITE)
-      ()
+      val tmp = local.resolveSibling(
+        local.getFileName.toString + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      java.nio.file.Files.write(tmp, txt.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(local, tmp)
+      finally { java.nio.file.Files.deleteIfExists(tmp); () }
     } else {
-      val out = hfs.create(p, false) // create-if-absent claims the version
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.toString + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = hfs.create(tmp, true)
       out.write(txt.getBytes("UTF-8")); out.close()
+      try {
+        if (hfs.exists(p) || !hfs.rename(tmp, p))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+      } finally { if (hfs.exists(tmp)) hfs.delete(tmp, false); () }
     }
 
   /** One listing of `_txlog/` → (commit versions asc, checkpoint
@@ -144,9 +173,11 @@ object TxTable {
     val ld = new org.apache.hadoop.fs.Path(logDir(path))
     if (!hfs.exists(ld)) return (Seq.empty, Seq.empty)
     val names = hfs.listStatus(ld).toSeq.map(_.getPath.getName)
-    (names.filter(n => n.endsWith(".json") && !n.endsWith(".checkpoint.json"))
+    // exact name shapes only: stranded .tmp- siblings (crashed
+    // publishes) and any stray file must never enter version parsing
+    (names.filter(_.matches("""\d{20}\.json"""))
        .map(_.stripSuffix(".json").toLong).sorted,
-     names.filter(_.endsWith(".checkpoint.json"))
+     names.filter(_.matches("""\d{20}\.checkpoint\.json"""))
        .map(_.stripSuffix(".checkpoint.json").toLong).sorted)
   }
 
@@ -160,88 +191,138 @@ object TxTable {
   def latestVersion(spark: SparkSession, path: String): Long =
     logVersions(fs(spark, path), path)._1.lastOption.getOrElse(0L)
 
-  /** The live file set at `version` (relative paths): start from the
-    * newest checkpoint at-or-below it, fold only the tail commits
-    * after it — never a full log replay.
+  /** Fold the table state at `version` from the newest checkpoint
+    * at-or-below it plus the tail commits after it — never a full log
+    * replay. Returns (live files, landed txn → version). Txns folded
+    * into the checkpoint map to the CHECKPOINT version (the exact
+    * landing version is no longer retained — callers only need
+    * "already landed"); tail txns map to their real version. This is
+    * what keeps txn-idempotent streaming ingest O(checkpoint + tail)
+    * per append instead of an O(commits²) full-log rescan.
     */
+  private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
+                        version: Long): (Seq[String], Map[String, Long]) = {
+    val (commitVs, ckVs) = logVersions(hfs, path)
+    val (files0, txns0, startAfter) = ckVs.filter(_ <= version).lastOption match {
+      case Some(cv) =>
+        val txt = readSmall(hfs,
+          new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))
+        (parse(txt).files, parseTxns(txt).map(_ -> cv).toMap, cv)
+      case None => (Seq.empty[String], Map.empty[String, Long], 0L)
+    }
+    commitVs.filter(v => v > startAfter && v <= version)
+      .foldLeft((files0, txns0)) { case ((live, txns), v) =>
+        val c = parse(readSmall(hfs,
+          new org.apache.hadoop.fs.Path(commitPath(path, v))))
+        val live2 = if (c.action == "overwrite") c.files else live ++ c.files
+        (live2, c.txn.fold(txns)(t => txns + (t -> v)))
+      }
+  }
+
+  /** The live file set at `version` (relative paths). */
   private def liveFiles(spark: SparkSession, path: String,
                         version: Long): Seq[String] = {
     val hfs = fs(spark, path)
-    val (commitVs, ckVs) = logVersions(hfs, path)
-    val upTo = commitVs.filter(_ <= version)
-    require(upTo.nonEmpty, s"no commits at or below version $version in $path")
-    val (base, startAfter) = ckVs.filter(_ <= version).lastOption match {
-      case Some(cv) =>
-        val ck = parse(readSmall(hfs,
-          new org.apache.hadoop.fs.Path(checkpointPath(path, cv))))
-        (ck.files, cv)
-      case None => (Seq.empty[String], 0L)
-    }
-    upTo.filter(_ > startAfter)
-      .map(v => parse(readSmall(hfs,
-        new org.apache.hadoop.fs.Path(commitPath(path, v)))))
-      .foldLeft(base) { (live, c) =>
-        c.action match {
-          case "overwrite" => c.files
-          case _           => live ++ c.files
-        }
-      }
+    require(logVersions(hfs, path)._1.exists(_ <= version),
+      s"no commits at or below version $version in $path")
+    foldState(hfs, path, version)._1
+  }
+
+  /** The version a txn landed at, if it ever did (checkpoint + tail). */
+  private def txnLanded(spark: SparkSession, path: String,
+                        txn: String): Option[Long] = {
+    val hfs = fs(spark, path)
+    logVersions(hfs, path)._1.lastOption
+      .flatMap(head => foldState(hfs, path, head)._2.get(txn))
   }
 
   /** Stage `df` as parquet under a commit-unique data dir; returns the
     * staged RELATIVE file names. Underscore files (_SUCCESS) are not
-    * data and never enter a commit record.
+    * data and never enter a commit record. A plan with zero partitions
+    * (an empty frame) writes no part file at all, which would land a
+    * `files:[]` commit no reader can resolve a schema from — restage
+    * through repartition(1), whose single task always emits one
+    * (schema-carrying, zero-row) file, so truncate-to-empty yields an
+    * empty TABLE, not an unreadable one.
     */
   private def stage(spark: SparkSession, path: String,
                     df: DataFrame): Seq[String] = {
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(12)
-    df.write.mode("overwrite").parquet(s"$path/$sub")
     val hfs = fs(spark, path)
-    val staged = hfs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
-      .toSeq.map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
-      .sorted.map(n => s"$sub/$n")
+    def list(): Seq[String] =
+      hfs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
+        .sorted.map(n => s"$sub/$n")
+    df.write.mode("overwrite").parquet(s"$path/$sub")
+    val staged = {
+      val first = list()
+      if (first.nonEmpty) first
+      else {
+        df.repartition(1).write.mode("overwrite").parquet(s"$path/$sub")
+        list()
+      }
+    }
+    require(staged.nonEmpty, s"staging produced no files under $path/$sub")
     require(staged.forall(_.matches("[a-zA-Z0-9/._-]+")),
       s"staged names must be JSON-inert: $staged")
     staged
   }
 
+  /** ONE claim attempt at exactly version `v`: publish the record, or
+    * report the version taken by a racer (None). On success, every
+    * [[CheckpointEvery]]-th version also writes a checkpoint carrying
+    * the folded live set AND the folded txn-id set (best-effort —
+    * readers never require a checkpoint).
+    */
+  private def commitAt(spark: SparkSession, path: String, v: Long,
+                       action: String, files: Seq[String],
+                       txn: Option[String]): Option[Long] = {
+    val hfs = fs(spark, path)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
+    val rec = Commit(v, action, files, System.currentTimeMillis(), txn)
+    try {
+      writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
+        render(rec))
+      if (v % CheckpointEvery == 0)
+        scala.util.Try {
+          val (live, txns) = foldState(hfs, path, v)
+          val ck = render(Commit(v, "checkpoint", live, rec.ts))
+          writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
+            ck.dropRight(1) +
+              s""","txns":[${txns.keys.toSeq.sorted
+                .map("\"" + _ + "\"").mkString(",")}]}""")
+        }
+      Some(v)
+    } catch {
+      case _: java.io.IOException => None // version claimed by a racer
+    }
+  }
+
   /** Claim the next version optimistically; retries on lost races.
-    * With `txn` set, the commit is IDEMPOTENT: if any logged commit
-    * already carries the same txn id, that version is returned and
-    * nothing new lands — the mechanism behind exactly-once streaming
-    * ingest (redelivered micro-batches re-present their txn id).
-    * Idempotence holds for SERIAL redelivery (a checkpoint replay);
-    * two concurrent writers sharing a txn id can still both land —
-    * streaming redelivery is never concurrent with itself.
+    * With `txn` set, the commit is IDEMPOTENT: if the log already
+    * carries the same txn id (checkpoint + tail scan, O(tail)), that
+    * version is returned and nothing new lands — the mechanism behind
+    * exactly-once streaming ingest (redelivered micro-batches
+    * re-present their txn id). Idempotence holds for SERIAL redelivery
+    * (a checkpoint replay); two concurrent writers sharing a txn id
+    * can still both land — streaming redelivery is never concurrent
+    * with itself.
     */
   private def commit(spark: SparkSession, path: String, action: String,
                      files: Seq[String], txn: Option[String] = None): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
-    val hfs = fs(spark, path)
-    hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
-      txn.foreach { t =>
-        history(spark, path).find(_.txn.contains(t)).foreach { prior =>
-          return prior.version // already landed: redelivery is a no-op
-        }
-      }
-      val v = latestVersion(spark, path) + 1
-      val rec = Commit(v, action, files, System.currentTimeMillis(), txn)
-      try {
-        writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
-          render(rec))
-        if (v % CheckpointEvery == 0) // best-effort; readers never require it
-          scala.util.Try(writeNew(hfs,
-            new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
-            render(Commit(v, "checkpoint", liveFiles(spark, path, v),
-              rec.ts))))
-        return v
-      } catch {
-        case _: java.io.IOException => // version claimed by a racer:
-          attempt += 1 // re-read the log and retry on top of it
+      txn.flatMap(txnLanded(spark, path, _)) match {
+        case Some(prior) => return prior // redelivery: a no-op
+        case None =>
+          commitAt(spark, path, latestVersion(spark, path) + 1,
+              action, files, txn) match {
+            case Some(v) => return v
+            case None    => attempt += 1 // re-read the log, retry on top
+          }
       }
     }
     throw new IllegalStateException(
@@ -280,8 +361,8 @@ object TxTable {
     requireSchemaMatch(spark, path, df)
     // redelivery fast path: a txn that already landed skips even the
     // staging write (commit re-checks inside its retry loop regardless)
-    txn.flatMap(t => history(spark, path).find(_.txn.contains(t))) match {
-      case Some(prior) => prior.version
+    txn.flatMap(txnLanded(spark, path, _)) match {
+      case Some(prior) => prior
       case None => commit(spark, path, "append", stage(spark, path, df), txn)
     }
   }
@@ -318,22 +399,52 @@ object TxTable {
   /** Rewrite the current snapshot into `numFiles` files as an
     * overwrite commit — content-identical (the spec pins it), fewer
     * tasks for every downstream reader. Old versions stay readable.
+    *
+    * CONFLICT-SAFE, unlike a bare overwrite-of-read: the rewrite is
+    * committed at exactly headVersion+1 via a single claim attempt —
+    * if ANY commit interleaved between the read and the claim (a
+    * racing append whose rows the rewrite does not contain), the
+    * claim loses and the whole read-coalesce-stage cycle re-runs on
+    * the new head. A blind overwrite would silently drop the racer's
+    * rows from the head while its append() reported success.
     */
-  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
-    overwrite(spark, path, read(spark, path).coalesce(numFiles))
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      val files = stage(spark, path,
+        readVersion(spark, path, head).coalesce(numFiles))
+      commitAt(spark, path, head + 1, "overwrite", files, None) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // a commit interleaved: restage on top
+      }
+    }
+    throw new IllegalStateException(
+      s"could not compact $path after $MaxCommitRetries attempts")
+  }
 
-  /** Delete `data-*` dirs no commit references — crashed or lost-race
-    * stagings. Never touches log-reachable files: every historical
-    * version stays readable. Returns the number of dirs removed.
+  /** Stagings younger than this are presumed in-flight, not crashed. */
+  val VacuumMinAgeMs: Long = 3600 * 1000L
+
+  /** Delete `data-*` dirs no commit references AND older than
+    * `olderThanMs` — crashed or lost-race stagings. The age floor is
+    * what makes this safe against a LIVE writer that has staged but
+    * not yet committed (its dir is unreferenced too); deleting young
+    * stagings would let its commit land referencing deleted files.
+    * Never touches log-reachable files: every historical version stays
+    * readable. Returns the number of dirs removed.
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
+  def vacuum(spark: SparkSession, path: String,
+             olderThanMs: Long = VacuumMinAgeMs): Int = {
     val hfs = fs(spark, path)
     val referenced = history(spark, path).flatMap(_.files)
       .map(_.takeWhile(_ != '/')).toSet
-    val dirs = hfs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .map(_.getPath).filter(_.getName.startsWith("data-"))
-    val orphans = dirs.filterNot(d => referenced.contains(d.getName))
-    orphans.foreach(d => hfs.delete(d, true))
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val orphans = hfs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(st => st.getPath.getName.startsWith("data-") &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+    orphans.foreach(st => hfs.delete(st.getPath, true))
     orphans.size
   }
 }

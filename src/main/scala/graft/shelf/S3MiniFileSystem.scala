@@ -225,7 +225,18 @@ final class S3MiniFileSystem extends FileSystem {
       else if (!recursive)
         throw new IOException(s"$f is a non-empty prefix; recursive=false")
       else {
-        keys.foreach { case (k, _) => request("DELETE", objectUrl(k), null) }
+        // per-key status IS checked: a swallowed failure here would
+        // report the prefix gone while keys survive — callers that
+        // wipe-then-rebuild (marker-gated scratch, TxTable renumber)
+        // would then mix stale files into the rebuilt layout
+        val failed = keys.flatMap { case (k, _) =>
+          val (code, _, _) = request("DELETE", objectUrl(k), null)
+          if (code == 204 || code == 200) None else Some(s"$k: HTTP $code")
+        }
+        if (failed.nonEmpty)
+          throw new IOException(
+            s"recursive delete $f left ${failed.size} keys: " +
+              failed.take(3).mkString("; "))
         true
       }
     }

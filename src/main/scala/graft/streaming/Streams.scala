@@ -71,7 +71,15 @@ object Streams {
   private def hadoopDir(spark: SparkSession, path: String): Boolean =
     try graft.api.Dedup.hadoopFs(spark, path)
       .getFileStatus(new org.apache.hadoop.fs.Path(path)).isDirectory
-    catch { case _: Exception => false }
+    catch {
+      // ONLY not-found means "not a directory" — a transient FS error
+      // must propagate: swallowed into `false`, a directory-layout
+      // table would be streamed through the single-file branch (zero
+      // files match) and the EMPTY result would be fingerprint-
+      // published into the replay store as if it were the answer —
+      // the exact silent-empty-stream defect this check exists to fix.
+      case _: java.io.FileNotFoundException => false
+    }
 
   /** Run a streaming DF to completion into a memory sink; return the
     * resulting table as a batch DataFrame.

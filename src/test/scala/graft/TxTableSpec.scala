@@ -162,6 +162,34 @@ class TxTableSpec extends AnyFunSuite {
       "three batches, three append commits, despite six deliveries")
   }
 
+  test("truncate to empty stays a readable, appendable table") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.overwrite(spark, t,
+      Seq((1L, "a")).toDF("id", "v").filter(col("id") > 100))
+    assert(TxTable.read(spark, t).count() === 0L)
+    assert(TxTable.read(spark, t).columns.toSeq === Seq("id", "v"),
+      "the empty head still carries the schema")
+    TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"))
+    assert(rows(t) === Set((2L, "b")))
+  }
+
+  test("txn idempotence survives checkpoint folding") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((0L, "base")).toDF("id", "v"))
+    (1 to 12).foreach(i => TxTable.append(spark, t,
+      Seq((i.toLong, s"r$i")).toDF("id", "v"), txn = Some(s"a:$i")))
+    assert(TxTable.latestVersion(spark, t) === 13L)
+    val n = TxTable.read(spark, t).count()
+    // txn a:3 landed BEFORE the v10 checkpoint — its id now lives in
+    // the checkpoint's folded txn set, not a tail record; redelivery
+    // must still be absorbed
+    TxTable.append(spark, t, Seq((3L, "r3")).toDF("id", "v"),
+      txn = Some("a:3"))
+    assert(TxTable.read(spark, t).count() === n, "folded txn absorbed")
+    assert(TxTable.latestVersion(spark, t) === 13L, "no new version")
+  }
+
   test("vacuum removes only unreferenced stagings; history stays readable") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
@@ -169,11 +197,15 @@ class TxTableSpec extends AnyFunSuite {
     // a crashed staging: data written, commit never landed
     Seq((99L, "orphan")).toDF("id", "v")
       .write.parquet(s"$t/data-deadbeef0000")
-    assert(TxTable.vacuum(spark, t) === 1, "exactly the orphan is removed")
+    assert(TxTable.vacuum(spark, t) === 0,
+      "a YOUNG unreferenced staging is presumed in-flight: the default " +
+        "age floor must leave it for the writer whose commit is coming")
+    assert(TxTable.vacuum(spark, t, olderThanMs = 0L) === 1,
+      "past the age floor, exactly the orphan is removed")
     assert(!new java.io.File(s"$t/data-deadbeef0000").exists())
     assert(rows(t) === Set((1L, "a"), (2L, "b")))
     assert(TxTable.readVersion(spark, t, 1).count() === 1L,
       "vacuum never touches log-reachable files")
-    assert(TxTable.vacuum(spark, t) === 0)
+    assert(TxTable.vacuum(spark, t, olderThanMs = 0L) === 0)
   }
 }
