@@ -342,7 +342,12 @@ object TxTable {
     if (v == 0) return // first commit defines the schema
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => f.name -> f.dataType).toMap
-    val table = shape(readVersion(spark, path, v).schema)
+    // ONE footer, not the whole snapshot: every live file carries the
+    // full table schema (schema-on-write is what this check enforces),
+    // so reading the first is sufficient and keeps the per-append cost
+    // flat as the table accretes files
+    val table = shape(spark.read
+      .parquet(s"$path/${liveFiles(spark, path, v).head}").schema)
     val staged = shape(df.schema)
     require(staged == table,
       s"append schema mismatch for $path: table has $table, append has $staged")
