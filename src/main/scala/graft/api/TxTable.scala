@@ -413,19 +413,56 @@ object TxTable {
     * the new head. A blind overwrite would silently drop the racer's
     * rows from the head while its append() reported success.
     */
-  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long = {
+  def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
+    rewriteHead(spark, path, "compact")(_.coalesce(numFiles))
+
+  /** Upsert by key: rows of `updates` replace head rows sharing their
+    * `keyCols` values; unmatched update rows insert. One overwrite
+    * commit, conflict-safe like [[compact]] — a racing append between
+    * the read and the claim restarts the merge on the new head, so
+    * its rows are never silently dropped. (File-level merge — only
+    * rewriting files that contain matched keys — is the data-skipping
+    * refinement; the TRANSACTIONAL contract is identical.)
+    */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+            keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    requireSchemaMatch(spark, path, updates)
+    rewriteHead(spark, path, "merge")(head =>
+      head.join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+          .distinct(), keyCols, "left_anti")
+        .unionByName(updates))
+  }
+
+  /** Transactional delete: head rows matching `cond` are removed in
+    * one overwrite commit (conflict-safe like [[compact]]).
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+                  cond: org.apache.spark.sql.Column): Long =
+    rewriteHead(spark, path, "delete")(_.filter(!cond))
+
+  /** The shared conflict-safe head rewrite every whole-table mutation
+    * (compact / merge / deleteWhere) commits through: transform the
+    * snapshot at the observed head, claim EXACTLY head+1 — if any
+    * commit interleaved, the claim loses and the whole
+    * read-transform-stage cycle re-runs on the new head. A blind
+    * overwrite would silently drop a racing append's rows while its
+    * append() reported success.
+    */
+  private def rewriteHead(spark: SparkSession, path: String, what: String)(
+      transform: DataFrame => DataFrame): Long = {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val head = latestVersion(spark, path)
       val files = stage(spark, path,
-        readVersion(spark, path, head).coalesce(numFiles))
+        transform(readVersion(spark, path, head)))
       commitAt(spark, path, head + 1, "overwrite", files, None) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }
     }
     throw new IllegalStateException(
-      s"could not compact $path after $MaxCommitRetries attempts")
+      s"could not $what $path after $MaxCommitRetries attempts")
   }
 
   /** Stagings younger than this are presumed in-flight, not crashed. */

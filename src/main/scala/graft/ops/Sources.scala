@@ -62,7 +62,7 @@ object Sources {
   private val ScratchFormatVersion = 1
 
   private def ensure(s: SparkSession, dir: String, fmt: String,
-                     srcTables: Seq[String])
+                     srcTables: Seq[String], ver: Int = 1)
                     (write: String => Unit): String = {
     val out = s"${ioDir(dir)}/$fmt"
     val key = (System.identityHashCode(s), dir, fmt)
@@ -103,7 +103,7 @@ object Sources {
         // testdata dir changes mtimes → fingerprint mismatch → rewrite.
         // The `_`-prefixed marker is invisible to both Spark reads and
         // the oracle's extension globs.
-        val fp = s"v$ScratchFormatVersion:" + graft.api.Dedup
+        val fp = s"v$ScratchFormatVersion.$ver:" + graft.api.Dedup
           .sourceFingerprint(s, srcTables.map(n => s"$dir/$n.parquet"): _*)
         val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
         if (!graft.api.Dedup.markerFresh(marker, fp)(
@@ -513,6 +513,36 @@ object Sources {
       (s, dir) => graft.api.TxTable.read(s, ensureTx(s, dir))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
+    // Transactional MERGE + DELETE: the upsert table started as the
+    // full corpus, merged an update set (doc_id%7 rewritten to
+    // source='merged' with n_chars+1; doc_id%13 re-keyed +1e6 as
+    // inserts), then transactionally deleted doc_id%11. The oracle
+    // replays the same algebra over the SOURCE table — matched-key
+    // replacement, unmatched insert, then the delete predicate — so
+    // any lost update, double-applied merge, or leaked deleted row
+    // breaks the hash.
+    Q("q_tx_upsert",
+      Some("""WITH upd AS (
+                SELECT doc_id, text, lang, 'merged' AS source,
+                       n_chars + 1 AS n_chars
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, 'inserted', n_chars
+                FROM documents WHERE doc_id % 13 = 0),
+              head AS (
+                SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+                FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+                UNION ALL SELECT * FROM upd)
+              SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM head WHERE NOT (doc_id % 11 = 0)
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxUpsert(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source"))
   )
 
@@ -524,17 +554,38 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTx(s: SparkSession, dir: String): String = {
-    val out = ensure(s, dir, "txtable", Seq("documents")) { base =>
-      val table = s"$base/t"
-      graft.api.Dedup.hadoopFs(s, table)
-        .delete(new org.apache.hadoop.fs.Path(table), true)
+    val out = ensure(s, dir, "txtable", Seq("documents"), ver = 2) { base =>
+      import graft.api.TxTable
       val docs = t(s, dir, "documents")
-      graft.api.TxTable.overwrite(s, table, docs.filter(col("doc_id") % 10 =!= 0))
-      graft.api.TxTable.append(s, table, docs.filter(col("doc_id") % 10 === 0))
-      graft.api.TxTable.compact(s, table, numFiles = 4)
-      graft.api.TxTable.vacuum(s, table)
+      // table "t": overwrite -> append -> compact (q_tx_timetravel /
+      // q_tx_acid); table "u": merge upsert + transactional delete
+      // (q_tx_upsert). Version numbering is part of the queries'
+      // contract, so a rebuild wipes stale tables first — committing
+      // on top of an old log would renumber history.
+      Seq("t", "u").foreach { n =>
+        graft.api.Dedup.hadoopFs(s, s"$base/$n")
+          .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
+      }
+      val table = s"$base/t"
+      TxTable.overwrite(s, table, docs.filter(col("doc_id") % 10 =!= 0))
+      TxTable.append(s, table, docs.filter(col("doc_id") % 10 === 0))
+      TxTable.compact(s, table, numFiles = 4)
+      TxTable.vacuum(s, table)
+      val up = s"$base/u"
+      TxTable.overwrite(s, up, docs)
+      val updates = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1)
+        .unionByName(docs.filter(col("doc_id") % 13 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("source", lit("inserted")))
+      TxTable.merge(s, up, updates, Seq("doc_id"))
+      TxTable.deleteWhere(s, up, col("doc_id") % 11 === 0)
       ()
     }
     s"$out/t"
   }
+
+  private[graft] def ensureTxUpsert(s: SparkSession, dir: String): String =
+    ensureTx(s, dir).stripSuffix("/t") + "/u"
 }

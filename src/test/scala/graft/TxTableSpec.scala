@@ -162,6 +162,25 @@ class TxTableSpec extends AnyFunSuite {
       "three batches, three append commits, despite six deliveries")
   }
 
+  test("merge upserts by key; deleteWhere removes; history untouched") {
+    val t = fresh()
+    TxTable.overwrite(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    TxTable.merge(spark, t,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    assert(rows(t) === Set((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")),
+      "matched key replaced, unmatched inserted")
+    TxTable.deleteWhere(spark, t, col("id") < 2)
+    assert(rows(t) === Set((2L, "B2"), (3L, "c"), (4L, "d")))
+    assert(TxTable.readVersion(spark, t, 1).count() === 3L,
+      "mutations never rewrite history")
+    val wrong = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t, Seq((5, "x")).toDF("id", "v"), Seq("id"))
+    }
+    assert(wrong.getMessage.contains("schema mismatch"),
+      "merge is schema-enforced like append")
+  }
+
   test("truncate to empty stays a readable, appendable table") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
