@@ -769,12 +769,13 @@ object Dedup {
   private[graft] val LockWarnAfterMs = 5000L
 
   /** Cross-PROCESS publish lock on an index path: an atomic
-    * create-if-absent of `$path.lock` serializes concurrent publishers
-    * (create(overwrite=false) is atomic on posix and HDFS — on Hadoop's
-    * Local/ChecksumFileSystem the create is check-then-create, leaving
-    * a microscopic local-FS acquisition race; the staged publishes are
-    * publisher-unique, so the worst case there is a double swap, not a
-    * mixed index). A lock older than [[PublishLockStaleMs]] is presumed
+    * create-if-absent of `$path.lock` serializes concurrent publishers.
+    * On the local FS the claim goes through java.nio CREATE_NEW (real
+    * O_EXCL) — Hadoop's Local/ChecksumFileSystem create is
+    * check-then-create, and under full-suite contention two same-JVM
+    * publishers did once both acquire through it (a reader then caught
+    * meta.json absent mid-double-swap); HDFS create(overwrite=false)
+    * is atomic natively. A lock older than [[PublishLockStaleMs]] is presumed
     * crashed and STOLEN BY ATOMIC RENAME to a stealer-unique name —
     * only the successful renamer retires it and retries the create, so
     * two waiters can never both judge-stale and one delete the OTHER's
@@ -799,10 +800,26 @@ object Dedup {
     var acquired = false
     while (!acquired) {
       try {
-        val out = fs.create(lock, false) // atomic create-if-absent
-        out.write((s"${java.lang.ProcessHandle.current().pid()}@" +
-          s"${System.currentTimeMillis()}").getBytes("UTF-8"))
-        out.close()
+        val content = (s"${java.lang.ProcessHandle.current().pid()}@" +
+          s"${System.currentTimeMillis()}").getBytes("UTF-8")
+        if (fs.getScheme == "file") {
+          // Hadoop's local ChecksumFS create(overwrite=false) is
+          // check-then-create — under full-suite contention two
+          // publishers DID both acquire (meta.json vanished under a
+          // reader mid-swap). java.nio CREATE_NEW is a real O_EXCL,
+          // so local acquisition is genuinely atomic; throws
+          // FileAlreadyExistsException (an IOException) on the lost
+          // race, the same signal the wait loop keys on.
+          val p = java.nio.file.Paths.get(lock.toUri.getPath)
+          java.nio.file.Files.write(p, content,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          ()
+        } else {
+          val out = fs.create(lock, false) // atomic on HDFS
+          out.write(content)
+          out.close()
+        }
         acquired = true
       } catch { case _: java.io.IOException =>
         val stale = try {

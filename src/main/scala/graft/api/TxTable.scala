@@ -337,7 +337,8 @@ object TxTable {
     * Spark schemas).
     */
   private def requireSchemaMatch(spark: SparkSession, path: String,
-                                 df: DataFrame): Unit = {
+                                 df: DataFrame,
+                                 what: String = "append"): Unit = {
     val v = latestVersion(spark, path)
     if (v == 0) return // first commit defines the schema
     def shape(s: org.apache.spark.sql.types.StructType) =
@@ -350,7 +351,7 @@ object TxTable {
       .parquet(s"$path/${liveFiles(spark, path, v).head}").schema)
     val staged = shape(df.schema)
     require(staged == table,
-      s"append schema mismatch for $path: table has $table, append has $staged")
+      s"$what schema mismatch for $path: table has $table, $what has $staged")
   }
 
   /** Replace the table content (also the create form — v1 overwrite). */
@@ -426,20 +427,41 @@ object TxTable {
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    requireSchemaMatch(spark, path, updates)
+    requireSchemaMatch(spark, path, updates, "merge")
+    // Key hygiene up front, one aggregation job: duplicate keys inside
+    // `updates` would land BOTH rows (the anti-join removes the head
+    // row once, the union inserts every duplicate) and a NULL key can
+    // never match in the join, so each re-merge would ACCUMULATE a new
+    // NULL-key row instead of replacing — both silently corrupt the
+    // upsert's key contract, so both reject loudly (the Delta MERGE
+    // multiple-source-matches rule).
+    val violations = updates
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 ||
+        keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).count()
+    require(violations == 0L,
+      s"merge updates must carry unique, non-null values for " +
+        s"key columns ${keyCols.mkString(",")}")
     rewriteHead(spark, path, "merge")(head =>
-      head.join(updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
-          .distinct(), keyCols, "left_anti")
+      head.join(updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_anti")
         .unionByName(updates))
   }
 
-  /** Transactional delete: head rows matching `cond` are removed in
-    * one overwrite commit (conflict-safe like [[compact]]).
+  /** Transactional delete: head rows where `cond` is TRUE are removed
+    * in one overwrite commit (conflict-safe like [[compact]]). SQL
+    * DELETE semantics: a row where the predicate evaluates to NULL is
+    * KEPT — a bare `filter(!cond)` would silently delete it, since
+    * !NULL is NULL and filters drop non-TRUE rows.
     */
   def deleteWhere(spark: SparkSession, path: String,
                   cond: org.apache.spark.sql.Column): Long =
-    rewriteHead(spark, path, "delete")(_.filter(!cond))
+    rewriteHead(spark, path, "delete")(_.filter(
+      !org.apache.spark.sql.functions.coalesce(cond,
+        org.apache.spark.sql.functions.lit(false))))
 
   /** The shared conflict-safe head rewrite every whole-table mutation
     * (compact / merge / deleteWhere) commits through: transform the
@@ -454,6 +476,10 @@ object TxTable {
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val head = latestVersion(spark, path)
+      if (head == 0)
+        throw new IllegalStateException(
+          s"cannot $what $path: the table has no commits yet " +
+            "(create it with overwrite first)")
       val files = stage(spark, path,
         transform(readVersion(spark, path, head)))
       commitAt(spark, path, head + 1, "overwrite", files, None) match {

@@ -177,8 +177,37 @@ class TxTableSpec extends AnyFunSuite {
     val wrong = intercept[IllegalArgumentException] {
       TxTable.merge(spark, t, Seq((5, "x")).toDF("id", "v"), Seq("id"))
     }
-    assert(wrong.getMessage.contains("schema mismatch"),
-      "merge is schema-enforced like append")
+    assert(wrong.getMessage.contains("merge schema mismatch"),
+      "merge is schema-enforced and the error names merge, not append")
+    // key hygiene: a duplicate or NULL key in updates would silently
+    // corrupt the upsert contract (both dup rows land; a NULL key
+    // accumulates instead of replacing) — both reject loudly
+    val dup = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t,
+        Seq((9L, "x"), (9L, "y")).toDF("id", "v"), Seq("id"))
+    }
+    assert(dup.getMessage.contains("unique, non-null"))
+    val nul = intercept[IllegalArgumentException] {
+      TxTable.merge(spark, t,
+        Seq((Some(9L), "x"), (None, "y"))
+          .toDF("id", "v"), Seq("id"))
+    }
+    assert(nul.getMessage.contains("unique, non-null"))
+  }
+
+  test("deleteWhere keeps NULL-evaluating rows; empty-table mutations refuse") {
+    val t = fresh()
+    TxTable.overwrite(spark, t,
+      Seq((Some("x"), 1L), (None, 2L)).toDF("v", "id"))
+    // SQL DELETE semantics: predicate NULL (null === \"x\") must KEEP
+    // the row, not silently delete it via !NULL
+    TxTable.deleteWhere(spark, t, col("v") === "x")
+    assert(TxTable.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(2L))
+    val e = intercept[IllegalStateException] {
+      TxTable.deleteWhere(spark, fresh(), col("id") > 0)
+    }
+    assert(e.getMessage.contains("no commits yet"))
   }
 
   test("truncate to empty stays a readable, appendable table") {
