@@ -811,6 +811,11 @@ object Dedup {
           // FileAlreadyExistsException (an IOException) on the lost
           // race, the same signal the wait loop keys on.
           val p = java.nio.file.Paths.get(lock.toUri.getPath)
+          // unlike fs.create, nio does not create parents — without
+          // this a missing parent reads as a perpetual "lost race"
+          // and the waiter spins to the deadline
+          Option(p.getParent)
+            .foreach(java.nio.file.Files.createDirectories(_))
           java.nio.file.Files.write(p, content,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
