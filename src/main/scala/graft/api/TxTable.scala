@@ -68,7 +68,8 @@ object TxTable {
 
   final case class Commit(version: Long, action: String,
                           files: Seq[String], ts: Long,
-                          txn: Option[String] = None)
+                          txn: Option[String] = None,
+                          stats: Map[String, (Long, Long)] = Map.empty)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -90,6 +91,10 @@ object TxTable {
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""files":[${c.files.map("\"" + _ + "\"").mkString(",")}],""" +
       c.txn.map(t => s""""txn":"$t",""").getOrElse("") +
+      (if (c.stats.isEmpty) ""
+       else s""""stats":[${c.stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+         s"""{"f":"$f","lo":$lo,"hi":$hi}"""
+       }.mkString(",")}],""") +
       s""""ts":${c.ts},"writer":"${java.lang.ProcessHandle.current().pid()}"}"""
 
   private val VersionRe = """"version":(\d+)""".r
@@ -98,6 +103,9 @@ object TxTable {
   private val FileRe = """"([^"]+)"""".r
   private val TsRe = """"ts":(\d+)""".r
   private val TxnRe = """"txn":"([^"]+)"""".r
+  private val StatsRe = """"stats":\[(.*?)\]""".r
+  private val StatRe =
+    """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
 
   private def parse(txt: String): Commit = Commit(
     VersionRe.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -107,7 +115,11 @@ object TxTable {
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Seq.empty),
     TsRe.findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L),
-    TxnRe.findFirstMatchIn(txt).map(_.group(1)))
+    TxnRe.findFirstMatchIn(txt).map(_.group(1)),
+    StatsRe.findFirstMatchIn(txt).map(m =>
+      StatRe.findAllMatchIn(m.group(1)).map(s =>
+        s.group(1) -> (s.group(2).toLong, s.group(3).toLong)).toMap)
+      .getOrElse(Map.empty))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -200,22 +212,33 @@ object TxTable {
     * what keeps txn-idempotent streaming ingest O(checkpoint + tail)
     * per append instead of an O(commits²) full-log rescan.
     */
+  /** The folded table state at a version: live files, landed txns,
+    * and per-file cluster-column (lo, hi) stats where a clustered
+    * write recorded them (files without stats are simply unprunable).
+    */
+  private final case class State(files: Seq[String],
+                                 txns: Map[String, Long],
+                                 stats: Map[String, (Long, Long)])
+
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
-                        version: Long): (Seq[String], Map[String, Long]) = {
+                        version: Long): State = {
     val (commitVs, ckVs) = logVersions(hfs, path)
-    val (files0, txns0, startAfter) = ckVs.filter(_ <= version).lastOption match {
+    val (base, startAfter) = ckVs.filter(_ <= version).lastOption match {
       case Some(cv) =>
         val txt = readSmall(hfs,
           new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))
-        (parse(txt).files, parseTxns(txt).map(_ -> cv).toMap, cv)
-      case None => (Seq.empty[String], Map.empty[String, Long], 0L)
+        val ck = parse(txt)
+        (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats), cv)
+      case None => (State(Seq.empty, Map.empty, Map.empty), 0L)
     }
     commitVs.filter(v => v > startAfter && v <= version)
-      .foldLeft((files0, txns0)) { case ((live, txns), v) =>
+      .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val live2 = if (c.action == "overwrite") c.files else live ++ c.files
-        (live2, c.txn.fold(txns)(t => txns + (t -> v)))
+        val (files2, stats2) =
+          if (c.action == "overwrite") (c.files, c.stats)
+          else (st.files ++ c.files, st.stats ++ c.stats)
+        State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)), stats2)
       }
   }
 
@@ -225,7 +248,7 @@ object TxTable {
     val hfs = fs(spark, path)
     require(logVersions(hfs, path)._1.exists(_ <= version),
       s"no commits at or below version $version in $path")
-    foldState(hfs, path, version)._1
+    foldState(hfs, path, version).files
   }
 
   /** The version a txn landed at, if it ever did (checkpoint + tail). */
@@ -233,7 +256,7 @@ object TxTable {
                         txn: String): Option[Long] = {
     val hfs = fs(spark, path)
     logVersions(hfs, path)._1.lastOption
-      .flatMap(head => foldState(hfs, path, head)._2.get(txn))
+      .flatMap(head => foldState(hfs, path, head).txns.get(txn))
   }
 
   /** Stage `df` as parquet under a commit-unique data dir; returns the
@@ -277,20 +300,24 @@ object TxTable {
     */
   private def commitAt(spark: SparkSession, path: String, v: Long,
                        action: String, files: Seq[String],
-                       txn: Option[String]): Option[Long] = {
+                       txn: Option[String],
+                       stats: Map[String, (Long, Long)] = Map.empty)
+      : Option[Long] = {
     val hfs = fs(spark, path)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
-    val rec = Commit(v, action, files, System.currentTimeMillis(), txn)
+    val rec = Commit(v, action, files, System.currentTimeMillis(), txn, stats)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
       if (v % CheckpointEvery == 0)
         scala.util.Try {
-          val (live, txns) = foldState(hfs, path, v)
-          val ck = render(Commit(v, "checkpoint", live, rec.ts))
+          val st = foldState(hfs, path, v)
+          // checkpoint = files + per-file stats + cumulative txn set
+          val ck = render(Commit(v, "checkpoint", st.files, rec.ts,
+            stats = st.stats))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
-              s""","txns":[${txns.keys.toSeq.sorted
+              s""","txns":[${st.txns.keys.toSeq.sorted
                 .map("\"" + _ + "\"").mkString(",")}]}""")
         }
       Some(v)
@@ -310,7 +337,8 @@ object TxTable {
     * with itself.
     */
   private def commit(spark: SparkSession, path: String, action: String,
-                     files: Seq[String], txn: Option[String] = None): Long = {
+                     files: Seq[String], txn: Option[String] = None,
+                     stats: Map[String, (Long, Long)] = Map.empty): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     var attempt = 0
@@ -319,7 +347,7 @@ object TxTable {
         case Some(prior) => return prior // redelivery: a no-op
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
-              action, files, txn) match {
+              action, files, txn, stats) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -357,6 +385,62 @@ object TxTable {
   /** Replace the table content (also the create form — v1 overwrite). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
     commit(spark, path, "overwrite", stage(spark, path, df))
+
+  /** Overwrite CLUSTERED by a long-typed column: rows are
+    * range-partitioned and sorted by `clusterCol`, and each staged
+    * file's (min, max) of that column is recorded IN THE COMMIT LOG —
+    * the data-skipping metadata that lets [[readRange]] prune files at
+    * planning time from the log alone. This is the 100 TB read-path
+    * shape: a point/range lookup on the cluster key touches
+    * O(matching files), not O(table), and the planner never lists or
+    * footer-reads the skipped files. Stats cost one narrow aggregation
+    * over the staged data (a single column, grouped by file).
+    * Composes with [[graft.api.Layout]]: z-order the frame first and
+    * cluster on the morton column for multi-dimensional skipping.
+    */
+  def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
+                         clusterCol: String, numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val sorted = df
+      .repartitionByRange(math.max(1, numFiles), col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+    val files = stage(spark, path, sorted)
+    val stats = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+      .groupBy(input_file_name().as("__f"))
+      .agg(min(col(clusterCol)).as("__lo"), max(col(clusterCol)).as("__hi"))
+      .collect() // one row per staged file — bounded driver metadata
+      .flatMap { r =>
+        // input_file_name is a URI; map it back to the staged relative
+        // name (unique basenames within the commit-unique dir)
+        val base = r.getString(0).split('/').last
+        files.find(_.endsWith(s"/$base")).map(f =>
+          f -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+    commit(spark, path, "overwrite", files, stats = stats)
+  }
+
+  /** Range read over the cluster column: files whose recorded
+    * (lo, hi) cannot intersect [lo, hi] are pruned FROM THE LOG before
+    * Spark ever sees them; files without stats (plain appends) are
+    * always read — pruning is an optimization, never a correctness
+    * filter, so the residual predicate is still applied.
+    */
+  def readRange(spark: SparkSession, path: String, clusterCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val st = foldState(hfs, path, head)
+    require(st.files.nonEmpty, s"version $head of $path holds no files")
+    val kept = st.files.filter(f => st.stats.get(f) match {
+      case Some((flo, fhi)) => fhi >= lo && flo <= hi
+      case None             => true // unprunable: always read
+    })
+    val base =
+      if (kept.isEmpty) readVersion(spark, path, head).limit(0)
+      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    base.filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
+  }
 
   /** Transactionally add rows; concurrent appends all land (commuting
     * retries), each as its own version. Schema-enforced against the

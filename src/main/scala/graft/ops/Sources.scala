@@ -550,6 +550,24 @@ object Sources {
       (s, dir) => graft.api.TxTable.read(s, ensureTxUpsert(s, dir))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
+    // Transactional DATA SKIPPING: the clustered demo table recorded
+    // each file's (lo, hi) of doc_id in the commit log at write time;
+    // readRange prunes non-overlapping files from the LOG before Spark
+    // ever lists them (TxTableSpec pins the pruning itself), and the
+    // oracle recomputes the range from the source table — so a wrong
+    // stat, an over-pruned file, or a missed residual filter all break
+    // the hash.
+    Q("q_tx_skipping",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id BETWEEN 100 AND 400
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readRange(s,
+          ensureTxClustered(s, dir), "doc_id", 100L, 400L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source"))
   )
 
@@ -561,7 +579,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents"), ver = 2) { base =>
+    ensure(s, dir, "txtable", Seq("documents"), ver = 3) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -569,7 +587,7 @@ object Sources {
       // (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u").foreach { n =>
+      Seq("t", "u", "c").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -588,6 +606,11 @@ object Sources {
           .withColumn("source", lit("inserted")))
       TxTable.merge(s, up, updates, Seq("doc_id"))
       TxTable.deleteWhere(s, up, col("doc_id") % 11 === 0)
+      // table "c": clustered by doc_id with per-file (lo, hi) stats in
+      // the commit log (q_tx_skipping reads a range through the
+      // log-level file pruning path)
+      TxTable.overwriteClustered(s, s"$base/c", docs, "doc_id",
+        numFiles = 8)
       ()
     }
 
@@ -596,4 +619,7 @@ object Sources {
 
   private[graft] def ensureTxUpsert(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/u"
+
+  private[graft] def ensureTxClustered(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/c"
 }

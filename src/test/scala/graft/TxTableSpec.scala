@@ -238,6 +238,35 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.latestVersion(spark, t) === 13L, "no new version")
   }
 
+  test("clustered write + readRange: log-level file pruning, exact results") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1000).select(col("id"),
+        concat(lit("r"), col("id")).as("v")), "id", numFiles = 8)
+    val full = TxTable.read(spark, t)
+    assert(full.inputFiles.length === 8)
+    val pruned = TxTable.readRange(spark, t, "id", 100, 150)
+    assert(pruned.inputFiles.length < 8,
+      "stats in the commit log prune files before Spark sees them")
+    assert(pruned.collect().map(_.getLong(0)).toSet ===
+      (100L to 150L).toSet, "pruning never changes the answer")
+    // an unclustered append has no stats → always read (correctness
+    // over pruning), and its rows must appear in later range reads
+    TxTable.append(spark, t, Seq((125L, "dup125")).toDF("id", "v"))
+    val withAppend = TxTable.readRange(spark, t, "id", 100, 150)
+    assert(withAppend.count() === 52L, "the unprunable appended row is seen")
+    // stats survive checkpoint folding: after enough commits for a
+    // checkpoint, pruning still engages from the checkpoint's stats
+    (1 to TxTable.CheckpointEvery).foreach(i => TxTable.append(spark, t,
+      Seq((2000L + i, s"a$i")).toDF("id", "v")))
+    val afterCk = TxTable.readRange(spark, t, "id", 100, 150)
+    assert(afterCk.inputFiles.length < TxTable.read(spark, t).inputFiles.length,
+      "post-checkpoint range reads still prune the clustered files")
+    assert(afterCk.count() === 52L)
+    // out-of-range: every clustered file pruned, appends still scanned
+    assert(TxTable.readRange(spark, t, "id", 5000, 6000).count() === 0L)
+  }
+
   test("vacuum removes only unreferenced stagings; history stays readable") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
