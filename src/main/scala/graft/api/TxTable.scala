@@ -69,7 +69,8 @@ object TxTable {
   final case class Commit(version: Long, action: String,
                           files: Seq[String], ts: Long,
                           txn: Option[String] = None,
-                          stats: Map[String, (Long, Long)] = Map.empty)
+                          stats: Map[String, (Long, Long)] = Map.empty,
+                          statsCol: Option[String] = None)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -91,6 +92,7 @@ object TxTable {
     s"""{"version":${c.version},"action":"${c.action}",""" +
       s""""files":[${c.files.map("\"" + _ + "\"").mkString(",")}],""" +
       c.txn.map(t => s""""txn":"$t",""").getOrElse("") +
+      c.statsCol.map(sc => s""""statsCol":"$sc",""").getOrElse("") +
       (if (c.stats.isEmpty) ""
        else s""""stats":[${c.stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
          s"""{"f":"$f","lo":$lo,"hi":$hi}"""
@@ -103,6 +105,7 @@ object TxTable {
   private val FileRe = """"([^"]+)"""".r
   private val TsRe = """"ts":(\d+)""".r
   private val TxnRe = """"txn":"([^"]+)"""".r
+  private val StatsColRe = """"statsCol":"([^"]+)"""".r
   private val StatsRe = """"stats":\[(.*?)\]""".r
   private val StatRe =
     """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
@@ -119,7 +122,8 @@ object TxTable {
     StatsRe.findFirstMatchIn(txt).map(m =>
       StatRe.findAllMatchIn(m.group(1)).map(s =>
         s.group(1) -> (s.group(2).toLong, s.group(3).toLong)).toMap)
-      .getOrElse(Map.empty))
+      .getOrElse(Map.empty),
+    StatsColRe.findFirstMatchIn(txt).map(_.group(1)))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -203,22 +207,22 @@ object TxTable {
   def latestVersion(spark: SparkSession, path: String): Long =
     logVersions(fs(spark, path), path)._1.lastOption.getOrElse(0L)
 
-  /** Fold the table state at `version` from the newest checkpoint
-    * at-or-below it plus the tail commits after it — never a full log
-    * replay. Returns (live files, landed txn → version). Txns folded
-    * into the checkpoint map to the CHECKPOINT version (the exact
-    * landing version is no longer retained — callers only need
-    * "already landed"); tail txns map to their real version. This is
-    * what keeps txn-idempotent streaming ingest O(checkpoint + tail)
-    * per append instead of an O(commits²) full-log rescan.
-    */
-  /** The folded table state at a version: live files, landed txns,
-    * and per-file cluster-column (lo, hi) stats where a clustered
-    * write recorded them (files without stats are simply unprunable).
+  /** The folded table state at a version — live files, landed txns,
+    * per-file cluster-column (lo, hi) stats, and the column the stats
+    * describe — resolved from the newest checkpoint at-or-below the
+    * version plus the tail commits after it, never a full log replay
+    * (what keeps both snapshot resolution and txn-idempotence
+    * O(checkpoint + tail)). Txns folded into a checkpoint map to the
+    * CHECKPOINT version (callers only need "already landed"); tail
+    * txns map to their real version. Files without stats are simply
+    * unprunable; `statsCol` names the column the recorded ranges are
+    * FOR, so a range read on a different column rejects instead of
+    * silently pruning with the wrong bounds.
     */
   private final case class State(files: Seq[String],
                                  txns: Map[String, Long],
-                                 stats: Map[String, (Long, Long)])
+                                 stats: Map[String, (Long, Long)],
+                                 statsCol: Option[String])
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -228,17 +232,19 @@ object TxTable {
         val txt = readSmall(hfs,
           new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))
         val ck = parse(txt)
-        (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats), cv)
-      case None => (State(Seq.empty, Map.empty, Map.empty), 0L)
+        (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
+          ck.statsCol), cv)
+      case None => (State(Seq.empty, Map.empty, Map.empty, None), 0L)
     }
     commitVs.filter(v => v > startAfter && v <= version)
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val (files2, stats2) =
-          if (c.action == "overwrite") (c.files, c.stats)
-          else (st.files ++ c.files, st.stats ++ c.stats)
-        State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)), stats2)
+        val (files2, stats2, col2) =
+          if (c.action == "overwrite") (c.files, c.stats, c.statsCol)
+          else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol)
+        State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
+          stats2, col2)
       }
   }
 
@@ -301,11 +307,13 @@ object TxTable {
   private def commitAt(spark: SparkSession, path: String, v: Long,
                        action: String, files: Seq[String],
                        txn: Option[String],
-                       stats: Map[String, (Long, Long)] = Map.empty)
+                       stats: Map[String, (Long, Long)] = Map.empty,
+                       statsCol: Option[String] = None)
       : Option[Long] = {
     val hfs = fs(spark, path)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
-    val rec = Commit(v, action, files, System.currentTimeMillis(), txn, stats)
+    val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
+      stats, statsCol)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -314,7 +322,7 @@ object TxTable {
           val st = foldState(hfs, path, v)
           // checkpoint = files + per-file stats + cumulative txn set
           val ck = render(Commit(v, "checkpoint", st.files, rec.ts,
-            stats = st.stats))
+            stats = st.stats, statsCol = st.statsCol))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -338,7 +346,8 @@ object TxTable {
     */
   private def commit(spark: SparkSession, path: String, action: String,
                      files: Seq[String], txn: Option[String] = None,
-                     stats: Map[String, (Long, Long)] = Map.empty): Long = {
+                     stats: Map[String, (Long, Long)] = Map.empty,
+                     statsCol: Option[String] = None): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     var attempt = 0
@@ -347,7 +356,7 @@ object TxTable {
         case Some(prior) => return prior // redelivery: a no-op
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
-              action, files, txn, stats) match {
+              action, files, txn, stats, statsCol) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -400,23 +409,56 @@ object TxTable {
     */
   def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
                          clusterCol: String, numFiles: Int = 8): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.col
+    require(df.schema(clusterCol).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"clusterCol '$clusterCol' must be LongType (ids, epoch micros, " +
+        s"morton keys), got ${df.schema(clusterCol).dataType} — validated " +
+        "BEFORE staging so a bad call cannot orphan a staged dir")
     val sorted = df
       .repartitionByRange(math.max(1, numFiles), col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val files = stage(spark, path, sorted)
-    val stats = spark.read.parquet(files.map(f => s"$path/$f"): _*)
-      .groupBy(input_file_name().as("__f"))
-      .agg(min(col(clusterCol)).as("__lo"), max(col(clusterCol)).as("__hi"))
-      .collect() // one row per staged file — bounded driver metadata
-      .flatMap { r =>
-        // input_file_name is a URI; map it back to the staged relative
-        // name (unique basenames within the commit-unique dir)
-        val base = r.getString(0).split('/').last
-        files.find(_.endsWith(s"/$base")).map(f =>
-          f -> (r.getLong(1), r.getLong(2)))
-      }.toMap
-    commit(spark, path, "overwrite", files, stats = stats)
+    commit(spark, path, "overwrite", files,
+      stats = footerStats(spark, path, files, clusterCol),
+      statsCol = Some(clusterCol))
+  }
+
+  /** Per-file (min, max) of `colName` read from the parquet FOOTERS —
+    * O(files) metadata reads, zero data scanned: the writer already
+    * recorded exact column statistics per row group. A file whose
+    * chunks lack usable long statistics (e.g. all-NULL values) gets NO
+    * entry — it stays unprunable-but-always-read, which is the
+    * conservative-correct direction.
+    */
+  private def footerStats(spark: SparkSession, path: String,
+                          files: Seq[String],
+                          colName: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { f =>
+      try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$path/$f"), conf))
+        try {
+          val chunks = r.getFooter.getBlocks.asScala.flatMap(
+            _.getColumns.asScala.filter(_.getPath.toDotString == colName))
+          val ranges = chunks.flatMap { c =>
+            Option(c.getStatistics).filter(_.hasNonNullValue).flatMap(st =>
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  Some((lo.longValue(), hi.longValue()))
+                case _ => None
+              })
+          }
+          // every chunk must carry stats, or the file's true range is
+          // unknown and it must stay unprunable
+          if (ranges.isEmpty || ranges.size != chunks.size) None
+          else Some(f -> (ranges.map(_._1).min, ranges.map(_._2).max))
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
   }
 
   /** Range read over the cluster column: files whose recorded
@@ -432,6 +474,12 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
+    // the recorded stats are FOR st.statsCol — pruning with them
+    // against a different column would silently drop rows (bounds of
+    // the wrong column); reject loudly instead
+    st.statsCol.foreach(sc => require(sc == clusterCol,
+      s"$path is clustered by '$sc', not '$clusterCol' — readRange " +
+        "must use the clustered column (or read() + filter)"))
     val kept = st.files.filter(f => st.stats.get(f) match {
       case Some((flo, fhi)) => fhi >= lo && flo <= hi
       case None             => true // unprunable: always read
@@ -499,7 +547,7 @@ object TxTable {
     * rows from the head while its append() reported success.
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
-    rewriteHead(spark, path, "compact")(_.coalesce(numFiles))
+    rewriteHead(spark, path, "compact", Some(numFiles))(identity)
 
   /** Upsert by key: rows of `updates` replace head rows sharing their
     * `keyCols` values; unmatched update rows insert. One overwrite
@@ -554,9 +602,20 @@ object TxTable {
     * read-transform-stage cycle re-runs on the new head. A blind
     * overwrite would silently drop a racing append's rows while its
     * append() reported success.
+    *
+    * CLUSTERING-PRESERVING: if the head carries a stats column, the
+    * rewritten data is re-clustered by it and fresh per-file footer
+    * stats land in the new commit — a routine compact/merge/delete on
+    * a clustered table must not silently erase its data-skipping
+    * metadata and degrade every later [[readRange]] to a full scan.
+    * `numFilesHint` bounds the rewritten file count (compact's knob);
+    * without it a clustered rewrite keeps the head's file count.
     */
-  private def rewriteHead(spark: SparkSession, path: String, what: String)(
+  private def rewriteHead(spark: SparkSession, path: String, what: String,
+                          numFilesHint: Option[Int] = None)(
       transform: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.col
+    val hfs = fs(spark, path)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val head = latestVersion(spark, path)
@@ -564,9 +623,21 @@ object TxTable {
         throw new IllegalStateException(
           s"cannot $what $path: the table has no commits yet " +
             "(create it with overwrite first)")
-      val files = stage(spark, path,
-        transform(readVersion(spark, path, head)))
-      commitAt(spark, path, head + 1, "overwrite", files, None) match {
+      val st = foldState(hfs, path, head)
+      val transformed = transform(readVersion(spark, path, head))
+      val (files, stats) = st.statsCol match {
+        case Some(sc) =>
+          val target = numFilesHint.getOrElse(math.max(1, st.files.size))
+          val staged = stage(spark, path, transformed
+            .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
+          (staged, footerStats(spark, path, staged, sc))
+        case None =>
+          (stage(spark, path,
+            numFilesHint.fold(transformed)(transformed.coalesce)),
+            Map.empty[String, (Long, Long)])
+      }
+      commitAt(spark, path, head + 1, "overwrite", files, None,
+          stats, st.statsCol) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

@@ -265,6 +265,25 @@ class TxTableSpec extends AnyFunSuite {
     assert(afterCk.count() === 52L)
     // out-of-range: every clustered file pruned, appends still scanned
     assert(TxTable.readRange(spark, t, "id", 5000, 6000).count() === 0L)
+    // maintenance must not erase the skipping metadata: compact
+    // re-clusters by the recorded stats column and lands fresh stats
+    TxTable.compact(spark, t, numFiles = 4)
+    val afterCompact = TxTable.readRange(spark, t, "id", 100, 150)
+    assert(afterCompact.inputFiles.length < 4,
+      "post-compact range reads still prune (stats recomputed)")
+    assert(afterCompact.count() === 52L)
+    // the stats are FOR the clustered column: pruning them against a
+    // different column would be silent row loss — reject loudly
+    val wrongCol = intercept[IllegalArgumentException] {
+      TxTable.readRange(spark, t, "v", 0, 10)
+    }
+    assert(wrongCol.getMessage.contains("clustered by"))
+    // a non-long cluster column rejects BEFORE staging
+    val notLong = intercept[IllegalArgumentException] {
+      TxTable.overwriteClustered(spark, fresh(),
+        Seq(("a", 1L)).toDF("v", "id"), "v")
+    }
+    assert(notLong.getMessage.contains("must be LongType"))
   }
 
   test("vacuum removes only unreferenced stagings; history stays readable") {
