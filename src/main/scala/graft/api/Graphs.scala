@@ -1,0 +1,121 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over an edge list — the web-graph side of a
+  * training-data curation pipeline (host-level PageRank / harmonic-style
+  * centrality is a standard crawl-quality prior: pages from
+  * high-centrality hosts survive filtering, spam hosts drop out). The
+  * reference has no graph surface — its users would export to a graph
+  * tool; here the iteration is plain declarative Spark so it runs where
+  * the data already lives.
+  *
+  * Determinism shape: PageRank is usually computed in floating point,
+  * which is NOT reproducible across engines or partitionings (fp
+  * addition is order-sensitive, and a 1000-executor sum order is
+  * whatever the shuffle delivers). This implementation runs entirely in
+  * FIXED-POINT BIGINT "micro-rank" units: ranks start at `unitMicro`
+  * (1e6), each contribution is an integer floor-division
+  * `rank div out_degree`, and the damped update is
+  * `((dampDen-dampNum)*unitMicro) div dampDen + (dampNum*sum) div dampDen`
+  * — every operation is integer arithmetic, so the result is
+  * bit-identical on any engine, any cluster size, any shuffle order,
+  * and a DuckDB oracle can replay it exactly. Truncation error is
+  * ≤ out_degree micro-units per node per iteration — irrelevant for
+  * ranking, decisive for reproducibility.
+  *
+  * Dangling nodes (no out-edges — every sink in a bipartite
+  * customer→supplier graph) simply do not contribute; their mass is not
+  * redistributed. That is a documented semantic choice (the classic
+  * "PageRank on the web graph" redistribution exists to make the chain
+  * ergodic, which a fixed-iteration ranking does not need) and both
+  * sides of the oracle implement the same choice.
+  *
+  * Scale shape: per iteration, one hash join ranks⋈edges on `src` and
+  * one aggregation by `dst` — the canonical Pregel-free formulation.
+  * Edges carry their out-degree denormalized (one column) so the
+  * iteration needs NO second join against a degree table. For a handful
+  * of iterations the lineage stays a single declarative plan (identical
+  * edge-scan subtrees collapse into ReusedExchange); for deep iteration
+  * counts callers should checkpoint ranks every ~10 rounds — lineage
+  * growth, not data volume, is the limit. Sums of micro-ranks fit
+  * BIGINT up to ~9e12 nodes at unitMicro=1e6.
+  */
+object Graphs {
+
+  /** Deduplicated directed edges with denormalized out-degree, from any
+    * (src, dst) long-keyed frame. One shuffle for the distinct, one for
+    * the degree window — done once, reused every iteration.
+    */
+  def edgesWithOutDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .join(e, "src")
+      .select("src", "dst", "deg")
+  }
+
+  /** Node set of an edge frame (sources ∪ sinks). */
+  def nodes(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("id"))
+      .union(edges.select(col(dstCol).cast("long").as("id")))
+      .where(col("id").isNotNull)
+      .distinct()
+
+  /** Fixed-point PageRank. `edgesDeg` must carry (src, dst, deg) as
+    * produced by [[edgesWithOutDegree]]; `nodeIds` one `id` per node.
+    * Returns (id BIGINT, rank_micro BIGINT) — rank in micro-units,
+    * bit-exact on any engine (see object scaladoc).
+    */
+  def pageRankFixedPoint(
+      edgesDeg: DataFrame,
+      nodeIds: DataFrame,
+      iterations: Int,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      unitMicro: Long = 1000000L): DataFrame = {
+    require(iterations >= 1 && iterations <= 50,
+      s"iterations must be in [1, 50], got $iterations (checkpoint ranks for deeper runs)")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val base = ((dampDen - dampNum) * unitMicro) / dampDen
+    var ranks = nodeIds.select(col("id"), lit(unitMicro).as("r"))
+    for (_ <- 1 to iterations) {
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("id"))
+        .groupBy(edgesDeg("dst").as("id"))
+        .agg(sum(expr("r div deg")).as("contrib"))
+      // Pure-integer damped update: `div` is BIGINT floor division in
+      // Spark SQL (both operands positive here, so floor == trunc ==
+      // DuckDB's `//`). Never `/` — that is double division and the
+      // whole point is zero fp ops.
+      ranks = nodeIds
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          expr(s"CAST($base + ($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) div $dampDen AS BIGINT)")
+            .as("r"))
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
+
+  /** Degree profile: histogram of out- and in-degrees — the one-line
+    * health check of any crawl/link graph (a spam burst shows up as a
+    * fat head, a broken extractor as a missing tail). Output:
+    * (side 'out'|'in', deg BIGINT, n_nodes BIGINT).
+    */
+  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val out = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .select(lit("out").as("side"), col("deg"), col("n_nodes"))
+    val in = e.groupBy("dst").agg(count(lit(1)).as("deg"))
+      .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+      .select(lit("in").as("side"), col("deg"), col("n_nodes"))
+    out.unionByName(in)
+  }
+}

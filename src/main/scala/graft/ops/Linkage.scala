@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import graft.ops.H._
+
+/** Linkage inventory: link-graph centrality, record-linkage fuzzy join,
+  * and CDC reconstruction (SURVEY.md §2B-status round 12 continuation —
+  * q_graph_*, q_join_fuzzy, q_scd2, q_evt_anomaly).
+  *
+  * Every query here is integer-exact end to end (fixed-point micro-rank
+  * units, integer cents, epoch-microsecond validity bounds) — zero
+  * floating-point arithmetic in any decision or output, so the DuckDB
+  * oracle replays bit-for-bit and the result is reproducible on any
+  * partitioning. See graft.api.{Graphs, FuzzyJoin, Cdc} for the
+  * operator semantics and 100-TB shapes.
+  */
+object Linkage {
+
+  /** Shared oracle CTE: the deduplicated customer→supplier link graph
+    * with parity-disjoint vertex ids (custkey·2 / suppkey·2+1), exactly
+    * the frame Sources.ensureGraph materializes for the Spark side.
+    */
+  private val edgesCte =
+    """edges AS (
+         SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+       nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges)"""
+
+  /** One fixed-point damped-update round: contributions are BIGINT floor
+    * divisions, the update is pure integer arithmetic — `//` in DuckDB,
+    * `div` in Spark, identical on the positive values ranks live in.
+    */
+  private def rankRound(prev: String, n: Int): String =
+    s"""c$n AS (SELECT e.dst AS id, CAST(SUM(r.r // o.deg) AS BIGINT) AS contrib
+                FROM edges e JOIN $prev r ON e.src = r.id
+                JOIN outd o ON e.src = o.src GROUP BY 1),
+        r$n AS (SELECT n.id,
+                       CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT) AS r
+                FROM nodes n LEFT JOIN c$n c ON n.id = c.id)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // Link-graph PageRank, 3 damped iterations, entirely in fixed-point
+    // BIGINT micro-rank units (see api/Graphs.scala scaladoc): the
+    // oracle replays the identical integer recurrence from the source
+    // tables, so a wrong degree, a lost dangling semantic, or ANY fp
+    // drift breaks the hash — not just "close" ranks.
+    Q("q_graph_pagerank",
+      Some(s"""WITH $edgesCte,
+                    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+                    ${rankRound("r0", 1)},
+                    ${rankRound("r1", 2)},
+                    ${rankRound("r2", 3)}
+               SELECT id, r AS rank_micro FROM r3 ORDER BY id"""),
+      (s, dir) => {
+        val base = Sources.ensureGraph(s, dir)
+        graft.api.Graphs.pageRankFixedPoint(
+          s.read.parquet(s"$base/edges"), s.read.parquet(s"$base/nodes"),
+          iterations = 3)
+          .orderBy("id")
+      }),
+
+    // Degree profile of the same graph: out- and in-degree histograms —
+    // the one-scan health check of a crawl/link graph.
+    Q("q_graph_degree",
+      Some(s"""WITH $edgesCte,
+                    ind AS (SELECT dst, count(*) AS deg FROM edges GROUP BY 1)
+               SELECT 'out' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM outd GROUP BY 2
+               UNION ALL
+               SELECT 'in' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+               FROM ind GROUP BY 2
+               ORDER BY side, deg"""),
+      (s, dir) => {
+        val base = Sources.ensureGraph(s, dir)
+        graft.api.Graphs.degreeProfile(
+          s.read.parquet(s"$base/edges"), "src", "dst")
+          .orderBy("side", "deg")
+      }),
+
+    // Edit-distance self-join on customer names (distance ≤ 1) via
+    // deletion-neighborhood blocking + exact levenshtein verify
+    // (api/FuzzyJoin.scala). The oracle IS the naive quadratic join —
+    // affordable at test scale on the %4 key slice — so the blocked
+    // plan must reproduce the nested-loop semantics exactly: a lossy
+    // signature (missed pair) or a skipped verify (ab↔ba style
+    // distance-2 survivor) both break the hash.
+    Q("q_join_fuzzy",
+      Some("""WITH names AS (SELECT c_name FROM customer WHERE c_custkey % 4 = 0)
+              SELECT a.c_name AS left_key, b.c_name AS right_key
+              FROM names a JOIN names b ON a.c_name < b.c_name
+              WHERE levenshtein(a.c_name, b.c_name) <= 1
+              ORDER BY 1, 2"""),
+      (s, dir) => graft.api.FuzzyJoin.edSelfJoin(
+          t(s, dir, "customer").filter(col("c_custkey") % 4 === 0), "c_name")
+        .orderBy("left_key", "right_key")),
+
+    // SCD Type-2 reconstruction of the per-user purchase-value dimension
+    // (api/Cdc.scala): change-compressed versions with epoch-micro
+    // validity bounds. Bit-equality only — no fp arithmetic — and a
+    // (ts, event_id) total order, so the history is reproducible.
+    Q("q_scd2",
+      Some("""WITH p AS (SELECT user_id, event_id, value,
+                                CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'purchase'),
+                   d AS (SELECT *,
+                                lag(value) OVER w AS pv,
+                                row_number() OVER w AS rn
+                         FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+                   ch AS (SELECT user_id, event_id, value, ts FROM d
+                          WHERE rn = 1 OR pv IS DISTINCT FROM value)
+              SELECT user_id, event_id, value,
+                     epoch_us(ts) AS valid_from_us,
+                     lead(epoch_us(ts)) OVER w AS valid_to_us,
+                     (lead(epoch_us(ts)) OVER w IS NULL) AS is_current
+              FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+              ORDER BY user_id, valid_from_us, event_id"""),
+      (s, dir) => graft.api.Cdc.scd2(
+          t(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "valid_from_us", "event_id")),
+
+    // Rolling z-score outlier flags over each user's purchase stream,
+    // evaluated entirely in BIGINT ((n·c − Σc)² > z²(n·Σc² − (Σc)²) on
+    // integer cents — api/Cdc.scala): the flag is bit-identical on any
+    // engine/partitioning, so it oracle-checks as a hash, not a rate.
+    Q("q_evt_anomaly",
+      Some("""WITH p AS (SELECT user_id, event_id,
+                                CAST(round(value * 100) AS BIGINT) AS c,
+                                CAST(ts AS TIMESTAMP) AS ts
+                         FROM events WHERE event_type = 'purchase'),
+                   wdw AS (SELECT user_id, event_id, c,
+                                  count(c) OVER w AS n_prior,
+                                  CAST(SUM(c) OVER w AS BIGINT) AS s,
+                                  CAST(SUM(c * c) OVER w AS BIGINT) AS sq
+                           FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+              SELECT user_id, event_id, c AS cents, n_prior,
+                     (n_prior >= 4 AND
+                      (n_prior * c - s) * (n_prior * c - s) >
+                        4 * (n_prior * sq - s * s)) AS is_outlier
+              FROM wdw ORDER BY user_id, event_id"""),
+      (s, dir) => graft.api.Cdc.rollingAnomalies(
+          t(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "event_id"))
+  )
+}

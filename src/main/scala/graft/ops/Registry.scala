@@ -7,7 +7,7 @@ package graft.ops
 object Registry {
   val all: Seq[Q] =
     Relational.qs ++ Windows.qs ++ Funcs.qs ++ Pipeline.qs ++ Extras.qs ++
-      Breadth.qs ++ Sources.qs
+      Breadth.qs ++ Sources.qs ++ Linkage.qs
 
   lazy val byName: Map[String, Q] = {
     val names = all.map(_.name)

@@ -1,0 +1,165 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.{Cdc, FuzzyJoin, Graphs}
+
+/** Contracts of the linkage operators (api/{Graphs, FuzzyJoin, Cdc}):
+  * brute-force equivalence for the blocked fuzzy join, hand-computed
+  * fixed-point ranks, and the SCD2 validity-chain invariants.
+  */
+class LinkageSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- Graphs ----
+
+  test("pageRankFixedPoint reproduces a hand-computed 4-node graph") {
+    // 1→2, 1→3, 2→3 ; node 4 isolated source-side? (no: nodes = edge
+    // endpoints only). outdeg(1)=2, outdeg(2)=1; 3 is a sink.
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val edges = Graphs.edgesWithOutDegree(raw, "src", "dst")
+    val nodes = Graphs.nodes(raw, "src", "dst")
+    val r1 = Graphs.pageRankFixedPoint(edges, nodes, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // unit=1e6, base=150000. contrib into 2: 1e6 div 2 = 500000 →
+    // r(2) = 150000 + 85*500000 div 100 = 575000. contrib into 3:
+    // 500000 (from 1) + 1000000 (from 2) = 1500000 → r(3) = 150000 +
+    // 1275000 = 1425000. r(1) = 150000 (no in-edges).
+    assert(r1 === Map(1L -> 150000L, 2L -> 575000L, 3L -> 1425000L))
+    // second iteration: contrib(2) = 150000 div 2 = 75000 →
+    // r(2) = 150000 + 63750 = 213750; contrib(3) = 75000 + 575000 →
+    // r(3) = 150000 + 85*650000 div 100 = 702500.
+    val r2 = Graphs.pageRankFixedPoint(edges, nodes, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 === Map(1L -> 150000L, 2L -> 213750L, 3L -> 702500L))
+  }
+
+  test("pageRank deduplicates multi-edges and rejects bad iteration counts") {
+    val raw = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("src", "dst")
+    val edges = Graphs.edgesWithOutDegree(raw, "src", "dst")
+    // dedup → outdeg(1) = 1, so 2 receives the full unit, not a third
+    assert(edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq === Seq((1L, 2L, 1L)))
+    val nodes = Graphs.nodes(raw, "src", "dst")
+    val r = Graphs.pageRankFixedPoint(edges, nodes, 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) === 150000L + 85L * 1000000L / 100L)
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankFixedPoint(edges, nodes, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graphs.pageRankFixedPoint(edges, nodes, 51)
+    }
+  }
+
+  test("degreeProfile histograms match direct degree counts") {
+    val raw = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 10L)).toDF("s", "d")
+    val prof = Graphs.degreeProfile(raw, "s", "d")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // out: node1 deg2, nodes 2,3 deg1 → {(1,2 nodes),(2,1 node)}
+    // in: node10 deg3, node11 deg1 → {(3,1),(1,1)}
+    assert(prof === Set(("out", 2L, 1L), ("out", 1L, 2L),
+      ("in", 3L, 1L), ("in", 1L, 1L)))
+  }
+
+  // ---- FuzzyJoin ----
+
+  test("edSelfJoin equals the naive quadratic join on adversarial cases") {
+    // covers: substitution, insert/delete, equality-after-distinct,
+    // repeated chars, the ab↔ba distance-2 trap, and a disjoint word
+    val words = Seq("cat", "cut", "cart", "ca", "aa", "a", "ab", "ba", "zebra")
+    val df = words.toDF("w")
+    val got = FuzzyJoin.edSelfJoin(df, "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 1
+    } yield (a, b)).toSet
+    assert(got === want)
+    assert(!got.contains(("ab", "ba"))) // the distance-2 neighborhood collision
+    intercept[IllegalArgumentException] { FuzzyJoin.edSelfJoin(df, "w", maxDist = 2) }
+  }
+
+  test("edSelfJoin plan is blocked, never a cartesian/nested-loop join") {
+    val df = (0 until 100).map(i => f"name$i%04d").toDF("w")
+    val plan = FuzzyJoin.edSelfJoin(df, "w").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  // ---- Cdc ----
+
+  test("scd2 compresses runs and chains validity bounds exactly") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (1L, 2L, ts(1), 10.0), // run compressed
+      (1L, 3L, ts(2), 20.0), (1L, 4L, ts(3), 10.0), // back to 10 = new version
+      (2L, 5L, ts(0), 5.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Cdc.scd2(ev, "user_id", "ts", "event_id", "value")
+      .orderBy("user_id", "valid_from_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    val base = 1700000000000000L
+    assert(out.toSeq === Seq(
+      (1L, 1L, 10.0, base, base + 2000000L, false),
+      (1L, 3L, 20.0, base + 2000000L, base + 3000000L, false),
+      (1L, 4L, 10.0, base + 3000000L, -1L, true),
+      (2L, 5L, 5.0, base, -1L, true)))
+  }
+
+  test("scd2 treats NULL transitions as changes (null-safe equality)") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = Seq(
+      (1L, 1L, ts(0), Some(1.0)), (1L, 2L, ts(1), None),
+      (1L, 3L, ts(2), None), (1L, 4L, ts(3), Some(1.0))
+    ).toDF("user_id", "event_id", "ts", "value")
+    val out = Cdc.scd2(ev, "user_id", "ts", "event_id", "value")
+    // versions: 1.0, NULL (the two NULLs compress), 1.0
+    assert(out.count() === 3)
+    assert(out.filter(col("is_current")).count() === 1)
+  }
+
+  test("rollingAnomalies flags a planted spike and excludes self from the window") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    // stable 10.00 stream with one 99.00 spike at position 5
+    val ev = (0 until 10).map(i =>
+      (1L, i.toLong, ts(i), if (i == 5) 99.0 else 10.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Cdc.rollingAnomalies(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(out(5L)) // the spike is flagged against its flat history
+    // events 0-3 have < minPrior history → never flagged
+    assert(!out(0L) && !out(1L) && !out(2L) && !out(3L))
+    // event 4 sits on a zero-variance window of equal values → not an outlier
+    assert(!out(4L))
+    // post-spike events: window variance explodes (contains the spike),
+    // so the 10.0 values stay unflagged — self-exclusion keeps the spike
+    // itself flaggable but its neighbors' windows absorb it
+    assert(!out(6L))
+  }
+
+  test("rollingAnomalies zero-variance window flags any deviation") {
+    val ts = (i: Int) => new java.sql.Timestamp(1700000000000L + i * 1000L)
+    val ev = ((0 until 6).map(i => (1L, i.toLong, ts(i), 10.0)) :+
+      (1L, 6L, ts(6), 10.01))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Cdc.rollingAnomalies(ev, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    // (n·c − Σc)² = (6·1001 − 6·1000)² = 36 > 4·0 — one cent off a
+    // perfectly flat history is, correctly, infinite z
+    assert(out(6L))
+    intercept[IllegalArgumentException] {
+      Cdc.rollingAnomalies(ev, "user_id", "ts", "event_id", "value",
+        lookback = 2, minPrior = 4)
+    }
+  }
+}
