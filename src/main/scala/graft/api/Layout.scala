@@ -62,7 +62,19 @@ object Layout {
     * arithmetic, so the layout is deterministic.
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String,
-                  path: String, nFiles: Int, bits: Int = 16): Unit = {
+                  path: String, nFiles: Int, bits: Int = 16): Unit =
+    zorderFrame(df, xCol, yCol, nFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The transform half of [[zorderWrite]]: `df` range-partitioned into
+    * `nFiles` partitions and sorted on the z-value of (xCol, yCol), with
+    * the input schema preserved (the z columns are internal). Exposed so
+    * transactional writers ([[TxTable.overwriteZordered]]) can stage the
+    * laid-out frame through their own commit protocol instead of a
+    * plain parquet write. An empty frame passes through unchanged.
+    */
+  def zorderFrame(df: DataFrame, xCol: String, yCol: String,
+                  nFiles: Int, bits: Int = 16): DataFrame = {
     // integral-only precondition, enforced: on fractional or negative
     // DOUBLE values the long cast truncates toward zero, (c - lo) can
     // go negative, and the interleave mask would wrap it to a large
@@ -72,17 +84,14 @@ object Layout {
       import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
       val dt = df.schema(c).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"zorderWrite needs integral dimension columns; `$c` is $dt " +
+        s"zorderFrame needs integral dimension columns; `$c` is $dt " +
           "(bucket or floor it to an integer first)")
     }
     val cols = df.columns.map(col)
     val mm = df.agg(
       min(col(qi(xCol))).cast("long"), max(col(qi(xCol))).cast("long"),
       min(col(qi(yCol))).cast("long"), max(col(qi(yCol))).cast("long")).head()
-    if (mm.isNullAt(0)) { // empty input: nothing to lay out
-      df.write.mode("overwrite").parquet(path)
-      return
-    }
+    if (mm.isNullAt(0)) return df // empty input: nothing to lay out
     val m = (1L << bits) - 1
     // (c-lo)*m overflows Long once the range exceeds ~2^63/m (e.g. a
     // microsecond-timestamp span); fall back to double arithmetic there
@@ -101,7 +110,6 @@ object Layout {
       .withColumn("__zv", zValue("__zx", "__zy", bits))
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
-      .select(cols: _*)
-      .write.mode("overwrite").parquet(path)
+      .select(cols.toIndexedSeq: _*)
   }
 }

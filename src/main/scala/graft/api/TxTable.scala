@@ -70,7 +70,9 @@ object TxTable {
                           files: Seq[String], ts: Long,
                           txn: Option[String] = None,
                           stats: Map[String, (Long, Long)] = Map.empty,
-                          statsCol: Option[String] = None)
+                          statsCol: Option[String] = None,
+                          mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
+                          statsCols: Seq[String] = Nil)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -97,6 +99,15 @@ object TxTable {
        else s""""stats":[${c.stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
          s"""{"f":"$f","lo":$lo,"hi":$hi}"""
        }.mkString(",")}],""") +
+      (if (c.statsCols.isEmpty) ""
+       else s""""statsCols":[${c.statsCols.map("\"" + _ + "\"").mkString(",")}],""") +
+      // mstats stays LAST before "ts": its entries nest brackets, so the
+      // parser anchors on the closing  ],"ts"  instead of a non-greedy
+      // scan that would stop at the first inner bracket
+      (if (c.mstats.isEmpty) ""
+       else s""""mstats":[${c.mstats.toSeq.sortBy(_._1).map { case (f, rs) =>
+         s"""{"f":"$f","r":[${rs.map(r => s"${r._1},${r._2}").mkString(",")}]}"""
+       }.mkString(",")}],""") +
       s""""ts":${c.ts},"writer":"${java.lang.ProcessHandle.current().pid()}"}"""
 
   private val VersionRe = """"version":(\d+)""".r
@@ -109,6 +120,10 @@ object TxTable {
   private val StatsRe = """"stats":\[(.*?)\]""".r
   private val StatRe =
     """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
+  private val StatsColsRe = """"statsCols":\[([^\]]*)\]""".r
+  // anchored on ],"ts" — mstats entries nest brackets (see render)
+  private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
+  private val MStatRe = """\{"f":"([^"]+)","r":\[([-0-9,]*)\]\}""".r
 
   private def parse(txt: String): Commit = Commit(
     VersionRe.findFirstMatchIn(txt).map(_.group(1).toLong)
@@ -123,7 +138,16 @@ object TxTable {
       StatRe.findAllMatchIn(m.group(1)).map(s =>
         s.group(1) -> (s.group(2).toLong, s.group(3).toLong)).toMap)
       .getOrElse(Map.empty),
-    StatsColRe.findFirstMatchIn(txt).map(_.group(1)))
+    StatsColRe.findFirstMatchIn(txt).map(_.group(1)),
+    MStatsRe.findFirstMatchIn(txt).map(m =>
+      MStatRe.findAllMatchIn(m.group(1)).map { s =>
+        val ls = s.group(2).split(',').filter(_.nonEmpty).map(_.toLong)
+        s.group(1) -> ls.grouped(2).map(p => (p(0), p(1))).toSeq
+      }.toMap)
+      .getOrElse(Map.empty),
+    StatsColsRe.findFirstMatchIn(txt).map(m =>
+      FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -222,7 +246,9 @@ object TxTable {
   private final case class State(files: Seq[String],
                                  txns: Map[String, Long],
                                  stats: Map[String, (Long, Long)],
-                                 statsCol: Option[String])
+                                 statsCol: Option[String],
+                                 mstats: Map[String, Seq[(Long, Long)]],
+                                 statsCols: Seq[String])
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -233,18 +259,21 @@ object TxTable {
           new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))
         val ck = parse(txt)
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
-          ck.statsCol), cv)
-      case None => (State(Seq.empty, Map.empty, Map.empty, None), 0L)
+          ck.statsCol, ck.mstats, ck.statsCols), cv)
+      case None =>
+        (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
     commitVs.filter(v => v > startAfter && v <= version)
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val (files2, stats2, col2) =
-          if (c.action == "overwrite") (c.files, c.stats, c.statsCol)
-          else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol)
+        val (files2, stats2, col2, mstats2, cols2) =
+          if (c.action == "overwrite")
+            (c.files, c.stats, c.statsCol, c.mstats, c.statsCols)
+          else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
+            st.mstats ++ c.mstats, st.statsCols)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
-          stats2, col2)
+          stats2, col2, mstats2, cols2)
       }
   }
 
@@ -308,12 +337,14 @@ object TxTable {
                        action: String, files: Seq[String],
                        txn: Option[String],
                        stats: Map[String, (Long, Long)] = Map.empty,
-                       statsCol: Option[String] = None)
+                       statsCol: Option[String] = None,
+                       mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
+                       statsCols: Seq[String] = Nil)
       : Option[Long] = {
     val hfs = fs(spark, path)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
-      stats, statsCol)
+      stats, statsCol, mstats, statsCols)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -322,7 +353,8 @@ object TxTable {
           val st = foldState(hfs, path, v)
           // checkpoint = files + per-file stats + cumulative txn set
           val ck = render(Commit(v, "checkpoint", st.files, rec.ts,
-            stats = st.stats, statsCol = st.statsCol))
+            stats = st.stats, statsCol = st.statsCol,
+            mstats = st.mstats, statsCols = st.statsCols))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -347,16 +379,20 @@ object TxTable {
   private def commit(spark: SparkSession, path: String, action: String,
                      files: Seq[String], txn: Option[String] = None,
                      stats: Map[String, (Long, Long)] = Map.empty,
-                     statsCol: Option[String] = None): Long = {
+                     statsCol: Option[String] = None,
+                     mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
+                     statsCols: Seq[String] = Nil): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
+    statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+      s"stats column names must be JSON-inert ([A-Za-z0-9._-]+): '$c'"))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       txn.flatMap(txnLanded(spark, path, _)) match {
         case Some(prior) => return prior // redelivery: a no-op
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
-              action, files, txn, stats, statsCol) match {
+              action, files, txn, stats, statsCol, mstats, statsCols) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -488,6 +524,88 @@ object TxTable {
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
     base.filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
+  }
+
+  /** Overwrite Z-ORDERED by two long columns: rows are laid out along
+    * the Morton curve of (xCol, yCol) ([[Layout.zorderFrame]]) — every
+    * staged file covers a narrow RECTANGLE of the two-dimensional key
+    * space — and each file's exact per-column (min, max) for BOTH
+    * dimensions is recorded in the commit log. [[readBox]] then prunes
+    * on a conjunction of ranges over either or both columns from the
+    * log alone: the multi-dimensional data-skipping shape (Delta/
+    * Iceberg's column stats + Z-ORDER BY) where a 100 TB box lookup
+    * touches O(files intersecting the box), never O(table). A
+    * single-column cluster ([[overwriteClustered]]) prunes perfectly on
+    * one key and not at all on the second; the interleave buys both.
+    */
+  def overwriteZordered(spark: SparkSession, path: String, df: DataFrame,
+                        xCol: String, yCol: String, numFiles: Int = 8,
+                        bits: Int = 16): Long = {
+    for (c <- Seq(xCol, yCol))
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"z-order dimension '$c' must be LongType (ids, epoch micros, " +
+          s"bucketed values), got ${df.schema(c).dataType} — validated " +
+          "BEFORE staging so a bad call cannot orphan a staged dir")
+    val laid = Layout.zorderFrame(df, xCol, yCol, math.max(1, numFiles), bits)
+    val files = stage(spark, path, laid)
+    commit(spark, path, "overwrite", files,
+      mstats = multiColStats(spark, path, files, Seq(xCol, yCol)),
+      statsCols = Seq(xCol, yCol))
+  }
+
+  /** Per-file footer (min, max) for EACH of `cols`, aligned with the
+    * column order. A file missing usable stats for ANY column gets no
+    * entry — it stays unprunable-but-always-read on every dimension
+    * (partial per-column entries would be sound too, but all-or-nothing
+    * keeps the record aligned and the conservative direction is free).
+    */
+  private def multiColStats(spark: SparkSession, path: String,
+                            files: Seq[String], cols: Seq[String])
+      : Map[String, Seq[(Long, Long)]] = {
+    val perCol = cols.map(c => footerStats(spark, path, files, c))
+    files.flatMap { f =>
+      val rs = perCol.map(_.get(f))
+      if (rs.forall(_.isDefined)) Some(f -> rs.map(_.get)) else None
+    }.toMap
+  }
+
+  /** Box read over z-ordered dimensions: a conjunction of [lo, hi]
+    * ranges, one per named column (either one or both of the recorded
+    * dimensions). Files whose recorded rectangle cannot intersect the
+    * box are pruned FROM THE LOG; files without stats (plain appends)
+    * are always read — pruning is an optimization, never a correctness
+    * filter, and the residual predicate is always applied. A box on a
+    * column the table does not record stats for rejects loudly.
+    */
+  def readBox(spark: SparkSession, path: String,
+              box: Seq[(String, Long, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(box.nonEmpty, "readBox needs at least one (column, lo, hi)")
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val st = foldState(hfs, path, head)
+    require(st.files.nonEmpty, s"version $head of $path holds no files")
+    require(st.statsCols.nonEmpty,
+      s"$path carries no multi-column stats — write it with " +
+        "overwriteZordered (or use read() + filter)")
+    box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
+      s"$path records stats for [${st.statsCols.mkString(",")}], " +
+        s"not '$c' — readBox must use recorded dimensions") }
+    val kept = st.files.filter(f => st.mstats.get(f) match {
+      // a malformed record (length drift) falls back to unprunable
+      case Some(rs) if rs.size == st.statsCols.size =>
+        box.forall { case (c, lo, hi) =>
+          val (flo, fhi) = rs(st.statsCols.indexOf(c))
+          fhi >= lo && flo <= hi
+        }
+      case _ => true // unprunable: always read
+    })
+    val base =
+      if (kept.isEmpty) readVersion(spark, path, head).limit(0)
+      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    box.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
   }
 
   /** Transactionally add rows; concurrent appends all land (commuting
@@ -625,19 +743,26 @@ object TxTable {
             "(create it with overwrite first)")
       val st = foldState(hfs, path, head)
       val transformed = transform(readVersion(spark, path, head))
-      val (files, stats) = st.statsCol match {
-        case Some(sc) =>
-          val target = numFilesHint.getOrElse(math.max(1, st.files.size))
+      val target = numFilesHint.getOrElse(math.max(1, st.files.size))
+      val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
+        case (_, Seq(x, y)) => // z-ordered head: re-layout, fresh 2-D stats
+          val staged = stage(spark, path,
+            Layout.zorderFrame(transformed, x, y, target))
+          (staged, Map.empty[String, (Long, Long)],
+            multiColStats(spark, path, staged, st.statsCols))
+        case (Some(sc), _) =>
           val staged = stage(spark, path, transformed
             .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
-          (staged, footerStats(spark, path, staged, sc))
-        case None =>
+          (staged, footerStats(spark, path, staged, sc),
+            Map.empty[String, Seq[(Long, Long)]])
+        case _ =>
           (stage(spark, path,
             numFilesHint.fold(transformed)(transformed.coalesce)),
-            Map.empty[String, (Long, Long)])
+            Map.empty[String, (Long, Long)],
+            Map.empty[String, Seq[(Long, Long)]])
       }
       commitAt(spark, path, head + 1, "overwrite", files, None,
-          stats, st.statsCol) match {
+          stats, st.statsCol, mstats, st.statsCols) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

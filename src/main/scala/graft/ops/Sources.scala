@@ -589,7 +589,28 @@ object Sources {
           ensureTxClustered(s, dir), "doc_id", 100L, 400L)
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // Transactional TWO-DIMENSIONAL data skipping: the z-ordered demo
+    // table laid orders along the Morton curve of (o_custkey,
+    // o_orderkey) and recorded each file's per-column (lo, hi) for BOTH
+    // dimensions in the commit log; readBox prunes files whose
+    // rectangle cannot intersect the box before Spark lists them
+    // (TxTableSpec pins the pruning), and the oracle recomputes the box
+    // from the source table — wrong stats, over-pruning, or a dropped
+    // residual filter all break the hash.
+    Q("q_tx_zbox",
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders
+               WHERE o_custkey BETWEEN 100 AND 300
+                 AND o_orderkey BETWEEN 1000 AND 30000
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readBox(s, ensureTxZordered(s, dir),
+          Seq(("o_custkey", 100L, 300L), ("o_orderkey", 1000L, 30000L)))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority"))
   )
 
   /** Build the demo TxTable once per (session, sf dir), cross-process
@@ -600,7 +621,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents"), ver = 3) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 4) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -608,7 +629,7 @@ object Sources {
       // (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c").foreach { n =>
+      Seq("t", "u", "c", "z").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -632,6 +653,11 @@ object Sources {
       // log-level file pruning path)
       TxTable.overwriteClustered(s, s"$base/c", docs, "doc_id",
         numFiles = 8)
+      // table "z": orders z-ordered by (o_custkey, o_orderkey) with
+      // per-file 2-D stats in the commit log (q_tx_zbox reads a box
+      // through the multi-dimensional pruning path)
+      TxTable.overwriteZordered(s, s"$base/z", t(s, dir, "orders"),
+        "o_custkey", "o_orderkey", numFiles = 8)
       ()
     }
 
@@ -643,4 +669,7 @@ object Sources {
 
   private[graft] def ensureTxClustered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/c"
+
+  private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/z"
 }

@@ -1036,6 +1036,104 @@ object ScaleProbe {
         f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
     }
 
+    // PageRank at mult x graph: disjoint id-offset replicas of the
+    // customer→supplier edge set. Because the replicas are disconnected
+    // components and the rank recurrence is integer-exact, every
+    // replica's ranks must be BIT-IDENTICAL to the 1x graph's under the
+    // id shift — not approximately equal, equal. Any fp drift,
+    // cross-replica contamination, or degree miscount breaks it.
+    {
+      import graft.api.Graphs
+      val raw0 = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val off = 10000000L // > any 1x vertex id
+      def rankFor(m: Int) = {
+        val raw = raw0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select((col("src") + col("rep") * off).as("src"),
+            (col("dst") + col("rep") * off).as("dst"))
+        val t0 = System.nanoTime()
+        val r = Graphs.pageRankFixedPoint(
+          Graphs.edgesWithOutDegree(raw, "src", "dst"),
+          Graphs.nodes(raw, "src", "dst"), iterations = 3)
+          .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (r1, d1) = rankFor(1)
+      val (rN, dN) = rankFor(mult)
+      require(rN.size == r1.size * mult,
+        s"node count must scale exactly ${mult}x: ${r1.size} -> ${rN.size}")
+      require(rN.forall { case (id, rk) => r1(id % off) == rk },
+        "per-replica ranks must be bit-identical to the 1x graph's " +
+          "(disjoint components + integer arithmetic)")
+      println(f"pagerank (${mult}x graph): ${r1.size} -> ${rN.size} nodes " +
+        f"(exactly ${mult}x), every replica's ranks BIT-IDENTICAL to 1x  " +
+        f"1x $d1%.2f s  ${mult}x $dN%.2f s  time-growth=${dN / d1}%.1fx")
+    }
+
+    // Fuzzy join at mult x names: each replica prefixes its names with a
+    // DOUBLED 3-digit replica marker ("001001…"), so any two replicas'
+    // strings differ in ≥2 positions (equal lengths ⇒ edit distance ≥2)
+    // — cross-replica pairs are impossible by construction and the pair
+    // count must scale exactly mult x. Growth is the blocked path's:
+    // variant rows scale linearly, never the quadratic candidate space.
+    {
+      import graft.api.FuzzyJoin
+      val names0 = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 4 === 0).select(col("c_name"))
+      def pairsFor(m: Int) = {
+        val d = names0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select(concat(format_string("%03d%03d", col("rep"), col("rep")),
+            col("c_name")).as("w"))
+        val t0 = System.nanoTime()
+        val n = FuzzyJoin.edSelfJoin(d, "w").count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (p1, dp1) = pairsFor(1)
+      val (pN, dpN) = pairsFor(mult)
+      require(pN == p1 * mult,
+        s"fuzzy pairs must scale exactly ${mult}x under disjoint " +
+          s"replication: 1x=$p1 ${mult}x=$pN")
+      println(f"fuzzy-join (${mult}x names): $p1 -> $pN pairs (exactly " +
+        f"${mult}x, zero cross-replica)  1x $dp1%.2f s  ${mult}x $dpN%.2f s  " +
+        f"time-growth=${dpN / dp1}%.1fx")
+    }
+
+    // SCD2 + rolling anomalies at mult x events: user-id-offset replicas
+    // are independent histories, so version rows, open (is_current)
+    // versions, and flagged outliers must each scale exactly mult x —
+    // the windows are per-user and integer-exact, so replication cannot
+    // smear state across replicas or move a flag.
+    {
+      import graft.api.Cdc
+      val ev0 = graft.ops.H.t(spark, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      def cdcFor(m: Int) = {
+        val d = ev0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select((col("user_id") + col("rep") * 10000000L).as("user_id"),
+            (col("event_id") + col("rep") * 1000000000L).as("event_id"),
+            col("ts"), col("value"))
+        val t0 = System.nanoTime()
+        val s = Cdc.scd2(d, "user_id", "ts", "event_id", "value")
+        val versions = s.count()
+        val current = s.filter(col("is_current")).count()
+        val flagged = Cdc.rollingAnomalies(d, "user_id", "ts", "event_id", "value")
+          .filter(col("is_outlier")).count()
+        (versions, current, flagged, (System.nanoTime() - t0) / 1e9)
+      }
+      val (v1, c1, f1, dc1) = cdcFor(1)
+      val (vN, cN, fN, dcN) = cdcFor(mult)
+      require(vN == v1 * mult && cN == c1 * mult && fN == f1 * mult,
+        s"scd2/anomaly masses must scale exactly ${mult}x: " +
+          s"versions $v1->$vN current $c1->$cN flagged $f1->$fN")
+      println(f"scd2+anomaly (${mult}x events): versions $v1 -> $vN, open " +
+        f"$c1 -> $cN, flagged $f1 -> $fN (each exactly ${mult}x)  " +
+        f"1x $dc1%.2f s  ${mult}x $dcN%.2f s  time-growth=${dcN / dc1}%.1fx")
+    }
+
     spark.stop()
   }
 }

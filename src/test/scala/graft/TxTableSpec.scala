@@ -286,6 +286,69 @@ class TxTableSpec extends AnyFunSuite {
     assert(notLong.getMessage.contains("must be LongType"))
   }
 
+  test("z-ordered write + readBox: two-dimensional pruning, exact results") {
+    val t = fresh()
+    // a 64x64 grid: z-order clusters rectangles of (x, y) into files
+    TxTable.overwriteZordered(spark, t,
+      spark.range(4096).select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y"),
+        concat(lit("r"), col("id")).as("v")), "x", "y", numFiles = 16)
+    val full = TxTable.read(spark, t)
+    assert(full.inputFiles.length === 16)
+    def boxSet(b: Seq[(String, Long, Long)]) =
+      TxTable.readBox(spark, t, b).select("x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a corner box: the Morton layout packs it into few files
+    val corner = TxTable.readBox(spark, t, Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(corner.inputFiles.length < 16,
+      "2-D stats in the commit log prune files before Spark sees them")
+    assert(boxSet(Seq(("x", 0L, 7L), ("y", 0L, 7L))) ===
+      (for (x <- 0L to 7L; y <- 0L to 7L) yield (x, y)).toSet,
+      "pruning never changes the answer")
+    // one-dimensional boxes prune too (either recorded dimension alone)
+    val xOnly = TxTable.readBox(spark, t, Seq(("x", 0L, 3L)))
+    assert(xOnly.inputFiles.length < 16 && xOnly.count() === 4L * 64)
+    val yOnly = TxTable.readBox(spark, t, Seq(("y", 60L, 63L)))
+    assert(yOnly.inputFiles.length < 16 && yOnly.count() === 4L * 64)
+    // an unclustered append has no stats → always read, rows appear
+    TxTable.append(spark, t, Seq((2L, 2L, "late")).toDF("x", "y", "v"))
+    assert(boxSet(Seq(("x", 0L, 7L), ("y", 0L, 7L))).size === 64,
+      "the appended (2,2) duplicate collapses in the set; row IS read")
+    assert(TxTable.readBox(spark, t,
+      Seq(("x", 0L, 7L), ("y", 0L, 7L))).count() === 65L)
+    // stats survive checkpoint folding
+    (1 to TxTable.CheckpointEvery).foreach(i => TxTable.append(spark, t,
+      Seq((500L + i, 500L + i, s"a$i")).toDF("x", "y", "v")))
+    val afterCk = TxTable.readBox(spark, t, Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(afterCk.inputFiles.length <
+      TxTable.read(spark, t).inputFiles.length,
+      "post-checkpoint box reads still prune the z-ordered files")
+    // compact re-z-orders and lands fresh 2-D stats
+    TxTable.compact(spark, t, numFiles = 8)
+    val afterCompact =
+      TxTable.readBox(spark, t, Seq(("x", 0L, 7L), ("y", 0L, 7L)))
+    assert(afterCompact.inputFiles.length < 8,
+      "post-compact box reads still prune (2-D stats recomputed)")
+    assert(afterCompact.count() === 65L)
+    // boxes on unrecorded columns reject loudly — pruning with the
+    // wrong column's bounds would be silent row loss
+    val wrongCol = intercept[IllegalArgumentException] {
+      TxTable.readBox(spark, t, Seq(("v", 0L, 10L)))
+    }
+    assert(wrongCol.getMessage.contains("records stats for"))
+    // readRange (single-col protocol) on a z-ordered table rejects too:
+    // it carries no statsCol, so the require trips on files-without-…
+    // actually: statsCol is None → readRange silently full-scans with
+    // the residual filter, which is CORRECT (never prunes) — pin that
+    assert(TxTable.readRange(spark, t, "x", 0, 7).count() === 8L * 64 + 1)
+    // a non-long dimension rejects BEFORE staging
+    val notLong = intercept[IllegalArgumentException] {
+      TxTable.overwriteZordered(spark, fresh(),
+        Seq(("a", 1L)).toDF("v", "id"), "v", "id")
+    }
+    assert(notLong.getMessage.contains("must be LongType"))
+  }
+
   test("vacuum removes only unreferenced stagings; history stays readable") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
