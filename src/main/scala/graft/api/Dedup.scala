@@ -589,6 +589,22 @@ object Dedup {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Release the block-store copy behind a localCheckpoint'd frame.
+    *
+    * `Dataset.unpersist` cannot do this: checkpoint blocks belong to the
+    * underlying RDD, not to a cache-manager entry, so the Dataset call
+    * is a silent no-op and superseded checkpoints stay pinned until the
+    * context cleaner happens to GC them. A localCheckpoint's lineage is
+    * truncated — its blocks ARE the data — so this must only ever be
+    * called on frames that are provably never read again (iterative
+    * supersession); a dropped-then-read checkpoint fails hard instead
+    * of recomputing, which is the honest failure mode.
+    */
+  private[graft] def dropLocalCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach { rdd => rdd.unpersist(blocking = false); () }
+
   /** True iff every path exists on its Hadoop FS — the guard callers
     * need BEFORE trusting a [[sourceFingerprint]]-keyed marker: the
     * fingerprint hashes an absent path into a stable digest, so
@@ -1444,6 +1460,16 @@ object Dedup {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
+    // Superseded localCheckpoints are released as soon as the next
+    // round's EAGER checkpoint has materialized from them — long chains
+    // (many rounds) must not accumulate pinned block-store copies of
+    // every intermediate labeling. Only the checkpoint backing the
+    // RETURNED frame stays pinned (its lineage is truncated, so its
+    // blocks ARE the data); the context cleaner releases it once the
+    // caller drops the result. (Dataset.unpersist would be a no-op
+    // here — checkpoint blocks are RDD-level, not cache-manager
+    // entries — hence dropLocalCheckpoint.)
+    var labelsCk = labels
     while (changed > 0 && iter < 3) {
       val nbrMin = adj
         .join(labels.withColumnRenamed("node", "v"), "v")
@@ -1455,12 +1481,15 @@ object Dedup {
             .as("cluster"))
         .localCheckpoint()
       changed = next.filter(col("cluster") =!= col("prev")).count()
+      dropLocalCheckpoint(labelsCk)
+      labelsCk = next
       labels = next.select(col("node"), col("cluster"))
       iter += 1
     }
     adj.unpersist()
     if (changed == 0L)
       return withSelf(labels.select(col("node").as("doc_id"), col("cluster")))
+    dropLocalCheckpoint(labelsCk) // phase 2 restarts from edges, not labels
 
     // Phase 2: alternating large-star/small-star rounds (Kiveris'14) on
     // the original edges — O(log n) rounds regardless of component
@@ -1475,6 +1504,9 @@ object Dedup {
       val nNext = next.count()
       converged = nNext == n &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      // the convergence anti-join was the old round's last use; drop
+      // its pinned blocks before looping (see the phase-1 note)
+      dropLocalCheckpoint(edges)
       edges = next
       n = nNext
       starIter += 1

@@ -100,6 +100,28 @@ object Graphs {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Connected components of an undirected graph (edge direction is
+    * ignored): every node labeled with its component's minimum node id.
+    * Output: (node BIGINT, component BIGINT).
+    *
+    * Delegates to the duplicate-cluster machinery
+    * ([[Dedup.duplicateClusters]]) — min-label propagation rounds plus
+    * alternating large/small-star rounds to a VERIFIED fixpoint, the
+    * Kiveris et al. "Connected Components in MapReduce and Beyond"
+    * shape: O(log d) shuffle rounds, never a transitive-closure
+    * materialization (closure is |C|² rows per component — the thing
+    * that does not exist at 100 TB). The label choice (component
+    * minimum) is deterministic, so an oracle can replay the semantics
+    * by any other exact method (e.g. a recursive label closure at test
+    * scale) and hash-match.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame =
+    Dedup.duplicateClusters(edges.select(
+        col(srcCol).cast("long").as("doc_a"),
+        col(dstCol).cast("long").as("doc_b")))
+      .select(col("doc_id").as("node"), col("cluster").as("component"))
+
   /** Degree profile: histogram of out- and in-degrees — the one-line
     * health check of any crawl/link graph (a spam burst shows up as a
     * fat head, a broken extractor as a missing tail). Output:

@@ -79,6 +79,41 @@ object Linkage {
           .orderBy("side", "deg")
       }),
 
+    // Connected components over a chain-structured customer graph
+    // (consecutive custkeys linked, every 10th link broken): the Spark
+    // side runs the scalable fixpoint (min-label + star rounds,
+    // api/Graphs.scala), the oracle replays the SEMANTICS as a
+    // recursive-CTE label closure — affordable at test scale precisely
+    // because the chain components are small, which is why the demo
+    // graph is chains and not the (single-giant-component) link graph.
+    // Output: component-size histogram with min/max component labels —
+    // a wrong fixpoint, split component, or non-min label all break it.
+    Q("q_graph_cc",
+      Some("""WITH RECURSIVE
+                e AS (SELECT c_custkey AS u, c_custkey + 1 AS v
+                      FROM customer WHERE c_custkey % 10 <> 9),
+                ue AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+                n AS (SELECT u AS id FROM ue UNION SELECT v FROM ue),
+                lbl(node, l) AS (
+                  SELECT id, id FROM n
+                  UNION
+                  SELECT ue.v, lbl.l FROM lbl JOIN ue ON ue.u = lbl.node),
+                comp AS (SELECT node, MIN(l) AS component FROM lbl GROUP BY 1),
+                sizes AS (SELECT component, count(*) AS csize
+                          FROM comp GROUP BY 1)
+              SELECT csize, CAST(count(*) AS BIGINT) AS n_comps,
+                     MIN(component) AS min_comp, MAX(component) AS max_comp
+              FROM sizes GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.Graphs.connectedComponents(
+          t(s, dir, "customer").filter(col("c_custkey") % 10 =!= 9)
+            .select(col("c_custkey").as("u"),
+              (col("c_custkey") + 1).as("v")), "u", "v")
+        .groupBy("component").agg(count(lit(1)).as("csize"))
+        .groupBy("csize").agg(count(lit(1)).as("n_comps"),
+          min(col("component")).as("min_comp"),
+          max(col("component")).as("max_comp"))
+        .orderBy("csize")),
+
     // Edit-distance self-join on customer names (distance ≤ 1) via
     // deletion-neighborhood blocking + exact levenshtein verify
     // (api/FuzzyJoin.scala). The oracle IS the naive quadratic join —

@@ -63,6 +63,36 @@ class LinkageSpec extends AnyFunSuite {
       ("in", 3L, 1L), ("in", 1L, 1L)))
   }
 
+  test("connectedComponents matches union-find on mixed shapes") {
+    // a long chain (forces star rounds past the 3 min-label rounds),
+    // a clique, a star, two isolated edges — and direction ignored
+    val edges = (
+      (0L until 19L).map(i => (i, i + 1)) ++          // chain 0..19
+        Seq((100L, 101L), (101L, 102L), (100L, 102L)) ++ // triangle
+        Seq((200L, 201L), (200L, 202L), (200L, 203L)) ++ // star
+        Seq((301L, 300L), (400L, 401L))                  // reversed + pair
+      ).toDF("s", "d")
+    val got = graft.api.Graphs.connectedComponents(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    // canonicalize union-find roots to component minima
+    val byRoot = nodes.groupBy(find)
+    val want = byRoot.values.flatMap(ns => ns.map(_ -> ns.min)).toMap
+    assert(got === want)
+    assert(got(19L) === 0L, "the 20-node chain collapses to its minimum")
+  }
+
   // ---- FuzzyJoin ----
 
   test("edSelfJoin equals the naive quadratic join on adversarial cases") {
