@@ -63,6 +63,14 @@ class LinkageSpec extends AnyFunSuite {
       ("in", 3L, 1L), ("in", 1L, 1L)))
   }
 
+  test("registered pagerank plan is join+agg per round, never a nested loop") {
+    val plan = graft.ops.Registry.byName("q_graph_pagerank")
+      .fn(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("connectedComponents matches union-find on mixed shapes") {
     // a long chain (forces star rounds past the 3 min-label rounds),
     // a clique, a star, two isolated edges — and direction ignored
