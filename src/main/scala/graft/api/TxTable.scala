@@ -72,7 +72,10 @@ object TxTable {
                           stats: Map[String, (Long, Long)] = Map.empty,
                           statsCol: Option[String] = None,
                           mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
-                          statsCols: Seq[String] = Nil)
+                          statsCols: Seq[String] = Nil,
+                          bloomCol: Option[String] = None,
+                          bloomBits: Int = 0,
+                          blooms: Map[String, String] = Map.empty)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -101,6 +104,14 @@ object TxTable {
        }.mkString(",")}],""") +
       (if (c.statsCols.isEmpty) ""
        else s""""statsCols":[${c.statsCols.map("\"" + _ + "\"").mkString(",")}],""") +
+      c.bloomCol.map(bc => s""""bloomCol":"$bc",""").getOrElse("") +
+      (if (c.bloomBits == 0) "" else s""""bloomBits":${c.bloomBits},""") +
+      // bloom entries are bracket-free (hex payloads), so they stay
+      // BEFORE mstats and a non-greedy scan parses them safely
+      (if (c.blooms.isEmpty) ""
+       else s""""blooms":[${c.blooms.toSeq.sortBy(_._1).map { case (f, b) =>
+         s"""{"f":"$f","b":"$b"}"""
+       }.mkString(",")}],""") +
       // mstats stays LAST before "ts": its entries nest brackets, so the
       // parser anchors on the closing  ],"ts"  instead of a non-greedy
       // scan that would stop at the first inner bracket
@@ -121,6 +132,10 @@ object TxTable {
   private val StatRe =
     """\{"f":"([^"]+)","lo":(-?\d+),"hi":(-?\d+)\}""".r
   private val StatsColsRe = """"statsCols":\[([^\]]*)\]""".r
+  private val BloomColRe = """"bloomCol":"([^"]+)"""".r
+  private val BloomBitsRe = """"bloomBits":(\d+)""".r
+  private val BloomsRe = """"blooms":\[(.*?)\]""".r
+  private val BloomRe = """\{"f":"([^"]+)","b":"([0-9a-f]*)"\}""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
   private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
   private val MStatRe = """\{"f":"([^"]+)","r":\[([-0-9,]*)\]\}""".r
@@ -147,7 +162,13 @@ object TxTable {
       .getOrElse(Map.empty),
     StatsColsRe.findFirstMatchIn(txt).map(m =>
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Nil))
+      .getOrElse(Nil),
+    BloomColRe.findFirstMatchIn(txt).map(_.group(1)),
+    BloomBitsRe.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
+    BloomsRe.findFirstMatchIn(txt).map(m =>
+      BloomRe.findAllMatchIn(m.group(1)).map(b =>
+        b.group(1) -> b.group(2)).toMap)
+      .getOrElse(Map.empty))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -248,7 +269,10 @@ object TxTable {
                                  stats: Map[String, (Long, Long)],
                                  statsCol: Option[String],
                                  mstats: Map[String, Seq[(Long, Long)]],
-                                 statsCols: Seq[String])
+                                 statsCols: Seq[String],
+                                 bloomCol: Option[String] = None,
+                                 bloomBits: Int = 0,
+                                 blooms: Map[String, String] = Map.empty)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -259,7 +283,8 @@ object TxTable {
           new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))
         val ck = parse(txt)
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
-          ck.statsCol, ck.mstats, ck.statsCols), cv)
+          ck.statsCol, ck.mstats, ck.statsCols,
+          ck.bloomCol, ck.bloomBits, ck.blooms), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -267,13 +292,15 @@ object TxTable {
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val (files2, stats2, col2, mstats2, cols2) =
+        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2) =
           if (c.action == "overwrite")
-            (c.files, c.stats, c.statsCol, c.mstats, c.statsCols)
+            (c.files, c.stats, c.statsCol, c.mstats, c.statsCols,
+              c.bloomCol, c.bloomBits, c.blooms)
           else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
-            st.mstats ++ c.mstats, st.statsCols)
+            st.mstats ++ c.mstats, st.statsCols,
+            st.bloomCol, st.bloomBits, st.blooms ++ c.blooms)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
-          stats2, col2, mstats2, cols2)
+          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2)
       }
   }
 
@@ -339,12 +366,15 @@ object TxTable {
                        stats: Map[String, (Long, Long)] = Map.empty,
                        statsCol: Option[String] = None,
                        mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
-                       statsCols: Seq[String] = Nil)
+                       statsCols: Seq[String] = Nil,
+                       bloomCol: Option[String] = None,
+                       bloomBits: Int = 0,
+                       blooms: Map[String, String] = Map.empty)
       : Option[Long] = {
     val hfs = fs(spark, path)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
-      stats, statsCol, mstats, statsCols)
+      stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -354,7 +384,9 @@ object TxTable {
           // checkpoint = files + per-file stats + cumulative txn set
           val ck = render(Commit(v, "checkpoint", st.files, rec.ts,
             stats = st.stats, statsCol = st.statsCol,
-            mstats = st.mstats, statsCols = st.statsCols))
+            mstats = st.mstats, statsCols = st.statsCols,
+            bloomCol = st.bloomCol, bloomBits = st.bloomBits,
+            blooms = st.blooms))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -381,10 +413,13 @@ object TxTable {
                      stats: Map[String, (Long, Long)] = Map.empty,
                      statsCol: Option[String] = None,
                      mstats: Map[String, Seq[(Long, Long)]] = Map.empty,
-                     statsCols: Seq[String] = Nil): Long = {
+                     statsCols: Seq[String] = Nil,
+                     bloomCol: Option[String] = None,
+                     bloomBits: Int = 0,
+                     blooms: Map[String, String] = Map.empty): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
-    statsCols.foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
+    (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
       s"stats column names must be JSON-inert ([A-Za-z0-9._-]+): '$c'"))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
@@ -392,7 +427,8 @@ object TxTable {
         case Some(prior) => return prior // redelivery: a no-op
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
-              action, files, txn, stats, statsCol, mstats, statsCols) match {
+              action, files, txn, stats, statsCol, mstats, statsCols,
+              bloomCol, bloomBits, blooms) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -444,20 +480,30 @@ object TxTable {
     * cluster on the morton column for multi-dimensional skipping.
     */
   def overwriteClustered(spark: SparkSession, path: String, df: DataFrame,
-                         clusterCol: String, numFiles: Int = 8): Long = {
+                         clusterCol: String, numFiles: Int = 8,
+                         bloomCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    require(df.schema(clusterCol).dataType ==
-        org.apache.spark.sql.types.LongType,
-      s"clusterCol '$clusterCol' must be LongType (ids, epoch micros, " +
-        s"morton keys), got ${df.schema(clusterCol).dataType} — validated " +
-        "BEFORE staging so a bad call cannot orphan a staged dir")
+    for (c <- clusterCol +: bloomCol.toSeq)
+      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"column '$c' must be LongType (ids, epoch micros, morton keys), " +
+          s"got ${df.schema(c).dataType} — validated BEFORE staging so a " +
+          "bad call cannot orphan a staged dir")
     val sorted = df
       .repartitionByRange(math.max(1, numFiles), col(clusterCol))
       .sortWithinPartitions(clusterCol)
     val files = stage(spark, path, sorted)
+    // secondary-key point-lookup index: per-file blooms of `bloomCol`
+    // land in the SAME commit record as the cluster stats, so a range
+    // probe on the cluster key and a point probe on the bloom key both
+    // prune from the log alone
+    val (bbits, blooms) = bloomCol match {
+      case Some(bc) => bloomStats(spark, path, files, bc)
+      case None     => (0, Map.empty[String, String])
+    }
     commit(spark, path, "overwrite", files,
       stats = footerStats(spark, path, files, clusterCol),
-      statsCol = Some(clusterCol))
+      statsCol = Some(clusterCol),
+      bloomCol = bloomCol, bloomBits = bbits, blooms = blooms)
   }
 
   /** Per-file (min, max) of `colName` read from the parquet FOOTERS —
@@ -606,6 +652,182 @@ object TxTable {
     box.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
+  }
+
+  /** Hash functions per bloom filter. Fixed: the reader re-derives the
+    * writer's positions, so the count is part of the on-log format.
+    */
+  val BloomHashes = 5
+
+  /** Bloom size for a file of `n` keys: ~10 bits/key (≈1% false
+    * positives at 5 hashes), power of two, floored at 4096 bits. One
+    * size per COMMIT (the max over its files) so the record carries a
+    * single `bloomBits` the reader can re-derive positions from.
+    */
+  private def bloomBitsFor(maxRowsPerFile: Long): Int = {
+    val want = math.max(4096L, maxRowsPerFile * 10L)
+    var b = 4096
+    while (b < want && b < (1 << 24)) b <<= 1
+    b
+  }
+
+  /** The i-th bloom position of long key `v` in `bits` buckets —
+    * driver-side twin of the executor expression in [[bloomStats]]:
+    * Spark's `xxhash64(v, i)` folds children left-to-right from seed
+    * 42, i.e. `hashLong(i, hashLong(v, 42))`, and `pmod` is the
+    * positive remainder. BloomSpec pins the two paths equal.
+    */
+  private[graft] def bloomPosition(v: Long, i: Long, bits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val h = XXH64.hashLong(i, XXH64.hashLong(v, 42L))
+    (((h % bits) + bits) % bits).toInt
+  }
+
+  private def bloomMightContain(hex: String, bits: Int, v: Long): Boolean = {
+    val bs = java.util.BitSet.valueOf(hexToBytes(hex))
+    (0 until BloomHashes).forall(i => bs.get(bloomPosition(v, i.toLong, bits)))
+  }
+
+  private def hexToBytes(hex: String): Array[Byte] =
+    hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def bytesToHex(bs: Array[Byte]): String =
+    bs.map(b => f"${b & 0xff}%02x").mkString
+
+  /** Per-file bloom filters of `colName` over freshly-staged files:
+    * one narrow scan of the staged data computes each row's
+    * [[BloomHashes]] positions and folds them to ≤bits distinct
+    * positions per file ON THE EXECUTORS (`collect_set` per file,
+    * bounded by `bits`, never by rows), so the driver only packs
+    * bitsets — the collect is O(files × bits), row-count-independent.
+    * Every staged file gets an entry (an empty file's all-zero bloom
+    * correctly excludes everything); NULL keys set no bits, which is
+    * sound because [[readPoints]] looks up concrete values only.
+    * Returns (bits, file → hex bitset).
+    */
+  private def bloomStats(spark: SparkSession, path: String,
+                         files: Seq[String], colName: String)
+      : (Int, Map[String, String]) = {
+    import org.apache.spark.sql.functions._
+    val data = spark.read.parquet(files.map(f => s"$path/$f"): _*)
+      .select(input_file_name().as("_f"), col(colName).as("_v"))
+      .filter(col("_v").isNotNull)
+    val counts = data.groupBy("_f").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bits = bloomBitsFor(if (counts.isEmpty) 0L else counts.values.max)
+    val positions = data
+      .select(col("_f"), explode(array((0 until BloomHashes).map(i =>
+        pmod(xxhash64(col("_v"), lit(i.toLong)), lit(bits))): _*)).as("_p"))
+      .groupBy("_f").agg(collect_set(col("_p")).as("ps"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[Long](1).map(_.toInt))
+      .toMap
+    val byRel = files.map { rel =>
+      val ps = positions.collectFirst {
+        case (uri, p) if uri.endsWith("/" + rel) => p
+      }.getOrElse(Seq.empty)
+      val bs = new java.util.BitSet(bits)
+      ps.foreach(bs.set)
+      // fix the encoded length so the hex payload is stable regardless
+      // of the highest set bit
+      val bytes = java.util.Arrays.copyOf(bs.toByteArray, bits / 8)
+      rel -> bytesToHex(bytes)
+    }.toMap
+    (bits, byRel)
+  }
+
+  /** Point-lookup read over a bloom-indexed column: files whose bloom
+    * filter excludes EVERY probed value are pruned FROM THE LOG before
+    * Spark lists them — the secondary-key point-lookup shape (Delta's
+    * bloom filter index): the table stays laid out by its cluster
+    * column, and an equality probe on a DIFFERENT column still touches
+    * O(files containing the value) + false positives, never O(table).
+    * Blooms have no false negatives (every present key set its bits at
+    * write time), files without a bloom entry (plain appends) are
+    * always read, and the equality filter is always applied — pruning
+    * is an optimization, never a correctness filter. A probe on a
+    * column the table carries no blooms for rejects loudly.
+    */
+  def readPoints(spark: SparkSession, path: String, keyCol: String,
+                 values: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(values.nonEmpty, "readPoints needs at least one value")
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val st = foldState(hfs, path, head)
+    require(st.files.nonEmpty, s"version $head of $path holds no files")
+    require(st.bloomCol.contains(keyCol),
+      s"$path carries blooms for ${st.bloomCol.getOrElse("no column")}, " +
+        s"not '$keyCol' — readPoints must use the bloom-indexed column " +
+        "(or read() + filter)")
+    val kept = st.files.filter(f => st.blooms.get(f) match {
+      case Some(hex) =>
+        values.exists(v => bloomMightContain(hex, st.bloomBits, v))
+      case None => true // unprunable: always read
+    })
+    val base =
+      if (kept.isEmpty) readVersion(spark, path, head).limit(0)
+      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    base.filter(col(keyCol).isin(values: _*))
+  }
+
+  /** Roll the table back (or forward) to exactly `version`'s content as
+    * a NEW overwrite commit — METADATA-ONLY: the commit re-references
+    * `version`'s immutable files (plus their skipping stats and
+    * blooms), so no data is copied or rewritten no matter the table
+    * size, history stays linear (the bad versions remain readable), and
+    * [[vacuum]] can never collect the restored files because the log
+    * still reaches them. This is the Delta RESTORE shape.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long = {
+    val hfs = fs(spark, path)
+    require(logVersions(hfs, path)._1.exists(_ <= version),
+      s"no commits at or below version $version in $path")
+    val st = foldState(hfs, path, version)
+    require(st.files.nonEmpty, s"version $version of $path holds no files")
+    commit(spark, path, "overwrite", st.files,
+      stats = st.stats, statsCol = st.statsCol,
+      mstats = st.mstats, statsCols = st.statsCols,
+      bloomCol = st.bloomCol, bloomBits = st.bloomBits, blooms = st.blooms)
+  }
+
+  /** Change data feed: the row-level diff between two snapshots, each
+    * row tagged `_change` = insert (in `toVersion`, not `fromVersion`)
+    * or delete (the reverse), with bag semantics (a row appearing
+    * twice more is two inserts).
+    *
+    * FILE-LEVEL: data files are immutable, so rows in files live in
+    * BOTH versions cancel exactly without being read — only the
+    * symmetric difference of the two file sets is scanned, then
+    * `EXCEPT ALL` in both directions cancels rows that merely MOVED
+    * files (a compact produces zero changes while rewriting
+    * everything). An append-only window therefore reads just the
+    * appended files — increment-proportional, the 100 TB CDC shape —
+    * while a full-rewrite window degrades to reading both rewritten
+    * sides, never more.
+    */
+  def changes(spark: SparkSession, path: String,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changes needs fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val from = liveFiles(spark, path, fromVersion).toSet
+    val to = liveFiles(spark, path, toVersion).toSet
+    // an empty side must be an empty LOCAL relation, not a limit(0)
+    // over the snapshot — the latter still lists the snapshot's files,
+    // and the whole point is that shared files are never touched; the
+    // schema comes from one footer of a live file
+    lazy val schema = spark.read
+      .parquet(s"$path/${(to ++ from).head}").schema
+    def rd(fs: Set[String]): DataFrame =
+      if (fs.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      else spark.read.parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
+    val added = rd(to -- from)
+    val removed = rd(from -- to)
+    added.exceptAll(removed).withColumn("_change", lit("insert"))
+      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
 
   /** Transactionally add rows; concurrent appends all land (commuting
@@ -761,8 +983,16 @@ object TxTable {
             Map.empty[String, (Long, Long)],
             Map.empty[String, Seq[(Long, Long)]])
       }
+      // bloom-indexed head: fresh per-file blooms for the new layout —
+      // a routine compact/merge/delete must not silently erase the
+      // point-lookup index any more than the range stats
+      val (bbits, blooms) = st.bloomCol match {
+        case Some(bc) => bloomStats(spark, path, files, bc)
+        case None     => (0, Map.empty[String, String])
+      }
       commitAt(spark, path, head + 1, "overwrite", files, None,
-          stats, st.statsCol, mstats, st.statsCols) match {
+          stats, st.statsCol, mstats, st.statsCols,
+          st.bloomCol, bbits, blooms) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

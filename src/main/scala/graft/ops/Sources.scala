@@ -610,7 +610,64 @@ object Sources {
           Seq(("o_custkey", 100L, 300L), ("o_orderkey", 1000L, 30000L)))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // Transactional POINT-LOOKUP skipping on a SECONDARY key: the
+    // bloom-indexed demo table is laid out by o_custkey (range
+    // clustering) but carries a per-file bloom filter of o_orderkey in
+    // the commit log; readPoints prunes files whose bloom excludes
+    // every probed key before Spark lists them (TxTableSpec pins the
+    // pruning and the no-false-negative contract), and the oracle
+    // recomputes the lookup from the source table — a dropped row
+    // (false negative) or a missed residual filter breaks the hash.
+    Q("q_tx_point",
+      Some("""SELECT o_orderkey, o_custkey, o_orderpriority
+              FROM orders WHERE o_orderkey IN (7, 399, 1234)
+              ORDER BY o_orderkey"""),
+      (s, dir) => graft.api.TxTable.readPoints(s,
+          ensureTxBloom(s, dir), "o_orderkey", Seq(7L, 399L, 1234L))
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .orderBy("o_orderkey")),
+
+    // Transactional RESTORE: the restore demo table wrote the doc_id%2
+    // slice (v1), overwrote it with a different slice (v2), then rolled
+    // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
+    // immutable files (TxTableSpec pins that no data was copied). The
+    // head must read exactly the v1 predicate again; serving v2's
+    // content, or a restore that re-staged different bytes, breaks the
+    // hash.
+    Q("q_tx_restore",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id % 2 = 0
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxRestore(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
+    // Transactional CHANGE DATA FEED: row-level diffs between commits,
+    // computed from the symmetric difference of the two versions' FILE
+    // sets (immutable files shared by both versions cancel unread —
+    // the increment-proportional CDC shape). Window w12 spans the 10%
+    // append (pure inserts); window w23 spans the compact, which
+    // rewrote every file but changed NO rows — any row it leaks into
+    // either window breaks the hash, because the oracle derives w12
+    // from the append predicate and contributes nothing for w23.
+    Q("q_tx_cdf",
+      Some("""SELECT 'w12' AS w, 'insert' AS change, source,
+                     count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id % 10 = 0
+              GROUP BY 3 ORDER BY w, change, source"""),
+      (s, dir) => {
+        val tbl = ensureTx(s, dir)
+        graft.api.TxTable.changes(s, tbl, 1, 2).withColumn("w", lit("w12"))
+          .unionByName(
+            graft.api.TxTable.changes(s, tbl, 2, 3).withColumn("w", lit("w23")))
+          .groupBy(col("w"), col("_change").as("change"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("w", "change", "source")
+      })
   )
 
   /** Build the demo TxTable once per (session, sf dir), cross-process
@@ -621,15 +678,15 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 4) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 5) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
-      // q_tx_acid); table "u": merge upsert + transactional delete
-      // (q_tx_upsert). Version numbering is part of the queries'
+      // q_tx_acid / q_tx_cdf); table "u": merge upsert + transactional
+      // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z").foreach { n =>
+      Seq("t", "u", "c", "z", "p", "r").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -658,6 +715,19 @@ object Sources {
       // through the multi-dimensional pruning path)
       TxTable.overwriteZordered(s, s"$base/z", t(s, dir, "orders"),
         "o_custkey", "o_orderkey", numFiles = 8)
+      // table "p": orders range-clustered by o_custkey with a per-file
+      // BLOOM of the secondary key o_orderkey in the commit log
+      // (q_tx_point probes equality on the non-cluster key through the
+      // bloom pruning path)
+      TxTable.overwriteClustered(s, s"$base/p", t(s, dir, "orders"),
+        "o_custkey", numFiles = 8, bloomCol = Some("o_orderkey"))
+      // table "r": restore demo — v1 = doc_id%2 slice, v2 = a different
+      // slice, v3 = restore(1), a metadata-only rollback (q_tx_restore
+      // reads the head; TxTableSpec pins that restore staged no data)
+      val rt = s"$base/r"
+      TxTable.overwrite(s, rt, docs.filter(col("doc_id") % 2 === 0))
+      TxTable.overwrite(s, rt, docs.filter(col("doc_id") % 5 === 0))
+      TxTable.restore(s, rt, 1)
       ()
     }
 
@@ -672,4 +742,10 @@ object Sources {
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"
+
+  private[graft] def ensureTxBloom(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/p"
+
+  private[graft] def ensureTxRestore(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/r"
 }

@@ -367,4 +367,129 @@ class TxTableSpec extends AnyFunSuite {
       "vacuum never touches log-reachable files")
     assert(TxTable.vacuum(spark, t, olderThanMs = 0L) === 0)
   }
+
+  test("bloom-indexed write + readPoints: secondary-key pruning, no false negatives") {
+    val t = fresh()
+    // clustered by id, bloom on the INDEPENDENT secondary key k: range
+    // layout tells the reader nothing about k, only the bloom prunes
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4000).select(col("id"),
+        ((col("id") * 2654435761L) % 1000003L).as("k"),
+        concat(lit("r"), col("id")).as("v")),
+      "id", numFiles = 8, bloomCol = Some("k"))
+    val full = TxTable.read(spark, t)
+    assert(full.inputFiles.length === 8)
+    // every present key must be found (no false negatives): probe a
+    // sample of true keys through the bloom path and compare with the
+    // full-scan answer
+    val sample = full.select("k").limit(64).collect().map(_.getLong(0))
+    for (kv <- sample.take(8)) {
+      val got = TxTable.readPoints(spark, t, "k", Seq(kv))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = full.filter(col("k") === kv)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"bloom lookup of k=$kv must equal a full scan")
+    }
+    // pruning engages: a single-key probe reads fewer files than the
+    // table holds (4000 keys over 8 files; ≈1% fp per file)
+    val probe = TxTable.readPoints(spark, t, "k", Seq(sample.head))
+    assert(probe.inputFiles.length < 8,
+      "the bloom in the commit log prunes files before Spark sees them")
+    // an absent key: result empty regardless of false positives
+    assert(TxTable.readPoints(spark, t, "k", Seq(-1L)).count() === 0L)
+    // an unindexed append has no bloom → always read, its rows visible
+    TxTable.append(spark, t, Seq((9001L, 424242L, "late")).toDF("id", "k", "v"))
+    assert(TxTable.readPoints(spark, t, "k", Seq(424242L)).count() === 1L,
+      "files without a bloom entry are unprunable, never invisible")
+    // compaction must re-derive the blooms for the new layout
+    TxTable.compact(spark, t, numFiles = 4)
+    assert(TxTable.readPoints(spark, t, "k", Seq(sample.head))
+      .inputFiles.length < 4, "post-compact point reads still prune")
+    assert(TxTable.readPoints(spark, t, "k", Seq(424242L)).count() === 1L)
+    // probing a column the table carries no blooms for rejects loudly
+    val wrongCol = intercept[IllegalArgumentException] {
+      TxTable.readPoints(spark, t, "id", Seq(1L))
+    }
+    assert(wrongCol.getMessage.contains("blooms"))
+  }
+
+  test("restore: metadata-only rollback, history linear, vacuum-safe") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.overwrite(spark, t, Seq((9L, "bad")).toDF("id", "v"))
+    def dataDirs(): Set[String] =
+      new java.io.File(t).listFiles().map(_.getName)
+        .filter(_.startsWith("data-")).toSet
+    val before = dataDirs()
+    val v3 = TxTable.restore(spark, t, 1)
+    assert(v3 === 3L)
+    assert(dataDirs() === before,
+      "restore re-references v1's immutable files — no data copied")
+    assert(rows(t) === Set((1L, "a"), (2L, "b")))
+    assert(TxTable.readVersion(spark, t, 2).collect().head.getString(1)
+      === "bad", "the rolled-back version stays readable (linear history)")
+    // vacuum can never collect restored files: v1 still references them
+    assert(TxTable.vacuum(spark, t, olderThanMs = 0L) === 0)
+    assert(rows(t) === Set((1L, "a"), (2L, "b")))
+    // restore preserves skipping metadata: a clustered table pruned
+    // before the rollback must still prune after it
+    val c = fresh()
+    TxTable.overwriteClustered(spark, c,
+      spark.range(1000).select(col("id"),
+        concat(lit("r"), col("id")).as("v")), "id", numFiles = 8)
+    TxTable.overwrite(spark, c, Seq((5000L, "junk")).toDF("id", "v"))
+    TxTable.restore(spark, c, 1)
+    val pruned = TxTable.readRange(spark, c, "id", 100, 150)
+    assert(pruned.inputFiles.length < 8 && pruned.count() === 51L,
+      "restore carries the stats forward — pruning survives the rollback")
+  }
+
+  test("changes: file-level CDC — appends read increments, compacts read nothing new") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    // v1 -> v2: pure inserts, and ONLY the appended file is read
+    val c12 = TxTable.changes(spark, t, 1, 2)
+    assert(c12.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((3L, "c", "insert")))
+    assert(c12.inputFiles.forall(!_.contains(
+      TxTable.history(spark, t).head.files.head.takeWhile(_ != '/'))),
+      "files live in both versions cancel WITHOUT being read")
+    // v2 -> v3 spans a compact: every file rewritten, zero row changes
+    TxTable.compact(spark, t)
+    assert(TxTable.changes(spark, t, 2, 3).count() === 0L,
+      "a content-identical rewrite produces an empty change feed")
+    // a delete shows up as exactly its removed rows
+    TxTable.deleteWhere(spark, t, col("id") === 2L)
+    assert(TxTable.changes(spark, t, 3, 4).collect().map(r =>
+      (r.getLong(0), r.getString(2))).toSet === Set((2L, "delete")))
+    // bag semantics: duplicate rows count with multiplicity
+    TxTable.append(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    val dup = TxTable.changes(spark, t, 4, 5).collect()
+    assert(dup.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "insert")),
+      "a re-inserted duplicate of a surviving row is ONE insert")
+    // whole-window view: v1 -> head nets out to the delete + the dup
+    assert(TxTable.changes(spark, t, 1, 5).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSet ===
+      Set((3L, "c", "insert"), (1L, "a", "insert"), (2L, "b", "delete")))
+  }
+
+  test("bloom positions: the driver probe replays the executor hash exactly") {
+    // the reader derives positions with XXH64 on the driver while the
+    // writer derives them with the xxhash64 expression on executors —
+    // one drifted constant means silent false negatives, so pin the
+    // two paths bit-equal over a value sweep
+    val bits = 4096
+    val vals = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue, 123456789L)
+    val viaExpr = spark.createDataset(vals).toDF("v")
+      .select(col("v"), posexplode(array((0 until TxTable.BloomHashes).map(i =>
+        pmod(xxhash64(col("v"), lit(i.toLong)), lit(bits))): _*)))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2).toInt).toMap
+    for (v <- vals; i <- 0 until TxTable.BloomHashes)
+      assert(TxTable.bloomPosition(v, i.toLong, bits) === viaExpr((v, i)),
+        s"hash divergence for v=$v i=$i")
+  }
 }
