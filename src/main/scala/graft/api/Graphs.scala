@@ -122,6 +122,103 @@ object Graphs {
         col(dstCol).cast("long").as("doc_b")))
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
+  /** Triangle count of an UNDIRECTED graph (direction and self-loops
+    * ignored): one row (n_triangles, tri_mass) where tri_mass is the
+    * BIGINT sum of each triangle's three vertex ids — a second exact
+    * invariant so an oracle hash breaks on any miscounted OR
+    * misidentified triangle, not just a lucky-equal count.
+    *
+    * Scale shape: the compact-forward / degree-ordering algorithm
+    * (Schank-Wagner; the published MapReduce formulation is Suri &
+    * Vassilvitskii's "Counting Triangles and the Curse of the Last
+    * Reducer"). Every edge is oriented from its lower to its higher
+    * endpoint in the (degree, id) total order, which turns the graph
+    * into a DAG whose max out-degree is O(√m); wedges are then a
+    * self-join of oriented edges on their source — Σ outdeg², the
+    * term the orientation provably minimizes against the curse-of-the-
+    * last-reducer hub blowup (a plain a<b<c id-ordered join puts every
+    * hub's full neighborhood in one reducer) — and a triangle is a
+    * wedge whose far endpoints are themselves an oriented edge (one
+    * more equi-join). Three shuffles total, all on edge keys, no row
+    * ever wider than (u, w, two degrees).
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient low→high in the (degree, id) total order
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("w"),
+            col("da").as("du"), col("db").as("dw")))
+          .otherwise(struct(col("b").as("u"), col("a").as("w"),
+            col("db").as("du"), col("da").as("dw")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.w").as("w"),
+        col("e.du").as("du"), col("e.dw").as("dw"))
+    val o1 = oriented.select(col("u"), col("w").as("w1"),
+      col("dw").as("dw1"))
+    val o2 = oriented.select(col("u"), col("w").as("w2"),
+      col("dw").as("dw2"))
+    // wedge (w1, w2) anchored at u, far pair kept in orientation order
+    // so the closing edge — if present — is exactly oriented (w1, w2)
+    val wedges = o1.join(o2, "u")
+      .where(col("dw1") < col("dw2") ||
+        (col("dw1") === col("dw2") && col("w1") < col("w2")))
+      .select(col("u"), col("w1"), col("w2"))
+    wedges
+      .join(oriented.select(col("u").as("w1"), col("w").as("w2")),
+        Seq("w1", "w2"))
+      .agg(count(lit(1)).as("n_triangles"),
+        coalesce(sum(col("u") + col("w1") + col("w2")), lit(0L))
+          .cast("long").as("tri_mass"))
+  }
+
+  /** Breadth-first minimum distance from a SET of source nodes over an
+    * undirected view of the edge list, bounded at `maxDepth` rounds.
+    * Output: (id BIGINT, lvl BIGINT), one row per node reached within
+    * the bound — unreached nodes are absent, sources are lvl 0.
+    *
+    * Scale shape: frontier expansion — each round joins ONLY the
+    * newly-discovered frontier against the edge list (one hash join +
+    * distinct + anti-join against the settled set), so total work is
+    * O(edges touched × rounds), never frontier × whole-history; levels
+    * are minimal by construction (a node is settled the first round it
+    * appears, and never revisited). The bounded depth keeps the
+    * lineage a single declarative plan; deep traversals should
+    * checkpoint the settled set every ~10 rounds, same as PageRank.
+    */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+                sources: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0 && maxDepth <= 50,
+      s"maxDepth must be in [0, 50], got $maxDepth (checkpoint for deeper)")
+    val e = edges
+      .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+    val und = e.union(e.select(col("y").as("x"), col("x").as("y"))).distinct()
+    var settled = sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("lvl")).distinct()
+    var frontier = settled.select("id")
+    for (d <- 1 to maxDepth) {
+      val next = und.join(frontier, und("x") === frontier("id"))
+        .select(und("y").as("id")).distinct()
+        .join(settled, Seq("id"), "left_anti")
+        .select(col("id"), lit(d.toLong).as("lvl"))
+      settled = settled.unionByName(next)
+      frontier = next.select("id")
+    }
+    settled
+  }
+
   /** Degree profile: histogram of out- and in-degrees — the one-line
     * health check of any crawl/link graph (a spam burst shows up as a
     * fat head, a broken extractor as a missing tail). Output:

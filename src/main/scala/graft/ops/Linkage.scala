@@ -179,6 +179,67 @@ object Linkage {
       (s, dir) => graft.api.Cdc.rollingAnomalies(
           t(s, dir, "events").filter(col("event_type") === "purchase"),
           "user_id", "ts", "event_id", "value")
-        .orderBy("user_id", "event_id"))
+        .orderBy("user_id", "event_id")),
+
+    // Triangle count over the parts-bought-together graph (parts
+    // co-occurring in one order are linked; a 10% order slice keeps the
+    // oracle's cubic join affordable at any test SF). The Spark side
+    // runs the degree-ordered compact-forward algorithm — wedges from
+    // the oriented DAG, Σ outdeg² minimized, never a hub's full
+    // neighborhood in one task — while the oracle counts the same
+    // triangles with the naive canonical a<b<c three-way join; the
+    // id-mass invariant breaks the hash on any misidentified triangle,
+    // not just a lucky-equal count.
+    Q("q_graph_triangles",
+      Some("""WITH pe AS (
+                SELECT DISTINCT least(l1.l_partkey, l2.l_partkey) AS a,
+                                greatest(l1.l_partkey, l2.l_partkey) AS b
+                FROM lineitem l1 JOIN lineitem l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey <> l2.l_partkey
+                WHERE l1.l_orderkey % 10 = 0)
+              SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                     CAST(COALESCE(SUM(e1.a + e1.b + e2.b), 0) AS BIGINT)
+                       AS tri_mass
+              FROM pe e1
+              JOIN pe e2 ON e2.a = e1.b
+              JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b"""),
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pa"))
+        val pairs = l.join(l.select(col("ok"), col("pa").as("pb")), "ok")
+          .where(col("pa") =!= col("pb"))
+        graft.api.Graphs.triangleCount(pairs, "pa", "pb")
+      }),
+
+    // Bounded BFS from the custkey%100=0 seed set over the undirected
+    // view of the link graph: minimum hop distance per reached node,
+    // aggregated per level. The Spark side expands only the NEW
+    // frontier each round (join + distinct + anti-join vs settled); the
+    // oracle replays the closure as a recursive CTE and takes MIN(lvl).
+    Q("q_graph_bfs",
+      Some(s"""WITH RECURSIVE $edgesCte,
+                    und AS (SELECT src AS x, dst AS y FROM edges
+                            UNION SELECT dst, src FROM edges),
+                    bfs(id, lvl) AS (
+                      SELECT id, 0 FROM nodes WHERE id % 200 = 0
+                      UNION
+                      SELECT u.y, bfs.lvl + 1 FROM bfs
+                      JOIN und u ON u.x = bfs.id WHERE bfs.lvl < 3),
+                    m AS (SELECT id, MIN(lvl) AS lvl FROM bfs GROUP BY 1)
+               SELECT CAST(lvl AS BIGINT) AS lvl,
+                      CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(SUM(id) AS BIGINT) AS id_mass
+               FROM m GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val base = Sources.ensureGraph(s, dir)
+        val edges = s.read.parquet(s"$base/edges")
+        val sources = s.read.parquet(s"$base/nodes")
+          .filter(col("id") % 200 === 0)
+        graft.api.Graphs.bfsLevels(edges, "src", "dst", sources, maxDepth = 3)
+          .groupBy("lvl")
+          .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("id_mass"))
+          .orderBy("lvl")
+      })
   )
 }

@@ -63,6 +63,52 @@ class LinkageSpec extends AnyFunSuite {
       ("in", 3L, 1L), ("in", 1L, 1L)))
   }
 
+  test("triangleCount matches naive enumeration on mixed shapes") {
+    // K5 on {1..5} (C(5,3)=10 triangles), a diagonal square {10,11,12,13}
+    // (2 triangles), a chain {20,21,22,23} (0), a self-loop, duplicate
+    // and reversed edges (must dedup), an isolated edge
+    val k5 = for { a <- 1L to 5L; b <- 1L to 5L if a < b } yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L), (10L, 12L))
+    val noise = Seq((20L, 21L), (21L, 22L), (22L, 23L), // chain
+      (7L, 7L),                 // self-loop: dropped
+      (2L, 1L), (1L, 2L),       // reversed + duplicate of a K5 edge
+      (30L, 31L))               // isolated edge
+    val edges = (k5 ++ square ++ noise).toDF("s", "d")
+    val got = Graphs.triangleCount(edges, "s", "d").collect().head
+    // naive expectation: enumerate triples of the canonical edge set
+    val es = (k5 ++ square ++ noise).map { case (a, b) =>
+      (math.min(a, b), math.max(a, b)) }.filter(e => e._1 != e._2).toSet
+    val vs = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val tris = for {
+      a <- vs; b <- vs if a < b && es((a, b))
+      c <- vs if b < c && es((b, c)) && es((a, c))
+    } yield (a, b, c)
+    assert(got.getLong(0) === tris.size.toLong)
+    assert(got.getLong(1) === tris.map(t => t._1 + t._2 + t._3).sum)
+    assert(tris.size === 12, "sanity: K5 + diagonal square = 10 + 2")
+    // empty graph: one row, zero count, zero mass
+    val empty = Graphs.triangleCount(Seq((1L, 1L)).toDF("s", "d"), "s", "d")
+      .collect().head
+    assert((empty.getLong(0), empty.getLong(1)) === (0L, 0L))
+  }
+
+  test("bfsLevels: minimum hop levels, bounded depth, unreached absent") {
+    // path 1-2-3-4-5-6, a shortcut cycle 1-7-3 (3 stays level 2 via
+    // either route, 7 is level 1), and a disconnected edge 40-41
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 7L), (7L, 3L), (40L, 41L)).toDF("s", "d")
+    val src = Seq(1L).toDF("id")
+    val got = Graphs.bfsLevels(edges, "s", "d", src, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 7L -> 1L, 3L -> 2L, 4L -> 3L),
+      "5 and 6 are beyond the bound; 40/41 disconnected; 3 is min-level 2")
+    // depth 0 = just the sources; multiple seeds settle at 0
+    val two = Graphs.bfsLevels(edges, "s", "d",
+      Seq(1L, 40L).toDF("id"), maxDepth = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(two === Map(1L -> 0L, 40L -> 0L, 2L -> 1L, 7L -> 1L, 41L -> 1L))
+  }
+
   test("registered pagerank plan is join+agg per round, never a nested loop") {
     val plan = graft.ops.Registry.byName("q_graph_pagerank")
       .fn(spark, SparkTestSession.sfDir)
