@@ -75,7 +75,10 @@ object TxTable {
                           statsCols: Seq[String] = Nil,
                           bloomCol: Option[String] = None,
                           bloomBits: Int = 0,
-                          blooms: Map[String, String] = Map.empty)
+                          blooms: Map[String, String] = Map.empty,
+                          zbits: Int = 0,
+                          op: Option[String] = None,
+                          cdf: Seq[String] = Nil)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -106,6 +109,10 @@ object TxTable {
        else s""""statsCols":[${c.statsCols.map("\"" + _ + "\"").mkString(",")}],""") +
       c.bloomCol.map(bc => s""""bloomCol":"$bc",""").getOrElse("") +
       (if (c.bloomBits == 0) "" else s""""bloomBits":${c.bloomBits},""") +
+      (if (c.zbits == 0) "" else s""""zbits":${c.zbits},""") +
+      c.op.map(o => s""""op":"$o",""").getOrElse("") +
+      (if (c.cdf.isEmpty) ""
+       else s""""cdf":[${c.cdf.map("\"" + _ + "\"").mkString(",")}],""") +
       // bloom entries are bracket-free (hex payloads), so they stay
       // BEFORE mstats and a non-greedy scan parses them safely
       (if (c.blooms.isEmpty) ""
@@ -136,6 +143,9 @@ object TxTable {
   private val BloomBitsRe = """"bloomBits":(\d+)""".r
   private val BloomsRe = """"blooms":\[(.*?)\]""".r
   private val BloomRe = """\{"f":"([^"]+)","b":"([0-9a-f]*)"\}""".r
+  private val ZBitsRe = """"zbits":(\d+)""".r
+  private val OpRe = """"op":"(\w+)"""".r
+  private val CdfRe = """"cdf":\[([^\]]*)\]""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
   private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
   private val MStatRe = """\{"f":"([^"]+)","r":\[([-0-9,]*)\]\}""".r
@@ -168,7 +178,12 @@ object TxTable {
     BloomsRe.findFirstMatchIn(txt).map(m =>
       BloomRe.findAllMatchIn(m.group(1)).map(b =>
         b.group(1) -> b.group(2)).toMap)
-      .getOrElse(Map.empty))
+      .getOrElse(Map.empty),
+    ZBitsRe.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0),
+    OpRe.findFirstMatchIn(txt).map(_.group(1)),
+    CdfRe.findFirstMatchIn(txt).map(m =>
+      FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -272,7 +287,8 @@ object TxTable {
                                  statsCols: Seq[String],
                                  bloomCol: Option[String] = None,
                                  bloomBits: Int = 0,
-                                 blooms: Map[String, String] = Map.empty)
+                                 blooms: Map[String, String] = Map.empty,
+                                 zbits: Int = 0)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -284,7 +300,7 @@ object TxTable {
         val ck = parse(txt)
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
           ck.statsCol, ck.mstats, ck.statsCols,
-          ck.bloomCol, ck.bloomBits, ck.blooms), cv)
+          ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -292,15 +308,15 @@ object TxTable {
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2) =
+        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2) =
           if (c.action == "overwrite")
             (c.files, c.stats, c.statsCol, c.mstats, c.statsCols,
-              c.bloomCol, c.bloomBits, c.blooms)
+              c.bloomCol, c.bloomBits, c.blooms, c.zbits)
           else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
             st.mstats ++ c.mstats, st.statsCols,
-            st.bloomCol, st.bloomBits, st.blooms ++ c.blooms)
+            st.bloomCol, st.bloomBits, st.blooms ++ c.blooms, st.zbits)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
-          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2)
+          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2)
       }
   }
 
@@ -360,6 +376,18 @@ object TxTable {
     * the folded live set AND the folded txn-id set (best-effort —
     * readers never require a checkpoint).
     */
+  /** FS schemes whose claim primitive is check-then-act (an
+    * exists-then-rename, or a rename that overwrites an existing
+    * destination): two TxTable writers on such a store can BOTH claim
+    * the same version and silently fork history. Rejected at commit
+    * time — the scaladoc caveat alone proved too quiet (a caller
+    * pointing a table at s3mini gets a hard error naming the fix, not
+    * a latent lost-update). Real object-store deployments route
+    * commits through a locking service (the DynamoDB LogStore shape);
+    * HDFS rename-if-absent and local link(2) are atomic natively.
+    */
+  private[graft] val NonAtomicClaimSchemes = Set("s3mini", "s3a", "s3", "s3n")
+
   private def commitAt(spark: SparkSession, path: String, v: Long,
                        action: String, files: Seq[String],
                        txn: Option[String],
@@ -369,12 +397,21 @@ object TxTable {
                        statsCols: Seq[String] = Nil,
                        bloomCol: Option[String] = None,
                        bloomBits: Int = 0,
-                       blooms: Map[String, String] = Map.empty)
+                       blooms: Map[String, String] = Map.empty,
+                       zbits: Int = 0,
+                       op: Option[String] = None,
+                       cdf: Seq[String] = Nil)
       : Option[Long] = {
     val hfs = fs(spark, path)
+    require(!NonAtomicClaimSchemes.contains(hfs.getScheme),
+      s"TxTable cannot commit on '${hfs.getScheme}': the scheme lacks an " +
+        "atomic rename-if-absent, so two writers could claim the same " +
+        "version — serialize commits externally (a locking service) or " +
+        "use a file:// or hdfs:// table path")
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
-      stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms)
+      stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,
+      zbits, op, cdf)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -386,7 +423,7 @@ object TxTable {
             stats = st.stats, statsCol = st.statsCol,
             mstats = st.mstats, statsCols = st.statsCols,
             bloomCol = st.bloomCol, bloomBits = st.bloomBits,
-            blooms = st.blooms))
+            blooms = st.blooms, zbits = st.zbits))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -394,7 +431,14 @@ object TxTable {
         }
       Some(v)
     } catch {
-      case _: java.io.IOException => None // version claimed by a racer
+      // ONLY a lost version race reports None (the caller's retry
+      // signal). Any other IOException — disk full, permissions, a
+      // flaking FS — propagates with its real cause: retrying a
+      // genuine write failure 64 times and then reporting "could not
+      // commit" with the cause discarded misdiagnoses every such
+      // failure as contention.
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+      case _: java.nio.file.FileAlreadyExistsException => None
     }
   }
 
@@ -416,7 +460,10 @@ object TxTable {
                      statsCols: Seq[String] = Nil,
                      bloomCol: Option[String] = None,
                      bloomBits: Int = 0,
-                     blooms: Map[String, String] = Map.empty): Long = {
+                     blooms: Map[String, String] = Map.empty,
+                     zbits: Int = 0,
+                     op: Option[String] = None,
+                     cdf: Seq[String] = Nil): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
@@ -428,14 +475,15 @@ object TxTable {
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
               action, files, txn, stats, statsCol, mstats, statsCols,
-              bloomCol, bloomBits, blooms) match {
+              bloomCol, bloomBits, blooms, zbits, op, cdf) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
       }
     }
     throw new IllegalStateException(
-      s"could not commit to $path after $MaxCommitRetries attempts")
+      s"could not commit to $path after $MaxCommitRetries lost version " +
+        "races (every attempt found its claimed version already taken)")
   }
 
   /** Appends must match the table's schema by (name → type) — the
@@ -594,9 +642,14 @@ object TxTable {
           "BEFORE staging so a bad call cannot orphan a staged dir")
     val laid = Layout.zorderFrame(df, xCol, yCol, math.max(1, numFiles), bits)
     val files = stage(spark, path, laid)
+    // `zbits` lands in the commit record so every later head rewrite
+    // (compact/merge/delete) replays the SAME interleave granularity —
+    // without it a bits != default table silently re-laid-out at the
+    // default on its first compact (results stay correct, rectangle
+    // tightness drifts)
     commit(spark, path, "overwrite", files,
       mstats = multiColStats(spark, path, files, Seq(xCol, yCol)),
-      statsCols = Seq(xCol, yCol))
+      statsCols = Seq(xCol, yCol), zbits = bits)
   }
 
   /** Per-file footer (min, max) for EACH of `cols`, aligned with the
@@ -691,48 +744,56 @@ object TxTable {
   private def hexToBytes(hex: String): Array[Byte] =
     hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
 
-  private def bytesToHex(bs: Array[Byte]): String =
-    bs.map(b => f"${b & 0xff}%02x").mkString
-
   /** Per-file bloom filters of `colName` over freshly-staged files:
     * one narrow scan of the staged data computes each row's
-    * [[BloomHashes]] positions and folds them to ≤bits distinct
-    * positions per file ON THE EXECUTORS (`collect_set` per file,
-    * bounded by `bits`, never by rows), so the driver only packs
-    * bitsets — the collect is O(files × bits), row-count-independent.
-    * Every staged file gets an entry (an empty file's all-zero bloom
-    * correctly excludes everything); NULL keys set no bits, which is
-    * sound because [[readPoints]] looks up concrete values only.
-    * Returns (bits, file → hex bitset).
+    * [[BloomHashes]] positions, folds them to ≤bits distinct positions
+    * per file on the executors (`collect_set` per file, bounded by
+    * `bits`, never by rows), and PACKS each file's bitset to its hex
+    * payload there too — the driver collects one bits/4-char string
+    * per file (the exact bytes the commit record will carry), never
+    * the position sets themselves: at bloomBits up to 2^24 a wide
+    * clustered overwrite would otherwise pull
+    * O(files × bits × 8 bytes) of Long positions into the driver, 64×
+    * the packed form. Every staged file gets an entry (an empty file's
+    * all-zero bloom correctly excludes everything); NULL keys set no
+    * bits, which is sound because [[readPoints]] looks up concrete
+    * values only. Returns (bits, file → hex bitset).
     */
   private def bloomStats(spark: SparkSession, path: String,
                          files: Seq[String], colName: String)
       : (Int, Map[String, String]) = {
     import org.apache.spark.sql.functions._
+    import spark.implicits._
     val data = spark.read.parquet(files.map(f => s"$path/$f"): _*)
       .select(input_file_name().as("_f"), col(colName).as("_v"))
       .filter(col("_v").isNotNull)
     val counts = data.groupBy("_f").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val bits = bloomBitsFor(if (counts.isEmpty) 0L else counts.values.max)
-    val positions = data
+    // the packing lambda captures only locals (bits), never the
+    // enclosing object — TxTable is not Serializable and must not ride
+    // a task closure. Byte/bit layout matches java.util.BitSet
+    // (little-endian within bytes: bit p lives at byte p>>3, bit p&7),
+    // which is what bloomMightContain's BitSet.valueOf re-reads.
+    val positions: Map[String, String] = data
       .select(col("_f"), explode(array((0 until BloomHashes).map(i =>
         pmod(xxhash64(col("_v"), lit(i.toLong)), lit(bits))): _*)).as("_p"))
       .groupBy("_f").agg(collect_set(col("_p")).as("ps"))
-      .collect()
-      .map(r => r.getString(0) ->
-        r.getSeq[Long](1).map(_.toInt))
-      .toMap
+      .as[(String, Seq[Long])]
+      .map { case (f, ps) =>
+        val bytes = new Array[Byte](bits / 8)
+        ps.foreach { p =>
+          val i = p.toInt
+          bytes(i >> 3) = (bytes(i >> 3) | (1 << (i & 7))).toByte
+        }
+        (f, bytes.map(b => f"${b & 0xff}%02x").mkString)
+      }
+      .collect().toMap
+    val empty = "00" * (bits / 8)
     val byRel = files.map { rel =>
-      val ps = positions.collectFirst {
-        case (uri, p) if uri.endsWith("/" + rel) => p
-      }.getOrElse(Seq.empty)
-      val bs = new java.util.BitSet(bits)
-      ps.foreach(bs.set)
-      // fix the encoded length so the hex payload is stable regardless
-      // of the highest set bit
-      val bytes = java.util.Arrays.copyOf(bs.toByteArray, bits / 8)
-      rel -> bytesToHex(bytes)
+      rel -> positions.collectFirst {
+        case (uri, hex) if uri.endsWith("/" + rel) => hex
+      }.getOrElse(empty)
     }.toMap
     (bits, byRel)
   }
@@ -789,7 +850,8 @@ object TxTable {
     commit(spark, path, "overwrite", st.files,
       stats = st.stats, statsCol = st.statsCol,
       mstats = st.mstats, statsCols = st.statsCols,
-      bloomCol = st.bloomCol, bloomBits = st.bloomBits, blooms = st.blooms)
+      bloomCol = st.bloomCol, bloomBits = st.bloomBits, blooms = st.blooms,
+      zbits = st.zbits, op = Some("restore"))
   }
 
   /** Change data feed: the row-level diff between two snapshots, each
@@ -968,8 +1030,12 @@ object TxTable {
       val target = numFilesHint.getOrElse(math.max(1, st.files.size))
       val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
         case (_, Seq(x, y)) => // z-ordered head: re-layout, fresh 2-D stats
+          // replay the RECORDED interleave bits (pre-zbits logs carry 0
+          // → the writer default), so rewrites preserve the table's
+          // z-order granularity instead of resetting it
           val staged = stage(spark, path,
-            Layout.zorderFrame(transformed, x, y, target))
+            Layout.zorderFrame(transformed, x, y, target,
+              if (st.zbits > 0) st.zbits else 16))
           (staged, Map.empty[String, (Long, Long)],
             multiColStats(spark, path, staged, st.statsCols))
         case (Some(sc), _) =>
@@ -992,7 +1058,7 @@ object TxTable {
       }
       commitAt(spark, path, head + 1, "overwrite", files, None,
           stats, st.statsCol, mstats, st.statsCols,
-          st.bloomCol, bbits, blooms) match {
+          st.bloomCol, bbits, blooms, st.zbits) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

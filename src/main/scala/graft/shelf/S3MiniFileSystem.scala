@@ -129,13 +129,26 @@ final class S3MiniFileSystem extends FileSystem {
       val (code, body, _) = request("GET", q, null)
       if (code != 200) throw new IOException(s"list $prefix: HTTP $code")
       val xml = new String(body, "UTF-8")
-      val pageKeys = """<Key>([^<]*)</Key>""".r.findAllMatchIn(xml)
-        .map(_.group(1)).toSeq
-      val sizes = """<Size>(\d+)</Size>""".r.findAllMatchIn(xml)
-        .map(_.group(1).toLong).toSeq
-      keys ++= pageKeys.zipAll(sizes, "", 0L).filter(_._1.nonEmpty)
-      prefixes ++= """<Prefix>([^<]*)</Prefix>""".r.findAllMatchIn(xml)
-        .map(_.group(1)).toSeq.filterNot(_ == prefix) // the echo of our own
+      // Key and Size are paired PER <Contents> BLOCK, never positionally
+      // across the page: a zipAll over whole-page element lists silently
+      // shifts every pairing after one malformed entry (a Contents
+      // missing its Size, or a size-bearing tag outside Contents) and
+      // pads with length 0 — corrupting FileStatus lengths downstream.
+      // A block whose Key or Size is absent fails loudly instead.
+      """(?s)<Contents>(.*?)</Contents>""".r.findAllMatchIn(xml)
+        .map(_.group(1)).foreach { c =>
+          val key = """<Key>([^<]*)</Key>""".r.findFirstMatchIn(c)
+            .map(_.group(1)).getOrElse(throw new IOException(
+              s"list $prefix: <Contents> entry without a <Key>"))
+          val size = """<Size>(\d+)</Size>""".r.findFirstMatchIn(c)
+            .map(_.group(1).toLong).getOrElse(throw new IOException(
+              s"list $prefix: <Contents> entry '$key' without a <Size>"))
+          if (key.nonEmpty) keys += ((key, size))
+        }
+      // common prefixes live in their own blocks; scoping the scan to
+      // them keeps the query-echo <Prefix> out without the filterNot
+      prefixes ++= """(?s)<CommonPrefixes>.*?<Prefix>([^<]*)</Prefix>""".r
+        .findAllMatchIn(xml).map(_.group(1)).toSeq
       val truncated = xml.contains("<IsTruncated>true</IsTruncated>")
       token = """<NextContinuationToken>([^<]*)</NextContinuationToken>""".r
         .findFirstMatchIn(xml).map(_.group(1))
