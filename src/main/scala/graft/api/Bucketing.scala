@@ -121,6 +121,7 @@ object Bucketing {
         val attached = canAttach && scala.util.Try {
           try attachOnce() catch { case _: Exception => attachOnce() }
         }.isSuccess
+        ScratchStats.record(s"bk_$name", attached)
         if (!attached) {
           df.write
             .format("parquet")

@@ -25,7 +25,7 @@ object Pipeline {
     // double-build would persist (and compute) the shingles twice.
     shCache.synchronized {
       shCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4))
+        forced(Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4)))
     }
 
   /** The packed token-stream digest frame per (session, dir):
@@ -56,9 +56,24 @@ object Pipeline {
       graft.api.Dedup.tableTag(dir)
     val fp = s"v$ver:" +
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
-    Dedup.loadOrBuildParquet(s, path,
-      java.nio.file.Paths.get(path, "_GRAFT_FP"), fp)(build)._1
+    val (df, served) = Dedup.loadOrBuildParquet(s, path,
+      java.nio.file.Paths.get(path, "_GRAFT_FP"), fp)(build)
+    graft.api.ScratchStats.record(kind, served)
+    df
   }
+
+  /** Materialize a persisted shared frame BEFORE its memo hands it out:
+    * the first caller pays the whole build inside the memo lock, so N
+    * concurrent first-touch queries wait briefly and then read cached
+    * blocks instead of EACH computing every partition of the same lazy
+    * persist (Spark dedupes block WRITES, not the computation — the
+    * "Block already exists; not re-adding" warning is N-1 discarded
+    * full computations). Under the round-12 driver's half-cold window
+    * that duplication burned 110.7 s of real executor CPU inside one
+    * query's loaded timing vs 11.5 s unloaded, defeating the artifact's
+    * contention *and* CPU columns at once.
+    */
+  private def forced(df: DataFrame): DataFrame = { df.count(); df }
 
   private[graft] def packedStream(s: SparkSession, dir: String): DataFrame =
     // persist WITHOUT a Pins registration (the shCache discipline):
@@ -68,10 +83,10 @@ object Pipeline {
     // BpeVocabCap, seqLen — bump on change.
     packCache.synchronized {
       packCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedParquet(s, dir, "pack", 1, "documents") {
+        forced(cachedParquet(s, dir, "pack", 1, "documents") {
           graft.api.Packing.packTokenStream(t(s, dir, "documents"),
             "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
   /** The span-cut corpus (removeSharedSegments k=8, minLen=3) per
@@ -87,10 +102,10 @@ object Pipeline {
     // to the span recipe (k=8, minLen=3) — bump on change.
     spanCache.synchronized {
       spanCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedParquet(s, dir, "spancut", 1, "documents") {
+        forced(cachedParquet(s, dir, "spancut", 1, "documents") {
           Dedup.removeSharedSegments(t(s, dir, "documents"),
             "doc_id", "text", k = 8, minLen = 3)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
   private val pairsCache =
@@ -127,7 +142,9 @@ object Pipeline {
       bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
         val path = bandsPath(dir)
         val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-        Dedup.loadBandIndex(s, path, fp).getOrElse {
+        val loaded = Dedup.loadBandIndex(s, path, fp)
+        graft.api.ScratchStats.record("bands", loaded.isDefined)
+        loaded.getOrElse {
           val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)
           Dedup.saveBandIndex(s, path, Dedup.buildBandIndex(corpusSh),
             corpusSh, fp)
@@ -150,7 +167,9 @@ object Pipeline {
         val path = s"${graft.api.Bucketing.scratchBase}/segs_" +
           graft.api.Dedup.tableTag(dir)
         val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-        Dedup.loadSegmentIndex(s, path, fp, segTokens = 15).getOrElse {
+        val loaded = Dedup.loadSegmentIndex(s, path, fp, segTokens = 15)
+        graft.api.ScratchStats.record("segs", loaded.isDefined)
+        loaded.getOrElse {
           Dedup.saveSegmentIndex(s, path,
             Dedup.segmentHashes(t(s, dir, "documents")
               .filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15),
@@ -167,8 +186,8 @@ object Pipeline {
   private[graft] def incrShingled(s: SparkSession, dir: String): DataFrame =
     shCache.synchronized {
       shCache.getOrElseUpdate((System.identityHashCode(s), dir + "#incr"),
-        Dedup.shingles(t(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4))
+        forced(Dedup.shingles(t(s, dir, "documents")
+          .filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)))
     }
 
   /** Unpersist and forget this session's cached frames (Graft.clear). */
@@ -253,7 +272,10 @@ object Pipeline {
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
     val marker = path.resolve("_GRAFT_FP")
     val data = path.resolve("data.tsv")
-    if (Dedup.markerFresh(marker, fp)(java.nio.file.Files.isRegularFile(data)))
+    val served =
+      Dedup.markerFresh(marker, fp)(java.nio.file.Files.isRegularFile(data))
+    graft.api.ScratchStats.record(kind, served)
+    if (served)
       new String(java.nio.file.Files.readAllBytes(data), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
     else {
@@ -666,9 +688,9 @@ object Pipeline {
   private[graft] def corpusClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache.synchronized {
       clustersCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedParquet(s, dir, "dupclusters", 1, "documents") {
+        forced(cachedParquet(s, dir, "dupclusters", 1, "documents") {
           Dedup.duplicateClusters(nearPairs(s, dir))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
   private[graft] def nearPairs(s: SparkSession, dir: String): DataFrame =
@@ -679,9 +701,9 @@ object Pipeline {
     // default perms/bands) — bump on change.
     pairsCache.synchronized {
       pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedParquet(s, dir, "nearpairs", 1, "documents") {
+        forced(cachedParquet(s, dir, "nearpairs", 1, "documents") {
           Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
     }
 
   /** Incremental SemDeDup survivors (5% embedding increment vs the

@@ -31,7 +31,8 @@ object Sources {
   private[graft] def tagOf(dir: String): String =
     new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def ioDir(dir: String) = s"/tmp/graft_io/${tagOf(dir)}"
+  private def ioDir(dir: String) =
+    s"${graft.api.ScratchStats.IoRoot}/${tagOf(dir)}"
 
   /** The sf-dir the oracle SQL should point at; Verify overwrites this
     * with its actual argument before dumping oracle_sql.json.
@@ -42,7 +43,8 @@ object Sources {
 
   /** Substitute the scratch-path placeholder for the current SF tag. */
   private[graft] def resolveOracle(sql: String): String =
-    sql.replace(ioPlaceholder, s"/tmp/graft_io/${tagOf(oracleSfDir)}")
+    sql.replace(ioPlaceholder,
+      s"${graft.api.ScratchStats.IoRoot}/${tagOf(oracleSfDir)}")
 
   private val written =
     scala.collection.concurrent.TrieMap[(Int, String, String), Unit]()
@@ -113,11 +115,15 @@ object Sources {
         val fp = s"v$ScratchFormatVersion$verTag:" + graft.api.Dedup
           .sourceFingerprint(s, srcTables.map(n => s"$dir/$n.parquet"): _*)
         val marker = java.nio.file.Paths.get(out, "_GRAFT_OK")
-        if (!graft.api.Dedup.markerFresh(marker, fp)(
-            graft.api.Dedup.hasDataFiles(out))) {
+        val served = graft.api.Dedup.markerFresh(marker, fp)(
+          graft.api.Dedup.hasDataFiles(out))
+        if (!served) {
           write(out)
           graft.api.Dedup.writeMarker(marker, fp)
         }
+        // warm/cold evidence for the bench artifact: a run whose state
+        // is half-cold must name itself (see ScratchStats scaladoc)
+        graft.api.ScratchStats.record(s"src_$fmt", served)
         written.put(key, ())
       }
     }
