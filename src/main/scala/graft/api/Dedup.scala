@@ -1372,9 +1372,13 @@ object Dedup {
   /** One large-star round (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC'14, Alg. 3): every node connects each
     * strictly-LARGER neighbor to the node's local minimum (min of
-    * itself and all neighbors). Input and output are canonical
-    * (u < v) distinct edge sets; mn ≤ n < b keeps the emitted edge
-    * canonical and loop-free by construction.
+    * itself and all neighbors). Input may carry duplicate canonical
+    * (u < v) edges; the output is canonical and loop-free by
+    * construction (mn ≤ n < b) and NOT deduplicated — min/groupBy is
+    * multiplicity-insensitive, so [[duplicateClusters]] dedupes ONCE
+    * per batched materialization instead of paying a distinct shuffle
+    * inside every star op (duplicates only arise from multi-path
+    * merges, ≤2× per op, and are cut at each batch boundary).
     */
   private def largeStar(e: DataFrame): DataFrame = {
     val adj = e.select(col("u").as("n"), col("v").as("b"))
@@ -1384,14 +1388,14 @@ object Dedup {
     adj.join(mins, "n")
       .where(col("b") > col("n"))
       .select(col("mn").as("u"), col("b").as("v"))
-      .distinct()
   }
 
   /** One small-star round (Kiveris'14, Alg. 4): every node connects its
     * smaller neighbors AND itself to the minimum of those neighbors.
     * Canonical edges already point small→large, so keying by `v` gives
     * exactly the smaller-neighbor lists; mb < b < n keeps the output
-    * canonical.
+    * canonical. Duplicate-tolerant and undeduplicated, like
+    * [[largeStar]] — the batch boundary dedupes.
     */
   private def smallStar(e: DataFrame): DataFrame = {
     val adj = e.select(col("v").as("n"), col("u").as("b"))
@@ -1400,7 +1404,6 @@ object Dedup {
       .where(col("b") =!= col("mb"))
       .select(col("mb").as("u"), col("b").as("v"))
       .union(mins.select(col("mb").as("u"), col("n").as("v")))
-      .distinct()
   }
 
   /** Connected components over a duplicate-pair edge list: every doc in
@@ -1426,91 +1429,92 @@ object Dedup {
     * ~2^maxIter nodes) rather than silently emitting a non-fixpoint
     * labeling.
     */
+  /** Star rounds (large+small alternations) the most recent
+    * [[duplicateClusters]] phase-2 fixpoint took — a test hook pinning
+    * the round count (LinkageSpec asserts a 1000-node path converges in
+    * the O(log n) budget), not a public API. 0 when phase 1 converged.
+    */
+  private[graft] val lastStarRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges0 = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // a doc whose only pair row is a self-pair has no canonical edge but
     // is still "in pairs" — it labels itself (the contract is a cluster
-    // row for EVERY doc appearing in the input)
+    // row for EVERY doc appearing in the input). PLAN-level, not an
+    // eager isEmpty probe: the anti-join costs ~2 stages inside the
+    // caller's one action, where a driver-side emptiness check costs a
+    // whole extra blocking round trip every call.
     val selfOnly = pairs.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("doc_a").as("cluster"))
       .distinct()
     def withSelf(labels: DataFrame): DataFrame =
-      if (selfOnly.isEmpty) labels
-      else labels.union(selfOnly.join(labels, Seq("doc_id"), "left_anti"))
-    if (edges0.isEmpty)
+      labels.union(selfOnly.join(labels, Seq("doc_id"), "left_anti"))
+
+    // Alternating large-star/small-star rounds (Kiveris'14) from the
+    // raw edges — O(log n) rounds regardless of component shape.
+    // (An earlier revision front-ran 3 min-label rounds as a
+    // near-clique fast path, but phase 2 restarted from the EDGES, so
+    // for any input that didn't converge in 3 rounds the whole phase
+    // was discarded work: 3-4 blocking actions. Star rounds reach a
+    // clique's fixpoint in ≤2 alternations anyway — the fast path
+    // saved nothing it didn't cost.)
+    //
+    // Latency shape: fixpoint iteration over a contracting frame is
+    // driver-ROUND-TRIP bound, not data bound (round-12's q_graph_cc:
+    // 5.4 s wall on 4 s CPU across ~30 blocking actions). So the loop
+    // is organized around ONE action per two alternations:
+    //  - TWO alternations are batched per materialization, star ops
+    //    carry no per-op distinct (multiplicity-insensitive algebra;
+    //    ONE distinct at the batch boundary), and the checkpoint is
+    //    LAZY — the convergence aggregate materializes it in-job;
+    //  - convergence is FUSED into that aggregate: a left join against
+    //    the previous edge set counts total and matched rows at once
+    //    (equal count + all matched ⇔ equal sets, both sides distinct)
+    //    — no separate count, no separate anti-join probe. At the
+    //    fixpoint the batched F∘F wastes one no-op pass; F is
+    //    deflationary, so F∘F(E)=E implies F(E)=E and the check stays
+    //    exact.
+    //
+    // Superseded localCheckpoints are released as soon as the next
+    // batch has materialized from them — long runs must not accumulate
+    // pinned block-store copies of every intermediate edge set. Only
+    // the checkpoint backing the RETURNED frame stays pinned; the
+    // context cleaner releases it once the caller drops the result.
+    // (Dataset.unpersist would be a no-op here — checkpoint blocks are
+    // RDD-level, not cache-manager entries — hence dropLocalCheckpoint.)
+    var edges = edges0
+    var n = edges.count() // materializes edges0's lazy checkpoint
+    if (n == 0) {
+      lastStarRounds.set(0)
       return withSelf(
         edges0.select(col("u").as("doc_id"), col("v").as("cluster")))
-
-    // Phase 1: up to 3 min-label rounds (one shuffle each, convergence
-    // detection free-riding on the checkpointed prev label). Duplicate
-    // clusters are near-cliques in practice, and a near-clique's
-    // diameter-bounded fixpoint lands here in 1-2 rounds — the star
-    // rounds below cost ~3x the stages per round, which only pays off
-    // when the diameter is large.
-    val adj = edges0
-      .union(edges0.select(col("v").as("u"), col("u").as("v")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = adj.groupBy("u").agg(min(col("v")).as("nbr"))
-      .select(col("u").as("node"), least(col("u"), col("nbr")).as("cluster"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    // Superseded localCheckpoints are released as soon as the next
-    // round's EAGER checkpoint has materialized from them — long chains
-    // (many rounds) must not accumulate pinned block-store copies of
-    // every intermediate labeling. Only the checkpoint backing the
-    // RETURNED frame stays pinned (its lineage is truncated, so its
-    // blocks ARE the data); the context cleaner releases it once the
-    // caller drops the result. (Dataset.unpersist would be a no-op
-    // here — checkpoint blocks are RDD-level, not cache-manager
-    // entries — hence dropLocalCheckpoint.)
-    var labelsCk = labels
-    while (changed > 0 && iter < 3) {
-      val nbrMin = adj
-        .join(labels.withColumnRenamed("node", "v"), "v")
-        .groupBy("u").agg(min(col("cluster")).as("nbr_cluster"))
-      val next = labels
-        .join(nbrMin.withColumnRenamed("u", "node"), Seq("node"), "left")
-        .select(col("node"), col("cluster").as("prev"),
-          least(col("cluster"), coalesce(col("nbr_cluster"), col("cluster")))
-            .as("cluster"))
-        .localCheckpoint()
-      changed = next.filter(col("cluster") =!= col("prev")).count()
-      dropLocalCheckpoint(labelsCk)
-      labelsCk = next
-      labels = next.select(col("node"), col("cluster"))
-      iter += 1
     }
-    adj.unpersist()
-    if (changed == 0L)
-      return withSelf(labels.select(col("node").as("doc_id"), col("cluster")))
-    dropLocalCheckpoint(labelsCk) // phase 2 restarts from edges, not labels
-
-    // Phase 2: alternating large-star/small-star rounds (Kiveris'14) on
-    // the original edges — O(log n) rounds regardless of component
-    // shape, for the pathological diameters min-label can't finish
-    // (e.g. chain-shaped components from overlapping boilerplate).
-    var edges = edges0
-    var n = edges.count()
     var converged = false
-    var starIter = 0
-    while (!converged && starIter < maxIter) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nNext = next.count()
-      converged = nNext == n &&
-        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      // the convergence anti-join was the old round's last use; drop
-      // its pinned blocks before looping (see the phase-1 note)
+    var starRounds = 0
+    while (!converged && starRounds < maxIter) {
+      val next = smallStar(largeStar(smallStar(largeStar(edges))))
+        .distinct()
+        .localCheckpoint(false)
+      val agg = next
+        .join(edges.withColumn("_old", lit(1)), Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("_old")).as("m"))
+        .head()
+      val (nNext, matched) = (agg.getLong(0), agg.getLong(1))
+      converged = nNext == n && matched == nNext
+      // the convergence join was the old batch's last use; drop its
+      // pinned blocks before looping (see above)
       dropLocalCheckpoint(edges)
       edges = next
       n = nNext
-      starIter += 1
+      starRounds += 2
     }
+    lastStarRounds.set(starRounds)
     if (!converged) throw new IllegalStateException(
       s"duplicateClusters: no fixpoint after $maxIter star rounds — " +
         "raise maxIter (results would otherwise be a silently-wrong " +

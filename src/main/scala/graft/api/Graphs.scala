@@ -37,9 +37,10 @@ import org.apache.spark.sql.functions._
   * Edges carry their out-degree denormalized (one column) so the
   * iteration needs NO second join against a degree table. For a handful
   * of iterations the lineage stays a single declarative plan (identical
-  * edge-scan subtrees collapse into ReusedExchange); for deep iteration
-  * counts callers should checkpoint ranks every ~10 rounds — lineage
-  * growth, not data volume, is the limit. Sums of micro-ranks fit
+  * edge-scan subtrees collapse into ReusedExchange); deep iteration
+  * counts cut lineage automatically every `checkpointEvery` rounds
+  * (bit-identical — the update is integer arithmetic), so rounds are
+  * bounded by patience, not plan growth. Sums of micro-ranks fit
   * BIGINT up to ~9e12 nodes at unitMicro=1e6.
   */
 object Graphs {
@@ -76,13 +77,24 @@ object Graphs {
       iterations: Int,
       dampNum: Long = 85L,
       dampDen: Long = 100L,
-      unitMicro: Long = 1000000L): DataFrame = {
-    require(iterations >= 1 && iterations <= 50,
-      s"iterations must be in [1, 50], got $iterations (checkpoint ranks for deeper runs)")
+      unitMicro: Long = 1000000L,
+      checkpointEvery: Int = 10): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val base = ((dampDen - dampNum) * unitMicro) / dampDen
     var ranks = nodeIds.select(col("id"), lit(unitMicro).as("r"))
-    for (_ <- 1 to iterations) {
+    // Deep iteration counts are LINEAGE-bounded, not data-bounded: each
+    // round nests the previous plan, and past a few dozen rounds
+    // analysis/codegen time dominates (and eventually overflows). Ranks
+    // localCheckpoint every `checkpointEvery` rounds — the integer
+    // update makes the result bit-identical with or without the cut —
+    // and the superseded checkpoint's blocks are released as soon as
+    // the next one has materialized from them (the duplicateClusters
+    // discipline), so a 100-round run pins O(1) intermediate copies.
+    var prevCk: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val contrib = edgesDeg
         .join(ranks, edgesDeg("src") === ranks("id"))
         .groupBy(edgesDeg("dst").as("id"))
@@ -96,6 +108,12 @@ object Graphs {
         .select(col("id"),
           expr(s"CAST($base + ($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) div $dampDen AS BIGINT)")
             .as("r"))
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val ck = ranks.localCheckpoint() // eager: blocks exist before the drop
+        prevCk.foreach(Dedup.dropLocalCheckpoint)
+        prevCk = Some(ck)
+        ranks = ck
+      }
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
@@ -193,14 +211,16 @@ object Graphs {
     * distinct + anti-join against the settled set), so total work is
     * O(edges touched × rounds), never frontier × whole-history; levels
     * are minimal by construction (a node is settled the first round it
-    * appears, and never revisited). The bounded depth keeps the
-    * lineage a single declarative plan; deep traversals should
-    * checkpoint the settled set every ~10 rounds, same as PageRank.
+    * appears, and never revisited). Lineage is cut automatically every
+    * `checkpointEvery` rounds (see the loop note), so depth is bounded
+    * by the graph, not by plan growth.
     */
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
-                sources: DataFrame, maxDepth: Int): DataFrame = {
-    require(maxDepth >= 0 && maxDepth <= 50,
-      s"maxDepth must be in [0, 50], got $maxDepth (checkpoint for deeper)")
+                sources: DataFrame, maxDepth: Int,
+                checkpointEvery: Int = 10): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val e = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
@@ -208,13 +228,34 @@ object Graphs {
     var settled = sources.select(col("id").cast("long").as("id"),
       lit(0L).as("lvl")).distinct()
     var frontier = settled.select("id")
-    for (d <- 1 to maxDepth) {
+    // The settled set is a union-of-unions whose plan grows linearly
+    // with depth — deep traversals cut it with an eager localCheckpoint
+    // every `checkpointEvery` rounds (superseded checkpoints released
+    // once the successor materialized, the pageRank discipline). The
+    // checkpoint action also observes the frontier size for free, so
+    // an exhausted traversal EXITS there instead of spinning empty
+    // no-op rounds to the depth bound; between checkpoints the loop
+    // stays action-free, which is the whole point of bounded depth.
+    var prevCk: Option[DataFrame] = None
+    var d = 1
+    var exhausted = false
+    while (d <= maxDepth && !exhausted) {
       val next = und.join(frontier, und("x") === frontier("id"))
         .select(und("y").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("lvl"))
       settled = settled.unionByName(next)
       frontier = next.select("id")
+      if (d % checkpointEvery == 0 && d < maxDepth) {
+        val sCk = settled.localCheckpoint()
+        val fCk = frontier.localCheckpoint()
+        exhausted = fCk.isEmpty
+        prevCk.foreach(Dedup.dropLocalCheckpoint)
+        prevCk = Some(sCk)
+        settled = sCk
+        frontier = fCk
+      }
+      d += 1
     }
     settled
   }

@@ -49,8 +49,53 @@ class LinkageSpec extends AnyFunSuite {
       Graphs.pageRankFixedPoint(edges, nodes, 0)
     }
     intercept[IllegalArgumentException] {
-      Graphs.pageRankFixedPoint(edges, nodes, 51)
+      Graphs.pageRankFixedPoint(edges, nodes, 5, checkpointEvery = 0)
     }
+  }
+
+  test("deep pagerank: 100 checkpoint-bounded rounds, bit-exact on a cycle") {
+    // A directed cycle is a fixed point of the integer update: every
+    // node has out-degree 1 and exactly one in-contribution of
+    // r div 1 = unitMicro, so r' = 150000 + 85*1000000 div 100 =
+    // 1000000 at EVERY iteration — any fp drift, lineage corruption,
+    // or a checkpoint that resumed from wrong blocks breaks equality.
+    // 100 rounds only analyze because lineage is cut every
+    // checkpointEvery rounds; pre-round-13 the call was capped at 50.
+    val n = 20L
+    val cyc = (0L until n).map(i => (i, (i + 1) % n)).toDF("s", "d")
+    val ed = Graphs.edgesWithOutDegree(cyc, "s", "d")
+    val nodes = Graphs.nodes(cyc, "s", "d")
+    val ranks = Graphs.pageRankFixedPoint(ed, nodes, iterations = 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size === n)
+    assert(ranks.values.forall(_ == 1000000L), ranks.toString)
+  }
+
+  test("pagerank checkpoint cadence never changes the ranks") {
+    val raw = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 1L))
+      .toDF("src", "dst")
+    val ed = Graphs.edgesWithOutDegree(raw, "src", "dst")
+    val nodes = Graphs.nodes(raw, "src", "dst")
+    def run(every: Int) =
+      Graphs.pageRankFixedPoint(ed, nodes, iterations = 12,
+          checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frequent = run(3)    // 3 cuts inside the run
+    val never = run(1000)    // cadence past the bound: zero cuts
+    assert(frequent === never)
+  }
+
+  test("deep bfs: exact levels on a long chain, early exit past exhaustion") {
+    // chain 0-1-...-25: level(i) = i. maxDepth 200 >> graph depth —
+    // the traversal must stop at the first checkpoint after the
+    // frontier empties (rounds 26..200 would be ~175 no-op plan
+    // nestings otherwise), and the result must be the exact level map.
+    val chain = (0L until 25L).map(i => (i, i + 1)).toDF("s", "d")
+    val src = Seq(0L).toDF("id")
+    val got = Graphs.bfsLevels(chain, "s", "d", src, maxDepth = 200,
+        checkpointEvery = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L to 25L).map(i => i -> i).toMap)
   }
 
   test("degreeProfile histograms match direct degree counts") {

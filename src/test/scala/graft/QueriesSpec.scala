@@ -249,6 +249,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(cl.size === 1002)
     (1L to 1000L).foreach(i => assert(cl(i) === 1L, s"node $i"))
     assert(cl(2000L) === 2000L && cl(2001L) === 2000L)
+    // round pin: the batched fixpoint must land within the default
+    // budget with room to spare — a regression to O(diameter) rounds
+    // (or a broken fused convergence check spinning to maxIter) fails
+    // here, not as a silent 50x slowdown in the bench
+    val rounds = graft.api.Dedup.lastStarRounds.get
+    assert(rounds >= 2 && rounds <= 16,
+      s"1000-node path took $rounds star rounds (expected O(log n) <= 16)")
   }
 
   test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
