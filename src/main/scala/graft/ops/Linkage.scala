@@ -131,6 +131,26 @@ object Linkage {
           t(s, dir, "customer").filter(col("c_custkey") % 4 === 0), "c_name")
         .orderBy("left_key", "right_key")),
 
+    // Edit-distance ≤ 2 self-join — PassJoin segment blocking (Li/Deng/
+    // Feng ICDE'11: k+1 disjoint segments, ±k probe windows, exact
+    // levenshtein verify — api/FuzzyJoin.scala). A tighter %16 key slice
+    // keeps the ORACLE's genuinely quadratic nested loop affordable; the
+    // Spark side must reproduce it exactly, so a dropped probe window,
+    // a mis-derived segment boundary, or a skipped verify all break the
+    // hash. Distance-2 pairs among "Customer#%09d" names are digit pairs
+    // differing in ≤ 2 positions — plentiful, structured, adversarial
+    // for the shared-prefix segment.
+    Q("q_join_fuzzy2",
+      Some("""WITH names AS (SELECT c_name FROM customer WHERE c_custkey % 16 = 0)
+              SELECT a.c_name AS left_key, b.c_name AS right_key
+              FROM names a JOIN names b ON a.c_name < b.c_name
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+              ORDER BY 1, 2"""),
+      (s, dir) => graft.api.FuzzyJoin.edSelfJoin(
+          t(s, dir, "customer").filter(col("c_custkey") % 16 === 0), "c_name",
+          maxDist = 2)
+        .orderBy("left_key", "right_key")),
+
     // SCD Type-2 reconstruction of the per-user purchase-value dimension
     // (api/Cdc.scala): change-compressed versions with epoch-micro
     // validity bounds. Bit-equality only — no fp arithmetic — and a

@@ -1101,6 +1101,35 @@ object ScaleProbe {
         f"time-growth=${dpN / dp1}%.1fx")
     }
 
+    // FuzzyJoin k=2 (PassJoin segments) at mult x names. The replica
+    // prefix is a 3-digit rep id TRIPLED ("%03d%03d%03d"): two distinct
+    // reps differ in >= 1 digit, so tripling puts every cross-replica
+    // pair at edit distance >= 3 > k — replicas are disjoint and the
+    // pair count must scale exactly mult x. Growth is the blocked
+    // path's: segment/probe rows scale linearly, candidates with
+    // collision mass, never the quadratic pair space.
+    {
+      import graft.api.FuzzyJoin
+      val names0 = spark.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 16 === 0).select(col("c_name"))
+      def pairsFor(m: Int) = {
+        val d = names0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select(concat(format_string("%03d%03d%03d",
+            col("rep"), col("rep"), col("rep")), col("c_name")).as("w"))
+        val t0 = System.nanoTime()
+        val n = FuzzyJoin.edSelfJoin(d, "w", maxDist = 2).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val (p1, dp1) = pairsFor(1)
+      val (pN, dpN) = pairsFor(mult)
+      require(pN == p1 * mult,
+        s"fuzzy-k2 pairs must scale exactly ${mult}x under disjoint " +
+          s"replication: 1x=$p1 ${mult}x=$pN")
+      println(f"fuzzy-join k=2 (${mult}x names): $p1 -> $pN pairs (exactly " +
+        f"${mult}x, zero cross-replica)  1x $dp1%.2f s  ${mult}x $dpN%.2f s  " +
+        f"time-growth=${dpN / dp1}%.1fx")
+    }
+
     // SCD2 + rolling anomalies at mult x events: user-id-offset replicas
     // are independent histories, so version rows, open (is_current)
     // versions, and flagged outliers must each scale exactly mult x —

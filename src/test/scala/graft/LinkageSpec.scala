@@ -214,14 +214,78 @@ class LinkageSpec extends AnyFunSuite {
     } yield (a, b)).toSet
     assert(got === want)
     assert(!got.contains(("ab", "ba"))) // the distance-2 neighborhood collision
-    intercept[IllegalArgumentException] { FuzzyJoin.edSelfJoin(df, "w", maxDist = 2) }
+    intercept[IllegalArgumentException] { FuzzyJoin.edSelfJoin(df, "w", maxDist = 4) }
+    intercept[IllegalArgumentException] { FuzzyJoin.edSelfJoin(df, "w", maxDist = 0) }
+  }
+
+  test("edSelfJoin k=2 (PassJoin) equals the naive quadratic join") {
+    // adversarial mix: transposition (= 2 substitutions worth of edit),
+    // double insert/delete, strings shorter than k+1 segments (zero-
+    // length segments), repeated characters, shared prefixes, and a
+    // distance-3 pair that the verify must reject even if blocked in
+    val words = Seq("cat", "cut", "cab", "ct", "c", "", "ab", "ba", "abcd",
+      "abdc", "dcba", "kitten", "sitten", "sittin", "sitting", "mitten",
+      "aaaa", "aaab", "aabb", "zebra", "zebrazz")
+    val df = words.toDF("w")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    for (k <- Seq(2, 3)) {
+      val got = FuzzyJoin.edSelfJoin(df, "w", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val want = (for {
+        a <- words; b <- words if a < b && lev(a, b) <= k
+      } yield (a, b)).toSet
+      assert(got === want, s"k=$k mismatch: extra=${got.diff(want)} missing=${want.diff(got)}")
+    }
+    // spot the transposition semantics: ab↔ba is IN at k=2 (two subs)
+    val got2 = FuzzyJoin.edSelfJoin(df, "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got2.contains(("ab", "ba")))
+    assert(!got2.contains(("kitten", "sitting"))) // distance 3
+  }
+
+  test("edSelfJoin k=2 equals brute force on a random corpus") {
+    // 400 short random-ish strings over a 4-letter alphabet: dense
+    // enough that every PassJoin branch (length deltas 0/1/2, all
+    // segment slots, clamped probe windows) fires many times.
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 400).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    }.distinct
+    val df = words.toDF("w")
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = FuzzyJoin.edSelfJoin(df, "w", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val want = (for {
+      a <- words; b <- words if a < b && lev(a, b) <= 2
+    } yield (a, b)).toSet
+    assert(got === want,
+      s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+    assert(want.nonEmpty, "test corpus must produce pairs")
   }
 
   test("edSelfJoin plan is blocked, never a cartesian/nested-loop join") {
     val df = (0 until 100).map(i => f"name$i%04d").toDF("w")
-    val plan = FuzzyJoin.edSelfJoin(df, "w").queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"))
-    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    for (k <- Seq(1, 2)) {
+      val plan = FuzzyJoin.edSelfJoin(df, "w", maxDist = k)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"k=$k")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"k=$k")
+    }
   }
 
   // ---- Cdc ----
