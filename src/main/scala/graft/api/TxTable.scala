@@ -892,6 +892,73 @@ object TxTable {
       .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
 
+  /** Column names the change feed reserves. */
+  val ChangeCol = "_change"
+  val VersionCol = "_version"
+
+  /** Row-level change data feed over (fromVersion, toVersion]: table
+    * columns + `_change` + `_version`, one batch of change rows per
+    * commit in the window, resolved per commit record:
+    *
+    *  - a commit carrying STAGED change files (a [[merge]] or
+    *    [[deleteWhere]] run with `cdf = true`) serves them verbatim —
+    *    `update_preimage` / `update_postimage` / `insert` / `delete`
+    *    rows with both images of every update, read from
+    *    increment-sized files, never the table;
+    *  - an `append` commit IS its change data: its immutable data files
+    *    are served as `insert` rows directly — appends never pay a CDF
+    *    staging write;
+    *  - a `compact` or [[restore]]-of-head commit is content-identical
+    *    by construction: zero change rows, zero files read;
+    *  - any other overwrite (including merge/delete with `cdf = false`)
+    *    falls back to the file-level bag diff of [[changes]] for that
+    *    single version step — correct insert/delete rows, but no update
+    *    pairing and it reads the rewritten file sets. The feed is total
+    *    over any history; enabling `cdf` buys precision and
+    *    increment-proportional reads, never correctness.
+    *
+    * Replaying the feed onto the `fromVersion` snapshot (apply deletes
+    * and preimage removals, add inserts and postimages, in `_version`
+    * order) reproduces `toVersion` exactly — TxTableSpec pins it.
+    */
+  def changesRows(spark: SparkSession, path: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion,
+      s"changesRows needs fromVersion <= toVersion, got $fromVersion > $toVersion")
+    val hfs = fs(spark, path)
+    val commits = logVersions(hfs, path)._1
+      .filter(v => v > fromVersion && v <= toVersion)
+      .map(v => parse(readSmall(hfs,
+        new org.apache.hadoop.fs.Path(commitPath(path, v)))))
+    // schema comes from one staged cdf file if any commit has one (they
+    // already carry _change); otherwise from the file-diff fallback
+    val batches = commits.flatMap { c =>
+      if (c.cdf.nonEmpty)
+        Some(spark.read.parquet(c.cdf.map(f => s"$path/$f"): _*)
+          .withColumn(VersionCol, lit(c.version)))
+      else if (c.action == "append" || c.version == 1L)
+        // an append's files ARE its inserts; so are v1's (creation —
+        // there is no v0 snapshot to diff against)
+        Some(spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
+          .withColumn(ChangeCol, lit("insert"))
+          .withColumn(VersionCol, lit(c.version)))
+      else if (c.op.contains("compact") ||
+               (c.op.contains("restore") &&
+                 liveFiles(spark, path, c.version - 1).toSet == c.files.toSet))
+        None // content-identical commit: zero change rows by construction
+      else
+        Some(changes(spark, path, c.version - 1, c.version)
+          .withColumn(VersionCol, lit(c.version)))
+    }
+    batches.reduceOption(_.unionByName(_)).getOrElse {
+      // empty window: an empty frame with the right shape
+      readVersion(spark, path, toVersion).limit(0)
+        .withColumn(ChangeCol, lit(""))
+        .withColumn(VersionCol, lit(0L))
+    }
+  }
+
   /** Transactionally add rows; concurrent appends all land (commuting
     * retries), each as its own version. Schema-enforced against the
     * current head. `txn` makes the append idempotent (see [[commit]]).
@@ -958,9 +1025,20 @@ object TxTable {
     * its rows are never silently dropped. (File-level merge — only
     * rewriting files that contain matched keys — is the data-skipping
     * refinement; the TRANSACTIONAL contract is identical.)
+    *
+    * With `cdf = true` the commit also stages ROW-LEVEL change data
+    * (the Delta Change Data Feed shape): every head row whose key
+    * matches an update lands as `update_preimage`, the update row that
+    * replaces it as `update_postimage`, and every unmatched update row
+    * as `insert` — read back by [[changesRows]]. If the head carries
+    * duplicate rows under one key (possible via plain appends), EACH
+    * such row emits a preimage while the single update row emits one
+    * postimage: the feed records exactly what was removed and what was
+    * added, so replaying it onto the `fromVersion` snapshot always
+    * reproduces `toVersion`.
     */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
-            keyCols: Seq[String]): Long = {
+            keyCols: Seq[String], cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, count, lit}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     requireSchemaMatch(spark, path, updates, "merge")
@@ -979,7 +1057,23 @@ object TxTable {
     require(violations == 0L,
       s"merge updates must carry unique, non-null values for " +
         s"key columns ${keyCols.mkString(",")}")
-    rewriteHead(spark, path, "merge")(head =>
+    val changeRows: Option[DataFrame => DataFrame] =
+      if (!cdf) None
+      else Some { head =>
+        import org.apache.spark.sql.functions.lit
+        val keys = keyCols.map(col)
+        val pre = head.join(updates.select(keys: _*).distinct(),
+            keyCols, "left_semi")
+          .withColumn(ChangeCol, lit("update_preimage"))
+        val post = updates.join(head.select(keys: _*).distinct(),
+            keyCols, "left_semi")
+          .withColumn(ChangeCol, lit("update_postimage"))
+        val ins = updates.join(head.select(keys: _*).distinct(),
+            keyCols, "left_anti")
+          .withColumn(ChangeCol, lit("insert"))
+        pre.unionByName(post).unionByName(ins)
+      }
+    rewriteHead(spark, path, "merge", cdfOf = changeRows)(head =>
       head.join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .unionByName(updates))
@@ -990,12 +1084,21 @@ object TxTable {
     * DELETE semantics: a row where the predicate evaluates to NULL is
     * KEPT — a bare `filter(!cond)` would silently delete it, since
     * !NULL is NULL and filters drop non-TRUE rows.
+    *
+    * With `cdf = true` every removed row is staged as a `delete`
+    * change row, read back by [[changesRows]].
     */
   def deleteWhere(spark: SparkSession, path: String,
-                  cond: org.apache.spark.sql.Column): Long =
-    rewriteHead(spark, path, "delete")(_.filter(
-      !org.apache.spark.sql.functions.coalesce(cond,
-        org.apache.spark.sql.functions.lit(false))))
+                  cond: org.apache.spark.sql.Column,
+                  cdf: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val changeRows: Option[DataFrame => DataFrame] =
+      if (!cdf) None
+      else Some(_.filter(coalesce(cond, lit(false)))
+        .withColumn(ChangeCol, lit("delete")))
+    rewriteHead(spark, path, "delete", cdfOf = changeRows)(_.filter(
+      !coalesce(cond, lit(false))))
+  }
 
   /** The shared conflict-safe head rewrite every whole-table mutation
     * (compact / merge / deleteWhere) commits through: transform the
@@ -1014,7 +1117,8 @@ object TxTable {
     * without it a clustered rewrite keeps the head's file count.
     */
   private def rewriteHead(spark: SparkSession, path: String, what: String,
-                          numFilesHint: Option[Int] = None)(
+                          numFilesHint: Option[Int] = None,
+                          cdfOf: Option[DataFrame => DataFrame] = None)(
       transform: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val hfs = fs(spark, path)
@@ -1027,6 +1131,11 @@ object TxTable {
             "(create it with overwrite first)")
       val st = foldState(hfs, path, head)
       val transformed = transform(readVersion(spark, path, head))
+      // change-data rows derive from the SAME observed head the rewrite
+      // transforms, inside the retry loop: a lost race restages both,
+      // so the feed can never describe a head the commit didn't rewrite
+      val cdfFiles = cdfOf.fold(Seq.empty[String])(rows =>
+        stage(spark, path, rows(readVersion(spark, path, head))))
       val target = numFilesHint.getOrElse(math.max(1, st.files.size))
       val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
         case (_, Seq(x, y)) => // z-ordered head: re-layout, fresh 2-D stats
@@ -1058,7 +1167,8 @@ object TxTable {
       }
       commitAt(spark, path, head + 1, "overwrite", files, None,
           stats, st.statsCol, mstats, st.statsCols,
-          st.bloomCol, bbits, blooms, st.zbits) match {
+          st.bloomCol, bbits, blooms, st.zbits,
+          op = Some(what), cdf = cdfFiles) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }
@@ -1081,7 +1191,8 @@ object TxTable {
   def vacuum(spark: SparkSession, path: String,
              olderThanMs: Long = VacuumMinAgeMs): Int = {
     val hfs = fs(spark, path)
-    val referenced = history(spark, path).flatMap(_.files)
+    val referenced = history(spark, path)
+      .flatMap(c => c.files ++ c.cdf) // change-data files are log-reachable too
       .map(_.takeWhile(_ != '/')).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = hfs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq

@@ -673,7 +673,50 @@ object Sources {
           .groupBy(col("w"), col("_change").as("change"), col("source"))
           .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
           .orderBy("w", "change", "source")
-      })
+      }),
+
+    // Transactional ROW-LEVEL change data feed with UPDATE IMAGES: the
+    // upsert table's v2 merge and v3 delete ran with cdf = true, so
+    // the commit log carries staged change rows — update_preimage /
+    // update_postimage pairs for every matched key, inserts for
+    // unmatched updates, deletes with the removed rows' full content.
+    // changesRows(1, 3) reads them back from increment-sized files
+    // (never the table); the oracle replays the SAME merge/delete
+    // algebra over the source table, so a missing image, a mis-tagged
+    // row, or a feed that described a head the commit didn't rewrite
+    // all break the hash.
+    Q("q_tx_cdf_rows",
+      Some("""WITH upd AS (
+                SELECT doc_id, text, lang, 'merged' AS source,
+                       n_chars + 1 AS n_chars
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 1000000, text, lang, 'inserted', n_chars
+                FROM documents WHERE doc_id % 13 = 0),
+              head AS (
+                SELECT d.doc_id, d.source, d.n_chars FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+                UNION ALL SELECT doc_id, source, n_chars FROM upd),
+              feed AS (
+                SELECT CAST(2 AS BIGINT) AS _version,
+                       'update_preimage' AS change, source, n_chars
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT 2, 'update_postimage', 'merged', n_chars + 1
+                FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT 2, 'insert', 'inserted', n_chars
+                FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                SELECT 3, 'delete', source, n_chars
+                FROM head WHERE doc_id % 11 = 0)
+              SELECT _version, change, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""),
+      (s, dir) => graft.api.TxTable.changesRows(s, ensureTxUpsert(s, dir), 1, 3)
+        .groupBy(col("_version"), col("_change").as("change"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("_version", "change", "source"))
   )
 
   /** Build the demo TxTable once per (session, sf dir), cross-process
@@ -684,7 +727,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 5) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 6) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -709,8 +752,10 @@ object Sources {
         .unionByName(docs.filter(col("doc_id") % 13 === 0)
           .withColumn("doc_id", col("doc_id") + 1000000)
           .withColumn("source", lit("inserted")))
-      TxTable.merge(s, up, updates, Seq("doc_id"))
-      TxTable.deleteWhere(s, up, col("doc_id") % 11 === 0)
+      // cdf = true: v2 (merge) and v3 (delete) stage row-level change
+      // data — both update images — that q_tx_cdf_rows reads back
+      TxTable.merge(s, up, updates, Seq("doc_id"), cdf = true)
+      TxTable.deleteWhere(s, up, col("doc_id") % 11 === 0, cdf = true)
       // table "c": clustered by doc_id with per-file (lo, hi) stats in
       // the commit log (q_tx_skipping reads a range through the
       // log-level file pruning path)

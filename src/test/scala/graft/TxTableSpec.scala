@@ -476,6 +476,57 @@ class TxTableSpec extends AnyFunSuite {
       Set((3L, "c", "insert"), (1L, "a", "insert"), (2L, "b", "delete")))
   }
 
+  test("changesRows: row-level CDF carries both update images") {
+    val t = fresh()
+    TxTable.overwrite(spark, t,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    // v2: merge with cdf — id=2 updates (pre+post), id=9 inserts
+    TxTable.merge(spark, t, Seq((2L, "B"), (9L, "i")).toDF("id", "v"),
+      Seq("id"), cdf = true)
+    // v3: delete with cdf — id=1 removed
+    TxTable.deleteWhere(spark, t, col("id") === 1L, cdf = true)
+    def feed(from: Long, to: Long): Set[(Long, String, String, Long)] =
+      TxTable.changesRows(spark, t, from, to)
+        .select("id", "v", TxTable.ChangeCol, TxTable.VersionCol).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+    assert(feed(1, 2) === Set(
+      (2L, "b", "update_preimage", 2L),
+      (2L, "B", "update_postimage", 2L),
+      (9L, "i", "insert", 2L)),
+      "a merge's feed pairs pre and post images and tags true inserts")
+    assert(feed(2, 3) === Set((1L, "a", "delete", 3L)),
+      "a delete's feed carries the removed row's full content")
+    // change files are increment-sized: the feed never reads the table
+    val read = TxTable.changesRows(spark, t, 1, 3).inputFiles.toSet
+    val tableFiles = TxTable.history(spark, t)
+      .flatMap(_.files).map(_.takeWhile(_ != '/')).toSet
+    assert(read.forall(f => !tableFiles.exists(f.contains)),
+      s"cdf read table data dirs: ${read.filter(f => tableFiles.exists(f.contains))}")
+    // replaying the feed onto v1 reproduces v3 exactly
+    val v1 = TxTable.readVersion(spark, t, 1)
+    val f = TxTable.changesRows(spark, t, 1, 3)
+    val removed = f.filter(col(TxTable.ChangeCol)
+        .isin("update_preimage", "delete")).select("id", "v")
+    val added = f.filter(col(TxTable.ChangeCol)
+        .isin("update_postimage", "insert")).select("id", "v")
+    val replayed = v1.exceptAll(removed).unionByName(added)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(replayed === rows(t), "replaying the feed onto v1 yields the head")
+    // without cdf the feed is still total: bag-diff fallback per version
+    TxTable.deleteWhere(spark, t, col("id") === 3L)
+    assert(feed(3, 4) === Set((3L, "c", "delete", 4L)),
+      "cdf-less commits fall back to the file-level bag diff")
+    // compacts and appends in the window: zero rows / direct inserts
+    TxTable.compact(spark, t)
+    TxTable.append(spark, t, Seq((7L, "g")).toDF("id", "v"))
+    assert(feed(4, 6) === Set((7L, "g", "insert", 6L)),
+      "compact contributes nothing; an append IS its inserts")
+    // vacuum never collects staged change files (they are log-reachable)
+    TxTable.vacuum(spark, t, olderThanMs = -1)
+    assert(feed(1, 2).size === 3, "cdf files survive vacuum")
+  }
+
   test("bloom positions: the driver probe replays the executor hash exactly") {
     // the reader derives positions with XXH64 on the driver while the
     // writer derives them with the xxhash64 expression on executors —
