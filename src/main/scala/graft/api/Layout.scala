@@ -32,16 +32,29 @@ object Layout {
   /** Morton code of the low `bits` of two non-negative integer columns:
     * bit b of x lands at position 2b, bit b of y at 2b+1.
     */
-  def zValue(xCol: String, yCol: String, bits: Int = 16): Column = {
-    require(bits > 0 && bits <= 31, s"need 0 < bits <= 31, got $bits")
+  def zValue(xCol: String, yCol: String, bits: Int = 16): Column =
+    zValue(Seq(xCol, yCol), bits)
+
+  /** Morton code of the low `bits` of 2-4 non-negative integer columns:
+    * bit b of column i lands at position b·n + i (round-robin
+    * interleave). The code must stay a non-negative BIGINT, so
+    * n · bits ≤ 62.
+    */
+  def zValue(cols: Seq[String], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2 && n <= 4, s"zValue interleaves 2-4 columns, got $n")
+    require(bits > 0 && n * bits <= 62,
+      s"need 0 < bits and ${n} * bits <= 62 (a non-negative BIGINT code), " +
+        s"got bits=$bits")
     val mask = (1L << bits) - 1
     // operands cast to BIGINT BEFORE the shifts: on an INT column,
     // shiftleft past bit 31 wraps (shift amounts are mod 32) and bit 31
     // itself lands on the sign — interleaved codes would silently go
     // negative for the upper half of a 16-bit dimension
     val terms = (0 until bits).flatMap { b =>
-      Seq(s"shiftleft(shiftright(CAST(${qi(xCol)} AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b})",
-        s"shiftleft(shiftright(CAST(${qi(yCol)} AS BIGINT) & ${mask}L, $b) & 1L, ${2 * b + 1})")
+      cols.zipWithIndex.map { case (c, i) =>
+        s"shiftleft(shiftright(CAST(${qi(c)} AS BIGINT) & ${mask}L, $b) & 1L, ${n * b + i})"
+      }
     }
     expr(terms.mkString("(", " + ", ")"))
   }
@@ -74,13 +87,26 @@ object Layout {
     * plain parquet write. An empty frame passes through unchanged.
     */
   def zorderFrame(df: DataFrame, xCol: String, yCol: String,
-                  nFiles: Int, bits: Int = 16): DataFrame = {
+                  nFiles: Int, bits: Int = 16): DataFrame =
+    zorderFrame(df, Seq(xCol, yCol), nFiles, bits)
+
+  /** N-dimensional [[zorderFrame]] (2-4 columns): real tables cluster
+    * on (tenant, time, key) — a third or fourth dimension costs only
+    * interleave width (n · bits ≤ 62), not a second copy of the data.
+    * `bits = 0` picks the widest per-dimension width that fits
+    * (min(16, 62 div n)).
+    */
+  def zorderFrame(df: DataFrame, zCols: Seq[String],
+                  nFiles: Int, bits: Int): DataFrame = {
+    val n = zCols.size
+    require(n >= 2 && n <= 4, s"zorderFrame interleaves 2-4 columns, got $n")
+    val useBits = if (bits == 0) math.min(16, 62 / n) else bits
     // integral-only precondition, enforced: on fractional or negative
     // DOUBLE values the long cast truncates toward zero, (c - lo) can
     // go negative, and the interleave mask would wrap it to a large
     // positive code — silently scrambling layout quality. Bucket or
     // floor fractional dimensions to integers BEFORE z-ordering.
-    for (c <- Seq(xCol, yCol)) {
+    for (c <- zCols) {
       import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
       val dt = df.schema(c).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
@@ -88,11 +114,11 @@ object Layout {
           "(bucket or floor it to an integer first)")
     }
     val cols = df.columns.map(col)
-    val mm = df.agg(
-      min(col(qi(xCol))).cast("long"), max(col(qi(xCol))).cast("long"),
-      min(col(qi(yCol))).cast("long"), max(col(qi(yCol))).cast("long")).head()
+    val aggs = zCols.flatMap(c =>
+      Seq(min(col(qi(c))).cast("long"), max(col(qi(c))).cast("long")))
+    val mm = df.agg(aggs.head, aggs.tail: _*).head()
     if (mm.isNullAt(0)) return df // empty input: nothing to lay out
-    val m = (1L << bits) - 1
+    val m = (1L << useBits) - 1
     // (c-lo)*m overflows Long once the range exceeds ~2^63/m (e.g. a
     // microsecond-timestamp span); fall back to double arithmetic there
     // — layout quality needs ~bits of precision, far under double's 53
@@ -105,9 +131,12 @@ object Layout {
         s"""CAST(least(${m}L, floor((CAST(${qi(c)} AS DOUBLE) - ${lo}.0D)
              * ${m}.0D / ${range.toDouble}D)) AS BIGINT)"""
     }
-    df.withColumn("__zx", expr(norm(xCol, mm.getLong(0), mm.getLong(1))))
-      .withColumn("__zy", expr(norm(yCol, mm.getLong(2), mm.getLong(3))))
-      .withColumn("__zv", zValue("__zx", "__zy", bits))
+    val normed = zCols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__z$i",
+        expr(norm(c, mm.getLong(2 * i), mm.getLong(2 * i + 1))))
+    }
+    normed
+      .withColumn("__zv", zValue(zCols.indices.map(i => s"__z$i"), useBits))
       .repartitionByRange(nFiles, col("__zv"))
       .sortWithinPartitions("__zv")
       .select(cols.toIndexedSeq: _*)

@@ -634,13 +634,28 @@ object TxTable {
     */
   def overwriteZordered(spark: SparkSession, path: String, df: DataFrame,
                         xCol: String, yCol: String, numFiles: Int = 8,
-                        bits: Int = 16): Long = {
-    for (c <- Seq(xCol, yCol))
+                        bits: Int = 16): Long =
+    overwriteZordered(spark, path, df, Seq(xCol, yCol), numFiles, bits)
+
+  /** N-dimensional (2-4 column) z-ordered overwrite: real tables
+    * cluster on (tenant, time, key) — the round-robin interleave
+    * ([[Layout.zorderFrame]]) costs only code width (n · bits ≤ 62),
+    * and each file's exact per-column (min, max) for EVERY dimension
+    * lands in the commit log, so [[readBox]] prunes on any subset of
+    * the recorded columns. `bits = 0` picks min(16, 62 div n).
+    */
+  def overwriteZordered(spark: SparkSession, path: String, df: DataFrame,
+                        zCols: Seq[String], numFiles: Int,
+                        bits: Int): Long = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"overwriteZordered interleaves 2-4 columns, got ${zCols.size}")
+    for (c <- zCols)
       require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
         s"z-order dimension '$c' must be LongType (ids, epoch micros, " +
           s"bucketed values), got ${df.schema(c).dataType} — validated " +
           "BEFORE staging so a bad call cannot orphan a staged dir")
-    val laid = Layout.zorderFrame(df, xCol, yCol, math.max(1, numFiles), bits)
+    val useBits = if (bits == 0) math.min(16, 62 / zCols.size) else bits
+    val laid = Layout.zorderFrame(df, zCols, math.max(1, numFiles), useBits)
     val files = stage(spark, path, laid)
     // `zbits` lands in the commit record so every later head rewrite
     // (compact/merge/delete) replays the SAME interleave granularity —
@@ -648,8 +663,8 @@ object TxTable {
     // default on its first compact (results stay correct, rectangle
     // tightness drifts)
     commit(spark, path, "overwrite", files,
-      mstats = multiColStats(spark, path, files, Seq(xCol, yCol)),
-      statsCols = Seq(xCol, yCol), zbits = bits)
+      mstats = multiColStats(spark, path, files, zCols),
+      statsCols = zCols, zbits = useBits)
   }
 
   /** Per-file footer (min, max) for EACH of `cols`, aligned with the
@@ -1138,12 +1153,12 @@ object TxTable {
         stage(spark, path, rows(readVersion(spark, path, head))))
       val target = numFilesHint.getOrElse(math.max(1, st.files.size))
       val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
-        case (_, Seq(x, y)) => // z-ordered head: re-layout, fresh 2-D stats
+        case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
-          // → the writer default), so rewrites preserve the table's
-          // z-order granularity instead of resetting it
+          // → the 2-D writer default of 16), so rewrites preserve the
+          // table's z-order granularity instead of resetting it
           val staged = stage(spark, path,
-            Layout.zorderFrame(transformed, x, y, target,
+            Layout.zorderFrame(transformed, zc, target,
               if (st.zbits > 0) st.zbits else 16))
           (staged, Map.empty[String, (Long, Long)],
             multiColStats(spark, path, staged, st.statsCols))

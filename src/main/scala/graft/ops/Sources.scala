@@ -618,6 +618,29 @@ object Sources {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")),
 
+    // Transactional THREE-DIMENSIONAL data skipping: the z3 demo table
+    // laid lineitem along the 3-way round-robin Morton curve of
+    // (l_partkey, l_suppkey, l_orderkey) and recorded each file's
+    // per-column (lo, hi) for ALL THREE dimensions in the commit log;
+    // readBox prunes files whose 3-D rectangle cannot intersect the box
+    // before Spark lists them (TxTableSpec pins the pruning), and the
+    // oracle recomputes the box from the source table — wrong stats,
+    // over-pruning, or a dropped residual filter all break the hash.
+    Q("q_tx_zbox3",
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+                      ${oSum("l_extendedprice")} AS total
+               FROM lineitem
+               WHERE l_partkey BETWEEN 100 AND 600
+                 AND l_suppkey BETWEEN 5 AND 60
+                 AND l_orderkey BETWEEN 1000 AND 40000
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readBox(s, ensureTxZordered3(s, dir),
+          Seq(("l_partkey", 100L, 600L), ("l_suppkey", 5L, 60L),
+            ("l_orderkey", 1000L, 40000L)))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("total"))
+        .orderBy("l_returnflag")),
+
     // Transactional POINT-LOOKUP skipping on a SECONDARY key: the
     // bloom-indexed demo table is laid out by o_custkey (range
     // clustering) but carries a per-file bloom filter of o_orderkey in
@@ -727,7 +750,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders"), ver = 6) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 7) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -735,7 +758,7 @@ object Sources {
       // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z", "p", "r").foreach { n =>
+      Seq("t", "u", "c", "z", "z3", "p", "r").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -766,6 +789,13 @@ object Sources {
       // through the multi-dimensional pruning path)
       TxTable.overwriteZordered(s, s"$base/z", t(s, dir, "orders"),
         "o_custkey", "o_orderkey", numFiles = 8)
+      // table "z3": lineitem z-ordered in THREE dimensions
+      // (l_partkey, l_suppkey, l_orderkey) — per-file (lo, hi) for all
+      // three in the commit log (q_tx_zbox3 reads a 3-D box through the
+      // multi-dimensional pruning path); bits = 0 auto-picks the widest
+      // interleave that fits a non-negative BIGINT (16 at n=3)
+      TxTable.overwriteZordered(s, s"$base/z3", t(s, dir, "lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_orderkey"), numFiles = 8, bits = 0)
       // table "p": orders range-clustered by o_custkey with a per-file
       // BLOOM of the secondary key o_orderkey in the commit log
       // (q_tx_point probes equality on the non-cluster key through the
@@ -793,6 +823,9 @@ object Sources {
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"
+
+  private[graft] def ensureTxZordered3(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/z3"
 
   private[graft] def ensureTxBloom(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/p"

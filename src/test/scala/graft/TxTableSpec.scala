@@ -349,6 +349,51 @@ class TxTableSpec extends AnyFunSuite {
     assert(notLong.getMessage.contains("must be LongType"))
   }
 
+  test("3-D z-ordered write + readBox: pruning on any dimension subset") {
+    val t = fresh()
+    // a 16x16x16 cube: the 3-way interleave clusters boxes into files
+    TxTable.overwriteZordered(spark, t,
+      spark.range(4096).select((col("id") % 16).as("x"),
+        ((col("id") / 16) % 16).cast("long").as("y"),
+        (col("id") / 256).cast("long").as("z"),
+        concat(lit("r"), col("id")).as("v")),
+      Seq("x", "y", "z"), numFiles = 16, bits = 0)
+    assert(TxTable.read(spark, t).inputFiles.length === 16)
+    def boxSet(b: Seq[(String, Long, Long)]) =
+      TxTable.readBox(spark, t, b).select("x", "y", "z").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // a corner cube prunes hard and reads exactly its cells
+    val corner = TxTable.readBox(spark, t,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L), ("z", 0L, 3L)))
+    assert(corner.inputFiles.length < 16,
+      "3-D stats in the commit log prune files before Spark sees them")
+    assert(boxSet(Seq(("x", 0L, 3L), ("y", 0L, 3L), ("z", 0L, 3L))) ===
+      (for (x <- 0L to 3L; y <- 0L to 3L; z <- 0L to 3L) yield (x, y, z)).toSet)
+    // any single recorded dimension prunes alone
+    val zOnly = TxTable.readBox(spark, t, Seq(("z", 14L, 15L)))
+    assert(zOnly.inputFiles.length < 16 && zOnly.count() === 2L * 256)
+    // two-of-three prunes too
+    val xy = TxTable.readBox(spark, t, Seq(("x", 0L, 1L), ("y", 0L, 1L)))
+    assert(xy.inputFiles.length < 16 && xy.count() === 4L * 16)
+    // a compact re-lays-out in 3-D and lands fresh 3-D stats
+    TxTable.compact(spark, t, numFiles = 8)
+    val afterCompact = TxTable.readBox(spark, t,
+      Seq(("x", 0L, 3L), ("y", 0L, 3L), ("z", 0L, 3L)))
+    assert(afterCompact.inputFiles.length < 8,
+      "post-compact 3-D box reads still prune (stats recomputed)")
+    assert(afterCompact.count() === 64L)
+    // >4 dims and overflowing interleaves reject before staging
+    val tooMany = intercept[IllegalArgumentException] {
+      TxTable.overwriteZordered(spark, fresh(),
+        spark.range(4).selectExpr("id a", "id b", "id c", "id d", "id e"),
+        Seq("a", "b", "c", "d", "e"), 4, 0)
+    }
+    assert(tooMany.getMessage.contains("2-4"))
+    intercept[IllegalArgumentException] {
+      graft.api.Layout.zValue(Seq("a", "b", "c", "d"), 16) // 64 > 62
+    }
+  }
+
   test("vacuum removes only unreferenced stagings; history stays readable") {
     val t = fresh()
     TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
