@@ -327,6 +327,13 @@ object Bench {
     // and the unloaded column would read clean next to loaded_errors>0
     // (exactly how the round-9 events-schema break almost hid).
     import scala.jdk.CollectionConverters._
+    // The re-run set is the slow-WALL tail (failures first, then every
+    // loaded entry over 2 s plus the top five), which is exactly where
+    // state divergence lands: hidden rebuild work inflates its victim's
+    // LOADED WALL, pushing that query into this selection — the tail is
+    // self-selecting for the thing the detector below looks for, so a
+    // divergent query outside the top-N implies its rebuild cost was
+    // too small to matter (< the 2 s cut) rather than unexamined.
     // The memoized stream replays are EXCLUDED from the slow-tail
     // selection: after the cache clear below their "unloaded" number
     // would time replay re-construction (RocksDB startup + AvailableNow
@@ -394,11 +401,21 @@ object Bench {
     // unloaded CPU so sub-second queries can't false-fire on noise.
     val qCpu = cpuListener.cpuSec("q:").toMap
     val uCpu = cpuListener.cpuSec("u:").toMap
-    val divergentQueries = unloaded.collect { case (n, w) if w >= 0 => n }
+    val divergentRaw = unloaded.collect { case (n, w) if w >= 0 => n }
       .filter { n =>
         val u = uCpu.getOrElse(n, 0.0)
         u >= 0.5 && qCpu.getOrElse(n, 0.0) > 5.0 * u
       }.sorted
+    // GATED on !contended: a heavily contended window inflates loaded
+    // task CPU too (memory pressure, spill churn, stolen cycles charge
+    // real CPU to the victim), so the ratio test over-fires with
+    // scratch_warm fully green — the r13 driver artifact flagged five
+    // "divergent" queries whose state provably never rebuilt. Under
+    // contention the artifact already tells the reader to distrust
+    // loaded columns via `contended`; claiming a STATE problem on top
+    // of it mislabels the cause. The raw list still ships (full
+    // artifact) so a contended run's CPU outliers stay inspectable.
+    val divergentQueries = if (contended) Nil else divergentRaw
     val stateDivergent = divergentQueries.nonEmpty
 
     // JVM facts: host_factor proved non-robust across LAUNCHERS (sbt
@@ -443,7 +460,7 @@ object Bench {
     val (replaysWarm, replaysCold) = streaming.Streams.replayDiskStats
     val (scratchWarm, scratchCold) = graft.api.ScratchStats.snapshot
     Files.writeString(Paths.get(fullOut),
-      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries)},"scratch_gen":"$scratchGen","scratch_wiped":$scratchWiped,"scratch_warm":${strList(scratchWarm)},"scratch_cold":${strList(scratchCold)},"jvm_heap_mb":$jvmHeapMb,"jvm_gc":"$jvmGc","jvm_launcher":"$jvmLauncher","cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"replays_warm":${strList(replaysWarm)},"replays_cold":${strList(replaysCold)},"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries)},"divergent_raw":${strList(divergentRaw)},"scratch_gen":"$scratchGen","scratch_wiped":$scratchWiped,"scratch_warm":${strList(scratchWarm)},"scratch_cold":${strList(scratchCold)},"jvm_heap_mb":$jvmHeapMb,"jvm_gc":"$jvmGc","jvm_launcher":"$jvmLauncher","cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"replays_warm":${strList(replaysWarm)},"replays_cold":${strList(replaysCold)},"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
 
     // "value" covers the whole run (builds + queries) — comparable to
     // prior rounds where builds were folded into query numbers — while

@@ -121,7 +121,7 @@ object Bucketing {
         val attached = canAttach && scala.util.Try {
           try attachOnce() catch { case _: Exception => attachOnce() }
         }.isSuccess
-        ScratchStats.record(s"bk_$name", attached)
+        ScratchStats.record(s"bk_$name", sfDir, attached)
         if (!attached) {
           df.write
             .format("parquet")

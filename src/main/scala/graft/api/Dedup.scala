@@ -1437,7 +1437,17 @@ object Dedup {
   private[graft] val lastStarRounds =
     new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** `maxIter` bounds STAR ROUNDS, not lineage: every two alternations
+    * are localCheckpoint'd and superseded blocks released, so depth
+    * costs one pinned edge copy regardless of round count — the same
+    * patience-not-lineage discipline as pageRank/bfsLevels'
+    * `checkpointEvery` (here the cadence is every batch, the natural
+    * unit of this loop). The default 60 covers components of ~2^30
+    * nodes in the worst (chain) shape; real duplicate clusters are
+    * near-cliques that converge in ≤4 rounds, and the loop exits at
+    * the fixpoint, so a generous ceiling costs nothing.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
     val edges0 = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))

@@ -237,6 +237,7 @@ object Graphs {
     // no-op rounds to the depth bound; between checkpoints the loop
     // stays action-free, which is the whole point of bounded depth.
     var prevCk: Option[DataFrame] = None
+    var prevFCk: Option[DataFrame] = None
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
@@ -250,13 +251,26 @@ object Graphs {
         val sCk = settled.localCheckpoint()
         val fCk = frontier.localCheckpoint()
         exhausted = fCk.isEmpty
+        // release BOTH superseded checkpoints only after their
+        // successors materialized: the frontier block too — it is
+        // never read once the next fCk exists, and keeping it would
+        // pin one block-store copy per cadence for the whole
+        // traversal (O(depth) pinned instead of O(1))
         prevCk.foreach(Dedup.dropLocalCheckpoint)
+        prevFCk.foreach(Dedup.dropLocalCheckpoint)
         prevCk = Some(sCk)
+        prevFCk = Some(fCk)
         settled = sCk
         frontier = fCk
       }
       d += 1
     }
+    // on exhausted exit the returned frame IS the last settled
+    // checkpoint (independent blocks), so the final frontier
+    // checkpoint is provably dead and can be released now; on a
+    // depth-bound exit the rounds after the last checkpoint still
+    // read it from the returned plan, so it must stay pinned
+    if (exhausted) prevFCk.foreach(Dedup.dropLocalCheckpoint)
     settled
   }
 

@@ -47,13 +47,29 @@ object ScratchStats {
   private val warm = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val cold = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Report one marker-freshness decision: `servedFromDisk` = the
-    * cross-process cache was fresh and attached; false = it was (re)built
-    * this process. First decision wins per name — later in-session hits
-    * are memo reads, not disk decisions.
+  /** Human-readable, collision-safe corpus tag for recorded evidence:
+    * the dir's basename (what a reader recognizes) plus a short slice
+    * of the same sha tag the scratch paths themselves are keyed by
+    * (what keeps two same-named dirs from aliasing).
     */
-  private[graft] def record(name: String, servedFromDisk: Boolean): Unit = {
-    (if (servedFromDisk) warm else cold).add(name); ()
+  private def dirTag(dir: String): String = {
+    val base = dir.stripSuffix("/").split('/').lastOption.getOrElse(dir)
+    s"$base-${Dedup.tableTag(dir).take(6)}"
+  }
+
+  /** Report one marker-freshness decision for a cache of corpus `dir`:
+    * `servedFromDisk` = the cross-process cache was fresh and attached;
+    * false = it was (re)built this process. First decision wins per
+    * recorded name — later in-session hits are memo reads, not disk
+    * decisions. The name is tagged with the dir (the same keying the
+    * scratch paths use): a process touching TWO corpora legitimately
+    * decides the same cache kind warm for one and cold for the other,
+    * and without the tag one name would land in both lists and muddy
+    * the artifact this evidence exists to clarify.
+    */
+  private[graft] def record(name: String, dir: String,
+                            servedFromDisk: Boolean): Unit = {
+    (if (servedFromDisk) warm else cold).add(s"$name@${dirTag(dir)}"); ()
   }
 
   /** (warm names, cold names), each sorted. */

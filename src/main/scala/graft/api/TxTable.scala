@@ -233,8 +233,22 @@ object TxTable {
       val out = hfs.create(tmp, true)
       out.write(txt.getBytes("UTF-8")); out.close()
       try {
-        if (hfs.exists(p) || !hfs.rename(tmp, p))
+        if (hfs.exists(p))
           throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+        if (!hfs.rename(tmp, p)) {
+          // rename == false is ambiguous: a lost race (dst appeared) or
+          // a genuine FS failure (quota, missing tmp, a flake). Only
+          // report the race when the destination CONFIRMS it is taken —
+          // otherwise a real failure would be misdiagnosed as
+          // contention and retried MaxCommitRetries times with the
+          // cause discarded.
+          if (hfs.exists(p))
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+          throw new java.io.IOException(
+            s"rename($tmp, $p) failed on ${hfs.getScheme} with no racer " +
+              "at the destination — a genuine filesystem failure, not a " +
+              "lost version race")
+        }
       } finally { if (hfs.exists(tmp)) hfs.delete(tmp, false); () }
     }
 
@@ -388,6 +402,18 @@ object TxTable {
     */
   private[graft] val NonAtomicClaimSchemes = Set("s3mini", "s3a", "s3", "s3n")
 
+  /** Hadoop-conf escape hatch for SINGLE-WRITER object-store tables:
+    * set `graft.txtable.unsafeNonAtomicCommit=true` to commit on a
+    * [[NonAtomicClaimSchemes]] scheme anyway — the caller asserts that
+    * writers are serialized externally (one driver, or a locking
+    * service), which is exactly the contract of Delta's
+    * S3SingleDriverLogStore / externally-locked LogStores. The default
+    * stays the hard rejection: with two UNserialized writers a
+    * check-then-act claim can fork history silently, the worst failure
+    * a commit log can have.
+    */
+  val UnsafeNonAtomicCommitKey = "graft.txtable.unsafeNonAtomicCommit"
+
   private def commitAt(spark: SparkSession, path: String, v: Long,
                        action: String, files: Seq[String],
                        txn: Option[String],
@@ -403,11 +429,15 @@ object TxTable {
                        cdf: Seq[String] = Nil)
       : Option[Long] = {
     val hfs = fs(spark, path)
-    require(!NonAtomicClaimSchemes.contains(hfs.getScheme),
+    require(!NonAtomicClaimSchemes.contains(hfs.getScheme) ||
+        spark.sparkContext.hadoopConfiguration
+          .getBoolean(UnsafeNonAtomicCommitKey, false),
       s"TxTable cannot commit on '${hfs.getScheme}': the scheme lacks an " +
-        "atomic rename-if-absent, so two writers could claim the same " +
-        "version — serialize commits externally (a locking service) or " +
-        "use a file:// or hdfs:// table path")
+        "atomic rename-if-absent, so two UNserialized writers could claim " +
+        "the same version and fork history — serialize writers externally " +
+        s"(a locking service / single driver) and set " +
+        s"$UnsafeNonAtomicCommitKey=true to proceed, or use a file:// or " +
+        "hdfs:// table path")
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
       stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,

@@ -13,20 +13,49 @@ import graft.ops.H._
   */
 object Pipeline {
 
+  /** A once-cell: the first `value` caller runs the build under the
+    * CELL's monitor (scala lazy-val semantics); racers on the same cell
+    * wait for exactly that build; other cells are independent.
+    * `ifBuilt` lets cleanup unpersist what actually materialized
+    * without triggering a build of its own.
+    */
+  private final class Once[V](thunk: () => V) {
+    @volatile private var built: Option[V] = None
+    lazy val value: V = { val v = thunk(); built = Some(v); v }
+    def ifBuilt: Option[V] = built
+  }
+
+  /** Per-key memoization with the build OUTSIDE the map-wide lock: the
+    * monitor only installs a once-cell (no Spark action inside it), so
+    * first-touch builds serialize per (session, dir) KEY — two racers
+    * on one key still dedupe to one build, while callers for other
+    * keys (another sf dir, another session) proceed instead of queuing
+    * behind a foreign build for its whole duration. Also removes the
+    * re-entrancy deadlock: a build that consults ANOTHER key of the
+    * same cache blocks on that key's cell, never on a monitor its own
+    * caller already holds. Caveat: clearCaches concurrent with a
+    * mid-flight first-touch build can miss that build's persist (the
+    * cell is removed unbuilt); the contract — which Bench honors — is
+    * clear() between quiesced phases.
+    */
+  private def memo[V](cache: scala.collection.concurrent.TrieMap[(Int, String), Once[V]],
+                      key: (Int, String))(build: => V): V =
+    cache.synchronized {
+      cache.getOrElseUpdate(key, new Once(() => build))
+    }.value
+
   /** Shingle frames cached per (session, dir): every dedup query
     * branches over this frame 3-4 times and the shingle construction is
     * the expensive part.
     */
   private val shCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[DataFrame]]()
 
   private[graft] def shingled(s: SparkSession, dir: String): DataFrame =
-    // synchronized: the three dedup queries race this key in Bench; a
+    // memoized: the three dedup queries race this key in Bench; a
     // double-build would persist (and compute) the shingles twice.
-    shCache.synchronized {
-      shCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        forced(Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4)))
-    }
+    memo(shCache, (System.identityHashCode(s), dir))(
+      forced(Dedup.shingles(t(s, dir, "documents"), "doc_id", "text", n = 4)))
 
   /** The packed token-stream digest frame per (session, dir):
     * q_pack_token_stream and q_pack_shuffle both consume it, and the
@@ -37,7 +66,7 @@ object Pipeline {
     * Bench's builds map like the other shared frames.
     */
   private val packCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[DataFrame]]()
 
   /** Load-or-build-and-save a deterministic corpus-derived frame as
     * plain parquet under the scratch root, guarded by a source
@@ -58,7 +87,7 @@ object Pipeline {
       Dedup.sourceFingerprint(s, s"$dir/$srcTable.parquet")
     val (df, served) = Dedup.loadOrBuildParquet(s, path,
       java.nio.file.Paths.get(path, "_GRAFT_FP"), fp)(build)
-    graft.api.ScratchStats.record(kind, served)
+    graft.api.ScratchStats.record(kind, dir, served)
     df
   }
 
@@ -81,13 +110,11 @@ object Pipeline {
     // while this cache still hands it out — clearCaches owns the
     // lifecycle instead. ver ties to the pack recipe: BpeNumMerges,
     // BpeVocabCap, seqLen — bump on change.
-    packCache.synchronized {
-      packCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        forced(cachedParquet(s, dir, "pack", 1, "documents") {
-          graft.api.Packing.packTokenStream(t(s, dir, "documents"),
-            "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    }
+    memo(packCache, (System.identityHashCode(s), dir))(
+      forced(cachedParquet(s, dir, "pack", 1, "documents") {
+        graft.api.Packing.packTokenStream(t(s, dir, "documents"),
+          "doc_id", "text", bpeMerges(s, dir), seqLen = 128)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** The span-cut corpus (removeSharedSegments k=8, minLen=3) per
     * (session, dir): q_dedup_span_removal and the composed
@@ -95,21 +122,19 @@ object Pipeline {
     * exchange + islands pass the second consumer would repeat.
     */
   private val spanCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[DataFrame]]()
 
   private[graft] def spanCut(s: SparkSession, dir: String): DataFrame =
     // persist without a Pins registration — see packedStream. ver ties
     // to the span recipe (k=8, minLen=3) — bump on change.
-    spanCache.synchronized {
-      spanCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        forced(cachedParquet(s, dir, "spancut", 1, "documents") {
-          Dedup.removeSharedSegments(t(s, dir, "documents"),
-            "doc_id", "text", k = 8, minLen = 3)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    }
+    memo(spanCache, (System.identityHashCode(s), dir))(
+      forced(cachedParquet(s, dir, "spancut", 1, "documents") {
+        Dedup.removeSharedSegments(t(s, dir, "documents"),
+          "doc_id", "text", k = 8, minLen = 3)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   private val pairsCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[DataFrame]]()
 
   /** The 90%-corpus MinHash band index per (session, dir) — persisted
     * as bucketed external tables under the scratch dir (band rows on
@@ -120,7 +145,7 @@ object Pipeline {
     * Shared by the batch incremental query and the streaming replay.
     */
   private val bandsCache = scala.collection.concurrent
-    .TrieMap[(Int, String), (Dedup.BandIndex, DataFrame)]()
+    .TrieMap[(Int, String), Once[(Dedup.BandIndex, DataFrame)]]()
 
   private[graft] def corpusBands(s: SparkSession, dir: String): Dedup.BandIndex =
     corpusBandsSh(s, dir)._1
@@ -138,18 +163,16 @@ object Pipeline {
 
   private[graft] def corpusBandsSh(s: SparkSession,
                                    dir: String): (Dedup.BandIndex, DataFrame) =
-    bandsCache.synchronized {
-      bandsCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val path = bandsPath(dir)
-        val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-        val loaded = Dedup.loadBandIndex(s, path, fp)
-        graft.api.ScratchStats.record("bands", loaded.isDefined)
-        loaded.getOrElse {
-          val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)
-          Dedup.saveBandIndex(s, path, Dedup.buildBandIndex(corpusSh),
-            corpusSh, fp)
-        }
-      })
+    memo(bandsCache, (System.identityHashCode(s), dir)) {
+      val path = bandsPath(dir)
+      val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+      val loaded = Dedup.loadBandIndex(s, path, fp)
+      graft.api.ScratchStats.record("bands", dir, loaded.isDefined)
+      loaded.getOrElse {
+        val corpusSh = shingled(s, dir).filter(col("doc_id") % 10 =!= 0)
+        Dedup.saveBandIndex(s, path, Dedup.buildBandIndex(corpusSh),
+          corpusSh, fp)
+      }
     }
 
   /** The persisted corpus segment-hash index per (session, dir) —
@@ -159,23 +182,21 @@ object Pipeline {
     * the batch incremental paragraph query and its streaming replay.
     */
   private val segIdxCache = scala.collection.concurrent
-    .TrieMap[(Int, String), DataFrame]()
+    .TrieMap[(Int, String), Once[DataFrame]]()
 
   private[graft] def corpusSegIndex(s: SparkSession, dir: String): DataFrame =
-    segIdxCache.synchronized {
-      segIdxCache.getOrElseUpdate((System.identityHashCode(s), dir), {
-        val path = s"${graft.api.Bucketing.scratchBase}/segs_" +
-          graft.api.Dedup.tableTag(dir)
-        val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
-        val loaded = Dedup.loadSegmentIndex(s, path, fp, segTokens = 15)
-        graft.api.ScratchStats.record("segs", loaded.isDefined)
-        loaded.getOrElse {
-          Dedup.saveSegmentIndex(s, path,
-            Dedup.segmentHashes(t(s, dir, "documents")
-              .filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15),
-            fp, segTokens = 15)
-        }
-      })
+    memo(segIdxCache, (System.identityHashCode(s), dir)) {
+      val path = s"${graft.api.Bucketing.scratchBase}/segs_" +
+        graft.api.Dedup.tableTag(dir)
+      val fp = Dedup.sourceFingerprint(s, s"$dir/documents.parquet")
+      val loaded = Dedup.loadSegmentIndex(s, path, fp, segTokens = 15)
+      graft.api.ScratchStats.record("segs", dir, loaded.isDefined)
+      loaded.getOrElse {
+        Dedup.saveSegmentIndex(s, path,
+          Dedup.segmentHashes(t(s, dir, "documents")
+            .filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 15),
+          fp, segTokens = 15)
+      }
     }
 
   /** Shingles of ONLY the 10% increment slice, filtered BEFORE the
@@ -184,34 +205,34 @@ object Pipeline {
     * under a post-hoc doc_id filter.
     */
   private[graft] def incrShingled(s: SparkSession, dir: String): DataFrame =
-    shCache.synchronized {
-      shCache.getOrElseUpdate((System.identityHashCode(s), dir + "#incr"),
-        forced(Dedup.shingles(t(s, dir, "documents")
-          .filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)))
-    }
+    memo(shCache, (System.identityHashCode(s), dir + "#incr"))(
+      forced(Dedup.shingles(t(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)))
 
   /** Unpersist and forget this session's cached frames (Graft.clear). */
   private[graft] def clearCaches(s: SparkSession): Unit = {
     val id = System.identityHashCode(s)
+    // ifBuilt: unpersist only what a cell actually materialized — a
+    // removed cell whose build never ran must not be triggered here
     shCache.synchronized {
       shCache.keys.filter(_._1 == id)
-        .foreach(k => shCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => shCache.remove(k).flatMap(_.ifBuilt).foreach(_.unpersist()))
     }
     pairsCache.synchronized {
       pairsCache.keys.filter(_._1 == id)
-        .foreach(k => pairsCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => pairsCache.remove(k).flatMap(_.ifBuilt).foreach(_.unpersist()))
     }
     clustersCache.synchronized {
       clustersCache.keys.filter(_._1 == id)
-        .foreach(k => clustersCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => clustersCache.remove(k).flatMap(_.ifBuilt).foreach(_.unpersist()))
     }
     spanCache.synchronized {
       spanCache.keys.filter(_._1 == id)
-        .foreach(k => spanCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => spanCache.remove(k).flatMap(_.ifBuilt).foreach(_.unpersist()))
     }
     packCache.synchronized {
       packCache.keys.filter(_._1 == id)
-        .foreach(k => packCache.remove(k).foreach(_.unpersist()))
+        .foreach(k => packCache.remove(k).flatMap(_.ifBuilt).foreach(_.unpersist()))
     }
     bandsCache.synchronized {
       // table-backed since round 7: entries hold no persisted RDDs, the
@@ -250,7 +271,7 @@ object Pipeline {
     * q_sim_ivf_bucketed. k×dim doubles of driver metadata.
     */
   private val kmeansCache = scala.collection.concurrent
-    .TrieMap[(Int, String), Seq[(Long, Seq[Double])]]()
+    .TrieMap[(Int, String), Once[Seq[(Long, Seq[Double])]]]()
 
   /** Load-or-compute-and-save a driver-side literal table as TSV lines
     * under the scratch root, fingerprint + version guarded (the
@@ -274,7 +295,7 @@ object Pipeline {
     val data = path.resolve("data.tsv")
     val served =
       Dedup.markerFresh(marker, fp)(java.nio.file.Files.isRegularFile(data))
-    graft.api.ScratchStats.record(kind, served)
+    graft.api.ScratchStats.record(kind, dir, served)
     if (served)
       new String(java.nio.file.Files.readAllBytes(data), "UTF-8")
         .split("\n").toSeq.filter(_.nonEmpty)
@@ -289,9 +310,8 @@ object Pipeline {
 
   private[graft] def kmeansCents(s: SparkSession,
                                  dir: String): Seq[(Long, Seq[Double])] =
-    kmeansCache.synchronized {
-      kmeansCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedLines(s, dir, "kmcents", 1, "embeddings") {
+    memo(kmeansCache, (System.identityHashCode(s), dir))(
+      cachedLines(s, dir, "kmcents", 1, "embeddings") {
           Similarity.kmeansCentroids(t(s, dir, "embeddings"),
               "vec_id", "embedding", k = 16, iters = 2)
             .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -300,7 +320,6 @@ object Pipeline {
           val Array(cid, cv) = line.split("\t", 2)
           (cid.toLong, cv.split(",").toSeq.map(_.toDouble))
         })
-    }
 
   private[graft] val kmeansPlaceholder = "__GRAFT_KMEANS_CENTS__"
 
@@ -321,15 +340,14 @@ object Pipeline {
     * search, and the oracle literal.
     */
   private val pqCache = scala.collection.concurrent
-    .TrieMap[(Int, String), Seq[Seq[(Long, Seq[Double])]]]()
+    .TrieMap[(Int, String), Once[Seq[Seq[(Long, Seq[Double])]]]]()
   private[graft] val PqM = 8
   private[graft] val PqKsub = 16
 
   private[graft] def pqBooks(s: SparkSession,
                              dir: String): Seq[Seq[(Long, Seq[Double])]] =
-    pqCache.synchronized {
-      pqCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        cachedLines(s, dir, "pqbooks", 1, "embeddings") {
+    memo(pqCache, (System.identityHashCode(s), dir))(
+      cachedLines(s, dir, "pqbooks", 1, "embeddings") {
           val e = t(s, dir, "embeddings")
           Similarity.pqCodebooks(e, e.filter(col("vec_id") < 16),
               "vec_id", "embedding", m = PqM, ksub = PqKsub, iters = 2)
@@ -341,7 +359,6 @@ object Pipeline {
           (j.toInt, code.toLong, cv.split(",").toSeq.map(_.toDouble))
         }.groupBy(_._1).toSeq.sortBy(_._1)
           .map(_._2.sortBy(_._2).map { case (_, code, cv) => (code, cv) }))
-    }
 
   private[graft] val pqPlaceholder = "__GRAFT_PQ_BOOKS__"
 
@@ -430,14 +447,14 @@ object Pipeline {
     * (max count, lexicographic tiebreak).
     */
   private val bpeCache = scala.collection.concurrent
-    .TrieMap[(Int, String), Seq[(String, String)]]()
+    .TrieMap[(Int, String), Once[Seq[(String, String)]]]()
   private[graft] val BpeNumMerges = 200
   private[graft] val BpeVocabCap = 65536
 
   private[graft] def bpeMerges(s: SparkSession,
                                dir: String): Seq[(String, String)] =
-    bpeCache.synchronized {
-      bpeCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    memo(bpeCache, (System.identityHashCode(s), dir)) {
+      {
         val wc = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("word"))
           .groupBy("word").count()
@@ -455,7 +472,7 @@ object Pipeline {
               "oracle's fold separator — oracle replay would diverge")
         }
         graft.api.Bpe.train(wc, BpeNumMerges)
-      })
+      }
     }
 
   private[graft] val bpePlaceholder = "__GRAFT_BPE_MERGES__"
@@ -558,7 +575,7 @@ object Pipeline {
     * floor'd threshold) — the driver-literal technique again.
     */
   private val tempCache =
-    scala.collection.concurrent.TrieMap[(Int, String), Map[String, Double]]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[Map[String, Double]]]()
 
   /** Keep RATES (not thresholds): the Spark side feeds them straight to
     * [[graft.api.Mixing.stratifiedSample]] — the public operator the
@@ -568,14 +585,14 @@ object Pipeline {
     */
   private[graft] def tempRates(s: SparkSession,
                                dir: String): Map[String, Double] =
-    tempCache.synchronized {
-      tempCache.getOrElseUpdate((System.identityHashCode(s), dir), {
+    memo(tempCache, (System.identityHashCode(s), dir)) {
+      {
         val counts = t(s, dir, "documents")
           .filter(col("source").isNotNull)
           .groupBy("source").count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         graft.api.Mixing.temperatureRates(counts, TempAlpha)
-      })
+      }
     }
 
   private def resolveTempThresholds(sql: String): String =
@@ -677,7 +694,7 @@ object Pipeline {
     * query would re-run the whole inverted-index pipeline first.
     */
   private val clustersCache =
-    scala.collection.concurrent.TrieMap[(Int, String), DataFrame]()
+    scala.collection.concurrent.TrieMap[(Int, String), Once[DataFrame]]()
 
   /** The duplicate-component assignment over [[nearPairs]] — four
     * queries consume it (keep-best, cluster list, cluster-drop,
@@ -686,12 +703,10 @@ object Pipeline {
     * parquet-caches across processes like the pair set itself.
     */
   private[graft] def corpusClusters(s: SparkSession, dir: String): DataFrame =
-    clustersCache.synchronized {
-      clustersCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        forced(cachedParquet(s, dir, "dupclusters", 1, "documents") {
-          Dedup.duplicateClusters(nearPairs(s, dir))
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    }
+    memo(clustersCache, (System.identityHashCode(s), dir))(
+      forced(cachedParquet(s, dir, "dupclusters", 1, "documents") {
+        Dedup.duplicateClusters(nearPairs(s, dir))
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   private[graft] def nearPairs(s: SparkSession, dir: String): DataFrame =
     // parquet-backed across processes (the packedStream discipline):
@@ -699,12 +714,10 @@ object Pipeline {
     // an unchanged corpus attaches the pair set instead of re-running
     // the banded candidate join. ver ties to the recipe (threshold 0.5,
     // default perms/bands) — bump on change.
-    pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((System.identityHashCode(s), dir),
-        forced(cachedParquet(s, dir, "nearpairs", 1, "documents") {
-          Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5)
-        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
-    }
+    memo(pairsCache, (System.identityHashCode(s), dir))(
+      forced(cachedParquet(s, dir, "nearpairs", 1, "documents") {
+        Dedup.nearDuplicatePairs(shingled(s, dir), threshold = 0.5)
+      }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)))
 
   /** Incremental SemDeDup survivors (5% embedding increment vs the
     * settled 95% corpus) — the oracle of BOTH the batch incremental

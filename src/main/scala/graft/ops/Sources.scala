@@ -123,7 +123,7 @@ object Sources {
         }
         // warm/cold evidence for the bench artifact: a run whose state
         // is half-cold must name itself (see ScratchStats scaladoc)
-        graft.api.ScratchStats.record(s"src_$fmt", served)
+        graft.api.ScratchStats.record(s"src_$fmt", dir, served)
         written.put(key, ())
       }
     }

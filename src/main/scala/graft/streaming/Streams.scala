@@ -273,7 +273,7 @@ object Streams {
       val (df, warm) = graft.api.Dedup.loadOrBuildParquet(spark,
         s"$store/data", java.nio.file.Paths.get(store, "_GRAFT_FP"), fp)(body)
       (if (warm) replayWarm else replayCold).add(op)
-      graft.api.ScratchStats.record(s"replay_$op", warm)
+      graft.api.ScratchStats.record(s"replay_$op", dir, warm)
       df
     }
 
@@ -321,7 +321,7 @@ object Streams {
             java.nio.file.Paths.get(store(k), "_GRAFT_FP"), fp)(
             graft.api.Dedup.hasDataFiles(s"${store(k)}/data"))
         }
-        graft.api.ScratchStats.record("replay_windowed", allFresh)
+        graft.api.ScratchStats.record("replay_windowed", dir, allFresh)
         if (allFresh) {
           replayWarm.add("windowed")
           keys.map(k => k -> spark0.read.parquet(s"${store(k)}/data")).toMap

@@ -1163,6 +1163,150 @@ object ScaleProbe {
         f"1x $dc1%.2f s  ${mult}x $dcN%.2f s  time-growth=${dcN / dc1}%.1fx")
     }
 
+    // Triangles at mult x graph: disjoint id-offset replicas of the
+    // parts-bought-together edge set. Triangle COUNT must scale exactly
+    // mult x (no cross-replica triangle can exist — replicas share no
+    // vertex), and the id-mass invariant is exactly predictable under
+    // the shift: each replica r adds 3·off·r per triangle, so
+    // massN = mult·mass1 + 3·off·count1·(mult·(mult−1)/2). Equality is
+    // exact integers — a single misidentified triangle breaks it.
+    {
+      import graft.api.Graphs
+      val pe0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_orderkey") % 10 === 0).as("l1")
+        .join(spark.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_orderkey") % 10 === 0).as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") =!= col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("pa"), col("l2.l_partkey").as("pb"))
+      val off = 10000000L
+      def triFor(m: Int): (Long, Long, Double) = {
+        val e = pe0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select((col("pa") + col("rep") * off).as("pa"),
+            (col("pb") + col("rep") * off).as("pb"))
+        val t0 = System.nanoTime()
+        val r = Graphs.triangleCount(e, "pa", "pb").head()
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      val (c1, m1, d1) = triFor(1)
+      val (cN, mN, dN) = triFor(mult)
+      require(cN == c1 * mult,
+        s"triangle count must scale exactly ${mult}x: $c1 -> $cN")
+      val expMass = mult * m1 + 3L * off * c1 * (mult.toLong * (mult - 1) / 2)
+      require(mN == expMass,
+        s"triangle id-mass must equal the shift-exact prediction: " +
+          s"got $mN expected $expMass")
+      println(f"triangles (${mult}x graph): $c1 -> $cN (exactly ${mult}x), " +
+        f"id-mass shift-exact  1x $d1%.2f s  ${mult}x $dN%.2f s  " +
+        f"time-growth=${dN / d1}%.1fx")
+    }
+
+    // BFS at mult x graph: disjoint id-offset replicas with the SAME
+    // source set shifted into each replica. Levels are invariant (each
+    // replica is an isomorphic copy), so the per-level node counts must
+    // scale exactly mult x and the reached-node ids must be exactly the
+    // 1x set under every shift — frontier expansion that leaked across
+    // replicas or re-settled a node breaks it.
+    {
+      import graft.api.Graphs
+      val raw0 = spark.read.parquet(s"$dir/orders.parquet")
+        .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      val off = 10000000L
+      def bfsFor(m: Int): (Map[Long, Long], Double) = {
+        val e = raw0.crossJoin(spark.range(m).select(col("id").as("rep")))
+          .select((col("src") + col("rep") * off).as("src"),
+            (col("dst") + col("rep") * off).as("dst"))
+        val srcs = spark.range(m).select(col("id").as("rep"))
+          .crossJoin(spark.range(1, 4).select((col("id") * 2).as("base")))
+          .select((col("base") + col("rep") * off).as("id"))
+        val t0 = System.nanoTime()
+        val lv = Graphs.bfsLevels(e, "src", "dst", srcs, maxDepth = 3)
+          .groupBy("lvl").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (lv, (System.nanoTime() - t0) / 1e9)
+      }
+      val (lv1, d1) = bfsFor(1)
+      val (lvN, dN) = bfsFor(mult)
+      require(lvN.keySet == lv1.keySet,
+        s"reached levels must be invariant: ${lv1.keySet} vs ${lvN.keySet}")
+      require(lv1.forall { case (l, n) => lvN(l) == n * mult },
+        s"per-level masses must scale exactly ${mult}x: $lv1 -> $lvN")
+      println(f"bfs (${mult}x graph): levels ${lv1.keySet.toSeq.sorted
+        .mkString(",")} invariant, per-level masses exactly ${mult}x  " +
+        f"1x $d1%.2f s  ${mult}x $dN%.2f s  time-growth=${dN / d1}%.1fx")
+    }
+
+    // TxTable point/restore/CDF at mult x corpus: (a) the bloom
+    // point-lookup prunes to the same few files at every scale (probed
+    // ids live in ONE replica — the files-read count must stay flat
+    // while the table grows mult x); (b) restore stays metadata-only
+    // (zero new data dirs at any scale); (c) the row-level change feed
+    // stays increment-proportional: an append window's feed is exactly
+    // the appended rows (mult x), and a compact window contributes
+    // ZERO rows at every scale.
+    {
+      import graft.api.TxTable
+      def txFor(m: Int): (Long, Long, Long, Int, Int, Long, Long, Double) = {
+        val d = docsFor(m).select(col("doc_id"),
+          length(col("text")).cast("long").as("len"))
+        val base = java.nio.file.Files
+          .createTempDirectory(s"txprobe2_$m").toString
+        val t0 = System.nanoTime()
+        // point path: clustered by len, bloom-indexed on doc_id
+        val pt = s"$base/p"
+        TxTable.overwriteClustered(spark, pt, d, "len", numFiles = 8,
+          bloomCol = Some("doc_id"))
+        val total = TxTable.read(spark, pt).inputFiles.length
+        val probed = TxTable.readPoints(spark, pt, "doc_id",
+          Seq(1L, 7L, 57L))
+        val probedFiles = probed.inputFiles.length
+        val probedRows = probed.count()
+        // restore + cdf path: v1 half, v2 append half, v3 compact,
+        // v4 restore(1)
+        val rt = s"$base/r"
+        TxTable.overwrite(spark, rt, d.filter(col("doc_id") % 2 === 0))
+        TxTable.append(spark, rt, d.filter(col("doc_id") % 2 =!= 0))
+        TxTable.compact(spark, rt, numFiles = 4)
+        def dataDirs() = new java.io.File(base, "r").listFiles()
+          .count(f => f.isDirectory && f.getName.startsWith("data-"))
+        val dirsBefore = dataDirs()
+        TxTable.restore(spark, rt, 1)
+        require(dataDirs() == dirsBefore,
+          s"restore must stage no data at ${m}x: $dirsBefore -> ${dataDirs()}")
+        val headRows = TxTable.read(spark, rt).count()
+        val feedAppend = TxTable.changesRows(spark, rt, 1, 2).count()
+        val feedCompact = TxTable.changesRows(spark, rt, 2, 3).count()
+        (headRows, feedAppend, feedCompact, probedFiles, total,
+          probedRows, TxTable.history(spark, rt).size.toLong,
+          (System.nanoTime() - t0) / 1e9)
+      }
+      val (h1, fa1, fc1, pf1, tot1, pr1, cm1, t1) = txFor(1)
+      val (hN, faN, fcN, pfN, totN, prN, cmN, tN) = txFor(mult)
+      require(hN == h1 * mult,
+        s"restored head rows must scale exactly ${mult}x: $h1 -> $hN")
+      require(faN == fa1 * mult,
+        s"append-window feed must be increment-proportional: $fa1 -> $faN")
+      require(fc1 == 0 && fcN == 0,
+        s"compact windows must feed zero rows: $fc1, $fcN")
+      require(cm1 == cmN,
+        s"commit count must be data-size-invariant: $cm1 vs $cmN")
+      require(pr1 == 3 && prN == 3,
+        s"probed ids live in replica 0 only: $pr1, $prN rows")
+      // flat = O(probes) + FP slack, never O(table): 3 probed ids can
+      // honestly touch up to 3 true files plus a false positive or two
+      require(pf1 <= 5 && pfN <= 5 && pf1 < tot1 && pfN < totN,
+        s"bloom pruning must stay flat while the table grows: " +
+          s"$pf1/$tot1 -> $pfN/$totN files")
+      println(f"tx point/restore/cdf (${mult}x corpus): restore " +
+        f"metadata-only at both scales, head $h1 -> $hN rows (exactly " +
+        f"${mult}x), append feed $fa1 -> $faN (exactly ${mult}x), compact " +
+        f"feed 0 at both, bloom point-read $pf1/$tot1 -> $pfN/$totN files  " +
+        f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
+    }
+
     spark.stop()
   }
 }

@@ -258,6 +258,28 @@ class PipelineSpec extends AnyFunSuite {
       s"1000-node path took $rounds star rounds (expected O(log n) <= 16)")
   }
 
+  test("connected components: deep chain exercises the raised round ceiling") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // a 2^13-node chain needs ~2*13 star rounds — comfortably past the
+    // OLD 20-round ceiling, under the raised default of 60. The loop
+    // checkpoints every batch and releases superseded blocks, so depth
+    // costs patience, not lineage: this run pins that the ceiling (the
+    // one thing that previously capped component size at ~2^10 chains)
+    // is gone, and that the round count stays O(log n).
+    val n = 8192L
+    val edges = (1L until n).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val cl = graft.api.Dedup.duplicateClusters(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.size === n)
+    assert(cl(1L) === 1L && cl(n) === 1L && cl(n / 2) === 1L,
+      "every chain node labels from the minimum")
+    assert(cl.values.forall(_ == 1L))
+    val rounds = graft.api.Dedup.lastStarRounds.get
+    assert(rounds >= 2 && rounds <= 40,
+      s"8192-node chain took $rounds star rounds (expected O(log n) <= 40)")
+  }
+
   test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
     val expected = pairs("q_dedup_near").filter { case (a, b) =>
       (a % 10 == 0) != (b % 10 == 0)

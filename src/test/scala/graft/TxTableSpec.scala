@@ -4,6 +4,16 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.api.TxTable
 
+/** A local filesystem that ANSWERS to the `s3` scheme: lets the spec
+  * exercise TxTable's non-atomic-claim gating (rejection + explicit
+  * opt-in) end to end — staging, commit, read-back — without a real
+  * object store in the sandbox.
+  */
+class FakeS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3"
+  override def getUri: java.net.URI = java.net.URI.create("s3:///")
+}
+
 /** The transactional-table contracts: atomic visibility, optimistic
   * concurrency, snapshot isolation / time travel, checkpoint-based
   * resolution, content-preserving compaction, reference-safe vacuum.
@@ -570,6 +580,32 @@ class TxTableSpec extends AnyFunSuite {
     // vacuum never collects staged change files (they are log-reachable)
     TxTable.vacuum(spark, t, olderThanMs = -1)
     assert(feed(1, 2).size === 3, "cdf files survive vacuum")
+  }
+
+  test("non-atomic-claim schemes reject commits unless explicitly opted in") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3.impl", classOf[FakeS3FileSystem].getName)
+    conf.setBoolean("fs.s3.impl.disable.cache", true)
+    try {
+      val t = "s3://" + fresh()
+      // default: hard rejection naming the escape hatch
+      val ex = intercept[IllegalArgumentException] {
+        TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+      }
+      assert(ex.getMessage.contains(TxTable.UnsafeNonAtomicCommitKey) &&
+        ex.getMessage.contains("fork history"))
+      // single-writer opt-in (the S3SingleDriverLogStore shape): the
+      // same table path commits and reads back through the s3 scheme
+      conf.setBoolean(TxTable.UnsafeNonAtomicCommitKey, true)
+      TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+      assert(TxTable.read(spark, t).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet ===
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally {
+      conf.unset(TxTable.UnsafeNonAtomicCommitKey)
+      conf.unset("fs.s3.impl")
+    }
   }
 
   test("bloom positions: the driver probe replays the executor hash exactly") {
