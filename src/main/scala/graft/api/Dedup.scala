@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1446,8 +1446,48 @@ object Dedup {
     * nodes in the worst (chain) shape; real duplicate clusters are
     * near-cliques that converge in ≤4 rounds, and the loop exits at
     * the fixpoint, so a generous ceiling costs nothing.
+    *
+    * `localFinishEdges` is the Kiveris'14 small-graph finish: whenever
+    * the CURRENT canonical edge set (the input's, or any contracted
+    * round's — the loop re-checks after every batch) fits under the
+    * threshold, the labels are finished on the driver by union-find
+    * ([[unionFindLabels]]) instead of more shuffle rounds. Fixpoint
+    * iteration over a tiny frame is driver-ROUND-TRIP bound: a
+    * profiled sf0.1 run (tools/CcProfile, 13.5k edges) spent 6.4 s
+    * of wall on ~60 scheduling-bound stages and 3.7 s of between-stage
+    * driver gaps for work a single driver pass does in milliseconds —
+    * the exact shape Kiveris et al. finish locally. Results are
+    * bit-identical either way (component minima are partitioning-
+    * independent; LinkageSpec pins local ≡ distributed on a random
+    * graph), the collect is bounded by the threshold (≤ ~16 MB of
+    * longs at the default), and 0 disables the finish (the
+    * star-round-count pins force the distributed path this way).
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 60): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 60,
+                        localFinishEdges: Long = 500000L): DataFrame = {
+    require(localFinishEdges >= 0 && localFinishEdges < Int.MaxValue,
+      s"localFinishEdges must be in [0, Int.MaxValue): $localFinishEdges")
+    // Small-INPUT fast path: ONE bounded action both decides and
+    // fetches — limit(threshold+1) collects the complete canonical
+    // pair multiset iff the raw count fits (one extra row = too big;
+    // the fall-through then cost one bounded scan and nothing else).
+    // This skips the distinct exchange, the checkpoint, AND the
+    // self-pair anti-join plan: union-find tolerates duplicate and
+    // self pairs directly, so the raw projection is enough. The
+    // threshold compares the RAW pair count (≥ the distinct edge
+    // count) — conservative: a heavily-duplicated big input takes the
+    // distributed path and still gets the mid-loop finish below.
+    if (localFinishEdges > 0) {
+      val cap = localFinishEdges.toInt + 1
+      val got = pairs
+        .select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .limit(cap).collect()
+      if (got.length < cap) {
+        lastStarRounds.set(0)
+        return unionFindRows(pairs.sparkSession, got)
+      }
+    }
     val edges0 = pairs
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
@@ -1507,33 +1547,94 @@ object Dedup {
     }
     var converged = false
     var starRounds = 0
-    while (!converged && starRounds < maxIter) {
-      val next = smallStar(largeStar(smallStar(largeStar(edges))))
-        .distinct()
-        .localCheckpoint(false)
-      val agg = next
-        .join(edges.withColumn("_old", lit(1)), Seq("u", "v"), "left")
-        .agg(count(lit(1)).as("n"), count(col("_old")).as("m"))
-        .head()
-      val (nNext, matched) = (agg.getLong(0), agg.getLong(1))
-      converged = nNext == n && matched == nNext
-      // the convergence join was the old batch's last use; drop its
-      // pinned blocks before looping (see above)
-      dropLocalCheckpoint(edges)
-      edges = next
-      n = nNext
-      starRounds += 2
+    var local: Option[DataFrame] = None
+    while (local.isEmpty && !converged && starRounds < maxIter) {
+      if (n <= localFinishEdges) {
+        local = Some(unionFindLabels(pairs.sparkSession, edges))
+        // the collect above was the checkpoint's last read
+        dropLocalCheckpoint(edges)
+      } else {
+        val next = smallStar(largeStar(smallStar(largeStar(edges))))
+          .distinct()
+          .localCheckpoint(false)
+        val agg = next
+          .join(edges.withColumn("_old", lit(1)), Seq("u", "v"), "left")
+          .agg(count(lit(1)).as("n"), count(col("_old")).as("m"))
+          .head()
+        val (nNext, matched) = (agg.getLong(0), agg.getLong(1))
+        converged = nNext == n && matched == nNext
+        // the convergence join was the old batch's last use; drop its
+        // pinned blocks before looping (see above)
+        dropLocalCheckpoint(edges)
+        edges = next
+        n = nNext
+        starRounds += 2
+      }
     }
     lastStarRounds.set(starRounds)
-    if (!converged) throw new IllegalStateException(
+    if (local.isEmpty && !converged) throw new IllegalStateException(
       s"duplicateClusters: no fixpoint after $maxIter star rounds — " +
         "raise maxIter (results would otherwise be a silently-wrong " +
         "non-fixpoint labeling)")
     // at the fixpoint every component is a star centered at its minimum:
     // members label from their center, centers label themselves
-    withSelf(edges.select(col("v").as("doc_id"), col("u").as("cluster"))
-      .union(edges.select(col("u"), col("u")).distinct()
-        .toDF("doc_id", "cluster")))
+    withSelf(local.getOrElse(
+      edges.select(col("v").as("doc_id"), col("u").as("cluster"))
+        .union(edges.select(col("u"), col("u")).distinct()
+          .toDF("doc_id", "cluster"))))
+  }
+
+  /** Driver union-find over a bounded edge set (the [[duplicateClusters]]
+    * small-graph finish): union-by-minimum keeps every root the
+    * component's minimum id — the exact label the distributed fixpoint
+    * produces — and path halving keeps finds amortized O(log n) even
+    * under the unbalanced-by-design min unions. One pass over the
+    * edges, one over the nodes; the result ships back as a distributed
+    * frame (parallelize, not a driver-local relation, so downstream
+    * joins scan it like any other frame).
+    */
+  private def unionFindLabels(s: SparkSession, edges: DataFrame): DataFrame =
+    unionFindRows(s, edges.select(col("u"), col("v")).collect())
+
+  /** The union-find core over collected (u, v) rows: tolerates
+    * duplicate pairs (idempotent unions), SELF pairs (the node just
+    * registers — labels itself unless a real edge merges it, the same
+    * semantics the distributed path's self-pair anti-join provides),
+    * and NULL ids (dropped, matching the distributed filters).
+    */
+  private def unionFindRows(s: SparkSession,
+                            arr: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    val nodes = new java.util.LinkedHashSet[Long]()
+    arr.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        nodes.add(u); nodes.add(v)
+        if (u != v) {
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) {
+            if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = nodes.asScala.toSeq.map(nd => (nd, find(nd)))
+    import s.implicits._
+    s.sparkContext
+      .parallelize(rows, math.max(1, math.min(32, rows.size / 100000 + 1)))
+      .toDF("doc_id", "cluster")
   }
 
   /** Remove near-duplicates: keeps the smallest doc_id of every pair

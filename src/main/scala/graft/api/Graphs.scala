@@ -134,10 +134,12 @@ object Graphs {
     * scale) and hash-match.
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame =
+                          dstCol: String,
+                          localFinishEdges: Long = 500000L): DataFrame =
     Dedup.duplicateClusters(edges.select(
         col(srcCol).cast("long").as("doc_a"),
-        col(dstCol).cast("long").as("doc_b")))
+        col(dstCol).cast("long").as("doc_b")),
+        localFinishEdges = localFinishEdges)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
 
   /** Triangle count of an UNDIRECTED graph (direction and self-loops

@@ -244,8 +244,10 @@ class PipelineSpec extends AnyFunSuite {
     // stars in O(log n), so the default maxIter must suffice
     val edges = ((1L until 1000L).map(i => (i + 1, i)) :+ (2000L, 2001L))
       .toDF("doc_a", "doc_b")
-    val cl = graft.api.Dedup.duplicateClusters(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // localFinishEdges = 0 forces the DISTRIBUTED star path: this test
+    // pins the shuffle algorithm's round count, not the driver finish
+    val cl = graft.api.Dedup.duplicateClusters(edges, localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl.size === 1002)
     (1L to 1000L).foreach(i => assert(cl(i) === 1L, s"node $i"))
     assert(cl(2000L) === 2000L && cl(2001L) === 2000L)
@@ -269,8 +271,8 @@ class PipelineSpec extends AnyFunSuite {
     // is gone, and that the round count stays O(log n).
     val n = 8192L
     val edges = (1L until n).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
-    val cl = graft.api.Dedup.duplicateClusters(edges).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cl = graft.api.Dedup.duplicateClusters(edges, localFinishEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cl.size === n)
     assert(cl(1L) === 1L && cl(n) === 1L && cl(n / 2) === 1L,
       "every chain node labels from the minimum")
@@ -278,6 +280,37 @@ class PipelineSpec extends AnyFunSuite {
     val rounds = graft.api.Dedup.lastStarRounds.get
     assert(rounds >= 2 && rounds <= 40,
       s"8192-node chain took $rounds star rounds (expected O(log n) <= 40)")
+  }
+
+  test("connected components: local union-find finish equals the distributed fixpoint") {
+    val s = SparkTestSession.spark
+    import s.implicits._
+    // a random multigraph with self-loops, isolated pairs, chains and
+    // merged blobs — both paths must produce IDENTICAL min labels
+    val rnd = new scala.util.Random(7)
+    val edges = ((0 until 3000).map { _ =>
+      (rnd.nextInt(800).toLong, rnd.nextInt(800).toLong)
+    } ++ Seq((5000L, 5000L), (6000L, 6001L)) ++
+      (9000L until 9050L).map(i => (i, i + 1)))
+      .toDF("doc_a", "doc_b")
+    val viaLocal = graft.api.Dedup.duplicateClusters(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graft.api.Dedup.lastStarRounds.get === 0,
+      "under the threshold the finish must be local (zero star rounds)")
+    val viaStars = graft.api.Dedup.duplicateClusters(edges, localFinishEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLocal === viaStars,
+      "local union-find and star fixpoint must label identically")
+    // mid-loop finish: force one distributed batch, then finish locally
+    // (threshold between the contracted and the raw edge counts)
+    val raw = edges.selectExpr("least(doc_a, doc_b) AS u",
+        "greatest(doc_a, doc_b) AS v")
+      .filter($"u" =!= $"v").distinct().count()
+    val viaMid = graft.api.Dedup.duplicateClusters(edges,
+        localFinishEdges = math.max(1, raw - 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaMid === viaStars,
+      "a mid-loop local finish must label identically too")
   }
 
   test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
