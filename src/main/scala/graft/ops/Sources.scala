@@ -167,6 +167,23 @@ object Sources {
         .write.mode("overwrite").orc(out)
     }
 
+  /** Spark 4 ships the complete V1 avro FileFormat inside spark-sql
+    * (serializer, deserializer, writer — verified in the jar on this
+    * machine) but does NOT register the "avro" ALIAS (the service-file
+    * entry lives in the separate spark-avro module, absent here), so
+    * `format("avro")` throws the deploy-spark-avro hint while the
+    * fully-qualified class name loads and runs the identical code.
+    */
+  private[graft] val AvroFormat = "org.apache.spark.sql.avro.AvroFileFormat"
+
+  private def ensureAvro(s: SparkSession, dir: String): String =
+    ensure(s, dir, "avro", Seq("lineitem")) { out =>
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_returnflag",
+          "l_extendedprice", "l_shipdate")
+        .write.mode("overwrite").format(AvroFormat).save(out)
+    }
+
   private def ensureJsonl(s: SparkSession, dir: String): String =
     ensure(s, dir, "jsonl", Seq("nation")) { out =>
       t(s, dir, "nation")
@@ -260,6 +277,7 @@ object Sources {
   /** Materialize every source-sink scratch file for (session, dir). */
   private[graft] def prewriteAll(s: SparkSession, dir: String): Unit = {
     ensureCsv(s, dir); ensureJsonl(s, dir); ensureOrc(s, dir)
+    ensureAvro(s, dir)
     ensurePartitioned(s, dir); ensureEvolve(s, dir)
     ensureStreamIncr(s, dir); ensureStreamSemIncr(s, dir)
     ensureStreamParIncr(s, dir); ensureTx(s, dir); ensureGraph(s, dir); ()
@@ -326,6 +344,32 @@ object Sources {
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
           .orderBy("o_orderpriority")
+      }),
+
+    // AVRO round-trip: the row-oriented interchange format ingest
+    // pipelines actually move (Kafka payloads, export dumps). Spark 4
+    // bundles the avro datasource in spark-sql (verified on this
+    // machine — the round-11 "no spark-avro jar" env-block is stale),
+    // so the write and read both run natively, timestamp-micros
+    // logical type included. DuckDB cannot read avro here (read_avro
+    // is an extension; zero egress), so the oracle is the ROUND-TRIP
+    // IDENTITY over the parquet original — the q_src_orc discipline:
+    // any dropped row, type drift, or timestamp unit slip in the avro
+    // path breaks the hash.
+    Q("q_src_avro",
+      Some(s"""SELECT l_returnflag, count(*) AS n,
+                      ${oSum("l_extendedprice")} AS total,
+                      epoch_us(MAX(l_shipdate)) AS max_ship_us
+               FROM lineitem GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => {
+        val path = ensureAvro(s, dir)
+        s.read.format(AvroFormat).load(path)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("total"),
+            unix_micros(max(col("l_shipdate")).cast("timestamp"))
+              .as("max_ship_us"))
+          .orderBy("l_returnflag")
       }),
 
     // JSON-lines round-trip: nation enriched with a nested struct, read
