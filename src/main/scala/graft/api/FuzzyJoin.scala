@@ -79,12 +79,27 @@ object FuzzyJoin {
     * keeps repeated-character strings from emitting the same variant
     * twice (e.g. "aa" deletes to "a" both ways).
     */
+  /** The session's shuffle-partition setting: the explicit fan-out
+    * width for the generated probe/variant frames. The distinct key
+    * frame is tiny, so AQE coalesces it to ONE partition — and without
+    * an explicit repartition the entire candidate expansion (which
+    * multiplies rows by orders of magnitude downstream of that tiny
+    * input) inherits single-task execution: profiled at sf0.1, ONE core
+    * ran a 6.3 s expansion while 31 idled. An explicit round-robin
+    * repartition (user-specified N — AQE never re-coalesces it) spreads
+    * probe rows, and the join's output parallelism follows its
+    * streaming side.
+    */
+  private def fanout(df: DataFrame): Int =
+    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
   private def deletionNeighborhood(keys: DataFrame): DataFrame = {
     val variants = keys.select(col("k"),
       explode(array_distinct(concat(
         array(col("k")),
         expr("transform(sequence(0, length(k) - 1), i -> concat(substr(k, 1, i), substr(k, i + 2)))"))))
         .as("v"))
+      .repartition(fanout(keys))
     val candidates = variants.as("a")
       .join(variants.as("b"), col("a.v") === col("b.v") && col("a.k") < col("b.k"))
       .select(col("a.k").as("left_key"), col("b.k").as("right_key"))
@@ -138,6 +153,7 @@ object FuzzyJoin {
           "WHEN pe >= ps THEN sequence(ps, pe) ELSE array() END")).as("p"))
       .select(col("r"), col("pl"), col("i"),
         expr("substring(r, p, sl)").as("t"))
+      .repartition(fanout(keys))
 
     // 3. Hash-join on (length, slot, text); canonicalize, dedup, verify.
     val candidates = probes.as("a")
