@@ -1467,6 +1467,18 @@ object Dedup {
                         localFinishEdges: Long = 500000L): DataFrame = {
     require(localFinishEdges >= 0 && localFinishEdges < Int.MaxValue,
       s"localFinishEdges must be in [0, Int.MaxValue): $localFinishEdges")
+    // Ids are canonicalized to BIGINT and half-null pairs dropped ONCE
+    // here, for every path below. Both matter for path equivalence:
+    // least/greatest SKIP nulls, so a half-null pair (x, null) would
+    // reach the fast path as a synthetic self-pair (x, x) and mint a
+    // singleton cluster the distributed filters (u =!= v on edges,
+    // doc_a === doc_b on selfOnly — both NULL-false for half-nulls)
+    // never emit; and Row.getLong in the driver finish would throw on
+    // IntegerType ids the star path used to tolerate, with the two
+    // paths disagreeing on the output schema besides.
+    val canon = pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .where(col("doc_a").isNotNull && col("doc_b").isNotNull)
     // Small-INPUT fast path: ONE bounded action both decides and
     // fetches — limit(threshold+1) collects the complete canonical
     // pair multiset iff the raw count fits (one extra row = too big;
@@ -1479,7 +1491,7 @@ object Dedup {
     // distributed path and still gets the mid-loop finish below.
     if (localFinishEdges > 0) {
       val cap = localFinishEdges.toInt + 1
-      val got = pairs
+      val got = canon
         .select(least(col("doc_a"), col("doc_b")).as("u"),
           greatest(col("doc_a"), col("doc_b")).as("v"))
         .limit(cap).collect()
@@ -1488,7 +1500,7 @@ object Dedup {
         return unionFindRows(pairs.sparkSession, got)
       }
     }
-    val edges0 = pairs
+    val edges0 = canon
       .select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -1500,7 +1512,7 @@ object Dedup {
     // eager isEmpty probe: the anti-join costs ~2 stages inside the
     // caller's one action, where a driver-side emptiness check costs a
     // whole extra blocking round trip every call.
-    val selfOnly = pairs.filter(col("doc_a") === col("doc_b"))
+    val selfOnly = canon.filter(col("doc_a") === col("doc_b"))
       .select(col("doc_a").as("doc_id"), col("doc_a").as("cluster"))
       .distinct()
     def withSelf(labels: DataFrame): DataFrame =
@@ -1597,10 +1609,12 @@ object Dedup {
     unionFindRows(s, edges.select(col("u"), col("v")).collect())
 
   /** The union-find core over collected (u, v) rows: tolerates
-    * duplicate pairs (idempotent unions), SELF pairs (the node just
+    * duplicate pairs (idempotent unions) and SELF pairs (the node just
     * registers — labels itself unless a real edge merges it, the same
-    * semantics the distributed path's self-pair anti-join provides),
-    * and NULL ids (dropped, matching the distributed filters).
+    * semantics the distributed path's self-pair anti-join provides).
+    * Ids arrive BIGINT and null-free (duplicateClusters canonicalizes
+    * before either path); the null guard below is belt-and-braces for
+    * other callers.
     */
   private def unionFindRows(s: SparkSession,
                             arr: Array[org.apache.spark.sql.Row]): DataFrame = {

@@ -75,10 +75,6 @@ object FuzzyJoin {
     else passJoin(keys, maxDist)
   }
 
-  /** k = 1: D(s) = {s} ∪ single-character deletions. array_distinct
-    * keeps repeated-character strings from emitting the same variant
-    * twice (e.g. "aa" deletes to "a" both ways).
-    */
   /** The session's shuffle-partition setting: the explicit fan-out
     * width for the generated probe/variant frames. The distinct key
     * frame is tiny, so AQE coalesces it to ONE partition — and without
@@ -93,6 +89,10 @@ object FuzzyJoin {
   private def fanout(df: DataFrame): Int =
     df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+  /** k = 1: D(s) = {s} ∪ single-character deletions. array_distinct
+    * keeps repeated-character strings from emitting the same variant
+    * twice (e.g. "aa" deletes to "a" both ways).
+    */
   private def deletionNeighborhood(keys: DataFrame): DataFrame = {
     val variants = keys.select(col("k"),
       explode(array_distinct(concat(

@@ -997,7 +997,13 @@ object TxTable {
           .withColumn(VersionCol, lit(c.version)))
     }
     batches.reduceOption(_.unionByName(_)).getOrElse {
-      // empty window: an empty frame with the right shape
+      // empty window: an empty frame with the table's shape. A table
+      // with NO commits has no schema to shape it with — reject with
+      // the real reason instead of letting readVersion(0)'s
+      // "no commits at or below version 0" require mislead the caller
+      if (toVersion == 0)
+        throw new IllegalArgumentException(
+          s"changesRows on $path: the table has no commits yet")
       readVersion(spark, path, toVersion).limit(0)
         .withColumn(ChangeCol, lit(""))
         .withColumn(VersionCol, lit(0L))
@@ -1105,18 +1111,22 @@ object TxTable {
     val changeRows: Option[DataFrame => DataFrame] =
       if (!cdf) None
       else Some { head =>
-        import org.apache.spark.sql.functions.lit
+        import org.apache.spark.sql.functions.{lit, when}
         val keys = keyCols.map(col)
         val pre = head.join(updates.select(keys: _*).distinct(),
             keyCols, "left_semi")
           .withColumn(ChangeCol, lit("update_preimage"))
-        val post = updates.join(head.select(keys: _*).distinct(),
-            keyCols, "left_semi")
-          .withColumn(ChangeCol, lit("update_postimage"))
-        val ins = updates.join(head.select(keys: _*).distinct(),
-            keyCols, "left_anti")
-          .withColumn(ChangeCol, lit("insert"))
-        pre.unionByName(post).unionByName(ins)
+        // postimage vs insert is ONE left join against the head's key
+        // set with a matched flag, not a semi + anti pair — one head
+        // key scan instead of two per attempt
+        val tagged = updates.join(
+            head.select(keys: _*).distinct().withColumn("_m", lit(1)),
+            keyCols, "left")
+          .withColumn(ChangeCol,
+            when(col("_m").isNotNull, lit("update_postimage"))
+              .otherwise(lit("insert")))
+          .drop("_m")
+        pre.unionByName(tagged)
       }
     rewriteHead(spark, path, "merge", cdfOf = changeRows)(head =>
       head.join(updates.select(keyCols.map(col): _*).distinct(),
@@ -1175,12 +1185,15 @@ object TxTable {
           s"cannot $what $path: the table has no commits yet " +
             "(create it with overwrite first)")
       val st = foldState(hfs, path, head)
-      val transformed = transform(readVersion(spark, path, head))
-      // change-data rows derive from the SAME observed head the rewrite
-      // transforms, inside the retry loop: a lost race restages both,
-      // so the feed can never describe a head the commit didn't rewrite
+      // ONE snapshot frame per attempt, shared by the rewrite transform
+      // and the change-data builder: the two views must describe the
+      // same observed head (a lost race restages both), and sharing the
+      // frame also shares its scan plan instead of paying two
+      // independent head reads per attempt
+      val snapshot = readVersion(spark, path, head)
+      val transformed = transform(snapshot)
       val cdfFiles = cdfOf.fold(Seq.empty[String])(rows =>
-        stage(spark, path, rows(readVersion(spark, path, head))))
+        stage(spark, path, rows(snapshot)))
       val target = numFilesHint.getOrElse(math.max(1, st.files.size))
       val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats

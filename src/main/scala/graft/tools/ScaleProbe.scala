@@ -1102,20 +1102,25 @@ object ScaleProbe {
     }
 
     // FuzzyJoin k=2 (PassJoin segments) at mult x names. The replica
-    // prefix is a 3-digit rep id TRIPLED ("%03d%03d%03d"): two distinct
-    // reps differ in >= 1 digit, so tripling puts every cross-replica
-    // pair at edit distance >= 3 > k — replicas are disjoint and the
-    // pair count must scale exactly mult x. Growth is the blocked
-    // path's: segment/probe rows scale linearly, candidates with
-    // collision mass, never the quadratic pair space.
+    // prefix triples EACH DIGIT of the 3-digit rep id ("012" ->
+    // "000111222"): two distinct ids differ in >= 1 digit, and turning
+    // one tripled digit-run into another costs >= 3 edits under ANY
+    // alignment, so every cross-replica pair sits at edit distance
+    // >= 3 > k and replicas are disjoint. (Repeating the WHOLE id —
+    // "%03d%03d%03d" — is NOT enough: rep 1 "001001001" and rep 10
+    // "010010010" are cyclic shifts at edit distance 2 <= k, so the
+    // probe would miscount from mult >= 11.) The pair count must then
+    // scale exactly mult x; growth is the blocked path's:
+    // segment/probe rows scale linearly, candidates with collision
+    // mass, never the quadratic pair space.
     {
       import graft.api.FuzzyJoin
       val names0 = spark.read.parquet(s"$dir/customer.parquet")
         .filter(col("c_custkey") % 16 === 0).select(col("c_name"))
       def pairsFor(m: Int) = {
         val d = names0.crossJoin(spark.range(m).select(col("id").as("rep")))
-          .select(concat(format_string("%03d%03d%03d",
-            col("rep"), col("rep"), col("rep")), col("c_name")).as("w"))
+          .select(concat(regexp_replace(format_string("%03d", col("rep")),
+            "(.)", "$1$1$1"), col("c_name")).as("w"))
         val t0 = System.nanoTime()
         val n = FuzzyJoin.edSelfJoin(d, "w", maxDist = 2).count()
         (n, (System.nanoTime() - t0) / 1e9)

@@ -311,6 +311,33 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaMid === viaStars,
       "a mid-loop local finish must label identically too")
+    // HALF-NULL pairs must contribute nothing on EITHER path:
+    // least/greatest skip nulls, so an unfiltered fast path would mint
+    // a synthetic self-pair (x, x) the distributed filters never emit
+    val withNull = Seq((Some(1L), Some(2L)), (Some(7L), None),
+      (None, Some(8L)), (None: Option[Long], None: Option[Long]))
+      .toDF("doc_a", "doc_b")
+    for (thr <- Seq(0L, 500000L)) {
+      val got = graft.api.Dedup.duplicateClusters(withNull,
+          localFinishEdges = thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((1L, 1L), (2L, 1L)),
+        s"half-null pairs must vanish identically (threshold=$thr): $got")
+    }
+    // non-Long integral ids work on both paths with ONE canonical
+    // (BIGINT) output schema — the star path used to be type-agnostic
+    // and the driver finish must not narrow that to a crash
+    val intEdges = Seq((1, 2), (2, 3), (9, 9)).toDF("doc_a", "doc_b")
+    for (thr <- Seq(0L, 500000L)) {
+      val df = graft.api.Dedup.duplicateClusters(intEdges,
+        localFinishEdges = thr)
+      assert(df.schema.fields.map(_.dataType).toSeq ===
+        Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.LongType))
+      assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+        Set((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L)),
+        s"int-typed ids label identically (threshold=$thr)")
+    }
   }
 
   test("incremental dedup equals the full pair set restricted to cross-partition pairs") {
