@@ -11,8 +11,16 @@ import org.apache.spark.sql.SparkSession
   *    a partition is 100-200 MB post-filter (AQE coalesces the rest).
   *  - AQE on: runtime re-plan fixes stale size estimates at scale —
   *    skew-join splitting, dynamic coalescing, broadcast demotion.
-  *  - `files.maxPartitionBytes` default 128 MB: a 100 TB scan fans out
-  *    to ~800k tasks; raise toward 512 MB if task startup dominates.
+  *  - `files.maxPartitionBytes` stays at the 128 MB default: lowering
+  *    it globally (8 MB was tried) cannot split single-row-group
+  *    files anyway — parquet byte-range splits bottom out at row-group
+  *    granularity — and taxed EVERY scan with 16x the tasks under
+  *    concurrent queries (+20% suite wall, measured). CPU-dense
+  *    transforms over narrow scans are fixed where the density lives
+  *    instead: [[graft.api.Par.spread]] round-robins those inputs only
+  *    when the scan came back narrow, a no-op on wide 100 TB scans.
+  *    On a real cluster raise this toward 512 MB if task startup
+  *    dominates wide scans.
   *  - UTC session timezone: timestamp determinism across engines.
   *  - ANSI stays ON (Spark 4 default): silent overflow/cast corruption
   *    at row 10^12 is how large pipelines rot.

@@ -38,7 +38,7 @@ object Dedup {
                           textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+    Par.spread(docs).withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
 
@@ -62,7 +62,9 @@ object Dedup {
                                     textCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(sha2(normText(col(textCol)), 256)).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+    // Par.spread: normalize+hash over a narrow scan ran 10 s of CPU on
+    // 4 of 32 cores at sf≈1; the window re-shuffles by hash anyway
+    Par.spread(docs).withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
 

@@ -14,8 +14,11 @@ object Similarity {
   private def prepared(vectors: DataFrame, idCol: String, vecCol: String) = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
     graft.functions.VectorSumAgg.register(vectors.sparkSession)
-    vectors.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+    // Par.spread: per-row dot products / projections are CPU-dense —
+    // a narrow scan would run them on 1-2 of N cores (profiled: 3.5 s
+    // single-task random projection at sf≈1)
+    Par.spread(vectors.select(col(idCol).as("vec_id"),
+      transform(col(vecCol), x => x.cast("double")).as("v")))
   }
 
   /** Per-group embedding centroids — the corpus-audit / mixing

@@ -12,6 +12,7 @@ object TextAnalysis {
 
   val DefaultStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
+
   /** Per-document token statistics. Ratios round at 6dp (4dp can tie
     * exactly for small-integer quotients).
     */
@@ -759,11 +760,12 @@ object TextAnalysis {
   def ngramProfiles(docs: DataFrame, langCol: String, textCol: String,
                     n: Int = 2, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
-      .filter(length(col(textCol)) >= n)
+    val grams = Par.spread(docs
+        .filter(length(col(textCol)) >= n)
+        .select(col(langCol).as("lang"), col(textCol).as("t")))
       // char-array split + O(1) indexing, not O(i) positional substring
       // (see winnow) — gram extraction stays linear in doc length
-      .select(col(langCol).as("lang"), split(col(textCol), "").as("c"))
+      .select(col("lang"), split(col("t"), "").as("c"))
       .select(col("lang"), explode(expr(
         s"""transform(sequence(1, size(c) - ${n - 1}),
                       i -> ${(0 until n).map(j => s"element_at(c, i + $j)")
@@ -989,8 +991,11 @@ object TextAnalysis {
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
                       vocabSize: Int = 1000, addK: Double = 0.1): DataFrame = {
     val kv = addK * (vocabSize + 1) // driver-side double, oracle-embeddable
-    val toks = docs.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+    // Par.spread: tokenize + bigram-explode + double broadcast join is
+    // CPU-dense per input byte; a narrow scan runs it on 1-2 cores
+    val toks = Par.spread(docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("t")))
+      .select(col("doc_id"), split(col("t"), " ").as("w"))
     val vocab = toks.select(explode(col("w")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(vocabSize)

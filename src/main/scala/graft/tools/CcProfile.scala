@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
 
 /** Where does q_graph_cc's unloaded wall actually go? (round-13 verdict
@@ -18,11 +17,11 @@ object CcProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val qname = if (args.length > 1) args(1) else "q_graph_cc"
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // SparkConfig.cpus (SPARK_GRAFT_CPUS, default 4) — profile under
+    // the SAME width Bench/Verify run at, or parallelism findings here
+    // won't reproduce there
+    val spark = graft.SparkConfig
+      .builder("graft-ccprofile", graft.SparkConfig.cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session the way Bench's unloaded column is warm: JVM up,
     // codegen caches hot for OTHER plans, data read once
