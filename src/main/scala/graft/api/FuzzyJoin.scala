@@ -86,8 +86,7 @@ object FuzzyJoin {
     * probe rows, and the join's output parallelism follows its
     * streaming side.
     */
-  private def fanout(df: DataFrame): Int =
-    df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+  private def fanout(df: DataFrame): Int = Par.shuffleWidth(df)
 
   /** k = 1: D(s) = {s} ∪ single-character deletions. array_distinct
     * keeps repeated-character strings from emitting the same variant

@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Input-width repair for CPU-DENSE per-row transforms (gram/shingle
   * explosion, normalization+hashing, vector math): parquet byte-range
@@ -9,19 +10,50 @@ import org.apache.spark.sql.DataFrame
   * `spark.sql.files.maxPartitionBytes` — and a transform whose CPU is
   * 100-1000x the scan cost then runs on 1-2 of N cores (profiled at
   * sf≈1: a 17 s single-core bigram profile, a 3.5 s single-task random
-  * projection, a 10 s 4-task normalize+hash). [[spread]] round-robins
-  * such inputs across the session's parallelism ONLY when the scan is
-  * narrow; on an already-wide input — the 100 TB case, where paying a
-  * corpus-wide shuffle to "spread" thousands of existing splits would
-  * be the real mistake — it is a no-op. Callers must be
+  * projection, a 10 s normalize+hash). [[spread]] round-robins such
+  * inputs across the session's parallelism ONLY when the input is a
+  * narrow raw scan; on an already-wide input — the 100 TB case, where
+  * paying a corpus-wide shuffle to "spread" thousands of existing
+  * splits would be the real mistake — it is a no-op. Callers must be
   * partitioning-insensitive (every oracle-checked operator here is by
   * construction; the hash compare would catch a violation).
   */
 object Par {
 
+  /** The session's effective shuffle width — ONE accessor (FuzzyJoin's
+    * fan-out and the hot-shingle salt share the same lookup), reading
+    * the resolved SQLConf value so a session that never set the conf
+    * sees Spark's real default, not a hand-rolled fallback.
+    */
+  private[graft] def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Scan-shaped = a leaf (file scan / local / cached relation) under
+    * only per-row operators. Anything with a shuffle boundary below
+    * (join, aggregate, window, sort, repartition) already runs at the
+    * session's shuffle width, so spreading it would be a pure extra
+    * exchange — and, worse, PROBING it would be: with AQE on,
+    * `df.rdd` materializes every upstream query stage eagerly at
+    * plan-construction time, and those stages re-run in the real job
+    * (no exchange reuse across separate QueryExecutions). Gating the
+    * probe on plan SHAPE keeps it a pure metadata walk: on a raw scan
+    * `.rdd` builds the RDD from the file listing without running
+    * anything, which is the only case we probe.
+    */
+  private def scanShaped(p: LogicalPlan): Boolean = p match {
+    case _: LeafNode => true
+    case u: Union => u.children.forall(scanShaped)
+    // note: Deduplicate/Distinct is NOT traversed — it plans as an
+    // aggregate exchange, i.e. exactly the "already wide, and probing
+    // would materialize stages" case the gate exists to skip
+    case _: Project | _: Filter | _: SubqueryAlias =>
+      scanShaped(p.children.head)
+    case _ => false
+  }
+
   private[graft] def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.conf
-      .get("spark.sql.shuffle.partitions", "32").toInt
+    if (!scanShaped(df.queryExecution.optimizedPlan)) return df
+    val want = shuffleWidth(df)
     // strict `< want`, not `< want/2`: the scan's partition COUNT
     // overstates effective parallelism for row-group-sparse files —
     // Spark byte-range-splits a 6 MB single-row-group file into 2

@@ -11,14 +11,24 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def prepared(vectors: DataFrame, idCol: String, vecCol: String) = {
+  /** `spread = true` (corpus/query-stream inputs): Par.spread repairs
+    * narrow scans BEFORE the heavy vector math — per-row dot products /
+    * projections are CPU-dense and a narrow scan would run them on 1-2
+    * of N cores (profiled: 3.5 s single-task random projection at
+    * sf≈1). The double-cast projects AFTER the spread, so the shuffle
+    * carries the source (typically float) arrays at half the bytes and
+    * the cast itself runs wide. `spread = false` for centroid / query
+    * frames that are immediately collected or broadcast — shuffling a
+    * handful of rows before a broadcast is pure waste.
+    */
+  private def prepared(vectors: DataFrame, idCol: String, vecCol: String,
+                       spread: Boolean = true) = {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
     graft.functions.VectorSumAgg.register(vectors.sparkSession)
-    // Par.spread: per-row dot products / projections are CPU-dense —
-    // a narrow scan would run them on 1-2 of N cores (profiled: 3.5 s
-    // single-task random projection at sf≈1)
-    Par.spread(vectors.select(col(idCol).as("vec_id"),
-      transform(col(vecCol), x => x.cast("double")).as("v")))
+    val raw = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("_r"))
+    (if (spread) Par.spread(raw) else raw)
+      .select(col("vec_id"),
+        transform(col("_r"), x => x.cast("double")).as("v"))
   }
 
   /** Per-group embedding centroids — the corpus-audit / mixing
@@ -101,7 +111,7 @@ object Similarity {
   def knnJoin(vectors: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
-    val q = prepared(queries, idCol, vecCol)
+    val q = prepared(queries, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "qid").withColumnRenamed("v", "qv")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     e.crossJoin(broadcast(q)) // bounded: the caller's query batch
@@ -144,7 +154,7 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, centroids: DataFrame, idCol: String,
               vecCol: String, queryId: Long, k: Int, nProbe: Int): DataFrame = {
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     ivfSearch(ivfIndex(vectors, centroids, idCol, vecCol), cents,
       queryId, k, nProbe)
@@ -158,7 +168,7 @@ object Similarity {
   def ivfIndex(vectors: DataFrame, centroids: DataFrame, idCol: String,
                vecCol: String): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     assignNearest(e, cents).select(col("vec_id"), col("v"), col("cent_id"))
   }
@@ -469,7 +479,7 @@ object Similarity {
   def ivfQuantizedIndex(vectors: DataFrame, centroids: DataFrame,
                         idCol: String, vecCol: String): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     assignNearest(e, cents)
       .withColumn("scale", expr("vec_maxabs(v)") / lit(127.0))
@@ -511,7 +521,7 @@ object Similarity {
   def ivfQuantizedTopK(vectors: DataFrame, centroids: DataFrame,
                        idCol: String, vecCol: String, queryId: Long,
                        k: Int, nProbe: Int): DataFrame = {
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     ivfQuantizedSearch(ivfQuantizedIndex(vectors, centroids, idCol, vecCol),
       cents, queryId, k, nProbe)
@@ -586,10 +596,14 @@ object Similarity {
                   vecCol: String, m: Int = 8, ksub: Int = 16,
                   iters: Int = 2): Seq[Seq[(Long, Seq[Double])]] = {
     val e = prepared(vectors, idCol, vecCol)
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    // dim probes the RAW input: a one-row head over the spread frame
+    // would have to complete the whole round-robin shuffle map stage
+    // (CollectLimit cannot push below a repartition) just to read a
+    // single array length
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(m >= 1 && dim % m == 0, s"dim $dim not divisible into m=$m subspaces")
     val dsub = dim / m
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     // ONE exploded training frame for ALL m subspaces: (vec_id, j, sv) —
     // each residual fans into its m slices in place (a narrow transform,
@@ -670,7 +684,7 @@ object Similarity {
     val m = books.size
     val dsub = books.head.head._2.size
     val e = prepared(vectors, idCol, vecCol)
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     assignNearest(e, cents)
       .join(broadcast(cents), "cent_id") // bounded: k coarse rows
@@ -702,7 +716,7 @@ object Similarity {
     graft.functions.VectorFunctions.register(index.sparkSession)
     val m = books.size
     val e = prepared(vectors, idCol, vecCol)
-    val cents = prepared(centroids, idCol, vecCol)
+    val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
     val qv = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     val probes = cents.crossJoin(broadcast(qv)) // bounded: 1 query row
