@@ -878,6 +878,54 @@ object TxTable {
     base.filter(col(keyCol).isin(values: _*))
   }
 
+  /** Log-level file pruning for the `txtable` Spark data source
+    * ([[TxTableSource]]): fold the state at `version` and keep only
+    * files whose recorded metadata can satisfy a CONJUNCTION of
+    * per-column constraints — `ranges` as inclusive [lo, hi] against
+    * the cluster-column stats or any recorded z-order dimension,
+    * `points` as IN-sets against the bloom column. Strictly
+    * conservative: a file is dropped only when its recorded metadata
+    * PROVES no row can match (missing stats → kept), and the caller
+    * must still apply the real predicates — pruning is an
+    * optimization, never a correctness filter. Returns the kept
+    * RELATIVE file names (resolve against `path`).
+    */
+  private[graft] def prunedFiles(spark: SparkSession, path: String,
+                                 version: Long,
+                                 ranges: Map[String, (Long, Long)],
+                                 points: Map[String, Seq[Long]]): Seq[String] = {
+    val hfs = fs(spark, path)
+    val st = foldState(hfs, path, version)
+    st.files.filter { f =>
+      val rangeOk = ranges.forall { case (c, (lo, hi)) =>
+        val single = st.statsCol.contains(c) match {
+          case true => st.stats.get(f) match {
+            case Some((flo, fhi)) => fhi >= lo && flo <= hi
+            case None             => true
+          }
+          case false => true
+        }
+        val multi =
+          if (!st.statsCols.contains(c)) true
+          else st.mstats.get(f) match {
+            case Some(rs) if rs.size == st.statsCols.size =>
+              val (flo, fhi) = rs(st.statsCols.indexOf(c))
+              fhi >= lo && flo <= hi
+            case _ => true
+          }
+        single && multi
+      }
+      val pointOk = points.forall { case (c, vs) =>
+        if (!st.bloomCol.contains(c)) true
+        else st.blooms.get(f) match {
+          case Some(hex) => vs.exists(v => bloomMightContain(hex, st.bloomBits, v))
+          case None      => true
+        }
+      }
+      rangeOk && pointOk
+    }
+  }
+
   /** Roll the table back (or forward) to exactly `version`'s content as
     * a NEW overwrite commit — METADATA-ONLY: the commit re-references
     * `version`'s immutable files (plus their skipping stats and

@@ -702,6 +702,27 @@ object Sources {
         .select("o_orderkey", "o_custkey", "o_orderpriority")
         .orderBy("o_orderkey")),
 
+    // TxTable through the REGISTERED SPARK DATA SOURCE: the same range
+    // predicate as q_tx_skipping, but expressed as an ordinary
+    // DataFrame filter over spark.read.format("txtable") — Catalyst
+    // pushes the conjunction into the relation, which prunes files
+    // from the commit log's recorded stats (api/TxTableSource.scala;
+    // TxTableSpec pins the pruning itself), while Spark re-applies the
+    // real predicate above the scan (unhandledFilters). The oracle
+    // recomputes from the source table, so a mis-mapped pushed filter,
+    // an over-pruned file, or a dropped residual all break the hash.
+    Q("q_tx_source",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id BETWEEN 150 AND 450
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => s.read.format("txtable")
+        .load(ensureTxClustered(s, dir))
+        .filter(col("doc_id").between(150, 450))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's

@@ -608,6 +608,50 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("txtable data source: format read, time travel, filter-pushdown pruning") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // clustered table with a bloom secondary index: both pruning paths
+    // b = id*7: each b value lives in exactly one range-clustered file,
+    // so a bloom probe CAN prune (an id%k residue would live in every
+    // file and make pruning impossible by construction)
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4096).select(col("id"), (col("id") * 7).as("b"),
+        concat(lit("r"), col("id")).as("v")),
+      "id", numFiles = 8, bloomCol = Some("b"))
+    // head read equals the programmatic API
+    val viaFormat = spark.read.format("txtable").load(t)
+    assert(viaFormat.count() === 4096L)
+    assert(viaFormat.schema.fieldNames.toSeq === Seq("id", "b", "v"))
+    // Catalyst-pushed range filter prunes files FROM THE LOG
+    val n = spark.read.format("txtable").load(t)
+      .filter(col("id") >= 100L && col("id") <= 200L).count()
+    assert(n === 101L)
+    val keptRange = TxTableSource.lastScanFiles.get
+    assert(keptRange.nonEmpty && keptRange.size < 8,
+      s"range pushdown must prune from the log: kept ${keptRange.size}/8")
+    // pushed equality on the bloom column prunes too, exact rows back
+    val rows = spark.read.format("txtable").load(t)
+      .filter(col("b") === 42L).select("id").collect().map(_.getLong(0)).toSet
+    assert(rows === Set(6L))
+    assert(TxTableSource.lastScanFiles.get.size < 8,
+      "bloom pushdown must prune from the log")
+    // unrecognized predicates prune nothing but stay correct
+    assert(spark.read.format("txtable").load(t)
+      .filter(col("v") === "r42").count() === 1L)
+    // time travel via option
+    TxTable.deleteWhere(spark, t, col("id") < 2048L)
+    assert(spark.read.format("txtable").load(t).count() === 2048L)
+    assert(spark.read.format("txtable").option("versionAsOf", 1)
+      .load(t).count() === 4096L, "versionAsOf reads the old snapshot")
+    // SQL DDL surface: a USING txtable table is queryable in plain SQL
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW tx_src_view " +
+      s"USING txtable OPTIONS (path '$t')")
+    assert(spark.sql("SELECT count(*) FROM tx_src_view").head().getLong(0) === 2048L)
+    // column pruning contract: empty projections still count rows
+    assert(spark.read.format("txtable").load(t).select().count() === 2048L)
+  }
+
   test("bloom positions: the driver probe replays the executor hash exactly") {
     // the reader derives positions with XXH64 on the driver while the
     // writer derives them with the xxhash64 expression on executors —
