@@ -391,3 +391,86 @@ object SchemasProps extends Properties("Schemas") {
       Schemas.ecmaToJava(p) == p
     }
 }
+
+/** Properties of the PassJoin math in api/FuzzyJoin.scala — the
+  * segment geometry closed forms and the multi-match-aware probe
+  * window (Li, Deng & Feng ICDE'11, Lemma 3) transcribed verbatim and
+  * checked against brute-force edit scripts. The Spark plumbing is
+  * pinned by LinkageSpec's brute-force equality; THESE pin the
+  * formulas, whose off-by-ones are the dangerous part.
+  */
+object PassJoinProps extends Properties("PassJoin") {
+  import org.scalacheck.Prop.forAll
+
+  // closed forms from FuzzyJoin.passJoin (0-based slot i, n = k+1)
+  private def segLen(l: Int, i: Int, n: Int): Int =
+    l / n + (if (i >= n - l % n) 1 else 0)
+  private def segStart(l: Int, i: Int, n: Int): Int = // 1-based
+    1 + i * (l / n) + math.max(0, i - (n - l % n))
+
+  private val kGen = Gen.choose(1, 3)
+  private val strGen = for {
+    len <- Gen.choose(0, 24)
+    cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  property("segments tile [1..l] disjointly for every (l, k)") =
+    forAll(Gen.choose(0, 60), kGen) { (l, k) =>
+      val n = k + 1
+      val spans = (0 until n).map(i => (segStart(l, i, n), segLen(l, i, n)))
+      val covered = spans.flatMap { case (p, sl) => p until (p + sl) }
+      spans.forall(_._2 >= 0) &&
+        covered == (1 to l) // in order, no gap, no overlap
+    }
+
+  /** Apply ≤ k random edits to s; the multi-match window must offer at
+    * least one (slot, position) where the probe substring equals the
+    * segment — the losslessness the blocking depends on.
+    */
+  private val editedPair = for {
+    s <- strGen
+    k <- kGen
+    nEdits <- Gen.choose(0, k)
+    ops <- Gen.listOfN(nEdits, Gen.choose(0, 2))
+    seeds <- Gen.listOfN(nEdits, Gen.choose(0, 1 << 20))
+  } yield {
+    var r = s
+    ops.zip(seeds).foreach { case (op, seed) =>
+      val pos = if (r.isEmpty) 0 else seed % (r.length + (if (op == 1) 1 else 0))
+      op match {
+        case 0 if r.nonEmpty => // substitution
+          r = r.updated(pos % r.length, ('a' + seed % 3).toChar)
+        case 1 => // insertion
+          r = r.substring(0, pos) + ('a' + seed % 3).toChar + r.substring(pos)
+        case 2 if r.nonEmpty => // deletion
+          val d = pos % r.length
+          r = r.substring(0, d) + r.substring(d + 1)
+        case _ => ()
+      }
+    }
+    (s, r, k)
+  }
+
+  property("multi-match window is lossless under <= k edits") =
+    forAll(editedPair) { case (s0, r0, k) =>
+      // the probe side always probes the SHORTER-or-equal partner
+      val (s, r) = if (s0.length <= r0.length) (s0, r0) else (r0, s0)
+      val (l, m, n) = (s.length, r.length, k + 1)
+      if (m - l > k) true // > k length delta implies > k edits; never probed
+      else {
+        val d = m - l
+        val hit = (0 until n).exists { i =>
+          val sl = segLen(l, i, n)
+          val p0 = segStart(l, i, n)
+          val seg = s.substring(p0 - 1, p0 - 1 + sl)
+          if (sl == 0) true // zero-length slot matches trivially
+          else {
+            val lo = math.max(1, p0 + math.max(-i, d - (k - i)))
+            val hi = math.min(m - sl + 1, p0 + math.min(i, d + (k - i)))
+            (lo to hi).exists(p => r.substring(p - 1, p - 1 + sl) == seg)
+          }
+        }
+        hit
+      }
+    }
+}

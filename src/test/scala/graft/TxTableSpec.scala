@@ -650,6 +650,18 @@ class TxTableSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM tx_src_view").head().getLong(0) === 2048L)
     // column pruning contract: empty projections still count rows
     assert(spark.read.format("txtable").load(t).select().count() === 2048L)
+    // z-ordered tables prune through the SAME pushdown seam: pushed
+    // conjunctions on either recorded dimension hit the mstats
+    // rectangles
+    val z = fresh()
+    TxTable.overwriteZordered(spark, z,
+      spark.range(4096).select((col("id") % 64).as("x"),
+        (col("id") / 64).cast("long").as("y")), "x", "y", numFiles = 16)
+    val corner = spark.read.format("txtable").load(z)
+      .filter(col("x") <= 7L && col("y") <= 7L)
+    assert(corner.count() === 64L)
+    assert(TxTableSource.lastScanFiles.get.size < 16,
+      "pushed 2-D box must prune z-ordered files from the log")
   }
 
   test("bloom positions: the driver probe replays the executor hash exactly") {
