@@ -106,6 +106,50 @@ object FuzzyJoin {
     candidates.where(levenshtein(col("left_key"), col("right_key")) <= 1)
   }
 
+  /** The segment geometry and probe window as PURE closed forms —
+    * the single source both the SQL fragments below and the property
+    * tests bind to (PassJoinProps pins tiling + window losslessness on
+    * THESE; LinkageSpec's sweep pins the SQL strings equal to these,
+    * so an off-by-one edit to either side fails a test).
+    */
+  private[graft] def segLenF(l: Int, i: Int, k: Int): Int = {
+    val n = k + 1
+    l / n + (if (i >= n - l % n) 1 else 0)
+  }
+
+  private[graft] def segStartF(l: Int, i: Int, k: Int): Int = { // 1-based
+    val n = k + 1
+    1 + i * (l / n) + math.max(0, i - (n - l % n))
+  }
+
+  /** Unclamped multi-match window of start shifts for slot `i` with
+    * length delta `d = m − l` (Li et al. ICDE'11, Lemma 3).
+    */
+  private[graft] def windowF(i: Int, d: Int, k: Int): (Int, Int) =
+    (math.max(-i, d - (k - i)), math.min(i, d + (k - i)))
+
+  /** SQL twins of the pure closed forms above, parameterized over the
+    * SQL identifiers for partner length / slot index / length delta.
+    * LinkageSpec evaluates these through Spark over a (l, i, d) grid
+    * and asserts equality with segLenF/segStartF/windowF, so the two
+    * representations cannot drift apart silently.
+    */
+  private[graft] def segLenSql(k: Int)(l: String, i: String): String = {
+    val n = k + 1
+    s"(($l div $n) + IF($i >= $n - ($l % $n), 1, 0))"
+  }
+
+  private[graft] def segStartSql(k: Int)(l: String, i: String): String = {
+    val n = k + 1
+    s"(1 + $i * ($l div $n) + GREATEST(0, $i - ($n - ($l % $n))))"
+  }
+
+  private[graft] def winLoSql(k: Int)(i: String, d: String): String =
+    s"GREATEST(-$i, $d - ($k - $i))"
+
+  private[graft] def winHiSql(k: Int)(i: String, d: String): String =
+    s"LEAST($i, $d + ($k - $i))"
+
   /** k ≥ 2: PassJoin. A length-l string splits into n = k+1 segments;
     * with base = l div n and rem = l mod n, segment i (0-based) has
     *   len_i   = base + (1 if i ≥ n − rem else 0)      (long segments last)
@@ -114,14 +158,8 @@ object FuzzyJoin {
     * geometry from (l, i) alone and the join key stays (l, i, text).
     */
   private def passJoin(keys: DataFrame, k: Int): DataFrame = {
-    val n = k + 1
-    // Shared geometry, parameterized over SQL identifiers for the
-    // partner length and slot index so segment and probe sides inline
-    // the same closed forms.
-    def segLen(l: String, i: String) =
-      s"(($l div $n) + IF($i >= $n - ($l % $n), 1, 0))"
-    def segStart(l: String, i: String) =
-      s"(1 + $i * ($l div $n) + GREATEST(0, $i - ($n - ($l % $n))))"
+    def segLen(l: String, i: String) = segLenSql(k)(l, i)
+    def segStart(l: String, i: String) = segStartSql(k)(l, i)
 
     val withLen = keys.withColumn("l", length(col("k")))
 
@@ -153,8 +191,8 @@ object FuzzyJoin {
       .withColumn("d", col("m") - col("pl"))
       .select(col("r"), col("pl"), col("i"),
         expr(s"${segLen("pl", "i")}").as("sl"),
-        expr(s"GREATEST(1, ${segStart("pl", "i")} + GREATEST(-i, d - ($k - i)))").as("ps"),
-        expr(s"LEAST(m - ${segLen("pl", "i")} + 1, ${segStart("pl", "i")} + LEAST(i, d + ($k - i)))").as("pe"))
+        expr(s"GREATEST(1, ${segStart("pl", "i")} + ${winLoSql(k)("i", "d")})").as("ps"),
+        expr(s"LEAST(m - ${segLen("pl", "i")} + 1, ${segStart("pl", "i")} + ${winHiSql(k)("i", "d")})").as("pe"))
       .select(col("r"), col("pl"), col("i"), col("sl"),
         explode(expr("CASE WHEN sl = 0 THEN array(1) " +
           "WHEN pe >= ps THEN sequence(ps, pe) ELSE array() END")).as("p"))

@@ -293,7 +293,7 @@ object TxTable {
     * FOR, so a range read on a different column rejects instead of
     * silently pruning with the wrong bounds.
     */
-  private final case class State(files: Seq[String],
+  private[graft] final case class State(files: Seq[String],
                                  txns: Map[String, Long],
                                  stats: Map[String, (Long, Long)],
                                  statsCol: Option[String],
@@ -640,10 +640,7 @@ object TxTable {
     st.statsCol.foreach(sc => require(sc == clusterCol,
       s"$path is clustered by '$sc', not '$clusterCol' — readRange " +
         "must use the clustered column (or read() + filter)"))
-    val kept = st.files.filter(f => st.stats.get(f) match {
-      case Some((flo, fhi)) => fhi >= lo && flo <= hi
-      case None             => true // unprunable: always read
-    })
+    val kept = st.files.filter(rangeKeep(st, _, lo, hi))
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
@@ -735,15 +732,8 @@ object TxTable {
     box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBox must use recorded dimensions") }
-    val kept = st.files.filter(f => st.mstats.get(f) match {
-      // a malformed record (length drift) falls back to unprunable
-      case Some(rs) if rs.size == st.statsCols.size =>
-        box.forall { case (c, lo, hi) =>
-          val (flo, fhi) = rs(st.statsCols.indexOf(c))
-          fhi >= lo && flo <= hi
-        }
-      case _ => true // unprunable: always read
-    })
+    val kept = st.files.filter(f =>
+      box.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
@@ -781,9 +771,15 @@ object TxTable {
     (((h % bits) + bits) % bits).toInt
   }
 
-  private def bloomMightContain(hex: String, bits: Int, v: Long): Boolean = {
+  /** Parse the hex payload ONCE per file; probe many values against
+    * the parsed set — a pushed IN of dozens of values over a bloom of
+    * up to 2^24 bits must not re-parse megabytes of hex per value.
+    */
+  private def bloomAnyContain(hex: String, bits: Int,
+                              vs: Seq[Long]): Boolean = {
     val bs = java.util.BitSet.valueOf(hexToBytes(hex))
-    (0 until BloomHashes).forall(i => bs.get(bloomPosition(v, i.toLong, bits)))
+    vs.exists(v =>
+      (0 until BloomHashes).forall(i => bs.get(bloomPosition(v, i.toLong, bits))))
   }
 
   private def hexToBytes(hex: String): Array[Byte] =
@@ -867,16 +863,51 @@ object TxTable {
       s"$path carries blooms for ${st.bloomCol.getOrElse("no column")}, " +
         s"not '$keyCol' — readPoints must use the bloom-indexed column " +
         "(or read() + filter)")
-    val kept = st.files.filter(f => st.blooms.get(f) match {
-      case Some(hex) =>
-        values.exists(v => bloomMightContain(hex, st.bloomBits, v))
-      case None => true // unprunable: always read
-    })
+    val kept = st.files.filter(bloomKeep(st, _, values))
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
     base.filter(col(keyCol).isin(values: _*))
   }
+
+  // ---- shared per-file pruning predicates: readRange / readBox /
+  // readPoints and the data source's prunedFiles must evaluate the SAME
+  // tests, or the programmatic and pushed paths drift ----
+
+  /** File `f` can hold a row with statsCol value in [lo, hi]?
+    * Missing stats → unprunable (kept). */
+  private def rangeKeep(st: State, f: String, lo: Long, hi: Long): Boolean =
+    st.stats.get(f) match {
+      case Some((flo, fhi)) => fhi >= lo && flo <= hi
+      case None             => true
+    }
+
+  /** File `f`'s recorded rectangle can intersect [lo, hi] on recorded
+    * dimension `c`? Missing/malformed mstats → unprunable (kept). */
+  private def boxKeep(st: State, f: String, c: String,
+                      lo: Long, hi: Long): Boolean =
+    st.mstats.get(f) match {
+      case Some(rs) if rs.size == st.statsCols.size =>
+        val (flo, fhi) = rs(st.statsCols.indexOf(c))
+        fhi >= lo && flo <= hi
+      case _ => true
+    }
+
+  /** File `f`'s bloom can contain ANY of `vs`? No bloom → kept. */
+  private def bloomKeep(st: State, f: String, vs: Seq[Long]): Boolean =
+    st.blooms.get(f) match {
+      case Some(hex) => bloomAnyContain(hex, st.bloomBits, vs)
+      case None      => true
+    }
+
+  /** One fold of the log at `version` for callers that derive several
+    * things from it (the data source folds ONCE per relation and reads
+    * schema + pruning from the same snapshot instead of re-listing and
+    * re-folding per step).
+    */
+  private[graft] def snapshotState(spark: SparkSession, path: String,
+                                   version: Long): State =
+    foldState(fs(spark, path), path, version)
 
   /** Log-level file pruning for the `txtable` Spark data source
     * ([[TxTableSource]]): fold the state at `version` and keep only
@@ -890,41 +921,19 @@ object TxTable {
     * optimization, never a correctness filter. Returns the kept
     * RELATIVE file names (resolve against `path`).
     */
-  private[graft] def prunedFiles(spark: SparkSession, path: String,
-                                 version: Long,
+  private[graft] def prunedFiles(st: State,
                                  ranges: Map[String, (Long, Long)],
-                                 points: Map[String, Seq[Long]]): Seq[String] = {
-    val hfs = fs(spark, path)
-    val st = foldState(hfs, path, version)
+                                 points: Map[String, Seq[Long]]): Seq[String] =
     st.files.filter { f =>
       val rangeOk = ranges.forall { case (c, (lo, hi)) =>
-        val single = st.statsCol.contains(c) match {
-          case true => st.stats.get(f) match {
-            case Some((flo, fhi)) => fhi >= lo && flo <= hi
-            case None             => true
-          }
-          case false => true
-        }
-        val multi =
-          if (!st.statsCols.contains(c)) true
-          else st.mstats.get(f) match {
-            case Some(rs) if rs.size == st.statsCols.size =>
-              val (flo, fhi) = rs(st.statsCols.indexOf(c))
-              fhi >= lo && flo <= hi
-            case _ => true
-          }
-        single && multi
+        (!st.statsCol.contains(c) || rangeKeep(st, f, lo, hi)) &&
+          (!st.statsCols.contains(c) || boxKeep(st, f, c, lo, hi))
       }
       val pointOk = points.forall { case (c, vs) =>
-        if (!st.bloomCol.contains(c)) true
-        else st.blooms.get(f) match {
-          case Some(hex) => vs.exists(v => bloomMightContain(hex, st.bloomBits, v))
-          case None      => true
-        }
+        !st.bloomCol.contains(c) || bloomKeep(st, f, vs)
       }
       rangeOk && pointOk
     }
-  }
 
   /** Roll the table back (or forward) to exactly `version`'s content as
     * a NEW overwrite commit — METADATA-ONLY: the commit re-references

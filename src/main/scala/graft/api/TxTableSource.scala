@@ -25,9 +25,10 @@ import org.apache.spark.sql.types.StructType
   * WHERE clause prunes data files from the log alone before Spark
   * lists or reads them, exactly what [[TxTable.readRange]] /
   * [[TxTable.readBox]] / [[TxTable.readPoints]] do for programmatic
-  * callers, but driven by the optimizer. Everything below the pruning
-  * is the ordinary parquet reader: full codegen, footer pushdown,
-  * column pruning via `requiredColumns`.
+  * callers (all four paths evaluate the SAME shared per-file
+  * predicates), but driven by the optimizer. Everything below the
+  * pruning is the ordinary parquet reader: full codegen, footer
+  * pushdown, column pruning via `requiredColumns`.
   *
   * Correctness stance: [[TxTableRelation.unhandledFilters]] returns
   * EVERY filter, so Spark re-applies the real predicates above the
@@ -44,19 +45,31 @@ class TxTableSource extends RelationProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "txtable needs a path: spark.read.format(\"txtable\").load(path)"))
     val spark = sqlContext.sparkSession
-    val version = parameters.get("versionAsOf").map(_.toLong)
-      .getOrElse(TxTable.latestVersion(spark, path))
+    val head = TxTable.latestVersion(spark, path)
+    val version = parameters.get("versionAsOf").map(_.toLong) match {
+      case Some(v) =>
+        // hard-validate the bound: folding "everything <= v" would
+        // silently serve the HEAD for any too-large v — a pinned
+        // report would read wrong-snapshot data with no error
+        require(v >= 1 && v <= head,
+          s"versionAsOf $v out of range for $path (versions 1..$head)")
+        v
+      case None => head
+    }
     TxTableRelation(sqlContext, path, version)
   }
 }
 
 object TxTableSource {
   /** Test observability: the relative file names the most recent
-    * buildScan kept after log pruning (the spec pins pruning without
-    * reaching into the scan's internals). Not a public API.
+    * buildScan ON THIS THREAD kept after log pruning (the spec pins
+    * pruning without reaching into the scan's internals). Thread-local
+    * because V1 buildScan runs on the thread planning the action —
+    * concurrent queries on other threads must not clobber an
+    * observer's value. Not a public API.
     */
   private[graft] val lastScanFiles =
-    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+    ThreadLocal.withInitial[Seq[String]](() => Nil)
 }
 
 case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
@@ -64,10 +77,21 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
 
   private def spark = sqlc.sparkSession
 
+  /** ONE log fold per relation: schema and every buildScan derive from
+    * this snapshot instead of re-listing and re-folding the log per
+    * step (several object-store round-trips each on the S3-shaped
+    * deployments this layer targets). Sound because the version is
+    * pinned at construction and data files are immutable.
+    */
+  private lazy val state: TxTable.State =
+    TxTable.snapshotState(spark, path, version)
+
   override def sqlContext: SQLContext = sqlc
 
-  override val schema: StructType =
-    TxTable.readVersion(spark, path, version).schema
+  override val schema: StructType = {
+    require(state.files.nonEmpty, s"version $version of $path holds no files")
+    spark.read.parquet(s"$path/${state.files.head}").schema
+  }
 
   /** Log pruning never substitutes for evaluation: Spark re-applies
     * every predicate above the scan.
@@ -78,7 +102,7 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
     val (ranges, points) = TxTableRelation.constraints(filters)
-    val kept = TxTable.prunedFiles(spark, path, version, ranges, points)
+    val kept = TxTable.prunedFiles(state, ranges, points)
     TxTableSource.lastScanFiles.set(kept)
     val base: DataFrame =
       if (kept.isEmpty)
@@ -86,8 +110,12 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
       else
         spark.read.schema(schema).parquet(kept.map(f => s"$path/$f"): _*)
     // column pruning: an empty projection (count(*)-style scans) still
-    // needs the right ROW COUNT, so keep the frame and drop the fields
-    base.select(requiredColumns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*).rdd
+    // needs the right ROW COUNT, so keep the frame and drop the fields.
+    // Names are backtick-quoted — a parquet column named "a.b" is legal
+    // and a bare col("a.b") would misparse it as a struct field path.
+    base.select(requiredColumns.toIndexedSeq.map(n =>
+      org.apache.spark.sql.functions.col(
+        "`" + n.replace("`", "``") + "`")): _*).rdd
   }
 }
 

@@ -278,6 +278,34 @@ class LinkageSpec extends AnyFunSuite {
     assert(want.nonEmpty, "test corpus must produce pairs")
   }
 
+  test("PassJoin SQL fragments equal the pure closed forms over a full grid") {
+    // the production plan evaluates the SQL strings; PassJoinProps pins
+    // the PURE functions — this sweep binds the two representations, so
+    // an off-by-one edit to either fails a test instead of only the
+    // end-to-end brute force
+    import graft.api.FuzzyJoin
+    for (k <- Seq(2, 3)) {
+      val grid = spark.range(0, 61).selectExpr("CAST(id AS INT) AS l")
+        .crossJoin(spark.range(0, k + 1).selectExpr("CAST(id AS INT) AS i"))
+        .crossJoin(spark.range(0, k + 1).selectExpr("CAST(id AS INT) AS d"))
+      val rows = grid.selectExpr("l", "i", "d",
+          s"CAST(${FuzzyJoin.segLenSql(k)("l", "i")} AS INT) AS sl",
+          s"CAST(${FuzzyJoin.segStartSql(k)("l", "i")} AS INT) AS sp",
+          s"CAST(${FuzzyJoin.winLoSql(k)("i", "d")} AS INT) AS wl",
+          s"CAST(${FuzzyJoin.winHiSql(k)("i", "d")} AS INT) AS wh")
+        .collect()
+      assert(rows.length === 61 * (k + 1) * (k + 1))
+      rows.foreach { r =>
+        val (l, i, d) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        val (wl, wh) = FuzzyJoin.windowF(i, d, k)
+        assert(r.getInt(3) === FuzzyJoin.segLenF(l, i, k), s"segLen l=$l i=$i k=$k")
+        assert(r.getInt(4) === FuzzyJoin.segStartF(l, i, k), s"segStart l=$l i=$i k=$k")
+        assert(r.getInt(5) === wl, s"winLo i=$i d=$d k=$k")
+        assert(r.getInt(6) === wh, s"winHi i=$i d=$d k=$k")
+      }
+    }
+  }
+
   test("edSelfJoin plan is blocked, never a cartesian/nested-loop join") {
     val df = (0 until 100).map(i => f"name$i%04d").toDF("w")
     for (k <- Seq(1, 2)) {

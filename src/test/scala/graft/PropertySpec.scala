@@ -402,11 +402,13 @@ object SchemasProps extends Properties("Schemas") {
 object PassJoinProps extends Properties("PassJoin") {
   import org.scalacheck.Prop.forAll
 
-  // closed forms from FuzzyJoin.passJoin (0-based slot i, n = k+1)
+  // THE production closed forms (graft.api.FuzzyJoin), not a
+  // transcription — drift in the formulas fails these properties, and
+  // LinkageSpec sweeps the SQL fragments equal to the same functions
   private def segLen(l: Int, i: Int, n: Int): Int =
-    l / n + (if (i >= n - l % n) 1 else 0)
-  private def segStart(l: Int, i: Int, n: Int): Int = // 1-based
-    1 + i * (l / n) + math.max(0, i - (n - l % n))
+    graft.api.FuzzyJoin.segLenF(l, i, n - 1)
+  private def segStart(l: Int, i: Int, n: Int): Int =
+    graft.api.FuzzyJoin.segStartF(l, i, n - 1)
 
   private val kGen = Gen.choose(1, 3)
   private val strGen = for {
@@ -465,8 +467,9 @@ object PassJoinProps extends Properties("PassJoin") {
           val seg = s.substring(p0 - 1, p0 - 1 + sl)
           if (sl == 0) true // zero-length slot matches trivially
           else {
-            val lo = math.max(1, p0 + math.max(-i, d - (k - i)))
-            val hi = math.min(m - sl + 1, p0 + math.min(i, d + (k - i)))
+            val (wl, wh) = graft.api.FuzzyJoin.windowF(i, d, k)
+            val lo = math.max(1, p0 + wl)
+            val hi = math.min(m - sl + 1, p0 + wh)
             (lo to hi).exists(p => r.substring(p - 1, p - 1 + sl) == seg)
           }
         }
