@@ -1067,6 +1067,65 @@ object TxTable {
     }
   }
 
+  /** One poll of the change feed: the row-level changes for
+    * `(fromVersion, toVersion]` plus the `ack` that durably advances
+    * the cursor to `toVersion`.
+    */
+  final case class ChangePoll(changes: DataFrame, fromVersion: Long,
+                              toVersion: Long, ack: () => Unit)
+
+  /** Exactly-once INCREMENTAL consumption of the change feed — the
+    * consumer half of the CDC story ([[streamAppend]] is the producer
+    * half): a durable cursor under `cursorDir` records the last
+    * version whose changes the caller ACKNOWLEDGED, and each poll
+    * returns [[changesRows]] over `(cursor, head]` plus an `ack` that
+    * advances the cursor to that head.
+    *
+    * Delivery contract — process THEN ack:
+    *  - a crash between processing and ack re-delivers the SAME window
+    *    on the next poll (at-least-once delivery; pair it with an
+    *    idempotent effect — e.g. a txn-tagged [[append]] keyed by
+    *    `toVersion` — for exactly-once end to end);
+    *  - ack is idempotent and atomic (the same publish-claim protocol
+    *    as the commit log: a versioned `.ack` marker lands whole or
+    *    not at all; a duplicate ack of the same head is a no-op);
+    *  - an empty window (`fromVersion == toVersion`) returns an empty
+    *    frame and an ack that writes nothing.
+    *
+    * Cursor markers are one tiny file per acked head, O(polls with
+    * progress) — vacuum-style cleanup can drop all but the newest, but
+    * at one marker per consumed table version they are commit-log
+    * sized by construction.
+    */
+  def pollChanges(spark: SparkSession, path: String,
+                  cursorDir: String): ChangePoll = {
+    val hfs = fs(spark, cursorDir)
+    val d = new org.apache.hadoop.fs.Path(cursorDir)
+    val from =
+      if (!hfs.exists(d)) 0L
+      else hfs.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(_.matches("""\d{20}\.ack"""))
+        .map(_.stripSuffix(".ack").toLong)
+        .sorted.lastOption.getOrElse(0L)
+    val to = latestVersion(spark, path)
+    require(to > 0, s"pollChanges on $path: the table has no commits yet")
+    val changes = changesRows(spark, path, from, to)
+    val ack: () => Unit = () =>
+      if (to > from) {
+        hfs.mkdirs(d)
+        try writeNew(hfs,
+          new org.apache.hadoop.fs.Path(f"$cursorDir/$to%020d.ack"),
+          s"""{"from":$from,"to":$to,"ts":${System.currentTimeMillis()}}""")
+        catch {
+          // a racing or redelivered ack of the same head already
+          // advanced the cursor — idempotent by design
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+          case _: java.nio.file.FileAlreadyExistsException        => ()
+        }
+      }
+    ChangePoll(changes, from, to, ack)
+  }
+
   /** Transactionally add rows; concurrent appends all land (commuting
     * retries), each as its own version. Schema-enforced against the
     * current head. `txn` makes the append idempotent (see [[commit]]).

@@ -664,6 +664,39 @@ class TxTableSpec extends AnyFunSuite {
       "pushed 2-D box must prune z-ordered files from the log")
   }
 
+  test("pollChanges: durable-cursor incremental consumption, redelivery, idempotent ack") {
+    val t = fresh()
+    val cursor = java.nio.file.Files
+      .createTempDirectory("txcursor").toString + "/c"
+    TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // first poll: everything since the beginning
+    val p1 = TxTable.pollChanges(spark, t, cursor)
+    assert((p1.fromVersion, p1.toVersion) === (0L, 1L))
+    assert(p1.changes.select("id", TxTable.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ===
+      Set((1L, "insert"), (2L, "insert")))
+    // NOT acked: the same window re-delivers (the crash-recovery path)
+    val p1again = TxTable.pollChanges(spark, t, cursor)
+    assert((p1again.fromVersion, p1again.toVersion) === (0L, 1L))
+    p1.ack()
+    p1again.ack() // duplicate ack of the same head: a no-op
+    // acked: the next poll is an empty window at the same head
+    val p2 = TxTable.pollChanges(spark, t, cursor)
+    assert((p2.fromVersion, p2.toVersion) === (1L, 1L))
+    assert(p2.changes.count() === 0L)
+    p2.ack() // empty-window ack writes nothing
+    // new commits: only the increment arrives
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.deleteWhere(spark, t, col("id") === 1L, cdf = true)
+    val p3 = TxTable.pollChanges(spark, t, cursor)
+    assert((p3.fromVersion, p3.toVersion) === (1L, 3L))
+    assert(p3.changes.select("id", TxTable.ChangeCol, TxTable.VersionCol)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((3L, "insert", 2L), (1L, "delete", 3L)))
+    p3.ack()
+    assert(TxTable.pollChanges(spark, t, cursor).changes.count() === 0L)
+  }
+
   test("bloom positions: the driver probe replays the executor hash exactly") {
     // the reader derives positions with XXH64 on the driver while the
     // writer derives them with the xxhash64 expression on executors —
