@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Set-similarity / edit-distance joins without the cartesian product —
@@ -51,8 +51,22 @@ import org.apache.spark.sql.functions._
   * collisions — shuffle-bound, never quadratic in the corpus — but
   * low-entropy keys sharing a long constant prefix (e.g. "Customer#…")
   * collide the prefix-side segment and degrade toward the pairs that
-  * share it; candidates are deduped before the verify so each such pair
-  * pays one levenshtein, and partition-level skew is AQE's to split.
+  * share it. A 10× disjoint-replication probe measured 18× wall growth
+  * at k=2 from exactly this shape: replicas share every segment not
+  * covering the replica-distinguishing digits, so candidates grow with
+  * the SQUARE of the colliding subset while true pairs grow linearly.
+  * The repair is a constant-cost EDIT-DISTANCE LOWER BOUND evaluated on
+  * the raw join output, BEFORE the distinct exchange and the verify:
+  * each key carries a 16-bucket character-frequency signature packed
+  * into one BIGINT (4-bit saturating counts, bucket = codepoint mod 16).
+  * One edit changes at most two bucket counts by 1 each, so
+  * ed(a, b) ≤ k ⟹ L1(counts_a, counts_b) ≤ 2k; saturating a count at
+  * 15 only shrinks its contribution to the L1, so the packed filter
+  * `L1(sig_a, sig_b) ≤ 2k` remains a NECESSARY condition — provably
+  * lossless, 16 codegen'd shift-mask-abs terms per candidate vs a full
+  * O(|l|·|r|) levenshtein plus a shuffle row for every survivor.
+  * Remaining candidates are deduped before the verify so each pair pays
+  * one levenshtein, and partition-level skew is AQE's to split.
   * Zero-length segments (keys shorter than k+1 chars) match trivially,
   * which is exactly the pigeonhole semantics: such keys are candidates
   * against every key within the k length window — a constant-size group.
@@ -68,9 +82,7 @@ object FuzzyJoin {
     require(maxDist >= 1 && maxDist <= 3,
       s"edSelfJoin supports 1 <= maxDist <= 3 (deletion neighborhood at 1, " +
         s"PassJoin segments at 2-3); got $maxDist")
-    val keys = df.select(col(keyCol).cast("string").as("k"))
-      .where(col("k").isNotNull)
-      .distinct()
+    val keys = distinctKeys(df, keyCol)
     if (maxDist == 1) deletionNeighborhood(keys)
     else passJoin(keys, maxDist)
   }
@@ -150,6 +162,47 @@ object FuzzyJoin {
   private[graft] def winHiSql(k: Int)(i: String, d: String): String =
     s"LEAST($i, $d + ($k - $i))"
 
+  /** Packed character-frequency signature of string column `s`: 16
+    * buckets (codepoint mod 16), each a 4-bit count saturating at 15,
+    * packed little-endian into one BIGINT. Computed ONCE per distinct
+    * key (the keys frame is the small side); candidates compare
+    * signatures with [[sigL1]]. The empty string's signature is
+    * explicitly 0 (split('', '') yields a one-element array of '' whose
+    * ascii is not a character count — the guard keeps the vector true).
+    */
+  private[graft] def charSigSql(s: String): String =
+    s"IF(length($s) = 0, CAST(0 AS BIGINT), " +
+      s"aggregate(transform(split($s, ''), c -> pmod(ascii(c), 16)), " +
+      s"CAST(0 AS BIGINT), (acc, b) -> acc + " +
+      s"IF((shiftright(acc, b * 4) & 15) < 15, " +
+      s"shiftleft(CAST(1 AS BIGINT), b * 4), CAST(0 AS BIGINT))))"
+
+  /** L1 distance between two packed signatures, unrolled to 16
+    * codegen'd shift-mask-abs terms (no array allocation, no lambda in
+    * the hot path). Saturated counts shrink the L1, so
+    * `sigL1(a, b) <= 2k` is implied by `ed(a, b) <= k` — a lossless
+    * pre-verify filter (property-pinned in PassJoinProps).
+    */
+  private[graft] def sigL1(a: Column, b: Column): Column =
+    (0 until 16).map { j =>
+      abs(shiftright(a, j * 4).bitwiseAND(lit(15L)) -
+        shiftright(b, j * 4).bitwiseAND(lit(15L)))
+    }.reduce(_ + _)
+
+  /** The pure twin of [[charSigSql]] for the property tests. */
+  private[graft] def charSigF(s: String): Long = {
+    var sig = 0L
+    s.foreach { c =>
+      val b = java.lang.Math.floorMod(c.toInt, 16)
+      if (((sig >> (b * 4)) & 15L) < 15L) sig += 1L << (b * 4)
+    }
+    sig
+  }
+
+  /** The pure twin of [[sigL1]] for the property tests. */
+  private[graft] def sigL1F(a: Long, b: Long): Long =
+    (0 until 16).map(j => math.abs(((a >> (j * 4)) & 15L) - ((b >> (j * 4)) & 15L))).sum
+
   /** k ≥ 2: PassJoin. A length-l string splits into n = k+1 segments;
     * with base = l div n and rem = l mod n, segment i (0-based) has
     *   len_i   = base + (1 if i ≥ n − rem else 0)      (long segments last)
@@ -157,17 +210,41 @@ object FuzzyJoin {
     * — disjoint, covering, deterministic, so both sides derive the same
     * geometry from (l, i) alone and the join key stays (l, i, text).
     */
-  private def passJoin(keys: DataFrame, k: Int): DataFrame = {
+  private def passJoin(keys: DataFrame, k: Int): DataFrame =
+    passJoinCandidates(keys, k, sigFilter = true, verify = true).distinct()
+
+  /** The candidate-pair frame BEFORE the final distinct — the
+    * blowup-attribution seam (ScaleProbe counts it with and without the
+    * signature filter). `sigFilter = false` reproduces the pure
+    * segment-blocking candidate set for comparison; production always
+    * filters.
+    *
+    * `verify` inlines the exact levenshtein INTO the join condition,
+    * explicitly ordered AFTER the signature test. Ordering is the whole
+    * point: a `.where(levenshtein ≤ k)` placed above the distinct gets
+    * predicate-pushed into the join condition by Catalyst — PREPENDED
+    * to the existing conjuncts — so every raw segment collision paid
+    * the O(|l|·|r|) verify and the 16-op lower bound saved nothing
+    * (measured: identical 36 s with and without the filter at 10×
+    * probe scale). With the conjunct order fixed here, the And chain
+    * short-circuits left-to-right in codegen: hash-key match → ≠ →
+    * 16 shift-mask terms → levenshtein only for the ~6 % survivors,
+    * and the distinct exchanges true pairs only (10× probe: 45 s
+    * distinct over 44 M raw candidates → sub-second over ~580 k).
+    */
+  private[graft] def passJoinCandidates(keys: DataFrame, k: Int,
+      sigFilter: Boolean, verify: Boolean = false): DataFrame = {
     def segLen(l: String, i: String) = segLenSql(k)(l, i)
     def segStart(l: String, i: String) = segStartSql(k)(l, i)
 
     val withLen = keys.withColumn("l", length(col("k")))
+      .withColumn("sig", expr(charSigSql("k")))
 
     // 1. Segment side: k+1 rows per key. substring(k, p, 0) = "" keeps
     //    zero-length segments (keys shorter than n) as trivial matchers.
     val segs = withLen
-      .select(col("k"), col("l"), explode(expr(s"sequence(0, $k)")).as("i"))
-      .select(col("k"), col("l"), col("i"),
+      .select(col("k"), col("l"), col("sig"), explode(expr(s"sequence(0, $k)")).as("i"))
+      .select(col("k"), col("l"), col("i"), col("sig"),
         expr(s"substring(k, ${segStart("l", "i")}, ${segLen("l", "i")})").as("t"))
 
     // 2. Probe side: for each partner length pl ∈ [max(0, m−k), m] and
@@ -184,30 +261,45 @@ object FuzzyJoin {
     //    descending-sequence footgun (sequence(5,3) = [5,4,3]) is
     //    guarded by the CASE below.
     val probes = withLen
-      .select(col("k").as("r"), col("l").as("m"),
+      .select(col("k").as("r"), col("l").as("m"), col("sig").as("rsig"),
         expr(s"explode(sequence(GREATEST(0, l - $k), l))").as("pl"))
-      .select(col("r"), col("m"), col("pl"),
+      .select(col("r"), col("m"), col("rsig"), col("pl"),
         explode(expr(s"sequence(0, $k)")).as("i"))
       .withColumn("d", col("m") - col("pl"))
-      .select(col("r"), col("pl"), col("i"),
+      .select(col("r"), col("rsig"), col("pl"), col("i"),
         expr(s"${segLen("pl", "i")}").as("sl"),
         expr(s"GREATEST(1, ${segStart("pl", "i")} + ${winLoSql(k)("i", "d")})").as("ps"),
         expr(s"LEAST(m - ${segLen("pl", "i")} + 1, ${segStart("pl", "i")} + ${winHiSql(k)("i", "d")})").as("pe"))
-      .select(col("r"), col("pl"), col("i"), col("sl"),
+      .select(col("r"), col("rsig"), col("pl"), col("i"), col("sl"),
         explode(expr("CASE WHEN sl = 0 THEN array(1) " +
           "WHEN pe >= ps THEN sequence(ps, pe) ELSE array() END")).as("p"))
-      .select(col("r"), col("pl"), col("i"),
+      .select(col("r"), col("rsig"), col("pl"), col("i"),
         expr("substring(r, p, sl)").as("t"))
       .repartition(fanout(keys))
 
-    // 3. Hash-join on (length, slot, text); canonicalize, dedup, verify.
-    val candidates = probes.as("a")
-      .join(segs.as("b"),
-        col("a.pl") === col("b.l") && col("a.i") === col("b.i") &&
-          col("a.t") === col("b.t") && col("a.r") =!= col("b.k"))
+    // 3. Hash-join on (length, slot, text); the signature lower bound
+    //    trims candidates INSIDE the join (before the distinct's
+    //    exchange pays for them); canonicalize for the dedup + verify.
+    val joinCond = col("a.pl") === col("b.l") && col("a.i") === col("b.i") &&
+      col("a.t") === col("b.t") && col("a.r") =!= col("b.k")
+    val withSig =
+      if (sigFilter) joinCond && sigL1(col("a.rsig"), col("b.sig")) <= lit(2L * k)
+      else joinCond
+    val cond =
+      if (verify) withSig && levenshtein(col("a.r"), col("b.k")) <= k
+      else withSig
+    probes.as("a")
+      .join(segs.as("b"), cond)
       .select(least(col("a.r"), col("b.k")).as("left_key"),
         greatest(col("a.r"), col("b.k")).as("right_key"))
-      .distinct()
-    candidates.where(levenshtein(col("left_key"), col("right_key")) <= k)
   }
+
+  /** The distinct non-null key frame [[edSelfJoin]] blocks over —
+    * exposed so probes/tools can attribute candidate volume on exactly
+    * the production input.
+    */
+  private[graft] def distinctKeys(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .distinct()
 }

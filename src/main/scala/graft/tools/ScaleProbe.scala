@@ -1117,22 +1117,41 @@ object ScaleProbe {
       import graft.api.FuzzyJoin
       val names0 = spark.read.parquet(s"$dir/customer.parquet")
         .filter(col("c_custkey") % 16 === 0).select(col("c_name"))
-      def pairsFor(m: Int) = {
-        val d = names0.crossJoin(spark.range(m).select(col("id").as("rep")))
+      def repsFor(m: Int) =
+        names0.crossJoin(spark.range(m).select(col("id").as("rep")))
           .select(concat(regexp_replace(format_string("%03d", col("rep")),
             "(.)", "$1$1$1"), col("c_name")).as("w"))
+      def pairsFor(m: Int) = {
+        val s0 = shufSnap()
         val t0 = System.nanoTime()
-        val n = FuzzyJoin.edSelfJoin(d, "w", maxDist = 2).count()
-        (n, (System.nanoTime() - t0) / 1e9)
+        val n = FuzzyJoin.edSelfJoin(repsFor(m), "w", maxDist = 2).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (n, dt, shufSnap() - s0)
       }
-      val (p1, dp1) = pairsFor(1)
-      val (pN, dpN) = pairsFor(mult)
+      // Candidate attribution: raw segment-blocking candidates vs the
+      // char-frequency-filtered set actually paid into the distinct +
+      // verify. The unfiltered count is the r14 blowup (grows with the
+      // SQUARE of the low-entropy colliding subset); the filtered count
+      // is what production shuffles.
+      def candFor(m: Int, filt: Boolean) =
+        FuzzyJoin.passJoinCandidates(
+          FuzzyJoin.distinctKeys(repsFor(m), "w"), 2, sigFilter = filt).count()
+      val (p1, dp1, sb1) = pairsFor(1)
+      val (pN, dpN, sbN) = pairsFor(mult)
       require(pN == p1 * mult,
         s"fuzzy-k2 pairs must scale exactly ${mult}x under disjoint " +
           s"replication: 1x=$p1 ${mult}x=$pN")
+      val (c1raw, cNraw) = (candFor(1, filt = false), candFor(mult, filt = false))
+      val (c1f, cNf) = (candFor(1, filt = true), candFor(mult, filt = true))
+      require(c1f <= c1raw && cNf <= cNraw,
+        "signature filter can only shrink the candidate set")
       println(f"fuzzy-join k=2 (${mult}x names): $p1 -> $pN pairs (exactly " +
         f"${mult}x, zero cross-replica)  1x $dp1%.2f s  ${mult}x $dpN%.2f s  " +
-        f"time-growth=${dpN / dp1}%.1fx")
+        f"time-growth=${dpN / dp1}%.1fx  shuffle ${sb1 / 1e6}%.1f -> " +
+        f"${sbN / 1e6}%.1f MB (${sbN.toDouble / math.max(1, sb1)}%.1fx)  " +
+        f"candidates raw $c1raw -> $cNraw " +
+        f"(${cNraw.toDouble / c1raw}%.1fx) filtered $c1f -> $cNf " +
+        f"(${cNf.toDouble / c1f}%.1fx)")
     }
 
     // SCD2 + rolling anomalies at mult x events: user-id-offset replicas

@@ -306,6 +306,67 @@ class LinkageSpec extends AnyFunSuite {
     }
   }
 
+  test("char-frequency signature SQL equals the pure twin; filter drops no true pair") {
+    // The signature is built by SQL (charSigSql) in the production plan
+    // and by charSigF in the property pins — bind them over a corpus
+    // that exercises empty strings, saturation (> 15 repeats), all 16
+    // buckets, and non-ASCII codepoints.
+    import graft.api.FuzzyJoin
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val words = Seq("", "a", "aa", "a" * 40, "Customer#000000001",
+      "abcdefghijklmnopqrstuvwxyz0123456789", "çafé—ünïcødé", "  spa  ces ",
+      "0123456789", "9876543210", "zzzzyyyyxxxx")
+    val got = words.toDF("w")
+      .selectExpr("w", s"${FuzzyJoin.charSigSql("w")} AS sig")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    words.foreach { w =>
+      assert(got(w) === FuzzyJoin.charSigF(w), s"charSig('$w')")
+    }
+    // sigL1 (the unrolled Column) against the pure twin over all pairs
+    val pairs = for (a <- words; b <- words) yield (a, b)
+    val l1 = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        FuzzyJoin.sigL1(
+          expr(FuzzyJoin.charSigSql("a")), expr(FuzzyJoin.charSigSql("b"))).as("l1"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(l1((a, b)) ===
+        FuzzyJoin.sigL1F(FuzzyJoin.charSigF(a), FuzzyJoin.charSigF(b)),
+        s"sigL1('$a','$b')")
+    }
+    // and the end-to-end losslessness: filtered candidates ⊇ true pairs
+    // on a corpus designed so the filter has real work to do
+    val corpus = (0 until 40).map(i => f"row#$i%04d tail") ++
+      (0 until 10).map(d => s"row#$d$d$d$d tail") ++ // pairwise L1 = 8 > 2k,
+      // yet blocked together by the shared "row"/"tail" segments — the
+      // guaranteed strict cut at k = 3 (plain 4-digit ids differ in ≤ 2
+      // chars, L1 ≤ 4, invisible to the k = 3 filter)
+      Seq("row#0001 tail!", "row#0001 tai", "completely different")
+    for (k <- Seq(2, 3)) {
+      val gotPairs = FuzzyJoin.edSelfJoin(corpus.toDF("w"), "w", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val wantPairs = (for {
+        a <- corpus.distinct; b <- corpus.distinct if a < b && lev(a, b) <= k
+      } yield (a, b)).toSet
+      assert(gotPairs === wantPairs, s"k=$k filtered blocking lost/added pairs")
+      assert(wantPairs.nonEmpty)
+      val raw = FuzzyJoin.passJoinCandidates(
+        FuzzyJoin.distinctKeys(corpus.toDF("w"), "w"), k, sigFilter = false).count()
+      val filt = FuzzyJoin.passJoinCandidates(
+        FuzzyJoin.distinctKeys(corpus.toDF("w"), "w"), k, sigFilter = true).count()
+      assert(filt <= raw, s"k=$k filter must not add candidates")
+      assert(filt < raw, s"k=$k filter should cut candidates on this corpus " +
+        s"(raw=$raw filtered=$filt)")
+    }
+  }
+
   test("edSelfJoin plan is blocked, never a cartesian/nested-loop join") {
     val df = (0 until 100).map(i => f"name$i%04d").toDF("w")
     for (k <- Seq(1, 2)) {

@@ -453,6 +453,19 @@ object PassJoinProps extends Properties("PassJoin") {
     (s, r, k)
   }
 
+  /** The pre-verify candidate filter: one edit moves at most two
+    * bucket counts by 1, so L1 ≤ 2·ed always; saturation at 15 only
+    * shrinks the L1. editedPair's 3-letter alphabet piles ≥ 16 counts
+    * into single buckets at len 24, so the saturating path is
+    * exercised, not just the small-count one.
+    */
+  property("char-frequency signature L1 never exceeds 2x the edit count") =
+    forAll(editedPair) { case (s, r, k) =>
+      graft.api.FuzzyJoin.sigL1F(
+        graft.api.FuzzyJoin.charSigF(s),
+        graft.api.FuzzyJoin.charSigF(r)) <= 2L * k
+    }
+
   property("multi-match window is lossless under <= k edits") =
     forAll(editedPair) { case (s0, r0, k) =>
       // the probe side always probes the SHORTER-or-equal partner
