@@ -369,15 +369,29 @@ object TxTable {
         .toSeq.map(_.getPath.getName)
         .filter(n => n.endsWith(".parquet") && !n.startsWith("_"))
         .sorted.map(n => s"$sub/$n")
-    df.write.mode("overwrite").parquet(s"$path/$sub")
-    val staged = {
-      val first = list()
-      if (first.nonEmpty) first
-      else {
-        df.repartition(1).write.mode("overwrite").parquet(s"$path/$sub")
-        list()
+    // TIMESTAMP (LTZ) columns default to parquet INT96 in this Spark —
+    // a deprecated physical type whose footers carry NO min/max, so a
+    // timestamp cluster column would be silently unprunable (and the
+    // bytes are fatter). Every TxTable staging writes the standard
+    // TIMESTAMP(MICROS) instead. Set-and-restore of a session conf: the
+    // window only affects parquet writes racing on the SAME session,
+    // and only changes their physical timestamp encoding, never values.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prior = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    val staged =
+      try {
+        df.write.mode("overwrite").parquet(s"$path/$sub")
+        val first = list()
+        if (first.nonEmpty) first
+        else {
+          df.repartition(1).write.mode("overwrite").parquet(s"$path/$sub")
+          list()
+        }
+      } finally prior match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None    => spark.conf.unset(tsKey)
       }
-    }
     require(staged.nonEmpty, s"staging produced no files under $path/$sub")
     require(staged.forall(_.matches("[a-zA-Z0-9/._-]+")),
       s"staged names must be JSON-inert: $staged")
@@ -561,11 +575,17 @@ object TxTable {
                          clusterCol: String, numFiles: Int = 8,
                          bloomCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    for (c <- clusterCol +: bloomCol.toSeq)
+    require(statEncodable(df.schema(clusterCol).dataType),
+      s"cluster column '$clusterCol' must be an integral, date or " +
+        s"timestamp type (its parquet footer min/max must map exactly " +
+        s"onto the log's long ranges), got " +
+        s"${df.schema(clusterCol).dataType} — validated BEFORE staging " +
+        "so a bad call cannot orphan a staged dir")
+    bloomCol.foreach(c =>
       require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
-        s"column '$c' must be LongType (ids, epoch micros, morton keys), " +
-          s"got ${df.schema(c).dataType} — validated BEFORE staging so a " +
-          "bad call cannot orphan a staged dir")
+        s"bloom column '$c' must be LongType (the probe hashes raw " +
+          s"longs), got ${df.schema(c).dataType} — validated BEFORE " +
+          "staging so a bad call cannot orphan a staged dir"))
     val sorted = df
       .repartitionByRange(math.max(1, numFiles), col(clusterCol))
       .sortWithinPartitions(clusterCol)
@@ -608,6 +628,13 @@ object TxTable {
             Option(c.getStatistics).filter(_.hasNonNullValue).flatMap(st =>
               (st.genericGetMin, st.genericGetMax) match {
                 case (lo: java.lang.Long, hi: java.lang.Long) =>
+                  Some((lo.longValue(), hi.longValue()))
+                // int32 physical columns: INT/SHORT/BYTE and — the one
+                // that matters at 100 TB — DATE (epoch days). Their
+                // footer stats surface as Integer; the log's long
+                // ranges are order-isomorphic to the column values, so
+                // rangeKeep needs no type knowledge.
+                case (lo: java.lang.Integer, hi: java.lang.Integer) =>
                   Some((lo.longValue(), hi.longValue()))
                 case _ => None
               })
@@ -873,6 +900,87 @@ object TxTable {
   // ---- shared per-file pruning predicates: readRange / readBox /
   // readPoints and the data source's prunedFiles must evaluate the SAME
   // tests, or the programmatic and pushed paths drift ----
+
+  /** Types whose parquet footer min/max map EXACTLY (and
+    * order-isomorphically) onto the log's long stat ranges: integrals
+    * (int64/int32 stats), DATE (int32 epoch days) and both timestamp
+    * flavors (int64 epoch/wall-clock micros — [[stage]] forces
+    * TIMESTAMP_MICROS so LTZ never lands as statless INT96). Floating
+    * point and strings are excluded on purpose: their footer stats are
+    * not losslessly long-encodable (doubles reorder across the sign
+    * bit; string min/max are writer-truncatable), and a wrong mapping
+    * here silently DROPS data files.
+    */
+  private[graft] def statEncodable(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType |
+           DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+  }
+
+  /** The long stat encoding of a filter/bound VALUE of a
+    * stat-encodable column — the exact inverse of what the parquet
+    * footer records for that column's physical type (epoch days for
+    * DATE, epoch micros for TIMESTAMP, wall-clock micros for
+    * TIMESTAMP_NTZ). Spark hands V1 sources java.sql types by default
+    * and java.time types under `spark.sql.datetime.java8API.enabled`;
+    * both arrive here. Conversions delegate to Catalyst's own
+    * DateTimeUtils so this mapping can never drift from the values
+    * Spark wrote. None for anything else — the caller must then treat
+    * the predicate as unprunable, the conservative direction.
+    */
+  private[graft] def statLong(v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case l: Long                      => Some(l)
+      case i: Int                       => Some(i.toLong)
+      case s: Short                     => Some(s.toLong)
+      case b: Byte                      => Some(b.toLong)
+      case d: java.sql.Date             => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate       => Some(d.toEpochDay)
+      case t: java.sql.Timestamp        => Some(DateTimeUtils.fromJavaTimestamp(t))
+      case i: java.time.Instant         => Some(DateTimeUtils.instantToMicros(i))
+      case l: java.time.LocalDateTime   => Some(DateTimeUtils.localDateTimeToMicros(l))
+      case _                            => None
+    }
+  }
+
+  /** [[readRange]] for DATE / TIMESTAMP / integral cluster columns with
+    * TYPED bounds: `WHERE event_date >= X` is the single most common
+    * pruning predicate at 100 TB, and the log's ranges for a
+    * date-clustered table are epoch days already. Bounds must be
+    * literals of the column's external type (java.sql.Date /
+    * java.time.LocalDate for DATE, java.sql.Timestamp /
+    * java.time.Instant / LocalDateTime for timestamps, boxed integrals
+    * for int columns); the file-level pruning runs on their
+    * [[statLong]] encoding while the residual row filter compares the
+    * TYPED values, so the two layers can never disagree on semantics.
+    */
+  def readRangeOf(spark: SparkSession, path: String, clusterCol: String,
+                  lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (ll, hl) = (statLong(lo), statLong(hi)) match {
+      case (Some(a), Some(b)) => (a, b)
+      case _ => throw new IllegalArgumentException(
+        s"readRangeOf bounds must be integral/date/timestamp literals, " +
+          s"got ${lo.getClass.getName} / ${hi.getClass.getName}")
+    }
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val st = foldState(hfs, path, head)
+    require(st.files.nonEmpty, s"version $head of $path holds no files")
+    st.statsCol.foreach(sc => require(sc == clusterCol,
+      s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +
+        "must use the clustered column (or read() + filter)"))
+    val kept = st.files.filter(rangeKeep(st, _, ll, hl))
+    val base =
+      if (kept.isEmpty) readVersion(spark, path, head).limit(0)
+      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+    base.filter(col(clusterCol) >= lit(lo) && col(clusterCol) <= lit(hi))
+  }
 
   /** File `f` can hold a row with statsCol value in [lo, hi]?
     * Missing stats → unprunable (kept). */

@@ -70,6 +70,15 @@ object TxTableSource {
     */
   private[graft] val lastScanFiles =
     ThreadLocal.withInitial[Seq[String]](() => Nil)
+
+  /** Test observability: the inner parquet DataFrame the most recent
+    * buildScan on this thread wrapped — the spec pins that the
+    * re-applied filters reach the inner scan's PushedFilters (footer /
+    * row-group skipping inside KEPT files), which the outer V1 plan
+    * cannot show. Not a public API.
+    */
+  private[graft] val lastInnerFrame =
+    ThreadLocal.withInitial[Option[DataFrame]](() => None)
 }
 
 case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
@@ -109,11 +118,25 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else
         spark.read.schema(schema).parquet(kept.map(f => s"$path/$f"): _*)
+    // Re-apply every translatable filter INSIDE the inner frame: since
+    // unhandledFilters returns everything, Spark evaluates the real
+    // predicates above this RDD[Row] — correct, but above the V1 seam
+    // the parquet reader sees NO filter, so footer min/max row-group
+    // skipping inside KEPT files never happens and every surviving row
+    // pays materialization. Pushing the same conjuncts here restores
+    // the skipping (Catalyst forwards them to the parquet scan's
+    // PushedFilters); the double evaluation of a pushed predicate is
+    // the standard V1 idiom and costs nothing measurable.
+    val filtered = filters.toIndexedSeq
+      .flatMap(TxTableRelation.toColumn)
+      .reduceOption(_ && _)
+      .fold(base)(base.filter)
+    TxTableSource.lastInnerFrame.set(Some(filtered))
     // column pruning: an empty projection (count(*)-style scans) still
     // needs the right ROW COUNT, so keep the frame and drop the fields.
     // Names are backtick-quoted — a parquet column named "a.b" is legal
     // and a bare col("a.b") would misparse it as a struct field path.
-    base.select(requiredColumns.toIndexedSeq.map(n =>
+    filtered.select(requiredColumns.toIndexedSeq.map(n =>
       org.apache.spark.sql.functions.col(
         "`" + n.replace("`", "``") + "`")): _*).rdd
   }
@@ -121,6 +144,45 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
 
 object TxTableRelation {
 
+  /** Translate a pushed V1 Filter back into the EXACT Column expression
+    * Catalyst derived it from, so the inner parquet scan can push it to
+    * the footer level. Partial on purpose: a node with any
+    * untranslatable child yields None (never a weaker approximation —
+    * dropping rows the true predicate keeps would corrupt results,
+    * since the re-application above the seam cannot resurrect them).
+    * Each translated shape is the faithful inverse of
+    * DataSourceStrategy's translation, so filtering by it drops exactly
+    * the rows Spark's own re-evaluation would drop anyway.
+    */
+  private[graft] def toColumn(f: Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def q(n: String) = col("`" + n.replace("`", "``") + "`")
+    f match {
+      case EqualTo(a, v)            => Some(q(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(q(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(q(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(q(a) >= lit(v))
+      case LessThan(a, v)           => Some(q(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(q(a) <= lit(v))
+      case In(a, vs)                => Some(q(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(q(a).isNull)
+      case IsNotNull(a)             => Some(q(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(q(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(q(a).endsWith(v))
+      case StringContains(a, v)     => Some(q(a).contains(v))
+      case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+      case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+      case Not(x)    => toColumn(x).map(!_)
+      case _         => None
+    }
+  }
+
+  /** Bloom probes hash RAW LONGS ([[TxTable.bloomStats]]'s contract),
+    * so only genuinely integral filter values may become point
+    * constraints; range constraints additionally accept date/timestamp
+    * values via [[TxTable.statLong]]'s exact stat encoding.
+    */
   private def asLong(v: Any): Option[Long] = v match {
     case l: Long              => Some(l)
     case i: Int               => Some(i.toLong)
@@ -134,7 +196,10 @@ object TxTableRelation {
     * recognized (Or, string predicates, IsNull, casts…) contributes no
     * constraint, multiple bounds on one column intersect (the filters
     * array is a conjunction), and open bounds use the INCLUSIVE
-    * neighbor so a file on the boundary is never dropped.
+    * neighbor so a file on the boundary is never dropped. Range bounds
+    * accept integral AND date/timestamp values — `WHERE event_date >=
+    * X` over a date-clustered table prunes from the log's epoch-day
+    * ranges exactly like an id range does.
     */
   private[graft] def constraints(filters: Array[Filter])
       : (Map[String, (Long, Long)], Map[String, Seq[Long]]) = {
@@ -144,22 +209,24 @@ object TxTableRelation {
       val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
       ranges += c -> (math.max(l0, lo), math.min(h0, hi))
     }
+    def stat(v: Any): Option[Long] = TxTable.statLong(v)
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
-      case EqualTo(c, v) => asLong(v).foreach { x =>
-        tighten(c, x, x)
-        points += c -> (points.getOrElse(c, Nil) :+ x).distinct
-      }
+      case EqualTo(c, v) =>
+        stat(v).foreach(x => tighten(c, x, x))
+        asLong(v).foreach(x =>
+          points += c -> (points.getOrElse(c, Nil) :+ x).distinct)
       case In(c, vs) =>
-        val ls = vs.toSeq.flatMap(asLong)
-        if (ls.nonEmpty && ls.size == vs.length) {
+        val ls = vs.toSeq.flatMap(stat)
+        if (ls.nonEmpty && ls.size == vs.length)
           tighten(c, ls.min, ls.max)
-          points += c -> (points.getOrElse(c, Nil) ++ ls).distinct
-        }
-      case GreaterThan(c, v)        => asLong(v).foreach(x => tighten(c, x, Long.MaxValue))
-      case GreaterThanOrEqual(c, v) => asLong(v).foreach(x => tighten(c, x, Long.MaxValue))
-      case LessThan(c, v)           => asLong(v).foreach(x => tighten(c, Long.MinValue, x))
-      case LessThanOrEqual(c, v)    => asLong(v).foreach(x => tighten(c, Long.MinValue, x))
+        val ps = vs.toSeq.flatMap(asLong)
+        if (ps.nonEmpty && ps.size == vs.length)
+          points += c -> (points.getOrElse(c, Nil) ++ ps).distinct
+      case GreaterThan(c, v)        => stat(v).foreach(x => tighten(c, x, Long.MaxValue))
+      case GreaterThanOrEqual(c, v) => stat(v).foreach(x => tighten(c, x, Long.MaxValue))
+      case LessThan(c, v)           => stat(v).foreach(x => tighten(c, Long.MinValue, x))
+      case LessThanOrEqual(c, v)    => stat(v).foreach(x => tighten(c, Long.MinValue, x))
       case _ => () // unrecognized: contributes no pruning constraint
     }
     filters.foreach(walk)

@@ -723,6 +723,29 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // TEMPORAL data skipping through the registered source: orders
+    // clustered by o_orderdate with per-file wall-clock-micros ranges
+    // in the commit log; a pushed timestamp BETWEEN prunes files whose
+    // recorded range cannot intersect 1995 before Spark lists them
+    // (TxTableSpec pins date/NTZ/LTZ pruning on both paths), while the
+    // residual predicate and the oracle recompute the exact rows — a
+    // wrong epoch encoding (days vs micros, TZ shift) over- or
+    // under-prunes and breaks the hash.
+    Q("q_tx_date",
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders
+               WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                                     AND TIMESTAMP '1995-12-31 23:59:59'
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => s.read.format("txtable")
+        .load(ensureTxDate(s, dir))
+        .filter(expr("o_orderdate BETWEEN TIMESTAMP_NTZ'1995-01-01 00:00:00' " +
+          "AND TIMESTAMP_NTZ'1995-12-31 23:59:59'"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
@@ -815,7 +838,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 7) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 8) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -823,7 +846,7 @@ object Sources {
       // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z", "z3", "p", "r").foreach { n =>
+      Seq("t", "u", "c", "z", "z3", "p", "r", "d").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -874,6 +897,12 @@ object Sources {
       TxTable.overwrite(s, rt, docs.filter(col("doc_id") % 2 === 0))
       TxTable.overwrite(s, rt, docs.filter(col("doc_id") % 5 === 0))
       TxTable.restore(s, rt, 1)
+      // table "d": orders clustered by the TEMPORAL column o_orderdate
+      // (timestamp_ntz) — per-file wall-clock-micros (lo, hi) in the
+      // commit log, the 100-TB-typical `WHERE event_date >= X` pruning
+      // shape (q_tx_date reads a year through the pushed-filter path)
+      TxTable.overwriteClustered(s, s"$base/d", t(s, dir, "orders"),
+        "o_orderdate", numFiles = 8)
       ()
     }
 
@@ -885,6 +914,9 @@ object Sources {
 
   private[graft] def ensureTxClustered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/c"
+
+  private[graft] def ensureTxDate(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/d"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

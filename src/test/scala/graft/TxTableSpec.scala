@@ -288,12 +288,12 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.readRange(spark, t, "v", 0, 10)
     }
     assert(wrongCol.getMessage.contains("clustered by"))
-    // a non-long cluster column rejects BEFORE staging
+    // a non-stat-encodable cluster column rejects BEFORE staging
     val notLong = intercept[IllegalArgumentException] {
       TxTable.overwriteClustered(spark, fresh(),
         Seq(("a", 1L)).toDF("v", "id"), "v")
     }
-    assert(notLong.getMessage.contains("must be LongType"))
+    assert(notLong.getMessage.contains("integral, date or timestamp"))
   }
 
   test("z-ordered write + readBox: two-dimensional pruning, exact results") {
@@ -662,6 +662,116 @@ class TxTableSpec extends AnyFunSuite {
     assert(corner.count() === 64L)
     assert(TxTableSource.lastScanFiles.get.size < 16,
       "pushed 2-D box must prune z-ordered files from the log")
+  }
+
+  test("txtable source pushes filters into the inner parquet scan (row-group skipping)") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // cluster stats on id only; w is deliberately NOT log-indexed, so a
+    // w-predicate prunes ZERO files from the log — any cut in rows read
+    // must come from the inner parquet scan's footer pushdown (each
+    // 512-row file is one row group with its own w min/max)
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4096).select(col("id"), (col("id") + 1000000L).as("w")),
+      "id", numFiles = 8)
+    def recordsRead(action: => Unit): Long = {
+      val acc = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          acc.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { action; Thread.sleep(500) } // listener bus lag
+      finally spark.sparkContext.removeSparkListener(l)
+      acc.get
+    }
+    val full = recordsRead {
+      assert(spark.read.format("txtable").load(t).count() === 4096L)
+    }
+    assert(full >= 4096L, s"baseline scan reads everything: $full")
+    val selective = recordsRead {
+      assert(spark.read.format("txtable").load(t)
+        .filter(col("w") >= 1000100L && col("w") <= 1000200L).count() === 101L)
+    }
+    // the log kept ALL files (w has no recorded stats)…
+    assert(TxTableSource.lastScanFiles.get.size === 8,
+      "w is not log-indexed; no file-level pruning expected")
+    // …so the cut is the inner scan's: 7 of 8 row groups footer-skipped
+    assert(selective <= full / 4,
+      s"inner pushdown must row-group-skip: read $selective of $full rows")
+    // and the inner frame's executed plan carries the pushed predicate
+    val inner = TxTableSource.lastInnerFrame.get
+      .getOrElse(fail("buildScan did not record the inner frame"))
+    val innerPlan = inner.queryExecution.executedPlan.toString
+    assert(innerPlan.contains("PushedFilters") && innerPlan.contains("w"),
+      s"inner scan must push w-filters to parquet:\n$innerPlan")
+    assert(!innerPlan.contains("PushedFilters: []"),
+      "pushed filter list must be non-empty for a range predicate")
+  }
+
+  test("typed data-skipping: date/timestamp cluster columns prune through both paths") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // 512 consecutive days from 2024-01-01, date-clustered into 8 files
+    val days = spark.range(512).selectExpr(
+      "id", "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d",
+      "TIMESTAMP_NTZ'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS tn",
+      "TIMESTAMP'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS tz")
+    TxTable.overwriteClustered(spark, t, days, "d", numFiles = 8)
+    // programmatic typed path: java.sql.Date bounds
+    val lo = java.sql.Date.valueOf("2024-02-01")
+    val hi = java.sql.Date.valueOf("2024-02-29")
+    val got = TxTable.readRangeOf(spark, t, "d", lo, hi)
+    assert(got.count() === 29L)
+    assert(got.agg(org.apache.spark.sql.functions.min("d"),
+      org.apache.spark.sql.functions.max("d")).head() ===
+      org.apache.spark.sql.Row(lo, hi))
+    // the pruning really came from the log: a 29-day slice of a
+    // 512-day/8-file table intersects 1 file (64 days each)
+    val st = TxTable.snapshotState(spark, t, TxTable.latestVersion(spark, t))
+    val keptLog = st.files.count { f =>
+      val (flo, fhi) = st.stats(f)
+      fhi >= lo.toLocalDate.toEpochDay && flo <= hi.toLocalDate.toEpochDay
+    }
+    assert(keptLog < 8, s"date range must prune files from the log: $keptLog/8")
+    // registered-source path: pushed date predicates prune the same way
+    val viaFormat = spark.read.format("txtable").load(t)
+      .filter(col("d") >= lit(lo) && col("d") <= lit(hi))
+    assert(viaFormat.count() === 29L)
+    assert(TxTableSource.lastScanFiles.get.size === keptLog,
+      "pushed date range and programmatic path must keep the SAME files")
+    // timestamp (NTZ) cluster column: micros stats, LocalDateTime bound
+    val t2 = fresh()
+    TxTable.overwriteClustered(spark, t2, days, "tn", numFiles = 8)
+    val nlo = java.time.LocalDateTime.of(2024, 2, 1, 0, 0)
+    val nhi = java.time.LocalDateTime.of(2024, 2, 29, 0, 0)
+    assert(TxTable.readRangeOf(spark, t2, "tn", nlo, nhi).count() === 29L)
+    spark.read.format("txtable").load(t2)
+      .filter(col("tn") >= lit(nlo) && col("tn") <= lit(nhi)).count()
+    assert(TxTableSource.lastScanFiles.get.size < 8,
+      "pushed timestamp_ntz range must prune from the log")
+    // timestamp (LTZ) cluster column: stage forces TIMESTAMP_MICROS so
+    // footers carry usable stats (the INT96 default records none)
+    val t3 = fresh()
+    TxTable.overwriteClustered(spark, t3, days, "tz", numFiles = 8)
+    val st3 = TxTable.snapshotState(spark, t3, TxTable.latestVersion(spark, t3))
+    assert(st3.stats.size === st3.files.size,
+      "LTZ timestamp cluster column must have per-file stats (INT96 has none)")
+    val zlo = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val zhi = java.sql.Timestamp.valueOf("2024-02-29 00:00:00")
+    assert(TxTable.readRangeOf(spark, t3, "tz", zlo, zhi).count() === 29L)
+    spark.read.format("txtable").load(t3)
+      .filter(col("tz").between(lit(zlo), lit(zhi))).count()
+    assert(TxTableSource.lastScanFiles.get.size < 8,
+      "pushed timestamp range must prune from the log")
+    // float cluster columns stay rejected: their stats are not
+    // losslessly long-encodable and a wrong mapping DROPS files
+    val bad = intercept[IllegalArgumentException] {
+      TxTable.overwriteClustered(spark, fresh(),
+        spark.range(4).selectExpr("CAST(id AS DOUBLE) AS x"), "x")
+    }
+    assert(bad.getMessage.contains("integral, date or timestamp"))
   }
 
   test("pollChanges: durable-cursor incremental consumption, redelivery, idempotent ack") {
