@@ -1469,6 +1469,21 @@ object Dedup {
                         localFinishEdges: Long = 500000L): DataFrame = {
     require(localFinishEdges >= 0 && localFinishEdges < Int.MaxValue,
       s"localFinishEdges must be in [0, Int.MaxValue): $localFinishEdges")
+    // the long canonicalization below silently nulls NON-NUMERIC ids
+    // (string ids cast to NULL outside ANSI mode), and the half-null
+    // drop would then discard every pair — an empty result instead of
+    // an error. Reject non-integral id columns loudly instead; string
+    // ids need a keyed surrogate (e.g. xxhash64) from the caller.
+    Seq("doc_a", "doc_b").foreach { c =>
+      val dt = pairs.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"duplicateClusters id column '$c' must be an integral type, " +
+          s"got ${dt.simpleString} — map string ids to a stable " +
+          "surrogate (e.g. xxhash64) before clustering")
+    }
     // Ids are canonicalized to BIGINT and half-null pairs dropped ONCE
     // here, for every path below. Both matter for path equivalence:
     // least/greatest SKIP nulls, so a half-null pair (x, null) would

@@ -135,12 +135,26 @@ object Graphs {
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
                           dstCol: String,
-                          localFinishEdges: Long = 500000L): DataFrame =
+                          localFinishEdges: Long = 500000L): DataFrame = {
+    // validate BEFORE the long cast below would null non-numeric ids
+    // (duplicateClusters re-checks, but by then the cast already
+    // laundered the type and the error would name the wrong columns)
+    Seq(srcCol, dstCol).foreach { c =>
+      val dt = edges.schema(c).dataType
+      require(Seq(org.apache.spark.sql.types.LongType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.ByteType).contains(dt),
+        s"connectedComponents node column '$c' must be an integral " +
+          s"type, got ${dt.simpleString} — map string ids to a stable " +
+          "surrogate (e.g. xxhash64) first")
+    }
     Dedup.duplicateClusters(edges.select(
         col(srcCol).cast("long").as("doc_a"),
         col(dstCol).cast("long").as("doc_b")),
         localFinishEdges = localFinishEdges)
       .select(col("doc_id").as("node"), col("cluster").as("component"))
+  }
 
   /** Triangle count of an UNDIRECTED graph (direction and self-loops
     * ignored): one row (n_triangles, tri_mass) where tri_mass is the

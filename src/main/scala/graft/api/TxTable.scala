@@ -78,7 +78,8 @@ object TxTable {
                           blooms: Map[String, String] = Map.empty,
                           zbits: Int = 0,
                           op: Option[String] = None,
-                          cdf: Seq[String] = Nil)
+                          cdf: Seq[String] = Nil,
+                          schemaB64: Option[String] = None)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -111,6 +112,10 @@ object TxTable {
       (if (c.bloomBits == 0) "" else s""""bloomBits":${c.bloomBits},""") +
       (if (c.zbits == 0) "" else s""""zbits":${c.zbits},""") +
       c.op.map(o => s""""op":"$o",""").getOrElse("") +
+      // base64 of StructType.json — the alphabet [A-Za-z0-9+/=] is
+      // JSON-inert, so the hand-rolled parser stays regex-safe even
+      // though the schema document itself nests quotes and brackets
+      c.schemaB64.map(sc => s""""schemaB64":"$sc",""").getOrElse("") +
       (if (c.cdf.isEmpty) ""
        else s""""cdf":[${c.cdf.map("\"" + _ + "\"").mkString(",")}],""") +
       // bloom entries are bracket-free (hex payloads), so they stay
@@ -145,6 +150,7 @@ object TxTable {
   private val BloomRe = """\{"f":"([^"]+)","b":"([0-9a-f]*)"\}""".r
   private val ZBitsRe = """"zbits":(\d+)""".r
   private val OpRe = """"op":"(\w+)"""".r
+  private val SchemaB64Re = """"schemaB64":"([A-Za-z0-9+/=]+)"""".r
   private val CdfRe = """"cdf":\[([^\]]*)\]""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
   private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
@@ -183,7 +189,8 @@ object TxTable {
     OpRe.findFirstMatchIn(txt).map(_.group(1)),
     CdfRe.findFirstMatchIn(txt).map(m =>
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Nil))
+      .getOrElse(Nil),
+    SchemaB64Re.findFirstMatchIn(txt).map(_.group(1)))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -302,7 +309,8 @@ object TxTable {
                                  bloomCol: Option[String] = None,
                                  bloomBits: Int = 0,
                                  blooms: Map[String, String] = Map.empty,
-                                 zbits: Int = 0)
+                                 zbits: Int = 0,
+                                 schemaB64: Option[String] = None)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -314,7 +322,7 @@ object TxTable {
         val ck = parse(txt)
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
           ck.statsCol, ck.mstats, ck.statsCols,
-          ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits), cv)
+          ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits, ck.schemaB64), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -322,15 +330,20 @@ object TxTable {
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))
-        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2) =
+        // an overwrite's files define its schema, so any recorded head
+        // schema RESETS (unless the overwrite carries one itself); an
+        // append carrying schemaB64 (an evolveAppend) WIDENS the head
+        // schema, a plain append inherits it
+        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2) =
           if (c.action == "overwrite")
             (c.files, c.stats, c.statsCol, c.mstats, c.statsCols,
-              c.bloomCol, c.bloomBits, c.blooms, c.zbits)
+              c.bloomCol, c.bloomBits, c.blooms, c.zbits, c.schemaB64)
           else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
             st.mstats ++ c.mstats, st.statsCols,
-            st.bloomCol, st.bloomBits, st.blooms ++ c.blooms, st.zbits)
+            st.bloomCol, st.bloomBits, st.blooms ++ c.blooms, st.zbits,
+            c.schemaB64.orElse(st.schemaB64))
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
-          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2)
+          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2)
       }
   }
 
@@ -440,7 +453,8 @@ object TxTable {
                        blooms: Map[String, String] = Map.empty,
                        zbits: Int = 0,
                        op: Option[String] = None,
-                       cdf: Seq[String] = Nil)
+                       cdf: Seq[String] = Nil,
+                       schemaB64: Option[String] = None)
       : Option[Long] = {
     val hfs = fs(spark, path)
     require(!NonAtomicClaimSchemes.contains(hfs.getScheme) ||
@@ -455,7 +469,7 @@ object TxTable {
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
       stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,
-      zbits, op, cdf)
+      zbits, op, cdf, schemaB64)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -467,7 +481,8 @@ object TxTable {
             stats = st.stats, statsCol = st.statsCol,
             mstats = st.mstats, statsCols = st.statsCols,
             bloomCol = st.bloomCol, bloomBits = st.bloomBits,
-            blooms = st.blooms, zbits = st.zbits))
+            blooms = st.blooms, zbits = st.zbits,
+            schemaB64 = st.schemaB64))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -507,7 +522,8 @@ object TxTable {
                      blooms: Map[String, String] = Map.empty,
                      zbits: Int = 0,
                      op: Option[String] = None,
-                     cdf: Seq[String] = Nil): Long = {
+                     cdf: Seq[String] = Nil,
+                     schemaB64: Option[String] = None): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
@@ -519,7 +535,8 @@ object TxTable {
         case None =>
           commitAt(spark, path, latestVersion(spark, path) + 1,
               action, files, txn, stats, statsCol, mstats, statsCols,
-              bloomCol, bloomBits, blooms, zbits, op, cdf) match {
+              bloomCol, bloomBits, blooms, zbits, op, cdf,
+              schemaB64) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -544,20 +561,98 @@ object TxTable {
     if (v == 0) return // first commit defines the schema
     def shape(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => f.name -> f.dataType).toMap
-    // ONE footer, not the whole snapshot: every live file carries the
-    // full table schema (schema-on-write is what this check enforces),
-    // so reading the first is sufficient and keeps the per-append cost
-    // flat as the table accretes files
-    val table = shape(spark.read
-      .parquet(s"$path/${liveFiles(spark, path, v).head}").schema)
+    // the EFFECTIVE head schema: the log-recorded one when the table
+    // has evolved, else ONE footer — not the whole snapshot: absent
+    // evolution every live file carries the full table schema
+    // (schema-on-write is what this check enforces), so reading the
+    // first is sufficient and keeps the per-append cost flat as the
+    // table accretes files
+    val table = shape(stateSchema(spark, path,
+      foldState(fs(spark, path), path, v)))
     val staged = shape(df.schema)
     require(staged == table,
       s"$what schema mismatch for $path: table has $table, $what has $staged")
   }
 
+  private def schemaToB64(st: org.apache.spark.sql.types.StructType): String =
+    java.util.Base64.getEncoder.encodeToString(st.json.getBytes("UTF-8"))
+
+  private def schemaFromB64(b: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(
+      new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** The schema a snapshot READS UNDER: the log-recorded head schema
+    * when the table has evolved (so files staged before an
+    * [[evolveAppend]] null-fill the newer columns), else one live
+    * file's footer (every file carries the full schema when no
+    * evolution commit exists — the schema-on-write invariant
+    * [[requireSchemaMatch]] enforces).
+    */
+  private[graft] def stateSchema(spark: SparkSession, path: String,
+                                 st: State): org.apache.spark.sql.types.StructType =
+    st.schemaB64.map(schemaFromB64).getOrElse(
+      spark.read.parquet(s"$path/${st.files.head}").schema)
+
+  /** Read table files under the snapshot's effective schema. */
+  private def readStateFiles(spark: SparkSession, path: String,
+                             st: State, files: Seq[String]): DataFrame =
+    st.schemaB64 match {
+      case Some(b) =>
+        spark.read.schema(schemaFromB64(b)).parquet(files.map(f => s"$path/$f"): _*)
+      case None =>
+        spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    }
+
   /** Replace the table content (also the create form — v1 overwrite). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
     commit(spark, path, "overwrite", stage(spark, path, df))
+
+  /** Append with ADDITIVE schema evolution (the mergeSchema shape):
+    * new columns in `df` widen the table schema — recorded in the
+    * commit log, so every file staged BEFORE this commit reads back
+    * with the new columns null-filled — while columns `df` lacks stay
+    * (null-filled for the new rows). Type CHANGES reject loudly:
+    * silently casting 100 TB of history is never what a drifted
+    * producer meant. Time travel to a pre-evolution version reads the
+    * OLD schema (the head schema is folded, not global), and an
+    * [[overwrite]] resets evolution entirely — its files define a
+    * fresh schema. Same conflict-safe commit loop and `txn`
+    * idempotence as [[append]].
+    */
+  def evolveAppend(spark: SparkSession, path: String, df: DataFrame,
+                   txn: Option[String] = None): Long = {
+    import org.apache.spark.sql.types.StructType
+    val head = latestVersion(spark, path)
+    require(head >= 1,
+      s"evolveAppend needs an existing table at $path (create with overwrite)")
+    val st = foldState(fs(spark, path), path, head)
+    val table = stateSchema(spark, path, st)
+    val staged = df.schema
+    val conflicts = staged.fields.flatMap { f =>
+      table.fields.find(_.name == f.name).collect {
+        case t if t.dataType != f.dataType =>
+          s"'${f.name}': table ${t.dataType.simpleString} vs " +
+            s"append ${f.dataType.simpleString}"
+      }
+    }
+    require(conflicts.isEmpty,
+      s"evolveAppend is additive-only; type changes rejected for $path: " +
+        conflicts.mkString("; "))
+    // table columns keep their positions (readers' projections stay
+    // stable); columns either side lacks become nullable — rows from
+    // the other side's files have no values for them
+    val widened = StructType(
+      table.fields.map(f =>
+        if (staged.fieldNames.contains(f.name)) f else f.copy(nullable = true)) ++
+        staged.fields.filterNot(f => table.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true)))
+    txn.flatMap(txnLanded(spark, path, _)) match {
+      case Some(prior) => prior
+      case None => commit(spark, path, "append", stage(spark, path, df), txn,
+        schemaB64 = Some(schemaToB64(widened)))
+    }
+  }
 
   /** Overwrite CLUSTERED by a long-typed column: rows are
     * range-partitioned and sorted by `clusterCol`, and each staged
@@ -670,7 +765,7 @@ object TxTable {
     val kept = st.files.filter(rangeKeep(st, _, lo, hi))
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
-      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+      else readStateFiles(spark, path, st, kept)
     base.filter(col(clusterCol) >= lo && col(clusterCol) <= hi)
   }
 
@@ -763,7 +858,7 @@ object TxTable {
       box.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
-      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+      else readStateFiles(spark, path, st, kept)
     box.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
     }
@@ -893,7 +988,7 @@ object TxTable {
     val kept = st.files.filter(bloomKeep(st, _, values))
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
-      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+      else readStateFiles(spark, path, st, kept)
     base.filter(col(keyCol).isin(values: _*))
   }
 
@@ -978,7 +1073,7 @@ object TxTable {
     val kept = st.files.filter(rangeKeep(st, _, ll, hl))
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
-      else spark.read.parquet(kept.map(f => s"$path/$f"): _*)
+      else readStateFiles(spark, path, st, kept)
     base.filter(col(clusterCol) >= lit(lo) && col(clusterCol) <= lit(hi))
   }
 
@@ -1084,18 +1179,25 @@ object TxTable {
     import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion,
       s"changes needs fromVersion <= toVersion, got $fromVersion > $toVersion")
-    val from = liveFiles(spark, path, fromVersion).toSet
-    val to = liveFiles(spark, path, toVersion).toSet
+    val hfs0 = fs(spark, path)
+    require(logVersions(hfs0, path)._1.exists(_ <= fromVersion),
+      s"no commits at or below version $fromVersion in $path")
+    val stTo = foldState(hfs0, path, toVersion)
+    val from = foldState(hfs0, path, fromVersion).files.toSet
+    val to = stTo.files.toSet
     // an empty side must be an empty LOCAL relation, not a limit(0)
     // over the snapshot — the latter still lists the snapshot's files,
-    // and the whole point is that shared files are never touched; the
-    // schema comes from one footer of a live file
-    lazy val schema = spark.read
-      .parquet(s"$path/${(to ++ from).head}").schema
+    // and the whole point is that shared files are never touched. BOTH
+    // sides read under the TO-version's effective schema (one footer
+    // absent evolution), so a diff spanning an evolveAppend compares
+    // rows in one shape — pre-evolution files null-fill new columns
+    lazy val schema = stTo.schemaB64.map(_ => stateSchema(spark, path, stTo))
+      .getOrElse(spark.read.parquet(s"$path/${(to ++ from).head}").schema)
     def rd(fs: Set[String]): DataFrame =
       if (fs.isEmpty) spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
+      else spark.read.schema(schema)
+        .parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
     val added = rd(to -- from)
     val removed = rd(from -- to)
     added.exceptAll(removed).withColumn("_change", lit("insert"))
@@ -1161,7 +1263,11 @@ object TxTable {
         Some(changes(spark, path, c.version - 1, c.version)
           .withColumn(VersionCol, lit(c.version)))
     }
-    batches.reduceOption(_.unionByName(_)).getOrElse {
+    // allowMissingColumns: a window spanning an evolveAppend unions
+    // pre- and post-evolution batches — older batches null-fill the
+    // columns the evolution added (the feed reads in the window-head
+    // shape); identical-schema windows are unaffected
+    batches.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       // empty window: an empty frame with the table's shape. A table
       // with NO commits has no schema to shape it with — reject with
       // the real reason instead of letting readVersion(0)'s
@@ -1200,10 +1306,22 @@ object TxTable {
     *  - an empty window (`fromVersion == toVersion`) returns an empty
     *    frame and an ack that writes nothing.
     *
+    * ONE CONSUMER GROUP PER cursorDir: the cursor is the group. Two
+    * pollers sharing a cursorDir both read the same `from`, both
+    * process the window, and both ack — duplicate PROCESSING (the acks
+    * themselves stay idempotent), safe only when the downstream effect
+    * is idempotent, exactly like two members of one Kafka group
+    * rebalancing onto the same partition. Independent consumers each
+    * get their own cursorDir; there is no in-group partitioning to
+    * share. A cursor that is AHEAD of the table's head (the table was
+    * wiped and re-created under a surviving cursorDir) fails loudly
+    * with the cause and recovery named, never the bare
+    * from <= to precondition.
+    *
     * Cursor markers are one tiny file per acked head, O(polls with
-    * progress) — vacuum-style cleanup can drop all but the newest, but
-    * at one marker per consumed table version they are commit-log
-    * sized by construction.
+    * progress) — [[vacuumCursor]] drops all but the newest (the cursor
+    * itself); even unvacuumed they are commit-log sized by
+    * construction.
     */
   def pollChanges(spark: SparkSession, path: String,
                   cursorDir: String): ChangePoll = {
@@ -1217,6 +1335,17 @@ object TxTable {
         .sorted.lastOption.getOrElse(0L)
     val to = latestVersion(spark, path)
     require(to > 0, s"pollChanges on $path: the table has no commits yet")
+    // a cursor AHEAD of the head means the table was wiped and rebuilt
+    // (version renumbering) while the cursor dir survived — surfacing
+    // changesRows' from <= to precondition would misname the cause and
+    // offer no way out; name it and the recovery explicitly
+    if (from > to)
+      throw new IllegalStateException(
+        s"pollChanges on $path: cursor $cursorDir is at version $from " +
+          s"but the table's head is $to — the table was re-created " +
+          "(version renumbering) under a surviving cursor. Point the " +
+          "consumer at a fresh cursorDir (or delete the stale .ack " +
+          "markers) after re-processing the rebuilt table from scratch.")
     val changes = changesRows(spark, path, from, to)
     val ack: () => Unit = () =>
       if (to > from) {
@@ -1232,6 +1361,24 @@ object TxTable {
         }
       }
     ChangePoll(changes, from, to, ack)
+  }
+
+  /** Drop every superseded `.ack` marker under `cursorDir`, keeping
+    * only the NEWEST (the cursor itself — [[pollChanges]] reads the
+    * max, so older markers are dead weight: one file per consumed head
+    * accretes forever on a busy feed). Safe concurrently with a poller:
+    * the newest marker is never touched, and a marker landing DURING
+    * the sweep is newer still.
+    */
+  def vacuumCursor(spark: SparkSession, cursorDir: String): Int = {
+    val hfs = fs(spark, cursorDir)
+    val d = new org.apache.hadoop.fs.Path(cursorDir)
+    if (!hfs.exists(d)) return 0
+    val acks = hfs.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(_.matches("""\d{20}\.ack""")).sorted
+    acks.dropRight(1).map { n =>
+      hfs.delete(new org.apache.hadoop.fs.Path(s"$cursorDir/$n"), false)
+    }.count(identity)
   }
 
   /** Transactionally add rows; concurrent appends all land (commuting
@@ -1273,9 +1420,12 @@ object TxTable {
   /** Time travel: the table exactly as of `version`. */
   def readVersion(spark: SparkSession, path: String,
                   version: Long): DataFrame = {
-    val files = liveFiles(spark, path, version)
-    require(files.nonEmpty, s"version $version of $path holds no files")
-    spark.read.parquet(files.map(f => s"$path/$f"): _*)
+    val hfs = fs(spark, path)
+    require(logVersions(hfs, path)._1.exists(_ <= version),
+      s"no commits at or below version $version in $path")
+    val st = foldState(hfs, path, version)
+    require(st.files.nonEmpty, s"version $version of $path holds no files")
+    readStateFiles(spark, path, st, st.files)
   }
 
   /** Rewrite the current snapshot into `numFiles` files as an
@@ -1343,13 +1493,19 @@ object TxTable {
         // postimage vs insert is ONE left join against the head's key
         // set with a matched flag, not a semi + anti pair — one head
         // key scan instead of two per attempt
+        // collision-improbable working name (the __-prefix convention of
+        // Layout's __z*): a user table can legitimately carry a column
+        // named "_m", which would make this join ambiguous on the cdf
+        // path only — _change/_version are the documented reserved names,
+        // _m was not
         val tagged = updates.join(
-            head.select(keys: _*).distinct().withColumn("_m", lit(1)),
+            head.select(keys: _*).distinct()
+              .withColumn("__graft_matched", lit(1)),
             keyCols, "left")
           .withColumn(ChangeCol,
-            when(col("_m").isNotNull, lit("update_postimage"))
+            when(col("__graft_matched").isNotNull, lit("update_postimage"))
               .otherwise(lit("insert")))
-          .drop("_m")
+          .drop("__graft_matched")
         pre.unionByName(tagged)
       }
     rewriteHead(spark, path, "merge", cdfOf = changeRows)(head =>

@@ -99,7 +99,10 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
 
   override val schema: StructType = {
     require(state.files.nonEmpty, s"version $version of $path holds no files")
-    spark.read.parquet(s"$path/${state.files.head}").schema
+    // the EFFECTIVE snapshot schema: the log-recorded one when the
+    // table evolved (buildScan's .schema(...) read then null-fills the
+    // added columns for pre-evolution files), else one footer
+    TxTable.stateSchema(spark, path, state)
   }
 
   /** Log pruning never substitutes for evaluation: Spark re-applies

@@ -746,6 +746,73 @@ object Sources {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")),
 
+    // ADDITIVE SCHEMA EVOLUTION: the evolve demo table's v1 holds the
+    // doc_id%3=0 slice in (doc_id, source, n_chars); v2 evolveAppend'ed
+    // the %3=1 slice carrying a new `q` column, recording the widened
+    // schema in the commit log. The head leg reads v1's files with q
+    // NULL-FILLED (the oracle's union writes NULL explicitly); the v1
+    // leg time-travels to the pre-evolution snapshot, whose q must be
+    // null for EVERY row — a head schema leaking backwards, a dropped
+    // old row, or wrong null-fill all break the hash.
+    Q("q_tx_evolve",
+      Some("""WITH ev AS (
+                SELECT doc_id, source, n_chars, CAST(NULL AS BIGINT) AS q
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id, source, n_chars, (doc_id * 7) % 100 AS q
+                FROM documents WHERE doc_id % 3 = 1)
+              SELECT 'head' AS snap, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     CAST(SUM(q) AS BIGINT) AS qsum
+              FROM ev GROUP BY 1, 2
+              UNION ALL
+              SELECT 'v1' AS snap, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars,
+                     CAST(NULL AS BIGINT) AS qsum
+              FROM documents WHERE doc_id % 3 = 0 GROUP BY 1, 2
+              ORDER BY snap, source"""),
+      (s, dir) => {
+        val tbl = ensureTxEvolve(s, dir)
+        val head = graft.api.TxTable.read(s, tbl)
+          .groupBy(lit("head").as("snap"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            sum(col("q")).as("qsum"))
+        val v1 = graft.api.TxTable.readVersion(s, tbl, 1)
+          .groupBy(lit("v1").as("snap"), col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+            lit(null).cast("long").as("qsum"))
+        head.unionByName(v1).orderBy("snap", "source")
+      }),
+
+    // END-TO-END CDC PIPELINE: pollChanges (durable cursor) ->
+    // exactly-once txn-tagged append into a downstream audit table,
+    // one poll per upstream commit, WITH a crash redelivery in window
+    // 2 (the batch was processed twice before its ack; the txn id must
+    // land it once). The downstream head is the full change history of
+    // the upstream: creation inserts (%4=0), appended inserts (%4=1),
+    // then cdf deletes of every n_chars%5=0 row. The oracle replays
+    // that algebra over the source table — a double-landed redelivery,
+    // a skipped window, or a mis-tagged delete all break the hash.
+    Q("q_tx_pipeline",
+      Some("""WITH up AS (
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 4 = 1)
+              SELECT 'insert' AS change, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM up GROUP BY 2
+              UNION ALL
+              SELECT 'delete' AS change, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM up WHERE n_chars % 5 = 0 GROUP BY 2
+              ORDER BY change, source"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxPipeline(s, dir))
+        .groupBy(col("_change").as("change"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("change", "source")),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
@@ -838,7 +905,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 8) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 10) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -846,7 +913,7 @@ object Sources {
       // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z", "z3", "p", "r", "d").foreach { n =>
+      Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -903,6 +970,46 @@ object Sources {
       // shape (q_tx_date reads a year through the pushed-filter path)
       TxTable.overwriteClustered(s, s"$base/d", t(s, dir, "orders"),
         "o_orderdate", numFiles = 8)
+      // table "e": ADDITIVE SCHEMA EVOLUTION — v1 = the doc_id%3=0
+      // slice in the base shape, v2 = evolveAppend of the %3=1 slice
+      // carrying a new `q` column; the commit log records the widened
+      // schema, so v1's files read back with q null-filled while
+      // time travel to v1 still reads the ORIGINAL shape (q_tx_evolve
+      // checks both snapshots against the oracle's union semantics)
+      val et = s"$base/e"
+      TxTable.overwrite(s, et, docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "source", "n_chars"))
+      TxTable.evolveAppend(s, et, docs.filter(col("doc_id") % 3 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("doc_id") * 7 % 100).as("q")))
+      // tables "ps"/"pd" + cursor "pc": the END-TO-END CDC PIPELINE —
+      // pollChanges (consumer cursor) -> transform -> EXACTLY-ONCE
+      // txn-tagged append into a downstream audit table, one poll per
+      // upstream commit, with a simulated crash-redelivery in window 2
+      // (processed twice, acked once — the txn id must land it once or
+      // q_tx_pipeline's oracle breaks on doubled counts).
+      val psrc = s"$base/ps"; val pdst = s"$base/pd"; val pcur = s"$base/pc"
+      def pipePoll(): Unit = {
+        val p = TxTable.pollChanges(s, psrc, pcur)
+        if (p.toVersion > p.fromVersion) {
+          TxTable.append(s, pdst, p.changes, txn = Some(s"cdc:${p.toVersion}"))
+          p.ack()
+        }
+      }
+      TxTable.overwrite(s, psrc, docs.filter(col("doc_id") % 4 === 0)
+        .select("doc_id", "source", "n_chars"))
+      pipePoll() // window (0,1]: creation inserts
+      TxTable.append(s, psrc, docs.filter(col("doc_id") % 4 === 1)
+        .select("doc_id", "source", "n_chars"))
+      // window (1,2] with a crash BEFORE the ack: process, "crash",
+      // re-poll the SAME window, process again — the second landing is
+      // a txn-idempotent no-op, then ack
+      val crash = TxTable.pollChanges(s, psrc, pcur)
+      TxTable.append(s, pdst, crash.changes,
+        txn = Some(s"cdc:${crash.toVersion}"))
+      pipePoll() // the redelivery: same window, same txn, lands nothing
+      TxTable.deleteWhere(s, psrc, col("n_chars") % 5 === 0, cdf = true)
+      pipePoll() // window (2,3]: row-level deletes from the cdf staging
       ()
     }
 
@@ -917,6 +1024,12 @@ object Sources {
 
   private[graft] def ensureTxDate(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/d"
+
+  private[graft] def ensureTxEvolve(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/e"
+
+  private[graft] def ensureTxPipeline(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/pd"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

@@ -47,6 +47,23 @@ class ApiSpec extends AnyFunSuite {
     assert(keptPerCluster.filter(col("count") =!= 1).count() === 0)
   }
 
+  test("duplicateClusters/connectedComponents reject non-integral ids loudly") {
+    // string ids used to cast to NULL (non-ANSI) and silently return an
+    // EMPTY result — the failure must be an error naming the contract
+    val strPairs = spark.createDataFrame(Seq(("a", "b"), ("b", "c")))
+      .toDF("doc_a", "doc_b")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.duplicateClusters(strPairs)
+    }
+    assert(e1.getMessage.contains("integral") &&
+      e1.getMessage.contains("surrogate"))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.api.Graphs.connectedComponents(
+        spark.createDataFrame(Seq(("a", "b"))).toDF("s", "d"), "s", "d")
+    }
+    assert(e2.getMessage.contains("integral") && e2.getMessage.contains("'s'"))
+  }
+
   test("keepBestPerCluster keeps exactly the max-score member per component") {
     // planted components: {1,2,3} and {10,11}; 20 is a singleton outside
     val docsDf = spark.createDataFrame(Seq(

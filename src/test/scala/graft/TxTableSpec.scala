@@ -774,6 +774,64 @@ class TxTableSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("integral, date or timestamp"))
   }
 
+  test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    // new column lands; old files read back with it null-filled
+    TxTable.evolveAppend(spark, t,
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score"))
+    val head = TxTable.read(spark, t).orderBy("id")
+    assert(head.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(head.collect().map(r =>
+      (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSeq === Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", 30L), (4L, "d", 40L)))
+    // time travel BEFORE the evolution reads the old schema exactly
+    assert(TxTable.readVersion(spark, t, 1).schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+    // the registered source sees the widened schema and null-fills too
+    val viaFormat = spark.read.format("txtable").load(t)
+    assert(viaFormat.schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(viaFormat.agg(fsum("score")).head().getLong(0) === 70L)
+    // a subset evolveAppend (missing columns) lands with them null
+    TxTable.evolveAppend(spark, t, Seq(Tuple1(5L)).toDF("id"))
+    val r5 = TxTable.read(spark, t).filter(col("id") === 5L).head()
+    assert(r5.isNullAt(1) && r5.isNullAt(2))
+    // type changes reject loudly, additive-only
+    val bad = intercept[IllegalArgumentException] {
+      TxTable.evolveAppend(spark, t, Seq((6L, 99L)).toDF("id", "v"))
+    }
+    assert(bad.getMessage.contains("additive-only"))
+    // post-evolution plain appends must present the WIDENED schema
+    val strict = intercept[IllegalArgumentException] {
+      TxTable.append(spark, t, Seq((7L, "g")).toDF("id", "v"))
+    }
+    assert(strict.getMessage.contains("schema mismatch"))
+    TxTable.append(spark, t, Seq((7L, "g", 70L)).toDF("id", "v", "score"))
+    assert(TxTable.read(spark, t).count() === 6L)
+    // row-level CDF across the evolution boundary: early batches
+    // null-fill the added column, every insert accounted once
+    val feed = TxTable.changesRows(spark, t, 0, TxTable.latestVersion(spark, t))
+    assert(feed.schema.fieldNames.contains("score"))
+    assert(feed.filter(col("_change") === "insert").count() === 6L)
+    // compact materializes the widened shape; content identical
+    TxTable.compact(spark, t, numFiles = 2)
+    assert(TxTable.read(spark, t).orderBy("id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    // an overwrite RESETS evolution: fresh schema from its own files
+    TxTable.overwrite(spark, t, Seq((9L, 1.5)).toDF("id", "x"))
+    assert(TxTable.read(spark, t).schema.fieldNames.toSeq === Seq("id", "x"))
+    // the folded schema survives a checkpoint boundary (10+ commits)
+    val t2 = fresh()
+    TxTable.overwrite(spark, t2, Seq(Tuple1(1L)).toDF("id"))
+    TxTable.evolveAppend(spark, t2, Seq((2L, "w")).toDF("id", "tag"))
+    (3L to 12L).foreach(i => TxTable.append(spark, t2,
+      Seq((i, s"t$i")).toDF("id", "tag")))
+    assert(TxTable.latestVersion(spark, t2) === 12L)
+    assert(TxTable.read(spark, t2).schema.fieldNames.toSeq === Seq("id", "tag"))
+    assert(TxTable.read(spark, t2).filter(col("tag").isNull).count() === 1L)
+  }
+
   test("pollChanges: durable-cursor incremental consumption, redelivery, idempotent ack") {
     val t = fresh()
     val cursor = java.nio.file.Files
@@ -805,6 +863,45 @@ class TxTableSpec extends AnyFunSuite {
       Set((3L, "insert", 2L), (1L, "delete", 3L)))
     p3.ack()
     assert(TxTable.pollChanges(spark, t, cursor).changes.count() === 0L)
+  }
+
+  test("pollChanges: consumer-group semantics, stale cursor, marker vacuum") {
+    val t = fresh()
+    val cursor = java.nio.file.Files
+      .createTempDirectory("txcursor").toString + "/c"
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    // TWO pollers on ONE cursorDir = one consumer group: both read the
+    // same window (duplicate PROCESSING — the documented contract),
+    // both acks land idempotently
+    val a = TxTable.pollChanges(spark, t, cursor)
+    val b = TxTable.pollChanges(spark, t, cursor)
+    assert((a.fromVersion, a.toVersion) === (b.fromVersion, b.toVersion))
+    assert(a.changes.count() === 1L && b.changes.count() === 1L)
+    a.ack(); b.ack()
+    assert(TxTable.pollChanges(spark, t, cursor).changes.count() === 0L)
+    // marker vacuum: three acked heads leave three markers; vacuum
+    // keeps only the newest and the cursor still reads the same
+    TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.pollChanges(spark, t, cursor).ack()
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))
+    TxTable.pollChanges(spark, t, cursor).ack()
+    def markers() = new java.io.File(cursor).listFiles()
+      .count(_.getName.endsWith(".ack"))
+    assert(markers() === 3)
+    assert(TxTable.vacuumCursor(spark, cursor) === 2)
+    assert(markers() === 1)
+    val after = TxTable.pollChanges(spark, t, cursor)
+    assert((after.fromVersion, after.toVersion) === (3L, 3L))
+    // stale cursor (table wiped + rebuilt, cursor survives): a
+    // dedicated error naming the cause, not changesRows' precondition
+    graft.api.Dedup.hadoopFs(spark, t)
+      .delete(new org.apache.hadoop.fs.Path(t), true)
+    TxTable.overwrite(spark, t, Seq((9L, "z")).toDF("id", "v"))
+    val stale = intercept[IllegalStateException] {
+      TxTable.pollChanges(spark, t, cursor)
+    }
+    assert(stale.getMessage.contains("re-created") &&
+      stale.getMessage.contains("cursor"))
   }
 
   test("bloom positions: the driver probe replays the executor hash exactly") {
