@@ -79,7 +79,8 @@ object TxTable {
                           zbits: Int = 0,
                           op: Option[String] = None,
                           cdf: Seq[String] = Nil,
-                          schemaB64: Option[String] = None)
+                          schemaB64: Option[String] = None,
+                          sstats: Map[String, (String, String)] = Map.empty)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -118,6 +119,15 @@ object TxTable {
       c.schemaB64.map(sc => s""""schemaB64":"$sc",""").getOrElse("") +
       (if (c.cdf.isEmpty) ""
        else s""""cdf":[${c.cdf.map("\"" + _ + "\"").mkString(",")}],""") +
+      // sstats entries are bracket-free (base64 payloads): per-file
+      // TRUNCATED string bounds — lo is a prefix of the true min (a
+      // prefix never exceeds the full string in byte order), hi is the
+      // truncated max with its last byte incremented (>= every value),
+      // or "" for unbounded-above when the increment overflows
+      (if (c.sstats.isEmpty) ""
+       else s""""sstats":[${c.sstats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+         s"""{"f":"$f","lo":"$lo","hi":"$hi"}"""
+       }.mkString(",")}],""") +
       // bloom entries are bracket-free (hex payloads), so they stay
       // BEFORE mstats and a non-greedy scan parses them safely
       (if (c.blooms.isEmpty) ""
@@ -151,6 +161,9 @@ object TxTable {
   private val ZBitsRe = """"zbits":(\d+)""".r
   private val OpRe = """"op":"(\w+)"""".r
   private val SchemaB64Re = """"schemaB64":"([A-Za-z0-9+/=]+)"""".r
+  private val SStatsRe = """"sstats":\[(.*?)\]""".r
+  private val SStatRe =
+    """\{"f":"([^"]+)","lo":"([A-Za-z0-9+/=]*)","hi":"([A-Za-z0-9+/=]*)"\}""".r
   private val CdfRe = """"cdf":\[([^\]]*)\]""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
   private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
@@ -190,7 +203,11 @@ object TxTable {
     CdfRe.findFirstMatchIn(txt).map(m =>
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Nil),
-    SchemaB64Re.findFirstMatchIn(txt).map(_.group(1)))
+    SchemaB64Re.findFirstMatchIn(txt).map(_.group(1)),
+    SStatsRe.findFirstMatchIn(txt).map(m =>
+      SStatRe.findAllMatchIn(m.group(1)).map(x =>
+        x.group(1) -> (x.group(2), x.group(3))).toMap)
+      .getOrElse(Map.empty))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -310,7 +327,8 @@ object TxTable {
                                  bloomBits: Int = 0,
                                  blooms: Map[String, String] = Map.empty,
                                  zbits: Int = 0,
-                                 schemaB64: Option[String] = None)
+                                 schemaB64: Option[String] = None,
+                                 sstats: Map[String, (String, String)] = Map.empty)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State = {
@@ -322,7 +340,8 @@ object TxTable {
         val ck = parse(txt)
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
           ck.statsCol, ck.mstats, ck.statsCols,
-          ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits, ck.schemaB64), cv)
+          ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits, ck.schemaB64,
+          ck.sstats), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -334,16 +353,18 @@ object TxTable {
         // schema RESETS (unless the overwrite carries one itself); an
         // append carrying schemaB64 (an evolveAppend) WIDENS the head
         // schema, a plain append inherits it
-        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2) =
+        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2, ss2) =
           if (c.action == "overwrite")
             (c.files, c.stats, c.statsCol, c.mstats, c.statsCols,
-              c.bloomCol, c.bloomBits, c.blooms, c.zbits, c.schemaB64)
+              c.bloomCol, c.bloomBits, c.blooms, c.zbits, c.schemaB64,
+              c.sstats)
           else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
             st.mstats ++ c.mstats, st.statsCols,
             st.bloomCol, st.bloomBits, st.blooms ++ c.blooms, st.zbits,
-            c.schemaB64.orElse(st.schemaB64))
+            c.schemaB64.orElse(st.schemaB64), st.sstats ++ c.sstats)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
-          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2)
+          stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2,
+          ss2)
       }
   }
 
@@ -454,7 +475,8 @@ object TxTable {
                        zbits: Int = 0,
                        op: Option[String] = None,
                        cdf: Seq[String] = Nil,
-                       schemaB64: Option[String] = None)
+                       schemaB64: Option[String] = None,
+                       sstats: Map[String, (String, String)] = Map.empty)
       : Option[Long] = {
     val hfs = fs(spark, path)
     require(!NonAtomicClaimSchemes.contains(hfs.getScheme) ||
@@ -469,7 +491,7 @@ object TxTable {
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
       stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,
-      zbits, op, cdf, schemaB64)
+      zbits, op, cdf, schemaB64, sstats)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -482,7 +504,7 @@ object TxTable {
             mstats = st.mstats, statsCols = st.statsCols,
             bloomCol = st.bloomCol, bloomBits = st.bloomBits,
             blooms = st.blooms, zbits = st.zbits,
-            schemaB64 = st.schemaB64))
+            schemaB64 = st.schemaB64, sstats = st.sstats))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -523,7 +545,8 @@ object TxTable {
                      zbits: Int = 0,
                      op: Option[String] = None,
                      cdf: Seq[String] = Nil,
-                     schemaB64: Option[String] = None): Long = {
+                     schemaB64: Option[String] = None,
+                     sstats: Map[String, (String, String)] = Map.empty): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
@@ -536,7 +559,7 @@ object TxTable {
           commitAt(spark, path, latestVersion(spark, path) + 1,
               action, files, txn, stats, statsCol, mstats, statsCols,
               bloomCol, bloomBits, blooms, zbits, op, cdf,
-              schemaB64) match {
+              schemaB64, sstats) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -670,10 +693,12 @@ object TxTable {
                          clusterCol: String, numFiles: Int = 8,
                          bloomCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    require(statEncodable(df.schema(clusterCol).dataType),
-      s"cluster column '$clusterCol' must be an integral, date or " +
-        s"timestamp type (its parquet footer min/max must map exactly " +
-        s"onto the log's long ranges), got " +
+    val isStr =
+      df.schema(clusterCol).dataType == org.apache.spark.sql.types.StringType
+    require(isStr || statEncodable(df.schema(clusterCol).dataType),
+      s"cluster column '$clusterCol' must be an integral, date, " +
+        s"timestamp or string type (its parquet footer min/max must map " +
+        s"exactly onto the log's recorded ranges), got " +
         s"${df.schema(clusterCol).dataType} — validated BEFORE staging " +
         "so a bad call cannot orphan a staged dir")
     bloomCol.foreach(c =>
@@ -694,8 +719,12 @@ object TxTable {
       case None     => (0, Map.empty[String, String])
     }
     commit(spark, path, "overwrite", files,
-      stats = footerStats(spark, path, files, clusterCol),
+      stats =
+        if (isStr) Map.empty else footerStats(spark, path, files, clusterCol),
       statsCol = Some(clusterCol),
+      sstats =
+        if (isStr) footerStrStats(spark, path, files, clusterCol)
+        else Map.empty,
       bloomCol = bloomCol, bloomBits = bbits, blooms = blooms)
   }
 
@@ -742,6 +771,94 @@ object TxTable {
       } catch { case scala.util.control.NonFatal(_) => None }
     }.toMap
   }
+
+  /** Truncated string statistics — the Iceberg `truncate` shape. The
+    * log records per-file string bounds capped at [[StrStatMaxBytes]]
+    * UTF-8 bytes (base64-coded for the JSON log): a PREFIX of the true
+    * min is still ≤ every value in byte order, and the truncated max
+    * gets its last non-0xFF byte incremented so it stays ≥ every value
+    * (all-0xFF prefixes yield an UNBOUNDED max, encoded ""). Both Spark
+    * (UTF8String) and parquet (UTF8 logical type) compare strings as
+    * unsigned bytes, so the log's byte comparisons agree with the
+    * engine's — pinned by the spec against Spark's own sort order.
+    */
+  private[graft] val StrStatMaxBytes = 64
+
+  private[graft] def truncMin(b: Array[Byte]): Array[Byte] =
+    b.take(StrStatMaxBytes)
+
+  private[graft] def truncMax(b: Array[Byte]): Option[Array[Byte]] =
+    if (b.length <= StrStatMaxBytes) Some(b)
+    else {
+      val p = b.take(StrStatMaxBytes)
+      val i = p.lastIndexWhere(x => (x & 0xFF) < 0xFF)
+      if (i < 0) None // every prefix byte is 0xFF: no finite upper bound
+      else Some(p.take(i) :+ (p(i) + 1).toByte)
+    }
+
+  private def b64(b: Array[Byte]): String =
+    java.util.Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] =
+    java.util.Base64.getDecoder.decode(s)
+
+  /** Per-file truncated (min, max) of a STRING column from the parquet
+    * footers — the string twin of [[footerStats]]. A file whose chunks
+    * lack usable Binary statistics gets no entry (unprunable-but-read,
+    * the conservative direction); an entry's hi is "" when the
+    * truncated max has no finite upper bound.
+    */
+  private def footerStrStats(spark: SparkSession, path: String,
+                             files: Seq[String],
+                             colName: String): Map[String, (String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    files.flatMap { f =>
+      try {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$path/$f"), conf))
+        try {
+          val chunks = r.getFooter.getBlocks.asScala.flatMap(
+            _.getColumns.asScala.filter(_.getPath.toDotString == colName))
+          val ranges = chunks.flatMap { c =>
+            Option(c.getStatistics).filter(_.hasNonNullValue).flatMap(st =>
+              (st.genericGetMin, st.genericGetMax) match {
+                case (lo: org.apache.parquet.io.api.Binary,
+                      hi: org.apache.parquet.io.api.Binary) =>
+                  Some((lo.getBytes, hi.getBytes))
+                case _ => None
+              })
+          }
+          if (ranges.isEmpty || ranges.size != chunks.size) None
+          else {
+            val lo = ranges.map(_._1).min(
+              Ordering.comparatorToOrdering(
+                java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])))
+            val hi = ranges.map(_._2).max(
+              Ordering.comparatorToOrdering(
+                java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])))
+            Some(f -> (b64(truncMin(lo)),
+              truncMax(hi).map(b64).getOrElse("")))
+          }
+        } finally r.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.toMap
+  }
+
+  /** File `f` can hold a row with string value in [lo, hi] (either
+    * bound optional)? Missing sstats → unprunable (kept). */
+  private def strRangeKeep(st: State, f: String,
+                           lo: Option[Array[Byte]],
+                           hi: Option[Array[Byte]]): Boolean =
+    st.sstats.get(f) match {
+      case Some((flo, fhi)) =>
+        val cmp = java.util.Arrays.compareUnsigned(_: Array[Byte], _: Array[Byte])
+        // file max < query lo → out; file min > query hi → out
+        val belowLo = lo.exists(l => fhi.nonEmpty && cmp(unb64(fhi), l) < 0)
+        val aboveHi = hi.exists(h => cmp(unb64(flo), h) > 0)
+        !belowLo && !aboveHi
+      case None => true
+    }
 
   /** Range read over the cluster column: files whose recorded
     * (lo, hi) cannot intersect [lo, hi] are pruned FROM THE LOG before
@@ -1057,12 +1174,6 @@ object TxTable {
   def readRangeOf(spark: SparkSession, path: String, clusterCol: String,
                   lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (ll, hl) = (statLong(lo), statLong(hi)) match {
-      case (Some(a), Some(b)) => (a, b)
-      case _ => throw new IllegalArgumentException(
-        s"readRangeOf bounds must be integral/date/timestamp literals, " +
-          s"got ${lo.getClass.getName} / ${hi.getClass.getName}")
-    }
     val hfs = fs(spark, path)
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
@@ -1070,7 +1181,19 @@ object TxTable {
     st.statsCol.foreach(sc => require(sc == clusterCol,
       s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +
         "must use the clustered column (or read() + filter)"))
-    val kept = st.files.filter(rangeKeep(st, _, ll, hl))
+    val kept = (lo, hi) match {
+      case (ls: String, hs: String) =>
+        st.files.filter(strRangeKeep(st, _,
+          Some(ls.getBytes("UTF-8")), Some(hs.getBytes("UTF-8"))))
+      case _ =>
+        val (ll, hl) = (statLong(lo), statLong(hi)) match {
+          case (Some(a), Some(b)) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            s"readRangeOf bounds must be integral/date/timestamp/string " +
+              s"literals, got ${lo.getClass.getName} / ${hi.getClass.getName}")
+        }
+        st.files.filter(rangeKeep(st, _, ll, hl))
+    }
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else readStateFiles(spark, path, st, kept)
@@ -1126,16 +1249,24 @@ object TxTable {
     */
   private[graft] def prunedFiles(st: State,
                                  ranges: Map[String, (Long, Long)],
-                                 points: Map[String, Seq[Long]]): Seq[String] =
+                                 points: Map[String, Seq[Long]],
+                                 strRanges: Map[String,
+                                   (Option[String], Option[String])] = Map.empty)
+      : Seq[String] =
     st.files.filter { f =>
       val rangeOk = ranges.forall { case (c, (lo, hi)) =>
         (!st.statsCol.contains(c) || rangeKeep(st, f, lo, hi)) &&
           (!st.statsCols.contains(c) || boxKeep(st, f, c, lo, hi))
       }
+      val strOk = strRanges.forall { case (c, (lo, hi)) =>
+        !st.statsCol.contains(c) ||
+          strRangeKeep(st, f, lo.map(_.getBytes("UTF-8")),
+            hi.map(_.getBytes("UTF-8")))
+      }
       val pointOk = points.forall { case (c, vs) =>
         !st.bloomCol.contains(c) || bloomKeep(st, f, vs)
       }
-      rangeOk && pointOk
+      rangeOk && strOk && pointOk
     }
 
   /** Roll the table back (or forward) to exactly `version`'s content as

@@ -113,8 +113,8 @@ case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val (ranges, points) = TxTableRelation.constraints(filters)
-    val kept = TxTable.prunedFiles(state, ranges, points)
+    val (ranges, points, strRanges) = TxTableRelation.constraints(filters)
+    val kept = TxTable.prunedFiles(state, ranges, points, strRanges)
     TxTableSource.lastScanFiles.set(kept)
     val base: DataFrame =
       if (kept.isEmpty)
@@ -205,20 +205,51 @@ object TxTableRelation {
     * ranges exactly like an id range does.
     */
   private[graft] def constraints(filters: Array[Filter])
-      : (Map[String, (Long, Long)], Map[String, Seq[Long]]) = {
+      : (Map[String, (Long, Long)], Map[String, Seq[Long]],
+         Map[String, (Option[String], Option[String])]) = {
     var ranges = Map.empty[String, (Long, Long)]
     var points = Map.empty[String, Seq[Long]]
+    var strRanges = Map.empty[String, (Option[String], Option[String])]
     def tighten(c: String, lo: Long, hi: Long): Unit = {
       val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
       ranges += c -> (math.max(l0, lo), math.min(h0, hi))
     }
+    // string bounds intersect in UNSIGNED BYTE order — the order both
+    // Spark (UTF8String) and the recorded parquet stats compare in
+    def sTighten(c: String, lo: Option[String], hi: Option[String]): Unit = {
+      def bmax(a: String, b: String) =
+        if (java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) >= 0) a else b
+      def bmin(a: String, b: String) =
+        if (java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0) a else b
+      val (l0, h0) = strRanges.getOrElse(c, (None, None))
+      strRanges += c -> (
+        (l0, lo) match {
+          case (Some(a), Some(b)) => Some(bmax(a, b))
+          case (a, b)             => a.orElse(b)
+        },
+        (h0, hi) match {
+          case (Some(a), Some(b)) => Some(bmin(a, b))
+          case (a, b)             => a.orElse(b)
+        })
+    }
     def stat(v: Any): Option[Long] = TxTable.statLong(v)
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
+      case EqualTo(c, v: String) => sTighten(c, Some(v), Some(v))
       case EqualTo(c, v) =>
         stat(v).foreach(x => tighten(c, x, x))
         asLong(v).foreach(x =>
           points += c -> (points.getOrElse(c, Nil) :+ x).distinct)
+      case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val ss = vs.toSeq.map(_.asInstanceOf[String])
+        sTighten(c, Some(ss.reduce((a, b) =>
+            if (java.util.Arrays.compareUnsigned(
+              a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0) a else b)),
+          Some(ss.reduce((a, b) =>
+            if (java.util.Arrays.compareUnsigned(
+              a.getBytes("UTF-8"), b.getBytes("UTF-8")) >= 0) a else b)))
       case In(c, vs) =>
         val ls = vs.toSeq.flatMap(stat)
         if (ls.nonEmpty && ls.size == vs.length)
@@ -226,6 +257,10 @@ object TxTableRelation {
         val ps = vs.toSeq.flatMap(asLong)
         if (ps.nonEmpty && ps.size == vs.length)
           points += c -> (points.getOrElse(c, Nil) ++ ps).distinct
+      case GreaterThan(c, v: String)        => sTighten(c, Some(v), None)
+      case GreaterThanOrEqual(c, v: String) => sTighten(c, Some(v), None)
+      case LessThan(c, v: String)           => sTighten(c, None, Some(v))
+      case LessThanOrEqual(c, v: String)    => sTighten(c, None, Some(v))
       case GreaterThan(c, v)        => stat(v).foreach(x => tighten(c, x, Long.MaxValue))
       case GreaterThanOrEqual(c, v) => stat(v).foreach(x => tighten(c, x, Long.MaxValue))
       case LessThan(c, v)           => stat(v).foreach(x => tighten(c, Long.MinValue, x))
@@ -233,6 +268,6 @@ object TxTableRelation {
       case _ => () // unrecognized: contributes no pruning constraint
     }
     filters.foreach(walk)
-    (ranges, points)
+    (ranges, points, strRanges)
   }
 }

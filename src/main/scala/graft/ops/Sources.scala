@@ -746,6 +746,27 @@ object Sources {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")),
 
+    // STRING data skipping through the registered source: orders
+    // clustered by o_orderpriority with per-file TRUNCATED string
+    // bounds in the commit log (prefix min; max with its last byte
+    // incremented — both conservative by construction); a pushed
+    // equality prunes to the files whose recorded range covers the
+    // value, while the residual predicate and the oracle recompute the
+    // exact rows — a byte-order mismatch (signed vs unsigned, UTF-8 vs
+    // collation) over- or under-prunes and breaks the hash.
+    Q("q_tx_strkey",
+      Some(s"""SELECT o_orderstatus, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders
+               WHERE o_orderpriority = '1-URGENT'
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => s.read.format("txtable")
+        .load(ensureTxStr(s, dir))
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")),
+
     // ADDITIVE SCHEMA EVOLUTION: the evolve demo table's v1 holds the
     // doc_id%3=0 slice in (doc_id, source, n_chars); v2 evolveAppend'ed
     // the %3=1 slice carrying a new `q` column, recording the widened
@@ -905,7 +926,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 10) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 11) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -913,7 +934,7 @@ object Sources {
       // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc").foreach { n =>
+      Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -970,6 +991,12 @@ object Sources {
       // shape (q_tx_date reads a year through the pushed-filter path)
       TxTable.overwriteClustered(s, s"$base/d", t(s, dir, "orders"),
         "o_orderdate", numFiles = 8)
+      // table "s": orders clustered by the STRING column
+      // o_orderpriority — per-file TRUNCATED string bounds (base64 in
+      // the commit log; Iceberg's truncate shape) prune pushed string
+      // ranges/equalities (q_tx_strkey reads one priority class)
+      TxTable.overwriteClustered(s, s"$base/s", t(s, dir, "orders"),
+        "o_orderpriority", numFiles = 8)
       // table "e": ADDITIVE SCHEMA EVOLUTION — v1 = the doc_id%3=0
       // slice in the base shape, v2 = evolveAppend of the %3=1 slice
       // carrying a new `q` column; the commit log records the widened
@@ -1030,6 +1057,9 @@ object Sources {
 
   private[graft] def ensureTxPipeline(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/pd"
+
+  private[graft] def ensureTxStr(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/s"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

@@ -288,12 +288,13 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.readRange(spark, t, "v", 0, 10)
     }
     assert(wrongCol.getMessage.contains("clustered by"))
-    // a non-stat-encodable cluster column rejects BEFORE staging
+    // a non-stat-encodable cluster column (float: its footer stats are
+    // not losslessly long-encodable) rejects BEFORE staging
     val notLong = intercept[IllegalArgumentException] {
       TxTable.overwriteClustered(spark, fresh(),
-        Seq(("a", 1L)).toDF("v", "id"), "v")
+        Seq((0.5, 1L)).toDF("v", "id"), "v")
     }
-    assert(notLong.getMessage.contains("integral, date or timestamp"))
+    assert(notLong.getMessage.contains("integral, date"))
   }
 
   test("z-ordered write + readBox: two-dimensional pruning, exact results") {
@@ -771,7 +772,75 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.overwriteClustered(spark, fresh(),
         spark.range(4).selectExpr("CAST(id AS DOUBLE) AS x"), "x")
     }
-    assert(bad.getMessage.contains("integral, date or timestamp"))
+    assert(bad.getMessage.contains("integral, date"))
+  }
+
+  test("string data-skipping: truncated bounds prune, never drop") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // keys sorted by a string id; each of 8 files covers a contiguous
+    // slice, and a LONG shared prefix (> 64 bytes with the suffix)
+    // exercises the truncation path on every file bound
+    val longPfx = "section/" + ("x" * 70) + "/"
+    val rows = spark.range(512).selectExpr(
+      s"concat('$longPfx', lpad(CAST(id AS STRING), 6, '0')) AS k", "id")
+    TxTable.overwriteClustered(spark, t, rows, "k", numFiles = 8)
+    val st = TxTable.snapshotState(spark, t, TxTable.latestVersion(spark, t))
+    assert(st.sstats.size === 8, "every file gets truncated string bounds")
+    // truncation semantics pinned per file: recorded lo <= every value,
+    // recorded hi ("" = unbounded) >= every value, in unsigned byte order
+    val cmp = (a: Array[Byte], b: Array[Byte]) =>
+      java.util.Arrays.compareUnsigned(a, b)
+    val perFile = spark.read.parquet(st.files.map(f => s"$t/$f"): _*)
+      .selectExpr("input_file_name() AS f", "k").collect()
+      .groupBy(r => st.files.find(f => r.getString(0).endsWith(f)).get)
+    perFile.foreach { case (f, rs) =>
+      val (lo, hi) = st.sstats(f)
+      val loB = java.util.Base64.getDecoder.decode(lo)
+      rs.foreach { r =>
+        val v = r.getString(1).getBytes("UTF-8")
+        assert(cmp(loB, v) <= 0, s"lo bound must not exceed value in $f")
+        if (hi.nonEmpty)
+          assert(cmp(java.util.Base64.getDecoder.decode(hi), v) >= 0,
+            s"hi bound must cover value in $f")
+      }
+    }
+    // typed range over the truncated-bounds table: exact rows (the
+    // shared > 64-byte prefix makes every file's truncated bounds
+    // identical, so NO pruning is possible here — losing rows would be
+    // the bug; selectivity under truncation is pinned below on short keys)
+    val lo = longPfx + "000100"
+    val hi = longPfx + "000200"
+    assert(TxTable.readRangeOf(spark, t, "k", lo, hi).count() === 101L)
+    assert(spark.read.format("txtable").load(t)
+      .filter(col("k") >= lit(lo) && col("k") <= lit(hi)).count() === 101L)
+    // SHORT keys (< 64 bytes): bounds stay exact, pruning is real
+    val ts = fresh()
+    TxTable.overwriteClustered(spark, ts,
+      spark.range(512).selectExpr(
+        "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS k", "id"),
+      "k", numFiles = 8)
+    assert(TxTable.readRangeOf(spark, ts, "k", "k000100", "k000200")
+      .count() === 101L)
+    assert(spark.read.format("txtable").load(ts)
+      .filter(col("k") >= lit("k000100") && col("k") <= lit("k000200"))
+      .count() === 101L)
+    val keptRange = TxTableSource.lastScanFiles.get.size
+    assert(keptRange < 8, s"string range must prune from the log: $keptRange/8")
+    assert(spark.read.format("txtable").load(ts)
+      .filter(col("k") === lit("k000042")).count() === 1L)
+    assert(TxTableSource.lastScanFiles.get.size === 1,
+      "string equality must prune to the single covering file")
+    // byte-order agreement with Spark's own string comparison on
+    // non-ASCII (multi-byte UTF-8): what Spark keeps, pruning keeps
+    val t2 = fresh()
+    val uni = Seq("alpha", "zulu", "édition", "日本語", "ß-sharp", "Ω-omega")
+      .toDF("k").withColumn("id", lit(1L))
+    TxTable.overwriteClustered(spark, t2, uni, "k", numFiles = 3)
+    val want = uni.filter(col("k") >= "z").collect().map(_.getString(0)).toSet
+    val gotU = TxTable.readRangeOf(spark, t2, "k", "z", "￿￿")
+      .collect().map(_.getString(0)).toSet
+    assert(gotU === want, "unicode range must agree with Spark's comparison")
   }
 
   test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
