@@ -1,7 +1,11 @@
 package graft.api
 
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
 
@@ -16,24 +20,25 @@ import org.apache.spark.sql.types.StructType
   *   CREATE TABLE t USING txtable LOCATION '/data/events'       -- SQL DDL
   * }}}
   *
-  * Built on the PUBLIC V1 source API (`RelationProvider` +
-  * `PrunedFilteredScan`), the same integration seam Delta predated
-  * DSv2 with: Catalyst pushes the query's conjunctive filters into
-  * [[TxTableRelation.buildScan]], which maps them onto the COMMIT
-  * LOG's recorded metadata — cluster-column ranges, z-order
-  * rectangles, bloom point-sets ([[TxTable.prunedFiles]]) — so a
-  * WHERE clause prunes data files from the log alone before Spark
-  * lists or reads them, exactly what [[TxTable.readRange]] /
-  * [[TxTable.readBox]] / [[TxTable.readPoints]] do for programmatic
-  * callers (all four paths evaluate the SAME shared per-file
-  * predicates), but driven by the optimizer. Everything below the
-  * pruning is the ordinary parquet reader: full codegen, footer
-  * pushdown, column pruning via `requiredColumns`.
+  * Integration shape: a custom [[FileIndex]] under a plain
+  * `HadoopFsRelation` — the seam Delta Lake reads through
+  * (TahoeLogFileIndex). The index lists exactly the COMMIT LOG's live
+  * files for the pinned version and prunes them against the log's
+  * recorded metadata — cluster-column ranges, z-order rectangles,
+  * truncated string bounds, bloom point-sets ([[TxTable.prunedFiles]],
+  * the same per-file predicates [[TxTable.readRange]]/readBox/
+  * readPoints evaluate) — inside `listFiles`, where Spark hands it the
+  * query's data filters. Everything above the index is Spark's NATIVE
+  * parquet path: `FileSourceScanExec` with vectorized reads, footer/
+  * row-group pushdown (`PushedFilters` in the plan), whole-stage
+  * codegen, and exact filter evaluation — no `RDD[Row]` seam, no
+  * per-row conversion (the V1 `PrunedFilteredScan` this replaced
+  * materialized every surviving row as an external Row).
   *
-  * Correctness stance: [[TxTableRelation.unhandledFilters]] returns
-  * EVERY filter, so Spark re-applies the real predicates above the
-  * scan — log pruning is an optimization and can never change results
-  * (the conservative direction [[TxTable.prunedFiles]] guarantees).
+  * Correctness stance: file pruning is an optimization, never a
+  * correctness filter — a file is dropped only when the log's metadata
+  * PROVES no row can match, and the native scan still evaluates the
+  * real predicates on every row it reads.
   */
 class TxTableSource extends RelationProvider with DataSourceRegister {
 
@@ -56,130 +61,90 @@ class TxTableSource extends RelationProvider with DataSourceRegister {
         v
       case None => head
     }
-    TxTableRelation(sqlContext, path, version)
+    // ONE log fold per relation: schema, file statuses and every
+    // listFiles derive from this snapshot. Sound because the version
+    // is pinned here and data files are immutable.
+    val state = TxTable.snapshotState(spark, path, version)
+    require(state.files.nonEmpty, s"version $version of $path holds no files")
+    new HadoopFsRelation(
+      new TxFileIndex(spark, path, version, state),
+      partitionSchema = StructType(Nil),
+      dataSchema = TxTable.stateSchema(spark, path, state),
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
   }
 }
 
 object TxTableSource {
   /** Test observability: the relative file names the most recent
-    * buildScan ON THIS THREAD kept after log pruning (the spec pins
-    * pruning without reaching into the scan's internals). Thread-local
-    * because V1 buildScan runs on the thread planning the action —
-    * concurrent queries on other threads must not clobber an
-    * observer's value. Not a public API.
+    * `listFiles` FOR A GIVEN TABLE PATH kept after log pruning (the
+    * spec pins pruning without reaching into the scan's internals).
+    * Keyed by path — the native scan evaluates `listFiles` on a
+    * planner thread, not the caller's, so a thread-local could never
+    * observe it; per-path keying keeps concurrent queries on DIFFERENT
+    * tables from clobbering each other (same-table races are a
+    * test-only non-concern). Not a public API.
     */
-  private[graft] val lastScanFiles =
-    ThreadLocal.withInitial[Seq[String]](() => Nil)
+  private[graft] val lastScanFilesByPath =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  /** Test observability: the inner parquet DataFrame the most recent
-    * buildScan on this thread wrapped — the spec pins that the
-    * re-applied filters reach the inner scan's PushedFilters (footer /
-    * row-group skipping inside KEPT files), which the outer V1 plan
-    * cannot show. Not a public API.
-    */
-  private[graft] val lastInnerFrame =
-    ThreadLocal.withInitial[Option[DataFrame]](() => None)
+  private[graft] def lastScanFiles(path: String): Seq[String] =
+    Option(lastScanFilesByPath.get(path)).getOrElse(Nil)
 }
 
-case class TxTableRelation(sqlc: SQLContext, path: String, version: Long)
-    extends BaseRelation with PrunedFilteredScan {
+/** The commit log AS a [[FileIndex]]: `listFiles` is where Spark asks
+  * "which files, given these filters" — answered here from the log
+  * alone (no directory listing, no footer reads), which is the whole
+  * point of a lakehouse log at 100 TB: O(log) planning, not O(table).
+  *
+  * File statuses are fetched once at construction (one metadata RPC
+  * per live file, the listing cost every file index pays) and reused
+  * across every query planned against this relation instance.
+  */
+class TxFileIndex(spark: SparkSession, path: String, version: Long,
+                  state: TxTable.State) extends FileIndex {
 
-  private def spark = sqlc.sparkSession
-
-  /** ONE log fold per relation: schema and every buildScan derive from
-    * this snapshot instead of re-listing and re-folding the log per
-    * step (several object-store round-trips each on the S3-shaped
-    * deployments this layer targets). Sound because the version is
-    * pinned at construction and data files are immutable.
-    */
-  private lazy val state: TxTable.State =
-    TxTable.snapshotState(spark, path, version)
-
-  override def sqlContext: SQLContext = sqlc
-
-  override val schema: StructType = {
-    require(state.files.nonEmpty, s"version $version of $path holds no files")
-    // the EFFECTIVE snapshot schema: the log-recorded one when the
-    // table evolved (buildScan's .schema(...) read then null-fills the
-    // added columns for pre-evolution files), else one footer
-    TxTable.stateSchema(spark, path, state)
+  private val statuses: Seq[FileStatus] = {
+    val hfs = Dedup.hadoopFs(spark, path)
+    state.files.map(f => hfs.getFileStatus(new Path(s"$path/$f")))
   }
+  private val byName: Map[String, FileStatus] =
+    state.files.zip(statuses).toMap
 
-  /** Log pruning never substitutes for evaluation: Spark re-applies
-    * every predicate above the scan.
-    */
-  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
-    filters
+  override def rootPaths: Seq[Path] = Seq(new Path(path))
 
-  override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
-    val (ranges, points, strRanges) = TxTableRelation.constraints(filters)
+  override def partitionSchema: StructType = StructType(Nil)
+
+  override def sizeInBytes: Long = statuses.map(_.getLen).sum
+
+  override def inputFiles: Array[String] =
+    statuses.map(_.getPath.toString).toArray
+
+  /** The snapshot is immutable by construction — nothing to refresh. */
+  override def refresh(): Unit = ()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // Catalyst hands data filters as Expressions; translate through
+    // Spark's OWN source-filter translation (so the mapping onto
+    // ranges/points can never disagree with what a V2 source would
+    // see), then prune from the log's recorded metadata. Untranslatable
+    // predicates contribute no constraint — conservative.
+    val pushed = dataFilters.flatMap(
+      org.apache.spark.sql.execution.datasources.GraftFilterTranslation.translate)
+    val (ranges, points, strRanges) =
+      TxTableRelation.constraints(pushed.toArray)
     val kept = TxTable.prunedFiles(state, ranges, points, strRanges)
-    TxTableSource.lastScanFiles.set(kept)
-    val base: DataFrame =
-      if (kept.isEmpty)
-        spark.createDataFrame(new java.util.ArrayList[Row](), schema)
-      else
-        spark.read.schema(schema).parquet(kept.map(f => s"$path/$f"): _*)
-    // Re-apply every translatable filter INSIDE the inner frame: since
-    // unhandledFilters returns everything, Spark evaluates the real
-    // predicates above this RDD[Row] — correct, but above the V1 seam
-    // the parquet reader sees NO filter, so footer min/max row-group
-    // skipping inside KEPT files never happens and every surviving row
-    // pays materialization. Pushing the same conjuncts here restores
-    // the skipping (Catalyst forwards them to the parquet scan's
-    // PushedFilters); the double evaluation of a pushed predicate is
-    // the standard V1 idiom and costs nothing measurable.
-    val filtered = filters.toIndexedSeq
-      .flatMap(TxTableRelation.toColumn)
-      .reduceOption(_ && _)
-      .fold(base)(base.filter)
-    TxTableSource.lastInnerFrame.set(Some(filtered))
-    // column pruning: an empty projection (count(*)-style scans) still
-    // needs the right ROW COUNT, so keep the frame and drop the fields.
-    // Names are backtick-quoted — a parquet column named "a.b" is legal
-    // and a bare col("a.b") would misparse it as a struct field path.
-    filtered.select(requiredColumns.toIndexedSeq.map(n =>
-      org.apache.spark.sql.functions.col(
-        "`" + n.replace("`", "``") + "`")): _*).rdd
+    TxTableSource.lastScanFilesByPath.put(path, kept)
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(byName).toArray))
   }
 }
 
+/** The pushed-filter → log-constraint mapping, shared by
+  * [[TxFileIndex]] and the specs.
+  */
 object TxTableRelation {
-
-  /** Translate a pushed V1 Filter back into the EXACT Column expression
-    * Catalyst derived it from, so the inner parquet scan can push it to
-    * the footer level. Partial on purpose: a node with any
-    * untranslatable child yields None (never a weaker approximation —
-    * dropping rows the true predicate keeps would corrupt results,
-    * since the re-application above the seam cannot resurrect them).
-    * Each translated shape is the faithful inverse of
-    * DataSourceStrategy's translation, so filtering by it drops exactly
-    * the rows Spark's own re-evaluation would drop anyway.
-    */
-  private[graft] def toColumn(f: Filter)
-      : Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    def q(n: String) = col("`" + n.replace("`", "``") + "`")
-    f match {
-      case EqualTo(a, v)            => Some(q(a) === lit(v))
-      case EqualNullSafe(a, v)      => Some(q(a) <=> lit(v))
-      case GreaterThan(a, v)        => Some(q(a) > lit(v))
-      case GreaterThanOrEqual(a, v) => Some(q(a) >= lit(v))
-      case LessThan(a, v)           => Some(q(a) < lit(v))
-      case LessThanOrEqual(a, v)    => Some(q(a) <= lit(v))
-      case In(a, vs)                => Some(q(a).isin(vs.toIndexedSeq: _*))
-      case IsNull(a)                => Some(q(a).isNull)
-      case IsNotNull(a)             => Some(q(a).isNotNull)
-      case StringStartsWith(a, v)   => Some(q(a).startsWith(v))
-      case StringEndsWith(a, v)     => Some(q(a).endsWith(v))
-      case StringContains(a, v)     => Some(q(a).contains(v))
-      case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
-      case Or(l, r)  => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-      case Not(x)    => toColumn(x).map(!_)
-      case _         => None
-    }
-  }
 
   /** Bloom probes hash RAW LONGS ([[TxTable.bloomStats]]'s contract),
     * so only genuinely integral filter values may become point
@@ -194,15 +159,16 @@ object TxTableRelation {
     case _                    => None
   }
 
-  /** Map Catalyst's pushed conjunction onto the log metadata's two
+  /** Map Catalyst's pushed conjunction onto the log metadata's
     * constraint shapes. Conservative by construction: anything not
-    * recognized (Or, string predicates, IsNull, casts…) contributes no
-    * constraint, multiple bounds on one column intersect (the filters
-    * array is a conjunction), and open bounds use the INCLUSIVE
-    * neighbor so a file on the boundary is never dropped. Range bounds
-    * accept integral AND date/timestamp values — `WHERE event_date >=
-    * X` over a date-clustered table prunes from the log's epoch-day
-    * ranges exactly like an id range does.
+    * recognized (Or, IsNull, casts…) contributes no constraint,
+    * multiple bounds on one column intersect (the filters array is a
+    * conjunction), and open bounds use the INCLUSIVE neighbor so a
+    * file on the boundary is never dropped. Range bounds accept
+    * integral AND date/timestamp values — `WHERE event_date >= X` over
+    * a date-clustered table prunes from the log's epoch-day ranges
+    * exactly like an id range does; string bounds intersect in the
+    * unsigned byte order both Spark and parquet compare strings in.
     */
   private[graft] def constraints(filters: Array[Filter])
       : (Map[String, (Long, Long)], Map[String, Seq[Long]],
@@ -214,23 +180,17 @@ object TxTableRelation {
       val (l0, h0) = ranges.getOrElse(c, (Long.MinValue, Long.MaxValue))
       ranges += c -> (math.max(l0, lo), math.min(h0, hi))
     }
-    // string bounds intersect in UNSIGNED BYTE order — the order both
-    // Spark (UTF8String) and the recorded parquet stats compare in
+    def bcmp(a: String, b: String): Int =
+      java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
     def sTighten(c: String, lo: Option[String], hi: Option[String]): Unit = {
-      def bmax(a: String, b: String) =
-        if (java.util.Arrays.compareUnsigned(
-          a.getBytes("UTF-8"), b.getBytes("UTF-8")) >= 0) a else b
-      def bmin(a: String, b: String) =
-        if (java.util.Arrays.compareUnsigned(
-          a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0) a else b
       val (l0, h0) = strRanges.getOrElse(c, (None, None))
       strRanges += c -> (
         (l0, lo) match {
-          case (Some(a), Some(b)) => Some(bmax(a, b))
+          case (Some(a), Some(b)) => Some(if (bcmp(a, b) >= 0) a else b)
           case (a, b)             => a.orElse(b)
         },
         (h0, hi) match {
-          case (Some(a), Some(b)) => Some(bmin(a, b))
+          case (Some(a), Some(b)) => Some(if (bcmp(a, b) <= 0) a else b)
           case (a, b)             => a.orElse(b)
         })
     }
@@ -244,12 +204,9 @@ object TxTableRelation {
           points += c -> (points.getOrElse(c, Nil) :+ x).distinct)
       case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         val ss = vs.toSeq.map(_.asInstanceOf[String])
-        sTighten(c, Some(ss.reduce((a, b) =>
-            if (java.util.Arrays.compareUnsigned(
-              a.getBytes("UTF-8"), b.getBytes("UTF-8")) <= 0) a else b)),
-          Some(ss.reduce((a, b) =>
-            if (java.util.Arrays.compareUnsigned(
-              a.getBytes("UTF-8"), b.getBytes("UTF-8")) >= 0) a else b)))
+        sTighten(c,
+          Some(ss.reduce((a, b) => if (bcmp(a, b) <= 0) a else b)),
+          Some(ss.reduce((a, b) => if (bcmp(a, b) >= 0) a else b)))
       case In(c, vs) =>
         val ls = vs.toSeq.flatMap(stat)
         if (ls.nonEmpty && ls.size == vs.length)

@@ -628,14 +628,14 @@ class TxTableSpec extends AnyFunSuite {
     val n = spark.read.format("txtable").load(t)
       .filter(col("id") >= 100L && col("id") <= 200L).count()
     assert(n === 101L)
-    val keptRange = TxTableSource.lastScanFiles.get
+    val keptRange = TxTableSource.lastScanFiles(t)
     assert(keptRange.nonEmpty && keptRange.size < 8,
       s"range pushdown must prune from the log: kept ${keptRange.size}/8")
     // pushed equality on the bloom column prunes too, exact rows back
     val rows = spark.read.format("txtable").load(t)
       .filter(col("b") === 42L).select("id").collect().map(_.getLong(0)).toSet
     assert(rows === Set(6L))
-    assert(TxTableSource.lastScanFiles.get.size < 8,
+    assert(TxTableSource.lastScanFiles(t).size < 8,
       "bloom pushdown must prune from the log")
     // unrecognized predicates prune nothing but stay correct
     assert(spark.read.format("txtable").load(t)
@@ -661,16 +661,16 @@ class TxTableSpec extends AnyFunSuite {
     val corner = spark.read.format("txtable").load(z)
       .filter(col("x") <= 7L && col("y") <= 7L)
     assert(corner.count() === 64L)
-    assert(TxTableSource.lastScanFiles.get.size < 16,
+    assert(TxTableSource.lastScanFiles(z).size < 16,
       "pushed 2-D box must prune z-ordered files from the log")
   }
 
-  test("txtable source pushes filters into the inner parquet scan (row-group skipping)") {
+  test("txtable source reads through the NATIVE parquet scan: pushdown + row-group skipping") {
     import graft.api.TxTableSource
     val t = fresh()
     // cluster stats on id only; w is deliberately NOT log-indexed, so a
     // w-predicate prunes ZERO files from the log — any cut in rows read
-    // must come from the inner parquet scan's footer pushdown (each
+    // must come from the native parquet scan's footer pushdown (each
     // 512-row file is one row group with its own w min/max)
     TxTable.overwriteClustered(spark, t,
       spark.range(4096).select(col("id"), (col("id") + 1000000L).as("w")),
@@ -691,24 +691,24 @@ class TxTableSpec extends AnyFunSuite {
       assert(spark.read.format("txtable").load(t).count() === 4096L)
     }
     assert(full >= 4096L, s"baseline scan reads everything: $full")
-    val selective = recordsRead {
-      assert(spark.read.format("txtable").load(t)
-        .filter(col("w") >= 1000100L && col("w") <= 1000200L).count() === 101L)
-    }
+    val sel = spark.read.format("txtable").load(t)
+      .filter(col("w") >= 1000100L && col("w") <= 1000200L)
+    val selective = recordsRead { assert(sel.count() === 101L) }
     // the log kept ALL files (w has no recorded stats)…
-    assert(TxTableSource.lastScanFiles.get.size === 8,
+    assert(TxTableSource.lastScanFiles(t).size === 8,
       "w is not log-indexed; no file-level pruning expected")
-    // …so the cut is the inner scan's: 7 of 8 row groups footer-skipped
+    // …so the cut is the native scan's: 7 of 8 row groups footer-skipped
     assert(selective <= full / 4,
-      s"inner pushdown must row-group-skip: read $selective of $full rows")
-    // and the inner frame's executed plan carries the pushed predicate
-    val inner = TxTableSource.lastInnerFrame.get
-      .getOrElse(fail("buildScan did not record the inner frame"))
-    val innerPlan = inner.queryExecution.executedPlan.toString
-    assert(innerPlan.contains("PushedFilters") && innerPlan.contains("w"),
-      s"inner scan must push w-filters to parquet:\n$innerPlan")
-    assert(!innerPlan.contains("PushedFilters: []"),
-      "pushed filter list must be non-empty for a range predicate")
+      s"native pushdown must row-group-skip: read $selective of $full rows")
+    // the relation plans as Spark's NATIVE FileScan (no RDD[Row] seam):
+    // vectorized parquet, predicates in PushedFilters, codegen above
+    val plan = sel.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    assert(plan.contains("FileScan parquet"),
+      s"txtable must plan as a native parquet FileScan:\n$plan")
+    assert(plan.contains("PushedFilters") && !plan.contains("PushedFilters: []")
+      && plan.contains("w"),
+      s"the native scan must carry the pushed w-filters:\n$plan")
   }
 
   test("typed data-skipping: date/timestamp cluster columns prune through both paths") {
@@ -740,7 +740,7 @@ class TxTableSpec extends AnyFunSuite {
     val viaFormat = spark.read.format("txtable").load(t)
       .filter(col("d") >= lit(lo) && col("d") <= lit(hi))
     assert(viaFormat.count() === 29L)
-    assert(TxTableSource.lastScanFiles.get.size === keptLog,
+    assert(TxTableSource.lastScanFiles(t).size === keptLog,
       "pushed date range and programmatic path must keep the SAME files")
     // timestamp (NTZ) cluster column: micros stats, LocalDateTime bound
     val t2 = fresh()
@@ -750,7 +750,7 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readRangeOf(spark, t2, "tn", nlo, nhi).count() === 29L)
     spark.read.format("txtable").load(t2)
       .filter(col("tn") >= lit(nlo) && col("tn") <= lit(nhi)).count()
-    assert(TxTableSource.lastScanFiles.get.size < 8,
+    assert(TxTableSource.lastScanFiles(t2).size < 8,
       "pushed timestamp_ntz range must prune from the log")
     // timestamp (LTZ) cluster column: stage forces TIMESTAMP_MICROS so
     // footers carry usable stats (the INT96 default records none)
@@ -764,7 +764,7 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readRangeOf(spark, t3, "tz", zlo, zhi).count() === 29L)
     spark.read.format("txtable").load(t3)
       .filter(col("tz").between(lit(zlo), lit(zhi))).count()
-    assert(TxTableSource.lastScanFiles.get.size < 8,
+    assert(TxTableSource.lastScanFiles(t3).size < 8,
       "pushed timestamp range must prune from the log")
     // float cluster columns stay rejected: their stats are not
     // losslessly long-encodable and a wrong mapping DROPS files
@@ -825,11 +825,11 @@ class TxTableSpec extends AnyFunSuite {
     assert(spark.read.format("txtable").load(ts)
       .filter(col("k") >= lit("k000100") && col("k") <= lit("k000200"))
       .count() === 101L)
-    val keptRange = TxTableSource.lastScanFiles.get.size
+    val keptRange = TxTableSource.lastScanFiles(ts).size
     assert(keptRange < 8, s"string range must prune from the log: $keptRange/8")
     assert(spark.read.format("txtable").load(ts)
       .filter(col("k") === lit("k000042")).count() === 1L)
-    assert(TxTableSource.lastScanFiles.get.size === 1,
+    assert(TxTableSource.lastScanFiles(ts).size === 1,
       "string equality must prune to the single covering file")
     // byte-order agreement with Spark's own string comparison on
     // non-ASCII (multi-byte UTF-8): what Spark keeps, pruning keeps
