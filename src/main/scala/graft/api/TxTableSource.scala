@@ -40,9 +40,78 @@ import org.apache.spark.sql.types.StructType
   * PROVES no row can match, and the native scan still evaluates the
   * real predicates on every row it reads.
   */
-class TxTableSource extends RelationProvider with DataSourceRegister {
+class TxTableSource extends RelationProvider with CreatableRelationProvider
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "txtable"
+
+  /** The STREAMING sink half:
+    * `stream.writeStream.format("txtable").option("appId", id).start(path)`.
+    * Each micro-batch lands as one txn-tagged append (`appId:batchId`),
+    * so checkpoint redelivery re-presents the same txn and lands
+    * nothing twice — the exactly-once contract of
+    * [[TxTable.streamAppend]] behind the standard sink API instead of
+    * foreachBatch. Append output mode only (a transactional LOG of
+    * appends has no in-place update/complete semantics).
+    */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txtable sink needs a path: .writeStream.format(\"txtable\").start(path)"))
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"txtable sink supports Append output mode only, got $outputMode")
+    require(partitionColumns.isEmpty,
+      "txtable sink does not partition by columns (cluster with " +
+        "overwriteClustered / z-order instead)")
+    // appId scopes txn idempotence: default to the checkpoint location
+    // when present (stable across restarts of the same query), else a
+    // fixed tag — two DIFFERENT queries appending to one table should
+    // set distinct appIds
+    val appId = parameters.get("appId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse("txtable-sink")
+    new TxTableSink(sqlContext.sparkSession, path, appId)
+  }
+
+  /** The WRITE half: `df.write.format("txtable").mode(m).save(path)`.
+    * SaveMode maps onto the transactional verbs —
+    * Append → [[TxTable.append]] (or [[TxTable.evolveAppend]] with
+    * `option("evolve", "true")`; `option("txn", id)` makes it
+    * idempotent), Overwrite → [[TxTable.overwrite]],
+    * ErrorIfExists/Ignore consult the log's head. Every mode lands ONE
+    * atomic commit with the full concurrency story (optimistic claim
+    * loop, snapshot isolation for readers).
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txtable needs a path: df.write.format(\"txtable\").save(path)"))
+    val spark = sqlContext.sparkSession
+    val exists = TxTable.latestVersion(spark, path) > 0
+    val txn = parameters.get("txn")
+    val evolve = parameters.get("evolve").exists(_.toBoolean)
+    import org.apache.spark.sql.SaveMode._
+    mode match {
+      case Append if !exists  => TxTable.overwrite(spark, path, data)
+      case Append if evolve   => TxTable.evolveAppend(spark, path, data, txn)
+      case Append             => TxTable.append(spark, path, data, txn)
+      case Overwrite          => TxTable.overwrite(spark, path, data)
+      case ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"txtable at $path already exists (SaveMode.ErrorIfExists)")
+      case ErrorIfExists      => TxTable.overwrite(spark, path, data)
+      case Ignore if exists   => () // documented no-op
+      case Ignore             => TxTable.overwrite(spark, path, data)
+    }
+    createRelation(sqlContext, parameters - "txn" - "evolve")
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -74,6 +143,23 @@ class TxTableSource extends RelationProvider with DataSourceRegister {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
   }
+}
+
+/** The V1 streaming sink: one txn-tagged [[TxTable.append]] per
+  * micro-batch. The batch frame is PINNED to this batch's RDD first
+  * (the ForeachBatchSink materialization, via the package shim) so the
+  * append's staging write can never lazily re-read source offsets.
+  */
+class TxTableSink(spark: SparkSession, path: String, appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val pinned = org.apache.spark.sql.execution.datasources
+      .GraftBatchMaterialize.pin(data)
+    TxTable.append(spark, path, pinned, txn = Some(s"$appId:$batchId"))
+    ()
+  }
+  override def toString: String = s"TxTableSink[$path]"
 }
 
 object TxTableSource {

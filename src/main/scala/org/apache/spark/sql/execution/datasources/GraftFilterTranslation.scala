@@ -15,3 +15,20 @@ object GraftFilterTranslation {
   def translate(e: Expression): Option[Filter] =
     DataSourceStrategy.translateFilter(e, supportNestedPredicatePushdown = true)
 }
+
+/** Second shim, same policy: a V1 streaming `Sink.addBatch` hands a
+  * DataFrame whose incremental plan must be PINNED to this
+  * micro-batch's RDD before any further (lazy) consumption — otherwise
+  * a re-execution could re-read the source offsets. This is verbatim
+  * what Spark's own ForeachBatchSink does (toRdd → LogicalRDD →
+  * Dataset.ofRows), all `private[sql]`.
+  */
+object GraftBatchMaterialize {
+  def pin(data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cds = data.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      cds.queryExecution.toRdd, cds, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession, node)
+  }
+}

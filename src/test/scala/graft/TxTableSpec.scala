@@ -901,6 +901,76 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, t2).filter(col("tag").isNull).count() === 1L)
   }
 
+  test("write.format(txtable): SaveModes map onto transactional verbs") {
+    val t = fresh()
+    def w(df: org.apache.spark.sql.DataFrame) = df.write.format("txtable")
+    // first Append creates (v1); second appends (v2)
+    w(Seq((1L, "a")).toDF("id", "v")).mode("append").save(t)
+    w(Seq((2L, "b")).toDF("id", "v")).mode("append").save(t)
+    assert(rows(t) === Set((1L, "a"), (2L, "b")))
+    assert(TxTable.latestVersion(spark, t) === 2L)
+    // txn option: redelivered append lands nothing twice
+    w(Seq((3L, "c")).toDF("id", "v")).mode("append").option("txn", "w:1").save(t)
+    w(Seq((3L, "c")).toDF("id", "v")).mode("append").option("txn", "w:1").save(t)
+    assert(TxTable.read(spark, t).count() === 3L)
+    assert(TxTable.latestVersion(spark, t) === 3L)
+    // evolve option: additive schema evolution through the writer
+    w(Seq((4L, "d", 40L)).toDF("id", "v", "score"))
+      .mode("append").option("evolve", "true").save(t)
+    assert(spark.read.format("txtable").load(t).schema.fieldNames.toSeq ===
+      Seq("id", "v", "score"))
+    // overwrite replaces; history intact
+    w(Seq((9L, "z")).toDF("id", "v")).mode("overwrite").save(t)
+    assert(rows(t) === Set((9L, "z")))
+    assert(TxTable.readVersion(spark, t, 3).count() === 3L)
+    // errorifexists / ignore consult the log's head
+    intercept[IllegalStateException] {
+      w(Seq((1L, "x")).toDF("id", "v")).mode("errorifexists").save(t)
+    }
+    w(Seq((1L, "x")).toDF("id", "v")).mode("ignore").save(t) // no-op
+    assert(rows(t) === Set((9L, "z")))
+    val t2 = fresh()
+    w(Seq((1L, "x")).toDF("id", "v")).mode("ignore").save(t2) // creates
+    assert(rows(t2) === Set((1L, "x")))
+  }
+
+  test("writeStream.format(txtable): exactly-once sink across checkpoint redelivery") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txsink").toString
+    val t = s"$base/table"
+    (0 until 3).foreach(i =>
+      spark.range(i * 10, i * 10 + 10).select(col("id"),
+          concat(lit("r"), col("id")).as("v"))
+        .coalesce(1).write.parquet(s"$base/src/s$i"))
+    val sch = spark.read.parquet(s"$base/src/s0").schema
+    def run(ck: String): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src/s*")
+        .writeStream.format("txtable")
+        .option("appId", "sinktest")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+    }
+    run(s"$base/ck1")
+    assert(TxTable.read(spark, t).count() === 30L)
+    // a FRESH checkpoint redelivers every batch with the same batch
+    // ids: the txn markers in the log absorb all of them
+    run(s"$base/ck2")
+    assert(TxTable.read(spark, t).count() === 30L,
+      "redelivered micro-batches land nothing twice")
+    // non-append output mode rejects at sink construction
+    val bad = intercept[Exception] {
+      spark.readStream.schema(sch).parquet(s"$base/src/s*")
+        .groupBy("v").count()
+        .writeStream.format("txtable")
+        .outputMode("complete")
+        .option("checkpointLocation", s"$base/ck3")
+        .trigger(Trigger.AvailableNow()).start(s"$base/t2")
+    }
+    assert(bad.getMessage.toLowerCase.contains("append"))
+  }
+
   test("pollChanges: durable-cursor incremental consumption, redelivery, idempotent ack") {
     val t = fresh()
     val cursor = java.nio.file.Files
