@@ -41,9 +41,53 @@ import org.apache.spark.sql.types.StructType
   * real predicates on every row it reads.
   */
 class TxTableSource extends RelationProvider with CreatableRelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "txtable"
+
+  /** The STREAMING source half:
+    * `spark.readStream.format("txtable").load(path)` serves the
+    * ROW-LEVEL CHANGE FEED ([[TxTable.changesRows]]) as micro-batches —
+    * offsets ARE commit versions, so each batch is the exact change
+    * rows of `(startVersion, endVersion]`, read from increment-sized
+    * files (cdf stagings / append files), never the table. Schema =
+    * table columns + `_change` + `_version`. With the txtable SINK
+    * downstream this is a transactional streaming pipe between tables
+    * (the pollChanges composition behind the standard APIs).
+    * `option("startingVersion", v)` starts the feed after version v
+    * (default 0 = the table's full history).
+    */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "txtable streaming source derives its schema from the table " +
+        "(columns + _change + _version); do not pass one")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "txtable source needs a path: spark.readStream.format(\"txtable\").load(path)"))
+    val spark = sqlContext.sparkSession
+    val head = TxTable.latestVersion(spark, path)
+    require(head > 0, s"txtable streaming source needs an existing table at $path")
+    val st = TxTable.snapshotState(spark, path, head)
+    val base = TxTable.stateSchema(spark, path, st)
+    (shortName(), base
+      .add(TxTable.ChangeCol, org.apache.spark.sql.types.StringType)
+      .add(TxTable.VersionCol, org.apache.spark.sql.types.LongType))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters("path")
+    val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    new TxTableStreamSource(sqlContext.sparkSession, path, starting,
+      sourceSchema(sqlContext, None, providerName, parameters)._2)
+  }
 
   /** The STREAMING sink half:
     * `stream.writeStream.format("txtable").option("appId", id).start(path)`.
@@ -143,6 +187,57 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
   }
+}
+
+/** A streaming offset that IS a commit version — the natural cursor of
+  * a commit-log table (what Delta's streaming source does with
+  * reservoir versions). JSON round-trip is the bare number.
+  */
+case class TxVersionOffset(version: Long)
+    extends org.apache.spark.sql.execution.streaming.Offset {
+  override def json: String = version.toString
+}
+
+/** The V1 streaming source over the row-level change feed: getOffset
+  * reports the table's head version; getBatch materializes
+  * [[TxTable.changesRows]] over the version window, pinned to this
+  * batch's RDD and streaming-tagged (the FileStreamSource conversion,
+  * via the package shim). Restart-safe: offsets re-arrive as
+  * SerializedOffset, parsed by the bare-number JSON.
+  */
+class TxTableStreamSource(spark: SparkSession, path: String,
+                          startingVersion: Long,
+                          override val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  private def v(o: org.apache.spark.sql.execution.streaming.Offset): Long =
+    o match {
+      case TxVersionOffset(x) => x
+      case other              => other.json.trim.toLong
+    }
+
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
+    val head = TxTable.latestVersion(spark, path)
+    if (head <= startingVersion) None else Some(TxVersionOffset(head))
+  }
+
+  override def getBatch(
+      start: Option[org.apache.spark.sql.execution.streaming.Offset],
+      end: org.apache.spark.sql.execution.streaming.Offset)
+      : org.apache.spark.sql.DataFrame = {
+    val from = start.map(v).getOrElse(startingVersion)
+    val rows = TxTable.changesRows(spark, path, from, v(end))
+    org.apache.spark.sql.execution.datasources
+      .GraftBatchMaterialize.asStreamingBatch(
+        // column order must match the declared source schema exactly
+        rows.select(schema.fieldNames.toIndexedSeq.map(n =>
+          org.apache.spark.sql.functions.col(
+            "`" + n.replace("`", "``") + "`")): _*))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"TxTableStreamSource[$path]"
 }
 
 /** The V1 streaming sink: one txn-tagged [[TxTable.append]] per

@@ -834,6 +834,35 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("change", "source")),
 
+    // The STREAMING CDC pipe: the same upstream history as
+    // q_tx_pipeline, but consumed through readStream.format("txtable")
+    // (the change-feed SOURCE — offsets are commit versions) into the
+    // txtable SINK (txn-tagged appends). One AvailableNow batch served
+    // the whole (0, head] window, so the downstream head carries every
+    // change row incl. the cdf deletes — the oracle replays the same
+    // creation/append/delete algebra and additionally derives the
+    // delete set, which the batch pipe's insert-only audit never
+    // exercised through a streaming plan.
+    Q("q_tx_stream_pipe",
+      Some("""WITH up AS (
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 4 = 0
+                UNION ALL
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 4 = 1)
+              SELECT 'insert' AS change, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM up GROUP BY 2
+              UNION ALL
+              SELECT 'delete' AS change, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM up WHERE n_chars % 5 = 0 GROUP BY 2
+              ORDER BY change, source"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxStreamPipe(s, dir))
+        .groupBy(col("_change").as("change"), col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("change", "source")),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
@@ -926,7 +955,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 11) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 12) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -934,7 +963,8 @@ object Sources {
       // delete (q_tx_upsert). Version numbering is part of the queries'
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
-      Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s").foreach { n =>
+      Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
+        "sd", "sck").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1037,6 +1067,18 @@ object Sources {
       pipePoll() // the redelivery: same window, same txn, lands nothing
       TxTable.deleteWhere(s, psrc, col("n_chars") % 5 === 0, cdf = true)
       pipePoll() // window (2,3]: row-level deletes from the cdf staging
+      // table "sd": the SAME upstream consumed through the STREAMING
+      // pipe — readStream.format("txtable") (change-feed source, one
+      // AvailableNow batch over (0, head]) into the txtable SINK
+      // (txn-tagged appends). Its head must carry the identical change
+      // history q_tx_pipeline's oracle derives (q_tx_stream_pipe).
+      val q = s.readStream.format("txtable").load(psrc)
+        .writeStream.format("txtable")
+        .option("appId", "streampipe")
+        .option("checkpointLocation", s"$base/sck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/sd")
+      q.awaitTermination()
       ()
     }
 
@@ -1060,6 +1102,9 @@ object Sources {
 
   private[graft] def ensureTxStr(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/s"
+
+  private[graft] def ensureTxStreamPipe(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/sd"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

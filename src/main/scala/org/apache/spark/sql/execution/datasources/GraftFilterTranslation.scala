@@ -31,4 +31,18 @@ object GraftBatchMaterialize {
       cds.queryExecution.toRdd, cds, isStreaming = false)
     org.apache.spark.sql.classic.Dataset.ofRows(cds.sparkSession, node)
   }
+
+  /** The V1 streaming `Source.getBatch` contract requires the returned
+    * frame to be STREAMING-TAGGED (MicroBatchExecution grafts its plan
+    * into the streaming query); FileStreamSource does exactly this
+    * toRdd → internalCreateDataFrame(isStreaming = true) conversion,
+    * both halves `private[sql]`.
+    */
+  def asStreamingBatch(data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cds = data.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    cds.sparkSession.internalCreateDataFrame(
+      cds.queryExecution.toRdd, cds.schema, isStreaming = true)
+  }
 }

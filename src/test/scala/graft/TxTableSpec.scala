@@ -971,6 +971,57 @@ class TxTableSpec extends AnyFunSuite {
     assert(bad.getMessage.toLowerCase.contains("append"))
   }
 
+  test("streaming pipe: change-feed source -> txtable sink, incremental and exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txpipe").toString
+    val up = s"$base/up"; val down = s"$base/down"
+    TxTable.overwrite(spark, up, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, up, Seq((3L, "c")).toDF("id", "v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("txtable").load(up)
+        .filter(col(TxTable.ChangeCol) === "insert")
+        .select("id", "v", TxTable.VersionCol)
+        .writeStream.format("txtable")
+        .option("appId", "pipe")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start(down)
+      q.awaitTermination()
+    }
+    run()
+    val first = TxTable.read(spark, down).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(first === Set((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 2L)),
+      "the feed serves creation + append inserts with their versions")
+    // no new upstream commits: a re-run produces NO batch, lands nothing
+    run()
+    assert(TxTable.read(spark, down).count() === 3L)
+    assert(TxTable.latestVersion(spark, down) === 1L,
+      "an empty window must not even commit")
+    // incremental: one upstream append -> exactly its delta downstream
+    TxTable.append(spark, up, Seq((4L, "d")).toDF("id", "v"))
+    run()
+    assert(TxTable.read(spark, down).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // a row-level delete flows as a 'delete' change row (filtered out
+    // by this pipe's insert-only projection, so downstream is stable)
+    TxTable.deleteWhere(spark, up, col("id") === 1L, cdf = true)
+    run()
+    assert(TxTable.read(spark, down).count() === 4L,
+      "delete change rows are visible to the feed but filtered here")
+    // startingVersion skips history: a fresh reader from version 2 on
+    val later = spark.readStream.format("txtable")
+      .option("startingVersion", "2").load(up)
+      .writeStream.format("memory").queryName("tx_pipe_later")
+      .option("checkpointLocation", s"$base/ck2")
+      .trigger(Trigger.AvailableNow()).start()
+    later.awaitTermination()
+    val lv = spark.sql("SELECT _version FROM tx_pipe_later")
+      .collect().map(_.getLong(0)).toSet
+    assert(lv.nonEmpty && !lv.contains(1L) && !lv.contains(2L) && lv.contains(3L),
+      s"startingVersion=2 must serve only versions > 2, got $lv")
+  }
+
   test("pollChanges: durable-cursor incremental consumption, redelivery, idempotent ack") {
     val t = fresh()
     val cursor = java.nio.file.Files
