@@ -286,12 +286,36 @@ object TxTableSource {
 class TxFileIndex(spark: SparkSession, path: String, version: Long,
                   state: TxTable.State) extends FileIndex {
 
-  private val statuses: Seq[FileStatus] = {
+  /** One `listStatus` per STAGING DIRECTORY, not one `getFileStatus`
+    * per file: live files group into `data-*` commit dirs, so a
+    * 100k-file table costs O(commits) metadata RPCs here instead of
+    * 100k serial round-trips. A file the log references but the store
+    * lost fails loudly with the commit-log framing (the silent
+    * alternative would be a partial scan reading as a smaller table).
+    */
+  private val byName: Map[String, FileStatus] = {
     val hfs = Dedup.hadoopFs(spark, path)
-    state.files.map(f => hfs.getFileStatus(new Path(s"$path/$f")))
+    val listed = state.files
+      .groupBy(f => f.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => f.substring(0, i)
+      })
+      .flatMap { case (dir, fs) =>
+        val want = fs.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val root = if (dir.isEmpty) path else s"$path/$dir"
+        hfs.listStatus(new Path(root)).toSeq
+          .filter(st => want.contains(st.getPath.getName))
+          .map(st => (if (dir.isEmpty) st.getPath.getName
+                      else s"$dir/${st.getPath.getName}") -> st)
+      }
+    val missing = state.files.filterNot(listed.contains)
+    require(missing.isEmpty,
+      s"txtable at $path: the commit log references data files the " +
+        s"store no longer holds: ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    listed
   }
-  private val byName: Map[String, FileStatus] =
-    state.files.zip(statuses).toMap
+  private val statuses: Seq[FileStatus] = state.files.map(byName)
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
 
