@@ -1331,6 +1331,75 @@ object ScaleProbe {
         f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
     }
 
+    // TxTable round-15 features at mult x corpus: (a) DATE-typed
+    // skipping — a fixed February window over a date-clustered table
+    // must return exactly mult x the rows (per-replica-invariant date
+    // derivation) while pruning files at BOTH scales; (b) STRING-typed
+    // skipping — a range spanning exactly the 1x id span of a
+    // string-clustered table must return an INVARIANT row count while
+    // the table grows mult x, with the kept-file count DROPPING as the
+    // span becomes a smaller fraction (O(result) reads, never
+    // O(table)); (c) SCHEMA EVOLUTION — the widened head, its
+    // null-filled old rows, and the pre-evolution time travel all
+    // scale exactly, with the schema itself size-invariant.
+    {
+      import graft.api.TxTable
+      def tx15For(m: Int) = {
+        val d = docsFor(m).select(col("doc_id"),
+          expr("date_add(DATE'2024-01-01', CAST((doc_id % 1000000) % 365 AS INT))").as("d"),
+          expr("lpad(CAST(doc_id AS STRING), 12, '0')").as("k"),
+          ((col("doc_id") % 1000000) * 3).as("q"))
+        val base = java.nio.file.Files
+          .createTempDirectory(s"txprobe15_$m").toString
+        val t0 = System.nanoTime()
+        val dt = s"$base/d"
+        TxTable.overwriteClustered(spark, dt, d.select("doc_id", "d"),
+          "d", numFiles = 8)
+        val feb = TxTable.readRangeOf(spark, dt, "d",
+          java.sql.Date.valueOf("2024-02-01"), java.sql.Date.valueOf("2024-02-29"))
+        val (febRows, febFiles) = (feb.count(), feb.inputFiles.length)
+        val totD = TxTable.read(spark, dt).inputFiles.length
+        val st = s"$base/s"
+        TxTable.overwriteClustered(spark, st, d.select("doc_id", "k"),
+          "k", numFiles = 8)
+        val span = TxTable.readRangeOf(spark, st, "k",
+          "000000000000", "000000999999") // exactly the 1x id span
+        val (spanRows, spanFiles) = (span.count(), span.inputFiles.length)
+        val et = s"$base/e"
+        TxTable.overwrite(spark, et,
+          d.filter(col("doc_id") % 2 === 0).select("doc_id", "d"))
+        TxTable.evolveAppend(spark, et,
+          d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "d", "q"))
+        val head = TxTable.read(spark, et)
+        (febRows, febFiles, totD, spanRows, spanFiles, head.count(),
+          head.filter(col("q").isNull).count(),
+          TxTable.readVersion(spark, et, 1).count(),
+          head.schema.fieldNames.mkString(","),
+          (System.nanoTime() - t0) / 1e9)
+      }
+      val (fr1, ff1, td1, sr1, sf1, h1, nq1, v1a, sch1, t1) = tx15For(1)
+      val (frN, ffN, tdN, srN, sfN, hN, nqN, v1N, schN, tN) = tx15For(mult)
+      require(frN == fr1 * mult,
+        s"date-window mass must scale exactly ${mult}x: $fr1 -> $frN")
+      require(ff1 < td1 && ffN < tdN,
+        s"date range must prune files at both scales: $ff1/$td1, $ffN/$tdN")
+      require(srN == sr1,
+        s"the 1x-span string range must be INVARIANT under growth: $sr1 -> $srN")
+      require(sfN < 8,
+        s"string pruning must localize the shrunken span: kept $sfN/8")
+      require(hN == h1 * mult && nqN == nq1 * mult && v1N == v1a * mult,
+        s"evolution masses must scale exactly ${mult}x: " +
+          s"head $h1->$hN nullq $nq1->$nqN v1 $v1a->$v1N")
+      require(sch1 == schN && sch1 == "doc_id,d,q",
+        s"widened schema must be size-invariant: '$sch1' vs '$schN'")
+      println(f"tx date/string/evolve (${mult}x corpus): feb $fr1 -> $frN " +
+        f"(exactly ${mult}x, $ff1/$td1 -> $ffN/$tdN files), 1x-span string " +
+        f"range INVARIANT $sr1 rows ($sf1/8 -> $sfN/8 files), evolve head " +
+        f"$h1 -> $hN null-q $nq1 -> $nqN v1 $v1a -> $v1N (all exactly " +
+        f"${mult}x), schema invariant  1x $t1%.2f s  ${mult}x $tN%.2f s  " +
+        f"time-growth=${tN / t1}%.1fx")
+    }
+
     spark.stop()
   }
 }

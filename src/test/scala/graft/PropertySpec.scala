@@ -336,6 +336,58 @@ object WavCodecProps extends Properties("WavCodec") {
   * input would turn a malformed sidecar into an opaque stack trace
   * instead of the schema-keyed errors the shelf surfaces promise.
   */
+/** The string data-skipping truncation lemma (api/TxTable.scala
+  * truncMin/truncMax): over ARBITRARY byte arrays — including 0xFF
+  * runs, which valid UTF-8 never produces, so only a generative test
+  * reaches the unbounded-max overflow branch — the truncated min never
+  * exceeds its input and the truncated max never undershoots it in
+  * unsigned byte order, both fit the cap, and monotonicity of the
+  * unsigned order then gives conservativeness of the whole file-prune
+  * predicate (strRangeKeep keeps any file whose true range intersects
+  * the query's).
+  */
+object StrStatProps extends Properties("StrStats") {
+  import org.scalacheck.Prop.forAll
+  import graft.api.TxTable.{truncMin, truncMax, StrStatMaxBytes}
+
+  private val bytesGen: Gen[Array[Byte]] = for {
+    n <- Gen.choose(0, 3 * StrStatMaxBytes)
+    // bias toward 0xFF so prefixes of all-0xFF (the overflow branch)
+    // actually occur
+    bs <- Gen.listOfN(n, Gen.frequency(
+      3 -> Gen.const(0xFF.toByte),
+      1 -> Gen.choose(Byte.MinValue, Byte.MaxValue)))
+  } yield bs.toArray
+
+  private def cmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  property("truncMin(x) <= x, length-capped") = forAll(bytesGen) { x =>
+    val m = truncMin(x)
+    cmp(m, x) <= 0 && m.length <= StrStatMaxBytes
+  }
+
+  property("truncMax(x) >= x when finite, length-capped; overflow iff all-0xFF prefix") =
+    forAll(bytesGen) { x =>
+      truncMax(x) match {
+        case Some(h) => cmp(h, x) >= 0 && h.length <= StrStatMaxBytes
+        case None =>
+          x.length > StrStatMaxBytes &&
+            x.take(StrStatMaxBytes).forall(b => (b & 0xFF) == 0xFF)
+      }
+    }
+
+  property("a value inside a file's true range is never pruned") =
+    forAll(bytesGen, bytesGen, bytesGen) { (a, b, c) =>
+      // order the three: lo <= v <= hi in unsigned byte order
+      val sorted = Seq(a, b, c).sortWith(cmp(_, _) < 0)
+      val (lo, v, hi) = (sorted(0), sorted(1), sorted(2))
+      val keptLo = cmp(truncMin(lo), v) <= 0 // recorded lo can't exceed v
+      val keptHi = truncMax(hi).forall(h => cmp(h, v) >= 0) // nor hi undershoot
+      keptLo && keptHi
+    }
+}
+
 object SchemasProps extends Properties("Schemas") {
   import org.scalacheck.Arbitrary
 
