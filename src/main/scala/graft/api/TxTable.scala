@@ -1287,7 +1287,11 @@ object TxTable {
       stats = st.stats, statsCol = st.statsCol,
       mstats = st.mstats, statsCols = st.statsCols,
       bloomCol = st.bloomCol, bloomBits = st.bloomBits, blooms = st.blooms,
-      zbits = st.zbits, op = Some("restore"))
+      zbits = st.zbits, op = Some("restore"),
+      // the metadata-only re-reference must carry EVERY pruning/schema
+      // record of the target version: dropping sstats silently erases
+      // string pruning, dropping schemaB64 narrows an evolved head
+      schemaB64 = st.schemaB64, sstats = st.sstats)
   }
 
   /** Change data feed: the row-level diff between two snapshots, each
@@ -1574,6 +1578,88 @@ object TxTable {
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
     rewriteHead(spark, path, "compact", Some(numFiles))(identity)
 
+  /** Re-layout the LIVE HEAD in place — the `OPTIMIZE … ZORDER BY`
+    * shape: one column = range-cluster with typed data-skipping stats
+    * (integral/date/timestamp long ranges, or truncated string
+    * bounds), two to four LONG columns = z-order with per-file
+    * rectangles, plus an optional bloom secondary index — committed as
+    * ONE conflict-safe overwrite: content identical, history intact,
+    * and a commit racing the rewrite restarts it on the new head
+    * (like [[compact]]/[[merge]]) so no racer's rows are dropped.
+    * Changing a 100 TB table's clustering without interrupting
+    * readers is exactly what the immutable-file + commit-log design
+    * buys; time travel to pre-optimize versions still reads the old
+    * layout.
+    */
+  def optimize(spark: SparkSession, path: String, clusterBy: Seq[String],
+               numFiles: Int = 8, bloomCol: Option[String] = None,
+               bits: Int = 0): Long = {
+    import org.apache.spark.sql.functions.col
+    require(clusterBy.nonEmpty && clusterBy.size <= 4,
+      s"optimize clusters by 1 (range) to 4 (z-order) columns, got " +
+        s"${clusterBy.size}")
+    val hfs = fs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      if (head == 0)
+        throw new IllegalStateException(
+          s"cannot optimize $path: the table has no commits yet " +
+            "(create it with overwrite first)")
+      val snapshot = readVersion(spark, path, head)
+      val isStr = clusterBy.size == 1 &&
+        snapshot.schema(clusterBy.head).dataType ==
+          org.apache.spark.sql.types.StringType
+      if (clusterBy.size == 1)
+        require(isStr || statEncodable(snapshot.schema(clusterBy.head).dataType),
+          s"cluster column '${clusterBy.head}' must be an integral, " +
+            s"date, timestamp or string type, got " +
+            s"${snapshot.schema(clusterBy.head).dataType}")
+      bloomCol.foreach(c =>
+        require(snapshot.schema(c).dataType ==
+            org.apache.spark.sql.types.LongType,
+          s"bloom column '$c' must be LongType, got " +
+            s"${snapshot.schema(c).dataType}"))
+      val (files, stats, sstats, mstats, statsCol, statsCols, zb) =
+        if (clusterBy.size == 1) {
+          val sc = clusterBy.head
+          val staged = stage(spark, path, snapshot
+            .repartitionByRange(math.max(1, numFiles), col(sc))
+            .sortWithinPartitions(sc))
+          if (isStr)
+            (staged, Map.empty[String, (Long, Long)],
+              footerStrStats(spark, path, staged, sc),
+              Map.empty[String, Seq[(Long, Long)]], Some(sc), Nil, 0)
+          else
+            (staged, footerStats(spark, path, staged, sc),
+              Map.empty[String, (String, String)],
+              Map.empty[String, Seq[(Long, Long)]], Some(sc), Nil, 0)
+        } else {
+          val zbits = if (bits == 0) math.min(16, 62 / clusterBy.size) else bits
+          val staged = stage(spark, path,
+            Layout.zorderFrame(snapshot, clusterBy, math.max(1, numFiles),
+              zbits))
+          (staged, Map.empty[String, (Long, Long)],
+            Map.empty[String, (String, String)],
+            multiColStats(spark, path, staged, clusterBy),
+            None, clusterBy, zbits)
+        }
+      val (bbits, blooms) = bloomCol match {
+        case Some(bc) => bloomStats(spark, path, files, bc)
+        case None     => (0, Map.empty[String, String])
+      }
+      commitAt(spark, path, head + 1, "overwrite", files, None,
+          stats, statsCol, mstats, statsCols,
+          bloomCol, bbits, blooms, zb,
+          op = Some("optimize"), sstats = sstats) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // a commit interleaved: restage on top
+      }
+    }
+    throw new IllegalStateException(
+      s"could not optimize $path after $MaxCommitRetries lost races")
+  }
+
   /** Upsert by key: rows of `updates` replace head rows sharing their
     * `keyCols` values; unmatched update rows insert. One overwrite
     * commit, conflict-safe like [[compact]] — a racing append between
@@ -1706,7 +1792,7 @@ object TxTable {
       val cdfFiles = cdfOf.fold(Seq.empty[String])(rows =>
         stage(spark, path, rows(snapshot)))
       val target = numFilesHint.getOrElse(math.max(1, st.files.size))
-      val (files, stats, mstats) = (st.statsCol, st.statsCols) match {
+      val (files, stats, mstats, sstats) = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
           // → the 2-D writer default of 16), so rewrites preserve the
@@ -1715,17 +1801,30 @@ object TxTable {
             Layout.zorderFrame(transformed, zc, target,
               if (st.zbits > 0) st.zbits else 16))
           (staged, Map.empty[String, (Long, Long)],
-            multiColStats(spark, path, staged, st.statsCols))
+            multiColStats(spark, path, staged, st.statsCols),
+            Map.empty[String, (String, String)])
         case (Some(sc), _) =>
           val staged = stage(spark, path, transformed
             .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
-          (staged, footerStats(spark, path, staged, sc),
-            Map.empty[String, Seq[(Long, Long)]])
+          // the stats FLAVOR follows the cluster column's type: a
+          // string-clustered head records truncated string bounds — a
+          // routine compact must not silently erase the string-pruning
+          // index (long footerStats over a string column is empty)
+          if (transformed.schema(sc).dataType ==
+              org.apache.spark.sql.types.StringType)
+            (staged, Map.empty[String, (Long, Long)],
+              Map.empty[String, Seq[(Long, Long)]],
+              footerStrStats(spark, path, staged, sc))
+          else
+            (staged, footerStats(spark, path, staged, sc),
+              Map.empty[String, Seq[(Long, Long)]],
+              Map.empty[String, (String, String)])
         case _ =>
           (stage(spark, path,
             numFilesHint.fold(transformed)(transformed.coalesce)),
             Map.empty[String, (Long, Long)],
-            Map.empty[String, Seq[(Long, Long)]])
+            Map.empty[String, Seq[(Long, Long)]],
+            Map.empty[String, (String, String)])
       }
       // bloom-indexed head: fresh per-file blooms for the new layout —
       // a routine compact/merge/delete must not silently erase the
@@ -1737,7 +1836,7 @@ object TxTable {
       commitAt(spark, path, head + 1, "overwrite", files, None,
           stats, st.statsCol, mstats, st.statsCols,
           st.bloomCol, bbits, blooms, st.zbits,
-          op = Some(what), cdf = cdfFiles) match {
+          op = Some(what), cdf = cdfFiles, sstats = sstats) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

@@ -834,6 +834,24 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("change", "source")),
 
+    // OPTIMIZE in place: the table was written PLAIN and re-laid-out
+    // to a doc_id range-cluster by a single conflict-safe overwrite
+    // commit — content must be IDENTICAL to the source table (the
+    // oracle recomputes the range from it) while the pushed range now
+    // prunes from the fresh typed stats (TxTableSpec pins pruning,
+    // compact/restore stats carry-forward, and the z-order re-layout).
+    Q("q_tx_optimize",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id BETWEEN 200 AND 500
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => s.read.format("txtable")
+        .load(ensureTxOptimize(s, dir))
+        .filter(col("doc_id").between(200, 500))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // The STREAMING CDC pipe: the same upstream history as
     // q_tx_pipeline, but consumed through readStream.format("txtable")
     // (the change-feed SOURCE — offsets are commit versions) into the
@@ -955,7 +973,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 12) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 13) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -964,7 +982,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck").foreach { n =>
+        "sd", "sck", "o").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1027,6 +1045,14 @@ object Sources {
       // ranges/equalities (q_tx_strkey reads one priority class)
       TxTable.overwriteClustered(s, s"$base/s", t(s, dir, "orders"),
         "o_orderpriority", numFiles = 8)
+      // table "o": written PLAIN (no clustering), then OPTIMIZE'd to a
+      // doc_id range-cluster IN PLACE — one conflict-safe overwrite
+      // commit whose typed stats light up log pruning on a table that
+      // had none (q_tx_optimize reads a range through it; time travel
+      // to the pre-optimize layout stays intact)
+      val ot = s"$base/o"
+      TxTable.overwrite(s, ot, docs)
+      TxTable.optimize(s, ot, Seq("doc_id"), numFiles = 8)
       // table "e": ADDITIVE SCHEMA EVOLUTION — v1 = the doc_id%3=0
       // slice in the base shape, v2 = evolveAppend of the %3=1 slice
       // carrying a new `q` column; the commit log records the widened
@@ -1105,6 +1131,9 @@ object Sources {
 
   private[graft] def ensureTxStreamPipe(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/sd"
+
+  private[graft] def ensureTxOptimize(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/o"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

@@ -843,6 +843,55 @@ class TxTableSpec extends AnyFunSuite {
     assert(gotU === want, "unicode range must agree with Spark's comparison")
   }
 
+  test("optimize: re-layout the live head in place; rewrites preserve typed stats") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // plain (un-clustered) table: no pruning possible
+    TxTable.overwrite(spark, t, spark.range(4096).selectExpr("id",
+      "lpad(CAST(id AS STRING), 8, '0') AS k", "id * 3 AS w"))
+    val before = TxTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // optimize to a STRING cluster: content identical, string pruning appears
+    TxTable.optimize(spark, t, Seq("k"), numFiles = 8)
+    assert(TxTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === before)
+    assert(spark.read.format("txtable").load(t)
+      .filter(col("k") === "00000042").count() === 1L)
+    assert(TxTableSource.lastScanFiles(t).size === 1,
+      "optimize-to-string-cluster must enable single-file equality pruning")
+    // a routine COMPACT must carry the string index forward (the stats
+    // flavor follows the cluster column's type)
+    TxTable.compact(spark, t, numFiles = 4)
+    spark.read.format("txtable").load(t)
+      .filter(col("k") === "00000042").count()
+    assert(TxTableSource.lastScanFiles(t).size === 1,
+      "compact must not erase truncated string bounds")
+    // restore to the optimized version keeps the index too
+    // (metadata-only re-reference carries sstats)
+    TxTable.restore(spark, t, 2)
+    spark.read.format("txtable").load(t)
+      .filter(col("k") === "00000042").count()
+    assert(TxTableSource.lastScanFiles(t).size === 1,
+      "restore must re-reference the string bounds, not drop them")
+    // optimize again to a 2-D Z-ORDER: content identical, box pruning
+    TxTable.optimize(spark, t, Seq("id", "w"), numFiles = 16)
+    assert(TxTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet === before)
+    assert(TxTable.readBox(spark, t,
+      Seq(("id", 0L, 63L), ("w", 0L, 189L))).count() === 64L)
+    spark.read.format("txtable").load(t)
+      .filter(col("id") <= 63L && col("w") <= 189L).count()
+    assert(TxTableSource.lastScanFiles(t).size < 16,
+      "optimize-to-zorder must enable box pruning")
+    // racing append during optimize is never lost (conflict-safe loop
+    // is the same claim-at-head+1 protocol as compact; sanity only)
+    TxTable.append(spark, t, spark.range(4096, 4100).selectExpr("id",
+      "lpad(CAST(id AS STRING), 8, '0') AS k", "id * 3 AS w"))
+    assert(TxTable.read(spark, t).count() === 4100L)
+    // time travel to the pre-optimize layout still reads
+    assert(TxTable.readVersion(spark, t, 1).count() === 4096L)
+  }
+
   test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val t = fresh()
