@@ -892,6 +892,38 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readVersion(spark, t, 1).count() === 4096L)
   }
 
+  test("optimize racing appends: the rewrite restarts on lost claims, no row lost") {
+    val t = fresh()
+    TxTable.overwrite(spark, t,
+      spark.range(2000).selectExpr("id", "id * 2 AS w"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // appends race the optimize loop: any append landing between the
+    // rewrite's snapshot read and its claim takes the claimed version,
+    // the optimize loses the race and restages on the new head — a
+    // blind overwrite would silently drop the racer's rows
+    val appends = scala.concurrent.Future {
+      (0 until 6).foreach { j =>
+        TxTable.append(spark, t,
+          Seq((100000L + j, (100000L + j) * 2)).toDF("id", "w"))
+      }
+    }
+    val opt = scala.concurrent.Future {
+      TxTable.optimize(spark, t, Seq("id"), numFiles = 4)
+    }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(Seq(appends.map(_ => 0L), opt)),
+      scala.concurrent.duration.Duration(180, "s"))
+    pool.shutdown()
+    assert(TxTable.read(spark, t).count() === 2006L,
+      "every racing append survives the in-place re-layout")
+    assert(TxTable.history(spark, t).exists(_.op.contains("optimize")),
+      "the optimize commit landed despite the races")
+    // the re-layout's pruning works on whatever head it captured
+    assert(TxTable.readRangeOf(spark, t, "id", 0L, 63L).count() === 64L)
+  }
+
   test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val t = fresh()
