@@ -916,12 +916,12 @@ object TxTable {
     require(zCols.size >= 2 && zCols.size <= 4,
       s"overwriteZordered interleaves 2-4 columns, got ${zCols.size}")
     for (c <- zCols)
-      require(df.schema(c).dataType == org.apache.spark.sql.types.LongType,
-        s"z-order dimension '$c' must be LongType (ids, epoch micros, " +
-          s"bucketed values), got ${df.schema(c).dataType} — validated " +
+      require(statEncodable(df.schema(c).dataType),
+        s"z-order dimension '$c' must be an integral, date or timestamp " +
+          s"type, got ${df.schema(c).dataType} — validated " +
           "BEFORE staging so a bad call cannot orphan a staged dir")
     val useBits = if (bits == 0) math.min(16, 62 / zCols.size) else bits
-    val laid = Layout.zorderFrame(df, zCols, math.max(1, numFiles), useBits)
+    val laid = zorderLaid(df, zCols, math.max(1, numFiles), useBits)
     val files = stage(spark, path, laid)
     // `zbits` lands in the commit record so every later head rewrite
     // (compact/merge/delete) replays the SAME interleave granularity —
@@ -931,6 +931,35 @@ object TxTable {
     commit(spark, path, "overwrite", files,
       mstats = multiColStats(spark, path, files, zCols),
       statsCols = zCols, zbits = useBits)
+  }
+
+  /** [[Layout.zorderFrame]] with TEMPORAL dimensions allowed: DATE /
+    * TIMESTAMP / TIMESTAMP_NTZ columns ride the interleave through an
+    * internal monotone epoch projection (`unix_micros(CAST(c AS
+    * TIMESTAMP))` — order-preserving under a fixed session zone, which
+    * is all a space-filling curve needs; zorderFrame then normalizes
+    * by the observed (min, max) anyway). The projection exists ONLY
+    * for layout: the recorded mstats come from the ORIGINAL columns'
+    * parquet footers (exact epoch-day/micros stat encodings), so
+    * pruning semantics never depend on it. `(event_date, user_id)` —
+    * the canonical 100-TB events layout — works out of the box.
+    */
+  private def zorderLaid(df: DataFrame, zCols: Seq[String], target: Int,
+                         bits: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val temporal = zCols.filter(c => Seq(DateType, TimestampType,
+      TimestampNTZType).contains(df.schema(c).dataType)).toSet
+    if (temporal.isEmpty) Layout.zorderFrame(df, zCols, target, bits)
+    else {
+      val enc = temporal.foldLeft(df)((d, c) =>
+        d.withColumn(s"__zenc_$c",
+          expr(s"unix_micros(CAST(`${c.replace("`", "``")}` AS TIMESTAMP))")))
+      val layoutCols = zCols.map(c => if (temporal(c)) s"__zenc_$c" else c)
+      Layout.zorderFrame(enc, layoutCols, target, bits)
+        .select(df.columns.toIndexedSeq.map(c =>
+          col("`" + c.replace("`", "``") + "`")): _*)
+    }
   }
 
   /** Per-file footer (min, max) for EACH of `cols`, aligned with the
@@ -978,6 +1007,46 @@ object TxTable {
       else readStateFiles(spark, path, st, kept)
     box.foldLeft(base) { case (d, (c, lo, hi)) =>
       d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
+
+  /** [[readBox]] with TYPED bounds — the box twin of [[readRangeOf]]:
+    * each dimension's bounds are literals of the column's external type
+    * (java.sql.Date / Timestamp, their java.time twins, or boxed
+    * integrals); pruning runs on their [[statLong]] encoding against
+    * the recorded per-file rectangles while the residual compares the
+    * TYPED values, so `(event_date BETWEEN …) AND (user_id BETWEEN …)`
+    * over a temporally z-ordered table prunes from the log alone.
+    */
+  def readBoxOf(spark: SparkSession, path: String,
+                box: Seq[(String, Any, Any)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(box.nonEmpty, "readBoxOf needs at least one (column, lo, hi)")
+    val encoded = box.map { case (c, lo, hi) =>
+      (statLong(lo), statLong(hi)) match {
+        case (Some(a), Some(b)) => (c, a, b)
+        case _ => throw new IllegalArgumentException(
+          s"readBoxOf bounds for '$c' must be integral/date/timestamp " +
+            s"literals, got ${lo.getClass.getName} / ${hi.getClass.getName}")
+      }
+    }
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    val st = foldState(hfs, path, head)
+    require(st.files.nonEmpty, s"version $head of $path holds no files")
+    require(st.statsCols.nonEmpty,
+      s"$path carries no multi-column stats — write it with " +
+        "overwriteZordered (or use read() + filter)")
+    box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
+      s"$path records stats for [${st.statsCols.mkString(",")}], " +
+        s"not '$c' — readBoxOf must use recorded dimensions") }
+    val kept = st.files.filter(f =>
+      encoded.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
+    val base =
+      if (kept.isEmpty) readVersion(spark, path, head).limit(0)
+      else readStateFiles(spark, path, st, kept)
+    box.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lit(lo) && col(c) <= lit(hi))
     }
   }
 
@@ -1636,9 +1705,12 @@ object TxTable {
               Map.empty[String, Seq[(Long, Long)]], Some(sc), Nil, 0)
         } else {
           val zbits = if (bits == 0) math.min(16, 62 / clusterBy.size) else bits
+          clusterBy.foreach(c => require(
+            statEncodable(snapshot.schema(c).dataType),
+            s"z-order dimension '$c' must be an integral, date or " +
+              s"timestamp type, got ${snapshot.schema(c).dataType}"))
           val staged = stage(spark, path,
-            Layout.zorderFrame(snapshot, clusterBy, math.max(1, numFiles),
-              zbits))
+            zorderLaid(snapshot, clusterBy, math.max(1, numFiles), zbits))
           (staged, Map.empty[String, (Long, Long)],
             Map.empty[String, (String, String)],
             multiColStats(spark, path, staged, clusterBy),
@@ -1798,7 +1870,7 @@ object TxTable {
           // → the 2-D writer default of 16), so rewrites preserve the
           // table's z-order granularity instead of resetting it
           val staged = stage(spark, path,
-            Layout.zorderFrame(transformed, zc, target,
+            zorderLaid(transformed, zc, target,
               if (st.zbits > 0) st.zbits else 16))
           (staged, Map.empty[String, (Long, Long)],
             multiColStats(spark, path, staged, st.statsCols),

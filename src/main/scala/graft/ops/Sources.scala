@@ -834,6 +834,31 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("change", "source")),
 
+    // TEMPORAL Z-ORDER: orders laid along the Morton curve of
+    // (o_orderdate, o_custkey) — the timestamp dimension rides the
+    // interleave through a monotone epoch projection while the
+    // recorded rectangles stay in the exact footer stat encoding, so
+    // the pushed time-window x customer-range conjunction prunes files
+    // whose rectangle cannot intersect the box. The oracle recomputes
+    // the box from the source table — a TZ shift, days-vs-micros mixup
+    // or rectangle drift over- or under-prunes and breaks the hash.
+    Q("q_tx_zdate",
+      Some(s"""SELECT o_orderpriority, count(*) AS n,
+                      ${oSum("o_totalprice")} AS total
+               FROM orders
+               WHERE o_orderdate BETWEEN TIMESTAMP '1994-01-01 00:00:00'
+                                     AND TIMESTAMP '1994-06-30 23:59:59'
+                 AND o_custkey BETWEEN 100 AND 500
+               GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => s.read.format("txtable")
+        .load(ensureTxZdate(s, dir))
+        .filter(expr("o_orderdate BETWEEN TIMESTAMP_NTZ'1994-01-01 00:00:00' " +
+          "AND TIMESTAMP_NTZ'1994-06-30 23:59:59'") &&
+          col("o_custkey").between(100, 500))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")),
+
     // OPTIMIZE in place: the table was written PLAIN and re-laid-out
     // to a doc_id range-cluster by a single conflict-safe overwrite
     // commit — content must be IDENTICAL to the source table (the
@@ -973,7 +998,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 13) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 14) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -982,7 +1007,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o").foreach { n =>
+        "sd", "sck", "o", "zd").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1053,6 +1078,13 @@ object Sources {
       val ot = s"$base/o"
       TxTable.overwrite(s, ot, docs)
       TxTable.optimize(s, ot, Seq("doc_id"), numFiles = 8)
+      // table "zd": orders z-ordered by the TEMPORAL pair
+      // (o_orderdate, o_custkey) — the canonical 100-TB events layout;
+      // per-file rectangles in wall-clock-micros x id space, so a
+      // pushed time-window x customer-range box prunes from the log
+      // (q_tx_zdate)
+      TxTable.overwriteZordered(s, s"$base/zd", t(s, dir, "orders"),
+        Seq("o_orderdate", "o_custkey"), numFiles = 8, bits = 0)
       // table "e": ADDITIVE SCHEMA EVOLUTION — v1 = the doc_id%3=0
       // slice in the base shape, v2 = evolveAppend of the %3=1 slice
       // carrying a new `q` column; the commit log records the widened
@@ -1134,6 +1166,9 @@ object Sources {
 
   private[graft] def ensureTxOptimize(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/o"
+
+  private[graft] def ensureTxZdate(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/zd"
 
   private[graft] def ensureTxZordered(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/z"

@@ -352,12 +352,12 @@ class TxTableSpec extends AnyFunSuite {
     // actually: statsCol is None → readRange silently full-scans with
     // the residual filter, which is CORRECT (never prunes) — pin that
     assert(TxTable.readRange(spark, t, "x", 0, 7).count() === 8L * 64 + 1)
-    // a non-long dimension rejects BEFORE staging
+    // a non-stat-encodable dimension (string) rejects BEFORE staging
     val notLong = intercept[IllegalArgumentException] {
       TxTable.overwriteZordered(spark, fresh(),
         Seq(("a", 1L)).toDF("v", "id"), "v", "id")
     }
-    assert(notLong.getMessage.contains("must be LongType"))
+    assert(notLong.getMessage.contains("integral, date or timestamp"))
   }
 
   test("3-D z-ordered write + readBox: pruning on any dimension subset") {
@@ -922,6 +922,49 @@ class TxTableSpec extends AnyFunSuite {
       "the optimize commit landed despite the races")
     // the re-layout's pruning works on whatever head it captured
     assert(TxTable.readRangeOf(spark, t, "id", 0L, 63L).count() === 64L)
+  }
+
+  test("temporal z-order: (event_date, user_id) prunes typed boxes; rewrites preserve it") {
+    import graft.api.TxTableSource
+    val t = fresh()
+    // a 64-day x 64-user grid: every (d, uid) cell exactly once
+    val df = spark.range(4096).selectExpr(
+      "DATE_ADD(DATE'2024-01-01', CAST(id % 64 AS INT)) AS d",
+      "CAST(id div 64 AS BIGINT) AS uid")
+    TxTable.overwriteZordered(spark, t, df, Seq("d", "uid"),
+      numFiles = 16, bits = 0)
+    // typed box: first 8 days x first 8 users = 64 cells, pruned reads
+    val lo = java.sql.Date.valueOf("2024-01-01")
+    val hi = java.sql.Date.valueOf("2024-01-08")
+    val got = TxTable.readBoxOf(spark, t,
+      Seq(("d", lo, hi), ("uid", 0L, 7L)))
+    assert(got.count() === 64L)
+    assert(got.inputFiles.length < 16,
+      s"typed box must prune z-ordered files: ${got.inputFiles.length}/16")
+    // the pushed path prunes the same way: a date + long conjunction
+    assert(spark.read.format("txtable").load(t)
+      .filter(col("d").between(lit(lo), lit(hi)) && col("uid") <= 7L)
+      .count() === 64L)
+    assert(TxTableSource.lastScanFiles(t).size < 16,
+      "pushed date+long box must prune from the log")
+    // a subset box on the TEMPORAL dimension alone prunes too
+    assert(TxTable.readBoxOf(spark, t, Seq(("d", lo, hi))).count() === 512L)
+    // compact re-lays-out through the SAME temporal encoding (the
+    // rewrite path used to require long dims) and keeps pruning alive
+    TxTable.compact(spark, t, numFiles = 8)
+    assert(TxTable.read(spark, t).count() === 4096L)
+    val after = TxTable.readBoxOf(spark, t,
+      Seq(("d", lo, hi), ("uid", 0L, 7L)))
+    assert(after.count() === 64L)
+    assert(after.inputFiles.length < 8,
+      "compact must preserve temporal z-order pruning")
+    // optimize can re-layout ONTO a temporal z-order in place
+    val t2 = fresh()
+    TxTable.overwrite(spark, t2, df)
+    TxTable.optimize(spark, t2, Seq("d", "uid"), numFiles = 16)
+    val opt = TxTable.readBoxOf(spark, t2,
+      Seq(("d", lo, hi), ("uid", 0L, 7L)))
+    assert(opt.count() === 64L && opt.inputFiles.length < 16)
   }
 
   test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
