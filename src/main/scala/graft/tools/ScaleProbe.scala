@@ -1371,14 +1371,30 @@ object ScaleProbe {
         TxTable.evolveAppend(spark, et,
           d.filter(col("doc_id") % 2 =!= 0).select("doc_id", "d", "q"))
         val head = TxTable.read(spark, et)
+        // temporal z-order: (date, q) rectangles — a fixed Feb x low-q
+        // box must scale exactly (per-replica-invariant derivations)
+        // while pruning holds at both scales
+        val zt = s"$base/zd"
+        TxTable.overwriteZordered(spark, zt, d.select("doc_id", "d", "q"),
+          Seq("d", "q"), numFiles = 8, bits = 0)
+        val zbox = TxTable.readBoxOf(spark, zt, Seq(
+          ("d", java.sql.Date.valueOf("2024-02-01"),
+            java.sql.Date.valueOf("2024-02-29")),
+          ("q", 0L, 999999L)))
+        val (zRows, zFiles) = (zbox.count(), zbox.inputFiles.length)
         (febRows, febFiles, totD, spanRows, spanFiles, head.count(),
           head.filter(col("q").isNull).count(),
           TxTable.readVersion(spark, et, 1).count(),
           head.schema.fieldNames.mkString(","),
+          zRows, zFiles,
           (System.nanoTime() - t0) / 1e9)
       }
-      val (fr1, ff1, td1, sr1, sf1, h1, nq1, v1a, sch1, t1) = tx15For(1)
-      val (frN, ffN, tdN, srN, sfN, hN, nqN, v1N, schN, tN) = tx15For(mult)
+      val (fr1, ff1, td1, sr1, sf1, h1, nq1, v1a, sch1, zr1, zf1, t1) = tx15For(1)
+      val (frN, ffN, tdN, srN, sfN, hN, nqN, v1N, schN, zrN, zfN, tN) = tx15For(mult)
+      require(zrN == zr1 * mult,
+        s"temporal z-box mass must scale exactly ${mult}x: $zr1 -> $zrN")
+      require(zf1 < 8 && zfN < 8,
+        s"temporal z-box must prune files at both scales: $zf1/8, $zfN/8")
       require(frN == fr1 * mult,
         s"date-window mass must scale exactly ${mult}x: $fr1 -> $frN")
       require(ff1 < td1 && ffN < tdN,
@@ -1396,8 +1412,9 @@ object ScaleProbe {
         f"(exactly ${mult}x, $ff1/$td1 -> $ffN/$tdN files), 1x-span string " +
         f"range INVARIANT $sr1 rows ($sf1/8 -> $sfN/8 files), evolve head " +
         f"$h1 -> $hN null-q $nq1 -> $nqN v1 $v1a -> $v1N (all exactly " +
-        f"${mult}x), schema invariant  1x $t1%.2f s  ${mult}x $tN%.2f s  " +
-        f"time-growth=${tN / t1}%.1fx")
+        f"${mult}x), schema invariant, temporal z-box $zr1 -> $zrN " +
+        f"(exactly ${mult}x, $zf1/8 -> $zfN/8 files)  " +
+        f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
     }
 
     spark.stop()
