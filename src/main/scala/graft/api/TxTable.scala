@@ -789,12 +789,21 @@ object TxTable {
 
   private[graft] def truncMax(b: Array[Byte]): Option[Array[Byte]] =
     if (b.length <= StrStatMaxBytes) Some(b)
-    else {
-      val p = b.take(StrStatMaxBytes)
-      val i = p.lastIndexWhere(x => (x & 0xFF) < 0xFF)
-      if (i < 0) None // every prefix byte is 0xFF: no finite upper bound
-      else Some(p.take(i) :+ (p(i) + 1).toByte)
-    }
+    else prefixUpper(b.take(StrStatMaxBytes))
+
+  /** The least upper bound (in unsigned byte order) of ALL strings
+    * starting with `b`: increment the last non-0xFF byte, dropping the
+    * tail (None when every byte is 0xFF — no finite bound). Unlike
+    * [[truncMax]] — which may return its input unchanged because the
+    * FULL max is itself a valid bound — a PREFIX bound must always
+    * increment: `[p, p]` covers only p itself, and using it for
+    * `LIKE 'p%'` pruning drops every p-prefixed string beyond the
+    * first file (caught by the spec: 28 of 100 rows survived).
+    */
+  private[graft] def prefixUpper(b: Array[Byte]): Option[Array[Byte]] = {
+    val i = b.lastIndexWhere(x => (x & 0xFF) < 0xFF)
+    if (i < 0) None else Some(b.take(i) :+ (b(i) + 1).toByte)
+  }
 
   private def b64(b: Array[Byte]): String =
     java.util.Base64.getEncoder.encodeToString(b)

@@ -400,13 +400,32 @@ object TxTableRelation {
         })
     }
     def stat(v: Any): Option[Long] = TxTable.statLong(v)
+    // `LIKE 'p%'` arrives as StringStartsWith: every p-prefixed string
+    // sits in [p, p-with-last-non-0xFF-byte-incremented] in unsigned
+    // byte order (truncMax's exact construction). The incremented
+    // bytes may not round-trip UTF-8 (our string ranges carry Strings);
+    // if they don't, the upper bound is dropped — conservative.
+    def prefixHi(p: String): Option[String] =
+      TxTable.prefixUpper(p.getBytes("UTF-8")).flatMap { b =>
+        val s = new String(b, "UTF-8")
+        if (java.util.Arrays.equals(s.getBytes("UTF-8"), b)) Some(s) else None
+      }
     def walk(f: Filter): Unit = f match {
       case And(l, r) => walk(l); walk(r)
       case EqualTo(c, v: String) => sTighten(c, Some(v), Some(v))
+      case EqualNullSafe(c, v: String) if v != null =>
+        sTighten(c, Some(v), Some(v))
       case EqualTo(c, v) =>
         stat(v).foreach(x => tighten(c, x, x))
         asLong(v).foreach(x =>
           points += c -> (points.getOrElse(c, Nil) :+ x).distinct)
+      case EqualNullSafe(c, v) if v != null =>
+        // <=> with a non-null literal prunes exactly like equality
+        // (NULL rows can never satisfy it); bloom points stay EqualTo
+        // only — the conservative direction costs nothing here
+        stat(v).foreach(x => tighten(c, x, x))
+      case StringStartsWith(c, p) if p.nonEmpty =>
+        sTighten(c, Some(p), prefixHi(p))
       case In(c, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
         val ss = vs.toSeq.map(_.asInstanceOf[String])
         sTighten(c,

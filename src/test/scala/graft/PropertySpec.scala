@@ -377,6 +377,18 @@ object StrStatProps extends Properties("StrStats") {
       }
     }
 
+  property("prefixUpper bounds EVERY continuation of the prefix") =
+    forAll(bytesGen, bytesGen) { (p, suffix) =>
+      graft.api.TxTable.prefixUpper(p) match {
+        case Some(hi) =>
+          // any string starting with p — p itself and p ++ anything —
+          // must stay <= the bound (the LIKE 'p%' pruning contract;
+          // the non-incrementing bug dropped rows past the first file)
+          cmp(p, hi) <= 0 && cmp(p ++ suffix, hi) <= 0
+        case None => p.forall(b => (b & 0xFF) == 0xFF)
+      }
+    }
+
   property("a value inside a file's true range is never pruned") =
     forAll(bytesGen, bytesGen, bytesGen) { (a, b, c) =>
       // order the three: lo <= v <= hi in unsigned byte order

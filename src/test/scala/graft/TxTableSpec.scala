@@ -831,6 +831,16 @@ class TxTableSpec extends AnyFunSuite {
       .filter(col("k") === lit("k000042")).count() === 1L)
     assert(TxTableSource.lastScanFiles(ts).size === 1,
       "string equality must prune to the single covering file")
+    // LIKE 'p%' prunes as the [p, incremented-p] range
+    assert(spark.read.format("txtable").load(ts)
+      .filter(col("k").startsWith("k0001")).count() === 100L)
+    assert(TxTableSource.lastScanFiles(ts).size < 8,
+      "prefix predicates must prune from the string bounds")
+    // null-safe equality prunes like equality
+    assert(spark.read.format("txtable").load(ts)
+      .filter(col("k") <=> lit("k000042")).count() === 1L)
+    assert(TxTableSource.lastScanFiles(ts).size === 1,
+      "<=> with a non-null literal must prune like equality")
     // byte-order agreement with Spark's own string comparison on
     // non-ASCII (multi-byte UTF-8): what Spark keeps, pruning keeps
     val t2 = fresh()
