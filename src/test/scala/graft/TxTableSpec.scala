@@ -977,6 +977,40 @@ class TxTableSpec extends AnyFunSuite {
     assert(opt.count() === 64L && opt.inputFiles.length < 16)
   }
 
+  test("string bounds and evolved schema resolve from a CHECKPOINT alone") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(512).selectExpr(
+        "concat('k', lpad(CAST(id AS STRING), 6, '0')) AS k", "id"),
+      "k", numFiles = 8)
+    // cross the checkpoint cadence (v10) with tiny appends, one of them
+    // an evolveAppend so the widened schema must ride the checkpoint too
+    (2 to 9).foreach(i => TxTable.append(spark, t,
+      Seq((f"x$i%06d", 1000L + i)).toDF("k", "id")))
+    TxTable.evolveAppend(spark, t,
+      Seq(("x000010", 1010L, 7L)).toDF("k", "id", "extra")) // v10 = checkpoint
+    // delete every commit record BELOW the checkpoint: the fold must
+    // come from checkpoint + tail, so any metadata the checkpoint
+    // dropped (sstats, schemaB64) would vanish here
+    (1 to TxTable.CheckpointEvery - 1).foreach { v =>
+      val f = new java.io.File(f"$t/_txlog/$v%020d.json")
+      assert(f.delete(), s"test setup: removed commit $v")
+    }
+    val st = TxTable.snapshotState(spark, t, TxTable.latestVersion(spark, t))
+    assert(st.sstats.size === 8,
+      "the checkpoint must carry the per-file string bounds")
+    assert(st.schemaB64.nonEmpty,
+      "the checkpoint must carry the evolved schema")
+    assert(TxTable.read(spark, t).schema.fieldNames.toSeq ===
+      Seq("k", "id", "extra"))
+    val got = TxTable.readRangeOf(spark, t, "k", "k000100", "k000100")
+    assert(got.count() === 1L)
+    // pruning from the checkpointed bounds: the 8 clustered files
+    // minus 7 pruned, plus the 9 statless append files always kept
+    assert(got.inputFiles.length === 1 + 9,
+      s"checkpoint-resolved bounds must still prune: ${got.inputFiles.length}")
+  }
+
   test("evolveAppend: additive schema evolution, time travel keeps old shapes") {
     import org.apache.spark.sql.functions.{sum => fsum}
     val t = fresh()
