@@ -646,36 +646,77 @@ object TxTable {
   def evolveAppend(spark: SparkSession, path: String, df: DataFrame,
                    txn: Option[String] = None): Long = {
     import org.apache.spark.sql.types.StructType
-    val head = latestVersion(spark, path)
-    require(head >= 1,
+    txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
+      s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
+    // The widened schema is a function of the HEAD it lands on top of:
+    // re-derive it against the observed head on EVERY claim attempt.
+    // Re-landing a schema derived from a stale head after a lost
+    // version race would silently clobber the racer's metadata —
+    // foldState takes the latest commit's schemaB64 wholesale, so a
+    // concurrent evolveAppend's new column would vanish from reads
+    // (its files still carrying the data), and an interleaved
+    // overwrite's fresh schema would be overlaid with the pre-overwrite
+    // one (all-null phantom columns). Same restart-the-derivation
+    // discipline as every other snapshot-derived writer (rewriteHead,
+    // optimize). A type conflict found on a RE-derivation (a racer
+    // changed the head schema incompatibly) aborts loudly — the Delta
+    // metadata-conflict shape — leaving only a vacuumable staging.
+    def widenedVsHead(head: Long): StructType = {
+      val st = foldState(fs(spark, path), path, head)
+      val table = stateSchema(spark, path, st)
+      val staged = df.schema
+      val conflicts = staged.fields.flatMap { f =>
+        table.fields.find(_.name == f.name).collect {
+          case t if t.dataType != f.dataType =>
+            s"'${f.name}': table ${t.dataType.simpleString} vs " +
+              s"append ${f.dataType.simpleString}"
+        }
+      }
+      require(conflicts.isEmpty,
+        s"evolveAppend is additive-only; type changes rejected for $path: " +
+          conflicts.mkString("; "))
+      // table columns keep their positions (readers' projections stay
+      // stable); columns either side lacks become nullable — rows from
+      // the other side's files have no values for them
+      StructType(
+        table.fields.map(f =>
+          if (staged.fieldNames.contains(f.name)) f else f.copy(nullable = true)) ++
+          staged.fields.filterNot(f => table.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true)))
+    }
+    val head0 = latestVersion(spark, path)
+    require(head0 >= 1,
       s"evolveAppend needs an existing table at $path (create with overwrite)")
-    val st = foldState(fs(spark, path), path, head)
-    val table = stateSchema(spark, path, st)
-    val staged = df.schema
-    val conflicts = staged.fields.flatMap { f =>
-      table.fields.find(_.name == f.name).collect {
-        case t if t.dataType != f.dataType =>
-          s"'${f.name}': table ${t.dataType.simpleString} vs " +
-            s"append ${f.dataType.simpleString}"
+    widenedVsHead(head0) // validate BEFORE staging: a bad call cannot orphan a staged dir
+    txn.flatMap(txnLanded(spark, path, _)) match {
+      case Some(prior) => return prior
+      case None => ()
+    }
+    val files = stage(spark, path, df)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      txn.flatMap(txnLanded(spark, path, _)) match {
+        case Some(prior) => return prior // redelivery: a no-op
+        case None =>
+          val head = latestVersion(spark, path)
+          evolveRaceInjection()
+          commitAt(spark, path, head + 1, "append", files, txn,
+              schemaB64 = Some(schemaToB64(widenedVsHead(head)))) match {
+            case Some(v) => return v
+            case None    => attempt += 1 // lost the race: re-derive on the new head
+          }
       }
     }
-    require(conflicts.isEmpty,
-      s"evolveAppend is additive-only; type changes rejected for $path: " +
-        conflicts.mkString("; "))
-    // table columns keep their positions (readers' projections stay
-    // stable); columns either side lacks become nullable — rows from
-    // the other side's files have no values for them
-    val widened = StructType(
-      table.fields.map(f =>
-        if (staged.fieldNames.contains(f.name)) f else f.copy(nullable = true)) ++
-        staged.fields.filterNot(f => table.fieldNames.contains(f.name))
-          .map(_.copy(nullable = true)))
-    txn.flatMap(txnLanded(spark, path, _)) match {
-      case Some(prior) => prior
-      case None => commit(spark, path, "append", stage(spark, path, df), txn,
-        schemaB64 = Some(schemaToB64(widened)))
-    }
+    throw new IllegalStateException(
+      s"could not commit to $path after $MaxCommitRetries lost version " +
+        "races (every attempt found its claimed version already taken)")
   }
+
+  /** Test seam: runs between evolveAppend's head observation and its
+    * claim attempt, so a spec can inject a concurrent commit into
+    * exactly the race window deterministically. No-op in production.
+    */
+  @volatile private[graft] var evolveRaceInjection: () => Unit = () => ()
 
   /** Overwrite CLUSTERED by a long-typed column: rows are
     * range-partitioned and sorted by `clusterCol`, and each staged
@@ -1049,6 +1090,13 @@ object TxTable {
     box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBoxOf must use recorded dimensions") }
+    val boxSchema = stateSchema(spark, path, st)
+    box.foreach { case (c, lo, hi) =>
+      boxSchema.fields.find(_.name == c).foreach { f =>
+        requireFlavorMatch(f.dataType, c, lo, "readBoxOf")
+        requireFlavorMatch(f.dataType, c, hi, "readBoxOf")
+      }
+    }
     val kept = st.files.filter(f =>
       encoded.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
     val base =
@@ -1118,7 +1166,8 @@ object TxTable {
     * values only. Returns (bits, file → hex bitset).
     */
   private def bloomStats(spark: SparkSession, path: String,
-                         files: Seq[String], colName: String)
+                         files: Seq[String], colName: String,
+                         fixedBits: Option[Int] = None)
       : (Int, Map[String, String]) = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -1127,7 +1176,12 @@ object TxTable {
       .filter(col("_v").isNotNull)
     val counts = data.groupBy("_f").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bits = bloomBitsFor(if (counts.isEmpty) 0L else counts.values.max)
+    // a file-level rewrite packs fresh blooms at the HEAD's recorded
+    // width: the log carries one bloomBits per epoch and the carried
+    // files' payloads are already packed at it — a wider fresh width
+    // would mis-derive every carried probe position
+    val bits = fixedBits.getOrElse(
+      bloomBitsFor(if (counts.isEmpty) 0L else counts.values.max))
     // the packing lambda captures only locals (bits), never the
     // enclosing object — TxTable is not Serializable and must not ride
     // a task closure. Byte/bit layout matches java.util.BitSet
@@ -1238,16 +1292,56 @@ object TxTable {
     }
   }
 
+  /** A typed bound must carry the SAME datetime flavor as the column it
+    * prunes: [[statLong]] encodes java.sql.Timestamp/Instant as
+    * SESSION-ZONE epoch micros and LocalDateTime as WALL-CLOCK micros,
+    * while a TIMESTAMP_NTZ-clustered table's recorded ranges are
+    * wall-clock micros (and a TIMESTAMP table's are epoch micros) — so
+    * a cross-flavor bound shifts pruning by the zone offset and can
+    * silently DROP files whose rows the residual filter would keep.
+    * Rejected loudly against the snapshot schema instead. Unlisted
+    * column types pass through: statLong/strRangeKeep already treat
+    * them conservatively.
+    */
+  private def requireFlavorMatch(dt: org.apache.spark.sql.types.DataType,
+                                 c: String, v: Any, what: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        v.isInstanceOf[Byte] || v.isInstanceOf[Short] ||
+          v.isInstanceOf[Int] || v.isInstanceOf[Long]
+      case DateType =>
+        v.isInstanceOf[java.sql.Date] || v.isInstanceOf[java.time.LocalDate]
+      case TimestampType =>
+        v.isInstanceOf[java.sql.Timestamp] || v.isInstanceOf[java.time.Instant]
+      case TimestampNTZType => v.isInstanceOf[java.time.LocalDateTime]
+      case StringType       => v.isInstanceOf[String]
+      case _                => true
+    }
+    require(ok,
+      s"$what bound for '$c' (${dt.simpleString}) has the wrong external " +
+        s"type ${v.getClass.getName}: use " + (dt match {
+          case TimestampNTZType => "java.time.LocalDateTime (wall-clock)"
+          case TimestampType    => "java.sql.Timestamp or java.time.Instant"
+          case DateType         => "java.sql.Date or java.time.LocalDate"
+          case StringType       => "String"
+          case _                => "an integral value"
+        }) + " — a cross-flavor datetime bound would shift file pruning " +
+        "by the session-zone offset and silently drop matching files")
+  }
+
   /** [[readRange]] for DATE / TIMESTAMP / integral cluster columns with
     * TYPED bounds: `WHERE event_date >= X` is the single most common
     * pruning predicate at 100 TB, and the log's ranges for a
     * date-clustered table are epoch days already. Bounds must be
     * literals of the column's external type (java.sql.Date /
     * java.time.LocalDate for DATE, java.sql.Timestamp /
-    * java.time.Instant / LocalDateTime for timestamps, boxed integrals
-    * for int columns); the file-level pruning runs on their
-    * [[statLong]] encoding while the residual row filter compares the
-    * TYPED values, so the two layers can never disagree on semantics.
+    * java.time.Instant for TIMESTAMP, java.time.LocalDateTime for
+    * TIMESTAMP_NTZ, boxed integrals for int columns) — enforced against
+    * the snapshot schema ([[requireFlavorMatch]]); the file-level
+    * pruning runs on their [[statLong]] encoding while the residual row
+    * filter compares the TYPED values, so the two layers can never
+    * disagree on semantics.
     */
   def readRangeOf(spark: SparkSession, path: String, clusterCol: String,
                   lo: Any, hi: Any): DataFrame = {
@@ -1259,6 +1353,11 @@ object TxTable {
     st.statsCol.foreach(sc => require(sc == clusterCol,
       s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +
         "must use the clustered column (or read() + filter)"))
+    stateSchema(spark, path, st).fields.find(_.name == clusterCol)
+      .foreach { f =>
+        requireFlavorMatch(f.dataType, clusterCol, lo, "readRangeOf")
+        requireFlavorMatch(f.dataType, clusterCol, hi, "readRangeOf")
+      }
     val kept = (lo, hi) match {
       case (ls: String, hs: String) =>
         st.files.filter(strRangeKeep(st, _,
@@ -1741,13 +1840,82 @@ object TxTable {
       s"could not optimize $path after $MaxCommitRetries lost races")
   }
 
+  /** How many distinct update-key values a merge will collect to probe
+    * the head's per-file BLOOMS with. Above the cap the bloom
+    * constraint is skipped (range/string bounds still apply) — the
+    * candidate set only widens, never narrows wrongly.
+    */
+  private[graft] val MergeBloomProbeCap = 65536
+
+  /** FILE-LEVEL candidate derivation for [[merge]]: the head files that
+    * can hold a matched key, from the updates' per-key-column bounds
+    * (one narrow aggregation over the SMALL side) intersected with the
+    * log's recorded ranges / truncated string bounds, plus a bloom
+    * probe of the actual key values when the key is bloom-indexed and
+    * the distinct count fits [[MergeBloomProbeCap]]. Exact the same
+    * way the read path is: a file outside the result PROVABLY holds no
+    * row whose key equals any update key (dropped only when its
+    * recorded metadata excludes the whole update key set), so carrying
+    * it forward by reference preserves merge semantics bit-for-bit.
+    * Columns without recorded metadata contribute no constraint —
+    * without any, every file is a candidate (the full rewrite).
+    */
+  private def mergeCandidates(spark: SparkSession, updates: DataFrame,
+                              keyCols: Seq[String])
+      : State => Seq[String] = { st =>
+    import org.apache.spark.sql.functions.{col, max, min}
+    val metaKeys = keyCols.filter(k =>
+      st.statsCol.contains(k) || st.statsCols.contains(k))
+    val bloomKeys = keyCols.filter(k => st.bloomCol.contains(k) &&
+      updates.schema(k).dataType == org.apache.spark.sql.types.LongType)
+    if (metaKeys.isEmpty && bloomKeys.isEmpty) st.files
+    else {
+      var ranges = Map.empty[String, (Long, Long)]
+      var strRanges = Map.empty[String, (Option[String], Option[String])]
+      var empty = false
+      if (metaKeys.nonEmpty) {
+        val aggs = metaKeys.flatMap(k =>
+          Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")))
+        val row = updates.agg(aggs.head, aggs.tail: _*).collect()(0)
+        metaKeys.zipWithIndex.foreach { case (k, i) =>
+          (Option(row.get(2 * i)), Option(row.get(2 * i + 1))) match {
+            case (Some(lo: String), Some(hi: String)) =>
+              strRanges += k -> (Some(lo), Some(hi))
+            case (Some(lo), Some(hi)) =>
+              (statLong(lo), statLong(hi)) match {
+                case (Some(a), Some(b)) => ranges += k -> (a, b)
+                case _                  => () // unencodable type: no constraint
+              }
+            case _ => empty = true // null min/max = zero update rows
+          }
+        }
+      }
+      val points: Map[String, Seq[Long]] = bloomKeys.flatMap { k =>
+        val vs = updates.select(col(k)).filter(col(k).isNotNull).distinct()
+          .limit(MergeBloomProbeCap + 1).collect().map(_.getLong(0)).toSeq
+        if (vs.isEmpty) { empty = true; None }
+        else if (vs.size > MergeBloomProbeCap) None // too many: skip the probe
+        else Some(k -> vs)
+      }.toMap
+      if (empty) Seq.empty // no update rows: nothing can match
+      else prunedFiles(st, ranges, points, strRanges)
+    }
+  }
+
   /** Upsert by key: rows of `updates` replace head rows sharing their
     * `keyCols` values; unmatched update rows insert. One overwrite
     * commit, conflict-safe like [[compact]] — a racing append between
     * the read and the claim restarts the merge on the new head, so
-    * its rows are never silently dropped. (File-level merge — only
-    * rewriting files that contain matched keys — is the data-skipping
-    * refinement; the TRANSACTIONAL contract is identical.)
+    * its rows are never silently dropped.
+    *
+    * FILE-LEVEL on indexed tables: when a key column carries recorded
+    * cluster ranges / z-rectangles / string bounds / blooms, only the
+    * files that CAN hold a matched key ([[mergeCandidates]]) are read
+    * and rewritten; every other live file is carried into the new
+    * commit by reference with its recorded metadata — a small upsert
+    * into a clustered 100 TB table rewrites the matched files, not the
+    * table (the Delta/Iceberg copy-on-write shape). Unindexed tables
+    * keep the full rewrite.
     *
     * With `cdf = true` the commit also stages ROW-LEVEL change data
     * (the Delta Change Data Feed shape): every head row whose key
@@ -1806,10 +1974,58 @@ object TxTable {
           .drop("__graft_matched")
         pre.unionByName(tagged)
       }
-    rewriteHead(spark, path, "merge", cdfOf = changeRows)(head =>
+    rewriteHead(spark, path, "merge", cdfOf = changeRows,
+        candidatesOf = Some(mergeCandidates(spark, updates, keyCols)))(head =>
       head.join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .unionByName(updates))
+  }
+
+  /** FILE-LEVEL candidate derivation for [[deleteWhere]]: resolve the
+    * predicate against the snapshot schema, translate it through
+    * Spark's OWN Expression → source-Filter translation (the exact
+    * mapping the pushed read path uses, so the two can never disagree),
+    * weaken it into the log's constraint shapes, and keep only files
+    * whose recorded metadata can satisfy it. A dropped file provably
+    * holds no predicate-TRUE row — its rows are all kept by the delete,
+    * so carrying it by reference is exact. Untranslatable or
+    * unrecognized predicates contribute no constraint (full rewrite) —
+    * conservative, never wrong.
+    */
+  private def deleteCandidates(spark: SparkSession, path: String,
+                               cond: org.apache.spark.sql.Column)
+      : State => Seq[String] = { st =>
+    if (st.statsCol.isEmpty && st.statsCols.isEmpty && st.bloomCol.isEmpty)
+      st.files
+    else {
+      val probe = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        stateSchema(spark, path, st))
+      val resolved = probe.filter(cond).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      // fold constant subtrees (the analyzer wraps literals in casts —
+      // `id BETWEEN 100 AND 120` arrives as `id >= CAST(100 AS BIGINT)`
+      // — and translateFilter only matches bare Literals); the
+      // optimizer can't be used instead: over the empty probe relation
+      // it would propagate emptiness and erase the Filter node itself
+      val folded = resolved.map(_.transformUp {
+        case e: org.apache.spark.sql.catalyst.expressions.Expression
+            if e.foldable && !e.isInstanceOf[
+              org.apache.spark.sql.catalyst.expressions.Literal] =>
+          org.apache.spark.sql.catalyst.expressions.Literal
+            .create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+              e.dataType)
+      })
+      folded.flatMap(org.apache.spark.sql.execution.datasources
+          .GraftFilterTranslation.translate) match {
+        case Some(f) =>
+          val (ranges, points, strRanges) =
+            TxTableRelation.constraints(Array(f))
+          prunedFiles(st, ranges, points, strRanges)
+        case None => st.files // untranslatable: every file is a candidate
+      }
+    }
   }
 
   /** Transactional delete: head rows where `cond` is TRUE are removed
@@ -1817,6 +2033,11 @@ object TxTable {
     * DELETE semantics: a row where the predicate evaluates to NULL is
     * KEPT — a bare `filter(!cond)` would silently delete it, since
     * !NULL is NULL and filters drop non-TRUE rows.
+    *
+    * FILE-LEVEL on indexed tables: only files whose recorded metadata
+    * can satisfy `cond` ([[deleteCandidates]]) are read and rewritten;
+    * the rest carry forward by reference — a bounded delete from a
+    * clustered 100 TB table touches the matching files, not the table.
     *
     * With `cdf = true` every removed row is staged as a `delete`
     * change row, read back by [[changesRows]].
@@ -1829,7 +2050,8 @@ object TxTable {
       if (!cdf) None
       else Some(_.filter(coalesce(cond, lit(false)))
         .withColumn(ChangeCol, lit("delete")))
-    rewriteHead(spark, path, "delete", cdfOf = changeRows)(_.filter(
+    rewriteHead(spark, path, "delete", cdfOf = changeRows,
+      candidatesOf = Some(deleteCandidates(spark, path, cond)))(_.filter(
       !coalesce(cond, lit(false))))
   }
 
@@ -1851,7 +2073,8 @@ object TxTable {
     */
   private def rewriteHead(spark: SparkSession, path: String, what: String,
                           numFilesHint: Option[Int] = None,
-                          cdfOf: Option[DataFrame => DataFrame] = None)(
+                          cdfOf: Option[DataFrame => DataFrame] = None,
+                          candidatesOf: Option[State => Seq[String]] = None)(
       transform: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val hfs = fs(spark, path)
@@ -1863,29 +2086,50 @@ object TxTable {
           s"cannot $what $path: the table has no commits yet " +
             "(create it with overwrite first)")
       val st = foldState(hfs, path, head)
+      // FILE-LEVEL rewrite: `candidatesOf` names the head files that
+      // CAN hold affected rows (derived per attempt from the same log
+      // metadata the read path prunes with — [[prunedFiles]] is proof,
+      // not heuristic: a file outside the set provably holds no
+      // matched key / predicate-true row). Only candidates are read
+      // and restaged; every other live file is carried forward BY
+      // REFERENCE with its recorded stats/blooms/bounds — the restore
+      // pattern. That bounds a 1k-row upsert into a clustered 100 TB
+      // table to the matched files' bytes instead of the full head,
+      // the copy-on-write scale story Delta/Iceberg ship. Without
+      // metadata (or without `candidatesOf`) every file is a
+      // candidate — the pre-existing full rewrite, byte-identical.
+      val cand = candidatesOf.fold(st.files)(f => f(st))
+      val candSet = cand.toSet
+      val untouched = st.files.filterNot(candSet)
       // ONE snapshot frame per attempt, shared by the rewrite transform
       // and the change-data builder: the two views must describe the
       // same observed head (a lost race restages both), and sharing the
       // frame also shares its scan plan instead of paying two
-      // independent head reads per attempt
-      val snapshot = readVersion(spark, path, head)
+      // independent head reads per attempt. The frame holds only the
+      // CANDIDATE files — sound for both consumers because carried
+      // files hold no affected rows (no anti-join match, no cdf image).
+      val snapshot =
+        if (cand.isEmpty) spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stateSchema(spark, path, st))
+        else readStateFiles(spark, path, st, cand)
       val transformed = transform(snapshot)
       val cdfFiles = cdfOf.fold(Seq.empty[String])(rows =>
         stage(spark, path, rows(snapshot)))
-      val target = numFilesHint.getOrElse(math.max(1, st.files.size))
-      val (files, stats, mstats, sstats) = (st.statsCol, st.statsCols) match {
+      val target = numFilesHint.getOrElse(math.max(1, cand.size))
+      val (staged, fstats, fmstats, fsstats) = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
           // → the 2-D writer default of 16), so rewrites preserve the
           // table's z-order granularity instead of resetting it
-          val staged = stage(spark, path,
+          val sf = stage(spark, path,
             zorderLaid(transformed, zc, target,
               if (st.zbits > 0) st.zbits else 16))
-          (staged, Map.empty[String, (Long, Long)],
-            multiColStats(spark, path, staged, st.statsCols),
+          (sf, Map.empty[String, (Long, Long)],
+            multiColStats(spark, path, sf, st.statsCols),
             Map.empty[String, (String, String)])
         case (Some(sc), _) =>
-          val staged = stage(spark, path, transformed
+          val sf = stage(spark, path, transformed
             .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
           // the stats FLAVOR follows the cluster column's type: a
           // string-clustered head records truncated string bounds — a
@@ -1893,11 +2137,11 @@ object TxTable {
           // index (long footerStats over a string column is empty)
           if (transformed.schema(sc).dataType ==
               org.apache.spark.sql.types.StringType)
-            (staged, Map.empty[String, (Long, Long)],
+            (sf, Map.empty[String, (Long, Long)],
               Map.empty[String, Seq[(Long, Long)]],
-              footerStrStats(spark, path, staged, sc))
+              footerStrStats(spark, path, sf, sc))
           else
-            (staged, footerStats(spark, path, staged, sc),
+            (sf, footerStats(spark, path, sf, sc),
               Map.empty[String, Seq[(Long, Long)]],
               Map.empty[String, (String, String)])
         case _ =>
@@ -1909,15 +2153,30 @@ object TxTable {
       }
       // bloom-indexed head: fresh per-file blooms for the new layout —
       // a routine compact/merge/delete must not silently erase the
-      // point-lookup index any more than the range stats
-      val (bbits, blooms) = st.bloomCol match {
-        case Some(bc) => bloomStats(spark, path, files, bc)
+      // point-lookup index any more than the range stats. When files
+      // are CARRIED, fresh blooms must reuse the head's bit width: the
+      // log records ONE bloomBits per epoch, and carried hex payloads
+      // were packed at st.bloomBits — mixed widths would mis-derive
+      // every carried file's probe positions.
+      val (bbits, fblooms) = st.bloomCol match {
+        case Some(bc) => bloomStats(spark, path, staged, bc,
+          fixedBits = if (untouched.nonEmpty && st.bloomBits > 0)
+            Some(st.bloomBits) else None)
         case None     => (0, Map.empty[String, String])
       }
-      commitAt(spark, path, head + 1, "overwrite", files, None,
-          stats, st.statsCol, mstats, st.statsCols,
-          st.bloomCol, bbits, blooms, st.zbits,
-          op = Some(what), cdf = cdfFiles, sstats = sstats) match {
+      // carried files keep their recorded metadata by NAME; staged
+      // files bring fresh entries — the union is the new head's index
+      val untouchedSet = untouched.toSet
+      def carry[V](m: Map[String, V]): Map[String, V] =
+        m.filter { case (k, _) => untouchedSet.contains(k) }
+      commitAt(spark, path, head + 1, "overwrite", untouched ++ staged, None,
+          carry(st.stats) ++ fstats, st.statsCol,
+          carry(st.mstats) ++ fmstats, st.statsCols,
+          st.bloomCol, if (untouched.nonEmpty) math.max(bbits, st.bloomBits) else bbits,
+          carry(st.blooms) ++ fblooms, st.zbits,
+          op = Some(what), cdf = cdfFiles,
+          schemaB64 = st.schemaB64,
+          sstats = carry(st.sstats) ++ fsstats) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }

@@ -111,13 +111,21 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     require(partitionColumns.isEmpty,
       "txtable sink does not partition by columns (cluster with " +
         "overwriteClustered / z-order instead)")
-    // appId scopes txn idempotence: default to the checkpoint location
-    // when present (stable across restarts of the same query), else a
-    // fixed tag — two DIFFERENT queries appending to one table should
-    // set distinct appIds
+    // appId scopes txn idempotence — it MUST be distinct per query:
+    // two queries sharing one appId produce colliding txn ids
+    // ("app:0", "app:1", …) and the second query's batches are
+    // silently dropped as redeliveries, idempotence doing exactly the
+    // wrong thing. A shared constant default had that collision mode
+    // built in (and a checkpoint set via the session-conf default
+    // never appears in these parameters), so the absence of BOTH
+    // options is a hard error, not a guess.
     val appId = parameters.get("appId")
       .orElse(parameters.get("checkpointLocation"))
-      .getOrElse("txtable-sink")
+      .getOrElse(throw new IllegalArgumentException(
+        "txtable sink needs a txn scope: set .option(\"appId\", <id>) " +
+          "(distinct per query) or pass checkpointLocation as a " +
+          "writeStream OPTION — without one, txn ids collide across " +
+          "queries and batches are silently dropped as redeliveries"))
     new TxTableSink(sqlContext.sparkSession, path, appId)
   }
 
@@ -157,6 +165,15 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     createRelation(sqlContext, parameters - "txn" - "evolve")
   }
 
+  /** SNAPSHOT SEMANTICS of the returned relation: the version is
+    * pinned HERE, so the relation serves exactly this snapshot for its
+    * lifetime — the per-relation isolation `spark.read` promises. For
+    * a catalog table (`CREATE TABLE t USING txtable LOCATION p`) Spark
+    * CACHES the resolved relation, so `SELECT ... FROM t` keeps
+    * serving the CREATE-time snapshot until `REFRESH TABLE t` (or a
+    * SQL INSERT through it, whose command invalidates the plan cache)
+    * re-resolves it — the spec pins refresh-then-see-new-commit.
+    */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val path = parameters.getOrElse("path",
@@ -179,14 +196,112 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     // is pinned here and data files are immutable.
     val state = TxTable.snapshotState(spark, path, version)
     require(state.files.nonEmpty, s"version $version of $path holds no files")
-    new HadoopFsRelation(
+    new TxInsertableHadoopFsRelation(
       new TxFileIndex(spark, path, version, state),
-      partitionSchema = StructType(Nil),
-      dataSchema = TxTable.stateSchema(spark, path, state),
-      bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
-      options = Map.empty)(spark)
+      TxTable.stateSchema(spark, path, state), spark, path)
   }
+}
+
+/** The relation behind every `format("txtable")` read — a
+  * [[HadoopFsRelation]] (so reads plan as Spark's NATIVE vectorized
+  * parquet scan through [[TxFileIndex]]) that ALSO implements
+  * [[InsertableRelation]], which is what routes SQL DML through the
+  * transactional verbs: in Spark's `DataSourceAnalysis` the
+  * `InsertableRelation` case is matched BEFORE the `HadoopFsRelation`
+  * case (rules.scala), so `INSERT INTO t` / `INSERT OVERWRITE t` on a
+  * `CREATE TABLE ... USING txtable` table plan as
+  * `InsertIntoDataSourceCommand` → [[insert]] → one atomic
+  * [[TxTable.append]]/[[TxTable.overwrite]] commit — never as
+  * `InsertIntoHadoopFsRelationCommand`, Spark's native file write.
+  *
+  * That routing is THE load-bearing guard, not a convenience: the
+  * native command's overwrite path DELETES the whole table root
+  * (`deleteMatchingPartitions` — commit log, history, every data file)
+  * BEFORE it first touches the `FileFormat`, so no format-level hook
+  * could fire in time; and its append path lands bare parquet into the
+  * table root — unlogged, invisible to every reader, and vacuumable.
+  * [[TxTableWriteGuardFormat]] below stays as a tripwire for any OTHER
+  * native write route.
+  *
+  * INSERT always commits at the HEAD, even through a relation pinned
+  * to an older `versionAsOf` — writes target the table, reads target
+  * the snapshot (the Delta semantics).
+  */
+class TxInsertableHadoopFsRelation(index: TxFileIndex,
+                                   tableSchema: StructType,
+                                   spark: SparkSession, path: String,
+                                   opts: Map[String, String] = Map.empty)
+    extends HadoopFsRelation(
+      index,
+      partitionSchema = StructType(Nil),
+      dataSchema = tableSchema,
+      bucketSpec = None,
+      fileFormat = new TxTableWriteGuardFormat(path),
+      options = opts)(spark)
+    with InsertableRelation {
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    if (overwrite) TxTable.overwrite(spark, path, data)
+    else TxTable.append(spark, path, data, txn = None)
+    ()
+  }
+
+  /** The case-class `copy` would LAUNDER this subclass away: on every
+    * table-relation-cache HIT, `FindDataSourceTable.readDataSourceTable`
+    * rebuilds the relation as `fsRelation.copy(options = merged)` to
+    * fold per-query options in — and a plain `HadoopFsRelation` copy no
+    * longer implements [[InsertableRelation]], so the SECOND and every
+    * later `INSERT` on the same catalog table would silently fall to
+    * Spark's native `InsertIntoHadoopFsRelationCommand` (whose
+    * overwrite mode deletes the table root, log and all, before any
+    * format hook can fire — reproduced before this override existed).
+    * Overriding `copy` keeps every rebuilt relation this class, so DML
+    * stays routed through the commit log no matter how many times the
+    * analyzer re-derives the relation.
+    */
+  override def copy(location: FileIndex,
+                    partitionSchema: StructType,
+                    dataSchema: StructType,
+                    bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec],
+                    fileFormat: org.apache.spark.sql.execution.datasources.FileFormat,
+                    options: Map[String, String])(
+                    sparkSession: SparkSession): HadoopFsRelation =
+    location match {
+      case tx: TxFileIndex =>
+        new TxInsertableHadoopFsRelation(tx, dataSchema, sparkSession,
+          path, options)
+      case other => // a rebuild swapped the index out: plain relation,
+        // losing writability rather than mis-routing writes
+        HadoopFsRelation(other, partitionSchema, dataSchema, bucketSpec,
+          fileFormat, options)(sparkSession)
+    }
+}
+
+/** Tripwire [[ParquetFileFormat]]: reading never calls `prepareWrite`,
+  * so subclassing only the write half leaves the native vectorized
+  * read path byte-identical — but any write route that reaches the
+  * format level (a future Spark rule reordering, a hand-built plan)
+  * fails LOUDLY with the supported alternatives instead of silently
+  * landing unlogged files next to the commit log. Not sufficient on
+  * its own for `INSERT OVERWRITE` (the native command deletes the
+  * table root before `prepareWrite` runs — see
+  * [[TxInsertableHadoopFsRelation]], the guard that actually
+  * intercepts DML at analysis time); necessary as defense in depth.
+  */
+class TxTableWriteGuardFormat(path: String) extends ParquetFileFormat {
+  override def prepareWrite(sparkSession: org.apache.spark.sql.SparkSession,
+                            job: org.apache.hadoop.mapreduce.Job,
+                            options: Map[String, String],
+                            dataSchema: StructType)
+      : org.apache.spark.sql.execution.datasources.OutputWriterFactory =
+    throw new UnsupportedOperationException(
+      s"direct file writes into the txtable at $path are not supported " +
+        "(they would bypass the commit log): use SQL INSERT INTO / " +
+        "INSERT OVERWRITE on the registered table, " +
+        "df.write.format(\"txtable\"), or the TxTable API verbs " +
+        "(append / overwrite / merge / deleteWhere)")
+  override def toString: String = "TxTableParquet"
 }
 
 /** A streaming offset that IS a commit version — the natural cursor of

@@ -906,6 +906,40 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("change", "source")),
 
+    // SQL DML end-to-end: INSERT INTO / INSERT OVERWRITE on the
+    // registered catalog table each landed ONE transactional commit
+    // (append, then overwrite) on the same log. The query replays
+    // version 2 (after the INSERT INTO: the %3=0 creation slice plus
+    // the inserted %3=1 slice) AND the head (after the INSERT
+    // OVERWRITE: exactly the doc_id<=500 slice) from that history; the
+    // oracle derives both phases from the source table. A mis-routed
+    // INSERT — Spark's native file write, which deletes the log on
+    // overwrite and lands invisible files on append — makes one or
+    // both phases unreadable or wrong.
+    Q("q_tx_sql_dml",
+      Some("""WITH v2 AS (SELECT source, n_chars FROM documents
+                          WHERE doc_id % 3 IN (0, 1)),
+                   hd AS (SELECT source, n_chars FROM documents
+                          WHERE doc_id <= 500)
+              SELECT 'after_insert' AS phase, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM v2 GROUP BY 2
+              UNION ALL
+              SELECT 'after_overwrite' AS phase, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM hd GROUP BY 2
+              ORDER BY phase, source"""),
+      (s, dir) => {
+        val p = ensureTxSqlDml(s, dir)
+        graft.api.TxTable.readVersion(s, p, 2)
+          .withColumn("phase", lit("after_insert"))
+          .unionByName(s.read.format("txtable").load(p)
+            .withColumn("phase", lit("after_overwrite")))
+          .groupBy("phase", "source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("phase", "source")
+      }),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
@@ -998,7 +1032,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 14) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 15) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1007,7 +1041,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd").foreach { n =>
+        "sd", "sck", "o", "zd", "sq").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1097,6 +1131,27 @@ object Sources {
       TxTable.evolveAppend(s, et, docs.filter(col("doc_id") % 3 === 1)
         .select(col("doc_id"), col("source"), col("n_chars"),
           (col("doc_id") * 7 % 100).as("q")))
+      // table "sq": SQL DML through the registered CATALOG table —
+      // CREATE TABLE ... USING txtable, then INSERT INTO (one append
+      // commit) and INSERT OVERWRITE (one overwrite commit ON THE SAME
+      // LOG). Both statements must route through the InsertableRelation
+      // seam, never Spark's native file write (which deletes the table
+      // root on overwrite — TxTableSpec pins the routing and log
+      // survival); q_tx_sql_dml then replays BOTH snapshots from the
+      // surviving history, so a mis-routed INSERT (lost log, unlogged
+      // files, wrong version numbering) breaks the hash.
+      val sq = s"$base/sq"
+      val sqCols = docs.select("doc_id", "source", "n_chars")
+      TxTable.overwrite(s, sq, sqCols.filter(col("doc_id") % 3 === 0))
+      sqCols.createOrReplaceTempView("graft_txdml_src")
+      s.sql("DROP TABLE IF EXISTS graft_txdml")
+      s.sql(s"CREATE TABLE graft_txdml USING txtable LOCATION '$sq'")
+      s.sql("INSERT INTO graft_txdml SELECT doc_id, source, n_chars " +
+        "FROM graft_txdml_src WHERE doc_id % 3 = 1")
+      s.sql("INSERT OVERWRITE graft_txdml SELECT doc_id, source, n_chars " +
+        "FROM graft_txdml_src WHERE doc_id <= 500")
+      s.sql("DROP TABLE IF EXISTS graft_txdml")
+      s.catalog.dropTempView("graft_txdml_src")
       // tables "ps"/"pd" + cursor "pc": the END-TO-END CDC PIPELINE —
       // pollChanges (consumer cursor) -> transform -> EXACTLY-ONCE
       // txn-tagged append into a downstream audit table, one poll per
@@ -1181,4 +1236,7 @@ object Sources {
 
   private[graft] def ensureTxRestore(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/r"
+
+  private[graft] def ensureTxSqlDml(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/sq"
 }

@@ -1278,4 +1278,285 @@ class TxTableSpec extends AnyFunSuite {
       assert(TxTable.bloomPosition(v, i.toLong, bits) === viaExpr((v, i)),
         s"hash divergence for v=$v i=$i")
   }
+
+  test("file-level merge: an upsert into one cluster carries every other file by NAME") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4096).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 8)
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    assert(before.size === 8)
+    // keys 100..119 live in ONE 512-wide cluster file: the other seven
+    // files provably hold no matched key and must be re-referenced, not
+    // rewritten (same absolute file path in the new snapshot)
+    val updates = spark.range(100, 120)
+      .selectExpr("id", "concat('u', CAST(id AS STRING)) AS v")
+    TxTable.merge(spark, t, updates, Seq("id"))
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    val carried = before.intersect(after)
+    assert(carried.size === 7,
+      s"exactly the 7 untouched cluster files carry by name, got ${carried.size}")
+    // upsert semantics are bit-identical to the full rewrite
+    val got = TxTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 4096)
+    assert((0L until 4096L).forall(i =>
+      got(i) == (if (i >= 100 && i < 120) s"u$i" else s"$i")))
+    // the carried files kept their recorded ranges AND the rewritten
+    // candidate landed fresh ones: range pruning still works end to end
+    assert(TxTable.readRangeOf(spark, t, "id", 0L, 63L).count() === 64L)
+    assert(TxTable.readRangeOf(spark, t, "id", 0L, 63L)
+      .inputFiles.length < 8, "range pruning survives the file-level merge")
+    assert(TxTable.readRangeOf(spark, t, "id", 100L, 119L).collect()
+      .map(_.getString(1)).forall(_.startsWith("u")))
+  }
+
+  test("file-level merge: cdf images and bloom-probed candidates stay exact") {
+    val t = fresh()
+    // clustered by k, bloom-indexed on id (the MERGE key): candidates
+    // come from the bloom probe of the update keys, not the cluster
+    val df = spark.range(4096).selectExpr(
+      "id div 512 AS k", "id", "CAST(id AS STRING) AS v")
+    TxTable.overwriteClustered(spark, t, df, "k", numFiles = 8,
+      bloomCol = Some("id"))
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    val updates = Seq((0L, 700L, "u700"), (1L, 701L, "u701"),
+      (9L, 99999L, "new")).toDF("k", "id", "v")
+    TxTable.merge(spark, t, updates, Seq("id"), cdf = true)
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(before.intersect(after).size >= 6,
+      "bloom-excluded files carry by name (700/701 live in one file)")
+    // content: exact upsert
+    val got = TxTable.read(spark, t).select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size === 4097)
+    assert(got(700L) === "u700" && got(701L) === "u701" &&
+      got(99999L) === "new" && got(702L) === "702")
+    // cdf staged from the candidate subset is still the full image set
+    val ch = TxTable.changesRows(spark, t, 1, 2)
+      .select(TxTable.ChangeCol, "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(ch === Set(("update_preimage", 700L), ("update_preimage", 701L),
+      ("update_postimage", 700L), ("update_postimage", 701L),
+      ("insert", 99999L)),
+      s"file-level cdf must record exactly both update images + the insert: $ch")
+    // bloom point lookups still prune after the carry (bits unchanged)
+    assert(TxTable.readPoints(spark, t, "id", Seq(700L)).count() === 1L)
+    assert(TxTable.readPoints(spark, t, "id", Seq(700L))
+      .inputFiles.length < 9, "bloom pruning survives the file-level merge")
+  }
+
+  test("file-level deleteWhere: a bounded predicate rewrites only candidate files") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4096).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 8)
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    TxTable.deleteWhere(spark, t, col("id").between(100, 120), cdf = true)
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(before.intersect(after).size === 7,
+      "the 7 files whose ranges exclude [100,120] carry by name")
+    assert(TxTable.read(spark, t).count() === 4096L - 21L)
+    assert(TxTable.read(spark, t).filter(col("id").between(100, 120))
+      .count() === 0L)
+    val ch = TxTable.changesRows(spark, t, 1, 2)
+      .select("id", TxTable.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ch === (100L to 120L).map(i => (i, "delete")).toSet,
+      "cdf from the candidate subset records exactly the deleted rows")
+    // an untranslatable predicate still deletes correctly (full rewrite)
+    TxTable.deleteWhere(spark, t, col("id") % 1000 === 0)
+    assert(TxTable.read(spark, t).count() === 4096L - 21L - 5L,
+      "ids {0,1000,2000,3000,4000} go; the modulo predicate is unprunable")
+  }
+
+  test("file-level merge carries pre-evolution files under the evolved schema") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1024).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4)
+    TxTable.evolveAppend(spark, t, Seq((5000L, "x", 9L)).toDF("id", "v", "q"))
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    // id=5000 is outside every clustered file's range; the evolve file
+    // carries no stats (appends don't) so it stays a candidate — the
+    // four clustered (PRE-EVOLUTION) files carry by reference, and the
+    // merge commit must keep the widened schema recorded or their rows
+    // would read back without q
+    TxTable.merge(spark, t, Seq((5000L, "y", 10L)).toDF("id", "v", "q"),
+      Seq("id"))
+    val head = TxTable.read(spark, t)
+    assert(head.schema.fieldNames.toSet === Set("id", "v", "q"),
+      "the carried commit keeps the evolved schema")
+    assert(before.intersect(head.inputFiles.toSet).size === 4,
+      "all four pre-evolution cluster files carry by name")
+    val rows = head.collect().map(r =>
+      r.getLong(0) -> (r.getString(1), Option(r.get(2)))).toMap
+    assert(rows(5000L) === (("y", Some(10L))))
+    assert(rows(7L) === (("7", None)), "carried rows null-fill the new column")
+    assert(rows.size === 1025)
+  }
+
+  test("evolveAppend re-derives its widened schema after a lost version race") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    // the racer lands a DIFFERENT new column (q) exactly inside the
+    // loser's observe-head -> claim window: re-landing the loser's
+    // stale pre-race widening would clobber q out of the head schema
+    // (its files still carrying the data) — the loser must re-derive
+    // against the racer's head and land the UNION
+    var injected = false
+    TxTable.evolveRaceInjection = () => if (!injected) {
+      injected = true
+      TxTable.evolveAppend(spark, t,
+        Seq((2L, "b", 7L)).toDF("id", "v", "q"))
+    }
+    try TxTable.evolveAppend(spark, t,
+      Seq((3L, "c", "x")).toDF("id", "v", "w"))
+    finally TxTable.evolveRaceInjection = () => ()
+    assert(injected, "the race window must have fired")
+    val head = TxTable.read(spark, t)
+    assert(head.schema.fieldNames.toSet === Set("id", "v", "q", "w"),
+      "the losing evolveAppend must re-derive: BOTH racers' columns survive")
+    val byId = head.collect().map(r => r.getLong(0) ->
+      (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(byId(1L) === (("a", None, None)))
+    assert(byId(2L) === (("b", Some(7L), None)))
+    assert(byId(3L) === (("c", None, Some("x"))))
+    // an interleaved OVERWRITE resets the schema; the losing
+    // evolveAppend must widen the racer's FRESH schema, not overlay
+    // the pre-overwrite one (which would resurrect phantom columns)
+    val t2 = fresh()
+    TxTable.overwrite(spark, t2, Seq((1L, "a")).toDF("id", "v"))
+    var injected2 = false
+    TxTable.evolveRaceInjection = () => if (!injected2) {
+      injected2 = true
+      TxTable.overwrite(spark, t2, Seq((5L, "e", 9L)).toDF("id", "v", "z"))
+    }
+    try TxTable.evolveAppend(spark, t2,
+      Seq((6L, "f", "y")).toDF("id", "v", "w"))
+    finally TxTable.evolveRaceInjection = () => ()
+    assert(TxTable.read(spark, t2).schema.fieldNames.toSet ===
+      Set("id", "v", "z", "w"),
+      "the widening restarts from the racing overwrite's fresh schema")
+    assert(TxTable.read(spark, t2).count() === 2L,
+      "the overwrite reset content; only its rows + the evolve rows live")
+  }
+
+  test("readRangeOf/readBoxOf reject cross-flavor datetime bounds") {
+    val t = fresh()
+    // TIMESTAMP_NTZ cluster column: recorded ranges are WALL-CLOCK
+    // micros, so an LTZ-flavored bound (Timestamp/Instant = epoch
+    // micros) would shift pruning by the session-zone offset and could
+    // silently drop matching files — reject, never mis-prune
+    val df = spark.range(100).selectExpr("id",
+      "timestampadd(HOUR, CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00') AS ts")
+    TxTable.overwriteClustered(spark, t, df, "ts", numFiles = 4)
+    val ntzLo = java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+    val ntzHi = java.time.LocalDateTime.of(2024, 1, 2, 0, 0)
+    assert(TxTable.readRangeOf(spark, t, "ts", ntzLo, ntzHi).count() === 25L,
+      "matching-flavor bounds read exactly the window")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.readRangeOf(spark, t, "ts",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-02 00:00:00"))
+    }
+    assert(e.getMessage.contains("LocalDateTime"),
+      s"the rejection must name the right flavor: ${e.getMessage}")
+    // and the reverse: an NTZ-flavored bound on a DATE column rejects
+    val t2 = fresh()
+    val df2 = spark.range(100).selectExpr("id",
+      "DATE_ADD(DATE'2024-01-01', CAST(id AS INT)) AS d")
+    TxTable.overwriteZordered(spark, t2, df2, Seq("d", "id"),
+      numFiles = 4, bits = 0)
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.readBoxOf(spark, t2, Seq(
+        ("d", java.time.LocalDateTime.of(2024, 1, 1, 0, 0),
+          java.time.LocalDateTime.of(2024, 1, 8, 0, 0)),
+        ("id", 0L, 7L)))
+    }
+    assert(e2.getMessage.contains("java.sql.Date"),
+      s"the rejection must name the right flavor: ${e2.getMessage}")
+    // matching flavors still box-prune
+    assert(TxTable.readBoxOf(spark, t2, Seq(
+      ("d", java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-01-08")),
+      ("id", 0L, 7L))).count() === 8L)
+  }
+
+  test("SQL DML on a registered table routes through the commit log — never the native file write") {
+    val t = fresh()
+    val tbl = "graft_txdml_spec"
+    TxTable.overwrite(spark, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING txtable LOCATION '$t'")
+    try {
+      // INSERT INTO = one transactional append commit, visible to a
+      // fresh reader — not a bare unlogged parquet file in the root
+      spark.sql(s"INSERT INTO $tbl VALUES (3, 'c')")
+      assert(TxTable.latestVersion(spark, t) === 2L,
+        "INSERT INTO must land exactly one commit")
+      assert(TxTable.history(spark, t).last.action === "append")
+      assert(rows(t) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // the catalog table serves the CREATE-time snapshot until
+      // REFRESH (documented semantics) — refresh-then-see-new-commit
+      spark.sql(s"REFRESH TABLE $tbl")
+      assert(spark.sql(s"SELECT id FROM $tbl").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 2L, 3L),
+        "REFRESH TABLE re-resolves the relation to the new head")
+      // INSERT OVERWRITE = one transactional overwrite commit: the
+      // commit log, full history and time travel ALL survive (the
+      // native InsertIntoHadoopFsRelationCommand would have deleted
+      // _txlog/ and every data file before writing)
+      spark.sql(s"INSERT OVERWRITE $tbl VALUES (9, 'z')")
+      assert(TxTable.latestVersion(spark, t) === 3L,
+        "INSERT OVERWRITE must land exactly one commit on the same log")
+      assert(TxTable.history(spark, t).map(_.action) ===
+        Seq("overwrite", "append", "overwrite"))
+      assert(rows(t) === Set((9L, "z")))
+      assert(TxTable.readVersion(spark, t, 2).count() === 3L,
+        "history and time travel survive a SQL overwrite")
+      // no unlogged stragglers: every parquet under the root is
+      // reachable from the log (SQL writes never bypass it)
+      val hfs = graft.api.Dedup.hadoopFs(spark, t)
+      val all = {
+        val it = hfs.listFiles(new org.apache.hadoop.fs.Path(t), true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().getPath.toString
+        b.result()
+      }
+      val logged = (1L to 3L).flatMap(v =>
+        TxTable.readVersion(spark, t, v).inputFiles).toSet
+      val strays = all.filter(p => p.endsWith(".parquet") &&
+        !p.contains("_txlog") && !logged.contains("file:" + p.stripPrefix("file:")))
+        .filterNot(p => logged.exists(l => l.endsWith(p.stripPrefix("file:"))))
+      assert(strays.isEmpty, s"unlogged parquet landed in the root: $strays")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("the write-guard format trips loudly if a native file write ever reaches it") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    val rel = new graft.api.TxTableSource()
+      .createRelation(spark.sqlContext, Map("path" -> t))
+      .asInstanceOf[graft.api.TxInsertableHadoopFsRelation]
+    val e = intercept[UnsupportedOperationException] {
+      rel.fileFormat.prepareWrite(spark,
+        org.apache.hadoop.mapreduce.Job.getInstance(),
+        Map.empty, rel.dataSchema)
+    }
+    assert(e.getMessage.contains("commit log"))
+    assert(e.getMessage.contains("format(\"txtable\")"))
+  }
+
+  test("streaming sink without appId or checkpointLocation OPTION rejects loudly") {
+    // a shared default appId would make two anonymous queries' txn ids
+    // collide ("app:0"...) and silently drop the second query's batches
+    // as redeliveries — absence of both options is a hard error
+    val e = intercept[IllegalArgumentException] {
+      new graft.api.TxTableSource().createSink(spark.sqlContext,
+        Map("path" -> fresh()), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("appId"))
+  }
 }
