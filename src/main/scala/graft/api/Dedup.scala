@@ -1213,12 +1213,23 @@ object Dedup {
       ex0.select(col("doc_id"), f(col("tok")).cast("long").as("tok")))
     val sig = ex.groupBy("doc_id").agg(expr("simhash_sig(tok)").as("sig"))
     // same single-materialization treatment as [[minhashPairs]]: the
-    // self-join must not recompute the signature aggregation per side
+    // self-join must not recompute the signature aggregation per side.
+    // The persist alone is NOT enough: it is lazy, and the self-join's
+    // two scan stages start CONCURRENTLY over the cold cache — tasks of
+    // both sides race per partition through BlockManager.getOrElseUpdate
+    // and each computes the CPU-dense signature aggregation again
+    // (observed as bench `state_divergent` on q_dedup_simhash: loaded
+    // executor CPU ~6x unloaded on an uncontended host, because under
+    // submitter load the two stages interleave for long enough to
+    // double-touch every partition). One eager count() populates the
+    // cache in a SINGLE stage first; both join sides then read blocks,
+    // never recompute.
     val bandRows = pin(sig.select(col("doc_id"), col("sig"), posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, b*16) & 65535L)")))
       .toDF("doc_id", "sig", "band_idx", "band_val")
       .repartition(col("band_idx"), col("band_val"))
       .persist(StorageLevel.MEMORY_AND_DISK))
+    bandRows.count()
     bandRows.as("a").join(bandRows.as("b"), Seq("band_idx", "band_val"))
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

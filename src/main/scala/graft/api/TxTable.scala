@@ -1675,6 +1675,30 @@ object TxTable {
     ChangePoll(changes, from, to, ack)
   }
 
+  /** [[pollChanges]] for a NAMED CONSUMER GROUP: each group keeps its
+    * own cursor under `cursorDir/<group>/`, so independent consumers of
+    * one feed share a single configured location without a
+    * directory-per-consumer convention — two groups never read each
+    * other's acks, and each advances (and [[vacuumCursor]]s) alone.
+    * The Kafka consumer-group shape over the commit-log feed. Group
+    * names must be path-inert (`[A-Za-z0-9._-]+`); the bare overload
+    * is the single-consumer special case.
+    */
+  def pollChanges(spark: SparkSession, path: String, cursorDir: String,
+                  group: String): ChangePoll = {
+    require(group.matches("[A-Za-z0-9._-]+"),
+      s"consumer group names must be path-inert ([A-Za-z0-9._-]+): '$group'")
+    pollChanges(spark, path, s"$cursorDir/$group")
+  }
+
+  /** Per-group [[vacuumCursor]]: sweeps ONLY `group`'s markers. */
+  def vacuumCursor(spark: SparkSession, cursorDir: String,
+                   group: String): Int = {
+    require(group.matches("[A-Za-z0-9._-]+"),
+      s"consumer group names must be path-inert ([A-Za-z0-9._-]+): '$group'")
+    vacuumCursor(spark, s"$cursorDir/$group")
+  }
+
   /** Drop every superseded `.ack` marker under `cursorDir`, keeping
     * only the NEWEST (the cursor itself — [[pollChanges]] reads the
     * max, so older markers are dead weight: one file per consumed head

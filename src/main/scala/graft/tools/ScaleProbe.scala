@@ -1417,6 +1417,53 @@ object ScaleProbe {
         f"1x $t1%.2f s  ${mult}x $tN%.2f s  time-growth=${tN / t1}%.1fx")
     }
 
+    // Round-16: FILE-LEVEL MERGE — a FIXED 100-key upsert into a
+    // doc_id-clustered table must rewrite bytes proportional to the
+    // MATCHED files, not the table. File count scales with the corpus
+    // (so per-file width stays ~constant); the update window [100,199]
+    // lives in one cluster file at both scales, so the rewritten bytes
+    // must stay ~flat while the table (and its carried-by-reference
+    // fraction) grows mult x. This is the probe the copy-on-write path
+    // must pass at 100 TB: an upsert's cost is O(matched files).
+    {
+      import graft.api.TxTable
+      def mergeFor(m: Int) = {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"txmerge_$m").toString + "/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 8 * m)
+        val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        val t0 = System.nanoTime()
+        TxTable.merge(spark, t,
+          docsFor(1).select(col("doc_id"), col("text"))
+            .filter(col("doc_id").between(100, 199))
+            .withColumn("text", lit("upserted")), Seq("doc_id"))
+        val d = (System.nanoTime() - t0) / 1e9
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        def len(p: String) = new java.io.File(new java.net.URI(p)).length
+        (before.size, before.intersect(after).size,
+          (after -- before).toSeq.map(len).sum,
+          after.toSeq.map(len).sum, d)
+      }
+      val (nf1, c1, rb1, tb1, dm1) = mergeFor(1)
+      val (nfN, cN, rbN, tbN, dmN) = mergeFor(mult)
+      require(tbN > tb1 * (mult - 2),
+        s"the scaled table must actually be ~${mult}x the bytes: $tb1 -> $tbN")
+      require(nfN - cN <= (nf1 - c1) + 1,
+        s"the rewritten-file count must track the matched window, not the " +
+          s"table: ${nf1 - c1} of $nf1 -> ${nfN - cN} of $nfN")
+      val rg = rbN.toDouble / math.max(1L, rb1)
+      require(rg <= 3.0,
+        s"merge rewrite bytes must track matched files, not table size: " +
+          s"$rb1 -> $rbN (${rg}x at table growth ${tbN.toDouble / tb1}x)")
+      println(f"tx file-level merge (fixed 100-key upsert, ${mult}x corpus): " +
+        f"table ${tb1 / 1e6}%.1f -> ${tbN / 1e6}%.1f MB " +
+        f"(${tbN.toDouble / tb1}%.1fx), rewrote ${rb1 / 1e6}%.2f -> " +
+        f"${rbN / 1e6}%.2f MB (growth ${rg}%.1fx), carried by name " +
+        f"$c1/$nf1 -> $cN/$nfN files  1x $dm1%.2f s  ${mult}x $dmN%.2f s")
+    }
+
     spark.stop()
   }
 }

@@ -1262,6 +1262,39 @@ class TxTableSpec extends AnyFunSuite {
       stale.getMessage.contains("cursor"))
   }
 
+  test("pollChanges: NAMED consumer groups keep independent cursors and vacuums") {
+    val t = fresh()
+    val cursor = java.nio.file.Files
+      .createTempDirectory("txgroups").toString + "/c"
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    // group "audit" consumes and acks window (0,1]; group "index" has
+    // its own cursor and still sees the window afterward
+    val a1 = TxTable.pollChanges(spark, t, cursor, "audit")
+    assert(a1.changes.count() === 1L); a1.ack()
+    assert(TxTable.pollChanges(spark, t, cursor, "audit")
+      .changes.count() === 0L)
+    val i1 = TxTable.pollChanges(spark, t, cursor, "index")
+    assert((i1.fromVersion, i1.toVersion) === (0L, 1L),
+      "another group's ack must not advance this group's cursor")
+    assert(i1.changes.count() === 1L); i1.ack()
+    // both advance independently over the next commit
+    TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"))
+    val a2 = TxTable.pollChanges(spark, t, cursor, "audit")
+    assert((a2.fromVersion, a2.toVersion) === (1L, 2L)); a2.ack()
+    // per-group vacuum sweeps only its own markers
+    assert(TxTable.vacuumCursor(spark, cursor, "audit") === 1)
+    def markers(g: String) = new java.io.File(s"$cursor/$g").listFiles()
+      .count(_.getName.endsWith(".ack"))
+    assert(markers("audit") === 1 && markers("index") === 1)
+    val i2 = TxTable.pollChanges(spark, t, cursor, "index")
+    assert((i2.fromVersion, i2.toVersion) === (1L, 2L),
+      "the other group's vacuum must leave this cursor intact")
+    // group names that would escape the cursor directory reject
+    intercept[IllegalArgumentException] {
+      TxTable.pollChanges(spark, t, cursor, "../escape")
+    }
+  }
+
   test("bloom positions: the driver probe replays the executor hash exactly") {
     // the reader derives positions with XXH64 on the driver while the
     // writer derives them with the xxhash64 expression on executors —
