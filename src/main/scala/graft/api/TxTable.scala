@@ -1567,7 +1567,7 @@ object TxTable {
         Some(spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
           .withColumn(ChangeCol, lit("insert"))
           .withColumn(VersionCol, lit(c.version)))
-      else if (c.op.contains("compact") ||
+      else if (c.op.exists(o => o == "compact" || o == "compactSmall") ||
                (c.op.contains("restore") &&
                  liveFiles(spark, path, c.version - 1).toSet == c.files.toSet))
         None // content-identical commit: zero change rows by construction
@@ -1778,6 +1778,70 @@ object TxTable {
     */
   def compact(spark: SparkSession, path: String, numFiles: Int = 1): Long =
     rewriteHead(spark, path, "compact", Some(numFiles))(identity)
+
+  /** One `listStatus` per staging directory (the [[TxFileIndex]]
+    * costing): live-file sizes in O(commits) metadata RPCs, never one
+    * round-trip per file. Files the store lost report size 0 — the
+    * caller treats them conservatively.
+    */
+  private def fileSizes(hfs: org.apache.hadoop.fs.FileSystem, path: String,
+                        files: Seq[String]): Map[String, Long] =
+    files.groupBy(f => f.lastIndexOf('/') match {
+      case -1 => ""
+      case i  => f.substring(0, i)
+    }).flatMap { case (dir, fs) =>
+      val want = fs.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+      val root = if (dir.isEmpty) path else s"$path/$dir"
+      hfs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+        .filter(st => want.contains(st.getPath.getName))
+        .map(st => (if (dir.isEmpty) st.getPath.getName
+                    else s"$dir/${st.getPath.getName}") -> st.getLen)
+    }
+
+  /** SMALL-FILE compaction — the bin-packing half of `OPTIMIZE` (the
+    * Delta OPTIMIZE shape, distinct from [[optimize]]'s full
+    * re-layout): rewrite ONLY the live files smaller than
+    * `minFileBytes`, packed into ceil(smallBytes / targetBytes)
+    * outputs, and carry every already-right-sized file into the commit
+    * by reference with its recorded metadata. Routine maintenance of a
+    * table that accreted streaming micro-batch appends rewrites the
+    * small TAIL, never the table — at 100 TB that is the difference
+    * between a nightly job and an impossibility. Clustering-preserving
+    * like every head rewrite here: on an indexed head the packed
+    * subset is re-sorted by the recorded stats column and lands fresh
+    * stats/blooms (at the head's bloom width); carried files keep
+    * theirs. Content-identical by construction, so the change feed
+    * serves it as zero rows ([[changesRows]]). A head with fewer than
+    * two small files is already packed — returns the current head
+    * WITHOUT committing (an idempotent no-op, not a new version).
+    */
+  def compactSmall(spark: SparkSession, path: String,
+                   minFileBytes: Long = 32L << 20,
+                   targetBytes: Long = 128L << 20): Long = {
+    require(minFileBytes > 0 && targetBytes > 0,
+      "compactSmall needs positive minFileBytes / targetBytes")
+    val hfs = fs(spark, path)
+    val head = latestVersion(spark, path)
+    if (head == 0)
+      throw new IllegalStateException(
+        s"cannot compactSmall $path: the table has no commits yet " +
+          "(create it with overwrite first)")
+    def smallOf(st: State): Seq[String] = {
+      val sz = fileSizes(hfs, path, st.files)
+      st.files.filter(f => sz.getOrElse(f, 0L) < minFileBytes)
+    }
+    // pre-check on the observed head: nothing (or one file) to pack is
+    // the steady state of a well-maintained table and must cost zero
+    // writes. Advisory only — the conflict-safe loop re-derives.
+    if (smallOf(foldState(hfs, path, head)).size < 2) return head
+    rewriteHead(spark, path, "compactSmall",
+      candidatesOf = Some(smallOf),
+      targetOf = Some { (st, cand) =>
+        val sz = fileSizes(hfs, path, cand)
+        math.ceil(math.max(1L, cand.map(sz.getOrElse(_, 0L)).sum)
+          .toDouble / targetBytes).toInt
+      })(identity)
+  }
 
   /** Re-layout the LIVE HEAD in place — the `OPTIMIZE … ZORDER BY`
     * shape: one column = range-cluster with typed data-skipping stats
@@ -2098,7 +2162,8 @@ object TxTable {
   private def rewriteHead(spark: SparkSession, path: String, what: String,
                           numFilesHint: Option[Int] = None,
                           cdfOf: Option[DataFrame => DataFrame] = None,
-                          candidatesOf: Option[State => Seq[String]] = None)(
+                          candidatesOf: Option[State => Seq[String]] = None,
+                          targetOf: Option[(State, Seq[String]) => Int] = None)(
       transform: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val hfs = fs(spark, path)
@@ -2140,7 +2205,8 @@ object TxTable {
       val transformed = transform(snapshot)
       val cdfFiles = cdfOf.fold(Seq.empty[String])(rows =>
         stage(spark, path, rows(snapshot)))
-      val target = numFilesHint.getOrElse(math.max(1, cand.size))
+      val target = targetOf.map(f => math.max(1, f(st, cand)))
+        .orElse(numFilesHint).getOrElse(math.max(1, cand.size))
       val (staged, fstats, fmstats, fsstats) = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
@@ -2169,8 +2235,12 @@ object TxTable {
               Map.empty[String, Seq[(Long, Long)]],
               Map.empty[String, (String, String)])
         case _ =>
+          // an EXPLICIT file-count ask (compact's hint, compactSmall's
+          // bin-pack target) coalesces; a merge/delete rewrite keeps
+          // the transform's natural partitioning
+          val want = if (targetOf.isDefined) Some(target) else numFilesHint
           (stage(spark, path,
-            numFilesHint.fold(transformed)(transformed.coalesce)),
+            want.fold(transformed)(transformed.coalesce)),
             Map.empty[String, (Long, Long)],
             Map.empty[String, Seq[(Long, Long)]],
             Map.empty[String, (String, String)])

@@ -55,7 +55,10 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     * downstream this is a transactional streaming pipe between tables
     * (the pollChanges composition behind the standard APIs).
     * `option("startingVersion", v)` starts the feed after version v
-    * (default 0 = the table's full history).
+    * (default 0 = the table's full history);
+    * `option("maxVersionsPerTrigger", n)` bounds each micro-batch to n
+    * commit-versions of new feed (admission control — a deep backlog
+    * drains as bounded increments instead of one table-sized batch).
     */
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType],
@@ -85,8 +88,12 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     val path = parameters("path")
     val starting = parameters.get("startingVersion").map(_.toLong).getOrElse(0L)
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger must be positive, got $m"))
     new TxTableStreamSource(sqlContext.sparkSession, path, starting,
-      sourceSchema(sqlContext, None, providerName, parameters)._2)
+      sourceSchema(sqlContext, None, providerName, parameters)._2,
+      maxV, metadataPath)
   }
 
   /** The STREAMING sink half:
@@ -322,25 +329,73 @@ case class TxVersionOffset(version: Long)
   */
 class TxTableStreamSource(spark: SparkSession, path: String,
                           startingVersion: Long,
-                          override val schema: StructType)
-    extends org.apache.spark.sql.execution.streaming.Source {
+                          override val schema: StructType,
+                          maxVersionsPerTrigger: Option[Long] = None,
+                          metadataPath: String = "")
+    extends org.apache.spark.sql.execution.streaming.Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{
+    Offset => OffsetV2, ReadLimit, ReadMaxRows}
 
-  private def v(o: org.apache.spark.sql.execution.streaming.Offset): Long =
-    o match {
-      case TxVersionOffset(x) => x
-      case other              => other.json.trim.toLong
-    }
+  /** Rate limiting via ADMISSION CONTROL, the FileStreamSource pattern
+    * for a V1 source: implementing [[SupportsAdmissionControl]] makes
+    * the engine call `latestOffset(start, limit)` WITH the restored
+    * committed offset instead of the argument-less `getOffset` — so
+    * the cap is always computed from true progress (a getOffset-side
+    * cap cannot see the checkpoint after a restart and could hand the
+    * engine an offset BELOW it, regressing the offset log and
+    * re-serving processed versions as duplicates).
+    * `maxVersionsPerTrigger` bounds each micro-batch to that many
+    * commit-VERSIONS of new feed (versions are the unit the feed is
+    * sliced in — the Kafka maxOffsetsPerTrigger / Delta
+    * maxFilesPerTrigger shape), declared to the engine as a
+    * [[ReadMaxRows]] default limit. Under Trigger.AvailableNow,
+    * [[prepareForTriggerAvailableNow]] pins the run's terminal head
+    * ONCE, and the capped batches walk up to exactly it — a deep
+    * backlog drains as bounded increments, then the query stops.
+    */
+  @volatile private var availableNowHead: Option[Long] = None
 
-  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] = {
-    val head = TxTable.latestVersion(spark, path)
-    if (head <= startingVersion) None else Some(TxVersionOffset(head))
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(TxTable.latestVersion(spark, path))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  private def v(o: OffsetV2): Long = o match {
+    case TxVersionOffset(x) => x
+    case other              => other.json.trim.toLong
   }
+
+  override def initialOffset(): OffsetV2 = TxVersionOffset(startingVersion)
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    TxVersionOffset(json.trim.toLong)
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val start = Option(startOffset).map(v).getOrElse(startingVersion)
+    val head0 = TxTable.latestVersion(spark, path)
+    val head = availableNowHead.fold(head0)(math.min(head0, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(head, start + r.maxRows())
+      case _              => head
+    }
+    if (capped <= start) null else TxVersionOffset(capped)
+  }
+
+  /** The engine never calls this on an admission-control source —
+    * [[latestOffset]] above is the offset path.
+    */
+  override def getOffset: Option[org.apache.spark.sql.execution.streaming.Offset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control path")
 
   override def getBatch(
       start: Option[org.apache.spark.sql.execution.streaming.Offset],
       end: org.apache.spark.sql.execution.streaming.Offset)
       : org.apache.spark.sql.DataFrame = {
-    val from = start.map(v).getOrElse(startingVersion)
+    val from = start.map(o => v(o)).getOrElse(startingVersion)
     val rows = TxTable.changesRows(spark, path, from, v(end))
     org.apache.spark.sql.execution.datasources
       .GraftBatchMaterialize.asStreamingBatch(

@@ -1262,6 +1262,40 @@ class TxTableSpec extends AnyFunSuite {
       stale.getMessage.contains("cursor"))
   }
 
+  test("streaming source: maxVersionsPerTrigger bounds each micro-batch to a version window") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txrate").toString
+    val up = s"$base/up"; val down = s"$base/down"
+    TxTable.overwrite(spark, up, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.append(spark, up, Seq((2L, "b")).toDF("id", "v"))
+    TxTable.append(spark, up, Seq((3L, "c")).toDF("id", "v"))
+    def run(): Unit = {
+      val q = spark.readStream.format("txtable")
+        .option("maxVersionsPerTrigger", "1").load(up)
+        .select("id", "v")
+        .writeStream.format("txtable")
+        .option("appId", "rated")
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).start(down)
+      q.awaitTermination()
+    }
+    run()
+    assert(TxTable.read(spark, down).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // ONE commit-version of feed per micro-batch: three upstream
+    // commits arrive as three sink appends, not one backlog batch
+    assert(TxTable.latestVersion(spark, down) === 3L,
+      "a 3-commit backlog must land as 3 rate-limited batches")
+    // restart continues capped from the checkpoint: two more upstream
+    // commits = exactly two more batches, nothing re-served
+    TxTable.append(spark, up, Seq((4L, "d")).toDF("id", "v"))
+    TxTable.append(spark, up, Seq((5L, "e")).toDF("id", "v"))
+    run()
+    assert(TxTable.read(spark, down).count() === 5L,
+      "no duplicates across the rate-limited restart")
+    assert(TxTable.latestVersion(spark, down) === 5L)
+  }
+
   test("pollChanges: NAMED consumer groups keep independent cursors and vacuums") {
     val t = fresh()
     val cursor = java.nio.file.Files
@@ -1401,6 +1435,43 @@ class TxTableSpec extends AnyFunSuite {
     TxTable.deleteWhere(spark, t, col("id") % 1000 === 0)
     assert(TxTable.read(spark, t).count() === 4096L - 21L - 5L,
       "ids {0,1000,2000,3000,4000} go; the modulo predicate is unprunable")
+  }
+
+  test("compactSmall: bin-packs the small tail, carries right-sized files by reference") {
+    val t = fresh()
+    // one big clustered base (v1) + ten tiny streaming-style appends
+    TxTable.overwriteClustered(spark, t,
+      spark.range(100000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 2)
+    (0 until 10).foreach(i => TxTable.append(spark, t,
+      Seq((200000L + i, s"tail$i")).toDF("id", "v")))
+    val before = TxTable.read(spark, t).inputFiles
+    assert(before.length === 12)
+    val bigFiles = before.filter(p =>
+      new java.io.File(new java.net.URI(p)).length >= 64 * 1024).toSet
+    assert(bigFiles.size === 2, "the clustered base files are the big ones")
+    // pack everything under 64 KiB into ~one file; the base carries
+    val v = TxTable.compactSmall(spark, t, minFileBytes = 64 * 1024,
+      targetBytes = 128L << 20)
+    assert(v === 12L, "ten appends + overwrite = head 11; compactSmall lands 12")
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(bigFiles.subsetOf(after),
+      "right-sized files are re-referenced by NAME, never rewritten")
+    assert(after.size === 3,
+      s"ten tail files pack into one (+2 carried), got ${after.size}")
+    assert(TxTable.read(spark, t).count() === 100010L)
+    // clustering metadata survives: the carried base still range-prunes
+    assert(TxTable.readRangeOf(spark, t, "id", 0L, 99L).count() === 100L)
+    assert(TxTable.readRangeOf(spark, t, "id", 0L, 99L)
+      .inputFiles.length < 3, "carried stats still prune the packed head")
+    // content-identical: the change feed serves the commit as zero rows
+    assert(TxTable.changesRows(spark, t, 11, 12).count() === 0L)
+    // steady state: nothing small left to pack — an idempotent no-op,
+    // not a fresh commit
+    assert(TxTable.compactSmall(spark, t, minFileBytes = 64 * 1024) === 12L)
+    assert(TxTable.latestVersion(spark, t) === 12L)
+    // time travel to the pre-pack head still reads
+    assert(TxTable.readVersion(spark, t, 11).count() === 100010L)
   }
 
   test("file-level merge carries pre-evolution files under the evolved schema") {
