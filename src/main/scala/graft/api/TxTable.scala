@@ -1551,7 +1551,17 @@ object TxTable {
     require(fromVersion <= toVersion,
       s"changesRows needs fromVersion <= toVersion, got $fromVersion > $toVersion")
     val hfs = fs(spark, path)
-    val commits = logVersions(hfs, path)._1
+    val allVs = logVersions(hfs, path)._1
+    // an [[expireHistory]] cutoff below the window start would SILENTLY
+    // drop the expired versions' changes from the feed (their records
+    // no longer list) — a lagging consumer must re-bootstrap, loudly
+    allVs.headOption.filter(e => e > 1 && fromVersion < e - 1).foreach(e =>
+      throw new IllegalStateException(
+        s"changesRows on $path: history below version $e was expired " +
+          s"(expireHistory), but the window starts at $fromVersion — " +
+          "this consumer lags the retention horizon; re-bootstrap it " +
+          "from a snapshot read and a fresh cursor"))
+    val commits = allVs
       .filter(v => v > fromVersion && v <= toVersion)
       .map(v => parse(readSmall(hfs,
         new org.apache.hadoop.fs.Path(commitPath(path, v)))))
@@ -2290,11 +2300,82 @@ object TxTable {
     * Never touches log-reachable files: every historical version stays
     * readable. Returns the number of dirs removed.
     */
+  /** RETENTION: truncate time travel below the last `keepVersions`
+    * commits — the lifecycle half [[vacuum]] alone cannot provide,
+    * because data files stay log-reachable (and therefore undeletable)
+    * as long as ANY commit references them: a 100 TB table that
+    * overwrites daily would otherwise hold every byte it ever wrote,
+    * forever. The cutoff C = head − keepVersions + 1 is made
+    * SELF-CONTAINED first (a checkpoint at C, folded while the old
+    * records still exist, carrying the full live set, per-file
+    * metadata, schema AND the cumulative txn-id set — txn idempotence
+    * must survive expiry), then every commit/checkpoint record BELOW C
+    * is deleted. Reads and time travel at or above C are unaffected
+    * (they resolve from the cutoff checkpoint); versions below C stop
+    * resolving with the standard "no commits at or below" error; the
+    * expired versions' exclusive data files lose their last log
+    * reference and become collectable by the next aged [[vacuum]] —
+    * expire truncates HISTORY, vacuum deletes BYTES, composition is
+    * the Delta log-retention + VACUUM shape.
+    *
+    * Choose `keepVersions` with consumer-lag headroom: a change-feed
+    * cursor further back than C − 1 fails loudly on its next poll
+    * (named error) and must re-bootstrap from a snapshot. Concurrent
+    * writers are safe (only records below C are touched); a reader
+    * time-traveling below C DURING the expiry fails loudly, never
+    * reads torn state (records are deleted whole). Returns the number
+    * of expired commit records; 0 when nothing is old enough.
+    */
+  def expireHistory(spark: SparkSession, path: String,
+                    keepVersions: Int): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val hfs = fs(spark, path)
+    val (commitVs, ckVs) = logVersions(hfs, path)
+    require(commitVs.nonEmpty,
+      s"cannot expireHistory $path: the table has no commits yet")
+    val head = commitVs.last
+    val cutoff = head - keepVersions + 1
+    if (cutoff <= commitVs.head) return 0 // nothing below the cutoff
+    // make the cutoff self-contained BEFORE deleting anything below it
+    if (!ckVs.contains(cutoff)) {
+      val st = foldState(hfs, path, cutoff)
+      val ck = render(Commit(cutoff, "checkpoint", st.files,
+        System.currentTimeMillis(),
+        stats = st.stats, statsCol = st.statsCol,
+        mstats = st.mstats, statsCols = st.statsCols,
+        bloomCol = st.bloomCol, bloomBits = st.bloomBits,
+        blooms = st.blooms, zbits = st.zbits,
+        schemaB64 = st.schemaB64, sstats = st.sstats))
+      try writeNew(hfs,
+        new org.apache.hadoop.fs.Path(checkpointPath(path, cutoff)),
+        ck.dropRight(1) +
+          s""","txns":[${st.txns.keys.toSeq.sorted
+            .map("\"" + _ + "\"").mkString(",")}]}""")
+      catch { // a concurrent expire landed the same checkpoint: fine
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException        => ()
+      }
+    }
+    val expired = commitVs.filter(_ < cutoff)
+    expired.foreach(v =>
+      hfs.delete(new org.apache.hadoop.fs.Path(commitPath(path, v)), false))
+    ckVs.filter(_ < cutoff).foreach(v =>
+      hfs.delete(new org.apache.hadoop.fs.Path(checkpointPath(path, v)), false))
+    expired.size
+  }
+
   def vacuum(spark: SparkSession, path: String,
              olderThanMs: Long = VacuumMinAgeMs): Int = {
     val hfs = fs(spark, path)
-    val referenced = history(spark, path)
-      .flatMap(c => c.files ++ c.cdf) // change-data files are log-reachable too
+    // checkpoints count as references too: after [[expireHistory]] the
+    // cutoff CHECKPOINT is the only record naming files whose adding
+    // commits were expired — without this union a vacuum would delete
+    // files the live head still reads
+    val ckFiles = logVersions(hfs, path)._2.flatMap(cv =>
+      parse(readSmall(hfs,
+        new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))).files)
+    val referenced = (history(spark, path)
+      .flatMap(c => c.files ++ c.cdf) ++ ckFiles) // cdf files are log-reachable too
       .map(_.takeWhile(_ != '/')).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = hfs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq

@@ -940,6 +940,37 @@ object Sources {
           .orderBy("phase", "source")
       }),
 
+    // RETENTION end-to-end: after expireHistory(keepVersions = 2) +
+    // vacuum, the head (four doc_id%5 slices) must still read in full
+    // from the truncated log — including the compacted file whose
+    // adding record was expired (only the cutoff checkpoint names it:
+    // an unwidened vacuum reachability would have deleted it) — and
+    // time travel to exactly the cutoff version must still resolve
+    // from the checkpoint alone.
+    Q("q_tx_retention",
+      Some("""WITH v4 AS (SELECT source, n_chars FROM documents
+                          WHERE doc_id % 5 IN (0, 1, 2)),
+                   hd AS (SELECT source, n_chars FROM documents
+                          WHERE doc_id % 5 IN (0, 1, 2, 3))
+              SELECT 'cutoff' AS phase, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM v4 GROUP BY 2
+              UNION ALL
+              SELECT 'head' AS phase, source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM hd GROUP BY 2
+              ORDER BY phase, source"""),
+      (s, dir) => {
+        val p = ensureTxRetention(s, dir)
+        graft.api.TxTable.readVersion(s, p, 4)
+          .withColumn("phase", lit("cutoff"))
+          .unionByName(graft.api.TxTable.read(s, p)
+            .withColumn("phase", lit("head")))
+          .groupBy("phase", "source")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("phase", "source")
+      }),
+
     // Transactional RESTORE: the restore demo table wrote the doc_id%2
     // slice (v1), overwrote it with a different slice (v2), then rolled
     // back with restore(1) — a METADATA-ONLY commit re-referencing v1's
@@ -1032,7 +1063,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 15) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 16) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1041,7 +1072,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1152,6 +1183,25 @@ object Sources {
         "FROM graft_txdml_src WHERE doc_id <= 500")
       s.sql("DROP TABLE IF EXISTS graft_txdml")
       s.catalog.dropTempView("graft_txdml_src")
+      // table "rt": RETENTION — five commits (overwrite, txn append,
+      // compact, two appends), then expireHistory(keepVersions = 2)
+      // truncates time travel below version 4 and an aged-out vacuum
+      // collects the expired versions' exclusive files (the live
+      // compacted file survives via the cutoff checkpoint's
+      // references). q_tx_retention replays the head AND the cutoff
+      // version from the truncated log — an over-eager expiry (lost
+      // live file, broken checkpoint fold) or an under-eager one
+      // breaks the hash; TxTableSpec pins the lifecycle itself.
+      val ret = s"$base/rt"
+      val rcols = docs.select("doc_id", "source", "n_chars")
+      TxTable.overwrite(s, ret, rcols.filter(col("doc_id") % 5 === 0))
+      TxTable.append(s, ret, rcols.filter(col("doc_id") % 5 === 1),
+        txn = Some("retain:1"))
+      TxTable.compact(s, ret, numFiles = 2)
+      TxTable.append(s, ret, rcols.filter(col("doc_id") % 5 === 2))
+      TxTable.append(s, ret, rcols.filter(col("doc_id") % 5 === 3))
+      TxTable.expireHistory(s, ret, keepVersions = 2)
+      TxTable.vacuum(s, ret, olderThanMs = 0)
       // tables "ps"/"pd" + cursor "pc": the END-TO-END CDC PIPELINE —
       // pollChanges (consumer cursor) -> transform -> EXACTLY-ONCE
       // txn-tagged append into a downstream audit table, one poll per
@@ -1239,4 +1289,7 @@ object Sources {
 
   private[graft] def ensureTxSqlDml(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/sq"
+
+  private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/rt"
 }

@@ -1262,6 +1262,59 @@ class TxTableSpec extends AnyFunSuite {
       stale.getMessage.contains("cursor"))
   }
 
+  test("expireHistory: retention truncates time travel; vacuum collects expired bytes, never live ones") {
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))          // v1
+    TxTable.append(spark, t, Seq((2L, "b")).toDF("id", "v"),
+      txn = Some("boot:1"))                                              // v2
+    TxTable.compact(spark, t)                                            // v3 (v1/v2 files dead)
+    TxTable.append(spark, t, Seq((3L, "c")).toDF("id", "v"))             // v4
+    TxTable.append(spark, t, Seq((4L, "d")).toDF("id", "v"))             // v5
+    val liveBefore = TxTable.read(spark, t).inputFiles.toSet
+    // keep the last 2 versions: cutoff = 4, records v1..v3 expire
+    assert(TxTable.expireHistory(spark, t, keepVersions = 2) === 3)
+    assert(TxTable.expireHistory(spark, t, keepVersions = 2) === 0,
+      "idempotent: nothing left below the cutoff")
+    // head and time travel at/above the cutoff are untouched — they
+    // resolve from the cutoff checkpoint alone
+    assert(TxTable.read(spark, t).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L))
+    assert(TxTable.readVersion(spark, t, 4).count() === 3L)
+    assert(TxTable.read(spark, t).inputFiles.toSet === liveBefore)
+    // below the cutoff: the standard loud error
+    intercept[IllegalArgumentException] {
+      TxTable.readVersion(spark, t, 3).count()
+    }
+    // txn idempotence SURVIVES expiry (the cutoff checkpoint carries
+    // the cumulative txn set): a redelivery of the expired commit's
+    // txn still lands nothing
+    // (the returned version is the CHECKPOINT's — the original landing
+    // version is exactly what expiry forgot; the no-op is the contract)
+    assert(TxTable.append(spark, t, Seq((99L, "dup")).toDF("id", "v"),
+      txn = Some("boot:1")) <= 5L, "the expired txn still answers no-op")
+    assert(TxTable.read(spark, t).count() === 4L,
+      "a redelivered expired txn lands nothing")
+    assert(TxTable.latestVersion(spark, t) === 5L)
+    // the change feed refuses a cursor behind the retention horizon…
+    val lag = intercept[IllegalStateException] {
+      TxTable.changesRows(spark, t, 0, 5)
+    }
+    assert(lag.getMessage.contains("re-bootstrap"))
+    // …and continues exactly at it
+    assert(TxTable.changesRows(spark, t, 3, 5)
+      .filter(col(TxTable.ChangeCol) === "insert").count() === 2L)
+    // vacuum: the pre-compact files' ONLY references were expired —
+    // collectable; the compacted file is LIVE but its adding record
+    // (v3) was expired too, so only the cutoff CHECKPOINT still names
+    // it — the widened reachability must protect it
+    assert(TxTable.vacuum(spark, t, olderThanMs = 0) >= 1,
+      "the expired versions' exclusive stagings are collectable")
+    assert(TxTable.read(spark, t).collect().map(_.getLong(0)).toSet ===
+      Set(1L, 2L, 3L, 4L),
+      "vacuum after expiry must never touch checkpoint-referenced live files")
+    assert(TxTable.readVersion(spark, t, 4).count() === 3L)
+  }
+
   test("streaming source: maxVersionsPerTrigger bounds each micro-batch to a version window") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("txrate").toString
