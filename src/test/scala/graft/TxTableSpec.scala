@@ -1466,6 +1466,32 @@ class TxTableSpec extends AnyFunSuite {
       .inputFiles.length < 9, "bloom pruning survives the file-level merge")
   }
 
+  test("file-level merge prunes candidates on a Z-ORDERED head via its rectangles") {
+    val t = fresh()
+    // a 64x64 grid z-ordered by (a, b): every (a, b) cell exactly once,
+    // so a corner-box update set must rewrite only the corner's files
+    val df = spark.range(4096).selectExpr(
+      "id % 64 AS a", "id div 64 AS b", "CAST(id AS STRING) AS v")
+    TxTable.overwriteZordered(spark, t, df, Seq("a", "b"),
+      numFiles = 16, bits = 0)
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    val updates = spark.range(16).selectExpr(
+      "id % 4 AS a", "id div 4 AS b", "concat('u', CAST(id AS STRING)) AS v")
+    TxTable.merge(spark, t, updates, Seq("a", "b"))
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(before.intersect(after).size >= 12,
+      s"files whose z-rectangles exclude the [0,3]x[0,3] corner carry " +
+        s"by name, carried ${before.intersect(after).size}/16")
+    val got = TxTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(got.size === 4096)
+    assert(got((2L, 3L)) === "u14" && got((5L, 5L)) === (5L + 5L * 64L).toString,
+      "corner cells updated, everything else verbatim")
+    // box pruning still works over the carried + fresh rectangles
+    assert(TxTable.readBox(spark, t,
+      Seq(("a", 60L, 63L), ("b", 60L, 63L))).count() === 16L)
+  }
+
   test("file-level deleteWhere: a bounded predicate rewrites only candidate files") {
     val t = fresh()
     TxTable.overwriteClustered(spark, t,
@@ -1688,6 +1714,55 @@ class TxTableSpec extends AnyFunSuite {
         .filterNot(p => logged.exists(l => l.endsWith(p.stripPrefix("file:"))))
       assert(strays.isEmpty, s"unlogged parquet landed in the root: $strays")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("SQL hostile edges: partition specs, TRUNCATE, self-insert, CTAS, ALTER") {
+    val t = fresh()
+    val tbl = "graft_txedge_spec"
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING txtable LOCATION '$t'")
+    try {
+      // a PARTITION spec can't take the InsertableRelation case (its
+      // guard requires an empty spec) — it must die at ANALYSIS, before
+      // the native overwrite path could delete anything
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"INSERT OVERWRITE $tbl PARTITION (id=9) VALUES ('x')")
+      }
+      assert(TxTable.latestVersion(spark, t) === 1L &&
+        TxTable.read(spark, t).count() === 1L,
+        "a rejected partition insert leaves log and data intact")
+      // TRUNCATE on an external table is refused by Spark itself —
+      // the direct-filesystem truncation path never reaches the table
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"TRUNCATE TABLE $tbl")
+      }
+      assert(TxTable.read(spark, t).count() === 1L)
+      // self-insert is SAFE under snapshot isolation: the relation is
+      // pinned to its resolved version, the staged data reads the old
+      // immutable files, the commit lands on top
+      spark.sql(s"INSERT INTO $tbl SELECT id + 100, v FROM $tbl")
+      assert(TxTable.read(spark, t).select("id").collect()
+        .map(_.getLong(0)).toSet === Set(1L, 101L))
+      assert(TxTable.latestVersion(spark, t) === 2L)
+      // ALTER ADD COLUMNS on a V1 source rejects loudly (evolveAppend
+      // is the schema-evolution path)
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (q BIGINT)")
+      }
+      // CTAS routes through the CreatableRelationProvider verbs: a
+      // real commit-log table, not bare parquet
+      val t2 = fresh()
+      spark.sql("DROP TABLE IF EXISTS graft_txedge_ctas")
+      spark.sql(s"CREATE TABLE graft_txedge_ctas USING txtable " +
+        s"LOCATION '$t2' AS SELECT 5 AS id, 'z' AS v")
+      assert(TxTable.latestVersion(spark, t2) === 1L &&
+        TxTable.read(spark, t2).count() === 1L,
+        "CTAS lands one overwrite commit on a fresh log")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql("DROP TABLE IF EXISTS graft_txedge_ctas")
+    }
   }
 
   test("the write-guard format trips loudly if a native file write ever reaches it") {
