@@ -940,6 +940,22 @@ object Sources {
           .orderBy("phase", "source")
       }),
 
+    // SMALL-FILE COMPACTION end-to-end: a clustered base plus six tiny
+    // appends was bin-packed by compactSmall — the packed head must be
+    // byte-equal to the source union (the oracle recomputes it) and a
+    // doc_id range must still prune from the CARRIED base stats while
+    // including the packed tail's matching rows.
+    Q("q_tx_compact_small",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id BETWEEN 100 AND 700
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readRangeOf(s,
+          ensureTxCompactSmall(s, dir), "doc_id", 100L, 700L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // RETENTION end-to-end: after expireHistory(keepVersions = 2) +
     // vacuum, the head (four doc_id%5 slices) must still read in full
     // from the truncated log — including the compacted file whose
@@ -1063,7 +1079,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 16) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 17) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1072,7 +1088,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq", "rt").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt", "cs").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1202,6 +1218,27 @@ object Sources {
       TxTable.append(s, ret, rcols.filter(col("doc_id") % 5 === 3))
       TxTable.expireHistory(s, ret, keepVersions = 2)
       TxTable.vacuum(s, ret, olderThanMs = 0)
+      // table "cs": SMALL-FILE COMPACTION — a doc_id-clustered base
+      // plus six tiny streaming-style appends, bin-packed by
+      // compactSmall (base files carried by reference, the tail packed;
+      // TxTableSpec pins the carry itself). q_tx_compact_small reads a
+      // range THROUGH the packed head: the carried stats must still
+      // prune and the packed content must be byte-equal to the source
+      // union, or the hash breaks.
+      val cs = s"$base/cs"
+      val ccols = docs.select("doc_id", "source", "n_chars")
+      TxTable.overwriteClustered(s, cs,
+        ccols.filter(col("doc_id") % 3 =!= 2), "doc_id", numFiles = 4)
+      (0 until 6).foreach(i =>
+        TxTable.append(s, cs, ccols.filter(col("doc_id") % 3 === 2 &&
+          expr(s"(doc_id div 3) % 6 = $i"))))
+      // pack threshold = the smallest BASE file: every clustered base
+      // file carries (>= threshold) while the tail appends (each ~a
+      // third of a base file's rows) pack, at any scale factor
+      val hfsCs = graft.api.Dedup.hadoopFs(s, cs)
+      val baseMin = TxTable.readVersion(s, cs, 1).inputFiles.map(p =>
+        hfsCs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).min
+      TxTable.compactSmall(s, cs, minFileBytes = baseMin)
       // tables "ps"/"pd" + cursor "pc": the END-TO-END CDC PIPELINE —
       // pollChanges (consumer cursor) -> transform -> EXACTLY-ONCE
       // txn-tagged append into a downstream audit table, one poll per
@@ -1292,4 +1329,7 @@ object Sources {
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"
+
+  private[graft] def ensureTxCompactSmall(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/cs"
 }

@@ -1464,6 +1464,47 @@ object ScaleProbe {
         f"$c1/$nf1 -> $cN/$nfN files  1x $dm1%.2f s  ${mult}x $dmN%.2f s")
     }
 
+    // Round-16: compactSmall — a FIXED tail of tiny appends onto a
+    // clustered base that grows mult x. The pack must rewrite ~the
+    // tail's bytes at both scales and carry every base file by name:
+    // routine small-file maintenance is O(tail), never O(table).
+    {
+      import graft.api.TxTable
+      def packFor(m: Int) = {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"txpack_$m").toString + "/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 4 * m)
+        val base = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        (0 until 8).foreach(i => TxTable.append(spark, t,
+          docsFor(1).select(col("doc_id"), col("text"))
+            .filter(col("doc_id") % 8 === i)
+            .withColumn("doc_id", col("doc_id") + 50000000L)))
+        def len(p: String) = new java.io.File(new java.net.URI(p)).length
+        val t0 = System.nanoTime()
+        TxTable.compactSmall(spark, t,
+          minFileBytes = base.map(len).min, targetBytes = 512L << 20)
+        val d = (System.nanoTime() - t0) / 1e9
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        (base.size, base.intersect(after).size,
+          (after -- base).toSeq.map(len).sum, after.size, d)
+      }
+      val (b1, pc1, pb1, a1, dp1) = packFor(1)
+      val (bN, pcN, pbN, aN, dpN) = packFor(mult)
+      require(pc1 == b1 && pcN == bN,
+        s"every base file must carry by name: $pc1/$b1, $pcN/$bN")
+      require(a1 == b1 + 1 && aN == bN + 1,
+        s"the 8-append tail must pack to ONE file: ${a1 - b1}, ${aN - bN}")
+      val pg = pbN.toDouble / math.max(1L, pb1)
+      require(pg <= 3.0,
+        s"pack bytes must track the tail, not the table: $pb1 -> $pbN")
+      println(f"tx compactSmall (fixed 8-append tail, ${mult}x base): " +
+        f"packed ${pb1 / 1e6}%.2f -> ${pbN / 1e6}%.2f MB (growth ${pg}%.1fx), " +
+        f"carried $pc1/$b1 -> $pcN/$bN base files, tail -> 1 file at both  " +
+        f"1x $dp1%.2f s  ${mult}x $dpN%.2f s")
+    }
+
     spark.stop()
   }
 }
