@@ -345,7 +345,29 @@ object TxTable {
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
-    commitVs.filter(v => v > startAfter && v <= version)
+    // a version with NO resolvable base at all (no checkpoint at or
+    // below it, every record at or below it gone) is the COMPLETED
+    // retention shape — name it, don't let it surface as a gap error
+    if (startAfter == 0 && commitVs.headOption.exists(_ > version))
+      throw new IllegalArgumentException(
+        s"version $version of $path is below the retention horizon " +
+          s"(earliest surviving version ${commitVs.head}): its history " +
+          "was truncated by expireHistory")
+    val tail = commitVs.filter(v => v > startAfter && v <= version)
+    // versions are claimed contiguously, so the fold window must be
+    // gap-free: a GAP means a partially-deleted history (a crashed
+    // [[expireHistory]], or hand-deleted records) — folding around it
+    // would silently serve a snapshot MISSING the gap's commits as if
+    // it were version `version`. Loud beats wrong; reads at or above a
+    // completed expiry's cutoff never enter this branch (their
+    // checkpoint floors startAfter at the cutoff).
+    require(tail == (startAfter + 1).to(version),
+      s"txtable at $path: commit records for versions " +
+        s"${((startAfter + 1).to(version)).diff(tail).mkString(",")} are " +
+        s"missing from the log (a crashed expireHistory leaves this " +
+        "state for versions below its cutoff; re-run expireHistory to " +
+        "finish truncating, or restore the missing records)")
+    tail
       .foldLeft(base) { case (st, v) =>
         val c = parse(readSmall(hfs,
           new org.apache.hadoop.fs.Path(commitPath(path, v))))

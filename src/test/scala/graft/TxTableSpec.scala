@@ -1315,6 +1315,53 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readVersion(spark, t, 4).count() === 3L)
   }
 
+  test("a gapped log (crashed expiry) reads loudly below the gap, never a wrong snapshot") {
+    // no checkpoint floors the fold: ANY read across the gap refuses —
+    // a silent fold would serve the head missing the gap's rows
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((1L, "a")).toDF("id", "v"))
+    (2L to 4L).foreach(i =>
+      TxTable.append(spark, t, Seq((i, s"r$i")).toDF("id", "v")))
+    assert(new java.io.File(s"$t/_txlog/00000000000000000002.json").delete())
+    val e = intercept[IllegalArgumentException] {
+      TxTable.read(spark, t).count()
+    }
+    assert(e.getMessage.contains("missing from the log") &&
+      e.getMessage.contains("2"), e.getMessage)
+
+    // the REAL crashed-expiry shape: the cutoff checkpoint always lands
+    // BEFORE any deletion, so reads at/above it keep working through
+    // the crash, reads below it are loud, and RE-RUNNING expireHistory
+    // finishes the truncation (never needs to fold across the gap)
+    val t2 = fresh()
+    TxTable.overwrite(spark, t2, Seq((1L, "a")).toDF("id", "v"))
+    (2L to 12L).foreach(i =>
+      TxTable.append(spark, t2, Seq((i, s"r$i")).toDF("id", "v")))
+    // natural checkpoint at v10; a "crash" deleted one record below it
+    assert(new java.io.File(s"$t2/_txlog/00000000000000000002.json").delete())
+    assert(TxTable.read(spark, t2).count() === 12L,
+      "reads floored by the checkpoint never see the gap")
+    val below = intercept[IllegalArgumentException] {
+      TxTable.readVersion(spark, t2, 9).count()
+    }
+    assert(below.getMessage.contains("missing from the log"))
+    // finish the expiry: cutoff 10 = the existing checkpoint — the
+    // stranded records 1,3..9 (8 of them) go without any gapped fold
+    assert(TxTable.expireHistory(spark, t2, keepVersions = 3) === 8)
+    assert(TxTable.read(spark, t2).count() === 12L)
+    assert(TxTable.readVersion(spark, t2, 10).count() === 10L,
+      "the cutoff version resolves from the checkpoint alone")
+    intercept[IllegalArgumentException] {
+      TxTable.readVersion(spark, t2, 9).count() // now the standard error
+    }
+    // the registered source's versionAsOf below the horizon names the
+    // RETENTION cause, never a crashed-expiry gap
+    val asOf = intercept[IllegalArgumentException] {
+      spark.read.format("txtable").option("versionAsOf", 5).load(t2).count()
+    }
+    assert(asOf.getMessage.contains("retention horizon"), asOf.getMessage)
+  }
+
   test("streaming source: maxVersionsPerTrigger bounds each micro-batch to a version window") {
     import org.apache.spark.sql.streaming.Trigger
     val base = java.nio.file.Files.createTempDirectory("txrate").toString
