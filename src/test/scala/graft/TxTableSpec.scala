@@ -1600,6 +1600,35 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readVersion(spark, t, 11).count() === 100010L)
   }
 
+  test("compactSmall on a z-ordered head: carried rectangles + re-laid tail keep box pruning") {
+    val t = fresh()
+    val df = spark.range(4096).selectExpr("id % 64 AS a", "id div 64 AS b")
+    TxTable.overwriteZordered(spark, t, df, Seq("a", "b"),
+      numFiles = 8, bits = 0)
+    // tiny appends land WITHOUT rectangles (appends carry no stats)
+    (0 until 4).foreach(i => TxTable.append(spark, t,
+      Seq((100L + i, 100L + i)).toDF("a", "b")))
+    val base = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    def len(p: String) = new java.io.File(new java.net.URI(p)).length
+    TxTable.compactSmall(spark, t, minFileBytes = base.map(len).min)
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(base.subsetOf(after),
+      "the z-ordered base files carry by name")
+    assert(after.size === base.size + 1,
+      "the stat-less tail packs into ONE re-laid file")
+    assert(TxTable.read(spark, t).count() === 4100L)
+    // box pruning: carried rectangles prune the base; the packed tail
+    // file gets FRESH rectangles (the z-branch re-lays candidates), so
+    // a corner box reads few files and exact rows
+    val corner = TxTable.readBox(spark, t, Seq(("a", 0L, 7L), ("b", 0L, 7L)))
+    assert(corner.count() === 64L)
+    assert(corner.inputFiles.length < after.size,
+      "box pruning works across carried + packed rectangles")
+    // the packed tail's own corner still resolves
+    assert(TxTable.readBox(spark, t,
+      Seq(("a", 100L, 103L), ("b", 100L, 103L))).count() === 4L)
+  }
+
   test("file-level merge carries pre-evolution files under the evolved schema") {
     val t = fresh()
     TxTable.overwriteClustered(spark, t,
