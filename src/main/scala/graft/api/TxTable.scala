@@ -1764,6 +1764,97 @@ object TxTable {
     }
   }
 
+  /** Append an increment IN THE TABLE'S DECLARED LAYOUT: the rows are
+    * laid out and indexed the way the head's clustering epoch declares —
+    * range-sorted with footer ranges (or truncated string bounds) on
+    * the stats column, z-ordered with per-file rectangles on the
+    * recorded dimensions, blooms at the head's bit width — and the
+    * commit carries the per-file metadata, so DATA SKIPPING keeps
+    * working over streaming/batch ingest instead of silently degrading
+    * with every plain [[append]] (stat-less appended files are always
+    * read by every pruned query until a compaction re-indexes them).
+    * On an unindexed table this IS a plain append. Same `txn`
+    * idempotence as [[append]].
+    *
+    * CLAIM-AT-HEAD+1, not the blind retry loop: the metadata FLAVOR is
+    * derived from the observed head's epoch, and a racing overwrite
+    * can change that epoch (new cluster column, new bloom width) —
+    * re-landing stale-flavor per-file stats under the new epoch would
+    * attach the OLD column's ranges to files the reader prunes with
+    * the NEW column's semantics, a silent wrong-pruning hazard plain
+    * appends (which carry no stats) cannot have. A lost race re-derives
+    * the layout against the new head.
+    */
+  def appendClustered(spark: SparkSession, path: String, df: DataFrame,
+                      txn: Option[String] = None, numFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
+      s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
+    requireSchemaMatch(spark, path, df, "append")
+    txn.flatMap(txnLanded(spark, path, _)) match {
+      case Some(prior) => return prior
+      case None        => ()
+    }
+    val hfs = fs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      txn.flatMap(txnLanded(spark, path, _)) match {
+        case Some(prior) => return prior // redelivery: a no-op
+        case None =>
+          val head = latestVersion(spark, path)
+          if (head == 0)
+            throw new IllegalStateException(
+              s"appendClustered needs an existing table at $path " +
+                "(create with overwrite/overwriteClustered first)")
+          val st = foldState(hfs, path, head)
+          val target = math.max(1, numFiles)
+          val (files, stats, mstats, sstats) = (st.statsCol, st.statsCols) match {
+            case (_, zc) if zc.size >= 2 =>
+              val staged = stage(spark, path, zorderLaid(df, zc, target,
+                if (st.zbits > 0) st.zbits else 16))
+              (staged, Map.empty[String, (Long, Long)],
+                multiColStats(spark, path, staged, zc),
+                Map.empty[String, (String, String)])
+            case (Some(sc), _) =>
+              val staged = stage(spark, path, df
+                .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
+              if (df.schema(sc).dataType ==
+                  org.apache.spark.sql.types.StringType)
+                (staged, Map.empty[String, (Long, Long)],
+                  Map.empty[String, Seq[(Long, Long)]],
+                  footerStrStats(spark, path, staged, sc))
+              else
+                (staged, footerStats(spark, path, staged, sc),
+                  Map.empty[String, Seq[(Long, Long)]],
+                  Map.empty[String, (String, String)])
+            case _ =>
+              (stage(spark, path, df),
+                Map.empty[String, (Long, Long)],
+                Map.empty[String, Seq[(Long, Long)]],
+                Map.empty[String, (String, String)])
+          }
+          // blooms at the HEAD's recorded width (appends never change
+          // the epoch's bloomBits — mixed widths would mis-derive
+          // every other file's probe positions)
+          val blooms = st.bloomCol match {
+            case Some(bc) if st.bloomBits > 0 =>
+              bloomStats(spark, path, files, bc,
+                fixedBits = Some(st.bloomBits))._2
+            case _ => Map.empty[String, String]
+          }
+          commitAt(spark, path, head + 1, "append", files, txn,
+              stats = stats, mstats = mstats, blooms = blooms,
+              sstats = sstats) match {
+            case Some(v) => return v
+            case None    => attempt += 1 // epoch may have changed: re-derive
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit to $path after $MaxCommitRetries lost version " +
+        "races (every attempt found its claimed version already taken)")
+  }
+
   /** An exactly-once `foreachBatch` sink: each micro-batch appends
     * under txn id `appId:batchId`, so checkpoint redelivery of a batch
     * re-presents the same txn and lands nothing twice — the idempotent

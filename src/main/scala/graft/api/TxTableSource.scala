@@ -133,7 +133,13 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
           "(distinct per query) or pass checkpointLocation as a " +
           "writeStream OPTION — without one, txn ids collide across " +
           "queries and batches are silently dropped as redeliveries"))
-    new TxTableSink(sqlContext.sparkSession, path, appId)
+    // option("clustered", "true"): land each micro-batch via
+    // TxTable.appendClustered — laid out and indexed in the table's
+    // declared clustering, so data skipping keeps working over a
+    // long-running ingest instead of degrading with every stat-less
+    // append until the next compaction
+    val clustered = parameters.get("clustered").exists(_.toBoolean)
+    new TxTableSink(sqlContext.sparkSession, path, appId, clustered)
   }
 
   /** The WRITE half: `df.write.format("txtable").mode(m).save(path)`.
@@ -415,13 +421,18 @@ class TxTableStreamSource(spark: SparkSession, path: String,
   * (the ForeachBatchSink materialization, via the package shim) so the
   * append's staging write can never lazily re-read source offsets.
   */
-class TxTableSink(spark: SparkSession, path: String, appId: String)
+class TxTableSink(spark: SparkSession, path: String, appId: String,
+                  clustered: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
   override def addBatch(batchId: Long,
                         data: org.apache.spark.sql.DataFrame): Unit = {
     val pinned = org.apache.spark.sql.execution.datasources
       .GraftBatchMaterialize.pin(data)
-    TxTable.append(spark, path, pinned, txn = Some(s"$appId:$batchId"))
+    if (clustered)
+      TxTable.appendClustered(spark, path, pinned,
+        txn = Some(s"$appId:$batchId"))
+    else
+      TxTable.append(spark, path, pinned, txn = Some(s"$appId:$batchId"))
     ()
   }
   override def toString: String = s"TxTableSink[$path]"

@@ -940,6 +940,23 @@ object Sources {
           .orderBy("phase", "source")
       }),
 
+    // INDEXED INGEST end-to-end: the base and both appendClustered
+    // increments each carry per-file ranges, so a doc_id range reads
+    // pruned across ALL THREE commits' files — the oracle recomputes
+    // the full slice, so an increment whose rows were mis-laid,
+    // mis-indexed (over-pruned = missing rows) or double-landed (the
+    // txn-tagged increment) breaks the hash.
+    Q("q_tx_append_indexed",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id BETWEEN 50 AND 650
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.readRangeOf(s,
+          ensureTxAppendIndexed(s, dir), "doc_id", 50L, 650L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // SMALL-FILE COMPACTION end-to-end: a clustered base plus six tiny
     // appends was bin-packed by compactSmall — the packed head must be
     // byte-equal to the source union (the oracle recomputes it) and a
@@ -1079,7 +1096,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 17) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 18) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1088,7 +1105,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq", "rt", "cs").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1239,6 +1256,19 @@ object Sources {
       val baseMin = TxTable.readVersion(s, cs, 1).inputFiles.map(p =>
         hfsCs.getFileStatus(new org.apache.hadoop.fs.Path(p)).getLen).min
       TxTable.compactSmall(s, cs, minFileBytes = baseMin)
+      // table "ai": INDEXED INGEST — a doc_id-clustered base plus two
+      // appendClustered increments, each landing range-sorted with its
+      // own footer ranges in the commit log, so pruning keeps working
+      // over ingest (q_tx_append_indexed reads a range spanning the
+      // base and ONE increment; TxTableSpec pins the pruning itself).
+      val ai = s"$base/ai"
+      val aiCols = docs.select("doc_id", "source", "n_chars")
+      TxTable.overwriteClustered(s, ai,
+        aiCols.filter(col("doc_id") % 3 === 0), "doc_id", numFiles = 4)
+      TxTable.appendClustered(s, ai, aiCols.filter(col("doc_id") % 3 === 1),
+        numFiles = 2)
+      TxTable.appendClustered(s, ai, aiCols.filter(col("doc_id") % 3 === 2),
+        txn = Some("ingest:2"), numFiles = 2)
       // tables "ps"/"pd" + cursor "pc": the END-TO-END CDC PIPELINE —
       // pollChanges (consumer cursor) -> transform -> EXACTLY-ONCE
       // txn-tagged append into a downstream audit table, one poll per
@@ -1332,4 +1362,7 @@ object Sources {
 
   private[graft] def ensureTxCompactSmall(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/cs"
+
+  private[graft] def ensureTxAppendIndexed(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/ai"
 }

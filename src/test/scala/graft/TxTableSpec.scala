@@ -1563,6 +1563,82 @@ class TxTableSpec extends AnyFunSuite {
       "ids {0,1000,2000,3000,4000} go; the modulo predicate is unprunable")
   }
 
+  test("appendClustered: increments land indexed, so data skipping survives ingest") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4)
+    // a PLAIN append degrades pruning: its file has no stats, every
+    // pruned read includes it
+    TxTable.append(spark, t,
+      spark.range(5000, 5100).selectExpr("id", "CAST(id AS STRING) AS v"))
+    val plainRead = TxTable.readRangeOf(spark, t, "id", 0L, 99L)
+    assert(plainRead.count() === 100L)
+    val plainFiles = plainRead.inputFiles.length
+    // an INDEXED append carries footer ranges: a range fully outside
+    // the increment never reads it
+    TxTable.appendClustered(spark, t,
+      spark.range(9000, 9100).selectExpr("id", "CAST(id AS STRING) AS v"))
+    val pruned = TxTable.readRangeOf(spark, t, "id", 0L, 99L)
+    assert(pruned.count() === 100L)
+    assert(pruned.inputFiles.length === plainFiles,
+      "the indexed increment is pruned away; only the stat-less plain " +
+        "append still rides along")
+    // …and a range inside the increment reads it (with exact rows)
+    assert(TxTable.readRangeOf(spark, t, "id", 9000L, 9049L).count() === 50L)
+    assert(TxTable.read(spark, t).count() === 1200L)
+    // bloom-indexed head: the increment's blooms land at the head's
+    // bit width, so point reads keep pruning across ingest
+    val t2 = fresh()
+    TxTable.overwriteClustered(spark, t2,
+      spark.range(4096).selectExpr("id div 512 AS k", "id",
+        "CAST(id AS STRING) AS v"), "k", numFiles = 8,
+      bloomCol = Some("id"))
+    TxTable.appendClustered(spark, t2,
+      spark.range(90000, 90008).selectExpr("id div 512 AS k", "id",
+        "CAST(id AS STRING) AS v"))
+    val hit = TxTable.readPoints(spark, t2, "id", Seq(90003L))
+    assert(hit.count() === 1L)
+    assert(hit.inputFiles.length < TxTable.read(spark, t2).inputFiles.length,
+      "a point probe prunes both base AND increment files by bloom")
+    val miss = TxTable.readPoints(spark, t2, "id", Seq(77777L))
+    assert(miss.count() === 0L)
+    // txn idempotence: a redelivered indexed append lands nothing
+    val v = TxTable.appendClustered(spark, t,
+      spark.range(20000, 20010).selectExpr("id", "CAST(id AS STRING) AS v"),
+      txn = Some("ingest:7"))
+    assert(TxTable.appendClustered(spark, t,
+      spark.range(20000, 20010).selectExpr("id", "CAST(id AS STRING) AS v"),
+      txn = Some("ingest:7")) === v)
+    assert(TxTable.read(spark, t).count() === 1210L)
+  }
+
+  test("streaming sink option clustered=true keeps batches prunable") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txclsink").toString
+    val t = s"$base/table"
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4)
+    spark.range(50000, 50100).selectExpr("id", "CAST(id AS STRING) AS v")
+      .coalesce(1).write.parquet(s"$base/src/s0")
+    val sch = spark.read.parquet(s"$base/src/s0").schema
+    val q = spark.readStream.schema(sch).parquet(s"$base/src/s*")
+      .writeStream.format("txtable")
+      .option("appId", "clsink").option("clustered", "true")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).start(t)
+    q.awaitTermination()
+    assert(TxTable.read(spark, t).count() === 1100L)
+    // the streamed batch carries ranges: a base-only range prunes it
+    val r = TxTable.readRangeOf(spark, t, "id", 0L, 99L)
+    assert(r.count() === 100L)
+    assert(r.inputFiles.length < TxTable.read(spark, t).inputFiles.length,
+      "the streamed micro-batch must not ride along on a pruned read")
+    assert(TxTable.readRangeOf(spark, t, "id", 50000L, 50049L)
+      .count() === 50L)
+  }
+
   test("compactSmall: bin-packs the small tail, carries right-sized files by reference") {
     val t = fresh()
     // one big clustered base (v1) + ten tiny streaming-style appends
