@@ -1676,6 +1676,42 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.readVersion(spark, t, 11).count() === 100010L)
   }
 
+  test("file-level merge/delete equal the dense semantics over randomized key sets") {
+    // the candidate pruning is PROOF-based, so the result must be
+    // bit-identical to the full-rewrite semantics for ANY update/
+    // predicate shape — sweep seeded-random tables (varying file
+    // counts, bloom on/off) and key sets (hitting one file, many
+    // files, nothing, and fresh inserts) against an in-memory model
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 4).foreach { it =>
+      val t = fresh()
+      val n = 2000 + rnd.nextInt(2000)
+      val nf = 1 + rnd.nextInt(7)
+      val bloom = it % 2 == 0
+      TxTable.overwriteClustered(spark, t,
+        spark.range(n).selectExpr("id", "CAST(id AS STRING) AS v"),
+        "id", numFiles = nf,
+        bloomCol = if (bloom) Some("id") else None)
+      val model = scala.collection.mutable.Map[Long, String]() ++
+        (0L until n).map(i => i -> i.toString)
+      // merge: a mix of narrow-window hits, scattered hits, and inserts
+      val keys = (Seq.fill(1 + rnd.nextInt(20))(rnd.nextInt(n).toLong) ++
+        Seq.fill(rnd.nextInt(3))(n + rnd.nextInt(1000).toLong)).distinct
+      val updates = keys.map(k => (k, s"u$k")).toDF("id", "v")
+      TxTable.merge(spark, t, updates, Seq("id"))
+      keys.foreach(k => model(k) = s"u$k")
+      // delete: a random contiguous range (translatable → pruned)
+      val lo = rnd.nextInt(n).toLong; val hi = lo + rnd.nextInt(500)
+      TxTable.deleteWhere(spark, t, col("id").between(lo, hi))
+      (lo to hi).foreach(model.remove)
+      val got = TxTable.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === model.toMap,
+        s"iteration $it (n=$n files=$nf bloom=$bloom keys=${keys.size} " +
+          s"delete=[$lo,$hi]) diverged from the dense model")
+    }
+  }
+
   test("compactSmall on a z-ordered head: carried rectangles + re-laid tail keep box pruning") {
     val t = fresh()
     val df = spark.range(4096).selectExpr("id % 64 AS a", "id div 64 AS b")
