@@ -1603,6 +1603,23 @@ class TxTableSpec extends AnyFunSuite {
       "a point probe prunes both base AND increment files by bloom")
     val miss = TxTable.readPoints(spark, t2, "id", Seq(77777L))
     assert(miss.count() === 0L)
+    // STRING-clustered head: the increment carries truncated string
+    // bounds, so a base-side string range prunes it too
+    val t3 = fresh()
+    TxTable.overwriteClustered(spark, t3,
+      spark.range(1000).selectExpr(
+        "lpad(CAST(id AS STRING), 8, '0') AS k", "id"),
+      "k", numFiles = 4)
+    TxTable.appendClustered(spark, t3,
+      spark.range(1000).selectExpr(
+        "concat('zz', lpad(CAST(id AS STRING), 6, '0')) AS k", "id"))
+    val sr = TxTable.readRangeOf(spark, t3, "k", "00000000", "00000099")
+    assert(sr.count() === 100L)
+    assert(sr.inputFiles.length < TxTable.read(spark, t3).inputFiles.length,
+      "the zz-prefixed increment's string bounds prune it from a " +
+        "base-side range")
+    assert(TxTable.readRangeOf(spark, t3, "k", "zz000000", "zz000049")
+      .count() === 50L)
     // txn idempotence: a redelivered indexed append lands nothing
     val v = TxTable.appendClustered(spark, t,
       spark.range(20000, 20010).selectExpr("id", "CAST(id AS STRING) AS v"),
