@@ -331,7 +331,22 @@ object TxTable {
                                  sstats: Map[String, (String, String)] = Map.empty)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
-                        version: Long): State = {
+                        version: Long): State =
+    try foldStateOnce(hfs, path, version)
+    catch {
+      // a concurrent [[expireHistory]] can delete records BETWEEN this
+      // fold's logVersions listing and its record reads — a reader at
+      // or above the cutoff would then hit a vanished pre-cutoff
+      // checkpoint/commit mid-fold. One retry with a FRESH listing
+      // resolves it from the cutoff checkpoint the expiry published
+      // first; a read genuinely below the new horizon fails the retry
+      // with the named retention error instead of a raw missing-file
+      case _: java.io.FileNotFoundException =>
+        foldStateOnce(hfs, path, version)
+    }
+
+  private def foldStateOnce(hfs: org.apache.hadoop.fs.FileSystem,
+                            path: String, version: Long): State = {
     val (commitVs, ckVs) = logVersions(hfs, path)
     val (base, startAfter) = ckVs.filter(_ <= version).lastOption match {
       case Some(cv) =>
@@ -2219,14 +2234,22 @@ object TxTable {
       // `id BETWEEN 100 AND 120` arrives as `id >= CAST(100 AS BIGINT)`
       // — and translateFilter only matches bare Literals); the
       // optimizer can't be used instead: over the empty probe relation
-      // it would propagate emptiness and erase the Filter node itself
+      // it would propagate emptiness and erase the Filter node itself.
+      // current_timestamp()/now()/current_date() are foldable but
+      // UNEVALUABLE here (only the optimizer's ComputeCurrentTime
+      // substitutes them, and this plan is analyzed-only) — eval would
+      // throw, so such subtrees stay unfolded and the predicate falls
+      // through translateFilter to the no-constraint (full-rewrite)
+      // path: conservative, never a crash
       val folded = resolved.map(_.transformUp {
         case e: org.apache.spark.sql.catalyst.expressions.Expression
             if e.foldable && !e.isInstanceOf[
-              org.apache.spark.sql.catalyst.expressions.Literal] =>
-          org.apache.spark.sql.catalyst.expressions.Literal
+              org.apache.spark.sql.catalyst.expressions.Literal] &&
+              !e.exists(_.isInstanceOf[
+                org.apache.spark.sql.catalyst.expressions.Unevaluable]) =>
+          scala.util.Try(org.apache.spark.sql.catalyst.expressions.Literal
             .create(e.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
-              e.dataType)
+              e.dataType)).getOrElse(e)
       })
       folded.flatMap(org.apache.spark.sql.execution.datasources
           .GraftFilterTranslation.translate) match {
@@ -2249,6 +2272,9 @@ object TxTable {
     * can satisfy `cond` ([[deleteCandidates]]) are read and rewritten;
     * the rest carry forward by reference — a bounded delete from a
     * clustered 100 TB table touches the matching files, not the table.
+    * A delete whose candidate set is provably EMPTY (no file can hold
+    * a predicate-true row) is a no-op: the current head version is
+    * returned without committing a new one.
     *
     * With `cdf = true` every removed row is staged as a `delete`
     * change row, read back by [[changesRows]].
@@ -2262,7 +2288,8 @@ object TxTable {
       else Some(_.filter(coalesce(cond, lit(false)))
         .withColumn(ChangeCol, lit("delete")))
     rewriteHead(spark, path, "delete", cdfOf = changeRows,
-      candidatesOf = Some(deleteCandidates(spark, path, cond)))(_.filter(
+      candidatesOf = Some(deleteCandidates(spark, path, cond)),
+      noopOnEmptyCandidates = true)(_.filter(
       !coalesce(cond, lit(false))))
   }
 
@@ -2286,7 +2313,8 @@ object TxTable {
                           numFilesHint: Option[Int] = None,
                           cdfOf: Option[DataFrame => DataFrame] = None,
                           candidatesOf: Option[State => Seq[String]] = None,
-                          targetOf: Option[(State, Seq[String]) => Int] = None)(
+                          targetOf: Option[(State, Seq[String]) => Int] = None,
+                          noopOnEmptyCandidates: Boolean = false)(
       transform: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.col
     val hfs = fs(spark, path)
@@ -2311,6 +2339,16 @@ object TxTable {
       // metadata (or without `candidatesOf`) every file is a
       // candidate — the pre-existing full rewrite, byte-identical.
       val cand = candidatesOf.fold(st.files)(f => f(st))
+      // PROVEN-EMPTY candidate set on a content-preserving rewrite
+      // (deleteWhere: zero files can hold a predicate-true row → the
+      // head is already the result): return it WITHOUT committing.
+      // Staging would land a zero-row parquet file (stage's
+      // repartition(1) fallback) in a content-identical version —
+      // repeated no-match deletes would accrete empty live files every
+      // later read scans. compactSmall's <2-small-files no-op is the
+      // same shape. merge must NOT take this path (empty candidates
+      // still insert the unmatched updates), so it is opt-in per verb.
+      if (noopOnEmptyCandidates && cand.isEmpty) return head
       val candSet = cand.toSet
       val untouched = st.files.filterNot(candSet)
       // ONE snapshot frame per attempt, shared by the rewrite transform
@@ -2436,8 +2474,13 @@ object TxTable {
     * (named error) and must re-bootstrap from a snapshot. Concurrent
     * writers are safe (only records below C are touched); a reader
     * time-traveling below C DURING the expiry fails loudly, never
-    * reads torn state (records are deleted whole). Returns the number
-    * of expired commit records; 0 when nothing is old enough.
+    * reads torn state (records are deleted whole). A reader at or
+    * above C whose log listing predates the expiry can find a
+    * pre-cutoff record vanished mid-fold — [[foldState]] retries once
+    * with a fresh listing and resolves from the cutoff checkpoint
+    * (published before any deletion), so such reads succeed. Returns
+    * the number of expired commit records; 0 when nothing is old
+    * enough.
     */
   def expireHistory(spark: SparkSession, path: String,
                     keepVersions: Int): Int = {

@@ -93,7 +93,7 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
       s"maxVersionsPerTrigger must be positive, got $m"))
     new TxTableStreamSource(sqlContext.sparkSession, path, starting,
       sourceSchema(sqlContext, None, providerName, parameters)._2,
-      maxV, metadataPath)
+      maxV)
   }
 
   /** The STREAMING sink half:
@@ -336,8 +336,7 @@ case class TxVersionOffset(version: Long)
 class TxTableStreamSource(spark: SparkSession, path: String,
                           startingVersion: Long,
                           override val schema: StructType,
-                          maxVersionsPerTrigger: Option[Long] = None,
-                          metadataPath: String = "")
+                          maxVersionsPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.execution.streaming.Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {

@@ -1563,6 +1563,84 @@ class TxTableSpec extends AnyFunSuite {
       "ids {0,1000,2000,3000,4000} go; the modulo predicate is unprunable")
   }
 
+  test("deleteWhere with a time-based predicate on an indexed table works") {
+    // current_timestamp()/current_date() are foldable but Unevaluable
+    // in an analyzed-only plan — candidate derivation must skip
+    // folding them (falling back to the full-rewrite path), not crash
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4)
+    TxTable.deleteWhere(spark, t, col("id") <= 10 &&
+      current_timestamp() > lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+    assert(TxTable.read(spark, t).count() === 989L,
+      "the time conjunct is runtime-true; ids 0..10 deleted")
+    // same through a bloom-indexed head and current_date()
+    val t2 = fresh()
+    TxTable.overwriteClustered(spark, t2,
+      spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4, bloomCol = Some("id"))
+    TxTable.deleteWhere(spark, t2, col("id") === 7L &&
+      current_date() >= lit(java.sql.Date.valueOf("2000-01-01")))
+    assert(TxTable.read(spark, t2).count() === 999L)
+  }
+
+  test("deleteWhere with a provably-empty candidate set is a no-op commit-wise") {
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(1000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 4)
+    val head = TxTable.latestVersion(spark, t)
+    val files = TxTable.read(spark, t).inputFiles.toSet
+    // no file's [lo,hi] can contain an id > 100000: zero candidates —
+    // the head is already the result, so nothing commits (a staged
+    // zero-row file per no-match delete would accrete empty live
+    // files every later read scans)
+    val got = TxTable.deleteWhere(spark, t, col("id") > 100000L)
+    assert(got === head, "the returned version is the unchanged head")
+    TxTable.deleteWhere(spark, t, col("id") > 100000L, cdf = true)
+    TxTable.deleteWhere(spark, t, col("id") < -5L)
+    assert(TxTable.latestVersion(spark, t) === head,
+      "repeated no-match deletes commit nothing")
+    assert(TxTable.read(spark, t).inputFiles.toSet === files,
+      "the live file set is byte-identical — no empty files accreted")
+    assert(TxTable.read(spark, t).count() === 1000L)
+    // a MATCHING delete still commits normally afterwards
+    TxTable.deleteWhere(spark, t, col("id") === 3L)
+    assert(TxTable.latestVersion(spark, t) === head + 1)
+    assert(TxTable.read(spark, t).count() === 999L)
+  }
+
+  test("reads stay loud-free while expireHistory truncates concurrently") {
+    // a reader whose log listing predates a concurrent expiry can hit
+    // a vanished pre-cutoff record mid-fold; foldState retries once
+    // with a fresh listing and resolves from the cutoff checkpoint —
+    // so head reads during repeated expiries never surface a raw
+    // FileNotFoundException
+    val t = fresh()
+    TxTable.overwrite(spark, t, Seq((0L, "base")).toDF("id", "v"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val writer = scala.concurrent.Future {
+      (1 to 12).foreach { i =>
+        TxTable.append(spark, t, Seq((i.toLong, s"w$i")).toDF("id", "v"))
+        TxTable.expireHistory(spark, t, keepVersions = 2)
+      }
+    }
+    var reads = 0
+    while (!writer.isCompleted) {
+      val n = TxTable.read(spark, t).count() // must never throw
+      assert(n >= 1L)
+      reads += 1
+    }
+    scala.concurrent.Await.result(writer,
+      scala.concurrent.duration.Duration(120, "s"))
+    pool.shutdown()
+    assert(reads > 0, "the reader overlapped the expiring writer")
+    assert(TxTable.read(spark, t).count() === 13L)
+  }
+
   test("appendClustered: increments land indexed, so data skipping survives ingest") {
     val t = fresh()
     TxTable.overwriteClustered(spark, t,
