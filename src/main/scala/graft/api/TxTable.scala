@@ -2069,32 +2069,72 @@ object TxTable {
   /** How many distinct update-key values a merge will collect to probe
     * the head's per-file BLOOMS with. Above the cap the bloom
     * constraint is skipped (range/string bounds still apply) — the
-    * candidate set only widens, never narrows wrongly.
+    * candidate set only widens, never narrows wrongly. The cap is not
+    * only a driver-memory bound: bloom ANY-probes SATURATE — at ~1%
+    * per-key false-positive rate a 65k-key set hits essentially every
+    * file, so a bigger probe would cost more and prune nothing. Large
+    * update sets get their pruning from [[touchedFiles]] instead.
     */
   private[graft] val MergeBloomProbeCap = 65536
 
-  /** FILE-LEVEL candidate derivation for [[merge]]: the head files that
-    * can hold a matched key, from the updates' per-key-column bounds
-    * (one narrow aggregation over the SMALL side) intersected with the
-    * log's recorded ranges / truncated string bounds, plus a bloom
-    * probe of the actual key values when the key is bloom-indexed and
-    * the distinct count fits [[MergeBloomProbeCap]]. Exact the same
-    * way the read path is: a file outside the result PROVABLY holds no
-    * row whose key equals any update key (dropped only when its
-    * recorded metadata excludes the whole update key set), so carrying
-    * it forward by reference preserves merge semantics bit-for-bit.
-    * Columns without recorded metadata contribute no constraint —
-    * without any, every file is a candidate (the full rewrite).
+  /** EXACT matched-file derivation — the Delta findTouchedFiles shape:
+    * one key-columns-only semi-join scan of the metadata `candidates`
+    * against the updates' distinct keys names precisely the files
+    * holding at least one matched key. No false positives (unlike a
+    * bloom ANY-probe, which saturates on large key sets), no driver
+    * key collect (only file NAMES come back, bounded by the candidate
+    * count), and parquet column pruning keeps the scan at key-column
+    * bytes — the refinement is worth one narrow read pass whenever it
+    * spares rewriting a file's full width. Exactness lets every
+    * unmatched file carry by reference even when it sits inside the
+    * updates' min/max box (a sparse 2-key upsert spanning the table's
+    * key range rewrites 2 files, not all of them), and it is what
+    * bounds an over-[[MergeBloomProbeCap]] merge: the bloom constraint
+    * is skipped but the scan still pins the rewrite set to matched
+    * files.
     */
-  private def mergeCandidates(spark: SparkSession, updates: DataFrame,
-                              keyCols: Seq[String])
+  private def touchedFiles(spark: SparkSession, path: String, st: State,
+                           candidates: Seq[String], updates: DataFrame,
+                           keyCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    if (candidates.isEmpty) candidates
+    else {
+      val hit = readStateFiles(spark, path, st, candidates)
+        .select(input_file_name().as("__graft_file") +: keyCols.map(col): _*)
+        .join(updates.select(keyCols.map(col): _*).distinct(),
+          keyCols, "left_semi")
+        .select("__graft_file").distinct()
+        .collect().map(_.getString(0)).toSet
+      candidates.filter(rel => hit.exists(_.endsWith("/" + rel)))
+    }
+  }
+
+  /** FILE-LEVEL candidate derivation for [[merge]]: the head files that
+    * can hold a matched key, narrowed in two stages. METADATA first —
+    * the updates' per-key-column bounds (one narrow aggregation over
+    * the SMALL side) intersected with the log's recorded ranges /
+    * truncated string bounds, plus a bloom probe of the actual key
+    * values when the key is bloom-indexed and the distinct count fits
+    * [[MergeBloomProbeCap]] — then an EXACT [[touchedFiles]] semi-join
+    * scan of the survivors, so the rewrite set is precisely the files
+    * holding a matched key (the metadata stage bounds what that scan
+    * reads). Exact the same way the read path is: a file outside the
+    * result PROVABLY holds no row whose key equals any update key, so
+    * carrying it forward by reference preserves merge semantics
+    * bit-for-bit. Columns without recorded metadata contribute no
+    * metadata constraint — an unindexed table goes straight to the
+    * exact scan over every file.
+    */
+  private def mergeCandidates(spark: SparkSession, path: String,
+                              updates: DataFrame, keyCols: Seq[String])
       : State => Seq[String] = { st =>
     import org.apache.spark.sql.functions.{col, max, min}
     val metaKeys = keyCols.filter(k =>
       st.statsCol.contains(k) || st.statsCols.contains(k))
     val bloomKeys = keyCols.filter(k => st.bloomCol.contains(k) &&
       updates.schema(k).dataType == org.apache.spark.sql.types.LongType)
-    if (metaKeys.isEmpty && bloomKeys.isEmpty) st.files
+    if (metaKeys.isEmpty && bloomKeys.isEmpty)
+      touchedFiles(spark, path, st, st.files, updates, keyCols)
     else {
       var ranges = Map.empty[String, (Long, Long)]
       var strRanges = Map.empty[String, (Option[String], Option[String])]
@@ -2124,7 +2164,8 @@ object TxTable {
         else Some(k -> vs)
       }.toMap
       if (empty) Seq.empty // no update rows: nothing can match
-      else prunedFiles(st, ranges, points, strRanges)
+      else touchedFiles(spark, path, st,
+        prunedFiles(st, ranges, points, strRanges), updates, keyCols)
     }
   }
 
@@ -2134,14 +2175,14 @@ object TxTable {
     * the read and the claim restarts the merge on the new head, so
     * its rows are never silently dropped.
     *
-    * FILE-LEVEL on indexed tables: when a key column carries recorded
-    * cluster ranges / z-rectangles / string bounds / blooms, only the
-    * files that CAN hold a matched key ([[mergeCandidates]]) are read
-    * and rewritten; every other live file is carried into the new
-    * commit by reference with its recorded metadata — a small upsert
-    * into a clustered 100 TB table rewrites the matched files, not the
-    * table (the Delta/Iceberg copy-on-write shape). Unindexed tables
-    * keep the full rewrite.
+    * FILE-LEVEL: only the files that actually HOLD a matched key
+    * ([[mergeCandidates]] — metadata narrowing on indexed tables, then
+    * an exact key-column semi-join scan, the Delta findTouchedFiles
+    * shape) are read and rewritten; every other live file is carried
+    * into the new commit by reference with its recorded metadata — a
+    * small upsert into a 100 TB table rewrites the matched files, not
+    * the table (the Delta/Iceberg copy-on-write shape), indexed or
+    * not.
     *
     * With `cdf = true` the commit also stages ROW-LEVEL change data
     * (the Delta Change Data Feed shape): every head row whose key
@@ -2201,7 +2242,7 @@ object TxTable {
         pre.unionByName(tagged)
       }
     rewriteHead(spark, path, "merge", cdfOf = changeRows,
-        candidatesOf = Some(mergeCandidates(spark, updates, keyCols)))(head =>
+        candidatesOf = Some(mergeCandidates(spark, path, updates, keyCols)))(head =>
       head.join(updates.select(keyCols.map(col): _*).distinct(),
           keyCols, "left_anti")
         .unionByName(updates))

@@ -1478,6 +1478,62 @@ class TxTableSpec extends AnyFunSuite {
       .map(_.getString(1)).forall(_.startsWith("u")))
   }
 
+  test("merge rewrites only files that HOLD a matched key: exact, spanning, unindexed, over-cap") {
+    // exact scan beats the metadata box: keys {0, 4095} span the whole
+    // table's key range (min/max candidates = every file) but live in
+    // exactly two files — only those rewrite
+    val t = fresh()
+    TxTable.overwriteClustered(spark, t,
+      spark.range(4096).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 8)
+    val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+    TxTable.merge(spark, t,
+      Seq((0L, "u0"), (4095L, "u4095")).toDF("id", "v"), Seq("id"))
+    val after = TxTable.read(spark, t).inputFiles.toSet
+    assert(before.intersect(after).size === before.size - 2,
+      "a sparse spanning upsert rewrites its two files, not the box")
+    val got = TxTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size === 4096 && got(0L) === "u0" && got(4095L) === "u4095" &&
+      got(2000L) === "2000")
+    // UNINDEXED table: no stats/blooms at all, the exact scan alone
+    // bounds the rewrite to the one file holding the matched key
+    val t2 = fresh()
+    TxTable.overwrite(spark, t2,
+      spark.range(4096).selectExpr("id", "CAST(id AS STRING) AS v")
+        .repartition(4))
+    val before2 = TxTable.readVersion(spark, t2, 1).inputFiles.toSet
+    assert(before2.size === 4)
+    TxTable.merge(spark, t2, Seq((7L, "u7")).toDF("id", "v"), Seq("id"))
+    val after2 = TxTable.read(spark, t2).inputFiles.toSet
+    assert(before2.intersect(after2).size === 3,
+      "an unindexed merge still carries the three unmatched files by name")
+    assert(TxTable.read(spark, t2).count() === 4096L)
+    // OVER-CAP update set (> MergeBloomProbeCap distinct keys): the
+    // bloom probe is skipped but the exact scan still bounds the
+    // rewrite to the files whose ranges hold matched keys
+    assert(TxTable.MergeBloomProbeCap === 65536)
+    val t3 = fresh()
+    TxTable.overwriteClustered(spark, t3,
+      spark.range(200000).selectExpr("id", "CAST(id AS STRING) AS v"),
+      "id", numFiles = 8, bloomCol = Some("id"))
+    val before3 = TxTable.readVersion(spark, t3, 1).inputFiles.toSet
+    TxTable.merge(spark, t3,
+      spark.range(100000, 170001)
+        .selectExpr("id", "concat('u', CAST(id AS STRING)) AS v"),
+      Seq("id"))
+    val after3 = TxTable.read(spark, t3).inputFiles.toSet
+    assert(before3.intersect(after3).size >= 3,
+      s"files outside the 70001-key window carry by name, carried " +
+        s"${before3.intersect(after3).size}/${before3.size}")
+    val head3 = TxTable.read(spark, t3)
+    assert(head3.count() === 200000L)
+    assert(head3.filter(col("id") === 150000L).select("v").collect()
+      .head.getString(0) === "u150000")
+    assert(head3.filter(col("id") === 50000L).select("v").collect()
+      .head.getString(0) === "50000")
+  }
+
   test("file-level merge: cdf images and bloom-probed candidates stay exact") {
     val t = fresh()
     // clustered by k, bloom-indexed on id (the MERGE key): candidates
