@@ -755,6 +755,82 @@ object TxTable {
     */
   @volatile private[graft] var evolveRaceInjection: () => Unit = () => ()
 
+  /** SQL `ALTER TABLE ADD COLUMN` (the [[TxCatalog]] route): a
+    * DATA-LESS additive widening — one `append` commit carrying zero
+    * files and the widened `schemaB64`, which [[foldStateOnce]]'s
+    * schema fold already treats exactly like an [[evolveAppend]]
+    * (every existing file null-fills the new column by name). Metadata
+    * only: no bytes move no matter the table size. Idempotent when the
+    * column already exists at the same type; a type conflict aborts
+    * loudly (additive-only, the evolveAppend contract). Same
+    * re-derive-inside-the-claim-loop discipline: the widened schema is
+    * a function of the head it lands on.
+    */
+  private[graft] def evolveAddColumn(spark: SparkSession, path: String,
+                                     colName: String,
+                                     dt: org.apache.spark.sql.types.DataType)
+      : Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head >= 1,
+        s"evolveAddColumn needs an existing table at $path")
+      val table = stateSchema(spark, path, foldState(fs(spark, path), path, head))
+      table.fields.find(_.name == colName) match {
+        case Some(f) if f.dataType == dt => return head // already there
+        case Some(f) => throw new IllegalArgumentException(
+          s"ADD COLUMN is additive-only for $path: '$colName' exists " +
+            s"as ${f.dataType.simpleString}, asked ${dt.simpleString}")
+        case None => ()
+      }
+      val widened = org.apache.spark.sql.types.StructType(
+        table.fields :+ org.apache.spark.sql.types.StructField(
+          colName, dt, nullable = true))
+      commitAt(spark, path, head + 1, "append", Nil, None,
+          schemaB64 = Some(schemaToB64(widened))) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-derive on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not evolveAddColumn on $path after $MaxCommitRetries " +
+        "lost version races")
+  }
+
+  /** Resolve a snapshot's live files to [[org.apache.hadoop.fs.FileStatus]]es —
+    * one `listStatus` per STAGING DIRECTORY, not one `getFileStatus`
+    * per file: live files group into `data-*` commit dirs, so a
+    * 100k-file table costs O(commits) metadata RPCs instead of 100k
+    * serial round-trips. A file the log references but the store lost
+    * fails loudly with the commit-log framing (the silent alternative
+    * is a partial scan reading as a smaller table). Shared by the V1
+    * [[TxFileIndex]] and the V2 catalog scan.
+    */
+  private[graft] def liveFileStatuses(spark: SparkSession, path: String,
+                                      st: State)
+      : Map[String, org.apache.hadoop.fs.FileStatus] = {
+    val hfs = fs(spark, path)
+    val listed = st.files
+      .groupBy(f => f.lastIndexOf('/') match {
+        case -1 => ""
+        case i  => f.substring(0, i)
+      })
+      .flatMap { case (dir, fls) =>
+        val want = fls.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val root = if (dir.isEmpty) path else s"$path/$dir"
+        hfs.listStatus(new org.apache.hadoop.fs.Path(root)).toSeq
+          .filter(s => want.contains(s.getPath.getName))
+          .map(s => (if (dir.isEmpty) s.getPath.getName
+                     else s"$dir/${s.getPath.getName}") -> s)
+      }
+    val missing = st.files.filterNot(listed.contains)
+    require(missing.isEmpty,
+      s"txtable at $path: the commit log references data files the " +
+        s"store no longer holds: ${missing.take(5).mkString(", ")}" +
+        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
+    listed
+  }
+
   /** Overwrite CLUSTERED by a long-typed column: rows are
     * range-partitioned and sorted by `clusterCol`, and each staged
     * file's (min, max) of that column is recorded IN THE COMMIT LOG —

@@ -473,28 +473,8 @@ class TxFileIndex(spark: SparkSession, path: String, version: Long,
     * lost fails loudly with the commit-log framing (the silent
     * alternative would be a partial scan reading as a smaller table).
     */
-  private val byName: Map[String, FileStatus] = {
-    val hfs = Dedup.hadoopFs(spark, path)
-    val listed = state.files
-      .groupBy(f => f.lastIndexOf('/') match {
-        case -1 => ""
-        case i  => f.substring(0, i)
-      })
-      .flatMap { case (dir, fs) =>
-        val want = fs.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
-        val root = if (dir.isEmpty) path else s"$path/$dir"
-        hfs.listStatus(new Path(root)).toSeq
-          .filter(st => want.contains(st.getPath.getName))
-          .map(st => (if (dir.isEmpty) st.getPath.getName
-                      else s"$dir/${st.getPath.getName}") -> st)
-      }
-    val missing = state.files.filterNot(listed.contains)
-    require(missing.isEmpty,
-      s"txtable at $path: the commit log references data files the " +
-        s"store no longer holds: ${missing.take(5).mkString(", ")}" +
-        (if (missing.size > 5) s" (+${missing.size - 5} more)" else ""))
-    listed
-  }
+  private val byName: Map[String, FileStatus] =
+    TxTable.liveFileStatuses(spark, path, state)
   private val statuses: Seq[FileStatus] = state.files.map(byName)
 
   override def rootPaths: Seq[Path] = Seq(new Path(path))
@@ -511,16 +491,7 @@ class TxFileIndex(spark: SparkSession, path: String, version: Long,
 
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // Catalyst hands data filters as Expressions; translate through
-    // Spark's OWN source-filter translation (so the mapping onto
-    // ranges/points can never disagree with what a V2 source would
-    // see), then prune from the log's recorded metadata. Untranslatable
-    // predicates contribute no constraint — conservative.
-    val pushed = dataFilters.flatMap(
-      org.apache.spark.sql.execution.datasources.GraftFilterTranslation.translate)
-    val (ranges, points, strRanges) =
-      TxTableRelation.constraints(pushed.toArray)
-    val kept = TxTable.prunedFiles(state, ranges, points, strRanges)
+    val kept = TxTableRelation.keptFiles(state, dataFilters)
     TxTableSource.lastScanFilesByPath.put(path, kept)
     Seq(PartitionDirectory(InternalRow.empty, kept.map(byName).toArray))
   }
@@ -530,6 +501,25 @@ class TxFileIndex(spark: SparkSession, path: String, version: Long,
   * [[TxFileIndex]] and the specs.
   */
 object TxTableRelation {
+
+  /** Log-metadata file pruning from Catalyst data filters — translate
+    * through Spark's OWN source-filter translation (so the mapping
+    * onto ranges/points can never disagree with what a V2 source
+    * would see), weaken into the log's constraint shapes, keep files
+    * whose recorded metadata can satisfy the conjunction.
+    * Untranslatable predicates contribute no constraint —
+    * conservative. ONE prune implementation shared by the V1
+    * [[TxFileIndex]] and the V2 catalog scan.
+    */
+  private[graft] def keptFiles(
+      state: TxTable.State,
+      dataFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[String] = {
+    val pushed = dataFilters.flatMap(
+      org.apache.spark.sql.execution.datasources.GraftFilterTranslation.translate)
+    val (ranges, points, strRanges) = constraints(pushed.toArray)
+    TxTable.prunedFiles(state, ranges, points, strRanges)
+  }
 
   /** Bloom probes hash RAW LONGS ([[TxTable.bloomStats]]'s contract),
     * so only genuinely integral filter values may become point

@@ -1,0 +1,152 @@
+package org.apache.spark.sql.execution.datasources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Package-placed DSv2 bridge, same policy as [[GraftFilterTranslation]]:
+  * graft's V2 catalog (`graft.api.TxCatalog`) reuses Spark's OWN parquet
+  * scan/write machinery — `ParquetScanBuilder` (vectorized reads, parquet
+  * row-group pushdown, file-split planning), `ParquetFileFormat`'s
+  * row-based reader, and `ParquetUtils.prepareWrite`'s executor-side
+  * `OutputWriterFactory` — all `private[sql]`. Hand-rolling any of them
+  * would be a second, driftable copy of load-bearing IO code; this file
+  * only FORWARDS construction, it implements nothing. The same
+  * in-package access route Spark-native extensions (Delta, Iceberg's
+  * spark module) use for these exact calls.
+  */
+object GraftV2Bridge {
+
+  /** Spark's V2 parquet scan builder over a commit-log-backed index:
+    * the DSv2 read path becomes the same native vectorized scan with
+    * non-empty PushedFilters the V1 `TxFileIndex` relation plans.
+    */
+  def parquetScanBuilder(spark: SparkSession,
+                         index: PartitioningAwareFileIndex,
+                         dataSchema: StructType,
+                         options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
+      spark, index, dataSchema, dataSchema, options)
+
+  /** Row-based parquet reader for the row-level-operation scan (the
+    * copy-on-write rewrite reads WHOLE files — parquet row filtering
+    * must stay off, and rows must be appendable with the `_file`
+    * metadata column, so the vectorized-batch contract is the wrong
+    * shape here). Built on the driver, serializable to executors —
+    * exactly the `FileFormat.buildReaderWithPartitionValues` closure
+    * Spark's own V1 scans ship.
+    */
+  def parquetRowReader(spark: SparkSession,
+                       dataSchema: StructType,
+                       requiredSchema: StructType)
+      : PartitionedFile => Iterator[InternalRow] =
+    new parquet.ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+
+  def partitionedFile(absPath: String, length: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = org.apache.spark.paths.SparkPath.fromPathString(absPath),
+      start = 0L,
+      length = length,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = length)
+
+  /** Executor-side parquet write support for the DSv2 `BatchWrite`:
+    * `prepareWrite` wires the ParquetWriteSupport schema + committer
+    * onto the job conf and returns the serializable factory whose
+    * `newInstance` each `DataWriter` task calls. TxTable stagings
+    * always write standard TIMESTAMP(MICROS) (INT96 footers carry no
+    * min/max — `TxTable.stage` documents the same pin), applied here
+    * on a CLONED SQLConf so no session state is mutated.
+    */
+  def parquetWriterFactory(spark: SparkSession, schema: StructType)
+      : (OutputWriterFactory, org.apache.hadoop.conf.Configuration) = {
+    val conf = spark.sessionState.conf.clone()
+    conf.setConfString("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val factory = parquet.ParquetUtils.prepareWrite(
+      conf, job, schema, new parquet.ParquetOptions(
+        Map.empty[String, String], conf))
+    (factory, job.getConfiguration)
+  }
+
+  def newOutputWriter(factory: OutputWriterFactory,
+                      absPath: String, schema: StructType,
+                      conf: org.apache.hadoop.conf.Configuration,
+                      partitionId: Int, taskId: Long): OutputWriter = {
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      "graft", 0, org.apache.hadoop.mapreduce.TaskType.MAP,
+      partitionId, (taskId % Int.MaxValue).toInt)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, attempt)
+    factory.newInstance(absPath, schema, ctx)
+  }
+
+  /** V2 `Predicate` → V1 `Filter`, Spark's own mapping (the
+    * `SupportsDeleteV2` path hands V2 predicates; TxTable's
+    * delete-candidate machinery speaks V1 filters + Columns).
+    */
+  def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+}
+
+/** A [[PartitioningAwareFileIndex]] over ONE pinned txtable snapshot:
+  * the statuses arrive pre-resolved from the commit log (O(commits)
+  * metadata RPCs, `TxFileIndex`'s contract), `listFiles` delegates
+  * pruning to the caller's log-metadata closure, and there is no
+  * partition discovery at all (a txtable clusters inside files; its
+  * pruning index IS the log). Lives here because the parent class is
+  * `private[sql]`; all policy stays in graft.
+  */
+class GraftTxParquetIndex(
+    spark: SparkSession,
+    root: Path,
+    files: Seq[(String, FileStatus)],
+    prune: Seq[Expression] => Set[String])
+  extends PartitioningAwareFileIndex(spark, Map.empty, None, NoopCache) {
+
+  override def rootPaths: Seq[Path] = Seq(root)
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = new scala.collection.mutable.LinkedHashMap[Path, FileStatus]()
+    files.foreach { case (_, st) => m += st.getPath -> st }
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    files.map(_._2).groupBy(_.getPath.getParent)
+      .map { case (dir, sts) => dir -> sts.toArray }
+
+  override def refresh(): Unit = () // the snapshot is immutable
+
+  override def sizeInBytes: Long = files.map(_._2.getLen).sum
+
+  override def inputFiles: Array[String] =
+    files.map(_._2.getPath.toString).toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val keep = prune(dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty,
+      files.collect { case (name, st) if keep(name) => st }.toArray))
+  }
+}

@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.{TxTable, TxTableSource}
+
+/** The DSv2 catalog contracts: identifier→path resolution, SQL DDL/DML
+  * routed through the commit log, time travel, and read-plan parity
+  * with the V1 native path (same log pruning, same pushed filters).
+  */
+class TxCatalogSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txcat").toString
+    spark.conf.set("spark.sql.catalog.gx", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gx.warehouse", w)
+    w
+  }
+
+  private def sql(q: String) = spark.sql(q)
+
+  test("CREATE / INSERT INTO / SELECT round-trips through the commit log") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS gx.db")
+    sql("CREATE TABLE gx.db.t1 (id BIGINT, v STRING)")
+    val path = s"$warehouse/db/t1"
+    assert(TxTable.latestVersion(spark, path) === 1L,
+      "CREATE TABLE is commit 1 (empty, schema-carrying)")
+    assert(sql("SELECT * FROM gx.db.t1").count() === 0L)
+
+    sql("INSERT INTO gx.db.t1 VALUES (1, 'a'), (2, 'b')")
+    assert(TxTable.history(spark, path).last.action === "append",
+      "INSERT INTO lands as ONE transactional append commit")
+    assert(sql("SELECT v FROM gx.db.t1 WHERE id = 2").collect()
+      .map(_.getString(0)).toSeq === Seq("b"))
+
+    sql("INSERT OVERWRITE gx.db.t1 VALUES (9, 'z')")
+    assert(TxTable.history(spark, path).last.action === "overwrite",
+      "INSERT OVERWRITE lands as ONE transactional overwrite commit")
+    assert(sql("SELECT id FROM gx.db.t1").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+    // the log survived the overwrite — nothing was deleted
+    assert(TxTable.readVersion(spark, path, 2).count() === 2L,
+      "history below the overwrite stays readable")
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF resolve from the log") {
+    warehouse
+    sql("CREATE TABLE gx.tt (id BIGINT)")
+    sql("INSERT INTO gx.tt VALUES (1)")
+    sql("INSERT INTO gx.tt VALUES (2)")
+    assert(sql("SELECT * FROM gx.tt VERSION AS OF 2").count() === 1L)
+    assert(sql("SELECT * FROM gx.tt VERSION AS OF 3").count() === 2L)
+    val tsMs = TxTable.history(spark, s"$warehouse/tt")
+      .find(_.version == 2L).get.ts
+    val got = sql(
+      s"SELECT * FROM gx.tt TIMESTAMP AS OF " +
+        s"CAST(${tsMs / 1000.0} AS TIMESTAMP)").count()
+    assert(got === 1L, "timestamp travel picks the last commit at/before")
+    intercept[Exception](sql("SELECT * FROM gx.tt VERSION AS OF 99").collect())
+  }
+
+  test("catalog read path = native parquet scan with log pruning (V1 parity)") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS gx.plan")
+    val path = s"$warehouse/plan/c"
+    import spark.implicits._
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 8)
+
+    val df = sql(s"SELECT v FROM gx.plan.c WHERE id BETWEEN 100 AND 120")
+    assert(df.collect().length === 21)
+    val kept = TxTableSource.lastScanFiles(path)
+    assert(kept.nonEmpty && kept.size < 8,
+      s"log metadata pruned the catalog scan (kept ${kept.size} of 8)")
+
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("Scan parquet"),
+      s"native parquet batch scan expected:\n$plan")
+    // vectorized path: the scan supports columnar batches
+    assert(df.queryExecution.executedPlan.exists(
+      p => p.supportsColumnar), "catalog scan reads vectorized batches")
+  }
+
+  test("pushed filters reach the parquet scan on the catalog path") {
+    warehouse
+    val path = s"$warehouse/pf"
+    import spark.implicits._
+    TxTable.overwrite(spark, path,
+      (1L to 100L).map(i => (i, i % 7)).toDF("id", "k"))
+    val df = sql("SELECT id FROM gx.pf WHERE id > 90")
+    val scanDesc = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(scanDesc.contains("id") && (
+        scanDesc.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]") ||
+        scanDesc.contains("GreaterThan(id,90)")),
+      s"parquet row-group pushdown survives the catalog route:\n$scanDesc")
+    assert(df.collect().map(_.getLong(0)).toSet === (91L to 100L).toSet)
+  }
+
+  test("ALTER TABLE ADD COLUMN is a data-less widening commit") {
+    warehouse
+    sql("CREATE TABLE gx.ev (id BIGINT)")
+    sql("INSERT INTO gx.ev VALUES (1)")
+    sql("ALTER TABLE gx.ev ADD COLUMN note STRING")
+    val out = sql("SELECT id, note FROM gx.ev").collect()
+    assert(out.map(r => (r.getLong(0), r.isNullAt(1))).toSeq ===
+      Seq((1L, true)), "old files null-fill the added column")
+    sql("INSERT INTO gx.ev VALUES (2, 'hello')")
+    assert(sql("SELECT note FROM gx.ev WHERE id = 2").collect()
+      .head.getString(0) === "hello")
+    intercept[Exception](
+      sql("ALTER TABLE gx.ev ADD COLUMN note BIGINT")) // type conflict
+  }
+
+  test("DDL lifecycle: list / rename / drop; namespaces are directories") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS gx.life")
+    sql("CREATE TABLE gx.life.a (id BIGINT)")
+    assert(sql("SHOW TABLES IN gx.life").collect()
+      .map(_.getString(1)).toSet === Set("a"))
+    sql("ALTER TABLE gx.life.a RENAME TO gx.life.b")
+    assert(sql("SHOW TABLES IN gx.life").collect()
+      .map(_.getString(1)).toSet === Set("b"))
+    sql("INSERT INTO gx.life.b VALUES (5)")
+    assert(sql("SELECT * FROM gx.life.b").count() === 1L)
+    sql("DROP TABLE gx.life.b")
+    intercept[Exception](sql("SELECT * FROM gx.life.b").collect())
+  }
+
+  test("CTAS: CREATE TABLE AS SELECT lands create + append commits") {
+    warehouse
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+      .createOrReplaceTempView("ctas_src")
+    sql("CREATE TABLE gx.ctas AS SELECT * FROM ctas_src")
+    assert(sql("SELECT * FROM gx.ctas").count() === 2L)
+    assert(TxTable.history(spark, s"$warehouse/ctas")
+      .map(_.action) === Seq("overwrite", "append"))
+  }
+
+  test("path-traversal identifiers are rejected") {
+    warehouse
+    intercept[Exception](sql("CREATE TABLE gx.`..`.oops (id BIGINT)"))
+  }
+}
