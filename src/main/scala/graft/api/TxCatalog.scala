@@ -262,7 +262,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
   */
 class TxV2Table(spark: SparkSession, val path: String, ident: String,
                 pinned: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with SupportsDeleteV2 {
 
   private[api] lazy val snapVersion: Long =
     pinned.getOrElse(TxTable.latestVersion(spark, path))
@@ -307,7 +308,75 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     new TxV1WriteBuilder(spark, path)
   }
 
+  // ---- SQL DELETE FROM: the file-level transactional delete ----
+
+  /** Accept exactly the predicates we can round-trip into a Column —
+    * [[TxTable.deleteWhere]] then derives FILE-LEVEL candidates from
+    * the same log metadata the read path prunes with (untouched files
+    * carry by reference) and keeps SQL NULL semantics (predicate-NULL
+    * rows are KEPT). A condition that cannot round-trip reports
+    * `false` and Spark falls back to the row-level rewrite path.
+    */
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    pinned.isEmpty && predicates.forall(p =>
+      GraftV2Bridge.predicateToV1(p).exists(f =>
+        TxFilters.toColumn(f).isDefined))
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val cond = predicates.toSeq
+      .map(p => TxFilters.toColumn(GraftV2Bridge.predicateToV1(p).get).get)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    TxTable.deleteWhere(spark, path, cond)
+    ()
+  }
+
+  /** SQL `TRUNCATE TABLE`: one overwrite commit to an empty,
+    * schema-carrying state — history below it stays time-travelable
+    * (truncate is a version, not an erasure).
+    */
+  override def truncateTable(): Boolean = {
+    TxTable.overwrite(spark, path, spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    true
+  }
+
   override def toString: String = s"TxV2Table($ident@v$snapVersion)"
+}
+
+/** V1 `sources.Filter` → `Column` (the reverse of Spark's pushdown
+  * translation): how SQL `DELETE FROM` predicates reach
+  * [[TxTable.deleteWhere]]'s Column contract. Conservative — `None`
+  * for anything unrecognized, which flips the table to
+  * `canDeleteWhere = false` and the row-level fallback.
+  */
+private[api] object TxFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case And(l, r)                => for { a <- toColumn(l); b <- toColumn(r) } yield a && b
+    case Or(l, r)                 => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case Not(c)                   => toColumn(c).map(!_)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case _                        => None
+  }
 }
 
 /** `INSERT INTO` / `INSERT OVERWRITE` as single transactional commits:

@@ -144,3 +144,62 @@ class TxCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("CREATE TABLE gx.`..`.oops (id BIGINT)"))
   }
 }
+
+/** SQL DELETE / TRUNCATE through the catalog — file-level, NULL-exact. */
+class TxCatalogDeleteSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txdel").toString
+    spark.conf.set("spark.sql.catalog.gd", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gd.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("DELETE FROM is one transactional commit with SQL NULL semantics") {
+    warehouse
+    sql("CREATE TABLE gd.d1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gd.d1 VALUES (1, 'x'), (2, 'y'), (3, NULL)")
+    sql("DELETE FROM gd.d1 WHERE v = 'x'")
+    val path = s"$warehouse/d1"
+    assert(TxTable.history(spark, path).last.op === Some("delete"),
+      "DELETE routes through deleteWhere, not a rewrite plan")
+    assert(sql("SELECT id FROM gd.d1").collect().map(_.getLong(0)).toSet ===
+      Set(2L, 3L), "the NULL-predicate row is KEPT (SQL DELETE semantics)")
+  }
+
+  test("DELETE on a clustered table rewrites candidate files only") {
+    warehouse
+    import spark.implicits._
+    val path = s"$warehouse/d2"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 8)
+    val before = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    sql("DELETE FROM gd.d2 WHERE id BETWEEN 10 AND 20")
+    val after = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    assert((before intersect after).size >= 6,
+      s"most files carried by reference (${(before intersect after).size} of 8)")
+    assert(sql("SELECT count(*) FROM gd.d2").collect().head.getLong(0) ===
+      4000L - 11L)
+  }
+
+  test("no-match DELETE commits nothing; DELETE all + TRUNCATE stay readable") {
+    warehouse
+    import spark.implicits._
+    val path = s"$warehouse/d3"
+    // indexed table: the log metadata can PROVE a no-match delete empty
+    TxTable.overwriteClustered(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "id", numFiles = 1)
+    val v0 = TxTable.latestVersion(spark, path)
+    sql("DELETE FROM gd.d3 WHERE id > 100")
+    assert(TxTable.latestVersion(spark, path) === v0,
+      "a provably-empty delete is a no-op, no empty-file commit")
+    sql("TRUNCATE TABLE gd.d3")
+    assert(sql("SELECT * FROM gd.d3").count() === 0L)
+    assert(TxTable.readVersion(spark, path, v0).count() === 2L,
+      "truncate is a version, not an erasure")
+  }
+}
