@@ -263,12 +263,17 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
 class TxV2Table(spark: SparkSession, val path: String, ident: String,
                 pinned: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with SupportsDeleteV2 {
+    with SupportsDeleteV2 with SupportsMetadataColumns
+    with SupportsRowLevelOperations {
 
   private[api] lazy val snapVersion: Long =
     pinned.getOrElse(TxTable.latestVersion(spark, path))
   private[api] lazy val state: TxTable.State =
     TxTable.snapshotState(spark, path, snapVersion)
+  private[api] lazy val fileStatuses
+      : Map[String, org.apache.hadoop.fs.FileStatus] =
+    TxTable.liveFileStatuses(spark, path, state)
+  private[api] def session: SparkSession = spark
 
   override def name(): String = ident
 
@@ -278,6 +283,7 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(
       TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
 
@@ -287,17 +293,46 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCatalog.PROP_LOCATION -> path,
       "version" -> snapVersion.toString).asJava
 
+  /** `_file` exists for the ROW-LEVEL REWRITE machinery (runtime group
+    * filtering resolves it against this declaration); the regular read
+    * path below stays Spark's own ParquetScanBuilder, which cannot
+    * synthesize it — `SELECT _file` through the catalog errors rather
+    * than reads wrong data.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = TxRowLevel.FileCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+    })
+
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    val statuses = TxTable.liveFileStatuses(spark, path, state)
     val index = new GraftTxParquetIndex(spark, new Path(path),
-      state.files.map(f => f -> statuses(f)),
+      state.files.map(f => f -> fileStatuses(f)),
       dataFilters => {
         val kept = TxTableRelation.keptFiles(state, dataFilters)
         TxTableSource.lastScanFilesByPath.put(path, kept)
         kept.toSet
       })
-    GraftV2Bridge.parquetScanBuilder(spark, index, schema, options)
+    GraftV2Bridge.parquetScanBuilder(spark, index, schema, options,
+      // a required schema carrying `_file` (runtime group filtering's
+      // matching-rows subquery) switches to the row-based file scan,
+      // file-pruned by the same log constraints
+      (rs, pushed) => {
+        val (ranges, points, strRanges) = TxTableRelation.constraints(pushed)
+        new TxFileScan(spark, this,
+          TxTable.prunedFiles(state, ranges, points, strRanges), rs)
+      })
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"cannot $info on a time-travel snapshot of $path")
+    () => new TxRowLevelOperation(spark, this, info.command)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -344,6 +379,349 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
   }
 
   override def toString: String = s"TxV2Table($ident@v$snapVersion)"
+}
+
+object TxRowLevel {
+  /** The group column of the copy-on-write rewrite: one group = one
+    * immutable data file, identified by its absolute path string.
+    */
+  val FileCol = "_file"
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation — what Spark's
+  * `RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` drive for SQL DML that cannot be served by
+  * metadata alone (the Iceberg copy-on-write shape):
+  *
+  *  1. [[newScanBuilder]] — reads the files that can hold affected
+  *     rows. Pushed filters prune at FILE granularity only (a touched
+  *     file must be read WHOLE: its unaffected rows are rewritten
+  *     too), through the same log-metadata constraints as the read
+  *     path; Spark's runtime group filtering then narrows to the files
+  *     that ACTUALLY hold matches via an `_file IN (...)` probe
+  *     ([[TxFileScan.filter]]) — the exact-touched-files step, done by
+  *     the engine instead of a connector-side semi-join.
+  *  2. [[newWriteBuilder]] — executor-side parquet writers restage the
+  *     scanned files' surviving/updated rows (plus MERGE inserts).
+  *  3. Commit — [[TxTable.commitReplace]]: remove exactly the scanned
+  *     files, add the restaged ones, carry every other live file by
+  *     reference with its metadata, fresh footer stats/blooms for the
+  *     new files at the head's flavor. WriteSerializable concurrency.
+  */
+class TxRowLevelOperation(
+    spark: SparkSession, table: TxV2Table,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** Scans this operation built — the LAST runtime-filtered one (the
+    * main rewrite scan) defines the removed-file set; absent any
+    * runtime filter call, every scan holds the same static candidate
+    * set, so any of them does.
+    */
+  private val scans =
+    new java.util.concurrent.CopyOnWriteArrayList[TxFileScan]()
+  private[api] def registerScan(s: TxFileScan): Unit = { scans.add(s); () }
+  private[api] def scannedFiles: Seq[String] = {
+    val all = scans.asScala.toSeq
+    require(all.nonEmpty, s"$this built no scan before its write committed")
+    all.findLast(_.runtimeFiltered).getOrElse(all.head).relFiles
+  }
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new TxRowLevelScanBuilder(spark, table, this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new TxReplaceWrite(spark, table, TxRowLevelOperation.this, info.schema)
+    }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(TxRowLevel.FileCol))
+
+  override def description(): String = s"TxRowLevelOperation($cmd)"
+  override def toString: String = description()
+}
+
+/** Scan builder for the rewrite's read: V1 filter pushdown that prunes
+  * FILES ONLY (everything reports back as residual — Spark keeps
+  * row-level re-application, the file-granularity contract of a
+  * copy-on-write scan), column pruning passed through, `_file`
+  * produced per partition.
+  */
+class TxRowLevelScanBuilder(spark: SparkSession, table: TxV2Table,
+                            op: TxRowLevelOperation)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var required: StructType = table.schema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    fileFilters = filters
+    filters // ALL residual: pruning here is per-file, never per-row
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val (ranges, points, strRanges) =
+      TxTableRelation.constraints(fileFilters)
+    val candidates =
+      TxTable.prunedFiles(table.state, ranges, points, strRanges)
+    val scan = new TxFileScan(spark, table, candidates, required)
+    op.registerScan(scan)
+    scan
+  }
+}
+
+case class TxFilePartition(rel: String, abs: String, len: Long)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** Row-based scan over an explicit snapshot file subset, producing the
+  * `_file` group column. Vectorized batching is deliberately off: the
+  * rewrite path appends a per-file constant and never feeds a
+  * wide-scan aggregation — correctness and the exact file-set contract
+  * dominate here, while the MAIN read path keeps Spark's columnar
+  * parquet scan.
+  */
+class TxFileScan(spark: SparkSession, table: TxV2Table,
+                 candidates: Seq[String], required: StructType)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[TxFilePartition] = candidates.map { rel =>
+    val st = table.fileStatuses(rel)
+    TxFilePartition(rel, st.getPath.toString, st.getLen)
+  }
+  @volatile private[api] var runtimeFiltered = false
+
+  private[api] def relFiles: Seq[String] = files.map(_.rel)
+
+  private val dataRead =
+    StructType(required.filterNot(_.name == TxRowLevel.FileCol))
+  private def needsFile = required.exists(_.name == TxRowLevel.FileCol)
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(TxRowLevel.FileCol))
+
+  /** Runtime group filtering: the engine hands `_file IN (paths that
+    * hold matched rows)`; keep exactly those files. Unparseable
+    * predicates narrow nothing — conservative, the rewrite then
+    * touches the static candidate set.
+    */
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      val onFile = kids.headOption.exists {
+        case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+          r.fieldNames.sameElements(Array(TxRowLevel.FileCol))
+        case _ => false
+      }
+      if (!onFile || (p.name() != "IN" && p.name() != "=")) None
+      else Some(kids.drop(1).toSeq.collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value != null => l.value.toString
+      }.toSet)
+    }
+    sets.foreach { keep =>
+      files = files.filter(f => keep.contains(f.abs))
+      runtimeFiltered = true
+    }
+  }
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    files.toArray
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val readerFn = GraftV2Bridge.parquetRowReader(
+      spark, TxTable.stateSchema(spark, table.path, table.state), dataRead)
+    new TxRowReaderFactory(readerFn, dataRead, required, needsFile)
+  }
+
+  override def description(): String =
+    s"TxFileScan(${table.path}, ${files.size} files)"
+}
+
+/** Per-partition: Spark's own serialized parquet row reader, the
+  * `_file` constant appended, one UnsafeProjection into the required
+  * column order (also materializes rows off the reader's reused
+  * buffers).
+  */
+class TxRowReaderFactory(
+    readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    dataRead: StructType, required: StructType, needsFile: Boolean)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+    val p = partition.asInstanceOf[TxFilePartition]
+    val joined = StructType(dataRead.fields :+
+      org.apache.spark.sql.types.StructField(TxRowLevel.FileCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    val proj = UnsafeProjection.create(required.fields.toIndexedSeq.map { f =>
+      val i = joined.fieldIndex(f.name)
+      BoundReference(i, f.dataType, f.nullable)
+    })
+    val fileRow = new GenericInternalRow(Array[Any](
+      org.apache.spark.unsafe.types.UTF8String.fromString(p.abs)))
+    val jr = new JoinedRow()
+    val base = readerFn(GraftV2Bridge.partitionedFile(p.abs, p.len))
+    val rows: Iterator[InternalRow] =
+      if (needsFile) base.map(r => proj(jr(r, fileRow)))
+      else base.map(proj)
+    new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** The rewrite's write half: executor-side parquet into one
+  * commit-unique staging dir (invisible until the commit references
+  * it — the TxTable atomic-visibility invariant), then ONE
+  * [[TxTable.commitReplace]] claiming remove(scanned) + add(staged).
+  */
+class TxReplaceWrite(spark: SparkSession, table: TxV2Table,
+                     op: TxRowLevelOperation, writeSchema: StructType)
+    extends Write with org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val stagingRel = "data-" +
+    java.util.UUID.randomUUID().toString.take(12)
+  private def stagingAbs = s"${table.path}/$stagingRel"
+
+  override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+    Dedup.hadoopFs(spark, table.path)
+      .mkdirs(new Path(stagingAbs))
+    new TxDataWriterFactory(stagingAbs, writeSchema, factory,
+      new TxSerializableConf(conf))
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val added = messages.toSeq
+      .collect { case m: TxWriteMessage if m.rows > 0 =>
+        s"$stagingRel/${m.name}" }.sorted
+    val removed = op.scannedFiles
+    if (removed.isEmpty && added.isEmpty) return // no groups touched, no-op
+    TxTable.commitReplace(spark, table.path, table.snapVersion,
+      removed, added, op.command().toString.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    Dedup.hadoopFs(spark, table.path).delete(new Path(stagingAbs), true)
+    ()
+  }
+
+  override def description(): String =
+    s"TxReplaceWrite(${table.path}, ${op.command()})"
+}
+
+case class TxWriteMessage(name: String, rows: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class TxDataWriterFactory(stagingAbs: String, schema: StructType,
+                          owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+                          conf: TxSerializableConf)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      // name is JSON-inert by construction (stage()'s [a-zA-Z0-9/._-])
+      private val name = f"part-$partitionId%05d-$taskId.parquet"
+      private var writer: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var count = 0L
+
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow)
+          : Unit = {
+        // lazily opened: a zero-row task must leave NO file behind
+        // (every task would otherwise stage an empty parquet file the
+        // commit then carries forever)
+        if (writer == null)
+          writer = GraftV2Bridge.newOutputWriter(owf, s"$stagingAbs/$name",
+            schema, conf.value, partitionId, taskId)
+        writer.write(row)
+        count += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (writer != null) writer.close()
+        if (count > 0) TxWriteMessage(name, count)
+        else TxWriteMessage("", 0L) // filtered out by the driver
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) {
+          writer.close()
+          val p = new Path(s"$stagingAbs/$name")
+          val fs = p.getFileSystem(conf.value)
+          fs.delete(p, false)
+          ()
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** Hadoop `Configuration` over the wire (Spark's own wrapper is
+  * `private[spark]`): writes the conf's XML-ish property stream.
+  */
+class TxSerializableConf(@transient private var conf: org.apache.hadoop.conf.Configuration)
+    extends java.io.Serializable {
+  def value: org.apache.hadoop.conf.Configuration = conf
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    conf.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.readFields(in)
+  }
 }
 
 /** V1 `sources.Filter` → `Column` (the reverse of Spark's pushdown

@@ -2557,6 +2557,102 @@ object TxTable {
       s"could not $what $path after $MaxCommitRetries attempts")
   }
 
+  /** The commit half of the DSv2 group-based row-level rewrite (SQL
+    * DELETE/UPDATE/MERGE INTO through [[TxCatalog]]): replace exactly
+    * `removed` (the files the rewrite SCANNED, whose surviving rows
+    * were restaged by executor-side writers as `added`) in one
+    * overwrite commit; every other live file carries by reference with
+    * its recorded stats/blooms/bounds, and `added` gets FRESH footer
+    * stats/blooms at the head's flavor — SQL DML must not erode the
+    * data-skipping index any more than the API verbs do.
+    *
+    * Concurrency is WriteSerializable, the Delta semantics for a write
+    * whose data was already computed against `baseVersion` and cannot
+    * be recomputed here (the API verbs restart their whole transform
+    * on a lost race; a DSv2 write's query already ran): commits that
+    * interleaved between `baseVersion` and the claim are tolerated IFF
+    * every `removed` file is still live (appends/compactions of OTHER
+    * files commute — their files ride in via the fresh head fold); an
+    * interleaved commit that removed or replaced any scanned file
+    * means the rewrite's inputs are stale, and the claim aborts with a
+    * ConcurrentModificationException instead of silently resurrecting
+    * overwritten rows.
+    *
+    * A rewrite that empties the table (row-level DELETE of every row)
+    * commits a zero-row schema-carrying staged file — the same
+    * truncate-to-empty discipline as [[stage]]: an empty TABLE, never
+    * an unreadable one.
+    */
+  private[graft] def commitReplace(spark: SparkSession, path: String,
+                                   baseVersion: Long,
+                                   removed: Seq[String],
+                                   added: Seq[String],
+                                   what: String): Long = {
+    val hfs = fs(spark, path)
+    val removedSet = removed.toSet
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      val st = foldState(hfs, path, head)
+      val lost = removedSet -- st.files.toSet
+      if (lost.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"$what on $path conflicts with a concurrent commit: scanned " +
+            s"files no longer live at head $head (base $baseVersion): " +
+            s"${lost.take(5).mkString(", ")}" +
+            (if (lost.size > 5) s" (+${lost.size - 5} more)" else ""))
+      val untouched = st.files.filterNot(removedSet)
+      val extra =
+        if ((untouched ++ added).nonEmpty) Seq.empty[String]
+        else stage(spark, path, spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          stateSchema(spark, path, st)))
+      val newFiles = added ++ extra
+      // fresh skipping metadata for the restaged files, at the head's
+      // recorded flavor (long ranges / truncated string bounds /
+      // z-dimensions / blooms at the epoch's bit width)
+      val (fstats, fsstats) = st.statsCol match {
+        case Some(sc) =>
+          if (stateSchema(spark, path, st)(sc).dataType ==
+              org.apache.spark.sql.types.StringType)
+            (Map.empty[String, (Long, Long)],
+              footerStrStats(spark, path, newFiles, sc))
+          else (footerStats(spark, path, newFiles, sc),
+            Map.empty[String, (String, String)])
+        case None => (Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, String)])
+      }
+      val fmstats =
+        if (st.statsCols.size >= 2) multiColStats(spark, path, newFiles, st.statsCols)
+        else Map.empty[String, Seq[(Long, Long)]]
+      val (bbits, fblooms) = st.bloomCol match {
+        case Some(bc) => bloomStats(spark, path, newFiles, bc,
+          fixedBits = if (untouched.nonEmpty && st.bloomBits > 0)
+            Some(st.bloomBits) else None)
+        case None => (0, Map.empty[String, String])
+      }
+      val untouchedSet = untouched.toSet
+      def carry[V](m: Map[String, V]): Map[String, V] =
+        m.filter { case (k, _) => untouchedSet.contains(k) }
+      commitAt(spark, path, head + 1, "overwrite", untouched ++ newFiles,
+          None,
+          carry(st.stats) ++ fstats, st.statsCol,
+          carry(st.mstats) ++ fmstats, st.statsCols,
+          st.bloomCol,
+          if (untouched.nonEmpty) math.max(bbits, st.bloomBits) else bbits,
+          carry(st.blooms) ++ fblooms, st.zbits,
+          op = Some(what), cdf = Nil,
+          schemaB64 = st.schemaB64,
+          sstats = carry(st.sstats) ++ fsstats) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-fold the head, re-check conflicts
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit $what on $path after $MaxCommitRetries lost " +
+        "version races")
+  }
+
   /** Stagings younger than this are presumed in-flight, not crashed. */
   val VacuumMinAgeMs: Long = 3600 * 1000L
 

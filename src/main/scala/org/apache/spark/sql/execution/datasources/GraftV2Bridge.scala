@@ -23,14 +23,24 @@ object GraftV2Bridge {
   /** Spark's V2 parquet scan builder over a commit-log-backed index:
     * the DSv2 read path becomes the same native vectorized scan with
     * non-empty PushedFilters the V1 `TxFileIndex` relation plans.
+    *
+    * `fileColScan` handles the ONE shape parquet cannot serve: a
+    * required schema containing the `_file` metadata column (the
+    * row-level rewrite's group id — Spark's runtime group filtering
+    * plans its matching-rows subquery against the ORIGINAL table
+    * relation projecting `_file`). Those scans switch to the caller's
+    * row-based file scan; every `_file`-free scan stays native
+    * columnar parquet.
     */
   def parquetScanBuilder(spark: SparkSession,
                          index: PartitioningAwareFileIndex,
                          dataSchema: StructType,
-                         options: CaseInsensitiveStringMap)
+                         options: CaseInsensitiveStringMap,
+                         fileColScan: (StructType, Array[org.apache.spark.sql.sources.Filter]) =>
+                           org.apache.spark.sql.connector.read.Scan)
       : org.apache.spark.sql.connector.read.ScanBuilder =
-    org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder(
-      spark, index, dataSchema, dataSchema, options)
+    new GraftMetaAwareParquetScanBuilder(spark, index, dataSchema, options,
+      fileColScan)
 
   /** Row-based parquet reader for the row-level-operation scan (the
     * copy-on-write rewrite reads WHOLE files — parquet row filtering
@@ -103,6 +113,62 @@ object GraftV2Bridge {
   def predicateToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
       : Option[org.apache.spark.sql.sources.Filter] =
     org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+}
+
+/** A scan builder that tolerates the `_file` metadata column by
+  * COMPOSITION over Spark's [[v2.parquet.ParquetScanBuilder]]: column
+  * pruning strips `_file` before the parquet machinery (which would
+  * demand a physical column of that name from every footer), every
+  * other call delegates verbatim, and a build whose required schema
+  * carries `_file` switches to the caller's row-based scan factory.
+  * All selection policy lives in the graft-side callback; this class
+  * exists because the pushdown interface file sources speak
+  * (`SupportsPushDownCatalystFilters`) is `private[sql]`.
+  */
+class GraftMetaAwareParquetScanBuilder(
+    spark: SparkSession,
+    index: PartitioningAwareFileIndex,
+    dataSchema: StructType,
+    options: CaseInsensitiveStringMap,
+    fileColScan: (StructType, Array[org.apache.spark.sql.sources.Filter]) =>
+      org.apache.spark.sql.connector.read.Scan)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private val delegate = v2.parquet.ParquetScanBuilder(
+    spark, index, dataSchema, dataSchema, options)
+  private var requested: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    delegate.pushFilters(filters)
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    delegate.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    requested = Some(requiredSchema)
+    delegate.pruneColumns(StructType(
+      requiredSchema.filterNot(_.name == "_file")))
+  }
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate.pushAggregation(aggregation)
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = delegate.supportCompletePushDown(aggregation)
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    requested match {
+      case Some(rs) if rs.exists(_.name == "_file") =>
+        fileColScan(rs, org.apache.spark.sql.internal.connector.PredicateUtils
+          .toV1(delegate.pushedFilters))
+      case _ => delegate.build()
+    }
 }
 
 /** A [[PartitioningAwareFileIndex]] over ONE pinned txtable snapshot:

@@ -1,0 +1,213 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.api.TxTable
+
+/** SQL UPDATE / MERGE INTO / row-level DELETE through the catalog:
+  * group-based copy-on-write over commit-log files.
+  */
+class TxRowLevelSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txrl").toString
+    spark.conf.set("spark.sql.catalog.gr", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gr.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("UPDATE rewrites matched rows in one commit") {
+    warehouse
+    sql("CREATE TABLE gr.u1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gr.u1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    sql("UPDATE gr.u1 SET v = 'B!' WHERE id = 2")
+    assert(sql("SELECT id, v FROM gr.u1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B!"), (3L, "c")))
+    val path = s"$warehouse/u1"
+    assert(TxTable.history(spark, path).last.op === Some("update"))
+  }
+
+  test("UPDATE on a clustered table touches candidate files only") {
+    warehouse
+    import spark.implicits._
+    val path = s"$warehouse/u2"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 8)
+    val before = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    sql("UPDATE gr.u2 SET v = 'X' WHERE id BETWEEN 100 AND 110")
+    val after = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    assert((before intersect after).size >= 6,
+      s"carried ${(before intersect after).size} of ${before.size} files")
+    assert(sql("SELECT count(*) FROM gr.u2 WHERE v = 'X'")
+      .collect().head.getLong(0) === 11L)
+    assert(sql("SELECT count(*) FROM gr.u2").collect().head.getLong(0) === 4000L)
+    // data skipping survives SQL UPDATE: fresh stats for restaged files
+    val st = TxTable.snapshotState(spark, path, TxTable.latestVersion(spark, path))
+    assert(st.files.forall(f => st.stats.contains(f)),
+      "every live file keeps range stats after the rewrite")
+  }
+
+  test("MERGE INTO: update + insert land as one commit") {
+    warehouse
+    import spark.implicits._
+    sql("CREATE TABLE gr.m1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gr.m1 VALUES (1, 'a'), (2, 'b')")
+    Seq((2L, "B2"), (9L, "nine")).toDF("id", "v")
+      .createOrReplaceTempView("m1_src")
+    sql("""MERGE INTO gr.m1 t USING m1_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT id, v FROM gr.m1 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B2"), (9L, "nine")))
+    assert(TxTable.history(spark, s"$warehouse/m1").last.op === Some("merge"))
+  }
+
+  test("MERGE with DELETE clause and insert-only merge") {
+    warehouse
+    import spark.implicits._
+    sql("CREATE TABLE gr.m2 (id BIGINT, v STRING)")
+    sql("INSERT INTO gr.m2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq((2L, "del")).toDF("id", "v").createOrReplaceTempView("m2_del")
+    sql("""MERGE INTO gr.m2 t USING m2_del s ON t.id = s.id
+           WHEN MATCHED THEN DELETE""")
+    assert(sql("SELECT id FROM gr.m2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    Seq((7L, "seven")).toDF("id", "v").createOrReplaceTempView("m2_ins")
+    sql("""MERGE INTO gr.m2 t USING m2_ins s ON t.id = s.id
+           WHEN NOT MATCHED THEN INSERT *""")
+    assert(sql("SELECT id FROM gr.m2 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, 7L))
+  }
+
+  test("MERGE on a clustered table: runtime group filtering bounds the rewrite") {
+    warehouse
+    import spark.implicits._
+    val path = s"$warehouse/m3"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 8)
+    val before = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    Seq((5L, "five"), (4999L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("m3_src")
+    sql("""MERGE INTO gr.m3 t USING m3_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""")
+    val after = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path)).files.toSet
+    assert((before intersect after).size >= 6,
+      s"merge carried ${(before intersect after).size} of ${before.size} " +
+        "files by reference (runtime group filter)")
+    assert(sql("SELECT v FROM gr.m3 WHERE id = 5").collect()
+      .head.getString(0) === "five")
+    assert(sql("SELECT count(*) FROM gr.m3").collect()
+      .head.getLong(0) === 4001L)
+  }
+
+  test("row-level DELETE fallback: subquery condition") {
+    warehouse
+    import spark.implicits._
+    sql("CREATE TABLE gr.d1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gr.d1 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq(2L, 3L).toDF("id").createOrReplaceTempView("d1_ids")
+    sql("DELETE FROM gr.d1 WHERE id IN (SELECT id FROM d1_ids WHERE id > 2)")
+    assert(sql("SELECT id FROM gr.d1 ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(TxTable.history(spark, s"$warehouse/d1").last.op === Some("delete"))
+  }
+
+  test("UPDATE is transactional: history and time travel survive") {
+    warehouse
+    sql("CREATE TABLE gr.h1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gr.h1 VALUES (1, 'old')")
+    val v = TxTable.latestVersion(spark, s"$warehouse/h1")
+    sql("UPDATE gr.h1 SET v = 'new' WHERE id = 1")
+    assert(sql(s"SELECT v FROM gr.h1 VERSION AS OF $v").collect()
+      .head.getString(0) === "old")
+    assert(sql("SELECT v FROM gr.h1").collect().head.getString(0) === "new")
+  }
+}
+
+/** commitReplace's WriteSerializable contract + rewrite edge shapes. */
+class TxReplaceCommitSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txrc").toString
+    spark.conf.set("spark.sql.catalog.gc", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gc.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("no-match UPDATE with runtime group filter commits nothing") {
+    warehouse
+    val path = s"$warehouse/n1"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 2)
+    val v0 = TxTable.latestVersion(spark, path)
+    sql("UPDATE gc.n1 SET v = 'x' WHERE id = 5 AND v = 'no-such'")
+    assert(TxTable.latestVersion(spark, path) === v0,
+      "zero matched groups -> no commit")
+  }
+
+  test("row-level DELETE of every row leaves an empty, readable table") {
+    warehouse
+    sql("CREATE TABLE gc.e1 (id BIGINT, v STRING)")
+    sql("INSERT INTO gc.e1 VALUES (1, 'a'), (2, 'b')")
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("e1_all")
+    sql("DELETE FROM gc.e1 WHERE id IN (SELECT id FROM e1_all)")
+    assert(sql("SELECT * FROM gc.e1").count() === 0L,
+      "empty TABLE, not an unreadable one")
+    sql("INSERT INTO gc.e1 VALUES (3, 'c')")
+    assert(sql("SELECT id FROM gc.e1").collect().map(_.getLong(0)).toSeq ===
+      Seq(3L))
+  }
+
+  test("commitReplace: a concurrent APPEND commutes; losing an input conflicts") {
+    warehouse
+    val path = s"$warehouse/c1"
+    TxTable.overwrite(spark, path, Seq((1L, "a")).toDF("id", "v"))
+    val base = TxTable.latestVersion(spark, path)
+    val baseFile = TxTable.snapshotState(spark, path, base).files.head
+    // stage a replacement the honest way: a second table's file cannot
+    // be used, so drive a real SQL UPDATE with an append interleaved
+    // via the API between scan and commit is racy to orchestrate —
+    // instead exercise commitReplace directly
+    TxTable.append(spark, path, Seq((2L, "b")).toDF("id", "v"))
+    // append interleaved: removing baseFile still succeeds (commutes)
+    val v = TxTable.commitReplace(spark, path, base,
+      removed = Seq(baseFile), added = Nil, what = "delete")
+    assert(TxTable.read(spark, path).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L),
+      "the interleaved append's rows survive; the removed file is gone")
+    // now the baseFile is NOT live: replacing it again must conflict
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      TxTable.commitReplace(spark, path, v,
+        removed = Seq(baseFile), added = Nil, what = "delete")
+    }
+    assert(ex.getMessage.contains("conflicts with a concurrent commit"))
+  }
+
+  test("data skipping survives SQL MERGE: restaged files carry fresh stats") {
+    warehouse
+    val path = s"$warehouse/s1"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 4)
+    Seq((7L, "seven")).toDF("id", "v").createOrReplaceTempView("s1_src")
+    sql("""MERGE INTO gc.s1 t USING s1_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET *""")
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.files.forall(st.stats.contains),
+      "every live file (carried AND restaged) keeps range stats")
+    // and the stats actually prune: a far-range read keeps its files
+    val got = TxTable.readRange(spark, path, "id", 1900, 1950)
+    assert(got.count() === 51L)
+  }
+}
