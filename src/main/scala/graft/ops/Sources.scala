@@ -940,6 +940,37 @@ object Sources {
           .orderBy("phase", "source")
       }),
 
+    // CATALOG DML end-to-end: CTAS -> SQL UPDATE -> MERGE INTO ->
+    // row-level DELETE, each one transactional commit (the ensureTxBase
+    // "ct" walk). The head must equal the oracle's algebra: the %3=0
+    // creation slice with +10 on %9=0, REPLACED by the merge source on
+    // %6=0 (doubled chars, source 'm'), the %3=1 slice inserted, then
+    // every row whose current n_chars % 7 = 0 deleted. Any copy-on-write
+    // defect — an unmatched row lost from a touched file, a carried
+    // file re-scanned, a doubled merge insert — shifts counts or sums.
+    Q("q_tx_catalog_dml",
+      Some("""WITH t2 AS (
+                SELECT doc_id, source,
+                       n_chars + CASE WHEN doc_id % 9 = 0 THEN 10 ELSE 0 END
+                         AS n_chars
+                FROM documents WHERE doc_id % 3 = 0),
+              t3 AS (
+                SELECT doc_id, source, n_chars FROM t2 WHERE doc_id % 6 <> 0
+                UNION ALL
+                SELECT doc_id, 'm' AS source, n_chars * 2 AS n_chars
+                FROM documents WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT doc_id, source, n_chars
+                FROM documents WHERE doc_id % 3 = 1)
+              SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM t3 WHERE n_chars % 7 <> 0
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxCatalogDml(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1096,7 +1127,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 18) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 19) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1105,7 +1136,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1216,6 +1247,36 @@ object Sources {
         "FROM graft_txdml_src WHERE doc_id <= 500")
       s.sql("DROP TABLE IF EXISTS graft_txdml")
       s.catalog.dropTempView("graft_txdml_src")
+      // table "ct": the DSv2 CATALOG DML walk — CTAS through
+      // graft.api.TxCatalog (create + append commits), then SQL UPDATE
+      // (group-based copy-on-write rewrite), MERGE INTO with update +
+      // insert clauses (runtime group filtering bounds the rewrite),
+      // and a DELETE whose modulo predicate cannot round-trip to a V1
+      // filter — the row-level DELETE fallback. Four DML statements,
+      // four commits on one log; q_tx_catalog_dml replays the final
+      // head against the oracle's algebra over the source table, so a
+      // wrong rewrite (lost unmatched rows in a touched file, doubled
+      // inserts, mis-scoped delete) breaks the hash.
+      val ctw = s"$base"
+      s.conf.set("spark.sql.catalog.graft_tx", "graft.api.TxCatalog")
+      s.conf.set("spark.sql.catalog.graft_tx.warehouse", ctw)
+      docs.select("doc_id", "source", "n_chars")
+        .createOrReplaceTempView("graft_ct_src")
+      s.sql("CREATE TABLE graft_tx.ct AS SELECT doc_id, source, n_chars " +
+        "FROM graft_ct_src WHERE doc_id % 3 = 0")
+      s.sql("UPDATE graft_tx.ct SET n_chars = n_chars + 10 " +
+        "WHERE doc_id % 9 = 0")
+      s.sql("""MERGE INTO graft_tx.ct t USING (
+                 SELECT doc_id, 'm' AS source, n_chars * 2 AS n_chars
+                 FROM graft_ct_src WHERE doc_id % 6 = 0
+                 UNION ALL
+                 SELECT doc_id, source, n_chars
+                 FROM graft_ct_src WHERE doc_id % 3 = 1) s
+               ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql("DELETE FROM graft_tx.ct WHERE n_chars % 7 = 0")
+      s.catalog.dropTempView("graft_ct_src")
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
       // truncates time travel below version 4 and an aged-out vacuum
@@ -1356,6 +1417,9 @@ object Sources {
 
   private[graft] def ensureTxSqlDml(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/sq"
+
+  private[graft] def ensureTxCatalogDml(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/ct"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"
