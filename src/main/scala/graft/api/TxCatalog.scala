@@ -285,7 +285,8 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def properties(): util.Map[String, String] =
     Map(
@@ -614,13 +615,47 @@ class TxRowReaderFactory(
   */
 class TxReplaceWrite(spark: SparkSession, table: TxV2Table,
                      op: TxRowLevelOperation, writeSchema: StructType)
-    extends Write with org.apache.spark.sql.connector.write.BatchWrite {
+    extends Write with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   private val stagingRel = "data-" +
     java.util.UUID.randomUUID().toString.take(12)
   private def stagingAbs = s"${table.path}/$stagingRel"
 
   override def toBatch: org.apache.spark.sql.connector.write.BatchWrite = this
+
+  /** A range-clustered head keeps its LAYOUT through SQL DML: the
+    * rewrite's rows land range-partitioned + sorted on the cluster
+    * column (Spark injects the exchange/sort from this declaration, the
+    * Delta/Iceberg ordered-write shape), so the restaged files' footer
+    * ranges stay as tight as the files they replace — a MERGE must not
+    * slowly smear a clustered 100 TB table into overlap. Z-ordered and
+    * unclustered heads ask nothing: their rewrites keep the query's
+    * partitioning (z-rectangles recomputed from real footers stay
+    * correct either way), and the rewrite set is small by construction.
+    */
+  private def clusterSort
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    table.state.statsCol match {
+      case Some(sc) if table.state.statsCols.size < 2 &&
+          writeSchema.fieldNames.contains(sc) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(sc),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val s = clusterSort
+    if (s.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.ordered(s)
+  }
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterSort
 
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
@@ -757,26 +792,62 @@ private[api] object TxFilters {
   }
 }
 
-/** `INSERT INTO` / `INSERT OVERWRITE` as single transactional commits:
-  * the [[V1Write]] fallback hands the materialized DataFrame to the
-  * SAME verbs every other write path uses — schema-on-write
-  * enforcement, claim-loop concurrency, atomic visibility — instead of
-  * a second executor-side write stack that could drift.
+/** `INSERT INTO` / `INSERT OVERWRITE` / `INSERT INTO ... REPLACE WHERE`
+  * as single transactional commits: the [[V1Write]] fallback hands the
+  * materialized DataFrame to the SAME verbs every other write path
+  * uses — schema-on-write enforcement, claim-loop concurrency, atomic
+  * visibility — instead of a second executor-side write stack that
+  * could drift. A conditional overwrite routes to
+  * [[TxTable.replaceWhere]] (one commit replacing exactly the matched
+  * slice, file-level on indexed tables); a predicate that cannot
+  * round-trip reports `canOverwrite = false` and fails loudly instead
+  * of silently truncating the table.
   */
 class TxV1WriteBuilder(spark: SparkSession, path: String)
-    extends WriteBuilder with SupportsTruncate {
+    extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
   private var overwriteAll = false
+  private var replaceCond: Option[org.apache.spark.sql.Column] = None
+
+  private def toCond(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[org.apache.spark.sql.Column] = {
+    val cols = predicates.toSeq.map(p =>
+      GraftV2Bridge.predicateToV1(p).flatMap(TxFilters.toColumn))
+    if (cols.exists(_.isEmpty)) None
+    else Some(cols.flatten.reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+  }
 
   override def truncate(): WriteBuilder = { overwriteAll = true; this }
+
+  override def canOverwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = toCond(predicates).isDefined
+
+  override def overwrite(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : WriteBuilder = {
+    if (predicates.forall(_.name() == "ALWAYS_TRUE")) overwriteAll = true
+    else replaceCond = Some(toCond(predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"txtable cannot overwrite by ${predicates.mkString(" AND ")}: " +
+          "the predicate does not round-trip to a source filter")))
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit = {
-          if (overwriteAll || overwrite) TxTable.overwrite(spark, path, data)
-          else TxTable.append(spark, path, data)
+          replaceCond match {
+            case Some(cond) => TxTable.replaceWhere(spark, path, cond, data)
+            case None if overwriteAll || overwrite =>
+              TxTable.overwrite(spark, path, data)
+            case None => TxTable.append(spark, path, data)
+          }
           ()
         }
       }

@@ -2410,6 +2410,34 @@ object TxTable {
       !coalesce(cond, lit(false))))
   }
 
+  /** Conditional overwrite in ONE commit — the Delta `replaceWhere` /
+    * SQL `INSERT INTO t REPLACE WHERE cond SELECT ...` shape, and the
+    * canonical 100 TB daily-reload: replace exactly the slice `cond`
+    * matches with `df`, atomically. Head rows where `cond` is TRUE are
+    * removed and `df`'s rows land in the same overwrite commit —
+    * readers see either the old slice or the new one, never neither
+    * (the delete-then-append composition has a window with the slice
+    * missing, and two commits to retry through).
+    *
+    * FILE-LEVEL on indexed tables ([[deleteCandidates]]): only files
+    * that can hold a `cond`-true row are read and rewritten, the rest
+    * carry by reference — replacing one day of a date-clustered table
+    * touches that day's files, not the table. SQL NULL semantics:
+    * rows where `cond` is NULL are KEPT (they are not part of the
+    * replaced slice). No containment check is enforced between `df`
+    * and `cond` — like Delta's `replaceWhere` with the constraint
+    * check off, the caller owns slice discipline.
+    */
+  def replaceWhere(spark: SparkSession, path: String,
+                   cond: org.apache.spark.sql.Column,
+                   df: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    requireSchemaMatch(spark, path, df, "replaceWhere")
+    rewriteHead(spark, path, "replaceWhere",
+      candidatesOf = Some(deleteCandidates(spark, path, cond)))(head =>
+      head.filter(!coalesce(cond, lit(false))).unionByName(df))
+  }
+
   /** The shared conflict-safe head rewrite every whole-table mutation
     * (compact / merge / deleteWhere) commits through: transform the
     * snapshot at the observed head, claim EXACTLY head+1 — if any

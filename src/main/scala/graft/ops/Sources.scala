@@ -971,6 +971,27 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // CONDITIONAL OVERWRITE end-to-end: REPLACE WHERE doc_id <= 300
+    // swapped exactly that slice (even doc_ids, tripled chars) on the
+    // clustered base in one commit. The head must equal the oracle's
+    // splice — an over-wide rewrite (lost rows above the slice), an
+    // under-delete (old slice rows surviving), or a doubled landing
+    // breaks counts or sums.
+    Q("q_tx_replace_where",
+      Some("""WITH hd AS (
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id > 300
+                UNION ALL
+                SELECT doc_id, 'r' AS source, n_chars * 3 AS n_chars
+                FROM documents WHERE doc_id <= 300 AND doc_id % 2 = 0)
+              SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM hd GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxReplaceWhere(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1127,7 +1148,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 19) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 20) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1136,7 +1157,7 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct", "rw").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1276,6 +1297,18 @@ object Sources {
                WHEN MATCHED THEN UPDATE SET *
                WHEN NOT MATCHED THEN INSERT *""")
       s.sql("DELETE FROM graft_tx.ct WHERE n_chars % 7 = 0")
+      // table "rw": CONDITIONAL OVERWRITE — a doc_id-clustered base,
+      // then SQL `INSERT INTO ... REPLACE WHERE doc_id <= 300` swaps
+      // exactly that slice (the even half, tripled chars) in ONE
+      // commit; files above the slice carry by reference
+      // (q_tx_replace_where replays the head; TxReplaceWhereSpec pins
+      // the one-commit shape and the carry).
+      val rwt = s"$base/rw"
+      TxTable.overwriteClustered(s, rwt,
+        docs.select("doc_id", "source", "n_chars"), "doc_id", numFiles = 8)
+      s.sql("INSERT INTO graft_tx.rw REPLACE WHERE doc_id <= 300 " +
+        "SELECT doc_id, 'r' AS source, n_chars * 3 AS n_chars " +
+        "FROM graft_ct_src WHERE doc_id <= 300 AND doc_id % 2 = 0")
       s.catalog.dropTempView("graft_ct_src")
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
@@ -1420,6 +1453,9 @@ object Sources {
 
   private[graft] def ensureTxCatalogDml(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/ct"
+
+  private[graft] def ensureTxReplaceWhere(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/rw"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"

@@ -203,3 +203,77 @@ class TxCatalogDeleteSpec extends AnyFunSuite {
       "truncate is a version, not an erasure")
   }
 }
+
+/** Conditional overwrite (replaceWhere) + ordered copy-on-write. */
+class TxReplaceWhereSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txrw").toString
+    spark.conf.set("spark.sql.catalog.gw", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gw.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("INSERT INTO ... REPLACE WHERE swaps exactly the slice in ONE commit") {
+    warehouse
+    import org.apache.spark.sql.functions.col
+    val path = s"$warehouse/rw1"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 1000L).map(i => (i, s"old$i")).toDF("id", "v"), "id",
+      numFiles = 4)
+    val v0 = TxTable.latestVersion(spark, path)
+    val before = TxTable.snapshotState(spark, path, v0).files.toSet
+    (1L to 100L).map(i => (i, s"new$i")).toDF("id", "v")
+      .createOrReplaceTempView("rw1_new")
+    sql("INSERT INTO gw.rw1 REPLACE WHERE id <= 100 " +
+      "SELECT id, v FROM rw1_new")
+    assert(TxTable.latestVersion(spark, path) === v0 + 1,
+      "replaceWhere is ONE commit, not delete+append")
+    val after = TxTable.snapshotState(spark, path, v0 + 1).files.toSet
+    assert((before intersect after).size >= 2,
+      s"files outside the slice carried by reference " +
+        s"(${(before intersect after).size} of 4)")
+    val rows = sql("SELECT v FROM gw.rw1 WHERE id <= 100").collect()
+      .map(_.getString(0))
+    assert(rows.length === 100 && rows.forall(_.startsWith("new")))
+    assert(sql("SELECT count(*) FROM gw.rw1").collect()
+      .head.getLong(0) === 1000L)
+    assert(TxTable.history(spark, path).last.op === Some("replaceWhere"))
+  }
+
+  test("DataFrameWriterV2 overwrite(condition) routes to replaceWhere") {
+    warehouse
+    import org.apache.spark.sql.functions.col
+    sql("CREATE TABLE gw.rw2 (id BIGINT, v STRING)")
+    sql("INSERT INTO gw.rw2 VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq((2L, "B")).toDF("id", "v").writeTo("gw.rw2")
+      .overwrite(col("id") === 2L)
+    assert(sql("SELECT id, v FROM gw.rw2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("clustered head: SQL UPDATE restages range-laid, disjoint files") {
+    warehouse
+    val path = s"$warehouse/rw3"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"), "id",
+      numFiles = 8)
+    // touch two adjacent files' ranges so the rewrite restages >= 2 files
+    sql("UPDATE gw.rw3 SET v = 'X' WHERE id BETWEEN 400 AND 1100")
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.files.forall(st.stats.contains), "all files keep stats")
+    val ranges = st.files.map(st.stats).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"restaged files stay range-disjoint: $ranges")
+      case _ => ()
+    }
+    assert(sql("SELECT count(*) FROM gw.rw3 WHERE v = 'X'").collect()
+      .head.getLong(0) === 701L)
+  }
+}
