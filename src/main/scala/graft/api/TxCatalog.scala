@@ -286,7 +286,8 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
     Map(
@@ -341,7 +342,7 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       s"cannot write to a time-travel snapshot of $path " +
         s"(VERSION/TIMESTAMP AS OF pins version $snapVersion; " +
         "writes target the head)")
-    new TxV1WriteBuilder(spark, path)
+    new TxV1WriteBuilder(spark, path, info)
   }
 
   // ---- SQL DELETE FROM: the file-level transactional delete ----
@@ -803,7 +804,8 @@ private[api] object TxFilters {
   * round-trip reports `canOverwrite = false` and fails loudly instead
   * of silently truncating the table.
   */
-class TxV1WriteBuilder(spark: SparkSession, path: String)
+class TxV1WriteBuilder(spark: SparkSession, path: String,
+                       info: LogicalWriteInfo)
     extends WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsOverwriteV2 {
 
@@ -851,5 +853,70 @@ class TxV1WriteBuilder(spark: SparkSession, path: String)
           ()
         }
       }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new TxStreamingWrite(spark, path, info.queryId(), info.schema(),
+        truncatePerEpoch = overwriteAll)
+  }
+}
+
+/** `df.writeStream.toTable("gx.t")` — exactly-once streaming ingest
+  * through the catalog: each epoch's executor-staged files land as ONE
+  * txn-tagged commit (`stream:<queryId>:<epochId>`), so a redelivered
+  * epoch after a crash-restart re-presents its txn id and lands
+  * nothing — the commit log IS the sink's idempotence ledger, the same
+  * contract as the V1 `format("txtable")` sink. `queryId` is the
+  * STREAMING QUERY id (stable across restarts, persisted in the
+  * checkpoint), not the per-run id — the property the txn scope needs.
+  * Complete output mode truncates per epoch (overwrite commits);
+  * append mode appends.
+  */
+class TxStreamingWrite(spark: SparkSession, path: String,
+                       queryId: String, writeSchema: StructType,
+                       truncatePerEpoch: Boolean)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingRel = "data-" +
+    java.util.UUID.randomUUID().toString.take(12)
+  private def stagingAbs = s"$path/$stagingRel"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+    Dedup.hadoopFs(spark, path).mkdirs(new Path(stagingAbs))
+    val dwf = new TxDataWriterFactory(stagingAbs, writeSchema, factory,
+      new TxSerializableConf(conf))
+    // task ids are app-unique and the staging dir is run-unique, so
+    // epoch-agnostic names cannot collide; the commit scopes files by
+    // the epoch's message set
+    (partitionId: Int, taskId: Long, _: Long) =>
+      dwf.createWriter(partitionId, taskId)
+  }
+
+  override def commit(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val added = messages.toSeq
+      .collect { case m: TxWriteMessage if m.rows > 0 =>
+        s"$stagingRel/${m.name}" }.sorted
+    TxTable.commitStagedAppend(spark, path, added,
+      txn = Some(s"stream:$queryId:$epochId"),
+      overwrite = truncatePerEpoch, schema = writeSchema)
+    ()
+  }
+
+  override def abort(
+      epochId: Long,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val hfs = Dedup.hadoopFs(spark, path)
+    messages.foreach {
+      case m: TxWriteMessage if m.name.nonEmpty =>
+        hfs.delete(new Path(s"$stagingAbs/${m.name}"), false)
+      case _ => ()
+    }
   }
 }

@@ -2681,6 +2681,38 @@ object TxTable {
         "version races")
   }
 
+  /** Commit files already staged by executor-side writers (the DSv2
+    * streaming sink path — there is no DataFrame to hand the batch
+    * verbs): one append/overwrite commit with the same schema-on-write
+    * enforcement ([[requireSchemaMatch]]'s name→type shape, checked
+    * from the declared write schema) and the same txn idempotence —
+    * a redelivered epoch re-presents its txn id and lands nothing.
+    * An overwrite to zero files stages the empty schema-carrying file
+    * (truncate-to-empty yields an empty TABLE).
+    */
+  private[graft] def commitStagedAppend(spark: SparkSession, path: String,
+                                        files: Seq[String],
+                                        txn: Option[String],
+                                        overwrite: Boolean,
+                                        schema: org.apache.spark.sql.types.StructType)
+      : Long = {
+    val v = latestVersion(spark, path)
+    if (v >= 1) {
+      def shape(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => f.name -> f.dataType).toMap
+      val table = shape(stateSchema(spark, path,
+        foldState(fs(spark, path), path, v)))
+      require(shape(schema) == table,
+        s"streaming write schema mismatch for $path: table has $table, " +
+          s"write has ${shape(schema)}")
+    }
+    val fls =
+      if (files.nonEmpty || !overwrite) files
+      else stage(spark, path, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    commit(spark, path, if (overwrite) "overwrite" else "append", fls, txn)
+  }
+
   /** Stagings younger than this are presumed in-flight, not crashed. */
   val VacuumMinAgeMs: Long = 3600 * 1000L
 

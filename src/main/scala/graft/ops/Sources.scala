@@ -1278,16 +1278,19 @@ object Sources {
       // head against the oracle's algebra over the source table, so a
       // wrong rewrite (lost unmatched rows in a touched file, doubled
       // inserts, mis-scoped delete) breaks the hash.
-      val ctw = s"$base"
-      s.conf.set("spark.sql.catalog.graft_tx", "graft.api.TxCatalog")
-      s.conf.set("spark.sql.catalog.graft_tx.warehouse", ctw)
+      // one catalog name PER BASE DIR: Spark caches catalog plugin
+      // instances by name, so a second base (another sf dir in the
+      // same JVM) must not inherit the first base's warehouse
+      val ctCat = "graft_tx_" + java.lang.Integer.toHexString(base.hashCode)
+      s.conf.set(s"spark.sql.catalog.$ctCat", "graft.api.TxCatalog")
+      s.conf.set(s"spark.sql.catalog.$ctCat.warehouse", base)
       docs.select("doc_id", "source", "n_chars")
         .createOrReplaceTempView("graft_ct_src")
-      s.sql("CREATE TABLE graft_tx.ct AS SELECT doc_id, source, n_chars " +
+      s.sql(s"CREATE TABLE $ctCat.ct AS SELECT doc_id, source, n_chars " +
         "FROM graft_ct_src WHERE doc_id % 3 = 0")
-      s.sql("UPDATE graft_tx.ct SET n_chars = n_chars + 10 " +
+      s.sql(s"UPDATE $ctCat.ct SET n_chars = n_chars + 10 " +
         "WHERE doc_id % 9 = 0")
-      s.sql("""MERGE INTO graft_tx.ct t USING (
+      s.sql(s"""MERGE INTO $ctCat.ct t USING (
                  SELECT doc_id, 'm' AS source, n_chars * 2 AS n_chars
                  FROM graft_ct_src WHERE doc_id % 6 = 0
                  UNION ALL
@@ -1296,7 +1299,7 @@ object Sources {
                ON t.doc_id = s.doc_id
                WHEN MATCHED THEN UPDATE SET *
                WHEN NOT MATCHED THEN INSERT *""")
-      s.sql("DELETE FROM graft_tx.ct WHERE n_chars % 7 = 0")
+      s.sql(s"DELETE FROM $ctCat.ct WHERE n_chars % 7 = 0")
       // table "rw": CONDITIONAL OVERWRITE — a doc_id-clustered base,
       // then SQL `INSERT INTO ... REPLACE WHERE doc_id <= 300` swaps
       // exactly that slice (the even half, tripled chars) in ONE
@@ -1306,7 +1309,7 @@ object Sources {
       val rwt = s"$base/rw"
       TxTable.overwriteClustered(s, rwt,
         docs.select("doc_id", "source", "n_chars"), "doc_id", numFiles = 8)
-      s.sql("INSERT INTO graft_tx.rw REPLACE WHERE doc_id <= 300 " +
+      s.sql(s"INSERT INTO $ctCat.rw REPLACE WHERE doc_id <= 300 " +
         "SELECT doc_id, 'r' AS source, n_chars * 3 AS n_chars " +
         "FROM graft_ct_src WHERE doc_id <= 300 AND doc_id % 2 = 0")
       s.catalog.dropTempView("graft_ct_src")

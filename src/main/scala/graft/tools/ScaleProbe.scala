@@ -1505,6 +1505,76 @@ object ScaleProbe {
         f"1x $dp1%.2f s  ${mult}x $dpN%.2f s")
     }
 
+    // Round-17: SQL MERGE INTO through the DSv2 catalog — the
+    // group-based copy-on-write path with RUNTIME GROUP FILTERING. A
+    // FIXED 100-key merge source against a doc_id-clustered table that
+    // grows mult x must rewrite bytes proportional to the files that
+    // ACTUALLY hold matched keys (the engine's _file IN (...) probe
+    // narrows the scan before the write), carrying everything else by
+    // reference. This is the SQL-DML twin of the file-level merge row
+    // above: at 100 TB a MERGE statement's cost is O(matched files),
+    // whether it arrives through the API or through SQL.
+    {
+      import graft.api.TxTable
+      def sqlMergeFor(m: Int) = {
+        val w = java.nio.file.Files
+          .createTempDirectory(s"txsqlmerge_$m").toString
+        // one catalog name PER SCALE: Spark caches catalog plugin
+        // instances by name, so re-pointing gsp.warehouse would leave
+        // the cached 1x catalog serving the old table (observed: the
+        // 10x MERGE silently hit the 1x warehouse)
+        spark.conf.set(s"spark.sql.catalog.gsp$m", "graft.api.TxCatalog")
+        spark.conf.set(s"spark.sql.catalog.gsp$m.warehouse", w)
+        val t = s"$w/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 8 * m)
+        val before = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        docsFor(1).select(col("doc_id"), col("text"))
+          .filter(col("doc_id").between(100, 199))
+          .withColumn("text", lit("upserted"))
+          .createOrReplaceTempView("sp_merge_src")
+        val t0 = System.nanoTime()
+        spark.sql(s"""MERGE INTO gsp$m.t t USING sp_merge_src s
+                     ON t.doc_id = s.doc_id
+                     WHEN MATCHED THEN UPDATE SET *
+                     WHEN NOT MATCHED THEN INSERT *""")
+        val d = (System.nanoTime() - t0) / 1e9
+        spark.catalog.dropTempView("sp_merge_src")
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        def len(p: String) = new java.io.File(new java.net.URI(p)).length
+        // CONTENT, not just file accounting: every matched key updated
+        // exactly once, nothing gained or lost
+        val head = TxTable.read(spark, t)
+        val ups = head.filter(col("text") === lit("upserted")).count()
+        val dups = head.groupBy("doc_id").count()
+          .filter(col("count") > 1).count()
+        (before.size, before.intersect(after).size,
+          (after -- before).toSeq.map(len).sum,
+          after.toSeq.map(len).sum, d, head.count(), ups, dups)
+      }
+      val (nf1, c1, rb1, tb1, d1, n1, u1, dp1m) = sqlMergeFor(1)
+      val (nfN, cN, rbN, tbN, dN, nN, uN, dpNm) = sqlMergeFor(mult)
+      require(u1 == 100 && uN == 100 && dp1m == 0 && dpNm == 0 &&
+        nN == n1 * mult,
+        s"SQL MERGE content must be exact at both scales: upserted " +
+          s"$u1/$uN, dup-keys $dp1m/$dpNm, rows $n1 -> $nN")
+      require(tbN > tb1 * (mult - 2),
+        s"the scaled table must actually be ~${mult}x the bytes: $tb1 -> $tbN")
+      require(nfN - cN <= (nf1 - c1) + 1,
+        s"SQL MERGE must rewrite the matched window's files, not the " +
+          s"table: ${nf1 - c1} of $nf1 -> ${nfN - cN} of $nfN")
+      val rg = rbN.toDouble / math.max(1L, rb1)
+      require(rg <= 3.0,
+        s"SQL MERGE rewrite bytes must track matched files, not table " +
+          s"size: $rb1 -> $rbN (${rg}x at table growth ${tbN.toDouble / tb1}x)")
+      println(f"tx SQL MERGE INTO (fixed 100-key source, ${mult}x corpus): " +
+        f"table ${tb1 / 1e6}%.1f -> ${tbN / 1e6}%.1f MB " +
+        f"(${tbN.toDouble / tb1}%.1fx), rewrote ${rb1 / 1e6}%.2f -> " +
+        f"${rbN / 1e6}%.2f MB (growth ${rg}%.1fx), carried by name " +
+        f"$c1/$nf1 -> $cN/$nfN files  1x $d1%.2f s  ${mult}x $dN%.2f s")
+    }
+
     spark.stop()
   }
 }

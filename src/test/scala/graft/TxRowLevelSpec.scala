@@ -211,3 +211,77 @@ class TxReplaceCommitSpec extends AnyFunSuite {
     assert(got.count() === 51L)
   }
 }
+
+/** Catalog streaming writes: writeStream.toTable with txn idempotence. */
+class TxCatalogStreamSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txcs").toString
+    spark.conf.set("spark.sql.catalog.gs", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gs.warehouse", w)
+    w
+  }
+
+  test("writeStream.toTable: epoch commits are txn-tagged and exactly-once") {
+    warehouse
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txcssrc").toString
+    (0 until 3).foreach(i =>
+      spark.range(i * 10, i * 10 + 10).select(col("id"),
+          concat(lit("r"), col("id")).as("v"))
+        .coalesce(1).write.parquet(s"$base/src/s$i"))
+    val sch = spark.read.parquet(s"$base/src/s0").schema
+    spark.sql("CREATE TABLE gs.st (id BIGINT, v STRING)")
+    val t = s"$warehouse/st"
+    def run(): Unit = {
+      val q = spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/src/s*")
+        .writeStream
+        .option("checkpointLocation", s"$base/ck")
+        .trigger(Trigger.AvailableNow()).toTable("gs.st")
+      q.awaitTermination()
+    }
+    run()
+    assert(spark.sql("SELECT count(*) FROM gs.st").collect()
+      .head.getLong(0) === 30L)
+    val txns = TxTable.history(spark, t).flatMap(_.txn)
+    assert(txns.size === 3 && txns.forall(_.startsWith("stream:")),
+      s"each epoch is one stream-txn-tagged commit: $txns")
+    // same checkpoint, no new data: nothing new lands
+    run()
+    assert(spark.sql("SELECT count(*) FROM gs.st").collect()
+      .head.getLong(0) === 30L)
+    // crash-redelivery: re-presenting a landed epoch's txn id is a
+    // no-op returning the prior version (the log is the ledger)
+    val prior = TxTable.latestVersion(spark, t)
+    val landed = TxTable.commitStagedAppend(spark, t, Nil,
+      txn = Some(txns.last), overwrite = false,
+      schema = spark.table("gs.st").schema)
+    assert(landed < prior || TxTable.latestVersion(spark, t) === prior,
+      "a redelivered epoch lands nothing new")
+  }
+
+  test("complete output mode truncates per epoch") {
+    warehouse
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("txcsc").toString
+    (0 until 2).foreach(i =>
+      spark.range(i * 5, i * 5 + 5).select((col("id") % 2).as("k"))
+        .coalesce(1).write.parquet(s"$base/src/s$i"))
+    val sch = spark.read.parquet(s"$base/src/s0").schema
+    spark.sql("CREATE TABLE gs.agg (k BIGINT, n BIGINT)")
+    val q = spark.readStream.schema(sch)
+      .parquet(s"$base/src/s*")
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", s"$base/ck")
+      .trigger(Trigger.AvailableNow()).toTable("gs.agg")
+    q.awaitTermination()
+    val got = spark.sql("SELECT k, n FROM gs.agg ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((0L, 5L), (1L, 5L)),
+      "the head is the complete aggregate, one overwrite per epoch")
+  }
+}
