@@ -46,7 +46,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * parquet paths (catalog.py:18, tables.py:62) — here the resolution
   * is a Spark catalog plugin and the parquet paths are transactional.
   */
-class TxCatalog extends TableCatalog with SupportsNamespaces {
+class TxCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -196,6 +197,32 @@ class TxCatalog extends TableCatalog with SupportsNamespaces {
     if (!fs.rename(new Path(from), new Path(to)))
       throw new IllegalStateException(s"rename $from -> $to failed")
   }
+
+  // ---- maintenance procedures (CALL gx.system.<verb>) ----
+
+  /** The `table` argument of every procedure is an identifier WITHIN
+    * this catalog (`'t'` or `'ns.t'`), resolved through the same
+    * path-inert mapping as table references.
+    */
+  private def resolveTableArg(name: String): String = {
+    val parts = name.split('.')
+    val p = pathOf(Identifier.of(parts.init, parts.last))
+    require(isTable(p), s"no txtable at $catName.$name ($p)")
+    p
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(TxProcedures.Namespace),
+      s"txtable procedures live under $catName.system " +
+        s"(got ${fullName(ident)})")
+    TxProcedures.load(ident.name, resolveTableArg)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!namespace.sameElements(TxProcedures.Namespace)) Array.empty
+    else TxProcedures.names
+      .map(Identifier.of(TxProcedures.Namespace, _)).toArray
 
   // ---- namespaces (directories under the warehouse) ----
 

@@ -1,0 +1,138 @@
+package graft.api
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Table-maintenance verbs as DSv2 STORED PROCEDURES (the Iceberg
+  * `CALL catalog.system.*` shape, on Spark 4's native procedure
+  * support) — the lifecycle operations SQL DML cannot express:
+  *
+  * {{{
+  *   CALL gx.system.history(table => 'db.t')
+  *   CALL gx.system.compact(table => 'db.t', num_files => 4)
+  *   CALL gx.system.compact_small(table => 'db.t')
+  *   CALL gx.system.optimize(table => 'db.t', cluster_by => 'id')
+  *   CALL gx.system.restore(table => 'db.t', version => 3)
+  *   CALL gx.system.expire_history(table => 'db.t', keep_versions => 10)
+  *   CALL gx.system.vacuum(table => 'db.t')
+  * }}}
+  *
+  * Each runs the corresponding [[TxTable]] verb on the driver (they
+  * launch their own Spark jobs) and returns its result as rows via a
+  * [[LocalScan]]. Argument defaults mirror the API defaults.
+  */
+private[api] object TxProcedures {
+
+  val Namespace: Array[String] = Array("system")
+
+  /** One procedure: named IN parameters (defaults as SQL literals),
+    * driver-side body, one row set out.
+    */
+  private final class P(
+      pname: String,
+      params: Seq[(String, DataType, Option[String])],
+      out: StructType,
+      body: (SparkSession, String => String, InternalRow) => Seq[InternalRow])
+      extends UnboundProcedure with BoundProcedure {
+
+    private var resolve: String => String = identity
+
+    def withResolver(r: String => String): P = { resolve = r; this }
+
+    override def name(): String = pname
+    override def description(): String = s"txtable $pname"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, dt, dflt) =>
+        val b = ProcedureParameter.in(n, dt)
+        dflt.foreach(b.defaultValue)
+        b.build()
+      }.toArray
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val produced = body(SparkSession.active, resolve, input).toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = produced
+        override def readSchema(): StructType = out
+      }).iterator()
+    }
+  }
+
+  private def row(vs: Any*): InternalRow =
+    new GenericInternalRow(vs.toArray)
+
+  private def versionOut = StructType(Seq(StructField("version", LongType)))
+
+  private def defs: Seq[P] = Seq(
+    new P("history",
+      Seq(("table", StringType, None)),
+      StructType(Seq(
+        StructField("version", LongType), StructField("action", StringType),
+        StructField("op", StringType), StructField("txn", StringType),
+        StructField("ts", LongType), StructField("num_files", IntegerType))),
+      (s, resolve, in) => TxTable.history(s, resolve(in.getUTF8String(0).toString))
+        .map(c => row(c.version, UTF8String.fromString(c.action),
+          c.op.map(UTF8String.fromString).orNull,
+          c.txn.map(UTF8String.fromString).orNull,
+          c.ts, c.files.size))),
+
+    new P("compact",
+      Seq(("table", StringType, None), ("num_files", IntegerType, Some("1"))),
+      versionOut,
+      (s, resolve, in) => Seq(row(TxTable.compact(s,
+        resolve(in.getUTF8String(0).toString), in.getInt(1))))),
+
+    new P("compact_small",
+      Seq(("table", StringType, None),
+        ("min_file_bytes", LongType, Some((32L << 20).toString)),
+        ("target_bytes", LongType, Some((128L << 20).toString))),
+      versionOut,
+      (s, resolve, in) => Seq(row(TxTable.compactSmall(s,
+        resolve(in.getUTF8String(0).toString), in.getLong(1), in.getLong(2))))),
+
+    new P("optimize",
+      Seq(("table", StringType, None),
+        ("cluster_by", StringType, None),
+        ("num_files", IntegerType, Some("8"))),
+      versionOut,
+      (s, resolve, in) => Seq(row(TxTable.optimize(s,
+        resolve(in.getUTF8String(0).toString),
+        in.getUTF8String(1).toString.split(',').map(_.trim).toSeq
+          .filter(_.nonEmpty),
+        in.getInt(2))))),
+
+    new P("restore",
+      Seq(("table", StringType, None), ("version", LongType, None)),
+      versionOut,
+      (s, resolve, in) => Seq(row(TxTable.restore(s,
+        resolve(in.getUTF8String(0).toString), in.getLong(1))))),
+
+    new P("expire_history",
+      Seq(("table", StringType, None), ("keep_versions", IntegerType, None)),
+      StructType(Seq(StructField("expired", IntegerType))),
+      (s, resolve, in) => Seq(row(TxTable.expireHistory(s,
+        resolve(in.getUTF8String(0).toString), in.getInt(1))))),
+
+    new P("vacuum",
+      Seq(("table", StringType, None),
+        ("older_than_ms", LongType, Some(TxTable.VacuumMinAgeMs.toString))),
+      StructType(Seq(StructField("removed", IntegerType))),
+      (s, resolve, in) => Seq(row(TxTable.vacuum(s,
+        resolve(in.getUTF8String(0).toString), in.getLong(1))))))
+
+  def names: Seq[String] = defs.map(_.name())
+
+  def load(pname: String, resolve: String => String): UnboundProcedure =
+    defs.find(_.name() == pname)
+      .map(_.withResolver(resolve))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown txtable procedure '$pname' " +
+          s"(available: ${names.mkString(", ")})"))
+}

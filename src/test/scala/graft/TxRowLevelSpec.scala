@@ -285,3 +285,74 @@ class TxCatalogStreamSpec extends AnyFunSuite {
       "the head is the complete aggregate, one overwrite per epoch")
   }
 }
+
+/** CALL gx.system.* — maintenance verbs as DSv2 stored procedures. */
+class TxProcedureSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txproc").toString
+    spark.conf.set("spark.sql.catalog.gp", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gp.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("history / compact / restore / vacuum round-trip through CALL") {
+    warehouse
+    sql("CREATE TABLE gp.t (id BIGINT, v STRING)")
+    sql("INSERT INTO gp.t VALUES (1, 'a')")
+    sql("INSERT INTO gp.t VALUES (2, 'b')")
+    val hist = sql("CALL gp.system.history(table => 't')").collect()
+    assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "overwrite"), (2L, "append"), (3L, "append")))
+
+    val cv = sql("CALL gp.system.compact(table => 't', num_files => 1)")
+      .collect().head.getLong(0)
+    assert(cv === 4L)
+    assert(sql("SELECT count(*) FROM gp.t").collect().head.getLong(0) === 2L)
+
+    val rv = sql("CALL gp.system.restore(table => 't', version => 2)")
+      .collect().head.getLong(0)
+    assert(rv === 5L)
+    assert(sql("SELECT id FROM gp.t").collect().map(_.getLong(0)).toSeq ===
+      Seq(1L), "restore rolled back to version 2's content")
+
+    val removed = sql("CALL gp.system.vacuum(table => 't', older_than_ms => 0)")
+      .collect().head.getInt(0)
+    assert(removed >= 0)
+    assert(sql("SELECT count(*) FROM gp.t").collect().head.getLong(0) === 1L,
+      "vacuum never touches log-reachable files")
+  }
+
+  test("optimize via CALL lights up pruning; expire_history truncates") {
+    warehouse
+    import org.apache.spark.sql.functions.col
+    val path = s"$warehouse/o"
+    TxTable.overwrite(spark, path,
+      (1L to 4000L).map(i => (i, s"v$i")).toDF("id", "v"))
+    sql("CALL gp.system.optimize(table => 'o', cluster_by => 'id', " +
+      "num_files => 8)")
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.statsCol === Some("id") && st.files.size === 8,
+      "optimize re-laid the table with per-file range stats")
+    (1 to 4).foreach(_ => sql("INSERT INTO gp.o VALUES (99999, 'x')"))
+    val expired = sql(
+      "CALL gp.system.expire_history(table => 'o', keep_versions => 2)")
+      .collect().head.getInt(0)
+    assert(expired > 0)
+    intercept[Exception](TxTable.readVersion(spark, path, 1).count())
+    assert(sql("SELECT count(*) FROM gp.o").collect()
+      .head.getLong(0) === 4004L)
+  }
+
+  test("unknown procedure and wrong namespace fail loudly") {
+    warehouse
+    val e1 = intercept[Exception](sql("CALL gp.system.nope(table => 't')"))
+    assert(e1.getMessage.contains("unknown txtable procedure") ||
+      e1.getMessage.toLowerCase.contains("nope"))
+    intercept[Exception](sql("CALL gp.other.compact(table => 't')"))
+  }
+}
