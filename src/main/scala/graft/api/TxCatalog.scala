@@ -322,11 +322,12 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCatalog.PROP_LOCATION -> path,
       "version" -> snapVersion.toString).asJava
 
-  /** `_file` exists for the ROW-LEVEL REWRITE machinery (runtime group
-    * filtering resolves it against this declaration); the regular read
-    * path below stays Spark's own ParquetScanBuilder, which cannot
-    * synthesize it — `SELECT _file` through the catalog errors rather
-    * than reads wrong data.
+  /** `_file` is the row-level rewrite's GROUP COLUMN (runtime group
+    * filtering resolves it against this declaration) and doubles as
+    * queryable per-row file provenance: `SELECT _file FROM gx.t`
+    * routes through the composed scan builder's row-based branch
+    * (file pruning intact), while `_file`-free scans stay native
+    * columnar parquet and `SELECT *` never includes it.
     */
   override def metadataColumns(): Array[MetadataColumn] =
     Array(new MetadataColumn {

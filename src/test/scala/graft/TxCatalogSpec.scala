@@ -277,3 +277,25 @@ class TxReplaceWhereSpec extends AnyFunSuite {
       .head.getLong(0) === 701L)
   }
 }
+
+/** `_file` as a queryable metadata column on the regular catalog scan. */
+class TxFileColumnSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("SELECT _file serves per-row file provenance with pruning intact") {
+    val w = java.nio.file.Files.createTempDirectory("txfc").toString
+    spark.conf.set("spark.sql.catalog.gf", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gf.warehouse", w)
+    TxTable.overwriteClustered(spark, s"$w/t",
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 4)
+    val out = spark.sql("SELECT id, _file FROM gf.t WHERE id <= 30").collect()
+    assert(out.length === 30)
+    val files = out.map(_.getString(1)).toSet
+    assert(files.size <= 2 && files.forall(_.contains("/data-")),
+      s"rows carry their staging file; pruning kept <= 2 of 4: $files")
+    // _file never leaks into SELECT * (it is metadata, not data)
+    assert(spark.sql("SELECT * FROM gf.t").schema.fieldNames.toSeq ===
+      Seq("id", "v"))
+  }
+}
