@@ -2620,6 +2620,7 @@ object TxTable {
     val removedSet = removed.toSet
     var attempt = 0
     while (attempt < MaxCommitRetries) {
+      replaceRaceInjection()
       val head = latestVersion(spark, path)
       val st = foldState(hfs, path, head)
       val lost = removedSet -- st.files.toSet
@@ -2712,6 +2713,13 @@ object TxTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     commit(spark, path, if (overwrite) "overwrite" else "append", fls, txn)
   }
+
+  /** Test seam: runs at the top of every [[commitReplace]] claim
+    * attempt, so a spec can interleave a commit into exactly the
+    * scan-to-commit window of a DSv2 row-level write deterministically.
+    * No-op in production.
+    */
+  @volatile private[graft] var replaceRaceInjection: () => Unit = () => ()
 
   /** Stagings younger than this are presumed in-flight, not crashed. */
   val VacuumMinAgeMs: Long = 3600 * 1000L

@@ -440,3 +440,49 @@ class TxSqlDmlSweepSpec extends AnyFunSuite {
     }
   }
 }
+
+/** End-to-end races through the SQL route: an append interleaved into
+  * the rewrite's scan-to-commit window commutes; DDL replace works.
+  */
+class TxRowLevelRaceSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txrace").toString
+    spark.conf.set("spark.sql.catalog.gz", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gz.warehouse", w)
+    w
+  }
+
+  test("SQL UPDATE with an append injected mid-window: both survive") {
+    warehouse
+    val path = s"$warehouse/r1"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 2)
+    @volatile var fired = false
+    TxTable.replaceRaceInjection = () => if (!fired) {
+      fired = true
+      TxTable.append(spark, path, Seq((999L, "raced")).toDF("id", "v"))
+    }
+    try spark.sql("UPDATE gz.r1 SET v = 'X' WHERE id <= 10")
+    finally TxTable.replaceRaceInjection = () => ()
+    assert(fired, "the injection ran inside the claim window")
+    val got = spark.sql("SELECT id, v FROM gz.r1").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(999L) === "raced", "the interleaved append's row survives")
+    assert((1L to 10L).forall(i => got(i) == "X") && got.size === 101,
+      "the update applied exactly; nothing lost or doubled")
+  }
+
+  test("CREATE OR REPLACE TABLE swaps the table") {
+    warehouse
+    spark.sql("CREATE TABLE gz.cr (id BIGINT)")
+    spark.sql("INSERT INTO gz.cr VALUES (1)")
+    Seq((7L, "x")).toDF("id", "v").createOrReplaceTempView("cr_src")
+    spark.sql("CREATE OR REPLACE TABLE gz.cr AS SELECT * FROM cr_src")
+    val out = spark.sql("SELECT id, v FROM gz.cr").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(out === Seq((7L, "x")))
+  }
+}
