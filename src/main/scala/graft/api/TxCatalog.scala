@@ -872,10 +872,17 @@ class TxV1WriteBuilder(spark: SparkSession, path: String,
       new InsertableRelation {
         override def insert(data: org.apache.spark.sql.DataFrame,
                             overwrite: Boolean): Unit = {
+          val clustered = Option(info.options.get("clustered"))
+            .exists(_.toBoolean)
           replaceCond match {
             case Some(cond) => TxTable.replaceWhere(spark, path, cond, data)
             case None if overwriteAll || overwrite =>
               TxTable.overwrite(spark, path, data)
+            case None if clustered =>
+              // indexed ingest parity with the V1 sink's
+              // option("clustered","true"): the increment lands in the
+              // table's declared layout with its skipping metadata
+              TxTable.appendClustered(spark, path, data)
             case None => TxTable.append(spark, path, data)
           }
           ()

@@ -299,3 +299,28 @@ class TxFileColumnSpec extends AnyFunSuite {
       Seq("id", "v"))
   }
 }
+
+/** Indexed ingest through the catalog write path. */
+class TxClusteredWriteOptionSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("writeTo(...).option(clustered) keeps data skipping through ingest") {
+    val w = java.nio.file.Files.createTempDirectory("txcw").toString
+    spark.conf.set("spark.sql.catalog.gk", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gk.warehouse", w)
+    val path = s"$w/t"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 1000L).map(i => (i, s"v$i")).toDF("id", "v"), "id", numFiles = 4)
+    (2000L to 2999L).map(i => (i, s"n$i")).toDF("id", "v")
+      .writeTo("gk.t").option("clustered", "true").append()
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.files.forall(st.stats.contains),
+      "the increment landed WITH per-file range stats (indexed ingest)")
+    // pruning spans base + increment
+    assert(TxTable.readRange(spark, path, "id", 2100, 2200).count() === 101L)
+    assert(spark.sql("SELECT count(*) FROM gk.t").collect()
+      .head.getLong(0) === 2000L)
+  }
+}
