@@ -486,3 +486,82 @@ class TxRowLevelRaceSpec extends AnyFunSuite {
     assert(out === Seq((7L, "x")))
   }
 }
+
+/** SQL DML over every index flavor: the rewrite must preserve blooms,
+  * z-rectangles, and evolved schemas — not just plain range stats.
+  */
+class TxRowLevelIndexSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions.col
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txidx").toString
+    spark.conf.set("spark.sql.catalog.gi", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gi.warehouse", w)
+    w
+  }
+
+  test("UPDATE on a bloom-indexed head keeps point pruning exact") {
+    warehouse
+    val path = s"$warehouse/b1"
+    TxTable.overwriteClustered(spark, path,
+      (1L to 4000L).map(i => (i, i * 7 % 1000, s"v$i")).toDF("id", "k", "v"),
+      "id", numFiles = 8, bloomCol = Some("k"))
+    spark.sql("UPDATE gi.b1 SET v = 'X' WHERE id BETWEEN 200 AND 260")
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.bloomCol === Some("k") && st.files.forall(st.blooms.contains),
+      "every live file (carried AND restaged) keeps a bloom")
+    val pts = TxTable.readPoints(spark, path, "k", Seq(7L))
+    assert(pts.filter(col("k") === 7L).count() ===
+      (1L to 4000L).count(i => i * 7 % 1000 == 7).toLong,
+      "bloom point read stays exact after SQL UPDATE")
+  }
+
+  test("UPDATE on a z-ordered head keeps box pruning exact") {
+    warehouse
+    val path = s"$warehouse/z1"
+    TxTable.overwriteZordered(spark, path,
+      (1L to 4096L).map(i => (i % 64, i / 64, s"v$i")).toDF("a", "b", "v"),
+      "a", "b", numFiles = 8)
+    spark.sql("UPDATE gi.z1 SET v = 'X' WHERE a = 3 AND b = 3")
+    val st = TxTable.snapshotState(spark, path,
+      TxTable.latestVersion(spark, path))
+    assert(st.statsCols === Seq("a", "b") &&
+      st.files.forall(st.mstats.contains),
+      "every live file keeps its z-rectangle")
+    val box = TxTable.readBox(spark, path, Seq(("a", 2L, 5L), ("b", 2L, 5L)))
+    assert(box.count() === 16L, "z-box read stays exact after SQL UPDATE")
+    assert(box.filter(col("v") === "X").count() === 1L)
+  }
+
+  test("UPDATE over an evolved schema: null-filled rows rewrite correctly") {
+    warehouse
+    val path = s"$warehouse/e1"
+    TxTable.overwrite(spark, path,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"))
+    TxTable.evolveAppend(spark, path,
+      (51L to 100L).map(i => (i, s"v$i", i * 2)).toDF("id", "v", "q"))
+    spark.sql("UPDATE gi.e1 SET v = 'X' WHERE id IN (10, 60)")
+    val got = spark.sql("SELECT id, v, q FROM gi.e1 WHERE id IN (10, 60)")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(got === Set((10L, "X", -1L), (60L, "X", 120L)),
+      "pre-evolution rows keep null q through the rewrite; " +
+        "post-evolution rows keep their values")
+    assert(spark.sql("SELECT count(*) FROM gi.e1").collect()
+      .head.getLong(0) === 100L)
+  }
+
+  test("bare DELETE FROM (no WHERE) empties the table transactionally") {
+    warehouse
+    spark.sql("CREATE TABLE gi.d (id BIGINT)")
+    spark.sql("INSERT INTO gi.d VALUES (1), (2)")
+    val v0 = TxTable.latestVersion(spark, s"$warehouse/d")
+    spark.sql("DELETE FROM gi.d")
+    assert(spark.sql("SELECT * FROM gi.d").count() === 0L)
+    assert(TxTable.readVersion(spark, s"$warehouse/d", v0).count() === 2L,
+      "history stays readable below the delete")
+  }
+}
