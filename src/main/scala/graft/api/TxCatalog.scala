@@ -314,7 +314,8 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def properties(): util.Map[String, String] =
     Map(
@@ -354,7 +355,10 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
         val (ranges, points, strRanges) = TxTableRelation.constraints(pushed)
         new TxFileScan(spark, this,
           TxTable.prunedFiles(state, ranges, points, strRanges), rs)
-      })
+      },
+      // batch scans pass through untouched in behavior; the wrapper
+      // only ADDS toMicroBatchStream so readStream.table(...) works
+      ps => new TxStreamCapableScan(spark, this, ps, options))
   }
 
   override def newRowLevelOperationBuilder(
@@ -634,6 +638,183 @@ class TxRowReaderFactory(
       override def get(): InternalRow = current
       override def close(): Unit = ()
     }
+  }
+}
+
+/** A [[org.apache.spark.sql.connector.read.Scan]] that IS the delegate
+  * parquet scan for batch reads (every method forwards, including
+  * statistics) and ADDS the micro-batch stream —
+  * `spark.readStream.table("gx.t")`.
+  */
+class TxStreamCapableScan(spark: SparkSession, table: TxV2Table,
+                          delegate: org.apache.spark.sql.connector.read.Scan,
+                          options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    delegate.toBatch
+  override def columnarSupportMode()
+      : org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = delegate match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new TxMicroBatchStream(spark, table, readSchema(), options)
+}
+
+/** `spark.readStream.table("gx.t")` — the MAIN-TABLE append feed (the
+  * Delta default-streaming shape, distinct from the V1
+  * `readStream.format("txtable")` source, which serves the ROW-LEVEL
+  * change feed with deletes and update images):
+  *
+  *  - batch 0 = the snapshot pinned at load (unless `startingVersion`
+  *    says otherwise), later batches = the files APPENDED by
+  *    `(start, end]` commits — file partitions straight off the log,
+  *    no diff computation;
+  *  - content-identical maintenance commits (compact / compactSmall /
+  *    optimize) stream as zero rows by construction;
+  *  - a commit that CHANGED existing rows (overwrite, merge, delete,
+  *    update, replaceWhere, restore) fails loudly — streaming them as
+  *    appends would silently double or lose rows — unless
+  *    `option("skipChangeCommits", "true")` opts into skipping them
+  *    (Delta's semantics of the same name); the row-level feed is the
+  *    V1 source's job;
+  *  - admission control and AvailableNow follow the V1 source's shape:
+  *    `maxVersionsPerTrigger` caps each batch in commit-versions, and
+  *    the restored committed offset always enters `latestOffset`.
+  */
+class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
+                         required: StructType,
+                         options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, ReadMaxRows}
+
+  private val path = table.path
+  private val skipChangeCommits =
+    Option(options.get("skipChangeCommits")).exists(_.toBoolean)
+  private val startingVersion =
+    Option(options.get("startingVersion")).map(_.toLong)
+  private val maxVersions =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  @volatile private var availableNowHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowHead = Some(TxTable.latestVersion(spark, path))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersions.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): OffsetV2 = startingVersion match {
+    case Some(sv) => TxV2StreamOffset(sv, init = false)
+    case None     => TxV2StreamOffset(table.snapVersion, init = true)
+  }
+
+  override def deserializeOffset(json: String): OffsetV2 =
+    TxV2StreamOffset.parse(json)
+
+  private def off(o: OffsetV2): TxV2StreamOffset = o match {
+    case t: TxV2StreamOffset => t
+    case other               => TxV2StreamOffset.parse(other.json())
+  }
+
+  override def latestOffset(): OffsetV2 =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control path")
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit)
+      : OffsetV2 = {
+    val start = off(Option(startOffset).getOrElse(initialOffset()))
+    val head0 = TxTable.latestVersion(spark, path)
+    val head = availableNowHead.fold(head0)(math.min(head0, _))
+    val capped = limit match {
+      case r: ReadMaxRows => math.min(head, start.v + r.maxRows())
+      case _              => head
+    }
+    // the pending initial snapshot is itself a batch: emit the same
+    // version with init cleared even when no commit landed since
+    if (capped <= start.v && !start.init) null
+    else TxV2StreamOffset(math.max(capped, start.v), init = false)
+  }
+
+  override def planInputPartitions(start: OffsetV2, end: OffsetV2)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s = off(start); val e = off(end)
+    val parts = Seq.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
+    def fileParts(files: Seq[String]): Unit = {
+      val st = TxTable.liveFileStatuses(spark, path,
+        TxTable.State(files, Map.empty, Map.empty, None, Map.empty, Nil))
+      files.foreach { f =>
+        val fst = st(f)
+        parts += TxFilePartition(f, fst.getPath.toString, fst.getLen)
+      }
+    }
+    if (s.init)
+      fileParts(TxTable.snapshotState(spark, path, s.v).files)
+    TxTable.commitsIn(spark, path, s.v, e.v).foreach { c =>
+      val identical = c.op.exists(o =>
+        o == "compact" || o == "compactSmall" || o == "optimize")
+      if (c.action == "append") fileParts(c.files)
+      else if (c.version == 1L && !s.init) fileParts(c.files) // creation
+      else if (identical || skipChangeCommits) () // zero new rows
+      else throw new IllegalStateException(
+        s"readStream.table on $path: version ${c.version} " +
+          s"(${c.op.getOrElse(c.action)}) CHANGED existing rows — the " +
+          "main-table stream serves appends only. Either " +
+          "option(\"skipChangeCommits\",\"true\") to skip such commits, " +
+          "or consume the row-level change feed via " +
+          "spark.readStream.format(\"txtable\").load(path)")
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val dataSchema = TxTable.stateSchema(spark, path, table.state)
+    new TxRowReaderFactory(
+      GraftV2Bridge.parquetRowReader(spark, dataSchema, required),
+      required, required, needsFile = false)
+  }
+
+  override def commit(end: OffsetV2): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxMicroBatchStream[$path]"
+}
+
+case class TxV2StreamOffset(v: Long, init: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"v":$v,"init":$init}"""
+}
+
+object TxV2StreamOffset {
+  private val Pat = """\{"v":(\d+),"init":(true|false)\}""".r
+  def parse(json: String): TxV2StreamOffset = json.trim match {
+    case Pat(v, i) => TxV2StreamOffset(v.toLong, i.toBoolean)
+    case other => throw new IllegalArgumentException(
+      s"not a txtable stream offset: '$other'")
   }
 }
 

@@ -2714,6 +2714,21 @@ object TxTable {
     commit(spark, path, if (overwrite) "overwrite" else "append", fls, txn)
   }
 
+  /** The commit records in `(fromExclusive, toInclusive]` — the V2
+    * streaming source's window decomposition (appended files stream as
+    * partitions; maintenance commits skip; rewrites gate on
+    * skipChangeCommits).
+    */
+  private[graft] def commitsIn(spark: SparkSession, path: String,
+                               fromExclusive: Long,
+                               toInclusive: Long): Seq[Commit] = {
+    val hfs = fs(spark, path)
+    logVersions(hfs, path)._1
+      .filter(v => v > fromExclusive && v <= toInclusive)
+      .map(v => parse(readSmall(hfs,
+        new org.apache.hadoop.fs.Path(commitPath(path, v)))))
+  }
+
   /** Test seam: runs at the top of every [[commitReplace]] claim
     * attempt, so a spec can interleave a commit into exactly the
     * scan-to-commit window of a DSv2 row-level write deterministically.

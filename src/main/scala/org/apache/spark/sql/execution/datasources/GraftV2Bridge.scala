@@ -37,10 +37,12 @@ object GraftV2Bridge {
                          dataSchema: StructType,
                          options: CaseInsensitiveStringMap,
                          fileColScan: (StructType, Array[org.apache.spark.sql.sources.Filter]) =>
-                           org.apache.spark.sql.connector.read.Scan)
+                           org.apache.spark.sql.connector.read.Scan,
+                         wrap: org.apache.spark.sql.connector.read.Scan =>
+                           org.apache.spark.sql.connector.read.Scan = identity)
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new GraftMetaAwareParquetScanBuilder(spark, index, dataSchema, options,
-      fileColScan)
+      fileColScan, wrap)
 
   /** Row-based parquet reader for the row-level-operation scan (the
     * copy-on-write rewrite reads WHOLE files — parquet row filtering
@@ -131,7 +133,9 @@ class GraftMetaAwareParquetScanBuilder(
     dataSchema: StructType,
     options: CaseInsensitiveStringMap,
     fileColScan: (StructType, Array[org.apache.spark.sql.sources.Filter]) =>
-      org.apache.spark.sql.connector.read.Scan)
+      org.apache.spark.sql.connector.read.Scan,
+    wrap: org.apache.spark.sql.connector.read.Scan =>
+      org.apache.spark.sql.connector.read.Scan = identity)
   extends org.apache.spark.sql.connector.read.ScanBuilder
   with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -167,7 +171,7 @@ class GraftMetaAwareParquetScanBuilder(
       case Some(rs) if rs.exists(_.name == "_file") =>
         fileColScan(rs, org.apache.spark.sql.internal.connector.PredicateUtils
           .toV1(delegate.pushedFilters))
-      case _ => delegate.build()
+      case _ => wrap(delegate.build())
     }
 }
 

@@ -565,3 +565,107 @@ class TxRowLevelIndexSpec extends AnyFunSuite {
       "history stays readable below the delete")
   }
 }
+
+/** readStream.table: the main-table append feed through the catalog. */
+class TxCatalogStreamReadSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import org.apache.spark.sql.streaming.Trigger
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txsr").toString
+    spark.conf.set("spark.sql.catalog.gm", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gm.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("catalog-only pipeline: readStream.table -> writeStream.toTable") {
+    warehouse
+    val ck = java.nio.file.Files.createTempDirectory("txsrck").toString
+    sql("CREATE TABLE gm.src (id BIGINT, v STRING)")
+    sql("INSERT INTO gm.src VALUES (1, 'a'), (2, 'b')")
+    sql("INSERT INTO gm.src VALUES (3, 'c')")
+    sql("CREATE TABLE gm.dst (id BIGINT, v STRING)")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gm.src")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("gm.dst")
+      q.awaitTermination()
+    }
+    drain()
+    assert(sql("SELECT id FROM gm.dst ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "batch 0 = the load snapshot")
+    // new appends stream incrementally; nothing redelivers
+    sql("INSERT INTO gm.src VALUES (4, 'd')")
+    drain()
+    assert(sql("SELECT id FROM gm.dst ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    drain() // no new data: nothing lands
+    assert(sql("SELECT count(*) FROM gm.dst").collect()
+      .head.getLong(0) === 4L)
+  }
+
+  test("change commits gate on skipChangeCommits; maintenance streams as zero") {
+    warehouse
+    val ck1 = java.nio.file.Files.createTempDirectory("txsrc1").toString
+    sql("CREATE TABLE gm.ch (id BIGINT, v STRING)")
+    sql("INSERT INTO gm.ch VALUES (1, 'a'), (2, 'b')")
+    sql("CREATE TABLE gm.chd (id BIGINT, v STRING)")
+    val q0 = spark.readStream.table("gm.ch")
+      .writeStream.option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow()).toTable("gm.chd")
+    q0.awaitTermination()
+    // compact = content-identical: streams as zero rows
+    sql("CALL gm.system.compact(table => 'ch', num_files => 1)")
+    sql("INSERT INTO gm.ch VALUES (3, 'c')")
+    val q1 = spark.readStream.table("gm.ch")
+      .writeStream.option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow()).toTable("gm.chd")
+    q1.awaitTermination()
+    assert(sql("SELECT id FROM gm.chd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L),
+      "compact contributed nothing; the append streamed")
+    // an UPDATE in the tail: the plain stream fails loudly...
+    sql("UPDATE gm.ch SET v = 'X' WHERE id = 1")
+    sql("INSERT INTO gm.ch VALUES (5, 'e')")
+    val err = intercept[Exception] {
+      val q = spark.readStream.table("gm.ch")
+        .writeStream.option("checkpointLocation", ck1)
+        .trigger(Trigger.AvailableNow()).toTable("gm.chd")
+      q.awaitTermination()
+    }
+    assert(err.getMessage.contains("skipChangeCommits") ||
+      Option(err.getCause).exists(_.getMessage.contains("skipChangeCommits")),
+      s"change commits name the opt-out: ${err.getMessage}")
+    // ...and skips cleanly with the option (appends still stream)
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("gm.ch")
+      .writeStream.option("checkpointLocation", ck1)
+      .trigger(Trigger.AvailableNow()).toTable("gm.chd")
+    q2.awaitTermination()
+    assert(sql("SELECT id FROM gm.chd ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("maxVersionsPerTrigger drains a backlog as bounded batches") {
+    warehouse
+    val ck = java.nio.file.Files.createTempDirectory("txsrc2").toString
+    sql("CREATE TABLE gm.bl (id BIGINT)")
+    (1 to 3).foreach(i => sql(s"INSERT INTO gm.bl VALUES ($i)"))
+    sql("CREATE TABLE gm.bld (id BIGINT)")
+    val q = spark.readStream
+      .option("startingVersion", "1") // feed from v1: 3 append commits
+      .option("maxVersionsPerTrigger", "1")
+      .table("gm.bl")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gm.bld")
+    q.awaitTermination()
+    assert(sql("SELECT id FROM gm.bld ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val commits = TxTable.history(spark, s"$warehouse/bld")
+      .count(_.action == "append")
+    assert(commits >= 3,
+      s"the backlog drained as capped per-version batches ($commits sink commits)")
+  }
+}
