@@ -992,6 +992,22 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // CATALOG STREAMING end-to-end: readStream.table (main-table
+    // append feed) -> writeStream.toTable, drained twice around an
+    // UPDATE (skipped), an INSERT (streamed), and a compact (zero
+    // rows). The downstream head must be the three slices at ORIGINAL
+    // values — snapshot-batch dedup, incremental windows, change-skip,
+    // and txn exactly-once all land in one hash.
+    Q("q_tx_stream_main",
+      Some("""SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM documents WHERE doc_id % 4 IN (0, 1, 2)
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxStreamMain(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1148,7 +1164,7 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 20) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 21) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1157,7 +1173,8 @@ object Sources {
       // contract, so a rebuild wipes stale tables first — committing
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
-        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct", "rw").foreach { n =>
+        "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct", "rw",
+        "sm", "smd", "smk").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1312,6 +1329,42 @@ object Sources {
       s.sql(s"INSERT INTO $ctCat.rw REPLACE WHERE doc_id <= 300 " +
         "SELECT doc_id, 'r' AS source, n_chars * 3 AS n_chars " +
         "FROM graft_ct_src WHERE doc_id <= 300 AND doc_id % 2 = 0")
+      // tables "sm"/"smd": the CATALOG STREAMING pipeline —
+      // readStream.table (main-table append feed) -> writeStream
+      // .toTable (txn-tagged epochs), drained twice: drain 1 serves
+      // the load snapshot (CTAS slice + one INSERT), then an UPDATE
+      // lands (a CHANGE commit the main feed must NOT stream), another
+      // INSERT and a compact land, and drain 2 with skipChangeCommits
+      // streams ONLY the new append (compact = zero rows). The
+      // downstream head therefore carries the three slices at their
+      // ORIGINAL values — q_tx_stream_main's oracle derives exactly
+      // that, so a feed that replayed the snapshot twice, streamed the
+      // update, or missed the incremental append breaks the hash.
+      s.sql(s"CREATE TABLE $ctCat.sm AS SELECT doc_id, source, n_chars " +
+        "FROM graft_ct_src WHERE doc_id % 4 = 0")
+      s.sql(s"INSERT INTO $ctCat.sm SELECT doc_id, source, n_chars " +
+        "FROM graft_ct_src WHERE doc_id % 4 = 1")
+      // CTAS-empty so smd's schema matches the source EXACTLY
+      // (declaring types by hand would break if the generator's
+      // n_chars width ever changes)
+      s.sql(s"CREATE TABLE $ctCat.smd AS SELECT doc_id, source, n_chars " +
+        "FROM graft_ct_src WHERE 1 = 0")
+      def drainMain(skip: Boolean): Unit = {
+        val r = s.readStream
+        val q = (if (skip) r.option("skipChangeCommits", "true") else r)
+          .table(s"$ctCat.sm")
+          .writeStream.option("checkpointLocation", s"$base/smk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$ctCat.smd")
+        q.awaitTermination()
+      }
+      drainMain(skip = false)
+      s.sql(s"UPDATE $ctCat.sm SET n_chars = n_chars + 100 " +
+        "WHERE doc_id % 8 = 0")
+      s.sql(s"INSERT INTO $ctCat.sm SELECT doc_id, source, n_chars " +
+        "FROM graft_ct_src WHERE doc_id % 4 = 2")
+      s.sql(s"CALL $ctCat.system.compact(table => 'sm', num_files => 2)")
+      drainMain(skip = true)
       s.catalog.dropTempView("graft_ct_src")
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
@@ -1459,6 +1512,9 @@ object Sources {
 
   private[graft] def ensureTxReplaceWhere(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rw"
+
+  private[graft] def ensureTxStreamMain(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/smd"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"
