@@ -80,6 +80,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     (warehouse +: ident.namespace.toSeq.map(part) :+ part(ident.name))
       .mkString("/")
 
+  /** Existence probes and `IF EXISTS` statements must report
+    * not-found for identifiers this catalog cannot represent (spaces,
+    * separators) instead of crashing the no-op path.
+    */
+  private def pathIfInert(ident: Identifier): Option[String] =
+    scala.util.Try(pathOf(ident)).toOption
+
   private def nsPath(ns: Seq[String]): String =
     (warehouse +: ns.map(part)).mkString("/")
 
@@ -102,10 +109,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    isTable(pathOf(ident))
+    pathIfInert(ident).exists(isTable)
 
   override def loadTable(ident: Identifier): Table = {
-    val p = pathOf(ident)
+    val p = pathIfInert(ident).getOrElse(throw new NoSuchTableException(ident))
     if (!isTable(p)) throw new NoSuchTableException(ident)
     new TxV2Table(spark, p, fullName(ident), pinned = None)
   }
@@ -146,8 +153,23 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       "txtable does not take PARTITIONED BY: cluster inside files with " +
         "overwriteClustered/appendClustered (log-metadata skipping " +
         "replaces directory partitioning)")
-    val p = Option(properties.get(TableCatalog.PROP_LOCATION))
-      .map(_.stripSuffix("/")).getOrElse(pathOf(ident))
+    // identifiers ARE locations in this catalog; an external LOCATION
+    // would strand the table (every later resolution computes the
+    // warehouse path and finds nothing) — reject instead of silently
+    // accepting and losing it. The V1 route (`CREATE TABLE ... USING
+    // txtable LOCATION p`) serves external paths.
+    Option(properties.get(TableCatalog.PROP_LOCATION))
+      .map(_.stripSuffix("/")).filter(_ != pathOf(ident)).foreach(loc =>
+        throw new UnsupportedOperationException(
+          s"TxCatalog tables live at <warehouse>/<ns>/<name>; an external " +
+            s"LOCATION ('$loc') would be unreachable by later statements. " +
+            "Use CREATE TABLE ... USING txtable LOCATION (the V1 route) " +
+            "for external paths"))
+    require(!schema.fieldNames.contains(TxRowLevel.FileCol),
+      s"'${TxRowLevel.FileCol}' is a reserved metadata column (per-row " +
+        "file provenance); a data column of that name would be shadowed " +
+        "by the physical file path on every read")
+    val p = pathOf(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // first commit defines the schema: one zero-row, schema-carrying
     // parquet file (stage's empty-frame discipline), so the new table
@@ -175,10 +197,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     new TxV2Table(spark, p, fullName(ident), pinned = None)
   }
 
-  override def dropTable(ident: Identifier): Boolean = {
-    val p = pathOf(ident)
-    isTable(p) && fs.delete(new Path(p), true)
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    pathIfInert(ident).exists(p => isTable(p) && fs.delete(new Path(p), true))
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit = {
@@ -1118,6 +1138,12 @@ class TxStreamingWrite(spark: SparkSession, path: String,
     val added = messages.toSeq
       .collect { case m: TxWriteMessage if m.rows > 0 =>
         s"$stagingRel/${m.name}" }.sorted
+    // a zero-row epoch in append mode lands NOTHING: committing it
+    // would accrete one content-free version per skipped/empty
+    // upstream batch (idempotence gains nothing — a redelivered empty
+    // epoch also lands nothing). Complete mode still commits: its
+    // contract is the head IS this epoch's aggregate, even when empty.
+    if (added.isEmpty && !truncatePerEpoch) return
     TxTable.commitStagedAppend(spark, path, added,
       txn = Some(s"stream:$queryId:$epochId"),
       overwrite = truncatePerEpoch, schema = writeSchema)

@@ -2181,7 +2181,18 @@ object TxTable {
           keyCols, "left_semi")
         .select("__graft_file").distinct()
         .collect().map(_.getString(0)).toSet
-      candidates.filter(rel => hit.exists(_.endsWith("/" + rel)))
+      // O(1) membership per candidate, not an O(|candidates|·|hits|)
+      // pairwise endsWith scan (a 100k-candidate merge would otherwise
+      // burn minutes of single-threaded driver CPU here, per claim
+      // attempt): strip each hit URI to the tails a relative name can
+      // be — `dir/file` (stage()'s layout) and bare `file`.
+      val tails = hit.flatMap { h =>
+        val i = h.lastIndexOf('/')
+        val j = if (i <= 0) -1 else h.lastIndexOf('/', i - 1)
+        Seq(h.substring(i + 1)) ++
+          (if (j >= 0) Seq(h.substring(j + 1)) else Nil)
+      }
+      candidates.filter(tails.contains)
     }
   }
 
@@ -2513,57 +2524,28 @@ object TxTable {
         stage(spark, path, rows(snapshot)))
       val target = targetOf.map(f => math.max(1, f(st, cand)))
         .orElse(numFilesHint).getOrElse(math.max(1, cand.size))
-      val (staged, fstats, fmstats, fsstats) = (st.statsCol, st.statsCols) match {
-        case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout, fresh N-D stats
+      val staged = (st.statsCol, st.statsCols) match {
+        case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
           // → the 2-D writer default of 16), so rewrites preserve the
           // table's z-order granularity instead of resetting it
-          val sf = stage(spark, path,
-            zorderLaid(transformed, zc, target,
-              if (st.zbits > 0) st.zbits else 16))
-          (sf, Map.empty[String, (Long, Long)],
-            multiColStats(spark, path, sf, st.statsCols),
-            Map.empty[String, (String, String)])
-        case (Some(sc), _) =>
-          val sf = stage(spark, path, transformed
+          stage(spark, path, zorderLaid(transformed, zc, target,
+            if (st.zbits > 0) st.zbits else 16))
+        case (Some(sc), _) => // clustered head: re-lay by range
+          stage(spark, path, transformed
             .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
-          // the stats FLAVOR follows the cluster column's type: a
-          // string-clustered head records truncated string bounds — a
-          // routine compact must not silently erase the string-pruning
-          // index (long footerStats over a string column is empty)
-          if (transformed.schema(sc).dataType ==
-              org.apache.spark.sql.types.StringType)
-            (sf, Map.empty[String, (Long, Long)],
-              Map.empty[String, Seq[(Long, Long)]],
-              footerStrStats(spark, path, sf, sc))
-          else
-            (sf, footerStats(spark, path, sf, sc),
-              Map.empty[String, Seq[(Long, Long)]],
-              Map.empty[String, (String, String)])
         case _ =>
           // an EXPLICIT file-count ask (compact's hint, compactSmall's
           // bin-pack target) coalesces; a merge/delete rewrite keeps
           // the transform's natural partitioning
           val want = if (targetOf.isDefined) Some(target) else numFilesHint
-          (stage(spark, path,
-            want.fold(transformed)(transformed.coalesce)),
-            Map.empty[String, (Long, Long)],
-            Map.empty[String, Seq[(Long, Long)]],
-            Map.empty[String, (String, String)])
+          stage(spark, path, want.fold(transformed)(transformed.coalesce))
       }
-      // bloom-indexed head: fresh per-file blooms for the new layout —
-      // a routine compact/merge/delete must not silently erase the
-      // point-lookup index any more than the range stats. When files
-      // are CARRIED, fresh blooms must reuse the head's bit width: the
-      // log records ONE bloomBits per epoch, and carried hex payloads
-      // were packed at st.bloomBits — mixed widths would mis-derive
-      // every carried file's probe positions.
-      val (bbits, fblooms) = st.bloomCol match {
-        case Some(bc) => bloomStats(spark, path, staged, bc,
-          fixedBits = if (untouched.nonEmpty && st.bloomBits > 0)
-            Some(st.bloomBits) else None)
-        case None     => (0, Map.empty[String, String])
-      }
+      // the fresh skipping metadata (stats flavor by the cluster
+      // column's type, N-D rectangles, blooms at the epoch's width) is
+      // the SHARED policy — one implementation with commitReplace
+      val (fstats, fsstats, fmstats, bbits, fblooms) =
+        freshFileMeta(spark, path, st, staged, untouched.nonEmpty)
       // carried files keep their recorded metadata by NAME; staged
       // files bring fresh entries — the union is the new head's index
       val untouchedSet = untouched.toSet
@@ -2583,6 +2565,42 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"could not $what $path after $MaxCommitRetries attempts")
+  }
+
+  /** Fresh data-skipping metadata for `files` at the head's recorded
+    * flavor — long ranges / truncated string bounds on the stats
+    * column, N-D rectangles on recorded z-dimensions, blooms at the
+    * epoch's bit width when any file is carried. The ONE
+    * implementation of index preservation every head rewrite commits
+    * through ([[rewriteHead]] and the DSv2 [[commitReplace]]): two
+    * drifting copies of this policy would silently erode skipping
+    * metadata on whichever path missed a fix.
+    */
+  private def freshFileMeta(spark: SparkSession, path: String, st: State,
+                            files: Seq[String], anyCarried: Boolean)
+      : (Map[String, (Long, Long)], Map[String, (String, String)],
+         Map[String, Seq[(Long, Long)]], Int, Map[String, String]) = {
+    val (fstats, fsstats) = st.statsCol match {
+      case Some(sc) =>
+        if (stateSchema(spark, path, st)(sc).dataType ==
+            org.apache.spark.sql.types.StringType)
+          (Map.empty[String, (Long, Long)],
+            footerStrStats(spark, path, files, sc))
+        else (footerStats(spark, path, files, sc),
+          Map.empty[String, (String, String)])
+      case None => (Map.empty[String, (Long, Long)],
+        Map.empty[String, (String, String)])
+    }
+    val fmstats =
+      if (st.statsCols.size >= 2) multiColStats(spark, path, files, st.statsCols)
+      else Map.empty[String, Seq[(Long, Long)]]
+    val (bbits, fblooms) = st.bloomCol match {
+      case Some(bc) => bloomStats(spark, path, files, bc,
+        fixedBits = if (anyCarried && st.bloomBits > 0)
+          Some(st.bloomBits) else None)
+      case None => (0, Map.empty[String, String])
+    }
+    (fstats, fsstats, fmstats, bbits, fblooms)
   }
 
   /** The commit half of the DSv2 group-based row-level rewrite (SQL
@@ -2637,29 +2655,8 @@ object TxTable {
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           stateSchema(spark, path, st)))
       val newFiles = added ++ extra
-      // fresh skipping metadata for the restaged files, at the head's
-      // recorded flavor (long ranges / truncated string bounds /
-      // z-dimensions / blooms at the epoch's bit width)
-      val (fstats, fsstats) = st.statsCol match {
-        case Some(sc) =>
-          if (stateSchema(spark, path, st)(sc).dataType ==
-              org.apache.spark.sql.types.StringType)
-            (Map.empty[String, (Long, Long)],
-              footerStrStats(spark, path, newFiles, sc))
-          else (footerStats(spark, path, newFiles, sc),
-            Map.empty[String, (String, String)])
-        case None => (Map.empty[String, (Long, Long)],
-          Map.empty[String, (String, String)])
-      }
-      val fmstats =
-        if (st.statsCols.size >= 2) multiColStats(spark, path, newFiles, st.statsCols)
-        else Map.empty[String, Seq[(Long, Long)]]
-      val (bbits, fblooms) = st.bloomCol match {
-        case Some(bc) => bloomStats(spark, path, newFiles, bc,
-          fixedBits = if (untouched.nonEmpty && st.bloomBits > 0)
-            Some(st.bloomBits) else None)
-        case None => (0, Map.empty[String, String])
-      }
+      val (fstats, fsstats, fmstats, bbits, fblooms) =
+        freshFileMeta(spark, path, st, newFiles, untouched.nonEmpty)
       val untouchedSet = untouched.toSet
       def carry[V](m: Map[String, V]): Map[String, V] =
         m.filter { case (k, _) => untouchedSet.contains(k) }
