@@ -324,3 +324,46 @@ class TxClusteredWriteOptionSpec extends AnyFunSuite {
       .head.getLong(0) === 2000L)
   }
 }
+
+/** The review-hardened edges: stranded locations, reserved columns,
+  * unrepresentable identifiers.
+  */
+class TxCatalogGuardSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txgrd").toString
+    spark.conf.set("spark.sql.catalog.gg", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gg.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("external LOCATION is rejected loudly, not silently stranded") {
+    warehouse
+    val ext = java.nio.file.Files.createTempDirectory("txext").toString
+    val e = intercept[Exception](
+      sql(s"CREATE TABLE gg.ext (id BIGINT) LOCATION '$ext/t'"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("USING txtable LOCATION")),
+      s"the error names the V1 route for external paths: ${msgs(e)}")
+    assert(!sql("SHOW TABLES IN gg").collect()
+      .map(_.getString(1)).contains("ext"))
+  }
+
+  test("a data column named _file is rejected at CREATE") {
+    warehouse
+    val e = intercept[Exception](
+      sql("CREATE TABLE gg.rf (id BIGINT, _file STRING)"))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("reserved")))
+  }
+
+  test("IF EXISTS statements no-op on unrepresentable identifiers") {
+    warehouse
+    sql("DROP TABLE IF EXISTS gg.`no such table!`") // must not throw
+    assert(!spark.catalog.tableExists("gg.`weird name`"))
+  }
+}
