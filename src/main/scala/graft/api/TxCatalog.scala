@@ -100,6 +100,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = nsPath(namespace.toSeq)
+    // the ROOT namespace always exists (it IS the catalog); an
+    // unpopulated warehouse dir just lists empty
+    if (namespace.isEmpty && !fs.exists(new Path(dir)))
+      return Array.empty
     if (!fs.exists(new Path(dir)))
       throw new NoSuchNamespaceException(catName +: namespace.toSeq)
     fs.listStatus(new Path(dir)).toSeq
@@ -139,10 +143,11 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     val ms = timestamp / 1000L
-    val at = TxTable.history(spark, p).filter(_.ts <= ms)
-      .map(_.version).maxOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"no commit at or before timestamp $ms ms in $p"))
+    // O(log n) commit-record reads, not a full history parse — a
+    // streaming-ingest table can hold thousands of commits
+    val at = TxTable.versionAtOrBefore(spark, p, ms).getOrElse(
+      throw new IllegalArgumentException(
+        s"no commit at or before timestamp $ms ms in $p"))
     new TxV2Table(spark, p, fullName(ident), pinned = Some(at))
   }
 
@@ -173,9 +178,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // first commit defines the schema: one zero-row, schema-carrying
     // parquet file (stage's empty-frame discipline), so the new table
-    // reads as EMPTY, never as unreadable
-    TxTable.overwrite(spark, p, spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
+    // reads as EMPTY, never as unreadable. The claim of version 1 IS
+    // the existence test — two racing CREATE/CTAS statements serialize
+    // on the log, one wins, the other throws (a check-then-act probe
+    // would let both report success and racing CTAS union their data).
+    if (!TxTable.createExactlyV1(spark, p, spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)))
+      throw new TableAlreadyExistsException(ident)
     new TxV2Table(spark, p, fullName(ident), pinned = None)
   }
 
@@ -188,6 +197,16 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         require(add.fieldNames.length == 1,
           "txtable schema evolution is top-level additive only " +
             s"(got nested field ${add.fieldNames.mkString(".")})")
+        // existing rows can only null-fill a new column, and the log
+        // appends columns at the end — honoring NOT NULL or a position
+        // silently is a lie, so reject both loudly (the same policy as
+        // the unsupported-change arm below)
+        require(add.isNullable,
+          s"ADD COLUMN ${add.fieldNames.head} NOT NULL is unsupported: " +
+            "existing rows null-fill a new column (additive evolution)")
+        require(add.position() == null,
+          s"ADD COLUMN ... FIRST/AFTER is unsupported: evolved columns " +
+            "append at the end of the schema")
         TxTable.evolveAddColumn(spark, p, add.fieldNames.head, add.dataType)
       case other =>
         throw new UnsupportedOperationException(
@@ -206,9 +225,12 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // UNRESOLVED — the catalog name rides along as the first namespace
     // part (rename cannot cross catalogs, so Spark never strips it).
     // Without this normalization the table would silently move to
-    // `<warehouse>/gx/ns/b`.
+    // `<warehouse>/gx/ns/b`. Strip ONLY when the raw namespace does
+    // not actually exist under the warehouse: a genuine namespace that
+    // happens to share the catalog's name wins over the strip.
     val to = pathOf(
-      if (newIdent.namespace.headOption.contains(catName))
+      if (newIdent.namespace.headOption.contains(catName) &&
+          !fs.exists(new Path(nsPath(newIdent.namespace.toSeq))))
         Identifier.of(newIdent.namespace.drop(1), newIdent.name)
       else newIdent)
     val from = pathOf(oldIdent)
@@ -257,7 +279,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     if (namespace.isEmpty) return listNamespaces()
     val dir = nsPath(namespace.toSeq)
-    if (!fs.exists(new Path(dir)))
+    // a TABLE dir is not a namespace: listing "into" one would leak
+    // _txlog/data-* internals as navigable namespaces (and invite a
+    // DROP NAMESPACE CASCADE on live data)
+    if (!fs.exists(new Path(dir)) || isTable(dir))
       throw new NoSuchNamespaceException(catName +: namespace.toSeq)
     fs.listStatus(new Path(dir)).toSeq.filter(_.isDirectory)
       .map(_.getPath.getName).filterNot(n => isTable(s"$dir/$n"))
@@ -266,7 +291,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadNamespaceMetadata(namespace: Array[String])
       : util.Map[String, String] = {
-    if (namespace.nonEmpty && !fs.exists(new Path(nsPath(namespace.toSeq))))
+    if (namespace.nonEmpty && (
+        !fs.exists(new Path(nsPath(namespace.toSeq))) ||
+        isTable(nsPath(namespace.toSeq))))
       throw new NoSuchNamespaceException(catName +: namespace.toSeq)
     Map("location" -> nsPath(namespace.toSeq)).asJava
   }
@@ -284,6 +311,9 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
+    require(!isTable(nsPath(namespace.toSeq)),
+      s"${namespace.mkString(".")} is a TABLE, not a namespace " +
+        "(DROP TABLE is the way to remove it)")
     val dir = new Path(nsPath(namespace.toSeq))
     if (!fs.exists(dir)) false
     else {

@@ -2711,6 +2711,56 @@ object TxTable {
     commit(spark, path, if (overwrite) "overwrite" else "append", fls, txn)
   }
 
+  /** Atomic table CREATION: stage `df` and claim EXACTLY version 1 —
+    * the claim (create-if-absent on the commit file) IS the existence
+    * test, so two racing `CREATE TABLE` statements serialize on the
+    * log like every other writer: one wins, the loser's staging is
+    * deleted and `false` reported (→ TableAlreadyExistsException). A
+    * check-then-act `isTable` probe followed by `overwrite` would let
+    * BOTH creators succeed (the loser's overwrite retries onto v2) and
+    * two racing CTAS would silently UNION their datasets.
+    */
+  private[graft] def createExactlyV1(spark: SparkSession, path: String,
+                                     df: DataFrame): Boolean = {
+    val files = stage(spark, path, df)
+    commitAt(spark, path, 1L, "overwrite", files, None) match {
+      case Some(_) => true
+      case None =>
+        // lost the creation race: remove the orphan staging now (it is
+        // invisible anyway, but why wait for vacuum)
+        val dir = files.head.substring(0, files.head.lastIndexOf('/'))
+        fs(spark, path).delete(
+          new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+        false
+    }
+  }
+
+  /** The last version committed at or before `tsMs` — `TIMESTAMP AS
+    * OF` resolution in O(log n) commit-record reads via binary search
+    * over the log's contiguous versions (a [[history]] scan would
+    * parse EVERY surviving record — thousands of serial metadata RPCs
+    * per statement on a streaming-ingest table). Assumes commit
+    * timestamps are non-decreasing in version order (true for
+    * single-host wall clocks; the same monotonicity Delta/Iceberg
+    * timestamp travel documents).
+    */
+  private[graft] def versionAtOrBefore(spark: SparkSession, path: String,
+                                       tsMs: Long): Option[Long] = {
+    val hfs = fs(spark, path)
+    val vs = logVersions(hfs, path)._1
+    def tsOf(v: Long): Long = parse(readSmall(hfs,
+      new org.apache.hadoop.fs.Path(commitPath(path, v)))).ts
+    var lo = 0
+    var hi = vs.length - 1
+    var ans = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) / 2
+      if (tsOf(vs(mid)) <= tsMs) { ans = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    if (ans < 0) None else Some(vs(ans))
+  }
+
   /** The commit records in `(fromExclusive, toInclusive]` — the V2
     * streaming source's window decomposition (appended files stream as
     * partitions; maintenance commits skip; rewrites gate on

@@ -2103,12 +2103,16 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate may hand back another suite's SHARED session, where
+    // functions could be present via imperative register() — only the
+    // extension-built session proves the wiring. Ownership must also
+    // gate the finally-stop: cancelling and then stopping a session we
+    // did NOT create kills Spark for every suite that runs after us
+    // (observed once suite ordering put a shared-session suite first).
+    val owned = s.conf.getOption("spark.sql.extensions")
+      .contains("graft.GraftExtensions")
     try {
-      // getOrCreate may hand back another suite's shared session, where
-      // functions could be present via imperative register() — only the
-      // extension-built session proves the wiring, so require it
-      assume(s.conf.getOption("spark.sql.extensions")
-        .contains("graft.GraftExtensions"),
+      assume(owned,
         "shared session reused; extension path not exercised in this run")
       val r = s.sql(
         """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
@@ -2137,6 +2141,6 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
                      (array(3.0D, 4.0D)) AS t(v)) AS vs""").collect().head
       assert(extra.getLong(0) === 9L)
       assert(extra.getSeq[Double](1) === Seq(4.0, 6.0))
-    } finally s.stop()
+    } finally if (owned) s.stop()
   }
 }

@@ -367,3 +367,83 @@ class TxCatalogGuardSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("gg.`weird name`"))
   }
 }
+
+/** The deep-review round: creation races, DDL edge semantics,
+  * namespace/table boundaries, timestamp-travel resolution cost.
+  */
+class TxCatalogDeepGuardSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txdeep").toString
+    spark.conf.set("spark.sql.catalog.gh", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gh.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+
+  test("table creation is a v1 claim: racing creators serialize") {
+    warehouse
+    val p = s"$warehouse/race"
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType))))
+    assert(TxTable.createExactlyV1(spark, p, df) === true)
+    assert(TxTable.createExactlyV1(spark, p, df) === false,
+      "the second creator loses the v1 claim and reports existence")
+    assert(TxTable.latestVersion(spark, p) === 1L,
+      "the loser landed NOTHING (no silent union)")
+  }
+
+  test("ADD COLUMN NOT NULL and positioned adds are rejected loudly") {
+    warehouse
+    sql("CREATE TABLE gh.ac (id BIGINT)")
+    intercept[Exception](
+      sql("ALTER TABLE gh.ac ADD COLUMN c BIGINT NOT NULL"))
+    intercept[Exception](
+      sql("ALTER TABLE gh.ac ADD COLUMN c BIGINT FIRST"))
+    sql("ALTER TABLE gh.ac ADD COLUMN c BIGINT") // plain add still works
+    assert(spark.table("gh.ac").schema.fieldNames.toSeq === Seq("id", "c"))
+  }
+
+  test("a namespace sharing the catalog's name survives RENAME TO") {
+    warehouse
+    sql("CREATE NAMESPACE IF NOT EXISTS gh.gh")
+    sql("CREATE TABLE gh.gh.a (id BIGINT)")
+    sql("ALTER TABLE gh.gh.a RENAME TO gh.gh.b")
+    assert(sql("SHOW TABLES IN gh.gh").collect()
+      .map(_.getString(1)).toSet === Set("b"),
+      "the real namespace wins over the catalog-prefix strip")
+  }
+
+  test("table dirs are not namespaces; empty warehouse lists empty") {
+    warehouse
+    sql("CREATE TABLE gh.nt (id BIGINT)")
+    intercept[Exception](sql("SHOW NAMESPACES IN gh.nt"))
+    intercept[Exception](sql("DROP NAMESPACE gh.nt CASCADE"))
+    assert(sql("SELECT * FROM gh.nt").count() === 0L,
+      "the table survived the namespace-shaped attacks")
+    val w2 = java.nio.file.Files.createTempDirectory("txdeep2").toString
+    spark.conf.set("spark.sql.catalog.gh2", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gh2.warehouse", s"$w2/not-yet")
+    assert(sql("SHOW TABLES IN gh2").collect().isEmpty,
+      "an unpopulated warehouse lists empty instead of throwing")
+  }
+
+  test("TIMESTAMP AS OF resolves by binary search (exactness pinned)") {
+    warehouse
+    sql("CREATE TABLE gh.bt (id BIGINT)")
+    (1 to 5).foreach(i => sql(s"INSERT INTO gh.bt VALUES ($i)"))
+    val hist = TxTable.history(spark, s"$warehouse/bt")
+    hist.foreach { c =>
+      assert(TxTable.versionAtOrBefore(spark, s"$warehouse/bt", c.ts)
+        .contains(hist.filter(_.ts <= c.ts).map(_.version).max),
+        s"binary search equals the dense scan at ts=${c.ts}")
+    }
+    assert(TxTable.versionAtOrBefore(spark, s"$warehouse/bt",
+      hist.head.ts - 1000) === None)
+  }
+}
