@@ -47,7 +47,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * is a Spark catalog plugin and the parquet paths are transactional.
   */
 class TxCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog with StagingTableCatalog {
 
   private var catName: String = _
   private var warehouse: String = _
@@ -70,9 +70,14 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     * could not carry).
     */
   private def part(s: String): String = {
-    require(s.matches("[A-Za-z0-9_][A-Za-z0-9_.-]*") && !s.contains(".."),
-      s"TxCatalog identifiers must be path-inert " +
-        s"([A-Za-z0-9_][A-Za-z0-9_.-]*): '$s'")
+    // '.' is excluded on purpose (not just '..'): the procedure layer
+    // resolves its `table` argument by splitting on '.' (resolveTableArg),
+    // so a segment containing a dot would be addressable by every SQL
+    // statement EXCEPT `CALL gx.system.*` — an identifier the catalog
+    // accepts must stay addressable everywhere.
+    require(s.matches("[A-Za-z0-9_][A-Za-z0-9_-]*"),
+      s"TxCatalog identifiers must be path-inert and dot-free " +
+        s"([A-Za-z0-9_][A-Za-z0-9_-]*): '$s'")
     s
   }
 
@@ -89,6 +94,29 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   private def nsPath(ns: Seq[String]): String =
     (warehouse +: ns.map(part)).mkString("/")
+
+  /** Table properties the create path can honor. Everything else
+    * (COMMENT, user TBLPROPERTIES, a foreign USING) is rejected loudly:
+    * the commit log does not persist properties, so accepting one
+    * would discard metadata the user believes was stored.
+    */
+  private def requireSupportedProps(
+      properties: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.foreach {
+      case (TableCatalog.PROP_OWNER, _) | (TableCatalog.PROP_LOCATION, _) |
+           (TableCatalog.PROP_EXTERNAL, _) => // Spark-injected
+      case (TableCatalog.PROP_PROVIDER, prov) =>
+        require(prov.equalsIgnoreCase("txtable"),
+          s"TxCatalog creates txtable tables only; USING $prov is not " +
+            "supported (write-path formats live outside this catalog)")
+      case (k, v) =>
+        throw new UnsupportedOperationException(
+          s"txtable does not persist table property '$k' (= '$v'): the " +
+            "commit log carries no property map, so COMMENT/TBLPROPERTIES " +
+            "would be silently lost — remove it from the statement")
+    }
+  }
 
   private def isTable(p: String): Boolean =
     fs.exists(new Path(s"$p/_txlog"))
@@ -151,9 +179,13 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     new TxV2Table(spark, p, fullName(ident), pinned = Some(at))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
+  /** The shared CREATE/REPLACE validations (plain and staged forms):
+    * no directory partitioning, no external LOCATION, no reserved
+    * `_file` column, no properties the commit log cannot persist.
+    */
+  private def validateTableSpec(ident: Identifier, schema: StructType,
+                                partitions: Array[Transform],
+                                properties: util.Map[String, String]): Unit = {
     require(partitions.isEmpty,
       "txtable does not take PARTITIONED BY: cluster inside files with " +
         "overwriteClustered/appendClustered (log-metadata skipping " +
@@ -174,6 +206,20 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       s"'${TxRowLevel.FileCol}' is a reserved metadata column (per-row " +
         "file provenance); a data column of that name would be shadowed " +
         "by the physical file path on every read")
+    // The commit log does not carry table properties, so anything we
+    // accept here would be unrecoverable from loadTable — reject
+    // loudly (the LOCATION/_file policy) instead of letting COMMENT /
+    // TBLPROPERTIES / USING <other> succeed and silently vanish.
+    // Spark itself injects `owner` (and `location`+`external` for the
+    // self-location case the check above admits); `USING txtable` is
+    // this catalog's own provider.
+    requireSupportedProps(properties)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    validateTableSpec(ident, schema, partitions, properties)
     val p = pathOf(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     // first commit defines the schema: one zero-row, schema-carrying
@@ -186,6 +232,49 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)))
       throw new TableAlreadyExistsException(ident)
     new TxV2Table(spark, p, fullName(ident), pinned = None)
+  }
+
+  // ---- atomic CTAS / REPLACE TABLE (StagingTableCatalog) ----
+  //
+  // Spark plans `CREATE TABLE AS SELECT`, `REPLACE TABLE [AS SELECT]`
+  // and `CREATE OR REPLACE TABLE` through these when the catalog
+  // stages: the query's output is written into INVISIBLE `data-*`
+  // stagings first, and [[TxStagedTable.commitStagedChanges]] then
+  // publishes everything in ONE log claim. A REPLACE whose query
+  // throws mid-write therefore leaves the old table fully readable
+  // WITH its history (the non-staged plan is drop-then-create — a
+  // failure there destroys the old table's entire commit log), and a
+  // successful REPLACE is itself one history-preserving overwrite
+  // commit: `VERSION AS OF` below it still reads the old data. The
+  // Delta/Iceberg StagingTableCatalog shape.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable = {
+    validateTableSpec(ident, schema, partitions, properties)
+    val p = pathOf(ident)
+    if (isTable(p)) throw new TableAlreadyExistsException(ident)
+    new TxStagedTable(spark, p, ident, fullName(ident), schema,
+      replaceExisting = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable = {
+    validateTableSpec(ident, schema, partitions, properties)
+    val p = pathOf(ident)
+    if (!isTable(p)) throw new NoSuchTableException(ident)
+    new TxStagedTable(spark, p, ident, fullName(ident), schema,
+      replaceExisting = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable = {
+    validateTableSpec(ident, schema, partitions, properties)
+    new TxStagedTable(spark, pathOf(ident), ident, fullName(ident), schema,
+      replaceExisting = true, orCreate = true)
   }
 
   override def alterTable(ident: Identifier,
@@ -216,6 +305,11 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     new TxV2Table(spark, p, fullName(ident), pinned = None)
   }
 
+  /** `DROP TABLE` deletes the table's directory INCLUDING `_txlog` —
+    * the one verb (with DROP NAMESPACE CASCADE) that no time travel,
+    * restore, or vacuum can undo: a txtable IS its directory, so
+    * dropping it erases every version at once.
+    */
   override def dropTable(ident: Identifier): Boolean =
     pathIfInert(ident).exists(p => isTable(p) && fs.delete(new Path(p), true))
 
@@ -309,6 +403,10 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "txtable namespaces are directories; they carry no mutable metadata")
 
+  /** `DROP NAMESPACE ... CASCADE` recursively deletes every contained
+    * table's bytes AND commit logs immediately — like [[dropTable]],
+    * this is unrecoverable by design (no trash, no restore).
+    */
   override def dropNamespace(namespace: Array[String],
                              cascade: Boolean): Boolean = {
     require(!isTable(nsPath(namespace.toSeq)),
@@ -457,6 +555,12 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     * (truncate is a version, not an erasure).
     */
   override def truncateTable(): Boolean = {
+    // same defense as newWriteBuilder/deleteWhere/newRowLevelOperationBuilder:
+    // a TRUNCATE that somehow reached a time-travel snapshot would
+    // commit against the HEAD while reporting the pinned schema
+    require(pinned.isEmpty,
+      s"cannot TRUNCATE a time-travel snapshot of $ident (VERSION AS OF " +
+        s"${pinned.get}); truncate the live table instead")
     TxTable.overwrite(spark, path, spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), schema))
     true
@@ -770,6 +874,10 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
     Option(options.get("startingVersion")).map(_.toLong)
   private val maxVersions =
     Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+  /** The snapshot schema every batch is projected under (see the
+    * evolution gate in [[planInputPartitions]]). */
+  private lazy val loadTimeSchema =
+    TxTable.stateSchema(spark, path, table.state)
   @volatile private var availableNowHead: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
@@ -825,6 +933,27 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
     if (s.init)
       fileParts(TxTable.snapshotState(spark, path, s.v).files)
     TxTable.commitsIn(spark, path, s.v, e.v).foreach { c =>
+      // Schema-evolution gate (Delta parity): every batch's files are
+      // read under the LOAD-TIME snapshot schema (createReaderFactory),
+      // so a commit that WIDENS it — an evolveAppend / ALTER TABLE ADD
+      // COLUMN — would otherwise stream through as a zero-row append
+      // and every later append would be silently projected to the old
+      // shape, shipping nulls for a column that exists upstream. Fail
+      // the stream loudly instead; a restart reloads the widened
+      // schema and resumes from the checkpoint. Commits whose schema
+      // is COVERED by the load-time schema (historical evolutions in
+      // a startingVersion replay) pass — the head schema null-fills.
+      c.schemaB64.map(TxTable.schemaFromB64).foreach { cs =>
+        val known = loadTimeSchema.fields
+          .map(f => (f.name, f.dataType)).toSet
+        val added = cs.fields.filterNot(f => known((f.name, f.dataType)))
+        if (added.nonEmpty) throw new IllegalStateException(
+          s"readStream.table on $path: version ${c.version} evolved the " +
+            s"table schema (added ${added.map(_.name).mkString(", ")}) " +
+            "past this stream's load-time schema — restart the stream " +
+            "so it picks up the new schema; the checkpoint resumes from " +
+            "this offset")
+      }
       val identical = c.op.exists(o =>
         o == "compact" || o == "compactSmall" || o == "optimize")
       if (c.action == "append") fileParts(c.files)
@@ -1125,6 +1254,107 @@ class TxV1WriteBuilder(spark: SparkSession, path: String,
       new TxStreamingWrite(spark, path, info.queryId(), info.schema(),
         truncatePerEpoch = overwriteAll)
   }
+}
+
+/** The staged side of atomic CTAS / REPLACE TABLE: writes stage
+  * invisible `data-*` files under the table path (a dir with no
+  * `_txlog` is not a table; staged files are unreferenced until a
+  * commit names them), and [[commitStagedChanges]] publishes them in
+  * ONE log claim —
+  *
+  *  - CREATE ... AS SELECT: claim EXACTLY version 1 with the staged
+  *    files (the [[TxTable.createExactlyV1Files]] race discipline —
+  *    a concurrent creator serializes on the claim, the loser's
+  *    staging is deleted and `TableAlreadyExistsException` thrown);
+  *  - [CREATE OR] REPLACE TABLE [AS SELECT]: one history-preserving
+  *    overwrite commit (op `replaceTable`) — old versions stay
+  *    time-travelable, the staged files define the new schema
+  *    (overwrite's evolution-reset contract), and a concurrent
+  *    writer's commit conflicts through the normal claim loop.
+  *
+  * [[abortStagedChanges]] (Spark calls it when the query throws)
+  * deletes the stagings; a REPLACE whose source query fails therefore
+  * leaves the old table untouched, history intact — spec-pinned.
+  */
+class TxStagedTable(spark: SparkSession, val path: String,
+                    ident: Identifier, name0: String,
+                    declared: StructType,
+                    replaceExisting: Boolean, orCreate: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private val hfs = Dedup.hadoopFs(spark, path)
+  private val dirExistedAtStage = hfs.exists(new Path(path))
+  private val staged =
+    scala.collection.mutable.ArrayBuffer.empty[String]
+
+  override def name(): String = name0
+  override lazy val schema: StructType = declared
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // the staging starts empty, so "truncate then write" and
+      // "write" produce the same staged content — accept and ignore
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit =
+              staged.synchronized {
+                staged ++= TxTable.stageFiles(spark, path, data)
+                ()
+              }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val files = staged.synchronized {
+      if (staged.isEmpty)
+        // plain REPLACE TABLE (no AS SELECT) / empty CTAS: the commit
+        // still needs one schema-carrying file so the table reads as
+        // EMPTY with the declared schema (createTable's discipline)
+        staged ++= TxTable.stageFiles(spark, path, spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), declared))
+      staged.toSeq
+    }
+    if (replaceExisting) {
+      // one overwrite commit whether the table still exists (normal
+      // REPLACE — claims head+1, history preserved) or was dropped /
+      // never existed under OR REPLACE (claims v1 — a create)
+      TxTable.commitReplaceTable(spark, path, files)
+      ()
+    } else if (!TxTable.createExactlyV1Files(spark, path, files)) {
+      cleanupDir()
+      throw new TableAlreadyExistsException(ident)
+    }
+  }
+
+  override def abortStagedChanges(): Unit = {
+    TxTable.deleteStagings(spark, path,
+      staged.synchronized(staged.toSeq))
+    cleanupDir()
+  }
+
+  /** If staging MINTED the table directory and nothing else landed in
+    * it, remove it — an empty dir under the warehouse would otherwise
+    * read as a phantom namespace.
+    */
+  private def cleanupDir(): Unit =
+    if (!dirExistedAtStage && hfs.exists(new Path(path)) &&
+        hfs.listStatus(new Path(path)).isEmpty) {
+      hfs.delete(new Path(path), true)
+      ()
+    }
+
+  override def toString: String = s"TxStagedTable($name0)"
 }
 
 /** `df.writeStream.toTable("gx.t")` — exactly-once streaming ingest

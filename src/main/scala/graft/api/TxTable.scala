@@ -459,6 +459,13 @@ object TxTable {
           df.repartition(1).write.mode("overwrite").parquet(s"$path/$sub")
           list()
         }
+      } catch { case t: Throwable =>
+        // a write that THREW mid-stage (a failing source query under
+        // CTAS/REPLACE, a task error) owns its UUID dir exclusively —
+        // delete it now instead of leaving an orphan for vacuum
+        try hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+        catch { case _: Throwable => () }
+        throw t
       } finally prior match {
         case Some(v) => spark.conf.set(tsKey, v)
         case None    => spark.conf.unset(tsKey)
@@ -637,7 +644,7 @@ object TxTable {
   private def schemaToB64(st: org.apache.spark.sql.types.StructType): String =
     java.util.Base64.getEncoder.encodeToString(st.json.getBytes("UTF-8"))
 
-  private def schemaFromB64(b: String): org.apache.spark.sql.types.StructType =
+  private[graft] def schemaFromB64(b: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(
       new String(java.util.Base64.getDecoder.decode(b), "UTF-8"))
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -2721,19 +2728,52 @@ object TxTable {
     * two racing CTAS would silently UNION their datasets.
     */
   private[graft] def createExactlyV1(spark: SparkSession, path: String,
-                                     df: DataFrame): Boolean = {
-    val files = stage(spark, path, df)
+                                     df: DataFrame): Boolean =
+    createExactlyV1Files(spark, path, stage(spark, path, df))
+
+  /** The pre-staged-files half of [[createExactlyV1]] — the DSv2
+    * staged-CTAS commit point, where the query's output was already
+    * staged through the write builder before the claim.
+    */
+  private[graft] def createExactlyV1Files(spark: SparkSession, path: String,
+                                          files: Seq[String]): Boolean =
     commitAt(spark, path, 1L, "overwrite", files, None) match {
       case Some(_) => true
       case None =>
         // lost the creation race: remove the orphan staging now (it is
         // invisible anyway, but why wait for vacuum)
-        val dir = files.head.substring(0, files.head.lastIndexOf('/'))
-        fs(spark, path).delete(
-          new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+        deleteStagings(spark, path, files)
         false
     }
-  }
+
+  /** Stage `df`'s rows under `path` WITHOUT committing — the DSv2
+    * staged-table write seam ([[graft.api.TxStagedTable]]): files land
+    * invisible (no commit references them) until commitStagedChanges
+    * publishes them in one claim, or abort deletes them.
+    */
+  private[graft] def stageFiles(spark: SparkSession, path: String,
+                                df: DataFrame): Seq[String] =
+    stage(spark, path, df)
+
+  /** Publish pre-staged files as ONE history-preserving overwrite
+    * commit — `REPLACE TABLE` on an existing table: the old versions
+    * stay time-travelable (replace is a version, not an erasure) and
+    * the staged files define the new schema wholesale (the overwrite
+    * evolution-reset contract).
+    */
+  private[graft] def commitReplaceTable(spark: SparkSession, path: String,
+                                        files: Seq[String]): Long =
+    commit(spark, path, "overwrite", files, op = Some("replaceTable"))
+
+  /** Delete the `data-*` staging dirs holding `files` (abort path). */
+  private[graft] def deleteStagings(spark: SparkSession, path: String,
+                                    files: Seq[String]): Unit =
+    files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .foreach { dir =>
+        fs(spark, path).delete(
+          new org.apache.hadoop.fs.Path(s"$path/$dir"), true)
+        ()
+      }
 
   /** The last version committed at or before `tsMs` — `TIMESTAMP AS
     * OF` resolution in O(log n) commit-record reads via binary search
@@ -2770,7 +2810,19 @@ object TxTable {
                                fromExclusive: Long,
                                toInclusive: Long): Seq[Commit] = {
     val hfs = fs(spark, path)
-    logVersions(hfs, path)._1
+    val allVs = logVersions(hfs, path)._1
+    // Same retention guard as [[changesRows]]: if [[expireHistory]]
+    // truncated records inside this window, the expired versions'
+    // appends would otherwise SILENTLY vanish from the V2 stream (the
+    // filter below just sees fewer versions and plans zero partitions
+    // for them) — a lagging consumer must re-bootstrap, loudly.
+    allVs.headOption.filter(e => e > 1 && fromExclusive < e - 1).foreach(e =>
+      throw new IllegalStateException(
+        s"commitsIn on $path: history below version $e was expired " +
+          s"(expireHistory), but the window starts after $fromExclusive — " +
+          "this stream lags the retention horizon; re-bootstrap it " +
+          "from a snapshot read and a fresh checkpoint"))
+    allVs
       .filter(v => v > fromExclusive && v <= toInclusive)
       .map(v => parse(readSmall(hfs,
         new org.apache.hadoop.fs.Path(commitPath(path, v)))))

@@ -1164,7 +1164,9 @@ object Sources {
     * of an old log would renumber history.
     */
   private def ensureTxBase(s: SparkSession, dir: String): String =
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 21) { base =>
+    // ver 22: staged (atomic) CTAS — catalog-built tables now carry
+    // their data in version 1 (no intermediate empty-create commit)
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 22) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /

@@ -128,15 +128,19 @@ class TxCatalogSpec extends AnyFunSuite {
     intercept[Exception](sql("SELECT * FROM gx.life.b").collect())
   }
 
-  test("CTAS: CREATE TABLE AS SELECT lands create + append commits") {
+  test("CTAS: CREATE TABLE AS SELECT is ONE atomic staged commit") {
     warehouse
     import spark.implicits._
     Seq((1L, "x"), (2L, "y")).toDF("id", "v")
       .createOrReplaceTempView("ctas_src")
     sql("CREATE TABLE gx.ctas AS SELECT * FROM ctas_src")
     assert(sql("SELECT * FROM gx.ctas").count() === 2L)
+    // the staged path: query output staged first, then published in
+    // one v1 claim — no intermediate empty-table version exists
     assert(TxTable.history(spark, s"$warehouse/ctas")
-      .map(_.action) === Seq("overwrite", "append"))
+      .map(_.action) === Seq("overwrite"))
+    assert(TxTable.readVersion(spark, s"$warehouse/ctas", 1).count() === 2L,
+      "version 1 carries the CTAS data itself")
   }
 
   test("path-traversal identifiers are rejected") {
@@ -445,5 +449,68 @@ class TxCatalogDeepGuardSpec extends AnyFunSuite {
     }
     assert(TxTable.versionAtOrBefore(spark, s"$warehouse/bt",
       hist.head.ts - 1000) === None)
+  }
+}
+
+/** Round-18 guards: properties the log cannot persist are rejected
+  * loudly; identifiers stay addressable by every statement (incl.
+  * CALL's dot-split table argument); TRUNCATE cannot reach a pinned
+  * snapshot.
+  */
+class TxCatalogPropertySpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txprop").toString
+    spark.conf.set("spark.sql.catalog.gp2", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gp2.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("TBLPROPERTIES / COMMENT / foreign USING are rejected, not dropped") {
+    warehouse
+    val e1 = intercept[Exception](
+      sql("CREATE TABLE gp2.p1 (id BIGINT) TBLPROPERTIES ('k' = 'v')"))
+    assert(msgs(e1).exists(_.contains("does not persist table property")),
+      s"TBLPROPERTIES names the policy: ${msgs(e1)}")
+    val e2 = intercept[Exception](
+      sql("CREATE TABLE gp2.p2 (id BIGINT) COMMENT 'a note'"))
+    assert(msgs(e2).exists(_.contains("does not persist table property")),
+      s"COMMENT is a property too: ${msgs(e2)}")
+    val e3 = intercept[Exception](
+      sql("CREATE TABLE gp2.p3 (id BIGINT) USING parquet"))
+    assert(msgs(e3).exists(_.contains("txtable tables only")),
+      s"a foreign USING is rejected: ${msgs(e3)}")
+    // nothing half-created
+    assert(sql("SHOW TABLES IN gp2").collect().isEmpty)
+    // the catalog's own provider and a plain CREATE both pass
+    sql("CREATE TABLE gp2.ok1 (id BIGINT) USING txtable")
+    sql("CREATE TABLE gp2.ok2 (id BIGINT)")
+    assert(sql("SHOW TABLES IN gp2").collect()
+      .map(_.getString(1)).toSet === Set("ok1", "ok2"))
+  }
+
+  test("dotted identifier segments are rejected (CALL addressability)") {
+    warehouse
+    val e = intercept[Exception](
+      sql("CREATE TABLE gp2.`a.b` (id BIGINT)"))
+    assert(msgs(e).exists(_.contains("dot-free")),
+      s"a dotted segment would be unaddressable via CALL: ${msgs(e)}")
+  }
+
+  test("TRUNCATE cannot reach a time-travel snapshot") {
+    warehouse
+    sql("CREATE TABLE gp2.tr (id BIGINT)")
+    sql("INSERT INTO gp2.tr VALUES (1), (2)")
+    val pinnedTable = new graft.api.TxV2Table(
+      spark, s"$warehouse/tr", "gp2.tr", pinned = Some(1L))
+    val e = intercept[Exception](pinnedTable.truncateTable())
+    assert(e.getMessage.contains("time-travel snapshot"),
+      s"the pinned guard fires before any commit: ${e.getMessage}")
+    assert(sql("SELECT count(*) FROM gp2.tr").collect()
+      .head.getLong(0) === 2L, "nothing was truncated")
   }
 }

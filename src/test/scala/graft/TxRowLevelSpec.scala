@@ -475,7 +475,7 @@ class TxRowLevelRaceSpec extends AnyFunSuite {
       "the update applied exactly; nothing lost or doubled")
   }
 
-  test("CREATE OR REPLACE TABLE swaps the table") {
+  test("CREATE OR REPLACE TABLE swaps atomically, history preserved") {
     warehouse
     spark.sql("CREATE TABLE gz.cr (id BIGINT)")
     spark.sql("INSERT INTO gz.cr VALUES (1)")
@@ -484,6 +484,59 @@ class TxRowLevelRaceSpec extends AnyFunSuite {
     val out = spark.sql("SELECT id, v FROM gz.cr").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(out === Seq((7L, "x")))
+    // REPLACE is ONE history-preserving overwrite commit, not
+    // drop-then-create: the pre-replace versions still time-travel
+    // (with their old schema) and the log carries the op
+    assert(spark.sql("SELECT id FROM gz.cr VERSION AS OF 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "the old table's history survived the REPLACE")
+    val hist = graft.api.TxTable.history(spark, s"$warehouse/cr")
+    assert(hist.last.op === Some("replaceTable") &&
+      hist.map(_.version) === Seq(1L, 2L, 3L))
+  }
+
+  test("REPLACE whose source query throws leaves the old table intact") {
+    warehouse
+    spark.sql("CREATE TABLE gz.rf (id BIGINT)")
+    spark.sql("INSERT INTO gz.rf VALUES (1), (2)")
+    // data-dependent runtime failure: the write job starts (the table
+    // is staged) and then a task throws — the exact window where the
+    // non-staged drop-then-create plan would have already destroyed
+    // the old table's log
+    spark.range(0, 10).toDF("id").createOrReplaceTempView("rf_src")
+    intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE gz.rf AS SELECT 10L / (id - 5L) AS q FROM rf_src"))
+    assert(spark.sql("SELECT id FROM gz.rf ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "the old table still reads after the failed REPLACE")
+    assert(graft.api.TxTable.history(spark, s"$warehouse/rf")
+      .map(_.version) === Seq(1L, 2L),
+      "full history intact; the failed attempt committed nothing")
+    // the failed write cleaned its own staging dir (stage()'s
+    // delete-on-throw), and abort removed anything it had collected —
+    // no orphan data dirs remain for vacuum
+    val leftovers = new java.io.File(s"$warehouse/rf").listFiles()
+      .map(_.getName).filter(_.startsWith("data-"))
+    val referenced = graft.api.TxTable.history(spark, s"$warehouse/rf")
+      .flatMap(_.files).map(_.split('/').head).toSet
+    assert(leftovers.toSet === referenced,
+      s"aborted stagings were deleted: on disk ${leftovers.toSet} vs " +
+        s"referenced $referenced")
+  }
+
+  test("plain REPLACE TABLE (no AS SELECT) resets to empty, new schema") {
+    warehouse
+    spark.sql("CREATE TABLE gz.rp (id BIGINT)")
+    spark.sql("INSERT INTO gz.rp VALUES (1)")
+    spark.sql("REPLACE TABLE gz.rp (k STRING, n BIGINT)")
+    assert(spark.table("gz.rp").schema.fieldNames.toSeq === Seq("k", "n"),
+      "the replace defines the new schema")
+    assert(spark.table("gz.rp").count() === 0L)
+    assert(spark.sql("SELECT id FROM gz.rp VERSION AS OF 2").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L),
+      "old data remains one time-travel away")
+    // REPLACE on a missing table demands OR — Spark-side contract
+    intercept[Exception](spark.sql("REPLACE TABLE gz.nope (k STRING)"))
   }
 }
 
@@ -646,6 +699,80 @@ class TxCatalogStreamReadSpec extends AnyFunSuite {
     q2.awaitTermination()
     assert(sql("SELECT id FROM gm.chd ORDER BY id").collect()
       .map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("mid-stream schema evolution fails loudly; restart resumes widened") {
+    warehouse
+    val ck = java.nio.file.Files.createTempDirectory("txsrev").toString
+    sql("CREATE TABLE gm.ev2 (id BIGINT, v STRING)")
+    sql("INSERT INTO gm.ev2 VALUES (1, 'a')")
+    sql("CREATE TABLE gm.evd (id BIGINT, v STRING)")
+    val q0 = spark.readStream.table("gm.ev2")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gm.evd")
+    q0.awaitTermination()
+    // widen the table while the stream's checkpoint lags, then append
+    // rows carrying the new column: the pre-evolution schema would
+    // silently project them to the old shape (nulls for w, forever)
+    // the gate needs a RUNNING stream whose load-time schema predates
+    // the evolution (an AvailableNow re-drain would reload the widened
+    // head and trip the SINK schema check instead — a different guard)
+    val gate = spark.readStream.table("gm.ev2")
+      .writeStream
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("txsrev2").toString)
+      .format("memory").queryName("ev2_gate").start()
+    gate.processAllAvailable() // batch 0 under the pre-evolution schema
+    sql("ALTER TABLE gm.ev2 ADD COLUMN w STRING")
+    sql("INSERT INTO gm.ev2 VALUES (2, 'b', 'W')")
+    val err = intercept[Exception] {
+      gate.processAllAvailable()
+      gate.awaitTermination(30000)
+      gate.exception.foreach(throw _)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m =>
+      m.contains("evolved the") && m.contains("restart the stream")),
+      s"the evolution gate names the remedy: ${msgs(err)}")
+    // a RESTART (fresh load -> widened schema) resumes from the same
+    // checkpoint and delivers the new column's values
+    sql("CREATE TABLE gm.evd2 (id BIGINT, v STRING, w STRING)")
+    val q1 = spark.readStream.table("gm.ev2")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gm.evd2")
+    q1.awaitTermination()
+    val got = sql("SELECT id, w FROM gm.evd2 ORDER BY id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq
+    assert(got === Seq((2L, Some("W"))),
+      s"the post-evolution append arrived with w populated: $got")
+  }
+
+  test("a stream lagging the retention horizon fails loudly") {
+    warehouse
+    val ck = java.nio.file.Files.createTempDirectory("txsrrh").toString
+    sql("CREATE TABLE gm.rh (id BIGINT)")
+    sql("INSERT INTO gm.rh VALUES (1)")
+    sql("CREATE TABLE gm.rhd (id BIGINT)")
+    val q0 = spark.readStream.table("gm.rh")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gm.rhd")
+    q0.awaitTermination() // checkpoint cursor now at v2
+    (2 to 5).foreach(i => sql(s"INSERT INTO gm.rh VALUES ($i)"))
+    sql("CALL gm.system.expire_history(table => 'rh', keep_versions => 2)")
+    val err = intercept[Exception] {
+      val q = spark.readStream.table("gm.rh")
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).toTable("gm.rhd")
+      q.awaitTermination()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(m =>
+      m.contains("retention horizon") && m.contains("re-bootstrap")),
+      s"expired-window appends must not vanish silently: ${msgs(err)}")
+    assert(sql("SELECT count(*) FROM gm.rhd").collect().head.getLong(0) === 1L,
+      "nothing partial landed from the failed poll")
   }
 
   test("maxVersionsPerTrigger drains a backlog as bounded batches") {
