@@ -448,6 +448,11 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
   private[api] lazy val fileStatuses
       : Map[String, org.apache.hadoop.fs.FileStatus] =
     TxTable.liveFileStatuses(spark, path, state)
+  /** Per-file sorted position deletes of this snapshot (merge-on-read
+    * DVs) — the row-based scan's per-partition filter sets; empty for
+    * DV-free tables, which keep the native columnar plan. */
+  private[api] lazy val dvPositions: Map[String, Array[Long]] =
+    TxTable.delPositions(spark, path, state)
   private[api] def session: SparkSession = spark
 
   override def name(): String = ident
@@ -488,6 +493,15 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
+    // a DV-bearing snapshot cannot use the native columnar parquet
+    // scan (nothing there can drop (file, position) rows): route the
+    // WHOLE read through the row-based branch, which filters each
+    // partition's positions against its file's delete set. DV-free
+    // tables — the steady state; compact/compactSmall purge deletes —
+    // keep the native plan, so plan parity with V1 is unchanged where
+    // it is pinned.
+    if (state.dels.nonEmpty)
+      return new TxDvScanBuilder(spark, this, options)
     val index = new GraftTxParquetIndex(spark, new Path(path),
       state.files.map(f => f -> fileStatuses(f)),
       dataFilters => {
@@ -669,14 +683,61 @@ class TxRowLevelScanBuilder(spark: SparkSession, table: TxV2Table,
       TxTableRelation.constraints(fileFilters)
     val candidates =
       TxTable.prunedFiles(table.state, ranges, points, strRanges)
-    val scan = new TxFileScan(spark, table, candidates, required)
+    // DV-applied: the copy-on-write rewrite must not resurrect rows a
+    // position-delete commit already removed from carried files
+    val scan = new TxFileScan(spark, table, candidates, required,
+      table.dvPositions)
     op.registerScan(scan)
     scan
   }
 }
 
-case class TxFilePartition(rel: String, abs: String, len: Long)
+case class TxFilePartition(rel: String, abs: String, len: Long,
+                           dvPos: Array[Long] = Array.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The scan builder a DV-bearing snapshot reads through: the same
+  * row-based file scan as the row-level rewrite path — log-metadata
+  * file pruning from pushed filters (all residual: Spark re-applies
+  * rows), column pruning, per-partition position-delete filtering —
+  * plus the micro-batch wrapper so `readStream.table` keeps working.
+  * Row-group pushdown inside files is deliberately absent here: a
+  * skipped row group would desynchronize the position walk. The
+  * steady state is DV-free (compact/compactSmall purge deletes) and
+  * plans native columnar.
+  */
+class TxDvScanBuilder(spark: SparkSession, table: TxV2Table,
+                      options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var fileFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  private var required: StructType = table.schema
+
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    fileFilters = filters
+    filters // all residual: pruning is per-file only
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val (ranges, points, strRanges) =
+      TxTableRelation.constraints(fileFilters)
+    val candidates =
+      TxTable.prunedFiles(table.state, ranges, points, strRanges)
+    new TxStreamCapableScan(spark, table,
+      new TxFileScan(spark, table, candidates, required,
+        table.dvPositions), options)
+  }
+}
 
 /** Row-based scan over an explicit snapshot file subset, producing the
   * `_file` group column. Vectorized batching is deliberately off: the
@@ -686,14 +747,18 @@ case class TxFilePartition(rel: String, abs: String, len: Long)
   * parquet scan.
   */
 class TxFileScan(spark: SparkSession, table: TxV2Table,
-                 candidates: Seq[String], required: StructType)
+                 candidates: Seq[String], required: StructType,
+                 dels: Map[String, Array[Long]] = Map.empty)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   @volatile private var files: Seq[TxFilePartition] = candidates.map { rel =>
     val st = table.fileStatuses(rel)
-    TxFilePartition(rel, st.getPath.toString, st.getLen)
+    // each partition carries ITS file's sorted position deletes — the
+    // reader drops them with an ordered pointer walk (merge-on-read)
+    TxFilePartition(rel, st.getPath.toString, st.getLen,
+      dels.getOrElse(rel, Array.empty))
   }
   @volatile private[api] var runtimeFiltered = false
 
@@ -781,7 +846,34 @@ class TxRowReaderFactory(
     val fileRow = new GenericInternalRow(Array[Any](
       org.apache.spark.unsafe.types.UTF8String.fromString(p.abs)))
     val jr = new JoinedRow()
-    val base = readerFn(GraftV2Bridge.partitionedFile(p.abs, p.len))
+    val base0 = readerFn(GraftV2Bridge.partitionedFile(p.abs, p.len))
+    // merge-on-read: drop this file's deleted positions. The reader
+    // consumes the WHOLE file in storage order, so the running row
+    // count IS the parquet row index the delete files recorded; both
+    // sides sorted → one O(1)-per-row pointer walk.
+    val base =
+      if (p.dvPos.isEmpty) base0
+      else new Iterator[InternalRow] {
+        private val dv = p.dvPos
+        private var di = 0
+        private var pos = -1L
+        private var nextRow: InternalRow = _
+        private var ready = false
+        private def advance(): Unit = {
+          while (!ready && base0.hasNext) {
+            val r = base0.next(); pos += 1
+            while (di < dv.length && dv(di) < pos) di += 1
+            if (di < dv.length && dv(di) == pos) di += 1
+            else { nextRow = r; ready = true }
+          }
+        }
+        override def hasNext: Boolean = { advance(); ready }
+        override def next(): InternalRow = {
+          advance()
+          if (!ready) throw new NoSuchElementException
+          ready = false; nextRow
+        }
+      }
     val rows: Iterator[InternalRow] =
       if (needsFile) base.map(r => proj(jr(r, fileRow)))
       else base.map(proj)
@@ -922,16 +1014,23 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val s = off(start); val e = off(end)
     val parts = Seq.newBuilder[org.apache.spark.sql.connector.read.InputPartition]
-    def fileParts(files: Seq[String]): Unit = {
+    def fileParts(files: Seq[String],
+                  dvs: Map[String, Array[Long]] = Map.empty): Unit = {
       val st = TxTable.liveFileStatuses(spark, path,
         TxTable.State(files, Map.empty, Map.empty, None, Map.empty, Nil))
       files.foreach { f =>
         val fst = st(f)
-        parts += TxFilePartition(f, fst.getPath.toString, fst.getLen)
+        parts += TxFilePartition(f, fst.getPath.toString, fst.getLen,
+          dvs.getOrElse(f, Array.empty))
       }
     }
-    if (s.init)
-      fileParts(TxTable.snapshotState(spark, path, s.v).files)
+    if (s.init) {
+      // the initial snapshot batch is a READ of version s.v — apply
+      // its position deletes like any other read (appended files in
+      // later batches are new and carry none by construction)
+      val snap = TxTable.snapshotState(spark, path, s.v)
+      fileParts(snap.files, TxTable.delPositions(spark, path, snap))
+    }
     TxTable.commitsIn(spark, path, s.v, e.v).foreach { c =>
       // Schema-evolution gate (Delta parity): every batch's files are
       // read under the LOAD-TIME snapshot schema (createReaderFactory),

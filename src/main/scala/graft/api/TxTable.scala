@@ -80,7 +80,8 @@ object TxTable {
                           op: Option[String] = None,
                           cdf: Seq[String] = Nil,
                           schemaB64: Option[String] = None,
-                          sstats: Map[String, (String, String)] = Map.empty)
+                          sstats: Map[String, (String, String)] = Map.empty,
+                          dels: Seq[String] = Nil)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -119,6 +120,10 @@ object TxTable {
       c.schemaB64.map(sc => s""""schemaB64":"$sc",""").getOrElse("") +
       (if (c.cdf.isEmpty) ""
        else s""""cdf":[${c.cdf.map("\"" + _ + "\"").mkString(",")}],""") +
+      // position-delete files (Iceberg v2 shape): parquet files of
+      // (f, pos) rows naming deleted positions of live data files
+      (if (c.dels.isEmpty) ""
+       else s""""dels":[${c.dels.map("\"" + _ + "\"").mkString(",")}],""") +
       // sstats entries are bracket-free (base64 payloads): per-file
       // TRUNCATED string bounds — lo is a prefix of the true min (a
       // prefix never exceeds the full string in byte order), hi is the
@@ -165,6 +170,7 @@ object TxTable {
   private val SStatRe =
     """\{"f":"([^"]+)","lo":"([A-Za-z0-9+/=]*)","hi":"([A-Za-z0-9+/=]*)"\}""".r
   private val CdfRe = """"cdf":\[([^\]]*)\]""".r
+  private val DelsRe = """"dels":\[([^\]]*)\]""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
   private val MStatsRe = """"mstats":\[(.*)\],"ts"""".r
   private val MStatRe = """\{"f":"([^"]+)","r":\[([-0-9,]*)\]\}""".r
@@ -207,7 +213,10 @@ object TxTable {
     SStatsRe.findFirstMatchIn(txt).map(m =>
       SStatRe.findAllMatchIn(m.group(1)).map(x =>
         x.group(1) -> (x.group(2), x.group(3))).toMap)
-      .getOrElse(Map.empty))
+      .getOrElse(Map.empty),
+    DelsRe.findFirstMatchIn(txt).map(m =>
+      FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -328,7 +337,8 @@ object TxTable {
                                  blooms: Map[String, String] = Map.empty,
                                  zbits: Int = 0,
                                  schemaB64: Option[String] = None,
-                                 sstats: Map[String, (String, String)] = Map.empty)
+                                 sstats: Map[String, (String, String)] = Map.empty,
+                                 dels: Seq[String] = Nil)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State =
@@ -356,7 +366,7 @@ object TxTable {
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
           ck.statsCol, ck.mstats, ck.statsCols,
           ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits, ck.schemaB64,
-          ck.sstats), cv)
+          ck.sstats, ck.dels), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -390,18 +400,27 @@ object TxTable {
         // schema RESETS (unless the overwrite carries one itself); an
         // append carrying schemaB64 (an evolveAppend) WIDENS the head
         // schema, a plain append inherits it
-        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2, ss2) =
+        // dels (position-delete files) accumulate like cdf's data-
+        // carrying cousins: a non-overwrite commit ADDS its dels; an
+        // overwrite carries exactly what it names (a user overwrite
+        // resets to Nil; a snapshot-derived rewrite — commitReplace,
+        // replaceWhere, compactSmall — passes the surviving dels
+        // through so carried files' deleted rows never resurrect;
+        // stale del rows naming removed files match nothing — staging
+        // names are never reused)
+        val (files2, stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2, ss2, dels2) =
           if (c.action == "overwrite")
             (c.files, c.stats, c.statsCol, c.mstats, c.statsCols,
               c.bloomCol, c.bloomBits, c.blooms, c.zbits, c.schemaB64,
-              c.sstats)
+              c.sstats, c.dels)
           else (st.files ++ c.files, st.stats ++ c.stats, st.statsCol,
             st.mstats ++ c.mstats, st.statsCols,
             st.bloomCol, st.bloomBits, st.blooms ++ c.blooms, st.zbits,
-            c.schemaB64.orElse(st.schemaB64), st.sstats ++ c.sstats)
+            c.schemaB64.orElse(st.schemaB64), st.sstats ++ c.sstats,
+            st.dels ++ c.dels)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
           stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2,
-          ss2)
+          ss2, dels2)
       }
   }
 
@@ -520,7 +539,8 @@ object TxTable {
                        op: Option[String] = None,
                        cdf: Seq[String] = Nil,
                        schemaB64: Option[String] = None,
-                       sstats: Map[String, (String, String)] = Map.empty)
+                       sstats: Map[String, (String, String)] = Map.empty,
+                       dels: Seq[String] = Nil)
       : Option[Long] = {
     val hfs = fs(spark, path)
     require(!NonAtomicClaimSchemes.contains(hfs.getScheme) ||
@@ -535,7 +555,7 @@ object TxTable {
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
       stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,
-      zbits, op, cdf, schemaB64, sstats)
+      zbits, op, cdf, schemaB64, sstats, dels)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -548,7 +568,8 @@ object TxTable {
             mstats = st.mstats, statsCols = st.statsCols,
             bloomCol = st.bloomCol, bloomBits = st.bloomBits,
             blooms = st.blooms, zbits = st.zbits,
-            schemaB64 = st.schemaB64, sstats = st.sstats))
+            schemaB64 = st.schemaB64, sstats = st.sstats,
+            dels = st.dels))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -590,7 +611,8 @@ object TxTable {
                      op: Option[String] = None,
                      cdf: Seq[String] = Nil,
                      schemaB64: Option[String] = None,
-                     sstats: Map[String, (String, String)] = Map.empty): Long = {
+                     sstats: Map[String, (String, String)] = Map.empty,
+                     dels: Seq[String] = Nil): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
@@ -603,7 +625,7 @@ object TxTable {
           commitAt(spark, path, latestVersion(spark, path) + 1,
               action, files, txn, stats, statsCol, mstats, statsCols,
               bloomCol, bloomBits, blooms, zbits, op, cdf,
-              schemaB64, sstats) match {
+              schemaB64, sstats, dels) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -662,14 +684,22 @@ object TxTable {
       spark.read.parquet(s"$path/${st.files.head}").schema)
 
   /** Read table files under the snapshot's effective schema. */
-  private def readStateFiles(spark: SparkSession, path: String,
-                             st: State, files: Seq[String]): DataFrame =
+  private def readRawStateFiles(spark: SparkSession, path: String,
+                                st: State, files: Seq[String]): DataFrame =
     st.schemaB64 match {
       case Some(b) =>
         spark.read.schema(schemaFromB64(b)).parquet(files.map(f => s"$path/$f"): _*)
       case None =>
         spark.read.parquet(files.map(f => s"$path/$f"): _*)
     }
+
+  /** The snapshot read every consumer goes through: raw files, MINUS
+    * the state's position deletes when any exist (merge-on-read). */
+  private[graft] def readStateFiles(spark: SparkSession, path: String,
+                                    st: State, files: Seq[String]): DataFrame =
+    if (st.dels.isEmpty) readRawStateFiles(spark, path, st, files)
+    else minusDels(spark, path, st, readWithPos(spark, path, st, files))
+      .drop("__graft_dv_f", "__graft_dv_pos")
 
   /** Replace the table content (also the create form — v1 overwrite). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
@@ -1587,8 +1617,9 @@ object TxTable {
       zbits = st.zbits, op = Some("restore"),
       // the metadata-only re-reference must carry EVERY pruning/schema
       // record of the target version: dropping sstats silently erases
-      // string pruning, dropping schemaB64 narrows an evolved head
-      schemaB64 = st.schemaB64, sstats = st.sstats)
+      // string pruning, dropping schemaB64 narrows an evolved head —
+      // and dropping dels would RESURRECT the target's deleted rows
+      schemaB64 = st.schemaB64, sstats = st.sstats, dels = st.dels)
   }
 
   /** Change data feed: the row-level diff between two snapshots, each
@@ -1615,7 +1646,8 @@ object TxTable {
     require(logVersions(hfs0, path)._1.exists(_ <= fromVersion),
       s"no commits at or below version $fromVersion in $path")
     val stTo = foldState(hfs0, path, toVersion)
-    val from = foldState(hfs0, path, fromVersion).files.toSet
+    val stFrom = foldState(hfs0, path, fromVersion)
+    val from = stFrom.files.toSet
     val to = stTo.files.toSet
     // an empty side must be an empty LOCAL relation, not a limit(0)
     // over the snapshot — the latter still lists the snapshot's files,
@@ -1625,13 +1657,41 @@ object TxTable {
     // rows in one shape — pre-evolution files null-fill new columns
     lazy val schema = stTo.schemaB64.map(_ => stateSchema(spark, path, stTo))
       .getOrElse(spark.read.parquet(s"$path/${(to ++ from).head}").schema)
-    def rd(fs: Set[String]): DataFrame =
+    // position deletes: a file live at BOTH endpoints whose delete set
+    // CHANGED between them holds row-level changes the file-set
+    // symmetric difference cannot see — read it on both sides (each
+    // side DV-applied as of its own version) and let EXCEPT ALL cancel
+    // the still-live rows. DV-free windows skip all of this.
+    val dvChanged: Set[String] =
+      if (stFrom.dels.isEmpty && stTo.dels.isEmpty) Set.empty
+      else {
+        val dvF = delPositions(spark, path, stFrom)
+        val dvT = delPositions(spark, path, stTo)
+        (from intersect to).filter(f => !java.util.Arrays.equals(
+          dvF.getOrElse(f, Array.empty[Long]),
+          dvT.getOrElse(f, Array.empty[Long])))
+      }
+    def rd(st: State, fs: Set[String]): DataFrame =
       if (fs.isEmpty) spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
-      else spark.read.schema(schema)
-        .parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
-    val added = rd(to -- from)
-    val removed = rd(from -- to)
+      else {
+        val base = spark.read.schema(schema)
+          .parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
+        if (st.dels.isEmpty) base
+        else {
+          import org.apache.spark.sql.functions.{col, regexp_extract}
+          base
+            .withColumn("__graft_dv_f",
+              regexp_extract(col("_metadata.file_path"), RelNameRegex, 0))
+            .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+            .join(delRows(spark, path, st).select(
+              col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_pos")),
+              Seq("__graft_dv_f", "__graft_dv_pos"), "left_anti")
+            .drop("__graft_dv_f", "__graft_dv_pos")
+        }
+      }
+    val added = rd(stTo, (to -- from) ++ dvChanged)
+    val removed = rd(stFrom, (from -- to) ++ dvChanged)
     added.exceptAll(removed).withColumn("_change", lit("insert"))
       .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
@@ -1667,7 +1727,7 @@ object TxTable {
     */
   def changesRows(spark: SparkSession, path: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"changesRows needs fromVersion <= toVersion, got $fromVersion > $toVersion")
     val hfs = fs(spark, path)
@@ -1691,6 +1751,33 @@ object TxTable {
       if (c.cdf.nonEmpty)
         Some(spark.read.parquet(c.cdf.map(f => s"$path/$f"): _*)
           .withColumn(VersionCol, lit(c.version)))
+      else if (c.action == "dv") {
+        // position-delete commit without staged cdf: the feed is still
+        // PRECISE — deletes are the del rows joined back to their
+        // referenced files' pre-version rows (reads only the touched
+        // files), inserts are the commit's new image files. A dv
+        // commit's positions are live at version-1 by construction
+        // (the verbs match over DV-applied rows), so no pre-dels
+        // exclusion is needed here.
+        val hfs2 = fs(spark, path)
+        val pre = foldState(hfs2, path, c.version - 1)
+        val delsDf = spark.read.schema(DelSchema)
+          .parquet(c.dels.map(f => s"$path/$f"): _*)
+        val refFiles = delsDf.select("f").distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+        val deletes = readWithPos(spark, path, pre, refFiles)
+          .join(delsDf.select(col("f").as("__graft_dv_f"),
+            col("pos").as("__graft_dv_pos")),
+            Seq("__graft_dv_f", "__graft_dv_pos"))
+          .drop("__graft_dv_f", "__graft_dv_pos")
+          .withColumn(ChangeCol, lit("delete"))
+        val both =
+          if (c.files.isEmpty) deletes
+          else deletes.unionByName(
+            spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
+              .withColumn(ChangeCol, lit("insert")))
+        Some(both.withColumn(VersionCol, lit(c.version)))
+      }
       else if (c.action == "append" || c.version == 1L)
         // an append's files ARE its inserts; so are v1's (creation —
         // there is no v0 snapshot to diff against)
@@ -2049,12 +2136,27 @@ object TxTable {
           "(create it with overwrite first)")
     def smallOf(st: State): Seq[String] = {
       val sz = fileSizes(hfs, path, st.files)
-      st.files.filter(f => sz.getOrElse(f, 0L) < minFileBytes)
+      val small = st.files.filter(f => sz.getOrElse(f, 0L) < minFileBytes)
+      // DV-bearing files join the pack: rewriting them MATERIALIZES
+      // their position deletes (the read is DV-applied) and the
+      // rewrite restages only the del rows of carried files — so a
+      // compactSmall pass is also the merge-on-read purge step, after
+      // which a fully-purged table plans native columnar again
+      val dvd =
+        if (st.dels.isEmpty) Nil
+        else {
+          val live = st.files.toSet
+          delRows(spark, path, st).select("f").distinct()
+            .collect().map(_.getString(0)).filter(live.contains).toSeq
+        }
+      (small ++ dvd).distinct
     }
     // pre-check on the observed head: nothing (or one file) to pack is
     // the steady state of a well-maintained table and must cost zero
     // writes. Advisory only — the conflict-safe loop re-derives.
-    if (smallOf(foldState(hfs, path, head)).size < 2) return head
+    val st0 = foldState(hfs, path, head)
+    val c0 = smallOf(st0)
+    if (c0.size < 2 && !(c0.nonEmpty && st0.dels.nonEmpty)) return head
     rewriteHead(spark, path, "compactSmall",
       candidatesOf = Some(smallOf),
       targetOf = Some { (st, cand) =>
@@ -2456,6 +2558,209 @@ object TxTable {
       head.filter(!coalesce(cond, lit(false))).unionByName(df))
   }
 
+  // ---- position deletes (merge-on-read deletion vectors) ----
+  //
+  // The Iceberg-v2 position-delete shape over this commit log: a `dv`
+  // commit records WHICH rows died as parquet files of
+  // (f = relative data file, pos = row position in that file) — write
+  // cost O(changed rows) — instead of rewriting whole matched files
+  // (copy-on-write, O(matched files)). Reads apply the deletes; a
+  // compact/compactSmall/optimize rewrite purges them (its snapshot
+  // read is DV-applied and an overwrite resets `dels`). Positions are
+  // parquet row indexes over a FULL-file read — the same value
+  // `_metadata.row_index` reports (parquet-mr row indexes survive
+  // row-group and page skipping, which is what makes the position
+  // contract stable under pushdown).
+
+  private[graft] val DelSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("f",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** `_metadata.file_path` is absolute; del rows key on the relative
+    * `data-x/part-....parquet` name — the staging dir's UUID makes the
+    * two-segment tail globally unique per table (a basename alone
+    * could collide across stagings, and a collision here would delete
+    * rows from the WRONG file).
+    */
+  private val RelNameRegex = "[^/]+/[^/]+$"
+
+  /** (f, pos) rows of a state's position-delete files. */
+  private[graft] def delRows(spark: SparkSession, path: String,
+                             st: State): DataFrame =
+    spark.read.schema(DelSchema).parquet(st.dels.map(f => s"$path/$f"): _*)
+
+  /** Driver-side per-file sorted positions — the V2 scan's
+    * per-partition filter sets ([[graft.api.TxFileScan]]). Bounded in
+    * practice: position deletes are for SMALL mutations (the point of
+    * merge-on-read); large deletions belong to the copy-on-write verbs
+    * and any accumulation is purged by compactSmall.
+    */
+  private[graft] def delPositions(spark: SparkSession, path: String,
+                                  st: State): Map[String, Array[Long]] =
+    if (st.dels.isEmpty) Map.empty
+    else {
+      import org.apache.spark.sql.functions.{collect_list, sort_array}
+      delRows(spark, path, st).groupBy("f")
+        .agg(sort_array(collect_list("pos")).as("ps"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+    }
+
+  /** Read `files` of `st` with DV provenance columns attached
+    * (`__graft_dv_f`, `__graft_dv_pos`), NOT yet DV-filtered. */
+  private def readWithPos(spark: SparkSession, path: String, st: State,
+                          files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, regexp_extract}
+    readRawStateFiles(spark, path, st, files)
+      .withColumn("__graft_dv_f",
+        regexp_extract(col("_metadata.file_path"), RelNameRegex, 0))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+  }
+
+  /** Apply a state's position deletes to a frame carrying the DV
+    * provenance columns (anti-join; AQE broadcasts the small side). */
+  private def minusDels(spark: SparkSession, path: String, st: State,
+                        withPos: DataFrame): DataFrame =
+    if (st.dels.isEmpty) withPos
+    else {
+      import org.apache.spark.sql.functions.col
+      withPos.join(
+        delRows(spark, path, st).select(
+          col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_pos")),
+        Seq("__graft_dv_f", "__graft_dv_pos"), "left_anti")
+    }
+
+  /** The position-delete rows that survive a head rewrite: del rows
+    * referencing CARRIED files restage into fresh del files (so the
+    * state's `dels` list never accretes stale entries — a fully-
+    * rewritten head purges to Nil and returns to the native columnar
+    * plan); del rows referencing rewritten files drop (their deletions
+    * were materialized by the DV-applied snapshot read).
+    */
+  private def survivingDels(spark: SparkSession, path: String, st: State,
+                            untouched: Seq[String]): Seq[String] =
+    if (st.dels.isEmpty || untouched.isEmpty) Nil
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val carried = spark.createDataset(untouched)(
+        org.apache.spark.sql.Encoders.STRING).toDF("f")
+      val sur = delRows(spark, path, st)
+        .join(broadcast(carried), Seq("f"), "left_semi")
+      if (sur.isEmpty) Nil else stage(spark, path, sur)
+    }
+
+  /** Position-delete DELETE (merge-on-read): ONE `dv` commit recording
+    * the matched rows' (file, position) — no data file is rewritten,
+    * so the write is O(changed rows) where [[deleteWhere]] is
+    * O(matched files). Reads at or above the commit apply the
+    * deletes; time travel below it reads the rows; compact/
+    * compactSmall/optimize purge accumulated deletes. SQL NULL
+    * semantics match [[deleteWhere]] (NULL-cond rows are kept). With
+    * `cdf = true` the commit also stages the deleted rows as `delete`
+    * change data; without it [[changesRows]] reconstructs the same
+    * rows precisely from the del files. Conflict-safe: positions are
+    * derived from the observed head and claimed at EXACTLY head+1 —
+    * an interleaved commit (whose rewrite may have MOVED rows to new
+    * files) loses the claim and the derivation re-runs.
+    */
+  def deleteWhereDv(spark: SparkSession, path: String,
+                    cond: org.apache.spark.sql.Column,
+                    cdf: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hfs = fs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head > 0, s"cannot deleteWhereDv $path: no commits yet")
+      val st = foldState(hfs, path, head)
+      val cand = deleteCandidates(spark, path, cond)(st)
+      if (cand.isEmpty) return head
+      // matching runs over LIVE rows only: a position already deleted
+      // by an earlier dv commit must not re-enter a del file
+      val live = minusDels(spark, path, st,
+        readWithPos(spark, path, st, cand))
+      val matched = live.filter(coalesce(cond, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (matched.isEmpty) return head
+        val delFiles = stage(spark, path, matched.select(
+          col("__graft_dv_f").as("f"), col("__graft_dv_pos").as("pos")))
+        val cdfFiles =
+          if (!cdf) Nil
+          else stage(spark, path, matched
+            .drop("__graft_dv_f", "__graft_dv_pos")
+            .withColumn(ChangeCol, lit("delete")))
+        commitAt(spark, path, head + 1, "dv", Nil, None,
+            op = Some("delete"), cdf = cdfFiles, dels = delFiles) match {
+          case Some(v) => return v
+          case None =>
+            deleteStagings(spark, path, delFiles ++ cdfFiles)
+            attempt += 1 // a commit interleaved: re-derive positions
+        }
+      } finally { matched.unpersist(); () }
+    }
+    throw new IllegalStateException(
+      s"could not deleteWhereDv $path after $MaxCommitRetries lost races")
+  }
+
+  /** Position-delete UPDATE (merge-on-read): matched rows' positions
+    * die and their updated images land as new files — ONE `dv` commit,
+    * O(changed rows) bytes where the copy-on-write UPDATE rewrites
+    * every matched file. `set` maps existing column names to new
+    * value expressions (cast to the column's current type — the
+    * schema cannot drift through an update). With `cdf = true` the
+    * commit stages `update_preimage`/`update_postimage` change rows.
+    */
+  def updateWhereDv(spark: SparkSession, path: String,
+                    cond: org.apache.spark.sql.Column,
+                    set: Map[String, org.apache.spark.sql.Column],
+                    cdf: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val hfs = fs(spark, path)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head > 0, s"cannot updateWhereDv $path: no commits yet")
+      val st = foldState(hfs, path, head)
+      val schema = stateSchema(spark, path, st)
+      set.keys.foreach(k => require(schema.fieldNames.contains(k),
+        s"updateWhereDv on $path: no column '$k' in ${schema.fieldNames.mkString(", ")}"))
+      val cand = deleteCandidates(spark, path, cond)(st)
+      if (cand.isEmpty) return head
+      val live = minusDels(spark, path, st,
+        readWithPos(spark, path, st, cand))
+      val matched = live.filter(coalesce(cond, lit(false)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (matched.isEmpty) return head
+        val pre = matched.drop("__graft_dv_f", "__graft_dv_pos")
+        val images = set.foldLeft(pre) { case (df, (k, v)) =>
+          df.withColumn(k, v.cast(schema(k).dataType))
+        }
+        val delFiles = stage(spark, path, matched.select(
+          col("__graft_dv_f").as("f"), col("__graft_dv_pos").as("pos")))
+        val imgFiles = stage(spark, path, images)
+        val cdfFiles =
+          if (!cdf) Nil
+          else stage(spark, path,
+            pre.withColumn(ChangeCol, lit("update_preimage"))
+              .unionByName(images.withColumn(ChangeCol,
+                lit("update_postimage"))))
+        commitAt(spark, path, head + 1, "dv", imgFiles, None,
+            op = Some("update"), cdf = cdfFiles, dels = delFiles) match {
+          case Some(v) => return v
+          case None =>
+            deleteStagings(spark, path, delFiles ++ imgFiles ++ cdfFiles)
+            attempt += 1
+        }
+      } finally { matched.unpersist(); () }
+    }
+    throw new IllegalStateException(
+      s"could not updateWhereDv $path after $MaxCommitRetries lost races")
+  }
+
   /** The shared conflict-safe head rewrite every whole-table mutation
     * (compact / merge / deleteWhere) commits through: transform the
     * snapshot at the observed head, claim EXACTLY head+1 — if any
@@ -2565,7 +2870,11 @@ object TxTable {
           carry(st.blooms) ++ fblooms, st.zbits,
           op = Some(what), cdf = cdfFiles,
           schemaB64 = st.schemaB64,
-          sstats = carry(st.sstats) ++ fsstats) match {
+          // position deletes of CARRIED files restage forward; deletes
+          // of rewritten files were materialized by the DV-applied
+          // snapshot read — a full rewrite therefore purges to Nil
+          sstats = carry(st.sstats) ++ fsstats,
+          dels = survivingDels(spark, path, st, untouched)) match {
         case Some(v) => return v
         case None    => attempt += 1 // a commit interleaved: restage on top
       }
@@ -2676,7 +2985,11 @@ object TxTable {
           carry(st.blooms) ++ fblooms, st.zbits,
           op = Some(what), cdf = Nil,
           schemaB64 = st.schemaB64,
-          sstats = carry(st.sstats) ++ fsstats) match {
+          // carried files keep their position deletes, restaged fresh
+          // (rewriteHead's contract); rewritten files' deletes were
+          // materialized by the DV-applied row-level scan
+          sstats = carry(st.sstats) ++ fsstats,
+          dels = survivingDels(spark, path, st, untouched)) match {
         case Some(v) => return v
         case None    => attempt += 1 // re-fold the head, re-check conflicts
       }
@@ -2896,7 +3209,8 @@ object TxTable {
         mstats = st.mstats, statsCols = st.statsCols,
         bloomCol = st.bloomCol, bloomBits = st.bloomBits,
         blooms = st.blooms, zbits = st.zbits,
-        schemaB64 = st.schemaB64, sstats = st.sstats))
+        schemaB64 = st.schemaB64, sstats = st.sstats,
+        dels = st.dels))
       try writeNew(hfs,
         new org.apache.hadoop.fs.Path(checkpointPath(path, cutoff)),
         ck.dropRight(1) +
@@ -2922,11 +3236,14 @@ object TxTable {
     // cutoff CHECKPOINT is the only record naming files whose adding
     // commits were expired — without this union a vacuum would delete
     // files the live head still reads
-    val ckFiles = logVersions(hfs, path)._2.flatMap(cv =>
-      parse(readSmall(hfs,
-        new org.apache.hadoop.fs.Path(checkpointPath(path, cv)))).files)
+    val ckFiles = logVersions(hfs, path)._2.flatMap { cv =>
+      val ck = parse(readSmall(hfs,
+        new org.apache.hadoop.fs.Path(checkpointPath(path, cv))))
+      ck.files ++ ck.dels
+    }
     val referenced = (history(spark, path)
-      .flatMap(c => c.files ++ c.cdf) ++ ckFiles) // cdf files are log-reachable too
+      // cdf and position-delete files are log-reachable too
+      .flatMap(c => c.files ++ c.cdf ++ c.dels) ++ ckFiles)
       .map(_.takeWhile(_ != '/')).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     val orphans = hfs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq

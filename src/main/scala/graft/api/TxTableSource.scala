@@ -209,9 +209,58 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     // is pinned here and data files are immutable.
     val state = TxTable.snapshotState(spark, path, version)
     require(state.files.nonEmpty, s"version $version of $path holds no files")
+    // a DV-bearing snapshot cannot plan as a native HadoopFsRelation
+    // (nothing in that scan drops (file, position) rows): serve it
+    // through a PrunedFilteredScan over the DV-applied snapshot read —
+    // correct, with file-level pruning but without native row-group
+    // pushdown. The steady state is DV-free (compact purges deletes)
+    // and keeps the native vectorized plan.
+    if (state.dels.nonEmpty)
+      return new TxDvV1Relation(spark, path, state)
     new TxInsertableHadoopFsRelation(
       new TxFileIndex(spark, path, version, state),
       TxTable.stateSchema(spark, path, state), spark, path)
+  }
+}
+
+/** V1 read of a snapshot carrying position deletes (merge-on-read):
+  * filters prune FILES through the same log metadata as the native
+  * path, rows come from the DV-applied snapshot read, and residual
+  * filters are re-applied by Spark (`unhandledFilters` returns all).
+  * Also an [[InsertableRelation]], so SQL INSERT through a
+  * `USING txtable` table keeps routing to the transactional verbs
+  * while the table happens to carry DVs.
+  */
+class TxDvV1Relation(spark: SparkSession, path: String,
+                     state: TxTable.State)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = TxTable.stateSchema(spark, path, state)
+
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions.col
+    val (ranges, points, strRanges) = TxTableRelation.constraints(filters)
+    val kept = TxTable.prunedFiles(state, ranges, points, strRanges)
+    if (kept.isEmpty)
+      return spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+    val base = TxTable.readStateFiles(spark, path, state, kept)
+    val filtered = filters.flatMap(TxFilters.toColumn)
+      .foldLeft(base)(_.filter(_))
+    (if (requiredColumns.isEmpty) filtered
+     else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)).rdd
+  }
+
+  override def insert(data: org.apache.spark.sql.DataFrame,
+                      overwrite: Boolean): Unit = {
+    if (overwrite) TxTable.overwrite(spark, path, data)
+    else TxTable.append(spark, path, data, txn = None)
+    ()
   }
 }
 

@@ -1008,6 +1008,32 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // MERGE-ON-READ deletion vectors end-to-end: deleteWhereDv records
+    // (file, position) parquet — no data file rewritten — then
+    // updateWhereDv kills the live %11 rows as positions and appends
+    // their updated images; the head read applies both delete sets.
+    // The oracle is the same algebra over the source table, so a
+    // position off by one, a resurrected deleted row, a doubled image,
+    // or an update that matched an already-dead row breaks the hash.
+    Q("q_tx_dv",
+      Some("""WITH live AS (
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE n_chars % 5 <> 0),
+              upd AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN 'd' ELSE source END
+                         AS source,
+                       CASE WHEN doc_id % 11 = 0 THEN n_chars + 7
+                            ELSE n_chars END AS n_chars
+                FROM live)
+              SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM upd GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxDv(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1166,7 +1192,7 @@ object Sources {
   private def ensureTxBase(s: SparkSession, dir: String): String =
     // ver 22: staged (atomic) CTAS — catalog-built tables now carry
     // their data in version 1 (no intermediate empty-create commit)
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 22) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 23) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1176,7 +1202,7 @@ object Sources {
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
         "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct", "rw",
-        "sm", "smd", "smk").foreach { n =>
+        "sm", "smd", "smk", "dv").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1368,6 +1394,20 @@ object Sources {
       s.sql(s"CALL $ctCat.system.compact(table => 'sm', num_files => 2)")
       drainMain(skip = true)
       s.catalog.dropTempView("graft_ct_src")
+      // table "dv": MERGE-ON-READ position deletes (Iceberg v2 shape)
+      // — a doc_id-clustered base, then deleteWhereDv (every
+      // n_chars%5=0 row dies as (file, position) parquet, NO data file
+      // rewritten) and updateWhereDv (live doc_id%11=0 rows die as
+      // positions while their updated images append) — two `dv`
+      // commits whose head q_tx_dv replays against the oracle algebra:
+      // a position off by one, a resurrected row, or a doubled image
+      // breaks the hash.
+      val dvt = s"$base/dv"
+      TxTable.overwriteClustered(s, dvt,
+        docs.select("doc_id", "source", "n_chars"), "doc_id", numFiles = 8)
+      TxTable.deleteWhereDv(s, dvt, col("n_chars") % 5 === 0)
+      TxTable.updateWhereDv(s, dvt, col("doc_id") % 11 === 0,
+        Map("source" -> lit("d"), "n_chars" -> (col("n_chars") + 7)))
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
       // truncates time travel below version 4 and an aged-out vacuum
@@ -1517,6 +1557,9 @@ object Sources {
 
   private[graft] def ensureTxStreamMain(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/smd"
+
+  private[graft] def ensureTxDv(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/dv"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"

@@ -1575,6 +1575,75 @@ object ScaleProbe {
         f"$c1/$nf1 -> $cN/$nfN files  1x $d1%.2f s  ${mult}x $dN%.2f s")
     }
 
+    // Round-18: MERGE-ON-READ deletion vectors — a FIXED 100-key
+    // DELETE + a FIXED 100-key UPDATE as position-delete commits
+    // against a doc_id-clustered table growing mult x. The probe pins
+    // the O(changed rows) contract that goes BEYOND copy-on-write:
+    // zero data files rewritten (every base file carried by name at
+    // both scales), commit bytes = the tiny del/image parquet (flat in
+    // mult), content exact after both commits, and a compactSmall
+    // purge restores the DV-free head identically.
+    {
+      import graft.api.TxTable
+      def dvFor(m: Int) = {
+        val t = java.nio.file.Files
+          .createTempDirectory(s"txdv_$m").toString + "/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 8 * m)
+        val base = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        def len(p: String) = new java.io.File(new java.net.URI(p)).length
+        def stagedBytes(rels: Seq[String]) =
+          rels.map(f => new java.io.File(
+            new java.net.URI(s"file:$t/$f")).length).sum
+        val t0 = System.nanoTime()
+        TxTable.deleteWhereDv(spark, t, col("doc_id").between(100, 199))
+        TxTable.updateWhereDv(spark, t,
+          col("doc_id").between(300, 399), Map("text" -> lit("dvup")))
+        val d = (System.nanoTime() - t0) / 1e9
+        val cs = TxTable.history(spark, t).filter(_.action == "dv")
+        val commitBytes = stagedBytes(cs.flatMap(c => c.dels ++ c.files))
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        val head = TxTable.read(spark, t)
+        val n = head.count()
+        val up = head.filter(col("text") === "dvup").count()
+        val ghosts = head.filter(col("doc_id").between(100, 199)).count()
+        (base.size, base.intersect(after).size, commitBytes,
+          base.toSeq.map(len).sum, d, n, up, ghosts, t)
+      }
+      val (b1, c1, cb1, tb1, d1, n1, u1, g1, t1p) = dvFor(1)
+      val (bN, cN, cbN, tbN, dN, nN, uN, gN, _) = dvFor(mult)
+      require(g1 == 0 && gN == 0 && u1 == 100 && uN == 100 &&
+        nN == (n1 + 100) * mult - 100,
+        s"DV content must be exact at both scales: ghosts $g1/$gN, " +
+          s"updated $u1/$uN, rows $n1 -> $nN")
+      require(c1 == b1 && cN == bN,
+        s"a position delete rewrites NO data file: carried $c1/$b1 " +
+          s"-> $cN/$bN")
+      require(tbN > tb1 * (mult - 2),
+        s"the scaled table must actually be ~${mult}x the bytes: $tb1 -> $tbN")
+      val cg = cbN.toDouble / math.max(1L, cb1)
+      require(cg <= 3.0,
+        s"DV commit bytes must track CHANGED ROWS, not matched files or " +
+          s"table size: $cb1 -> $cbN (${cg}x at table growth " +
+          s"${tbN.toDouble / tb1}x)")
+      // the purge: compactSmall over the 1x table materializes the DVs
+      // and returns an identical DV-free head
+      val expect = TxTable.read(spark, t1p).orderBy("doc_id", "text")
+        .collect().toSeq
+      TxTable.compactSmall(spark, t1p, minFileBytes = 1L)
+      require(TxTable.history(spark, t1p).last.dels.isEmpty &&
+        TxTable.read(spark, t1p).orderBy("doc_id", "text")
+          .collect().toSeq == expect,
+        "compactSmall must purge DVs content-identically")
+      println(f"tx deletion vectors (fixed 100-key delete+update, ${mult}x " +
+        f"corpus): table ${tb1 / 1e6}%.1f -> ${tbN / 1e6}%.1f MB " +
+        f"(${tbN.toDouble / tb1}%.1fx), commit bytes ${cb1 / 1e3}%.1f -> " +
+        f"${cbN / 1e3}%.1f KB (growth ${cg}%.1fx), data files rewritten " +
+        f"0/$b1 -> 0/$bN, purge content-identical  " +
+        f"1x $d1%.2f s  ${mult}x $dN%.2f s")
+    }
+
     spark.stop()
   }
 }

@@ -1,0 +1,201 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.api.TxTable
+
+/** Merge-on-read deletion vectors (position deletes, the Iceberg-v2
+  * shape): a `dv` commit records (file, position) parquet instead of
+  * rewriting matched files — O(changed rows) writes — and every read
+  * path applies them: the API snapshot read, the V1 registered source,
+  * the V2 catalog scan (row-based branch), the change feeds, restore,
+  * and the copy-on-write rewrites (which materialize and purge them).
+  */
+class TxDvSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshTable(n: Int = 100, files: Int = 4): String = {
+    val p = java.nio.file.Files.createTempDirectory("txdv").toString + "/t"
+    TxTable.overwriteClustered(spark, p,
+      (0 until n).map(i => (i.toLong, s"v$i", (i % 10).toLong))
+        .toDF("id", "v", "g"), "id", numFiles = files)
+    p
+  }
+
+  test("deleteWhereDv: O(changed rows) — no data file rewritten") {
+    val p = freshTable()
+    val before = TxTable.history(spark, p).last
+    val v = TxTable.deleteWhereDv(spark, p, col("id") % 10 === 3)
+    assert(v === 2L)
+    val c = TxTable.history(spark, p).last
+    assert(c.action === "dv" && c.op === Some("delete"))
+    assert(c.files.isEmpty, "a position delete stages NO data files")
+    assert(c.dels.nonEmpty, "the commit records its del files")
+    // the head file set is EXACTLY the pre-delete set: zero rewrite
+    assert(TxTable.read(spark, p).columns.toSeq === Seq("id", "v", "g"))
+    assert(before.files.toSet.subsetOf(
+      TxTable.history(spark, p).flatMap(_.files).toSet))
+    val got = TxTable.read(spark, p).select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(got.toSeq === (0L until 100L).filter(_ % 10 != 3),
+      "the deleted rows are gone from the head read")
+    // time travel below the dv commit still reads every row
+    assert(TxTable.readVersion(spark, p, 1).count() === 100L)
+  }
+
+  test("updateWhereDv: positions die, images land, one commit") {
+    val p = freshTable()
+    TxTable.updateWhereDv(spark, p, col("id") < 5,
+      Map("v" -> lit("X"), "g" -> (col("g") + 100L)))
+    val c = TxTable.history(spark, p).last
+    assert(c.action === "dv" && c.op === Some("update"))
+    assert(c.files.nonEmpty && c.dels.nonEmpty)
+    val head = TxTable.read(spark, p)
+    assert(head.count() === 100L, "update preserves cardinality")
+    val updated = head.filter(col("id") < 5).collect()
+    assert(updated.forall(r => r.getString(1) == "X" && r.getLong(2) >= 100L))
+    assert(head.filter(col("id") >= 5 && col("v") === "X").count() === 0L)
+    // unknown column rejects loudly
+    intercept[IllegalArgumentException](
+      TxTable.updateWhereDv(spark, p, col("id") < 5, Map("nope" -> lit(1))))
+  }
+
+  test("dv matching sees LIVE rows only; no-match is a no-op") {
+    val p = freshTable()
+    TxTable.deleteWhereDv(spark, p, col("id") === 7L)
+    val head = TxTable.latestVersion(spark, p)
+    // the same predicate again: the row is already dead -> no commit
+    assert(TxTable.deleteWhereDv(spark, p, col("id") === 7L) === head)
+    assert(TxTable.latestVersion(spark, p) === head)
+    // an update of a dead row is likewise a no-op
+    assert(TxTable.updateWhereDv(spark, p, col("id") === 7L,
+      Map("v" -> lit("Z"))) === head)
+  }
+
+  test("V1 format(\"txtable\") and the V2 catalog read DV-applied") {
+    val p = freshTable()
+    TxTable.deleteWhereDv(spark, p, col("id") >= 90)
+    // V1 registered source (PrunedFilteredScan fallback on DV tables)
+    val v1 = spark.read.format("txtable").load(p)
+    assert(v1.count() === 90L)
+    assert(v1.filter(col("id") >= 85).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === (85L to 89L),
+      "filters still apply correctly through the DV fallback relation")
+    // versionAsOf below the dv commit reads everything, natively
+    assert(spark.read.format("txtable").option("versionAsOf", 1)
+      .load(p).count() === 100L)
+    // V2 catalog (row-based scan branch)
+    val w = java.nio.file.Files.createTempDirectory("txdvcat").toString
+    spark.conf.set("spark.sql.catalog.gdv", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdv.warehouse", w)
+    spark.sql("CREATE TABLE gdv.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdv.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 2L)
+    assert(spark.sql("SELECT id FROM gdv.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // SQL COW UPDATE over the DV-bearing table must not resurrect row 2
+    spark.sql("UPDATE gdv.t SET v = 'u' WHERE id = 1")
+    assert(spark.sql("SELECT id, v FROM gdv.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "u"), (3L, "c")),
+      "the copy-on-write rewrite read DV-applied rows")
+  }
+
+  test("compactSmall materializes and purges position deletes") {
+    val p = freshTable()
+    TxTable.deleteWhereDv(spark, p, col("id") % 7 === 0)
+    TxTable.updateWhereDv(spark, p, col("id") === 1L, Map("v" -> lit("one")))
+    val expect = TxTable.read(spark, p).orderBy("id").collect().toSeq
+    TxTable.compactSmall(spark, p, minFileBytes = 1L)
+    val hfsState = TxTable.history(spark, p).last
+    assert(hfsState.op === Some("compactSmall"))
+    assert(hfsState.dels.isEmpty,
+      "every DV'd file was rewritten: the delete set purged to Nil")
+    assert(TxTable.read(spark, p).orderBy("id").collect().toSeq === expect,
+      "the purge is content-identical")
+    // back to the native V1 plan: the relation is a HadoopFsRelation
+    // again (count through it as a smoke check)
+    assert(spark.read.format("txtable").load(p).count() === expect.size.toLong)
+  }
+
+  test("restore to a DV-bearing version carries its deletes") {
+    val p = freshTable()
+    TxTable.deleteWhereDv(spark, p, col("id") < 50) // v2: 50 rows live
+    TxTable.overwrite(spark, p, Seq((999L, "z", 0L)).toDF("id", "v", "g"))
+    TxTable.restore(spark, p, 2)
+    assert(TxTable.read(spark, p).count() === 50L,
+      "the restored snapshot keeps its position deletes")
+  }
+
+  test("change feeds are precise across dv commits") {
+    val p = freshTable(n = 20, files = 2)
+    TxTable.deleteWhereDv(spark, p, col("id") === 4L)
+    // changesRows reconstructs the delete from the del files alone
+    val feed = TxTable.changesRows(spark, p, 1, 2)
+      .select("id", TxTable.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq === Seq((4L, "delete")))
+    // an update feeds one delete + one insert
+    TxTable.updateWhereDv(spark, p, col("id") === 5L, Map("v" -> lit("U")))
+    val feed2 = TxTable.changesRows(spark, p, 2, 3)
+      .select("id", "v", TxTable.ChangeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed2 === Set((5L, "v5", "delete"), (5L, "U", "insert")))
+    // with cdf = true the staged pre/post images serve verbatim
+    TxTable.updateWhereDv(spark, p, col("id") === 6L,
+      Map("v" -> lit("W")), cdf = true)
+    val feed3 = TxTable.changesRows(spark, p, 3, 4)
+      .select("v", TxTable.ChangeCol).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(feed3 === Set(("v6", "update_preimage"), ("W", "update_postimage")))
+    // the endpoint diff (changes) sees through shared files
+    val diff = TxTable.changes(spark, p, 1, 2)
+      .select("id", "_change").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq === Seq((4L, "delete")),
+      "a dv window's endpoint diff reports the deleted row")
+  }
+
+  test("vacuum keeps del files; expireHistory checkpoint carries dels") {
+    val p = freshTable()
+    TxTable.deleteWhereDv(spark, p, col("id") < 10)
+    assert(TxTable.vacuum(spark, p, olderThanMs = 0L) === 0,
+      "del stagings are log-reachable, never vacuumed")
+    assert(TxTable.read(spark, p).count() === 90L)
+    (1 to 3).foreach(i => TxTable.append(spark, p,
+      Seq((1000L + i, "a", 0L)).toDF("id", "v", "g")))
+    TxTable.expireHistory(spark, p, keepVersions = 2)
+    assert(TxTable.read(spark, p).count() === 93L,
+      "the post-expiry fold still applies the dels via the checkpoint")
+  }
+
+  test("readStream.table applies DVs to the initial snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    val w = java.nio.file.Files.createTempDirectory("txdvstr").toString
+    spark.conf.set("spark.sql.catalog.gdvs", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdvs.warehouse", w)
+    spark.sql("CREATE TABLE gdvs.s (id BIGINT)")
+    spark.sql("INSERT INTO gdvs.s VALUES (1), (2), (3)")
+    TxTable.deleteWhereDv(spark, s"$w/s", col("id") === 2L)
+    spark.sql("CREATE TABLE gdvs.d (id BIGINT)")
+    val ck = java.nio.file.Files.createTempDirectory("txdvck").toString
+    val q = spark.readStream.table("gdvs.s")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gdvs.d")
+    q.awaitTermination()
+    assert(spark.sql("SELECT id FROM gdvs.d ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L),
+      "the snapshot batch excluded the DV-deleted row")
+    // a later dv commit is a change commit: skipChangeCommits governs
+    TxTable.deleteWhereDv(spark, s"$w/s", col("id") === 1L)
+    spark.sql("INSERT INTO gdvs.s VALUES (9)")
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("gdvs.s")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).toTable("gdvs.d")
+    q2.awaitTermination()
+    assert(spark.sql("SELECT id FROM gdvs.d ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L, 9L))
+  }
+}
