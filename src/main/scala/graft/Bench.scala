@@ -99,6 +99,37 @@ object Bench {
     }
   }
 
+  /** Continuous single-thread host-speed probe: every ~2 s, one fixed
+    * CPU-bound mixing loop (~30 ms, no allocation, one core) timed and
+    * recorded. The series tells WHEN the host was slow — per-sample —
+    * which two point calibrations cannot: a burst between them hides,
+    * a blip on one of them false-flags. Overhead ~1.5% of one core.
+    */
+  private final class HostProbe extends Thread("graft-host-probe") {
+    setDaemon(true)
+    private val out = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    @volatile private var live = true
+    @volatile private var sink = 0L // defeats dead-code elimination
+    override def run(): Unit = {
+      while (live) {
+        val t0 = System.nanoTime()
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < 8000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        sink = x
+        out.add((System.nanoTime() - t0) / 1e6)
+        try Thread.sleep(2000) catch { case _: InterruptedException => () }
+      }
+    }
+    def stopAndGet(): Array[Double] = {
+      live = false
+      import scala.jdk.CollectionConverters._
+      out.asScala.map(_.doubleValue).toArray
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Overridable for off-nominal scales (the sf~1 shakeout runs 10x
@@ -175,6 +206,11 @@ object Bench {
     calibrate()
     val hostRefSec = calibrate()
     val hostFactor = hostRefSec / HostRefNominalSec
+
+    // the continuous probe covers every timed phase (builds, loaded,
+    // unloaded, end calibration) — started hot, after JIT warmup
+    val hostProbe = new HostProbe
+    hostProbe.start()
 
     // A failing query OR build must be visible in the bench line, not
     // just slow: Verify catches wrong ANSWERS, but something that starts
@@ -430,10 +466,40 @@ object Bench {
     // high, small drift) is NOT contended — host_factor itself carries
     // "slow"; the flag means "the two calibrations disagree, or the
     // host is so far off nominal that wall times are untrustworthy".
-    val contended =
+    //
+    // ROUND 18: the two-sample scheme proved both over- AND
+    // under-sensitive on this VM — a ~5 s steal spike landing on ONE
+    // calibration flagged a run whose 239 per-query numbers were all
+    // clean, while a burst BETWEEN the samples (observed: a loaded
+    // phase 3x degraded with start 0.51 / end 0.58) sailed through.
+    // The continuous probe's time series arbitrates: `contended` now
+    // means a SUSTAINED slow phase (>=4 consecutive ~2 s samples above
+    // 1.5x the run's own fast floor), or calibration drift the probe
+    // corroborates, or an absolutely degraded host. A single-sample
+    // blip no longer impeaches the artifact, and a bracketed burst no
+    // longer hides.
+    val probeSamples = hostProbe.stopAndGet()
+    val (probeP10Ms, probeP90Ms, probeMaxMs, probeBurst, probeSlowFrac) =
+      if (probeSamples.length < 5) (0.0, 0.0, 0.0, 0, 0.0)
+      else {
+        val sorted = probeSamples.sorted
+        def pct(p: Double) =
+          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        val p10 = pct(0.10)
+        val slow = probeSamples.map(_ > 1.5 * p10)
+        var best = 0; var cur = 0
+        slow.foreach { s => if (s) { cur += 1; best = math.max(best, cur) }
+                            else cur = 0 }
+        (p10, pct(0.90), sorted.last, best,
+          slow.count(identity).toDouble / slow.length)
+      }
+    val calDrift =
       math.max(hostFactor, hostFactorEnd) /
-        math.min(hostFactor, hostFactorEnd) > 1.5 ||
-        math.max(hostFactor, hostFactorEnd) > 3.0
+        math.min(hostFactor, hostFactorEnd)
+    val contended =
+      math.max(hostFactor, hostFactorEnd) > 3.0 ||
+        probeBurst >= 4 ||
+        (calDrift > 1.5 && probeBurst >= 2)
 
     // State divergence: a query whose LOADED executor CPU dwarfs its
     // UNLOADED CPU did state-rebuild work (duplicated first-touch
@@ -535,7 +601,7 @@ object Bench {
     val (replaysWarm, replaysCold) = streaming.Streams.replayDiskStats
     val (scratchWarm, scratchCold) = graft.api.ScratchStats.snapshot
     Files.writeString(Paths.get(fullOut),
-      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries)},"divergent_raw":${strList(divergentRaw)},"cpu_inflated":${strList(cpuInflatedOnly)},"scratch_gen":"$scratchGen","scratch_wiped":$scratchWiped,"scratch_warm":${strList(scratchWarm)},"scratch_cold":${strList(scratchCold)},"jvm_heap_mb":$jvmHeapMb,"jvm_gc":"$jvmGc","jvm_launcher":"$jvmLauncher","cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"replays_warm":${strList(replaysWarm)},"replays_cold":${strList(replaysCold)},"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${wall + buildWall},"unit":"sec","query_sec":$wall,"build_sec":$buildWall,"host_ref_sec":$hostRefSec,"host_factor":$hostFactor,"host_ref_sec_end":$hostRefSecEnd,"host_factor_end":$hostFactorEnd,"cal_drift":${f"$calDrift%.2f"},"probe_n":${probeSamples.length},"probe_p10_ms":${f"$probeP10Ms%.1f"},"probe_p90_ms":${f"$probeP90Ms%.1f"},"probe_max_ms":${f"$probeMaxMs%.1f"},"probe_burst":$probeBurst,"probe_slow_frac":${f"$probeSlowFrac%.2f"},"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries)},"divergent_raw":${strList(divergentRaw)},"cpu_inflated":${strList(cpuInflatedOnly)},"scratch_gen":"$scratchGen","scratch_wiped":$scratchWiped,"scratch_warm":${strList(scratchWarm)},"scratch_cold":${strList(scratchCold)},"jvm_heap_mb":$jvmHeapMb,"jvm_gc":"$jvmGc","jvm_launcher":"$jvmLauncher","cpu_total_sec":${f"$cpuTotalSec%.2f"},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"memoized":$memoized,"replays_warm":${strList(replaysWarm)},"replays_cold":${strList(replaysCold)},"builds":$buildsFull,"builds_cpu":${cpuMap("build:")},"unloaded":$unloadedFull,"unloaded_cpu":${cpuMap("u:")},"queries":$full,"queries_cpu":${cpuMap("q:")},"sf":"$sfDir"}""")
 
     // Optional per-group diagnostics (task count, run wall, GC ms,
     // spilled bytes) for divergence forensics — written only when the
@@ -560,7 +626,7 @@ object Bench {
       // booleans + usually-empty lists) — the driver's BENCH_r{N}.json
       // records only this line, and the whole point is that THAT
       // artifact names its own cache state without cross-referencing
-      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"host_factor":${f"$hostFactor%.2f"},"host_factor_end":${f"$hostFactorEnd%.2f"},"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries.take(12))},"cpu_inflated":${strList(cpuInflatedOnly.take(12))},"scratch_wiped":$scratchWiped,"n_scratch_cold":${scratchCold.size},"jvm_heap_mb":$jvmHeapMb,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"n_queries":${results.size},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"host_factor":${f"$hostFactor%.2f"},"host_factor_end":${f"$hostFactorEnd%.2f"},"probe_burst":$probeBurst,"probe_slow_frac":${f"$probeSlowFrac%.2f"},"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries.take(12))},"cpu_inflated":${strList(cpuInflatedOnly.take(12))},"scratch_wiped":$scratchWiped,"n_scratch_cold":${scratchCold.size},"jvm_heap_mb":$jvmHeapMb,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"n_queries":${results.size},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"queries":$qs,"sf":"$sfDir"}"""
     }
     var kept = results.sortBy(-_._2) // keep the slowest: most informative
     while (line(kept).length > 1600 && kept.nonEmpty) kept = kept.dropRight(1)

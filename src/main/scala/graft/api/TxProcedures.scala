@@ -125,7 +125,42 @@ private[api] object TxProcedures {
         ("older_than_ms", LongType, Some(TxTable.VacuumMinAgeMs.toString))),
       StructType(Seq(StructField("removed", IntegerType))),
       (s, resolve, in) => Seq(row(TxTable.vacuum(s,
-        resolve(in.getUTF8String(0).toString), in.getLong(1))))))
+        resolve(in.getUTF8String(0).toString), in.getLong(1))))),
+
+    // merge-on-read DML: position-delete commits through SQL —
+    //   CALL gx.system.delete_dv(table => 't', where => 'id % 10 = 3')
+    //   CALL gx.system.update_dv(table => 't',
+    //     where => 'id < 5', set => "v = 'X'; g = g + 100")
+    // `where`/`set` values are SQL expressions resolved against the
+    // table's columns; `set` assignments separate on ';' (an
+    // expression may legitimately contain ',').
+    new P("delete_dv",
+      Seq(("table", StringType, None), ("where", StringType, None),
+        ("cdf", BooleanType, Some("false"))),
+      versionOut,
+      (s, resolve, in) => Seq(row(TxTable.deleteWhereDv(s,
+        resolve(in.getUTF8String(0).toString),
+        org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+        in.getBoolean(2))))),
+
+    new P("update_dv",
+      Seq(("table", StringType, None), ("where", StringType, None),
+        ("set", StringType, None), ("cdf", BooleanType, Some("false"))),
+      versionOut,
+      (s, resolve, in) => {
+        val assignments = in.getUTF8String(2).toString.split(';').toSeq
+          .map(_.trim).filter(_.nonEmpty).map { a =>
+            val eq = a.indexOf('=')
+            require(eq > 0, s"update_dv set assignment needs 'col = expr', " +
+              s"got '$a' (separate assignments with ';')")
+            a.take(eq).trim ->
+              org.apache.spark.sql.functions.expr(a.drop(eq + 1).trim)
+          }.toMap
+        Seq(row(TxTable.updateWhereDv(s,
+          resolve(in.getUTF8String(0).toString),
+          org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
+          assignments, in.getBoolean(3))))
+      }))
 
   def names: Seq[String] = defs.map(_.name())
 

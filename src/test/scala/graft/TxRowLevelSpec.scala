@@ -348,6 +348,29 @@ class TxProcedureSpec extends AnyFunSuite {
       .head.getLong(0) === 4004L)
   }
 
+  test("delete_dv / update_dv: merge-on-read DML through CALL") {
+    warehouse
+    sql("CREATE TABLE gp.dv (id BIGINT, v STRING)")
+    sql("INSERT INTO gp.dv VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    sql("CALL gp.system.delete_dv(table => 'dv', where => 'id % 2 = 0')")
+    val h1 = graft.api.TxTable.history(spark, s"$warehouse/dv").last
+    assert(h1.action === "dv" && h1.files.isEmpty && h1.dels.nonEmpty,
+      "CALL delete_dv lands one position-delete commit, no data rewrite")
+    assert(sql("SELECT id FROM gp.dv ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    sql("CALL gp.system.update_dv(table => 'dv', " +
+      "where => 'id = 3', set => \"v = concat(v, '!')\")")
+    assert(sql("SELECT v FROM gp.dv ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a", "c!"))
+    // a compact through CALL purges the DVs content-identically
+    sql("CALL gp.system.compact(table => 'dv', num_files => 1)")
+    assert(graft.api.TxTable.history(spark, s"$warehouse/dv")
+      .last.dels.isEmpty, "compact purged the position deletes")
+    assert(sql("SELECT id, v FROM gp.dv ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (3L, "c!")))
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     warehouse
     val e1 = intercept[Exception](sql("CALL gp.system.nope(table => 't')"))
