@@ -170,6 +170,31 @@ class TxDvSpec extends AnyFunSuite {
       "the post-expiry fold still applies the dels via the checkpoint")
   }
 
+  test("DVs compose with schema evolution and indexed rewrites") {
+    val p = freshTable()
+    // widen AFTER some deletes: the del positions reference
+    // pre-evolution files, and the evolved read must still apply them
+    TxTable.deleteWhereDv(spark, p, col("id") < 10)
+    TxTable.evolveAppend(spark, p,
+      Seq((200L, "n", 0L, 1.5)).toDF("id", "v", "g", "w"))
+    val head = TxTable.read(spark, p)
+    assert(head.columns.toSeq === Seq("id", "v", "g", "w"))
+    assert(head.count() === 91L, "90 survivors + 1 evolved row")
+    assert(head.filter(col("id") < 10).count() === 0L,
+      "pre-evolution position deletes apply under the widened schema")
+    // a DV update over the evolved shape: images carry the wide schema
+    TxTable.updateWhereDv(spark, p, col("id") === 200L,
+      Map("w" -> lit(2.5)))
+    assert(TxTable.read(spark, p).filter(col("id") === 200L)
+      .select("w").collect().head.getDouble(0) === 2.5)
+    // a clustered rewrite (optimize) purges and keeps the evolution
+    TxTable.optimize(spark, p, Seq("id"), numFiles = 2)
+    val opt = TxTable.read(spark, p)
+    assert(TxTable.history(spark, p).last.dels.isEmpty)
+    assert(opt.count() === 91L && opt.columns.toSeq ===
+      Seq("id", "v", "g", "w"))
+  }
+
   test("readStream.table applies DVs to the initial snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     val w = java.nio.file.Files.createTempDirectory("txdvstr").toString
