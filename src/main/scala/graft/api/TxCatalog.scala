@@ -474,7 +474,10 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     Map(
       TableCatalog.PROP_PROVIDER -> "txtable",
       TableCatalog.PROP_LOCATION -> path,
-      "version" -> snapVersion.toString).asJava
+      "version" -> snapVersion.toString,
+      // merge-on-read observability: >0 means reads route through the
+      // row-based DV scan; CALL gx.system.compact_small purges
+      "position_delete_files" -> state.dels.size.toString).asJava
 
   /** `_file` is the row-level rewrite's GROUP COLUMN (runtime group
     * filtering resolves it against this declaration) and doubles as

@@ -76,12 +76,13 @@ private[api] object TxProcedures {
       StructType(Seq(
         StructField("version", LongType), StructField("action", StringType),
         StructField("op", StringType), StructField("txn", StringType),
-        StructField("ts", LongType), StructField("num_files", IntegerType))),
+        StructField("ts", LongType), StructField("num_files", IntegerType),
+        StructField("num_delete_files", IntegerType))),
       (s, resolve, in) => TxTable.history(s, resolve(in.getUTF8String(0).toString))
         .map(c => row(c.version, UTF8String.fromString(c.action),
           c.op.map(UTF8String.fromString).orNull,
           c.txn.map(UTF8String.fromString).orNull,
-          c.ts, c.files.size))),
+          c.ts, c.files.size, c.dels.size))),
 
     new P("compact",
       Seq(("table", StringType, None), ("num_files", IntegerType, Some("1"))),

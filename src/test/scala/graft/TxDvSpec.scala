@@ -195,6 +195,26 @@ class TxDvSpec extends AnyFunSuite {
       Seq("id", "v", "g", "w"))
   }
 
+  test("plan shape: DV routes row-based; purge restores native columnar") {
+    val w = java.nio.file.Files.createTempDirectory("txdvplan").toString
+    spark.conf.set("spark.sql.catalog.gdvp", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdvp.warehouse", w)
+    spark.sql("CREATE TABLE gdvp.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdvp.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    def plan(): String = spark.sql("SELECT id FROM gdvp.t WHERE id > 1")
+      .queryExecution.executedPlan.toString
+    assert(plan().contains("ParquetScan") ||
+      plan().toLowerCase.contains("parquet"),
+      s"a DV-free table plans Spark's native columnar parquet scan:\n${plan()}")
+    TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 2L)
+    assert(plan().contains("TxFileScan"),
+      s"a DV-bearing snapshot routes through the row-based scan:\n${plan()}")
+    TxTable.compactSmall(spark, s"$w/t", minFileBytes = 1L)
+    assert(!plan().contains("TxFileScan") &&
+      plan().toLowerCase.contains("parquet"),
+      s"the purge returns the table to the native plan:\n${plan()}")
+  }
+
   test("readStream.table applies DVs to the initial snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     val w = java.nio.file.Files.createTempDirectory("txdvstr").toString
