@@ -215,6 +215,41 @@ class TxDvSpec extends AnyFunSuite {
       s"the purge returns the table to the native plan:\n${plan()}")
   }
 
+  test("racing DV deletes + appends: claim-exactly serializes, nothing lost") {
+    // the conflict story position deletes must keep: positions are
+    // derived from an OBSERVED head and claimed at exactly head+1, so
+    // a dv commit computed against files an interleaved commit moved
+    // can never land — it loses the claim and re-derives. Four DV
+    // deletes on disjoint slices race four appends; the final state
+    // must be the set algebra, every row exactly once.
+    val p = freshTable(n = 400, files = 8)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val dels = (0 until 4).map(k => Future {
+        TxTable.deleteWhereDv(spark, p,
+          col("id") % 8 === k && col("id") < 400)
+      })
+      val apps = (0 until 4).map(k => Future {
+        TxTable.append(spark, p,
+          Seq((1000L + k, s"new$k", 0L)).toDF("id", "v", "g"))
+      })
+      Await.result(Future.sequence(dels ++ apps), 180.seconds)
+    } finally pool.shutdown()
+    val ids = TxTable.read(spark, p).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val expect = ((0L until 400L).filter(_ % 8 >= 4) ++
+      (1000L to 1003L)).sorted
+    assert(ids === expect,
+      s"racing DV deletes and appends serialized exactly: " +
+        s"got ${ids.size} rows, expected ${expect.size}")
+    assert(TxTable.latestVersion(spark, p) === 9L,
+      "9 commits: create + 4 dv deletes + 4 appends")
+  }
+
   test("readStream.table applies DVs to the initial snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     val w = java.nio.file.Files.createTempDirectory("txdvstr").toString
