@@ -51,6 +51,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
 
   private var catName: String = _
   private var warehouse: String = _
+  /** `spark.sql.catalog.<name>.dv_dml = true` routes SQL DELETE to
+    * merge-on-read position deletes ([[TxTable.deleteWhereDv]] —
+    * O(changed rows), no data file rewritten) instead of the
+    * copy-on-write file-level delete; compact/compact_small purge the
+    * accumulated deletes. UPDATE/MERGE stay copy-on-write either way
+    * (Spark's group-based rewrite plan owns them); DV updates are the
+    * `CALL <name>.system.update_dv` procedure.
+    */
+  private var dvDml: Boolean = false
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit = {
@@ -58,6 +67,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     warehouse = Option(options.get("warehouse")).map(_.stripSuffix("/"))
       .getOrElse(throw new IllegalArgumentException(
         s"TxCatalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>"))
+    dvDml = Option(options.get("dv_dml")).exists(_.toBoolean)
   }
 
   override def name(): String = catName
@@ -146,7 +156,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val p = pathIfInert(ident).getOrElse(throw new NoSuchTableException(ident))
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    new TxV2Table(spark, p, fullName(ident), pinned = None)
+    new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
   }
 
   /** SQL `VERSION AS OF v` — the commit log IS the version history. */
@@ -160,7 +170,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val head = TxTable.latestVersion(spark, p)
     require(v >= 1 && v <= head,
       s"versionAsOf $v out of range for $p (versions 1..$head)")
-    new TxV2Table(spark, p, fullName(ident), pinned = Some(v))
+    new TxV2Table(spark, p, fullName(ident), pinned = Some(v), dvDml = dvDml)
   }
 
   /** SQL `TIMESTAMP AS OF t` — `timestamp` arrives in MICROseconds
@@ -176,7 +186,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val at = TxTable.versionAtOrBefore(spark, p, ms).getOrElse(
       throw new IllegalArgumentException(
         s"no commit at or before timestamp $ms ms in $p"))
-    new TxV2Table(spark, p, fullName(ident), pinned = Some(at))
+    new TxV2Table(spark, p, fullName(ident), pinned = Some(at), dvDml = dvDml)
   }
 
   /** The shared CREATE/REPLACE validations (plain and staged forms):
@@ -231,7 +241,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     if (!TxTable.createExactlyV1(spark, p, spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)))
       throw new TableAlreadyExistsException(ident)
-    new TxV2Table(spark, p, fullName(ident), pinned = None)
+    new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
   }
 
   // ---- atomic CTAS / REPLACE TABLE (StagingTableCatalog) ----
@@ -302,7 +312,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           s"txtable supports ALTER TABLE ADD COLUMN only (additive " +
             s"evolution, TxTable.evolveAppend's contract); got $other")
     }
-    new TxV2Table(spark, p, fullName(ident), pinned = None)
+    new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
   }
 
   /** `DROP TABLE` deletes the table's directory INCLUDING `_txlog` —
@@ -436,7 +446,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   * destructive native file-write path.
   */
 class TxV2Table(spark: SparkSession, val path: String, ident: String,
-                pinned: Option[Long])
+                pinned: Option[Long], dvDml: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsDeleteV2 with SupportsMetadataColumns
     with SupportsRowLevelOperations {
@@ -563,7 +573,11 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       .map(p => TxFilters.toColumn(GraftV2Bridge.predicateToV1(p).get).get)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    TxTable.deleteWhere(spark, path, cond)
+    // dv_dml = true routes SQL DELETE to merge-on-read position
+    // deletes (O(changed rows), no file rewritten); default stays the
+    // copy-on-write file-level delete
+    if (dvDml) TxTable.deleteWhereDv(spark, path, cond)
+    else TxTable.deleteWhere(spark, path, cond)
     ()
   }
 

@@ -215,6 +215,31 @@ class TxDvSpec extends AnyFunSuite {
       s"the purge returns the table to the native plan:\n${plan()}")
   }
 
+  test("dv_dml catalog option: SQL DELETE lands as a position delete") {
+    val w = java.nio.file.Files.createTempDirectory("txdvsql").toString
+    spark.conf.set("spark.sql.catalog.gdml", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdml.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gdml.dv_dml", "true")
+    spark.sql("CREATE TABLE gdml.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdml.t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql("DELETE FROM gdml.t WHERE id IN (2, 4)")
+    val c = TxTable.history(spark, s"$w/t").last
+    assert(c.action === "dv" && c.files.isEmpty && c.dels.nonEmpty,
+      "SQL DELETE under dv_dml is one position-delete commit, " +
+        s"no data rewrite: ${c.action}/${c.op}")
+    assert(spark.sql("SELECT id FROM gdml.t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // the default catalog keeps the copy-on-write file-level delete
+    val w2 = java.nio.file.Files.createTempDirectory("txdvsql2").toString
+    spark.conf.set("spark.sql.catalog.gcow", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gcow.warehouse", w2)
+    spark.sql("CREATE TABLE gcow.t (id BIGINT)")
+    spark.sql("INSERT INTO gcow.t VALUES (1), (2)")
+    spark.sql("DELETE FROM gcow.t WHERE id = 2")
+    assert(TxTable.history(spark, s"$w2/t").last.action === "overwrite",
+      "without the option, DELETE stays the file-level rewrite")
+  }
+
   test("racing DV deletes + appends: claim-exactly serializes, nothing lost") {
     // the conflict story position deletes must keep: positions are
     // derived from an OBSERVED head and claimed at exactly head+1, so
