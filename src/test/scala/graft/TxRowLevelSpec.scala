@@ -547,6 +547,26 @@ class TxRowLevelRaceSpec extends AnyFunSuite {
         s"referenced $referenced")
   }
 
+  test("a failed staged CTAS leaves no table and no phantom namespace") {
+    warehouse
+    spark.range(0, 10).toDF("id").createOrReplaceTempView("cf_src")
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gz.cf AS SELECT 10L / (id - 5L) AS q FROM cf_src"))
+    assert(!spark.catalog.tableExists("gz.cf"),
+      "the aborted CTAS created no table")
+    // the staging minted the directory; abort must remove it, or an
+    // empty dir under the warehouse reads as a phantom namespace
+    assert(!new java.io.File(s"$warehouse/cf").exists(),
+      "no empty directory remains under the warehouse")
+    assert(!spark.sql("SHOW NAMESPACES IN gz").collect()
+      .map(_.getString(0)).contains("cf"))
+    // and the name is immediately reusable
+    spark.sql("CREATE TABLE gz.cf (id BIGINT)")
+    spark.sql("INSERT INTO gz.cf VALUES (7)")
+    assert(spark.sql("SELECT id FROM gz.cf").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+  }
+
   test("plain REPLACE TABLE (no AS SELECT) resets to empty, new schema") {
     warehouse
     spark.sql("CREATE TABLE gz.rp (id BIGINT)")
