@@ -216,6 +216,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       s"'${TxRowLevel.FileCol}' is a reserved metadata column (per-row " +
         "file provenance); a data column of that name would be shadowed " +
         "by the physical file path on every read")
+    // __graft_-prefixed names are internal plumbing (DV provenance
+    // columns among them); a user column of that shape would be
+    // silently replaced by withColumn on the DV read path, corrupting
+    // DV DML and dropping the column from update images / CDF.
+    schema.fieldNames.find(_.startsWith("__graft_")).foreach(c =>
+      throw new IllegalArgumentException(
+        s"'$c' uses the reserved internal prefix '__graft_'; rename the " +
+          "column (internal provenance columns of that shape attach " +
+          "during merge-on-read scans and would shadow it)"))
     // The commit log does not carry table properties, so anything we
     // accept here would be unrecoverable from loadTable — reject
     // loudly (the LOCATION/_file policy) instead of letting COMMENT /

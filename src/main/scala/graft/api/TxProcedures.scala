@@ -133,8 +133,9 @@ private[api] object TxProcedures {
     //   CALL gx.system.update_dv(table => 't',
     //     where => 'id < 5', set => "v = 'X'; g = g + 100")
     // `where`/`set` values are SQL expressions resolved against the
-    // table's columns; `set` assignments separate on ';' (an
-    // expression may legitimately contain ',').
+    // table's columns; `set` assignments separate on ';' outside
+    // single-quoted literals (an expression may legitimately contain
+    // ',' — and a string literal may contain ';').
     new P("delete_dv",
       Seq(("table", StringType, None), ("where", StringType, None),
         ("cdf", BooleanType, Some("false"))),
@@ -149,7 +150,7 @@ private[api] object TxProcedures {
         ("set", StringType, None), ("cdf", BooleanType, Some("false"))),
       versionOut,
       (s, resolve, in) => {
-        val assignments = in.getUTF8String(2).toString.split(';').toSeq
+        val assignments = splitOutsideQuotes(in.getUTF8String(2).toString, ';')
           .map(_.trim).filter(_.nonEmpty).map { a =>
             val eq = a.indexOf('=')
             require(eq > 0, s"update_dv set assignment needs 'col = expr', " +
@@ -162,6 +163,23 @@ private[api] object TxProcedures {
           org.apache.spark.sql.functions.expr(in.getUTF8String(1).toString),
           assignments, in.getBoolean(3))))
       }))
+
+  /** Split on `sep` OUTSIDE single-quoted SQL string literals, so a
+    * set expression like `v = 'a;b'` stays one assignment (the SQL
+    * '' in-literal escape toggles twice — a net no-op, as needed).
+    */
+  private[graft] def splitOutsideQuotes(s: String, sep: Char): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    s.foreach { c =>
+      if (c == '\'') { inQ = !inQ; cur += c; () }
+      else if (c == sep && !inQ) { out += cur.result(); cur.clear() }
+      else { cur += c; () }
+    }
+    out += cur.result()
+    out.result()
+  }
 
   def names: Seq[String] = defs.map(_.name())
 

@@ -2613,7 +2613,18 @@ object TxTable {
   private def readWithPos(spark: SparkSession, path: String, st: State,
                           files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_extract}
-    readRawStateFiles(spark, path, st, files)
+    val raw = readRawStateFiles(spark, path, st, files)
+    // withColumn REPLACES an existing column of the same name — a data
+    // column shadowed here would corrupt DV matching and vanish from
+    // update images / CDF. The catalog's CREATE rejects the __graft_
+    // prefix; V1-route tables can still carry one, so fail loudly at
+    // the point of corruption instead of silently eating the column.
+    Seq("__graft_dv_f", "__graft_dv_pos").foreach(c =>
+      require(!raw.columns.contains(c),
+        s"table at $path has a data column '$c', which collides with " +
+          "the reserved merge-on-read provenance column of that name; " +
+          "rename the column before using position-delete verbs"))
+    raw
       .withColumn("__graft_dv_f",
         regexp_extract(col("_metadata.file_path"), RelNameRegex, 0))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
@@ -2964,6 +2975,33 @@ object TxTable {
             s"files no longer live at head $head (base $baseVersion): " +
             s"${lost.take(5).mkString(", ")}" +
             (if (lost.size > 5) s" (+${lost.size - 5} more)" else ""))
+      // A concurrent `dv` commit adds position deletes WITHOUT removing
+      // files, so the still-live rule alone would admit it — but this
+      // rewrite's output was computed from the PRE-dv DV-applied scan,
+      // and survivingDels drops del rows of rewritten files, so
+      // admitting it would silently resurrect the rows the interleaved
+      // commit deleted (a lost update under WriteSerializable). Delta's
+      // conflict checker treats a DV change on a read file as a
+      // conflict; so does this one: any del row on a scanned file at
+      // head that was not there at baseVersion aborts the claim.
+      if (head != baseVersion && removedSet.nonEmpty) {
+        val baseSt = foldState(hfs, path, baseVersion)
+        if (st.dels != baseSt.dels) {
+          import org.apache.spark.sql.functions.col
+          def delsOnScanned(s: State): DataFrame =
+            if (s.dels.isEmpty)
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), DelSchema)
+            else delRows(spark, path, s)
+              .filter(col("f").isInCollection(removedSet))
+          if (!delsOnScanned(st).except(delsOnScanned(baseSt)).isEmpty)
+            throw new java.util.ConcurrentModificationException(
+              s"$what on $path conflicts with a concurrent position-delete " +
+                s"commit: scanned files gained deletion-vector rows between " +
+                s"base $baseVersion and head $head — committing would " +
+                "resurrect rows the interleaved commit deleted")
+        }
+      }
       val untouched = st.files.filterNot(removedSet)
       val extra =
         if ((untouched ++ added).nonEmpty) Seq.empty[String]

@@ -275,6 +275,57 @@ class TxDvSpec extends AnyFunSuite {
       "9 commits: create + 4 dv deletes + 4 appends")
   }
 
+  test("a DV commit interleaved into a COW rewrite's window conflicts") {
+    // the lost-update hole: a position-delete commit adds del rows
+    // WITHOUT removing files, so the "scanned files still live" rule
+    // alone would admit it — and the rewrite (computed from the
+    // PRE-dv scan) would silently resurrect the deleted rows. The
+    // conflict checker must treat a DV change on a scanned file as a
+    // conflict (Delta's rule), aborting the statement atomically.
+    val w = java.nio.file.Files.createTempDirectory("txdvcf").toString
+    spark.conf.set("spark.sql.catalog.gdvc", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdvc.warehouse", w)
+    spark.sql("CREATE TABLE gdvc.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdvc.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    @volatile var fired = false
+    TxTable.replaceRaceInjection = () => if (!fired) {
+      fired = true
+      TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 2L)
+    }
+    val e = try intercept[Exception](
+      spark.sql("UPDATE gdvc.t SET v = 'X' WHERE id <= 3"))
+    finally TxTable.replaceRaceInjection = () => ()
+    assert(fired, "the dv commit landed inside the claim window")
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"the claim aborts as a conflict, got: $e")
+    val got = spark.sql("SELECT id, v FROM gdvc.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a"), (3L, "c")),
+      "the interleaved delete held; the aborted UPDATE changed nothing")
+  }
+
+  test("__graft_-prefixed column names are reserved") {
+    val w = java.nio.file.Files.createTempDirectory("txdvres").toString
+    spark.conf.set("spark.sql.catalog.gdvr", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdvr.warehouse", w)
+    val e = intercept[Exception](spark.sql(
+      "CREATE TABLE gdvr.t (id BIGINT, __graft_dv_f STRING)"))
+    assert(e.getMessage.contains("__graft_"),
+      s"CREATE names the reserved prefix: ${e.getMessage}")
+    // V1-route tables never pass catalog validation; the DV verbs
+    // themselves must fail loudly instead of silently shadowing the
+    // user column on the provenance read
+    val p = java.nio.file.Files.createTempDirectory("txdvres2").toString + "/t"
+    TxTable.overwrite(spark, p,
+      Seq((1L, "x")).toDF("id", "__graft_dv_pos"))
+    val e2 = intercept[IllegalArgumentException](
+      TxTable.deleteWhereDv(spark, p, col("id") === 1L))
+    assert(e2.getMessage.contains("__graft_dv_pos"))
+  }
+
   test("readStream.table applies DVs to the initial snapshot") {
     import org.apache.spark.sql.streaming.Trigger
     val w = java.nio.file.Files.createTempDirectory("txdvstr").toString

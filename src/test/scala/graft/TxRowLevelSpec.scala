@@ -371,6 +371,23 @@ class TxProcedureSpec extends AnyFunSuite {
       Seq((1L, "a"), (3L, "c!")))
   }
 
+  test("update_dv set parser: ';' inside a string literal is literal") {
+    warehouse
+    sql("CREATE TABLE gp.dvq (id BIGINT, v STRING)")
+    sql("INSERT INTO gp.dvq VALUES (1,'a'), (2,'b')")
+    sql("CALL gp.system.update_dv(table => 'dvq', " +
+      "where => 'id = 1', set => \"v = 'a;b'\")")
+    assert(sql("SELECT v FROM gp.dvq ORDER BY id").collect()
+      .map(_.getString(0)).toSeq === Seq("a;b", "b"),
+      "the quoted ';' did not split the assignment")
+    // two assignments still separate on an unquoted ';'
+    sql("CALL gp.system.update_dv(table => 'dvq', " +
+      "where => 'id = 2', set => \"v = 'x;y'; id = id + 10\")")
+    assert(sql("SELECT id, v FROM gp.dvq ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a;b"), (12L, "x;y")))
+  }
+
   test("unknown procedure and wrong namespace fail loudly") {
     warehouse
     val e1 = intercept[Exception](sql("CALL gp.system.nope(table => 't')"))
