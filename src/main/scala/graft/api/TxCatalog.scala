@@ -837,7 +837,24 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val readerFn = GraftV2Bridge.parquetRowReader(
       spark, TxTable.stateSchema(spark, table.path, table.state), dataRead)
-    new TxRowReaderFactory(readerFn, dataRead, required, needsFile)
+    // COLUMNAR (vectorized-batch) mode for every data-only scan the
+    // batch reader + DV compaction can serve: DV-free partitions pass
+    // batches through untouched, del-bearing partitions compact only
+    // the batches that actually contain deleted rows
+    // ([[TxDvColumnar]]) — a DV-bearing snapshot keeps the native
+    // vectorized decode instead of paying a whole-scan row penalty.
+    // The row branch remains for `_file`-producing rewrite scans and
+    // non-batchable schemas. The answer is scan-wide (ignores the
+    // partition), satisfying Spark's no-mixed-modes rule.
+    val batchFn =
+      if (!needsFile &&
+          GraftV2Bridge.supportsBatch(spark, dataRead) &&
+          (files.forall(_.dvPos.isEmpty) ||
+            dataRead.forall(f => TxDvColumnar.copyable(f.dataType))))
+        Some(GraftV2Bridge.parquetBatchReader(spark,
+          TxTable.stateSchema(spark, table.path, table.state), dataRead))
+      else None
+    new TxRowReaderFactory(readerFn, dataRead, required, needsFile, batchFn)
   }
 
   override def description(): String =
@@ -852,8 +869,33 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
 class TxRowReaderFactory(
     readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow],
-    dataRead: StructType, required: StructType, needsFile: Boolean)
+    dataRead: StructType, required: StructType, needsFile: Boolean,
+    batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : Boolean = batchFn.isDefined
+
+  override def createColumnarReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[TxFilePartition]
+    val it = TxDvColumnar.filtered(
+      batchFn.get(GraftV2Bridge.partitionedFile(p.abs, p.len)),
+      p.dvPos, dataRead)
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        current
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(
       partition: org.apache.spark.sql.connector.read.InputPartition)

@@ -2591,16 +2591,40 @@ object TxTable {
                              st: State): DataFrame =
     spark.read.schema(DelSchema).parquet(st.dels.map(f => s"$path/$f"): _*)
 
+  /** Cap on the position-delete bytes [[delPositions]] may collect to
+    * the driver. Merge-on-read deletes are for SMALL mutations and
+    * maintenance purges them; nothing else in the engine collects an
+    * unbounded row set to the driver, so neither may the DV read path.
+    * The check costs O(del files) metadata calls — no del row is read.
+    */
+  private[graft] val DvMaxDriverBytesConf = "spark.graft.dv.maxDriverBytes"
+  private def dvDriverCap(spark: SparkSession): Long =
+    spark.conf.getOption(DvMaxDriverBytesConf).map(_.toLong)
+      .getOrElse(64L * 1024 * 1024)
+
   /** Driver-side per-file sorted positions — the V2 scan's
-    * per-partition filter sets ([[graft.api.TxFileScan]]). Bounded in
-    * practice: position deletes are for SMALL mutations (the point of
-    * merge-on-read); large deletions belong to the copy-on-write verbs
-    * and any accumulation is purged by compactSmall.
+    * per-partition filter sets ([[graft.api.TxFileScan]]). Bounded BY
+    * GUARD, not by hope: position deletes are for SMALL mutations (the
+    * point of merge-on-read) and compactSmall/optimize purge them; a
+    * backlog past [[DvMaxDriverBytesConf]] (default 64 MB) fails
+    * loudly naming the purge verb instead of silently exhausting the
+    * driver. The API snapshot read is unaffected — it applies dels as
+    * a distributed anti-join ([[minusDels]]) and never collects them.
     */
   private[graft] def delPositions(spark: SparkSession, path: String,
                                   st: State): Map[String, Array[Long]] =
     if (st.dels.isEmpty) Map.empty
     else {
+      val hfs = fs(spark, path)
+      val bytes = st.dels.map(f => hfs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).sum
+      val cap = dvDriverCap(spark)
+      if (bytes > cap) throw new IllegalStateException(
+        s"table at $path carries $bytes bytes of position-delete files " +
+          s"(cap: $cap): the merge-on-read backlog must be purged before " +
+          "driver-side DV application. Run TxTable.compactSmall/optimize " +
+          "(SQL: CALL <catalog>.system.compact_small) to materialize the " +
+          s"deletes, or raise $DvMaxDriverBytesConf")
       import org.apache.spark.sql.functions.{collect_list, sort_array}
       delRows(spark, path, st).groupBy("f")
         .agg(sort_array(collect_list("pos")).as("ps"))

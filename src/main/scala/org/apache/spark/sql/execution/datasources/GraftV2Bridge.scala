@@ -65,6 +65,35 @@ object GraftV2Bridge {
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = spark.sessionState.newHadoopConf())
 
+  /** Whether Spark's vectorized parquet reader can serve `schema` as
+    * ColumnarBatches (the conf gate + per-type support check parquet
+    * scans use themselves).
+    */
+  def supportsBatch(spark: SparkSession, schema: StructType): Boolean =
+    new parquet.ParquetFileFormat().supportBatch(spark, schema)
+
+  /** Columnar parquet reader — the same `buildReaderWithPartitionValues`
+    * closure as [[parquetRowReader]] with batch return enabled: the
+    * iterator yields [[org.apache.spark.sql.vectorized.ColumnarBatch]]
+    * (Spark's own file-scan RDD performs the identical erased cast).
+    * Callers must gate on [[supportsBatch]].
+    */
+  def parquetBatchReader(spark: SparkSession,
+                         dataSchema: StructType,
+                         requiredSchema: StructType)
+      : PartitionedFile => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fn = new parquet.ParquetFileFormat().buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
+      hadoopConf = spark.sessionState.newHadoopConf())
+    f => fn(f).asInstanceOf[Iterator[
+      org.apache.spark.sql.vectorized.ColumnarBatch]]
+  }
+
   def partitionedFile(absPath: String, length: Long): PartitionedFile =
     PartitionedFile(
       partitionValues = InternalRow.empty,

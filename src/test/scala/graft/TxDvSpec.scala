@@ -195,7 +195,7 @@ class TxDvSpec extends AnyFunSuite {
       Seq("id", "v", "g", "w"))
   }
 
-  test("plan shape: DV routes row-based; purge restores native columnar") {
+  test("plan shape: DV scan stays COLUMNAR; purge restores native plan") {
     val w = java.nio.file.Files.createTempDirectory("txdvplan").toString
     spark.conf.set("spark.sql.catalog.gdvp", "graft.api.TxCatalog")
     spark.conf.set("spark.sql.catalog.gdvp.warehouse", w)
@@ -208,11 +208,82 @@ class TxDvSpec extends AnyFunSuite {
       s"a DV-free table plans Spark's native columnar parquet scan:\n${plan()}")
     TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 2L)
     assert(plan().contains("TxFileScan"),
-      s"a DV-bearing snapshot routes through the row-based scan:\n${plan()}")
+      s"a DV-bearing snapshot routes through the DV scan:\n${plan()}")
+    assert(plan().contains("ColumnarToRow"),
+      "the DV scan reads VECTORIZED batches (deletes apply as batch " +
+        s"compaction, not a whole-scan row penalty):\n${plan()}")
     TxTable.compactSmall(spark, s"$w/t", minFileBytes = 1L)
     assert(!plan().contains("TxFileScan") &&
       plan().toLowerCase.contains("parquet"),
       s"the purge returns the table to the native plan:\n${plan()}")
+  }
+
+  test("columnar DV application is exact across batches, types, nulls") {
+    // >4096 rows per file so the vectorized reader emits several
+    // batches per partition; deletes land in some batches (compaction)
+    // and miss others (zero-copy pass-through), including a contiguous
+    // run that empties most of one batch
+    val w = java.nio.file.Files.createTempDirectory("txdvcol").toString
+    spark.conf.set("spark.sql.catalog.gdcb", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdcb.warehouse", w)
+    val n = 20000
+    val df = spark.range(0, n).selectExpr(
+      "id",
+      "CASE WHEN id % 11 = 0 THEN NULL ELSE concat('s', id) END AS s",
+      "CAST(id AS DOUBLE) / 7 AS d",
+      "CAST(id % 97 AS DECIMAL(9,2)) * 1.5 AS m",
+      "DATE_ADD(DATE'2020-01-01', CAST(id % 365 AS INT)) AS dt",
+      "id % 3 = 0 AS b")
+    TxTable.overwriteClustered(spark, s"$w/t", df, "id", numFiles = 3)
+    TxTable.deleteWhereDv(spark, s"$w/t",
+      col("id") % 7 === 2 || (col("id") >= 5000 && col("id") < 9000))
+    val live = (0L until n.toLong)
+      .filterNot(i => i % 7 == 2 || (i >= 5000 && i < 9000))
+    val got = spark.sql(
+      "SELECT count(*) AS c, sum(id) AS si, count(s) AS cs, " +
+        "sum(d) AS sd, sum(m) AS sm, min(dt) AS mn, sum(CAST(b AS INT)) AS sb " +
+        "FROM gdcb.t").collect().head
+    assert(got.getLong(0) === live.size.toLong, "cardinality")
+    assert(got.getLong(1) === live.sum, "long column exact")
+    assert(got.getLong(2) === live.count(_ % 11 != 0),
+      "null map survives compaction")
+    assert(math.abs(got.getDouble(3) - live.map(_.toDouble / 7).sum) < 1e-6)
+    assert(got.getDecimal(4) != null, "decimal column reads")
+    assert(got.getLong(6) === live.count(_ % 3 == 0), "boolean column exact")
+    // row-identity check, not just aggregates: the survivors are
+    // EXACTLY the expected ids (a misaligned position walk would shift
+    // which rows die)
+    val ids = spark.sql("SELECT id FROM gdcb.t").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(ids === live, "survivor identity across all batches")
+  }
+
+  test("DV driver-collect guard: over-cap fails naming the purge verb") {
+    val w = java.nio.file.Files.createTempDirectory("txdvcap").toString
+    spark.conf.set("spark.sql.catalog.gcap", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gcap.warehouse", w)
+    spark.sql("CREATE TABLE gcap.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gcap.t SELECT id, concat('v', id) " +
+      "FROM range(2000)")
+    TxTable.deleteWhereDv(spark, s"$w/t", col("id") % 3 === 0)
+    spark.conf.set(TxTable.DvMaxDriverBytesConf, "1")
+    try {
+      val e = intercept[Exception](
+        spark.sql("SELECT count(*) FROM gcap.t").collect())
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(e).exists(c =>
+        c.getMessage != null && c.getMessage.contains("compact_small")),
+        s"the guard names the purge step: $e")
+      // the API read path applies dels as a DISTRIBUTED anti-join and
+      // never collects them — it stays correct above the cap
+      assert(TxTable.read(spark, s"$w/t").count() === 1333L,
+        "the API snapshot read is unaffected by the driver cap")
+      // maintenance purges the backlog; SQL reads work again
+      TxTable.compactSmall(spark, s"$w/t", minFileBytes = 1L)
+      assert(spark.sql("SELECT count(*) FROM gcap.t").collect()
+        .head.getLong(0) === 1333L, "post-purge SQL reads recover")
+    } finally spark.conf.unset(TxTable.DvMaxDriverBytesConf)
   }
 
   test("dv_dml catalog option: SQL DELETE lands as a position delete") {
