@@ -506,12 +506,22 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     * columnar parquet and `SELECT *` never includes it.
     */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = TxRowLevel.FileCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = TxRowLevel.FileCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+      },
+      // the parquet row index within _file — non-nullable by contract
+      // (a nullable rowId attribute is rejected by Spark's delta
+      // row-level analysis)
+      new MetadataColumn {
+        override def name(): String = TxRowLevel.PosCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+      })
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
@@ -550,7 +560,13 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinned.isEmpty,
       s"cannot $info on a time-travel snapshot of $path")
-    () => new TxRowLevelOperation(spark, this, info.command)
+    // dv_dml routes row-level SQL (UPDATE / MERGE INTO / unparseable
+    // DELETE) through the DELTA operation — ONE merge-on-read `dv`
+    // commit of position deletes + row images, O(changed rows) bytes —
+    // instead of the group-based copy-on-write rewrite (O(matched
+    // files)). Default stays copy-on-write.
+    () => if (dvDml) new TxDeltaRowLevelOperation(spark, this, info.command)
+          else new TxRowLevelOperation(spark, this, info.command)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -614,6 +630,12 @@ object TxRowLevel {
     * immutable data file, identified by its absolute path string.
     */
   val FileCol = "_file"
+  /** Per-row parquet position within `_file` — with it, (`_file`,
+    * `_pos`) is a durable row id (files are immutable): the delta
+    * (merge-on-read) row-level operation's rowId, and queryable
+    * provenance like `_file`.
+    */
+  val PosCol = "_pos"
 }
 
 /** GROUP-BASED (copy-on-write) row-level operation — what Spark's
@@ -659,7 +681,7 @@ class TxRowLevelOperation(
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new TxRowLevelScanBuilder(spark, table, this)
+      : ScanBuilder = new TxRowLevelScanBuilder(spark, table, registerScan)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -683,7 +705,7 @@ class TxRowLevelOperation(
   * produced per partition.
   */
 class TxRowLevelScanBuilder(spark: SparkSession, table: TxV2Table,
-                            op: TxRowLevelOperation)
+                            register: TxFileScan => Unit)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
@@ -713,7 +735,7 @@ class TxRowLevelScanBuilder(spark: SparkSession, table: TxV2Table,
     // position-delete commit already removed from carried files
     val scan = new TxFileScan(spark, table, candidates, required,
       table.dvPositions)
-    op.registerScan(scan)
+    register(scan)
     scan
   }
 }
@@ -791,8 +813,10 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
   private[api] def relFiles: Seq[String] = files.map(_.rel)
 
   private val dataRead =
-    StructType(required.filterNot(_.name == TxRowLevel.FileCol))
+    StructType(required.filterNot(f =>
+      f.name == TxRowLevel.FileCol || f.name == TxRowLevel.PosCol))
   private def needsFile = required.exists(_.name == TxRowLevel.FileCol)
+  private def needsPos = required.exists(_.name == TxRowLevel.PosCol)
 
   override def readSchema(): StructType = required
 
@@ -847,14 +871,15 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
     // non-batchable schemas. The answer is scan-wide (ignores the
     // partition), satisfying Spark's no-mixed-modes rule.
     val batchFn =
-      if (!needsFile &&
+      if (!needsFile && !needsPos &&
           GraftV2Bridge.supportsBatch(spark, dataRead) &&
           (files.forall(_.dvPos.isEmpty) ||
             dataRead.forall(f => TxDvColumnar.copyable(f.dataType))))
         Some(GraftV2Bridge.parquetBatchReader(spark,
           TxTable.stateSchema(spark, table.path, table.state), dataRead))
       else None
-    new TxRowReaderFactory(readerFn, dataRead, required, needsFile, batchFn)
+    new TxRowReaderFactory(readerFn, dataRead, required, needsFile,
+      needsPos, batchFn)
   }
 
   override def description(): String =
@@ -870,6 +895,7 @@ class TxRowReaderFactory(
     readerFn: org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.catalyst.InternalRow],
     dataRead: StructType, required: StructType, needsFile: Boolean,
+    needsPos: Boolean = false,
     batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
@@ -906,22 +932,36 @@ class TxRowReaderFactory(
     val p = partition.asInstanceOf[TxFilePartition]
     val joined = StructType(dataRead.fields :+
       org.apache.spark.sql.types.StructField(TxRowLevel.FileCol,
-        org.apache.spark.sql.types.StringType, nullable = false))
+        org.apache.spark.sql.types.StringType, nullable = false) :+
+      org.apache.spark.sql.types.StructField(TxRowLevel.PosCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
     val proj = UnsafeProjection.create(required.fields.toIndexedSeq.map { f =>
       val i = joined.fieldIndex(f.name)
       BoundReference(i, f.dataType, f.nullable)
     })
     val fileRow = new GenericInternalRow(Array[Any](
       org.apache.spark.unsafe.types.UTF8String.fromString(p.abs)))
-    val jr = new JoinedRow()
     val base0 = readerFn(GraftV2Bridge.partitionedFile(p.abs, p.len))
+    // `posOf(0)` = the EMITTED row's parquet row index — the position
+    // the del files record (full-file storage-order read, so the
+    // running row count IS the index), surviving DV filtering intact:
+    // a row's id must be its ORIGINAL position, never a post-delete
+    // renumbering.
+    val posOf = new Array[Long](1)
     // merge-on-read: drop this file's deleted positions. The reader
-    // consumes the WHOLE file in storage order, so the running row
-    // count IS the parquet row index the delete files recorded; both
-    // sides sorted → one O(1)-per-row pointer walk.
+    // consumes the WHOLE file in storage order; both sides sorted →
+    // one O(1)-per-row pointer walk.
     val base =
-      if (p.dvPos.isEmpty) base0
-      else new Iterator[InternalRow] {
+      if (p.dvPos.isEmpty) {
+        if (!needsPos) base0
+        else new Iterator[InternalRow] {
+          private var pos = -1L
+          override def hasNext: Boolean = base0.hasNext
+          override def next(): InternalRow = {
+            val r = base0.next(); pos += 1; posOf(0) = pos; r
+          }
+        }
+      } else new Iterator[InternalRow] {
         private val dv = p.dvPos
         private var di = 0
         private var pos = -1L
@@ -932,7 +972,7 @@ class TxRowReaderFactory(
             val r = base0.next(); pos += 1
             while (di < dv.length && dv(di) < pos) di += 1
             if (di < dv.length && dv(di) == pos) di += 1
-            else { nextRow = r; ready = true }
+            else { nextRow = r; posOf(0) = pos; ready = true }
           }
         }
         override def hasNext: Boolean = { advance(); ready }
@@ -943,8 +983,16 @@ class TxRowReaderFactory(
         }
       }
     val rows: Iterator[InternalRow] =
-      if (needsFile) base.map(r => proj(jr(r, fileRow)))
-      else base.map(proj)
+      if (!needsFile && !needsPos) base.map(proj)
+      else {
+        val jr = new JoinedRow()
+        val jr2 = new JoinedRow()
+        val posRow = new GenericInternalRow(1)
+        base.map { r =>
+          posRow.update(0, posOf(0))
+          proj(jr2(jr(r, fileRow), posRow))
+        }
+      }
     new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -1249,6 +1297,218 @@ class TxReplaceWrite(spark: SparkSession, table: TxV2Table,
 
 case class TxWriteMessage(name: String, rows: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** DELTA-BASED (merge-on-read) row-level operation — the
+  * [[org.apache.spark.sql.connector.write.SupportsDelta]] shape Spark's
+  * `RewriteUpdateTable` / `RewriteMergeIntoTable` /
+  * `RewriteDeleteFromTable` plan when the connector exposes a row id
+  * (Iceberg's position-delta design): the scan serves only candidate
+  * rows with their durable id (`_file`, `_pos` — files are immutable,
+  * so a parquet position identifies a row forever), and the write
+  * receives per-row DELETE/UPDATE/INSERT deltas instead of whole
+  * restaged files. One `dv` commit lands position deletes + row
+  * images: O(changed rows) bytes for the SQL statements a large table
+  * actually receives, where the group-based rewrite is O(matched
+  * files). Enabled per catalog via `dv_dml`; maintenance
+  * (compact/compactSmall/optimize) purges the accumulated deletes.
+  */
+class TxDeltaRowLevelOperation(
+    spark: SparkSession, table: TxV2Table,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new TxRowLevelScanBuilder(spark, table, _ => ())
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(TxRowLevel.FileCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(TxRowLevel.PosCol))
+
+  // updates arrive as update(id, row) pairs — the image lands in the
+  // same task as its position delete, one commit either way
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array.empty
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new TxDeltaWrite(spark, table, info.schema,
+          info.rowIdSchema.orElse(null), cmd)
+    }
+
+  override def description(): String = s"TxDeltaRowLevelOperation($cmd)"
+  override def toString: String = description()
+}
+
+/** The delta write: executor-side tasks stream row images into parquet
+  * data files and (file, position) rows into del files — both invisible
+  * in one staging dir — then ONE [[TxTable.commitDelta]] claims a `dv`
+  * commit under the same conflict rules as the group-based rewrite
+  * (referenced files still live, their delete sets unchanged since the
+  * scan, schema not evolved), WriteSerializable.
+  */
+class TxDeltaWrite(spark: SparkSession, table: TxV2Table,
+                   writeSchema: StructType, rowIdSchema: StructType,
+                   cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val stagingRel = "data-" +
+    java.util.UUID.randomUUID().toString.take(12)
+  private def stagingAbs = s"${table.path}/$stagingRel"
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    val (imgFactory, imgConf) =
+      GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+    val (delFactory, delConf) =
+      GraftV2Bridge.parquetWriterFactory(spark, TxTable.DelSchema)
+    Dedup.hadoopFs(spark, table.path).mkdirs(new Path(stagingAbs))
+    // rowId field order comes from the resolved write info, not from
+    // our declaration — bind by name, defensively
+    val ri = Option(rowIdSchema).getOrElse(StructType(Nil))
+    val fileIdx = ri.fieldNames.indexOf(TxRowLevel.FileCol)
+    val posIdx = ri.fieldNames.indexOf(TxRowLevel.PosCol)
+    require(fileIdx >= 0 && posIdx >= 0,
+      s"delta write on ${table.path}: rowId schema $ri lacks " +
+        s"${TxRowLevel.FileCol}/${TxRowLevel.PosCol}")
+    new TxDeltaWriterFactory(stagingAbs, writeSchema, imgFactory,
+      new TxSerializableConf(imgConf), delFactory,
+      new TxSerializableConf(delConf), fileIdx, posIdx)
+  }
+
+  override def commit(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    val msgs = messages.toSeq.collect { case m: TxDeltaMessage => m }
+    val imgs = msgs.collect { case m if m.imgRows > 0 =>
+      s"$stagingRel/${m.imgName}" }.sorted
+    val dels = msgs.collect { case m if m.delRows > 0 =>
+      s"$stagingRel/${m.delName}" }.sorted
+    if (imgs.isEmpty && dels.isEmpty) return // nothing matched: no-op
+    TxTable.commitDelta(spark, table.path, table.snapVersion, dels, imgs,
+      msgs.flatMap(_.referenced).distinct.sorted,
+      cmd.toString.toLowerCase(java.util.Locale.ROOT))
+    ()
+  }
+
+  override def abort(
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage])
+      : Unit = {
+    Dedup.hadoopFs(spark, table.path).delete(new Path(stagingAbs), true)
+    ()
+  }
+
+  override def description(): String =
+    s"TxDeltaWrite(${table.path}, $cmd)"
+}
+
+case class TxDeltaMessage(imgName: String, imgRows: Long,
+                          delName: String, delRows: Long,
+                          referenced: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class TxDeltaWriterFactory(
+    stagingAbs: String, imgSchema: StructType,
+    imgOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    imgConf: TxSerializableConf,
+    delOwf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    delConf: TxSerializableConf,
+    fileIdx: Int, posIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      import org.apache.spark.sql.catalyst.InternalRow
+      private val imgName = f"part-$partitionId%05d-$taskId.parquet"
+      private val delName = f"del-$partitionId%05d-$taskId.parquet"
+      private var img: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var del: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var imgRows = 0L
+      private var delRows = 0L
+      private val referenced = scala.collection.mutable.LinkedHashSet[String]()
+      // del rows key on the two-segment RELATIVE name (TxTable's
+      // RelNameRegex contract); the id carries the absolute path
+      private val relPat = java.util.regex.Pattern.compile("[^/]+/[^/]+$")
+      private val delRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+      private def writeDel(id: InternalRow): Unit = {
+        val abs = id.getUTF8String(fileIdx).toString
+        val m = relPat.matcher(abs)
+        require(m.find(),
+          s"row id file path '$abs' has no two-segment relative tail")
+        val rel = m.group()
+        referenced += rel
+        delRow.update(0,
+          org.apache.spark.unsafe.types.UTF8String.fromString(rel))
+        delRow.update(1, id.getLong(posIdx))
+        if (del == null)
+          del = GraftV2Bridge.newOutputWriter(delOwf,
+            s"$stagingAbs/$delName", TxTable.DelSchema, delConf.value,
+            partitionId, taskId)
+        del.write(delRow)
+        delRows += 1
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit =
+        writeDel(id)
+
+      override def update(metadata: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit = {
+        writeDel(id)
+        insert(row)
+      }
+
+      override def insert(row: InternalRow): Unit = {
+        if (img == null)
+          img = GraftV2Bridge.newOutputWriter(imgOwf,
+            s"$stagingAbs/$imgName", imgSchema, imgConf.value,
+            partitionId, taskId)
+        img.write(row)
+        imgRows += 1
+      }
+
+      override def commit()
+          : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (img != null) img.close()
+        if (del != null) del.close()
+        TxDeltaMessage(imgName, imgRows, delName, delRows,
+          referenced.toSeq)
+      }
+
+      override def abort(): Unit = {
+        Seq(Option(img) -> imgName, Option(del) -> delName).foreach {
+          case (Some(w), name) =>
+            w.close()
+            val p = new Path(s"$stagingAbs/$name")
+            p.getFileSystem(imgConf.value).delete(p, false)
+            ()
+          case _ => ()
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
 
 class TxDataWriterFactory(stagingAbs: String, schema: StructType,
                           owf: org.apache.spark.sql.execution.datasources.OutputWriterFactory,

@@ -2992,40 +2992,8 @@ object TxTable {
       replaceRaceInjection()
       val head = latestVersion(spark, path)
       val st = foldState(hfs, path, head)
-      val lost = removedSet -- st.files.toSet
-      if (lost.nonEmpty)
-        throw new java.util.ConcurrentModificationException(
-          s"$what on $path conflicts with a concurrent commit: scanned " +
-            s"files no longer live at head $head (base $baseVersion): " +
-            s"${lost.take(5).mkString(", ")}" +
-            (if (lost.size > 5) s" (+${lost.size - 5} more)" else ""))
-      // A concurrent `dv` commit adds position deletes WITHOUT removing
-      // files, so the still-live rule alone would admit it — but this
-      // rewrite's output was computed from the PRE-dv DV-applied scan,
-      // and survivingDels drops del rows of rewritten files, so
-      // admitting it would silently resurrect the rows the interleaved
-      // commit deleted (a lost update under WriteSerializable). Delta's
-      // conflict checker treats a DV change on a read file as a
-      // conflict; so does this one: any del row on a scanned file at
-      // head that was not there at baseVersion aborts the claim.
-      if (head != baseVersion && removedSet.nonEmpty) {
-        val baseSt = foldState(hfs, path, baseVersion)
-        if (st.dels != baseSt.dels) {
-          import org.apache.spark.sql.functions.col
-          def delsOnScanned(s: State): DataFrame =
-            if (s.dels.isEmpty)
-              spark.createDataFrame(
-                new java.util.ArrayList[org.apache.spark.sql.Row](), DelSchema)
-            else delRows(spark, path, s)
-              .filter(col("f").isInCollection(removedSet))
-          if (!delsOnScanned(st).except(delsOnScanned(baseSt)).isEmpty)
-            throw new java.util.ConcurrentModificationException(
-              s"$what on $path conflicts with a concurrent position-delete " +
-                s"commit: scanned files gained deletion-vector rows between " +
-                s"base $baseVersion and head $head — committing would " +
-                "resurrect rows the interleaved commit deleted")
-        }
-      }
+      requireScanStillValid(spark, path, hfs, st, head, baseVersion,
+        removedSet, what)
       val untouched = st.files.filterNot(removedSet)
       val extra =
         if ((untouched ++ added).nonEmpty) Seq.empty[String]
@@ -3052,6 +3020,91 @@ object TxTable {
           // materialized by the DV-applied row-level scan
           sstats = carry(st.sstats) ++ fsstats,
           dels = survivingDels(spark, path, st, untouched)) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-fold the head, re-check conflicts
+      }
+    }
+    throw new IllegalStateException(
+      s"could not commit $what on $path after $MaxCommitRetries lost " +
+        "version races")
+  }
+
+  /** The shared conflict rules of DSv2 writes whose row output was
+    * computed against `baseVersion` and cannot be recomputed at commit
+    * time (the API verbs restart their transform on a lost race; a
+    * DSv2 write's query already ran): every scanned/referenced file
+    * must still be LIVE at `head` (an interleaved commit that removed
+    * or replaced one means the inputs are stale), and none may have
+    * GAINED position-delete rows since `baseVersion` — a dv commit
+    * adds del rows without removing files, so the still-live rule
+    * alone would admit it, and committing outputs computed from the
+    * pre-dv scan would silently resurrect the rows it deleted (a lost
+    * update under WriteSerializable; Delta's conflict checker treats a
+    * DV change on a read file as a conflict for the same reason).
+    */
+  private def requireScanStillValid(spark: SparkSession, path: String,
+                                    hfs: org.apache.hadoop.fs.FileSystem,
+                                    st: State, head: Long,
+                                    baseVersion: Long,
+                                    scanned: Set[String],
+                                    what: String): Unit = {
+    val lost = scanned -- st.files.toSet
+    if (lost.nonEmpty)
+      throw new java.util.ConcurrentModificationException(
+        s"$what on $path conflicts with a concurrent commit: scanned " +
+          s"files no longer live at head $head (base $baseVersion): " +
+          s"${lost.take(5).mkString(", ")}" +
+          (if (lost.size > 5) s" (+${lost.size - 5} more)" else ""))
+    if (head != baseVersion && scanned.nonEmpty) {
+      val baseSt = foldState(hfs, path, baseVersion)
+      if (st.dels != baseSt.dels) {
+        import org.apache.spark.sql.functions.col
+        def delsOnScanned(s: State): DataFrame =
+          if (s.dels.isEmpty)
+            spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), DelSchema)
+          else delRows(spark, path, s)
+            .filter(col("f").isInCollection(scanned))
+        if (!delsOnScanned(st).except(delsOnScanned(baseSt)).isEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"$what on $path conflicts with a concurrent position-delete " +
+              s"commit: scanned files gained deletion-vector rows between " +
+              s"base $baseVersion and head $head — committing would " +
+              "resurrect rows the interleaved commit deleted")
+      }
+    }
+  }
+
+  /** The commit half of the DSv2 DELTA row-level write (SQL
+    * UPDATE / MERGE INTO / unparseable DELETE under `dv_dml`): ONE
+    * merge-on-read `dv` commit recording executor-staged position
+    * deletes (`delFiles`) and row images (`imageFiles`) — O(changed
+    * rows) bytes, no data file removed or rewritten. `referenced` are
+    * the relative names of the files the staged del rows point into;
+    * the claim aborts (ConcurrentModificationException) if any is no
+    * longer live at head or gained del rows since `baseVersion` —
+    * positions into a removed file are meaningless and doubled
+    * deletes/updates of a concurrently-deleted row would corrupt the
+    * feed ([[requireScanStillValid]], the rule [[commitReplace]]
+    * shares). Lost version races re-fold and re-check: positions stay
+    * valid as long as the referenced files do.
+    */
+  private[graft] def commitDelta(spark: SparkSession, path: String,
+                                 baseVersion: Long,
+                                 delFiles: Seq[String],
+                                 imageFiles: Seq[String],
+                                 referenced: Seq[String],
+                                 what: String): Long = {
+    val hfs = fs(spark, path)
+    val refSet = referenced.toSet
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      val st = foldState(hfs, path, head)
+      requireScanStillValid(spark, path, hfs, st, head, baseVersion,
+        refSet, what)
+      commitAt(spark, path, head + 1, "dv", imageFiles, None,
+          op = Some(what), cdf = Nil, dels = delFiles) match {
         case Some(v) => return v
         case None    => attempt += 1 // re-fold the head, re-check conflicts
       }

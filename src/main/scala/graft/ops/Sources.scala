@@ -1034,6 +1034,38 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // MERGE-ON-READ SQL DML end-to-end: the SAME CTAS -> UPDATE ->
+    // MERGE INTO -> row-level DELETE walk as q_tx_catalog_dml, routed
+    // through a dv_dml catalog — every row-level statement plans the
+    // DELTA operation and lands ONE `dv` commit (position deletes +
+    // images, no data file rewritten). The oracle is the identical
+    // algebra, so the two routes must hash-match each other AND the
+    // oracle: a position off by one, a resurrected row, a doubled
+    // image, or a delta read that missed an earlier commit's deletes
+    // breaks it.
+    Q("q_tx_dv_dml",
+      Some("""WITH t2 AS (
+                SELECT doc_id, source,
+                       n_chars + CASE WHEN doc_id % 9 = 0 THEN 10 ELSE 0 END
+                         AS n_chars
+                FROM documents WHERE doc_id % 3 = 0),
+              t3 AS (
+                SELECT doc_id, source, n_chars FROM t2 WHERE doc_id % 6 <> 0
+                UNION ALL
+                SELECT doc_id, 'm' AS source, n_chars * 2 AS n_chars
+                FROM documents WHERE doc_id % 6 = 0
+                UNION ALL
+                SELECT doc_id, source, n_chars
+                FROM documents WHERE doc_id % 3 = 1)
+              SELECT source, count(*) AS n,
+                     CAST(SUM(n_chars) AS BIGINT) AS chars
+              FROM t3 WHERE n_chars % 7 <> 0
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxDvDml(s, dir))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1192,7 +1224,7 @@ object Sources {
   private def ensureTxBase(s: SparkSession, dir: String): String =
     // ver 22: staged (atomic) CTAS — catalog-built tables now carry
     // their data in version 1 (no intermediate empty-create commit)
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 23) { base =>
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 24) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1408,6 +1440,35 @@ object Sources {
       TxTable.deleteWhereDv(s, dvt, col("n_chars") % 5 === 0)
       TxTable.updateWhereDv(s, dvt, col("doc_id") % 11 === 0,
         Map("source" -> lit("d"), "n_chars" -> (col("n_chars") + 7)))
+      // table "cd": the SAME catalog DML walk as "ct", routed
+      // MERGE-ON-READ (dv_dml): SQL UPDATE plans the DELTA row-level
+      // operation (ONE `dv` commit of position deletes + updated
+      // images, no data file rewritten), MERGE INTO likewise, and the
+      // DELETE's modulo predicate cannot round-trip to a V1 filter so
+      // the row-level fallback ALSO lands as a delta commit.
+      // q_tx_dv_dml replays the head against the SAME oracle algebra
+      // as q_tx_catalog_dml — route parity proven by hash equality.
+      val dvCat = "graft_txdv_" + java.lang.Integer.toHexString(base.hashCode)
+      s.conf.set(s"spark.sql.catalog.$dvCat", "graft.api.TxCatalog")
+      s.conf.set(s"spark.sql.catalog.$dvCat.warehouse", base)
+      s.conf.set(s"spark.sql.catalog.$dvCat.dv_dml", "true")
+      docs.select("doc_id", "source", "n_chars")
+        .createOrReplaceTempView("graft_cd_src")
+      s.sql(s"CREATE TABLE $dvCat.cd AS SELECT doc_id, source, n_chars " +
+        "FROM graft_cd_src WHERE doc_id % 3 = 0")
+      s.sql(s"UPDATE $dvCat.cd SET n_chars = n_chars + 10 " +
+        "WHERE doc_id % 9 = 0")
+      s.sql(s"""MERGE INTO $dvCat.cd t USING (
+                 SELECT doc_id, 'm' AS source, n_chars * 2 AS n_chars
+                 FROM graft_cd_src WHERE doc_id % 6 = 0
+                 UNION ALL
+                 SELECT doc_id, source, n_chars
+                 FROM graft_cd_src WHERE doc_id % 3 = 1) s
+               ON t.doc_id = s.doc_id
+               WHEN MATCHED THEN UPDATE SET *
+               WHEN NOT MATCHED THEN INSERT *""")
+      s.sql(s"DELETE FROM $dvCat.cd WHERE n_chars % 7 = 0")
+      s.catalog.dropTempView("graft_cd_src")
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
       // truncates time travel below version 4 and an aged-out vacuum
@@ -1560,6 +1621,8 @@ object Sources {
 
   private[graft] def ensureTxDv(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/dv"
+  private[graft] def ensureTxDvDml(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/cd"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"

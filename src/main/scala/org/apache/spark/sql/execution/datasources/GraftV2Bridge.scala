@@ -184,7 +184,7 @@ class GraftMetaAwareParquetScanBuilder(
   override def pruneColumns(requiredSchema: StructType): Unit = {
     requested = Some(requiredSchema)
     delegate.pruneColumns(StructType(
-      requiredSchema.filterNot(_.name == "_file")))
+      requiredSchema.filterNot(f => f.name == "_file" || f.name == "_pos")))
   }
 
   override def pushAggregation(
@@ -197,7 +197,7 @@ class GraftMetaAwareParquetScanBuilder(
 
   override def build(): org.apache.spark.sql.connector.read.Scan =
     requested match {
-      case Some(rs) if rs.exists(_.name == "_file") =>
+      case Some(rs) if rs.exists(f => f.name == "_file" || f.name == "_pos") =>
         fileColScan(rs, org.apache.spark.sql.internal.connector.PredicateUtils
           .toV1(delegate.pushedFilters))
       case _ => wrap(delegate.build())

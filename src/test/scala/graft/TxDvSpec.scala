@@ -311,6 +311,80 @@ class TxDvSpec extends AnyFunSuite {
       "without the option, DELETE stays the file-level rewrite")
   }
 
+  test("dv_dml: SQL UPDATE plans the DELTA op — one merge-on-read commit") {
+    val w = java.nio.file.Files.createTempDirectory("txdvup").toString
+    spark.conf.set("spark.sql.catalog.gdup", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdup.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gdup.dv_dml", "true")
+    spark.sql("CREATE TABLE gdup.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdup.t SELECT id, concat('v', id) FROM range(1000)")
+    val preFiles = TxTable.snapshotState(spark, s"$w/t",
+      TxTable.latestVersion(spark, s"$w/t")).files.toSet
+    spark.sql("UPDATE gdup.t SET v = concat(v, '!') WHERE id % 100 = 7")
+    val c = TxTable.history(spark, s"$w/t").last
+    assert(c.action === "dv" && c.op === Some("update"),
+      s"SQL UPDATE under dv_dml is ONE position-delta commit: ${c.action}/${c.op}")
+    assert(c.dels.nonEmpty && c.files.nonEmpty,
+      "the commit stages position deletes + updated images, nothing else")
+    val post = TxTable.snapshotState(spark, s"$w/t",
+      TxTable.latestVersion(spark, s"$w/t")).files.toSet
+    assert(preFiles.subsetOf(post),
+      "NO pre-update data file was removed or rewritten (O(changed rows))")
+    val got = spark.sql("SELECT id, v FROM gdup.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 1000, "update preserves cardinality")
+    assert(got.forall { case (i, s) =>
+      s == (if (i % 100 == 7) s"v$i!" else s"v$i") },
+      "exactly the matched rows updated")
+    // the change feed reconstructs the update as delete+insert pairs
+    val v = c.version
+    val feed = TxTable.changesRows(spark, s"$w/t", v - 1, v)
+      .filter(col("id") === 107L)
+      .select("v", TxTable.ChangeCol).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(feed === Set(("v107", "delete"), ("v107!", "insert")))
+  }
+
+  test("dv_dml: MERGE INTO lands one dv commit covering all clauses") {
+    val w = java.nio.file.Files.createTempDirectory("txdvmg").toString
+    spark.conf.set("spark.sql.catalog.gdmg", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdmg.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gdmg.dv_dml", "true")
+    spark.sql("CREATE TABLE gdmg.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdmg.t SELECT id, concat('v', id) FROM range(100)")
+    Seq((50L, "U"), (75L, "U"), (200L, "N"), (30L, "D"))
+      .toDF("id", "nv").createOrReplaceTempView("mg_src")
+    spark.sql(
+      """MERGE INTO gdmg.t AS t USING mg_src AS s ON t.id = s.id
+        |WHEN MATCHED AND s.nv = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |""".stripMargin)
+    val c = TxTable.history(spark, s"$w/t").last
+    assert(c.action === "dv" && c.op === Some("merge"),
+      s"MERGE under dv_dml is ONE position-delta commit: ${c.action}/${c.op}")
+    val got = spark.sql("SELECT id, v FROM gdmg.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size === 100, "100 - 1 delete + 1 insert")
+    assert(!got.contains(30L) && got(50L) == "U" && got(75L) == "U" &&
+      got(200L) == "N" && got(0L) == "v0")
+    // a second merge-on-read statement over the SAME files composes
+    // (its scan applies the earlier dv commit's deletes first)
+    spark.sql("UPDATE gdmg.t SET v = 'X' WHERE id = 50")
+    assert(spark.sql("SELECT v FROM gdmg.t WHERE id = 50").collect()
+      .map(_.getString(0)).toSeq === Seq("X"))
+    assert(spark.sql("SELECT count(*) FROM gdmg.t WHERE id = 30").collect()
+      .head.getLong(0) === 0L, "the deleted row stays dead")
+    // maintenance purges the accumulated deltas content-identically
+    val expect = spark.sql("SELECT id, v FROM gdmg.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    spark.sql("CALL gdmg.system.compact_small(table => 't', " +
+      "min_file_bytes => 1)")
+    assert(TxTable.history(spark, s"$w/t").last.dels.isEmpty)
+    assert(spark.sql("SELECT id, v FROM gdmg.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === expect)
+  }
+
   test("racing DV deletes + appends: claim-exactly serializes, nothing lost") {
     // the conflict story position deletes must keep: positions are
     // derived from an OBSERVED head and claimed at exactly head+1, so

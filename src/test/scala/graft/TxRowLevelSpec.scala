@@ -406,10 +406,25 @@ class TxSqlDmlSweepSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("SQL UPDATE/DELETE/MERGE/REPLACE WHERE equal the dense model") {
+    sweep("gv", dvDml = false, seed = 20260816L)
+  }
+
+  test("the SAME sweep under dv_dml (merge-on-read route) stays exact") {
+    sweep("gvd", dvDml = true, seed = 20260817L)
+  }
+
+  /** The identical statement stream runs against whichever physical
+    * route the catalog options pick — group-based copy-on-write or the
+    * dv_dml delta (merge-on-read) operation — and must equal the dense
+    * in-memory model either way.
+    */
+  private def sweep(cat: String, dvDml: Boolean, seed: Long): Unit = {
     val w = java.nio.file.Files.createTempDirectory("txsweep").toString
-    spark.conf.set("spark.sql.catalog.gv", "graft.api.TxCatalog")
-    spark.conf.set("spark.sql.catalog.gv.warehouse", w)
-    val rnd = new scala.util.Random(20260816L)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    if (dvDml) spark.conf.set(s"spark.sql.catalog.$cat.dv_dml", "true")
+    val gv = cat
+    val rnd = new scala.util.Random(seed)
     (0 until 3).foreach { it =>
       val n = 1500 + rnd.nextInt(1500)
       val nf = 1 + rnd.nextInt(7)
@@ -423,26 +438,26 @@ class TxSqlDmlSweepSpec extends AnyFunSuite {
 
       // 1. translatable UPDATE (candidate files + runtime group filter)
       val (ulo, uhi) = { val l = rnd.nextInt(n); (l.toLong, (l + rnd.nextInt(300)).toLong) }
-      spark.sql(s"UPDATE gv.$t SET v = concat('u', CAST(id AS STRING)) " +
+      spark.sql(s"UPDATE $gv.$t SET v = concat('u', CAST(id AS STRING)) " +
         s"WHERE id BETWEEN $ulo AND $uhi")
       model.keys.filter(k => k >= ulo && k <= uhi)
         .foreach(k => model(k) = s"u$k")
 
       // 2. unpushable UPDATE (modulo: full-candidate group rewrite)
       val m = 5 + rnd.nextInt(7); val r = rnd.nextInt(m)
-      spark.sql(s"UPDATE gv.$t SET v = 'mod' WHERE id % $m = $r " +
+      spark.sql(s"UPDATE $gv.$t SET v = 'mod' WHERE id % $m = $r " +
         s"AND id < ${n / 2}")
       model.keys.filter(k => k % m == r && k < n / 2)
         .foreach(k => model(k) = "mod")
 
       // 3. SupportsDeleteV2 DELETE (range predicate)
       val (dlo, dhi) = { val l = rnd.nextInt(n); (l.toLong, (l + rnd.nextInt(200)).toLong) }
-      spark.sql(s"DELETE FROM gv.$t WHERE id BETWEEN $dlo AND $dhi")
+      spark.sql(s"DELETE FROM $gv.$t WHERE id BETWEEN $dlo AND $dhi")
       (dlo to dhi).foreach(model.remove)
 
       // 4. row-level-fallback DELETE (modulo predicate)
       val m2 = 7 + rnd.nextInt(6); val r2 = rnd.nextInt(m2)
-      spark.sql(s"DELETE FROM gv.$t WHERE id % $m2 = $r2 AND id >= ${n / 2}")
+      spark.sql(s"DELETE FROM $gv.$t WHERE id % $m2 = $r2 AND id >= ${n / 2}")
       model.keys.toSeq.filter(k => k % m2 == r2 && k >= n / 2)
         .foreach(model.remove)
 
@@ -451,7 +466,7 @@ class TxSqlDmlSweepSpec extends AnyFunSuite {
         Seq.fill(1 + rnd.nextInt(4))((n + rnd.nextInt(900)).toLong)).distinct
       keys.map(k => (k, s"m$k")).toDF("id", "v")
         .createOrReplaceTempView(s"sweep_src$it")
-      spark.sql(s"""MERGE INTO gv.$t t USING sweep_src$it s ON t.id = s.id
+      spark.sql(s"""MERGE INTO $gv.$t t USING sweep_src$it s ON t.id = s.id
                     WHEN MATCHED THEN UPDATE SET *
                     WHEN NOT MATCHED THEN INSERT *""")
       keys.foreach { k =>
@@ -464,16 +479,16 @@ class TxSqlDmlSweepSpec extends AnyFunSuite {
       spark.range(rlo, rhi + 1).filter($"id" % 2 === 0)
         .selectExpr("id", "concat('r', CAST(id AS STRING)) AS v")
         .createOrReplaceTempView(s"sweep_rw$it")
-      spark.sql(s"INSERT INTO gv.$t REPLACE WHERE id BETWEEN $rlo AND $rhi " +
+      spark.sql(s"INSERT INTO $gv.$t REPLACE WHERE id BETWEEN $rlo AND $rhi " +
         s"SELECT id, v FROM sweep_rw$it")
       model.keys.toSeq.filter(k => k >= rlo && k <= rhi).foreach(model.remove)
       (rlo to rhi).filter(_ % 2 == 0).foreach(k => model(k) = s"r$k")
 
       // 7. occasionally a maintenance pass (content-identical)
       if (it % 2 == 1)
-        spark.sql(s"CALL gv.system.compact(table => '$t', num_files => 2)")
+        spark.sql(s"CALL $gv.system.compact(table => '$t', num_files => 2)")
 
-      val got = spark.sql(s"SELECT id, v FROM gv.$t").collect()
+      val got = spark.sql(s"SELECT id, v FROM $gv.$t").collect()
         .map(row => row.getLong(0) -> row.getString(1)).toMap
       assert(got === model.toMap,
         s"iteration $it (n=$n files=$nf) diverged from the dense model")
