@@ -105,27 +105,25 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
   private def nsPath(ns: Seq[String]): String =
     (warehouse +: ns.map(part)).mkString("/")
 
-  /** Table properties the create path can honor. Everything else
-    * (COMMENT, user TBLPROPERTIES, a foreign USING) is rejected loudly:
-    * the commit log does not persist properties, so accepting one
-    * would discard metadata the user believes was stored.
+  /** Split the declared properties into the map the COMMIT LOG
+    * persists (COMMENT + user TBLPROPERTIES, round-tripped through
+    * loadTable and time travel) and the Spark-injected/provider keys
+    * it does not (owner, self-LOCATION, external, provider — all
+    * recomputed at load). A foreign USING still rejects loudly.
     */
-  private def requireSupportedProps(
-      properties: util.Map[String, String]): Unit = {
+  private def persistableProps(
+      properties: util.Map[String, String]): Map[String, String] = {
     import scala.jdk.CollectionConverters._
-    properties.asScala.foreach {
+    properties.asScala.flatMap {
       case (TableCatalog.PROP_OWNER, _) | (TableCatalog.PROP_LOCATION, _) |
-           (TableCatalog.PROP_EXTERNAL, _) => // Spark-injected
+           (TableCatalog.PROP_EXTERNAL, _) => None // Spark-injected
       case (TableCatalog.PROP_PROVIDER, prov) =>
         require(prov.equalsIgnoreCase("txtable"),
           s"TxCatalog creates txtable tables only; USING $prov is not " +
             "supported (write-path formats live outside this catalog)")
-      case (k, v) =>
-        throw new UnsupportedOperationException(
-          s"txtable does not persist table property '$k' (= '$v'): the " +
-            "commit log carries no property map, so COMMENT/TBLPROPERTIES " +
-            "would be silently lost — remove it from the statement")
-    }
+        None
+      case (k, v) => Some(k -> v)
+    }.toMap
   }
 
   private def isTable(p: String): Boolean =
@@ -225,14 +223,12 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
         s"'$c' uses the reserved internal prefix '__graft_'; rename the " +
           "column (internal provenance columns of that shape attach " +
           "during merge-on-read scans and would shadow it)"))
-    // The commit log does not carry table properties, so anything we
-    // accept here would be unrecoverable from loadTable — reject
-    // loudly (the LOCATION/_file policy) instead of letting COMMENT /
-    // TBLPROPERTIES / USING <other> succeed and silently vanish.
-    // Spark itself injects `owner` (and `location`+`external` for the
-    // self-location case the check above admits); `USING txtable` is
-    // this catalog's own provider.
-    requireSupportedProps(properties)
+    // COMMENT / user TBLPROPERTIES persist in the commit log (the
+    // propsB64 field); Spark-injected keys (owner, self-location,
+    // external, provider) are recomputed at load and never stored. A
+    // foreign USING still rejects loudly (validated inside).
+    persistableProps(properties)
+    ()
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -248,7 +244,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // on the log, one wins, the other throws (a check-then-act probe
     // would let both report success and racing CTAS union their data).
     if (!TxTable.createExactlyV1(spark, p, spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)))
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        persistableProps(properties)))
       throw new TableAlreadyExistsException(ident)
     new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
   }
@@ -274,7 +271,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
     new TxStagedTable(spark, p, ident, fullName(ident), schema,
-      replaceExisting = false, orCreate = false)
+      replaceExisting = false, orCreate = false,
+      props = persistableProps(properties))
   }
 
   override def stageReplace(ident: Identifier, schema: StructType,
@@ -284,7 +282,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
     new TxStagedTable(spark, p, ident, fullName(ident), schema,
-      replaceExisting = true, orCreate = false)
+      replaceExisting = true, orCreate = false,
+      props = persistableProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier, schema: StructType,
@@ -293,14 +292,39 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
       : StagedTable = {
     validateTableSpec(ident, schema, partitions, properties)
     new TxStagedTable(spark, pathOf(ident), ident, fullName(ident), schema,
-      replaceExisting = true, orCreate = true)
+      replaceExisting = true, orCreate = true,
+      props = persistableProps(properties))
   }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    changes.foreach {
+    // property changes batch into ONE data-less commit carrying the
+    // full merged map (SET/UNSET TBLPROPERTIES, COMMENT ON TABLE)
+    val propChanges = changes.collect {
+      case s: TableChange.SetProperty => s
+      case r: TableChange.RemoveProperty => r
+    }
+    if (propChanges.nonEmpty) {
+      propChanges.foreach {
+        case s: TableChange.SetProperty =>
+          require(s.property != TableCatalog.PROP_LOCATION &&
+              s.property != TableCatalog.PROP_PROVIDER,
+            s"cannot alter reserved property '${s.property}'")
+        case _ => ()
+      }
+      val cur = TxTable.properties(spark, p,
+        TxTable.latestVersion(spark, p))
+      val next = propChanges.foldLeft(cur) {
+        case (m, s: TableChange.SetProperty) => m + (s.property -> s.value)
+        case (m, r: TableChange.RemoveProperty) => m - r.property
+        case (m, _) => m
+      }
+      TxTable.setProperties(spark, p, next)
+    }
+    changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty]).foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           "txtable schema evolution is top-level additive only " +
@@ -490,13 +514,16 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCapability.MICRO_BATCH_READ)
 
   override def properties(): util.Map[String, String] =
-    Map(
+    // stored first: COMMENT + user TBLPROPERTIES round-trip from the
+    // commit log (per snapshot — time travel reads them as-of); the
+    // computed keys then overwrite any collision
+    (state.props ++ Map(
       TableCatalog.PROP_PROVIDER -> "txtable",
       TableCatalog.PROP_LOCATION -> path,
       "version" -> snapVersion.toString,
-      // merge-on-read observability: >0 means reads route through the
-      // row-based DV scan; CALL gx.system.compact_small purges
-      "position_delete_files" -> state.dels.size.toString).asJava
+      // merge-on-read observability: >0 means reads apply position
+      // deletes; CALL gx.system.compact_small purges
+      "position_delete_files" -> state.dels.size.toString)).asJava
 
   /** `_file` is the row-level rewrite's GROUP COLUMN (runtime group
     * filtering resolves it against this declaration) and doubles as
@@ -1706,7 +1733,8 @@ class TxV1WriteBuilder(spark: SparkSession, path: String,
 class TxStagedTable(spark: SparkSession, val path: String,
                     ident: Identifier, name0: String,
                     declared: StructType,
-                    replaceExisting: Boolean, orCreate: Boolean)
+                    replaceExisting: Boolean, orCreate: Boolean,
+                    props: Map[String, String] = Map.empty)
     extends StagedTable with SupportsWrite {
 
   private val hfs = Dedup.hadoopFs(spark, path)
@@ -1756,9 +1784,9 @@ class TxStagedTable(spark: SparkSession, val path: String,
       // one overwrite commit whether the table still exists (normal
       // REPLACE — claims head+1, history preserved) or was dropped /
       // never existed under OR REPLACE (claims v1 — a create)
-      TxTable.commitReplaceTable(spark, path, files)
+      TxTable.commitReplaceTable(spark, path, files, props)
       ()
-    } else if (!TxTable.createExactlyV1Files(spark, path, files)) {
+    } else if (!TxTable.createExactlyV1Files(spark, path, files, props)) {
       cleanupDir()
       throw new TableAlreadyExistsException(ident)
     }

@@ -81,7 +81,8 @@ object TxTable {
                           cdf: Seq[String] = Nil,
                           schemaB64: Option[String] = None,
                           sstats: Map[String, (String, String)] = Map.empty,
-                          dels: Seq[String] = Nil)
+                          dels: Seq[String] = Nil,
+                          props: Option[Map[String, String]] = None)
 
   /** Fold-and-persist cadence for checkpoint records. */
   val CheckpointEvery = 10
@@ -118,6 +119,13 @@ object TxTable {
       // JSON-inert, so the hand-rolled parser stays regex-safe even
       // though the schema document itself nests quotes and brackets
       c.schemaB64.map(sc => s""""schemaB64":"$sc",""").getOrElse("") +
+      // table properties: arbitrary user strings, so each key/value is
+      // base64'd separately (k:v entries joined with ';' — the whole
+      // payload stays in the JSON-inert alphabet [A-Za-z0-9+/=:;]).
+      // An EMPTY map still renders ("propsB64":"") — that is the reset
+      // marker (REPLACE TABLE / UNSET to nothing); an absent field
+      // means "carry the previous properties"
+      c.props.map(p => s""""propsB64":"${encodeProps(p)}",""").getOrElse("") +
       (if (c.cdf.isEmpty) ""
        else s""""cdf":[${c.cdf.map("\"" + _ + "\"").mkString(",")}],""") +
       // position-delete files (Iceberg v2 shape): parquet files of
@@ -148,6 +156,25 @@ object TxTable {
        }.mkString(",")}],""") +
       s""""ts":${c.ts},"writer":"${java.lang.ProcessHandle.current().pid()}"}"""
 
+  private def encodeProps(m: Map[String, String]): String = {
+    val enc = java.util.Base64.getEncoder
+    m.toSeq.sortBy(_._1).map { case (k, v) =>
+      enc.encodeToString(k.getBytes("UTF-8")) + ":" +
+        enc.encodeToString(v.getBytes("UTF-8"))
+    }.mkString(";")
+  }
+
+  private def decodeProps(s: String): Map[String, String] =
+    if (s.isEmpty) Map.empty
+    else {
+      val dec = java.util.Base64.getDecoder
+      s.split(';').toSeq.map { e =>
+        val i = e.indexOf(':')
+        new String(dec.decode(e.take(i)), "UTF-8") ->
+          new String(dec.decode(e.drop(i + 1)), "UTF-8")
+      }.toMap
+    }
+
   private val VersionRe = """"version":(\d+)""".r
   private val ActionRe = """"action":"(\w+)"""".r
   private val FilesRe = """"files":\[([^\]]*)\]""".r
@@ -169,6 +196,7 @@ object TxTable {
   private val SStatsRe = """"sstats":\[(.*?)\]""".r
   private val SStatRe =
     """\{"f":"([^"]+)","lo":"([A-Za-z0-9+/=]*)","hi":"([A-Za-z0-9+/=]*)"\}""".r
+  private val PropsRe = """"propsB64":"([A-Za-z0-9+/=:;]*)"""".r
   private val CdfRe = """"cdf":\[([^\]]*)\]""".r
   private val DelsRe = """"dels":\[([^\]]*)\]""".r
   // anchored on ],"ts" — mstats entries nest brackets (see render)
@@ -216,7 +244,8 @@ object TxTable {
       .getOrElse(Map.empty),
     DelsRe.findFirstMatchIn(txt).map(m =>
       FileRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
-      .getOrElse(Nil))
+      .getOrElse(Nil),
+    PropsRe.findFirstMatchIn(txt).map(m => decodeProps(m.group(1))))
 
   private val TxnsRe = """"txns":\[([^\]]*)\]""".r
   private def parseTxns(txt: String): Seq[String] =
@@ -338,7 +367,8 @@ object TxTable {
                                  zbits: Int = 0,
                                  schemaB64: Option[String] = None,
                                  sstats: Map[String, (String, String)] = Map.empty,
-                                 dels: Seq[String] = Nil)
+                                 dels: Seq[String] = Nil,
+                                 props: Map[String, String] = Map.empty)
 
   private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
                         version: Long): State =
@@ -366,7 +396,7 @@ object TxTable {
         (State(ck.files, parseTxns(txt).map(_ -> cv).toMap, ck.stats,
           ck.statsCol, ck.mstats, ck.statsCols,
           ck.bloomCol, ck.bloomBits, ck.blooms, ck.zbits, ck.schemaB64,
-          ck.sstats, ck.dels), cv)
+          ck.sstats, ck.dels, ck.props.getOrElse(Map.empty)), cv)
       case None =>
         (State(Seq.empty, Map.empty, Map.empty, None, Map.empty, Nil), 0L)
     }
@@ -420,7 +450,13 @@ object TxTable {
             st.dels ++ c.dels)
         State(files2, c.txn.fold(st.txns)(t => st.txns + (t -> v)),
           stats2, col2, mstats2, cols2, bcol2, bbits2, blooms2, zb2, sch2,
-          ss2, dels2)
+          ss2, dels2,
+          // table PROPERTIES are table-level, not data-level: they
+          // persist across every commit (including data overwrites)
+          // unless a commit explicitly carries a props field — a FULL
+          // replacement map (create / replaceTable / setProperties),
+          // never a patch
+          c.props.getOrElse(st.props))
       }
   }
 
@@ -540,7 +576,8 @@ object TxTable {
                        cdf: Seq[String] = Nil,
                        schemaB64: Option[String] = None,
                        sstats: Map[String, (String, String)] = Map.empty,
-                       dels: Seq[String] = Nil)
+                       dels: Seq[String] = Nil,
+                       props: Option[Map[String, String]] = None)
       : Option[Long] = {
     val hfs = fs(spark, path)
     require(!NonAtomicClaimSchemes.contains(hfs.getScheme) ||
@@ -555,7 +592,7 @@ object TxTable {
     hfs.mkdirs(new org.apache.hadoop.fs.Path(logDir(path)))
     val rec = Commit(v, action, files, System.currentTimeMillis(), txn,
       stats, statsCol, mstats, statsCols, bloomCol, bloomBits, blooms,
-      zbits, op, cdf, schemaB64, sstats, dels)
+      zbits, op, cdf, schemaB64, sstats, dels, props)
     try {
       writeNew(hfs, new org.apache.hadoop.fs.Path(commitPath(path, v)),
         render(rec))
@@ -569,7 +606,10 @@ object TxTable {
             bloomCol = st.bloomCol, bloomBits = st.bloomBits,
             blooms = st.blooms, zbits = st.zbits,
             schemaB64 = st.schemaB64, sstats = st.sstats,
-            dels = st.dels))
+            dels = st.dels,
+            // folded properties ride the checkpoint so they survive
+            // expireHistory truncating the commit that set them
+            props = if (st.props.isEmpty) None else Some(st.props)))
           writeNew(hfs, new org.apache.hadoop.fs.Path(checkpointPath(path, v)),
             ck.dropRight(1) +
               s""","txns":[${st.txns.keys.toSeq.sorted
@@ -612,7 +652,8 @@ object TxTable {
                      cdf: Seq[String] = Nil,
                      schemaB64: Option[String] = None,
                      sstats: Map[String, (String, String)] = Map.empty,
-                     dels: Seq[String] = Nil): Long = {
+                     dels: Seq[String] = Nil,
+                     props: Option[Map[String, String]] = None): Long = {
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
     (statsCols ++ bloomCol).foreach(c => require(c.matches("[A-Za-z0-9._-]+"),
@@ -625,7 +666,7 @@ object TxTable {
           commitAt(spark, path, latestVersion(spark, path) + 1,
               action, files, txn, stats, statsCol, mstats, statsCols,
               bloomCol, bloomBits, blooms, zbits, op, cdf,
-              schemaB64, sstats, dels) match {
+              schemaB64, sstats, dels, props) match {
             case Some(v) => return v
             case None    => attempt += 1 // re-read the log, retry on top
           }
@@ -1778,12 +1819,15 @@ object TxTable {
               .withColumn(ChangeCol, lit("insert")))
         Some(both.withColumn(VersionCol, lit(c.version)))
       }
-      else if (c.action == "append" || c.version == 1L)
+      else if (c.action == "append" || c.version == 1L) {
         // an append's files ARE its inserts; so are v1's (creation —
-        // there is no v0 snapshot to diff against)
-        Some(spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
+        // there is no v0 snapshot to diff against). A DATA-LESS append
+        // (ALTER ADD COLUMN / SET TBLPROPERTIES) is zero change rows.
+        if (c.files.isEmpty) None
+        else Some(spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
           .withColumn(ChangeCol, lit("insert"))
           .withColumn(VersionCol, lit(c.version)))
+      }
       else if (c.op.exists(o => o == "compact" || o == "compactSmall") ||
                (c.op.contains("restore") &&
                  liveFiles(spark, path, c.version - 1).toSet == c.files.toSet))
@@ -3156,16 +3200,21 @@ object TxTable {
     * two racing CTAS would silently UNION their datasets.
     */
   private[graft] def createExactlyV1(spark: SparkSession, path: String,
-                                     df: DataFrame): Boolean =
-    createExactlyV1Files(spark, path, stage(spark, path, df))
+                                     df: DataFrame,
+                                     props: Map[String, String] = Map.empty)
+      : Boolean =
+    createExactlyV1Files(spark, path, stage(spark, path, df), props)
 
   /** The pre-staged-files half of [[createExactlyV1]] — the DSv2
     * staged-CTAS commit point, where the query's output was already
     * staged through the write builder before the claim.
     */
   private[graft] def createExactlyV1Files(spark: SparkSession, path: String,
-                                          files: Seq[String]): Boolean =
-    commitAt(spark, path, 1L, "overwrite", files, None) match {
+                                          files: Seq[String],
+                                          props: Map[String, String] = Map.empty)
+      : Boolean =
+    commitAt(spark, path, 1L, "overwrite", files, None,
+        props = if (props.isEmpty) None else Some(props)) match {
       case Some(_) => true
       case None =>
         // lost the creation race: remove the orphan staging now (it is
@@ -3190,8 +3239,32 @@ object TxTable {
     * evolution-reset contract).
     */
   private[graft] def commitReplaceTable(spark: SparkSession, path: String,
-                                        files: Seq[String]): Long =
-    commit(spark, path, "overwrite", files, op = Some("replaceTable"))
+                                        files: Seq[String],
+                                        props: Map[String, String] = Map.empty)
+      : Long =
+    // REPLACE defines the new table wholesale: its props field is
+    // ALWAYS present (Some — possibly empty), so the old table's
+    // properties never leak across the replace
+    commit(spark, path, "overwrite", files, op = Some("replaceTable"),
+      props = Some(props))
+
+  /** SQL `ALTER TABLE SET/UNSET TBLPROPERTIES` (+ COMMENT ON): one
+    * data-less commit carrying the FULL replacement property map —
+    * metadata only, no bytes move; time travel reads each version's
+    * properties as committed.
+    */
+  private[graft] def setProperties(spark: SparkSession, path: String,
+                                   props: Map[String, String]): Long = {
+    require(latestVersion(spark, path) >= 1,
+      s"setProperties needs an existing table at $path")
+    commit(spark, path, "append", Nil, None, op = Some("setProperties"),
+      props = Some(props))
+  }
+
+  /** The folded property map at `version` (latest full map wins). */
+  def properties(spark: SparkSession, path: String,
+                 version: Long): Map[String, String] =
+    foldState(fs(spark, path), path, version).props
 
   /** Delete the `data-*` staging dirs holding `files` (abort path). */
   private[graft] def deleteStagings(spark: SparkSession, path: String,

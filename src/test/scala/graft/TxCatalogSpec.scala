@@ -470,27 +470,60 @@ class TxCatalogPropertySpec extends AnyFunSuite {
   private def msgs(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
 
-  test("TBLPROPERTIES / COMMENT / foreign USING are rejected, not dropped") {
+  test("TBLPROPERTIES / COMMENT persist in the log; foreign USING rejects") {
     warehouse
-    val e1 = intercept[Exception](
-      sql("CREATE TABLE gp2.p1 (id BIGINT) TBLPROPERTIES ('k' = 'v')"))
-    assert(msgs(e1).exists(_.contains("does not persist table property")),
-      s"TBLPROPERTIES names the policy: ${msgs(e1)}")
-    val e2 = intercept[Exception](
-      sql("CREATE TABLE gp2.p2 (id BIGINT) COMMENT 'a note'"))
-    assert(msgs(e2).exists(_.contains("does not persist table property")),
-      s"COMMENT is a property too: ${msgs(e2)}")
+    // arbitrary values — quotes, brackets, semicolons, unicode — must
+    // round-trip the hand-rolled JSON codec (base64-armored)
+    sql("""CREATE TABLE gp2.p1 (id BIGINT)
+           TBLPROPERTIES ('k' = 'v"w];x', 'team' = 'データ')""")
+    def props(t: String): Map[String, String] =
+      sql(s"SHOW TBLPROPERTIES gp2.$t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("p1").get("k") === Some("v\"w];x") &&
+      props("p1").get("team") === Some("データ"),
+      s"CREATE TBLPROPERTIES round-trips loadTable: ${props("p1")}")
+    sql("CREATE TABLE gp2.p2 (id BIGINT) COMMENT 'a note'")
+    // SHOW TBLPROPERTIES hides Spark-reserved keys (comment among
+    // them) — read the persisted map straight off the log
+    assert(graft.api.TxTable.properties(spark, s"$warehouse/p2", 1L)
+      .get("comment") === Some("a note"))
+    assert(sql("DESCRIBE TABLE EXTENDED gp2.p2").collect()
+      .exists(r => r.getString(0) == "Comment" &&
+        r.getString(1) == "a note"),
+      "DESCRIBE surfaces the persisted comment")
     val e3 = intercept[Exception](
       sql("CREATE TABLE gp2.p3 (id BIGINT) USING parquet"))
     assert(msgs(e3).exists(_.contains("txtable tables only")),
       s"a foreign USING is rejected: ${msgs(e3)}")
-    // nothing half-created
-    assert(sql("SHOW TABLES IN gp2").collect().isEmpty)
+    assert(sql("SHOW TABLES IN gp2").collect()
+      .map(_.getString(1)).toSet === Set("p1", "p2"))
     // the catalog's own provider and a plain CREATE both pass
     sql("CREATE TABLE gp2.ok1 (id BIGINT) USING txtable")
     sql("CREATE TABLE gp2.ok2 (id BIGINT)")
-    assert(sql("SHOW TABLES IN gp2").collect()
-      .map(_.getString(1)).toSet === Set("ok1", "ok2"))
+    // ALTER SET/UNSET and versioned reads
+    sql("ALTER TABLE gp2.p1 SET TBLPROPERTIES ('k' = 'v2', 'n' = '1')")
+    assert(props("p1").get("k") === Some("v2") &&
+      props("p1").get("n") === Some("1") &&
+      props("p1").get("team") === Some("データ"))
+    sql("ALTER TABLE gp2.p1 UNSET TBLPROPERTIES ('team')")
+    assert(!props("p1").contains("team") &&
+      props("p1").get("k") === Some("v2"))
+    // data commits do NOT clear properties; REPLACE resets them
+    sql("INSERT INTO gp2.p1 VALUES (1)")
+    assert(props("p1").get("k") === Some("v2"),
+      "a data commit carries properties forward")
+    // time travel reads the properties as of each version
+    val path = s"$warehouse/p1"
+    val hist = graft.api.TxTable.history(spark, path)
+    assert(graft.api.TxTable.properties(spark, path, 1L)
+      .get("k") === Some("v\"w];x"), "v1 still shows the creation props")
+    assert(graft.api.TxTable.properties(spark, path, hist.last.version)
+      .get("k") === Some("v2"))
+    sql("CREATE OR REPLACE TABLE gp2.p1 (id BIGINT) " +
+      "TBLPROPERTIES ('fresh' = 'yes')")
+    assert(props("p1").get("fresh") === Some("yes") &&
+      !props("p1").contains("k"),
+      "REPLACE defines the property map wholesale — no leakage")
   }
 
   test("dotted identifier segments are rejected (CALL addressability)") {

@@ -119,6 +119,30 @@ class TxDvSpec extends AnyFunSuite {
     assert(spark.read.format("txtable").load(p).count() === expect.size.toLong)
   }
 
+  test("compactSmall rewrites DV'd files regardless of size, carries the rest") {
+    // minFileBytes = 1 -> NO file qualifies as small; only the files
+    // that actually carry position deletes enter the candidate set, so
+    // routine maintenance purges DV debt without rewriting the table
+    val p = freshTable(n = 400, files = 4)
+    TxTable.deleteWhereDv(spark, p, col("id") < 40) // hits the low file(s)
+    val pre = TxTable.snapshotState(spark, p,
+      TxTable.latestVersion(spark, p))
+    val dvFiles = TxTable.delPositions(spark, p, pre).keySet
+    assert(dvFiles.nonEmpty && dvFiles.size < pre.files.size,
+      s"the delete touches a strict subset (${dvFiles.size}/${pre.files.size})")
+    val expect = TxTable.read(spark, p).orderBy("id").collect().toSeq
+    TxTable.compactSmall(spark, p, minFileBytes = 1L)
+    val post = TxTable.snapshotState(spark, p,
+      TxTable.latestVersion(spark, p))
+    assert(post.dels.isEmpty, "the DV debt purged")
+    assert((pre.files.toSet -- dvFiles).subsetOf(post.files.toSet),
+      "every DV-free file carried by reference")
+    assert(dvFiles.forall(f => !post.files.contains(f)),
+      "every DV'd file was rewritten (its deletes materialized)")
+    assert(TxTable.read(spark, p).orderBy("id").collect().toSeq === expect,
+      "content-identical purge")
+  }
+
   test("restore to a DV-bearing version carries its deletes") {
     val p = freshTable()
     TxTable.deleteWhereDv(spark, p, col("id") < 50) // v2: 50 rows live
