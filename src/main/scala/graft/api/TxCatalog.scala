@@ -771,6 +771,15 @@ case class TxFilePartition(rel: String, abs: String, len: Long,
                            dvPos: Array[Long] = Array.empty)
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** One SPLIT of a data file — the columnar branch's partition unit
+  * (positions come from the reader-synthesized row-index column, which
+  * is split-safe, so a large file parallelizes exactly like the native
+  * scan instead of pinning one task per file).
+  */
+case class TxFileSplit(abs: String, start: Long, length: Long,
+                       fileSize: Long, dvPos: Array[Long])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
 /** The scan builder a DV-bearing snapshot reads through: the same
   * row-based file scan as the row-level rewrite path — log-metadata
   * file pruning from pushed filters (all residual: Spark re-applies
@@ -880,33 +889,54 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
     }
   }
 
+  /** COLUMNAR (vectorized-batch) mode for every data-only scan the
+    * batch reader + DV compaction can serve: DV-free splits pass
+    * batches through untouched, del-bearing splits compact only the
+    * batches that actually contain deleted rows ([[TxDvColumnar]],
+    * keyed on the reader-synthesized row-index column) — a DV-bearing
+    * snapshot keeps the native vectorized decode AND native file
+    * splitting instead of paying a whole-scan row penalty. The row
+    * branch remains for `_file`/`_pos`-producing rewrite scans and
+    * non-batchable schemas. The answer is scan-wide, satisfying
+    * Spark's no-mixed-modes rule.
+    */
+  private def columnarMode: Boolean =
+    !needsFile && !needsPos &&
+      // operational escape hatch (also the before/after lever for
+      // tools.DvScanBench): force the serialized row branch
+      !spark.conf.getOption("spark.graft.dv.forceRowScan")
+        .exists(_.toBoolean) &&
+      GraftV2Bridge.supportsBatch(spark, dataRead) &&
+      (files.forall(_.dvPos.isEmpty) ||
+        dataRead.forall(f => TxDvColumnar.copyable(f.dataType)))
+
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    files.toArray
+    if (!columnarMode) files.toArray
+    else {
+      // split large files at Spark's own policy — positions stay
+      // exact because the row-index COLUMN (not a running count) is
+      // the position source on this branch
+      val split = GraftV2Bridge.maxSplitBytes(spark, files.map(_.len))
+      files.flatMap { f =>
+        (0L until f.len by split).map(off =>
+          TxFileSplit(f.abs, off, math.min(split, f.len - off), f.len,
+            f.dvPos))
+      }.toArray
+    }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val readerFn = GraftV2Bridge.parquetRowReader(
       spark, TxTable.stateSchema(spark, table.path, table.state), dataRead)
-    // COLUMNAR (vectorized-batch) mode for every data-only scan the
-    // batch reader + DV compaction can serve: DV-free partitions pass
-    // batches through untouched, del-bearing partitions compact only
-    // the batches that actually contain deleted rows
-    // ([[TxDvColumnar]]) — a DV-bearing snapshot keeps the native
-    // vectorized decode instead of paying a whole-scan row penalty.
-    // The row branch remains for `_file`-producing rewrite scans and
-    // non-batchable schemas. The answer is scan-wide (ignores the
-    // partition), satisfying Spark's no-mixed-modes rule.
     val batchFn =
-      if (!needsFile && !needsPos &&
-          GraftV2Bridge.supportsBatch(spark, dataRead) &&
-          (files.forall(_.dvPos.isEmpty) ||
-            dataRead.forall(f => TxDvColumnar.copyable(f.dataType))))
+      if (columnarMode)
         Some(GraftV2Bridge.parquetBatchReader(spark,
           TxTable.stateSchema(spark, table.path, table.state), dataRead))
       else None
     new TxRowReaderFactory(readerFn, dataRead, required, needsFile,
-      needsPos, batchFn)
+      needsPos, batchFn,
+      new TxSerializableConf(spark.sessionState.newHadoopConf()))
   }
 
   override def description(): String =
@@ -924,21 +954,53 @@ class TxRowReaderFactory(
     dataRead: StructType, required: StructType, needsFile: Boolean,
     needsPos: Boolean = false,
     batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    hconf: TxSerializableConf = null)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
       partition: org.apache.spark.sql.connector.read.InputPartition)
       : Boolean = batchFn.isDefined
 
+  /** The first row index of this split, and the split's expected row
+    * count — from the parquet footer, selecting exactly the row
+    * groups the vectorized reader will (parquet's midpoint rule: a
+    * block belongs to the split containing its compressed midpoint).
+    * Batches within a split then run CONSECUTIVELY from the first
+    * index (no filter pushdown on this branch, nothing skipped), and
+    * the count check at exhaustion turns any future drift in the
+    * selection rule into a loud failure instead of silently
+    * mis-positioned deletes. Only DV-bearing splits pay the footer
+    * read (~one metadata RPC); DV-free splits skip it entirely.
+    */
+  private def splitRowRange(p: TxFileSplit): (Long, Long) = {
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      hconf.value, new Path(p.abs),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+    var first = 0L
+    var expect = 0L
+    footer.getBlocks.asScala.foreach { b =>
+      val mid = b.getStartingPos + b.getCompressedSize / 2
+      if (mid < p.start) first += b.getRowCount
+      else if (mid < p.start + p.length) expect += b.getRowCount
+    }
+    (first, expect)
+  }
+
   override def createColumnarReader(
       partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[TxFilePartition]
-    val it = TxDvColumnar.filtered(
-      batchFn.get(GraftV2Bridge.partitionedFile(p.abs, p.len)),
-      p.dvPos, dataRead)
+    val p = partition.asInstanceOf[TxFileSplit]
+    val raw = batchFn.get(GraftV2Bridge.partitionedFile(
+      p.abs, p.start, p.length, p.fileSize))
+    val it =
+      if (p.dvPos.isEmpty) raw // untouched file: native batches as-is
+      else {
+        val (first, expect) = splitRowRange(p)
+        TxDvColumnar.filtered(raw, p.dvPos, dataRead, first, expect,
+          p.abs)
+      }
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _

@@ -35,24 +35,43 @@ private[api] object TxDvColumnar {
     case _ => false
   }
 
-  /** Wrap a whole-file batch iterator with this file's sorted deleted
-    * positions. `schema` is the batch's column layout (the scan's
-    * required data schema, in order).
+  /** Wrap a split's batch iterator with the FILE's sorted deleted
+    * positions. `startPos` is the split's first row index and
+    * `expectRows` its footer-derived row count — the split reads its
+    * row groups whole and in order with nothing skipped, so the
+    * running count from `startPos` IS each row's index; the count
+    * check at exhaustion makes any drift in that contract loud.
     */
   def filtered(batches: Iterator[ColumnarBatch], dels: Array[Long],
-               schema: StructType): Iterator[ColumnarBatch] =
-    if (dels.isEmpty) batches
-    else new Iterator[ColumnarBatch] {
-      private var pos = 0L // row index of the next batch's first row
-      private var di = 0   // next not-yet-passed delete position
-      override def hasNext: Boolean = batches.hasNext
+               schema: StructType, startPos: Long, expectRows: Long,
+               file: String): Iterator[ColumnarBatch] =
+    new Iterator[ColumnarBatch] {
+      private var pos = startPos // row index of the next batch's 1st row
+      private var di = 0         // next not-yet-passed delete position
+      // compaction DESTINATION vectors are allocated once and reset
+      // per compacted batch (the reuse contract every Spark columnar
+      // reader ships: a batch is valid until the next advance) — a
+      // fresh allocation per batch spends more on growth/GC than the
+      // copy itself
+      private var dsts: Array[OnHeapColumnVector] = _
+      private var out: ColumnarBatch = _
+      override def hasNext: Boolean = {
+        val more = batches.hasNext
+        if (!more && pos != startPos + expectRows)
+          throw new IllegalStateException(
+            s"DV scan position drift on $file: consumed " +
+              s"${pos - startPos} rows of a split the footer says has " +
+              s"$expectRows — position-delete application would be " +
+              "misaligned")
+        more
+      }
       override def next(): ColumnarBatch = {
         val b = batches.next()
         val n = b.numRows()
         val lo = pos
         pos += n
-        // skip deletes below this batch (defensive; positions are
-        // sorted so di only advances)
+        // skip deletes below this batch (a split's first batch jumps
+        // di forward once; positions are sorted so di only advances)
         while (di < dels.length && dels(di) < lo) di += 1
         if (di >= dels.length || dels(di) >= pos) b // zero-copy pass
         else {
@@ -66,49 +85,68 @@ private[api] object TxDvColumnar {
             else { keep(k) = r; k += 1 }
             r += 1
           }
-          compact(b, schema, keep, k)
+          if (dsts == null) {
+            dsts = schema.fields.map(f =>
+              new OnHeapColumnVector(math.max(n, 1), f.dataType))
+            out = new ColumnarBatch(dsts.map(v => v: ColumnVector).toArray)
+          } else {
+            // reset + re-reserve: puts do not auto-grow row capacity,
+            // and a later batch can be larger than the first
+            dsts.foreach { d => d.reset(); d.reserve(n) }
+          }
+          compact(b, schema, keep, k, dsts)
+          out.setNumRows(k)
+          out
         }
       }
     }
 
   /** Copy `keep(0 until k)` rows of `b` into fresh on-heap vectors —
-    * only runs for the rare batch that actually contains deletions.
+    * only runs for batches that actually contain deletions. The type
+    * dispatch resolves ONCE PER COLUMN into a monomorphic copier, not
+    * per row — a per-row DataType match in the inner loop showed up as
+    * the dominant compaction cost in tools.DvScanBench.
     */
   private def compact(b: ColumnarBatch, schema: StructType,
-                      keep: Array[Int], k: Int): ColumnarBatch = {
-    val cols = new Array[ColumnVector](schema.length)
+                      keep: Array[Int], k: Int,
+                      dsts: Array[OnHeapColumnVector]): Unit = {
     var i = 0
     while (i < schema.length) {
       val f = schema(i)
       val src = b.column(i)
-      val dst = new OnHeapColumnVector(math.max(k, 1), f.dataType)
-      var j = 0
-      while (j < k) {
-        val r = keep(j)
-        if (src.isNullAt(r)) dst.putNull(j)
-        else f.dataType match {
-          case BooleanType => dst.putBoolean(j, src.getBoolean(r))
-          case ByteType => dst.putByte(j, src.getByte(r))
-          case ShortType => dst.putShort(j, src.getShort(r))
-          case IntegerType | DateType => dst.putInt(j, src.getInt(r))
-          case LongType | TimestampType | TimestampNTZType =>
-            dst.putLong(j, src.getLong(r))
-          case FloatType => dst.putFloat(j, src.getFloat(r))
-          case DoubleType => dst.putDouble(j, src.getDouble(r))
-          case StringType =>
-            dst.putByteArray(j, src.getUTF8String(r).getBytes); ()
-          case BinaryType => dst.putByteArray(j, src.getBinary(r)); ()
-          case d: DecimalType =>
-            dst.putDecimal(j, src.getDecimal(r, d.precision, d.scale),
-              d.precision)
-          case other => throw new IllegalStateException(
-            s"unreachable: $other passed the copyable() gate")
+      val dst = dsts(i)
+      val copy: (Int, Int) => Unit = f.dataType match {
+        case BooleanType => (j, r) => dst.putBoolean(j, src.getBoolean(r))
+        case ByteType => (j, r) => dst.putByte(j, src.getByte(r))
+        case ShortType => (j, r) => dst.putShort(j, src.getShort(r))
+        case IntegerType | DateType => (j, r) => dst.putInt(j, src.getInt(r))
+        case LongType | TimestampType | TimestampNTZType =>
+          (j, r) => dst.putLong(j, src.getLong(r))
+        case FloatType => (j, r) => dst.putFloat(j, src.getFloat(r))
+        case DoubleType => (j, r) => dst.putDouble(j, src.getDouble(r))
+        case StringType => (j, r) => {
+          val s = src.getUTF8String(r)
+          dst.putByteArray(j, s.getBytes); ()
         }
-        j += 1
+        case BinaryType => (j, r) => { dst.putByteArray(j, src.getBinary(r)); () }
+        case d: DecimalType => (j, r) =>
+          dst.putDecimal(j, src.getDecimal(r, d.precision, d.scale),
+            d.precision)
+        case other => throw new IllegalStateException(
+          s"unreachable: $other passed the copyable() gate")
       }
-      cols(i) = dst
+      if (src.hasNull) {
+        var j = 0
+        while (j < k) {
+          val r = keep(j)
+          if (src.isNullAt(r)) dst.putNull(j) else copy(j, r)
+          j += 1
+        }
+      } else {
+        var j = 0
+        while (j < k) { copy(j, keep(j)); j += 1 }
+      }
       i += 1
     }
-    new ColumnarBatch(cols, k)
   }
 }

@@ -2655,10 +2655,32 @@ object TxTable {
     * driver. The API snapshot read is unaffected — it applies dels as
     * a distributed anti-join ([[minusDels]]) and never collects them.
     */
+  /** Process-level cache of built position maps, keyed by (path, del
+    * file list) — CONTENT-ADDRESSED: staging names are never reused
+    * and del files are immutable, so an equal key always names equal
+    * content. Without it every SQL query on a DV-bearing table
+    * rebuilds the map (loadTable returns a fresh instance per
+    * statement) — one extra Spark job per query for data that cannot
+    * have changed. Bounded: small (deletes are small by contract and
+    * guarded by [[DvMaxDriverBytesConf]]) and capped at 16 entries.
+    */
+  private val delPosCache =
+    new java.util.LinkedHashMap[(String, Seq[String]),
+        Map[String, Array[Long]]](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]),
+            Map[String, Array[Long]]]): Boolean = size() > 16
+    }
+
   private[graft] def delPositions(spark: SparkSession, path: String,
                                   st: State): Map[String, Array[Long]] =
     if (st.dels.isEmpty) Map.empty
     else {
+      val key = (path, st.dels)
+      delPosCache.synchronized {
+        val hit = delPosCache.get(key)
+        if (hit != null) return hit
+      }
       val hfs = fs(spark, path)
       val bytes = st.dels.map(f => hfs.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).sum
@@ -2670,10 +2692,12 @@ object TxTable {
           "(SQL: CALL <catalog>.system.compact_small) to materialize the " +
           s"deletes, or raise $DvMaxDriverBytesConf")
       import org.apache.spark.sql.functions.{collect_list, sort_array}
-      delRows(spark, path, st).groupBy("f")
+      val built = delRows(spark, path, st).groupBy("f")
         .agg(sort_array(collect_list("pos")).as("ps"))
         .collect()
         .map(r => r.getString(0) -> r.getSeq[Long](1).toArray).toMap
+      delPosCache.synchronized { delPosCache.put(key, built); () }
+      built
     }
 
   /** Read `files` of `st` with DV provenance columns attached

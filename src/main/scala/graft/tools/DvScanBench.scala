@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Micro-benchmark for the merge-on-read READ cost: how much does a
+  * handful of position deletes cost every later scan, before
+  * maintenance purges them? Builds one ~10M-row table, lands ONE
+  * 1000-key DV delete, and times a full-scan aggregate three ways:
+  *
+  *  - `native`  — the DV-free twin (`VERSION AS OF 1`, Spark's native
+  *    columnar parquet scan);
+  *  - `dv-col`  — the DV-bearing head through the COLUMNAR batch path
+  *    (round 19: zero-copy pass-through for untouched batches,
+  *    on-heap compaction only for batches containing deletions);
+  *  - `dv-row`  — the same head forced through the serialized row
+  *    branch (the pre-round-19 shape), for the before/after record.
+  *
+  * Medians of 5 runs after a warmup; run on an idle host. Usage:
+  *   scripts/run.sh graft.tools.DvScanBench [rows]
+  */
+object DvScanBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.api.TxTable
+
+    def median(ts: Seq[Double]): Double = ts.sorted.apply(ts.size / 2)
+    def bench(q: String): Double = {
+      spark.sql(q).collect() // warm
+      median((1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        spark.sql(q).collect()
+        (System.nanoTime() - t0) / 1e9
+      })
+    }
+    val agg = "sum(length(s)) AS a, sum(d) AS b, count(*) AS c"
+
+    def scenario(name: String, cond: org.apache.spark.sql.Column): Unit = {
+      val w = java.nio.file.Files.createTempDirectory("dvbench").toString
+      val cat = "dvb" + java.lang.Integer.toHexString(w.hashCode)
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      val t = s"$w/t"
+      TxTable.overwriteClustered(spark,
+        t,
+        spark.range(rows).selectExpr(
+          "id", "concat('text-', id % 100000) AS s",
+          "CAST(id % 997 AS DOUBLE) AS d"),
+        "id", numFiles = 32)
+      TxTable.deleteWhereDv(spark, t, cond)
+      val native = bench(s"SELECT $agg FROM $cat.t VERSION AS OF 1")
+      val dvCol = bench(s"SELECT $agg FROM $cat.t")
+      // the pre-round-19 branch, exactly: force the serialized row
+      // path while the native twin keeps its vectorized plan
+      spark.conf.set("spark.graft.dv.forceRowScan", "true")
+      val dvRow = bench(s"SELECT $agg FROM $cat.t")
+      spark.conf.unset("spark.graft.dv.forceRowScan")
+      println(f"""{"scenario":"$name","rows":$rows,""" +
+        f""""native_sec":$native%.3f,""" +
+        f""""dv_columnar_sec":$dvCol%.3f,"dv_row_sec":$dvRow%.3f,""" +
+        f""""col_over_native":${dvCol / native}%.2f,""" +
+        f""""row_over_native":${dvRow / native}%.2f}""")
+    }
+    // point: 1000 contiguous keys — touches ~1 of 32 clustered files,
+    // the shape merge-on-read is FOR; scatter: a modulo delete that
+    // lands ~1 position in 41%% of every file's batches — worst case
+    scenario("point", col("id").between(5000, 5999))
+    scenario("scatter", col("id") % 9973 === 0)
+    spark.stop()
+  }
+}

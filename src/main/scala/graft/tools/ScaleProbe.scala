@@ -1644,6 +1644,99 @@ object ScaleProbe {
         f"1x $d1%.2f s  ${mult}x $dN%.2f s")
     }
 
+    // Round-19: SQL UPDATE under dv_dml — the statement a 100-TB user
+    // actually types — must keep the DV machinery's O(changed rows)
+    // write cost end-to-end through the CATALOG route: a FIXED 100-key
+    // SQL UPDATE against a table growing mult x plans the DELTA
+    // row-level operation, rewrites ZERO data files, and lands commit
+    // bytes flat in mult. The DV-bearing head then reads through the
+    // COLUMNAR batch path (scan-time ratio vs its DV-free twin is
+    // printed, not required — wall clocks flake under host contention;
+    // the plan shape is spec-pinned in TxDvSpec), and the driver-
+    // collect guard stays bounded: del bytes are metadata-checked
+    // BEFORE any row reaches the driver.
+    {
+      import graft.api.TxTable
+      def dmlFor(m: Int) = {
+        val w = java.nio.file.Files
+          .createTempDirectory(s"txdvdml_$m").toString
+        val cat = "gsp" + java.lang.Integer.toHexString(w.hashCode)
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        spark.conf.set(s"spark.sql.catalog.$cat.dv_dml", "true")
+        val t = s"$w/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 8 * m)
+        val base = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        def len(p: String) = new java.io.File(new java.net.URI(p)).length
+        def stagedBytes(rels: Seq[String]) =
+          rels.map(f => new java.io.File(
+            new java.net.URI(s"file:$t/$f")).length).sum
+        val t0 = System.nanoTime()
+        spark.sql(s"UPDATE $cat.t SET text = 'dvsql' " +
+          "WHERE doc_id BETWEEN 300 AND 399")
+        val d = (System.nanoTime() - t0) / 1e9
+        val c = TxTable.history(spark, t).last
+        require(c.action == "dv" && c.op.contains("update"),
+          s"SQL UPDATE under dv_dml must land ONE delta dv commit, " +
+            s"got ${c.action}/${c.op}")
+        val commitBytes = stagedBytes(c.dels ++ c.files)
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        // scan walls: DV-bearing head (columnar batch compaction) vs
+        // its DV-free twin (VERSION AS OF 1, native parquet scan)
+        def scanSec(q: String): Double = {
+          val s0 = System.nanoTime()
+          spark.sql(q).collect()
+          (System.nanoTime() - s0) / 1e9
+        }
+        val sDv = scanSec(s"SELECT sum(length(text)) FROM $cat.t")
+        val sTwin = scanSec(
+          s"SELECT sum(length(text)) FROM $cat.t VERSION AS OF 1")
+        val head = TxTable.read(spark, t)
+        val up = head.filter(col("text") === "dvsql").count()
+        (base.size, base.intersect(after).size, commitBytes,
+          base.toSeq.map(len).sum, d, head.count(), up, sDv, sTwin, t)
+      }
+      val (b1, c1, cb1, tb1, d1, n1, u1, sDv1, sTw1, t1p) = dmlFor(1)
+      val (bN, cN, cbN, tbN, dN, nN, uN, sDvN, sTwN, _) = dmlFor(mult)
+      require(u1 == 100 && uN == 100 && nN == n1 * mult,
+        s"SQL dv UPDATE content must be exact at both scales: " +
+          s"updated $u1/$uN, rows $n1 -> $nN")
+      require(c1 == b1 && cN == bN,
+        s"SQL UPDATE under dv_dml rewrites NO data file: carried " +
+          s"$c1/$b1 -> $cN/$bN")
+      require(tbN > tb1 * (mult - 2),
+        s"the scaled table must actually be ~${mult}x the bytes: " +
+          s"$tb1 -> $tbN")
+      val cg = cbN.toDouble / math.max(1L, cb1)
+      require(cg <= 3.0,
+        s"SQL dv UPDATE commit bytes must track CHANGED ROWS: " +
+          s"$cb1 -> $cbN (${cg}x at table growth ${tbN.toDouble / tb1}x)")
+      // the driver-collect guard: with a 1-byte cap the V2 scan build
+      // fails LOUDLY naming the purge verb (no del row was collected —
+      // the check is metadata-only), while the distributed API read
+      // stays correct; maintenance recovers SQL reads
+      spark.conf.set(TxTable.DvMaxDriverBytesConf, "1")
+      val guarded =
+        try { TxTable.delPositions(spark, t1p, TxTable.snapshotState(
+          spark, t1p, TxTable.latestVersion(spark, t1p))); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("compact_small") }
+        finally spark.conf.unset(TxTable.DvMaxDriverBytesConf)
+      require(guarded,
+        "the DV driver-collect guard must fail loudly naming compact_small")
+      require(TxTable.read(spark, t1p).count() == n1,
+        "the distributed API read is unaffected by the driver cap")
+      println(f"tx SQL UPDATE via dv_dml (fixed 100-key, ${mult}x corpus): " +
+        f"table ${tb1 / 1e6}%.1f -> ${tbN / 1e6}%.1f MB " +
+        f"(${tbN.toDouble / tb1}%.1fx), commit bytes ${cb1 / 1e3}%.1f -> " +
+        f"${cbN / 1e3}%.1f KB (growth ${cg}%.1fx), data files rewritten " +
+        f"0/$b1 -> 0/$bN, DV-scan/twin wall ${sDv1 / math.max(1e-9, sTw1)}%.2fx " +
+        f"(1x) ${sDvN / math.max(1e-9, sTwN)}%.2fx (${mult}x), guard loud  " +
+        f"1x $d1%.2f s  ${mult}x $dN%.2f s")
+    }
+
     spark.stop()
   }
 }

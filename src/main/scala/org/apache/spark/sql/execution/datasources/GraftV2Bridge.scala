@@ -95,14 +95,36 @@ object GraftV2Bridge {
   }
 
   def partitionedFile(absPath: String, length: Long): PartitionedFile =
+    partitionedFile(absPath, 0L, length, length)
+
+  def partitionedFile(absPath: String, start: Long, length: Long,
+                      fileSize: Long): PartitionedFile =
     PartitionedFile(
       partitionValues = InternalRow.empty,
       filePath = org.apache.spark.paths.SparkPath.fromPathString(absPath),
-      start = 0L,
+      start = start,
       length = length,
       locations = Array.empty,
       modificationTime = 0L,
-      fileSize = length)
+      fileSize = fileSize)
+
+  /** The magic required-schema column name the vectorized parquet
+    * reader FILLS with each row's absolute index within its file —
+    * stable under file splits and row-group boundaries, which is what
+    * makes split-parallel position-delete application possible (the
+    * same mechanism `_metadata.row_index` rides on).
+    */
+  def rowIndexColumnName: String =
+    parquet.ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME
+
+  /** Spark's own split-size policy (maxPartitionBytes / openCost /
+    * parallelism), so a custom scan splits large files exactly like
+    * the native one.
+    */
+  def maxSplitBytes(spark: SparkSession, fileLens: Seq[Long]): Long = {
+    val open = spark.sessionState.conf.filesOpenCostInBytes
+    FilePartition.maxSplitBytes(spark, fileLens.map(_ + open).sum)
+  }
 
   /** Executor-side parquet write support for the DSv2 `BatchWrite`:
     * `prepareWrite` wires the ParquetWriteSupport schema + committer

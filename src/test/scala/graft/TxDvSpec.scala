@@ -282,6 +282,44 @@ class TxDvSpec extends AnyFunSuite {
     assert(ids === live, "survivor identity across all batches")
   }
 
+  test("columnar DV application is exact under file SPLITS") {
+    // the split-parallel branch: positions are anchored per split from
+    // the parquet footer (the reader's midpoint row-group rule), so a
+    // file read as SEVERAL tasks must still drop exactly the recorded
+    // positions. Force splitting with a tiny maxPartitionBytes and
+    // multiple row groups per file (small parquet block size).
+    val w = java.nio.file.Files.createTempDirectory("txdvsp").toString
+    spark.conf.set("spark.sql.catalog.gspl", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gspl.warehouse", w)
+    val prevBlock = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    spark.conf.set("spark.hadoop.parquet.block.size", "65536")
+    try {
+      val n = 200000L
+      TxTable.overwriteClustered(spark, s"$w/t",
+        spark.range(n).selectExpr("id", "concat('v', id) AS v"),
+        "id", numFiles = 2)
+      TxTable.deleteWhereDv(spark, s"$w/t",
+        col("id") % 1009 === 0 || (col("id") >= 40000 && col("id") < 41000))
+      val live = (0L until n).filterNot(i =>
+        i % 1009 == 0 || (i >= 40000 && i < 41000))
+      val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      try {
+        val df = spark.sql("SELECT id FROM gspl.t")
+        val parts = df.rdd.getNumPartitions
+        assert(parts > 4,
+          s"the scan must actually split the 2 files (got $parts partitions)")
+        assert(df.queryExecution.executedPlan.toString
+          .contains("ColumnarToRow"), "and stay columnar under splits")
+        val ids = df.collect().map(_.getLong(0)).sorted.toSeq
+        assert(ids === live, "survivor identity exact across all splits")
+      } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+    } finally prevBlock match {
+      case Some(v) => spark.conf.set("spark.hadoop.parquet.block.size", v)
+      case None => spark.conf.unset("spark.hadoop.parquet.block.size")
+    }
+  }
+
   test("DV driver-collect guard: over-cap fails naming the purge verb") {
     val w = java.nio.file.Files.createTempDirectory("txdvcap").toString
     spark.conf.set("spark.sql.catalog.gcap", "graft.api.TxCatalog")
@@ -407,6 +445,79 @@ class TxDvSpec extends AnyFunSuite {
     assert(TxTable.history(spark, s"$w/t").last.dels.isEmpty)
     assert(spark.sql("SELECT id, v FROM gdmg.t ORDER BY id").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq === expect)
+  }
+
+  test("_file/_pos provenance columns stay queryable and DV-exact") {
+    val w = java.nio.file.Files.createTempDirectory("txdvpv").toString
+    spark.conf.set("spark.sql.catalog.gpv", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gpv.warehouse", w)
+    spark.sql("CREATE TABLE gpv.t (id BIGINT)")
+    spark.sql("INSERT INTO gpv.t SELECT id FROM range(10)")
+    val before = spark.sql("SELECT id, _file, _pos FROM gpv.t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(before.size === 10 &&
+      before.values.toSet.size === 10,
+      "(file, pos) is a distinct durable id per row — positions are " +
+        "PER FILE, so only the pair is unique")
+    TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 3L)
+    val after = spark.sql("SELECT id, _file, _pos FROM gpv.t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(!after.contains(3L) && after.size === 9)
+    assert(after.forall { case (id, fp) => before(id) == fp },
+      "survivors keep their ORIGINAL (file, position) ids " +
+        "(no post-delete renumber)")
+    // _file provenance rides along on the same row-based route
+    assert(spark.sql("SELECT DISTINCT _file FROM gpv.t").collect()
+      .forall(_.getString(0).contains("data-")))
+  }
+
+  test("dv_dml delta DML composes with schema evolution") {
+    val w = java.nio.file.Files.createTempDirectory("txdvev").toString
+    spark.conf.set("spark.sql.catalog.gdev", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdev.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gdev.dv_dml", "true")
+    spark.sql("CREATE TABLE gdev.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gdev.t SELECT id, concat('v', id) FROM range(50)")
+    spark.sql("ALTER TABLE gdev.t ADD COLUMN w DOUBLE")
+    // a delta UPDATE over the widened shape: images carry the wide
+    // schema, pre-evolution files' rows null-fill w on the scan
+    spark.sql("UPDATE gdev.t SET w = 1.5 WHERE id < 5")
+    val c = TxTable.history(spark, s"$w/t").last
+    assert(c.action === "dv" && c.op === Some("update"))
+    val got = spark.sql("SELECT id, v, w FROM gdev.t ORDER BY id").collect()
+    assert(got.length === 50)
+    assert(got.take(5).forall(r => r.getDouble(2) === 1.5 &&
+      r.getString(1) == s"v${r.getLong(0)}"),
+      "updated images carry the widened schema with untouched columns intact")
+    assert(got.drop(5).forall(_.isNullAt(2)),
+      "unmatched pre-evolution rows null-fill the evolved column")
+  }
+
+  test("dv_dml MERGE handles NOT MATCHED BY SOURCE clauses") {
+    val w = java.nio.file.Files.createTempDirectory("txdvnbs").toString
+    spark.conf.set("spark.sql.catalog.gnbs", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gnbs.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gnbs.dv_dml", "true")
+    spark.sql("CREATE TABLE gnbs.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gnbs.t VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    Seq((2L, "B"), (9L, "I")).toDF("id", "nv")
+      .createOrReplaceTempView("nbs_src")
+    spark.sql(
+      """MERGE INTO gnbs.t AS t USING nbs_src AS s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+        |WHEN NOT MATCHED BY SOURCE AND t.id > 3 THEN DELETE
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = concat(v, '?')
+        |""".stripMargin)
+    val c = TxTable.history(spark, s"$w/t").last
+    assert(c.action === "dv" && c.op === Some("merge"),
+      s"all four clauses land in ONE dv commit: ${c.action}/${c.op}")
+    val got = spark.sql("SELECT id, v FROM gnbs.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "a?"), (2L, "B"), (3L, "c?"), (9L, "I")),
+      "matched-update, insert, by-source delete and by-source update all exact")
   }
 
   test("racing DV deletes + appends: claim-exactly serializes, nothing lost") {
