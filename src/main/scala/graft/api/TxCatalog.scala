@@ -835,7 +835,23 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
                  dels: Map[String, Array[Long]] = Map.empty)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Candidate bytes/rows from the already-resolved statuses — without
+    * this the engine assumes a WORST-CASE size for the scan and a join
+    * against a small DV-bearing snapshot can never plan a broadcast.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val bytes = files.map(_.len).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   @volatile private var files: Seq[TxFilePartition] = candidates.map { rel =>
     val st = table.fileStatuses(rel)
@@ -898,9 +914,12 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
     * splitting instead of paying a whole-scan row penalty. The row
     * branch remains for `_file`/`_pos`-producing rewrite scans and
     * non-batchable schemas. The answer is scan-wide, satisfying
-    * Spark's no-mixed-modes rule.
+    * Spark's no-mixed-modes rule — and FROZEN at scan construction
+    * (a val over the INITIAL candidate set, a superset of anything
+    * runtime filtering keeps), so planInputPartitions and the reader
+    * factory can never disagree about the partition class.
     */
-  private def columnarMode: Boolean =
+  private val columnarMode: Boolean =
     !needsFile && !needsPos &&
       // operational escape hatch (also the before/after lever for
       // tools.DvScanBench): force the serialized row branch

@@ -2676,11 +2676,9 @@ object TxTable {
                                   st: State): Map[String, Array[Long]] =
     if (st.dels.isEmpty) Map.empty
     else {
-      val key = (path, st.dels)
-      delPosCache.synchronized {
-        val hit = delPosCache.get(key)
-        if (hit != null) return hit
-      }
+      // the cap check runs BEFORE the cache lookup: the guard's
+      // contract ("over-cap DV reads fail loudly") must not depend on
+      // whether an earlier statement happened to populate the cache
       val hfs = fs(spark, path)
       val bytes = st.dels.map(f => hfs.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).sum
@@ -2691,6 +2689,11 @@ object TxTable {
           "driver-side DV application. Run TxTable.compactSmall/optimize " +
           "(SQL: CALL <catalog>.system.compact_small) to materialize the " +
           s"deletes, or raise $DvMaxDriverBytesConf")
+      val key = (path, st.dels)
+      delPosCache.synchronized {
+        val hit = delPosCache.get(key)
+        if (hit != null) return hit
+      }
       import org.apache.spark.sql.functions.{collect_list, sort_array}
       val built = delRows(spark, path, st).groupBy("f")
         .agg(sort_array(collect_list("pos")).as("ps"))
@@ -3422,7 +3425,11 @@ object TxTable {
         bloomCol = st.bloomCol, bloomBits = st.bloomBits,
         blooms = st.blooms, zbits = st.zbits,
         schemaB64 = st.schemaB64, sstats = st.sstats,
-        dels = st.dels))
+        dels = st.dels,
+        // the commit that SET the table properties may be below the
+        // cutoff — the checkpoint must carry the folded map or the
+        // expiry silently erases COMMENT/TBLPROPERTIES
+        props = if (st.props.isEmpty) None else Some(st.props)))
       try writeNew(hfs,
         new org.apache.hadoop.fs.Path(checkpointPath(path, cutoff)),
         ck.dropRight(1) +

@@ -526,6 +526,24 @@ class TxCatalogPropertySpec extends AnyFunSuite {
       "REPLACE defines the property map wholesale — no leakage")
   }
 
+  test("properties survive expireHistory via the checkpoint fold") {
+    warehouse
+    sql("CREATE TABLE gp2.pr (id BIGINT) TBLPROPERTIES ('keep' = 'me')")
+    (1 to 12).foreach(i => sql(s"INSERT INTO gp2.pr VALUES ($i)"))
+    val path = s"$warehouse/pr"
+    graft.api.TxTable.expireHistory(spark, path, keepVersions = 2)
+    // the commit that SET the property is below the cutoff and gone —
+    // only the cutoff checkpoint can carry the map forward
+    intercept[Exception](graft.api.TxTable.properties(spark, path, 1L))
+    assert(graft.api.TxTable.properties(spark, path,
+      graft.api.TxTable.latestVersion(spark, path))
+      .get("keep") === Some("me"),
+      "the folded property map rode the expiry checkpoint")
+    assert(sql("SHOW TBLPROPERTIES gp2.pr").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+      .get("keep") === Some("me"))
+  }
+
   test("dotted identifier segments are rejected (CALL addressability)") {
     warehouse
     val e = intercept[Exception](

@@ -320,6 +320,24 @@ class TxDvSpec extends AnyFunSuite {
     }
   }
 
+  test("a small DV-bearing snapshot still broadcasts in joins") {
+    // the DV scan reports candidate bytes (SupportsReportStatistics);
+    // without it the engine assumes worst-case size and a join against
+    // a tiny DV'd dimension degrades to a shuffle join
+    val w = java.nio.file.Files.createTempDirectory("txdvbc").toString
+    spark.conf.set("spark.sql.catalog.gbc", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gbc.warehouse", w)
+    spark.sql("CREATE TABLE gbc.dim (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gbc.dim SELECT id, concat('d', id) FROM range(100)")
+    TxTable.deleteWhereDv(spark, s"$w/dim", col("id") === 7L)
+    spark.range(100000).createOrReplaceTempView("bc_fact")
+    val plan = spark.sql(
+      "SELECT count(f.id) FROM bc_fact f JOIN gbc.dim d ON f.id = d.id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the DV'd 100-row dimension must broadcast:\n$plan")
+  }
+
   test("DV driver-collect guard: over-cap fails naming the purge verb") {
     val w = java.nio.file.Files.createTempDirectory("txdvcap").toString
     spark.conf.set("spark.sql.catalog.gcap", "graft.api.TxCatalog")
