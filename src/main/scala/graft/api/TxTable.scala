@@ -719,10 +719,33 @@ object TxTable {
     * evolution commit exists — the schema-on-write invariant
     * [[requireSchemaMatch]] enforces).
     */
+  /** Footer-derived schemas, keyed by (path, file) — CONTENT-ADDRESSED
+    * (staging names are never reused, files are immutable), so a hit
+    * is always exact. Without it EVERY catalog statement on a
+    * non-evolved table pays a driver-side `spark.read.parquet` footer
+    * resolution (~0.1 s + one object-store GET) for a schema that
+    * cannot have changed.
+    */
+  private val footerSchemaCache =
+    new java.util.LinkedHashMap[(String, String),
+        org.apache.spark.sql.types.StructType](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String),
+            org.apache.spark.sql.types.StructType]): Boolean = size() > 64
+    }
+
   private[graft] def stateSchema(spark: SparkSession, path: String,
                                  st: State): org.apache.spark.sql.types.StructType =
-    st.schemaB64.map(schemaFromB64).getOrElse(
-      spark.read.parquet(s"$path/${st.files.head}").schema)
+    st.schemaB64.map(schemaFromB64).getOrElse {
+      val key = (path, st.files.head)
+      footerSchemaCache.synchronized {
+        val hit = footerSchemaCache.get(key)
+        if (hit != null) return hit
+      }
+      val s = spark.read.parquet(s"$path/${st.files.head}").schema
+      footerSchemaCache.synchronized { footerSchemaCache.put(key, s); () }
+      s
+    }
 
   /** Read table files under the snapshot's effective schema. */
   private def readRawStateFiles(spark: SparkSession, path: String,
