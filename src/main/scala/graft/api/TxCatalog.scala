@@ -511,7 +511,13 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      // `MERGE WITH SCHEMA EVOLUTION`: Spark derives the missing
+      // source columns and routes them through alterTable(AddColumn) —
+      // exactly the additive data-less widening evolveAddColumn
+      // already commits; non-additive changes (type widening) keep
+      // rejecting loudly through the same alterTable policy
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def properties(): util.Map[String, String] =
     // stored first: COMMENT + user TBLPROPERTIES round-trip from the
