@@ -3193,6 +3193,7 @@ object TxTable {
     val refSet = referenced.toSet
     var attempt = 0
     while (attempt < MaxCommitRetries) {
+      deltaRaceInjection()
       val head = latestVersion(spark, path)
       val st = foldState(hfs, path, head)
       requireScanStillValid(spark, path, hfs, st, head, baseVersion,
@@ -3385,6 +3386,12 @@ object TxTable {
     * No-op in production.
     */
   @volatile private[graft] var replaceRaceInjection: () => Unit = () => ()
+
+  /** Test seam: runs at the top of every [[commitDelta]] claim attempt
+    * (the dv_dml delta write's commit), mirroring
+    * [[replaceRaceInjection]]. No-op in production.
+    */
+  @volatile private[graft] var deltaRaceInjection: () => Unit = () => ()
 
   /** Stagings younger than this are presumed in-flight, not crashed. */
   val VacuumMinAgeMs: Long = 3600 * 1000L

@@ -573,6 +573,55 @@ class TxDvSpec extends AnyFunSuite {
       "9 commits: create + 4 dv deletes + 4 appends")
   }
 
+  test("delta DML races: a dv commit on a referenced file conflicts; an append commutes") {
+    val w = java.nio.file.Files.createTempDirectory("txdvdr").toString
+    spark.conf.set("spark.sql.catalog.gddr", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gddr.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gddr.dv_dml", "true")
+    spark.sql("CREATE TABLE gddr.t (id BIGINT, v STRING)")
+    spark.sql("INSERT INTO gddr.t SELECT id, concat('v', id) FROM range(100)")
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    // 1. an interleaved dv DELETE of a row in the UPDATE's scanned
+    // file: the UPDATE's positions were derived pre-delete, so the
+    // claim must abort (it could otherwise update — resurrect — the
+    // concurrently-deleted row)
+    @volatile var fired = false
+    TxTable.deltaRaceInjection = () => if (!fired) {
+      fired = true
+      TxTable.deleteWhereDv(spark, s"$w/t", col("id") === 10L)
+    }
+    val e = try intercept[Exception](
+      spark.sql("UPDATE gddr.t SET v = 'X' WHERE id < 20"))
+    finally TxTable.deltaRaceInjection = () => ()
+    assert(fired)
+    assert(chain(e).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"the delta claim aborts as a conflict: $e")
+    val got = spark.sql("SELECT id, v FROM gddr.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length === 99 && !got.exists(_._1 == 10L) &&
+      got.forall { case (i, s) => s == s"v$i" },
+      "the interleaved delete held; the aborted UPDATE changed nothing")
+    // 2. an interleaved APPEND shares no referenced file — it must
+    // commute, both effects landing
+    @volatile var fired2 = false
+    TxTable.deltaRaceInjection = () => if (!fired2) {
+      fired2 = true
+      import spark.implicits._
+      TxTable.append(spark, s"$w/t",
+        Seq((999L, "raced")).toDF("id", "v"))
+    }
+    try spark.sql("UPDATE gddr.t SET v = 'Y' WHERE id < 5")
+    finally TxTable.deltaRaceInjection = () => ()
+    assert(fired2)
+    val got2 = spark.sql("SELECT id, v FROM gddr.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got2(999L) == "raced" && (0L until 5L).forall(got2(_) == "Y") &&
+      got2.size === 100,
+      "append and delta UPDATE both landed exactly once")
+  }
+
   test("a DV commit interleaved into a COW rewrite's window conflicts") {
     // the lost-update hole: a position-delete commit adds del rows
     // WITHOUT removing files, so the "scanned files still live" rule
