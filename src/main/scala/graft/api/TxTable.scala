@@ -2877,7 +2877,14 @@ object TxTable {
             pre.withColumn(ChangeCol, lit("update_preimage"))
               .unionByName(images.withColumn(ChangeCol,
                 lit("update_postimage"))))
+        // fresh footer stats/blooms for the images at the head's
+        // flavor — data skipping must survive merge-on-read updates
+        // (the commitDelta policy; no-op on unindexed heads)
+        val (fstats, fsstats, fmstats, _, fblooms) =
+          freshFileMeta(spark, path, st, imgFiles, anyCarried = true)
         commitAt(spark, path, head + 1, "dv", imgFiles, None,
+            stats = fstats, mstats = fmstats, blooms = fblooms,
+            sstats = fsstats,
             op = Some("update"), cdf = cdfFiles, dels = delFiles) match {
           case Some(v) => return v
           case None =>
@@ -3198,7 +3205,23 @@ object TxTable {
       val st = foldState(hfs, path, head)
       requireScanStillValid(spark, path, hfs, st, head, baseVersion,
         refSet, what)
+      // image files get FRESH footer stats/blooms at the head's flavor
+      // (the same index-preservation policy every rewrite commits
+      // through): without them a clustered table's point reads scan
+      // every accumulated image file until maintenance purges — SQL
+      // DML must not erode data skipping on the merge-on-read route
+      // either. No-op on unindexed heads and on pure-DELETE commits
+      // (no image files to stat).
+      val (fstats, fsstats, fmstats, _, fblooms) =
+        if (imageFiles.isEmpty)
+          (Map.empty[String, (Long, Long)],
+            Map.empty[String, (String, String)],
+            Map.empty[String, Seq[(Long, Long)]], 0,
+            Map.empty[String, String])
+        else freshFileMeta(spark, path, st, imageFiles, anyCarried = true)
       commitAt(spark, path, head + 1, "dv", imageFiles, None,
+          stats = fstats, mstats = fmstats, blooms = fblooms,
+          sstats = fsstats,
           op = Some(what), cdf = Nil, dels = delFiles) match {
         case Some(v) => return v
         case None    => attempt += 1 // re-fold the head, re-check conflicts

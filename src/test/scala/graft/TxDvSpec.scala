@@ -573,6 +573,30 @@ class TxDvSpec extends AnyFunSuite {
       "9 commits: create + 4 dv deletes + 4 appends")
   }
 
+  test("dv image files land with fresh skipping stats on clustered heads") {
+    val w = java.nio.file.Files.createTempDirectory("txdvst").toString
+    spark.conf.set("spark.sql.catalog.gdst", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gdst.warehouse", w)
+    spark.conf.set("spark.sql.catalog.gdst.dv_dml", "true")
+    val p = s"$w/t"
+    TxTable.overwriteClustered(spark, p,
+      spark.range(4000).selectExpr("id", "concat('v', id) AS v"),
+      "id", numFiles = 8)
+    spark.sql("UPDATE gdst.t SET v = 'X' WHERE id BETWEEN 100 AND 120")
+    TxTable.updateWhereDv(spark, p, col("id") === 3000L,
+      Map("v" -> lit("Y")))
+    val st = TxTable.snapshotState(spark, p, TxTable.latestVersion(spark, p))
+    assert(st.files.forall(st.stats.contains),
+      "EVERY live file — base and merge-on-read images — carries " +
+        s"range stats: missing ${st.files.filterNot(st.stats.contains)}")
+    // and the ranges are right: a point read through the API prunes
+    // while still finding the moved row
+    val hit = TxTable.readRange(spark, p, "id", 3000L, 3000L)
+      .collect().map(_.getString(1))
+    assert(hit.toSeq === Seq("Y"),
+      "the image file's fresh stats still admit its rows")
+  }
+
   test("delta DML races: a dv commit on a referenced file conflicts; an append commutes") {
     val w = java.nio.file.Files.createTempDirectory("txdvdr").toString
     spark.conf.set("spark.sql.catalog.gddr", "graft.api.TxCatalog")
