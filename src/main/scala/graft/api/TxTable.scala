@@ -2690,9 +2690,19 @@ object TxTable {
   private val delPosCache =
     new java.util.LinkedHashMap[(String, Seq[String]),
         Map[String, Array[Long]]](32, 0.75f, true) {
+      // bounded by RETAINED POSITIONS, not entry count: 16 entries at
+      // the 64 MB per-table cap could otherwise pin ~1 GB of driver
+      // heap. 8M longs ≈ 64 MB total across all cached tables.
+      private val MaxTotalPositions = 8L * 1024 * 1024
+      private def totalPositions: Long = {
+        import scala.jdk.CollectionConverters._
+        values().iterator().asScala
+          .map(_.valuesIterator.map(_.length.toLong).sum).sum
+      }
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, Seq[String]),
-            Map[String, Array[Long]]]): Boolean = size() > 16
+            Map[String, Array[Long]]]): Boolean =
+        size() > 16 || (size() > 1 && totalPositions > MaxTotalPositions)
     }
 
   private[graft] def delPositions(spark: SparkSession, path: String,
