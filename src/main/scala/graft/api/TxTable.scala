@@ -156,7 +156,7 @@ object TxTable {
        }.mkString(",")}],""") +
       s""""ts":${c.ts},"writer":"${java.lang.ProcessHandle.current().pid()}"}"""
 
-  private def encodeProps(m: Map[String, String]): String = {
+  private[graft] def encodeProps(m: Map[String, String]): String = {
     val enc = java.util.Base64.getEncoder
     m.toSeq.sortBy(_._1).map { case (k, v) =>
       enc.encodeToString(k.getBytes("UTF-8")) + ":" +
@@ -164,7 +164,7 @@ object TxTable {
     }.mkString(";")
   }
 
-  private def decodeProps(s: String): Map[String, String] =
+  private[graft] def decodeProps(s: String): Map[String, String] =
     if (s.isEmpty) Map.empty
     else {
       val dec = java.util.Base64.getDecoder

@@ -554,3 +554,25 @@ object PassJoinProps extends Properties("PassJoin") {
       }
     }
 }
+
+/** The table-property codec must round-trip ARBITRARY user strings
+  * through the hand-rolled JSON commit record: per-entry base64 armor
+  * keeps the payload in a JSON-inert alphabet no matter what the user
+  * writes (quotes, brackets, ';', ':', newlines, unicode, empties).
+  */
+object TxPropsCodecProps extends Properties("TxPropsCodec") {
+  import org.scalacheck.Arbitrary.arbitrary
+  import graft.api.TxTable
+
+  private val anyString = arbitrary[String]
+  private val propsGen = Gen.mapOf(Gen.zip(anyString, anyString))
+
+  property("encode/decode round-trips any map") = forAll(propsGen) { m =>
+    TxTable.decodeProps(TxTable.encodeProps(m)) == m
+  }
+
+  property("encoded payload stays JSON-inert") = forAll(propsGen) { m =>
+    TxTable.encodeProps(m).forall(c =>
+      c.isLetterOrDigit || "+/=:;".contains(c))
+  }
+}
