@@ -773,14 +773,18 @@ class TxRowLevelScanBuilder(spark: SparkSession, table: TxV2Table,
   }
 }
 
+/** A candidate file of a [[TxFileScan]] — scan-side BOOKKEEPING (the
+  * runtime group filter and the rewrite's removed-file set operate at
+  * file granularity); the planned partition unit is [[TxFileSplit]].
+  */
 case class TxFilePartition(rel: String, abs: String, len: Long,
                            dvPos: Array[Long] = Array.empty)
-    extends org.apache.spark.sql.connector.read.InputPartition
 
-/** One SPLIT of a data file — the columnar branch's partition unit
-  * (positions come from the reader-synthesized row-index column, which
-  * is split-safe, so a large file parallelizes exactly like the native
-  * scan instead of pinning one task per file).
+/** One SPLIT of a data file — the partition unit of BOTH scan branches
+  * (positions anchor per split from the parquet footer, so a large
+  * file parallelizes exactly like the native scan instead of pinning
+  * one task per file — on the rewrite path too, where a 1 GB file
+  * would otherwise serialize its UPDATE through a single task).
   */
 case class TxFileSplit(abs: String, start: Long, length: Long,
                        fileSize: Long, dvPos: Array[Long])
@@ -936,19 +940,18 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
         dataRead.forall(f => TxDvColumnar.copyable(f.dataType)))
 
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    if (!columnarMode) files.toArray
-    else {
-      // split large files at Spark's own policy — positions stay
-      // exact because the row-index COLUMN (not a running count) is
-      // the position source on this branch
-      val split = GraftV2Bridge.maxSplitBytes(spark, files.map(_.len))
-      files.flatMap { f =>
-        (0L until f.len by split).map(off =>
-          TxFileSplit(f.abs, off, math.min(split, f.len - off), f.len,
-            f.dvPos))
-      }.toArray
-    }
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    // BOTH branches split large files at Spark's own policy —
+    // positions stay exact because each partial split anchors its
+    // first row index from the parquet footer (the reader's own
+    // midpoint row-group selection rule)
+    val split = GraftV2Bridge.maxSplitBytes(spark, files.map(_.len))
+    files.flatMap { f =>
+      (0L until f.len by split).map(off =>
+        TxFileSplit(f.abs, off, math.min(split, f.len - off), f.len,
+          f.dvPos))
+    }.toArray
+  }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
@@ -1043,7 +1046,7 @@ class TxRowReaderFactory(
         org.apache.spark.sql.catalyst.InternalRow] = {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
-    val p = partition.asInstanceOf[TxFilePartition]
+    val p = partition.asInstanceOf[TxFileSplit]
     val joined = StructType(dataRead.fields :+
       org.apache.spark.sql.types.StructField(TxRowLevel.FileCol,
         org.apache.spark.sql.types.StringType, nullable = false) :+
@@ -1055,21 +1058,26 @@ class TxRowReaderFactory(
     })
     val fileRow = new GenericInternalRow(Array[Any](
       org.apache.spark.unsafe.types.UTF8String.fromString(p.abs)))
-    val base0 = readerFn(GraftV2Bridge.partitionedFile(p.abs, p.len))
+    val base0 = readerFn(GraftV2Bridge.partitionedFile(
+      p.abs, p.start, p.length, p.fileSize))
     // `posOf(0)` = the EMITTED row's parquet row index — the position
-    // the del files record (full-file storage-order read, so the
-    // running row count IS the index), surviving DV filtering intact:
-    // a row's id must be its ORIGINAL position, never a post-delete
-    // renumbering.
+    // the del files record, surviving DV filtering intact: a row's id
+    // must be its ORIGINAL position, never a post-delete renumbering.
+    // A whole-file split counts from 0; a PARTIAL split anchors from
+    // the footer (only computed when positions are actually consulted).
     val posOf = new Array[Long](1)
-    // merge-on-read: drop this file's deleted positions. The reader
-    // consumes the WHOLE file in storage order; both sides sorted →
-    // one O(1)-per-row pointer walk.
+    val startPos =
+      if (p.dvPos.isEmpty && !needsPos) 0L // positions never consulted
+      else if (p.start == 0L && p.length >= p.fileSize) 0L
+      else splitRowRange(p)._1
+    // merge-on-read: drop this file's deleted positions. The split
+    // reads its row groups whole and in storage order; both sides
+    // sorted → one O(1)-per-row pointer walk.
     val base =
       if (p.dvPos.isEmpty) {
         if (!needsPos) base0
         else new Iterator[InternalRow] {
-          private var pos = -1L
+          private var pos = startPos - 1
           override def hasNext: Boolean = base0.hasNext
           override def next(): InternalRow = {
             val r = base0.next(); pos += 1; posOf(0) = pos; r
@@ -1078,7 +1086,7 @@ class TxRowReaderFactory(
       } else new Iterator[InternalRow] {
         private val dv = p.dvPos
         private var di = 0
-        private var pos = -1L
+        private var pos = startPos - 1
         private var nextRow: InternalRow = _
         private var ready = false
         private def advance(): Unit = {
@@ -1250,8 +1258,8 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
         TxTable.State(files, Map.empty, Map.empty, None, Map.empty, Nil))
       files.foreach { f =>
         val fst = st(f)
-        parts += TxFilePartition(f, fst.getPath.toString, fst.getLen,
-          dvs.getOrElse(f, Array.empty))
+        parts += TxFileSplit(fst.getPath.toString, 0L, fst.getLen,
+          fst.getLen, dvs.getOrElse(f, Array.empty))
       }
     }
     if (s.init) {

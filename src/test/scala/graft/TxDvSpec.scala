@@ -338,6 +338,54 @@ class TxDvSpec extends AnyFunSuite {
       s"the DV'd 100-row dimension must broadcast:\n$plan")
   }
 
+  test("row-branch splits: delta UPDATE and COW rewrite stay exact") {
+    // the rewrite/delta scans now SPLIT large files too — a delta
+    // UPDATE's (file, pos) row ids must anchor exactly per split (a
+    // misanchored split would position-delete the WRONG rows), and the
+    // group-based COW rewrite must restage every surviving row once
+    // across its splits. Force small row groups + tiny splits.
+    val w = java.nio.file.Files.createTempDirectory("txdvrs").toString
+    spark.conf.set("spark.sql.catalog.grsp", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.grsp.warehouse", w)
+    spark.conf.set("spark.sql.catalog.grsp.dv_dml", "true")
+    val prevBlock = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    spark.conf.set("spark.hadoop.parquet.block.size", "65536")
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      val n = 150000L
+      TxTable.overwriteClustered(spark, s"$w/t",
+        spark.range(n).selectExpr("id", "concat('v', id) AS v"),
+        "id", numFiles = 2)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      // delta UPDATE: matched rows spread across many splits
+      spark.sql("UPDATE grsp.t SET v = concat(v, '!') WHERE id % 1000 = 7")
+      val c = TxTable.history(spark, s"$w/t").last
+      assert(c.action === "dv" && c.op === Some("update"))
+      val got = spark.sql("SELECT id, v FROM grsp.t ORDER BY id").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.length === n,
+        "cardinality preserved across split-anchored position deletes")
+      assert(got.forall { case (i, s) =>
+        s == (if (i % 1000 == 7) s"v$i!" else s"v$i") },
+        "EXACTLY the matched rows updated — no misanchored position")
+      // then an unparseable COW-style DELETE (also the delta route
+      // here) composes on top of the earlier dv commit's deletes
+      spark.sql("DELETE FROM grsp.t WHERE id % 777 = 3")
+      val live = (0L until n).filterNot(_ % 777 == 3)
+      assert(spark.sql("SELECT count(*) FROM grsp.t").collect()
+        .head.getLong(0) === live.size.toLong)
+      assert(spark.sql("SELECT count(*) FROM grsp.t WHERE id % 1000 = 7 " +
+        "AND v NOT LIKE '%!'").collect().head.getLong(0) === 0L,
+        "the first statement's updates survive the second")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      prevBlock match {
+        case Some(v) => spark.conf.set("spark.hadoop.parquet.block.size", v)
+        case None => spark.conf.unset("spark.hadoop.parquet.block.size")
+      }
+    }
+  }
+
   test("DV driver-collect guard: over-cap fails naming the purge verb") {
     val w = java.nio.file.Files.createTempDirectory("txdvcap").toString
     spark.conf.set("spark.sql.catalog.gcap", "graft.api.TxCatalog")
