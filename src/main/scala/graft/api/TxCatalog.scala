@@ -210,19 +210,7 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
             s"LOCATION ('$loc') would be unreachable by later statements. " +
             "Use CREATE TABLE ... USING txtable LOCATION (the V1 route) " +
             "for external paths"))
-    require(!schema.fieldNames.contains(TxRowLevel.FileCol),
-      s"'${TxRowLevel.FileCol}' is a reserved metadata column (per-row " +
-        "file provenance); a data column of that name would be shadowed " +
-        "by the physical file path on every read")
-    // __graft_-prefixed names are internal plumbing (DV provenance
-    // columns among them); a user column of that shape would be
-    // silently replaced by withColumn on the DV read path, corrupting
-    // DV DML and dropping the column from update images / CDF.
-    schema.fieldNames.find(_.startsWith("__graft_")).foreach(c =>
-      throw new IllegalArgumentException(
-        s"'$c' uses the reserved internal prefix '__graft_'; rename the " +
-          "column (internal provenance columns of that shape attach " +
-          "during merge-on-read scans and would shadow it)"))
+    schema.fieldNames.foreach(TxRowLevel.requireNotReserved)
     // COMMENT / user TBLPROPERTIES persist in the commit log (the
     // propsB64 field); Spark-injected keys (owner, self-location,
     // external, provider) are recomputed at load and never stored. A
@@ -314,14 +302,15 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
             s"cannot alter reserved property '${s.property}'")
         case _ => ()
       }
-      val cur = TxTable.properties(spark, p,
-        TxTable.latestVersion(spark, p))
-      val next = propChanges.foldLeft(cur) {
+      // the DELTA goes down, not a pre-merged map: setProperties folds
+      // it over the head INSIDE its claim-retry loop, so a concurrent
+      // commit's properties survive a lost version race (re-merging a
+      // stale pre-read would silently overwrite them)
+      TxTable.setProperties(spark, p, cur => propChanges.foldLeft(cur) {
         case (m, s: TableChange.SetProperty) => m + (s.property -> s.value)
         case (m, r: TableChange.RemoveProperty) => m - r.property
         case (m, _) => m
-      }
-      TxTable.setProperties(spark, p, next)
+      })
     }
     changes.filterNot(c => c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty]).foreach {
@@ -558,6 +547,12 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
+    // defense-in-depth against tables created OUTSIDE validateTableSpec
+    // (the V1 `USING txtable LOCATION` route, programmatic stage): a
+    // data column named '_file'/'_pos' would be silently pruned by the
+    // composed builder and shadowed by synthesized provenance — fail
+    // loudly at scan construction instead
+    schema.fieldNames.foreach(TxRowLevel.requireNotReserved)
     // a DV-bearing snapshot cannot use the native columnar parquet
     // scan (nothing there can drop (file, position) rows): route the
     // WHOLE read through the row-based branch, which filters each
@@ -669,6 +664,38 @@ object TxRowLevel {
     * provenance like `_file`.
     */
   val PosCol = "_pos"
+
+  /** Reject a DATA column whose name collides with the reserved
+    * surface — applied at CREATE/REPLACE ([[TxCatalog]]'s
+    * validateTableSpec), at every additive evolution
+    * ([[TxTable.evolveAddColumn]], which `ALTER TABLE ADD COLUMN` and
+    * `MERGE WITH SCHEMA EVOLUTION` both drive), and defensively at
+    * scan construction (the bridge builder). Without it: Spark's
+    * metadata-column rule lets a data `_file`/`_pos` SHADOW the
+    * metadata column, but the composed scan builder routes any
+    * `_pos`-requiring read through the row branch and prunes the real
+    * column — `SELECT _pos` would silently return synthesized row
+    * indexes instead of the user's data, and under `dv_dml` the delta
+    * rowId binding would corrupt.
+    */
+  def requireNotReserved(col: String): Unit = {
+    require(col != FileCol,
+      s"'$FileCol' is a reserved metadata column (per-row file " +
+        "provenance); a data column of that name would be shadowed " +
+        "by the physical file path on every read")
+    require(col != PosCol,
+      s"'$PosCol' is a reserved metadata column (per-row parquet " +
+        "position, the row-level rowId); a data column of that name " +
+        "would be shadowed by synthesized row indexes on every read")
+    // __graft_-prefixed names are internal plumbing (DV provenance
+    // columns among them); a user column of that shape would be
+    // silently replaced by withColumn on the DV read path, corrupting
+    // DV DML and dropping the column from update images / CDF.
+    require(!col.startsWith("__graft_"),
+      s"'$col' uses the reserved internal prefix '__graft_'; rename " +
+        "the column (internal provenance columns of that shape attach " +
+        "during merge-on-read scans and would shadow it)")
+  }
 }
 
 /** GROUP-BASED (copy-on-write) row-level operation — what Spark's
@@ -1477,8 +1504,10 @@ class TxDeltaRowLevelOperation(
   * data files and (file, position) rows into del files — both invisible
   * in one staging dir — then ONE [[TxTable.commitDelta]] claims a `dv`
   * commit under the same conflict rules as the group-based rewrite
-  * (referenced files still live, their delete sets unchanged since the
-  * scan, schema not evolved), WriteSerializable.
+  * ([[TxTable.requireScanStillValid]]: referenced files still live,
+  * their delete sets unchanged since the scan — concurrent ADDITIVE
+  * schema evolution is deliberately admitted, the null-fill widening
+  * cannot invalidate positions or images), WriteSerializable.
   */
 class TxDeltaWrite(spark: SparkSession, table: TxV2Table,
                    writeSchema: StructType, rowIdSchema: StructType,
@@ -1522,7 +1551,13 @@ class TxDeltaWrite(spark: SparkSession, table: TxV2Table,
       s"$stagingRel/${m.imgName}" }.sorted
     val dels = msgs.collect { case m if m.delRows > 0 =>
       s"$stagingRel/${m.delName}" }.sorted
-    if (imgs.isEmpty && dels.isEmpty) return // nothing matched: no-op
+    if (imgs.isEmpty && dels.isEmpty) {
+      // nothing matched: no commit, but createBatchWriterFactory
+      // already mkdir'd the staging dir — remove it like abort does,
+      // or every no-op DML statement orphans an empty `data-*` dir
+      Dedup.hadoopFs(spark, table.path).delete(new Path(stagingAbs), true)
+      return
+    }
     TxTable.commitDelta(spark, table.path, table.snapVersion, dels, imgs,
       msgs.flatMap(_.referenced).distinct.sorted,
       cmd.toString.toLowerCase(java.util.Locale.ROOT))

@@ -871,6 +871,11 @@ object TxTable {
                                      colName: String,
                                      dt: org.apache.spark.sql.types.DataType)
       : Long = {
+    // evolution must not re-open the hole CREATE closes: an added
+    // '_file'/'_pos'/'__graft_*' column would shadow the metadata
+    // surface exactly like a CREATE-time one (this path also serves
+    // MERGE WITH SCHEMA EVOLUTION's derived columns)
+    TxRowLevel.requireNotReserved(colName)
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       val head = latestVersion(spark, path)
@@ -3335,14 +3340,31 @@ object TxTable {
   /** SQL `ALTER TABLE SET/UNSET TBLPROPERTIES` (+ COMMENT ON): one
     * data-less commit carrying the FULL replacement property map —
     * metadata only, no bytes move; time travel reads each version's
-    * properties as committed.
+    * properties as committed. Takes the CHANGE (a merge function over
+    * the head's folded map), not a pre-merged map, and re-derives
+    * inside the claim-retry loop — the evolveAddColumn discipline:
+    * retrying a lost version race with a map merged against a STALE
+    * head would silently overwrite the racing commit's properties, a
+    * lost update under the WriteSerializable claim.
     */
   private[graft] def setProperties(spark: SparkSession, path: String,
-                                   props: Map[String, String]): Long = {
-    require(latestVersion(spark, path) >= 1,
-      s"setProperties needs an existing table at $path")
-    commit(spark, path, "append", Nil, None, op = Some("setProperties"),
-      props = Some(props))
+                                   merge: Map[String, String] =>
+                                     Map[String, String]): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head >= 1,
+        s"setProperties needs an existing table at $path")
+      val next = merge(properties(spark, path, head))
+      commitAt(spark, path, head + 1, "append", Nil, None,
+          op = Some("setProperties"), props = Some(next)) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-fold on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not setProperties on $path after $MaxCommitRetries " +
+        "lost version races")
   }
 
   /** The folded property map at `version` (latest full map wins). */

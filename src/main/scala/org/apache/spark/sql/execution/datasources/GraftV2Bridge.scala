@@ -192,6 +192,16 @@ class GraftMetaAwareParquetScanBuilder(
   with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  // the builder PRUNES '_file'/'_pos' before the parquet delegate and
+  // ROUTES reads requiring them to the row branch — a DATA column of
+  // either name would be silently replaced by synthesized provenance,
+  // so reject it loudly here (policy check mirrored graft-side in
+  // TxRowLevel.requireNotReserved; this is the last line of defense)
+  require(!dataSchema.fieldNames.exists(n => n == "_file" || n == "_pos"),
+    s"data schema carries a reserved metadata column name: " +
+      dataSchema.fieldNames.filter(n => n == "_file" || n == "_pos")
+        .mkString(", "))
+
   private val delegate = v2.parquet.ParquetScanBuilder(
     spark, index, dataSchema, dataSchema, options)
   private var requested: Option[StructType] = None
