@@ -818,14 +818,21 @@ case class TxFileSplit(abs: String, start: Long, length: Long,
     extends org.apache.spark.sql.connector.read.InputPartition
 
 /** The scan builder a DV-bearing snapshot reads through: the same
-  * row-based file scan as the row-level rewrite path — log-metadata
-  * file pruning from pushed filters (all residual: Spark re-applies
-  * rows), column pruning, per-partition position-delete filtering —
-  * plus the micro-batch wrapper so `readStream.table` keeps working.
-  * Row-group pushdown inside files is deliberately absent here: a
-  * skipped row group would desynchronize the position walk. The
-  * steady state is DV-free (compact/compactSmall purge deletes) and
-  * plans native columnar.
+  * file scan as the row-level rewrite path — log-metadata file pruning
+  * from pushed filters (all residual: Spark re-applies rows), column
+  * pruning, per-partition position-delete filtering — plus the
+  * micro-batch wrapper so `readStream.table` keeps working.
+  *
+  * Pushed filters ALSO reach the parquet reader itself on the columnar
+  * branch (row-group + column-index page skipping): deletion-vector
+  * application there keys on the vectorized reader's row-index column
+  * — exact per-row parquet indexes even under skipping, the
+  * `_metadata.row_index` mechanism — so a selective point read on a
+  * DV-bearing snapshot prunes inside files exactly like a DV-free one
+  * instead of paying whole-file scans until maintenance purges. The
+  * ROW branch (`_file`/`_pos` rewrite scans, non-batchable schemas)
+  * keeps whole-file reads: its positions come from a running count a
+  * skipped row group would desynchronize.
   */
 class TxDvScanBuilder(spark: SparkSession, table: TxV2Table,
                       options: CaseInsensitiveStringMap)
@@ -856,20 +863,30 @@ class TxDvScanBuilder(spark: SparkSession, table: TxV2Table,
       TxTable.prunedFiles(table.state, ranges, points, strRanges)
     new TxStreamCapableScan(spark, table,
       new TxFileScan(spark, table, candidates, required,
-        table.dvPositions), options)
+        table.dvPositions, pushed = fileFilters), options)
   }
 }
 
-/** Row-based scan over an explicit snapshot file subset, producing the
-  * `_file` group column. Vectorized batching is deliberately off: the
-  * rewrite path appends a per-file constant and never feeds a
-  * wide-scan aggregation — correctness and the exact file-set contract
-  * dominate here, while the MAIN read path keeps Spark's columnar
-  * parquet scan.
+/** Scan over an explicit snapshot file subset. Two branches:
+  *
+  *  - COLUMNAR (data-only reads the vectorized reader can batch):
+  *    Spark's native parquet decode with `pushed` filters applied
+  *    INSIDE parquet (row-group + page skipping — every filter is
+  *    also residual above, so this is pure pruning). DV-bearing
+  *    splits additionally request the reader's row-index column and
+  *    key position-delete application on it ([[TxDvColumnar]]), so
+  *    skipping can never desynchronize positions.
+  *  - ROW (scans producing `_file`/`_pos` — the rewrite's group
+  *    column and the delta rowId — and non-batchable schemas): whole
+  *    splits, positions from a footer-anchored running count, no
+  *    parquet row filtering (the rewrite must carry unaffected rows;
+  *    a skipped row group would desynchronize the count).
   */
 class TxFileScan(spark: SparkSession, table: TxV2Table,
                  candidates: Seq[String], required: StructType,
-                 dels: Map[String, Array[Long]] = Map.empty)
+                 dels: Map[String, Array[Long]] = Map.empty,
+                 pushed: Array[org.apache.spark.sql.sources.Filter] =
+                   Array.empty)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -984,18 +1001,43 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val readerFn = GraftV2Bridge.parquetRowReader(
       spark, TxTable.stateSchema(spark, table.path, table.state), dataRead)
+    // pushed filters reach parquet (row-group/page skipping) on the
+    // columnar branch only — every filter is residual above the scan,
+    // so skipping is pure pruning; DV-bearing splits read through the
+    // row-index-keyed reader below, never the running count
     val batchFn =
       if (columnarMode)
         Some(GraftV2Bridge.parquetBatchReader(spark,
-          TxTable.stateSchema(spark, table.path, table.state), dataRead))
+          TxTable.stateSchema(spark, table.path, table.state), dataRead,
+          pushed.toSeq))
+      else None
+    // DV-bearing splits request the vectorized reader's row-index
+    // column appended after the data columns: exact per-row parquet
+    // indexes even under skipping (the `_metadata.row_index`
+    // mechanism), consumed and dropped by TxDvColumnar
+    val dvBatchFn =
+      if (columnarMode && files.exists(_.dvPos.nonEmpty))
+        Some(GraftV2Bridge.parquetBatchReader(spark,
+          TxTable.stateSchema(spark, table.path, table.state),
+          // nullable BY CONTRACT: the reader's required-column check
+          // tolerates only nullable fields missing from the footer
+          // (the row-index column never exists in the file; the
+          // reader synthesizes it) — Spark's own ROW_INDEX_FIELD is
+          // declared the same way
+          StructType(dataRead.fields :+ org.apache.spark.sql.types
+            .StructField(GraftV2Bridge.rowIndexColumnName,
+              org.apache.spark.sql.types.LongType, nullable = true)),
+          pushed.toSeq))
       else None
     new TxRowReaderFactory(readerFn, dataRead, required, needsFile,
       needsPos, batchFn,
-      new TxSerializableConf(spark.sessionState.newHadoopConf()))
+      new TxSerializableConf(spark.sessionState.newHadoopConf()),
+      dvBatchFn)
   }
 
   override def description(): String =
-    s"TxFileScan(${table.path}, ${files.size} files)"
+    s"TxFileScan(${table.path}, ${files.size} files, " +
+      s"PushedFilters: [${pushed.mkString(", ")}])"
 }
 
 /** Per-partition: Spark's own serialized parquet row reader, the
@@ -1010,23 +1052,29 @@ class TxRowReaderFactory(
     needsPos: Boolean = false,
     batchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
-    hconf: TxSerializableConf = null)
+    hconf: TxSerializableConf = null,
+    // DV-bearing splits read through this one: same columns as batchFn
+    // PLUS the reader-filled row-index column last — position-delete
+    // application keys on it, so parquet row-group/page skipping stays
+    // ON for selective reads over DV-bearing files
+    dvBatchFn: Option[org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   override def supportColumnarReads(
       partition: org.apache.spark.sql.connector.read.InputPartition)
       : Boolean = batchFn.isDefined
 
-  /** The first row index of this split, and the split's expected row
-    * count — from the parquet footer, selecting exactly the row
-    * groups the vectorized reader will (parquet's midpoint rule: a
-    * block belongs to the split containing its compressed midpoint).
-    * Batches within a split then run CONSECUTIVELY from the first
-    * index (no filter pushdown on this branch, nothing skipped), and
-    * the count check at exhaustion turns any future drift in the
-    * selection rule into a loud failure instead of silently
-    * mis-positioned deletes. Only DV-bearing splits pay the footer
-    * read (~one metadata RPC); DV-free splits skip it entirely.
+  /** The first row index of this split — from the parquet footer,
+    * selecting exactly the row groups the reader will (parquet's
+    * midpoint rule: a block belongs to the split containing its
+    * compressed midpoint). ROW-branch only: that branch reads its
+    * split whole and in storage order with no filter pushdown, so
+    * rows run CONSECUTIVELY from this anchor and a running count IS
+    * the parquet row index. The columnar branch does not come here —
+    * its positions arrive exact from the reader's row-index column
+    * (valid under pushdown), with no footer read at all. Only
+    * position-consulting partial splits pay this (~one metadata RPC).
     */
   private def splitRowRange(p: TxFileSplit): (Long, Long) = {
     val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
@@ -1047,15 +1095,20 @@ class TxRowReaderFactory(
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[TxFileSplit]
-    val raw = batchFn.get(GraftV2Bridge.partitionedFile(
-      p.abs, p.start, p.length, p.fileSize))
     val it =
-      if (p.dvPos.isEmpty) raw // untouched file: native batches as-is
-      else {
-        val (first, expect) = splitRowRange(p)
-        TxDvColumnar.filtered(raw, p.dvPos, dataRead, first, expect,
-          p.abs)
-      }
+      if (p.dvPos.isEmpty)
+        // untouched file: native batches as-is (filters already
+        // pushed into the reader — row-group skipping intact)
+        batchFn.get(GraftV2Bridge.partitionedFile(
+          p.abs, p.start, p.length, p.fileSize))
+      else
+        // DV-bearing: the row-index-carrying reader + per-batch
+        // compaction keyed on exact parquet row indexes — valid under
+        // row-group/page skipping, no footer read, no running count
+        TxDvColumnar.filtered(
+          dvBatchFn.get(GraftV2Bridge.partitionedFile(
+            p.abs, p.start, p.length, p.fileSize)),
+          p.dvPos, dataRead)
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _

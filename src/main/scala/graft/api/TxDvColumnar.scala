@@ -8,18 +8,19 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   * columnar read (the Delta deletion-vector plan shape): a DV-bearing
   * snapshot keeps Spark's native batch parquet decode, and deletes
   * apply per ColumnarBatch — batches whose row range holds no deleted
-  * position pass through UNTOUCHED (zero copy, the overwhelmingly
-  * common case for point deletes), and only batches that actually
-  * contain deleted rows compact their survivors into fresh on-heap
-  * vectors. The previous design dropped ANY DV-bearing snapshot to the
-  * serialized row reader — a 2-5× whole-scan penalty paid by every
-  * query until maintenance purged the deletes.
+  * position pass through with zero copying (the overwhelmingly common
+  * case for point deletes), and only batches that actually contain
+  * deleted rows compact their survivors into fresh on-heap vectors.
   *
-  * The position contract is the same one the row-based walk relies on:
-  * the scan reads each file WHOLE, in storage order, with no parquet
-  * row-group/page skipping (filters stay residual on the DV branch),
-  * so the running row count IS the parquet row index the del files
-  * recorded.
+  * The position key is the vectorized reader's OWN row-index column
+  * (requested last in the read schema — the `_metadata.row_index`
+  * mechanism): exact per-row parquet indexes filled from footer/page
+  * metadata, valid even when pushed filters skip row groups or pages.
+  * That is what lets the DV branch keep parquet row-group/page
+  * pushdown — the previous design derived positions from a running
+  * row count, which forced `filters = Nil` (a skipped row group would
+  * have desynchronized the walk) and made every selective read over a
+  * DV-bearing file pay a whole-file scan until maintenance purged.
   */
 private[api] object TxDvColumnar {
 
@@ -36,18 +37,18 @@ private[api] object TxDvColumnar {
   }
 
   /** Wrap a split's batch iterator with the FILE's sorted deleted
-    * positions. `startPos` is the split's first row index and
-    * `expectRows` its footer-derived row count — the split reads its
-    * row groups whole and in order with nothing skipped, so the
-    * running count from `startPos` IS each row's index; the count
-    * check at exhaustion makes any drift in that contract loud.
+    * positions. Incoming batches carry `schema`'s data columns plus
+    * the reader-filled row-index column LAST; outgoing batches carry
+    * the data columns only. Row indexes are monotonically increasing
+    * across a split's surviving rows (parquet reads row groups and
+    * pages in storage order), so one forward pointer over the sorted
+    * delete positions serves the whole split.
     */
   def filtered(batches: Iterator[ColumnarBatch], dels: Array[Long],
-               schema: StructType, startPos: Long, expectRows: Long,
-               file: String): Iterator[ColumnarBatch] =
+               schema: StructType): Iterator[ColumnarBatch] =
     new Iterator[ColumnarBatch] {
-      private var pos = startPos // row index of the next batch's 1st row
-      private var di = 0         // next not-yet-passed delete position
+      private val width = schema.length // data columns; row index at `width`
+      private var di = 0 // next not-yet-passed delete position
       // compaction DESTINATION vectors are allocated once and reset
       // per compacted batch (the reuse contract every Spark columnar
       // reader ships: a batch is valid until the next advance) — a
@@ -55,49 +56,55 @@ private[api] object TxDvColumnar {
       // copy itself
       private var dsts: Array[OnHeapColumnVector] = _
       private var out: ColumnarBatch = _
-      override def hasNext: Boolean = {
-        val more = batches.hasNext
-        if (!more && pos != startPos + expectRows)
-          throw new IllegalStateException(
-            s"DV scan position drift on $file: consumed " +
-              s"${pos - startPos} rows of a split the footer says has " +
-              s"$expectRows — position-delete application would be " +
-              "misaligned")
-        more
-      }
+      override def hasNext: Boolean = batches.hasNext
       override def next(): ColumnarBatch = {
         val b = batches.next()
         val n = b.numRows()
-        val lo = pos
-        pos += n
-        // skip deletes below this batch (a split's first batch jumps
-        // di forward once; positions are sorted so di only advances)
-        while (di < dels.length && dels(di) < lo) di += 1
-        if (di >= dels.length || dels(di) >= pos) b // zero-copy pass
-        else {
-          // collect surviving row ids of [lo, pos)
-          val keep = new Array[Int](n)
-          var k = 0
-          var r = 0
-          while (r < n) {
-            val abs = lo + r
-            if (di < dels.length && dels(di) == abs) di += 1
-            else { keep(k) = r; k += 1 }
-            r += 1
-          }
-          if (dsts == null) {
-            dsts = schema.fields.map(f =>
-              new OnHeapColumnVector(math.max(n, 1), f.dataType))
-            out = new ColumnarBatch(dsts.map(v => v: ColumnVector).toArray)
-          } else {
-            // reset + re-reserve: puts do not auto-grow row capacity,
-            // and a later batch can be larger than the first
-            dsts.foreach { d => d.reset(); d.reserve(n) }
-          }
-          compact(b, schema, keep, k, dsts)
-          out.setNumRows(k)
-          out
+        val idx = b.column(width) // the reader's row-index vector
+        // skip deletes below this batch's first surviving row (a
+        // split's first batch jumps di forward once; indexes and
+        // deletes are both sorted so di only advances)
+        if (n > 0) {
+          val lo = idx.getLong(0)
+          val hi = idx.getLong(n - 1)
+          while (di < dels.length && dels(di) < lo) di += 1
+          if (di >= dels.length || dels(di) > hi)
+            return dataOnly(b, n) // zero-copy pass (minus the index col)
+        } else return dataOnly(b, 0)
+        // collect surviving row ids; under page skipping indexes can
+        // be non-contiguous, so each row compares against the delete
+        // pointer individually (both sides sorted — one linear walk)
+        val keep = new Array[Int](n)
+        var k = 0
+        var r = 0
+        while (r < n) {
+          val abs = idx.getLong(r)
+          while (di < dels.length && dels(di) < abs) di += 1
+          if (di < dels.length && dels(di) == abs) di += 1
+          else { keep(k) = r; k += 1 }
+          r += 1
         }
+        if (dsts == null) {
+          dsts = schema.fields.map(f =>
+            new OnHeapColumnVector(math.max(n, 1), f.dataType))
+          out = new ColumnarBatch(dsts.map(v => v: ColumnVector).toArray)
+        } else {
+          // reset + re-reserve: puts do not auto-grow row capacity,
+          // and a later batch can be larger than the first
+          dsts.foreach { d => d.reset(); d.reserve(n) }
+        }
+        compact(b, schema, keep, k, dsts)
+        out.setNumRows(k)
+        out
+      }
+      // drop the trailing row-index column without touching data
+      // vectors — a fresh small wrapper per batch (the reader reuses
+      // its vectors, so the wrapper cannot be cached by identity)
+      private def dataOnly(b: ColumnarBatch, n: Int): ColumnarBatch = {
+        val cols = new Array[ColumnVector](width)
+        var i = 0
+        while (i < width) { cols(i) = b.column(i); i += 1 }
+        new ColumnarBatch(cols, n)
       }
     }
 

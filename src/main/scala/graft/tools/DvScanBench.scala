@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   *  - `dv-row`  — the same head forced through the serialized row
   *    branch (the pre-round-19 shape), for the before/after record.
   *
+  * Each scenario also times a SELECTIVE point read on the cluster key
+  * (round 20): DV-bearing scans keep parquet row-group pushdown —
+  * position deletes key on the reader's row-index column — so
+  * `sel_over_native` should sit near 1× (pre-round-20 it paid a
+  * whole-candidate-file scan).
+  *
   * Medians of 5 runs after a warmup; run on an idle host. Usage:
   *   scripts/run.sh graft.tools.DvScanBench [rows]
   */
@@ -59,11 +65,22 @@ object DvScanBench {
       spark.conf.set("spark.graft.dv.forceRowScan", "true")
       val dvRow = bench(s"SELECT $agg FROM $cat.t")
       spark.conf.unset("spark.graft.dv.forceRowScan")
+      // SELECTIVE read (round 20): a point predicate on the cluster
+      // key — row-group pushdown stays ON for DV-bearing scans (DV
+      // application keys on the reader's row-index column), so the
+      // DV'd head must prune inside files like its DV-free twin
+      // instead of paying whole-candidate-file scans
+      val selPred = s"id BETWEEN ${rows / 2} AND ${rows / 2 + 999}"
+      val nativeSel =
+        bench(s"SELECT $agg FROM $cat.t VERSION AS OF 1 WHERE $selPred")
+      val dvSel = bench(s"SELECT $agg FROM $cat.t WHERE $selPred")
       println(f"""{"scenario":"$name","rows":$rows,""" +
         f""""native_sec":$native%.3f,""" +
         f""""dv_columnar_sec":$dvCol%.3f,"dv_row_sec":$dvRow%.3f,""" +
         f""""col_over_native":${dvCol / native}%.2f,""" +
-        f""""row_over_native":${dvRow / native}%.2f}""")
+        f""""row_over_native":${dvRow / native}%.2f,""" +
+        f""""sel_native_sec":$nativeSel%.3f,"sel_dv_sec":$dvSel%.3f,""" +
+        f""""sel_over_native":${dvSel / nativeSel}%.2f}""")
     }
     // point: 1000 contiguous keys — touches ~1 of 32 clustered files,
     // the shape merge-on-read is FOR; scatter: a modulo delete that

@@ -77,17 +77,26 @@ object GraftV2Bridge {
     * iterator yields [[org.apache.spark.sql.vectorized.ColumnarBatch]]
     * (Spark's own file-scan RDD performs the identical erased cast).
     * Callers must gate on [[supportsBatch]].
+    *
+    * `filters` reach the parquet machinery itself (row-group and
+    * column-index page skipping) — pass them ONLY when the caller
+    * either re-applies every filter residually above the scan AND does
+    * not rely on a running row count for positions (the reader fills
+    * [[rowIndexColumnName]] with exact per-row indexes even under
+    * skipping — the `_metadata.row_index` contract), or reads
+    * position-free.
     */
   def parquetBatchReader(spark: SparkSession,
                          dataSchema: StructType,
-                         requiredSchema: StructType)
+                         requiredSchema: StructType,
+                         filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : PartitionedFile => Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val fn = new parquet.ParquetFileFormat().buildReaderWithPartitionValues(
       sparkSession = spark,
       dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
       requiredSchema = requiredSchema,
-      filters = Nil,
+      filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
       hadoopConf = spark.sessionState.newHadoopConf())
     f => fn(f).asInstanceOf[Iterator[

@@ -320,6 +320,52 @@ class TxDvSpec extends AnyFunSuite {
     }
   }
 
+  test("selective reads on a DV-bearing snapshot keep row-group pushdown") {
+    // r19 verdict item 1: DV application keys on the reader's
+    // row-index column, so pushed filters reach parquet itself —
+    // a point predicate on the cluster key must SKIP row groups
+    // (scan output far below table cardinality), not scan whole
+    // candidate files until maintenance purges
+    val w = java.nio.file.Files.createTempDirectory("txdvsel").toString
+    spark.conf.set("spark.sql.catalog.gsel", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gsel.warehouse", w)
+    val prevBlock = spark.conf.getOption("spark.hadoop.parquet.block.size")
+    spark.conf.set("spark.hadoop.parquet.block.size", "65536")
+    try {
+      val n = 200000L
+      TxTable.overwriteClustered(spark, s"$w/t",
+        spark.range(n).selectExpr("id", "concat('v', id) AS v"),
+        "id", numFiles = 2)
+      TxTable.deleteWhereDv(spark, s"$w/t", col("id") % 1009 === 0)
+      val df = spark.sql("SELECT id, v FROM gsel.t WHERE id = 123456")
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(planStr.contains("TxFileScan") &&
+        planStr.contains("PushedFilters: [") &&
+        planStr.contains("EqualTo(id,123456)"),
+        s"the DV scan surfaces its pushed filters:\n$planStr")
+      assert(df.collect().map(_.getLong(0)).toSeq === Seq(123456L))
+      val scan = df.queryExecution.executedPlan.collectLeaves()
+        .find(_.nodeName.toLowerCase.contains("batchscan"))
+        .getOrElse(fail(s"no BatchScan leaf in:\n$planStr"))
+      val out = scan.metrics("numOutputRows").value
+      assert(out > 0 && out < n / 4,
+        s"parquet row-group skipping pruned inside files: the scan " +
+          s"emitted $out of $n rows (whole-file reads would emit ~$n)")
+      // deleted rows stay deleted under pushdown (1009*8=8072)
+      assert(spark.sql("SELECT * FROM gsel.t WHERE id = 8072").collect()
+        .isEmpty, "a selective read cannot resurrect a deleted row")
+      // a selective range OVERLAPPING deletes is exact
+      val got = spark.sql(
+        "SELECT id FROM gsel.t WHERE id >= 2010 AND id < 2030")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === (2010L until 2030L).filterNot(_ % 1009 == 0),
+        "survivor identity under a pushed range predicate")
+    } finally prevBlock match {
+      case Some(v) => spark.conf.set("spark.hadoop.parquet.block.size", v)
+      case None => spark.conf.unset("spark.hadoop.parquet.block.size")
+    }
+  }
+
   test("a small DV-bearing snapshot still broadcasts in joins") {
     // the DV scan reports candidate bytes (SupportsReportStatistics);
     // without it the engine assumes worst-case size and a join against
