@@ -232,7 +232,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     // on the log, one wins, the other throws (a check-then-act probe
     // would let both report success and racing CTAS union their data).
     if (!TxTable.createExactlyV1(spark, p, spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        TxMapping.stripMapping(schema)),
         persistableProps(properties)))
       throw new TableAlreadyExistsException(ident)
     new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
@@ -258,7 +259,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     validateTableSpec(ident, schema, partitions, properties)
     val p = pathOf(ident)
     if (isTable(p)) throw new TableAlreadyExistsException(ident)
-    new TxStagedTable(spark, p, ident, fullName(ident), schema,
+    new TxStagedTable(spark, p, ident, fullName(ident),
+      TxMapping.stripMapping(schema),
       replaceExisting = false, orCreate = false,
       props = persistableProps(properties))
   }
@@ -269,7 +271,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
     validateTableSpec(ident, schema, partitions, properties)
     val p = pathOf(ident)
     if (!isTable(p)) throw new NoSuchTableException(ident)
-    new TxStagedTable(spark, p, ident, fullName(ident), schema,
+    new TxStagedTable(spark, p, ident, fullName(ident),
+      TxMapping.stripMapping(schema),
       replaceExisting = true, orCreate = false,
       props = persistableProps(properties))
   }
@@ -279,7 +282,8 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
                                     properties: util.Map[String, String])
       : StagedTable = {
     validateTableSpec(ident, schema, partitions, properties)
-    new TxStagedTable(spark, pathOf(ident), ident, fullName(ident), schema,
+    new TxStagedTable(spark, pathOf(ident), ident, fullName(ident),
+      TxMapping.stripMapping(schema),
       replaceExisting = true, orCreate = true,
       props = persistableProps(properties))
   }
@@ -329,10 +333,26 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           s"ADD COLUMN ... FIRST/AFTER is unsupported: evolved columns " +
             "append at the end of the schema")
         TxTable.evolveAddColumn(spark, p, add.fieldNames.head, add.dataType)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          "txtable column mapping is top-level only " +
+            s"(got nested field ${rn.fieldNames.mkString(".")})")
+        // metadata-only column mapping: the logical name moves, the
+        // physical name (files + skipping metadata) never does
+        TxTable.renameColumn(spark, p, rn.fieldNames.head, rn.newName)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          "txtable column mapping is top-level only " +
+            s"(got nested field ${del.fieldNames.mkString(".")})")
+        val present = TxTable.stateSchema(spark, p, TxTable.snapshotState(
+          spark, p, TxTable.latestVersion(spark, p)))
+          .fieldNames.contains(del.fieldNames.head)
+        if (present || !del.ifExists())
+          TxTable.dropColumn(spark, p, del.fieldNames.head)
       case other =>
         throw new UnsupportedOperationException(
-          s"txtable supports ALTER TABLE ADD COLUMN only (additive " +
-            s"evolution, TxTable.evolveAppend's contract); got $other")
+          s"txtable supports ALTER TABLE ADD/RENAME/DROP COLUMN " +
+            s"(additive evolution + column mapping); got $other")
     }
     new TxV2Table(spark, p, fullName(ident), pinned = None, dvDml = dvDml)
   }
@@ -489,7 +509,16 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
 
   override def name(): String = ident
 
+  // user-facing: logical names only, mapping metadata stripped — the
+  // map is an implementation detail of the log; leaking it here would
+  // let CTAS-from-this-table inherit stale physical names through
+  // Spark's alias metadata propagation
   override lazy val schema: StructType =
+    TxMapping.stripMapping(TxTable.stateSchema(spark, path, state))
+
+  /** The snapshot's logical schema WITH its column-mapping metadata —
+    * what scans and writers translate through. */
+  private[api] lazy val mappedSchema: StructType =
     TxTable.stateSchema(spark, path, state)
 
   override def capabilities(): util.Set[TableCapability] =
@@ -554,13 +583,16 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     // loudly at scan construction instead
     schema.fieldNames.foreach(TxRowLevel.requireNotReserved)
     // a DV-bearing snapshot cannot use the native columnar parquet
-    // scan (nothing there can drop (file, position) rows): route the
-    // WHOLE read through the row-based branch, which filters each
-    // partition's positions against its file's delete set. DV-free
-    // tables — the steady state; compact/compactSmall purge deletes —
-    // keep the native plan, so plan parity with V1 is unchanged where
-    // it is pinned.
-    if (state.dels.nonEmpty)
+    // scan (nothing there can drop (file, position) rows), and a
+    // column-MAPPED snapshot cannot either (the native builder reads
+    // files by logical names; a renamed column would silently
+    // null-fill): both route through the TxFileScan builder, which
+    // keeps vectorized batches + parquet row-group pushdown (filters
+    // and read schema translated to physical names). DV-free unmapped
+    // tables — the steady state; compact/optimize purge both — keep
+    // the native plan, so plan parity with V1 is unchanged where it
+    // is pinned.
+    if (state.dels.nonEmpty || TxTable.isMapped(state))
       return new TxDvScanBuilder(spark, this, options)
     val index = new GraftTxParquetIndex(spark, new Path(path),
       state.files.map(f => f -> fileStatuses(f)),
@@ -999,17 +1031,26 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    val readerFn = GraftV2Bridge.parquetRowReader(
-      spark, TxTable.stateSchema(spark, table.path, table.state), dataRead)
+    // column mapping: the FILES carry physical names — readers get the
+    // physical twins of the table schema, the pruned read schema and
+    // the pushed filters; the reader output is positional, so the
+    // factory's bookkeeping (and the scan's readSchema) stay logical.
+    // Identity maps for unmapped tables.
+    val physMap = TxMapping.toPhysicalMap(table.mappedSchema)
+    val physState = TxMapping.toPhysicalSchema(table.mappedSchema)
+    val physRead = TxMapping.renameSchema(dataRead, physMap)
+    val physPushed =
+      if (!TxMapping.isMapped(table.mappedSchema)) pushed.toSeq
+      else pushed.toSeq.flatMap(TxMapping.filterToPhysical(_, physMap))
+    val readerFn = GraftV2Bridge.parquetRowReader(spark, physState, physRead)
     // pushed filters reach parquet (row-group/page skipping) on the
     // columnar branch only — every filter is residual above the scan,
     // so skipping is pure pruning; DV-bearing splits read through the
     // row-index-keyed reader below, never the running count
     val batchFn =
       if (columnarMode)
-        Some(GraftV2Bridge.parquetBatchReader(spark,
-          TxTable.stateSchema(spark, table.path, table.state), dataRead,
-          pushed.toSeq))
+        Some(GraftV2Bridge.parquetBatchReader(spark, physState, physRead,
+          physPushed))
       else None
     // DV-bearing splits request the vectorized reader's row-index
     // column appended after the data columns: exact per-row parquet
@@ -1017,17 +1058,16 @@ class TxFileScan(spark: SparkSession, table: TxV2Table,
     // mechanism), consumed and dropped by TxDvColumnar
     val dvBatchFn =
       if (columnarMode && files.exists(_.dvPos.nonEmpty))
-        Some(GraftV2Bridge.parquetBatchReader(spark,
-          TxTable.stateSchema(spark, table.path, table.state),
+        Some(GraftV2Bridge.parquetBatchReader(spark, physState,
           // nullable BY CONTRACT: the reader's required-column check
           // tolerates only nullable fields missing from the footer
           // (the row-index column never exists in the file; the
           // reader synthesizes it) — Spark's own ROW_INDEX_FIELD is
           // declared the same way
-          StructType(dataRead.fields :+ org.apache.spark.sql.types
+          StructType(physRead.fields :+ org.apache.spark.sql.types
             .StructField(GraftV2Bridge.rowIndexColumnName,
               org.apache.spark.sql.types.LongType, nullable = true)),
-          pushed.toSeq))
+          physPushed))
       else None
     new TxRowReaderFactory(readerFn, dataRead, required, needsFile,
       needsPos, batchFn,
@@ -1389,9 +1429,17 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory = {
-    val dataSchema = TxTable.stateSchema(spark, path, table.state)
+    // physical twins for the file reader (column mapping; identity
+    // unmapped) — reader output is positional, the stream's schema
+    // stays logical. A RENAME mid-stream changes the logical schema
+    // and trips the evolution gate above (restart picks it up);
+    // physical names never change, so the translation is stable.
+    val mapped = TxTable.stateSchema(spark, path, table.state)
+    val physMap = TxMapping.toPhysicalMap(mapped)
     new TxRowReaderFactory(
-      GraftV2Bridge.parquetRowReader(spark, dataSchema, required),
+      GraftV2Bridge.parquetRowReader(spark,
+        TxMapping.toPhysicalSchema(mapped),
+        TxMapping.renameSchema(required, physMap)),
       required, required, needsFile = false)
   }
 
@@ -1466,10 +1514,15 @@ class TxReplaceWrite(spark: SparkSession, table: TxV2Table,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DataWriterFactory = {
-    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+    // rows are positional; the parquet writer only needs the PHYSICAL
+    // names (what carried files use — a rewrite commit keeps schemaB64,
+    // so the staged files must match the mapping; identity unmapped)
+    val fileSchema = TxMapping.renameSchema(writeSchema,
+      TxMapping.toPhysicalMap(table.mappedSchema))
+    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, fileSchema)
     Dedup.hadoopFs(spark, table.path)
       .mkdirs(new Path(stagingAbs))
-    new TxDataWriterFactory(stagingAbs, writeSchema, factory,
+    new TxDataWriterFactory(stagingAbs, fileSchema, factory,
       new TxSerializableConf(conf))
   }
 
@@ -1578,8 +1631,12 @@ class TxDeltaWrite(spark: SparkSession, table: TxV2Table,
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory = {
+    // image files are TABLE DATA: physical column names (identity
+    // unmapped); del files keep their own (f, pos) shape
+    val imgSchema = TxMapping.renameSchema(writeSchema,
+      TxMapping.toPhysicalMap(table.mappedSchema))
     val (imgFactory, imgConf) =
-      GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+      GraftV2Bridge.parquetWriterFactory(spark, imgSchema)
     val (delFactory, delConf) =
       GraftV2Bridge.parquetWriterFactory(spark, TxTable.DelSchema)
     Dedup.hadoopFs(spark, table.path).mkdirs(new Path(stagingAbs))
@@ -1591,7 +1648,7 @@ class TxDeltaWrite(spark: SparkSession, table: TxV2Table,
     require(fileIdx >= 0 && posIdx >= 0,
       s"delta write on ${table.path}: rowId schema $ri lacks " +
         s"${TxRowLevel.FileCol}/${TxRowLevel.PosCol}")
-    new TxDeltaWriterFactory(stagingAbs, writeSchema, imgFactory,
+    new TxDeltaWriterFactory(stagingAbs, imgSchema, imgFactory,
       new TxSerializableConf(imgConf), delFactory,
       new TxSerializableConf(delConf), fileIdx, posIdx)
   }
@@ -1983,14 +2040,23 @@ class TxStagedTable(spark: SparkSession, val path: String,
 
   /** If staging MINTED the table directory and nothing else landed in
     * it, remove it — an empty dir under the warehouse would otherwise
-    * read as a phantom namespace.
+    * read as a phantom namespace. Retries briefly: a zombie task of a
+    * failed write can still be unwinding its own staging cleanup
+    * (stage()'s delete-on-throw re-deletes it), so "empty" may arrive
+    * a beat after the abort. Never force-deletes content it does not
+    * own — a RACING creator's in-flight staging must survive.
     */
-  private def cleanupDir(): Unit =
-    if (!dirExistedAtStage && hfs.exists(new Path(path)) &&
-        hfs.listStatus(new Path(path)).isEmpty) {
-      hfs.delete(new Path(path), true)
-      ()
+  private def cleanupDir(): Unit = {
+    var attempt = 0
+    while (!dirExistedAtStage && attempt < 15 && hfs.exists(new Path(path))) {
+      if (hfs.listStatus(new Path(path)).isEmpty) {
+        hfs.delete(new Path(path), true)
+        return
+      }
+      Thread.sleep(100)
+      attempt += 1
     }
+  }
 
   override def toString: String = s"TxStagedTable($name0)"
 }
@@ -2018,9 +2084,19 @@ class TxStreamingWrite(spark: SparkSession, path: String,
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
-    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, writeSchema)
+    // append epochs join the existing files under the table's mapping
+    // (physical names, immutable — safe to resolve once per run);
+    // complete-mode epochs OVERWRITE, resetting schemaB64 and the
+    // mapping with it, so their files define logical names directly
+    val fileSchema =
+      if (truncatePerEpoch) writeSchema
+      else TxTable.headLogical(spark, path)
+        .map(l => TxMapping.renameSchema(writeSchema,
+          TxMapping.toPhysicalMap(l)))
+        .getOrElse(writeSchema)
+    val (factory, conf) = GraftV2Bridge.parquetWriterFactory(spark, fileSchema)
     Dedup.hadoopFs(spark, path).mkdirs(new Path(stagingAbs))
-    val dwf = new TxDataWriterFactory(stagingAbs, writeSchema, factory,
+    val dwf = new TxDataWriterFactory(stagingAbs, fileSchema, factory,
       new TxSerializableConf(conf))
     // task ids are app-unique and the staging dir is run-unique, so
     // epoch-agnostic names cannot collide; the commit scopes files by

@@ -460,6 +460,16 @@ object TxTable {
       }
   }
 
+  /** The HEAD's logical schema when the log records one — the mapping
+    * context for writers that do not already hold a folded state.
+    */
+  private[graft] def headLogical(spark: SparkSession, path: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val v = latestVersion(spark, path)
+    if (v == 0) None
+    else logicalSchemaOf(foldState(fs(spark, path), path, v))
+  }
+
   /** The live file set at `version` (relative paths). */
   private def liveFiles(spark: SparkSession, path: String,
                         version: Long): Seq[String] = {
@@ -487,7 +497,27 @@ object TxTable {
     * empty TABLE, not an unreadable one.
     */
   private def stage(spark: SparkSession, path: String,
-                    df: DataFrame): Seq[String] = {
+                    df0: DataFrame,
+                    asDataOf: Option[org.apache.spark.sql.types.StructType] =
+                      None): Seq[String] = {
+    // `asDataOf = Some(logical)` marks a TABLE DATA staging for a
+    // snapshot whose logical schema is `logical`: columns rename to
+    // their PHYSICAL names (column mapping; identity when unmapped).
+    // Non-data stagings — del files (f, pos), CDF change frames — and
+    // schema-DEFINING writes (overwrite/create, where the staged names
+    // BECOME the schema) pass None. Physical names are immutable for a
+    // column's lifetime, so using the caller's observed snapshot is
+    // race-free even under claim-loop retries.
+    val mapped = asDataOf.fold(df0)(l => TxMapping.toPhysicalDf(df0, l))
+    // the footer must never embed mapping metadata (it would re-state
+    // the map outside the log); scrub if any field carries it
+    val df =
+      if (!mapped.schema.fields.exists(_.metadata.contains(TxMapping.PhysKey)))
+        mapped
+      else mapped.select(mapped.schema.fields.toIndexedSeq.map(f =>
+        mapped.col("`" + f.name.replace("`", "``") + "`")
+          .as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(TxMapping.PhysKey).build())): _*)
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(12)
     val hfs = fs(spark, path)
     def list(): Seq[String] =
@@ -517,9 +547,19 @@ object TxTable {
       } catch { case t: Throwable =>
         // a write that THREW mid-stage (a failing source query under
         // CTAS/REPLACE, a task error) owns its UUID dir exclusively —
-        // delete it now instead of leaving an orphan for vacuum
-        try hfs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
-        catch { case _: Throwable => () }
+        // delete it now instead of leaving an orphan for vacuum. A
+        // ZOMBIE task of the failed job (interrupted, still unwinding
+        // its committer) can recreate the dir AFTER this delete —
+        // re-check briefly and re-delete until it stays gone, so the
+        // catalog's empty-dir cleanup never sees a phantom staging
+        try {
+          val sp = new org.apache.hadoop.fs.Path(s"$path/$sub")
+          hfs.delete(sp, true)
+          var i = 0
+          while (i < 10 && { Thread.sleep(100); hfs.exists(sp) }) {
+            hfs.delete(sp, true); i += 1
+          }
+        } catch { case _: Throwable => () }
         throw t
       } finally prior match {
         case Some(v) => spark.conf.set(tsKey, v)
@@ -742,28 +782,60 @@ object TxTable {
         val hit = footerSchemaCache.get(key)
         if (hit != null) return hit
       }
-      val s = spark.read.parquet(s"$path/${st.files.head}").schema
+      // defensively strip mapping metadata: the mapping is defined by
+      // the COMMIT LOG alone (schemaB64); a footer must never re-state
+      // it (a user df could carry stale graft.physical metadata)
+      val s = TxMapping.stripMapping(
+        spark.read.parquet(s"$path/${st.files.head}").schema)
       footerSchemaCache.synchronized { footerSchemaCache.put(key, s); () }
       s
     }
 
-  /** Read table files under the snapshot's effective schema. */
+  /** The snapshot's LOGICAL schema when the log records one (always
+    * the case once the table evolved, renamed or dropped a column).
+    * Column-mapping translations key off this: `None` → physical ==
+    * logical everywhere, zero translation work.
+    */
+  private[graft] def logicalSchemaOf(st: State)
+      : Option[org.apache.spark.sql.types.StructType] =
+    st.schemaB64.map(schemaFromB64)
+
+  /** Whether the snapshot reads/writes any column under a physical
+    * name differing from its logical one (post-RENAME/DROP).
+    */
+  private[graft] def isMapped(st: State): Boolean =
+    logicalSchemaOf(st).exists(TxMapping.isMapped)
+
+  /** Read table files under the snapshot's effective schema — with
+    * PHYSICAL column names (what the files carry). Callers that hand
+    * frames to users rename to logical ([[readStateFiles]] does).
+    */
   private def readRawStateFiles(spark: SparkSession, path: String,
                                 st: State, files: Seq[String]): DataFrame =
     st.schemaB64 match {
       case Some(b) =>
-        spark.read.schema(schemaFromB64(b)).parquet(files.map(f => s"$path/$f"): _*)
+        // physical twin of the logical schema: renamed columns resolve
+        // to the names the footers carry (by-name parquet resolution
+        // under the LOGICAL name of a renamed column would silently
+        // null-fill it); identity for unmapped tables
+        spark.read.schema(TxMapping.toPhysicalSchema(schemaFromB64(b)))
+          .parquet(files.map(f => s"$path/$f"): _*)
       case None =>
         spark.read.parquet(files.map(f => s"$path/$f"): _*)
     }
 
   /** The snapshot read every consumer goes through: raw files, MINUS
-    * the state's position deletes when any exist (merge-on-read). */
+    * the state's position deletes when any exist (merge-on-read),
+    * renamed to the snapshot's LOGICAL column names.
+    */
   private[graft] def readStateFiles(spark: SparkSession, path: String,
-                                    st: State, files: Seq[String]): DataFrame =
-    if (st.dels.isEmpty) readRawStateFiles(spark, path, st, files)
-    else minusDels(spark, path, st, readWithPos(spark, path, st, files))
-      .drop("__graft_dv_f", "__graft_dv_pos")
+                                    st: State, files: Seq[String]): DataFrame = {
+    val raw =
+      if (st.dels.isEmpty) readRawStateFiles(spark, path, st, files)
+      else minusDels(spark, path, st, readWithPos(spark, path, st, files))
+        .drop("__graft_dv_f", "__graft_dv_pos")
+    logicalSchemaOf(st).fold(raw)(l => TxMapping.toLogicalDf(raw, l))
+  }
 
   /** Replace the table content (also the create form — v1 overwrite). */
   def overwrite(spark: SparkSession, path: String, df: DataFrame): Long =
@@ -786,6 +858,25 @@ object TxTable {
     import org.apache.spark.sql.types.StructType
     txn.foreach(t => require(t.matches("[A-Za-z0-9._:-]+"),
       s"txn id must be JSON-inert ([A-Za-z0-9._:-]+): '$t'"))
+    val head0 = latestVersion(spark, path)
+    require(head0 >= 1,
+      s"evolveAppend needs an existing table at $path (create with overwrite)")
+    // physical names for the columns this append INTRODUCES: the
+    // logical name unless it ever existed as a physical (current or
+    // retired — a dropped column's bytes must never resurrect)
+    val newPicks: Map[String, String] = {
+      val st0 = foldState(fs(spark, path), path, head0)
+      val table0 = stateSchema(spark, path, st0)
+      val ret = TxMapping.retired(st0.props)
+      var taken = Set.empty[String]
+      df.schema.fields.filterNot(f => table0.fieldNames.contains(f.name))
+        .map { f =>
+          val p = TxMapping.freshPhysical(f.name, table0, ret, head0 + 1,
+            taken)
+          taken += p
+          f.name -> p
+        }.toMap
+    }
     // The widened schema is a function of the HEAD it lands on top of:
     // re-derive it against the observed head on EVERY claim attempt.
     // Re-landing a schema derived from a stale head after a lost
@@ -815,22 +906,40 @@ object TxTable {
           conflicts.mkString("; "))
       // table columns keep their positions (readers' projections stay
       // stable); columns either side lacks become nullable — rows from
-      // the other side's files have no values for them
+      // the other side's files have no values for them. New columns
+      // carry the physical names PICKED BEFORE STAGING (the staged
+      // files' footers are already written under them); a racer who
+      // landed the same column under a DIFFERENT physical name is a
+      // metadata conflict — proceeding would read our staged rows'
+      // values as null under the racer's physical name
+      table.fields.filter(f => newPicks.contains(f.name)).foreach(f =>
+        require(TxMapping.physicalName(f) == newPicks(f.name),
+          s"evolveAppend on $path: column '${f.name}' was concurrently " +
+            s"added under physical name '${TxMapping.physicalName(f)}' " +
+            s"but this append staged it as '${newPicks(f.name)}' — " +
+            "metadata conflict, retry the append"))
       StructType(
         table.fields.map(f =>
           if (staged.fieldNames.contains(f.name)) f else f.copy(nullable = true)) ++
           staged.fields.filterNot(f => table.fieldNames.contains(f.name))
-            .map(_.copy(nullable = true)))
+            .map(f => TxMapping.fieldWithPhysical(
+              f.copy(nullable = true), newPicks(f.name))))
     }
-    val head0 = latestVersion(spark, path)
-    require(head0 >= 1,
-      s"evolveAppend needs an existing table at $path (create with overwrite)")
     widenedVsHead(head0) // validate BEFORE staging: a bad call cannot orphan a staged dir
+    // staging mapping: existing columns per the head's map, new
+    // columns under their fresh picks
+    val stagingLogical = {
+      val st0 = foldState(fs(spark, path), path, head0)
+      val table0 = stateSchema(spark, path, st0)
+      StructType(df.schema.fields.map(f =>
+        table0.fields.find(_.name == f.name)
+          .getOrElse(TxMapping.fieldWithPhysical(f, newPicks(f.name)))))
+    }
     txn.flatMap(txnLanded(spark, path, _)) match {
       case Some(prior) => return prior
       case None => ()
     }
-    val files = stage(spark, path, df)
+    val files = stage(spark, path, df, asDataOf = Some(stagingLogical))
     var attempt = 0
     while (attempt < MaxCommitRetries) {
       txn.flatMap(txnLanded(spark, path, _)) match {
@@ -881,7 +990,8 @@ object TxTable {
       val head = latestVersion(spark, path)
       require(head >= 1,
         s"evolveAddColumn needs an existing table at $path")
-      val table = stateSchema(spark, path, foldState(fs(spark, path), path, head))
+      val st = foldState(fs(spark, path), path, head)
+      val table = stateSchema(spark, path, st)
       table.fields.find(_.name == colName) match {
         case Some(f) if f.dataType == dt => return head // already there
         case Some(f) => throw new IllegalArgumentException(
@@ -889,9 +999,16 @@ object TxTable {
             s"as ${f.dataType.simpleString}, asked ${dt.simpleString}")
         case None => ()
       }
+      // the new column's PHYSICAL name: the logical name unless that
+      // physical is in use or was retired by a DROP (re-adding a
+      // dropped name must never resurrect the old column's bytes
+      // still sitting in live files)
+      val phys = TxMapping.freshPhysical(colName, table,
+        TxMapping.retired(st.props), head + 1)
       val widened = org.apache.spark.sql.types.StructType(
-        table.fields :+ org.apache.spark.sql.types.StructField(
-          colName, dt, nullable = true))
+        table.fields :+ TxMapping.fieldWithPhysical(
+          org.apache.spark.sql.types.StructField(colName, dt,
+            nullable = true), phys))
       commitAt(spark, path, head + 1, "append", Nil, None,
           schemaB64 = Some(schemaToB64(widened))) match {
         case Some(v) => return v
@@ -901,6 +1018,90 @@ object TxTable {
     throw new IllegalStateException(
       s"could not evolveAddColumn on $path after $MaxCommitRetries " +
         "lost version races")
+  }
+
+  /** SQL `ALTER TABLE RENAME COLUMN` — column mapping (the Delta
+    * name-mapping shape): ONE data-less commit carrying the schema
+    * with the field's LOGICAL name changed while its PHYSICAL name
+    * (what every existing file's footer and the log's skipping
+    * metadata carry — [[TxMapping.PhysKey]] field metadata) stays
+    * exactly what it was. No bytes move at any table size; old files
+    * keep reading (renamed on the fly), time travel below the commit
+    * reads the old logical name, and appends keep landing under the
+    * immutable physical name.
+    */
+  private[graft] def renameColumn(spark: SparkSession, path: String,
+                                  from: String, to: String): Long = {
+    TxRowLevel.requireNotReserved(to)
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head >= 1, s"renameColumn needs an existing table at $path")
+      val st = foldState(fs(spark, path), path, head)
+      val table = stateSchema(spark, path, st)
+      require(table.fieldNames.contains(from),
+        s"RENAME COLUMN on $path: no column '$from' in " +
+          table.fieldNames.mkString(", "))
+      if (from == to) return head
+      require(!table.fieldNames.contains(to),
+        s"RENAME COLUMN on $path: '$to' already exists")
+      val renamed = org.apache.spark.sql.types.StructType(
+        table.fields.map(f =>
+          if (f.name != from) f
+          else TxMapping.fieldWithPhysical(f.copy(name = to),
+            TxMapping.physicalName(f))))
+      commitAt(spark, path, head + 1, "append", Nil, None,
+          op = Some("renameColumn"),
+          schemaB64 = Some(schemaToB64(renamed))) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-derive on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not renameColumn on $path after $MaxCommitRetries lost races")
+  }
+
+  /** SQL `ALTER TABLE DROP COLUMN` — column mapping: ONE data-less
+    * commit carrying the schema without the field. The bytes stay in
+    * the files (readers prune the column; a full rewrite — optimize /
+    * compact of everything — physically purges), and the field's
+    * physical name is RETIRED in the table properties
+    * ([[TxMapping.RetiredProp]]) so a later ADD COLUMN of the same
+    * name maps to a FRESH physical name and can never resurrect the
+    * dropped column's data. Time travel below the commit still reads
+    * the column.
+    */
+  private[graft] def dropColumn(spark: SparkSession, path: String,
+                                name: String): Long = {
+    var attempt = 0
+    while (attempt < MaxCommitRetries) {
+      val head = latestVersion(spark, path)
+      require(head >= 1, s"dropColumn needs an existing table at $path")
+      val st = foldState(fs(spark, path), path, head)
+      val table = stateSchema(spark, path, st)
+      val field = table.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"DROP COLUMN on $path: no column '$name' in " +
+            table.fieldNames.mkString(", ")))
+      require(table.fields.length > 1,
+        s"DROP COLUMN on $path: cannot drop the only column '$name'")
+      val phys = TxMapping.physicalName(field)
+      val dropped = org.apache.spark.sql.types.StructType(
+        table.fields.filterNot(_.name == name))
+      val retired = (TxMapping.retired(st.props) + phys).toSeq.sorted
+      commitAt(spark, path, head + 1, "append", Nil, None,
+          op = Some("dropColumn"),
+          schemaB64 = Some(schemaToB64(dropped)),
+          // the FULL replacement property map with the physical name
+          // retired — rides the same commit, atomically
+          props = Some(st.props +
+            (TxMapping.RetiredProp -> retired.mkString(",")))) match {
+        case Some(v) => return v
+        case None    => attempt += 1 // re-derive on the new head
+      }
+    }
+    throw new IllegalStateException(
+      s"could not dropColumn on $path after $MaxCommitRetries lost races")
   }
 
   /** Resolve a snapshot's live files to [[org.apache.hadoop.fs.FileStatus]]es —
@@ -1145,7 +1346,11 @@ object TxTable {
     // the recorded stats are FOR st.statsCol — pruning with them
     // against a different column would silently drop rows (bounds of
     // the wrong column); reject loudly instead
-    st.statsCol.foreach(sc => require(sc == clusterCol,
+    // statsCol records the PHYSICAL name; the caller speaks logical
+    val physCluster = logicalSchemaOf(st)
+      .map(TxMapping.toPhysicalMap(_).getOrElse(clusterCol, clusterCol))
+      .getOrElse(clusterCol)
+    st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRange " +
         "must use the clustered column (or read() + filter)"))
     val kept = st.files.filter(rangeKeep(st, _, lo, hi))
@@ -1266,11 +1471,15 @@ object TxTable {
     require(st.statsCols.nonEmpty,
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
-    box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
+    // statsCols record PHYSICAL names; the caller speaks logical
+    val toPhys: String => String = logicalSchemaOf(st)
+      .map(lg => (c: String) => TxMapping.toPhysicalMap(lg).getOrElse(c, c))
+      .getOrElse(identity[String] _)
+    box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhys(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBox must use recorded dimensions") }
     val kept = st.files.filter(f =>
-      box.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
+      box.forall { case (c, lo, hi) => boxKeep(st, f, toPhys(c), lo, hi) })
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else readStateFiles(spark, path, st, kept)
@@ -1306,7 +1515,10 @@ object TxTable {
     require(st.statsCols.nonEmpty,
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
-    box.foreach { case (c, _, _) => require(st.statsCols.contains(c),
+    val toPhysB: String => String = logicalSchemaOf(st)
+      .map(lg => (c: String) => TxMapping.toPhysicalMap(lg).getOrElse(c, c))
+      .getOrElse(identity[String] _)
+    box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhysB(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBoxOf must use recorded dimensions") }
     val boxSchema = stateSchema(spark, path, st)
@@ -1317,7 +1529,7 @@ object TxTable {
       }
     }
     val kept = st.files.filter(f =>
-      encoded.forall { case (c, lo, hi) => boxKeep(st, f, c, lo, hi) })
+      encoded.forall { case (c, lo, hi) => boxKeep(st, f, toPhysB(c), lo, hi) })
     val base =
       if (kept.isEmpty) readVersion(spark, path, head).limit(0)
       else readStateFiles(spark, path, st, kept)
@@ -1449,7 +1661,10 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
-    require(st.bloomCol.contains(keyCol),
+    val physKey = logicalSchemaOf(st)
+      .map(TxMapping.toPhysicalMap(_).getOrElse(keyCol, keyCol))
+      .getOrElse(keyCol)
+    require(st.bloomCol.contains(physKey),
       s"$path carries blooms for ${st.bloomCol.getOrElse("no column")}, " +
         s"not '$keyCol' — readPoints must use the bloom-indexed column " +
         "(or read() + filter)")
@@ -1569,7 +1784,10 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
-    st.statsCol.foreach(sc => require(sc == clusterCol,
+    val physCluster = logicalSchemaOf(st)
+      .map(TxMapping.toPhysicalMap(_).getOrElse(clusterCol, clusterCol))
+      .getOrElse(clusterCol)
+    st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +
         "must use the clustered column (or read() + filter)"))
     stateSchema(spark, path, st).fields.find(_.name == clusterCol)
@@ -1644,11 +1862,23 @@ object TxTable {
     * RELATIVE file names (resolve against `path`).
     */
   private[graft] def prunedFiles(st: State,
-                                 ranges: Map[String, (Long, Long)],
-                                 points: Map[String, Seq[Long]],
-                                 strRanges: Map[String,
+                                 ranges0: Map[String, (Long, Long)],
+                                 points0: Map[String, Seq[Long]],
+                                 strRanges0: Map[String,
                                    (Option[String], Option[String])] = Map.empty)
-      : Seq[String] =
+      : Seq[String] = {
+    // constraints arrive keyed by LOGICAL column names; the recorded
+    // skipping metadata (statsCol/statsCols/bloomCol and their maps)
+    // is keyed by the PHYSICAL names the footers carry — translate
+    // once here, the single choke point every pruning caller shares
+    // (identity for unmapped tables)
+    val (ranges, points, strRanges) = logicalSchemaOf(st)
+      .filter(TxMapping.isMapped) match {
+        case Some(lg) => (TxMapping.keysToPhysical(ranges0, lg),
+          TxMapping.keysToPhysical(points0, lg),
+          TxMapping.keysToPhysical(strRanges0, lg))
+        case None => (ranges0, points0, strRanges0)
+      }
     st.files.filter { f =>
       val rangeOk = ranges.forall { case (c, (lo, hi)) =>
         (!st.statsCol.contains(c) || rangeKeep(st, f, lo, hi)) &&
@@ -1664,6 +1894,7 @@ object TxTable {
       }
       rangeOk && strOk && pointOk
     }
+  }
 
   /** Roll the table back (or forward) to exactly `version`'s content as
     * a NEW overwrite commit — METADATA-ONLY: the commit re-references
@@ -1742,22 +1973,27 @@ object TxTable {
       }
     def rd(st: State, fs: Set[String]): DataFrame =
       if (fs.isEmpty) spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        TxMapping.stripMapping(schema))
       else {
-        val base = spark.read.schema(schema)
+        // files carry PHYSICAL names; the feed speaks the TO-version's
+        // logical names — read physical, DV-filter, rename at the end
+        val base = spark.read.schema(TxMapping.toPhysicalSchema(schema))
           .parquet(fs.toSeq.sorted.map(f => s"$path/$f"): _*)
-        if (st.dels.isEmpty) base
-        else {
-          import org.apache.spark.sql.functions.{col, regexp_extract}
-          base
-            .withColumn("__graft_dv_f",
-              regexp_extract(col("_metadata.file_path"), RelNameRegex, 0))
-            .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-            .join(delRows(spark, path, st).select(
-              col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_pos")),
-              Seq("__graft_dv_f", "__graft_dv_pos"), "left_anti")
-            .drop("__graft_dv_f", "__graft_dv_pos")
-        }
+        val dvApplied =
+          if (st.dels.isEmpty) base
+          else {
+            import org.apache.spark.sql.functions.{col, regexp_extract}
+            base
+              .withColumn("__graft_dv_f",
+                regexp_extract(col("_metadata.file_path"), RelNameRegex, 0))
+              .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+              .join(delRows(spark, path, st).select(
+                col("f").as("__graft_dv_f"), col("pos").as("__graft_dv_pos")),
+                Seq("__graft_dv_f", "__graft_dv_pos"), "left_anti")
+              .drop("__graft_dv_f", "__graft_dv_pos")
+          }
+        TxMapping.toLogicalDf(dvApplied, schema)
       }
     val added = rd(stTo, (to -- from) ++ dvChanged)
     val removed = rd(stFrom, (from -- to) ++ dvChanged)
@@ -1814,6 +2050,18 @@ object TxTable {
       .filter(v => v > fromVersion && v <= toVersion)
       .map(v => parse(readSmall(hfs,
         new org.apache.hadoop.fs.Path(commitPath(path, v)))))
+    // column mapping: raw-file batches rename to THEIR version's
+    // logical names (staged cdf files already carry them). A window
+    // spanning a RENAME unions old- and new-name batches under
+    // allowMissingColumns — the same window-shape semantics the feed
+    // documents for evolution. Only consulted on mapped tables.
+    lazy val anyMapped =
+      logicalSchemaOf(foldState(hfs, path, toVersion))
+        .exists(TxMapping.isMapped)
+    def toLogicalAt(df: DataFrame, v: Long): DataFrame =
+      if (!anyMapped) df
+      else logicalSchemaOf(foldState(hfs, path, v))
+        .fold(df)(l => TxMapping.toLogicalDf(df, l))
     // schema comes from one staged cdf file if any commit has one (they
     // already carry _change); otherwise from the file-diff fallback
     val batches = commits.flatMap { c =>
@@ -1845,14 +2093,16 @@ object TxTable {
           else deletes.unionByName(
             spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
               .withColumn(ChangeCol, lit("insert")))
-        Some(both.withColumn(VersionCol, lit(c.version)))
+        Some(toLogicalAt(both, c.version)
+          .withColumn(VersionCol, lit(c.version)))
       }
       else if (c.action == "append" || c.version == 1L) {
         // an append's files ARE its inserts; so are v1's (creation —
         // there is no v0 snapshot to diff against). A DATA-LESS append
         // (ALTER ADD COLUMN / SET TBLPROPERTIES) is zero change rows.
         if (c.files.isEmpty) None
-        else Some(spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
+        else Some(toLogicalAt(
+          spark.read.parquet(c.files.map(f => s"$path/$f"): _*), c.version)
           .withColumn(ChangeCol, lit("insert"))
           .withColumn(VersionCol, lit(c.version)))
       }
@@ -2017,7 +2267,8 @@ object TxTable {
     // staging write (commit re-checks inside its retry loop regardless)
     txn.flatMap(txnLanded(spark, path, _)) match {
       case Some(prior) => prior
-      case None => commit(spark, path, "append", stage(spark, path, df), txn)
+      case None => commit(spark, path, "append",
+        stage(spark, path, df, asDataOf = headLogical(spark, path)), txn)
     }
   }
 
@@ -2065,17 +2316,27 @@ object TxTable {
                 "(create with overwrite/overwriteClustered first)")
           val st = foldState(hfs, path, head)
           val target = math.max(1, numFiles)
+          // the log's recorded stats columns are PHYSICAL names; the
+          // incoming df speaks logical — lay out by the logical twins,
+          // stage (renames to physical), extract footer stats by the
+          // physical names the staged footers carry
+          val lg = logicalSchemaOf(st)
+          val toLogical: String => String = p =>
+            lg.map(TxMapping.toLogicalMap(_).getOrElse(p, p)).getOrElse(p)
           val (files, stats, mstats, sstats) = (st.statsCol, st.statsCols) match {
             case (_, zc) if zc.size >= 2 =>
-              val staged = stage(spark, path, zorderLaid(df, zc, target,
-                if (st.zbits > 0) st.zbits else 16))
+              val staged = stage(spark, path,
+                zorderLaid(df, zc.map(toLogical), target,
+                  if (st.zbits > 0) st.zbits else 16), asDataOf = lg)
               (staged, Map.empty[String, (Long, Long)],
                 multiColStats(spark, path, staged, zc),
                 Map.empty[String, (String, String)])
             case (Some(sc), _) =>
+              val lsc = toLogical(sc)
               val staged = stage(spark, path, df
-                .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
-              if (df.schema(sc).dataType ==
+                .repartitionByRange(target, col(lsc))
+                .sortWithinPartitions(lsc), asDataOf = lg)
+              if (df.schema(lsc).dataType ==
                   org.apache.spark.sql.types.StringType)
                 (staged, Map.empty[String, (Long, Long)],
                   Map.empty[String, Seq[(Long, Long)]],
@@ -2085,7 +2346,7 @@ object TxTable {
                   Map.empty[String, Seq[(Long, Long)]],
                   Map.empty[String, (String, String)])
             case _ =>
-              (stage(spark, path, df),
+              (stage(spark, path, df, asDataOf = lg),
                 Map.empty[String, (Long, Long)],
                 Map.empty[String, Seq[(Long, Long)]],
                 Map.empty[String, (String, String)])
@@ -2822,9 +3083,11 @@ object TxTable {
       val cand = deleteCandidates(spark, path, cond)(st)
       if (cand.isEmpty) return head
       // matching runs over LIVE rows only: a position already deleted
-      // by an earlier dv commit must not re-enter a del file
-      val live = minusDels(spark, path, st,
-        readWithPos(spark, path, st, cand))
+      // by an earlier dv commit must not re-enter a del file. The raw
+      // frame carries physical names — rename to logical (provenance
+      // columns pass through) before the caller's condition applies
+      val live = logicalSchemaOf(st).foldLeft(minusDels(spark, path, st,
+        readWithPos(spark, path, st, cand)))(TxMapping.toLogicalDf)
       val matched = live.filter(coalesce(cond, lit(false)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2873,8 +3136,8 @@ object TxTable {
         s"updateWhereDv on $path: no column '$k' in ${schema.fieldNames.mkString(", ")}"))
       val cand = deleteCandidates(spark, path, cond)(st)
       if (cand.isEmpty) return head
-      val live = minusDels(spark, path, st,
-        readWithPos(spark, path, st, cand))
+      val live = logicalSchemaOf(st).foldLeft(minusDels(spark, path, st,
+        readWithPos(spark, path, st, cand)))(TxMapping.toLogicalDf)
       val matched = live.filter(coalesce(cond, lit(false)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
@@ -2885,7 +3148,9 @@ object TxTable {
         }
         val delFiles = stage(spark, path, matched.select(
           col("__graft_dv_f").as("f"), col("__graft_dv_pos").as("pos")))
-        val imgFiles = stage(spark, path, images)
+        // images are TABLE DATA: they land under physical names
+        val imgFiles = stage(spark, path, images,
+          asDataOf = logicalSchemaOf(st))
         val cdfFiles =
           if (!cdf) Nil
           else stage(spark, path,
@@ -2987,22 +3252,31 @@ object TxTable {
         stage(spark, path, rows(snapshot)))
       val target = targetOf.map(f => math.max(1, f(st, cand)))
         .orElse(numFilesHint).getOrElse(math.max(1, cand.size))
+      // carried files keep physical column names, so the restaged ones
+      // must too (stage renames; identity when unmapped); the recorded
+      // layout columns are physical — translate for the logical frame
+      val lg = logicalSchemaOf(st)
+      val toLogicalCol: String => String = p =>
+        lg.map(TxMapping.toLogicalMap(_).getOrElse(p, p)).getOrElse(p)
       val staged = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
           // → the 2-D writer default of 16), so rewrites preserve the
           // table's z-order granularity instead of resetting it
-          stage(spark, path, zorderLaid(transformed, zc, target,
-            if (st.zbits > 0) st.zbits else 16))
+          stage(spark, path, zorderLaid(transformed, zc.map(toLogicalCol),
+            target, if (st.zbits > 0) st.zbits else 16), asDataOf = lg)
         case (Some(sc), _) => // clustered head: re-lay by range
+          val lsc = toLogicalCol(sc)
           stage(spark, path, transformed
-            .repartitionByRange(target, col(sc)).sortWithinPartitions(sc))
+            .repartitionByRange(target, col(lsc)).sortWithinPartitions(lsc),
+            asDataOf = lg)
         case _ =>
           // an EXPLICIT file-count ask (compact's hint, compactSmall's
           // bin-pack target) coalesces; a merge/delete rewrite keeps
           // the transform's natural partitioning
           val want = if (targetOf.isDefined) Some(target) else numFilesHint
-          stage(spark, path, want.fold(transformed)(transformed.coalesce))
+          stage(spark, path, want.fold(transformed)(transformed.coalesce),
+            asDataOf = lg)
       }
       // the fresh skipping metadata (stats flavor by the cluster
       // column's type, N-D rectangles, blooms at the epoch's width) is
@@ -3115,7 +3389,7 @@ object TxTable {
         if ((untouched ++ added).nonEmpty) Seq.empty[String]
         else stage(spark, path, spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
-          stateSchema(spark, path, st)))
+          stateSchema(spark, path, st)), asDataOf = logicalSchemaOf(st))
       val newFiles = added ++ extra
       val (fstats, fsstats, fmstats, bbits, fblooms) =
         freshFileMeta(spark, path, st, newFiles, untouched.nonEmpty)

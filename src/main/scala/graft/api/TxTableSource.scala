@@ -210,12 +210,16 @@ class TxTableSource extends RelationProvider with CreatableRelationProvider
     val state = TxTable.snapshotState(spark, path, version)
     require(state.files.nonEmpty, s"version $version of $path holds no files")
     // a DV-bearing snapshot cannot plan as a native HadoopFsRelation
-    // (nothing in that scan drops (file, position) rows): serve it
-    // through a PrunedFilteredScan over the DV-applied snapshot read —
-    // correct, with file-level pruning but without native row-group
-    // pushdown. The steady state is DV-free (compact purges deletes)
-    // and keeps the native vectorized plan.
-    if (state.dels.nonEmpty)
+    // (nothing in that scan drops (file, position) rows), and a
+    // column-MAPPED one cannot either (the native relation reads files
+    // by logical names; a renamed column would silently null-fill):
+    // serve both through a PrunedFilteredScan over the DV-applied,
+    // mapping-translated snapshot read — correct, with file-level
+    // pruning. The steady state is DV-free and unmapped (compact /
+    // optimize purge both) and keeps the native vectorized plan; the
+    // V2 catalog route keeps vectorized batches + parquet pushdown
+    // even while mapped.
+    if (state.dels.nonEmpty || TxTable.isMapped(state))
       return new TxDvV1Relation(spark, path, state)
     new TxInsertableHadoopFsRelation(
       new TxFileIndex(spark, path, version, state),
@@ -236,7 +240,8 @@ class TxDvV1Relation(spark: SparkSession, path: String,
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
-  override val schema: StructType = TxTable.stateSchema(spark, path, state)
+  override val schema: StructType =
+    TxMapping.stripMapping(TxTable.stateSchema(spark, path, state))
 
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters

@@ -1066,6 +1066,32 @@ object Sources {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("source")),
 
+    // COLUMN MAPPING end-to-end (ALTER TABLE RENAME/DROP/re-ADD): the
+    // "rn" walk's head must equal the oracle's recomputation — the
+    // renamed column reads old files' bytes under the new name, the
+    // copy-on-write UPDATE hit the renamed column, the dropped
+    // column's values are GONE from the re-added column (fresh
+    // physical name) while the post-drop insert's values are present.
+    Q("q_tx_rename",
+      Some("""WITH r1 AS (
+                SELECT doc_id,
+                       n_chars + CASE WHEN doc_id % 8 = 0 THEN 5 ELSE 0 END
+                         AS chars,
+                       CAST(NULL AS VARCHAR) AS source
+                FROM documents WHERE doc_id % 4 = 0),
+              r2 AS (
+                SELECT doc_id, n_chars + 1 AS chars, 'rn' AS source
+                FROM documents WHERE doc_id % 4 = 1)
+              SELECT coalesce(source, 'dropped') AS source, count(*) AS n,
+                     CAST(SUM(chars) AS BIGINT) AS chars
+              FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+              GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => graft.api.TxTable.read(s, ensureTxRename(s, dir))
+        .withColumn("source", coalesce(col("source"), lit("dropped")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("chars")).as("chars"))
+        .orderBy("source")),
+
     // INDEXED INGEST end-to-end: the base and both appendClustered
     // increments each carry per-file ranges, so a doc_id range reads
     // pruned across ALL THREE commits' files — the oracle recomputes
@@ -1224,7 +1250,8 @@ object Sources {
   private def ensureTxBase(s: SparkSession, dir: String): String =
     // ver 22: staged (atomic) CTAS — catalog-built tables now carry
     // their data in version 1 (no intermediate empty-create commit)
-    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 24) { base =>
+    // ver 25: column mapping (q_tx_rename — table "rn")
+    ensure(s, dir, "txtable", Seq("documents", "orders", "lineitem"), ver = 25) { base =>
       import graft.api.TxTable
       val docs = t(s, dir, "documents")
       // table "t": overwrite -> append -> compact (q_tx_timetravel /
@@ -1234,7 +1261,7 @@ object Sources {
       // on top of an old log would renumber history.
       Seq("t", "u", "c", "z", "z3", "p", "r", "d", "e", "ps", "pd", "pc", "s",
         "sd", "sck", "o", "zd", "sq", "rt", "cs", "ai", "ct", "rw",
-        "sm", "smd", "smk", "dv").foreach { n =>
+        "sm", "smd", "smk", "dv", "cd", "rn").foreach { n =>
         graft.api.Dedup.hadoopFs(s, s"$base/$n")
           .delete(new org.apache.hadoop.fs.Path(s"$base/$n"), true)
       }
@@ -1469,6 +1496,31 @@ object Sources {
                WHEN NOT MATCHED THEN INSERT *""")
       s.sql(s"DELETE FROM $dvCat.cd WHERE n_chars % 7 = 0")
       s.catalog.dropTempView("graft_cd_src")
+      // table "rn": COLUMN MAPPING (ALTER TABLE RENAME/DROP COLUMN,
+      // the Delta name-mapping shape) — CTAS, then RENAME n_chars →
+      // chars (metadata-only; the physical name in every file stays
+      // n_chars), an UPDATE over the RENAMED column (copy-on-write DML
+      // through the mapping), DROP COLUMN source (bytes stay, column
+      // retires), ADD COLUMN source back (fresh physical name — the
+      // dropped values must NOT resurrect), and an INSERT in the new
+      // shape. q_tx_rename replays the head against an oracle that
+      // recomputes the algebra from the source parquet: a rename that
+      // null-filled old files, an update that missed the mapping, or
+      // a re-add that resurrected dropped bytes all break the hash.
+      val rnCat = "graft_txrn_" + java.lang.Integer.toHexString(base.hashCode)
+      s.conf.set(s"spark.sql.catalog.$rnCat", "graft.api.TxCatalog")
+      s.conf.set(s"spark.sql.catalog.$rnCat.warehouse", base)
+      docs.select("doc_id", "source", "n_chars")
+        .createOrReplaceTempView("graft_rn_src")
+      s.sql(s"CREATE TABLE $rnCat.rn AS SELECT doc_id, source, n_chars " +
+        "FROM graft_rn_src WHERE doc_id % 4 = 0")
+      s.sql(s"ALTER TABLE $rnCat.rn RENAME COLUMN n_chars TO chars")
+      s.sql(s"UPDATE $rnCat.rn SET chars = chars + 5 WHERE doc_id % 8 = 0")
+      s.sql(s"ALTER TABLE $rnCat.rn DROP COLUMN source")
+      s.sql(s"ALTER TABLE $rnCat.rn ADD COLUMN source STRING")
+      s.sql(s"INSERT INTO $rnCat.rn SELECT doc_id, n_chars + 1 AS chars, " +
+        "'rn' AS source FROM graft_rn_src WHERE doc_id % 4 = 1")
+      s.catalog.dropTempView("graft_rn_src")
       // table "rt": RETENTION — five commits (overwrite, txn append,
       // compact, two appends), then expireHistory(keepVersions = 2)
       // truncates time travel below version 4 and an aged-out vacuum
@@ -1623,6 +1675,9 @@ object Sources {
     ensureTxBase(s, dir) + "/dv"
   private[graft] def ensureTxDvDml(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/cd"
+
+  private[graft] def ensureTxRename(s: SparkSession, dir: String): String =
+    ensureTxBase(s, dir) + "/rn"
 
   private[graft] def ensureTxRetention(s: SparkSession, dir: String): String =
     ensureTxBase(s, dir) + "/rt"
