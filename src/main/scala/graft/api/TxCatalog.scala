@@ -122,9 +122,41 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           s"TxCatalog creates txtable tables only; USING $prov is not " +
             "supported (write-path formats live outside this catalog)")
         None
-      case (k, v) => Some(k -> v)
+      case (k, v) => validateGraftProp(k, v); Some(k -> v)
     }.toMap
   }
+
+  /** `graft.*` properties CONFIGURE behavior (DV cap, maintenance
+    * targets, DML route, retention) — validate the value at SET time
+    * so a typo fails the DDL statement instead of poisoning a later
+    * read/maintenance call; unknown graft.* keys reject loudly
+    * (a misspelled knob that silently does nothing is worse).
+    */
+  private def validateGraftProp(k: String, v: String): Unit =
+    if (k.startsWith("graft.")) k match {
+      case TxMapping.RetiredProp =>
+        throw new IllegalArgumentException(
+          s"'${TxMapping.RetiredProp}' is maintained by DROP COLUMN " +
+            "and cannot be set directly (it guards dropped columns " +
+            "against resurrection)")
+      case TxTable.DvDmlProp =>
+        require(v == "true" || v == "false",
+          s"$k must be true/false, got '$v'")
+      case TxTable.DvMaxDriverBytesProp | TxTable.CompactMinFileBytesProp |
+           TxTable.CompactTargetBytesProp =>
+        require(scala.util.Try(v.toLong).toOption.exists(_ > 0),
+          s"$k must be a positive long, got '$v'")
+      case TxTable.KeepVersionsProp =>
+        require(scala.util.Try(v.toInt).toOption.exists(_ >= 1),
+          s"$k must be an int >= 1, got '$v'")
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown graft.* table property '$other' — known: " +
+            Seq(TxTable.DvDmlProp, TxTable.DvMaxDriverBytesProp,
+              TxTable.CompactMinFileBytesProp,
+              TxTable.CompactTargetBytesProp,
+              TxTable.KeepVersionsProp).mkString(", "))
+    }
 
   private def isTable(p: String): Boolean =
     fs.exists(new Path(s"$p/_txlog"))
@@ -304,6 +336,12 @@ class TxCatalog extends TableCatalog with SupportsNamespaces
           require(s.property != TableCatalog.PROP_LOCATION &&
               s.property != TableCatalog.PROP_PROVIDER,
             s"cannot alter reserved property '${s.property}'")
+          validateGraftProp(s.property, s.value)
+        case r: TableChange.RemoveProperty =>
+          require(r.property != TxMapping.RetiredProp,
+            s"'${TxMapping.RetiredProp}' is maintained by DROP COLUMN " +
+              "and cannot be unset (it guards dropped columns against " +
+              "resurrection)")
         case _ => ()
       }
       // the DELTA goes down, not a pre-merged map: setProperties folds
@@ -509,6 +547,15 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
 
   override def name(): String = ident
 
+  /** The effective row-level DML route: the TABLE's persisted
+    * `graft.dv_dml` property wins over the catalog-level `dv_dml`
+    * option, so the merge-on-read/copy-on-write choice travels with
+    * the table (ALTER TABLE SET TBLPROPERTIES flips it, no session
+    * conf needed) — the Delta property model.
+    */
+  private lazy val dvDmlEffective: Boolean =
+    state.props.get(TxTable.DvDmlProp).map(_.toBoolean).getOrElse(dvDml)
+
   // user-facing: logical names only, mapping metadata stripped — the
   // map is an implementation detail of the log; leaking it here would
   // let CTAS-from-this-table inherit stale physical names through
@@ -625,7 +672,8 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     // commit of position deletes + row images, O(changed rows) bytes —
     // instead of the group-based copy-on-write rewrite (O(matched
     // files)). Default stays copy-on-write.
-    () => if (dvDml) new TxDeltaRowLevelOperation(spark, this, info.command)
+    () => if (dvDmlEffective)
+            new TxDeltaRowLevelOperation(spark, this, info.command)
           else new TxRowLevelOperation(spark, this, info.command)
   }
 
@@ -661,7 +709,7 @@ class TxV2Table(spark: SparkSession, val path: String, ident: String,
     // dv_dml = true routes SQL DELETE to merge-on-read position
     // deletes (O(changed rows), no file rewritten); default stays the
     // copy-on-write file-level delete
-    if (dvDml) TxTable.deleteWhereDv(spark, path, cond)
+    if (dvDmlEffective) TxTable.deleteWhereDv(spark, path, cond)
     else TxTable.deleteWhere(spark, path, cond)
     ()
   }

@@ -77,12 +77,34 @@ private[api] object TxProcedures {
         StructField("version", LongType), StructField("action", StringType),
         StructField("op", StringType), StructField("txn", StringType),
         StructField("ts", LongType), StructField("num_files", IntegerType),
-        StructField("num_delete_files", IntegerType))),
-      (s, resolve, in) => TxTable.history(s, resolve(in.getUTF8String(0).toString))
-        .map(c => row(c.version, UTF8String.fromString(c.action),
-          c.op.map(UTF8String.fromString).orNull,
-          c.txn.map(UTF8String.fromString).orNull,
-          c.ts, c.files.size, c.dels.size))),
+        StructField("num_delete_files", IntegerType),
+        // merge-on-read debt per commit: the on-disk bytes of ITS
+        // position-delete files (the unit the driver-cap guard sums)
+        StructField("del_bytes", LongType))),
+      (s, resolve, in) => {
+        val p = resolve(in.getUTF8String(0).toString)
+        TxTable.history(s, p)
+          .map(c => row(c.version, UTF8String.fromString(c.action),
+            c.op.map(UTF8String.fromString).orNull,
+            c.txn.map(UTF8String.fromString).orNull,
+            c.ts, c.files.size, c.dels.size,
+            TxTable.delBytesOf(s, p, c.dels)))
+      }),
+
+    // Merge-on-read DEBT at the head, per DV-bearing live file: total
+    // rows, recorded delete positions, deleted fraction — the backlog
+    // compact_small purges and the driver-cap guard protects against,
+    // visible BEFORE it trips. Empty on a purged (or DV-free) table.
+    new P("dv_stats",
+      Seq(("table", StringType, None)),
+      StructType(Seq(
+        StructField("file", StringType), StructField("file_rows", LongType),
+        StructField("del_rows", LongType),
+        StructField("deleted_fraction", DoubleType))),
+      (s, resolve, in) =>
+        TxTable.dvStats(s, resolve(in.getUTF8String(0).toString))
+          .map { case (f, rows, dels, frac) =>
+            row(UTF8String.fromString(f), rows, dels, frac) }),
 
     new P("compact",
       Seq(("table", StringType, None), ("num_files", IntegerType, Some("1"))),
@@ -91,9 +113,12 @@ private[api] object TxProcedures {
         resolve(in.getUTF8String(0).toString), in.getInt(1))))),
 
     new P("compact_small",
+      // -1 sentinels: thresholds resolve from the TABLE's persisted
+      // properties (graft.compactSmall.*), else 32 MB / 128 MB — the
+      // knobs travel with the table; explicit args still win
       Seq(("table", StringType, None),
-        ("min_file_bytes", LongType, Some((32L << 20).toString)),
-        ("target_bytes", LongType, Some((128L << 20).toString))),
+        ("min_file_bytes", LongType, Some("-1")),
+        ("target_bytes", LongType, Some("-1"))),
       versionOut,
       (s, resolve, in) => Seq(row(TxTable.compactSmall(s,
         resolve(in.getUTF8String(0).toString), in.getLong(1), in.getLong(2))))),
@@ -116,7 +141,10 @@ private[api] object TxProcedures {
         resolve(in.getUTF8String(0).toString), in.getLong(1))))),
 
     new P("expire_history",
-      Seq(("table", StringType, None), ("keep_versions", IntegerType, None)),
+      // keep_versions omitted -> the table's graft.retention.keepVersions
+      // property (no built-in fallback: expiry is destructive)
+      Seq(("table", StringType, None),
+        ("keep_versions", IntegerType, Some("-1"))),
       StructType(Seq(StructField("expired", IntegerType))),
       (s, resolve, in) => Seq(row(TxTable.expireHistory(s,
         resolve(in.getUTF8String(0).toString), in.getInt(1))))),

@@ -2457,19 +2457,34 @@ object TxTable {
     * WITHOUT committing (an idempotent no-op, not a new version).
     */
   def compactSmall(spark: SparkSession, path: String,
-                   minFileBytes: Long = 32L << 20,
-                   targetBytes: Long = 128L << 20): Long = {
-    require(minFileBytes > 0 && targetBytes > 0,
-      "compactSmall needs positive minFileBytes / targetBytes")
+                   minFileBytes: Long = -1L,
+                   targetBytes: Long = -1L): Long = {
+    // -1 (the default) resolves from the TABLE's persisted properties
+    // — graft.compactSmall.minFileBytes / .targetBytes — falling back
+    // to 32 MB / 128 MB, so maintenance thresholds travel with the
+    // table; an explicit argument always wins
     val hfs = fs(spark, path)
     val head = latestVersion(spark, path)
+    val props0 =
+      if (head == 0) Map.empty[String, String]
+      else foldState(hfs, path, head).props
+    val minBytes =
+      if (minFileBytes >= 0) minFileBytes
+      else props0.get(CompactMinFileBytesProp).map(_.toLong)
+        .getOrElse(32L << 20)
+    val tgtBytes =
+      if (targetBytes >= 0) targetBytes
+      else props0.get(CompactTargetBytesProp).map(_.toLong)
+        .getOrElse(128L << 20)
+    require(minBytes > 0 && tgtBytes > 0,
+      "compactSmall needs positive minFileBytes / targetBytes")
     if (head == 0)
       throw new IllegalStateException(
         s"cannot compactSmall $path: the table has no commits yet " +
           "(create it with overwrite first)")
     def smallOf(st: State): Seq[String] = {
       val sz = fileSizes(hfs, path, st.files)
-      val small = st.files.filter(f => sz.getOrElse(f, 0L) < minFileBytes)
+      val small = st.files.filter(f => sz.getOrElse(f, 0L) < minBytes)
       // DV-bearing files join the pack: rewriting them MATERIALIZES
       // their position deletes (the read is DV-applied) and the
       // rewrite restages only the del rows of carried files — so a
@@ -2495,7 +2510,7 @@ object TxTable {
       targetOf = Some { (st, cand) =>
         val sz = fileSizes(hfs, path, cand)
         math.ceil(math.max(1L, cand.map(sz.getOrElse(_, 0L)).sum)
-          .toDouble / targetBytes).toInt
+          .toDouble / tgtBytes).toInt
       })(identity)
   }
 
@@ -2931,8 +2946,22 @@ object TxTable {
     * The check costs O(del files) metadata calls — no del row is read.
     */
   private[graft] val DvMaxDriverBytesConf = "spark.graft.dv.maxDriverBytes"
-  private def dvDriverCap(spark: SparkSession): Long =
+
+  // ---- table-property knobs (round 20): the persisted property map
+  // CONFIGURES behavior, so the knobs travel with the table instead of
+  // the session — Delta's property model. Precedence: explicit
+  // argument > session conf (operational override) > table property >
+  // built-in default. Values validated at SET time (TxCatalog).
+  private[graft] val DvDmlProp = "graft.dv_dml"
+  private[graft] val DvMaxDriverBytesProp = "graft.dv.maxDriverBytes"
+  private[graft] val CompactMinFileBytesProp = "graft.compactSmall.minFileBytes"
+  private[graft] val CompactTargetBytesProp = "graft.compactSmall.targetBytes"
+  private[graft] val KeepVersionsProp = "graft.retention.keepVersions"
+
+  private def dvDriverCap(spark: SparkSession,
+                          props: Map[String, String]): Long =
     spark.conf.getOption(DvMaxDriverBytesConf).map(_.toLong)
+      .orElse(props.get(DvMaxDriverBytesProp).map(_.toLong))
       .getOrElse(64L * 1024 * 1024)
 
   /** Driver-side per-file sorted positions — the V2 scan's
@@ -2981,13 +3010,14 @@ object TxTable {
       val hfs = fs(spark, path)
       val bytes = st.dels.map(f => hfs.getFileStatus(
         new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).sum
-      val cap = dvDriverCap(spark)
+      val cap = dvDriverCap(spark, st.props)
       if (bytes > cap) throw new IllegalStateException(
         s"table at $path carries $bytes bytes of position-delete files " +
           s"(cap: $cap): the merge-on-read backlog must be purged before " +
           "driver-side DV application. Run TxTable.compactSmall/optimize " +
           "(SQL: CALL <catalog>.system.compact_small) to materialize the " +
-          s"deletes, or raise $DvMaxDriverBytesConf")
+          s"deletes, or raise $DvMaxDriverBytesConf (session) / " +
+          s"$DvMaxDriverBytesProp (table property)")
       val key = (path, st.dels)
       delPosCache.synchronized {
         val hit = delPosCache.get(key)
@@ -3001,6 +3031,47 @@ object TxTable {
       delPosCache.synchronized { delPosCache.put(key, built); () }
       built
     }
+
+  /** Merge-on-read DEBT observability (round 20): per DV-bearing live
+    * file, its total rows (parquet footer metadata), recorded delete
+    * positions, and the deleted fraction — the backlog the driver-cap
+    * guard protects against, visible BEFORE it trips. Distributed
+    * count of the del rows (never collected), O(DV'd files) footer
+    * metadata reads, zero data scanned; a purged table returns empty.
+    * Surfaced as `CALL <catalog>.system.dv_stats`.
+    */
+  def dvStats(spark: SparkSession, path: String)
+      : Seq[(String, Long, Long, Double)] = {
+    val head = latestVersion(spark, path)
+    require(head >= 1, s"dvStats needs an existing table at $path")
+    val st = foldState(fs(spark, path), path, head)
+    if (st.dels.isEmpty) return Nil
+    val live = st.files.toSet
+    val perFile = delRows(spark, path, st).groupBy("f").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter { case (f, _) => live.contains(f) }.sortBy(_._1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    perFile.toSeq.map { case (f, delRows) =>
+      val rows = scala.util.Try {
+        import scala.jdk.CollectionConverters._
+        org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+          conf, new org.apache.hadoop.fs.Path(s"$path/$f"),
+          org.apache.parquet.format.converter.ParquetMetadataConverter
+            .NO_FILTER).getBlocks.asScala.map(_.getRowCount).sum
+      }.getOrElse(0L)
+      (f, rows, delRows,
+        if (rows > 0) delRows.toDouble / rows else 0.0)
+    }
+  }
+
+  /** Total on-disk bytes of a commit's position-delete files —
+    * metadata-only, the same sum the driver-cap guard checks. */
+  private[graft] def delBytesOf(spark: SparkSession, path: String,
+                                dels: Seq[String]): Long = {
+    val hfs = fs(spark, path)
+    dels.map(f => scala.util.Try(hfs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).getOrElse(0L)).sum
+  }
 
   /** Read `files` of `st` with DV provenance columns attached
     * (`__graft_dv_f`, `__graft_dv_pos`), NOT yet DV-filtered. */
@@ -3765,14 +3836,25 @@ object TxTable {
     * enough.
     */
   def expireHistory(spark: SparkSession, path: String,
-                    keepVersions: Int): Int = {
-    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+                    keepVersions: Int = -1): Int = {
     val hfs = fs(spark, path)
     val (commitVs, ckVs) = logVersions(hfs, path)
     require(commitVs.nonEmpty,
       s"cannot expireHistory $path: the table has no commits yet")
+    // -1 (the default) resolves the retention horizon from the TABLE's
+    // persisted properties (graft.retention.keepVersions) — no
+    // built-in fallback: history expiry is destructive, so it needs
+    // either an explicit argument or a deliberate per-table policy
+    val keep =
+      if (keepVersions >= 0) keepVersions
+      else foldState(hfs, path, commitVs.last).props
+        .get(KeepVersionsProp).map(_.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"expireHistory on $path: pass keepVersions or set the " +
+              s"table property $KeepVersionsProp"))
+    require(keep >= 1, s"keepVersions must be >= 1, got $keep")
     val head = commitVs.last
-    val cutoff = head - keepVersions + 1
+    val cutoff = head - keep + 1
     if (cutoff <= commitVs.head) return 0 // nothing below the cutoff
     // make the cutoff self-contained BEFORE deleting anything below it
     if (!ckVs.contains(cutoff)) {

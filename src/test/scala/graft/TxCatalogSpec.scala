@@ -665,3 +665,167 @@ class TxCatalogAdviceR20Spec extends AnyFunSuite {
       TxRowLevel.requireNotReserved(ok)
   }
 }
+
+/** Round-20: persisted table properties CONFIGURE behavior — the
+  * knobs travel with the table (Delta's property model), session conf
+  * stays an operational override; plus merge-on-read debt
+  * observability (dv_stats, history.del_bytes).
+  */
+class TxPropertyBehaviorSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import graft.api.TxTable
+  import org.apache.spark.sql.functions.col
+
+  private lazy val warehouse: String = {
+    val w = java.nio.file.Files.createTempDirectory("txpb").toString
+    spark.conf.set("spark.sql.catalog.gpb", "graft.api.TxCatalog")
+    spark.conf.set("spark.sql.catalog.gpb.warehouse", w)
+    w
+  }
+  private def sql(q: String) = spark.sql(q)
+  private def msgs(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+
+  test("graft.dv.maxDriverBytes property arms the guard; session conf overrides") {
+    warehouse
+    sql("CREATE TABLE gpb.cap (id BIGINT, v STRING)")
+    sql("INSERT INTO gpb.cap SELECT id, concat('v', id) FROM range(1000)")
+    TxTable.deleteWhereDv(spark, s"$warehouse/cap", col("id") % 10 === 0)
+    assert(sql("SELECT count(*) FROM gpb.cap").collect()
+      .head.getLong(0) === 900L, "reads fine under the default cap")
+    // the property alone (no session conf) trips the guard
+    sql("ALTER TABLE gpb.cap SET TBLPROPERTIES ('graft.dv.maxDriverBytes' = '1')")
+    val e = intercept[Exception](sql("SELECT count(*) FROM gpb.cap").collect())
+    assert(msgs(e).exists(m => m.contains("compact_small") && m.contains("cap: 1")),
+      s"the per-table cap fires, naming the purge verb: ${msgs(e)}")
+    // session conf is the operational override over the property
+    spark.conf.set("spark.graft.dv.maxDriverBytes", (64L << 20).toString)
+    try assert(sql("SELECT count(*) FROM gpb.cap").collect()
+      .head.getLong(0) === 900L)
+    finally spark.conf.unset("spark.graft.dv.maxDriverBytes")
+    // and validation rejects garbage at SET time
+    val b = intercept[Exception](sql(
+      "ALTER TABLE gpb.cap SET TBLPROPERTIES ('graft.dv.maxDriverBytes' = 'lots')"))
+    assert(msgs(b).exists(_.contains("positive long")))
+  }
+
+  test("graft.dv_dml property flips the DML route, no catalog option needed") {
+    warehouse
+    sql("CREATE TABLE gpb.route (id BIGINT, v STRING)")
+    sql("INSERT INTO gpb.route SELECT id, concat('v', id) FROM range(100)")
+    sql("UPDATE gpb.route SET v = 'cow' WHERE id = 1")
+    assert(TxTable.history(spark, s"$warehouse/route").last.action ===
+      "overwrite", "the default catalog routes copy-on-write")
+    sql("ALTER TABLE gpb.route SET TBLPROPERTIES ('graft.dv_dml' = 'true')")
+    sql("UPDATE gpb.route SET v = 'mor' WHERE id = 2")
+    val c = TxTable.history(spark, s"$warehouse/route").last
+    assert(c.action === "dv" && c.dels.nonEmpty,
+      s"the table property routed UPDATE merge-on-read: ${c.action}")
+    sql("ALTER TABLE gpb.route UNSET TBLPROPERTIES ('graft.dv_dml')")
+    sql("UPDATE gpb.route SET v = 'cow2' WHERE id = 3")
+    assert(TxTable.history(spark, s"$warehouse/route").last.action ===
+      "overwrite", "unsetting the property returns to the catalog default")
+    assert(sql("SELECT v FROM gpb.route WHERE id IN (1,2,3) ORDER BY id")
+      .collect().map(_.getString(0)).toSeq === Seq("cow", "mor", "cow2"))
+  }
+
+  test("compact_small thresholds travel as table properties") {
+    warehouse
+    sql("CREATE TABLE gpb.cs (id BIGINT)")
+    (0 until 4).foreach(i =>
+      sql(s"INSERT INTO gpb.cs SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+    val p = s"$warehouse/cs"
+    val before = TxTable.snapshotState(spark, p,
+      TxTable.latestVersion(spark, p)).files.size
+    assert(before >= 4)
+    // min = 1 byte: nothing qualifies as small -> no-op
+    sql("ALTER TABLE gpb.cs SET TBLPROPERTIES " +
+      "('graft.compactSmall.minFileBytes' = '1')")
+    val h0 = TxTable.latestVersion(spark, p)
+    sql("CALL gpb.system.compact_small(table => 'cs')")
+    assert(TxTable.latestVersion(spark, p) === h0,
+      "a 1-byte threshold from the property packs nothing")
+    // huge min: everything packs
+    sql("ALTER TABLE gpb.cs SET TBLPROPERTIES " +
+      s"('graft.compactSmall.minFileBytes' = '${Long.MaxValue}')")
+    sql("CALL gpb.system.compact_small(table => 'cs')")
+    val after = TxTable.snapshotState(spark, p,
+      TxTable.latestVersion(spark, p)).files.size
+    assert(after < before,
+      s"the property-driven pass packed the small files ($before -> $after)")
+    assert(sql("SELECT count(*) FROM gpb.cs").collect()
+      .head.getLong(0) === 40L)
+  }
+
+  test("expire_history resolves keep_versions from the table property") {
+    warehouse
+    sql("CREATE TABLE gpb.rt (id BIGINT)")
+    (0 until 5).foreach(i => sql(s"INSERT INTO gpb.rt VALUES ($i)"))
+    val p = s"$warehouse/rt"
+    // without argument or property: loud, names the property
+    val e = intercept[Exception](
+      sql("CALL gpb.system.expire_history(table => 'rt')").collect())
+    assert(msgs(e).exists(_.contains("graft.retention.keepVersions")),
+      s"the error names the property: ${msgs(e)}")
+    sql("ALTER TABLE gpb.rt SET TBLPROPERTIES " +
+      "('graft.retention.keepVersions' = '2')")
+    val expired = sql("CALL gpb.system.expire_history(table => 'rt')")
+      .collect().head.getInt(0)
+    assert(expired > 0, "the property-driven horizon expired history")
+    assert(TxTable.history(spark, p).size === 2)
+    assert(sql("SELECT count(*) FROM gpb.rt").collect()
+      .head.getLong(0) === 5L, "the head still reads in full")
+  }
+
+  test("dv_stats exposes the merge-on-read backlog; purge zeroes it") {
+    warehouse
+    sql("CREATE TABLE gpb.dv (id BIGINT, v STRING)")
+    sql("INSERT INTO gpb.dv SELECT id, concat('v', id) FROM range(1000)")
+    assert(sql("CALL gpb.system.dv_stats(table => 'dv')").collect().isEmpty,
+      "a DV-free table reports no debt")
+    TxTable.deleteWhereDv(spark, s"$warehouse/dv", col("id") % 4 === 0)
+    val rows = sql("CALL gpb.system.dv_stats(table => 'dv')").collect()
+    assert(rows.nonEmpty, "the delete shows up as debt")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0L, "file_rows from the footer")
+      assert(r.getLong(2) > 0L, "del_rows counted")
+      val frac = r.getDouble(3)
+      assert(frac > 0.0 && frac < 1.0, s"fraction in (0,1): $frac")
+    }
+    assert(rows.map(_.getLong(2)).sum === 250L,
+      "recorded positions sum to the deleted row count")
+    // history carries per-commit del bytes (the guard's unit)
+    val hist = sql("CALL gpb.system.history(table => 'dv')").collect()
+    assert(hist.last.getLong(7) > 0L,
+      "the dv commit reports its delete-file bytes")
+    assert(hist.head.getLong(7) === 0L, "data-only commits report zero")
+    // the purge zeroes the debt
+    sql("CALL gpb.system.compact_small(table => 'dv', " +
+      "min_file_bytes => 1)")
+    assert(sql("CALL gpb.system.dv_stats(table => 'dv')").collect().isEmpty,
+      "compact_small purged the backlog")
+    assert(sql("SELECT count(*) FROM gpb.dv").collect()
+      .head.getLong(0) === 750L)
+  }
+
+  test("unknown and internal graft.* properties reject at SET time") {
+    warehouse
+    sql("CREATE TABLE gpb.val (id BIGINT)")
+    val u = intercept[Exception](sql(
+      "ALTER TABLE gpb.val SET TBLPROPERTIES ('graft.dv.maxDirverBytes' = '5')"))
+    assert(msgs(u).exists(_.contains("unknown graft.*")),
+      s"a typo'd knob fails loudly instead of silently doing nothing: ${msgs(u)}")
+    val r = intercept[Exception](sql(
+      "ALTER TABLE gpb.val SET TBLPROPERTIES ('graft.mapping.retired' = 'x')"))
+    assert(msgs(r).exists(_.contains("DROP COLUMN")),
+      s"the resurrection guard cannot be forged: ${msgs(r)}")
+    val b = intercept[Exception](sql(
+      "ALTER TABLE gpb.val SET TBLPROPERTIES ('graft.dv_dml' = 'maybe')"))
+    assert(msgs(b).exists(_.contains("true/false")))
+    // non-graft user properties remain free-form
+    sql("ALTER TABLE gpb.val SET TBLPROPERTIES ('team' = 'data-eng')")
+    assert(sql("SHOW TBLPROPERTIES gpb.val").collect()
+      .map(r2 => r2.getString(0) -> r2.getString(1)).toMap
+      .get("team") === Some("data-eng"))
+  }
+}
