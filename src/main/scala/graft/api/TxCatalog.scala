@@ -1449,9 +1449,15 @@ class TxMicroBatchStream(spark: SparkSession, table: TxV2Table,
       // is COVERED by the load-time schema (historical evolutions in
       // a startingVersion replay) pass — the head schema null-fills.
       c.schemaB64.map(TxTable.schemaFromB64).foreach { cs =>
+        // compared by PHYSICAL name: a RENAME is metadata-only (no
+        // file changes names — physicals are immutable), so it must
+        // not trip the gate on replay or mid-stream; only a column
+        // the load-time mapping cannot read — a genuine widening —
+        // forces the restart
         val known = loadTimeSchema.fields
-          .map(f => (f.name, f.dataType)).toSet
-        val added = cs.fields.filterNot(f => known((f.name, f.dataType)))
+          .map(f => (TxMapping.physicalName(f), f.dataType)).toSet
+        val added = cs.fields.filterNot(f =>
+          known((TxMapping.physicalName(f), f.dataType)))
         if (added.nonEmpty) throw new IllegalStateException(
           s"readStream.table on $path: version ${c.version} evolved the " +
             s"table schema (added ${added.map(_.name).mkString(", ")}) " +

@@ -87,6 +87,50 @@ object DvScanBench {
     // lands ~1 position in 41%% of every file's batches — worst case
     scenario("point", col("id").between(5000, 5999))
     scenario("scatter", col("id") % 9973 === 0)
+
+    // CHURN: many SMALL dv commits (the verdict-#7 shape) — 1000+
+    // single-key deletes leave 1000+ tiny del files at the head. This
+    // evidences (a) the del-file metadata walk + distributed del-row
+    // read at high file counts, and (b) the position-map cache's
+    // retained-positions bound (entries are bounded by positions, not
+    // del-file count). Smaller table so the commit loop stays bounded.
+    val churnRows = math.min(rows, 20000000L)
+    val churnCommits = args.lift(1).map(_.toInt).getOrElse(1000)
+    locally {
+      val w = java.nio.file.Files.createTempDirectory("dvchurn").toString
+      val cat = "dvc" + java.lang.Integer.toHexString(w.hashCode)
+      spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      val t = s"$w/t"
+      TxTable.overwriteClustered(spark, t,
+        spark.range(churnRows).selectExpr(
+          "id", "concat('text-', id % 100000) AS s",
+          "CAST(id % 997 AS DOUBLE) AS d"),
+        "id", numFiles = 32)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < churnCommits) {
+        TxTable.deleteWhereDv(spark, t,
+          col("id") === (i.toLong * 37 + 11) % churnRows)
+        i += 1
+      }
+      val commitSec = (System.nanoTime() - t0) / 1e9
+      val head = TxTable.latestVersion(spark, t)
+      val nDels = TxTable.snapshotState(spark, t, head).dels.size
+      val native = bench(s"SELECT $agg FROM $cat.t VERSION AS OF 1")
+      val dvCol = bench(s"SELECT $agg FROM $cat.t")
+      val selPred = s"id BETWEEN ${churnRows / 2} AND ${churnRows / 2 + 999}"
+      val nativeSel =
+        bench(s"SELECT $agg FROM $cat.t VERSION AS OF 1 WHERE $selPred")
+      val dvSel = bench(s"SELECT $agg FROM $cat.t WHERE $selPred")
+      println(f"""{"scenario":"churn","rows":$churnRows,""" +
+        f""""dv_commits":$churnCommits,"del_files":$nDels,""" +
+        f""""commit_sec_total":$commitSec%.1f,""" +
+        f""""native_sec":$native%.3f,"dv_columnar_sec":$dvCol%.3f,""" +
+        f""""col_over_native":${dvCol / native}%.2f,""" +
+        f""""sel_native_sec":$nativeSel%.3f,"sel_dv_sec":$dvSel%.3f,""" +
+        f""""sel_over_native":${dvSel / nativeSel}%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -234,6 +234,42 @@ class TxMappingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("readStream.table survives a mid-stream RENAME (metadata-only)") {
+    // the evolution gate compares PHYSICAL names: a rename changes no
+    // file's columns, so the live stream must keep flowing (projected
+    // under its load-time logical names) instead of failing for a
+    // spurious "schema evolved" — only a genuine widening restarts it
+    val (cat, _) = freshCat("ms")
+    sql(s"CREATE TABLE $cat.t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.t VALUES (1,'a'),(2,'b')")
+    val ck = java.nio.file.Files.createTempDirectory("txmapck").toString
+    val q = spark.readStream.table(s"$cat.t")
+      .writeStream.format("memory").queryName("txmap_stream")
+      .option("checkpointLocation", ck).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("txmap_stream").count() === 2L)
+      sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO label")
+      sql(s"INSERT INTO $cat.t VALUES (3,'c')")
+      q.processAllAvailable() // must NOT trip the evolution gate
+      assert(spark.table("txmap_stream").orderBy("id").collect()
+        .map(_.getString(1)).toSeq === Seq("a", "b", "c"),
+        "post-rename appends flow under the load-time projection")
+      // a genuine widening still restarts the stream loudly
+      sql(s"ALTER TABLE $cat.t ADD COLUMN extra BIGINT")
+      sql(s"INSERT INTO $cat.t VALUES (4,'d',40)")
+      val e = intercept[Exception](q.processAllAvailable())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("evolved")),
+        s"the widening fails the stream, naming the restart: ${msgs(e)}")
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS txmap_stream")
+      ()
+    }
+  }
+
   test("programmatic evolveAppend under a retired name picks fresh physicals") {
     val (_, w) = freshCat("ev")
     val p = s"$w/t"
