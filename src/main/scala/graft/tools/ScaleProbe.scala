@@ -1737,6 +1737,55 @@ object ScaleProbe {
         f"1x $d1%.2f s  ${mult}x $dN%.2f s")
     }
 
+    // Round-20: ALTER TABLE RENAME COLUMN via column mapping — the
+    // 100-TB contract is METADATA-ONLY: one data-less commit whose
+    // bytes and wall are flat in the table size, ZERO data files
+    // touched, and the renamed column keeps its data-skipping (a
+    // fixed range probe through the NEW name reads the same small
+    // file count at every mult — stats stay keyed by the immutable
+    // physical name).
+    {
+      import graft.api.TxTable
+      def renameFor(m: Int) = {
+        val w = java.nio.file.Files
+          .createTempDirectory(s"txmapsp_$m").toString
+        val cat = "gmp" + java.lang.Integer.toHexString(w.hashCode)
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+        val t = s"$w/t"
+        TxTable.overwriteClustered(spark, t,
+          docsFor(m).select(col("doc_id"), col("text")),
+          "doc_id", numFiles = 8 * m)
+        val base = TxTable.readVersion(spark, t, 1).inputFiles.toSet
+        val t0 = System.nanoTime()
+        spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN doc_id TO key")
+        val d = (System.nanoTime() - t0) / 1e9
+        val v = TxTable.latestVersion(spark, t)
+        val commitBytes = new java.io.File(
+          f"$t/_txlog/$v%020d.json").length
+        val after = TxTable.read(spark, t).inputFiles.toSet
+        require(after == base,
+          s"RENAME must touch zero data files: ${after.size} vs ${base.size}")
+        // skipping through the NEW logical name: a fixed 100-key range
+        val probe = TxTable.readRange(spark, t, "key", 300, 399)
+        val kept = probe.inputFiles.length
+        val hit = probe.count()
+        (base.size, commitBytes, d, kept, hit)
+      }
+      val (f1, cb1, d1, k1, h1) = renameFor(1)
+      val (fN, cbN, dN, kN, hN) = renameFor(mult)
+      require(h1 == 100L && hN == 100L,
+        s"the fixed range reads exactly its rows through the rename: $h1/$hN")
+      require(kN <= k1 * 2 + 1,
+        s"skipping holds through the rename: kept files $k1 -> $kN of " +
+          s"$f1 -> $fN (a lost index would read all files)")
+      println(f"tx RENAME COLUMN mapping (${mult}x corpus): commit bytes " +
+        f"${cb1 / 1e3}%.1f -> ${cbN / 1e3}%.1f KB " +
+        f"(growth ${cbN.toDouble / cb1}%.1fx), wall $d1%.2f -> $dN%.2f s, " +
+        f"data files touched 0/$f1 -> 0/$fN, fixed range probe kept " +
+        f"$k1/$f1 -> $kN/$fN files (100/100 rows both)")
+    }
+
     spark.stop()
   }
 }

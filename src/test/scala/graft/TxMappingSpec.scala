@@ -234,6 +234,39 @@ class TxMappingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("_file/_pos provenance stays queryable on a mapped snapshot") {
+    val (cat, _) = freshCat("pv")
+    sql(s"CREATE TABLE $cat.t (id BIGINT, v STRING)")
+    sql(s"INSERT INTO $cat.t VALUES (1,'a'),(2,'b'),(3,'c')")
+    sql(s"ALTER TABLE $cat.t RENAME COLUMN v TO label")
+    // the row branch reads under physical names; the projection binds
+    // the LOGICAL required schema — values must line up exactly
+    val rows = sql(s"SELECT id, label, _file, _pos FROM $cat.t ORDER BY id")
+      .collect()
+    assert(rows.map(_.getString(1)).toSeq === Seq("a", "b", "c"),
+      "the renamed column reads exactly next to the metadata columns")
+    assert(rows.forall(r => r.getString(2).endsWith(".parquet")))
+    assert(rows.map(_.getLong(3)).toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("the retired set survives history expiry (checkpoint carries props)") {
+    val (cat, w) = freshCat("re")
+    sql(s"CREATE TABLE $cat.t (id BIGINT, x STRING)")
+    sql(s"INSERT INTO $cat.t VALUES (1,'dead')")
+    sql(s"ALTER TABLE $cat.t DROP COLUMN x")
+    // push the DROP commit below the retention cutoff
+    (0 until 4).foreach(i => sql(s"INSERT INTO $cat.t VALUES (${10 + i})"))
+    TxTable.expireHistory(spark, s"$w/t", keepVersions = 2)
+    val props = TxTable.properties(spark, s"$w/t",
+      TxTable.latestVersion(spark, s"$w/t"))
+    assert(graft.api.TxMapping.retired(props).contains("x"),
+      s"the resurrection guard survived the expiry: $props")
+    // and a re-ADD still maps fresh: the dropped value stays dead
+    sql(s"ALTER TABLE $cat.t ADD COLUMN x STRING")
+    assert(sql(s"SELECT x FROM $cat.t WHERE id = 1").collect()
+      .head.isNullAt(0), "'dead' never resurrects, even after expiry")
+  }
+
   test("readStream.table survives a mid-stream RENAME (metadata-only)") {
     // the evolution gate compares PHYSICAL names: a rename changes no
     // file's columns, so the live stream must keep flowing (projected
