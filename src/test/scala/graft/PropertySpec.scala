@@ -576,3 +576,74 @@ object TxPropsCodecProps extends Properties("TxPropsCodec") {
       c.isLetterOrDigit || "+/=:;".contains(c))
   }
 }
+
+/** Column-mapping invariants (round 20): fresh physical names never
+  * collide with anything that ever existed, the schema mapping
+  * round-trips through its own serialization, and filter translation
+  * only ever emits physical names the map knows.
+  */
+object TxMappingProps extends Properties("TxMapping") {
+  import graft.api.TxMapping
+  import org.apache.spark.sql.types._
+
+  private val nameGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+  private val namesGen = Gen.listOf(nameGen).map(_.distinct)
+
+  property("freshPhysical avoids current, retired and taken names") =
+    forAll(namesGen, namesGen, namesGen, nameGen) { (cur, ret, taken, want) =>
+      val schema = StructType(cur.map(StructField(_, LongType)))
+      val pick = TxMapping.freshPhysical(want, schema, ret.toSet, 7L,
+        taken.toSet)
+      !cur.contains(pick) && !ret.contains(pick) && !taken.contains(pick) &&
+        (pick == want || cur.contains(want) || ret.contains(want) ||
+          taken.contains(want))
+    }
+
+  property("mapping survives schemaB64 round-trip (the log's carrier)") =
+    forAll(namesGen.suchThat(_.size >= 2)) { names =>
+      // rename every field to a rotated name: physical = original
+      val fields = names.zip(names.tail :+ names.head).map {
+        case (phys, logical) =>
+          TxMapping.fieldWithPhysical(StructField(logical, LongType), phys)
+      }
+      // duplicate LOGICAL names can arise from rotation collisions on
+      // case-insensitive-distinct inputs; skip those shapes
+      (fields.map(_.name).distinct.size != fields.size) || {
+        val schema = StructType(fields)
+        val json = DataType.fromJson(schema.json).asInstanceOf[StructType]
+        names.indices.forall { i =>
+          TxMapping.physicalName(json.fields(i)) == names(i)
+        } && (TxMapping.toPhysicalSchema(json).fieldNames.toSeq == names)
+      }
+    }
+
+  property("filterToPhysical emits only known physical names") =
+    forAll(namesGen.suchThat(_.nonEmpty), nameGen) { (logicals, other) =>
+      import org.apache.spark.sql.sources._
+      val m = logicals.map(l => l -> s"p_$l").toMap
+      val f = And(EqualTo(logicals.head, 1),
+        Or(GreaterThan(other, 2), IsNotNull(logicals.head)))
+      TxMapping.filterToPhysical(f, m).forall { t =>
+        def refs(x: Filter): Seq[String] = x match {
+          case EqualTo(a, _) => Seq(a)
+          case GreaterThan(a, _) => Seq(a)
+          case IsNotNull(a) => Seq(a)
+          case And(l, r) => refs(l) ++ refs(r)
+          case Or(l, r) => refs(l) ++ refs(r)
+          case _ => Nil
+        }
+        refs(t).forall(m.values.toSet.contains)
+      }
+    }
+
+  property("an OR with an untranslatable side is dropped whole") =
+    forAll(nameGen) { known =>
+      import org.apache.spark.sql.sources._
+      val unknown = known + "_x" // never in the map
+      val m = Map(known -> s"p_$known")
+      // dropping only one OR side would WIDEN row-group matches into
+      // wrongly-skipped groups — the whole disjunction must go
+      TxMapping.filterToPhysical(
+        Or(EqualTo(known, 1), EqualTo(unknown, 2)), m).isEmpty
+    }
+}
