@@ -1545,10 +1545,15 @@ class TxReplaceWrite(spark: SparkSession, table: TxV2Table,
   private def clusterSort
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     table.state.statsCol match {
-      case Some(sc) if table.state.statsCols.size < 2 &&
-          writeSchema.fieldNames.contains(sc) =>
-        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
-          org.apache.spark.sql.connector.expressions.Expressions.column(sc),
+      // statsCol records the PHYSICAL name; the write plan's columns
+      // are LOGICAL — translate, or a rename of the cluster column
+      // silently drops the ordered-write layout and every later MERGE
+      // smears the footer ranges
+      case Some(sc) if table.state.statsCols.size < 2 =>
+        val lsc = TxMapping.toLogicalName(Some(table.mappedSchema))(sc)
+        if (!writeSchema.fieldNames.contains(lsc)) Array.empty
+        else Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(lsc),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
       case _ => Array.empty
     }
@@ -2103,6 +2108,8 @@ class TxStagedTable(spark: SparkSession, val path: String,
   private def cleanupDir(): Unit = {
     var attempt = 0
     while (!dirExistedAtStage && attempt < 15 && hfs.exists(new Path(path))) {
+      if (hfs.exists(new Path(s"$path/_txlog")))
+        return // a racing creator committed: this is a real table now
       if (hfs.listStatus(new Path(path)).isEmpty) {
         hfs.delete(new Path(path), true)
         return

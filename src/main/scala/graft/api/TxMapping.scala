@@ -125,6 +125,34 @@ private[graft] object TxMapping {
     else renameColumns(df, toLogicalMap(logical)
       .filter { case (p, l) => l != p })
 
+  /** Single-name logical→physical translator: the map is built ONCE
+    * (not per invocation — the returned function may run per file ×
+    * dimension in pruning filters); identity function when unmapped
+    * or the snapshot records no schema.
+    */
+  def toPhysicalName(logical: Option[StructType]): String => String =
+    logical.filter(isMapped) match {
+      case Some(lg) => val m = toPhysicalMap(lg); c => m.getOrElse(c, c)
+      case None => identity
+    }
+
+  /** Single-name physical→logical translator, same contract. */
+  def toLogicalName(logical: Option[StructType]): String => String =
+    logical.filter(isMapped) match {
+      case Some(lg) => val m = toLogicalMap(lg); c => m.getOrElse(c, c)
+      case None => identity
+    }
+
+  /** Strip [[PhysKey]] from a DataFrame's field metadata (no renames)
+    * — the one place the 'mapping never reaches footers' scrub lives.
+    * Returns the frame untouched when no field carries the key.
+    */
+  def scrubMappingDf(df: DataFrame): DataFrame =
+    if (!df.schema.fields.exists(_.metadata.contains(PhysKey))) df
+    else df.select(df.schema.fields.toIndexedSeq.map(f =>
+      df.col("`" + f.name.replace("`", "``") + "`")
+        .as(f.name, withoutPhysKey(f.metadata))): _*)
+
   /** Rename a schema's fields through a name map (identity for names
     * outside it), mapping metadata scrubbed — for building the
     * physical twin of a PRUNED read schema, whose fields may have
@@ -152,9 +180,19 @@ private[graft] object TxMapping {
     * scans. A filter referencing anything outside the map (metadata
     * columns, unknown names) returns None — it is simply not pushed;
     * every filter stays residual above the scan regardless.
+    *
+    * SOUNDNESS: the pushed filter must be IMPLIED by the original
+    * (skipped row groups must provably hold no matching row — the
+    * residual re-filter cannot resurrect skipped rows). Dropping one
+    * side of an AND only WEAKENS the predicate, which is sound in
+    * positive polarity — but under a NOT the weakening inverts into a
+    * strengthening, so inside any Not the child must translate
+    * EXACTLY (`strict`): a partially-translated And there returns
+    * None and the whole Not is not pushed.
     */
   def filterToPhysical(f: org.apache.spark.sql.sources.Filter,
-                       t: Map[String, String])
+                       t: Map[String, String],
+                       strict: Boolean = false)
       : Option[org.apache.spark.sql.sources.Filter] = {
     import org.apache.spark.sql.sources._
     def att(a: String): Option[String] = t.get(a)
@@ -172,18 +210,21 @@ private[graft] object TxMapping {
       case StringEndsWith(a, v) => att(a).map(StringEndsWith(_, v))
       case StringContains(a, v) => att(a).map(StringContains(_, v))
       case And(l, r) =>
-        // one translatable side still prunes (AND narrows)
-        (filterToPhysical(l, t), filterToPhysical(r, t)) match {
+        (filterToPhysical(l, t, strict), filterToPhysical(r, t, strict)) match {
           case (Some(a), Some(b)) => Some(And(a, b))
-          case (Some(a), None) => Some(a)
-          case (None, Some(b)) => Some(b)
+          // one translatable side still prunes (weakening — positive
+          // polarity only; under a Not this must fail the whole tree)
+          case (Some(a), None) if !strict => Some(a)
+          case (None, Some(b)) if !strict => Some(b)
           case _ => None
         }
       case Or(l, r) =>
-        // BOTH sides must translate: a dropped OR side widens matches
-        for (a <- filterToPhysical(l, t); b <- filterToPhysical(r, t))
+        // BOTH sides must translate: a dropped OR side NARROWS the
+        // pushed predicate, unsound in every polarity
+        for (a <- filterToPhysical(l, t, strict);
+             b <- filterToPhysical(r, t, strict))
           yield Or(a, b)
-      case Not(c) => filterToPhysical(c, t).map(Not)
+      case Not(c) => filterToPhysical(c, t, strict = true).map(Not)
       case _ => None
     }
   }

@@ -83,12 +83,15 @@ private[api] object TxProcedures {
         StructField("del_bytes", LongType))),
       (s, resolve, in) => {
         val p = resolve(in.getUTF8String(0).toString)
-        TxTable.history(s, p)
-          .map(c => row(c.version, UTF8String.fromString(c.action),
-            c.op.map(UTF8String.fromString).orNull,
-            c.txn.map(UTF8String.fromString).orNull,
-            c.ts, c.files.size, c.dels.size,
-            TxTable.delBytesOf(s, p, c.dels)))
+        val commits = TxTable.history(s, p)
+        // ONE bulk size resolution across the whole history — a
+        // churned log must not cost one RPC per del file per row
+        val lens = TxTable.delFileLens(s, p, commits.flatMap(_.dels))
+        commits.map(c => row(c.version, UTF8String.fromString(c.action),
+          c.op.map(UTF8String.fromString).orNull,
+          c.txn.map(UTF8String.fromString).orNull,
+          c.ts, c.files.size, c.dels.size,
+          c.dels.map(lens.getOrElse(_, 0L)).sum))
       }),
 
     // Merge-on-read DEBT at the head, per DV-bearing live file: total

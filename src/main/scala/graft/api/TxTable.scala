@@ -510,14 +510,8 @@ object TxTable {
     // race-free even under claim-loop retries.
     val mapped = asDataOf.fold(df0)(l => TxMapping.toPhysicalDf(df0, l))
     // the footer must never embed mapping metadata (it would re-state
-    // the map outside the log); scrub if any field carries it
-    val df =
-      if (!mapped.schema.fields.exists(_.metadata.contains(TxMapping.PhysKey)))
-        mapped
-      else mapped.select(mapped.schema.fields.toIndexedSeq.map(f =>
-        mapped.col("`" + f.name.replace("`", "``") + "`")
-          .as(f.name, new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).remove(TxMapping.PhysKey).build())): _*)
+    // the map outside the log)
+    val df = TxMapping.scrubMappingDf(mapped)
     val sub = "data-" + java.util.UUID.randomUUID().toString.take(12)
     val hfs = fs(spark, path)
     def list(): Seq[String] =
@@ -918,12 +912,31 @@ object TxTable {
             s"added under physical name '${TxMapping.physicalName(f)}' " +
             s"but this append staged it as '${newPicks(f.name)}' — " +
             "metadata conflict, retry the append"))
+      val newHere = staged.fields.filterNot(f =>
+        table.fieldNames.contains(f.name))
+      // drop races, caught on the RE-derivation: (a) a column this
+      // append staged as EXISTING was concurrently dropped — its
+      // physical pick never happened, proceeding would crash or land
+      // the staged bytes under a retired name; (b) a pick made against
+      // head0 is now retired (a racer added then dropped the same
+      // name) — committing it would resurrect the dropped bytes.
+      // Both are metadata conflicts: abort loudly, the caller retries.
+      newHere.filterNot(f => newPicks.contains(f.name)).foreach(f =>
+        throw new IllegalStateException(
+          s"evolveAppend on $path: column '${f.name}' was concurrently " +
+            "dropped while this append was staging — metadata " +
+            "conflict, retry the append"))
+      val retiredNow = TxMapping.retired(st.props)
+      newHere.map(f => newPicks(f.name)).filter(retiredNow).foreach(ph =>
+        throw new IllegalStateException(
+          s"evolveAppend on $path: staged physical name '$ph' was " +
+            "concurrently retired by a DROP COLUMN — metadata " +
+            "conflict, retry the append"))
       StructType(
         table.fields.map(f =>
           if (staged.fieldNames.contains(f.name)) f else f.copy(nullable = true)) ++
-          staged.fields.filterNot(f => table.fieldNames.contains(f.name))
-            .map(f => TxMapping.fieldWithPhysical(
-              f.copy(nullable = true), newPicks(f.name))))
+          newHere.map(f => TxMapping.fieldWithPhysical(
+            f.copy(nullable = true), newPicks(f.name))))
     }
     widenedVsHead(head0) // validate BEFORE staging: a bad call cannot orphan a staged dir
     // staging mapping: existing columns per the head's map, new
@@ -1347,9 +1360,7 @@ object TxTable {
     // against a different column would silently drop rows (bounds of
     // the wrong column); reject loudly instead
     // statsCol records the PHYSICAL name; the caller speaks logical
-    val physCluster = logicalSchemaOf(st)
-      .map(TxMapping.toPhysicalMap(_).getOrElse(clusterCol, clusterCol))
-      .getOrElse(clusterCol)
+    val physCluster = TxMapping.toPhysicalName(logicalSchemaOf(st))(clusterCol)
     st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRange " +
         "must use the clustered column (or read() + filter)"))
@@ -1472,9 +1483,7 @@ object TxTable {
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
     // statsCols record PHYSICAL names; the caller speaks logical
-    val toPhys: String => String = logicalSchemaOf(st)
-      .map(lg => (c: String) => TxMapping.toPhysicalMap(lg).getOrElse(c, c))
-      .getOrElse(identity[String] _)
+    val toPhys = TxMapping.toPhysicalName(logicalSchemaOf(st))
     box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhys(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBox must use recorded dimensions") }
@@ -1515,9 +1524,7 @@ object TxTable {
     require(st.statsCols.nonEmpty,
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
-    val toPhysB: String => String = logicalSchemaOf(st)
-      .map(lg => (c: String) => TxMapping.toPhysicalMap(lg).getOrElse(c, c))
-      .getOrElse(identity[String] _)
+    val toPhysB = TxMapping.toPhysicalName(logicalSchemaOf(st))
     box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhysB(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
         s"not '$c' — readBoxOf must use recorded dimensions") }
@@ -1661,9 +1668,7 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
-    val physKey = logicalSchemaOf(st)
-      .map(TxMapping.toPhysicalMap(_).getOrElse(keyCol, keyCol))
-      .getOrElse(keyCol)
+    val physKey = TxMapping.toPhysicalName(logicalSchemaOf(st))(keyCol)
     require(st.bloomCol.contains(physKey),
       s"$path carries blooms for ${st.bloomCol.getOrElse("no column")}, " +
         s"not '$keyCol' — readPoints must use the bloom-indexed column " +
@@ -1784,9 +1789,7 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
-    val physCluster = logicalSchemaOf(st)
-      .map(TxMapping.toPhysicalMap(_).getOrElse(clusterCol, clusterCol))
-      .getOrElse(clusterCol)
+    val physCluster = TxMapping.toPhysicalName(logicalSchemaOf(st))(clusterCol)
     st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +
         "must use the clustered column (or read() + filter)"))
@@ -2054,13 +2057,28 @@ object TxTable {
     // logical names (staged cdf files already carry them). A window
     // spanning a RENAME unions old- and new-name batches under
     // allowMissingColumns — the same window-shape semantics the feed
-    // documents for evolution. Only consulted on mapped tables.
+    // documents for evolution. Only consulted on mapped tables, and
+    // derived INCREMENTALLY from the already-parsed commit records
+    // (one anchor fold at the window start, then the same
+    // latest-schemaB64-wins walk the state fold performs) — a
+    // per-version refold would cost O(window²) record reads.
     lazy val anyMapped =
       logicalSchemaOf(foldState(hfs, path, toVersion))
         .exists(TxMapping.isMapped)
+    lazy val schemaB64At: Map[Long, Option[String]] = {
+      var cur =
+        if (fromVersion == 0) None
+        else foldState(hfs, path, fromVersion).schemaB64
+      commits.map { c =>
+        cur =
+          if (c.action == "overwrite") c.schemaB64
+          else c.schemaB64.orElse(cur)
+        c.version -> cur
+      }.toMap
+    }
     def toLogicalAt(df: DataFrame, v: Long): DataFrame =
       if (!anyMapped) df
-      else logicalSchemaOf(foldState(hfs, path, v))
+      else schemaB64At.getOrElse(v, None).map(schemaFromB64)
         .fold(df)(l => TxMapping.toLogicalDf(df, l))
     // schema comes from one staged cdf file if any commit has one (they
     // already carry _change); otherwise from the file-diff fallback
@@ -2321,8 +2339,7 @@ object TxTable {
           // stage (renames to physical), extract footer stats by the
           // physical names the staged footers carry
           val lg = logicalSchemaOf(st)
-          val toLogical: String => String = p =>
-            lg.map(TxMapping.toLogicalMap(_).getOrElse(p, p)).getOrElse(p)
+          val toLogical = TxMapping.toLogicalName(lg)
           val (files, stats, mstats, sstats) = (st.statsCol, st.statsCols) match {
             case (_, zc) if zc.size >= 2 =>
               val staged = stage(spark, path,
@@ -3007,9 +3024,8 @@ object TxTable {
       // the cap check runs BEFORE the cache lookup: the guard's
       // contract ("over-cap DV reads fail loudly") must not depend on
       // whether an earlier statement happened to populate the cache
-      val hfs = fs(spark, path)
-      val bytes = st.dels.map(f => hfs.getFileStatus(
-        new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).sum
+      val lens = delFileLens(spark, path, st.dels)
+      val bytes = st.dels.map(lens.getOrElse(_, 0L)).sum
       val cap = dvDriverCap(spark, st.props)
       if (bytes > cap) throw new IllegalStateException(
         s"table at $path carries $bytes bytes of position-delete files " +
@@ -3064,13 +3080,23 @@ object TxTable {
     }
   }
 
-  /** Total on-disk bytes of a commit's position-delete files —
-    * metadata-only, the same sum the driver-cap guard checks. */
-  private[graft] def delBytesOf(spark: SparkSession, path: String,
-                                dels: Seq[String]): Long = {
+  /** On-disk sizes of position-delete files, resolved BULK: one
+    * `listStatus` per staging directory instead of one `getFileStatus`
+    * per file (del files group into `data-*` dirs like data files —
+    * the [[liveFileStatuses]] discipline). A churned table with 1000+
+    * tiny del files costs O(dirs) metadata RPCs here, not O(files).
+    * Files whose dir vanished (vacuumed history) are simply absent.
+    */
+  private[graft] def delFileLens(spark: SparkSession, path: String,
+                                 dels: Seq[String]): Map[String, Long] = {
     val hfs = fs(spark, path)
-    dels.map(f => scala.util.Try(hfs.getFileStatus(
-      new org.apache.hadoop.fs.Path(s"$path/$f")).getLen).getOrElse(0L)).sum
+    dels.filter(_.contains('/')).map(f => f.substring(0, f.lastIndexOf('/')))
+      .distinct.flatMap { dir =>
+        scala.util.Try(hfs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$path/$dir")).toSeq)
+          .getOrElse(Nil)
+          .map(st => s"$dir/${st.getPath.getName}" -> st.getLen)
+      }.toMap
   }
 
   /** Read `files` of `st` with DV provenance columns attached
@@ -3327,8 +3353,7 @@ object TxTable {
       // must too (stage renames; identity when unmapped); the recorded
       // layout columns are physical — translate for the logical frame
       val lg = logicalSchemaOf(st)
-      val toLogicalCol: String => String = p =>
-        lg.map(TxMapping.toLogicalMap(_).getOrElse(p, p)).getOrElse(p)
+      val toLogicalCol = TxMapping.toLogicalName(lg)
       val staged = (st.statsCol, st.statsCols) match {
         case (_, zc) if zc.size >= 2 => // z-ordered head: re-layout
           // replay the RECORDED interleave bits (pre-zbits logs carry 0
@@ -3394,8 +3419,11 @@ object TxTable {
          Map[String, Seq[(Long, Long)]], Int, Map[String, String]) = {
     val (fstats, fsstats) = st.statsCol match {
       case Some(sc) =>
-        if (stateSchema(spark, path, st)(sc).dataType ==
-            org.apache.spark.sql.types.StringType)
+        // sc is the PHYSICAL name — resolve its type against the
+        // physical twin (a renamed cluster column is absent from the
+        // logical schema under that name)
+        if (TxMapping.toPhysicalSchema(stateSchema(spark, path, st))(sc)
+            .dataType == org.apache.spark.sql.types.StringType)
           (Map.empty[String, (Long, Long)],
             footerStrStats(spark, path, files, sc))
         else (footerStats(spark, path, files, sc),

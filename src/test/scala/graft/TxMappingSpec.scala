@@ -234,6 +234,28 @@ class TxMappingSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq === Seq("a"))
   }
 
+  test("copy-on-write DML keeps the clustered LAYOUT through a rename") {
+    // the rewrite's ordered-write declaration translates the recorded
+    // PHYSICAL cluster column to its logical name — without it a
+    // whole-table UPDATE after a rename restages files unsorted and
+    // every later range read degrades toward a full scan
+    val (cat, w) = freshCat("ly")
+    TxTable.overwriteClustered(spark, s"$w/t",
+      spark.range(20000).selectExpr("id", "concat('v', id) AS v"),
+      "id", numFiles = 8)
+    sql(s"ALTER TABLE $cat.t RENAME COLUMN id TO key")
+    sql(s"UPDATE $cat.t SET v = concat(v, '!') WHERE key % 2 = 0")
+    val st = TxTable.snapshotState(spark, s"$w/t",
+      TxTable.latestVersion(spark, s"$w/t"))
+    val kept = TxTable.readRange(spark, s"$w/t", "key", 100, 199)
+      .inputFiles.length
+    assert(kept <= 2,
+      s"the restaged files stayed range-clustered: a 100-key probe " +
+        s"kept $kept of ${st.files.size} files (unsorted restaging " +
+        "would overlap them all)")
+    assert(TxTable.readRange(spark, s"$w/t", "key", 100, 199).count() === 100L)
+  }
+
   test("_file/_pos provenance stays queryable on a mapped snapshot") {
     val (cat, _) = freshCat("pv")
     sql(s"CREATE TABLE $cat.t (id BIGINT, v STRING)")
