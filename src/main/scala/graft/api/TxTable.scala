@@ -1359,7 +1359,13 @@ object TxTable {
     // the recorded stats are FOR st.statsCol — pruning with them
     // against a different column would silently drop rows (bounds of
     // the wrong column); reject loudly instead
-    // statsCol records the PHYSICAL name; the caller speaks logical
+    // statsCol records the PHYSICAL name; the caller speaks logical —
+    // and must NAME a logical column: a stale pre-rename name would
+    // otherwise slip through the physical fallback and surface as an
+    // unresolved column only at action time
+    logicalSchemaOf(st).foreach(lg => require(
+      lg.fieldNames.contains(clusterCol),
+      s"no column '$clusterCol' in ${lg.fieldNames.mkString(", ")}"))
     val physCluster = TxMapping.toPhysicalName(logicalSchemaOf(st))(clusterCol)
     st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRange " +
@@ -1482,7 +1488,11 @@ object TxTable {
     require(st.statsCols.nonEmpty,
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
-    // statsCols record PHYSICAL names; the caller speaks logical
+    // statsCols record PHYSICAL names; the caller speaks logical —
+    // and must NAME logical columns (see readRange's stale-name note)
+    logicalSchemaOf(st).foreach(lg => box.foreach { case (c, _, _) =>
+      require(lg.fieldNames.contains(c),
+        s"no column '$c' in ${lg.fieldNames.mkString(", ")}") })
     val toPhys = TxMapping.toPhysicalName(logicalSchemaOf(st))
     box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhys(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
@@ -1524,6 +1534,9 @@ object TxTable {
     require(st.statsCols.nonEmpty,
       s"$path carries no multi-column stats — write it with " +
         "overwriteZordered (or use read() + filter)")
+    logicalSchemaOf(st).foreach(lg => box.foreach { case (c, _, _) =>
+      require(lg.fieldNames.contains(c),
+        s"no column '$c' in ${lg.fieldNames.mkString(", ")}") })
     val toPhysB = TxMapping.toPhysicalName(logicalSchemaOf(st))
     box.foreach { case (c, _, _) => require(st.statsCols.contains(toPhysB(c)),
       s"$path records stats for [${st.statsCols.mkString(",")}], " +
@@ -1668,6 +1681,9 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
+    logicalSchemaOf(st).foreach(lg => require(
+      lg.fieldNames.contains(keyCol),
+      s"no column '$keyCol' in ${lg.fieldNames.mkString(", ")}"))
     val physKey = TxMapping.toPhysicalName(logicalSchemaOf(st))(keyCol)
     require(st.bloomCol.contains(physKey),
       s"$path carries blooms for ${st.bloomCol.getOrElse("no column")}, " +
@@ -1789,6 +1805,9 @@ object TxTable {
     val head = latestVersion(spark, path)
     val st = foldState(hfs, path, head)
     require(st.files.nonEmpty, s"version $head of $path holds no files")
+    logicalSchemaOf(st).foreach(lg => require(
+      lg.fieldNames.contains(clusterCol),
+      s"no column '$clusterCol' in ${lg.fieldNames.mkString(", ")}"))
     val physCluster = TxMapping.toPhysicalName(logicalSchemaOf(st))(clusterCol)
     st.statsCol.foreach(sc => require(sc == physCluster,
       s"$path is clustered by '$sc', not '$clusterCol' — readRangeOf " +

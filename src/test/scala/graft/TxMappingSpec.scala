@@ -176,6 +176,53 @@ class TxMappingSpec extends AnyFunSuite {
     assert(TxTable.readRange(spark, s"$w/t", "key", 10500, 10510).count() === 11L)
   }
 
+  test("z-order and bloom indexes survive renames of their columns") {
+    val (_, w) = freshCat("zb")
+    val p = s"$w/t"
+    // z-ordered table: rename BOTH dimensions, then probe by new names
+    TxTable.overwriteZordered(spark, p,
+      spark.range(20000).selectExpr("id AS a", "(id * 7) % 20000 AS b",
+        "concat('v', id) AS v"), "a", "b", numFiles = 8)
+    TxTable.renameColumn(spark, p, "a", "x")
+    TxTable.renameColumn(spark, p, "b", "y")
+    val box = TxTable.readBox(spark, p, Seq(("x", 100L, 200L), ("y", 0L, 19999L)))
+    assert(box.count() === 101L, "the box probe reads through both renames")
+    assert(box.inputFiles.length < 8,
+      s"the z-rectangles still prune (${box.inputFiles.length}/8 kept)")
+    val e = intercept[Exception](
+      TxTable.readBox(spark, p, Seq(("a", 0L, 10L))))
+    assert(e.getMessage.contains("no column 'a'"),
+      s"the stale pre-rename name fails loudly at the surface, not at " +
+        s"action time through the physical fallback: ${e.getMessage}")
+    // bloom-indexed table: rename the bloom column, point-probe by new name
+    val pb = s"$w/b"
+    TxTable.overwriteClustered(spark, pb,
+      spark.range(20000).selectExpr("id", "(id * 31) % 100000 AS code"),
+      "id", numFiles = 8, bloomCol = Some("code"))
+    TxTable.renameColumn(spark, pb, "code", "token")
+    val pts = TxTable.readPoints(spark, pb, "token", Seq(31L, 62L))
+    assert(pts.collect().map(_.getLong(1)).sorted.toSeq === Seq(31L, 62L),
+      "the bloom probe reads through the rename")
+  }
+
+  test("evolveAppend widens a RENAMED table without disturbing the map") {
+    val (_, w) = freshCat("ew")
+    val p = s"$w/t"
+    TxTable.overwrite(spark, p, Seq((1L, "a")).toDF("id", "v"))
+    TxTable.renameColumn(spark, p, "v", "label")
+    // widen with a new column while carrying the renamed one
+    TxTable.evolveAppend(spark, p,
+      Seq((2L, "b", 9L)).toDF("id", "label", "extra"))
+    val rows = TxTable.read(spark, p).orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "a"), (2L, "b")),
+      "the renamed column reads across pre- and post-evolution files")
+    assert(rows(0).isNullAt(2) && rows(1).getLong(2) === 9L)
+    // the mapping survived the widening commit
+    assert(TxTable.isMapped(TxTable.snapshotState(spark, p,
+      TxTable.latestVersion(spark, p))))
+  }
+
   test("CDF and maintenance compose with the mapping") {
     val (cat, w) = freshCat("cdf")
     sql(s"CREATE TABLE $cat.t (id BIGINT, v STRING)")
