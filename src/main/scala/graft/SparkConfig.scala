@@ -33,6 +33,15 @@ object SparkConfig {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE re-plan CACHED subtrees too (default false): without
+      // it a persisted frame materializes at the static shuffle width
+      // and every downstream consumer of the cache pays that many
+      // tasks no matter how small the data — with it, cached-plan
+      // partitioning is size-adaptive exactly like uncached exchanges
+      // (profiled: the pinned dedup/pipeline frames were 32 tiny
+      // partitions read by 32-task stages per consumer at sf0.1).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -996,10 +996,14 @@ object TextAnalysis {
     val toks = Par.spread(docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("t")))
       .select(col("doc_id"), split(col("t"), " ").as("w"))
-    val vocab = toks.select(explode(col("w")).as("term"))
+    // vocab feeds TWO broadcast joins (w1 and w2 OOV-mapping); without a
+    // pin each broadcast re-runs the full tokenize+count+top-V subtree —
+    // a whole extra corpus scan at 100 TB. Persisted it is ≤ V rows.
+    val vocab = Pins.pin(toks.select(explode(col("w")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(vocabSize)
       .select("term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val bg = toks.filter(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
@@ -1029,7 +1033,12 @@ object TextAnalysis {
     val pbc = Pins.pin(mapped
       .groupBy("doc_id", "m1", "m2").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val model = pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
+    // model is ≤ (V+1)^2 rows but derives from the CORPUS-sized pbc;
+    // without a pin, ctx (= model re-aggregated by m1) recomputes model
+    // FROM pbc — a second full aggregation pass over the big frame.
+    // Persisting the small model makes ctx a V-row rollup of it.
+    val model = Pins.pin(pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
     pbc.join(model, Seq("m1", "m2"))
       .join(broadcast(ctx), Seq("m1")) // bounded: <= V+1 context rows

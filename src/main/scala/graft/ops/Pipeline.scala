@@ -3099,9 +3099,13 @@ object Pipeline {
               FROM pack ORDER BY stratum, doc_id"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        // fused single-scan quality gate (no score-frame self-join)
-        val deduped = Dedup.dropExactDuplicates(
+        // fused single-scan quality gate (no score-frame self-join);
+        // deduped feeds TWO consumers (the shingle semi-join and the
+        // decontaminate/pack tail) — unpinned, the scan+gate+window
+        // subtree runs twice (profiled: both its stages doubled)
+        val deduped = graft.api.Pins.pin(Dedup.dropExactDuplicates(
           TextAnalysis.qualityFilter(docs, "text"), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // survivor shingles come from the cached corpus-wide frame (a
         // doc's shingle set is per-doc, so a semi-join restricts it)
         val sh = shingled(s, dir)
@@ -3274,8 +3278,13 @@ object Pipeline {
               FROM pack ORDER BY stratum, doc_id"""),
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val cut = Dedup.dropDuplicateParagraphs(docs, "doc_id", "text",
-          segTokens = 15)
+        // cut feeds TWO consumers (the Gopher gate and the dedup/pack
+        // tail) — unpinned, the whole keeper+join+stitch subtree runs
+        // twice (profiled: every stage of it doubled)
+        val cut = graft.api.Pins.pin(
+          Dedup.dropDuplicateParagraphs(docs, "doc_id", "text",
+            segTokens = 15)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val gated = TextAnalysis.gopherQualityFlags(
           cut.select(col("doc_id"), col("text_clean")), "doc_id",
           "text_clean", minWords = 30, maxWords = 90,
