@@ -42,6 +42,12 @@ object SparkConfig {
       // partitions read by 32-task stages per consumer at sf0.1).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Allow shuffled-hash join where its size conditions hold
+      // (default prefers sort-merge): iterative ops join a large
+      // persisted frame against a small per-round frame — SHJ builds
+      // the small side and STREAMS the big one, where SMJ would
+      // re-sort the big side every round.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -84,7 +84,13 @@ object Graphs {
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen, got $dampNum/$dampDen")
     val base = ((dampDen - dampNum) * unitMicro) / dampDen
-    var ranks = nodeIds.select(col("id"), lit(unitMicro).as("r"))
+    // every iteration re-reads BOTH frames; unpinned they re-scan (and
+    // re-derive) per round — iterations x 2 extra source passes
+    val edgesP = Pins.pin(edgesDeg
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nodesP = Pins.pin(nodeIds
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    var ranks = nodesP.select(col("id"), lit(unitMicro).as("r"))
     // Deep iteration counts are LINEAGE-bounded, not data-bounded: each
     // round nests the previous plan, and past a few dozen rounds
     // analysis/codegen time dominates (and eventually overflows). Ranks
@@ -95,15 +101,15 @@ object Graphs {
     // discipline), so a 100-round run pins O(1) intermediate copies.
     var prevCk: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = edgesDeg
-        .join(ranks, edgesDeg("src") === ranks("id"))
-        .groupBy(edgesDeg("dst").as("id"))
+      val contrib = edgesP
+        .join(ranks, edgesP("src") === ranks("id"))
+        .groupBy(edgesP("dst").as("id"))
         .agg(sum(expr("r div deg")).as("contrib"))
       // Pure-integer damped update: `div` is BIGINT floor division in
       // Spark SQL (both operands positive here, so floor == trunc ==
       // DuckDB's `//`). Never `/` — that is double division and the
       // whole point is zero fp ops.
-      ranks = nodeIds
+      ranks = nodesP
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           expr(s"CAST($base + ($dampNum * coalesce(contrib, CAST(0 AS BIGINT))) div $dampDen AS BIGINT)")
@@ -177,11 +183,15 @@ object Graphs {
     * ever wider than (u, w, two degrees).
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val und = edges
+    // und feeds the degree count (both unions) AND the orientation join
+    // AND the closing-edge probe — unpinned, the dedup exchange reruns
+    // per consumer
+    val und = Pins.pin(edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val deg = und.select(col("a").as("v"))
       .union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
@@ -199,9 +209,13 @@ object Graphs {
           .as("e"))
       .select(col("e.u").as("u"), col("e.w").as("w"),
         col("e.du").as("du"), col("e.dw").as("dw"))
-    val o1 = oriented.select(col("u"), col("w").as("w1"),
+    // oriented feeds both wedge sides and the closing-edge probe (3
+    // consumers) — pin so the degree joins run once
+    val orientedP = Pins.pin(oriented
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val o1 = orientedP.select(col("u"), col("w").as("w1"),
       col("dw").as("dw1"))
-    val o2 = oriented.select(col("u"), col("w").as("w2"),
+    val o2 = orientedP.select(col("u"), col("w").as("w2"),
       col("dw").as("dw2"))
     // wedge (w1, w2) anchored at u, far pair kept in orientation order
     // so the closing edge — if present — is exactly oriented (w1, w2)
@@ -210,7 +224,7 @@ object Graphs {
         (col("dw1") === col("dw2") && col("w1") < col("w2")))
       .select(col("u"), col("w1"), col("w2"))
     wedges
-      .join(oriented.select(col("u").as("w1"), col("w").as("w2")),
+      .join(orientedP.select(col("u").as("w1"), col("w").as("w2")),
         Seq("w1", "w2"))
       .agg(count(lit(1)).as("n_triangles"),
         coalesce(sum(col("u") + col("w1") + col("w2")), lit(0L))
@@ -240,20 +254,37 @@ object Graphs {
     val e = edges
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
-    val und = e.union(e.select(col("y").as("x"), col("x").as("y"))).distinct()
-    var settled = sources.select(col("id").cast("long").as("id"),
-      lit(0L).as("lvl")).distinct()
-    var frontier = settled.select("id")
-    // The settled set is a union-of-unions whose plan grows linearly
-    // with depth — deep traversals cut it with an eager localCheckpoint
-    // every `checkpointEvery` rounds (superseded checkpoints released
-    // once the successor materialized, the pageRank discipline). The
-    // checkpoint action also observes the frontier size for free, so
-    // an exhausted traversal EXITS there instead of spinning empty
-    // no-op rounds to the depth bound; between checkpoints the loop
-    // stays action-free, which is the whole point of bounded depth.
-    var prevCk: Option[DataFrame] = None
-    var prevFCk: Option[DataFrame] = None
+    // every BFS round joins the frontier against und — unpinned, each
+    // round re-scans the edges and re-pays the dedup exchange. The
+    // materialized per-round frontier below carries exact (small)
+    // statistics, so the planner broadcasts IT and streams this cache
+    // in place — und never moves after materialization.
+    val und = Pins.pin(
+      e.union(e.select(col("y").as("x"), col("x").as("y"))).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // Pregel-superstep materialization: every round's NEW frontier is
+    // eagerly localCheckpoint'ed. The previous action-free-between-
+    // checkpoints loop nested each round's plan into the next TWICE
+    // (once as the frontier, once inside the settled anti-join), so by
+    // round d the physical plan held ~2^d copies of round 1's subtree
+    // — profiled at depth 3 as twelve full re-reads (and four full
+    // re-exchanges) of the edge set in ONE query. A frontier is the
+    // small per-round delta; materializing it costs one frontier-sized
+    // job per round, keeps the per-round plan flat (und appears once),
+    // gives the planner EXACT frontier statistics (so it broadcasts
+    // the frontier and streams the pinned edge cache in place), and
+    // lets an exhausted traversal exit the round it empties instead of
+    // at the next cadence point.
+    val src0 = sources.select(col("id").cast("long").as("id"),
+      lit(0L).as("lvl")).distinct().localCheckpoint()
+    // settled = union of materialized level parts (each a checkpoint
+    // leaf — linear plan growth, zero recompute); every
+    // `checkpointEvery` rounds the union collapses into one checkpoint
+    // and the folded-in leaves' blocks are released (the pageRank
+    // discipline), so pinned copies stay O(1) + the live frontier.
+    var settled: DataFrame = src0
+    var live: List[DataFrame] = List(src0)
+    var frontier = src0.select("id")
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
@@ -261,32 +292,25 @@ object Graphs {
         .select(und("y").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("lvl"))
-      settled = settled.unionByName(next)
-      frontier = next.select("id")
-      if (d % checkpointEvery == 0 && d < maxDepth) {
-        val sCk = settled.localCheckpoint()
-        val fCk = frontier.localCheckpoint()
-        exhausted = fCk.isEmpty
-        // release BOTH superseded checkpoints only after their
-        // successors materialized: the frontier block too — it is
-        // never read once the next fCk exists, and keeping it would
-        // pin one block-store copy per cadence for the whole
-        // traversal (O(depth) pinned instead of O(1))
-        prevCk.foreach(Dedup.dropLocalCheckpoint)
-        prevFCk.foreach(Dedup.dropLocalCheckpoint)
-        prevCk = Some(sCk)
-        prevFCk = Some(fCk)
-        settled = sCk
-        frontier = fCk
+        .localCheckpoint()
+      exhausted = next.isEmpty
+      if (exhausted) {
+        // the empty frontier's blocks serve nothing downstream
+        Dedup.dropLocalCheckpoint(next)
+      } else {
+        settled = settled.unionByName(next)
+        live ::= next
+        frontier = next.select("id")
+        if (d % checkpointEvery == 0 && d < maxDepth) {
+          val sCk = settled.localCheckpoint()
+          // all folded-in leaves except the live frontier are dead
+          live.tail.foreach(Dedup.dropLocalCheckpoint)
+          live = List(sCk, next)
+          settled = sCk
+        }
       }
       d += 1
     }
-    // on exhausted exit the returned frame IS the last settled
-    // checkpoint (independent blocks), so the final frontier
-    // checkpoint is provably dead and can be released now; on a
-    // depth-bound exit the rounds after the last checkpoint still
-    // read it from the returned plan, so it must stay pinned
-    if (exhausted) prevFCk.foreach(Dedup.dropLocalCheckpoint)
     settled
   }
 
@@ -296,10 +320,13 @@ object Graphs {
     * (side 'out'|'in', deg BIGINT, n_nodes BIGINT).
     */
   def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges
+    // e feeds the out- AND in-degree aggregations — pin so the dedup
+    // exchange runs once, not per side
+    val e = Pins.pin(edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val out = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
       .select(lit("out").as("side"), col("deg"), col("n_nodes"))
