@@ -245,6 +245,13 @@ object Graphs {
     * `checkpointEvery` rounds (see the loop note), so depth is bounded
     * by the graph, not by plan growth.
     */
+  /** Frontier-rows ceiling for the per-round broadcast hint: 1M ids ≈
+    * 8 MB framed — well under every broadcast cap, and past it the
+    * round falls back to a co-shuffled join, which is the right plan
+    * for a frontier that large anyway.
+    */
+  private val BroadcastFrontierRows = 1000000L
+
   def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
                 sources: DataFrame, maxDepth: Int,
                 checkpointEvery: Int = 10): DataFrame = {
@@ -284,7 +291,9 @@ object Graphs {
     // discipline), so pinned copies stay O(1) + the live frontier.
     var settled: DataFrame = src0
     var live: List[DataFrame] = List(src0)
-    var frontier = src0.select("id")
+    var frontier =
+      if (src0.count() <= BroadcastFrontierRows) broadcast(src0.select("id"))
+      else src0.select("id")
     var d = 1
     var exhausted = false
     while (d <= maxDepth && !exhausted) {
@@ -293,14 +302,23 @@ object Graphs {
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("lvl"))
         .localCheckpoint()
-      exhausted = next.isEmpty
+      // count() over the just-materialized blocks is ~free and tells us
+      // BOTH exhaustion and whether the next round's frontier fits a
+      // broadcast — a checkpointed frame carries no usable size stats,
+      // so without the hint the planner shuffle-joins and the FULL edge
+      // cache pays an exchange per round (profiled: 10 MB re-exchanges
+      // on frontier rounds of a few hundred KB)
+      val n = next.count()
+      exhausted = n == 0
       if (exhausted) {
         // the empty frontier's blocks serve nothing downstream
         Dedup.dropLocalCheckpoint(next)
       } else {
         settled = settled.unionByName(next)
         live ::= next
-        frontier = next.select("id")
+        frontier =
+          if (n <= BroadcastFrontierRows) broadcast(next.select("id"))
+          else next.select("id")
         if (d % checkpointEvery == 0 && d < maxDepth) {
           val sCk = settled.localCheckpoint()
           // all folded-in leaves except the live frontier are dead

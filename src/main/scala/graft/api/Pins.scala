@@ -14,7 +14,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * local disk.
   */
 private[graft] object Pins {
-  private[api] val MaxPerSession = 64
+  // 256: the full concurrent query suite now registers well over 64
+  // pins (vocab/model/cut/graph frames joined the original dedup
+  // frames) — at the old cap the oldest pins were evicted MID-SUITE
+  // and their still-referenced plans silently recomputed, exactly the
+  // duplicated work pinning exists to prevent. Still a hard bound on
+  // disk-tier spill for un-hygienic long-lived callers.
+  private[api] val MaxPerSession = 256
   private val pinned =
     scala.collection.mutable.Buffer.empty[(Int, DataFrame)]
 

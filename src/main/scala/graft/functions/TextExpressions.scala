@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-pass text primitives for the dedup/text hot paths. Each
+  * replaces a chain of regex / split / higher-order-function built-ins
+  * whose per-row cost (pattern machinery, per-codepoint string
+  * allocation, lambda dispatch) dominated profiled stages, with one
+  * byte walk over the UTF-8 payload. Every expression has a pure
+  * static-helper core so interpreted eval and generated code share one
+  * implementation, and a spec pins each against the built-in chain it
+  * replaces (including non-ASCII and degenerate inputs).
+  */
+object TextNorm {
+
+  /** Exact single-pass equivalent of
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "), " +", " "))`:
+    * Unicode-lowercase (the same UTF8String.toLowerCase the built-in
+    * Lower uses), every codepoint outside [a-z0-9 ] contributes a
+    * space, space runs collapse, ends trim. Byte-wise handling of
+    * multi-byte codepoints is sound because every non-kept byte maps
+    * to "space" and adjacent spaces collapse — the regex path's
+    * one-space-per-codepoint (two for astral surrogate halves)
+    * collapses to the same runs.
+    */
+  def normalize(input: UTF8String): UTF8String = {
+    val s = input.toLowerCase
+    val b = s.getBytes
+    val out = new Array[Byte](b.length)
+    var i = 0
+    var o = 0
+    var pendingSpace = false
+    while (i < b.length) {
+      val c = b(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && o > 0) { out(o) = ' '; o += 1 }
+        out(o) = c
+        o += 1
+        pendingSpace = false
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** Character n-grams by codepoint: the single-pass equivalent of
+    * `transform(sequence(1, size(c)-n+1), i -> concat(element_at(c, i), ...))`
+    * over `c = split(s, "")` — one offsets walk, one UTF8String slice
+    * per gram, no per-codepoint string array. Returns an empty array
+    * for strings shorter than n codepoints.
+    */
+  def charNgrams(s: UTF8String, n: Int): GenericArrayData = {
+    val b = s.getBytes
+    // offsets(k) = byte offset of codepoint k; offsets(numChars) = len
+    val offsets = new Array[Int](b.length + 1)
+    var nChars = 0
+    var i = 0
+    while (i < b.length) {
+      offsets(nChars) = i
+      i += UTF8String.numBytesForFirstByte(b(i))
+      nChars += 1
+    }
+    offsets(nChars) = b.length
+    if (nChars < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nChars - n + 1)
+    var k = 0
+    while (k < nChars - n + 1) {
+      val from = offsets(k)
+      val to = offsets(k + n)
+      out(k) = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, from, to))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Consecutive word pairs of `split(s, " ")` (single-space regex,
+    * Java limit=-1 semantics: empty tokens kept everywhere, including
+    * leading/trailing). Returns array<struct<w1,w2>> — empty when the
+    * string holds fewer than two tokens. One byte walk, one slice per
+    * token, no intermediate token array column.
+    */
+  def wordBigrams(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val toks = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        toks += UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (toks.length < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - 1)
+    var k = 0
+    while (k < toks.length - 1) {
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(toks(k), toks(k + 1))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `norm_ascii(s)`: see [[TextNorm.normalize]]. */
+final case class NormAsciiText(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.normalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.normalize($c)")
+  override protected def withNewChildInternal(newChild: Expression): NormAsciiText =
+    copy(child = newChild)
+  override def prettyName: String = "norm_ascii"
+}
+
+/** `char_ngrams(s, n)`: see [[TextNorm.charNgrams]]. `n` is bound at
+  * plan time (a literal), not per row.
+  */
+final case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_ngrams needs n >= 1, got $n")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.charNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.charNgrams($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+  override def prettyName: String = "char_ngrams"
+}
+
+/** `word_bigrams(s)`: see [[TextNorm.wordBigrams]]. */
+final case class WordBigrams(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.wordBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.wordBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigrams =
+    copy(child = newChild)
+  override def prettyName: String = "word_bigrams"
+}
+
+object TextFunctions {
+  /** Idempotently register the text primitives on the session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("norm_ascii",
+      exprs => NormAsciiText(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("char_ngrams",
+      exprs => CharNgrams(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, IntegerType) =>
+          v.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"char_ngrams n must be an integer literal, got $other")
+      }), "scala_udf")
+    reg.createOrReplaceTempFunction("word_bigrams",
+      exprs => WordBigrams(exprs(0)), "scala_udf")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** The single-pass text primitives (functions/TextExpressions.scala)
+  * replace built-in regex/split/HOF chains in dedup/text hot paths —
+  * each must be EXACTLY equivalent to the chain it replaced, or the
+  * oracle hashes move. Pinned over an adversarial corpus: unicode
+  * (incl. astral + case-folding edge cases), runs of spaces, empties,
+  * punctuation-only, leading/trailing separators.
+  */
+class TextExpressionsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpus: Seq[String] = Seq(
+    "", " ", "   ", "a", "A", "ab", "a b", "a  b", " a b ",
+    "Hello, World!  42", "UPPER lower MiXeD 123",
+    "!!!???...", "  !!x!!  ", "tabs\tand\nnewlines",
+    "unicode: Σίσυφος ΣΊΣΥΦΟΣ straße İstanbul",
+    "astral: 𝄞 clef 😀 emoji",
+    "mixed1a2b3c", "a!b@c#d$e%f", "ümlaut Öther ß",
+    "double  space   triple    runs",
+    "ends with punct!", "!starts with punct",
+    "42 numbers 007 left 0", "ザ・ワールド 時は止まる"
+  ) ++ (0 until 50).map { i =>
+    // deterministic pseudo-random ascii+punct+space soup
+    val r = new scala.util.Random(i)
+    (0 until r.nextInt(80)).map { _ =>
+      val k = r.nextInt(9)
+      if (k < 3) ('a' + r.nextInt(26)).toChar
+      else if (k < 5) ('A' + r.nextInt(26)).toChar
+      else if (k < 6) ('0' + r.nextInt(10)).toChar
+      else if (k < 8) " !,.:;#@~^".charAt(r.nextInt(10))
+      else ' '
+    }.mkString
+  }
+
+  private def df = corpus.toDF("t")
+
+  test("norm_ascii == trim(regexp_replace(regexp_replace(lower, ...)))") {
+    graft.functions.TextFunctions.register(spark)
+    val rows = df.select(col("t"),
+        call_function("norm_ascii", col("t")).as("fast"),
+        trim(regexp_replace(regexp_replace(lower(col("t")),
+          "[^a-z0-9 ]", " "), " +", " ")).as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) === r.getString(2),
+        s"norm_ascii mismatch on ${r.getString(0).take(60)}")
+    }
+  }
+
+  test("char_ngrams(t, n) == split-transform-concat chain, n = 2 and 3") {
+    graft.functions.TextFunctions.register(spark)
+    for (n <- Seq(2, 3)) {
+      val ref = expr(
+        s"""transform(sequence(1, size(split(t, '')) - ${n - 1}),
+              i -> ${(0 until n).map(j => s"element_at(split(t, ''), i + $j)")
+                .mkString("concat(", ", ", ")")})""")
+      val rows = df.filter(length(col("t")) >= n)
+        .select(col("t"),
+          call_function("char_ngrams", col("t"), lit(n)).as("fast"),
+          ref.as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"char_ngrams($n) mismatch on ${r.getString(0).take(60)}")
+      }
+    }
+  }
+
+  test("word_bigrams == split(' ')+filter+transform(struct) chain") {
+    graft.functions.TextFunctions.register(spark)
+    val fast = df.select(col("t"),
+        explode(call_function("word_bigrams", col("t"))).as("p"))
+      .select(col("t"), col("p.w1"), col("p.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    val ref = df.select(col("t"), split(col("t"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("t"), explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("p"))
+      .select(col("t"), col("p.w1"), col("p.w2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq.sorted
+    assert(fast === ref)
+  }
+}
