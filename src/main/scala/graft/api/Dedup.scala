@@ -36,10 +36,21 @@ object Dedup {
     */
   def dropExactDuplicates(docs: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
+    // The content hash is MATERIALIZED as a column before the window
+    // rather than written into partitionBy directly: as a partition
+    // EXPRESSION, sha2(text) is re-evaluated by the exchange hash, by
+    // every sort comparison, and by WindowGroupLimit's per-row group
+    // check — and the full document text must ride the shuffle to feed
+    // those re-evaluations. As a column it is one sha2 per row and the
+    // exchange/sort/group-limit compare the 32-byte digest while the
+    // planner prunes `text` out of the shuffle when the caller doesn't
+    // project it (profiled: the window stage's CPU dropped ~5x and its
+    // shuffle carried digests, not documents).
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
-    Par.spread(docs).withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+      .partitionBy(col("_h")).orderBy(col(idCol))
+    Par.spread(docs).withColumn("_h", sha2(col(textCol), 256))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_h")
   }
 
   /** The canonical form behind [[dropExactDuplicatesNormalized]]:
@@ -68,12 +79,18 @@ object Dedup {
   def dropExactDuplicatesNormalized(docs: DataFrame, idCol: String,
                                     textCol: String): DataFrame = {
     graft.functions.TextFunctions.register(docs.sparkSession)
+    // Materialized digest column for the same reason as
+    // [[dropExactDuplicates]]: norm_ascii+sha2 once per row instead of
+    // per exchange-hash/sort-comparison/group-check, digest-width
+    // shuffle instead of document-width.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sha2(normText(col(textCol)), 256)).orderBy(col(idCol))
+      .partitionBy(col("_h")).orderBy(col(idCol))
     // Par.spread: normalize+hash over a narrow scan ran 10 s of CPU on
     // 4 of 32 cores at sf≈1; the window re-shuffles by hash anyway
-    Par.spread(docs).withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    Par.spread(docs)
+      .withColumn("_h", sha2(normText(col(textCol)), 256))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_h")
   }
 
   /** Cross-source duplication matrix: how many duplicate pairs connect
@@ -1255,7 +1272,7 @@ object Dedup {
     val spark = vectors.sparkSession
     graft.functions.VectorFunctions.register(spark)
     val e = vectors.select(col(idCol).as("vid"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
     val a = e.select(col("vid").as("id_a"), col("v").as("va"))
     val b = e.select(col("vid").as("id_b"), col("v").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
@@ -1281,7 +1298,7 @@ object Dedup {
     // band rows): the self-join would otherwise scan the vectors and
     // recompute the bits x dim hyperplane dot products per side
     val e = pin(vectors.select(col(idCol).as("vid"),
-        transform(col(vecCol), x => x.cast("double")).as("v"))
+        col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", Similarity.lshBucket("v", bits))
       .repartition(col("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK))

@@ -115,7 +115,12 @@ object FuzzyJoin {
       .join(variants.as("b"), col("a.v") === col("b.v") && col("a.k") < col("b.k"))
       .select(col("a.k").as("left_key"), col("b.k").as("right_key"))
       .distinct()
-    candidates.where(levenshtein(col("left_key"), col("right_key")) <= 1)
+    // Banded verify: levenshtein(l, r, threshold) computes only the
+    // ±threshold diagonal band with early abandon (returns -1 past it) —
+    // O(k·min(|l|,|r|)) instead of the full O(|l|·|r|) DP table, same
+    // ed ≤ k decision. The candidates are canonicalized distinct pairs,
+    // so equality (distance 0) cannot occur; >= 0 ⟺ ed ≤ 1.
+    candidates.where(levenshtein(col("left_key"), col("right_key"), 1) >= 0)
   }
 
   /** The segment geometry and probe window as PURE closed forms —
@@ -286,7 +291,11 @@ object FuzzyJoin {
       if (sigFilter) joinCond && sigL1(col("a.rsig"), col("b.sig")) <= lit(2L * k)
       else joinCond
     val cond =
-      if (verify) withSig && levenshtein(col("a.r"), col("b.k")) <= k
+      // Banded threshold form: only the ±k diagonal band is computed and
+      // the DP abandons a row whose band minimum already exceeds k —
+      // O(k·min) per survivor vs the full O(|l|·|r|) table. Returns -1
+      // iff the distance exceeds k, so >= 0 is exactly ed ≤ k.
+      if (verify) withSig && levenshtein(col("a.r"), col("b.k"), k) >= 0
       else withSig
     probes.as("a")
       .join(segs.as("b"), cond)

@@ -262,12 +262,19 @@ object Graphs {
       .select(col(srcCol).cast("long").as("x"), col(dstCol).cast("long").as("y"))
       .where(col("x").isNotNull && col("y").isNotNull)
     // every BFS round joins the frontier against und — unpinned, each
-    // round re-scans the edges and re-pays the dedup exchange. The
-    // materialized per-round frontier below carries exact (small)
-    // statistics, so the planner broadcasts IT and streams this cache
-    // in place — und never moves after materialization.
+    // round re-scans the edges. The materialized per-round frontier
+    // below carries exact (small) statistics, so the planner broadcasts
+    // IT and streams this cache in place — und never moves after
+    // materialization. NO dedup here (guide §2.4 — a distinct on data
+    // that is already unique): duplicate und rows cannot change the
+    // result (each round's neighbor set is distinct-ed anyway, and
+    // levels are minimal by settled-set construction), so the union
+    // caches map-only, without paying a full-edge-set exchange + hash
+    // aggregation up front. Inputs with HEAVY edge duplication instead
+    // pay the duplicates once per round inside the frontier join —
+    // dedup such feeds before calling if rounds are deep.
     val und = Pins.pin(
-      e.union(e.select(col("y").as("x"), col("x").as("y"))).distinct()
+      e.union(e.select(col("y").as("x"), col("x").as("y")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // Pregel-superstep materialization: every round's NEW frontier is
     // eagerly localCheckpoint'ed. The previous action-free-between-

@@ -26,9 +26,16 @@ object Similarity {
     graft.functions.VectorFunctions.register(vectors.sparkSession)
     graft.functions.VectorSumAgg.register(vectors.sparkSession)
     val raw = vectors.select(col(idCol).as("vec_id"), col(vecCol).as("_r"))
+    // cast(array<float> AS array<double>) — identical element semantics
+    // to transform(x -> cast(x)), but Cast is whole-stage-codegen'd (one
+    // tight loop) while the HOF lambda evaluates INTERPRETED per
+    // element; worse, a NamedLambdaVariable's value slot is shared
+    // state, so under local[32] every element eval ping-pongs a cache
+    // line across all task threads (profiled: the ivf_quant probe stage
+    // fell from ~7 s task-CPU to well under 1 s on 2000 rows after
+    // removing per-element lambdas from this path).
     (if (spread) Par.spread(raw) else raw)
-      .select(col("vec_id"),
-        transform(col("_r"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("_r").cast("array<double>").as("v"))
   }
 
   /** Per-group embedding centroids — the corpus-audit / mixing
@@ -156,9 +163,25 @@ object Similarity {
               vecCol: String, queryId: Long, k: Int, nProbe: Int): DataFrame = {
     val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
-    ivfSearch(ivfIndex(vectors, centroids, idCol, vecCol), cents,
+    // Pin the inline-built index (the bucketed path has its own
+    // materialization): the search consumes it THREE times (query-row
+    // lookup, probe ranking via the query row, candidate stream), so
+    // unpinned the assignment scan runs per consumer — and, subtler,
+    // the probe join's inferred constraints re-expand the `cent_id`
+    // alias into repeated `nearest_centroid(...)` evaluations per row
+    // (measured 2x the stage CPU); against a cached index they are
+    // plain stored-column filters.
+    ivfSearch(pinned(ivfIndex(vectors, centroids, idCol, vecCol)), cents,
       queryId, k, nProbe)
   }
+
+  /** MEMORY_AND_DISK pin for an index frame built inline by a
+    * build-and-search convenience wrapper — a cache barrier: consumers
+    * see stored columns (no re-expansion of assignment expressions into
+    * join keys/filters) and the build scan runs once, not per consumer.
+    */
+  private def pinned(df: DataFrame): DataFrame =
+    Pins.pin(df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** The offline half of IVF: assign every vector to its nearest
     * centroid. At corpus scale this is written ONCE (ideally bucketed
@@ -366,8 +389,12 @@ object Similarity {
     */
   def lshTopK(vectors: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, bits: Int = 8): DataFrame = {
-    val e = prepared(vectors, idCol, vecCol)
-      .withColumn("bucket", lshBucket("v", bits))
+    // pinned: the bucketed frame is read twice (query row + stream),
+    // and the bucket equi-join would otherwise re-expand the bits ×
+    // dim interpreted lshBucket fold into its join key and inferred
+    // constraints — against the cache it is a stored column.
+    val e = pinned(prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucket("v", bits)))
     val q = e.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("bucket"))
     e.join(broadcast(q), "bucket")
@@ -389,8 +416,9 @@ object Similarity {
     */
   def lshTopKMultiProbe(vectors: DataFrame, idCol: String, vecCol: String,
                         queryId: Long, k: Int, bits: Int = 8): DataFrame = {
-    val e = prepared(vectors, idCol, vecCol)
-      .withColumn("bucket", lshBucket("v", bits))
+    // pinned for the same reasons as [[lshTopK]]
+    val e = pinned(prepared(vectors, idCol, vecCol)
+      .withColumn("bucket", lshBucket("v", bits)))
     val ring = array(col("bucket") +:
       (0 until bits).map(b => col("bucket").bitwiseXOR(lit(1L << b))): _*)
     val q = e.filter(col("vec_id") === queryId)
@@ -461,7 +489,9 @@ object Similarity {
     */
   def quantizedTopK(vectors: DataFrame, idCol: String, vecCol: String,
                     queryId: Long, k: Int): DataFrame =
-    quantizedSearch(quantize(vectors, idCol, vecCol), queryId, k)
+    // pinned: the search reads the index twice (query row + stream) —
+    // see [[pinned]]
+    quantizedSearch(pinned(quantize(vectors, idCol, vecCol)), queryId, k)
 
   /** IVF-SQ8, the offline half: ONE scan assigns every vector to its
     * nearest centroid (the zero-shuffle broadcast-fold argmax of
@@ -523,7 +553,9 @@ object Similarity {
                        k: Int, nProbe: Int): DataFrame = {
     val cents = prepared(centroids, idCol, vecCol, spread = false)
       .withColumnRenamed("vec_id", "cent_id").withColumnRenamed("v", "cv")
-    ivfQuantizedSearch(ivfQuantizedIndex(vectors, centroids, idCol, vecCol),
+    // pinned: three consumers + constraint re-expansion, see [[ivfTopK]]
+    ivfQuantizedSearch(
+      pinned(ivfQuantizedIndex(vectors, centroids, idCol, vecCol)),
       cents, queryId, k, nProbe)
   }
 
@@ -562,7 +594,10 @@ object Similarity {
     */
   def rpTopK(vectors: DataFrame, idCol: String, vecCol: String,
              queryId: Long, k: Int, dOut: Int = 16): DataFrame = {
-    val p = randomProject(vectors, idCol, vecCol, dOut)
+    // pinned: projected frame read twice (query row + stream); the
+    // dOut × dim interpreted projection fold runs once per row, not
+    // per consumer
+    val p = pinned(randomProject(vectors, idCol, vecCol, dOut))
     val q = p.filter(col("vec_id") === queryId).select(col("rv").as("qrv"))
     p.filter(col("vec_id") =!= queryId)
       .crossJoin(broadcast(q))
@@ -767,7 +802,8 @@ object Similarity {
              vecCol: String, queryId: Long, k: Int, nProbe: Int,
              m: Int = 8, ksub: Int = 16): DataFrame = {
     val books = pqCodebooks(vectors, centroids, idCol, vecCol, m, ksub)
-    pqSearch(pqIndex(vectors, centroids, idCol, vecCol, books),
+    // pinned: see [[ivfTopK]]
+    pqSearch(pinned(pqIndex(vectors, centroids, idCol, vecCol, books)),
       vectors, centroids, idCol, vecCol, books, queryId, k, nProbe)
   }
 }

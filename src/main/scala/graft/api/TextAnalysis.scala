@@ -996,32 +996,30 @@ object TextAnalysis {
     // CPU-dense per input byte; a narrow scan runs it on 1-2 cores
     val base = Par.spread(docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("t")))
-    val toks = base.select(col("doc_id"), split(col("t"), " ").as("w"))
-    // vocab feeds TWO broadcast joins (w1 and w2 OOV-mapping); without a
-    // pin each broadcast re-runs the full tokenize+count+top-V subtree —
-    // a whole extra corpus scan at 100 TB. Persisted it is ≤ V rows.
-    val vocab = Pins.pin(toks.select(explode(col("w")).as("term"))
+    // The top-V vocabulary is ≤ vocabSize rows of bounded driver
+    // metadata — collected and bound into the plan as a literal (the
+    // k-means driver-literal discipline), so the OOV mapping becomes a
+    // per-token hash lookup inside ONE codegen'd expression instead of
+    // two corpus-sized broadcast joins. space_split is the byte-walk
+    // twin of split(t, " ") (no String decode/regex/re-encode).
+    val vocabTerms: Seq[String] = base
+      .select(explode(call_function("space_split", col("t"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("term")).limit(vocabSize)
       .select("term")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    // one-pass bigram pairs straight off the text (word_bigrams yields
-    // an empty array below two tokens, so explode drops those rows —
-    // the previous split+filter+transform(struct) chain's semantics,
-    // without the token-array column or per-pair lambda dispatch)
-    val bg = base
-      .select(col("doc_id"),
-        explode(call_function("word_bigrams", col("t"))).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val mapped = bg
-      // bounded: top-V vocabulary (V rows) x2
-      .join(broadcast(vocab.select(col("term").as("w1"), lit(1).as("iv1"))),
-        Seq("w1"), "left")
-      .join(broadcast(vocab.select(col("term").as("w2"), lit(1).as("iv2"))),
-        Seq("w2"), "left")
-      .select(col("doc_id"),
-        when(col("iv1").isNotNull, col("w1")).otherwise(lit("<unk>")).as("m1"),
-        when(col("iv2").isNotNull, col("w2")).otherwise(lit("<unk>")).as("m2"))
+      .collect().map(_.getString(0)).toSeq
+    // One-pass bigram-ID pairs straight off the text: vocab_bigram_ids
+    // tokenizes (split-on-space semantics: empty below two tokens, so
+    // explode drops those rows), maps each token to its vocab id (OOV →
+    // id V, a literal in-vocab "<unk>" term merges with OOV exactly as
+    // the string formulation did), and packs each consecutive pair into
+    // one BIGINT (id1 << 32 | id2). The packing is injective, so every
+    // count below equals its (m1, m2) string-keyed counterpart — but the
+    // aggregation and model join run on one long key instead of a
+    // (string, string) pair, and the two OOV broadcast joins are gone.
+    val bg = base.select(col("doc_id"),
+      explode(call_function("vocab_bigram_ids", col("t"),
+        typedlit(vocabTerms))).as("p"))
     // Pre-aggregate to per-doc bigram counts BEFORE the model join (the
     // tf-idf lesson): the model and the scoring side both derive from
     // this one aggregate — its exchange is computed once and reused —
@@ -1030,22 +1028,25 @@ object TextAnalysis {
     // with a 6dp-rounded double: its ≤1-ulp error can't cross a decimal
     // rounding boundary, so the weighted decimal sum equals the exact
     // per-occurrence sum on every engine.
-    // pbc feeds THREE consumers (model, ctx via model, and the scoring
-    // join) — pinned so the tokenize → bigram-explode → double-
-    // broadcast-join subtree executes once instead of up to 3× (a 3×
+    // pbc feeds TWO consumers (model and the scoring join) — pinned so
+    // the tokenize → bigram-id explode subtree executes once (a 2×
     // corpus-scan multiplier at 100 TB without it)
-    val pbc = Pins.pin(mapped
-      .groupBy("doc_id", "m1", "m2").agg(count(lit(1)).as("cnt"))
+    val pbc = Pins.pin(bg
+      .groupBy("doc_id", "p").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // model is ≤ (V+1)^2 rows but derives from the CORPUS-sized pbc;
-    // without a pin, ctx (= model re-aggregated by m1) recomputes model
-    // FROM pbc — a second full aggregation pass over the big frame.
-    // Persisting the small model makes ctx a V-row rollup of it.
-    val model = Pins.pin(pbc.groupBy("m1", "m2").agg(sum(col("cnt")).as("c12"))
+    // without a pin, ctx (= model re-aggregated by the first id) would
+    // recompute model FROM pbc — a second full aggregation pass over
+    // the big frame. Persisting the small model makes ctx a V-row
+    // rollup of it.
+    val model = Pins.pin(pbc.groupBy("p").agg(sum(col("cnt")).as("c12"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val ctx = model.groupBy("m1").agg(sum(col("c12")).as("c1"))
-    pbc.join(model, Seq("m1", "m2"))
-      .join(broadcast(ctx), Seq("m1")) // bounded: <= V+1 context rows
+    // context totals keyed on the first id = the packed key's high word
+    val ctx = model.groupBy(shiftright(col("p"), 32).as("m1h"))
+      .agg(sum(col("c12")).as("c1"))
+    pbc.join(model, Seq("p"))
+      .withColumn("m1h", shiftright(col("p"), 32))
+      .join(broadcast(ctx), Seq("m1h")) // bounded: <= V+1 context rows
       .withColumn("nll", round(-log((col("c12") + lit(addK)) /
         (col("c1") + lit(kv))), 6))
       .groupBy("doc_id")

@@ -81,6 +81,58 @@ object TextNorm {
     new GenericArrayData(out)
   }
 
+  /** Exact twin of `split(s, " ")` (Java limit=-1 semantics: empty
+    * tokens kept everywhere, including leading/trailing; "" yields
+    * [""]), as one byte walk emitting UTF8String slices — no
+    * UTF8String→String decode, no regex machinery, no re-encode.
+    */
+  def spaceSplit(s: UTF8String): GenericArrayData = {
+    val b = s.getBytes
+    val toks = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        toks += UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(toks.toArray)
+  }
+
+  /** Consecutive bigram VOCABULARY-ID pairs of `split(s, " ")`: each
+    * token is looked up in `idx` (token → id; OOV → `unk`), and each
+    * consecutive pair packs into one BIGINT `(id1 << 32) | id2`.
+    * Returns an empty array below two tokens. Replaces the
+    * bigram-struct explode + two broadcast OOV-mapping joins + a
+    * (doc, string, string)-keyed aggregation with one walk and a
+    * single long key. The packing is injective (ids ≤ vocabSize <
+    * 2^31), so downstream counts keyed on the long are exactly the
+    * counts keyed on the mapped string pair.
+    */
+  def bigramIds(s: UTF8String,
+                idx: java.util.HashMap[UTF8String, Integer],
+                unk: Int): GenericArrayData = {
+    val b = s.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    var prev = -1 // -1 = no previous token yet
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        val tok = UTF8String.fromBytes(java.util.Arrays.copyOfRange(b, start, i))
+        val id = idx.get(tok)
+        val cur = if (id == null) unk else id.intValue()
+        if (prev >= 0) out += ((prev.toLong << 32) | cur.toLong)
+        prev = cur
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Consecutive word pairs of `split(s, " ")` (single-space regex,
     * Java limit=-1 semantics: empty tokens kept everywhere, including
     * leading/trailing). Returns array<struct<w1,w2>> — empty when the
@@ -166,6 +218,71 @@ final case class WordBigrams(child: Expression) extends UnaryExpression {
   override def prettyName: String = "word_bigrams"
 }
 
+/** `space_split(s)`: see [[TextNorm.spaceSplit]]. */
+final case class SpaceSplit(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    TextNorm.spaceSplit(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNorm.spaceSplit($c)")
+  override protected def withNewChildInternal(newChild: Expression): SpaceSplit =
+    copy(child = newChild)
+  override def prettyName: String = "space_split"
+}
+
+/** `vocab_bigram_ids(s, vocab)`: see [[TextNorm.bigramIds]]. `vocab` is
+  * bound at plan time (an array literal of distinct terms, id =
+  * position); OOV tokens map to id = vocab.length. A literal vocabulary
+  * term equal to the OOV marker string `<unk>` is mapped to the OOV id
+  * — replicating the string formulation exactly, where an in-vocab
+  * token `<unk>` and the OOV marker are the same string and merge.
+  */
+final case class VocabBigramIds(child: Expression, vocab: Array[UTF8String])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string input, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  /** token → id; built once per (deserialized) expression instance,
+    * read-only afterwards (lazy val is synchronized, so concurrent
+    * local-mode tasks see one map).
+    */
+  @transient private lazy val idx: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](vocab.length * 2)
+    val unkMarker = UTF8String.fromString("<unk>")
+    var i = 0
+    while (i < vocab.length) {
+      m.putIfAbsent(vocab(i),
+        if (vocab(i) == unkMarker) Integer.valueOf(vocab.length) else i)
+      i += 1
+    }
+    m
+  }
+
+  /** Codegen entry point (referenced via addReferenceObj). */
+  def compute(s: UTF8String): GenericArrayData =
+    TextNorm.bigramIds(s, idx, vocab.length)
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vocabBigramIds", this,
+      classOf[VocabBigramIds].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.compute($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): VocabBigramIds =
+    copy(child = newChild)
+  override def prettyName: String = "vocab_bigram_ids"
+}
+
 object TextFunctions {
   /** Idempotently register the text primitives on the session. */
   def register(spark: SparkSession): Unit = {
@@ -181,5 +298,16 @@ object TextFunctions {
       }), "scala_udf")
     reg.createOrReplaceTempFunction("word_bigrams",
       exprs => WordBigrams(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("space_split",
+      exprs => SpaceSplit(exprs(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("vocab_bigram_ids",
+      exprs => VocabBigramIds(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            ArrayType(StringType, _)) =>
+          arr.toArray[UTF8String](StringType)
+        case other => throw new IllegalArgumentException(
+          s"vocab_bigram_ids vocab must be a string-array literal, got $other")
+      }), "scala_udf")
   }
 }

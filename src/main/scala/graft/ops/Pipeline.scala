@@ -1705,8 +1705,13 @@ object Pipeline {
         val e = t(s, dir, "embeddings")
         val coarse = e.filter(col("vec_id") < 16)
         val books = pqBooks(s, dir)
+        // pinned: the probe join otherwise re-expands the inline
+        // index's assignment + m-subspace encode expressions into its
+        // join key and inferred constraints (see Similarity.pinned)
         Similarity.pqSearch(
-          Similarity.pqIndex(e, coarse, "vec_id", "embedding", books),
+          graft.api.Pins.pin(
+            Similarity.pqIndex(e, coarse, "vec_id", "embedding", books)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
           e, coarse, "vec_id", "embedding", books,
           queryId = 1, k = 10, nProbe = 4)
       }),
@@ -1728,8 +1733,11 @@ object Pipeline {
         val e = t(s, dir, "embeddings")
         val coarse = e.filter(col("vec_id") < 16)
         val books = pqBooks(s, dir)
+        // pinned: same re-expansion rationale as q_sim_ivf_pq
         Similarity.pqTopKRerank(
-          Similarity.pqIndex(e, coarse, "vec_id", "embedding", books),
+          graft.api.Pins.pin(
+            Similarity.pqIndex(e, coarse, "vec_id", "embedding", books)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)),
           e, coarse, "vec_id", "embedding", books,
           queryId = 1, k = 10, nProbe = 4, rerank = 100)
       }),

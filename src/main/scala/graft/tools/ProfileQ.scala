@@ -38,10 +38,29 @@ object ProfileQ {
         }
     })
 
+    // GRAFT_PROFILE_COLD: attribute the COLD pass (includes pin builds —
+    // the honest from-parquet compute the bench's unloaded column times)
+    // instead of the warm pass.
+    val profileCold = sys.env.contains("GRAFT_PROFILE_COLD")
     args.drop(1).foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      if (profileCold) { rows.clear(); record = true }
       val t0 = System.nanoTime(); fn(spark, sfDir).count()
       val cold = (System.nanoTime() - t0) / 1e9
+      if (profileCold) {
+        record = false
+        Thread.sleep(600)
+        import scala.jdk.CollectionConverters._
+        val rs = rows.asScala.toSeq.sortBy(-_.runMs)
+        println(f"\n==== $name COLD=$cold%6.2f stages=${rs.size} " +
+          f"taskSum=${rs.map(_.tasks).sum} runSum=${rs.map(_.runMs).sum / 1e3}%6.2f " +
+          f"cpuSum=${rs.map(_.cpuMs).sum / 1e3}%6.2f ====")
+        rs.take(24).foreach { r =>
+          println(f"  s${r.id}%-5d tasks=${r.tasks}%-4d run=${r.runMs / 1e3}%7.2f " +
+            f"cpu=${r.cpuMs / 1e3}%7.2f gc=${r.gcMs}%-5d in=${r.inB / 1024}%-8d " +
+            f"sr=${r.srB / 1024}%-8d sw=${r.swB / 1024}%-8d ${r.name}")
+        }
+      }
       rows.clear(); record = true
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime(); val n = df.count()

@@ -71,6 +71,43 @@ class TextExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("space_split == split(t, ' ') (limit -1 semantics)") {
+    graft.functions.TextFunctions.register(spark)
+    val rows = df.select(col("t"),
+        call_function("space_split", col("t")).as("fast"),
+        split(col("t"), " ").as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"space_split mismatch on '${r.getString(0).take(60)}'")
+    }
+  }
+
+  test("vocab_bigram_ids == word_bigrams + string OOV mapping, packed") {
+    graft.functions.TextFunctions.register(spark)
+    // vocab drawn from the corpus's own tokens (plus misses and the
+    // literal "<unk>" marker, which must merge with the OOV id exactly
+    // like the string formulation merged the strings)
+    val vocab: Seq[String] = Seq("a", "b", "Hello,", "World!", "lower",
+      "42", "numbers", "<unk>", "never-present", "")
+    val unk = vocab.length
+    val idOf = vocab.zipWithIndex.map { case (t, i) =>
+      t -> (if (t == "<unk>") unk else i) }.toMap
+    val fast = df.select(col("t"),
+        explode(call_function("vocab_bigram_ids", col("t"),
+          typedlit(vocab))).as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    val ref = df.select(col("t"),
+        explode(call_function("word_bigrams", col("t"))).as("p"))
+      .select(col("t"), col("p.w1"), col("p.w2"))
+      .collect().map { r =>
+        val i1 = idOf.getOrElse(r.getString(1), unk).toLong
+        val i2 = idOf.getOrElse(r.getString(2), unk).toLong
+        (r.getString(0), (i1 << 32) | i2)
+      }.toSeq.sorted
+    assert(fast === ref)
+  }
+
   test("word_bigrams == split(' ')+filter+transform(struct) chain") {
     graft.functions.TextFunctions.register(spark)
     val fast = df.select(col("t"),
