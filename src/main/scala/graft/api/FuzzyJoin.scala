@@ -182,17 +182,22 @@ object FuzzyJoin {
       s"IF((shiftright(acc, b * 4) & 15) < 15, " +
       s"shiftleft(CAST(1 AS BIGINT), b * 4), CAST(0 AS BIGINT))))"
 
-  /** L1 distance between two packed signatures, unrolled to 16
-    * codegen'd shift-mask-abs terms (no array allocation, no lambda in
-    * the hot path). Saturated counts shrink the L1, so
+  /** L1 distance between two packed signatures — ONE pre-compiled
+    * static loop (graft.functions.TextNorm.sigL1) behind a tiny
+    * codegen'd expression. The previous unrolled-16-term Column put
+    * ~80 ops of per-candidate arithmetic into the GENERATED join code,
+    * which executes interpreted until the JIT warms — exactly where
+    * the hot PassJoin bucket evaluates millions of candidates on a
+    * query's first run (profiled: the verify stage's first-execution
+    * CPU was ~5x its steady state). Saturated counts shrink the L1, so
     * `sigL1(a, b) <= 2k` is implied by `ed(a, b) <= k` — a lossless
     * pre-verify filter (property-pinned in PassJoinProps).
     */
-  private[graft] def sigL1(a: Column, b: Column): Column =
-    (0 until 16).map { j =>
-      abs(shiftright(a, j * 4).bitwiseAND(lit(15L)) -
-        shiftright(b, j * 4).bitwiseAND(lit(15L)))
-    }.reduce(_ + _)
+  private[graft] def sigL1(a: Column, b: Column): Column = {
+    graft.functions.TextFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("sig_l1", a, b)
+  }
 
   /** The pure twin of [[charSigSql]] for the property tests. */
   private[graft] def charSigF(s: String): Long = {

@@ -317,24 +317,50 @@ object TextAnalysis {
     size(w).between(minTokens, maxTokens) &&
       stopRatio(w, stopwords) >= minStopRatio
 
+  /** `stop_counts` packs `(n_tokens << 32) | n_stop` in one BIGINT —
+    * these unpack it. The counts equal `size(w)` / `size(filter(w,
+    * contains))` of the split-token formulation exactly, so every
+    * derived ratio/ppm below is the same arithmetic on the same
+    * integers.
+    */
+  private def packedTokens(p: Column): Column = shiftright(p, 32)
+  private def packedStops(p: Column): Column = p.bitwiseAND(lit(0xffffffffL))
+
+  /** Exact-integer stopword ppm from the packed counts — the same
+    * `(n_stop·10⁶ − pmod)/n_tokens` arithmetic [[stopPpm]] computed
+    * from the split-token column.
+    */
+  private def stopPpmPacked(p: Column): Column = {
+    val a = packedStops(p) * lit(1000000L)
+    val b = packedTokens(p)
+    ((a - pmod(a, b)) / b).cast("long")
+  }
+
   /** Length / stopword-ratio / alpha-ratio quality gate. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
                    nCharsCol: String,
                    stopwords: Seq[String] = DefaultStopwords,
                    minTokens: Int = 20, maxTokens: Int = 90,
-                   minStopRatio: Double = 0.05): DataFrame =
-    docs.select(col(idCol), col(textCol), col(nCharsCol),
-        split(col(textCol), " ").as("w"))
-      .withColumn("stop_r", stopRatio(col("w"), stopwords))
+                   minStopRatio: Double = 0.05): DataFrame = {
+    // one byte-walk expression for token+stopword counts and one for
+    // the alpha count (pre-compiled static cores) instead of
+    // split + filter(array_contains) HOF lambdas and a regexp_replace
+    // that built a stripped copy of the text just to take its length
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    val sc = call_function("stop_counts", col(textCol), typedlit(stopwords))
+    docs.select(col(idCol), col(textCol), col(nCharsCol), sc.as("_p"))
+      .withColumn("stop_r",
+        packedStops(col("_p")).cast("double") / packedTokens(col("_p")))
       .withColumn("alpha_r",
-        length(regexp_replace(col(textCol), "[^a-z]", "")).cast("double")
+        call_function("lower_alpha_count", col(textCol)).cast("double")
           / col(nCharsCol))
       .select(col(idCol),
-        size(col("w")).cast("long").as("n_tokens"),
+        packedTokens(col("_p")).as("n_tokens"),
         round(col("stop_r"), 6).as("stopword_ratio"),
         round(col("alpha_r"), 6).as("alpha_ratio"),
-        keepGate(col("w"), stopwords, minTokens, maxTokens, minStopRatio)
-          .as("keep"))
+        (packedTokens(col("_p")).between(minTokens, maxTokens) &&
+          col("stop_r") >= minStopRatio).as("keep"))
+  }
 
   /** [[qualityScore]]'s keep-gate fused into a single filter scan: rows
     * of `docs` that pass, with every original column. Pipelines that
@@ -346,9 +372,16 @@ object TextAnalysis {
   def qualityFilter(docs: DataFrame, textCol: String,
                     stopwords: Seq[String] = DefaultStopwords,
                     minTokens: Int = 20, maxTokens: Int = 90,
-                    minStopRatio: Double = 0.05): DataFrame =
-    docs.filter(keepGate(split(col(textCol), " "), stopwords,
-      minTokens, maxTokens, minStopRatio))
+                    minStopRatio: Double = 0.05): DataFrame = {
+    // ONE expression evaluation per row (pre-compiled byte walk): the
+    // split + filter(array_contains) formulation ran interpreted HOF
+    // lambdas per token, and its subexpressions were re-evaluated
+    // wherever the optimizer pushed copies of the predicate
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    docs.filter(call_function("quality_keep", col(textCol),
+      typedlit(stopwords), lit(minTokens), lit(maxTokens),
+      lit(minStopRatio)))
+  }
 
   /** Per-source ADAPTIVE quality thresholding — fixed global cutoffs
     * ([[qualityFilter]]) misfit heterogeneous corpora: a threshold
@@ -380,10 +413,13 @@ object TextAnalysis {
     // NULL source or text excluded up front (the lengthPercentiles
     // rule): engines disagree on where nulls sort, and a null text has
     // no score — n_docs counts scored documents only
+    graft.functions.TextFunctions.register(docs.sparkSession)
     val scored = docs
       .filter(col(sourceCol).isNotNull && col(textCol).isNotNull)
-      .select(col(sourceCol).as("__s"), split(col(textCol), " ").as("w"))
-      .select(col("__s"), stopPpm(col("w"), stopwords).as("ppm"))
+      .select(col(sourceCol).as("__s"),
+        call_function("stop_counts", col(textCol), typedlit(stopwords))
+          .as("_p"))
+      .select(col("__s"), stopPpmPacked(col("_p")).as("ppm"))
     val hist = scored.groupBy("__s", "ppm").agg(count(lit(1)).as("c"))
     val cum = hist
       .withColumn("hi", sum(col("c")).over(
@@ -562,21 +598,23 @@ object TextAnalysis {
                          wStop: Long = 3, wAlpha: Long = 1, wLen: Long = 2,
                          lenCap: Int = 100,
                          cut: Long = 1100000L): DataFrame = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
     docs
       // n_chars = 0 (empty crawl artifacts) must be excluded, not
       // divide-by-zero the whole job under ANSI mode; NULLs likewise
       .filter(col(textCol).isNotNull && col(nCharsCol).isNotNull &&
         col(nCharsCol) > 0)
       .select(col(idCol), col(textCol), col(nCharsCol),
-        split(col(textCol), " ").as("w"))
-      // the ONE shared stop-ppm definition (see stopPpm) — the linear
-      // gate and the adaptive thresholds can never silently diverge
-      .withColumn("stop_ppm", stopPpm(col("w"), stopwords))
+        call_function("stop_counts", col(textCol), typedlit(stopwords))
+          .as("_p"))
+      // the ONE shared stop-ppm definition (see stopPpmPacked) — the
+      // linear gate and the adaptive thresholds can never diverge
+      .withColumn("stop_ppm", stopPpmPacked(col("_p")))
       .withColumn("alpha_ppm",
-        expr(s"length(regexp_replace($textCol, '[^a-z]', '')) * 1000000L " +
-          s"div $nCharsCol"))
+        expr(s"lower_alpha_count($textCol) * 1000000L div $nCharsCol"))
       .withColumn("len_ppm",
-        expr(s"least(size(w), $lenCap) * 1000000L div $lenCap"))
+        expr(s"least(shiftright(_p, 32), ${lenCap}L) * 1000000L " +
+          s"div ${lenCap}L"))
       .select(col(idCol),
         (col("stop_ppm") * lit(wStop) + col("alpha_ppm") * lit(wAlpha) +
           col("len_ppm") * lit(wLen)).as("score"),
@@ -764,14 +802,19 @@ object TextAnalysis {
     val grams = Par.spread(docs
         .filter(length(col(textCol)) >= n)
         .select(col(langCol).as("lang"), col(textCol).as("t")))
-      // one-pass codepoint-offset walk (graft.functions.TextNorm
-      // .charNgrams): the split("")+transform+concat chain allocated a
+      // one-pass codepoint-offset walk that ALSO pre-counts per row
+      // (graft.functions.TextNorm.charNgramCounts): vs exploding one
+      // row per gram OCCURRENCE, the aggregation sees one row per
+      // distinct gram per doc with its count, and the counting loop is
+      // pre-compiled shared bytecode instead of per-query generated
+      // code (the chain it originally replaced allocated a
       // per-codepoint string array plus a lambda dispatch per gram —
-      // profiled at ~2 us/gram, the whole stage's CPU
+      // profiled at ~2 us/gram, the whole stage's CPU)
       .select(col("lang"),
-        explode(call_function("char_ngrams", col("t"), lit(n))).as("gram"))
+        explode(call_function("char_ngram_counts", col("t"), lit(n))).as("g"))
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))
-    grams.groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+    grams.select(col("lang"), col("g.gram").as("gram"), col("g.c").as("c"))
+      .groupBy("lang", "gram").agg(sum(col("c")).as("cnt"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("lang"), col("rnk"), col("gram"), col("cnt"))

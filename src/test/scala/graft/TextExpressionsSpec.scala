@@ -108,6 +108,70 @@ class TextExpressionsSpec extends AnyFunSuite {
     assert(fast === ref)
   }
 
+  test("sig_l1 == the unrolled 16-term shift-mask-abs formulation") {
+    graft.functions.TextFunctions.register(spark)
+    val r = new scala.util.Random(7)
+    val pairs = (0 until 200).map(_ => (r.nextLong(), r.nextLong())) ++
+      Seq((0L, 0L), (-1L, 0L), (-1L, -1L), (Long.MaxValue, Long.MinValue))
+    val refCol = (0 until 16).map { j =>
+      abs(shiftright(col("a"), j * 4).bitwiseAND(lit(15L)) -
+        shiftright(col("b"), j * 4).bitwiseAND(lit(15L)))
+    }.reduce(_ + _)
+    val rows = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        call_function("sig_l1", col("a"), col("b")).as("fast"), refCol.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(3),
+        s"sig_l1(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("char_ngram_counts == explode(char_ngrams) + count, n = 2 and 3") {
+    graft.functions.TextFunctions.register(spark)
+    for (n <- Seq(2, 3)) {
+      val fast = df.select(col("t"),
+          explode(call_function("char_ngram_counts", col("t"), lit(n))).as("g"))
+        .select(col("t"), col("g.gram"), col("g.c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      val ref = df.select(col("t"),
+          explode(call_function("char_ngrams", col("t"), lit(n))).as("gram"))
+        .groupBy("t", "gram").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(fast === ref, s"char_ngram_counts($n)")
+    }
+  }
+
+  test("stop_counts / quality_keep / lower_alpha_count == built-in chains") {
+    graft.functions.TextFunctions.register(spark)
+    val stops = Seq("a", "the", "of", "and", "to", "in", "42", "")
+    val stopList = array(stops.map(lit): _*)
+    val w = split(col("t"), " ")
+    val rows = df.select(col("t"),
+        call_function("stop_counts", col("t"), typedlit(stops)).as("p"),
+        call_function("quality_keep", col("t"), typedlit(stops),
+          lit(2), lit(30), lit(0.10)).as("keepFast"),
+        call_function("lower_alpha_count", col("t")).as("alphaFast"),
+        size(w).cast("long").as("nTokRef"),
+        size(filter(w, x => array_contains(stopList, x))).cast("long")
+          .as("nStopRef"),
+        (size(w).between(2, 30) &&
+          size(filter(w, x => array_contains(stopList, x))).cast("double")
+            / size(w) >= 0.10).as("keepRef"),
+        length(regexp_replace(col("t"), "[^a-z]", "")).cast("long")
+          .as("alphaRef"))
+      .collect()
+    rows.foreach { r =>
+      val p = r.getLong(1)
+      assert((p >>> 32) === r.getLong(4), s"n_tokens on '${r.getString(0).take(40)}'")
+      assert((p & 0xffffffffL) === r.getLong(5), s"n_stop on '${r.getString(0).take(40)}'")
+      assert(r.getBoolean(2) === r.getBoolean(6), s"keep on '${r.getString(0).take(40)}'")
+      assert(r.getLong(3) === r.getLong(7), s"alpha on '${r.getString(0).take(40)}'")
+    }
+  }
+
   test("word_bigrams == split(' ')+filter+transform(struct) chain") {
     graft.functions.TextFunctions.register(spark)
     val fast = df.select(col("t"),
