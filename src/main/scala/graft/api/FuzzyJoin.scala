@@ -285,6 +285,14 @@ object FuzzyJoin {
           "WHEN pe >= ps THEN sequence(ps, pe) ELSE array() END")).as("p"))
       .select(col("r"), col("rsig"), col("pl"), col("i"),
         expr("substring(r, p, sl)").as("t"))
+      // Distinct BEFORE the join: different window positions over
+      // repeated text (digit runs, padding zeros) yield the SAME
+      // probe substring, and every duplicate probe row re-pays its
+      // whole collision bucket inside the join before the final
+      // distinct collapses the pairs. The probe frame is tiny
+      // (O(k²) rows per key), so this exchange is ~free; the join's
+      // output is unchanged (it was already deduped downstream).
+      .distinct()
       .repartition(fanout(keys))
 
     // 3. Hash-join on (length, slot, text); the signature lower bound

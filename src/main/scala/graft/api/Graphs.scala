@@ -344,13 +344,21 @@ object Graphs {
     * fat head, a broken extractor as a missing tail). Output:
     * (side 'out'|'in', deg BIGINT, n_nodes BIGINT).
     */
-  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  /** `assumeDistinct = true` skips the edge dedup for inputs the CALLER
+    * guarantees are already (src, dst)-unique (e.g. a materialized
+    * `SELECT DISTINCT` edge table) — guide §2.4, a distinct on data
+    * that is already unique is a full exchange + hash aggregation of
+    * the edge set for nothing. Degrees are WRONG if the guarantee is
+    * violated; default stays safe.
+    */
+  def degreeProfile(edges: DataFrame, srcCol: String, dstCol: String,
+                    assumeDistinct: Boolean = false): DataFrame = {
     // e feeds the out- AND in-degree aggregations — pin so the dedup
-    // exchange runs once, not per side
-    val e = Pins.pin(edges
+    // exchange (or the scan) runs once, not per side
+    val base = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
+    val e = Pins.pin((if (assumeDistinct) base else base.distinct())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val out = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .groupBy("deg").agg(count(lit(1)).as("n_nodes"))

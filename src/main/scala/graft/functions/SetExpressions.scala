@@ -34,9 +34,29 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
         s"${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetKernels.sortedIntersectSize(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // shared pre-compiled kernel (see VectorKernels' rationale): the
+    // merge loop is one JIT-hot static body instead of a fresh inline
+    // copy interpreted per query
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.SetKernels.sortedIntersectSize($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectSize =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "sorted_intersect_size"
+}
+
+/** Shared pre-compiled kernel (one JIT-hot body for every query; see
+  * VectorKernels' rationale in VectorExpressions.scala).
+  */
+object SetKernels {
+  def sortedIntersectSize(x: ArrayData, y: ArrayData): Long = {
     val (nx, ny) = (x.numElements(), y.numElements())
     var i = 0; var j = 0; var n = 0L
     while (i < nx && j < ny) {
@@ -47,29 +67,6 @@ final case class SortedIntersectSize(left: Expression, right: Expression)
     }
     n
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val c = ctx.freshName("c")
-      s"""
-         |int $i = 0; int $j = 0; long $n = 0L;
-         |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $n++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = $n;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SortedIntersectSize =
-    copy(left = newLeft, right = newRight)
-
-  override def prettyName: String = "sorted_intersect_size"
 }
 
 object SetFunctions {

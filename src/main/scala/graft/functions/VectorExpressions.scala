@@ -21,6 +21,120 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, Lo
   * Preference tier (b) of the build brief: custom Expression beats UDF;
   * only used where built-ins genuinely can't express the fused loop.
   */
+
+/** Shared pre-compiled loop kernels for the vector expressions below.
+  *
+  * doGenCode used to emit each loop INLINE into the per-query generated
+  * class — semantically fine, but a fresh copy of every loop per query
+  * means every query's first execution runs its hot kernel interpreted
+  * until the JIT warms, which is exactly what a one-shot-per-query
+  * bench (and a first production run) measures. A static method is one
+  * shared, already-JIT-hot body for the whole session; the generated
+  * code shrinks to a call. Arithmetic and iteration order are the ones
+  * the inline codegen and nullSafeEval used, so results are
+  * bit-identical.
+  */
+object VectorKernels {
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def cosineI8(x: ArrayData, y: ArrayData): Double = {
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getByte(i).toDouble; val yv = y.getByte(i).toDouble
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def maxAbs(x: ArrayData): Double = {
+    val n = x.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) { m = math.max(m, math.abs(x.getDouble(i))); i += 1 }
+    m
+  }
+
+  def quantizeI8(x: ArrayData, scale: Double):
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData = {
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val q = if (scale == 0.0) 0.0 else x.getDouble(i) / scale
+      out(i) = math.floor(q + 0.5).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def nearestCentroid(v: ArrayData, cents: ArrayData): Long = {
+    var best = -1L
+    var bestSc = -2.0
+    var bi = 0
+    val k = cents.numElements()
+    while (bi < k) {
+      val c = cents.getStruct(bi, 2)
+      val cv = c.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = v.getDouble(j); val y = cv.getDouble(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val sc = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sc > bestSc) { bestSc = sc; best = c.getLong(0) }
+      bi += 1
+    }
+    best
+  }
+
+  def nearestCentroidL2(v: ArrayData, cents: ArrayData): Long = {
+    var best = -1L
+    var bestD = Double.PositiveInfinity
+    var bi = 0
+    val k = cents.numElements()
+    while (bi < k) {
+      val c = cents.getStruct(bi, 2)
+      val cv = c.getArray(1)
+      val n = math.min(v.numElements(), cv.numElements())
+      var d = 0.0
+      var j = 0
+      while (j < n) {
+        val diff = v.getDouble(j) - cv.getDouble(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD) { bestD = d; best = c.getLong(0) }
+      bi += 1
+    }
+    best
+  }
+}
+
 final case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -34,30 +148,12 @@ final case class VectorDot(left: Expression, right: Expression)
         s"${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    dot
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): VectorDot =
@@ -80,40 +176,12 @@ final case class CosineSimilarity(left: Expression, right: Expression)
         s"${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i); val yv = y.getDouble(i)
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $a.getDouble($i);
-         |  double $yv = $b.getDouble($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
@@ -144,40 +212,12 @@ final case class CosineSimilarityI8(left: Expression, right: Expression)
         s"${left.dataType.sql}, ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getByte(i).toDouble; val yv = y.getByte(i).toDouble
-      dot += xv * yv; na += xv * xv; nb += yv * yv
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosineI8(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double) $a.getByte($i);
-         |  double $yv = (double) $b.getByte($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.cosineI8($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarityI8 =
@@ -203,29 +243,12 @@ final case class VecMaxAbs(child: Expression) extends UnaryExpression {
   }
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val n = x.numElements()
-    var m = 0.0
-    var i = 0
-    while (i < n) { m = math.max(m, math.abs(x.getDouble(i))); i += 1 }
-    m
-  }
+  override def nullSafeEval(a: Any): Any =
+    VectorKernels.maxAbs(a.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, a => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val m = ctx.freshName("m")
-      s"""
-         |int $n = $a.numElements();
-         |double $m = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $m = java.lang.Math.max($m, java.lang.Math.abs($a.getDouble($i)));
-         |}
-         |${ev.value} = $m;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      a => s"graft.functions.VectorKernels.maxAbs($a)")
 
   override protected def withNewChildInternal(newChild: Expression): VecMaxAbs =
     copy(child = newChild)
@@ -255,38 +278,12 @@ final case class QuantizeI8(left: Expression, right: Expression)
     }
   override def dataType: DataType = ArrayType(ByteType, containsNull = false)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val scale = b.asInstanceOf[Double]
-    val n = x.numElements()
-    val out = new Array[Byte](n)
-    var i = 0
-    while (i < n) {
-      val q = if (scale == 0.0) 0.0 else x.getDouble(i) / scale
-      out(i) = math.floor(q + 0.5).toByte
-      i += 1
-    }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-      .fromPrimitiveArray(out)
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.quantizeI8(a.asInstanceOf[ArrayData], b.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
-      val out = ctx.freshName("out")
-      val q = ctx.freshName("q")
-      s"""
-         |int $n = $a.numElements();
-         |byte[] $out = new byte[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $q = ($b == 0.0) ? 0.0 : $a.getDouble($i) / $b;
-         |  $out[$i] = (byte) java.lang.Math.floor($q + 0.5);
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray($out);
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.quantizeI8($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): QuantizeI8 =
@@ -326,67 +323,13 @@ final case class NearestCentroid(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
-    val cents = b.asInstanceOf[ArrayData]
-    var best = -1L
-    var bestSc = -2.0
-    var bi = 0
-    val k = cents.numElements()
-    while (bi < k) {
-      val c = cents.getStruct(bi, 2)
-      val cv = c.getArray(1)
-      val n = math.min(v.numElements(), cv.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var j = 0
-      while (j < n) {
-        val x = v.getDouble(j); val y = cv.getDouble(j)
-        dot += x * y; na += x * x; nb += y * y
-        j += 1
-      }
-      val sc = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (sc > bestSc) { bestSc = sc; best = c.getLong(0) }
-      bi += 1
-    }
-    best
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.nearestCentroid(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, cents) => {
-      val bi = ctx.freshName("bi")
-      val k = ctx.freshName("k")
-      val c = ctx.freshName("c")
-      val cv = ctx.freshName("cv")
-      val n = ctx.freshName("n")
-      val j = ctx.freshName("j")
-      val dot = ctx.freshName("dot")
-      val na = ctx.freshName("na")
-      val nb = ctx.freshName("nb")
-      val sc = ctx.freshName("sc")
-      val best = ctx.freshName("best")
-      val bestSc = ctx.freshName("bestSc")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |long $best = -1L;
-         |double $bestSc = -2.0;
-         |int $k = $cents.numElements();
-         |for (int $bi = 0; $bi < $k; $bi++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($bi, 2);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
-         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    double $xv = $v.getDouble($j);
-         |    double $yv = $cv.getDouble($j);
-         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
-         |  }
-         |  double $sc = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
-         |  if ($sc > $bestSc) { $bestSc = $sc; $best = $c.getLong(0); }
-         |}
-         |${ev.value} = $best;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (v, cents) => s"graft.functions.VectorKernels.nearestCentroid($v, $cents)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroid =
@@ -423,60 +366,13 @@ final case class NearestCentroidL2(left: Expression, right: Expression)
   }
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val v = a.asInstanceOf[ArrayData]
-    val cents = b.asInstanceOf[ArrayData]
-    var best = -1L
-    var bestD = Double.PositiveInfinity
-    var bi = 0
-    val k = cents.numElements()
-    while (bi < k) {
-      val c = cents.getStruct(bi, 2)
-      val cv = c.getArray(1)
-      val n = math.min(v.numElements(), cv.numElements())
-      var d = 0.0
-      var j = 0
-      while (j < n) {
-        val diff = v.getDouble(j) - cv.getDouble(j)
-        d += diff * diff
-        j += 1
-      }
-      if (d < bestD) { bestD = d; best = c.getLong(0) }
-      bi += 1
-    }
-    best
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.nearestCentroidL2(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, cents) => {
-      val bi = ctx.freshName("bi")
-      val k = ctx.freshName("k")
-      val c = ctx.freshName("c")
-      val cv = ctx.freshName("cv")
-      val n = ctx.freshName("n")
-      val j = ctx.freshName("j")
-      val d = ctx.freshName("d")
-      val diff = ctx.freshName("diff")
-      val best = ctx.freshName("best")
-      val bestD = ctx.freshName("bestD")
-      s"""
-         |long $best = -1L;
-         |double $bestD = Double.POSITIVE_INFINITY;
-         |int $k = $cents.numElements();
-         |for (int $bi = 0; $bi < $k; $bi++) {
-         |  org.apache.spark.sql.catalyst.InternalRow $c = $cents.getStruct($bi, 2);
-         |  org.apache.spark.sql.catalyst.util.ArrayData $cv = $c.getArray(1);
-         |  int $n = java.lang.Math.min($v.numElements(), $cv.numElements());
-         |  double $d = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) {
-         |    double $diff = $v.getDouble($j) - $cv.getDouble($j);
-         |    $d += $diff * $diff;
-         |  }
-         |  if ($d < $bestD) { $bestD = $d; $best = $c.getLong(0); }
-         |}
-         |${ev.value} = $best;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev,
+      (v, cents) => s"graft.functions.VectorKernels.nearestCentroidL2($v, $cents)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCentroidL2 =

@@ -74,8 +74,11 @@ object Linkage {
                ORDER BY side, deg"""),
       (s, dir) => {
         val base = Sources.ensureGraph(s, dir)
+        // ensureGraph materializes edgesWithOutDegree — already
+        // (src, dst)-distinct — so the profile skips its dedup exchange
         graft.api.Graphs.degreeProfile(
-          s.read.parquet(s"$base/edges"), "src", "dst")
+          s.read.parquet(s"$base/edges"), "src", "dst",
+          assumeDistinct = true)
           .orderBy("side", "deg")
       }),
 

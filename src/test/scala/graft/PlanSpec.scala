@@ -333,13 +333,21 @@ class PlanSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
-    // two OOV-mapping joins + the per-m1 context join: all broadcast —
-    // the only shuffles ride on the bigram model key and doc_id
+    // Round 21: the two OOV-mapping broadcast joins are GONE — the
+    // ≤V-row vocabulary rides the plan as a literal inside the
+    // codegen'd vocab_bigram_ids expression (the k-means driver-literal
+    // discipline), so only the per-context join remains and it must
+    // broadcast; the only shuffles ride on the packed bigram key and
+    // doc_id.
     val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
-    assert(nBroadcast >= 3,
-      s"vocab x2 + context joins must broadcast (got $nBroadcast):\n$p")
-    assert(p.contains("TakeOrderedAndProject"),
-      s"the top-V vocabulary cut must be TakeOrdered, not a global sort:\n$p")
+    assert(nBroadcast >= 1,
+      s"the context join must broadcast (got $nBroadcast):\n$p")
+    assert(p.contains("vocab_bigram_ids"),
+      s"bigram ids must come from the literal-vocab expression (no " +
+        s"OOV-mapping joins):\n$p")
+    val nJoins = "Join".r.findAllIn(p).size
+    assert(nJoins <= 3,
+      s"OOV mapping must not reappear as joins (got $nJoins):\n$p")
     // the model/scoring branches both hang off the per-doc bigram-count
     // aggregate (pbc), which is PERSISTED (Pins) since round 11: every
     // consumer (model, ctx via model, the scoring join) must read the
