@@ -49,6 +49,20 @@ object SparkConfig {
       // re-sort the big side every round.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4 session-artifact isolation installs an
+      // ExecutorClassLoader whose parent chain consults the driver's
+      // RPC file server. Janino codegen compilation resolves EVERY
+      // referenced type through that chain, and each MISS (janino
+      // probes many nonexistent candidate names per compile) pays an
+      // RPC download attempt while holding the classloader monitor —
+      // thread dumps of the loaded bench phase showed executor threads
+      // convoyed BLOCKED on that monitor behind a holder streaming
+      // from NettyRpcEnv.FileDownloadChannel. This engine never adds
+      // session artifacts (JARs/files land on the application
+      // classpath), so isolation buys nothing and the classloader hop
+      // is pure per-compile overhead — on a real cluster every
+      // executor pays it on its first compile of each generated class.
+      .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   /** Cpu count from the driver contract env, default 4. */

@@ -676,7 +676,10 @@ object Dedup {
       marker: java.nio.file.Path, fp: String)(
       build: => DataFrame): (DataFrame, Boolean) =
     if (markerFresh(marker, fp)(hasDataFiles(dataPath)))
-      (spark.read.parquet(dataPath), true)
+      // schema-memoized: the served-from-disk path is hit once per
+      // QUERY (band/segment indexes), and per-call footer inference is
+      // driver latency the loaded phase pays 16-ways concurrently
+      (SchemaMemo.read(spark, dataPath), true)
     else {
       build.write.mode("overwrite").parquet(dataPath)
       writeMarker(marker, fp)

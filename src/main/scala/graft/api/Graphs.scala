@@ -289,8 +289,12 @@ object Graphs {
     // the frontier and streams the pinned edge cache in place), and
     // lets an exhausted traversal exit the round it empties instead of
     // at the next cadence point.
+    // lazy checkpoint: the count() below is the materializing action,
+    // so seed materialization and the exhaustion/broadcast-size count
+    // are ONE job instead of two (the CC discipline) — per-round jobs
+    // are driver round-trips the loaded suite pays under contention
     val src0 = sources.select(col("id").cast("long").as("id"),
-      lit(0L).as("lvl")).distinct().localCheckpoint()
+      lit(0L).as("lvl")).distinct().localCheckpoint(eager = false)
     // settled = union of materialized level parts (each a checkpoint
     // leaf — linear plan growth, zero recompute); every
     // `checkpointEvery` rounds the union collapses into one checkpoint
@@ -308,13 +312,14 @@ object Graphs {
         .select(und("y").as("id")).distinct()
         .join(settled, Seq("id"), "left_anti")
         .select(col("id"), lit(d.toLong).as("lvl"))
-        .localCheckpoint()
-      // count() over the just-materialized blocks is ~free and tells us
-      // BOTH exhaustion and whether the next round's frontier fits a
-      // broadcast — a checkpointed frame carries no usable size stats,
-      // so without the hint the planner shuffle-joins and the FULL edge
-      // cache pays an exchange per round (profiled: 10 MB re-exchanges
-      // on frontier rounds of a few hundred KB)
+        .localCheckpoint(eager = false)
+      // count() MATERIALIZES the lazy checkpoint (one job per round,
+      // not checkpoint + count) and tells us BOTH exhaustion and
+      // whether the next round's frontier fits a broadcast — a
+      // checkpointed frame carries no usable size stats, so without
+      // the hint the planner shuffle-joins and the FULL edge cache
+      // pays an exchange per round (profiled: 10 MB re-exchanges on
+      // frontier rounds of a few hundred KB)
       val n = next.count()
       exhausted = n == 0
       if (exhausted) {

@@ -31,8 +31,12 @@ object H {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      normalizeEventsTs(s.read.parquet(s"$dir/$name.parquet"))
-    } else s.read.parquet(s"$dir/$name.parquet")
+      normalizeEventsTs(readMemo(s, s"$dir/$name.parquet"))
+    } else readMemo(s, s"$dir/$name.parquet")
+
+  /** Footer-schema-memoized parquet read — see [[graft.api.SchemaMemo]]. */
+  def readMemo(s: SparkSession, path: String): DataFrame =
+    graft.api.SchemaMemo.read(s, path)
 
   /** Normalize `events.ts` to a session-zone TIMESTAMP regardless of the
     * physical type the testdata generation used:

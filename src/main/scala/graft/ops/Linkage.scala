@@ -56,7 +56,7 @@ object Linkage {
       (s, dir) => {
         val base = Sources.ensureGraph(s, dir)
         graft.api.Graphs.pageRankFixedPoint(
-          s.read.parquet(s"$base/edges"), s.read.parquet(s"$base/nodes"),
+          H.readMemo(s, s"$base/edges"), H.readMemo(s, s"$base/nodes"),
           iterations = 3)
           .orderBy("id")
       }),
@@ -77,7 +77,7 @@ object Linkage {
         // ensureGraph materializes edgesWithOutDegree — already
         // (src, dst)-distinct — so the profile skips its dedup exchange
         graft.api.Graphs.degreeProfile(
-          s.read.parquet(s"$base/edges"), "src", "dst",
+          H.readMemo(s, s"$base/edges"), "src", "dst",
           assumeDistinct = true)
           .orderBy("side", "deg")
       }),
@@ -256,8 +256,8 @@ object Linkage {
                FROM m GROUP BY 1 ORDER BY 1"""),
       (s, dir) => {
         val base = Sources.ensureGraph(s, dir)
-        val edges = s.read.parquet(s"$base/edges")
-        val sources = s.read.parquet(s"$base/nodes")
+        val edges = H.readMemo(s, s"$base/edges")
+        val sources = H.readMemo(s, s"$base/nodes")
           .filter(col("id") % 200 === 0)
         graft.api.Graphs.bfsLevels(edges, "src", "dst", sources, maxDepth = 3)
           .groupBy("lvl")
