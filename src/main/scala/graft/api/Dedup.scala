@@ -120,6 +120,14 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 4): DataFrame =
+    // NO Par.spread here, measured twice: spreading this input fixes
+    // the narrow-scan solo shape (10x solo build 12.0 -> 6.9 s) but
+    // this frame is PERSISTED and MULTI-CONSUMER — a full-width cached
+    // layout multiplies the task count of every downstream dedup
+    // query's first stage, and the 241-query suite pays that globally
+    // (suite 14.8 -> 20.9 s, executor CPU +30 s, with even untouched
+    // queries inflated by the extra slot pressure). The narrow-scan
+    // case is a small-file artifact; real corpora scan wide.
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)

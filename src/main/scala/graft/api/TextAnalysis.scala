@@ -988,6 +988,12 @@ object TextAnalysis {
     */
   def hashedTfTopK(docs: DataFrame, idCol: String, textCol: String,
                    queryId: Long, k: Int, dim: Int = 256): DataFrame = {
+    // NO Par.spread (measured): spreading the tokenize+hash pass fixes
+    // the narrow-scan solo shape (10x solo 5.7 -> 2.2 s) but adds an
+    // exchange + full-width first stage that the concurrent suite pays
+    // (suite-level A/B landed above the 14.7 s baseline pair with it
+    // in). The narrow-scan case is a small-file artifact of the local
+    // replica; real corpora scan wide.
     val tfh = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
