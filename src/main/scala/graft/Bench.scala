@@ -748,6 +748,18 @@ object Bench {
     // prior rounds where builds were folded into query numbers — while
     // build_sec/query_sec attribute it: builds are one-time
     // index-construction work, amortized across every later query.
+    // Scaling leg (round 22, ADDITIONS-ONLY to the stdout contract):
+    // the unloaded SOLO walls ride the budgeted line too, so the
+    // driver's LOW-CORE run exposes per-query COMPUTE at that width.
+    // Its scaling block previously compared loaded walls across core
+    // counts, but the loaded phase's submitter count is cpus-derived —
+    // per-query loaded wall under load measures queue depth, not
+    // compute scaling (every r21 ratio read "8 cores beats 32"
+    // because 4 submitters queue shorter than 16). Solo walls at two
+    // widths are the comparable quantity. Failures (-1 entries) are
+    // excluded; every existing field is unchanged.
+    val unloadedLine = unloaded.filter(_._2 >= 0).sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
     def line(rs: Seq[(String, Double)]): String = {
       val qs = rs.sortBy(_._1)
         .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }.mkString("{", ",", "}")
@@ -755,7 +767,7 @@ object Bench {
       // booleans + usually-empty lists) — the driver's BENCH_r{N}.json
       // records only this line, and the whole point is that THAT
       // artifact names its own cache state without cross-referencing
-      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"host_factor":${f"$hostFactor%.2f"},"host_factor_end":${f"$hostFactorEnd%.2f"},"probe_burst":$probeBurst,"ext_busy_burst":$extBurst,"probe_slow_frac":${f"$probeSlowFrac%.2f"},"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries.take(12))},"cpu_inflated":${strList(cpuInflatedOnly.take(12))},"scratch_wiped":$scratchWiped,"n_scratch_cold":${scratchCold.size},"jvm_heap_mb":$jvmHeapMb,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"n_queries":${results.size},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"${wall + buildWall}%.2f"},"unit":"sec","query_sec":${f"$wall%.2f"},"build_sec":${f"$buildWall%.2f"},"host_factor":${f"$hostFactor%.2f"},"host_factor_end":${f"$hostFactorEnd%.2f"},"probe_burst":$probeBurst,"ext_busy_burst":$extBurst,"probe_slow_frac":${f"$probeSlowFrac%.2f"},"contended":$contended,"state_divergent":$stateDivergent,"divergent_queries":${strList(divergentQueries.take(12))},"cpu_inflated":${strList(cpuInflatedOnly.take(12))},"scratch_wiped":$scratchWiped,"n_scratch_cold":${scratchCold.size},"jvm_heap_mb":$jvmHeapMb,"cpu_total_sec":${f"$cpuTotalSec%.2f"},"n_queries":${results.size},"errors":${errors.get + unloadedErrors.get},"loaded_errors":${errors.get},"unloaded_errors":${unloadedErrors.get},"unloaded":$unloadedLine,"queries":$qs,"sf":"$sfDir"}"""
     }
     var kept = results.sortBy(-_._2) // keep the slowest: most informative
     while (line(kept).length > 1600 && kept.nonEmpty) kept = kept.dropRight(1)

@@ -186,23 +186,41 @@ object Funnels {
   /** Cohort retention matrix: users cohorted by first-active epoch week
     * (integer `unix_micros div week` — calendar-convention-free, so any
     * engine buckets identically), counted per week offset since the
-    * cohort week. Two hash aggregations + a user-key join; the
-    * (user, week) distinct pass bounds everything downstream by active
-    * user-weeks, not raw events.
+    * cohort week.
+    *
+    * ONE event scan and ONE user-key exchange: the per-user distinct
+    * weeks fold map-side as a partial `collect_set`, the cohort week is
+    * the set's min, and explode recovers the (user, week) rows — the
+    * old distinct + per-user min + re-join shape paid a second full
+    * scan, two extra exchanges and a join for the same rows (guide
+    * §2.4). Per-user state is bounded by distinct ACTIVE weeks
+    * (52/user/year), never raw events, so a bot firehose costs
+    * map-side dedup, not memory. Null semantics match the join shape
+    * exactly: null users drop (the inner join never matched them), a
+    * null week (null/invalid ts) re-enters the rows AFTER the set
+    * (collect_set skips nulls) so it still counts under its user's
+    * cohort — (null, null) for a user with no timestamped events at
+    * all, exactly what min-over-join produced.
     */
   def retentionCohorts(events: DataFrame, userCol: String,
                        tsCol: String): DataFrame = {
     val weekMicros = 7L * 86400 * 1000000
-    val uw = events.select(col(userCol).as("user_id"),
+    val perUser = events.select(col(userCol).as("user_id"),
         unix_micros(col(tsCol)).as("__us")) // col(), not string interpolation
       .select(col("user_id"),
         expr(s"__us div ${weekMicros}L").as("week"))
-      .distinct()
-    val cohorts = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
-    uw.join(cohorts, "user_id")
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(collect_set(col("week")).as("__ws"),
+        max(when(col("week").isNull, lit(1)).otherwise(lit(0))).as("__hn"))
+    perUser
+      .select(array_min(col("__ws")).as("cohort_week"),
+        explode(when(col("__hn") === 1,
+            concat(col("__ws"), array(lit(null).cast("long"))))
+          .otherwise(col("__ws"))).as("week"))
       .groupBy(col("cohort_week"),
         (col("week") - col("cohort_week")).as("week_offset"))
-      .agg(count(lit(1)).as("n_users")) // uw is distinct (user, week)
+      .agg(count(lit(1)).as("n_users")) // __ws is distinct weeks per user
       .orderBy("cohort_week", "week_offset")
   }
 }

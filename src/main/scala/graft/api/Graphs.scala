@@ -276,6 +276,17 @@ object Graphs {
     val und = Pins.pin(
       e.union(e.select(col("y").as("x"), col("x").as("y")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    // SHALLOW-UNROLL (one lazy plan for maxDepth <= 3: per-round
+    // distinct frontiers, no anti-join, min(lvl) per node) was measured
+    // in round 22 and REJECTED: without per-round materialization the
+    // per-copy filter pushdown (isnotnull variants) de-canonicalizes
+    // the repeated frontier subtrees, so ReuseExchange never fires —
+    // f1/f2 execute twice — and rounds 2-3 plan ShuffledHashJoin that
+    // re-exchanges the FULL und cache per round (no frontier stats at
+    // planning; localCheckpoint-free frontiers are shuffle outputs,
+    // but the duplicated subtrees dominate). QProf warm at sf0.1
+    // local[32]: loop 1.45 s / 22 jobs vs unroll 2.66 s / 18 jobs —
+    // the saved driver actions do not pay for the re-execution.
     // Pregel-superstep materialization: every round's NEW frontier is
     // eagerly localCheckpoint'ed. The previous action-free-between-
     // checkpoints loop nested each round's plan into the next TWICE

@@ -320,18 +320,27 @@ object TxTable {
     * is what keeps snapshot resolution at one checkpoint + a short
     * tail instead of a full log replay.
     */
-  private def logVersions(hfs: org.apache.hadoop.fs.FileSystem,
-                          path: String): (Seq[Long], Seq[Long]) = {
+  /** One `listStatus` of the commit log (absent table → empty): the
+    * statuses feed both version parsing AND the state-memo fingerprint
+    * from a single metadata RPC.
+    */
+  private def listLog(hfs: org.apache.hadoop.fs.FileSystem,
+                      path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val ld = new org.apache.hadoop.fs.Path(logDir(path))
-    if (!hfs.exists(ld)) return (Seq.empty, Seq.empty)
-    val names = hfs.listStatus(ld).toSeq.map(_.getPath.getName)
+    if (!hfs.exists(ld)) Seq.empty else hfs.listStatus(ld).toSeq
+  }
+
+  private def logVersionsOf(names: Seq[String]): (Seq[Long], Seq[Long]) =
     // exact name shapes only: stranded .tmp- siblings (crashed
     // publishes) and any stray file must never enter version parsing
     (names.filter(_.matches("""\d{20}\.json"""))
        .map(_.stripSuffix(".json").toLong).sorted,
      names.filter(_.matches("""\d{20}\.checkpoint\.json"""))
        .map(_.stripSuffix(".checkpoint.json").toLong).sorted)
-  }
+
+  private def logVersions(hfs: org.apache.hadoop.fs.FileSystem,
+                          path: String): (Seq[Long], Seq[Long]) =
+    logVersionsOf(listLog(hfs, path).map(_.getPath.getName))
 
   /** All commit records in the log, ascending (absent table → empty). */
   def history(spark: SparkSession, path: String): Seq[Commit] = {
@@ -370,24 +379,66 @@ object TxTable {
                                  dels: Seq[String] = Nil,
                                  props: Map[String, String] = Map.empty)
 
-  private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
-                        version: Long): State =
-    try foldStateOnce(hfs, path, version)
-    catch {
-      // a concurrent [[expireHistory]] can delete records BETWEEN this
-      // fold's logVersions listing and its record reads — a reader at
-      // or above the cutoff would then hit a vanished pre-cutoff
-      // checkpoint/commit mid-fold. One retry with a FRESH listing
-      // resolves it from the cutoff checkpoint the expiry published
-      // first; a read genuinely below the new horizon fails the retry
-      // with the named retention error instead of a raw missing-file
-      case _: java.io.FileNotFoundException =>
-        foldStateOnce(hfs, path, version)
+  /** Folded-state memo, keyed (path, version, log fingerprint) — the
+    * SchemaMemo discipline: METADATA only (live-file names, stats,
+    * blooms — never row data), and the fingerprint covers every log
+    * file's name, size and mtime, so ANY log change (a new commit, an
+    * expiry, a hand edit) misses and re-folds. A hit replaces the
+    * per-read checkpoint + tail-commit record reads and JSON parses
+    * with a hash lookup — on a real object store that is O(commits)
+    * GETs per query gone; the one listStatus that computes the
+    * fingerprint is metadata the read needs anyway. LRU-capped: a
+    * State is O(live files) driver metadata, the same order a single
+    * read materializes transiently.
+    */
+  private val stateMemo =
+    new java.util.LinkedHashMap[(String, Long, String), State](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long, String), State]): Boolean =
+        size() > 64
     }
 
+  private def logFingerprint(
+      sts: Seq[org.apache.hadoop.fs.FileStatus]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sts.map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.foreach(e => md.update(e.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private def foldState(hfs: org.apache.hadoop.fs.FileSystem, path: String,
+                        version: Long): State = {
+    val listing = listLog(hfs, path)
+    val key = (path, version, logFingerprint(listing))
+    stateMemo.synchronized {
+      val hit = stateMemo.get(key)
+      if (hit != null) return hit
+    }
+    val st =
+      try foldStateOnce(hfs, path, version,
+        logVersionsOf(listing.map(_.getPath.getName)))
+      catch {
+        // a concurrent [[expireHistory]] can delete records BETWEEN this
+        // fold's log listing and its record reads — a reader at or above
+        // the cutoff would then hit a vanished pre-cutoff checkpoint/
+        // commit mid-fold. One retry with a FRESH listing resolves it
+        // from the cutoff checkpoint the expiry published first; a read
+        // genuinely below the new horizon fails the retry with the named
+        // retention error instead of a raw missing-file. The retry's
+        // state belongs to the NEW listing, not `key` — return it
+        // unmemoized (the next call fingerprints the new log and folds
+        // into its own entry).
+        case _: java.io.FileNotFoundException =>
+          return foldStateOnce(hfs, path, version, logVersions(hfs, path))
+      }
+    stateMemo.synchronized { stateMemo.put(key, st); () }
+    st
+  }
+
   private def foldStateOnce(hfs: org.apache.hadoop.fs.FileSystem,
-                            path: String, version: Long): State = {
-    val (commitVs, ckVs) = logVersions(hfs, path)
+                            path: String, version: Long,
+                            versions: (Seq[Long], Seq[Long])): State = {
+    val (commitVs, ckVs) = versions
     val (base, startAfter) = ckVs.filter(_ <= version).lastOption match {
       case Some(cv) =>
         val txt = readSmall(hfs,
@@ -768,22 +819,29 @@ object TxTable {
             org.apache.spark.sql.types.StructType]): Boolean = size() > 64
     }
 
+  /** One staged file's footer schema through the content-addressed
+    * cache (staging names are never reused, files are immutable).
+    * Mapping metadata is defensively stripped: the mapping is defined
+    * by the COMMIT LOG alone (schemaB64); a footer must never re-state
+    * it (a user df could carry stale graft.physical metadata).
+    */
+  private def footerSchema(spark: SparkSession, path: String,
+                           relFile: String): org.apache.spark.sql.types.StructType = {
+    val key = (path, relFile)
+    footerSchemaCache.synchronized {
+      val hit = footerSchemaCache.get(key)
+      if (hit != null) return hit
+    }
+    val s = TxMapping.stripMapping(
+      spark.read.parquet(s"$path/$relFile").schema)
+    footerSchemaCache.synchronized { footerSchemaCache.put(key, s); () }
+    s
+  }
+
   private[graft] def stateSchema(spark: SparkSession, path: String,
                                  st: State): org.apache.spark.sql.types.StructType =
-    st.schemaB64.map(schemaFromB64).getOrElse {
-      val key = (path, st.files.head)
-      footerSchemaCache.synchronized {
-        val hit = footerSchemaCache.get(key)
-        if (hit != null) return hit
-      }
-      // defensively strip mapping metadata: the mapping is defined by
-      // the COMMIT LOG alone (schemaB64); a footer must never re-state
-      // it (a user df could carry stale graft.physical metadata)
-      val s = TxMapping.stripMapping(
-        spark.read.parquet(s"$path/${st.files.head}").schema)
-      footerSchemaCache.synchronized { footerSchemaCache.put(key, s); () }
-      s
-    }
+    st.schemaB64.map(schemaFromB64)
+      .getOrElse(footerSchema(spark, path, st.files.head))
 
   /** The snapshot's LOGICAL schema when the log records one (always
     * the case once the table evolved, renamed or dropped a column).
@@ -815,7 +873,13 @@ object TxTable {
         spark.read.schema(TxMapping.toPhysicalSchema(schemaFromB64(b)))
           .parquet(files.map(f => s"$path/$f"): _*)
       case None =>
-        spark.read.parquet(files.map(f => s"$path/$f"): _*)
+        // explicit footer-cached schema: every file carries the full
+        // schema when no evolution commit exists (the schema-on-write
+        // invariant [[requireSchemaMatch]] enforces), so feeding one
+        // file's cached footer skips the per-construct driver-side
+        // schema inference a bare spark.read.parquet re-pays
+        spark.read.schema(stateSchema(spark, path, st))
+          .parquet(files.map(f => s"$path/$f"): _*)
     }
 
   /** The snapshot read every consumer goes through: raw files, MINUS
@@ -1978,7 +2042,7 @@ object TxTable {
     // absent evolution), so a diff spanning an evolveAppend compares
     // rows in one shape — pre-evolution files null-fill new columns
     lazy val schema = stTo.schemaB64.map(_ => stateSchema(spark, path, stTo))
-      .getOrElse(spark.read.parquet(s"$path/${(to ++ from).head}").schema)
+      .getOrElse(footerSchema(spark, path, (to ++ from).head))
     // position deletes: a file live at BOTH endpoints whose delete set
     // CHANGED between them holds row-level changes the file-set
     // symmetric difference cannot see — read it on both sides (each
@@ -2103,7 +2167,10 @@ object TxTable {
     // already carry _change); otherwise from the file-diff fallback
     val batches = commits.flatMap { c =>
       if (c.cdf.nonEmpty)
-        Some(spark.read.parquet(c.cdf.map(f => s"$path/$f"): _*)
+        // one commit's staged cdf files share one schema (staged in a
+        // single write) — footer-cached, no per-call inference
+        Some(spark.read.schema(footerSchema(spark, path, c.cdf.head))
+          .parquet(c.cdf.map(f => s"$path/$f"): _*)
           .withColumn(VersionCol, lit(c.version)))
       else if (c.action == "dv") {
         // position-delete commit without staged cdf: the feed is still
@@ -2128,7 +2195,8 @@ object TxTable {
         val both =
           if (c.files.isEmpty) deletes
           else deletes.unionByName(
-            spark.read.parquet(c.files.map(f => s"$path/$f"): _*)
+            spark.read.schema(footerSchema(spark, path, c.files.head))
+              .parquet(c.files.map(f => s"$path/$f"): _*)
               .withColumn(ChangeCol, lit("insert")))
         Some(toLogicalAt(both, c.version)
           .withColumn(VersionCol, lit(c.version)))
@@ -2139,7 +2207,8 @@ object TxTable {
         // (ALTER ADD COLUMN / SET TBLPROPERTIES) is zero change rows.
         if (c.files.isEmpty) None
         else Some(toLogicalAt(
-          spark.read.parquet(c.files.map(f => s"$path/$f"): _*), c.version)
+          spark.read.schema(footerSchema(spark, path, c.files.head))
+            .parquet(c.files.map(f => s"$path/$f"): _*), c.version)
           .withColumn(ChangeCol, lit("insert"))
           .withColumn(VersionCol, lit(c.version)))
       }

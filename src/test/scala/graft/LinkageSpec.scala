@@ -444,4 +444,20 @@ class LinkageSpec extends AnyFunSuite {
         lookback = 2, minPrior = 4)
     }
   }
+
+  test("ensureGraph's materialized edges are (src, dst)-unique " +
+      "(the degreeProfile assumeDistinct invariant)") {
+    // q_graph_degree calls degreeProfile(assumeDistinct = true) against
+    // this table: degrees are silently WRONG if the build ever stops
+    // materializing edgesWithOutDegree's distinct output. Pin the
+    // invariant where the table is BUILT instead of trusting the
+    // call-site comment (VERDICT r21 item 7).
+    val base = graft.ops.Sources.ensureGraph(spark, SparkTestSession.sfDir)
+    val e = spark.read.parquet(s"$base/edges")
+    val dupes = e.groupBy("src", "dst").count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0L,
+      s"$base/edges carries $dupes duplicated (src, dst) pairs — " +
+        "degreeProfile(assumeDistinct = true) callers would double-count")
+  }
 }

@@ -83,6 +83,32 @@ class PlanSpec extends AnyFunSuite {
       s"expected runtime skew-join splitting in:\n$p")
   }
 
+  test("large-large joins still plan SortMergeJoin under " +
+      "preferSortMergeJoin=false") {
+    import org.apache.spark.sql.functions._
+    // SparkConfig sets preferSortMergeJoin=false session-wide so
+    // iterative ops get SHJ (build the small per-round side, stream
+    // the big persisted one). SHJ has NO sort-spill fallback on the
+    // build side, so the guard that matters at 100 TB is Spark's size
+    // condition: a join where NEITHER side is much smaller must stay
+    // SortMergeJoin. Pin that here (VERDICT r21 item 6) — broadcast
+    // disabled and the build-by-size threshold forced low so the size
+    // gate, not the local fixture's tiny stats, decides.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+    val li2 = s.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val p = li.join(li2, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"equal-sized large-large join must plan SMJ (spillable), got:\n$p")
+    assert(!p.contains("ShuffledHashJoin"),
+      s"SHJ on an equal-sized pair risks build-side OOM at scale:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     import org.apache.spark.sql.functions._
     // At 100 TB the defaults engage on their own (application-side scan
