@@ -363,23 +363,19 @@ object Similarity {
     * one bucket (+ optional multi-probe neighbors) instead of the
     * corpus.
     */
-  private[api] def lshBucket(vecCol: String, bits: Int) = {
+  private[api] def lshBucket(vecCol: String, bits: Int) =
     // ±1 component for (bit b, dim j): parity of the two-argument
     // xxhash64(b, j) — the seed space is the full (b, j) pair, so no
     // two (bit, dim) coordinates share a hyperplane component at ANY
     // dimensionality (a b*K+j encoding aliases once dim >= K, which
-    // correlates LSH bits on e.g. 1536-dim embeddings). Overflow-free
-    // under ANSI mode, deterministic across executors.
-    val bitExprs = (0 until bits).map { b =>
-      s"""(CASE WHEN aggregate(zip_with($vecCol,
-             transform(sequence(0, size($vecCol) - 1),
-               j -> CAST(IF((xxhash64(${b}L, CAST(j AS BIGINT)) & 1L) = 0L,
-                         1.0D, -1.0D) AS DOUBLE)),
-             (x, r) -> x * r), 0.0D, (acc, p) -> acc + p) >= 0
-          THEN ${1L << b}L ELSE 0L END)"""
-    }
-    expr(bitExprs.mkString("(", " + ", ")"))
-  }
+    // correlates LSH bits on e.g. 1536-dim embeddings). Deterministic
+    // across executors. One codegen'd expression backed by a shared
+    // static kernel (round 22): the previous SQL form expanded to
+    // bits × (zip_with + transform + aggregate) interpreted lambdas
+    // per row on the index-build pass — the one pass that touches
+    // every corpus row. Hash chain, add order, and null/empty edge
+    // cases are bit-identical (VectorKernels.lshBucket).
+    expr(s"lsh_bucket($vecCol, $bits)")
 
   /** LSH-bucketed approximate top-k for one stored vector: candidates =
     * the query's bucket under `bits` sign bits (single-probe), exact
@@ -576,15 +572,12 @@ object Similarity {
   def randomProject(vectors: DataFrame, idCol: String, vecCol: String,
                     dOut: Int = 16): DataFrame = {
     val e = prepared(vectors, idCol, vecCol)
-    val comps = (0 until dOut).map { b =>
-      s"""aggregate(zip_with(v,
-             transform(sequence(0, size(v) - 1),
-               j -> CAST(IF((xxhash64(${b}L, CAST(j AS BIGINT)) & 1L) = 0L,
-                         1.0D, -1.0D) AS DOUBLE)),
-             (x, r) -> x * r), 0.0D, (acc, p) -> acc + p)"""
-    }
-    e.select(col("vec_id"),
-      expr(comps.mkString("array(", ", ", ")")).as("rv"))
+    // one codegen'd expression backed by a shared static kernel
+    // (round 22): the array-of-aggregates SQL form ran dOut × dim
+    // interpreted lambda evaluations per row on the full-corpus
+    // projection pass. Values are bit-identical — same hash chain,
+    // same sequential add order (VectorKernels.rpProject).
+    e.select(col("vec_id"), expr(s"rp_project(v, $dOut)").as("rv"))
   }
 
   /** Approximate top-k in the `dOut`-dim projected space: same

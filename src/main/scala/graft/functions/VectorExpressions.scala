@@ -112,6 +112,73 @@ object VectorKernels {
     best
   }
 
+  /** Sign-LSH bucket: bit b set iff the fold
+    * Σ_j v(j) * (xxhash64(b, j) even ? 1.0 : -1.0) is >= 0, summed in
+    * ascending index order from 0.0 — the exact IEEE op sequence of the
+    * `aggregate(zip_with(...))` SQL it replaces (multiplying by ±1.0 is
+    * exact, so the adds are the only rounding and they run in the same
+    * order). The hash chain is Spark's own two-argument xxhash64
+    * (seed 42, per-child fold), called directly. Null/empty edge cases
+    * reproduce the CASE-sum: a null vector, any null element, or an
+    * empty vector yields bucket 0 (each per-bit CASE falls to ELSE 0).
+    */
+  def lshBucket(v: ArrayData, bits: Int): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = v.numElements()
+    if (n == 0) return 0L
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L
+    var b = 0
+    while (b < bits) {
+      val seedB = XXH64.hashLong(b.toLong, 42L)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val r = if ((XXH64.hashLong(j.toLong, seedB) & 1L) == 0L) 1.0 else -1.0
+        acc += v.getDouble(j) * r
+        j += 1
+      }
+      if (acc >= 0) bucket += (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  /** ±1 random projection: component b is the same fold as
+    * [[lshBucket]]'s hyperplane b (identical hash chain, identical add
+    * order), so projected doubles are bit-identical to the
+    * `array(aggregate(zip_with(...)), ...)` SQL. Null vector, null
+    * element, or empty input yields an array of `dOut` nulls — exactly
+    * what `array(agg, ...)` produced when each aggregate went null.
+    */
+  def rpProject(v: ArrayData, dOut: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = if (v == null) 0 else v.numElements()
+    var hasNull = n == 0
+    var i = 0
+    while (!hasNull && i < n) { hasNull = v.isNullAt(i); i += 1 }
+    if (hasNull)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](dOut))
+    val out = new Array[Double](dOut)
+    var b = 0
+    while (b < dOut) {
+      val seedB = XXH64.hashLong(b.toLong, 42L)
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val r = if ((XXH64.hashLong(j.toLong, seedB) & 1L) == 0L) 1.0 else -1.0
+        acc += v.getDouble(j) * r
+        j += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   def nearestCentroidL2(v: ArrayData, cents: ArrayData): Long = {
     var best = -1L
     var bestD = Double.PositiveInfinity
@@ -381,6 +448,80 @@ final case class NearestCentroidL2(left: Expression, right: Expression)
   override def prettyName: String = "nearest_centroid_l2"
 }
 
+/** `lsh_bucket(v, bits)`: sign-LSH bucket id over an array<double>, the
+  * per-row key of the LSH index builds. The SQL form expanded to bits ×
+  * (zip_with + transform + sequence + aggregate) interpreted lambdas —
+  * a bits×dim interpreted fold per corpus row on the ONE pass that
+  * touches every row at 100 TB scale. One shared static kernel, hash
+  * chain and add order identical (see [[VectorKernels.lshBucket]]), so
+  * buckets are bit-identical. Never null: a null/empty/null-element
+  * vector buckets to 0, exactly like the CASE-sum it replaces.
+  */
+final case class LshBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+  require(bits >= 1 && bits <= 62, s"lsh_bucket needs 1 <= bits <= 62, got $bits")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else VectorKernels.lshBucket(v.asInstanceOf[ArrayData], bits)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      long ${ev.value} = ${c.isNull} ? 0L :
+        graft.functions.VectorKernels.lshBucket(${c.value}, $bits);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_bucket"
+}
+
+/** `rp_project(v, dOut)`: deterministic ±1 random projection to `dOut`
+  * components — [[LshBucket]]'s hyperplane folds with the dot values
+  * kept instead of their signs. Replaces a dOut × dim interpreted HOF
+  * expansion on the full-corpus projection pass; values bit-identical
+  * (see [[VectorKernels.rpProject]]). Never null at the top level: a
+  * null/empty/null-element vector projects to an array of dOut nulls,
+  * exactly what `array(aggregate(...), ...)` produced.
+  */
+final case class RpProject(child: Expression, dOut: Int)
+    extends UnaryExpression {
+  require(dOut >= 1, s"rp_project needs dOut >= 1, got $dOut")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any =
+    VectorKernels.rpProject(
+      child.eval(input).asInstanceOf[ArrayData], dOut)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val c = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${c.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.VectorKernels.rpProject(
+          ${c.isNull} ? null : ${c.value}, $dOut);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RpProject =
+    copy(child = newChild)
+  override def prettyName: String = "rp_project"
+}
+
 object VectorFunctions {
   /** Idempotently register `vec_dot` / `cosine_sim` /
     * `nearest_centroid` as SQL functions on the session, usable from
@@ -402,5 +543,17 @@ object VectorFunctions {
       exprs => NearestCentroid(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nearest_centroid_l2",
       exprs => NearestCentroidL2(exprs(0), exprs(1)), "scala_udf")
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          v, org.apache.spark.sql.types.IntegerType) => v.asInstanceOf[Int]
+      case other => throw new IllegalArgumentException(
+        s"$fn expects a literal int, got $other")
+    }
+    reg.createOrReplaceTempFunction("lsh_bucket",
+      exprs => LshBucket(exprs(0), litInt(exprs(1), "lsh_bucket")),
+      "scala_udf")
+    reg.createOrReplaceTempFunction("rp_project",
+      exprs => RpProject(exprs(0), litInt(exprs(1), "rp_project")),
+      "scala_udf")
   }
 }
