@@ -120,15 +120,15 @@ object Dedup {
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 4): DataFrame =
-    // NO Par.spread here, measured twice: spreading this input fixes
-    // the narrow-scan solo shape (10x solo build 12.0 -> 6.9 s) but
-    // this frame is PERSISTED and MULTI-CONSUMER — a full-width cached
-    // layout multiplies the task count of every downstream dedup
-    // query's first stage, and the 241-query suite pays that globally
-    // (suite 14.8 -> 20.9 s, executor CPU +30 s, with even untouched
-    // queries inflated by the extra slot pressure). The narrow-scan
-    // case is a small-file artifact; real corpora scan wide.
-    docs
+    // SIZE-derived spread (Par.spreadDense, round 22): full-width
+    // Par.spread was measured twice in r21 and reverted — it fixed the
+    // narrow-scan solo shape (10x solo build 12.0 -> 6.9 s) but this
+    // frame is PERSISTED and MULTI-CONSUMER, and the full-width cached
+    // layout cost the concurrent suite +6 s / +30 s executor CPU. The
+    // bytes-proportional width keeps a small cached frame narrow (the
+    // sf0.1 suite case is a NO-OP — no exchange) while a replica big
+    // enough to matter solo spreads to ~1 task per 4 MB of text.
+    Par.spreadDense(docs)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .filter(size(col("w")) >= n)
       // sorted + distinct: the contract SortedIntersectSize relies on

@@ -63,4 +63,36 @@ object Par {
     // narrow-input shuffle whenever the scan is at all under it.
     if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
+
+  /** SIZE-DERIVED input spread for CPU-dense transforms that feed a
+    * PERSISTED multi-consumer frame (round 22, the gated retry of the
+    * two r21 measured-and-reverted sites). Full session width is the
+    * wrong target there: the cached layout inherits the spread width,
+    * and r21 measured the 241-query concurrent suite +6 s / +30 s
+    * executor CPU when the 11 MB shingle cache materialized at 32
+    * partitions (every downstream first stage = 32 tasks of slot
+    * pressure). But the raw scan width is wrong for the transform
+    * itself: a row-group-sparse replica file reads as 1-2 busy cores
+    * under a pass whose CPU is 100-1000x the scan cost (sf1 solo:
+    * 12.0 s). Width = input bytes / `denseSplitBytes`, clamped to
+    * [scan partitions, session width]. The split target is COMPRESSED
+    * input bytes (what plan stats carry): 512 KB of snappy parquet is
+    * ~2-4 MB of text, a few hundred ms of shingle/hash work per task
+    * — so the sf0.1 suite's 0.6 MB table stays a NO-OP (no exchange,
+    * suite provably unchanged), the 6.7 MB sf1 replica spreads
+    * ~13-way (the solo win), and a real corpus-wide scan is already
+    * at/above the session-width clamp — a no-op like [[spread]] (the
+    * p >= want early-exit, so the constant never fans out a 100 TB
+    * scan). Same plan-shape gate: only raw scans are probed.
+    */
+  private[graft] def spreadDense(df: DataFrame,
+                                 denseSplitBytes: Long = 512L << 10): DataFrame = {
+    if (!scanShaped(df.queryExecution.optimizedPlan)) return df
+    val want = shuffleWidth(df)
+    val p = df.rdd.getNumPartitions
+    if (p >= want) return df
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes / denseSplitBytes).min(BigInt(want)).toInt
+    if (byBytes <= p) df else df.repartition(byBytes)
+  }
 }

@@ -988,13 +988,14 @@ object TextAnalysis {
     */
   def hashedTfTopK(docs: DataFrame, idCol: String, textCol: String,
                    queryId: Long, k: Int, dim: Int = 256): DataFrame = {
-    // NO Par.spread (measured): spreading the tokenize+hash pass fixes
-    // the narrow-scan solo shape (10x solo 5.7 -> 2.2 s) but adds an
-    // exchange + full-width first stage that the concurrent suite pays
-    // (suite-level A/B landed above the 14.7 s baseline pair with it
-    // in). The narrow-scan case is a small-file artifact of the local
-    // replica; real corpora scan wide.
-    val tfh = docs.filter(col(idCol).isNotNull)
+    // SIZE-derived spread (Par.spreadDense, round 22): full-width
+    // Par.spread was measured in r21 and reverted — it fixed the
+    // narrow-scan solo shape (10x solo 5.7 -> 2.2 s) but its exchange
+    // + full-width first stage cost the concurrent suite measurably.
+    // The bytes-proportional width is a NO-OP at suite scale (target
+    // <= scan width -> no exchange) and spreads only inputs big
+    // enough for the tokenize+hash pass to matter solo.
+    val tfh = Par.spreadDense(docs.filter(col(idCol).isNotNull))
       .select(col(idCol).as("doc_id"),
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("doc_id"),
