@@ -2081,10 +2081,26 @@ object TxTable {
           }
         TxMapping.toLogicalDf(dvApplied, schema)
       }
-    val added = rd(stTo, (to -- from) ++ dvChanged)
-    val removed = rd(stFrom, (from -- to) ++ dvChanged)
-    added.exceptAll(removed).withColumn("_change", lit("insert"))
-      .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
+    val addFs = (to -- from) ++ dvChanged
+    val remFs = (from -- to) ++ dvChanged
+    val added = rd(stTo, addFs)
+    val removed = rd(stFrom, remFs)
+    // ONE-SIDED fast paths (round 22): when a side's file set is empty
+    // the EXCEPT ALL pair cancels nothing — `added \ ∅ = added` by bag
+    // semantics — so an append-only window (the dominant CDC shape,
+    // and exactly what makes this feed increment-proportional at
+    // 100 TB) serves its files as inserts with NO aggregation at all,
+    // instead of paying two hash-distinct-count plans over the
+    // increment. Row- and schema-identical: the skipped branch is a
+    // guaranteed-empty local relation, and the empty-window case keeps
+    // the full shape so the result frame's columns never vary.
+    if (remFs.isEmpty && addFs.nonEmpty)
+      added.withColumn("_change", lit("insert"))
+    else if (addFs.isEmpty && remFs.nonEmpty)
+      removed.withColumn("_change", lit("delete"))
+    else
+      added.exceptAll(removed).withColumn("_change", lit("insert"))
+        .unionByName(removed.exceptAll(added).withColumn("_change", lit("delete")))
   }
 
   /** Column names the change feed reserves. */
