@@ -1038,8 +1038,28 @@ object TextAnalysis {
     * the FIXED vocabulary size (vocabSize + 1 for `<unk>`), not the
     * observed distinct-term count, so no driver-side count is needed.
     */
+  /** The top-V vocabulary of [[perplexityScore]] — ≤ `vocabSize` rows
+    * of bounded driver metadata (the k-means driver-literal
+    * discipline). Exposed so callers that score the same corpus
+    * repeatedly can memoize it: the cut is deterministic
+    * (count desc, term asc) and re-collecting it costs a full
+    * tokenize + top-V job per call.
+    */
+  def perplexityVocab(docs: DataFrame, idCol: String, textCol: String,
+                      vocabSize: Int): Seq[String] = {
+    graft.functions.TextFunctions.register(docs.sparkSession)
+    Par.spread(docs.filter(col(idCol).isNotNull)
+        .select(col(textCol).as("t")))
+      .select(explode(call_function("space_split", col("t"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(vocabSize)
+      .select("term")
+      .collect().map(_.getString(0)).toSeq
+  }
+
   def perplexityScore(docs: DataFrame, idCol: String, textCol: String,
-                      vocabSize: Int = 1000, addK: Double = 0.1): DataFrame = {
+                      vocabSize: Int = 1000, addK: Double = 0.1,
+                      knownVocab: Option[Seq[String]] = None): DataFrame = {
     val kv = addK * (vocabSize + 1) // driver-side double, oracle-embeddable
     graft.functions.TextFunctions.register(docs.sparkSession)
     // Par.spread: tokenize + bigram-explode + double broadcast join is
@@ -1052,12 +1072,11 @@ object TextAnalysis {
     // per-token hash lookup inside ONE codegen'd expression instead of
     // two corpus-sized broadcast joins. space_split is the byte-walk
     // twin of split(t, " ") (no String decode/regex/re-encode).
-    val vocabTerms: Seq[String] = base
-      .select(explode(call_function("space_split", col("t"))).as("term"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("term")).limit(vocabSize)
-      .select("term")
-      .collect().map(_.getString(0)).toSeq
+    // `knownVocab` (round 22) lets repeat callers skip the collect —
+    // the ops layer memoizes [[perplexityVocab]] per (session, dir),
+    // the bpeMerges discipline.
+    val vocabTerms: Seq[String] = knownVocab.getOrElse(
+      perplexityVocab(docs, idCol, textCol, vocabSize))
     // One-pass bigram-ID pairs straight off the text: vocab_bigram_ids
     // tokenizes (split-on-space semantics: empty below two tokens, so
     // explode drops those rows), maps each token to its vocab id (OOV →

@@ -260,7 +260,24 @@ object Pipeline {
     pqCache.synchronized {
       pqCache.keys.filter(_._1 == id).foreach(pqCache.remove)
     }
+    pplVocabCache.synchronized {
+      pplVocabCache.keys.filter(_._1 == id).foreach(pplVocabCache.remove)
+    }
   }
+
+  /** Perplexity vocabulary per (session, dir) — bounded driver-literal
+    * metadata (≤ PplVocab strings), the bpeMerges discipline: the cut
+    * is deterministic and re-collecting it cost a full tokenize +
+    * top-V job per construct (measured 0.43 s of warm driver time on
+    * the loaded suite's serialized driver path).
+    */
+  private val pplVocabCache =
+    scala.collection.concurrent.TrieMap[(Int, String), Once[Seq[String]]]()
+
+  private def pplVocabOf(s: SparkSession, dir: String): Seq[String] =
+    memo(pplVocabCache, (System.identityHashCode(s), dir))(
+      TextAnalysis.perplexityVocab(t(s, dir, "documents"),
+        "doc_id", "text", PplVocab))
 
   /** k-means centroids per (session, dir), computed ONCE and shared by
     * the Spark query and the oracle-SQL resolver: the Lloyd means are
@@ -2649,7 +2666,8 @@ object Pipeline {
     // the gibberish/boilerplate filter of an LLM corpus pipeline.
     Q("q_text_perplexity", Some(pplOracle),
       (s, dir) => TextAnalysis.perplexityScore(t(s, dir, "documents"),
-        "doc_id", "text", vocabSize = PplVocab, addK = PplK)
+        "doc_id", "text", vocabSize = PplVocab, addK = PplK,
+        knownVocab = Some(pplVocabOf(s, dir)))
         .orderBy("doc_id")),
 
     // Count-min sketch frequency probes (auditable sha256 bucket hash):
