@@ -799,7 +799,15 @@ object TextAnalysis {
                     n: Int = 2, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TextFunctions.register(docs.sparkSession)
-    val grams = Par.spread(docs
+    // spreadDense, not full-width spread (round 22): the gram pass is
+    // the stage between this exchange and the aggregation, so the
+    // spread width SURVIVES as its task count — at suite scale a
+    // pinned repartition(32) ran 32 tasks over ~800 KB (pure slot
+    // pressure under 241 concurrent queries; AQE cannot coalesce an
+    // explicit width), while the size-derived width is a no-op there
+    // and still widens replica-scale inputs (~1 task per 512 KB
+    // compressed).
+    val grams = Par.spreadDense(docs
         .filter(length(col(textCol)) >= n)
         .select(col(langCol).as("lang"), col(textCol).as("t")))
       // one-pass codepoint-offset walk that ALSO pre-counts per row
@@ -1048,7 +1056,7 @@ object TextAnalysis {
   def perplexityVocab(docs: DataFrame, idCol: String, textCol: String,
                       vocabSize: Int): Seq[String] = {
     graft.functions.TextFunctions.register(docs.sparkSession)
-    Par.spread(docs.filter(col(idCol).isNotNull)
+    Par.spreadDense(docs.filter(col(idCol).isNotNull)
         .select(col(textCol).as("t")))
       .select(explode(call_function("space_split", col("t"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("n"))
@@ -1062,9 +1070,12 @@ object TextAnalysis {
                       knownVocab: Option[Seq[String]] = None): DataFrame = {
     val kv = addK * (vocabSize + 1) // driver-side double, oracle-embeddable
     graft.functions.TextFunctions.register(docs.sparkSession)
-    // Par.spread: tokenize + bigram-explode + double broadcast join is
-    // CPU-dense per input byte; a narrow scan runs it on 1-2 cores
-    val base = Par.spread(docs.filter(col(idCol).isNotNull)
+    // spreadDense (round 22): the tokenize + bigram-explode pass is
+    // CPU-dense per input byte and rides this exchange's width — the
+    // previous full-width spread pinned 32 tasks over the suite-scale
+    // table (slot pressure; see ngramProfiles). Size-derived width is
+    // a no-op there and still widens replica-scale inputs.
+    val base = Par.spreadDense(docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), col(textCol).as("t")))
     // The top-V vocabulary is ≤ vocabSize rows of bounded driver
     // metadata — collected and bound into the plan as a literal (the
