@@ -18,10 +18,39 @@ object SchemaMemo {
   private val memo = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, Long), StructType]()
 
+  /** Relation memo (round 22): even with the schema supplied,
+    * `s.read.schema(sch).parquet(path)` re-runs DataSource resolution
+    * and builds a fresh InMemoryFileIndex (a file listing) per
+    * DataFrame construction. A DataFrame is an immutable plan —
+    * callers only derive new frames from it — so the RELATION frame
+    * itself is memoized per (session, path, size, mtime): one
+    * resolution per (file version, session), and any rewrite of the
+    * file misses exactly like the schema memo. Plans only, never
+    * results; bounded by #tables x #dirs and cleared wholesale if it
+    * ever exceeds the cap (a long-lived server iterating hundreds of
+    * dirs must not accrete file indexes).
+    *
+    * Invalidation contract (same keying the schema memo always had,
+    * now also covering the cached FILE LIST): for a directory table
+    * the mtime bumps whenever a file is created or deleted inside it —
+    * which every Spark write does (fresh part-file names per job) —
+    * so any rebuild misses. A writer that could rewrite file CONTENTS
+    * in place under unchanged names would evade the key; no writer in
+    * this engine (or Spark) does that.
+    */
+  private val dfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String, Long, Long), DataFrame]()
+  private val DfMemoCap = 512
+
   def read(s: SparkSession, path: String): DataFrame = {
     val f = new java.io.File(path)
-    val key = (path, f.length(), f.lastModified())
-    val sch = memo.computeIfAbsent(key, _ => s.read.parquet(path).schema)
-    s.read.schema(sch).parquet(path)
+    val sid = System.identityHashCode(s)
+    val key = (sid, path, f.length(), f.lastModified())
+    if (dfMemo.size() > DfMemoCap) dfMemo.clear()
+    dfMemo.computeIfAbsent(key, _ => {
+      val sch = memo.computeIfAbsent((path, f.length(), f.lastModified()),
+        _ => s.read.parquet(path).schema)
+      s.read.schema(sch).parquet(path)
+    })
   }
 }
