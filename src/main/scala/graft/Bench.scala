@@ -473,7 +473,13 @@ object Bench {
     // AvailableNow/RocksDB startup) — round 6 measured a 1.9x spread on
     // identical code. Re-running alone pins actual compute so the judge
     // can diff compute, not scheduling: every query whose loaded time
-    // exceeded 2 s re-runs (capped at 24), plus the 5 slowest always.
+    // exceeded 2 s re-runs (capped at 24), plus the 16 slowest always —
+    // 16, not 5, since round 22: at a LOW core count the submitter
+    // width shrinks with it, queues are shorter, and almost nothing
+    // crosses the 2 s cut (measured: five entries at 8 cores vs 24 at
+    // 32), which starved the driver's cross-width scaling block of
+    // common solo walls. A fixed floor of 16 keeps the two widths'
+    // unloaded maps overlapping; the solo pass stays outside `value`.
     // Unloaded failures are attributed SEPARATELY (`unloaded_errors`,
     // entry recorded as -1) but FOLDED into the top-level `errors`
     // field: tooling that keys only on `errors` must not read a
@@ -505,7 +511,7 @@ object Bench {
     // failures-go-first ordering exists for), even at the cost of one
     // replay restart inside its timing.
     val unloadedSel = (failed.asScala.toSeq.sorted ++
-        (byDesc.filter(_._2 > 2.0) ++ byDesc.take(5)).map(_._1)
+        (byDesc.filter(_._2 > 2.0) ++ byDesc.take(16)).map(_._1)
           .filterNot(memoizedQueries.contains))
       .distinct.take(24)
     // Measure COMPUTE, not session pressure: by this point the session
