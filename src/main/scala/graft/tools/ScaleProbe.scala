@@ -1401,7 +1401,12 @@ object ScaleProbe {
         s"date range must prune files at both scales: $ff1/$td1, $ffN/$tdN")
       require(srN == sr1,
         s"the 1x-span string range must be INVARIANT under growth: $sr1 -> $srN")
-      require(sfN < 8,
+      // mult == 1 has no out-of-span replicas at all — every file holds
+      // in-span rows, so "kept < 8" is unsatisfiable by construction and
+      // the smoke shape must not fail on it (pre-existing; found by the
+      // round-22 smoke). The pruning claim is meaningful, and enforced,
+      // only when growth adds out-of-span keys.
+      require(mult == 1 || sfN < 8,
         s"string pruning must localize the shrunken span: kept $sfN/8")
       require(hN == h1 * mult && nqN == nq1 * mult && v1N == v1a * mult,
         s"evolution masses must scale exactly ${mult}x: " +
@@ -1516,15 +1521,21 @@ object ScaleProbe {
     // whether it arrives through the API or through SQL.
     {
       import graft.api.TxTable
+      var mergeCall = 0
       def sqlMergeFor(m: Int) = {
         val w = java.nio.file.Files
           .createTempDirectory(s"txsqlmerge_$m").toString
-        // one catalog name PER SCALE: Spark caches catalog plugin
-        // instances by name, so re-pointing gsp.warehouse would leave
-        // the cached 1x catalog serving the old table (observed: the
-        // 10x MERGE silently hit the 1x warehouse)
-        spark.conf.set(s"spark.sql.catalog.gsp$m", "graft.api.TxCatalog")
-        spark.conf.set(s"spark.sql.catalog.gsp$m.warehouse", w)
+        // one catalog name PER CALL, not per scale: Spark caches catalog
+        // plugin instances by name, so re-pointing gsp.warehouse would
+        // leave a cached catalog serving the old table (observed: the
+        // 10x MERGE silently hit the 1x warehouse — and at mult=1 the
+        // two calls share m, so a per-scale name aliased them too; the
+        // round-22 smoke caught the second MERGE updating call 1's
+        // table while the content check read call 2's)
+        mergeCall += 1
+        val cat = s"gsp${m}_$mergeCall"
+        spark.conf.set(s"spark.sql.catalog.$cat", "graft.api.TxCatalog")
+        spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
         val t = s"$w/t"
         TxTable.overwriteClustered(spark, t,
           docsFor(m).select(col("doc_id"), col("text")),
@@ -1535,7 +1546,7 @@ object ScaleProbe {
           .withColumn("text", lit("upserted"))
           .createOrReplaceTempView("sp_merge_src")
         val t0 = System.nanoTime()
-        spark.sql(s"""MERGE INTO gsp$m.t t USING sp_merge_src s
+        spark.sql(s"""MERGE INTO $cat.t t USING sp_merge_src s
                      ON t.doc_id = s.doc_id
                      WHEN MATCHED THEN UPDATE SET *
                      WHEN NOT MATCHED THEN INSERT *""")
